@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style full materialization (collect of
+the final, already-small result) so the measured time covers scan + shuffle +
+aggregation, not Python-side row conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from byconity_spark import get_spark
+    from byconity_spark.workloads import all_queries
+
+    spark = get_spark(app_name="byconity-spark-bench")
+
+    qdefs = all_queries()
+    timings: dict[str, float] = {}
+    # warm up the JVM + parquet footer cache with the cheapest query once
+    try:
+        qdefs["q6_forecast_revenue"].builder(spark, sf_dir).collect()
+    except Exception:
+        pass
+
+    total = 0.0
+    for name, qd in sorted(qdefs.items()):
+        t0 = time.perf_counter()
+        try:
+            qd.builder(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # pragma: no cover - bench must not die
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            dt = None
+        timings[name] = round(dt, 4) if dt is not None else None
+        if dt is not None:
+            total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Aggregation shapes Spark lacks as single calls.
+
+  * with_totals — ClickHouse ``GROUP BY ... WITH TOTALS``
+    (reference: src/QueryPlan/TotalsHavingStep.h:29, parser
+    src/Parsers/ParserSelectQuery.cpp:215).
+  * limit_by   — ClickHouse ``LIMIT n BY key`` (src/QueryPlan/LimitByStep.h:23).
+
+Scale notes: with_totals reuses Spark's Expand (same machinery as rollup), so
+the grand-total row is computed in the same single aggregation pass — no
+second scan, no driver-side union. limit_by is the window-rank formulation
+Catalyst rewrites into a partial top-N below the shuffle (Spark 3.5
+InferWindowGroupLimit — the same optimization as ByConity's
+FilterWindowToPartitionTopN.h).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_totals(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """GROUP BY keys WITH TOTALS: grouped rows plus one grand-total row
+    (keys NULL), computed in one pass via rollup + grouping_id filter."""
+    gid = F.grouping_id(*[F.col(k) for k in keys])
+    full = 0  # all keys present
+    total = (1 << len(keys)) - 1  # all keys rolled up
+    return (
+        df.rollup(*keys)
+        .agg(*aggs, gid.alias("__gid"))
+        .filter(F.col("__gid").isin(full, total))
+        .drop("__gid")
+    )
+
+
+def limit_by(
+    df: DataFrame, keys: list[str], order: list[Column], n: int, offset: int = 0
+) -> DataFrame:
+    """LIMIT n [OFFSET m] BY keys — top-n rows per key group."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + n))
+        .drop("__rn")
+    )

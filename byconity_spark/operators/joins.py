@@ -1,0 +1,161 @@
+"""Join strategies ByConity supports that Spark lacks as primitives.
+
+Reference join surface: src/Parsers/ASTTablesInSelectQuery.h:123-145 — kinds
+(Inner/Left/Right/Full/Cross) x strictness (All/Any/RightAny/Asof/Semi/Anti).
+Spark covers kinds + semi/anti natively; this module adds:
+
+  * asof_join  — ASOF strictness (src/Interpreters/RowRefs.h:210 AsofRowRefs)
+  * any_join   — ANY strictness (first-match join)
+
+Scale design: both are implemented as single-shuffle DataFrame plans (one
+hash partition by the join key), never as driver-side loops or per-row UDFs.
+``asof_join`` uses the union+window formulation: O(n log n) per key via
+Spark's external sort, works for arbitrarily large inputs, and inherits AQE
+skew handling on the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    right_payload: list[str] | None = None,
+) -> DataFrame:
+    """ASOF join: for each left row, pick the single right row with the
+    largest ``right_time`` <= ``left_time`` (direction='backward', the
+    ClickHouse default for ``ASOF JOIN ... ON l.t >= r.t``) or smallest
+    ``right_time`` >= ``left_time`` ('forward'), matching on equi-keys.
+
+    Implementation (Spark-first): tag both sides, union, then a running
+    ``last(payload, ignorenulls=True)`` window per key ordered by time — a
+    single shuffle on the key columns, no per-row Python. Equivalent
+    semantics to DuckDB's ASOF JOIN (used as the test oracle) and pandas
+    ``merge_asof``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in keys and c != right_time]
+
+    payload_struct = F.struct(
+        F.col(right_time).alias("__asof_rt"), *[F.col(c) for c in right_payload]
+    )
+    # side marker: rights sort BEFORE lefts at equal time when exact matches
+    # are allowed (so <= matches), after otherwise (strict <).
+    r_side = 0 if allow_exact_matches else 2
+    l_cols = [F.col(c) for c in left.columns]
+
+    l_tagged = left.select(
+        *l_cols,
+        F.col(left_time).alias("__asof_t"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(
+            right.select(payload_struct.alias("p")).schema["p"].dataType
+        ).alias("__asof_payload"),
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in keys else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_time).alias("__asof_t"),
+        F.lit(r_side).alias("__asof_side"),
+        payload_struct.alias("__asof_payload"),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    asc = direction == "backward"
+    order = [
+        F.col("__asof_t").asc() if asc else F.col("__asof_t").desc(),
+        F.col("__asof_side").asc(),
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    ).filter(F.col("__asof_side") == 1)
+
+    out = matched.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__asof_match")[c].alias(c) for c in right_payload],
+        F.col("__asof_match")["__asof_rt"].alias(f"__matched_{right_time}"),
+    )
+    return out
+
+
+def any_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    prefer: list[Column] | None = None,
+) -> DataFrame:
+    """ANY-strictness join (ClickHouse ``ANY LEFT JOIN``): at most one right
+    row per key. Reference: ASTTablesInSelectQuery.h:127.
+
+    ClickHouse picks an arbitrary first match; for determinism we take the
+    first row per key under ``prefer`` ordering (default: all right columns
+    ascending). Implemented as row_number()==1 dedup then a plain join — one
+    extra shuffle on the right side only, which is usually the small side.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    order = prefer or [F.col(c) for c in right.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    deduped = (
+        right.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return left.join(deduped, on=keys, how=how)
+
+
+def quantified_filter(
+    df: DataFrame,
+    value: Column,
+    sub: DataFrame,
+    sub_value: str,
+    op: str,
+    quantifier: str,
+) -> Column:
+    """Build the rewrite for quantified comparisons ``x <op> ALL/ANY (sub)``
+    (reference: ApplyStep.h:25 QUANTIFIED_COMPARISON; Catalyst lacks them).
+
+    Returns a Column usable in ``.filter`` via a cross-joined scalar agg.
+    ``x > ALL(s)`` → ``x > max(s) OR s empty``; ``x > ANY(s)`` → ``x > min(s)
+    AND s non-empty`` (NULL semantics simplified: assumes non-null s values).
+    """
+    agg = {
+        (">", "ALL"): F.max,
+        (">=", "ALL"): F.max,
+        ("<", "ALL"): F.min,
+        ("<=", "ALL"): F.min,
+        (">", "ANY"): F.min,
+        (">=", "ANY"): F.min,
+        ("<", "ANY"): F.max,
+        ("<=", "ANY"): F.max,
+    }[(op, quantifier)]
+    bound = sub.agg(
+        agg(F.col(sub_value)).alias("__b"), F.count(F.lit(1)).alias("__n")
+    )
+    cmp = {
+        ">": value > F.col("__b"),
+        ">=": value >= F.col("__b"),
+        "<": value < F.col("__b"),
+        "<=": value <= F.col("__b"),
+    }[op]
+    if quantifier == "ALL":
+        cond = (F.col("__n") == 0) | cmp
+    else:
+        cond = (F.col("__n") > 0) & cmp
+    return df.crossJoin(F.broadcast(bound)).filter(cond).drop("__b", "__n")

@@ -1,0 +1,48 @@
+"""Workload registry: every operator from SURVEY.md §2 that we claim as done
+has one entry here — a PySpark builder plus (where SQL-expressible) an
+equivalent ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+The driver compares row-count + schema + order-insensitive value hash, with
+columns sorted by NAME — so the Spark builder and the oracle MUST alias every
+computed column identically, and timestamp outputs are normalized to
+date/strings on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryDef:
+    """One correctness-checked query: Spark builder + DuckDB oracle SQL."""
+
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible, rows-only check
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryDef]:
+    # import side-effect populates the registry
+    from byconity_spark.workloads import (  # noqa: F401
+        tpch,
+        relational,
+        functions_suite,
+        behavioral,
+        llm_pipeline,
+    )
+
+    return dict(_REGISTRY)
