@@ -13,13 +13,15 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = m.group(1) if m else sf_dir
 
     from byconity_spark import get_spark
     from byconity_spark.workloads import all_queries
@@ -35,6 +37,7 @@ def main() -> None:
         pass
 
     total = 0.0
+    failed: list[str] = []
     for name, qd in sorted(qdefs.items()):
         t0 = time.perf_counter()
         try:
@@ -43,22 +46,24 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - bench must not die
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             dt = None
+            failed.append(name)
         timings[name] = round(dt, 4) if dt is not None else None
         if dt is not None:
             total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "workload_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
     spark.stop()
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

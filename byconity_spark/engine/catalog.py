@@ -107,14 +107,24 @@ TABLES: dict[str, T.StructType] = {
     ),
 }
 
-# Tables small enough to broadcast in joins at ANY scale factor (dimension
-# tables: bounded cardinality regardless of fact-table growth).
-BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+# Tables small enough to broadcast in joins at ANY scale factor.  Only
+# region (5 rows) and nation (25 rows) have truly bounded cardinality; TPC-H
+# customer/supplier/part all grow linearly with scale factor, so forcing a
+# broadcast on them would OOM executors at the 100 TB design point.  For
+# those, the session's AQE decides broadcast-vs-shuffle from runtime sizes.
+BROADCAST_DIMS = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one engine table. Parquet scan → vectorized reader, column
-    pruning and filter pushdown handled by Catalyst."""
+    """Read one engine table with its DECLARED schema (never inference).
+
+    Passing the StructType to the reader both enforces the catalog contract
+    (a drifted parquet file fails at read, not silently downstream) and skips
+    the footer-sampling schema-inference pass — at 100 TB that pass is a full
+    file-listing plus footer read per file.
+    """
+    if name in TABLES:
+        return spark.read.schema(TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -44,6 +44,12 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in keys and c != right_time]
+    clash = set(right_payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right payload columns {sorted(clash)} collide with left "
+            "columns — rename or pass right_payload explicitly"
+        )
 
     payload_struct = F.struct(
         F.col(right_time).alias("__asof_rt"), *[F.col(c) for c in right_payload]
@@ -111,6 +117,8 @@ def any_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     order = prefer or [F.col(c) for c in right.columns if c not in keys]
+    if not order:  # right side is keys-only: any row per key is identical
+        order = [F.lit(1)]
     w = Window.partitionBy(*keys).orderBy(*order)
     deduped = (
         right.withColumn("__rn", F.row_number().over(w))
@@ -120,20 +128,29 @@ def any_join(
     return left.join(deduped, on=keys, how=how)
 
 
-def quantified_filter(
+def quantified_compare(
     df: DataFrame,
     value: Column,
     sub: DataFrame,
     sub_value: str,
     op: str,
     quantifier: str,
-) -> Column:
-    """Build the rewrite for quantified comparisons ``x <op> ALL/ANY (sub)``
+) -> DataFrame:
+    """Rewrite of quantified comparisons ``WHERE x <op> ALL/ANY (subquery)``
     (reference: ApplyStep.h:25 QUANTIFIED_COMPARISON; Catalyst lacks them).
 
-    Returns a Column usable in ``.filter`` via a cross-joined scalar agg.
-    ``x > ALL(s)`` → ``x > max(s) OR s empty``; ``x > ANY(s)`` → ``x > min(s)
-    AND s non-empty`` (NULL semantics simplified: assumes non-null s values).
+    Returns ``df`` filtered to rows where the quantified comparison is TRUE,
+    with full ANSI three-valued NULL semantics:
+
+      * ``x > ALL(S)``  → TRUE iff S is empty, or (x is non-null AND S has no
+        NULLs AND x > max(S)).  A NULL in S (or NULL x with non-empty S)
+        makes the predicate UNKNOWN → row dropped.
+      * ``x > ANY(S)``  → TRUE iff some non-null s satisfies x > s (NULLs in
+        S never help; NULL x never matches).
+
+    The subquery collapses to ONE row (min/max + counts), broadcast to every
+    executor — the rewrite costs a scalar aggregate, never a per-row
+    subquery, identical to ByConity's RemoveApply decorrelation.
     """
     agg = {
         (">", "ALL"): F.max,
@@ -146,7 +163,9 @@ def quantified_filter(
         ("<=", "ANY"): F.max,
     }[(op, quantifier)]
     bound = sub.agg(
-        agg(F.col(sub_value)).alias("__b"), F.count(F.lit(1)).alias("__n")
+        agg(F.col(sub_value)).alias("__b"),  # ignores NULLs
+        F.count(F.lit(1)).alias("__n"),  # all rows
+        F.count(F.col(sub_value)).alias("__nn"),  # non-null rows
     )
     cmp = {
         ">": value > F.col("__b"),
@@ -155,7 +174,9 @@ def quantified_filter(
         "<=": value <= F.col("__b"),
     }[op]
     if quantifier == "ALL":
-        cond = (F.col("__n") == 0) | cmp
+        # empty S → vacuously true; any NULL in S → UNKNOWN (drop)
+        cond = (F.col("__n") == 0) | ((F.col("__n") == F.col("__nn")) & cmp)
     else:
-        cond = (F.col("__n") > 0) & cmp
-    return df.crossJoin(F.broadcast(bound)).filter(cond).drop("__b", "__n")
+        # needs at least one non-null s that satisfies the comparison
+        cond = (F.col("__nn") > 0) & cmp
+    return df.crossJoin(F.broadcast(bound)).filter(cond).drop("__b", "__n", "__nn")

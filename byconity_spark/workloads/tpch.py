@@ -6,9 +6,11 @@ FilterStep.h:27, ProjectionStep.h:30) re-expressed as DataFrame plans so
 Catalyst does pushdown/pruning/join-selection.
 
 Scale design notes
-  * Dimension tables (region/nation/customer/supplier/part) have bounded
-    cardinality — always `broadcast()` them so the fact-side join is
-    shuffle-free at any scale factor.
+  * Only region (5 rows) and nation (25 rows) are bounded-cardinality dims —
+    those get an explicit `broadcast()`.  customer/supplier/part grow
+    linearly with scale factor, so they are joined WITHOUT a hint and AQE
+    picks broadcast-vs-shuffle from runtime sizes (broadcast at sf0.1,
+    shuffle at the 100 TB point — a forced hint would OOM there).
   * Aggregations on (returnflag, linestatus)-style low-cardinality keys get
     map-side partial aggregation automatically; no skew risk.
   * Filters are expressed on the scan column directly (no UDF wrapping) so
@@ -103,7 +105,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("date"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -118,7 +120,8 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q5: local supplier volume — 6-way snowflake join.  Customer and supplier
-# must sit in the same nation: the classic broadcast-dim star join.
+# must sit in the same nation; region/nation broadcast, the SF-linear sides
+# (customer/supplier) are left to AQE.
 # --------------------------------------------------------------------------
 @register(
     "q5_local_supplier_volume",
@@ -149,9 +152,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     r = _t(spark, sf, "region")
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -226,7 +229,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     n = _t(spark, sf, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -261,7 +264,7 @@ def q14_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     p = _t(spark, sf, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 100.0
@@ -305,7 +308,7 @@ def q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
