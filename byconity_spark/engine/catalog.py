@@ -11,6 +11,7 @@ deterministic and let Catalyst prune columns from the parquet footer alone.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES: dict[str, T.StructType] = {
@@ -107,6 +108,30 @@ TABLES: dict[str, T.StructType] = {
     ),
 }
 
+# Physical parquet types that differ from the logical catalog type.
+# events.ts is INT64 TIMESTAMP(NANOS,false) — Spark has no nanosecond
+# timestamp type, so the scan reads the raw long
+# (spark.sql.legacy.parquet.nanosAsLong) and load_table floor-divides to
+# microseconds: the exact truncation DuckDB applies when casting
+# TIMESTAMP_NS -> TIMESTAMP, keeping both engines value-identical.
+_PHYSICAL_OVERRIDES: dict[str, dict[str, T.DataType]] = {
+    "events": {"ts": T.LongType()},
+}
+
+_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def _physical_schema(name: str) -> T.StructType:
+    logical = TABLES[name]
+    overrides = _PHYSICAL_OVERRIDES.get(name, {})
+    return T.StructType(
+        [
+            T.StructField(f.name, overrides.get(f.name, f.dataType), f.nullable)
+            for f in logical.fields
+        ]
+    )
+
+
 # Tables small enough to broadcast in joins at ANY scale factor.  Only
 # region (5 rows) and nation (25 rows) have truly bounded cardinality; TPC-H
 # customer/supplier/part all grow linearly with scale factor, so forcing a
@@ -121,11 +146,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Passing the StructType to the reader both enforces the catalog contract
     (a drifted parquet file fails at read, not silently downstream) and skips
     the footer-sampling schema-inference pass — at 100 TB that pass is a full
-    file-listing plus footer read per file.
+    file-listing plus footer read per file.  Nanosecond timestamp columns are
+    read as raw longs and converted to microsecond timestamps in-plan (a
+    cheap codegen'd projection, still column-pruned at the scan).
     """
-    if name in TABLES:
-        return spark.read.schema(TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name not in TABLES:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.schema(_physical_schema(name)).parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, []):
+        # integer `div` (not `/`): double division loses precision on
+        # 1.7e18-scale nanosecond epochs (53-bit mantissa)
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # restore declared column order (withColumn keeps it; select to be exact)
+    return df.select(*[f.name for f in TABLES[name].fields])
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -53,6 +53,11 @@ def get_spark(app_name: str = "byconity-spark", extra_conf: dict | None = None) 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         # --- deterministic timestamps: match the DuckDB oracle (naive UTC)
         .config("spark.sql.session.timeZone", "UTC")
+        # --- nanosecond parquet timestamps (events.ts is TIMESTAMP(NANOS)):
+        # Spark has no ns timestamp type; read the physical INT64 as long and
+        # the catalog converts to microsecond TimestampType (floor division,
+        # same truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- broadcast threshold: dims (region/nation/supplier/part) always
         # broadcast; AQE may promote larger sides at runtime
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
