@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QueryDef]:
     from byconity_spark.workloads import (  # noqa: F401
         tpch,
         relational,
+        windows,
         functions_suite,
         behavioral,
         llm_pipeline,

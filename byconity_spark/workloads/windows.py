@@ -1,0 +1,202 @@
+"""Window-function workload over the events/orders tables.
+
+Covers the reference's window surface (src/Processors/Transforms/
+WindowTransform.cpp:2445-2538 registrations; frame spec
+src/Interpreters/WindowDescription.h:54-68 — ROWS and RANGE frames; GROUPS
+frames are documented-unsupported, Spark lacks them too): rank, dense_rank,
+row_number, percent_rank, cume_dist, ntile, nth_value, lag/lead, plus
+arbitrary aggregates over ROWS/RANGE frames.
+
+Determinism: every window ordering ends in a unique tiebreak column
+(event_id / orderkey) so ROWS frames and rank ties hash identically on both
+engines.
+
+Scale notes: a window = one shuffle on the partition keys + an in-partition
+sort.  user_id / o_custkey partitions are numerous and small, so the shuffle
+is well-spread; AQE's skew-split handles hot users.  No driver-side work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.workloads import register
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+# --------------------------------------------------------------------------
+# Ranking trio per customer over their orders; keep each customer's 2 most
+# recent orders (the PartitionTopN shape — Catalyst's InferWindowGroupLimit
+# pushes a partial group-limit below the shuffle, ByConity's
+# FilterWindowToPartitionTopN.h analogue).
+# --------------------------------------------------------------------------
+@register(
+    "win_rank_recent_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS orderdate,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rk,
+             dense_rank() OVER w AS drk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey)
+    ) WHERE rn <= 2
+    """,
+)
+def win_rank_recent_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# lag/lead navigation per user ordered by event time (WindowTransform.cpp
+# lagInFrame/leadInFrame :2122).
+# --------------------------------------------------------------------------
+@register(
+    "win_lag_lead_user_activity",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def win_lag_lead_user_activity(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROWS and RANGE frames: running sum, 3-row sliding average, and a 1-hour
+# RANGE sliding event count (WindowDescription.h FrameType Rows/Range).
+# --------------------------------------------------------------------------
+@register(
+    "win_frames_running_value",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(value) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_sum,
+           avg(value) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS sliding_avg3,
+           count(*) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS n_last_hour
+    FROM events
+    """,
+)
+def win_frames_running_value(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").withColumn("__us", F.unix_micros(F.col("ts")))
+    w_rows = Window.partitionBy("user_id").orderBy(F.col("__us").asc(), F.col("event_id").asc())
+    w_range = Window.partitionBy("user_id").orderBy(F.col("__us").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("value")
+        .over(w_rows.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_sum"),
+        F.avg("value").over(w_rows.rowsBetween(-2, Window.currentRow)).alias("sliding_avg3"),
+        F.count(F.lit(1))
+        .over(w_range.rangeBetween(-3_600_000_000, Window.currentRow))
+        .alias("n_last_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution functions: ntile / percent_rank / cume_dist / nth_value per
+# event_type partition (WindowTransform.cpp :1871-:2043).
+# --------------------------------------------------------------------------
+@register(
+    "win_distribution_by_type",
+    oracle="""
+    SELECT event_id, event_type,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cum_dist,
+           nth_value(value, 3) OVER w AS third_value
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def win_distribution_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.nth_value("value", 3).over(w).alias("third_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization via lag-gap flags: a new session starts after a >30 min
+# silence.  The window form of ByConity's sessionSplit UDAF
+# (AggregateFunctionSessionSplit.cpp) — the applyInPandas kernel variant
+# lives in udafs/behavioral.py.
+# --------------------------------------------------------------------------
+@register(
+    "win_sessionize_users",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                                  OVER (PARTITION BY user_id
+                                        ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           1 + sum(new_session) AS n_sessions,
+           count(*)             AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def win_sessionize_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id", F.when(gap > 1_800_000_000, 1).otherwise(0).alias("new_session")
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.lit(1) + F.sum("new_session")).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
