@@ -1,1 +1,151 @@
-"""placeholder — populated in later milestones."""
+"""Behavioral-analytics workload over the events table — the registered,
+oracle-checked surface of the udafs/behavioral.py kernels.
+
+Reference: AggregateFunctionWindowFunnel.cpp, AggregateFunctionRetention.cpp,
+AggregateFunctionSequenceMatch.cpp, AggregateFunctionSessionSplit.cpp.
+
+Each oracle reimplements the exact kernel semantics in ANSI SQL (conditional
+min-timestamp chains / boolean aggregates / lag-gap windows) so DuckDB can
+hash-check the Arrow-batched applyInPandas kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.udafs.behavioral import (
+    retention,
+    sequence_match,
+    session_split,
+    window_funnel,
+)
+from byconity_spark.workloads import register
+
+_DAY_US = 86_400_000_000
+
+
+def _ev(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "events")
+
+
+# --------------------------------------------------------------------------
+# windowFunnel(7 days)(signup -> click -> purchase), first-anchor variant.
+# --------------------------------------------------------------------------
+@register(
+    "beh_window_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    u1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN u1 ON e.user_id = u1.user_id
+           WHERE e.event_type = 'click' AND e.ts > u1.t1
+             AND e.ts <= u1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN u1 ON e.user_id = u1.user_id
+                  JOIN u2 ON e.user_id = u2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+             AND e.ts <= u1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN u3.user_id IS NOT NULL THEN 3
+                WHEN u2.user_id IS NOT NULL THEN 2
+                WHEN u1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN u1 ON u.user_id = u1.user_id
+    LEFT JOIN u2 ON u.user_id = u2.user_id
+    LEFT JOIN u3 ON u.user_id = u3.user_id
+    """,
+)
+def beh_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    return window_funnel(
+        _ev(spark, sf), window_us=7 * _DAY_US, steps=["signup", "click", "purchase"]
+    )
+
+
+# --------------------------------------------------------------------------
+# retention(signup, purchase, error): r1 / r1&r2 / r1&r3 flags per user.
+# --------------------------------------------------------------------------
+@register(
+    "beh_retention",
+    oracle="""
+    SELECT user_id,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r2,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS r3
+    FROM events GROUP BY user_id
+    """,
+)
+def beh_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _ev(spark, sf)
+    return retention(
+        ev,
+        conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "error",
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# sequenceMatch('(?1).*(?2).*(?3)')(ts, signup, error, purchase).
+# --------------------------------------------------------------------------
+@register(
+    "beh_sequence_match",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    t1 AS (SELECT user_id, min(ts) AS ts FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS ts
+           FROM e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'error' AND e.ts > t1.ts GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS ts
+           FROM e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts GROUP BY e.user_id)
+    SELECT u.user_id, (t3.user_id IS NOT NULL) AS matched
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN t3 ON u.user_id = t3.user_id
+    """,
+)
+def beh_sequence_match(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _ev(spark, sf)
+    return sequence_match(
+        ev,
+        conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "error",
+            F.col("event_type") == "purchase",
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionSplit(30 min): one row per (user, session) with bounds and totals.
+# --------------------------------------------------------------------------
+@register(
+    "beh_session_split",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    f AS (SELECT user_id, event_id, ts, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, value,
+                 CAST(1 + sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+          FROM f)
+    SELECT user_id, session_id,
+           min(ts)    AS session_start,
+           max(ts)    AS session_end,
+           count(*)   AS n_events,
+           sum(value) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def beh_session_split(spark: SparkSession, sf: str) -> DataFrame:
+    return session_split(_ev(spark, sf), gap_us=1_800_000_000)

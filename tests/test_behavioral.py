@@ -1,0 +1,97 @@
+"""Property tests for the behavioral kernel cores (pure numpy — no Spark in
+the hypothesis loop) plus one Spark round-trip sanity check per kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from byconity_spark.udafs.behavioral import (
+    funnel_level_from_arrays,
+    subsequence_matched,
+)
+
+events_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50), st.sampled_from("ABC")),
+    max_size=30,
+)
+
+
+def _brute_funnel(events: list[tuple[int, str]], steps: str, window: int) -> int:
+    """Reference semantics: anchor = earliest step-1 event; each next step is
+    the earliest strictly-later event of its type within window of anchor."""
+    s0 = sorted(t for t, e in events if e == steps[0])
+    if not s0:
+        return 0
+    anchor = s0[0]
+    prev, level = anchor, 1
+    for step in steps[1:]:
+        nxt = sorted(t for t, e in events if e == step and prev < t <= anchor + window)
+        if not nxt:
+            break
+        prev = nxt[0]
+        level += 1
+    return level
+
+
+def _brute_subseq(events: list[tuple[int, str]], pattern: str) -> bool:
+    """Exists a strictly increasing chain matching pattern (exhaustive DP)."""
+    times = sorted(events)
+
+    def rec(i: int, prev: float) -> bool:
+        if i == len(pattern):
+            return True
+        return any(
+            rec(i + 1, t) for t, e in times if e == pattern[i] and t > prev
+        )
+
+    return rec(0, float("-inf"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=events_strategy, window=st.integers(min_value=0, max_value=60))
+def test_funnel_matches_reference(events, window):
+    per_step = [
+        np.sort(np.array([t for t, e in events if e == s], dtype=np.int64))
+        for s in "ABC"
+    ]
+    assert funnel_level_from_arrays(per_step, window) == _brute_funnel(
+        events, "ABC", window
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=events_strategy)
+def test_subsequence_matches_exhaustive(events):
+    """Greedy earliest-match equals exhaustive search for subsequence
+    existence."""
+    per_cond = [
+        np.sort(np.array([t for t, e in events if e == s], dtype=np.int64))
+        for s in "AB"
+    ]
+    assert subsequence_matched(per_cond) == _brute_subseq(events, "AB")
+
+
+# ------------------------------------------------------------- Spark sanity
+def test_session_split_roundtrip(spark):
+    from byconity_spark.udafs.behavioral import session_split
+
+    rows = [
+        (1, 100, "2024-01-01 10:00:00", 1.0),
+        (2, 100, "2024-01-01 10:10:00", 2.0),
+        (3, 100, "2024-01-01 11:30:00", 3.0),  # 80-min gap -> new session
+        (4, 200, "2024-01-01 09:00:00", 4.0),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.user_id, r.session_id): (r.n_events, r.sum_value)
+        for r in session_split(df, gap_us=1_800_000_000).collect()
+    }
+    assert out == {(100, 1): (2, 3.0), (100, 2): (1, 3.0), (200, 1): (1, 4.0)}
