@@ -1,0 +1,499 @@
+"""ClickHouse/ByConity function-name registry → PySpark Column builders.
+
+This is the compatibility surface SURVEY §4 calls the "#1 custom piece worth
+building": the reference registers ~591 scalar-function files
+(src/Functions/, 1185 registerFunction call sites) and an aggregate-function
+factory with combinator suffixes
+(src/AggregateFunctions/registerAggregateFunctions.cpp:140-152 — -If,
+-Distinct, -Array, -OrNull, ...).  Here every CH name maps to a JVM-side
+Column expression (whole-stage-codegen'd, never a Python UDF), and the
+combinator engine composes aggregate names the same way CH's factory does.
+
+Usage:
+    from byconity_spark.functions import ch
+    ch("toStartOfHour", F.col("ts"))
+    ch("sumIf", F.col("x"), F.col("x") > 0)      # combinator-resolved
+    ch("arrayMap", lambda x: x * 2, F.col("arr"))
+
+Byte-compatibility notes (documented deviations):
+  * cityHash64/sipHash64 map to Spark's xxhash64 — stable within this
+    engine, NOT bit-identical to ClickHouse's hash values.
+  * round follows CH's banker's rounding via ``roundBankers``; plain
+    ``round`` is half-up like Spark/ANSI.
+  * UInt64 maps to LongType (overflow wraps; documented in SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class UnknownFunctionError(KeyError):
+    pass
+
+
+# =========================================================================
+# Scalar functions
+# =========================================================================
+
+def _to_day_of_week(c: Column) -> Column:
+    # CH: Monday=1..Sunday=7 (ISO); Spark dayofweek: Sunday=1
+    return ((F.dayofweek(c) + 5) % 7) + 1
+
+
+def _multi_if(*args) -> Column:
+    # multiIf(c1, v1, c2, v2, ..., default)
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("multiIf expects cond1, val1, ..., default")
+    conds, default = args[:-1], args[-1]
+    expr = F.when(conds[0], conds[1])
+    for i in range(2, len(conds), 2):
+        expr = expr.when(conds[i], conds[i + 1])
+    return expr.otherwise(default)
+
+
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _date_diff(unit: str, start: Column, end: Column) -> Column:
+    """CH dateDiff(unit, a, b): count of unit BOUNDARIES crossed (same
+    semantics as DuckDB date_diff)."""
+    unit = unit.lower()
+    if unit in _UNIT_SECONDS:
+        secs = _UNIT_SECONDS[unit]
+        return (
+            (
+                F.unix_timestamp(F.date_trunc(unit, end))
+                - F.unix_timestamp(F.date_trunc(unit, start))
+            )
+            / secs
+        ).cast("long")
+    if unit == "month":
+        return (
+            (F.year(end) * 12 + F.month(end)) - (F.year(start) * 12 + F.month(start))
+        ).cast("long")
+    if unit == "quarter":
+        return (
+            (F.year(end) * 4 + F.quarter(end)) - (F.year(start) * 4 + F.quarter(start))
+        ).cast("long")
+    if unit == "year":
+        return (F.year(end) - F.year(start)).cast("long")
+    raise ValueError(f"dateDiff: unsupported unit {unit!r}")
+
+
+def _split_by_char(sep: str, c: Column) -> Column:
+    import re as _re
+
+    return F.split(c, _re.escape(sep))
+
+
+def _replace_one(c: Column, search: str, repl: str) -> Column:
+    pos = F.instr(c, search)
+    return F.when(
+        pos > 0,
+        F.concat(
+            F.substring(c, F.lit(1), pos - 1),
+            F.lit(repl),
+            F.substring(c, pos + len(search), F.length(c)),
+        ),
+    ).otherwise(c)
+
+
+def _extract_url_parameter(c: Column, name: str) -> Column:
+    return F.coalesce(F.parse_url(c, F.lit("QUERY"), F.lit(name)), F.lit(""))
+
+
+def _array_sum(c: Column) -> Column:
+    return F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def _array_avg(c: Column) -> Column:
+    return _array_sum(c) / F.size(c)
+
+
+SCALAR: dict[str, Callable[..., Column]] = {
+    # ---- date/time (src/Functions/DateTimeTransforms.h, date_trunc.cpp,
+    # dateDiff.cpp, addSeconds.cpp..addYears.cpp, toYYYYMM et al.)
+    "toYear": F.year,
+    "toQuarter": F.quarter,
+    "toMonth": F.month,
+    "toDayOfMonth": F.dayofmonth,
+    "toDayOfWeek": _to_day_of_week,
+    "toDayOfYear": F.dayofyear,
+    "toHour": F.hour,
+    "toMinute": F.minute,
+    "toSecond": F.second,
+    "toMonday": lambda c: F.date_trunc("week", c).cast("date"),
+    "toDate": lambda c: c.cast("date"),
+    "toDateTime": lambda c: c.cast("timestamp"),
+    "toStartOfYear": lambda c: F.date_trunc("year", c),
+    "toStartOfQuarter": lambda c: F.date_trunc("quarter", c),
+    "toStartOfMonth": lambda c: F.date_trunc("month", c),
+    "toStartOfWeek": lambda c: F.date_trunc("week", c),
+    "toStartOfDay": lambda c: F.date_trunc("day", c),
+    "toStartOfHour": lambda c: F.date_trunc("hour", c),
+    "toStartOfMinute": lambda c: F.date_trunc("minute", c),
+    "toStartOfFifteenMinutes": lambda c: F.timestamp_seconds(
+        (F.unix_timestamp(c) - F.unix_timestamp(c) % 900)
+    ),
+    "toStartOfFiveMinutes": lambda c: F.timestamp_seconds(
+        (F.unix_timestamp(c) - F.unix_timestamp(c) % 300)
+    ),
+    "toYYYYMM": lambda c: (F.year(c) * 100 + F.month(c)).cast("int"),
+    "toYYYYMMDD": lambda c: (
+        F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c)
+    ).cast("int"),
+    "toUnixTimestamp": lambda c: F.unix_timestamp(c),
+    "fromUnixTimestamp": F.timestamp_seconds,
+    "dateDiff": _date_diff,
+    # interval arithmetic (not date_add) so DateTime stays DateTime, like CH
+    "addYears": lambda c, n: c + F.expr(f"INTERVAL {int(n)} YEAR"),
+    "addMonths": lambda c, n: c + F.expr(f"INTERVAL {int(n)} MONTH"),
+    "addWeeks": lambda c, n: c + F.expr(f"INTERVAL {7 * int(n)} DAY"),
+    "addDays": lambda c, n: c + F.expr(f"INTERVAL {int(n)} DAY"),
+    "addHours": lambda c, n: c + F.expr(f"INTERVAL {int(n)} HOUR"),
+    "addMinutes": lambda c, n: c + F.expr(f"INTERVAL {int(n)} MINUTE"),
+    "addSeconds": lambda c, n: c + F.expr(f"INTERVAL {int(n)} SECOND"),
+    "subtractDays": lambda c, n: c - F.expr(f"INTERVAL {int(n)} DAY"),
+    "subtractMonths": lambda c, n: c - F.expr(f"INTERVAL {int(n)} MONTH"),
+    "date_trunc": lambda unit, c: F.date_trunc(unit, c),
+    "now": F.current_timestamp,
+    "today": F.current_date,
+    "parseDateTimeBestEffort": lambda c: F.coalesce(
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(c, F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("dd.MM.yyyy HH:mm:ss")),
+    ),
+    # ---- strings (src/Functions/concat.cpp, substring, position*, trim,
+    # FunctionsStringArray.cpp splitByChar, replace*, startsWith/endsWith)
+    "length": F.length,
+    "lengthUTF8": F.char_length,
+    "empty": lambda c: F.length(c) == 0,
+    "notEmpty": lambda c: F.length(c) > 0,
+    "lower": F.lower,
+    "upper": F.upper,
+    "lowerUTF8": F.lower,
+    "upperUTF8": F.upper,
+    "reverse": F.reverse,
+    "reverseUTF8": F.reverse,
+    "concat": F.concat,
+    "concatWs": lambda sep, *cols: F.concat_ws(sep, *cols),
+    "substring": lambda c, pos, ln=None: (
+        F.substring(c, pos, ln) if ln is not None else F.expr_substr(c, pos)
+    ),
+    "substringUTF8": lambda c, pos, ln: F.substring(c, pos, ln),
+    "position": lambda hay, needle: F.instr(hay, needle),
+    "positionCaseInsensitive": lambda hay, needle: F.instr(
+        F.lower(hay), needle.lower() if isinstance(needle, str) else F.lower(needle)
+    ),
+    "locate": lambda needle, hay: F.instr(hay, needle),
+    "startsWith": lambda c, p: F.startswith(c, F.lit(p) if isinstance(p, str) else p),
+    "endsWith": lambda c, p: F.endswith(c, F.lit(p) if isinstance(p, str) else p),
+    "trimBoth": F.trim,
+    "trimLeft": F.ltrim,
+    "trimRight": F.rtrim,
+    "leftPad": lambda c, n, pad=" ": F.lpad(c, n, pad),
+    "rightPad": lambda c, n, pad=" ": F.rpad(c, n, pad),
+    "repeat": lambda c, n: F.repeat(c, n),
+    "replaceAll": lambda c, s, r: F.replace(
+        c, F.lit(s) if isinstance(s, str) else s, F.lit(r) if isinstance(r, str) else r
+    ),
+    "replaceOne": _replace_one,
+    "replaceRegexpAll": lambda c, p, r: F.regexp_replace(c, p, r),
+    "splitByChar": _split_by_char,
+    "splitByString": lambda sep, c: F.split(c, __import__("re").escape(sep)),
+    "like": lambda c, p: c.like(p),
+    "notLike": lambda c, p: ~c.like(p),
+    "ilike": lambda c, p: c.ilike(p),
+    "match": lambda c, p: c.rlike(p),
+    "extract": lambda c, p, g=0: F.regexp_extract(c, p, g),
+    "editDistance": F.levenshtein,
+    "appendTrailingCharIfAbsent": lambda c, ch_: F.when(
+        F.endswith(c, F.lit(ch_)), c
+    ).otherwise(F.concat(c, F.lit(ch_))),
+    "format": None,  # placeholder removed below
+    # ---- math (src/Functions/abs.cpp, exp.cpp, log*.cpp, pow.cpp,
+    # FunctionsRound.cpp, intDiv/modulo)
+    "plus": lambda a, b: a + b,
+    "minus": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: F.try_divide(a.cast("double"), b),
+    "intDiv": lambda a, b: F.try_divide(
+        a.cast("long") - F.try_mod(a.cast("long"), b), b
+    ).cast("long"),
+    "intDivOrZero": lambda a, b: F.coalesce(
+        F.try_divide(a.cast("long") - F.try_mod(a.cast("long"), b), b).cast("long"),
+        F.lit(0),
+    ),
+    "modulo": lambda a, b: a % b,
+    "moduloOrZero": lambda a, b: F.coalesce(F.try_mod(a, b), F.lit(0)),
+    "negate": lambda a: -a,
+    "abs": F.abs,
+    "exp": F.exp,
+    "log": F.log,
+    "ln": F.log,
+    "exp2": lambda c: F.pow(F.lit(2.0), c),
+    "log2": F.log2,
+    "exp10": lambda c: F.pow(F.lit(10.0), c),
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+    "cbrt": F.cbrt,
+    "pow": F.pow,
+    "power": F.pow,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "atan2": F.atan2,
+    "e": lambda: F.lit(2.718281828459045),
+    "pi": lambda: F.lit(3.141592653589793),
+    "round": lambda c, n=0: F.round(c, n),
+    "roundBankers": lambda c, n=0: F.bround(c, n),
+    "floor": lambda c, n=0: (
+        F.floor(c) if n == 0 else F.floor(c * F.lit(10.0) ** n) / F.lit(10.0) ** n
+    ),
+    "ceil": F.ceil,
+    "ceiling": F.ceil,
+    "trunc": lambda c: c.cast("long"),
+    "sign": F.signum,
+    "least": F.least,
+    "greatest": F.greatest,
+    "isNaN": F.isnan,
+    # ---- conditionals (if.cpp, multiIf.cpp, coalesce.cpp, nullIf, ifNull)
+    "if": lambda c, a, b: F.when(c, a).otherwise(b),
+    "multiIf": _multi_if,
+    "coalesce": F.coalesce,
+    "ifNull": lambda a, b: F.coalesce(a, b),
+    "nullIf": F.nullif,
+    "assumeNotNull": lambda c: c,
+    "isNull": lambda c: c.isNull(),
+    "isNotNull": lambda c: c.isNotNull(),
+    # ---- conversions (FunctionsConversion.cpp)
+    "toInt8": lambda c: c.cast("tinyint"),
+    "toInt16": lambda c: c.cast("smallint"),
+    "toInt32": lambda c: c.cast("int"),
+    "toInt64": lambda c: c.cast("bigint"),
+    "toUInt8": lambda c: c.cast("smallint"),
+    "toUInt16": lambda c: c.cast("int"),
+    "toUInt32": lambda c: c.cast("bigint"),
+    "toUInt64": lambda c: c.cast("bigint"),  # documented: wraps at 2^63
+    "toFloat32": lambda c: c.cast("float"),
+    "toFloat64": lambda c: c.cast("double"),
+    "toString": lambda c: c.cast("string"),
+    "toDecimal64": lambda c, s: c.cast(f"decimal(18,{int(s)})"),
+    "toDecimal128": lambda c, s: c.cast(f"decimal(38,{int(s)})"),
+    # ---- arrays (src/Functions/array/ — 73 files)
+    "array": F.array,
+    # 1-based, negative = from end (CH-equal); out-of-range -> NULL (CH
+    # returns the type default — documented deviation, try_ avoids ANSI error)
+    "arrayElement": F.try_element_at,
+    "has": lambda arr, x: F.array_contains(arr, x),
+    "hasAll": lambda a, b: F.size(F.array_except(b, a)) == 0,
+    "hasAny": F.arrays_overlap,
+    "indexOf": lambda arr, x: F.array_position(arr, x),
+    "arrayConcat": F.concat,
+    "arraySlice": lambda arr, start, ln=None: (
+        F.slice(arr, start, ln) if ln is not None else F.slice(arr, start, F.size(arr))
+    ),
+    "arraySort": F.sort_array,
+    "arrayReverseSort": lambda arr: F.sort_array(arr, asc=False),
+    "arrayReverse": F.reverse,
+    "arrayDistinct": F.array_distinct,
+    "arrayIntersect": F.array_intersect,
+    "arrayFlatten": F.flatten,
+    "arrayZip": F.arrays_zip,
+    "arrayStringConcat": lambda arr, sep="": F.array_join(arr, sep),
+    "arrayEnumerate": lambda arr: F.sequence(F.lit(1), F.size(arr)),
+    "arrayLength": F.size,
+    "range": lambda *a: F.sequence(*a) if len(a) > 1 else F.sequence(F.lit(0), a[0] - 1),
+    "arrayMap": lambda f, arr: F.transform(arr, f),
+    "arrayFilter": lambda f, arr: F.filter(arr, f),
+    "arrayExists": lambda f, arr: F.exists(arr, f),
+    "arrayAll": lambda f, arr: F.forall(arr, f),
+    "arrayCount": lambda f, arr: F.size(F.filter(arr, f)),
+    "arrayFirst": lambda f, arr: F.try_element_at(F.filter(arr, f), F.lit(1)),
+    "arraySum": _array_sum,
+    "arrayAvg": _array_avg,
+    "arrayMin": F.array_min,
+    "arrayMax": F.array_max,
+    "emptyArrayString": lambda: F.array().cast("array<string>"),
+    # ---- maps / tuples (map.cpp, mapKeys/mapValues; tuple -> struct)
+    "map": F.create_map,
+    "mapKeys": F.map_keys,
+    "mapValues": F.map_values,
+    "mapContains": F.map_contains_key,
+    "tuple": F.struct,
+    # ---- JSON (FunctionsJSON.cpp JSONExtract*, FunctionSQLJSON.cpp
+    # JSON_VALUE, visitParam*)
+    "JSONExtractString": lambda c, key: F.get_json_object(c, f"$.{key}"),
+    "JSONExtractInt": lambda c, key: F.get_json_object(c, f"$.{key}").cast("bigint"),
+    "JSONExtractFloat": lambda c, key: F.get_json_object(c, f"$.{key}").cast("double"),
+    "JSONExtractBool": lambda c, key: F.get_json_object(c, f"$.{key}").cast("boolean"),
+    "JSONHas": lambda c, key: F.get_json_object(c, f"$.{key}").isNotNull(),
+    "JSON_VALUE": lambda c, path: F.get_json_object(c, path),
+    "visitParamExtractString": lambda c, key: F.get_json_object(c, f"$.{key}"),
+    "visitParamExtractInt": lambda c, key: F.get_json_object(c, f"$.{key}").cast("bigint"),
+    "simpleJSONExtractString": lambda c, key: F.get_json_object(c, f"$.{key}"),
+    # ---- hashing / encoding (FunctionsHashing.cpp,
+    # FunctionsBinaryRepresentation.cpp) — cityHash64/sipHash64 are
+    # xxhash64-backed stand-ins (stable, not CH-bit-identical)
+    "cityHash64": lambda *cols: F.xxhash64(*cols),
+    "sipHash64": lambda *cols: F.xxhash64(*cols),
+    "xxHash64": lambda *cols: F.xxhash64(*cols),
+    "halfMD5": lambda *cols: F.xxhash64(*cols),
+    # CH MD5/SHA256 return raw bytes (users wrap in hex()); Spark's return
+    # lowercase hex strings already — documented deviation
+    "MD5": lambda c: F.md5(c.cast("binary")),
+    "SHA256": lambda c: F.sha2(c.cast("binary"), 256),
+    "hex": F.hex,
+    "unhex": F.unhex,
+    "base64Encode": lambda c: F.base64(c.cast("binary")),
+    "base64Decode": lambda c: F.unbase64(c).cast("string"),
+    "crc32": F.crc32,
+    # ---- URL (src/Functions/URL/)
+    "protocol": lambda c: F.parse_url(c, F.lit("PROTOCOL")),
+    "domain": lambda c: F.parse_url(c, F.lit("HOST")),
+    "path": lambda c: F.parse_url(c, F.lit("PATH")),
+    "queryString": lambda c: F.parse_url(c, F.lit("QUERY")),
+    "fragment": lambda c: F.parse_url(c, F.lit("REF")),
+    "extractURLParameter": _extract_url_parameter,
+    "cutQueryString": lambda c: F.substring_index(c, "?", 1),
+    "topLevelDomain": lambda c: F.substring_index(F.parse_url(c, F.lit("HOST")), ".", -1),
+    # ---- misc
+    "rand": lambda: (F.rand() * (1 << 32)).cast("long"),
+    "randConstant": lambda: (F.rand() * (1 << 32)).cast("long"),
+    "ignore": lambda *cols: F.lit(0),
+    "identity": lambda c: c,
+}
+
+SCALAR["format"] = lambda fmt, *cols: F.format_string(fmt.replace("{}", "%s"), *cols)
+SCALAR["substring"] = lambda c, pos, ln=None: (
+    F.substring(c, pos, ln) if ln is not None else F.substring(c, pos, 1 << 30)
+)
+
+
+# =========================================================================
+# Aggregate functions + combinator engine
+# =========================================================================
+
+AGG: dict[str, Callable[..., Column]] = {
+    "count": lambda c=None: F.count(F.lit(1)) if c is None else F.count(c),
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "any": F.first,
+    "anyLast": F.last,
+    "argMin": F.min_by,
+    "argMax": F.max_by,
+    "uniq": F.approx_count_distinct,
+    "uniqExact": F.countDistinct,
+    "uniqHLL12": F.approx_count_distinct,
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
+    "quantile": lambda level, c: F.percentile_approx(c, level),
+    "quantileExact": lambda level, c: F.percentile(c, F.lit(level)),
+    "quantilesExact": lambda levels, c: F.percentile(
+        c, F.array(*[F.lit(v) for v in levels])
+    ),
+    "quantileTDigest": lambda level, c: F.percentile_approx(c, level),
+    "stddevPop": F.stddev_pop,
+    "stddevSamp": F.stddev_samp,
+    "varPop": F.var_pop,
+    "varSamp": F.var_samp,
+    "covarPop": F.covar_pop,
+    "covarSamp": F.covar_samp,
+    "corr": F.corr,
+    "groupArray": F.collect_list,
+    "groupUniqArray": F.collect_set,
+    "groupBitAnd": lambda c: F.bit_and(c),
+    "groupBitOr": lambda c: F.bit_or(c),
+    "groupBitXor": lambda c: F.bit_xor(c),
+    "sumCount": lambda c: F.struct(F.sum(c).alias("sum"), F.count(c).alias("count")),
+}
+
+
+def _apply_if(base: Callable[..., Column], *args) -> Column:
+    """-If combinator: last argument is the condition; the base aggregate
+    sees the value only where the condition holds (NULL elsewhere — every
+    Spark aggregate ignores NULLs, matching CH -If semantics)."""
+    *vals, cond = args
+    if not vals:  # countIf(cond)
+        return F.count(F.when(cond, F.lit(1)))
+    masked = [F.when(cond, v) for v in vals]
+    return base(*masked)
+
+
+def _apply_distinct(base_name: str, base: Callable[..., Column], *args) -> Column:
+    if base_name == "count":
+        return F.countDistinct(*args)
+    if base_name == "sum":
+        return F.sum_distinct(*args)
+    raise UnknownFunctionError(f"-Distinct not supported for {base_name}")
+
+
+def _apply_array(base_name: str, base: Callable[..., Column], arr: Column) -> Column:
+    """-Array combinator: aggregate over all elements of all arrays."""
+    if base_name == "sum":
+        return F.sum(_array_sum(arr))
+    if base_name == "min":
+        return F.min(F.array_min(arr))
+    if base_name == "max":
+        return F.max(F.array_max(arr))
+    if base_name == "count":
+        return F.sum(F.size(arr))
+    if base_name == "avg":
+        return F.sum(_array_sum(arr)) / F.sum(F.size(arr))
+    raise UnknownFunctionError(f"-Array not supported for {base_name}")
+
+
+def _apply_or_null(base_name: str, base: Callable[..., Column], *args) -> Column:
+    """-OrNull combinator: NULL instead of the default value on empty input.
+    sum/min/max/avg already return NULL on empty; count needs the wrap."""
+    if base_name == "count":
+        inner = AGG["count"](*args)
+        return F.when(inner > 0, inner)
+    return base(*args)
+
+
+_SUFFIXES = ("If", "Distinct", "Array", "OrNull")
+
+
+def ch_agg(name: str, *args) -> Column:
+    """Resolve a (possibly combinator-suffixed) CH aggregate name."""
+    if name in AGG:
+        return AGG[name](*args)
+    for suffix in _SUFFIXES:
+        if name.endswith(suffix):
+            base_name = name[: -len(suffix)]
+            if base_name not in AGG:
+                continue
+            base = AGG[base_name]
+            if suffix == "If":
+                return _apply_if(base, *args)
+            if suffix == "Distinct":
+                return _apply_distinct(base_name, base, *args)
+            if suffix == "Array":
+                return _apply_array(base_name, base, *args)
+            if suffix == "OrNull":
+                return _apply_or_null(base_name, base, *args)
+    raise UnknownFunctionError(
+        f"unknown aggregate function {name!r} (no base+combinator match)"
+    )
+
+
+def ch(name: str, *args) -> Column:
+    """Resolve any CH function name (scalar first, then aggregate +
+    combinators) to a PySpark Column."""
+    fn = SCALAR.get(name)
+    if fn is not None:
+        return fn(*args)
+    return ch_agg(name, *args)
+
+
+def registered_names() -> dict[str, list[str]]:
+    return {"scalar": sorted(SCALAR), "aggregate": sorted(AGG)}

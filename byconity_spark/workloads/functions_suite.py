@@ -1,1 +1,289 @@
-"""placeholder — populated in later milestones."""
+"""Function-registry workload: family-packed queries where every projected
+column goes through the CH-name registry (byconity_spark/functions), checked
+against hand-written DuckDB equivalents.
+
+One registered query per family ≈ one row in CORRECTNESS per ~10 functions;
+the per-name unit coverage lives in tests/test_functions_registry.py.
+
+Reference families: src/Functions/DateTimeTransforms.h (date), concat.cpp /
+position / splitByChar (string), FunctionsRound.cpp / intDiv (math),
+multiIf.cpp (conditional), src/Functions/array/ (arrays + lambdas),
+FunctionsJSON.cpp (JSON over events.props), FunctionsHashing.cpp +
+src/Functions/URL/ (hash/URL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.functions import ch
+from byconity_spark.workloads import register
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+@register(
+    "fn_date_suite",
+    oracle="""
+    SELECT event_id,
+           year(t)                          AS y,
+           month(t)                         AS mo,
+           day(t)                           AS d,
+           hour(t)                          AS h,
+           isodow(t)                        AS dow,
+           CAST(date_trunc('day', t) AS TIMESTAMP)   AS day_start,
+           date_trunc('hour', t)                     AS hour_start,
+           CAST(date_trunc('month', t) AS TIMESTAMP) AS month_start,
+           CAST(year(t) * 100 + month(t) AS INT)  AS yyyymm,
+           CAST(t AS DATE)                  AS d_date,
+           date_diff('day', TIMESTAMP '2024-01-01 00:00:00', t) AS days_since,
+           t + INTERVAL 3 DAY               AS plus3d,
+           CAST(epoch(date_trunc('second', t)) AS BIGINT) AS unix_sec
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    t = F.col("ts")
+    return ev.select(
+        "event_id",
+        ch("toYear", t).alias("y"),
+        ch("toMonth", t).alias("mo"),
+        ch("toDayOfMonth", t).alias("d"),
+        ch("toHour", t).alias("h"),
+        ch("toDayOfWeek", t).alias("dow"),
+        ch("toStartOfDay", t).alias("day_start"),
+        ch("toStartOfHour", t).alias("hour_start"),
+        ch("toStartOfMonth", t).alias("month_start"),
+        ch("toYYYYMM", t).alias("yyyymm"),
+        ch("toDate", t).alias("d_date"),
+        ch("dateDiff", "day", F.lit("2024-01-01").cast("date"), t).alias("days_since"),
+        ch("addDays", t, 3).alias("plus3d"),
+        ch("toUnixTimestamp", t).alias("unix_sec"),
+    )
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+    SELECT doc_id,
+           length(text)                       AS len,
+           upper(lang)                        AS lang_up,
+           substring(text, 1, 12)             AS head,
+           strpos(text, 'data')               AS pos_data,
+           starts_with(text, 'the')           AS starts_the,
+           (text LIKE '%join%')               AS has_join,
+           replace(lang, 'e', 'E')            AS lang_repl,
+           len(string_split(text, ' '))       AS n_tokens,
+           concat(lang, '-', source)          AS lang_src,
+           lpad(lang, 6, '_')                 AS lang_pad,
+           reverse(source)                    AS src_rev,
+           trim(concat('  ', lang, '  '))     AS lang_trim
+    FROM documents
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf: str) -> DataFrame:
+    doc = _t(spark, sf, "documents")
+    txt = F.col("text")
+    return doc.select(
+        "doc_id",
+        ch("length", txt).alias("len"),
+        ch("upper", F.col("lang")).alias("lang_up"),
+        ch("substring", txt, 1, 12).alias("head"),
+        ch("position", txt, "data").alias("pos_data"),
+        ch("startsWith", txt, "the").alias("starts_the"),
+        ch("like", txt, "%join%").alias("has_join"),
+        ch("replaceAll", F.col("lang"), "e", "E").alias("lang_repl"),
+        F.size(ch("splitByChar", " ", txt)).alias("n_tokens"),
+        ch("concat", F.col("lang"), F.lit("-"), F.col("source")).alias("lang_src"),
+        ch("leftPad", F.col("lang"), 6, "_").alias("lang_pad"),
+        ch("reverse", F.col("source")).alias("src_rev"),
+        ch("trimBoth", F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias(
+            "lang_trim"
+        ),
+    )
+
+
+@register(
+    "fn_math_cond_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                    AS ad,
+           CAST(floor(l_extendedprice) AS BIGINT)    AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT)     AS ce,
+           sqrt(l_quantity)                          AS sq,
+           round(exp(l_discount), 6)                 AS ex,
+           round(ln(l_extendedprice), 6)             AS lg,
+           pow(l_quantity, 2)                        AS p2,
+           l_orderkey // 7                           AS idiv,
+           l_orderkey % 7                            AS imod,
+           greatest(l_quantity, 25.0)                AS gt,
+           least(l_quantity, 25.0)                   AS lt,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END                      AS bucket,
+           CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS ret_price,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1998-01-01'
+    """,
+)
+def fn_math_cond_suite(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("date")
+    )
+    q = F.col("l_quantity")
+    ep = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ch("abs", F.col("l_discount") - 0.05).alias("ad"),
+        ch("floor", ep).alias("fl"),
+        ch("ceil", ep).alias("ce"),
+        ch("sqrt", q).alias("sq"),
+        ch("round", ch("exp", F.col("l_discount")), 6).alias("ex"),
+        ch("round", ch("ln", ep), 6).alias("lg"),
+        ch("pow", q, F.lit(2.0)).alias("p2"),
+        ch("intDiv", F.col("l_orderkey"), F.lit(7)).alias("idiv"),
+        ch("modulo", F.col("l_orderkey"), F.lit(7)).alias("imod"),
+        ch("greatest", q, F.lit(25.0)).alias("gt"),
+        ch("least", q, F.lit(25.0)).alias("lt"),
+        ch(
+            "multiIf",
+            q < 10,
+            F.lit("low"),
+            q < 30,
+            F.lit("mid"),
+            F.lit("high"),
+        ).alias("bucket"),
+        ch("if", F.col("l_returnflag") == "R", ep, F.lit(0.0)).alias("ret_price"),
+        ch("ifNull", ch("nullIf", F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@register(
+    "fn_array_suite",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+    SELECT doc_id,
+           len(arr)                                       AS n,
+           arr[1]                                         AS first_tok,
+           list_contains(arr, 'data')                     AS has_data,
+           coalesce(list_position(arr, 'data'), 0)        AS idx_data,
+           array_to_string(arr[1:5], '|')                 AS head5,
+           len(list_distinct(arr))                        AS n_uniq,
+           list_sort(list_distinct(arr))[1]               AS min_tok,
+           len(list_filter(arr, x -> length(x) > 4))      AS n_long,
+           list_transform(arr[1:3], x -> upper(x))        AS up3,
+           list_aggregate(list_transform(arr, x -> length(x)), 'sum') AS sum_lens,
+           list_max(list_transform(arr, x -> length(x)))  AS max_len
+    FROM d
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf: str) -> DataFrame:
+    doc = _t(spark, sf, "documents")
+    d = doc.select("doc_id", ch("splitByChar", " ", F.col("text")).alias("arr"))
+    arr = F.col("arr")
+    return d.select(
+        "doc_id",
+        F.size(arr).alias("n"),
+        ch("arrayElement", arr, F.lit(1)).alias("first_tok"),
+        ch("has", arr, F.lit("data")).alias("has_data"),
+        ch("indexOf", arr, F.lit("data")).alias("idx_data"),
+        ch("arrayStringConcat", ch("arraySlice", arr, 1, 5), "|").alias("head5"),
+        F.size(ch("arrayDistinct", arr)).alias("n_uniq"),
+        ch("arrayElement", ch("arraySort", ch("arrayDistinct", arr)), F.lit(1)).alias(
+            "min_tok"
+        ),
+        ch("arrayCount", lambda x: F.length(x) > 4, arr).alias("n_long"),
+        ch("arrayMap", lambda x: F.upper(x), ch("arraySlice", arr, 1, 3)).alias("up3"),
+        ch("arraySum", ch("arrayMap", lambda x: F.length(x), arr))
+        .cast("long")
+        .alias("sum_lens"),
+        ch("arrayMax", ch("arrayMap", lambda x: F.length(x), arr)).alias("max_len"),
+    )
+
+
+@register(
+    "fn_json_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT)         AS k_int,
+           props->>'$.k'                          AS k_str,
+           (json_extract(props, '$.k') IS NOT NULL)       AS has_k,
+           (json_extract(props, '$.missing') IS NOT NULL) AS has_missing
+    FROM events
+    """,
+)
+def fn_json_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    p = F.col("props")
+    return ev.select(
+        "event_id",
+        ch("JSONExtractInt", p, "k").alias("k_int"),
+        ch("JSONExtractString", p, "k").alias("k_str"),
+        ch("JSONHas", p, "k").alias("has_k"),
+        ch("JSONHas", p, "missing").alias("has_missing"),
+    )
+
+
+@register(
+    "fn_hash_url_suite",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, lang, source,
+             concat('https://', source, '.example.com/docs/', lang,
+                    '?q=', lang, '&n=', CAST(n_chars AS VARCHAR)) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(text)                                        AS h_md5,
+           sha256(text)                                     AS h_sha,
+           lower(to_base64(encode(lang)))                   AS b64,
+           regexp_extract(url, '^([a-z]+):', 1)             AS proto,
+           regexp_extract(url, '://([^/]+)', 1)             AS host,
+           regexp_extract(url, '://[^/]+(/[^?#]*)', 1)      AS upath,
+           regexp_extract(url, '\\?(.*)$', 1)               AS qstring,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1)         AS param_q,
+           regexp_replace(url, '\\?.*$', '')                AS no_query,
+           'com'                                            AS tld
+    FROM d
+    """,
+)
+def fn_hash_url_suite(spark: SparkSession, sf: str) -> DataFrame:
+    doc = _t(spark, sf, "documents")
+    d = doc.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("lang"),
+            F.lit("?q="),
+            F.col("lang"),
+            F.lit("&n="),
+            F.col("n_chars").cast("string"),
+        ).alias("url"),
+    )
+    u = F.col("url")
+    return d.select(
+        "doc_id",
+        ch("MD5", F.col("text")).alias("h_md5"),
+        ch("SHA256", F.col("text")).alias("h_sha"),
+        F.lower(ch("base64Encode", F.col("lang"))).alias("b64"),
+        ch("protocol", u).alias("proto"),
+        ch("domain", u).alias("host"),
+        ch("path", u).alias("upath"),
+        ch("queryString", u).alias("qstring"),
+        ch("extractURLParameter", u, "q").alias("param_q"),
+        ch("cutQueryString", u).alias("no_query"),
+        ch("topLevelDomain", u).alias("tld"),
+    )

@@ -1,0 +1,145 @@
+"""Unit tests for the CH function-name registry and combinator engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from byconity_spark.functions import UnknownFunctionError, ch, ch_agg
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "a", True),
+            (2, -3.0, "b", False),
+            (3, 7.0, "a", True),
+            (4, None, "b", False),
+        ],
+        "id long, x double, grp string, flag boolean",
+    )
+
+
+def _one(df):
+    return df.collect()[0]
+
+
+# ------------------------------------------------------------- combinators
+def test_sum_if(tbl):
+    r = _one(tbl.agg(ch("sumIf", F.col("x"), F.col("flag")).alias("s")))
+    assert r.s == 17.0
+
+
+def test_count_if(tbl):
+    r = _one(tbl.agg(ch("countIf", F.col("flag")).alias("c")))
+    assert r.c == 2
+
+
+def test_avg_if_ignores_nonmatching(tbl):
+    r = _one(tbl.agg(ch("avgIf", F.col("x"), F.col("grp") == "b").alias("a")))
+    assert r.a == -3.0  # NULL x row excluded by avg's null handling
+
+
+def test_min_max_if(tbl):
+    r = _one(
+        tbl.agg(
+            ch("minIf", F.col("x"), F.col("flag")).alias("lo"),
+            ch("maxIf", F.col("x"), F.col("flag")).alias("hi"),
+        )
+    )
+    assert (r.lo, r.hi) == (7.0, 10.0)
+
+
+def test_sum_distinct(spark):
+    df = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v double")
+    r = _one(df.agg(ch("sumDistinct", F.col("v")).alias("s")))
+    assert r.s == 3.0
+
+
+def test_count_or_null_empty(spark):
+    df = spark.createDataFrame([], "v double")
+    r = _one(df.agg(ch("countOrNull", F.col("v")).alias("c")))
+    assert r.c is None
+
+
+def test_sum_array_combinator(spark):
+    df = spark.createDataFrame([([1.0, 2.0],), ([3.0],)], "arr array<double>")
+    r = _one(df.agg(ch("sumArray", F.col("arr")).alias("s")))
+    assert r.s == 6.0
+
+
+def test_unknown_function_raises():
+    with pytest.raises(UnknownFunctionError):
+        ch("definitelyNotAFunction", F.lit(1))
+    with pytest.raises(UnknownFunctionError):
+        ch_agg("medianArray", F.lit(1))
+
+
+# ------------------------------------------------------------- agg aliases
+def test_arg_min_max_uniq(tbl):
+    r = _one(
+        tbl.agg(
+            ch("argMax", F.col("grp"), F.col("x")).alias("am"),
+            ch("uniqExact", F.col("grp")).alias("u"),
+            ch("median", F.col("x")).alias("med"),
+        )
+    )
+    assert r.am == "a" and r.u == 2 and r.med == 7.0
+
+
+def test_group_array_sorted(tbl):
+    r = _one(tbl.agg(F.sort_array(ch("groupArray", F.col("grp"))).alias("g")))
+    assert r.g == ["a", "a", "b", "b"]
+
+
+# ------------------------------------------------------------ scalar spot
+def test_scalar_functions_roundtrip(spark):
+    df = spark.createDataFrame([("Hello World", "2024-03-15 13:45:30")], "s string, t string")
+    df = df.withColumn("t", F.col("t").cast("timestamp"))
+    r = _one(
+        df.select(
+            ch("lower", F.col("s")).alias("lo"),
+            ch("position", F.col("s"), "World").alias("pos"),
+            ch("toYYYYMM", F.col("t")).alias("ym"),
+            ch("toDayOfWeek", F.col("t")).alias("dow"),  # 2024-03-15 = Friday
+            ch("toStartOfFifteenMinutes", F.col("t")).cast("string").alias("q15"),
+            ch("multiIf", F.lit(False), F.lit(1), F.lit(True), F.lit(2), F.lit(3)).alias(
+                "mi"
+            ),
+            ch("intDiv", F.lit(17), F.lit(5)).alias("idv"),
+            ch("moduloOrZero", F.lit(17), F.lit(0)).alias("mz"),
+            ch("replaceOne", F.col("s"), "l", "L").alias("r1"),
+            ch("arrayElement", F.split(F.col("s"), " "), F.lit(-1)).alias("lastw"),
+        )
+    )
+    assert r.lo == "hello world"
+    assert r.pos == 7
+    assert r.ym == 202403
+    assert r.dow == 5
+    assert r.q15 == "2024-03-15 13:45:00"
+    assert r.mi == 2
+    assert r.idv == 3
+    assert r.mz == 0
+    assert r.r1 == "HeLlo World"
+    assert r.lastw == "World"
+
+
+def test_json_and_url(spark):
+    df = spark.createDataFrame(
+        [('{"k": 42, "s": "hi"}', "https://ex.org/a/b?x=1&y=2#frag")],
+        "j string, u string",
+    )
+    r = _one(
+        df.select(
+            ch("JSONExtractInt", F.col("j"), "k").alias("k"),
+            ch("JSONExtractString", F.col("j"), "s").alias("s"),
+            ch("JSONHas", F.col("j"), "zz").alias("h"),
+            ch("domain", F.col("u")).alias("d"),
+            ch("path", F.col("u")).alias("p"),
+            ch("extractURLParameter", F.col("u"), "y").alias("y"),
+            ch("cutQueryString", F.col("u")).alias("cq"),
+        )
+    )
+    assert (r.k, r.s, r.h) == (42, "hi", False)
+    assert (r.d, r.p, r.y, r.cq) == ("ex.org", "/a/b", "2", "https://ex.org/a/b")
