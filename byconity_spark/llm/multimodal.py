@@ -1,0 +1,75 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode/feature-extract as Arrow-batched mapInPandas stages.
+
+The image/audio codec libraries are not available in this container, so the
+DECODE step is stubbed (deterministic fake features, or
+NotImplementedError for real codecs) — but everything Spark-side is real and
+tested: the binary column schema, the metadata struct, the mapInPandas batch
+shape, and the partition behavior.  Swapping the stub for PIL/librosa is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: set True only in an environment with real codec libraries installed
+REAL_CODECS_AVAILABLE = False
+
+
+def attach_binary_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Simulate a multimodal table: each row carries an opaque binary blob
+    plus typed metadata (mime/n_bytes), the layout a real image/audio column
+    would use (binary payload + struct metadata, never decoded at scan)."""
+    payload = F.unhex(F.md5(F.col("text")))  # deterministic 16-byte stand-in
+    return docs.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            (F.col(id_col) % 4).cast("int").alias("shard"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extractor over binary payloads.
+
+    Stub kernel: deterministic per-blob features (byte stats).  A real
+    deployment replaces `_decode_batch` with the codec call; the Spark
+    plumbing (schema, Arrow batching, partition-parallelism) is identical.
+    """
+
+    def _decode_batch(blobs: pd.Series) -> pd.DataFrame:
+        if REAL_CODECS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("plug image/audio codec here")
+        rows = []
+        for b in blobs:
+            a = np.frombuffer(b, dtype=np.uint8)
+            rows.append(
+                (
+                    int(a.size),
+                    float(a.mean()),
+                    float(a.std()),
+                    [float(x) for x in a[:4]],
+                )
+            )
+        return pd.DataFrame(rows, columns=["n_bytes", "byte_mean", "byte_std", "head4"])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _decode_batch(pdf["payload"])
+            feats.insert(0, id_col, pdf[id_col].to_numpy())
+            yield feats
+
+    schema = (
+        f"{id_col} long, n_bytes long, byte_mean double, byte_std double, "
+        "head4 array<double>"
+    )
+    return mm.select(id_col, "payload").mapInPandas(gen, schema=schema)

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same output contract (query_id, vec_id, cosine, rank):
+  * brute-force — exact; the dot product is a JVM-side zip_with/aggregate
+    expression in DOUBLE (bit-identical to the DuckDB oracle's
+    list_cosine_similarity over DOUBLE[], same left-to-right order), and the
+    per-query top-k is a window group-limit.  Cross pairing broadcasts the
+    QUERY side only — queries are bounded (user-supplied), candidates are
+    never broadcast, so the plan scales with the corpus.
+  * LSH (random hyperplane) — the 100 TB path: L signature tables of b bits;
+    bucket assignment is one Arrow-batched matrix multiply; candidates meet
+    only inside (table, bucket) equi-join groups; exact cosine re-ranks.
+    Recall grows as 1-(1-(1-theta/pi)^b)^L — tested >= 0.9 @ top-10.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a, b) -> "F.Column":
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query.  ``queries`` must be small (it is
+    broadcast); the corpus side streams through — no corpus broadcast, no
+    corpus-side crossJoin blowup beyond |queries| fan-out."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    pairs = embeddings.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = pairs.select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _random_planes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables * n_bits, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, n_tables: int, n_bits: int, seed: int = 42):
+    """Arrow-batched bucketizer: embedding -> array of n_tables bucket ids.
+    One matrix multiply per batch (vectorized), deterministic planes."""
+    planes = _random_planes(dim, n_tables, n_bits, seed)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) >= 0  # (batch, tables*bits)
+        bits = bits.reshape(len(mat), n_tables, n_bits)
+        buckets = (bits * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(buckets.astype(np.int64)))
+
+    return bucketize
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates meet only inside (table, bucket)
+    groups — the join is an equi-join on bucket keys, shuffled by hash, so
+    cost scales with bucket occupancy, not |corpus| x |queries|.
+
+    Tuning: per-table hit rate is (1-theta/pi)^n_bits; recall =
+    1-(1-hit)^n_tables.  Defaults (16 tables x 4 bits) give recall >= 0.9
+    for moderate-similarity neighbors (cos ~ 0.4-0.6).  At larger corpus
+    scale RAISE n_bits (bucket occupancy ~ N / 2^n_bits per table) and
+    n_tables together — candidate cost stays bucket-bounded."""
+    bucketize = lsh_bucket_udf(dim, n_tables, n_bits, seed)
+
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        b = df.select(F.col(idc), F.col(vec_col), bucketize(F.col(vec_col)).alias("bs"))
+        return b.select(
+            idc,
+            vec_col,
+            F.posexplode("bs"),
+        ).withColumnsRenamed({"pos": "table", "col": "bucket"})
+
+    cand_b = with_buckets(embeddings, id_col)
+    query_b = with_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
+    ).withColumnRenamed(vec_col, "__qvec")
+
+    cands = (
+        query_b.join(cand_b, on=["table", "bucket"])
+        .select(query_id_col, "__qvec", id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

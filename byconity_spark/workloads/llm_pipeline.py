@@ -1,1 +1,216 @@
-"""placeholder — populated in later milestones."""
+"""Registered LLM-data-pipeline workload over documents/embeddings.
+
+Oracle strategy per query:
+  * exact dedup / ngram-jaccard / text-quality / language-guess /
+    brute-force ANN: full DuckDB SQL oracles (hash-checked).
+  * minhash LSH: the oracle is the EXACT all-pairs Jaccard at the same
+    threshold — valid because the corpus' near-dup pairs sit at j >= 0.9
+    where the 16x4 band curve has recall 1-4e-8 (missing a pair would be a
+    real bug, and the property test in tests/test_llm.py pins the band
+    math).
+  * simhash / fingerprint / LSH-ANN / multimodal: hash-function- or
+    plane-dependent outputs -> rows-only driver check + dedicated pytests
+    (banded-vs-bruteforce equivalence, recall >= 0.9, determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.llm import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    attach_binary_payload,
+    exact_dedup,
+    extract_features,
+    doc_fingerprint,
+    language_guess,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    text_quality,
+)
+from byconity_spark.workloads import register
+
+# DuckDB-side normalized text + distinct word-3-shingles (mirrors
+# llm.dedup.normalize_text / word_shingles)
+_DUCK_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_DUCK_SHINGLES = f"""
+  list_distinct(
+    list_transform(range(1, greatest(len(string_split({_DUCK_NORM}, ' ')) - 1, 1)),
+      i -> string_split({_DUCK_NORM}, ' ')[i] || ' ' ||
+           string_split({_DUCK_NORM}, ' ')[i+1] || ' ' ||
+           string_split({_DUCK_NORM}, ' ')[i+2]))
+"""
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "embeddings")
+
+
+# --------------------------------------------------------------- exact dedup
+@register(
+    "llm_exact_dedup",
+    oracle=f"""
+    SELECT sha256({_DUCK_NORM}) AS h,
+           min(doc_id)          AS keep_id,
+           count(*)             AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf))
+
+
+# ------------------------------------------------------------- MinHash LSH
+@register(
+    "llm_minhash_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def llm_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf), jaccard_threshold=0.5)
+
+
+# -------------------------------------------------- exact n-gram Jaccard
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents WHERE doc_id < 60)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.2
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _docs(spark, sf).filter(F.col("doc_id") < 60), threshold=0.2
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+@register("llm_simhash_pairs")  # rows-only: xxhash64-specific bit patterns
+def llm_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+
+
+# ------------------------------------------------------------ text quality
+@register(
+    "llm_text_quality",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_DUCK_NORM} AS norm,
+                      string_split({_DUCK_NORM}, ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks)    AS n_tokens,
+           length(text)::DOUBLE / len(toks) AS chars_per_token,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / length(text) AS alpha_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / length(text) AS digit_ratio,
+           length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+             / length(text) AS space_ratio,
+           len(list_filter(toks, w -> w IN ('a','and','das','de','der','des',
+             'die','ein','el','et','in','is','ist','la','le','les','los','of',
+             'que','the','to','und','une','y')))::DOUBLE / len(toks)
+             AS stopword_ratio,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_token_ratio
+    FROM d
+    """,
+)
+def llm_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text_quality(_docs(spark, sf))
+
+
+# --------------------------------------------------------- language guess
+@register(
+    "llm_language_guess",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 len(list_filter(toks, w -> w IN ('the','and','of','a','in','to','is'))) AS score_en,
+                 len(list_filter(toks, w -> w IN ('el','la','de','que','y','los')))      AS score_es,
+                 len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein'))) AS score_de,
+                 len(list_filter(toks, w -> w IN ('le','la','et','les','des','une')))    AS score_fr
+          FROM d)
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS lang_guess
+    FROM s
+    """,
+)
+def llm_language_guess(spark: SparkSession, sf: str) -> DataFrame:
+    return language_guess(_docs(spark, sf))
+
+
+# ------------------------------------------------------------- fingerprint
+@register("llm_doc_fingerprint")  # rows-only: xxhash64-specific values
+def llm_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf))
+
+
+# ------------------------------------------------------- ANN (brute force)
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))) AS cosine
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_bruteforce_topk(emb, queries, k=10)
+
+
+# ------------------------------------------------------------- ANN (LSH)
+@register("ann_lsh_topk")  # rows-only: plane-seed-specific buckets
+def ann_lsh_topk_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(emb, queries, k=10)
+
+
+# ------------------------------------------------------------- multimodal
+@register("mm_decode_features")  # rows-only: stubbed decode kernel
+def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    mm = attach_binary_payload(_docs(spark, sf))
+    return extract_features(mm)

@@ -1,0 +1,107 @@
+"""LLM-pipeline operator tests: LSH candidate-recall properties, banded
+SimHash equivalence with brute force, ANN recall, stub determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.llm import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    attach_binary_payload,
+    exact_dedup,
+    extract_features,
+    doc_fingerprint,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   world"), (2, "hello world "), (3, "different text")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_equals_exact_pairs(docs):
+    """On the fixture corpus (near-dups at j>=0.9, background <0.15) banded
+    LSH must find exactly the exact-Jaccard pair set at threshold 0.5."""
+    lsh = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).filter(
+            F.col("jaccard") >= 0.5
+        ).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # the fixture does contain near-dup pairs
+
+
+def test_simhash_banding_equals_bruteforce(docs):
+    """4x16-bit banding is exhaustive for hamming <= 3 (pigeonhole)."""
+    hashes = {r.id: r.simhash for r in simhash(docs).collect()}
+    brute = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                brute.add((a, b))
+    banded = {
+        (r.id_a, r.id_b) for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert banded == brute
+
+
+def test_ann_lsh_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in ann_bruteforce_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id) for r in ann_lsh_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH ANN recall {recall:.2f} < 0.9"
+
+
+def test_fingerprint_deterministic(docs):
+    a = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    b = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    assert a == b
+    assert len(set(a.values())) > len(a) // 2  # mostly distinct content
+
+
+def test_multimodal_stub_plumbing(docs):
+    mm = attach_binary_payload(docs)
+    feats = extract_features(mm)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert r.n_bytes == 16 and len(r.head4) == 4
+    # deterministic across runs
+    again = {x.doc_id: x.byte_mean for x in extract_features(mm).collect()}
+    assert again[r.doc_id] == r.byte_mean
