@@ -39,7 +39,9 @@ def all_queries() -> dict[str, QueryDef]:
     # import side-effect populates the registry
     from byconity_spark.workloads import (  # noqa: F401
         tpch,
+        tpch_extra,
         relational,
+        setops_grouping,
         windows,
         functions_suite,
         behavioral,

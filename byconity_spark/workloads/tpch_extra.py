@@ -1,0 +1,304 @@
+"""TPC-H-shaped queries covering the relational gaps: EXISTS/NOT EXISTS
+(semi/anti joins incl. non-equi conditions), outer joins, correlated and
+uncorrelated scalar subqueries, disjunctive predicates.
+
+Adapted to the driver's trimmed star schema (no partsupp/commitdate/phone —
+shapes preserved, columns substituted).  Reference shapes:
+/root/reference/tests/optimizers/tpch/ q4/q7/q13/q17/q19/q21/q22; Apply
+decorrelation — src/Optimizer/Rewriter/RemoveApply.h (we express the
+decorrelated plan directly; Catalyst handles the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.workloads import register
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+# ------------------------------------------------------- q4: EXISTS (semi)
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    l = _t(spark, sf, "lineitem")
+    kept = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return kept.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ------------------------------------------- q7: two-nation shipping flows
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------- q13: outer join + count distribution
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ------------------------- q17: correlated scalar subquery (decorrelated)
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+                FROM lineitem GROUP BY l_partkey)
+    SELECT sum(l.l_extendedprice) / 7.0 AS avg_yearly, count(*) AS n_small
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 10
+    WHERE l.l_quantity < pa.half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_size") <= 10)
+    pa = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(pa, l.l_partkey == F.col("pa_partkey"))
+        .join(p, p.p_partkey == l.l_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------- q19: disjunctive join predicates
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_size BETWEEN 1 AND 10  AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_size BETWEEN 11 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_size > 25 AND l.l_quantity > 25)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    cond = (
+        (sz.between(1, 10) & q.between(1, 20))
+        | (sz.between(11, 25) & q.between(10, 30))
+        | ((sz > 25) & (q > 25))
+    )
+    return (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# -------------------- q21: correlated EXISTS + NOT EXISTS (semi + anti)
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    base = l1.join(o, l1.l_orderkey == o.o_orderkey).select("l_orderkey", "l_suppkey")
+    kept = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    return (
+        kept.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ------------- q22: scalar subquery + NOT EXISTS + expression grouping
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c_custkey % 10 AS VARCHAR) AS cntrycode,
+           count(*)        AS numcust,
+           sum(c_acctbal)  AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    eligible = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        eligible.groupBy((F.col("c_custkey") % 10).cast("string").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+    )
+
+
+# --------------------------- q15: shared CTE (revenue view used twice)
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    s = _t(spark, sf, "supplier")
+    # CTERef: materialize the shared subplan once (ByConity CTERefStep.h:34)
+    revenue = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+        .cache()
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
