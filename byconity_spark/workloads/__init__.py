@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QueryDef]:
         tpch_extra,
         relational,
         setops_grouping,
+        aggregates_suite,
         windows,
         functions_suite,
         behavioral,

@@ -1,0 +1,171 @@
+"""Aggregate-function workload: uniq/quantile/topK/argMinMax/groupArray/
+statistics — the ByConity aggregate families beyond plain sum/avg.
+
+Reference: AggregateFunctionUniq.h (uniq/uniqExact), Quantile*.h
+(quantileExact/TDigest), AggregateFunctionTopK, AggregateFunctionArgMinMax.h
+(argMin/argMax), AggregateFunctionGroupArray, statistics aggregates
+(src/AggregateFunctions/AggregateFunctionStatistics*.h), combinators
+registerAggregateFunctions.cpp:140-152 (exercised via the ch() registry).
+
+Approximate variants (approx_count_distinct / percentile_approx) use
+different sketches than DuckDB, so the oracle-checked queries pin the EXACT
+forms; the approx forms are bounds-tested in tests/test_aggregates.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.functions import ch
+from byconity_spark.workloads import register
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+# ---------------------------------------------- uniq + -If combinators
+@register(
+    "agg_uniq_suite",
+    oracle="""
+    SELECT event_type,
+           count(*)                                           AS n,
+           count(DISTINCT user_id)                            AS uniq_users,
+           count(*) FILTER (WHERE value > 100)                AS n_big,
+           sum(value) FILTER (WHERE value > 100)              AS sum_big,
+           avg(value) FILTER (WHERE value <= 100)             AS avg_small,
+           min(value) FILTER (WHERE user_id % 2 = 0)          AS min_even
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_uniq_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    v, u = F.col("value"), F.col("user_id")
+    return ev.groupBy("event_type").agg(
+        ch("count").alias("n"),
+        ch("uniqExact", u).alias("uniq_users"),
+        ch("countIf", v > 100).alias("n_big"),
+        ch("sumIf", v, v > 100).alias("sum_big"),
+        ch("avgIf", v, v <= 100).alias("avg_small"),
+        ch("minIf", v, u % 2 == 0).alias("min_even"),
+    )
+
+
+# ------------------------------------------------------ exact quantiles
+@register(
+    "agg_quantiles_exact",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.9)  AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           min(value) AS lo, max(value) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_quantiles_exact(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        ch("quantileExact", 0.5, v).alias("p50"),
+        ch("quantileExact", 0.9, v).alias("p90"),
+        ch("quantileExact", 0.99, v).alias("p99"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    )
+
+
+# ------------------------------------------------------ exact topK
+@register(
+    "agg_topk_words",
+    oracle="""
+    SELECT event_type, user_id, n, rnk FROM (
+      SELECT event_type, user_id, count(*) AS n,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY count(*) DESC, user_id) AS INT) AS rnk
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rnk <= 5
+    """,
+)
+def agg_topk_words(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "user_id", "n", "rnk")
+    )
+
+
+# ------------------------------------------------- argMin/argMax/anyLast
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, ord) AS last_type,
+           arg_min(event_type, ord) AS first_type,
+           arg_max(value, ord)      AS last_value
+    FROM (SELECT *,
+                 epoch_us(CAST(ts AS TIMESTAMP)) * 1000 + event_id % 1000 AS ord
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    # packed (ts, event_id) tiebreak key — DuckDB arg_max can't order by
+    # struct, so both engines use the same bigint encoding
+    ord_ = F.unix_micros(F.col("ts")) * 1000 + F.col("event_id") % 1000
+    return ev.groupBy("user_id").agg(
+        ch("argMax", F.col("event_type"), ord_).alias("last_type"),
+        ch("argMin", F.col("event_type"), ord_).alias("first_type"),
+        ch("argMax", F.col("value"), ord_).alias("last_value"),
+    )
+
+
+# -------------------------------------------- groupArray / groupUniqArray
+@register(
+    "agg_group_arrays",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(event_type))           AS all_types,
+           list_sort(list(DISTINCT event_type))  AS uniq_types,
+           len(list(DISTINCT event_type))        AS n_uniq_types
+    FROM events WHERE user_id < 40 GROUP BY user_id
+    """,
+)
+def agg_group_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 40)
+    return ev.groupBy("user_id").agg(
+        F.sort_array(ch("groupArray", F.col("event_type"))).alias("all_types"),
+        F.sort_array(ch("groupUniqArray", F.col("event_type"))).alias("uniq_types"),
+        F.size(ch("groupUniqArray", F.col("event_type"))).alias("n_uniq_types"),
+    )
+
+
+# ------------------------------------------------------------ statistics
+@register(
+    "agg_statistics",
+    oracle="""
+    SELECT event_type,
+           stddev_samp(value) AS sd_samp,
+           stddev_pop(value)  AS sd_pop,
+           var_samp(value)    AS v_samp,
+           corr(value, CAST(user_id AS DOUBLE))       AS c,
+           covar_samp(value, CAST(user_id AS DOUBLE)) AS cv
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_statistics(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    v, u = F.col("value"), F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        ch("stddevSamp", v).alias("sd_samp"),
+        ch("stddevPop", v).alias("sd_pop"),
+        ch("varSamp", v).alias("v_samp"),
+        ch("corr", v, u).alias("c"),
+        ch("covarSamp", v, u).alias("cv"),
+    )
