@@ -1,0 +1,72 @@
+"""Table writes: CTAS, INSERT-append, unique-key upsert.
+
+Reference: TableWriteStep.h:9 / TableFinishStep.h:13 (INSERT SELECT),
+MergeTreeDataWriter partition+sort-on-write (src/Storages/MergeTree/
+MergeTreeDataWriter.h:82), unique-key upsert semantics
+(src/Storages/UniqueKeyIndex.h:25, MergeTreeSettings.h:444).
+
+Spark-first mapping:
+  * MergeTree PARTITION BY + ORDER BY  ->  parquet partitionBy +
+    sortWithinPartitions on write: the sorted layout gives parquet row-group
+    min/max pruning the same role as the primary-key mark index.
+  * unique-key table -> dedup-on-write: row_number over key ORDER BY version
+    DESC keeps the latest row per key (one shuffle on the key).
+  * transactional commit -> Spark's file-committer atomicity per write job
+    (we do not rebuild MVCC; see SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def create_table_as(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """CTAS to partitioned (+ optionally sorted-within-partition) parquet."""
+    out = df
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def insert_into(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """INSERT INTO semantics: append new files to an existing parquet table."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def upsert_by_key(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Unique-key upsert: latest version per key wins (ties broken toward
+    the updates side via a stable source marker).  One shuffle on the key —
+    the same cost profile as the reference's bucket-level unique index."""
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
