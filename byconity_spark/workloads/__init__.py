@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QueryDef]:
         aggregates_suite,
         writes,
         windows,
+        streaming_suite,
         functions_suite,
         behavioral,
         llm_pipeline,

@@ -1,0 +1,68 @@
+"""Streaming workload: the events file-stream (Kafka-shaped source) driven
+end-to-end through watermarked window aggregations into a memory sink, then
+hash-checked against batch SQL oracles — streaming results must equal the
+batch answer on the same data (availableNow processes everything).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from byconity_spark.streaming import events_file_stream, hourly_counts, session_windows
+from byconity_spark.workloads import register
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    name = f"mv_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="bspark_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+@register(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    stream = events_file_stream(spark, sf)
+    return _run_to_memory(hourly_counts(stream))
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    f AS (SELECT user_id, ts, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f)
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           count(*)                       AS n_events,
+           sum(value)                     AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    stream = events_file_stream(spark, sf)
+    return _run_to_memory(session_windows(stream, gap="30 minutes"))

@@ -1,0 +1,124 @@
+"""Streaming tests: exactly-once incremental file ingestion (checkpoint
+resume), watermark late-data handling, MV full + partition refresh."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from byconity_spark.streaming import MaterializedView, parquet_dir_stream
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "id long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    """New files are picked up incrementally across restarts; the checkpoint
+    guarantees each input file lands in the sink exactly once."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, "a"), (2, "b")])
+
+    def run_once():
+        stream = parquet_dir_stream(
+            spark, src, spark.read.parquet(src).schema
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 2
+
+    _write_batch(spark, src, [(3, "c")])
+    run_once()  # restart from checkpoint: only the new file is processed
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed aggregation finalizes windows once the watermark
+    passes; a record arriving behind the watermark is dropped."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch(rows):
+        spark.createDataFrame(rows, "ts string, k string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    batch([("2024-01-01 10:05:00", "a"), ("2024-01-01 13:00:00", "b")])
+
+    def run_once():
+        stream = parquet_dir_stream(spark, src, spark.read.parquet(src).schema)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # watermark advanced to 12:00 -> the 10:00 window finalized with n=1
+    first = {(r.start.isoformat(), r.n) for r in spark.read.parquet(sink).collect()}
+    assert ("2024-01-01T10:00:00", 1) in first
+
+    # a record 2h behind the watermark targets the finalized 10:00 window
+    batch([("2024-01-01 10:20:00", "late")])
+    run_once()
+    final = [r for r in spark.read.parquet(sink).collect() if r.start.hour == 10]
+    assert all(r.n == 1 for r in final)  # late row never re-opens the window
+
+
+def test_mv_full_and_partition_refresh(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "x", 30.0)], "id long, part string, v double"
+    ).write.parquet(src)
+
+    mv = MaterializedView(
+        name="totals_by_part",
+        build=lambda s: s.read.parquet(src).groupBy("part").agg(F.sum("v").alias("total")),
+        target_path=str(tmp_path / "mv"),
+        partition_by=["part"],
+    )
+    mv.refresh_full(spark)
+    assert {(r.part, r.total) for r in mv.read(spark).collect()} == {
+        ("x", 40.0),
+        ("y", 20.0),
+    }
+
+    # source gains a row in partition x; refresh ONLY x
+    spark.createDataFrame([(4, "x", 5.0)], "id long, part string, v double").write.mode(
+        "append"
+    ).parquet(src)
+    mv.refresh_partitions(spark, ["x"])
+    assert {(r.part, r.total) for r in mv.read(spark).collect()} == {
+        ("x", 45.0),
+        ("y", 20.0),
+    }
+    # partition dirs exist (y untouched by the partial refresh)
+    assert sorted(
+        d for d in os.listdir(mv.target_path) if d.startswith("part=")
+    ) == ["part=x", "part=y"]
