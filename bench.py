@@ -51,12 +51,26 @@ def main() -> None:
         if dt is not None:
             total += dt
 
+    # like-for-like comparison point vs BENCH_r01 (which ran only these 7)
+    R01_HEADLINE = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q14_promo_effect",
+        "q18_large_volume_customer",
+    ]
+    headline = sum(timings.get(q) or 0.0 for q in R01_HEADLINE)
+
     out = {
         "metric": "workload_total_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "headline_tpch7_wall": round(headline, 4),
     }
     if failed:
         out["failed"] = failed

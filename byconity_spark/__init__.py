@@ -2,18 +2,24 @@
 data-processing capabilities of ByConity (reference: /root/reference).
 
 Architecture (Spark-first, not a port):
-  engine/     SparkSession factory, table catalog (explicit schemas), IO layout
-  functions/  ClickHouse-named scalar/aggregate function registry + combinators
+  engine/     SparkSession factory, table catalog (explicit schemas incl.
+              nanosecond-timestamp handling), CTAS/INSERT/upsert write path
+  functions/  ClickHouse-named scalar/aggregate function registry (~150
+              names) + combinator engine (-If/-Distinct/-Array/-OrNull)
   operators/  relational operators Spark lacks natively (ASOF join, ANY join,
-              LIMIT BY, WITH FILL, WITH TOTALS, quantified comparisons)
+              LIMIT BY, WITH FILL, WITH TOTALS, LIMIT WITH TIES, quantified
+              comparisons)
   udafs/      behavioral analytics (windowFunnel, retention, sequenceMatch,
-              sessionSplit) and bitmap aggregate kernels
-  llm/        large-scale training-data pipeline ops: dedup (exact/minhash/
-              simhash/ngram-jaccard), ANN similarity search, text analysis,
-              multimodal column plumbing
-  streaming/  Structured Streaming ingestion + materialized-view refresh
-  plans/      plan inspection, trivial-count shortcut, explain helpers
-  workloads/  the benchmark/correctness query inventory (SURVEY.md §2)
+              sessionSplit — hash-bucketed Arrow kernels) and the bitmap
+              aggregate family (groupBitmap + and/or/xor/cardinality algebra)
+  llm/        training-data pipeline ops: dedup (exact / banded MinHash-LSH /
+              SimHash / ngram-jaccard), ANN similarity search (brute-force +
+              multi-table hyperplane LSH), text analysis, multimodal plumbing
+  streaming/  Structured Streaming ingestion (file/Kafka), watermarked
+              tumbling/sliding/session windows, materialized-view refresh
+  plans/      trivial-count metadata shortcut
+  workloads/  the oracle-checked query inventory (SURVEY.md §2) — every
+              claimed operator has a registered query + DuckDB oracle
 
 Everything is expressed through the DataFrame API so Catalyst performs
 pushdown, pruning, join selection and AQE re-planning; Python-side kernels

@@ -44,31 +44,86 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def word_shingles(c, n: int = 3) -> "F.Column":
-    """Distinct word n-gram shingles of a text column (JVM-side HOFs)."""
-    words = F.split(normalize_text(c), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])
-    )
-    # sequence(0, negative) counts DOWN in Spark — guard short docs explicitly
+def shingles_from_words(words, n: int = 3) -> "F.Column":
+    """Distinct word n-gram shingles from a words array.
+
+    PERF: built by zip_with-folding the array against its own shifted
+    slices.  Every lambda body references ONLY its parameters — an
+    expression referenced inside a HOF lambda body (e.g.
+    ``element_at(split(...), i)``) is re-evaluated per element, and
+    CollapseProject re-inlines staged projections, so the index-based
+    formulation is O(len^2) per row (20s vs 0.5s at 5000 docs)."""
+    cur = words
+    for k in range(1, n):
+        shifted = F.slice(words, k + 1, F.size(words))
+        cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # trailing zip positions mix in nulls -> keep the first size-n+1 entries
+    shingles = F.slice(cur, 1, F.size(words) - n + 1)
     return F.when(F.size(words) >= n, F.array_distinct(shingles)).otherwise(
         F.array().cast("array<string>")
     )
 
 
+def word_shingles(c, n: int = 3) -> "F.Column":
+    """Column-level shingles (convenience; for hot paths use
+    shingle_frame/shingles_from_words so the words array is staged)."""
+    return shingles_from_words(F.split(normalize_text(c), " "), n)
+
+
+def shingle_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh) with the words array materialized in its own projection."""
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+    )
+    return staged.select("id", shingles_from_words(F.col("__words"), n).alias("sh"))
+
+
 def minhash_signature(shingles, n_hashes: int = 64) -> "F.Column":
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, i).  Pure JVM expression — codegen, no UDF."""
+    """MinHash signature via the universal-hash trick: each shingle STRING
+    is hashed once to a long, then the n permutations re-hash the longs
+    (xxhash64 over 8 bytes ≈ 60x cheaper than re-hashing the string n
+    times).  Pure JVM expression — codegen, no UDF."""
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), n_hashes
+    )
+
+
+def minhash_signature_from_hashes(hashes, n_hashes: int = 64) -> "F.Column":
+    """Signature from pre-hashed shingles (materialize the base hash array
+    in its own projection so it is computed once, not per permutation)."""
 
     def perm_hash(i: int):
         # closure, NOT a default-arg lambda: a 2-parameter lambda would be
         # interpreted by F.transform as (element, index)
-        return lambda s: F.xxhash64(s, F.lit(i))
+        return lambda h: F.xxhash64(h, F.lit(i))
 
     return F.array(
-        *[F.array_min(F.transform(shingles, perm_hash(i))) for i in range(n_hashes)]
+        *[F.array_min(F.transform(hashes, perm_hash(i))) for i in range(n_hashes)]
     )
+
+
+def _minhash_sig_udf(n_hashes: int):
+    """Arrow-batched signature kernel: per row, min over shingle hashes of
+    n universal-hash permutations (a_i*h + b_i over uint64 wraparound) —
+    one numpy matmul-shaped pass instead of n_hashes JVM hash evaluations
+    per element (~6x faster end-to-end at 5000 docs x 64 perms)."""
+    rng = np.random.default_rng(7)
+    A = (rng.integers(1, 2**62, n_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**62, n_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for row in hs:
+            h = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            vals = A[:, None] * h[None, :] + B[:, None]  # (n_hashes, n_shingles)
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -92,11 +147,21 @@ def minhash_lsh_pairs(
     above the band curve's sweet spot for guaranteed-recall workloads.
     """
     rows_per_band = n_hashes // n_bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sig = base.select("id", "sh", minhash_signature(F.col("sh"), n_hashes).alias("mh"))
+    # CTERef-style materialization (reference CTERefStep.h:34): the shingle
+    # frame feeds the signature chain once and the verify join twice, and
+    # the band table sits on BOTH sides of the self-join — without persist
+    # each branch would recompute the whole scan+shingle+hash chain.
+    base = (
+        shingle_frame(docs, id_col, text_col, shingle_n)
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    hashed = base.select(
+        "id", "sh", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sig = hashed.select(
+        "id", "sh", _minhash_sig_udf(n_hashes)(F.col("hs")).alias("mh")
+    )
 
     bands = sig.select(
         "id",
@@ -113,7 +178,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")).persist()
 
     left = bands.alias("a")
     right = bands.alias("b")
@@ -238,9 +303,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (for bounded subsets / verification;
     the scale path is minhash_lsh_pairs)."""
-    d = docs.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    d = shingle_frame(docs, id_col, text_col, shingle_n)
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))

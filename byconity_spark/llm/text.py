@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from byconity_spark.llm.dedup import normalize_text, word_shingles
+from byconity_spark.llm.dedup import normalize_text
 
 # tiny per-language marker profiles (stopword hit-count heuristic); a real
 # deployment swaps in char-ngram profiles — the PLAN SHAPE (scan -> HOF
@@ -93,13 +93,23 @@ def doc_fingerprint(
     into one xxhash64 — identical for near-identical docs, cheap to index.
     (Winnowing-style selection; reference analogue: rolling-hash fingerprints
     in ngram machinery, FunctionsStringSimilarity.cpp.)"""
-    sh = word_shingles(F.col(text_col), 3)
-    hashes = F.sort_array(F.transform(sh, lambda s: F.xxhash64(s)))
-    bottom = F.slice(hashes, 1, bottom_k)
-    return docs.select(
+    from byconity_spark.llm.dedup import shingle_frame
+
+    # stage the words/shingle chain so it runs ONCE per row (HOF lambdas
+    # re-evaluate inline expressions per element), then slice the sketch
+    sh_df = shingle_frame(docs, id_col, text_col, 3).withColumnRenamed("id", id_col)
+    staged = sh_df.select(
         F.col(id_col),
-        F.xxhash64(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string")))).alias(
-            "fingerprint"
-        ),
-        bottom.alias("bottom_k_sketch"),
+        F.slice(
+            F.sort_array(F.transform("sh", lambda s: F.xxhash64(s))), 1, bottom_k
+        ).alias("bottom_k_sketch"),
+    )
+    return staged.select(
+        id_col,
+        F.xxhash64(
+            F.concat_ws(
+                ",", F.transform("bottom_k_sketch", lambda h: h.cast("string"))
+            )
+        ).alias("fingerprint"),
+        "bottom_k_sketch",
     )

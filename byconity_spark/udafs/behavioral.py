@@ -6,10 +6,13 @@ Reference kernels (C++):
   * sequenceMatch — src/AggregateFunctions/AggregateFunctionSequenceMatch.cpp
   * sessionSplit  — src/AggregateFunctions/AggregateFunctionSessionSplit.cpp
 
-Spark-first design: the per-user kernels run as Arrow-batched
-``applyInPandas`` group transforms (vectorized numpy inside — no per-row
-Python), partitioned by user_id; ``retention`` needs no kernel at all (it is
-a conjunction of boolean aggregates, expressed as JVM-side ``max(when(...))``).
+Spark-first design: the kernels run as Arrow-batched ``applyInPandas``
+group transforms over HASH BUCKETS of users (default 64 buckets), not one
+group per user — per-group scheduling overhead amortizes across ~n_users/64
+users per call while the inside stays vectorized (each bucket kernel
+processes all its users with numpy/pandas C paths).  ``retention`` needs no
+kernel at all (it is a conjunction of boolean aggregates, expressed as
+JVM-side ``max(when(...))``).
 
 Semantics notes:
   * ``window_funnel`` implements the deterministic FIRST-ANCHOR variant:
@@ -79,6 +82,12 @@ def subsequence_matched(per_cond: list[np.ndarray]) -> bool:
     return True
 
 
+def _bucketed(events: DataFrame, user_col: str, cols: list[str], n_buckets: int) -> DataFrame:
+    return events.select(user_col, *cols).withColumn(
+        "__b", F.pmod(F.hash(F.col(user_col)), F.lit(n_buckets))
+    )
+
+
 def window_funnel(
     events: DataFrame,
     window_us: int,
@@ -86,6 +95,7 @@ def window_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Per-user funnel depth: (user_id, funnel_level) with level in [0, len(steps)].
 
@@ -93,22 +103,25 @@ def window_funnel(
     all within ``window_us`` of the first step-1 event.
     """
     steps = list(steps)
-    n_steps = len(steps)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        uid = pdf[user_col].iloc[0]
-        ts = _us(pdf[ts_col])
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        types = pdf[type_col].to_numpy()[order]
-        per_step = [np.sort(ts[types == s]) for s in steps]
-        level = funnel_level_from_arrays(per_step, window_us)
-        return pd.DataFrame({user_col: [uid], "funnel_level": [np.int32(level)]})
+        frame = pd.DataFrame(
+            {"u": pdf[user_col].to_numpy(), "ts": _us(pdf[ts_col]), "tp": pdf[type_col].to_numpy()}
+        )
+        users, levels = [], []
+        for u, g in frame.groupby("u", sort=False):
+            gts, gtp = g["ts"].to_numpy(), g["tp"].to_numpy()
+            per_step = [np.sort(gts[gtp == s]) for s in steps]
+            users.append(u)
+            levels.append(funnel_level_from_arrays(per_step, window_us))
+        return pd.DataFrame(
+            {user_col: users, "funnel_level": np.asarray(levels, dtype=np.int32)}
+        )
 
-    out_schema = f"{user_col} long, funnel_level int"
-    _ = n_steps  # levels bounded by len(steps); kernel is O(k log n) per user
-    return events.select(user_col, ts_col, type_col).groupBy(user_col).applyInPandas(
-        kernel, schema=out_schema
+    return (
+        _bucketed(events, user_col, [ts_col, type_col], n_buckets)
+        .groupBy("__b")
+        .applyInPandas(kernel, schema=f"{user_col} long, funnel_level int")
     )
 
 
@@ -146,22 +159,24 @@ def sequence_match(
         user_col,
         ts_col,
         *[c.cast("boolean").alias(f"__m{i}") for i, c in enumerate(conds)],
-    )
+    ).withColumn("__b", F.pmod(F.hash(F.col(user_col)), F.lit(64)))
     k = len(conds)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        uid = pdf[user_col].iloc[0]
         ts = _us(pdf[ts_col])
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        per_cond = [
-            ts[pdf[f"__m{i}"].fillna(False).to_numpy()[order].astype(bool)]
-            for i in range(k)
-        ]
-        ok = subsequence_matched(per_cond)
-        return pd.DataFrame({user_col: [uid], "matched": [bool(ok)]})
+        masks = [pdf[f"__m{i}"].fillna(False).to_numpy().astype(bool) for i in range(k)]
+        frame = pd.DataFrame({"u": pdf[user_col].to_numpy(), "ts": ts})
+        users, flags = [], []
+        for u, g in frame.groupby("u", sort=False):
+            idx = g.index.to_numpy()
+            gts = ts[idx]
+            order = np.argsort(gts, kind="stable")
+            per_cond = [np.asarray(gts[order][masks[i][idx][order]]) for i in range(k)]
+            users.append(u)
+            flags.append(bool(subsequence_matched(per_cond)))
+        return pd.DataFrame({user_col: users, "matched": flags})
 
-    return tagged.groupBy(user_col).applyInPandas(
+    return tagged.groupBy("__b").applyInPandas(
         kernel, schema=f"{user_col} long, matched boolean"
     )
 
@@ -178,37 +193,43 @@ def session_split(
     ``gap_us``; one output row per session (vectorized diff+cumsum kernel)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        uid = pdf[user_col].iloc[0]
-        pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+        pdf = pdf.sort_values([user_col, ts_col, id_col], kind="stable")
         us = _us(pdf[ts_col])
-        brk = np.zeros(len(us), dtype=np.int64)
-        if len(us) > 1:
-            brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
-        sid = 1 + np.cumsum(brk)
-        g = pd.DataFrame(
+        uid = pdf[user_col].to_numpy()
+        n = len(pdf)
+        new_user = np.ones(n, dtype=bool)
+        gap_brk = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            new_user[1:] = uid[1:] != uid[:-1]
+            gap_brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        # sessions are CONTIGUOUS runs in (user, ts) order — one reduceat
+        # pass instead of a 95k-group pandas groupby-agg (4.8s -> <1s)
+        start_flag = new_user | (gap_brk == 1) & ~new_user
+        starts = np.flatnonzero(start_flag)
+        counts = np.diff(np.append(starts, n))
+        idx = np.arange(len(starts))
+        user_first = new_user[starts]
+        base = np.maximum.accumulate(np.where(user_first, idx, -1))
+        sid = (idx - base + 1).astype("int32")
+        ts_vals = pdf[ts_col].to_numpy()
+        values = pdf[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
             {
-                "sid": sid,
-                "ts": pdf[ts_col].to_numpy(),
-                "value": pdf[value_col].to_numpy(),
+                user_col: uid[starts],
+                "session_id": sid,
+                "session_start": ts_vals[starts],
+                "session_end": ts_vals[starts + counts - 1],
+                "n_events": counts.astype(np.int64),
+                "sum_value": np.add.reduceat(values, starts),
             }
-        ).groupby("sid", sort=True)
-        out = g.agg(
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-            sum_value=("value", "sum"),
-        ).reset_index()
-        out.insert(0, user_col, uid)
-        out = out.rename(columns={"sid": "session_id"})
-        out["session_id"] = out["session_id"].astype("int32")
-        return out
+        )
 
     schema = (
         f"{user_col} long, session_id int, session_start timestamp, "
         "session_end timestamp, n_events long, sum_value double"
     )
     return (
-        events.select(user_col, ts_col, id_col, value_col)
-        .groupBy(user_col)
+        _bucketed(events, user_col, [ts_col, id_col, value_col], 64)
+        .groupBy("__b")
         .applyInPandas(kernel, schema=schema)
     )

@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         setops_grouping,
         aggregates_suite,
+        bitmaps_suite,
         writes,
         windows,
         streaming_suite,

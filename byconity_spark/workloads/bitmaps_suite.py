@@ -1,0 +1,74 @@
+"""Bitmap workload: audience-overlap analytics over events — build per-type
+user bitmaps, then set algebra across types, hash-checked against DISTINCT
+SQL equivalents (the bitmap encoding is internal; the exposed numbers are
+exact set cardinalities, which DuckDB reproduces relationally)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.udafs.bitmaps import (
+    bitmap_and_cardinality,
+    bitmap_cardinality,
+    bitmap_or_cardinality,
+    group_bitmap,
+)
+from byconity_spark.workloads import register
+
+
+@register(
+    "bitmap_cardinality_by_type",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def bitmap_cardinality_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    bm = group_bitmap(ev, ["event_type"], "user_id")
+    return bm.select("event_type", bitmap_cardinality(F.col("bm")).alias("n_users"))
+
+
+@register(
+    "bitmap_audience_overlap",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS overlap
+    FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def bitmap_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    bm = group_bitmap(ev, ["event_type"], "user_id")
+    a = bm.select(F.col("event_type").alias("type_a"), F.col("bm").alias("bm_a"))
+    b = bm.select(F.col("event_type").alias("type_b"), F.col("bm").alias("bm_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            bitmap_and_cardinality(F.col("bm_a"), F.col("bm_b")).alias("overlap"),
+        )
+        .filter(F.col("overlap") > 0)
+    )
+
+
+@register(
+    "bitmap_union_reach",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS reach
+    FROM events WHERE event_type IN ('signup', 'purchase')
+    """,
+)
+def bitmap_union_reach(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    bm = group_bitmap(ev, ["event_type"], "user_id")
+    s = bm.filter(F.col("event_type") == "signup").select(F.col("bm").alias("bm_a"))
+    p = bm.filter(F.col("event_type") == "purchase").select(F.col("bm").alias("bm_b"))
+    return s.crossJoin(p).select(
+        bitmap_or_cardinality(F.col("bm_a"), F.col("bm_b")).alias("reach")
+    )
