@@ -84,6 +84,46 @@ def _date_diff(unit: str, start: Column, end: Column) -> Column:
     raise ValueError(f"dateDiff: unsupported unit {unit!r}")
 
 
+_CH_FMT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%p": "a", "%j": "DDD",
+    "%a": "EEE", "%b": "MMM", "%W": "EEEE", "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss", "%D": "MM/dd/yy", "%R": "HH:mm", "%n": "\n", "%t": "\t",
+    "%%": "%",
+}
+
+
+def _format_date_time(c: Column, fmt: str) -> Column:
+    """CH formatDateTime: translate ClickHouse %-codes to a Spark datetime
+    pattern, quoting literal runs so pattern letters stay literal."""
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush_literal() -> None:
+        if literal:
+            run = "".join(literal)
+            if any(ch_.isalpha() or ch_ == "'" for ch_ in run):
+                out.append("'" + run.replace("'", "''") + "'")
+            else:
+                out.append(run)
+            literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i : i + 2]
+            if code not in _CH_FMT:
+                raise ValueError(f"formatDateTime: unsupported code {code!r}")
+            flush_literal()
+            out.append(_CH_FMT[code])
+            i += 2
+        else:
+            literal.append(fmt[i])
+            i += 1
+    flush_literal()
+    return F.date_format(c, "".join(out))
+
+
 def _split_by_char(sep: str, c: Column) -> Column:
     import re as _re
 
@@ -160,6 +200,7 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "subtractDays": lambda c, n: c - F.expr(f"INTERVAL {int(n)} DAY"),
     "subtractMonths": lambda c, n: c - F.expr(f"INTERVAL {int(n)} MONTH"),
     "date_trunc": lambda unit, c: F.date_trunc(unit, c),
+    "formatDateTime": _format_date_time,
     "now": F.current_timestamp,
     "today": F.current_date,
     "parseDateTimeBestEffort": lambda c: F.coalesce(

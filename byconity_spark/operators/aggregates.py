@@ -43,3 +43,28 @@ def limit_by(
         .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + n))
         .drop("__rn")
     )
+
+
+def sum_map(
+    df: DataFrame, group_cols: list[str], key_col: str, val_col: str
+) -> DataFrame:
+    """ClickHouse ``sumMap(key, value)``: per group, sum values by key and
+    return parallel key-sorted arrays (reference:
+    AggregateFunctionSumMap; SURVEY §2.4 arrays/containers family).
+
+    Plan: groupBy(group, key) partial-aggregates map-side, then one
+    collect per group — the per-group state is bounded by key cardinality,
+    never by row count."""
+    per_key = df.groupBy(*group_cols, key_col).agg(F.sum(val_col).alias("__v"))
+    pairs = per_key.select(
+        *group_cols, F.struct(F.col(key_col).alias("k"), F.col("__v").alias("v")).alias("__kv")
+    )
+    return (
+        pairs.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__kv")).alias("__kvs"))
+        .select(
+            *group_cols,
+            F.col("__kvs.k").alias("sum_map_keys"),
+            F.col("__kvs.v").alias("sum_map_values"),
+        )
+    )

@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QueryDef]:
         setops_grouping,
         aggregates_suite,
         bitmaps_suite,
+        sources_suite,
         writes,
         windows,
         streaming_suite,

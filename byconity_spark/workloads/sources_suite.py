@@ -1,0 +1,197 @@
+"""Non-parquet source/sink round-trips (CSV / JSON / ORC), dictionary
+lookups, sumMap, extremes, grouped WITH FILL.
+
+Reference: file formats src/Formats/registerFormats.cpp:21-81 (CSV,
+JSONEachRow, ORC among them), dictGet FunctionsExternalDictionaries.cpp,
+sumMap AggregateFunctionSumMap, extremes ExtremesStep.h:22, WITH FILL
+FillingStep.h:24.
+
+Round-trip pattern: write a deterministic slice of an engine table to the
+format under /tmp, read it back WITH AN EXPLICIT SCHEMA (never inference),
+aggregate, and compare against SQL over the original table — proving the
+serializer/deserializer pair preserves values exactly.  Timestamps travel
+as unix micros in the text formats (CSV/JSON text timestamps lose
+sub-millisecond precision); ORC carries native types.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.operators.aggregates import sum_map
+from byconity_spark.operators.dictionary import dict_get
+from byconity_spark.operators.extremes import extremes
+from byconity_spark.operators.sorts import fill_time_series
+from byconity_spark.workloads import register
+
+
+def _tmp(sf: str, tag: str) -> str:
+    return f"/tmp/byconity_spark_sources/{tag}_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+
+
+_FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+_ROUNDTRIP_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           sum(value) AS total,
+           min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us
+    FROM events WHERE user_id % 4 = 0 GROUP BY event_type
+"""
+
+
+def _flat_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") % 4 == 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.min("ts_us").alias("first_us"),
+    )
+
+
+@register("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    path = _tmp(sf, "csv_events")
+    _flat_events(spark, sf).write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(_FLAT_SCHEMA).option("header", "true").csv(path)
+    return _roundtrip_agg(back)
+
+
+@register("source_json_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    path = _tmp(sf, "json_events")
+    _flat_events(spark, sf).write.mode("overwrite").json(path)
+    back = spark.read.schema(_FLAT_SCHEMA).json(path)
+    return _roundtrip_agg(back)
+
+
+@register("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    path = _tmp(sf, "orc_events")
+    _flat_events(spark, sf).write.mode("overwrite").orc(path)
+    back = spark.read.schema(_FLAT_SCHEMA).orc(path)
+    return _roundtrip_agg(back)
+
+
+# -------------------------------------------------------------- dictGet
+@register(
+    "dict_get_order_status",
+    oracle="""
+    SELECT o.o_orderkey,
+           coalesce(v.label, 'unknown') AS status_label,
+           coalesce(v.rank, -1)         AS status_rank
+    FROM orders o
+    LEFT JOIN (VALUES ('F', 'finished', 1), ('O', 'open', 2))
+         AS v(code, label, rank)
+      ON o.o_orderstatus = v.code
+    WHERE o.o_orderkey < 500
+    """,
+)
+def dict_get_order_status(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
+    dictionary = spark.createDataFrame(
+        [("F", "finished", 1), ("O", "open", 2)],
+        "o_orderstatus string, status_label string, status_rank int",
+    )
+    # 'P' is intentionally absent -> dictGetOrDefault path
+    out = dict_get(
+        o,
+        dictionary,
+        key_col="o_orderstatus",
+        attr_cols={"status_label": "unknown", "status_rank": -1},
+    )
+    return out.select("o_orderkey", "status_label", "status_rank")
+
+
+# --------------------------------------------------------------- sumMap
+@register(
+    "summap_user_buckets",
+    oracle="""
+    WITH per_key AS (
+      SELECT event_type, user_id % 5 AS k, sum(value) AS v
+      FROM events GROUP BY event_type, user_id % 5
+    )
+    SELECT event_type,
+           list(k ORDER BY k) AS sum_map_keys,
+           list(v ORDER BY k) AS sum_map_values
+    FROM per_key GROUP BY event_type
+    """,
+)
+def summap_user_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn("k", F.col("user_id") % 5)
+    return sum_map(ev, ["event_type"], "k", "value")
+
+
+# ------------------------------------------------------------- extremes
+@register(
+    "extremes_lineitem",
+    oracle="""
+    SELECT 'min' AS row_type, min(l_quantity) AS l_quantity,
+           min(l_extendedprice) AS l_extendedprice, min(l_discount) AS l_discount
+    FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT 'max', max(l_quantity), max(l_extendedprice), max(l_discount)
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def extremes_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "A")
+    return extremes(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+# ------------------------------------------------- WITH FILL per group
+@register(
+    "fill_daily_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM events WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily GROUP BY event_type
+    ),
+    spine AS (
+      SELECT b.event_type, u.day
+      FROM bounds b, LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day) u
+    )
+    SELECT s.event_type, s.day, coalesce(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def fill_daily_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(
+        F.col("ts") < F.lit("2024-02-01 00:00:00").cast("timestamp")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return fill_time_series(
+        daily, "day", step_expr="interval 1 day", fill_values={"n": 0},
+        group_keys=["event_type"],
+    )

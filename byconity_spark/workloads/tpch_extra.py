@@ -268,6 +268,103 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------- q8: market share (conditional agg over join tree)
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH flows AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE'
+        AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    )
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+             / sum(volume) AS mkt_share
+    FROM flows GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    flows = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flows.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+            / F.sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+# -------------------- q9: profit by supplier nation and year (adapted:
+# no partsupp table -> supply cost proxied from p_retailprice)
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           sum(l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%5%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%5%"))
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    return (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("profit")
+        )
+    )
+
+
 # --------------------------- q15: shared CTE (revenue view used twice)
 @register(
     "q15_top_supplier",
