@@ -2,6 +2,8 @@
 data-processing capabilities of ByConity (reference: /root/reference).
 
 Architecture (Spark-first, not a port):
+  frontend/   ClickHouse-dialect SQL -> Spark SQL rewriter (function
+              renames, -If combinators, parametric aggregates, JSON paths)
   engine/     SparkSession factory, table catalog (explicit schemas incl.
               nanosecond-timestamp handling), CTAS/INSERT/upsert write path
   functions/  ClickHouse-named scalar/aggregate function registry (~150

@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QueryDef]:
         aggregates_suite,
         bitmaps_suite,
         sources_suite,
+        chsql_suite,
         writes,
         windows,
         streaming_suite,

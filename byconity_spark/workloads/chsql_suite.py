@@ -1,0 +1,89 @@
+"""ClickHouse-dialect SQL frontend workload: queries written in CH SQL,
+rewritten by byconity_spark.frontend and executed via spark.sql over the
+registered engine views — the end-to-end compat surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from byconity_spark.engine.catalog import register_views
+from byconity_spark.frontend import ch_sql
+from byconity_spark.workloads import register
+
+
+def _run(spark: SparkSession, sf: str, sql: str) -> DataFrame:
+    register_views(spark, sf)
+    return ch_sql(spark, sql)
+
+
+@register(
+    "chsql_hourly_activity",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           count(*) FILTER (WHERE value > 100) AS n_big,
+           count(DISTINCT user_id)             AS u,
+           quantile_cont(value, 0.5)           AS p50,
+           sum(value) FILTER (WHERE user_id % 2 = 0) AS even_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def chsql_hourly_activity(spark: SparkSession, sf: str) -> DataFrame:
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT toStartOfHour(ts) AS hour, event_type,
+               countIf(value > 100) AS n_big,
+               uniqExact(user_id) AS u,
+               quantileExact(0.5)(value) AS p50,
+               sumIf(value, user_id % 2 = 0) AS even_sum
+        FROM events GROUP BY hour, event_type
+        """,
+    )
+
+
+@register(
+    "chsql_order_buckets",
+    oracle="""
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'big' END AS bucket,
+           count(*) AS n, sum(o_totalprice) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def chsql_order_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT toYYYYMM(o_orderdate) AS ym,
+               multiIf(o_totalprice < 50000, 'small',
+                       o_totalprice < 200000, 'mid', 'big') AS bucket,
+               count() AS n, sum(o_totalprice) AS total
+        FROM orders GROUP BY ym, bucket
+        """,
+    )
+
+
+@register(
+    "chsql_json_match",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) AS k,
+           count(*) FILTER (WHERE regexp_matches(event_type, 'click|view')) AS cv,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def chsql_json_match(spark: SparkSession, sf: str) -> DataFrame:
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT JSONExtractInt(props, 'k') AS k,
+               countIf(match(event_type, 'click|view')) AS cv,
+               count() AS n
+        FROM events GROUP BY k
+        """,
+    )

@@ -1,0 +1,86 @@
+"""Unit tests for the ClickHouse-SQL -> Spark-SQL rewriter (pure string
+transforms, no Spark needed except the execution smoke test)."""
+
+from __future__ import annotations
+
+import pytest
+
+from byconity_spark.frontend import rewrite_ch_sql
+from byconity_spark.frontend.sql import ChSqlError
+
+
+def test_simple_renames():
+    assert rewrite_ch_sql("SELECT toYear(ts), uniq(u) FROM t") == (
+        "SELECT year(ts), approx_count_distinct(u) FROM t"
+    )
+
+
+def test_nested_rewrites():
+    out = rewrite_ch_sql("SELECT toYYYYMM(toStartOfMonth(ts)) FROM t")
+    assert out == (
+        "SELECT CAST(year(date_trunc('month', ts)) * 100 + "
+        "month(date_trunc('month', ts)) AS INT) FROM t"
+    )
+
+
+def test_combinator_templates():
+    assert rewrite_ch_sql("sumIf(v, c > 1)") == "sum(CASE WHEN c > 1 THEN v END)"
+    assert rewrite_ch_sql("countIf(flag)") == "count_if(flag)"
+    assert rewrite_ch_sql("uniqExact(a, b)") == "count(DISTINCT a, b)"
+    assert rewrite_ch_sql("count()") == "count(*)"
+    assert rewrite_ch_sql("count(*)") == "count(*)"
+
+
+def test_parametric_aggregates():
+    assert rewrite_ch_sql("quantile(0.9)(value)") == "percentile_approx(value, 0.9)"
+    assert rewrite_ch_sql("quantileExact(0.5)(v)") == "percentile(v, 0.5)"
+
+
+def test_json_path_building():
+    assert (
+        rewrite_ch_sql("JSONExtractInt(props, 'k')")
+        == "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    )
+    assert (
+        rewrite_ch_sql("JSONExtractString(props, keycol)")
+        == "get_json_object(props, concat('$.', keycol))"
+    )
+
+
+def test_strings_and_keywords_untouched():
+    # function names inside string literals must not be rewritten
+    assert (
+        rewrite_ch_sql("SELECT 'toYear(x)' AS s, toYear(d) FROM t")
+        == "SELECT 'toYear(x)' AS s, year(d) FROM t"
+    )
+    # quantified comparison ANY is not a function call
+    sql = "SELECT * FROM t WHERE x > ANY (SELECT v FROM s)"
+    assert rewrite_ch_sql(sql) == sql
+
+
+def test_multi_if_chain():
+    assert (
+        rewrite_ch_sql("multiIf(a > 1, 'x', b > 2, 'y', 'z')")
+        == "CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' ELSE 'z' END"
+    )
+
+
+def test_unbalanced_raises():
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT toYear(ts FROM t")
+
+
+def test_execution_end_to_end(spark):
+    df = spark.createDataFrame(
+        [("2024-03-15 10:00:00", 5.0), ("2024-03-15 11:30:00", 150.0)],
+        "ts string, v double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+    df.createOrReplaceTempView("t_ch")
+    from byconity_spark.frontend import ch_sql
+
+    out = ch_sql(
+        spark,
+        "SELECT toStartOfDay(ts) AS d, countIf(v > 100) AS big, count() AS n "
+        "FROM t_ch GROUP BY d",
+    ).collect()
+    assert out[0].big == 1 and out[0].n == 2
