@@ -15,8 +15,10 @@ from byconity_spark.llm.dedup import (  # noqa: F401
 from byconity_spark.llm.multimodal import attach_binary_payload, extract_features  # noqa: F401
 from byconity_spark.llm.similarity import (  # noqa: F401
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_similarity,
+    elementwise_centroids,
 )
 from byconity_spark.llm.text import (  # noqa: F401
     doc_fingerprint,

@@ -72,6 +72,87 @@ def ann_bruteforce_topk(
     )
 
 
+def elementwise_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group elementwise mean vector (cluster centroids): posexplode ->
+    groupBy(group, pos) avg -> re-assemble sorted by position.  This is the
+    -ForEach combinator shape (avgForEach) and the IVF coarse-quantizer
+    training step in one."""
+    exploded = embeddings.select(
+        group_col, F.posexplode(vec_col).alias("pos", "v")
+    )
+    per_dim = exploded.groupBy(group_col, "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    pairs = per_dim.select(
+        group_col, F.struct(F.col("pos"), F.col("m")).alias("pm")
+    )
+    return (
+        pairs.groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("pm")).alias("pms"))
+        .select(group_col, F.col("pms.m").alias("centroid"))
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    group_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest centroid
+    (coarse quantizer trained from ``group_col`` clusters); each query
+    probes its ``nprobe`` nearest centroids and re-ranks exactly within
+    those inverted lists.  Candidate cost ~ nprobe/n_centroids of the
+    corpus; the centroid table is tiny and broadcast.
+
+    Recall is bounded by quantizer quality: on the fixture's weakly
+    clustered labels nprobe=6/10 reaches ~0.8 — for tighter corpora (or a
+    real k-means quantizer) lower nprobe suffices.  The guaranteed-recall
+    scale path remains ann_lsh_topk."""
+    cents = elementwise_centroids(embeddings, group_col, vec_col).select(
+        F.col(group_col).alias("cid"), F.col("centroid")
+    )
+
+    def assign(df: DataFrame, idc: str, vec: str, n_keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            idc, vec, "cid", cosine_similarity(F.col(vec), F.col("centroid")).alias("cs")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("cs"), F.col("cid").asc())
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select(idc, vec, "cid")
+        )
+
+    inv_lists = assign(embeddings.select(id_col, vec_col), id_col, vec_col, 1)
+    probes = assign(
+        queries.select(query_id_col, vec_col).withColumnRenamed(vec_col, "__qvec"),
+        query_id_col,
+        "__qvec",
+        nprobe,
+    )
+    cands = probes.join(inv_lists, on="cid").select(query_id_col, "__qvec", id_col, vec_col)
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _random_planes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables * n_bits, dim)).astype(np.float64)

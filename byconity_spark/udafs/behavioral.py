@@ -38,7 +38,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MICRO = 1_000_000
@@ -179,6 +179,93 @@ def sequence_match(
     return tagged.groupBy("__b").applyInPandas(
         kernel, schema=f"{user_col} long, matched boolean"
     )
+
+
+def auc(
+    events: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Rank-sum AUC (reference: AggregateFunctionAuc / FastAuc family):
+    AUC = (sum of positive ranks - P(P+1)/2) / (P*N), ranks by ascending
+    score with a deterministic tiebreak (documented variant: ties broken by
+    id, not averaged — both engines use the identical ordering).
+
+    Note: the global rank needs a total order (one ordering pass); at
+    cluster scale prefer the bucketed-histogram AUC approximation."""
+    projected = events.select(
+        score_col.alias("score"),
+        label_col.cast("int").alias("label"),
+        F.col(tiebreak_col),
+    )
+    w = Window.orderBy(F.col("score").asc(), F.col(tiebreak_col).asc())
+    ranked = projected.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        (
+            (
+                F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0)).cast("double")
+                - F.sum("label").cast("double") * (F.sum("label") + 1) / 2.0
+            )
+            / (
+                F.sum("label").cast("double")
+                * (F.count(F.lit(1)) - F.sum("label")).cast("double")
+            )
+        ).alias("auc")
+    )
+
+
+def sequence_next_node(
+    events: DataFrame,
+    base_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """sequenceNextNode-style: distribution of the event type that
+    immediately FOLLOWS ``base_type`` per user stream (lead over the
+    user-time order, then a count per next type)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    nxt = events.select(
+        F.col(type_col), F.lead(type_col).over(w).alias("next_type")
+    )
+    return (
+        nxt.filter((F.col(type_col) == base_type) & F.col("next_type").isNotNull())
+        .groupBy("next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def interval_length_sum(
+    events: DataFrame,
+    length_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """intervalLengthSum (reference AggregateFunctionIntervalLengthSum):
+    per user, the total length of the UNION of [ts, ts+length) intervals —
+    overlaps merged via the islands pattern (running max of interval end),
+    all window/aggregate ops, no kernel."""
+    start = F.unix_micros(F.col(ts_col))
+    with_end = events.select(
+        user_col, F.col(id_col), start.alias("s"), (start + length_us).alias("e")
+    )
+    w = Window.partitionBy(user_col).orderBy(F.col("s").asc(), F.col(id_col).asc())
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = with_end.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy(user_col, "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return per_island.groupBy(user_col).agg(F.sum("len").alias("total_us"))
 
 
 def session_split(

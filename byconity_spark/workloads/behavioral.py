@@ -16,8 +16,11 @@ from pyspark.sql import functions as F
 
 from byconity_spark.engine.catalog import load_table
 from byconity_spark.udafs.behavioral import (
+    auc,
+    interval_length_sum,
     retention,
     sequence_match,
+    sequence_next_node,
     session_split,
     window_funnel,
 )
@@ -122,6 +125,90 @@ def beh_sequence_match(spark: SparkSession, sf: str) -> DataFrame:
             F.col("event_type") == "purchase",
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# AUC: purchase-propensity of the value score (rank-sum formulation).
+# --------------------------------------------------------------------------
+@register(
+    "beh_auc",
+    oracle="""
+    WITH ranked AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+             row_number() OVER (ORDER BY value, event_id) AS rnk
+      FROM events
+    )
+    SELECT (sum(CASE WHEN label = 1 THEN rnk ELSE 0 END)::DOUBLE
+              - sum(label)::DOUBLE * (sum(label) + 1) / 2.0)
+           / (sum(label)::DOUBLE * (count(*) - sum(label))::DOUBLE) AS auc
+    FROM ranked
+    """,
+)
+def beh_auc(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _ev(spark, sf)
+    return auc(ev, F.col("value"), F.col("event_type") == "purchase")
+
+
+# --------------------------------------------------------------------------
+# sequenceNextNode: what follows a signup?
+# --------------------------------------------------------------------------
+@register(
+    "beh_next_after_signup",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT next_type, count(*) AS n
+    FROM nxt WHERE event_type = 'signup' AND next_type IS NOT NULL
+    GROUP BY next_type
+    """,
+)
+def beh_next_after_signup(spark: SparkSession, sf: str) -> DataFrame:
+    return sequence_next_node(_ev(spark, sf), base_type="signup")
+
+
+# --------------------------------------------------------------------------
+# intervalLengthSum: union length of 5-minute activity intervals per user.
+# --------------------------------------------------------------------------
+@register(
+    "beh_interval_length_sum",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island,
+             event_id
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island, max(e) - min(s) AS len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, sum(len) AS total_us FROM per_island GROUP BY user_id
+    """,
+)
+def beh_interval_length_sum(spark: SparkSession, sf: str) -> DataFrame:
+    return interval_length_sum(_ev(spark, sf), length_us=300_000_000)
 
 
 # --------------------------------------------------------------------------

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 from byconity_spark.engine.catalog import load_table
 from byconity_spark.llm import (
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     attach_binary_payload,
+    elementwise_centroids,
     exact_dedup,
     extract_features,
     doc_fingerprint,
@@ -207,6 +209,35 @@ def ann_lsh_topk_query(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_lsh_topk(emb, queries, k=10)
+
+
+# ------------------------------------------ centroids (avgForEach shape)
+@register(
+    "ann_label_centroids",
+    oracle="""
+    WITH x AS (
+      SELECT label, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    per_dim AS (
+      SELECT label, pos, avg(v) AS m FROM x GROUP BY label, pos
+    )
+    SELECT label, list(m ORDER BY pos) AS centroid
+    FROM per_dim GROUP BY label
+    """,
+)
+def ann_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    return elementwise_centroids(_emb(spark, sf))
+
+
+# ------------------------------------------------------------- ANN (IVF)
+@register("ann_ivf_topk")  # rows-only: recall pytest in tests/test_llm.py
+def ann_ivf_topk_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(emb, queries, k=10, nprobe=6)
 
 
 # ------------------------------------------------------------- multimodal

@@ -268,6 +268,99 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------- q12: dual conditional aggregation (shipmode absent -> priority)
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT year(l.l_shipdate) AS ship_year,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY year(l.l_shipdate)
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ------------------ q16: NOT IN subquery (anti join) + count distinct
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type NOT LIKE 'PROMO%'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%7%')
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(~F.col("p_type").like("PROMO%"))
+    bad_supp = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    return (
+        l.join(bad_supp, l.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, p.p_partkey == l.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------- q20: IN subquery with HAVING (semi join on aggregate)
+@register(
+    "q20_bulk_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size < 15
+        AND l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+      GROUP BY l.l_suppkey HAVING sum(l.l_quantity) > 100
+    )
+    """,
+)
+def q20_bulk_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_size") < 15)
+    bulk = (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi").select(
+        "s_name", "s_acctbal"
+    )
+
+
 # ------------------- q8: market share (conditional agg over join tree)
 @register(
     "q8_market_share",

@@ -73,6 +73,24 @@ def test_simhash_banding_equals_bruteforce(docs):
     assert banded == brute
 
 
+def test_ann_ivf_recall(emb):
+    from byconity_spark.llm import ann_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in ann_bruteforce_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_ivf_topk(emb, queries, k=10, nprobe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF ANN recall {recall:.2f} < 0.8"
+
+
 def test_ann_lsh_recall(emb):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
