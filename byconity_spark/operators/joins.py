@@ -128,6 +128,33 @@ def any_join(
     return left.join(deduped, on=keys, how=how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi join: the (large, skewed) left side is split into
+    ``n_salts`` sub-streams per key by hashing ``salt_from`` (any
+    high-cardinality left column), and the right side is replicated once
+    per salt — so a hot key's rows spread over n_salts tasks instead of
+    one straggler.  AQE's skew-join split handles moderate skew
+    automatically; this is the explicit tool for pathological keys.
+
+    Semantically identical to ``left.join(right, on, how)`` for inner/left
+    joins (verified by tests/test_operators.py)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_salted, on=[*keys, "__salt"], how=how).drop("__salt")
+
+
 def quantified_compare(
     df: DataFrame,
     value: Column,

@@ -305,6 +305,16 @@ def semi_anti_counts(spark: SparkSession, sf: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
+# -------------------------------------------- ReadNothing (empty source)
+@register(
+    "read_nothing",
+    oracle="SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0",
+)
+def read_nothing(spark: SparkSession, sf: str) -> DataFrame:
+    """Empty source with a stable schema (ReadNothingStep.h:23)."""
+    return spark.range(0).select(F.col("id").cast("bigint").alias("id"))
+
+
 # ------------------------------------------------------------- SAMPLE
 @register("sample_lineitem")  # rows-only: sampling is engine-specific
 def sample_lineitem(spark: SparkSession, sf: str) -> DataFrame:

@@ -60,6 +60,33 @@ def test_any_join_prefers_ordering(spark):
     assert out.collect()[0].w == 30
 
 
+# ------------------------------------------------------------- salted join
+def test_salted_join_equivalence(spark):
+    from byconity_spark.operators.joins import salted_join
+
+    left = _df(
+        spark,
+        [(i, 1 if i < 90 else i) for i in range(100)],  # key 1 is hot
+        "id int, k int",
+    )
+    right = _df(spark, [(1, "hot"), (95, "cold")], "k int, v string")
+    plain = {(r.id, r.v) for r in left.join(right, "k", "inner").collect()}
+    salted = {
+        (r.id, r.v)
+        for r in salted_join(left, right, "k", salt_from="id", n_salts=4).collect()
+    }
+    assert salted == plain
+
+    plain_left = {
+        (r.id, r.v) for r in left.join(right, "k", "left").collect()
+    }
+    salted_left = {
+        (r.id, r.v)
+        for r in salted_join(left, right, "k", salt_from="id", n_salts=4, how="left").collect()
+    }
+    assert salted_left == plain_left
+
+
 # ----------------------------------------------- quantified comparison NULLs
 @pytest.mark.parametrize(
     "sub_rows,op,quant,expected_keys",
