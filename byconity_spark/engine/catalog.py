@@ -140,6 +140,22 @@ def _physical_schema(name: str) -> T.StructType:
 BROADCAST_DIMS = {"region", "nation"}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The engine's correctness-critical RUNTIME confs, applied defensively
+    so tables read identically even from a session we didn't build (e.g.
+    the verification driver's own SparkSession): ns-timestamp scan support
+    and the UTC session timezone the oracles assume."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — get_spark() already set it
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one engine table with its DECLARED schema (never inference).
 
@@ -150,6 +166,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read as raw longs and converted to microsecond timestamps in-plan (a
     cheap codegen'd projection, still column-pruned at the scan).
     """
+    _ensure_session_confs(spark)
     if name not in TABLES:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     df = spark.read.schema(_physical_schema(name)).parquet(f"{sf_dir}/{name}.parquet")
