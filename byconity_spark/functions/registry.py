@@ -146,6 +146,19 @@ def _extract_url_parameter(c: Column, name: str) -> Column:
     return F.coalesce(F.parse_url(c, F.lit("QUERY"), F.lit(name)), F.lit(""))
 
 
+def _char_ngrams(c: Column, n: int) -> Column:
+    """Distinct char n-gram shingles of a string column."""
+    return F.when(
+        F.length(c) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (n - 1)),
+                lambda i: F.substring(c, i, n),
+            )
+        ),
+    ).otherwise(F.array(c))
+
+
 def _array_sum(c: Column) -> Column:
     return F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
 
@@ -363,6 +376,38 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "arrayMin": F.array_min,
     "arrayMax": F.array_max,
     "emptyArrayString": lambda: F.array().cast("array<string>"),
+    # running sum over array positions; O(n^2) via slice+aggregate (Spark
+    # has no scan HOF) — fine for typical in-row arrays, not a hot path.
+    # NB pass a plain column ref: inline exprs re-evaluate per element.
+    "arrayCumSum": lambda arr: F.when(
+        F.size(arr) > 0,  # sequence(1,0) would count DOWN on empty input
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda i: F.aggregate(
+                F.slice(arr, F.lit(1), i), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<double>")),
+    "arrayDifference": lambda arr: F.when(
+        F.size(arr) > 0,
+        F.zip_with(
+            arr,
+            F.concat(F.array(F.lit(None)), F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))),
+            lambda cur, prev: F.coalesce(cur - prev, F.lit(0.0) * cur),
+        ),
+    ).otherwise(F.array().cast("array<double>")),
+    # char 4-gram Jaccard DISTANCE in [0,1] (FunctionsStringSimilarity.cpp
+    # ngramDistance analogue; distinct-shingle variant)
+    "ngramDistance": lambda a, b: 1
+    - F.size(
+        F.array_intersect(_char_ngrams(a, 4), _char_ngrams(b, 4))
+    ).cast("double")
+    / F.greatest(
+        F.size(_char_ngrams(a, 4))
+        + F.size(_char_ngrams(b, 4))
+        - F.size(F.array_intersect(_char_ngrams(a, 4), _char_ngrams(b, 4))),
+        F.lit(1),
+    ),
     # ---- maps / tuples (map.cpp, mapKeys/mapValues; tuple -> struct)
     "map": F.create_map,
     "mapKeys": F.map_keys,

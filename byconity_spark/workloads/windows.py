@@ -165,6 +165,49 @@ def win_distribution_by_type(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# nonNegativeDerivative + deltaSum: rate-of-change per second (clamped at 0)
+# and the per-user sum of positive increments (WindowTransform.cpp :2331
+# nonNegativeDerivative registration; AggregateFunctionDeltaSum).
+# --------------------------------------------------------------------------
+@register(
+    "win_derivative_delta",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(value) OVER w AS prev_v,
+             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id,
+           sum(greatest(value - prev_v, 0.0))     AS delta_sum,
+           max(greatest((value - prev_v) / ((us - prev_us) / 1000000.0), 0.0))
+                                                  AS max_rate_per_sec
+    FROM d WHERE prev_v IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def win_derivative_delta(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    d = ev.select(
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+    ).filter(F.col("prev_v").isNotNull())
+    diff = F.col("value") - F.col("prev_v")
+    rate = diff / ((F.col("us") - F.col("prev_us")) / 1_000_000.0)
+    return d.groupBy("user_id").agg(
+        F.sum(F.greatest(diff, F.lit(0.0))).alias("delta_sum"),
+        F.max(F.greatest(rate, F.lit(0.0))).alias("max_rate_per_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Sessionization via lag-gap flags: a new session starts after a >30 min
 # silence.  The window form of ByConity's sessionSplit UDAF
 # (AggregateFunctionSessionSplit.cpp) — the applyInPandas kernel variant

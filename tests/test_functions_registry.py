@@ -125,6 +125,25 @@ def test_scalar_functions_roundtrip(spark):
     assert r.lastw == "World"
 
 
+def test_array_cumsum_difference_ngram(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], "hello world", "hello wxrld")],
+        "arr array<double>, a string, b string",
+    )
+    r = _one(
+        df.select(
+            ch("arrayCumSum", F.col("arr")).alias("cs"),
+            ch("arrayDifference", F.col("arr")).alias("ad"),
+            ch("ngramDistance", F.col("a"), F.col("a")).alias("same"),
+            ch("ngramDistance", F.col("a"), F.col("b")).alias("near"),
+        )
+    )
+    assert r.cs == [1.0, 3.0, 6.0]
+    assert r.ad == [0.0, 1.0, 1.0]
+    assert r.same == 0.0
+    assert 0.0 < r.near < 1.0
+
+
 def test_json_and_url(spark):
     df = spark.createDataFrame(
         [('{"k": 42, "s": "hi"}', "https://ex.org/a/b?x=1&y=2#frag")],

@@ -1,0 +1,75 @@
+"""Plan-shape contract tests — the 100 TB design assertions, pinned:
+filters reach the parquet scan, group-limits push below shuffles, equi
+joins never degrade to cartesian products, and no SF-linear table carries a
+forced broadcast hint (AQE/threshold decides from runtime sizes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import load_table
+from byconity_spark.workloads import all_queries
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pushed_filters_reach_scan(spark):
+    q6 = all_queries()["q6_forecast_revenue"].builder(spark, SF_DIR)
+    plan = _plan(q6)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_limit_by_uses_window_group_limit(spark):
+    """row_number()<=n per key must compile to a partial group-limit below
+    the shuffle (InferWindowGroupLimit — ByConity
+    FilterWindowToPartitionTopN.h analogue)."""
+    q = all_queries()["op_limit_by_segment_top3"].builder(spark, SF_DIR)
+    assert "WindowGroupLimit" in _plan(q)
+
+
+def test_equi_joins_never_cartesian(spark):
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume", "llm_minhash_dedup"]:
+        plan = _plan(all_queries()[name].builder(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name} degraded to cartesian"
+
+
+def test_no_forced_broadcast_of_linear_tables():
+    """Source-level contract: customer/supplier/part/orders/lineitem never
+    get an explicit broadcast() hint (they grow with SF)."""
+    import pathlib
+    import re
+
+    bad = []
+    for p in pathlib.Path("byconity_spark/workloads").glob("*.py"):
+        src = p.read_text()
+        for m in re.finditer(r"F\.broadcast\((\w+)\)", src):
+            arg = m.group(1)
+            if arg in {"c", "cust", "customer", "s", "sup", "supplier", "p", "part", "o", "orders", "l", "li", "lineitem"}:
+                bad.append(f"{p.name}: broadcast({arg})")
+    assert not bad, bad
+
+
+def test_topn_fuses_take_ordered(spark):
+    q3 = all_queries()["q3_shipping_priority"].builder(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in _plan(q3)
+
+
+def test_trivial_count_reads_no_data(spark):
+    """trivial_count must not produce a parquet scan node at all."""
+    from byconity_spark.plans.trivial_count import table_row_count
+
+    df = table_row_count(spark, SF_DIR, "lineitem")
+    assert "FileScan parquet" not in _plan(df)
+    n_scan = load_table(spark, SF_DIR, "lineitem").count()
+    assert df.collect()[0].n_rows == n_scan
