@@ -480,6 +480,7 @@ AGG: dict[str, Callable[..., Column]] = {
     "uniq": F.approx_count_distinct,
     "uniqExact": F.countDistinct,
     "uniqHLL12": F.approx_count_distinct,
+    "uniqUpTo": lambda n, c: F.least(F.countDistinct(c), F.lit(n + 1)),
     "median": lambda c: F.percentile(c, F.lit(0.5)),
     "quantile": lambda level, c: F.percentile_approx(c, level),
     "quantileExact": lambda level, c: F.percentile(c, F.lit(level)),

@@ -129,12 +129,12 @@ def fn_string_suite(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS ret_price,
            coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
     FROM lineitem
-    WHERE l_shipdate >= DATE '1998-01-01'
+    WHERE l_shipdate >= DATE '1998-06-01'
     """,
 )
 def fn_math_cond_suite(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") >= F.lit("1998-01-01").cast("date")
+        F.col("l_shipdate") >= F.lit("1998-06-01").cast("date")
     )
     q = F.col("l_quantity")
     ep = F.col("l_extendedprice")

@@ -305,6 +305,63 @@ def semi_anti_counts(spark: SparkSession, sf: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
+# -------------------------------------------------- FULL OUTER JOIN
+@register(
+    "full_outer_customer_supplier",
+    oracle="""
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           count(c.c_custkey) AS n_cust,
+           count(s.s_suppkey) AS n_supp
+    FROM (SELECT c_nationkey AS nationkey, c_custkey FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, s_suppkey FROM supplier WHERE s_acctbal > 9000) s
+      ON c.nationkey = s.nationkey
+    GROUP BY 1
+    """,
+)
+def full_outer_customer_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk_c"), "c_custkey")
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nk_s"), "s_suppkey")
+    )
+    j = c.join(s, c.nk_c == s.nk_s, "full_outer")
+    return j.groupBy(
+        F.coalesce("nk_c", "nk_s").alias("nationkey")
+    ).agg(F.count("c_custkey").alias("n_cust"), F.count("s_suppkey").alias("n_supp"))
+
+
+# ------------------------------------- explicit sort-merge join (hint)
+@register(
+    "smj_order_lineitem_totals",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n, sum(l.l_quantity) AS qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= DATE '1997-06-01' AND o.o_orderdate < DATE '1997-09-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def smj_order_lineitem_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Forced SortMergeJoin (merge hint) — the spill-safe strategy for
+    joins where neither side fits in memory (GraceHashJoin.h analogue;
+    Spark SMJ spills both sides)."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-06-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-09-01").cast("date"))
+    )
+    l = _t(spark, sf, "lineitem")
+    return (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+    )
+
+
 # -------------------------------------------- ReadNothing (empty source)
 @register(
     "read_nothing",

@@ -268,6 +268,40 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q2-shape: correlated min over a join (min-cost supplier, adapted:
+# no partsupp -> suppliers linked through lineitem, cost = s_acctbal)
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l.l_partkey AS partkey, s.s_suppkey, s.s_name, s.s_acctbal
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    mins AS (SELECT partkey, min(s_acctbal) AS min_bal FROM ps GROUP BY partkey)
+    SELECT p.p_partkey, p.p_name, ps.s_name, ps.s_acctbal
+    FROM part p
+    JOIN ps ON ps.partkey = p.p_partkey
+    JOIN mins ON mins.partkey = ps.partkey AND ps.s_acctbal = mins.min_bal
+    WHERE p.p_size < 5
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(F.col("p_size") < 5)
+    ps = (
+        l.join(s, s.s_suppkey == l.l_suppkey)
+        .select(F.col("l_partkey").alias("partkey"), "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    mins = ps.groupBy("partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        p.join(ps, ps.partkey == p.p_partkey)
+        .join(mins, (mins.partkey == ps.partkey) & (ps.s_acctbal == mins.min_bal))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+
+
 # ------- q12: dual conditional aggregation (shipmode absent -> priority)
 @register(
     "q12_priority_shipping",
