@@ -63,6 +63,8 @@ def get_spark(app_name: str = "byconity-spark", extra_conf: dict | None = None) 
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- runtime (bloom) filters, ByConity AddRuntimeFilters.h analogue
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # --- bucketed (CLUSTER BY) tables live under /tmp, not the repo
+        .config("spark.sql.warehouse.dir", "/tmp/byconity_spark_warehouse")
         # quiet progress bars in benchmark output
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -17,6 +17,9 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +39,36 @@ def create_table_as(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def create_bucketed_table(
+    df: DataFrame,
+    name: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """CLUSTER BY analogue (reference: bucket-level keys
+    MergeTreeSettings.h:453, BUCKET_REPARTITION ExchangeMode.h:34): a
+    catalog table bucketed on the join/agg key.  Two tables bucketed the
+    same way join WITHOUT a shuffle — the 100 TB co-located join strategy
+    (verified by tests/test_writes.py: the join plan has no Exchange)."""
+    if mode == "overwrite":
+        # a previous session's managed-table directory survives the
+        # in-memory catalog — clear both catalog entry and location
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:") :]
+        loc = os.path.join(warehouse, name.lower())
+        if warehouse and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
 
 
 def insert_into(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

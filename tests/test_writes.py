@@ -50,6 +50,39 @@ def test_ctas_partition_layout(spark, tmp_path):
     assert read_back(spark, path).count() == 4
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Two tables bucketed identically on the join key must join with NO
+    Exchange (the co-located join that replaces a 100 TB shuffle)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from byconity_spark.engine.write import create_bucketed_table
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    create_bucketed_table(a, "bt_a", 4, ["k"], sort_cols=["k"])
+    create_bucketed_table(b, "bt_b", 4, ["k"], sort_cols=["k"])
+    # merge hint: broadcast would win on this tiny fixture and hide the
+    # bucketing effect we are asserting
+    joined = spark.table("bt_a").hint("merge").join(spark.table("bt_b"), "k")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+    assert "SortMergeJoin" in plan
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_catalog_schema_enforced(spark, tmp_path):
     """A drifted parquet file (string where the catalog declares timestamp)
     must fail at read, not be silently inferred (ADVICE r01 item 1)."""
