@@ -481,6 +481,10 @@ AGG: dict[str, Callable[..., Column]] = {
     "uniqExact": F.countDistinct,
     "uniqHLL12": F.approx_count_distinct,
     "uniqUpTo": lambda n, c: F.least(F.countDistinct(c), F.lit(n + 1)),
+    "uniqCombined": F.approx_count_distinct,
+    "quantileTiming": lambda level, c: F.percentile_approx(c, level),
+    "avgWeighted": lambda x, w: F.sum(x * w) / F.sum(w),
+    "boundingRatio": lambda x, y: (F.max(y) - F.min(y)) / (F.max(x) - F.min(x)),
     "median": lambda c: F.percentile(c, F.lit(0.5)),
     "quantile": lambda level, c: F.percentile_approx(c, level),
     "quantileExact": lambda level, c: F.percentile(c, F.lit(level)),

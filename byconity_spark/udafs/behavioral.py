@@ -181,6 +181,56 @@ def sequence_match(
     )
 
 
+def sequence_count_core(types: np.ndarray, pattern: list) -> int:
+    """Greedy non-overlapping ordered-chain counter over a time-sorted
+    event-type array.  Greedy earliest-advance is optimal for the maximum
+    number of disjoint chains (property-tested vs exhaustive DP)."""
+    stage = 0
+    count = 0
+    k = len(pattern)
+    for t in types:
+        if t == pattern[stage]:
+            stage += 1
+            if stage == k:
+                count += 1
+                stage = 0
+    return count
+
+
+def sequence_count(
+    events: DataFrame,
+    pattern: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)...')``: per user, how many
+    NON-OVERLAPPING ordered chains of the pattern occur."""
+    pattern = list(pattern)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = _us(pdf[ts_col])
+        ids = pdf[id_col].to_numpy()
+        frame = pd.DataFrame(
+            {"u": pdf[user_col].to_numpy(), "ts": ts, "id": ids, "tp": pdf[type_col].to_numpy()}
+        )
+        users, counts = [], []
+        for u, g in frame.groupby("u", sort=False):
+            g = g.sort_values(["ts", "id"], kind="stable")
+            users.append(u)
+            counts.append(sequence_count_core(g["tp"].to_numpy(), pattern))
+        return pd.DataFrame(
+            {user_col: users, "n_matches": np.asarray(counts, dtype=np.int64)}
+        )
+
+    return (
+        _bucketed(events, user_col, [ts_col, type_col, id_col], 64)
+        .groupBy("__b")
+        .applyInPandas(kernel, schema=f"{user_col} long, n_matches long")
+    )
+
+
 def auc(
     events: DataFrame,
     score_col: Column,

@@ -146,6 +146,41 @@ def agg_group_arrays(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ histogram (fixed-width bins)
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           avg(value) AS bin_avg
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50.0).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("bin_avg"))
+
+
+# -------------------------------------------------- weighted aggregates
+@register(
+    "agg_weighted",
+    oracle="""
+    SELECT event_type,
+           sum(value * (user_id + 1)) / sum(user_id + 1) AS wavg
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = F.col("user_id") + 1
+    return ev.groupBy("event_type").agg(
+        ch("avgWeighted", F.col("value"), w).alias("wavg")
+    )
+
+
 # ------------------------------------------------------------ statistics
 @register(
     "agg_statistics",

@@ -19,6 +19,7 @@ from byconity_spark.udafs.behavioral import (
     auc,
     interval_length_sum,
     retention,
+    sequence_count,
     sequence_match,
     sequence_next_node,
     session_split,
@@ -125,6 +126,16 @@ def beh_sequence_match(spark: SparkSession, sf: str) -> DataFrame:
             F.col("event_type") == "purchase",
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# sequenceCount: non-overlapping signup->purchase chains per user
+# (greedy core property-tested vs exhaustive DP; the count itself is not
+# ANSI-SQL-expressible -> rows-only driver check).
+# --------------------------------------------------------------------------
+@register("beh_sequence_count")
+def beh_sequence_count(spark: SparkSession, sf: str) -> DataFrame:
+    return sequence_count(_ev(spark, sf), pattern=["signup", "purchase"])
 
 
 # --------------------------------------------------------------------------

@@ -75,6 +75,39 @@ def test_subsequence_matches_exhaustive(events):
     assert subsequence_matched(per_cond) == _brute_subseq(events, "AB")
 
 
+def _brute_max_disjoint_chains(types: list[str], pattern: list[str]) -> int:
+    """Exhaustive DP: maximum number of disjoint ordered chains."""
+    from functools import lru_cache
+
+    n, k = len(types), len(pattern)
+
+    @lru_cache(maxsize=None)
+    def rec(i: int, stage: int, done: int) -> int:
+        if i == n:
+            return done
+        best = rec(i + 1, stage, done)  # skip event
+        if types[i] == pattern[stage]:
+            if stage + 1 == k:
+                best = max(best, rec(i + 1, 0, done + 1))
+            else:
+                best = max(best, rec(i + 1, stage + 1, done))
+        return best
+
+    return rec(0, 0, 0)
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=events_strategy)
+def test_sequence_count_greedy_is_optimal(events):
+    import numpy as np
+
+    from byconity_spark.udafs.behavioral import sequence_count_core
+
+    types = [e for _, e in sorted(events)]
+    greedy = sequence_count_core(np.array(types, dtype=object), ["A", "B"])
+    assert greedy == _brute_max_disjoint_chains(tuple(types), ["A", "B"])
+
+
 # ------------------------------------------------------------- Spark sanity
 def test_session_split_roundtrip(spark):
     from byconity_spark.udafs.behavioral import session_split
