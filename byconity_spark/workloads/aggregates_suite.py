@@ -146,6 +146,30 @@ def agg_group_arrays(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----------------------------------- decimal money math (SURVEY §1.2:
+# Decimal64(s) -> DecimalType(18,s); exact integer-scaled arithmetic)
+@register(
+    "agg_decimal_money",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))   AS total,
+           min(CAST(o_totalprice AS DECIMAL(18,2)))   AS lo,
+           max(CAST(o_totalprice AS DECIMAL(18,2)))   AS hi,
+           count(*)                                   AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_decimal_money(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    money = ch("toDecimal64", F.col("o_totalprice"), 2)
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(money).alias("total"),
+        F.min(money).alias("lo"),
+        F.max(money).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ------------------------------------------ histogram (fixed-width bins)
 @register(
     "agg_histogram",
