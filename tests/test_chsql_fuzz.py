@@ -1,0 +1,64 @@
+"""Fuzz the CH-SQL rewriter: on inputs containing no rule names it must be
+the identity, and on arbitrary balanced inputs it must never crash or
+corrupt string literals."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from byconity_spark.frontend import rewrite_ch_sql
+from byconity_spark.frontend.sql import PARAMETRIC, RULES
+
+_safe_ident = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+).filter(lambda s: s not in RULES and s not in PARAMETRIC)
+
+_fragment = st.one_of(
+    _safe_ident,
+    st.sampled_from([" ", ", ", " = ", " > ", "SELECT ", " FROM ", "(", ")", "1", "*"]),
+    st.text(alphabet="abc XY1%_.", max_size=6).map(lambda s: "'" + s.replace("'", "") + "'"),
+)
+
+
+def _balanced(sql: str) -> bool:
+    depth = 0
+    in_q: str | None = None
+    for ch_ in sql:
+        if in_q:
+            if ch_ == in_q:
+                in_q = None
+            continue
+        if ch_ in "'\"":
+            in_q = ch_
+        elif ch_ == "(":
+            depth += 1
+        elif ch_ == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and in_q is None
+
+
+@settings(max_examples=500, deadline=None)
+@given(parts=st.lists(_fragment, max_size=25))
+def test_rewriter_identity_without_rule_names(parts):
+    sql = "".join(parts)
+    if not _balanced(sql):
+        return
+    assert rewrite_ch_sql(sql) == sql
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    fn=st.sampled_from(["toYear", "uniq", "countIf", "lower"]),
+    ident=_safe_ident,
+    lit=st.text(alphabet="abc toYear(x)", max_size=12).map(
+        lambda s: "'" + s.replace("'", "") + "'"
+    ),
+)
+def test_rewriter_preserves_string_literals(fn, ident, lit):
+    sql = f"SELECT {fn}({ident}), {lit} FROM t"
+    out = rewrite_ch_sql(sql)
+    assert lit in out  # literals pass through byte-identical
+    assert out.endswith(" FROM t")
