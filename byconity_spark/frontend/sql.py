@@ -227,8 +227,69 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
 _IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 
 
+def _depth0_find(sql: str, needle: str, start: int = 0) -> int:
+    """Index of a case-insensitive keyword occurrence at paren depth 0 and
+    outside string literals; -1 if absent."""
+    depth = 0
+    i = start
+    n = len(sql)
+    low = sql.lower()
+    nlow = needle.lower()
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith(nlow, i):
+            before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            j = i + len(needle)
+            after_ok = j >= n or not (sql[j].isalnum() or sql[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """ClickHouse ``... ORDER BY <o> LIMIT <n> BY <cols> [LIMIT <m>]`` ->
+    row_number window subquery (reference LimitByStep.h:23).  Only rewrites
+    a top-level LIMIT BY; requires an explicit ORDER BY so the per-group
+    choice is deterministic."""
+    import re
+
+    i_order = _depth0_find(sql, "ORDER BY")
+    i_limit = -1 if i_order < 0 else _depth0_find(sql, "LIMIT", i_order)
+    if i_limit < 0:
+        return sql
+    m = re.match(r"LIMIT\s+(\d+)\s+BY\s+", sql[i_limit:], re.IGNORECASE)
+    if not m:
+        return sql
+    n_per_group = int(m.group(1))
+    cols_start = i_limit + m.end()
+    i_final_limit = _depth0_find(sql, "LIMIT", cols_start)
+    if i_final_limit >= 0:
+        cols = sql[cols_start:i_final_limit].strip().rstrip(",")
+        tail = " " + sql[i_final_limit:].strip()
+    else:
+        cols = sql[cols_start:].strip()
+        tail = ""
+    core = sql[:i_order].strip()
+    order = sql[i_order + len("ORDER BY") : i_limit].strip()
+    return (
+        f"SELECT * EXCEPT(__rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {cols} ORDER BY {order}) AS __rn "
+        f"FROM ({core})"
+        f") WHERE __rn <= {n_per_group} ORDER BY {order}{tail}"
+    )
+
+
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
+    sql = _rewrite_limit_by(sql)
     out = []
     i = 0
     n = len(sql)

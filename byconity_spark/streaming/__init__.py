@@ -6,7 +6,7 @@ from byconity_spark.streaming.ingest import (  # noqa: F401
     kafka_stream,
     parquet_dir_stream,
 )
-from byconity_spark.streaming.mv import MaterializedView  # noqa: F401
+from byconity_spark.streaming.mv import AggMaterializedView, MaterializedView  # noqa: F401
 from byconity_spark.streaming.transforms import (  # noqa: F401
     hourly_counts,
     session_windows,

@@ -47,6 +47,58 @@ class MaterializedView:
         return spark.read.parquet(self.target_path)
 
 
+@dataclass
+class AggMaterializedView:
+    """Aggregate MV with ROLLUP REWRITE (reference:
+    src/Optimizer/Rewriter/MaterializedViewRewriter.h — the query-rewrite
+    capability Catalyst lacks): the MV stores measures grouped by ``dims``;
+    any query grouping by a SUBSET of dims with the same measures is
+    answered by RE-AGGREGATING THE MV (sum of sums, sum of counts, min of
+    mins, max of maxes; avg = re-derived from sum+count) — never touching
+    the fact table.  At 100 TB that turns a fact scan into an MV scan that
+    is smaller by the rollup factor."""
+
+    name: str
+    source: Callable[[SparkSession], DataFrame]
+    dims: list[str]
+    #: measure name -> (op, source column); op in {sum, count, min, max}
+    measures: dict[str, tuple[str, str]]
+    target_path: str
+
+    _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def refresh(self, spark: SparkSession) -> None:
+        from pyspark.sql import functions as F
+
+        src = self.source(spark)
+        aggs = []
+        for out, (op, col) in self.measures.items():
+            fn = getattr(F, op)
+            aggs.append(
+                (fn(F.lit(1)) if op == "count" and col == "*" else fn(col)).alias(out)
+            )
+        src.groupBy(*self.dims).agg(*aggs).write.mode("overwrite").parquet(
+            self.target_path
+        )
+
+    def answer(
+        self, spark: SparkSession, group_cols: list[str], measure_names: list[str]
+    ) -> DataFrame:
+        """Answer GROUP BY group_cols ⊆ dims with the requested measures
+        from the MV alone."""
+        from pyspark.sql import functions as F
+
+        missing = set(group_cols) - set(self.dims)
+        if missing:
+            raise ValueError(f"MV {self.name} cannot answer: dims {missing} not stored")
+        mv = spark.read.parquet(self.target_path)
+        aggs = []
+        for mname in measure_names:
+            op, _ = self.measures[mname]
+            aggs.append(getattr(F, self._REAGG[op])(mname).alias(mname))
+        return mv.groupBy(*group_cols).agg(*aggs)
+
+
 def _sql_list(values: list) -> str:
     out = []
     for v in values:

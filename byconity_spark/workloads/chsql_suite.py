@@ -68,6 +68,29 @@ def chsql_order_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "chsql_limit_by",
+    oracle="""
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn <= 2
+    """,
+)
+def chsql_limit_by(spark: SparkSession, sf: str) -> DataFrame:
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT user_id, event_type, count() AS n
+        FROM events GROUP BY user_id, event_type
+        ORDER BY n DESC, user_id LIMIT 2 BY event_type
+        """,
+    )
+
+
+@register(
     "chsql_json_match",
     oracle="""
     SELECT CAST(props->>'$.k' AS BIGINT) AS k,

@@ -11,7 +11,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from byconity_spark.streaming import events_file_stream, hourly_counts, session_windows
+from byconity_spark.streaming import (
+    AggMaterializedView,
+    events_file_stream,
+    hourly_counts,
+    session_windows,
+)
 from byconity_spark.workloads import register
 
 
@@ -41,6 +46,39 @@ def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
 def stream_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     stream = events_file_stream(spark, sf)
     return _run_to_memory(hourly_counts(stream))
+
+
+@register(
+    "mv_rollup_rewrite",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)          AS n_orders,
+           sum(o_totalprice) AS total,
+           max(o_totalprice) AS biggest
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def mv_rollup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Build an MV grouped by (status, priority), then answer the
+    status-only query purely from the MV via rollup re-aggregation."""
+    import hashlib
+
+    from byconity_spark.engine.catalog import load_table
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    mv = AggMaterializedView(
+        name="orders_by_status_priority",
+        source=lambda s: load_table(s, sf, "orders"),
+        dims=["o_orderstatus", "o_orderpriority"],
+        measures={
+            "n_orders": ("count", "*"),
+            "total": ("sum", "o_totalprice"),
+            "biggest": ("max", "o_totalprice"),
+        },
+        target_path=f"/tmp/byconity_spark_mv/orders_sp_{tag}",
+    )
+    mv.refresh(spark)
+    return mv.answer(spark, ["o_orderstatus"], ["n_orders", "total", "biggest"])
 
 
 @register(

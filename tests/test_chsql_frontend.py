@@ -65,6 +65,21 @@ def test_multi_if_chain():
     )
 
 
+def test_limit_by_clause_rewrite():
+    out = rewrite_ch_sql(
+        "SELECT k, v FROM t ORDER BY v DESC, k LIMIT 2 BY k LIMIT 10"
+    )
+    assert "row_number() OVER (PARTITION BY k ORDER BY v DESC, k)" in out
+    assert "__rn <= 2" in out
+    assert out.strip().endswith("LIMIT 10")
+    # no top-level LIMIT BY -> untouched
+    plain = "SELECT k FROM t ORDER BY k LIMIT 5"
+    assert rewrite_ch_sql(plain) == plain
+    # LIMIT BY inside a subquery is not (yet) rewritten at this level
+    sub = "SELECT * FROM (SELECT 1) WHERE x IN (SELECT k FROM t)"
+    assert rewrite_ch_sql(sub) == sub
+
+
 def test_unbalanced_raises():
     with pytest.raises(ChSqlError):
         rewrite_ch_sql("SELECT toYear(ts FROM t")
