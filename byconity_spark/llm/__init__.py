@@ -3,6 +3,8 @@ SimHash / n-gram Jaccard), text analysis, similarity search, multimodal
 binary plumbing."""
 
 from byconity_spark.llm.dedup import (  # noqa: F401
+    connected_components,
+    dedup_keep_list,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,

@@ -209,6 +209,73 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over duplicate-pair edges via iterative
+    min-label propagation (the standard distributed CC pattern — each round
+    is one join+groupBy; converges in O(component diameter) rounds, and
+    near-dup clusters are tiny, so 2-3 rounds in practice).
+
+    Returns (id, comp) where comp = smallest id in the component."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = all_ids.select(F.col(id_col).alias("id")).withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, labels.id == prop.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash-LSH pairs -> connected
+    components -> one keeper (smallest id) per component.  Output:
+    (doc_id, comp, keep) for EVERY document — the actionable keep/drop list
+    a training-data pipeline consumes."""
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
+    )
+    comps = connected_components(pairs, docs.select(F.col(id_col).alias("id")))
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("comp"),
+        (F.col("id") == F.col("comp")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 _SIMHASH_BITS = 64
 

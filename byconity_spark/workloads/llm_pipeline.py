@@ -24,6 +24,7 @@ from byconity_spark.llm import (
     ann_ivf_topk,
     ann_lsh_topk,
     attach_binary_payload,
+    dedup_keep_list,
     elementwise_centroids,
     exact_dedup,
     extract_features,
@@ -104,6 +105,31 @@ def llm_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _docs(spark, sf).filter(F.col("doc_id") < 60), threshold=0.2
     )
+
+
+# ----------------------------------------- CC keep/drop decision list
+@register(
+    "llm_dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT bi.dst, reach.r FROM bi JOIN reach ON bi.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS comp, (id = min(r)) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def llm_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup_keep_list(_docs(spark, sf))
 
 
 # ----------------------------------------------------------------- SimHash
