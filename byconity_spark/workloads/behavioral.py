@@ -223,6 +223,55 @@ def beh_interval_length_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Last-touch attribution (AggregateFunctionAttribution family shape): each
+# purchase credits the latest preceding click/view of the same user;
+# purchases with no prior touch are 'direct'.  Composed from the ASOF-join
+# operator — attribution IS an as-of lookup plus an aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "beh_attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             arg_max(event_type, event_id) AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT coalesce(t.channel, 'direct') AS channel,
+           count(*)       AS n_purchases,
+           sum(p.value)   AS attributed_value
+    FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
+    GROUP BY 1
+    """,
+)
+def beh_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.operators.joins import asof_join
+
+    ev = _ev(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("channel"))
+    )
+    joined = asof_join(
+        purchases, touches, on="user_id", left_time="p_ts", right_time="ts"
+    )
+    return joined.groupBy(
+        F.coalesce("channel", F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("value").alias("attributed_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # sessionSplit(30 min): one row per (user, session) with bounds and totals.
 # --------------------------------------------------------------------------
 @register(
