@@ -82,6 +82,31 @@ def subsequence_matched(per_cond: list[np.ndarray]) -> bool:
     return True
 
 
+def subsequence_matched_gaps(
+    per_cond: list[np.ndarray], max_gaps: list[int]
+) -> bool:
+    """Existence of a strictly increasing chain with per-step gap bounds
+    (ClickHouse ``(?1)(?t<=g1)(?2)...``): step i+1 must satisfy
+    t_i < t_{i+1} <= t_i + max_gaps[i].
+
+    Greedy earliest-match is NOT exact here (an earlier step-i time can
+    make a later gap infeasible while a later one succeeds), so we carry
+    the FULL frontier of feasible step times: feas_{i+1} = all times of
+    cond i+1 that fall in (t, t+g] for some feasible t.  Vectorized via
+    searchsorted interval checks; frontier size is bounded by the per-user
+    event count."""
+    assert len(max_gaps) == len(per_cond) - 1
+    feas = per_cond[0]
+    for nxt, g in zip(per_cond[1:], max_gaps):
+        if len(feas) == 0 or len(nxt) == 0:
+            return False
+        # candidate time c is feasible iff some t in feas has c-g <= t < c
+        lo = np.searchsorted(feas, nxt - g, side="left")
+        hi = np.searchsorted(feas, nxt, side="left")
+        feas = nxt[hi > lo]
+    return len(feas) > 0
+
+
 def _bucketed(events: DataFrame, user_col: str, cols: list[str], n_buckets: int) -> DataFrame:
     return events.select(user_col, *cols).withColumn(
         "__b", F.pmod(F.hash(F.col(user_col)), F.lit(n_buckets))
@@ -150,11 +175,13 @@ def sequence_match(
     conds: Sequence[Column],
     user_col: str = "user_id",
     ts_col: str = "ts",
+    max_gaps_us: Sequence[int] | None = None,
 ) -> DataFrame:
     """ClickHouse ``sequenceMatch('(?1).*(?2)...')(ts, cond1, ..., condk)``:
     per user, TRUE iff events satisfying cond1..condk occur as a strictly
-    time-ordered subsequence.  Greedy earliest-match (exact for existence),
-    vectorized via searchsorted."""
+    time-ordered subsequence.  With ``max_gaps_us`` (length k-1) the
+    pattern carries per-step time bounds — CH ``(?t<=N)`` — solved with
+    the feasible-frontier core (greedy is not exact under gap bounds)."""
     tagged = events.select(
         user_col,
         ts_col,
@@ -173,7 +200,10 @@ def sequence_match(
             order = np.argsort(gts, kind="stable")
             per_cond = [np.asarray(gts[order][masks[i][idx][order]]) for i in range(k)]
             users.append(u)
-            flags.append(bool(subsequence_matched(per_cond)))
+            if max_gaps_us is None:
+                flags.append(bool(subsequence_matched(per_cond)))
+            else:
+                flags.append(bool(subsequence_matched_gaps(per_cond, list(max_gaps_us))))
         return pd.DataFrame({user_col: users, "matched": flags})
 
     return tagged.groupBy("__b").applyInPandas(

@@ -129,6 +129,41 @@ def beh_sequence_match(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# sequenceMatch with per-step time bounds: '(?1)(?t<=2d)(?2)(?t<=2d)(?3)'.
+# Oracle: the existence chain as correlated joins with interval bounds.
+# --------------------------------------------------------------------------
+@register(
+    "beh_sequence_match_gaps",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    m AS (
+      SELECT DISTINCT a.user_id
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click'
+              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 DAY
+      JOIN e c ON c.user_id = a.user_id AND c.event_type = 'purchase'
+              AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 2 DAY
+      WHERE a.event_type = 'signup'
+    )
+    SELECT u.user_id, (m.user_id IS NOT NULL) AS matched
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN m ON u.user_id = m.user_id
+    """,
+)
+def beh_sequence_match_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    two_days = 2 * _DAY_US
+    return sequence_match(
+        _ev(spark, sf),
+        conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        max_gaps_us=[two_days, two_days],
+    )
+
+
+# --------------------------------------------------------------------------
 # sequenceCount: non-overlapping signup->purchase chains per user
 # (greedy core property-tested vs exhaustive DP; the count itself is not
 # ANSI-SQL-expressible -> rows-only driver check).

@@ -75,6 +75,46 @@ def test_subsequence_matches_exhaustive(events):
     assert subsequence_matched(per_cond) == _brute_subseq(events, "AB")
 
 
+def _brute_gap_chain_exists(events, pattern, gaps) -> bool:
+    """Exhaustive search for a strictly increasing chain with per-step gap
+    bounds."""
+    times = sorted(events)
+
+    def rec(stage: int, prev_t: float) -> bool:
+        if stage == len(pattern):
+            return True
+        for t, e in times:
+            if e != pattern[stage]:
+                continue
+            if stage == 0:
+                if rec(1, t):
+                    return True
+            elif prev_t < t <= prev_t + gaps[stage - 1]:
+                if rec(stage + 1, t):
+                    return True
+        return False
+
+    return rec(0, float("-inf"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    events=events_strategy,
+    g1=st.integers(min_value=0, max_value=20),
+    g2=st.integers(min_value=0, max_value=20),
+)
+def test_gap_constrained_match_vs_bruteforce(events, g1, g2):
+    from byconity_spark.udafs.behavioral import subsequence_matched_gaps
+
+    per_cond = [
+        np.sort(np.array([t for t, e in events if e == s], dtype=np.int64))
+        for s in "ABC"
+    ]
+    assert subsequence_matched_gaps(per_cond, [g1, g2]) == _brute_gap_chain_exists(
+        events, "ABC", [g1, g2]
+    )
+
+
 def _brute_max_disjoint_chains(types: list[str], pattern: list[str]) -> int:
     """Exhaustive DP: maximum number of disjoint ordered chains."""
     from functools import lru_cache
