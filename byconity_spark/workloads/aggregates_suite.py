@@ -205,6 +205,103 @@ def agg_weighted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----------------------- groupArrayMovingSum: running sums as an array
+@register(
+    "agg_moving_sum_arrays",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id,
+             sum(value) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS UNBOUNDED PRECEDING) AS rs
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, list(round(rs, 6) ORDER BY event_id) AS moving_sums
+    FROM r GROUP BY user_id
+    """,
+)
+def agg_moving_sum_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    r = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6).alias(
+            "rs"
+        ),
+    )
+    pairs = r.select(
+        "user_id", F.struct(F.col("event_id"), F.col("rs")).alias("er")
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("er")).alias("ers"))
+        .select("user_id", F.col("ers.rs").alias("moving_sums"))
+    )
+
+
+# -------------------------------- cohort retention (retention2 shape)
+@register(
+    "agg_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS d0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events)
+    SELECT f.d0 AS cohort_day,
+           count(DISTINCT f.user_id) AS cohort_size,
+           count(DISTINCT CASE WHEN a.d = f.d0 + 1 THEN f.user_id END) AS d1,
+           count(DISTINCT CASE WHEN a.d = f.d0 + 7 THEN f.user_id END) AS d7
+    FROM first_seen f LEFT JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.d0
+    """,
+)
+def agg_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    first_seen = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("d0"))
+    )
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    j = first_seen.join(activity, "user_id", "left")
+    return j.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(
+            F.when(F.col("d") == F.date_add(F.col("d0"), 1), F.col("user_id"))
+        ).alias("d1"),
+        F.countDistinct(
+            F.when(F.col("d") == F.date_add(F.col("d0"), 7), F.col("user_id"))
+        ).alias("d7"),
+    )
+
+
+# ----------------------------- topK(3) returning the CH-shaped array
+@register(
+    "agg_topk_arrays",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id % 10 AS k, count(*) AS n
+      FROM events GROUP BY event_type, user_id % 10
+    )
+    SELECT event_type, (list(k ORDER BY n DESC, k))[1:3] AS top3
+    FROM counts GROUP BY event_type
+    """,
+)
+def agg_topk_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").withColumn("k", F.col("user_id") % 10)
+    counts = ev.groupBy("event_type", "k").agg(F.count(F.lit(1)).alias("n"))
+    pairs = counts.select(
+        "event_type", F.struct((-F.col("n")).alias("neg_n"), F.col("k")).alias("nk")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.slice(F.sort_array(F.collect_list("nk")), 1, 3).alias("nks"))
+        .select("event_type", F.col("nks.k").alias("top3"))
+    )
+
+
 # ------------------------------------------------------------ statistics
 @register(
     "agg_statistics",
