@@ -69,6 +69,115 @@ def funnel_level_from_arrays(per_step: list[np.ndarray], window_us: int) -> int:
     return level
 
 
+def funnel_level_modes_core(
+    types: np.ndarray,
+    ts: np.ndarray,
+    steps: list,
+    window_us: int,
+    strict_order: bool = False,
+    strict_dedup: bool = False,
+    strict_increase: bool = False,
+) -> int:
+    """First-anchor funnel walk with the ClickHouse strictness flags
+    (reference AggregateFunctionWindowFunnel.h:140-215).  Input events are
+    sorted by (ts, event_id); events at or before the anchor timestamp are
+    skipped (tie policy, documented).
+
+    Deterministic variant pinned here (first-anchor; CH slides the anchor):
+      * strict_order  — after the anchor, every event must be EXACTLY the
+        expected next step; any other event (untracked, repeated, or
+        out-of-order) stops the search at the current level.
+      * strict_dedup  — a repeat of an already-matched step stops the
+        search; other non-expected events are ignored.
+      * strict_increase — advancing requires a strictly greater timestamp
+        than the previous matched step (default allows equal timestamps).
+    """
+    step_rank = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+    level = 0
+    anchor = prev = deadline = 0
+    for t, tp in zip(ts, types):
+        if level == 0:
+            if tp == steps[0]:
+                level = 1
+                anchor = prev = t
+                deadline = anchor + window_us
+            continue
+        if level == k:
+            break
+        if t <= anchor:
+            continue
+        r = step_rank.get(tp, -1)
+        if r == level:  # the expected next step
+            if t <= deadline and (t > prev if strict_increase else True):
+                level += 1
+                prev = t
+        elif 0 <= r < level:  # repeat of an already-matched step
+            if strict_dedup or strict_order:
+                break
+        elif r > level:  # future step out of order
+            if strict_order:
+                break
+        else:  # untracked event type
+            if strict_order:
+                break
+    return level
+
+
+def window_funnel_modes(
+    events: DataFrame,
+    window_us: int,
+    steps: Sequence[str],
+    strict_order: bool = False,
+    strict_dedup: bool = False,
+    strict_increase: bool = False,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """windowFunnel with CH strictness flags — per-user (user_id,
+    funnel_level) via a sequential walk over the (ts, event_id)-sorted
+    stream.  Unlike the vectorized base ``window_funnel`` (per-step
+    searchsorted), strict modes depend on EVERY intervening event, so the
+    kernel scans the stream; work is O(events-per-user)."""
+    steps = list(steps)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([user_col, ts_col, id_col], kind="stable")
+        frame = pd.DataFrame(
+            {
+                "u": pdf[user_col].to_numpy(),
+                "ts": _us(pdf[ts_col]),
+                "tp": pdf[type_col].to_numpy(),
+            }
+        )
+        users, levels = [], []
+        for u, g in frame.groupby("u", sort=False):
+            users.append(u)
+            levels.append(
+                funnel_level_modes_core(
+                    g["tp"].to_numpy(),
+                    g["ts"].to_numpy(),
+                    steps,
+                    window_us,
+                    strict_order=strict_order,
+                    strict_dedup=strict_dedup,
+                    strict_increase=strict_increase,
+                )
+            )
+        return pd.DataFrame(
+            {user_col: users, "funnel_level": np.asarray(levels, dtype=np.int32)}
+        )
+
+    return (
+        _bucketed(events, user_col, [ts_col, type_col, id_col], n_buckets)
+        .groupBy("__b")
+        .applyInPandas(kernel, schema=f"{user_col} long, funnel_level int")
+    )
+
+
 def subsequence_matched(per_cond: list[np.ndarray]) -> bool:
     """Pure ordered-subsequence core: per_cond[i] = sorted event times
     satisfying condition i; TRUE iff a strictly increasing chain exists.

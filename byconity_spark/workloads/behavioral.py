@@ -71,6 +71,103 @@ def beh_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# windowFunnel strict_order: after the first signup, the user's very next
+# events (ANY type) must be click then purchase, inside the window.
+# --------------------------------------------------------------------------
+@register(
+    "beh_funnel_strict_order",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    a AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    seq AS (
+      SELECT e.user_id, e.event_type, e.ts, a.t1,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+      FROM e JOIN a ON e.user_id = a.user_id
+      WHERE e.ts > a.t1
+    ),
+    l2 AS (SELECT user_id FROM seq
+           WHERE rn = 1 AND event_type = 'click' AND ts <= t1 + INTERVAL 7 DAY),
+    l3 AS (SELECT s.user_id FROM seq s JOIN l2 ON s.user_id = l2.user_id
+           WHERE s.rn = 2 AND s.event_type = 'purchase' AND s.ts <= s.t1 + INTERVAL 7 DAY)
+    SELECT u.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN a.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN a  ON u.user_id = a.user_id
+    LEFT JOIN l2 ON u.user_id = l2.user_id
+    LEFT JOIN l3 ON u.user_id = l3.user_id
+    """,
+)
+def beh_funnel_strict_order(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import window_funnel_modes
+
+    return window_funnel_modes(
+        _ev(spark, sf),
+        window_us=7 * _DAY_US,
+        steps=["signup", "click", "purchase"],
+        strict_order=True,
+    )
+
+
+# --------------------------------------------------------------------------
+# windowFunnel strict_deduplication: a repeat of an already-matched step
+# before the next step freezes the level (signup..signup..click -> 1).
+# --------------------------------------------------------------------------
+@register(
+    "beh_funnel_strict_dedup",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    a AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    c2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN a ON e.user_id = a.user_id
+           WHERE e.event_type = 'click' AND e.ts > a.t1
+             AND e.ts <= a.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+    d1 AS (SELECT e.user_id, min(e.ts) AS dts
+           FROM e JOIN a ON e.user_id = a.user_id
+           WHERE e.event_type = 'signup' AND e.ts > a.t1
+           GROUP BY e.user_id),
+    ok2 AS (SELECT c2.user_id, c2.t2 FROM c2
+            LEFT JOIN d1 ON c2.user_id = d1.user_id
+            WHERE d1.dts IS NULL OR d1.dts > c2.t2),
+    p3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN ok2 ON e.user_id = ok2.user_id
+                  JOIN a   ON e.user_id = a.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > ok2.t2
+             AND e.ts <= a.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+    d2 AS (SELECT e.user_id, min(e.ts) AS dts
+           FROM e JOIN ok2 ON e.user_id = ok2.user_id
+           WHERE e.event_type IN ('signup', 'click') AND e.ts > ok2.t2
+           GROUP BY e.user_id),
+    ok3 AS (SELECT p3.user_id FROM p3
+            LEFT JOIN d2 ON p3.user_id = d2.user_id
+            WHERE d2.dts IS NULL OR d2.dts > p3.t3)
+    SELECT u.user_id,
+           CASE WHEN ok3.user_id IS NOT NULL THEN 3
+                WHEN ok2.user_id IS NOT NULL THEN 2
+                WHEN a.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN a   ON u.user_id = a.user_id
+    LEFT JOIN ok2 ON u.user_id = ok2.user_id
+    LEFT JOIN ok3 ON u.user_id = ok3.user_id
+    """,
+)
+def beh_funnel_strict_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import window_funnel_modes
+
+    return window_funnel_modes(
+        _ev(spark, sf),
+        window_us=7 * _DAY_US,
+        steps=["signup", "click", "purchase"],
+        strict_dedup=True,
+    )
+
+
+# --------------------------------------------------------------------------
 # retention(signup, purchase, error): r1 / r1&r2 / r1&r3 flags per user.
 # --------------------------------------------------------------------------
 @register(

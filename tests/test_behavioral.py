@@ -168,3 +168,84 @@ def test_session_split_roundtrip(spark):
         for r in session_split(df, gap_us=1_800_000_000).collect()
     }
     assert out == {(100, 1): (2, 3.0), (100, 2): (1, 3.0), (200, 1): (1, 4.0)}
+
+
+# ---------------------------------------------------------------- strict modes
+
+def _modes(events, window=100, **flags):
+    """events: list of (t, type) in given order; id = list index."""
+    from byconity_spark.udafs.behavioral import funnel_level_modes_core
+
+    order = sorted(range(len(events)), key=lambda i: (events[i][0], i))
+    ts = np.array([events[i][0] for i in order], dtype=np.int64)
+    tp = np.array([events[i][1] for i in order])
+    return funnel_level_modes_core(tp, ts, ["A", "B", "C"], window, **flags)
+
+
+def test_strict_order_breaks_on_intervening_event():
+    ev = [(0, "A"), (1, "B"), (2, "D"), (3, "C")]
+    assert _modes(ev) == 3
+    assert _modes(ev, strict_order=True) == 2  # D interrupts before C
+
+
+def test_strict_dedup_breaks_on_repeat():
+    ev = [(0, "A"), (1, "A"), (2, "B"), (3, "C")]
+    assert _modes(ev) == 3
+    assert _modes(ev, strict_dedup=True) == 1  # repeated A freezes level
+    assert _modes(ev, strict_order=True) == 1
+    ev2 = [(0, "A"), (1, "B"), (2, "A"), (3, "C")]
+    assert _modes(ev2, strict_dedup=True) == 2
+
+
+def test_strict_dedup_ignores_future_step():
+    # a not-yet-expected C between A and B is ignored under dedup
+    ev = [(0, "A"), (1, "C"), (2, "B"), (3, "C")]
+    assert _modes(ev, strict_dedup=True) == 3
+    assert _modes(ev, strict_order=True) == 1
+
+
+def test_strict_increase_and_anchor_ties():
+    # B tied with the anchor timestamp is skipped entirely
+    assert _modes([(0, "A"), (0, "B"), (1, "C")]) == 1
+    # B and C share t=1: default advances on ties, strict_increase stops
+    ev = [(0, "A"), (1, "B"), (1, "C")]
+    assert _modes(ev) == 3
+    assert _modes(ev, strict_increase=True) == 2
+    # window still binds
+    assert _modes([(0, "A"), (10, "B")], window=5) == 1
+
+
+modes_events = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.sampled_from("ABCXY")),
+    max_size=25,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=modes_events, window=st.integers(min_value=0, max_value=40))
+def test_strict_mode_level_ordering(events, window):
+    """Monotone strictness: order <= dedup <= default, increase <= default,
+    and all levels in [0, 3]."""
+    base = _modes(events, window)
+    dedup = _modes(events, window, strict_dedup=True)
+    order = _modes(events, window, strict_order=True)
+    incr = _modes(events, window, strict_increase=True)
+    assert 0 <= order <= dedup <= base <= 3
+    assert 0 <= incr <= base
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=modes_events, window=st.integers(min_value=0, max_value=40))
+def test_strict_increase_equals_searchsorted_core(events, window):
+    """The sequential walk with strict_increase must agree with the
+    vectorized per-step searchsorted core (both = strictly-later chain
+    anchored at the first step-1 event)."""
+    from byconity_spark.udafs.behavioral import funnel_level_from_arrays
+
+    per_step = [
+        np.sort(np.array([t for t, e in events if e == s], dtype=np.int64))
+        for s in "ABC"
+    ]
+    assert _modes(events, window, strict_increase=True) == funnel_level_from_arrays(
+        per_step, window
+    )
