@@ -14,11 +14,13 @@ the rule table, splits args on balanced top-level commas, rewrites each arg
 recursively, then applies the rule (rename / template / python transform).
 ClickHouse parametric aggregates (`quantile(p)(x)`) parse both arg lists.
 
-Scope: the expression surface.  Construct-level syntax Spark already shares
-(SELECT/WHERE/GROUP BY/HAVING/ORDER BY/LIMIT/JOIN/UNION/CTE/window) passes
-through untouched; ClickHouse-only clauses (LIMIT BY, WITH FILL, ASOF JOIN)
-live in the operator API (byconity_spark.operators) rather than this
-rewriter.
+Scope: the expression surface plus the ClickHouse-only clauses that admit a
+pure textual rewrite — ``LIMIT n BY`` (top-level and inside subqueries),
+``ORDER BY ... WITH FILL`` (spine = explode(sequence()) + USING join),
+``SAMPLE <fraction>`` (-> TABLESAMPLE) and a trailing ``FORMAT <name>``
+(no-op: the driver renders DataFrames).  ``ASOF JOIN`` is detected and
+rejected with a pointer to ``byconity_spark.operators.joins.asof_join`` —
+its tie/direction semantics need the operator API, not a text rewrite.
 """
 
 from __future__ import annotations
@@ -287,9 +289,129 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
+def _rewrite_limit_by_recursive(sql: str) -> str:
+    """Apply the LIMIT BY rewrite to the top level AND to every
+    parenthesized subquery (ClickHouse allows LIMIT BY at any query
+    depth — reference src/QueryPlan/LimitByStep.h:23)."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "(":
+            close = _match_paren(sql, i)
+            inner = sql[i + 1 : close]
+            if inner.lstrip()[:6].upper() == "SELECT":
+                out.append("(" + _rewrite_limit_by_recursive(inner) + ")")
+            else:
+                out.append(sql[i : close + 1])
+            i = close + 1
+            continue
+        out.append(c)
+        i += 1
+    return _rewrite_limit_by("".join(out))
+
+
+def _strip_format(sql: str) -> str:
+    """Drop a trailing ``FORMAT <name>`` clause (output formatting is the
+    driver's concern; DataFrames have no wire format)."""
+    import re
+
+    i = _depth0_find(sql, "FORMAT")
+    if i < 0:
+        return sql
+    if re.fullmatch(r"FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*", sql[i:], re.IGNORECASE):
+        return sql[:i].rstrip()
+    return sql
+
+
+def _rewrite_sample(sql: str) -> str:
+    """``FROM t SAMPLE 0.1`` -> ``FROM t TABLESAMPLE (10.0 PERCENT)``.
+    Only the fractional form is supported (``SAMPLE n`` approximate-rows
+    needs table statistics; raise rather than silently mis-sample)."""
+    import re
+
+    while True:
+        i = _depth0_find(sql, "SAMPLE")
+        if i < 0:
+            return sql
+        m = re.match(r"SAMPLE\s+([0-9]*\.?[0-9]+)", sql[i:], re.IGNORECASE)
+        if not m:
+            raise ChSqlError("SAMPLE requires a numeric fraction, e.g. SAMPLE 0.1")
+        frac = float(m.group(1))
+        if not 0.0 < frac <= 1.0:
+            raise ChSqlError(
+                "only fractional SAMPLE k (0 < k <= 1) is supported; "
+                "SAMPLE <rows> needs table statistics"
+            )
+        sql = sql[:i] + f"TABLESAMPLE ({frac * 100:g} PERCENT)" + sql[i + m.end() :]
+
+
+def _rewrite_with_fill(sql: str) -> str:
+    """``ORDER BY <k> WITH FILL [FROM f] [TO t] [STEP s]`` -> a spine of
+    ``explode(sequence(lo, hi, s))`` LEFT-JOINed via USING(<k>), so no
+    column knowledge is needed (reference src/QueryPlan/FillingStep.h:24).
+
+    Supported subset: a single ascending sort key with fill; TO is
+    exclusive (ClickHouse semantics); STEP defaults to 1.  Filled rows
+    carry NULL in the payload columns (Spark join semantics) — wrap with
+    ifNull()/coalesce() for ClickHouse's default-value fill.
+    """
+    import re
+
+    i_order = _depth0_find(sql, "ORDER BY")
+    if i_order < 0 or _depth0_find(sql, "WITH FILL") < 0:
+        return sql
+    i_fill = _depth0_find(sql, "WITH FILL", i_order)
+    if i_fill < 0:
+        return sql
+    key = sql[i_order + len("ORDER BY") : i_fill].strip()
+    if "," in key:
+        raise ChSqlError("WITH FILL supports a single sort key in this frontend")
+    if re.search(r"\s+(ASC|DESC)$", key, re.IGNORECASE):
+        if key.upper().endswith("DESC"):
+            raise ChSqlError("WITH FILL supports ascending order only")
+        key = key[: -len("ASC")].strip()
+    tail = sql[i_fill + len("WITH FILL") :].strip()
+    m = re.match(
+        r"(?:FROM\s+(?P<frm>.+?))?\s*(?:TO\s+(?P<to>.+?))?\s*(?:STEP\s+(?P<step>.+?))?\s*$",
+        tail,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        raise ChSqlError(f"cannot parse WITH FILL tail: {tail!r}")
+    frm, to, step = m.group("frm"), m.group("to"), m.group("step")
+    step = step or "1"
+    core = sql[:i_order].strip()
+    lo = frm or "__lo"
+    hi = to or "__hi"
+    guard = f" WHERE {key} < {to}" if to else ""
+    return (
+        f"SELECT * FROM ("
+        f"SELECT {key} FROM ("
+        f"SELECT explode(sequence({lo}, {hi}, {step})) AS {key} "
+        f"FROM (SELECT min({key}) AS __lo, max({key}) AS __hi FROM ({core}))"
+        f"){guard}"
+        f") LEFT JOIN ({core}) USING ({key}) ORDER BY {key}"
+    )
+
+
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
-    sql = _rewrite_limit_by(sql)
+    if _depth0_find(sql, "ASOF JOIN") >= 0 or _depth0_find(sql, "ASOF LEFT JOIN") >= 0:
+        raise ChSqlError(
+            "ASOF JOIN is not expressible as a text rewrite; use "
+            "byconity_spark.operators.joins.asof_join(left, right, ...)"
+        )
+    sql = _strip_format(sql)
+    sql = _rewrite_sample(sql)
+    sql = _rewrite_with_fill(sql)
+    sql = _rewrite_limit_by_recursive(sql)
     out = []
     i = 0
     n = len(sql)

@@ -91,6 +91,39 @@ def chsql_limit_by(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "chsql_with_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, count(*) AS n
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.hour, h.n
+    FROM (SELECT unnest(generate_series((SELECT min(hour) FROM hourly),
+                                        (SELECT max(hour) FROM hourly),
+                                        INTERVAL 1 HOUR)) AS hour) s
+    LEFT JOIN hourly h ON s.hour = h.hour
+    """,
+)
+def chsql_with_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH FILL through the SQL frontend (FillingStep.h:24): filled rows
+    carry NULL payloads — coalesce is the user's choice, as documented."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT hour, n FROM (
+          SELECT toStartOfHour(ts) AS hour, count() AS n
+          FROM events
+          WHERE event_type = 'purchase' AND ts < toDateTime('2024-01-08 00:00:00')
+          GROUP BY hour
+        ) ORDER BY hour WITH FILL STEP INTERVAL 1 HOUR
+        """,
+    )
+
+
+@register(
     "chsql_json_match",
     oracle="""
     SELECT CAST(props->>'$.k' AS BIGINT) AS k,

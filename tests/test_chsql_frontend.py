@@ -99,3 +99,69 @@ def test_execution_end_to_end(spark):
         "FROM t_ch GROUP BY d",
     ).collect()
     assert out[0].big == 1 and out[0].n == 2
+
+
+# ------------------------------------------------------------- new clauses
+
+def test_format_clause_stripped():
+    assert rewrite_ch_sql("SELECT 1 FROM t FORMAT JSONEachRow") == "SELECT 1 FROM t"
+    assert rewrite_ch_sql("SELECT 1 FROM t FORMAT CSV;") == "SELECT 1 FROM t"
+    # FORMAT mid-identifier or as function arg must survive
+    assert "date_format" in rewrite_ch_sql("SELECT date_format(ts, 'yyyy') FROM t")
+
+
+def test_sample_rewrite():
+    assert (
+        rewrite_ch_sql("SELECT count() FROM lineitem SAMPLE 0.1")
+        == "SELECT count(*) FROM lineitem TABLESAMPLE (10 PERCENT)"
+    )
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT 1 FROM t SAMPLE 1000")  # rows form unsupported
+
+
+def test_asof_join_detected():
+    with pytest.raises(ChSqlError, match="asof_join"):
+        rewrite_ch_sql("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+
+
+def test_subquery_limit_by():
+    out = rewrite_ch_sql(
+        "SELECT sum(n) FROM (SELECT g, v AS n FROM t ORDER BY v DESC LIMIT 2 BY g)"
+    )
+    assert "row_number() OVER (PARTITION BY g ORDER BY v DESC)" in out
+    assert "__rn <= 2" in out
+
+
+def test_with_fill_rewrite():
+    out = rewrite_ch_sql(
+        "SELECT h, n FROM (SELECT k AS h, count() AS n FROM t GROUP BY k) "
+        "ORDER BY h WITH FILL STEP 2"
+    )
+    assert "explode(sequence(__lo, __hi, 2))" in out
+    assert "LEFT JOIN" in out and "USING (h)" in out
+    out2 = rewrite_ch_sql("SELECT k, v FROM t ORDER BY k WITH FILL FROM 0 TO 10")
+    assert "sequence(0, 10, 1)" in out2 and "WHERE k < 10" in out2
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT k FROM t ORDER BY k DESC WITH FILL")
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT a, b FROM t ORDER BY a, b WITH FILL")
+
+
+def test_with_fill_executes(spark):
+    from byconity_spark.frontend import ch_sql
+
+    spark.range(0, 10, 3).createOrReplaceTempView("__fill_t")
+    rows = ch_sql(
+        spark,
+        "SELECT id, id * 10 AS v FROM __fill_t ORDER BY id WITH FILL",
+    ).collect()
+    assert [r.id for r in rows] == list(range(10))
+    assert [r.v for r in rows] == [0, None, None, 30, None, None, 60, None, None, 90]
+
+
+def test_sample_executes(spark):
+    from byconity_spark.frontend import ch_sql
+
+    spark.range(0, 10_000).createOrReplaceTempView("__sample_t")
+    n = ch_sql(spark, "SELECT count() AS n FROM __sample_t SAMPLE 0.1").collect()[0].n
+    assert 200 < n < 3000  # TABLESAMPLE is approximate
