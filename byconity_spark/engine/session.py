@@ -63,6 +63,11 @@ def get_spark(app_name: str = "byconity-spark", extra_conf: dict | None = None) 
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- runtime (bloom) filters, ByConity AddRuntimeFilters.h analogue
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # --- cost-based optimizer: join reorder from ANALYZE statistics
+        # (ByConity CardinalityEstimator.h analogue; see engine/stats.py)
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.cbo.planStats.enabled", "true")
         # --- bucketed (CLUSTER BY) tables live under /tmp, not the repo
         .config("spark.sql.warehouse.dir", "/tmp/byconity_spark_warehouse")
         # quiet progress bars in benchmark output

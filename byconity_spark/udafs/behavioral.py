@@ -509,3 +509,205 @@ def session_split(
         .groupBy("__b")
         .applyInPandas(kernel, schema=schema)
     )
+
+
+def path_split(
+    events: DataFrame,
+    gap_us: int,
+    max_session_events: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """pathSplit (reference AggregateFunctionPathSplit.h): split each
+    user's stream into sessions at silence gaps > ``gap_us`` and emit the
+    ordered event-type path per session (optionally truncated to the first
+    ``max_session_events`` types).
+
+    Pure JVM plan — sessionize with a lag/cumsum window, then an ordered
+    array aggregate (sort_array over (ts, id)-keyed structs); no Python
+    kernel, so the whole path stays in whole-stage codegen."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    brk = F.when(
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us,
+        1,
+    ).otherwise(0)
+    sess = events.withColumn(
+        "session_id",
+        (F.lit(1) + F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))).cast(
+            "int"
+        ),
+    )
+    ordered_path = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("e"),
+                )
+            )
+        ),
+        lambda s: s["e"],
+    )
+    if max_session_events is not None:
+        ordered_path = F.slice(ordered_path, 1, max_session_events)
+    return sess.groupBy(user_col, "session_id").agg(
+        ordered_path.alias("path"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def attribution_multi_touch(
+    events: DataFrame,
+    touch_types: Sequence[str],
+    conv_type: str,
+    model: str = "linear",
+    window_us: int = 30 * 86_400_000_000,
+    halflife_us: int = 7 * 86_400_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch attribution (reference AggregateFunctionAttribution.h:
+    windowed touch chains credited to a target event).  Each conversion
+    distributes its value over the user's touches in the lookback window:
+
+      * ``linear``     — equal 1/n per touch
+      * ``position``   — U-shaped 40/20/40 (n=1 -> 1.0, n=2 -> .5/.5,
+                          else first/last 0.4 and middles share 0.2)
+      * ``time_decay`` — weight 2^(-(t_conv - t_touch)/halflife), normalized
+
+    Conversions with no touch in the window credit the 'direct' channel.
+    Returns (channel, attributed_value, n_conversions) where n_conversions
+    is the fractional credit sum.
+
+    Scale: one equi-join on user_id with a range predicate (bounded by the
+    lookback window) plus per-conversion windows — shuffles on user_id and
+    conversion id only; no cross join."""
+    convs = events.filter(F.col(type_col) == conv_type).select(
+        F.col(id_col).alias("conv_id"),
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(value_col).alias("conv_value"),
+    )
+    touches = (
+        events.filter(F.col(type_col).isin(*touch_types))
+        .groupBy(user_col, ts_col)
+        .agg(F.max_by(type_col, id_col).alias("channel"))
+        .select(F.col(user_col).alias("u"), F.col(ts_col).alias("touch_ts"), "channel")
+    )
+    joined = convs.join(
+        touches,
+        on=(
+            (convs["u"] == touches["u"])
+            & (touches["touch_ts"] <= convs["conv_ts"])
+            & (
+                F.unix_micros(convs["conv_ts"]) - F.unix_micros(touches["touch_ts"])
+                < window_us
+            )
+        ),
+        how="left",
+    ).select("conv_id", "conv_ts", "conv_value", "touch_ts", "channel")
+    wc = Window.partitionBy("conv_id")
+    wo = wc.orderBy(F.col("touch_ts").asc())
+    n = F.count("touch_ts").over(wc)
+    if model == "linear":
+        weight = F.lit(1.0) / n
+    elif model == "position":
+        rn = F.row_number().over(wo)
+        weight = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when(rn == 1, F.lit(0.4))
+            .when(rn == n, F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2))
+        )
+    elif model == "time_decay":
+        raw = F.pow(
+            F.lit(2.0),
+            -(
+                (F.unix_micros(F.col("conv_ts")) - F.unix_micros(F.col("touch_ts")))
+                / F.lit(float(halflife_us))
+            ),
+        )
+        weight = raw / F.sum(raw).over(wc)
+    else:
+        raise ValueError(f"unknown attribution model: {model}")
+    credited = joined.withColumn(
+        "w", F.when(F.col("touch_ts").isNull(), F.lit(1.0)).otherwise(weight)
+    )
+    return credited.groupBy(
+        F.coalesce("channel", F.lit("direct")).alias("channel")
+    ).agg(
+        F.sum(F.col("w") * F.col("conv_value")).alias("attributed_value"),
+        F.sum("w").alias("n_conversions"),
+    )
+
+
+def xirr_core(amounts: np.ndarray, days: np.ndarray) -> float:
+    """Internal rate of return for dated cashflows (reference
+    AggregateFunctionXirr.h: NPV(r) = sum a_i/(1+r)^(d_i/365) = 0, 365-day
+    year).  Deterministic bracketed bisection (no Newton path dependence):
+    scan (-0.999..., 10] for a sign change, then bisect to 1e-10.
+    Returns NaN when all flows share a sign or no root is bracketed."""
+    if len(amounts) == 0 or np.all(amounts >= 0) or np.all(amounts <= 0):
+        return float("nan")
+    years = (days - days.min()) / 365.0
+
+    def npv(rate: float) -> float:
+        return float(np.sum(amounts / np.power(1.0 + rate, years)))
+
+    grid = np.concatenate(
+        [np.linspace(-0.999999, 0.0, 64, endpoint=False), np.linspace(0.0, 10.0, 64)]
+    )
+    vals = [npv(r) for r in grid]
+    lo = hi = None
+    for i in range(len(grid) - 1):
+        if vals[i] == 0.0:
+            return float(grid[i])
+        if vals[i] * vals[i + 1] < 0:
+            lo, hi = float(grid[i]), float(grid[i + 1])
+            break
+    if lo is None:
+        return float("nan")
+    flo = npv(lo)
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        fm = npv(mid)
+        if abs(fm) < 1e-10 or (hi - lo) < 1e-12:
+            return mid
+        if flo * fm < 0:
+            hi = mid
+        else:
+            lo, flo = mid, fm
+    return (lo + hi) / 2.0
+
+
+def xirr(
+    cashflows: DataFrame,
+    group_col: str,
+    amount_col: str = "amount",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group xirr over (amount, date) cashflows via an Arrow-batched
+    kernel (groups hash-bucketed like the funnel kernels)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = (_us(pdf[ts_col]) // 86_400_000_000).astype(np.float64)
+        amounts = pdf[amount_col].to_numpy(dtype=np.float64)
+        gids = pdf[group_col].to_numpy()
+        out_g, out_r = [], []
+        frame = pd.DataFrame({"g": gids, "a": amounts, "d": days})
+        for g, grp in frame.groupby("g", sort=False):
+            out_g.append(g)
+            out_r.append(xirr_core(grp["a"].to_numpy(), grp["d"].to_numpy()))
+        return pd.DataFrame({group_col: out_g, "rate": out_r})
+
+    return (
+        _bucketed(cashflows, group_col, [ts_col, amount_col], 64)
+        .groupBy("__b")
+        .applyInPandas(kernel, schema=f"{group_col} long, rate double")
+    )

@@ -428,3 +428,121 @@ def beh_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
 )
 def beh_session_split(spark: SparkSession, sf: str) -> DataFrame:
     return session_split(_ev(spark, sf), gap_us=1_800_000_000)
+
+
+# --------------------------------------------------------------------------
+# pathSplit(30 min, first 5): ordered per-session event-type paths.
+# --------------------------------------------------------------------------
+@register(
+    "beh_path_split",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    f AS (SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 CAST(1 + sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+          FROM f)
+    SELECT user_id, session_id,
+           (list(event_type ORDER BY ts, event_id))[1:5] AS path,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def beh_path_split(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import path_split
+
+    return path_split(_ev(spark, sf), gap_us=1_800_000_000, max_session_events=5)
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution over a 30-day lookback (AggregateFunctionAttribution
+# family): purchases credit click/view touches. Three weight models.
+# --------------------------------------------------------------------------
+_ATTR_ORACLE = """
+    WITH p AS (SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS conv_ts,
+                      value AS conv_value
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS touch_ts,
+                 arg_max(event_type, event_id) AS channel
+          FROM events WHERE event_type IN ('click', 'view')
+          GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+    j AS (SELECT p.conv_id, p.conv_ts, p.conv_value, t.touch_ts, t.channel
+          FROM p LEFT JOIN t ON p.user_id = t.user_id AND t.touch_ts <= p.conv_ts
+                 AND epoch_us(p.conv_ts) - epoch_us(t.touch_ts) < 2592000000000),
+    w AS (SELECT *, count(touch_ts) OVER (PARTITION BY conv_id) AS n,
+                 row_number() OVER (PARTITION BY conv_id ORDER BY touch_ts) AS rn,
+                 power(2.0, -((epoch_us(conv_ts) - epoch_us(touch_ts)) / 604800000000.0)) AS raw,
+                 sum(power(2.0, -((epoch_us(conv_ts) - epoch_us(touch_ts)) / 604800000000.0)))
+                   OVER (PARTITION BY conv_id) AS rawsum
+          FROM j)
+    SELECT coalesce(channel, 'direct') AS channel,
+           sum(CASE WHEN touch_ts IS NULL THEN 1.0 ELSE {W} END * conv_value) AS attributed_value,
+           sum(CASE WHEN touch_ts IS NULL THEN 1.0 ELSE {W} END) AS n_conversions
+    FROM w GROUP BY 1
+"""
+
+
+@register(
+    "beh_attribution_linear",
+    oracle=_ATTR_ORACLE.replace("{W}", "1.0 / n"),
+)
+def beh_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import attribution_multi_touch
+
+    return attribution_multi_touch(
+        _ev(spark, sf), touch_types=["click", "view"], conv_type="purchase",
+        model="linear",
+    )
+
+
+@register(
+    "beh_attribution_position",
+    oracle=_ATTR_ORACLE.replace(
+        "{W}",
+        "CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5 "
+        "WHEN rn = 1 THEN 0.4 WHEN rn = n THEN 0.4 ELSE 0.2 / (n - 2) END",
+    ),
+)
+def beh_attribution_position(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import attribution_multi_touch
+
+    return attribution_multi_touch(
+        _ev(spark, sf), touch_types=["click", "view"], conv_type="purchase",
+        model="position",
+    )
+
+
+@register(
+    "beh_attribution_time_decay",
+    oracle=_ATTR_ORACLE.replace("{W}", "raw / rawsum"),
+)
+def beh_attribution_time_decay(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import attribution_multi_touch
+
+    return attribution_multi_touch(
+        _ev(spark, sf), touch_types=["click", "view"], conv_type="purchase",
+        model="time_decay",
+    )
+
+
+# --------------------------------------------------------------------------
+# xirr per user: signups as outflows (-value), purchases as inflows (+value)
+# (AggregateFunctionXirr.h: NPV root, 365-day year). The root is not
+# ANSI-SQL-expressible -> rows-only driver check + pytest ground truths.
+# --------------------------------------------------------------------------
+@register("beh_xirr")
+def beh_xirr(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import xirr
+
+    ev = _ev(spark, sf)
+    flows = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("amount"),
+    )
+    return xirr(flows, group_col="user_id").filter(~F.isnan("rate"))

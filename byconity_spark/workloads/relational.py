@@ -276,3 +276,40 @@ def op_quantified_below_any(spark: SparkSession, sf: str) -> DataFrame:
     return quantified_compare(
         sup, F.col("s_acctbal"), cust, "c_acctbal", "<", "ANY"
     ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+# --------------------------------------------------------------------------
+# CBO join reorder: the SQL lists lineitem FIRST, but with ANALYZE-collected
+# statistics + spark.sql.cbo.joinReorder the optimizer builds
+# (customer ⋈ nation) ⋈ orders ⋈ lineitem — smallest inputs first
+# (reference src/Optimizer/CardinalityEstimate/CardinalityEstimator.h,
+# src/Statistics/StatisticsCollector.h). tests/test_plan_contracts.py
+# asserts the reorder on the optimized plan.
+# --------------------------------------------------------------------------
+@register(
+    "cbo_join_reorder",
+    oracle="""
+    SELECT n_name, count(*) AS n, sum(l_quantity) AS qty
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def cbo_join_reorder(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.engine.stats import register_stats_tables
+
+    register_stats_tables(
+        spark, sf, ["lineitem", "orders", "customer", "nation"]
+    )
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n, sum(l_quantity) AS qty
+        FROM cbo_lineitem
+        JOIN cbo_orders   ON l_orderkey = o_orderkey
+        JOIN cbo_customer ON o_custkey = c_custkey
+        JOIN cbo_nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

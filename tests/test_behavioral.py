@@ -249,3 +249,60 @@ def test_strict_increase_equals_searchsorted_core(events, window):
     assert _modes(events, window, strict_increase=True) == funnel_level_from_arrays(
         per_step, window
     )
+
+
+# ------------------------------------------------------------------ xirr
+
+def test_xirr_known_values():
+    from byconity_spark.udafs.behavioral import xirr_core
+
+    # classic example: invest 1000, receive 1100 one year later -> 10%
+    assert abs(xirr_core(np.array([-1000.0, 1100.0]), np.array([0.0, 365.0])) - 0.10) < 1e-6
+    # two-year doubling -> sqrt(2)-1
+    r = xirr_core(np.array([-1000.0, 2000.0]), np.array([0.0, 730.0]))
+    assert abs(r - (2 ** 0.5 - 1)) < 1e-6
+    # all-positive flows -> NaN
+    assert np.isnan(xirr_core(np.array([10.0, 20.0]), np.array([0.0, 365.0])))
+    # multi-flow: NPV at returned rate is ~0
+    a = np.array([-5000.0, 1000.0, 1500.0, 2000.0, 1800.0])
+    d = np.array([0.0, 90.0, 180.0, 270.0, 360.0])
+    r = xirr_core(a, d)
+    npv = np.sum(a / (1.0 + r) ** (d / 365.0))
+    assert abs(npv) < 1e-6
+
+
+def test_attribution_value_conserved(spark):
+    """Every model distributes exactly the total conversion value."""
+    from byconity_spark.udafs.behavioral import attribution_multi_touch
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u, evs in {
+        1: [("view", 0), ("click", 24), ("purchase", 48)],
+        2: [("purchase", 0)],                      # no touch -> direct
+        3: [("click", 0), ("view", 1), ("click", 2), ("purchase", 3)],
+    }.items():
+        for tp, hours in evs:
+            rows.append((eid, u, base + dt.timedelta(hours=hours), tp, 100.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    total = 3 * 100.0
+    for model in ["linear", "position", "time_decay"]:
+        out = attribution_multi_touch(
+            df, touch_types=["click", "view"], conv_type="purchase", model=model
+        ).collect()
+        assert abs(sum(r.attributed_value for r in out) - total) < 1e-9
+        assert abs(sum(r.n_conversions for r in out) - 3.0) < 1e-9
+    # position model, user 3: first(click)=.4, last(click)=.4, middle(view)=.2
+    pos = {
+        r.channel: r.attributed_value
+        for r in attribution_multi_touch(
+            df, touch_types=["click", "view"], conv_type="purchase", model="position"
+        ).collect()
+    }
+    # view credit: u1 first-of-two (0.5*100) + u3 middle (0.2*100) = 70
+    assert abs(pos["view"] - 70.0) < 1e-9

@@ -73,3 +73,28 @@ def test_trivial_count_reads_no_data(spark):
     assert "FileScan parquet" not in _plan(df)
     n_scan = load_table(spark, SF_DIR, "lineitem").count()
     assert df.collect()[0].n_rows == n_scan
+
+
+def test_cbo_join_reorder_plan(spark):
+    """With ANALYZE stats + cbo.joinReorder, the optimizer must NOT keep the
+    syntactic lineitem-first order: customer⋈nation builds first."""
+    from byconity_spark.engine.stats import register_stats_tables, table_row_stats
+
+    sf = "/root/testdata/sf0.001"
+    register_stats_tables(spark, sf, ["lineitem", "orders", "customer", "nation"])
+    assert table_row_stats(spark, "cbo_lineitem") > 0
+    assert table_row_stats(spark, "cbo_nation") == 25
+    df = spark.sql(
+        """
+        SELECT n_name, count(*) AS n
+        FROM cbo_lineitem
+        JOIN cbo_orders   ON l_orderkey = o_orderkey
+        JOIN cbo_customer ON o_custkey = c_custkey
+        JOIN cbo_nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # syntactic order would scan lineitem first (outermost-left); the CBO
+    # plan joins it last, so customer appears before lineitem in the tree
+    assert plan.index("cbo_customer") < plan.index("cbo_lineitem")
