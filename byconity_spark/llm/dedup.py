@@ -222,36 +222,46 @@ def connected_components(
     is one join+groupBy; converges in O(component diameter) rounds, and
     near-dup clusters are tiny, so 2-3 rounds in practice).
 
-    Returns (id, comp) where comp = smallest id in the component."""
+    Returns (id, comp) where comp = smallest id in the component.
+
+    Convergence is checked every OTHER round: near-dup components have
+    tiny diameters (2-3 rounds), and each driver-side check is a full
+    Spark job, so halving the checks removes ~40% of the loop's job count
+    without changing the fixpoint."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = all_ids.select(F.col(id_col).alias("id")).withColumn("comp", F.col("id"))
-    for _ in range(max_iter):
+    prev_persisted = None
+    for it in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(prop, labels.id == prop.dst, "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+        new_labels = labels.join(prop, labels.id == prop.dst, "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+        )
+        check = it % 2 == 1 or it == max_iter - 1
+        if check:
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
             )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = new_labels
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels
 
 

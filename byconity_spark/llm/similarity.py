@@ -211,15 +211,18 @@ def ann_lsh_topk(
         queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
     ).withColumnRenamed(vec_col, "__qvec")
 
-    cands = (
+    # score BEFORE deduplicating: a pair met in d tables is scored d times
+    # (d <= n_tables, cheap vectorized arithmetic) but the dedup shuffle
+    # then moves 3 scalars per pair instead of two dim-length arrays —
+    # at cluster scale the exchange, not the FLOPs, is the bottleneck
+    scored = (
         query_b.join(cand_b, on=["table", "bucket"])
-        .select(query_id_col, "__qvec", id_col, vec_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        )
         .dropDuplicates([query_id_col, id_col])
-    )
-    scored = cands.select(
-        query_id_col,
-        id_col,
-        cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
     return (

@@ -81,7 +81,9 @@ def test_cbo_join_reorder_plan(spark):
     from byconity_spark.engine.stats import register_stats_tables, table_row_stats
 
     sf = "/root/testdata/sf0.001"
-    register_stats_tables(spark, sf, ["lineitem", "orders", "customer", "nation"])
+    register_stats_tables(
+        spark, sf, ["lineitem", "orders", "customer", "nation"], column_stats=False
+    )
     assert table_row_stats(spark, "cbo_lineitem") > 0
     assert table_row_stats(spark, "cbo_nation") == 25
     df = spark.sql(
