@@ -104,3 +104,36 @@ def mv_rollup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
 def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     stream = events_file_stream(spark, sf)
     return _run_to_memory(session_windows(stream, gap="30 minutes"))
+
+
+@register(
+    "stream_stateful_sessions",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    f AS (SELECT user_id, event_id, ts, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+    agg AS (SELECT user_id, sid,
+                   min(ts)    AS session_start,
+                   max(ts)    AS session_end,
+                   count(*)   AS n_events,
+                   sum(value) AS sum_value
+            FROM s GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg
+    QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+    """,
+)
+def stream_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """applyInPandasWithState sessionization: emits every CLOSED session
+    (each user's final, still-open session stays in state — the oracle
+    drops each user's last session to mirror the contract)."""
+    from byconity_spark.streaming.stateful import stateful_sessionize
+
+    stream = events_file_stream(spark, sf)
+    return _run_to_memory(stateful_sessionize(stream), mode="append")

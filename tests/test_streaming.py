@@ -122,3 +122,84 @@ def test_mv_full_and_partition_refresh(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(mv.target_path) if d.startswith("part=")
     ) == ["part=x", "part=y"]
+
+
+# ------------------------------------------------------- stateful operator
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """State must survive micro-batches: batch 2 (second file, processed in
+    a later trigger via maxFilesPerTrigger=1) extends the session batch 1
+    left open, and only closed sessions are ever emitted."""
+    import datetime as dt
+    import time
+    from byconity_spark.streaming.stateful import stateful_sessionize
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+
+    # file 1: session A (2 events), then a new session opens at +2h
+    mk([
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 2.0),
+        (1, t0 + dt.timedelta(hours=2), 4.0),
+    ]).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    # file 2: +2h05 extends the OPEN session; +5h closes it
+    mk([
+        (1, t0 + dt.timedelta(hours=2, minutes=5), 8.0),
+        (1, t0 + dt.timedelta(hours=5), 16.0),
+    ]).coalesce(1).write.parquet(str(src / "b2"))
+
+    schema = mk([]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stateful_sessionize(stream, gap_us=1_800_000_000)
+        .writeStream.format("memory")
+        .queryName("ss_batches")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sorted(spark.table("ss_batches").collect(), key=lambda r: r.session_start)
+    assert len(out) == 2  # session at +5h stays open -> not emitted
+    assert out[0].n_events == 2 and out[0].sum_value == 3.0
+    assert out[1].n_events == 2 and out[1].sum_value == 12.0  # 4 + 8
+    assert out[1].session_start == t0 + dt.timedelta(hours=2)
+
+
+def test_fan_out_sinks(spark, tmp_path):
+    """foreachBatch multi-sink: both sinks receive every batch exactly once."""
+    import pyspark.sql.functions as F
+    from byconity_spark.streaming.stateful import fan_out_sinks
+    from byconity_spark.streaming import parquet_dir_stream
+
+    src = tmp_path / "src"
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = parquet_dir_stream(spark, str(src), schema)
+    sinks = {"raw": str(tmp_path / "raw"), "evens": str(tmp_path / "evens")}
+    q = fan_out_sinks(
+        stream,
+        sinks,
+        checkpoint=str(tmp_path / "ckpt"),
+        transforms={"evens": lambda df: df.filter(F.col("id") % 2 == 0)},
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(sinks["raw"]).count() == 100
+    assert spark.read.parquet(sinks["evens"]).count() == 50
