@@ -196,15 +196,34 @@ def ann_lsh_topk(
     for moderate-similarity neighbors (cos ~ 0.4-0.6).  At larger corpus
     scale RAISE n_bits (bucket occupancy ~ N / 2^n_bits per table) and
     n_tables together — candidate cost stays bucket-bounded."""
-    bucketize = lsh_bucket_udf(dim, n_tables, n_bits, seed)
+    planes = _random_planes(dim, n_tables, n_bits, seed)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
-        b = df.select(F.col(idc), F.col(vec_col), bucketize(F.col(vec_col)).alias("bs"))
-        return b.select(
-            idc,
-            vec_col,
-            F.posexplode("bs"),
-        ).withColumnsRenamed({"pos": "table", "col": "bucket"})
+        # bucketize + posexplode fused in ONE mapInPandas pass: a generator
+        # over a python-UDF column makes Catalyst stack two ArrowEvalPython
+        # nodes per side (the same UDF evaluated twice); fusing halves the
+        # Arrow transfer and keeps one kernel per batch
+        id_t = df.schema[idc].dataType.simpleString()
+        vec_t = df.schema[vec_col].dataType.simpleString()
+        out_schema = f"{idc} {id_t}, {vec_col} {vec_t}, table int, bucket long"
+
+        def gen(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
+                bits = (mat @ planes.T) >= 0
+                buckets = (bits.reshape(n, n_tables, n_bits) * weights).sum(axis=2)
+                out = pdf.loc[pdf.index.repeat(n_tables), [idc, vec_col]].reset_index(
+                    drop=True
+                )
+                out["table"] = np.tile(np.arange(n_tables, dtype=np.int32), n)
+                out["bucket"] = buckets.reshape(-1).astype(np.int64)
+                yield out
+
+        return df.select(F.col(idc), F.col(vec_col)).mapInPandas(gen, out_schema)
 
     cand_b = with_buckets(embeddings, id_col)
     query_b = with_buckets(

@@ -113,3 +113,101 @@ def doc_fingerprint(
         ).alias("fingerprint"),
         "bottom_k_sketch",
     )
+
+
+def char_ngrams(text_col, n: int = 3) -> "F.Column":
+    """Array of character n-grams (JVM-side: sequence + substr HOF).
+    Empty array for strings shorter than n — guarded because
+    ``sequence(1, 0)`` would DESCEND, not return empty."""
+    t = text_col if isinstance(text_col, F.Column) else F.col(text_col)
+    positions = F.sequence(F.lit(1), F.length(t) - (n - 1))
+    return F.when(
+        F.length(t) >= n, F.transform(positions, lambda i: t.substr(i, F.lit(n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_language_profiles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_n: int = 32,
+) -> DataFrame:
+    """Trained per-language char-trigram profiles: the top_n trigrams by
+    document frequency within each labeled language.  This is the
+    Cavnar-Trenkle n-gram profile method re-expressed as two aggregates —
+    the training pass is a single shuffle on (lang, gram)."""
+    from pyspark.sql import Window
+
+    staged = docs.select(F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("t"))
+    grams = staged.select(
+        "lang", F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("lang", "gram", "df")
+    )
+
+
+def ngram_language_id(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against every language profile (distinct-gram
+    overlap) and keep the argmax language.  The profile table is tiny
+    (langs × top_n rows) — broadcast equi-join on gram, so the scoring
+    pass is scan + explode + broadcast join + one groupBy(doc): no
+    all-pairs work, scales linearly in total characters."""
+    from pyspark.sql import Window
+
+    staged = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("t"))
+    doc_grams = staged.select(
+        id_col, F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
+    )
+    scores = (
+        doc_grams.join(F.broadcast(profiles.select("lang", "gram")), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("lang").alias("best_lang"), F.col("score").alias("best_score"))
+    )
+
+
+# Gopher-style quality gate (Rae et al. 2021, public heuristics), tuned to
+# the fixture's synthetic prose.  Rules are Columns over text_quality
+# features — the classifier is a pure projection, no extra pass.
+QUALITY_RULES = {
+    "len_ok": "n_tokens >= 5 AND n_tokens <= 100000",
+    "token_shape_ok": "chars_per_token >= 2.0 AND chars_per_token <= 12.0",
+    "alpha_ok": "alpha_ratio >= 0.5",
+    "stopword_ok": "stopword_ratio >= 0.01",
+    "diversity_ok": "uniq_token_ratio >= 0.05",
+}
+
+
+def quality_classify(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rule flags + weighted score + keep decision per document."""
+    feats = text_quality(docs, id_col, text_col)
+    out = feats
+    for name, rule in QUALITY_RULES.items():
+        out = out.withColumn(name, F.expr(rule))
+    flags = [F.col(n) for n in QUALITY_RULES]
+    score = sum(f.cast("int") for f in flags) / F.lit(len(QUALITY_RULES))
+    keep = flags[0]
+    for f in flags[1:]:
+        keep = keep & f
+    return out.select(
+        id_col,
+        "n_tokens",
+        score.cast("double").alias("quality_score"),
+        keep.alias("keep"),
+    )

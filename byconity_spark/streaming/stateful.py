@@ -39,11 +39,24 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 
 
-def _sessionize_kernel(gap_us: int):
+def _sessionize_kernel(gap_us: int, idle_flush: bool = False):
     def fn(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if idle_flush and state.hasTimedOut:
+            # watermark passed last_event + gap with no successor: the open
+            # session is provably closed — flush it and drop the state
+            start_us, last_us, n, total = state.get
+            state.remove()
+            out = pd.DataFrame(
+                [(user_id, start_us, last_us, n, total)],
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+            return
         if state.exists:
             start_us, last_us, n, total = state.get
         else:
@@ -64,6 +77,8 @@ def _sessionize_kernel(gap_us: int):
                     closed.append((user_id, start_us, last_us, n, total))
                     start_us, last_us, n, total = t, t, 1, v
         state.update((start_us, last_us, n, total))
+        if idle_flush and last_us is not None:
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
         if closed:
             out = pd.DataFrame(
                 closed,
@@ -76,18 +91,34 @@ def _sessionize_kernel(gap_us: int):
     return fn
 
 
-def stateful_sessionize(stream: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_us: int = 1_800_000_000,
+    idle_flush: bool = False,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
     """Session rows for every CLOSED session (see module doc for the
-    open-session contract).  Input needs (user_id, ts, value)."""
+    open-session contract).  Input needs (user_id, ts, value).
+
+    With ``idle_flush`` the stream carries a watermark on ``ts`` and open
+    sessions are ALSO emitted once the watermark proves no in-gap successor
+    can arrive (EventTimeTimeout) — the production contract for unbounded
+    streams, where closure-by-successor alone would pin idle users' state
+    forever."""
+    src = stream
+    timeout = GroupStateTimeout.NoTimeout
+    if idle_flush:
+        src = src.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return (
-        stream.select("user_id", "ts", "value")
+        src.select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_kernel(gap_us),
+            _sessionize_kernel(gap_us, idle_flush),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

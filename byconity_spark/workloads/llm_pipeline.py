@@ -271,3 +271,77 @@ def ann_ivf_topk_query(spark: SparkSession, sf: str) -> DataFrame:
 def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     mm = attach_binary_payload(_docs(spark, sf))
     return extract_features(mm)
+
+
+# ------------------------------------------- char-ngram language profiles
+@register(
+    "llm_ngram_lang_id",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+               WHERE length(text) >= 3),
+    g AS (SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS gram
+          FROM d, unnest(range(1, length(t) - 1)) AS u(i)),
+    dg AS (SELECT DISTINCT doc_id, lang, gram FROM g),
+    cnt AS (SELECT lang, gram, count(*) AS df FROM dg GROUP BY 1, 2),
+    prof AS (SELECT lang, gram FROM (
+        SELECT lang, gram,
+               row_number() OVER (PARTITION BY lang ORDER BY df DESC, gram) AS rn
+        FROM cnt) WHERE rn <= 32),
+    docg AS (SELECT DISTINCT doc_id, gram FROM g),
+    sc AS (SELECT docg.doc_id, prof.lang, count(*) AS score
+           FROM docg JOIN prof USING (gram) GROUP BY 1, 2)
+    SELECT doc_id, best_lang, best_score FROM (
+        SELECT doc_id, lang AS best_lang, score AS best_score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM sc) WHERE rn = 1
+    """,
+)
+def llm_ngram_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Cavnar-Trenkle char-trigram language ID: train top-32 profiles from
+    the labeled corpus, then argmax-score every doc via a broadcast
+    gram join (llm/text.py:ngram_language_profiles / ngram_language_id)."""
+    from byconity_spark.llm.text import ngram_language_id, ngram_language_profiles
+
+    docs = _docs(spark, sf)
+    profiles = ngram_language_profiles(docs)
+    return ngram_language_id(docs, profiles)
+
+
+# ------------------------------------------------- quality gate classifier
+@register(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, string_split({_DUCK_NORM}, ' ') AS toks
+               FROM documents),
+    f AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 length(text)::DOUBLE / len(toks) AS chars_per_token,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                   / length(text) AS alpha_ratio,
+                 len(list_filter(toks, w -> w IN ('a','and','das','de','der','des',
+                   'die','ein','el','et','in','is','ist','la','le','les','los','of',
+                   'que','the','to','und','une','y')))::DOUBLE / len(toks)
+                   AS stopword_ratio,
+                 len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_token_ratio
+          FROM d),
+    r AS (SELECT doc_id, n_tokens,
+                 (n_tokens >= 5 AND n_tokens <= 100000)                    AS len_ok,
+                 (chars_per_token >= 2.0 AND chars_per_token <= 12.0)      AS token_shape_ok,
+                 (alpha_ratio >= 0.5)                                      AS alpha_ok,
+                 (stopword_ratio >= 0.01)                                  AS stopword_ok,
+                 (uniq_token_ratio >= 0.05)                                AS diversity_ok
+          FROM f)
+    SELECT doc_id, n_tokens,
+           (len_ok::INT + token_shape_ok::INT + alpha_ok::INT
+            + stopword_ok::INT + diversity_ok::INT) / 5.0 AS quality_score,
+           (len_ok AND token_shape_ok AND alpha_ok AND stopword_ok
+            AND diversity_ok) AS keep
+    FROM r
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule quality gate composed from text_quality features
+    (llm/text.py:quality_classify): flags -> weighted score -> keep."""
+    from byconity_spark.llm.text import quality_classify
+
+    return quality_classify(_docs(spark, sf))

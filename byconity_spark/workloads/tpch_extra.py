@@ -526,3 +526,46 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+# ---------------- q11: important stock (scalar-subquery HAVING threshold)
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey AS partkey,
+             sum(l.l_extendedprice * l.l_quantity) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT sum(part_value) * 0.001 FROM val)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q11 shape (partsupp absent -> lineitem stock value): per-part
+    value for one nation's suppliers, HAVING above a scalar-subquery
+    fraction of the nation total.  Ref tests/optimizers/tpch/q11; the
+    shared subplan is the CTERef pattern (CTERefStep.h:34) — materialized
+    once, threshold broadcast.  Scale: one shuffle on l_partkey; nation is
+    a bounded broadcast dim; the threshold row is a 1-row broadcast."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        l.join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+        .cache()
+    )
+    thr = val.agg((F.sum("part_value") * F.lit(0.001)).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("partkey", "part_value")
+    )

@@ -52,3 +52,33 @@ def test_bitmap_empty(spark):
         bitmap_cardinality(bitmap_subset_in_range(F.col("bm"), 100, 200)).alias("n")
     ).collect()[0]
     assert r.n == 0
+
+
+def test_roaring_codec_roundtrip_and_compression():
+    """Roaring layout: exact round-trip on hostile shapes, dense ranges
+    compress far below 8 B/value, and no input ever beats the plain-array
+    fallback ceiling."""
+    import numpy as np
+    from byconity_spark.udafs.bitmaps import _MAGIC, _MAGIC_PLAIN, _encode, _decode
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.empty(0, dtype=np.int64),
+        np.array([0], dtype=np.int64),
+        np.array([-1], dtype=np.int64),
+        np.array([-(2**40), -70000, -1, 0, 1, 65535, 65536, 2**40], dtype=np.int64),
+        np.arange(5_000_000, 5_300_000, dtype=np.int64),  # bitset containers
+        np.unique(rng.integers(-(2**40), 2**40, 5000)),   # plain fallback
+        np.unique(rng.integers(0, 10_000_000, 50_000)),   # mixed containers
+    ]
+    for a in cases:
+        a = np.unique(a)
+        enc = _encode(a)
+        assert np.array_equal(_decode(enc), a)
+        assert len(enc) <= 1 + 8 * a.size  # never worse than plain
+        if a.size:
+            assert enc[0] in (_MAGIC, _MAGIC_PLAIN)
+    dense = np.arange(0, 200_000, dtype=np.int64)
+    assert len(_encode(dense)) < dense.size  # ~1 bit/value, << 8 B/value
+    sparse = np.unique(rng.integers(-(2**40), 2**40, 5000))
+    assert _encode(sparse)[0] == _MAGIC_PLAIN

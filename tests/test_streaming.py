@@ -203,3 +203,56 @@ def test_fan_out_sinks(spark, tmp_path):
     q.awaitTermination()
     assert spark.read.parquet(sinks["raw"]).count() == 100
     assert spark.read.parquet(sinks["evens"]).count() == 50
+
+
+def test_stateful_sessionize_idle_flush(spark, tmp_path):
+    """EventTimeTimeout: a user with no successor events is flushed once the
+    watermark (advanced by OTHER users' events) passes last_event + gap."""
+    import datetime as dt
+    import time
+    from byconity_spark.streaming.stateful import stateful_sessionize
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+
+    # file 1: user 1 session (2 events), never seen again
+    mk([
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 2.0),
+    ]).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    # file 2: user 2 at +6h pushes the watermark far past user 1's gap
+    mk([
+        (2, t0 + dt.timedelta(hours=6), 5.0),
+    ]).coalesce(1).write.parquet(str(src / "b2"))
+
+    schema = mk([]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stateful_sessionize(stream, gap_us=1_800_000_000, idle_flush=True)
+        .writeStream.format("memory")
+        .queryName("ss_idle")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sorted(spark.table("ss_idle").collect(), key=lambda r: r.user_id)
+    # user 1's open session was idle-flushed; user 2's stays open (watermark
+    # never passed its gap)
+    assert len(out) == 1
+    assert out[0].user_id == 1
+    assert out[0].n_events == 2 and out[0].sum_value == 3.0
