@@ -352,6 +352,71 @@ def _rewrite_sample(sql: str) -> str:
         sql = sql[:i] + f"TABLESAMPLE ({frac * 100:g} PERCENT)" + sql[i + m.end() :]
 
 
+_CLAUSE_STOPPERS = (
+    "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT", "SETTINGS",
+    "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+)
+
+
+def _rewrite_prewhere(sql: str) -> str:
+    """``PREWHERE <cond>`` -> ``WHERE <cond>`` (merged with an existing
+    WHERE by AND).  ClickHouse's PREWHERE is a scan-time filter-first hint
+    (reference src/Storages/MergeTree* PREWHERE pipeline); Catalyst's
+    predicate pushdown makes every WHERE a prewhere, so the rewrite is
+    semantics-preserving and loses nothing."""
+    while True:
+        i = _depth0_find(sql, "PREWHERE")
+        if i < 0:
+            return sql
+        end = len(sql)
+        nxt = None
+        for kw in _CLAUSE_STOPPERS:
+            p = _depth0_find(sql, kw, i + len("PREWHERE"))
+            if 0 <= p < end:
+                end, nxt = p, kw
+        cond = sql[i + len("PREWHERE") : end].strip()
+        if not cond:
+            raise ChSqlError("PREWHERE requires a condition")
+        if nxt == "WHERE":
+            wend = len(sql)
+            for kw in _CLAUSE_STOPPERS:
+                p = _depth0_find(sql, kw, end + len("WHERE"))
+                if 0 <= p < wend:
+                    wend = p
+            wcond = sql[end + len("WHERE") : wend].strip()
+            sql = (
+                sql[:i]
+                + f"WHERE ({cond}) AND ({wcond}) "
+                + sql[wend:]
+            )
+        else:
+            sql = sql[:i] + f"WHERE {cond} " + sql[end:]
+
+
+def _strip_final_and_global(sql: str) -> str:
+    """Drop ``FINAL`` in table-ref position (our write path collapses
+    versions at upsert time — engine/write.py — so reads never see pending
+    merges) and the ``GLOBAL`` distribution prefix on IN / NOT IN / JOIN
+    (Spark's broadcast/shuffle planning subsumes the hint)."""
+    import re
+
+    # FROM t [alias] FINAL / JOIN t FINAL — never a bare token elsewhere,
+    # so a column actually named "final" survives
+    sql = re.sub(
+        r"\b((?:FROM|JOIN)\s+[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?(?!FINAL\b)[A-Za-z_]\w*)?)\s+FINAL\b",
+        r"\1",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|(?:ANY\s+|ALL\s+)?(?:LEFT\s+|INNER\s+|SEMI\s+|ANTI\s+)?JOIN\b)",
+        "",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
+
+
 def _rewrite_with_fill(sql: str) -> str:
     """``ORDER BY <k> WITH FILL [FROM f] [TO t] [STEP s]`` -> a spine of
     ``explode(sequence(lo, hi, s))`` LEFT-JOINed via USING(<k>), so no
@@ -409,6 +474,8 @@ def rewrite_ch_sql(sql: str) -> str:
             "byconity_spark.operators.joins.asof_join(left, right, ...)"
         )
     sql = _strip_format(sql)
+    sql = _strip_final_and_global(sql)
+    sql = _rewrite_prewhere(sql)
     sql = _rewrite_sample(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_limit_by_recursive(sql)

@@ -167,6 +167,18 @@ def _array_avg(c: Column) -> Column:
     return _array_sum(c) / F.size(c)
 
 
+def _haversine_m(lon1, lat1, lon2, lat2) -> Column:
+    """Great-circle metres via haversine, radius 6371 km."""
+    to_c = lambda x: x if isinstance(x, Column) else F.lit(x)  # noqa: E731
+    lon1, lat1, lon2, lat2 = to_c(lon1), to_c(lat1), to_c(lon2), to_c(lat2)
+    dphi = F.radians(lat2 - lat1)
+    dlam = F.radians(lon2 - lon1)
+    a = F.pow(F.sin(dphi / 2), 2) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.pow(F.sin(dlam / 2), 2)
+    return F.lit(2.0 * 6_371_000.0) * F.asin(F.sqrt(a))
+
+
 SCALAR: dict[str, Callable[..., Column]] = {
     # ---- date/time (src/Functions/DateTimeTransforms.h, date_trunc.cpp,
     # dateDiff.cpp, addSeconds.cpp..addYears.cpp, toYYYYMM et al.)
@@ -430,6 +442,15 @@ SCALAR: dict[str, Callable[..., Column]] = {
     # xxhash64-backed stand-ins (stable, not CH-bit-identical)
     "cityHash64": lambda *cols: F.xxhash64(*cols),
     "sipHash64": lambda *cols: F.xxhash64(*cols),
+    # ---- geo (src/Functions/greatCircleDistance.cpp) — haversine on the
+    # CH mean-Earth sphere (6371 km); geoDistance's ellipsoid correction is
+    # not reproduced (documented deviation, <0.6% everywhere)
+    "greatCircleDistance": lambda lon1, lat1, lon2, lat2: _haversine_m(
+        lon1, lat1, lon2, lat2
+    ),
+    "geoDistance": lambda lon1, lat1, lon2, lat2: _haversine_m(
+        lon1, lat1, lon2, lat2
+    ),
     "xxHash64": lambda *cols: F.xxhash64(*cols),
     "halfMD5": lambda *cols: F.xxhash64(*cols),
     # CH MD5/SHA256 return raw bytes (users wrap in hex()); Spark's return

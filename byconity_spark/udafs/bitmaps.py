@@ -193,3 +193,32 @@ def bitmap_subset_in_range(bm: Column, lo: int, hi: int) -> Column:
         return a.map(g)
 
     return f(bm)
+
+
+def group_bitmap_merge(
+    df: DataFrame, group_cols: list[str], state_col: str = "bm"
+) -> DataFrame:
+    """-Merge combinator for bitmap states (groupBitmapMergeState,
+    reference registerAggregateFunctions.cpp -State/-Merge pair): OR-merge
+    partial bitmaps into one per group.  This is the AggregatingMergeTree
+    pattern — build cheap per-(key, shard) states once, re-aggregate any
+    coarser grouping from states instead of raw rows.  The merge shuffles
+    only the compressed states (roaring bytes), never the member ids."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        arrs = [_decode(b) for b in pdf[state_col]]
+        merged = (
+            np.unique(np.concatenate(arrs)) if arrs else np.empty(0, dtype="<i8")
+        )
+        keys[state_col] = [_encode(merged)]
+        return pd.DataFrame(keys)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return (
+        df.select(*group_cols, state_col)
+        .groupBy(*group_cols)
+        .applyInPandas(kernel, schema=f"{key_schema}, {state_col} binary")
+    )

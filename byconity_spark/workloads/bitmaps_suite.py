@@ -72,3 +72,26 @@ def bitmap_union_reach(spark: SparkSession, sf: str) -> DataFrame:
     return s.crossJoin(p).select(
         bitmap_or_cardinality(F.col("bm_a"), F.col("bm_b")).alias("reach")
     )
+
+
+@register(
+    "bitmap_state_merge_uniq",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def bitmap_state_merge_uniq(spark: SparkSession, sf: str) -> DataFrame:
+    """-State/-Merge combinator pair (registerAggregateFunctions.cpp
+    -State/-Merge): build fine-grained per-(type, day) bitmap STATES, then
+    re-aggregate the coarser per-type uniques by MERGING states — the
+    AggregatingMergeTree incremental-rollup pattern.  The second pass
+    shuffles only compressed roaring states, not raw user ids."""
+    from byconity_spark.udafs.bitmaps import group_bitmap_merge
+
+    ev = load_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    states = group_bitmap(ev, ["event_type", "day"], "user_id")
+    merged = group_bitmap_merge(states.drop("day"), ["event_type"])
+    return merged.select(
+        "event_type", bitmap_cardinality(F.col("bm")).alias("n_users")
+    )

@@ -287,3 +287,47 @@ def fn_hash_url_suite(spark: SparkSession, sf: str) -> DataFrame:
         ch("cutQueryString", u).alias("no_query"),
         ch("topLevelDomain", u).alias("tld"),
     )
+
+
+@register(
+    "fn_geo_suite",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey, c_mktsegment,
+             ((c_custkey % 180) - 90 + 0.5)::DOUBLE        AS lat,
+             (((c_custkey * 7) % 360) - 180 + 0.25)::DOUBLE AS lon
+      FROM customer
+    ),
+    d AS (
+      SELECT c_mktsegment,
+             2.0 * 6371000.0 * asin(sqrt(
+               pow(sin(radians(48.85 - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(48.85))
+                 * pow(sin(radians(2.35 - lon) / 2), 2)
+             )) AS dist_m
+      FROM pts
+    )
+    SELECT c_mktsegment,
+           round(avg(dist_m), 3) AS avg_dist_m,
+           round(max(dist_m), 3) AS max_dist_m
+    FROM d GROUP BY c_mktsegment
+    """,
+)
+def fn_geo_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """greatCircleDistance (registry, haversine on the 6371 km sphere) from
+    synthesized per-customer coordinates to Paris, aggregated by segment.
+    Ref src/Functions/greatCircleDistance.cpp."""
+    from byconity_spark.functions.registry import ch
+
+    c = _t(spark, sf, "customer")
+    lat = ((F.col("c_custkey") % 180) - 90 + F.lit(0.5)).cast("double")
+    lon = (((F.col("c_custkey") * 7) % 360) - 180 + F.lit(0.25)).cast("double")
+    dist = ch("greatCircleDistance", lon, lat, F.lit(2.35), F.lit(48.85))
+    return (
+        c.select("c_mktsegment", dist.alias("dist_m"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("dist_m"), 3).alias("avg_dist_m"),
+            F.round(F.max("dist_m"), 3).alias("max_dist_m"),
+        )
+    )

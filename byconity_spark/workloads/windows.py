@@ -243,3 +243,39 @@ def win_sessionize_users(spark: SparkSession, sf: str) -> DataFrame:
         (F.lit(1) + F.sum("new_session")).alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------- GROUPS frame (peer-group bounds)
+@register(
+    "win_groups_frame_sum",
+    oracle="""
+    -- GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING, stated independently:
+    -- aggregate per peer group (priority, date), then each row's frame is
+    -- the previous/current/next group's aggregate (DuckDB has no GROUPS)
+    WITH d AS (SELECT o_orderpriority, o_orderdate,
+                      sum(o_totalprice) AS s, count(*) AS c
+               FROM orders GROUP BY 1, 2),
+    d2 AS (SELECT o_orderpriority, o_orderdate,
+                  coalesce(lag(s)  OVER w, 0) + s + coalesce(lead(s) OVER w, 0) AS grp_sum,
+                  coalesce(lag(c)  OVER w, 0) + c + coalesce(lead(c) OVER w, 0) AS grp_n
+           FROM d WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate))
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate, d2.grp_sum, d2.grp_n
+    FROM orders o JOIN d2 USING (o_orderpriority, o_orderdate)
+    """,
+)
+def win_groups_frame_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPS frame emulation (operators/windows.py): dense_rank collapses
+    each peer group to one integer, RANGE over it = GROUPS frame.  Matches
+    reference WindowTransform.cpp FrameType::Groups."""
+    from byconity_spark.operators.windows import groups_frame_agg
+
+    o = _t(spark, sf, "orders")
+    return groups_frame_agg(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"),
+        partition_by=["o_orderpriority"],
+        order_by="o_orderdate",
+        aggs={
+            "grp_sum": F.sum("o_totalprice"),
+            "grp_n": F.count(F.lit(1)),
+        },
+    ).drop("o_totalprice")

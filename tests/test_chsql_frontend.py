@@ -165,3 +165,50 @@ def test_sample_executes(spark):
     spark.range(0, 10_000).createOrReplaceTempView("__sample_t")
     n = ch_sql(spark, "SELECT count() AS n FROM __sample_t SAMPLE 0.1").collect()[0].n
     assert 200 < n < 3000  # TABLESAMPLE is approximate
+
+
+def test_prewhere_rewrite():
+    from byconity_spark.frontend.sql import rewrite_ch_sql
+
+    out = rewrite_ch_sql("SELECT a FROM t PREWHERE x > 1")
+    assert "PREWHERE" not in out.upper() and "WHERE x > 1" in out
+    merged = rewrite_ch_sql(
+        "SELECT a FROM t PREWHERE x > 1 WHERE y < 2 GROUP BY a"
+    )
+    assert "WHERE (x > 1) AND (y < 2)" in merged and "GROUP BY a" in merged
+    # PREWHERE inside a subquery stays scoped to that subquery
+    nested = rewrite_ch_sql("SELECT * FROM (SELECT a FROM t PREWHERE b = 3)")
+    assert "WHERE b = 3" in nested
+
+
+def test_final_and_global_strip():
+    from byconity_spark.frontend.sql import rewrite_ch_sql
+
+    assert (
+        rewrite_ch_sql("SELECT a FROM t FINAL WHERE x = 1")
+        == "SELECT a FROM t WHERE x = 1"
+    )
+    assert "FINAL" not in rewrite_ch_sql("SELECT a FROM t AS u FINAL JOIN s ON 1=1")
+    # a column actually named final survives
+    assert "final" in rewrite_ch_sql("SELECT final FROM t")
+    assert (
+        rewrite_ch_sql("SELECT a FROM t WHERE a GLOBAL IN (SELECT a FROM s)")
+        == "SELECT a FROM t WHERE a IN (SELECT a FROM s)"
+    )
+    assert (
+        rewrite_ch_sql("SELECT * FROM t GLOBAL ANY LEFT JOIN s ON t.a = s.a")
+        == "SELECT * FROM t ANY LEFT JOIN s ON t.a = s.a"
+    )
+    assert "GLOBAL NOT IN" not in rewrite_ch_sql(
+        "SELECT a FROM t WHERE a GLOBAL NOT IN (1, 2)"
+    )
+
+
+def test_prewhere_executes(spark):
+    from byconity_spark.frontend import ch_sql
+
+    spark.range(0, 100).createOrReplaceTempView("__pw_t")
+    n = ch_sql(
+        spark, "SELECT count() AS n FROM __pw_t PREWHERE id >= 50 WHERE id < 60"
+    ).collect()[0].n
+    assert n == 10
