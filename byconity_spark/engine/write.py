@@ -103,3 +103,104 @@ def upsert_by_key(
 
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def _partition_values(spark: SparkSession, path: str, cond: str, partition_by: list[str]):
+    """Distinct partition tuples of rows MATCHING cond (the mutation's
+    blast radius)."""
+    return (
+        spark.read.parquet(path)
+        .filter(cond)
+        .select(*partition_by)
+        .distinct()
+        .collect()
+    )
+
+
+def _overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    prev = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    cond: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """ALTER TABLE ... DELETE WHERE cond (reference mutations,
+    src/Storages/MutationCommands.h; ByConity executes these as async
+    part rewrites).  Spark-first: rewrite ONLY the partitions that contain
+    matching rows via dynamic partition overwrite — untouched partitions'
+    files are never read or rewritten, so at 100 TB the cost scales with
+    the mutation's blast radius, not the table size.  Unpartitioned
+    tables fall back to a full rewrite (same as a CH table with one part).
+    Returns the number of rows deleted."""
+    df = spark.read.parquet(path)
+    n_del = df.filter(cond).count()
+    if n_del == 0:
+        return 0
+    if partition_by:
+        hit = _partition_values(spark, path, cond, partition_by)
+        hit_filter = F.lit(False)
+        for row in hit:
+            m = F.lit(True)
+            for c in partition_by:
+                m = m & (F.col(c) == F.lit(row[c]))
+            hit_filter = hit_filter | m
+        kept = df.filter(hit_filter).filter(f"NOT ({cond})")
+        _overwrite_partitions(kept, path, partition_by)
+    else:
+        # full rewrite: stage then swap (parquet can't overwrite its own
+        # input; the staging write completes before the source is removed)
+        kept = df.filter(f"NOT ({cond})")
+        kept.write.mode("overwrite").parquet(path + ".__mutating")
+        shutil.rmtree(path)
+        os.rename(path + ".__mutating", path)
+    return n_del
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    cond: str,
+    assignments: dict[str, str],
+    partition_by: list[str] | None = None,
+) -> int:
+    """ALTER TABLE ... UPDATE col = expr WHERE cond — same partition-scoped
+    rewrite as delete_where; non-matching rows in touched partitions are
+    rewritten unchanged.  Updating a partition column is rejected (it
+    would move rows across partitions — a CH mutation can't either).
+    Returns the number of rows updated."""
+    if partition_by and set(assignments) & set(partition_by):
+        raise ValueError("cannot UPDATE a partition column")
+    df = spark.read.parquet(path)
+
+    def apply_updates(d: DataFrame) -> DataFrame:
+        for col, expr in assignments.items():
+            d = d.withColumn(
+                col, F.when(F.expr(cond), F.expr(expr)).otherwise(F.col(col))
+            )
+        return d
+
+    n_hit = df.filter(cond).count()
+    if n_hit == 0:
+        return 0
+    if partition_by:
+        hit = _partition_values(spark, path, cond, partition_by)
+        hit_filter = F.lit(False)
+        for row in hit:
+            m = F.lit(True)
+            for c in partition_by:
+                m = m & (F.col(c) == F.lit(row[c]))
+            hit_filter = hit_filter | m
+        _overwrite_partitions(apply_updates(df.filter(hit_filter)), path, partition_by)
+    else:
+        apply_updates(df).write.mode("overwrite").parquet(path + ".__mutating")
+        shutil.rmtree(path)
+        os.rename(path + ".__mutating", path)
+    return n_hit

@@ -174,10 +174,34 @@ RULES: dict[str, object] = {
     "toUInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
     "toFloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
     "toString": lambda a: f"CAST({a[0]} AS STRING)",
+    "toDate32": lambda a: f"CAST({a[0]} AS DATE)",
+    # DateTime64 scale is display precision in CH; Spark timestamps are
+    # fixed micro-precision — scale argument dropped
+    "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))",
+    "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
+    "toFixedString": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
+    # CH test-surface no-ops: materialize defeats constant folding (Catalyst
+    # folds anyway — identity is semantically exact); toNullable only
+    # changes nullability metadata
+    "materialize": lambda a: a[0],
+    "toNullable": lambda a: a[0],
+    "toTypeName": lambda a: f"typeof({a[0]})",
+    # multi-needle search (src/Functions/MultiSearchImpl.h)
+    "multiSearchAny": lambda a: f"exists({a[1]}, __n -> contains({a[0]}, __n))",
+    "multiSearchAllPositions": lambda a: f"transform({a[1]}, __n -> locate(__n, {a[0]}))",
+    "formatDateTimeInJodaSyntax": lambda a: f"date_format({a[0]}, {a[1]})",
     # arrays
     "has": "array_contains",
     "indexOf": "array_position",
     "arrayJoin": "explode",
+    # table function: numbers(N) / numbers(start, N) -> range(); CH's
+    # column is `number`, Spark range()'s is `id`
+    "numbers": lambda a: (
+        f"(SELECT id AS number FROM range({a[0]}))"
+        if len(a) == 1
+        else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
+    ),
     "arrayDistinct": "array_distinct",
     "arraySort": "sort_array",
     "arrayConcat": "concat",
@@ -199,6 +223,8 @@ RULES: dict[str, object] = {
     # aggregates
     "uniq": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
     "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "countIf": "count_if",
     "sumIf": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)",
@@ -417,6 +443,78 @@ def _strip_final_and_global(sql: str) -> str:
     return sql
 
 
+def _rewrite_with_totals(sql: str) -> str:
+    """``GROUP BY <keys> WITH TOTALS`` -> ``GROUP BY GROUPING SETS
+    ((<keys>), ())`` (reference src/QueryPlan/TotalsHavingStep.h:29).
+    The totals row carries NULL group keys (Spark grouping-sets
+    convention) where ClickHouse renders type defaults — wrap keys in
+    coalesce() if the CH rendering is needed.  WITH CUBE / WITH ROLLUP
+    pass through untouched: Spark SQL supports both natively."""
+    i = _depth0_find(sql, "WITH TOTALS")
+    if i < 0:
+        return sql
+    g = _depth0_find(sql, "GROUP BY")
+    if g < 0 or g > i:
+        raise ChSqlError("WITH TOTALS requires a GROUP BY clause")
+    keys = sql[g + len("GROUP BY") : i].strip()
+    if not keys:
+        raise ChSqlError("WITH TOTALS requires at least one group key")
+    return (
+        sql[:g]
+        + f"GROUP BY GROUPING SETS (({keys}), ()) "
+        + sql[i + len("WITH TOTALS") :]
+    )
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """``FROM t [LEFT] ARRAY JOIN <expr> AS <name>`` ->
+    ``FROM t LATERAL VIEW [OUTER] explode(<expr>) __aj AS <name>``
+    (reference src/QueryPlan/ArrayJoinStep.h:26; LEFT keeps empty-array
+    rows with NULL, exactly explode_outer).
+
+    Supported subset: one array item with an explicit AS alias.  A bare
+    column (CH's replace-in-place form) or a multi-item zip raises with
+    the idiomatic rewrite to use instead — silence would change
+    semantics."""
+    n_aj = 0
+    while True:
+        i = _depth0_find(sql, "ARRAY JOIN")
+        if i < 0:
+            return sql
+        left = False
+        pre = sql[:i].rstrip()
+        if pre.upper().endswith("LEFT"):
+            left = True
+            pre = pre[: -len("LEFT")].rstrip()
+        end = len(sql)
+        for kw in _CLAUSE_STOPPERS + ("ARRAY JOIN",):
+            p = _depth0_find(sql, kw, i + len("ARRAY JOIN"))
+            if 0 <= p < end:
+                end = p
+        item = sql[i + len("ARRAY JOIN") : end].strip()
+        if len(_split_args(item)) > 1:
+            raise ChSqlError(
+                "multi-array ARRAY JOIN (zip semantics) is not auto-rewritten; "
+                "use arrays_zip: ARRAY JOIN arrays_zip(a, b) AS z, then z.a / z.b"
+            )
+        k = _depth0_find(item, "AS")
+        if k < 0:
+            raise ChSqlError(
+                "ARRAY JOIN without AS replaces the source column in ClickHouse; "
+                "write 'ARRAY JOIN <expr> AS <alias>' to make the output column "
+                "explicit"
+            )
+        expr = item[:k].strip()
+        alias = item[k + 2 :].strip()
+        outer = " OUTER" if left else ""
+        n_aj += 1
+        sql = (
+            pre
+            + f" LATERAL VIEW{outer} explode({expr}) __aj{n_aj} AS {alias} "
+            + sql[end:]
+        )
+
+
 def _rewrite_with_fill(sql: str) -> str:
     """``ORDER BY <k> WITH FILL [FROM f] [TO t] [STEP s]`` -> a spine of
     ``explode(sequence(lo, hi, s))`` LEFT-JOINed via USING(<k>), so no
@@ -473,9 +571,17 @@ def rewrite_ch_sql(sql: str) -> str:
             "ASOF JOIN is not expressible as a text rewrite; use "
             "byconity_spark.operators.joins.asof_join(left, right, ...)"
         )
+    for kw in ("ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN", "ANY RIGHT JOIN"):
+        if _depth0_find(sql, kw) >= 0:
+            raise ChSqlError(
+                "ANY JOIN (first-match strictness) is not expressible as a "
+                "text rewrite; use byconity_spark.operators.joins.any_join"
+            )
     sql = _strip_format(sql)
     sql = _strip_final_and_global(sql)
     sql = _rewrite_prewhere(sql)
+    sql = _rewrite_array_join(sql)
+    sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_limit_by_recursive(sql)

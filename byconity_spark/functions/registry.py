@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
@@ -526,7 +526,76 @@ AGG: dict[str, Callable[..., Column]] = {
     "groupBitOr": lambda c: F.bit_or(c),
     "groupBitXor": lambda c: F.bit_xor(c),
     "sumCount": lambda c: F.struct(F.sum(c).alias("sum"), F.count(c).alias("count")),
+    "singleValueOrNull": lambda c: F.when(
+        F.countDistinct(c) == 1, F.first(c, ignorenulls=True)
+    ),
+    "simpleLinearRegression": lambda x, y: F.struct(
+        (F.covar_pop(x, y) / F.var_pop(x)).alias("k"),
+        (F.avg(y) - (F.covar_pop(x, y) / F.var_pop(x)) * F.avg(x)).alias("b"),
+    ),
 }
+
+
+def entropy(df, group_cols: list[str], value_col: str):
+    """Shannon entropy (bits) of value_col's distribution per group
+    (reference AggregateFunctionEntropy.h).  Two chained aggregates —
+    value-count then -sum(p*log2 p) — both map-side combinable."""
+    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__n"))
+    totals = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    p = F.col("__n") / F.sum("__n").over(totals)
+    plogp = (p * F.log2(p)).alias("__plogp")
+    return (
+        counts.select(*group_cols, plogp)
+        .groupBy(*group_cols)
+        .agg((-F.sum("__plogp")).alias("entropy"))
+    )
+
+
+def delta_sum(df, group_cols: list[str], order_cols: list[str], value_col: str):
+    """deltaSum (AggregateFunctionDeltaSum.h): sum of positive successive
+    differences in order_cols order.  One window pass (lag) + one aggregate."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    d = F.col(value_col) - F.lag(value_col).over(w)
+    return (
+        df.select(*group_cols, d.alias("__d"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.when(F.col("__d") > 0, F.col("__d")).otherwise(0.0)).alias("delta_sum"))
+    )
+
+
+def rank_corr(df, group_cols: list[str], x_col: str, y_col: str):
+    """Spearman rank correlation (AggregateFunctionRankCorrelation.h):
+    average-rank (ties) both columns with windows, then Pearson corr of the
+    ranks — no Python in the path."""
+    wx = Window.partitionBy(*group_cols).orderBy(x_col)
+    wy = Window.partitionBy(*group_cols).orderBy(y_col)
+    # average rank for ties = (rank + (rank + count_of_peers - 1)) / 2;
+    # avg(row_number) over peers gives exactly that via a second window
+    rx = F.avg(F.row_number().over(wx)).over(Window.partitionBy(*group_cols, x_col))
+    ry = F.avg(F.row_number().over(wy)).over(Window.partitionBy(*group_cols, y_col))
+    ranked = df.select(*group_cols, rx.alias("__rx"), ry.alias("__ry"))
+    return ranked.groupBy(*group_cols).agg(
+        F.corr("__rx", "__ry").alias("rank_corr")
+    )
+
+
+def welch_t_stat(df, group_cols: list[str], value_col: str, label_col):
+    """Welch's two-sample t statistic (AggregateFunctionTTest.h shape):
+    label_col (boolean Column or name) splits the samples; one aggregate."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    v = F.col(value_col)
+    a = F.when(lab, v)
+    b = F.when(~lab, v)
+    return df.groupBy(*group_cols).agg(
+        (
+            (F.avg(a) - F.avg(b))
+            / F.sqrt(
+                F.var_samp(a) / F.count(a) + F.var_samp(b) / F.count(b)
+            )
+        ).alias("t_stat"),
+        F.count(a).alias("n_a"),
+        F.count(b).alias("n_b"),
+    )
 
 
 def _apply_if(base: Callable[..., Column], *args) -> Column:

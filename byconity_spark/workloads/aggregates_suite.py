@@ -325,3 +325,89 @@ def agg_statistics(spark: SparkSession, sf: str) -> DataFrame:
         ch("corr", v, u).alias("c"),
         ch("covarSamp", v, u).alias("cv"),
     )
+
+
+@register(
+    "agg_advanced_stats",
+    oracle="""
+    WITH d AS (SELECT event_type, user_id, value,
+                      CAST(ts AS TIMESTAMP) AS ts,
+                      user_id % 2 = 0 AS grp
+               FROM events),
+    ent AS (
+      SELECT event_type, -sum(p * log2(p)) AS entropy FROM (
+        SELECT event_type, count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY event_type) AS p
+        FROM d GROUP BY event_type, user_id % 10
+      ) GROUP BY event_type
+    ),
+    ds AS (
+      SELECT event_type, sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS delta_sum FROM (
+        SELECT event_type, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dd
+        FROM (SELECT event_type, value, ts, event_id FROM events)
+      ) GROUP BY event_type
+    ),
+    rc AS (
+      SELECT event_type, corr(rx, ry) AS rank_corr FROM (
+        SELECT event_type,
+               avg(rn_x) OVER (PARTITION BY event_type, user_id)  AS rx,
+               avg(rn_y) OVER (PARTITION BY event_type, value)    AS ry
+        FROM (
+          SELECT event_type, user_id, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY user_id) AS rn_x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value)   AS rn_y
+          FROM d
+        )
+      ) GROUP BY event_type
+    ),
+    tt AS (
+      SELECT event_type,
+             (avg(value) FILTER (WHERE grp) - avg(value) FILTER (WHERE NOT grp))
+             / sqrt(var_samp(value) FILTER (WHERE grp) / count(*) FILTER (WHERE grp)
+                    + var_samp(value) FILTER (WHERE NOT grp) / count(*) FILTER (WHERE NOT grp))
+               AS t_stat
+      FROM d GROUP BY event_type
+    )
+    SELECT ent.event_type, round(ent.entropy, 6) AS entropy,
+           round(ds.delta_sum, 3) AS delta_sum,
+           round(rc.rank_corr, 6) AS rank_corr,
+           round(tt.t_stat, 6) AS t_stat
+    FROM ent JOIN ds USING (event_type) JOIN rc USING (event_type)
+             JOIN tt USING (event_type)
+    """,
+)
+def agg_advanced_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family (entropy, deltaSum, Spearman
+    rankCorrelation, Welch t) — reference AggregateFunctionEntropy.h,
+    DeltaSum.h, RankCorrelation.h, TTest.h — composed from JVM-side
+    windows + aggregates (functions/registry.py helpers)."""
+    from byconity_spark.functions.registry import (
+        delta_sum,
+        entropy,
+        rank_corr,
+        welch_t_stat,
+    )
+
+    ev = load_table(spark, sf, "events")
+    d = ev.select(
+        "event_type",
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        (F.col("user_id") % 2 == 0).alias("grp"),
+    )
+    ent = entropy(
+        d.withColumn("bucket", F.col("user_id") % 10), ["event_type"], "bucket"
+    ).withColumn("entropy", F.round("entropy", 6))
+    ds = delta_sum(d, ["event_type"], ["ts", "event_id"], "value").withColumn(
+        "delta_sum", F.round("delta_sum", 3)
+    )
+    rc = rank_corr(d, ["event_type"], "user_id", "value").withColumn(
+        "rank_corr", F.round("rank_corr", 6)
+    )
+    tt = welch_t_stat(d, ["event_type"], "value", "grp").select(
+        "event_type", F.round("t_stat", 6).alias("t_stat")
+    )
+    return (
+        ent.join(ds, "event_type").join(rc, "event_type").join(tt, "event_type")
+    )

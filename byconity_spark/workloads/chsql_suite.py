@@ -143,3 +143,67 @@ def chsql_json_match(spark: SparkSession, sf: str) -> DataFrame:
         FROM events GROUP BY k
         """,
     )
+
+
+@register(
+    "chsql_array_join_words",
+    oracle="""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) >= 5
+    GROUP BY w
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def chsql_array_join_words(spark: SparkSession, sf: str) -> DataFrame:
+    """CH ARRAY JOIN clause (ArrayJoinStep.h:26) through the frontend:
+    rewritten to LATERAL VIEW explode."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT w AS word, count() AS n
+        FROM documents ARRAY JOIN splitByChar(' ', text) AS w
+        WHERE lengthUTF8(w) >= 5
+        GROUP BY w
+        ORDER BY n DESC, word
+        LIMIT 20
+        """,
+    )
+
+
+@register(
+    "chsql_numbers_squares",
+    oracle="""
+    SELECT CAST(n AS BIGINT) AS number, CAST(n * n AS BIGINT) AS sq
+    FROM (SELECT unnest(range(10, 20)) AS n)
+    """,
+)
+def chsql_numbers_squares(spark: SparkSession, sf: str) -> DataFrame:
+    """numbers(start, count) table function -> range() rewrite."""
+    return _run(
+        spark,
+        sf,
+        "SELECT number, number * number AS sq FROM numbers(10, 10)",
+    )
+
+
+@register(
+    "chsql_totals_by_status",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), ())
+    """,
+)
+def chsql_totals_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    """CH WITH TOTALS (TotalsHavingStep.h:29) -> GROUPING SETS rewrite."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT o_orderstatus, count() AS n, sum(o_totalprice) AS total
+        FROM orders GROUP BY o_orderstatus WITH TOTALS
+        """,
+    )

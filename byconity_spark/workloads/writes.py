@@ -94,3 +94,56 @@ def write_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("o_totalprice").alias("total"),
         F.count(F.when(F.col("version") == 1, 1)).alias("n_updated"),
     )
+
+
+# ------------------------------------------------- mutation round-trip
+@register(
+    "write_mutation_roundtrip",
+    oracle="""
+    -- post-mutation state, stated relationally: DELETE the 1998 high
+    -- quantities, then UPDATE discounts on RETURN rows
+    WITH after_delete AS (
+      SELECT * FROM lineitem
+      WHERE NOT (l_quantity > 45 AND l_shipdate >= DATE '1998-01-01')
+    ),
+    after_update AS (
+      SELECT l_returnflag,
+             CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END AS l_discount,
+             l_extendedprice
+      FROM after_delete
+    )
+    SELECT l_returnflag, count(*) AS n,
+           sum(l_discount) AS disc, sum(l_extendedprice) AS price
+    FROM after_update GROUP BY l_returnflag
+    """,
+)
+def write_mutation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ALTER TABLE DELETE + UPDATE mutations (engine/write.py:delete_where/
+    update_where; reference MutationCommands.h): copy lineitem out
+    partitioned by returnflag, mutate, read back and aggregate."""
+    from byconity_spark.engine.write import delete_where, update_where
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_shipdate", "l_discount", "l_extendedprice"
+    )
+    path = _tmp(sf, "mut_lineitem")
+    create_table_as(li, path, partition_by=["l_returnflag"])
+    delete_where(
+        spark,
+        path,
+        "l_quantity > 45 AND l_shipdate >= DATE '1998-01-01'",
+        partition_by=["l_returnflag"],
+    )
+    update_where(
+        spark,
+        path,
+        "l_returnflag = 'R'",
+        {"l_discount": "0.0"},
+        partition_by=["l_returnflag"],
+    )
+    back = read_back(spark, path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_discount").alias("disc"),
+        F.sum("l_extendedprice").alias("price"),
+    )

@@ -196,9 +196,14 @@ def test_final_and_global_strip():
         == "SELECT a FROM t WHERE a IN (SELECT a FROM s)"
     )
     assert (
-        rewrite_ch_sql("SELECT * FROM t GLOBAL ANY LEFT JOIN s ON t.a = s.a")
-        == "SELECT * FROM t ANY LEFT JOIN s ON t.a = s.a"
+        rewrite_ch_sql("SELECT * FROM t GLOBAL LEFT JOIN s ON t.a = s.a")
+        == "SELECT * FROM t LEFT JOIN s ON t.a = s.a"
     )
+    # ANY-strictness joins raise with a pointer at the operator API
+    from byconity_spark.frontend.sql import ChSqlError
+
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT * FROM t ANY LEFT JOIN s ON t.a = s.a")
     assert "GLOBAL NOT IN" not in rewrite_ch_sql(
         "SELECT a FROM t WHERE a GLOBAL NOT IN (1, 2)"
     )
@@ -212,3 +217,75 @@ def test_prewhere_executes(spark):
         spark, "SELECT count() AS n FROM __pw_t PREWHERE id >= 50 WHERE id < 60"
     ).collect()[0].n
     assert n == 10
+
+
+def test_array_join_rewrite():
+    from byconity_spark.frontend.sql import ChSqlError, rewrite_ch_sql
+
+    out = rewrite_ch_sql("SELECT a, x FROM t ARRAY JOIN arr AS x WHERE x > 1")
+    assert "LATERAL VIEW explode(arr) __aj1 AS x" in out and "WHERE x > 1" in out
+    left = rewrite_ch_sql("SELECT x FROM t LEFT ARRAY JOIN arr AS x")
+    assert "LATERAL VIEW OUTER explode(arr)" in left and " LEFT " not in left
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT x FROM t ARRAY JOIN arr")  # no AS
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")  # zip
+
+
+def test_numbers_rewrite(spark):
+    from byconity_spark.frontend import ch_sql
+    from byconity_spark.frontend.sql import rewrite_ch_sql
+
+    assert "range(5)" in rewrite_ch_sql("SELECT number FROM numbers(5)")
+    rows = ch_sql(spark, "SELECT sum(number) AS s FROM numbers(3, 4)").collect()
+    assert rows[0].s == 3 + 4 + 5 + 6
+
+
+def test_array_join_executes(spark):
+    from byconity_spark.frontend import ch_sql
+
+    spark.sql(
+        "SELECT 1 AS id, array('a','b') AS arr "
+        "UNION ALL SELECT 2, array() "
+    ).createOrReplaceTempView("__aj_t")
+    rows = ch_sql(
+        spark, "SELECT id, x FROM __aj_t LEFT ARRAY JOIN arr AS x ORDER BY id, x"
+    ).collect()
+    assert [(r.id, r.x) for r in rows] == [(1, "a"), (1, "b"), (2, None)]
+
+
+def test_with_totals_rewrite():
+    from byconity_spark.frontend.sql import ChSqlError, rewrite_ch_sql
+
+    out = rewrite_ch_sql("SELECT a, count() FROM t GROUP BY a WITH TOTALS")
+    assert "GROUPING SETS ((a), ())" in out and "WITH TOTALS" not in out
+    # WITH CUBE / ROLLUP pass through
+    assert "WITH ROLLUP" in rewrite_ch_sql("SELECT a FROM t GROUP BY a WITH ROLLUP")
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT count() FROM t WITH TOTALS")
+
+
+def test_conversion_and_search_rules(spark):
+    from byconity_spark.frontend import ch_sql
+
+    r = ch_sql(
+        spark,
+        """
+        SELECT toDate32('2024-03-05') AS d,
+               toDecimal32('1.25', 2) AS dec,
+               materialize(7) AS m,
+               toTypeName(toFloat64(1.5)) AS tn,
+               multiSearchAny('hello world', array('xyz', 'wor')) AS ms,
+               multiSearchAllPositions('hello', array('l', 'zz')) AS mp,
+               formatDateTimeInJodaSyntax(toDateTime('2024-03-05 10:00:00'),
+                                          'yyyy-MM') AS joda
+        """,
+    ).collect()[0]
+    import datetime as dt
+    from decimal import Decimal
+
+    assert r.d == dt.date(2024, 3, 5)
+    assert r.dec == Decimal("1.25")
+    assert r.m == 7 and r.tn == "double"
+    assert r.ms is True and list(r.mp) == [3, 0]
+    assert r.joda == "2024-03"

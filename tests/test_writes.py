@@ -96,3 +96,60 @@ def test_catalog_schema_enforced(spark, tmp_path):
     )
     with pytest.raises(Exception):
         spark.read.schema(declared).parquet(path).collect()
+
+
+def test_delete_where_partition_scoped(spark, tmp_path):
+    """DELETE rewrites only partitions containing matches; others' files
+    must keep their original mtimes (proof of blast-radius scoping)."""
+    import os
+    import pyspark.sql.functions as F
+    from byconity_spark.engine.write import delete_where
+
+    p = str(tmp_path / "t")
+    spark.range(100).select(
+        "id", (F.col("id") % 4).alias("part"), (F.col("id") * 2.0).alias("v")
+    ).write.partitionBy("part").parquet(p)
+
+    def files(part):
+        d = os.path.join(p, f"part={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {k: files(k) for k in range(4)}
+    # ids divisible by 20 all live in part=0 (20 % 4 == 0)
+    n = delete_where(spark, p, "id % 20 = 0", partition_by=["part"])
+    assert n == 5
+    df = spark.read.parquet(p)
+    assert df.count() == 95 and df.filter("id % 20 = 0").count() == 0
+    assert files(1) == before[1] and files(2) == before[2] and files(3) == before[3]
+    assert files(0) != before[0]
+
+
+def test_update_where(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from byconity_spark.engine.write import update_where
+
+    p = str(tmp_path / "t")
+    spark.range(20).select(
+        "id", (F.col("id") % 2).alias("part"), F.lit(1.0).alias("v")
+    ).write.partitionBy("part").parquet(p)
+    n = update_where(spark, p, "id >= 10", {"v": "v * 10"}, partition_by=["part"])
+    assert n == 10
+    out = spark.read.parquet(p)
+    assert out.filter("id >= 10").agg(F.sum("v")).collect()[0][0] == 100.0
+    assert out.filter("id < 10").agg(F.sum("v")).collect()[0][0] == 10.0
+    with pytest.raises(ValueError):
+        update_where(spark, p, "id = 1", {"part": "0"}, partition_by=["part"])
+
+
+def test_delete_where_unpartitioned_swap(spark, tmp_path):
+    from byconity_spark.engine.write import delete_where
+
+    p = str(tmp_path / "t")
+    spark.range(50).write.parquet(p)
+    assert delete_where(spark, p, "id >= 40") == 10
+    assert spark.read.parquet(p).count() == 40
+    assert delete_where(spark, p, "id >= 40") == 0
