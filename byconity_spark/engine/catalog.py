@@ -108,25 +108,54 @@ TABLES: dict[str, T.StructType] = {
     ),
 }
 
-# Physical parquet types that differ from the logical catalog type.
-# events.ts is INT64 TIMESTAMP(NANOS,false) — Spark has no nanosecond
-# timestamp type, so the scan reads the raw long
-# (spark.sql.legacy.parquet.nanosAsLong) and load_table floor-divides to
-# microseconds: the exact truncation DuckDB applies when casting
-# TIMESTAMP_NS -> TIMESTAMP, keeping both engines value-identical.
-_PHYSICAL_OVERRIDES: dict[str, dict[str, T.DataType]] = {
-    "events": {"ts": T.LongType()},
-}
+# Timestamp columns whose PHYSICAL parquet unit may vary across fixture
+# generations.  Spark has no nanosecond timestamp type: if the footer says
+# timestamp[ns], the scan must read the raw long
+# (spark.sql.legacy.parquet.nanosAsLong) and floor-divide to microseconds —
+# the exact truncation DuckDB applies when casting TIMESTAMP_NS -> TIMESTAMP.
+# If the footer says timestamp[us] (the current driver fixtures), the column
+# is read directly with the logical TimestampType.  The unit is detected
+# from the parquet footer per (sf_dir, table) and cached — never assumed.
+_MAYBE_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
-_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# (sf_dir, table) -> list of columns that are PHYSICALLY nanosecond longs
+_nano_cols_cache: dict[tuple[str, str], list[str]] = {}
 
 
-def _physical_schema(name: str) -> T.StructType:
+def _nano_cols(sf_dir: str, name: str) -> list[str]:
+    """Columns of `name` that the parquet footer declares as timestamp[ns].
+
+    One footer read per (sf_dir, table) for the driver process lifetime —
+    at 100 TB this is a single metadata fetch, not a data scan.  If pyarrow
+    is unavailable or the footer is unreadable we assume the logical unit
+    (microseconds), matching the current fixtures.
+    """
+    key = (sf_dir, name)
+    if key not in _nano_cols_cache:
+        cols: list[str] = []
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(f"{sf_dir}/{name}.parquet")
+            for col in _MAYBE_NANO_TS_COLS.get(name, []):
+                field = schema.field(col)
+                if getattr(field.type, "unit", None) == "ns":
+                    cols.append(col)
+        except Exception:
+            cols = []
+        _nano_cols_cache[key] = cols
+    return _nano_cols_cache[key]
+
+
+def _physical_schema(name: str, nano_cols: list[str]) -> T.StructType:
     logical = TABLES[name]
-    overrides = _PHYSICAL_OVERRIDES.get(name, {})
     return T.StructType(
         [
-            T.StructField(f.name, overrides.get(f.name, f.dataType), f.nullable)
+            T.StructField(
+                f.name,
+                T.LongType() if f.name in nano_cols else f.dataType,
+                f.nullable,
+            )
             for f in logical.fields
         ]
     )
@@ -169,8 +198,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     if name not in TABLES:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    df = spark.read.schema(_physical_schema(name)).parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLS.get(name, []):
+    nano = _nano_cols(sf_dir, name)
+    df = spark.read.schema(_physical_schema(name, nano)).parquet(
+        f"{sf_dir}/{name}.parquet"
+    )
+    for col in nano:
         # integer `div` (not `/`): double division loses precision on
         # 1.7e18-scale nanosecond epochs (53-bit mantissa)
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

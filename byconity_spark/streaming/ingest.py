@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from byconity_spark.engine.catalog import TABLES, _NANO_TS_COLS, _physical_schema
+from byconity_spark.engine.catalog import TABLES, _nano_cols, _physical_schema
 
 
 def kafka_stream(
@@ -52,11 +52,12 @@ def events_file_stream(
     """The events table as a file stream (the Kafka-shaped fixture source):
     same schema handling as the batch catalog, including the nanosecond
     timestamp conversion."""
-    reader = spark.readStream.schema(_physical_schema("events"))
+    nano = _nano_cols(sf_dir, "events")
+    reader = spark.readStream.schema(_physical_schema("events", nano))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    for col in _NANO_TS_COLS.get("events", []):
+    for col in nano:
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df.select(*[f.name for f in TABLES["events"].fields])
 
