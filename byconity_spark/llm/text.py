@@ -44,8 +44,8 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     stop_hits = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
     return docs.select(
         F.col(id_col),
-        total.alias("n_chars"),
-        n_tok.alias("n_tokens"),
+        total.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
         (total.cast("double") / n_tok).alias("chars_per_token"),
         (alpha.cast("double") / total).alias("alpha_ratio"),
         (digits.cast("double") / total).alias("digit_ratio"),
@@ -78,10 +78,10 @@ def language_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
     return docs.select(
         F.col(id_col),
-        s_en.alias("score_en"),
-        s_es.alias("score_es"),
-        s_de.alias("score_de"),
-        s_fr.alias("score_fr"),
+        s_en.cast("long").alias("score_en"),
+        s_es.cast("long").alias("score_es"),
+        s_de.cast("long").alias("score_de"),
+        s_fr.cast("long").alias("score_fr"),
         guess.alias("lang_guess"),
     )
 

@@ -36,22 +36,26 @@ def register(name: str, oracle: Optional[str] = None):
 
 
 def all_queries() -> dict[str, QueryDef]:
-    # import side-effect populates the registry
+    # Import side-effect populates the registry.  ORDER MATTERS: the
+    # verification driver caps its oracle run at the first N registered
+    # queries, so the families with the least prior driver signal register
+    # FIRST (behavioral, bitmaps, LLM pipeline, windows, functions, CH-SQL,
+    # writes, streaming) and the already-proven TPC-H/relational suites last.
     from byconity_spark.workloads import (  # noqa: F401
+        behavioral,
+        bitmaps_suite,
+        llm_pipeline,
+        windows,
+        functions_suite,
+        chsql_suite,
+        aggregates_suite,
+        writes,
+        sources_suite,
+        streaming_suite,
+        setops_grouping,
         tpch,
         tpch_extra,
         relational,
-        setops_grouping,
-        aggregates_suite,
-        bitmaps_suite,
-        sources_suite,
-        chsql_suite,
-        writes,
-        windows,
-        streaming_suite,
-        functions_suite,
-        behavioral,
-        llm_pipeline,
     )
 
     return dict(_REGISTRY)

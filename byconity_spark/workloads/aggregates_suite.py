@@ -142,7 +142,7 @@ def agg_group_arrays(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.sort_array(ch("groupArray", F.col("event_type"))).alias("all_types"),
         F.sort_array(ch("groupUniqArray", F.col("event_type"))).alias("uniq_types"),
-        F.size(ch("groupUniqArray", F.col("event_type"))).alias("n_uniq_types"),
+        F.size(ch("groupUniqArray", F.col("event_type"))).cast("long").alias("n_uniq_types"),
     )
 
 
@@ -152,7 +152,7 @@ def agg_group_arrays(spark: SparkSession, sf: str) -> DataFrame:
     "agg_decimal_money",
     oracle="""
     SELECT o_orderstatus,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))   AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
            min(CAST(o_totalprice AS DECIMAL(18,2)))   AS lo,
            max(CAST(o_totalprice AS DECIMAL(18,2)))   AS hi,
            count(*)                                   AS n
@@ -163,7 +163,7 @@ def agg_decimal_money(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     money = ch("toDecimal64", F.col("o_totalprice"), 2)
     return o.groupBy("o_orderstatus").agg(
-        F.sum(money).alias("total"),
+        F.sum(money).cast("decimal(38,2)").alias("total"),
         F.min(money).alias("lo"),
         F.max(money).alias("hi"),
         F.count(F.lit(1)).alias("n"),

@@ -347,7 +347,7 @@ def beh_next_after_signup(spark: SparkSession, sf: str) -> DataFrame:
       SELECT user_id, island, max(e) - min(s) AS len
       FROM islands GROUP BY user_id, island
     )
-    SELECT user_id, sum(len) AS total_us FROM per_island GROUP BY user_id
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS total_us FROM per_island GROUP BY user_id
     """,
 )
 def beh_interval_length_sum(spark: SparkSession, sf: str) -> DataFrame:

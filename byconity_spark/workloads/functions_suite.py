@@ -51,11 +51,11 @@ def fn_date_suite(spark: SparkSession, sf: str) -> DataFrame:
     t = F.col("ts")
     return ev.select(
         "event_id",
-        ch("toYear", t).alias("y"),
-        ch("toMonth", t).alias("mo"),
-        ch("toDayOfMonth", t).alias("d"),
-        ch("toHour", t).alias("h"),
-        ch("toDayOfWeek", t).alias("dow"),
+        ch("toYear", t).cast("long").alias("y"),
+        ch("toMonth", t).cast("long").alias("mo"),
+        ch("toDayOfMonth", t).cast("long").alias("d"),
+        ch("toHour", t).cast("long").alias("h"),
+        ch("toDayOfWeek", t).cast("long").alias("dow"),
         ch("toStartOfDay", t).alias("day_start"),
         ch("toStartOfHour", t).alias("hour_start"),
         ch("toStartOfMonth", t).alias("month_start"),
@@ -91,14 +91,14 @@ def fn_string_suite(spark: SparkSession, sf: str) -> DataFrame:
     txt = F.col("text")
     return doc.select(
         "doc_id",
-        ch("length", txt).alias("len"),
+        ch("length", txt).cast("long").alias("len"),
         ch("upper", F.col("lang")).alias("lang_up"),
         ch("substring", txt, 1, 12).alias("head"),
-        ch("position", txt, "data").alias("pos_data"),
+        ch("position", txt, "data").cast("long").alias("pos_data"),
         ch("startsWith", txt, "the").alias("starts_the"),
         ch("like", txt, "%join%").alias("has_join"),
         ch("replaceAll", F.col("lang"), "e", "E").alias("lang_repl"),
-        F.size(ch("splitByChar", " ", txt)).alias("n_tokens"),
+        F.size(ch("splitByChar", " ", txt)).cast("long").alias("n_tokens"),
         ch("concat", F.col("lang"), F.lit("-"), F.col("source")).alias("lang_src"),
         ch("leftPad", F.col("lang"), 6, "_").alias("lang_pad"),
         ch("reverse", F.col("source")).alias("src_rev"),
@@ -175,13 +175,13 @@ def fn_math_cond_suite(spark: SparkSession, sf: str) -> DataFrame:
            len(arr)                                       AS n,
            arr[1]                                         AS first_tok,
            list_contains(arr, 'data')                     AS has_data,
-           coalesce(list_position(arr, 'data'), 0)        AS idx_data,
+           CAST(coalesce(list_position(arr, 'data'), 0) AS BIGINT) AS idx_data,
            array_to_string(arr[1:5], '|')                 AS head5,
            len(list_distinct(arr))                        AS n_uniq,
            list_sort(list_distinct(arr))[1]               AS min_tok,
            len(list_filter(arr, x -> length(x) > 4))      AS n_long,
            list_transform(arr[1:3], x -> upper(x))        AS up3,
-           list_aggregate(list_transform(arr, x -> length(x)), 'sum') AS sum_lens,
+           CAST(list_aggregate(list_transform(arr, x -> length(x)), 'sum') AS BIGINT) AS sum_lens,
            list_max(list_transform(arr, x -> length(x)))  AS max_len
     FROM d
     """,
@@ -192,21 +192,21 @@ def fn_array_suite(spark: SparkSession, sf: str) -> DataFrame:
     arr = F.col("arr")
     return d.select(
         "doc_id",
-        F.size(arr).alias("n"),
+        F.size(arr).cast("long").alias("n"),
         ch("arrayElement", arr, F.lit(1)).alias("first_tok"),
         ch("has", arr, F.lit("data")).alias("has_data"),
         ch("indexOf", arr, F.lit("data")).alias("idx_data"),
         ch("arrayStringConcat", ch("arraySlice", arr, 1, 5), "|").alias("head5"),
-        F.size(ch("arrayDistinct", arr)).alias("n_uniq"),
+        F.size(ch("arrayDistinct", arr)).cast("long").alias("n_uniq"),
         ch("arrayElement", ch("arraySort", ch("arrayDistinct", arr)), F.lit(1)).alias(
             "min_tok"
         ),
-        ch("arrayCount", lambda x: F.length(x) > 4, arr).alias("n_long"),
+        ch("arrayCount", lambda x: F.length(x) > 4, arr).cast("long").alias("n_long"),
         ch("arrayMap", lambda x: F.upper(x), ch("arraySlice", arr, 1, 3)).alias("up3"),
         ch("arraySum", ch("arrayMap", lambda x: F.length(x), arr))
         .cast("long")
         .alias("sum_lens"),
-        ch("arrayMax", ch("arrayMap", lambda x: F.length(x), arr)).alias("max_len"),
+        ch("arrayMax", ch("arrayMap", lambda x: F.length(x), arr)).cast("long").alias("max_len"),
     )
 
 

@@ -97,7 +97,7 @@ def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
-        .cast("int")
+        .cast("long")
         .alias("gid"),
         F.sum("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
@@ -118,7 +118,7 @@ def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
-        .cast("int")
+        .cast("long")
         .alias("gid"),
         F.count(F.lit(1)).alias("n"),
         F.sum("o_totalprice").alias("total"),
@@ -193,7 +193,7 @@ def values_inline_join(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "numbers_range_agg",
     oracle="""
-    SELECT count(*) AS n, sum(range) AS total, sum(range * range % 7) AS checksum
+    SELECT count(*) AS n, CAST(sum(range) AS BIGINT) AS total, CAST(sum(range * range % 7) AS BIGINT) AS checksum
     FROM range(1, 100001)
     """,
 )

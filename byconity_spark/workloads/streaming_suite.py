@@ -10,6 +10,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from byconity_spark.streaming import (
     AggMaterializedView,
@@ -53,7 +54,7 @@ def stream_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*)          AS n_orders,
-           sum(o_totalprice) AS total,
+           round(sum(o_totalprice), 2) AS total,
            max(o_totalprice) AS biggest
     FROM orders GROUP BY o_orderstatus
     """,
@@ -78,7 +79,10 @@ def mv_rollup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         target_path=f"/tmp/byconity_spark_mv/orders_sp_{tag}",
     )
     mv.refresh(spark)
-    return mv.answer(spark, ["o_orderstatus"], ["n_orders", "total", "biggest"])
+    out = mv.answer(spark, ["o_orderstatus"], ["n_orders", "total", "biggest"])
+    # round the re-aggregated double sum: partial-sum order differs between
+    # engines by a few ulp, the contract is exact-to-cents
+    return out.withColumn("total", F.round("total", 2))
 
 
 @register(

@@ -92,7 +92,7 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
@@ -161,7 +161,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_size BETWEEN 1 AND 10  AND l.l_quantity BETWEEN 1 AND 20)
@@ -182,7 +182,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
         l.join(p, p.p_partkey == l.l_partkey)
         .filter(cond)
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -307,10 +309,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
     SELECT year(l.l_shipdate) AS ship_year,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
     GROUP BY year(l.l_shipdate)
@@ -325,7 +327,7 @@ def q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
@@ -441,7 +443,7 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
             "supp_nation",
         )
@@ -482,7 +484,7 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         .join(s, s.s_suppkey == l.l_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))

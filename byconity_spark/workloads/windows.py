@@ -59,9 +59,9 @@ def win_rank_recent_orders(spark: SparkSession, sf: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rk"),
-            F.dense_rank().over(w).alias("drk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rk"),
+            F.dense_rank().over(w).cast("long").alias("drk"),
         )
         .filter(F.col("rn") <= 2)
     )
@@ -157,7 +157,7 @@ def win_distribution_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select(
         "event_id",
         "event_type",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
         F.nth_value("value", 3).over(w).alias("third_value"),
@@ -227,7 +227,7 @@ def win_derivative_delta(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           1 + sum(new_session) AS n_sessions,
+           CAST(1 + sum(new_session) AS BIGINT) AS n_sessions,
            count(*)             AS n_events
     FROM flagged GROUP BY user_id
     """,

@@ -69,7 +69,7 @@ def write_ctas_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
       ) WHERE rn = 1
     )
     SELECT count(*) AS n_rows,
-           sum(o_totalprice) AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
            count(*) FILTER (WHERE version = 1) AS n_updated
     FROM merged
     """,
@@ -91,7 +91,7 @@ def write_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     back = read_back(spark, path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_totalprice").alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
         F.count(F.when(F.col("version") == 1, 1)).alias("n_updated"),
     )
 
@@ -113,7 +113,7 @@ def write_upsert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
       FROM after_delete
     )
     SELECT l_returnflag, count(*) AS n,
-           sum(l_discount) AS disc, sum(l_extendedprice) AS price
+           round(sum(l_discount), 4) AS disc, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price
     FROM after_update GROUP BY l_returnflag
     """,
 )
@@ -144,6 +144,6 @@ def write_mutation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     back = read_back(spark, path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("l_discount").alias("disc"),
-        F.sum("l_extendedprice").alias("price"),
+        F.round(F.sum("l_discount"), 4).alias("disc"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("price"),
     )
