@@ -381,25 +381,48 @@ def auc(
     score with a deterministic tiebreak (documented variant: ties broken by
     id, not averaged — both engines use the identical ordering).
 
-    Note: the global rank needs a total order (one ordering pass); at
-    cluster scale prefer the bucketed-histogram AUC approximation."""
+    Distributed exact rank, no global single-partition sort: range-partition
+    by (score, tiebreak) so partition i holds keys strictly below partition
+    i+1, sort within partitions (local, no shuffle), and read the
+    in-partition row index off monotonically_increasing_id (pid<<33 | row).
+    The global rank of a row is its local index plus the total row count of
+    the partitions before it, so sum-of-positive-ranks decomposes into one
+    per-partition partial aggregate plus an offset correction computed on a
+    #partitions-sized frame.  Every full-data pass stays parallel; only the
+    per-partition partials (one row each) meet a single task."""
     projected = events.select(
         score_col.alias("score"),
         label_col.cast("int").alias("label"),
-        F.col(tiebreak_col),
+        F.col(tiebreak_col).alias("__tb"),
     )
-    w = Window.orderBy(F.col("score").asc(), F.col(tiebreak_col).asc())
-    ranked = projected.withColumn("rnk", F.row_number().over(w))
-    return ranked.agg(
+    ranged = projected.repartitionByRange(
+        F.col("score").asc(), F.col("__tb").asc()
+    ).sortWithinPartitions("score", "__tb")
+    local = ranged.select(
+        "label",
+        F.spark_partition_id().alias("__pid"),
+        # monotonically_increasing_id = pid * 2^33 + in-partition row index;
+        # mask off the pid to get the 0-based local index
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)).alias("__idx"),
+    )
+    per_part = local.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("p"),
+        F.sum(F.when(F.col("label") == 1, F.col("__idx") + 1).otherwise(0)).alias(
+            "local_rank_sum"
+        ),
+    )
+    # exclusive prefix-sum of partition sizes: ≤ shuffle-partition-count rows,
+    # trivially single-task at any data scale
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    with_off = per_part.withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+    return with_off.agg(
         (
             (
-                F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0)).cast("double")
-                - F.sum("label").cast("double") * (F.sum("label") + 1) / 2.0
+                F.sum(F.col("local_rank_sum") + F.col("off") * F.col("p")).cast("double")
+                - F.sum("p").cast("double") * (F.sum("p") + 1) / 2.0
             )
-            / (
-                F.sum("label").cast("double")
-                * (F.count(F.lit(1)) - F.sum("label")).cast("double")
-            )
+            / (F.sum("p").cast("double") * (F.sum("n") - F.sum("p")).cast("double"))
         ).alias("auc")
     )
 

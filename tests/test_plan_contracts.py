@@ -100,3 +100,13 @@ def test_cbo_join_reorder_plan(spark):
     # syntactic order would scan lineitem first (outermost-left); the CBO
     # plan joins it last, so customer appears before lineitem in the tree
     assert plan.index("cbo_customer") < plan.index("cbo_lineitem")
+
+
+def test_auc_has_no_global_single_partition_sort(spark):
+    """AUC must rank via range partitioning + in-partition indexes, never an
+    empty-partition-spec Window over the full events table (a
+    single-partition sort that serializes the dataset at scale)."""
+    q = all_queries()["beh_auc"].builder(spark, SF_DIR)
+    plan = _plan(q)
+    assert "rangepartitioning" in plan.lower()
+    assert "monotonically_increasing_id" in plan
