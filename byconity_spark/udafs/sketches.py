@@ -1,0 +1,125 @@
+"""Re-mergeable cardinality sketches: HyperLogLog -State/-Merge as binary
+columns.
+
+ByConity's `uniq` family keeps a serialized sketch as an aggregate STATE that
+partial inserts and merges both understand (reference:
+src/AggregateFunctions/AggregateFunctionUniq.h — HLL + linear counting,
+src/DataTypes/DataTypeSketchBinary.h for the binary state type,
+registerAggregateFunctions.cpp for the -State/-Merge combinator pair).  This
+module mirrors `udafs/bitmaps.py`'s pattern with an approximate sketch:
+
+- `uniq_state(df, group_cols, value_col)` -> one 2^p-byte HLL register array
+  per group (BinaryType), built from JVM-side xxhash64 hashes;
+- `uniq_merge(df, group_cols)` -> register-wise max of partial states
+  (associative + commutative + idempotent, so any re-grouping works);
+- `uniq_estimate(col)` -> the classic bias-corrected HLL estimate with
+  linear counting for the small range (Flajolet et al. 2007 constants).
+
+Scale shape: states are fixed 16 KiB blobs; a rollup re-aggregation shuffles
+#groups × 16 KiB regardless of the raw cardinality — the
+AggregatingMergeTree pattern.  All register math is vectorized numpy over
+Arrow batches; the value hashing stays in whole-stage codegen (xxhash64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HLL_P = 14  # 2^14 registers = 16 KiB per state, ~0.81% standard error
+HLL_M = 1 << HLL_P
+# bias-correction constant alpha_m for m >= 128 (Flajolet et al. 2007)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _rho(w: np.ndarray, width: int) -> np.ndarray:
+    """Position of the first 1-bit from the MSB of `w` within `width` bits
+    (1-based); width+1 when w == 0.  Exact integer bit-math (no float log —
+    float64 rounding misplaces the exponent near powers of two)."""
+    w = w.astype(np.uint64, copy=False)
+    pos = np.zeros(w.shape, dtype=np.int64)  # highest-set-bit index accum
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        gt = v >= np.uint64(1 << s)
+        pos += gt * s
+        v = np.where(gt, v >> np.uint64(s), v)
+    bit_length = pos + (w > 0)
+    return width - bit_length + 1
+
+
+def _registers_from_hashes(h: np.ndarray) -> np.ndarray:
+    """Dense uint8 register array from int64 xxhash64 values."""
+    u = h.astype(np.int64).view(np.uint64)
+    idx = (u >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = u & np.uint64((1 << (64 - HLL_P)) - 1)
+    rho = _rho(w, 64 - HLL_P).astype(np.uint8)
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> int:
+    m = float(HLL_M)
+    est = HLL_ALPHA * m * m / float(np.sum(np.ldexp(1.0, -regs.astype(np.int64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:  # small-range: linear counting
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def _hash_col(value_col: str) -> Column:
+    # JVM-side 64-bit hashing — only the hashes cross into Arrow batches
+    return F.xxhash64(F.col(value_col))
+
+
+def uniq_state(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """uniqState: one serialized HLL per group over value_col."""
+    hashed = df.select(*group_cols, _hash_col(value_col).alias("__h"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        keys["uniq_state"] = [
+            _registers_from_hashes(pdf["__h"].dropna().to_numpy()).tobytes()
+        ]
+        return pd.DataFrame(keys)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return hashed.groupBy(*group_cols).applyInPandas(
+        kernel, schema=f"{key_schema}, uniq_state binary"
+    )
+
+
+def uniq_merge(
+    df: DataFrame, group_cols: list[str], state_col: str = "uniq_state"
+) -> DataFrame:
+    """uniqMerge: register-wise max of partial HLL states per group."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        stacked = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in pdf[state_col]]
+        )
+        keys[state_col] = [np.max(stacked, axis=0).tobytes()]
+        return pd.DataFrame(keys)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return (
+        df.select(*group_cols, state_col)
+        .groupBy(*group_cols)
+        .applyInPandas(kernel, schema=f"{key_schema}, {state_col} binary")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def uniq_estimate(states: pd.Series) -> pd.Series:
+    """uniqMergeFinal: HLL estimate from a serialized state."""
+    return states.map(
+        lambda b: _estimate(np.frombuffer(b, dtype=np.uint8)) if b is not None else 0
+    ).astype("int64")

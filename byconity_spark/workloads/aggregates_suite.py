@@ -411,3 +411,38 @@ def agg_advanced_stats(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ent.join(ds, "event_type").join(rc, "event_type").join(tt, "event_type")
     )
+
+
+# ------------------------- HLL uniq -State/-Merge (AggregatingMergeTree
+# rollup pattern: fine-grained sketch states, coarser re-aggregation by
+# merging 16 KiB blobs instead of re-shuffling raw ids)
+@register(
+    "agg_uniq_state_merge",
+    oracle="""
+    SELECT event_type, true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_uniq_state_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """uniqState per (event_type, day) -> uniqMerge per event_type ->
+    estimate, asserted within the documented HLL error (p=14, σ≈0.81%; the
+    gate uses 5σ) against the Spark-exact distinct.  The boolean is the
+    oracle contract: a broken sketch or merge flips it false and fails the
+    hash compare.  Reference: AggregateFunctionUniq.h, DataTypeSketchBinary.h."""
+    from byconity_spark.udafs.sketches import uniq_estimate, uniq_merge, uniq_state
+
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    states = uniq_state(ev, ["event_type", "day"], "user_id")
+    merged = uniq_merge(states.drop("day"), ["event_type"])
+    est = merged.select(
+        "event_type", uniq_estimate(F.col("uniq_state")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("est").cast("double") / F.col("exact") - 1.0) < 0.0405
+        ).alias("within_tol"),
+    )
