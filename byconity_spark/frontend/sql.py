@@ -637,5 +637,13 @@ def rewrite_ch_sql(sql: str) -> str:
 
 
 def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Execute ClickHouse-dialect SQL against the registered engine views."""
+    """Execute ClickHouse-dialect SQL against the registered engine views.
+
+    ASOF/ANY strict joins route through the operator API (they have no
+    text-rewrite equivalent); everything else is a pure string rewrite."""
+    from byconity_spark.frontend.joins_sql import try_rewrite_strict_join
+
+    handled = try_rewrite_strict_join(spark, sql)
+    if handled is not None:
+        return handled
     return spark.sql(rewrite_ch_sql(sql))

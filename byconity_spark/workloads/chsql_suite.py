@@ -207,3 +207,84 @@ def chsql_totals_by_status(spark: SparkSession, sf: str) -> DataFrame:
         FROM orders GROUP BY o_orderstatus WITH TOTALS
         """,
     )
+
+
+@register(
+    "chsql_asof",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def chsql_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """ASOF LEFT JOIN written in ClickHouse SQL, routed through the frontend
+    to operators.joins.asof_join (reference strictness:
+    ASTTablesInSelectQuery.h:123-132, RowRefs.h ASOF lookup)."""
+    register_views(spark, sf)
+    ch_sql(
+        spark,
+        """
+        SELECT event_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+        """,
+    ).createOrReplaceTempView("purchases_v")
+    ch_sql(
+        spark,
+        """
+        SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        """,
+    ).createOrReplaceTempView("clicks_v")
+    return ch_sql(
+        spark,
+        """
+        SELECT p.event_id, p.user_id, p.purchase_ts AS ts,
+               c.click_id, c.click_ts
+        FROM purchases_v p ASOF LEFT JOIN clicks_v c
+          ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+        """,
+    )
+
+
+@register(
+    "chsql_any_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey, o_orderdate, o_totalprice) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ) o ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def chsql_any_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ANY LEFT JOIN in ClickHouse SQL via the frontend -> any_join
+    (first-match strictness made deterministic by the operator's prefer
+    ordering over all right columns)."""
+    register_views(spark, sf)
+    ch_sql(
+        spark,
+        "SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders",
+    ).createOrReplaceTempView("orders_slim_v")
+    return ch_sql(
+        spark,
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        FROM customer c ANY LEFT JOIN orders_slim_v o ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """,
+    )

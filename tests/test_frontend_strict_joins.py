@@ -1,0 +1,70 @@
+"""Frontend ASOF/ANY JOIN routing: the SQL surface must produce the same
+frames as the operator API, and unsupported shapes must raise ChSqlError."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from byconity_spark.engine.catalog import register_views
+from byconity_spark.frontend import ch_sql
+from byconity_spark.frontend.sql import ChSqlError
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def views(spark):
+    register_views(spark, SF_DIR)
+    return spark
+
+
+def test_asof_forward_strict(views):
+    """Forward ASOF (l.t < r.t flavor via <=): next click at-or-after signup."""
+    views.sql(
+        "SELECT event_id, user_id, ts AS signup_ts FROM events "
+        "WHERE event_type = 'signup'"
+    ).createOrReplaceTempView("signups_v")
+    views.sql(
+        "SELECT user_id, ts AS click_ts, max(event_id) AS click_id FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id, ts"
+    ).createOrReplaceTempView("clicks_fwd_v")
+    out = ch_sql(
+        views,
+        """
+        SELECT s.event_id, s.user_id, s.signup_ts, c.click_id, c.click_ts
+        FROM signups_v s ASOF LEFT JOIN clicks_fwd_v c
+          ON s.user_id = c.user_id AND s.signup_ts <= c.click_ts
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) == views.table("signups_v").count()
+    matched = [r for r in rows if r.click_ts is not None]
+    assert matched, "expected at least one forward match"
+    assert all(r.click_ts >= r.signup_ts for r in matched)
+
+
+def test_any_inner_join(views):
+    out = ch_sql(
+        views,
+        """
+        SELECT c.c_custkey, o.o_orderkey
+        FROM customer c ANY INNER JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+    )
+    counts = out.groupBy("c_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert counts == 1  # at most one right row per key
+
+
+def test_unsupported_shape_raises(views):
+    with pytest.raises(ChSqlError):
+        ch_sql(
+            views,
+            "SELECT * FROM (SELECT 1 AS x) a ASOF JOIN (SELECT 2 AS y) b "
+            "ON a.x = b.y AND a.x >= b.y",
+        )
+
+
+def test_plain_sql_not_intercepted(views):
+    # 'any'-free, asof-free SQL goes down the normal rewrite path
+    out = ch_sql(views, "SELECT count() AS n FROM nation")
+    assert out.collect()[0].n == 25
