@@ -107,10 +107,26 @@ def _literal_value(s: str) -> str:
 # callable(params, args)->sql for parametric aggregates.
 
 def _json_path(fn: str) -> Callable[[list[str]], str]:
+    """JSONExtract-family rewrite: 1..N path keys after the column (CH
+    multi-key form, src/Functions/FunctionsJSON.cpp) — string literals
+    descend objects, integer literals index arrays 1-based."""
+
     def rule(args: list[str]) -> str:
-        col, key = args[0], args[1]
-        path = f"'$.{_literal_value(key)}'" if _is_string_literal(key) else f"concat('$.', {key})"
-        return fn.format(col=col, path=path)
+        col, keys = args[0], args[1:]
+        if len(keys) == 1 and not _is_string_literal(keys[0]) and not keys[0].lstrip("-").isdigit():
+            # dynamic single key expression: concat at runtime
+            return fn.format(col=col, path=f"concat('$.', {keys[0]})")
+        parts = []
+        for k in keys:
+            if _is_string_literal(k):
+                parts.append(f".{_literal_value(k)}")
+            elif k.isdigit():
+                if int(k) <= 0:
+                    raise ChSqlError("JSON array index must be positive")
+                parts.append(f"[{int(k) - 1}]")
+            else:
+                raise ChSqlError(f"unsupported JSON path key: {k!r}")
+        return fn.format(col=col, path=f"'${''.join(parts)}'")
 
     return rule
 
@@ -216,6 +232,16 @@ RULES: dict[str, object] = {
     "JSONExtractString": _json_path("get_json_object({col}, {path})"),
     "JSONExtractInt": _json_path("CAST(get_json_object({col}, {path}) AS BIGINT)"),
     "JSONExtractFloat": _json_path("CAST(get_json_object({col}, {path}) AS DOUBLE)"),
+    "JSONExtractBool": _json_path("CAST(get_json_object({col}, {path}) AS BOOLEAN)"),
+    "JSONExtractRaw": _json_path("get_json_object({col}, {path})"),
+    "JSONExtractArrayRaw": _json_path(
+        "from_json(get_json_object({col}, {path}), 'array<string>')"
+    ),
+    "JSONExtractKeys": _json_path("json_object_keys(get_json_object({col}, {path}))"),
+    "JSONLength": _json_path(
+        "coalesce(json_array_length(get_json_object({col}, {path})), "
+        "size(json_object_keys(get_json_object({col}, {path}))))"
+    ),
     "JSONHas": _json_path("(get_json_object({col}, {path}) IS NOT NULL)"),
     "visitParamExtractString": _json_path("get_json_object({col}, {path})"),
     # hashing

@@ -124,6 +124,25 @@ def _format_date_time(c: Column, fmt: str) -> Column:
     return F.date_format(c, "".join(out))
 
 
+def _jpath(keys: tuple) -> str:
+    """ClickHouse JSONExtract key list -> Spark JSONPath: strings descend
+    objects, ints index arrays 1-based (JSONPath is 0-based)."""
+    parts = []
+    for k in keys:
+        if isinstance(k, bool):
+            raise TypeError("JSON path keys must be str or int")
+        if isinstance(k, int):
+            if k <= 0:
+                raise ValueError(
+                    "JSON array index must be positive (Spark JSONPath has no "
+                    "from-the-end indexing)"
+                )
+            parts.append(f"[{k - 1}]")
+        else:
+            parts.append(f".{k}")
+    return "$" + "".join(parts)
+
+
 def _split_by_char(sep: str, c: Column) -> Column:
     import re as _re
 
@@ -426,14 +445,30 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "mapValues": F.map_values,
     "mapContains": F.map_contains_key,
     "tuple": F.struct,
-    # ---- JSON (FunctionsJSON.cpp JSONExtract*, FunctionSQLJSON.cpp
-    # JSON_VALUE, visitParam*)
-    "JSONExtractString": lambda c, key: F.get_json_object(c, f"$.{key}"),
-    "JSONExtractInt": lambda c, key: F.get_json_object(c, f"$.{key}").cast("bigint"),
-    "JSONExtractFloat": lambda c, key: F.get_json_object(c, f"$.{key}").cast("double"),
-    "JSONExtractBool": lambda c, key: F.get_json_object(c, f"$.{key}").cast("boolean"),
-    "JSONHas": lambda c, key: F.get_json_object(c, f"$.{key}").isNotNull(),
+    # ---- JSON (FunctionsJSON.cpp JSONExtract*, src/Functions/JSONPath/,
+    # FunctionSQLJSON.cpp JSON_VALUE/JSON_QUERY, visitParam*).  JSONExtract*
+    # take 1..N path keys like ClickHouse: strings descend objects, integers
+    # index arrays 1-based ('a', 'b', 2 -> $.a.b[1]); negative indices are
+    # not supported by Spark's JSONPath and raise.
+    "JSONExtractString": lambda c, *keys: F.get_json_object(c, _jpath(keys)),
+    "JSONExtractInt": lambda c, *keys: F.get_json_object(c, _jpath(keys)).cast("bigint"),
+    "JSONExtractFloat": lambda c, *keys: F.get_json_object(c, _jpath(keys)).cast("double"),
+    "JSONExtractBool": lambda c, *keys: F.get_json_object(c, _jpath(keys)).cast("boolean"),
+    "JSONExtractRaw": lambda c, *keys: F.get_json_object(c, _jpath(keys)),
+    "JSONExtractArrayRaw": lambda c, *keys: F.from_json(
+        F.get_json_object(c, _jpath(keys)) if keys else c, "array<string>"
+    ),
+    "JSONExtractKeys": lambda c, *keys: F.json_object_keys(
+        F.get_json_object(c, _jpath(keys)) if keys else c
+    ),
+    "JSONLength": lambda c, *keys: (
+        lambda raw: F.coalesce(
+            F.json_array_length(raw), F.size(F.json_object_keys(raw))
+        )
+    )(F.get_json_object(c, _jpath(keys)) if keys else c),
+    "JSONHas": lambda c, *keys: F.get_json_object(c, _jpath(keys)).isNotNull(),
     "JSON_VALUE": lambda c, path: F.get_json_object(c, path),
+    "JSON_QUERY": lambda c, path: F.get_json_object(c, path),
     "visitParamExtractString": lambda c, key: F.get_json_object(c, f"$.{key}"),
     "visitParamExtractInt": lambda c, key: F.get_json_object(c, f"$.{key}").cast("bigint"),
     "simpleJSONExtractString": lambda c, key: F.get_json_object(c, f"$.{key}"),

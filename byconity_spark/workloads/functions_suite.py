@@ -217,19 +217,46 @@ def fn_array_suite(spark: SparkSession, sf: str) -> DataFrame:
            CAST(props->>'$.k' AS BIGINT)         AS k_int,
            props->>'$.k'                          AS k_str,
            (json_extract(props, '$.k') IS NOT NULL)       AS has_k,
-           (json_extract(props, '$.missing') IS NOT NULL) AS has_missing
+           (json_extract(props, '$.missing') IS NOT NULL) AS has_missing,
+           -- nested-path expectations computed straight from the columns the
+           -- Spark side serializes into its nested JSON document
+           user_id                                AS u_id,
+           event_type                             AS u_type,
+           value                                  AS v1,
+           value * 2                              AS v2,
+           CAST(2 AS BIGINT)                      AS n_vals,
+           ['id', 't']                            AS u_keys
     FROM events
     """,
 )
 def fn_json_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Flat visitParam-style paths plus nested multi-key JSONExtract
+    (reference src/Functions/FunctionsJSON.cpp multi-key form,
+    src/Functions/JSONPath/): the nested document is built in-plan with
+    to_json, then re-extracted with ('u','id')-style key lists and array
+    indices; doubles round-trip exactly through JSON shortest-repr."""
     ev = _t(spark, sf, "events")
     p = F.col("props")
+    nested = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("id"), F.col("event_type").alias("t")
+            ).alias("u"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+        )
+    )
     return ev.select(
         "event_id",
         ch("JSONExtractInt", p, "k").alias("k_int"),
         ch("JSONExtractString", p, "k").alias("k_str"),
         ch("JSONHas", p, "k").alias("has_k"),
         ch("JSONHas", p, "missing").alias("has_missing"),
+        ch("JSONExtractInt", nested, "u", "id").alias("u_id"),
+        ch("JSONExtractString", nested, "u", "t").alias("u_type"),
+        ch("JSONExtractFloat", nested, "vals", 1).alias("v1"),
+        ch("JSONExtractFloat", nested, "vals", 2).alias("v2"),
+        F.size(ch("JSONExtractArrayRaw", nested, "vals")).cast("long").alias("n_vals"),
+        ch("JSONExtractKeys", nested, "u").alias("u_keys"),
     )
 
 
