@@ -734,3 +734,137 @@ def xirr(
         .groupBy("__b")
         .applyInPandas(kernel, schema=f"{group_col} long, rate double")
     )
+
+
+def funnel_rep(
+    levels: DataFrame,
+    slot_cols: list[str],
+    level_col: str = "funnel_level",
+    event_numbers: int = 3,
+) -> DataFrame:
+    """funnelRep (reference AggregateFunctionFunnelRep.h): convert per-user
+    funnel levels into per-slot step-reach counts — counts[e] = # users whose
+    level exceeds e, one array per watch slot (the add() rule
+    output[watch][e] += input[watch] > e, FunnelRep.h:40-66).  Pure JVM
+    conditional sums; one map-side-combinable aggregate."""
+    return levels.groupBy(*slot_cols).agg(
+        F.array(
+            *[
+                F.sum((F.col(level_col) > e).cast("long"))
+                for e in range(event_numbers)
+            ]
+        ).alias("funnel_counts")
+    )
+
+
+def user_distribution(
+    events: DataFrame,
+    registrations: DataFrame,
+    start_us: int,
+    granularity_us: int,
+    num_slots: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    reg_ts_col: str = "register_ts",
+) -> DataFrame:
+    """userDistribution (reference AggregateFunctionUserDistribution.h):
+    per time slot [start + i*g, start + (i+1)*g), the count of ARRIVE users
+    (any event in the slot) and NEWONE users (registered in that same slot,
+    UserDistribution.h:47-68).  Distinct-(user,slot) then one aggregate —
+    both shuffles on bounded keys; empty slots emitted with zero counts."""
+    spark = events.sparkSession
+    ev_us = F.unix_micros(F.col(ts_col))
+    arrivals = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.floor((ev_us - F.lit(start_us)) / F.lit(granularity_us)).alias("slot"),
+        )
+        .filter((F.col("slot") >= 0) & (F.col("slot") < num_slots))
+        .distinct()
+    )
+    reg = registrations.select(
+        F.col(user_col).alias("u"),
+        F.floor(
+            (F.unix_micros(F.col(reg_ts_col)) - F.lit(start_us))
+            / F.lit(granularity_us)
+        ).alias("reg_slot"),
+    )
+    flagged = arrivals.join(reg, "u", "left").select(
+        "slot",
+        (F.col("reg_slot") == F.col("slot")).cast("long").alias("is_new"),
+    )
+    per_slot = flagged.groupBy("slot").agg(
+        F.count(F.lit(1)).alias("n_arrive"),
+        F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"),
+    )
+    slots = spark.range(num_slots).select(F.col("id").alias("slot"))
+    return (
+        slots.join(per_slot, "slot", "left")
+        .select(
+            "slot",
+            F.coalesce("n_arrive", F.lit(0)).alias("n_arrive"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+
+
+def max_intersections(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> DataFrame:
+    """maxIntersections / maxIntersectionsPosition (reference
+    AggregateFunctionMaxIntersections.h): maximum number of simultaneously
+    overlapping [start, end] intervals and the leftmost point where it is
+    reached.  Ends sort before starts at equal points (the (point, ±1)
+    pair-sort in MaxIntersections.h:40), so touching intervals don't count
+    as intersecting.
+
+    Distributed sweep, same shape as the AUC rank: range-partition the ±1
+    delta stream by (point, delta), cumsum per partition in one Arrow pass,
+    then combine per-partition (total, local-max, argmax-point) rows with a
+    prefix-sum offset on a #partitions-sized frame.  No global sort task."""
+    d_plus = intervals.select(
+        F.col(start_col).cast("long").alias("p"), F.lit(1).alias("d")
+    )
+    d_minus = intervals.select(
+        F.col(end_col).cast("long").alias("p"), F.lit(-1).alias("d")
+    )
+    ranged = (
+        d_plus.unionAll(d_minus)
+        .repartitionByRange("p", "d")
+        .sortWithinPartitions("p", "d")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    def kernel(batches):
+        pid, total, best, best_p = None, 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            run = np.cumsum(pdf["d"].to_numpy(np.int64)) + total
+            i = int(np.argmax(run))
+            if best is None or int(run[i]) > best:
+                best = int(run[i])
+                best_p = int(pdf["p"].iloc[i])
+            total = int(run[-1])
+        if pid is not None:
+            yield pd.DataFrame(
+                {"pid": [pid], "total": [total], "mx": [best], "mp": [best_p]}
+            )
+
+    per_part = ranged.mapInPandas(
+        kernel, schema="pid int, total long, mx long, mp long"
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    candidates = per_part.withColumn(
+        "cand", F.col("mx") + F.coalesce(F.sum("total").over(w_off), F.lit(0))
+    )
+    # leftmost global max: best candidate, earliest partition on ties
+    return (
+        candidates.orderBy(F.col("cand").desc(), F.col("pid").asc())
+        .limit(1)
+        .select(
+            F.col("cand").alias("max_intersections"),
+            F.col("mp").alias("position"),
+        )
+    )

@@ -446,3 +446,92 @@ def agg_uniq_state_merge(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(F.col("est").cast("double") / F.col("exact") - 1.0) < 0.0405
         ).alias("within_tol"),
     )
+
+
+# --------------- statistical-test aggregates as a checked query (reference
+# AggregateFunctionTTest.h welchTTest, AggregateFunctionRankCorrelation.h,
+# AggregateFunctionEntropy.h, AggregateFunctionDeltaSum.h).  Outputs are
+# rounded on both sides: the statistics are ratios of distributed double
+# sums, exact to ~1e-15 but not bit-stable across summation orders.
+@register(
+    "agg_stat_tests",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id, event_id, value,
+             (user_id % 2 = 0) AS is_even,
+             floor(value / 100.0) AS bucket
+      FROM events
+    ),
+    t AS (
+      SELECT event_type,
+             round((avg(value) FILTER (WHERE is_even)
+                     - avg(value) FILTER (WHERE NOT is_even))
+                   / sqrt(var_samp(value) FILTER (WHERE is_even)
+                            / count(value) FILTER (WHERE is_even)
+                          + var_samp(value) FILTER (WHERE NOT is_even)
+                            / count(value) FILTER (WHERE NOT is_even)), 6)
+               AS t_stat
+      FROM e GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT event_type, value, user_id,
+             avg(rn_x) OVER (PARTITION BY event_type, value)          AS rx,
+             avg(rn_y) OVER (PARTITION BY event_type, user_id % 97)   AS ry
+      FROM (
+        SELECT event_type, value, user_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)        AS rn_x,
+               row_number() OVER (PARTITION BY event_type ORDER BY user_id % 97) AS rn_y
+        FROM e
+      )
+    ),
+    rc AS (
+      SELECT event_type, round(corr(rx, ry), 6) AS rank_corr
+      FROM ranked GROUP BY event_type
+    ),
+    ent AS (
+      SELECT event_type, round(-sum(p * log2(p)), 6) AS entropy
+      FROM (
+        SELECT event_type,
+               count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY event_type) AS p
+        FROM e GROUP BY event_type, bucket
+      ) GROUP BY event_type
+    ),
+    ds AS (
+      SELECT event_type,
+             round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 4) AS delta_sum
+      FROM (
+        SELECT event_type,
+               value - lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS d
+        FROM events
+      ) GROUP BY event_type
+    )
+    SELECT t.event_type, t.t_stat, rc.rank_corr, ent.entropy, ds.delta_sum
+    FROM t JOIN rc USING (event_type) JOIN ent USING (event_type)
+           JOIN ds USING (event_type)
+    """,
+)
+def agg_stat_tests(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.functions.registry import (
+        delta_sum,
+        entropy,
+        rank_corr,
+        welch_t_stat,
+    )
+
+    ev = _t(spark, sf, "events")
+    base = ev.withColumn("bucket", F.floor(F.col("value") / 100.0))
+    t = welch_t_stat(
+        base, ["event_type"], "value", F.col("user_id") % 2 == 0
+    ).select("event_type", F.round("t_stat", 6).alias("t_stat"))
+    rc = rank_corr(
+        base.withColumn("y", F.col("user_id") % 97), ["event_type"], "value", "y"
+    ).select("event_type", F.round("rank_corr", 6).alias("rank_corr"))
+    ent = entropy(base, ["event_type"], "bucket").select(
+        "event_type", F.round("entropy", 6).alias("entropy")
+    )
+    ds = delta_sum(ev, ["event_type"], ["ts", "event_id"], "value").select(
+        "event_type", F.round("delta_sum", 4).alias("delta_sum")
+    )
+    return t.join(rc, "event_type").join(ent, "event_type").join(ds, "event_type")

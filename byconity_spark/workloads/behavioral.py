@@ -546,3 +546,148 @@ def beh_xirr(spark: SparkSession, sf: str) -> DataFrame:
         .alias("amount"),
     )
     return xirr(flows, group_col="user_id").filter(~F.isnan("rate"))
+
+
+# --------------------------------------------------------------------------
+# funnelRep: per-signup-day step-reach counts from windowFunnel levels
+# (reference AggregateFunctionFunnelRep.h add(): out[slot][e] += level > e).
+# --------------------------------------------------------------------------
+@register(
+    "beh_funnel_rep",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    u1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN u1 ON e.user_id = u1.user_id
+           WHERE e.event_type = 'click' AND e.ts > u1.t1
+             AND e.ts <= u1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN u1 ON e.user_id = u1.user_id
+                  JOIN u2 ON e.user_id = u2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+             AND e.ts <= u1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+    lv AS (SELECT u1.user_id, CAST(u1.t1 AS DATE) AS day,
+                  CASE WHEN u3.user_id IS NOT NULL THEN 3
+                       WHEN u2.user_id IS NOT NULL THEN 2
+                       ELSE 1 END AS funnel_level
+           FROM u1
+           LEFT JOIN u2 ON u1.user_id = u2.user_id
+           LEFT JOIN u3 ON u1.user_id = u3.user_id)
+    SELECT day,
+           [CAST(sum(CASE WHEN funnel_level > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN funnel_level > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN funnel_level > 2 THEN 1 ELSE 0 END) AS BIGINT)]
+             AS funnel_counts
+    FROM lv GROUP BY day
+    """,
+)
+def beh_funnel_rep(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import funnel_rep
+
+    ev = _ev(spark, sf)
+    levels = window_funnel(
+        ev, window_us=7 * _DAY_US, steps=["signup", "click", "purchase"]
+    ).filter(F.col("funnel_level") >= 1)
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("day"))
+    )
+    return funnel_rep(
+        levels.join(first_signup, "user_id"), ["day"], event_numbers=3
+    )
+
+
+# --------------------------------------------------------------------------
+# userDistribution: weekly ARRIVE/NEWONE user counts
+# (reference AggregateFunctionUserDistribution.h: ARRIVE = any event in the
+# slot, NEWONE = registered in the same slot; register ts = first signup).
+# --------------------------------------------------------------------------
+_UD_START_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_UD_GRAN_US = 7 * 24 * 3600 * 1_000_000  # one week
+_UD_SLOTS = 26
+
+
+@register(
+    "beh_user_distribution",
+    oracle=f"""
+    WITH arr AS (
+      SELECT DISTINCT user_id,
+             CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - {_UD_START_US})
+                        / {_UD_GRAN_US}) AS BIGINT) AS slot
+      FROM events
+    ),
+    arr_ok AS (SELECT * FROM arr WHERE slot >= 0 AND slot < {_UD_SLOTS}),
+    reg AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(min(CAST(ts AS TIMESTAMP))) - {_UD_START_US})
+                        / {_UD_GRAN_US}) AS BIGINT) AS reg_slot
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    per_slot AS (
+      SELECT a.slot,
+             count(*) AS n_arrive,
+             CAST(sum(CASE WHEN r.reg_slot = a.slot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM arr_ok a LEFT JOIN reg r ON a.user_id = r.user_id
+      GROUP BY a.slot
+    )
+    SELECT s.range AS slot,
+           coalesce(p.n_arrive, 0) AS n_arrive,
+           coalesce(p.n_new, 0)    AS n_new
+    FROM range({_UD_SLOTS}) s LEFT JOIN per_slot p ON s.range = p.slot
+    """,
+)
+def beh_user_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import user_distribution
+
+    ev = _ev(spark, sf)
+    registrations = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("register_ts"))
+    )
+    return user_distribution(
+        ev, registrations, _UD_START_US, _UD_GRAN_US, _UD_SLOTS
+    )
+
+
+# --------------------------------------------------------------------------
+# maxIntersections: peak concurrent 5-minute activity intervals
+# (reference AggregateFunctionMaxIntersections.h; ends sort before starts
+# at equal points, so touching intervals don't intersect).
+# --------------------------------------------------------------------------
+@register(
+    "beh_max_intersections",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP))             AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+      FROM events
+    ),
+    deltas AS (
+      SELECT s AS p, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS p, -1 AS d FROM iv
+    ),
+    run AS (
+      SELECT p, d,
+             sum(d) OVER (ORDER BY p, d ROWS UNBOUNDED PRECEDING) AS r
+      FROM deltas
+    )
+    SELECT (SELECT max(r) FROM run)          AS max_intersections,
+           (SELECT p FROM run
+            WHERE r = (SELECT max(r) FROM run)
+            ORDER BY p, d LIMIT 1)           AS position
+    """,
+)
+def beh_max_intersections(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import max_intersections
+
+    iv = _ev(spark, sf).select(
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 300_000_000).alias("e"),
+    )
+    return max_intersections(iv, "s", "e")
