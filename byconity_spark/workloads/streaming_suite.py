@@ -21,7 +21,15 @@ from byconity_spark.streaming import (
 from byconity_spark.workloads import register
 
 
-def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+# per-process record of the last run's micro-batch work time per query name:
+# {workload_name: seconds actually spent in addBatch}.  bench.py reads this
+# to split real processing cost from availableNow startup overhead.
+LAST_BATCH_SECONDS: dict[str, float] = {}
+
+
+def _run_to_memory(
+    agg: DataFrame, mode: str = "complete", metric_name: str | None = None
+) -> DataFrame:
     name = f"mv_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix="bspark_ckpt_")
     q = (
@@ -33,6 +41,11 @@ def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if metric_name is not None:
+        batch_ms = 0.0
+        for prog in q.recentProgress:
+            batch_ms += float((prog.get("durationMs") or {}).get("addBatch", 0))
+        LAST_BATCH_SECONDS[metric_name] = round(batch_ms / 1000.0, 4)
     return agg.sparkSession.table(name)
 
 
@@ -46,7 +59,7 @@ def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
 )
 def stream_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
     stream = events_file_stream(spark, sf)
-    return _run_to_memory(hourly_counts(stream))
+    return _run_to_memory(hourly_counts(stream), metric_name="stream_hourly_counts")
 
 
 @register(
@@ -107,7 +120,10 @@ def mv_rollup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
 )
 def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     stream = events_file_stream(spark, sf)
-    return _run_to_memory(session_windows(stream, gap="30 minutes"))
+    return _run_to_memory(
+        session_windows(stream, gap="30 minutes"),
+        metric_name="stream_session_windows",
+    )
 
 
 @register(
@@ -140,4 +156,7 @@ def stream_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.streaming.stateful import stateful_sessionize
 
     stream = events_file_stream(spark, sf)
-    return _run_to_memory(stateful_sessionize(stream), mode="append")
+    return _run_to_memory(
+        stateful_sessionize(stream), mode="append",
+        metric_name="stream_stateful_sessions",
+    )
