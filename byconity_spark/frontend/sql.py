@@ -541,53 +541,206 @@ def _rewrite_array_join(sql: str) -> str:
         )
 
 
-def _rewrite_with_fill(sql: str) -> str:
-    """``ORDER BY <k> WITH FILL [FROM f] [TO t] [STEP s]`` -> a spine of
-    ``explode(sequence(lo, hi, s))`` LEFT-JOINed via USING(<k>), so no
-    column knowledge is needed (reference src/QueryPlan/FillingStep.h:24).
-
-    Supported subset: a single ascending sort key with fill; TO is
-    exclusive (ClickHouse semantics); STEP defaults to 1.  Filled rows
-    carry NULL in the payload columns (Spark join semantics) — wrap with
-    ifNull()/coalesce() for ClickHouse's default-value fill.
-    """
+def _parse_fill_item(item: str):
+    """One ORDER BY item -> (key, desc, has_fill, frm, to, step)."""
     import re
 
+    i_fill = _depth0_find(item, "WITH FILL")
+    frm = to = step = None
+    has_fill = i_fill >= 0
+    head = item[:i_fill].strip() if has_fill else item.strip()
+    desc = False
+    m = re.search(r"\s+(ASC|DESC)$", head, re.IGNORECASE)
+    if m:
+        desc = m.group(1).upper() == "DESC"
+        head = head[: m.start()].strip()
+    if has_fill:
+        tail = item[i_fill + len("WITH FILL") :].strip()
+        fm = re.match(
+            r"(?:FROM\s+(?P<frm>.+?))?\s*(?:TO\s+(?P<to>.+?))?"
+            r"\s*(?:STEP\s+(?P<step>.+?))?\s*$",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if fm is None:
+            raise ChSqlError(f"cannot parse WITH FILL tail: {tail!r}")
+        frm, to, step = fm.group("frm"), fm.group("to"), fm.group("step")
+    return head, desc, has_fill, frm, to, step
+
+
+def _split_depth0_commas(text: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if c in "'\"":
+            j = _skip_string(text, i)
+            cur.append(text[i:j])
+            i = j
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _rewrite_with_fill(sql: str) -> str:
+    """``ORDER BY [g1, ..,] k1 [DESC] WITH FILL [FROM f] [TO t] [STEP s]
+    [, k2 WITH FILL ..] [INTERPOLATE (c1, c2 AS c2, ..)]`` -> a spine of
+    ``explode(sequence(...))`` LEFT-JOINed via USING, so no payload-column
+    knowledge is needed (reference src/QueryPlan/FillingStep.h:24,
+    FillingTransform.cpp for INTERPOLATE).
+
+    Semantics of the supported surface:
+      * plain keys BEFORE the fill keys group the fill (per-series spines,
+        bounds = per-group min/max unless FROM/TO given);
+      * multiple WITH FILL keys produce the cross-product spine; every fill
+        key after the first needs explicit FROM and TO (per-group bounds of
+        inner keys are not defined by a single min/max);
+      * DESC fills downward (FROM defaults to max, TO exclusive below);
+      * TO is exclusive (ClickHouse semantics); STEP defaults to 1;
+      * INTERPOLATE carries the PREVIOUS value forward into filled rows
+        (identity form ``c`` or ``c AS c``; computed expressions would need
+        row-recursive evaluation and raise).
+    Filled payload rows are NULL unless INTERPOLATE carries them.
+    """
     i_order = _depth0_find(sql, "ORDER BY")
     if i_order < 0 or _depth0_find(sql, "WITH FILL") < 0:
         return sql
-    i_fill = _depth0_find(sql, "WITH FILL", i_order)
-    if i_fill < 0:
+    if _depth0_find(sql, "WITH FILL", i_order) < 0:
         return sql
-    key = sql[i_order + len("ORDER BY") : i_fill].strip()
-    if "," in key:
-        raise ChSqlError("WITH FILL supports a single sort key in this frontend")
-    if re.search(r"\s+(ASC|DESC)$", key, re.IGNORECASE):
-        if key.upper().endswith("DESC"):
-            raise ChSqlError("WITH FILL supports ascending order only")
-        key = key[: -len("ASC")].strip()
-    tail = sql[i_fill + len("WITH FILL") :].strip()
-    m = re.match(
-        r"(?:FROM\s+(?P<frm>.+?))?\s*(?:TO\s+(?P<to>.+?))?\s*(?:STEP\s+(?P<step>.+?))?\s*$",
-        tail,
-        re.IGNORECASE | re.DOTALL,
-    )
-    if m is None:
-        raise ChSqlError(f"cannot parse WITH FILL tail: {tail!r}")
-    frm, to, step = m.group("frm"), m.group("to"), m.group("step")
-    step = step or "1"
+
+    order_end = len(sql)
+    for kw in ("INTERPOLATE", "LIMIT", "SETTINGS"):
+        p = _depth0_find(sql, kw, i_order)
+        if 0 <= p < order_end:
+            order_end = p
+    order_text = sql[i_order + len("ORDER BY") : order_end]
+    after = sql[order_end:].strip()
+
+    interp_cols: list[str] = []
+    if after.upper().startswith("INTERPOLATE"):
+        rest = after[len("INTERPOLATE") :].strip()
+        if not rest.startswith("("):
+            raise ChSqlError("INTERPOLATE needs a parenthesized column list")
+        close = _match_paren(rest, 0)
+        for item in _split_args(rest[1:close]):
+            k = _depth0_find(item, "AS")
+            if k >= 0:
+                col, expr = item[:k].strip(), item[k + 2 :].strip()
+                if col != expr:
+                    raise ChSqlError(
+                        "INTERPOLATE with computed expressions is row-recursive "
+                        "and not supported; only carry-forward (c or c AS c)"
+                    )
+            else:
+                col = item.strip()
+            interp_cols.append(col)
+        after = rest[close + 1 :].strip()
+
+    items = [_parse_fill_item(it) for it in _split_depth0_commas(order_text)]
+    group_keys = []
+    fills = []
+    for key, desc, has_fill, frm, to, step in items:
+        if has_fill:
+            fills.append((key, desc, frm, to, step or "1"))
+        else:
+            if fills:
+                raise ChSqlError(
+                    "plain ORDER BY keys after a WITH FILL key are not supported"
+                )
+            group_keys.append((key, desc))
+    if not fills:
+        return sql
+    for key, desc, frm, to, step in fills[1:]:
+        if frm is None or to is None:
+            raise ChSqlError(
+                "every WITH FILL key after the first needs explicit FROM and TO"
+            )
+
     core = sql[:i_order].strip()
-    lo = frm or "__lo"
-    hi = to or "__hi"
-    guard = f" WHERE {key} < {to}" if to else ""
-    return (
-        f"SELECT * FROM ("
-        f"SELECT {key} FROM ("
-        f"SELECT explode(sequence({lo}, {hi}, {step})) AS {key} "
-        f"FROM (SELECT min({key}) AS __lo, max({key}) AS __hi FROM ({core}))"
-        f"){guard}"
-        f") LEFT JOIN ({core}) USING ({key}) ORDER BY {key}"
+    gk = [k for k, _ in group_keys]
+    gk_sel = (", ".join(gk) + ", ") if gk else ""
+
+    # ---- spine of the first (possibly bounds-from-data) fill key
+    key0, desc0, frm0, to0, step0 = fills[0]
+    if frm0 is not None and to0 is not None:
+        lo, hi = (to0, frm0) if desc0 else (frm0, to0)
+        bounds_src = (
+            f"(SELECT DISTINCT {', '.join(gk)} FROM ({core}))" if gk else "(SELECT 1)"
+        )
+        seq = (
+            f"sequence({frm0}, {to0}, -({step0}))" if desc0
+            else f"sequence({frm0}, {to0}, {step0})"
+        )
+    else:
+        bounds_src = (
+            f"(SELECT {gk_sel}min({key0}) AS __lo, max({key0}) AS __hi "
+            f"FROM ({core})" + (f" GROUP BY {', '.join(gk)})" if gk else ")")
+        )
+        lo = frm0 if (frm0 and not desc0) else "__lo"
+        hi = to0 if (to0 and not desc0) else "__hi"
+        if desc0:
+            hi_start = frm0 or "__hi"
+            lo_end = to0 or "__lo"
+            seq = f"sequence({hi_start}, {lo_end}, -({step0}))"
+        else:
+            seq = f"sequence({lo}, {hi}, {step0})"
+    guards = []
+    if to0 is not None:
+        guards.append(f"{key0} > {to0}" if desc0 else f"{key0} < {to0}")
+    spine = (
+        f"SELECT {gk_sel}explode({seq}) AS {key0} FROM {bounds_src}"
     )
+
+    # ---- cross-product spines for further fill keys (explicit bounds)
+    for key, desc, frm, to, step in fills[1:]:
+        seq_n = (
+            f"sequence({frm}, {to}, -({step}))" if desc
+            else f"sequence({frm}, {to}, {step})"
+        )
+        spine = (
+            f"SELECT *, explode({seq_n}) AS {key} FROM ({spine})"
+        )
+        guards.append(f"{key} > {to}" if desc else f"{key} < {to}")
+
+    fill_keys = [k for k, *_ in fills]
+    using = gk + fill_keys
+    guard_sql = f" WHERE {' AND '.join(guards)}" if guards else ""
+    order_items = [f"{k}{' DESC' if d else ''}" for k, d in group_keys] + [
+        f"{k}{' DESC' if d else ''}" for k, d, *_ in fills
+    ]
+    joined = (
+        f"SELECT * FROM ("
+        f"SELECT {', '.join(using)} FROM ({spine}){guard_sql}"
+        f") LEFT JOIN ({core}) USING ({', '.join(using)})"
+    )
+    if interp_cols:
+        part = f"PARTITION BY {', '.join(gk)} " if gk else ""
+        win_order = ", ".join(
+            f"{k}{' DESC' if d else ''}" for k, d, *_ in fills
+        )
+        carried = ", ".join(
+            f"last({c}, true) OVER ({part}ORDER BY {win_order} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+            for c in interp_cols
+        )
+        joined = (
+            f"SELECT * EXCEPT ({', '.join(interp_cols)}), {carried} "
+            f"FROM ({joined})"
+        )
+    out = f"SELECT * FROM ({joined}) ORDER BY {', '.join(order_items)}"
+    if after:
+        out += " " + after
+    return out
 
 
 def rewrite_ch_sql(sql: str) -> str:

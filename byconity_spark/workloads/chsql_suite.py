@@ -288,3 +288,50 @@ def chsql_any_join(spark: SparkSession, sf: str) -> DataFrame:
         WHERE c.c_mktsegment = 'MACHINERY'
         """,
     )
+
+
+@register(
+    "chsql_fill_interpolate",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             round(sum(value), 4) AS total
+      FROM events WHERE event_type IN ('purchase', 'signup')
+      GROUP BY event_type, day
+    ),
+    bounds AS (
+      SELECT event_type, min(day) AS lo, max(day) AS hi FROM base
+      GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.event_type, s.day, base.total
+      FROM spine s LEFT JOIN base USING (event_type, day)
+    )
+    SELECT event_type, day,
+           last_value(total IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total
+    FROM joined
+    """,
+)
+def chsql_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped WITH FILL + INTERPOLATE carry-forward through the CH SQL
+    frontend (reference FillingStep.h / FillingTransform.cpp INTERPOLATE):
+    per-type daily spine, missing days carry the previous total."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT event_type, toDate(ts) AS day, round(sum(value), 4) AS total
+        FROM events WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type, day
+        ORDER BY event_type, day WITH FILL STEP INTERVAL 1 DAY INTERPOLATE (total)
+        """,
+    )

@@ -141,10 +141,11 @@ def test_with_fill_rewrite():
     assert "LEFT JOIN" in out and "USING (h)" in out
     out2 = rewrite_ch_sql("SELECT k, v FROM t ORDER BY k WITH FILL FROM 0 TO 10")
     assert "sequence(0, 10, 1)" in out2 and "WHERE k < 10" in out2
-    with pytest.raises(ChSqlError):
-        rewrite_ch_sql("SELECT k FROM t ORDER BY k DESC WITH FILL")
-    with pytest.raises(ChSqlError):
-        rewrite_ch_sql("SELECT a, b FROM t ORDER BY a, b WITH FILL")
+    # DESC and grouped multi-key fills are supported since round 3
+    out3 = rewrite_ch_sql("SELECT k FROM t ORDER BY k DESC WITH FILL")
+    assert "sequence(__hi, __lo, -(1))" in out3
+    out4 = rewrite_ch_sql("SELECT a, b FROM t ORDER BY a, b WITH FILL")
+    assert "GROUP BY a" in out4 and "USING (a, b)" in out4
 
 
 def test_with_fill_executes(spark):
