@@ -819,7 +819,25 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Execute ClickHouse-dialect SQL against the registered engine views.
 
     ASOF/ANY strict joins route through the operator API (they have no
-    text-rewrite equivalent); everything else is a pure string rewrite."""
+    text-rewrite equivalent); ``EXPLAIN [kind]`` returns the plan as rows
+    (reference ASTExplainQuery.h:36-54); everything else is a pure string
+    rewrite."""
+    import re as _re
+
+    m = _re.match(
+        r"\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?\s+(?=SELECT|WITH)",
+        sql,
+        _re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.plans.explain import explain_ch
+
+        inner = ch_sql(spark, sql[m.end() :])
+        text = explain_ch(inner, (m.group(1) or "PLAN").upper())
+        return spark.createDataFrame(
+            [(line,) for line in text.splitlines()], "explain string"
+        )
+
     from byconity_spark.frontend.joins_sql import try_rewrite_strict_join
 
     handled = try_rewrite_strict_join(spark, sql)
