@@ -868,3 +868,105 @@ def max_intersections(
             F.col("mp").alias("position"),
         )
     )
+
+
+def gen_array(
+    events: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    start: int,
+    step: int,
+    num_steps: int,
+) -> DataFrame:
+    """genArray (reference AggregateFunctionGenArray.h:268-312): per group,
+    a presence bitmask over ``num_steps`` time slots of width ``step``
+    starting at ``start``, packed into 64-bit words (bit i of word w set iff
+    the group has an event in slot w*64+i; out-of-frame events ignored).
+
+    Pure JVM: slot set per group via collect_set, then per-word OR-fold with
+    F.aggregate — merge semantics (bitwise OR, GenArray.h:315) fall out of
+    set union.  State is ceil(num_steps/64) longs per group."""
+    n_words = (num_steps + 63) // 64
+    slot = F.floor((F.col(time_col) - F.lit(start)) / F.lit(step))
+    slotted = events.select(
+        *group_cols,
+        slot.alias("__slot"),
+    ).filter((F.col("__slot") >= 0) & (F.col("__slot") < num_steps))
+    grouped = slotted.groupBy(*group_cols).agg(
+        F.collect_set("__slot").alias("__slots")
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.filter(F.col("__slots"), lambda s: (s / 64).cast("long") == w),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc.bitwiseOR(
+                # python F.shiftleft takes only literal bit counts; the SQL
+                # function accepts a column expression
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (s % 64).cast("int")
+                )
+            ),
+        ),
+    )
+    return grouped.select(*group_cols, words.alias("gen_array"))
+
+
+def count_by_granularity(
+    df: DataFrame, value_col: str, granule_col: str
+) -> DataFrame:
+    """countByGranularity (reference AggregateFunctionCountByGranularity.h):
+    per distinct value, the number of distinct granules it appears in.  The
+    reference's granule is the physical 8192-row block (row position /
+    granularity); Spark has no stable row position, so the granule is a
+    DECLARED column (day, file, bucket) — documented divergence, same
+    index-statistics use.  One count-distinct aggregate."""
+    return (
+        df.groupBy(F.col(value_col).alias("value"))
+        .agg(F.countDistinct(granule_col).alias("n_granules"))
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    label_col: Column,
+) -> DataFrame:
+    """mannWhitneyUTest (reference AggregateFunctionMannWhitney.h): U
+    statistic of the labeled sample with average ranks on ties, plus the
+    tie-corrected normal z-score.  Ranks via the avg-row_number-over-peers
+    trick (no Python); tie correction sum(t^3 - t) from per-value counts."""
+    w_rank = Window.partitionBy(*group_cols).orderBy(value_col)
+    w_peers = Window.partitionBy(*group_cols, value_col)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        label_col.cast("int").alias("__lab"),
+        F.avg(F.row_number().over(w_rank)).over(w_peers).alias("__rank"),
+    )
+    stats = ranked.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("__lab") == 1, F.col("__rank"))).alias("r1"),
+        F.sum("__lab").alias("n1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ties = (
+        ranked.groupBy(*group_cols, "__v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"))
+    )
+    j = stats.join(ties, group_cols) if group_cols else stats.crossJoin(ties)
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n") - F.col("n1")).cast("double")
+    n = F.col("n").cast("double")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    mean_u = n1 * n2 / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0 * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1)))
+    )
+    return j.select(
+        *group_cols,
+        u1.alias("u_stat"),
+        ((u1 - mean_u) / sigma).alias("z_score"),
+    )

@@ -691,3 +691,106 @@ def beh_max_intersections(spark: SparkSession, sf: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) + 300_000_000).alias("e"),
     )
     return max_intersections(iv, "s", "e")
+
+
+# --------------------------------------------------------------------------
+# genArray: per-user daily presence bitmask over 100 days, packed into two
+# 64-bit words (reference AggregateFunctionGenArray.h).
+# --------------------------------------------------------------------------
+_GA_START_US = 1_704_067_200_000_000  # 2024-01-01 UTC
+_GA_STEP_US = 24 * 3600 * 1_000_000
+_GA_STEPS = 100
+
+
+@register(
+    "beh_gen_array",
+    oracle=f"""
+    WITH slotted AS (
+      SELECT DISTINCT user_id,
+             CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - {_GA_START_US})
+                        / {_GA_STEP_US}) AS BIGINT) AS slot
+      FROM events
+    ),
+    ok AS (SELECT * FROM slotted WHERE slot >= 0 AND slot < {_GA_STEPS})
+    SELECT user_id,
+           [coalesce(bit_or(CASE WHEN slot // 64 = 0
+                            THEN (1::BIGINT << CAST(slot % 64 AS INT)) END), 0),
+            coalesce(bit_or(CASE WHEN slot // 64 = 1
+                            THEN (1::BIGINT << CAST(slot % 64 AS INT)) END), 0)]
+             AS gen_array
+    FROM ok GROUP BY user_id
+    """,
+)
+def beh_gen_array(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import gen_array
+
+    ev = _ev(spark, sf).select("user_id", F.unix_micros(F.col("ts")).alias("tus"))
+    return gen_array(
+        ev, ["user_id"], "tus", _GA_START_US, _GA_STEP_US, _GA_STEPS
+    )
+
+
+# --------------------------------------------------------------------------
+# countByGranularity with day granules
+# (reference AggregateFunctionCountByGranularity.h — granule here is a
+# declared column, not the physical 8192-row block; documented divergence).
+# --------------------------------------------------------------------------
+@register(
+    "beh_count_by_granularity",
+    oracle="""
+    SELECT user_id AS value, count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+             AS n_granules
+    FROM events GROUP BY user_id
+    """,
+)
+def beh_count_by_granularity(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import count_by_granularity
+
+    ev = _ev(spark, sf).withColumn("day", F.to_date("ts"))
+    return count_by_granularity(ev, "user_id", "day")
+
+
+# --------------------------------------------------------------------------
+# mannWhitneyUTest: purchase values vs other values per event-type family
+# (reference AggregateFunctionMannWhitney.h; avg ranks on ties, tie-
+# corrected z).
+# --------------------------------------------------------------------------
+@register(
+    "beh_mann_whitney",
+    oracle="""
+    WITH ranked AS (
+      SELECT value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS lab,
+             avg(rn) OVER (PARTITION BY value) AS rank
+      FROM (
+        SELECT value, user_id,
+               row_number() OVER (ORDER BY value) AS rn
+        FROM events
+      )
+    ),
+    stats AS (
+      SELECT sum(CASE WHEN lab = 1 THEN rank END) AS r1,
+             sum(lab)  AS n1,
+             count(*)  AS n
+      FROM ranked
+    ),
+    ties AS (
+      SELECT sum(t * t * t - t) AS tie3
+      FROM (SELECT count(*) AS t FROM ranked GROUP BY value)
+    )
+    SELECT round(r1 - n1 * (n1 + 1.0) / 2.0, 4) AS u_stat,
+           round((r1 - n1 * (n1 + 1.0) / 2.0 - n1 * (n - n1) / 2.0)
+                 / sqrt(n1 * (n - n1) / 12.0
+                        * ((n + 1) - tie3 / (n * (n - 1.0)))), 6) AS z_score
+    FROM stats, ties
+    """,
+)
+def beh_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import mann_whitney_u
+
+    ev = _ev(spark, sf)
+    out = mann_whitney_u(ev, [], "value", F.col("user_id") % 2 == 0)
+    return out.select(
+        F.round("u_stat", 4).alias("u_stat"),
+        F.round("z_score", 6).alias("z_score"),
+    )
