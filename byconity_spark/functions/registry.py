@@ -676,7 +676,28 @@ def _apply_or_null(base_name: str, base: Callable[..., Column], *args) -> Column
     return base(*args)
 
 
-_SUFFIXES = ("If", "Distinct", "Array", "OrNull")
+def _apply_resample(base: Callable[..., Column], *args) -> Column:
+    """-Resample combinator (reference AggregateFunctionResample.h):
+    ``<agg>Resample(start, end, step, value..., key)`` splits the aggregation
+    into value-range buckets of the key and returns one array element per
+    bucket [start + i*step, start + (i+1)*step).  Pure conditional-masked
+    aggregates — one pass, map-side combinable, bucket count fixed at plan
+    time."""
+    start, end, step, *vals, key = args
+    if step <= 0 or end <= start:
+        raise ValueError("Resample needs start < end and step > 0")
+    n_buckets = -(-(end - start) // step)
+    cells = []
+    for i in range(int(n_buckets)):
+        lo = start + i * step
+        hi = min(start + (i + 1) * step, end)
+        cond = (key >= F.lit(lo)) & (key < F.lit(hi))
+        masked = [F.when(cond, v) for v in vals] or [F.when(cond, F.lit(1))]
+        cells.append(base(*masked))
+    return F.array(*cells)
+
+
+_SUFFIXES = ("If", "Distinct", "Array", "OrNull", "Resample")
 
 
 def ch_agg(name: str, *args) -> Column:
@@ -697,6 +718,8 @@ def ch_agg(name: str, *args) -> Column:
                 return _apply_array(base_name, base, *args)
             if suffix == "OrNull":
                 return _apply_or_null(base_name, base, *args)
+            if suffix == "Resample":
+                return _apply_resample(base, *args)
     raise UnknownFunctionError(
         f"unknown aggregate function {name!r} (no base+combinator match)"
     )

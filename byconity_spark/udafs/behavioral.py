@@ -970,3 +970,65 @@ def mann_whitney_u(
         u1.alias("u_stat"),
         ((u1 - mean_u) / sigma).alias("z_score"),
     )
+
+
+def finder_funnel(
+    events: DataFrame,
+    watch_start_us: int,
+    watch_step_us: int,
+    watch_numbers: int,
+    window_us: int,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """finderFunnel (reference AggregateFunctionFinderFunnel.h): funnel
+    level per (user, watch slot).  Deterministic first-anchor-per-slot
+    variant (consistent with this engine's window_funnel pinning): the
+    anchor is the user's EARLIEST step-1 event inside each watch slot;
+    each later step is the earliest strictly-later event of its type
+    within ``window_us`` of the anchor (the window may extend past the
+    slot end, as in the reference's relative-window mode).
+
+    Spark-first: one aggregate for the anchors, then one equi-join on
+    user per later step — every pass is a hash shuffle on user_col, no
+    Python.  Output: (user, slot, funnel_level >= 1)."""
+    steps = list(steps)
+    us = F.unix_micros(F.col(ts_col))
+    ev = events.select(
+        F.col(user_col).alias("u"), us.alias("t"), F.col(type_col).alias("tp")
+    )
+    slot = F.floor((F.col("t") - F.lit(watch_start_us)) / F.lit(watch_step_us))
+    anchors = (
+        ev.filter(F.col("tp") == steps[0])
+        .withColumn("slot", slot)
+        .filter((F.col("slot") >= 0) & (F.col("slot") < watch_numbers))
+        .groupBy("u", "slot")
+        .agg(F.min("t").alias("t1"))
+    )
+    frame = anchors.withColumn("level", F.lit(1))
+    prev = "t1"
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            frame.join(
+                ev.filter(F.col("tp") == step).select("u", F.col("t").alias("__et")),
+                "u",
+            )
+            .filter(
+                (F.col("__et") > F.col(prev))
+                & (F.col("__et") <= F.col("t1") + F.lit(window_us))
+            )
+            .groupBy("u", "slot")
+            .agg(F.min("__et").alias(f"t{i}"))
+        )
+        frame = frame.join(nxt, ["u", "slot"], "left").withColumn(
+            "level",
+            F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(F.col("level")),
+        )
+        prev = f"t{i}"
+    return frame.select(
+        F.col("u").alias(user_col),
+        F.col("slot"),
+        F.col("level").cast("long").alias("funnel_level"),
+    )

@@ -535,3 +535,163 @@ def agg_stat_tests(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.round("delta_sum", 4).alias("delta_sum")
     )
     return t.join(rc, "event_type").join(ent, "event_type").join(ds, "event_type")
+
+
+# ------------------------------ -Resample combinator (value-range buckets)
+@register(
+    "agg_resample",
+    oracle="""
+    SELECT event_type,
+           [CAST(coalesce(sum(CASE WHEN user_id >= 0  AND user_id < 50  THEN 1 END), 0) AS BIGINT),
+            CAST(coalesce(sum(CASE WHEN user_id >= 50 AND user_id < 100 THEN 1 END), 0) AS BIGINT),
+            CAST(coalesce(sum(CASE WHEN user_id >= 100 AND user_id < 150 THEN 1 END), 0) AS BIGINT)]
+             AS n_by_bucket,
+           [round(coalesce(sum(CASE WHEN user_id >= 0  AND user_id < 50  THEN value END), 0), 4),
+            round(coalesce(sum(CASE WHEN user_id >= 50 AND user_id < 100 THEN value END), 0), 4),
+            round(coalesce(sum(CASE WHEN user_id >= 100 AND user_id < 150 THEN value END), 0), 4)]
+             AS sum_by_bucket
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """countResample / sumResample (reference AggregateFunctionResample.h):
+    one aggregation pass split into key-range buckets, emitted as arrays."""
+    ev = _t(spark, sf, "events")
+    uid = F.col("user_id")
+    counts = ch("countResample", 0, 150, 50, uid)
+    sums = ch("sumResample", 0, 150, 50, F.col("value"), uid)
+    return ev.groupBy("event_type").agg(
+        F.transform(counts, lambda c: F.coalesce(c, F.lit(0)).cast("long")).alias(
+            "n_by_bucket"
+        ),
+        F.transform(
+            sums, lambda s: F.round(F.coalesce(s, F.lit(0.0)), 4)
+        ).alias("sum_by_bucket"),
+    )
+
+
+# ------------------------------------------- ndcg (ranking quality metric)
+@register(
+    "agg_ndcg",
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 20 AS qid, event_id, value AS pred,
+             CASE event_type WHEN 'purchase' THEN 2
+                             WHEN 'click' THEN 1 ELSE 0 END AS label
+      FROM events WHERE user_id < 60
+    ),
+    ranked AS (
+      SELECT qid,
+             POW(2, label + 1) - 1 AS rel,
+             row_number() OVER (PARTITION BY qid ORDER BY pred DESC, event_id) AS pos,
+             row_number() OVER (PARTITION BY qid ORDER BY label DESC, event_id) AS ideal_pos
+      FROM base
+    ),
+    per_q AS (
+      SELECT qid,
+             sum(rel / log2(pos + 1.0)) AS dcg,
+             sum(rel / log2(ideal_pos + 1.0)) AS idcg
+      FROM (SELECT qid, rel, pos, ideal_pos FROM ranked) ranked2
+      GROUP BY qid
+    )
+    SELECT round(avg(dcg / idcg), 6) AS ndcg FROM per_q
+    """,
+)
+def agg_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """ndcg (reference AggregateFunctionNdcg.h): per query group, DCG of the
+    prediction ordering over IDCG of the ideal ordering with exponential
+    gain 2^(label+1)-1 (Ndcg.h:133), averaged over groups.  Deterministic
+    event_id tiebreaks on both orderings; window ranks, no Python.
+
+    NOTE on the ideal ordering: dcg here uses rel/log2(pos+1) with pos from
+    pred ordering — the standard NDCG formulation; the reference's
+    real_rank remap is position-equivalent under a total order."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 60)
+    base = ev.select(
+        (F.col("user_id") % 20).alias("qid"),
+        F.col("event_id"),
+        F.col("value").alias("pred"),
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    w_pred = Window.partitionBy("qid").orderBy(F.col("pred").desc(), F.col("event_id"))
+    w_ideal = Window.partitionBy("qid").orderBy(
+        F.col("label").desc(), F.col("event_id")
+    )
+    rel = F.pow(F.lit(2.0), F.col("label") + 1) - 1
+    ranked = base.select(
+        "qid",
+        rel.alias("rel"),
+        F.row_number().over(w_pred).alias("pos"),
+        F.row_number().over(w_ideal).alias("ideal_pos"),
+    )
+    per_q = ranked.groupBy("qid").agg(
+        F.sum(F.col("rel") / F.log2(F.col("pos") + 1.0)).alias("dcg"),
+        F.sum(F.col("rel") / F.log2(F.col("ideal_pos") + 1.0)).alias("idcg"),
+    )
+    return per_q.agg(F.round(F.avg(F.col("dcg") / F.col("idcg")), 6).alias("ndcg"))
+
+
+# ------------- categoricalInformationValue (feature-screening IV metric)
+@register(
+    "agg_categorical_iv",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n0
+      FROM events GROUP BY event_type
+    ),
+    t AS (SELECT sum(n1) AS t1, sum(n0) AS t0 FROM c)
+    SELECT round(sum((n1 / t1 - n0 / t0) * ln((n1 / t1) / (n0 / t0))), 6)
+             AS iv
+    FROM c, t
+    """,
+)
+def agg_categorical_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """categoricalInformationValue (reference
+    AggregateFunctionCategoricalInformationValue.cpp): IV of a categorical
+    feature against a binary label — sum over categories of
+    (p1 - p0) * ln(p1/p0).  Two chained aggregates, both map-side
+    combinable; the category totals broadcast."""
+    ev = _t(spark, sf, "events")
+    lab = (F.col("user_id") % 2 == 0).cast("int")
+    c = ev.groupBy("event_type").agg(
+        F.sum(lab).alias("n1"),
+        F.sum(1 - lab).alias("n0"),
+    )
+    t = c.agg(F.sum("n1").alias("t1"), F.sum("n0").alias("t0"))
+    p1 = F.col("n1") / F.col("t1")
+    p0 = F.col("n0") / F.col("t0")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(F.round(F.sum((p1 - p0) * F.log(p1 / p0)), 6).alias("iv"))
+    )
+
+
+# ----------------------------------------- meanZTest (known-variance z)
+@register(
+    "agg_mean_ztest",
+    oracle="""
+    SELECT event_type,
+           round((avg(CASE WHEN user_id % 2 = 0 THEN value END)
+                   - avg(CASE WHEN user_id % 2 = 1 THEN value END))
+                 / sqrt(1000.0 / count(CASE WHEN user_id % 2 = 0 THEN value END)
+                        + 1000.0 / count(CASE WHEN user_id % 2 = 1 THEN value END)),
+                 6) AS z
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_mean_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """meanZTest (reference AggregateFunctionMeanZTest.h): two-sample z
+    statistic with KNOWN population variances (1000 here for both sides).
+    One conditional aggregate."""
+    ev = _t(spark, sf, "events")
+    a = F.when(F.col("user_id") % 2 == 0, F.col("value"))
+    b = F.when(F.col("user_id") % 2 == 1, F.col("value"))
+    z = (F.avg(a) - F.avg(b)) / F.sqrt(
+        F.lit(1000.0) / F.count(a) + F.lit(1000.0) / F.count(b)
+    )
+    return ev.groupBy("event_type").agg(F.round(z, 6).alias("z"))

@@ -794,3 +794,91 @@ def beh_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         F.round("u_stat", 4).alias("u_stat"),
         F.round("z_score", 6).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# finderFunnel: per-(user, day-slot) funnel levels; funnelRepByTimes: the
+# per-slot step-reach counts built from them (reference
+# AggregateFunctionFinderFunnel.h, AggregateFunctionFunnelRepByTimes.h).
+# --------------------------------------------------------------------------
+_FF_START_US = 1_704_067_200_000_000
+_FF_STEP_US = 24 * 3600 * 1_000_000
+_FF_SLOTS = 100
+_FF_WINDOW_US = 3 * 24 * 3600 * 1_000_000
+
+_FF_ORACLE_CORE = f"""
+    e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+          FROM events),
+    a AS (SELECT user_id,
+                 CAST(floor((t - {_FF_START_US}) / {_FF_STEP_US}) AS BIGINT) AS slot,
+                 min(t) AS t1
+          FROM e
+          WHERE event_type = 'signup'
+            AND floor((t - {_FF_START_US}) / {_FF_STEP_US}) >= 0
+            AND floor((t - {_FF_START_US}) / {_FF_STEP_US}) < {_FF_SLOTS}
+          GROUP BY user_id, slot),
+    s2 AS (SELECT a.user_id, a.slot, min(e.t) AS t2
+           FROM a JOIN e ON a.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.t > a.t1
+             AND e.t <= a.t1 + {_FF_WINDOW_US}
+           GROUP BY a.user_id, a.slot),
+    s3 AS (SELECT a.user_id, a.slot, min(e.t) AS t3
+           FROM a JOIN s2 ON a.user_id = s2.user_id AND a.slot = s2.slot
+                  JOIN e ON a.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.t > s2.t2
+             AND e.t <= a.t1 + {_FF_WINDOW_US}
+           GROUP BY a.user_id, a.slot),
+    lv AS (SELECT a.user_id, a.slot,
+                  CASE WHEN s3.t3 IS NOT NULL THEN 3
+                       WHEN s2.t2 IS NOT NULL THEN 2
+                       ELSE 1 END AS funnel_level
+           FROM a
+           LEFT JOIN s2 ON a.user_id = s2.user_id AND a.slot = s2.slot
+           LEFT JOIN s3 ON a.user_id = s3.user_id AND a.slot = s3.slot)
+"""
+
+
+@register(
+    "beh_finder_funnel",
+    oracle=f"""
+    WITH {_FF_ORACLE_CORE}
+    SELECT user_id, slot, CAST(funnel_level AS BIGINT) AS funnel_level FROM lv
+    """,
+)
+def beh_finder_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import finder_funnel
+
+    return finder_funnel(
+        _ev(spark, sf),
+        watch_start_us=_FF_START_US,
+        watch_step_us=_FF_STEP_US,
+        watch_numbers=_FF_SLOTS,
+        window_us=_FF_WINDOW_US,
+        steps=["signup", "click", "purchase"],
+    )
+
+
+@register(
+    "beh_funnel_rep_by_times",
+    oracle=f"""
+    WITH {_FF_ORACLE_CORE}
+    SELECT slot,
+           [CAST(sum(CASE WHEN funnel_level > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN funnel_level > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN funnel_level > 2 THEN 1 ELSE 0 END) AS BIGINT)]
+             AS funnel_counts
+    FROM lv GROUP BY slot
+    """,
+)
+def beh_funnel_rep_by_times(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import finder_funnel, funnel_rep
+
+    levels = finder_funnel(
+        _ev(spark, sf),
+        watch_start_us=_FF_START_US,
+        watch_step_us=_FF_STEP_US,
+        watch_numbers=_FF_SLOTS,
+        window_us=_FF_WINDOW_US,
+        steps=["signup", "click", "purchase"],
+    )
+    return funnel_rep(levels, ["slot"], event_numbers=3)
