@@ -249,3 +249,30 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+    cosine >= threshold.  EXACT all-pairs variant — the verification
+    baseline, same role as ngram_jaccard_pairs: bounded inputs only
+    (the comparison is O(n^2)).  The 100 TB path is the LSH route
+    (ann_lsh_topk machinery / lsh_candidate_pairs recall-tested in
+    tests/test_similarity.py); this exact form is what the oracle can
+    express."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

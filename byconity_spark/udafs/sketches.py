@@ -123,3 +123,80 @@ def uniq_estimate(states: pd.Series) -> pd.Series:
     return states.map(
         lambda b: _estimate(np.frombuffer(b, dtype=np.uint8)) if b is not None else 0
     ).astype("int64")
+
+
+# ------------------------------------------------------------------ theta
+# KMV (k-minimum-values) theta sketch: keep the k smallest distinct hash
+# values; estimate = (k-1) / normalized k-th minimum.  Reference:
+# AggregateFunctionThetaSketchEstimate.h / DataTypeSketchBinary.h (the
+# reference wraps DataSketches theta; KMV is the same estimator family —
+# re-mergeable by union-then-truncate, documented ~1/sqrt(k) error).
+
+THETA_K = 1024
+_U64_SPAN = float(1 << 64)
+
+
+def _theta_from_hashes(h: np.ndarray, k: int = THETA_K) -> bytes:
+    u = np.unique(h.astype(np.int64).view(np.uint64))
+    return np.sort(u)[:k].tobytes()
+
+
+def _theta_merge_arrays(states: list[np.ndarray], k: int = THETA_K) -> bytes:
+    u = np.unique(np.concatenate(states))
+    return np.sort(u)[:k].tobytes()
+
+
+def _theta_estimate(state: np.ndarray, k: int = THETA_K) -> int:
+    n = len(state)
+    if n < k:
+        return int(n)
+    kth = float(state[k - 1]) / _U64_SPAN
+    return int(round((k - 1) / kth))
+
+
+def theta_state(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """thetaSketchState: per group, the KMV sketch of distinct value hashes."""
+    hashed = df.select(*group_cols, _hash_col(value_col).alias("__h"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        keys["theta_state"] = [_theta_from_hashes(pdf["__h"].dropna().to_numpy())]
+        return pd.DataFrame(keys)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return hashed.groupBy(*group_cols).applyInPandas(
+        kernel, schema=f"{key_schema}, theta_state binary"
+    )
+
+
+def theta_merge(
+    df: DataFrame, group_cols: list[str], state_col: str = "theta_state"
+) -> DataFrame:
+    """thetaSketchMerge: union-then-truncate of KMV states per group."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        arrays = [np.frombuffer(b, dtype=np.uint64) for b in pdf[state_col]]
+        keys[state_col] = [_theta_merge_arrays(arrays)]
+        return pd.DataFrame(keys)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return (
+        df.select(*group_cols, state_col)
+        .groupBy(*group_cols)
+        .applyInPandas(kernel, schema=f"{key_schema}, {state_col} binary")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def theta_estimate(states: pd.Series) -> pd.Series:
+    """thetaSketchEstimate: distinct-count estimate from a KMV state."""
+    return states.map(
+        lambda b: _theta_estimate(np.frombuffer(b, dtype=np.uint64))
+        if b is not None
+        else 0
+    ).astype("int64")

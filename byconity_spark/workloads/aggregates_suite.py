@@ -695,3 +695,39 @@ def agg_mean_ztest(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(1000.0) / F.count(a) + F.lit(1000.0) / F.count(b)
     )
     return ev.groupBy("event_type").agg(F.round(z, 6).alias("z"))
+
+
+# ------------------- theta (KMV) sketch -State/-Merge, same gate as HLL
+@register(
+    "agg_theta_state_merge",
+    oracle="""
+    SELECT event_type, true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_theta_state_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """thetaSketchEstimate over -State/-Merge (reference
+    AggregateFunctionThetaSketchEstimate.h, DataTypeSketchBinary.h): KMV
+    bottom-k states per (type, day) merged to per-type, estimate gated
+    within 5/sqrt(k) of the Spark-exact distinct."""
+    from byconity_spark.udafs.sketches import (
+        THETA_K,
+        theta_estimate,
+        theta_merge,
+        theta_state,
+    )
+
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    states = theta_state(ev, ["event_type", "day"], "user_id")
+    merged = theta_merge(states.drop("day"), ["event_type"])
+    est = merged.select(
+        "event_type", theta_estimate(F.col("theta_state")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact"))
+    tol = 5.0 / (THETA_K ** 0.5)
+    return est.join(exact, "event_type").select(
+        "event_type",
+        (F.abs(F.col("est").cast("double") / F.col("exact") - 1.0) < tol).alias(
+            "within_tol"
+        ),
+    )

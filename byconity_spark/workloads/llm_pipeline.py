@@ -345,3 +345,29 @@ def llm_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.llm.text import quality_classify
 
     return quality_classify(_docs(spark, sf))
+
+
+# ---------------------------------------- embedding-cosine near-dup pairs
+@register(
+    "llm_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    """,
+)
+def llm_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (verification baseline; the
+    scale path is LSH bucketing — see llm/similarity.py docstring)."""
+    from byconity_spark.llm.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)

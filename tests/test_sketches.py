@@ -53,3 +53,34 @@ def test_state_merge_dataframe_roundtrip(spark):
     merged = uniq_merge(states.withColumn("all", F.lit(1)).drop("g"), ["all"])
     [row] = merged.select(uniq_estimate(F.col("uniq_state")).alias("est")).collect()
     assert abs(row.est - 3000) / 3000 < 0.05
+
+
+# ------------------------------------------------------------------ theta
+
+from byconity_spark.udafs.sketches import (  # noqa: E402
+    THETA_K,
+    _theta_estimate,
+    _theta_from_hashes,
+    _theta_merge_arrays,
+)
+
+
+@pytest.mark.parametrize("n", [100, 1000, 100_000])
+def test_theta_estimate_accuracy(n):
+    h = _hashes(23, n)
+    state = np.frombuffer(_theta_from_hashes(h), dtype=np.uint64)
+    est = _theta_estimate(state)
+    if n < THETA_K:
+        assert est == len(np.unique(h))  # exact below k
+    else:
+        assert abs(est - n) <= 5 / np.sqrt(THETA_K) * n
+
+
+def test_theta_merge_equals_whole():
+    h = _hashes(29, 50_000)
+    whole = _theta_from_hashes(h)
+    a = np.frombuffer(_theta_from_hashes(h[:20_000]), dtype=np.uint64)
+    b = np.frombuffer(_theta_from_hashes(h[20_000:]), dtype=np.uint64)
+    # merge of halves must equal the whole-build sketch EXACTLY: the k
+    # smallest of the union of per-half k-smallest = global k smallest
+    assert _theta_merge_arrays([a, b]) == whole
