@@ -561,6 +561,21 @@ AGG: dict[str, Callable[..., Column]] = {
     "groupBitOr": lambda c: F.bit_or(c),
     "groupBitXor": lambda c: F.bit_xor(c),
     "sumCount": lambda c: F.struct(F.sum(c).alias("sum"), F.count(c).alias("count")),
+    # frequency (AggregateFunctionFrequency.h): fixed 10-bucket engagement
+    # histogram — 1,2,3,4,5, 6-10, 11-20, 21-50, 50-100 (reference keeps the
+    # overlapping 50 boundary; preserved verbatim), >100
+    "frequency": lambda c: F.array(
+        F.count(F.when(c == 1, 1)),
+        F.count(F.when(c == 2, 1)),
+        F.count(F.when(c == 3, 1)),
+        F.count(F.when(c == 4, 1)),
+        F.count(F.when(c == 5, 1)),
+        F.count(F.when((c >= 6) & (c <= 10), 1)),
+        F.count(F.when((c >= 11) & (c <= 20), 1)),
+        F.count(F.when((c >= 21) & (c <= 50), 1)),
+        F.count(F.when((c > 50) & (c <= 100), 1)),
+        F.count(F.when(c > 100, 1)),
+    ),
     "singleValueOrNull": lambda c: F.when(
         F.countDistinct(c) == 1, F.first(c, ignorenulls=True)
     ),

@@ -1032,3 +1032,55 @@ def finder_funnel(
         F.col("slot"),
         F.col("level").cast("long").alias("funnel_level"),
     )
+
+
+def session_analysis(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """sessionAnalysis (reference AggregateFunctionSessionAnalysis.h:196-205:
+    per session (session_duration, session_depth, end_event, ...)): split
+    each user's stream on silence gaps > gap_us, then per session emit
+    duration, depth (event count), and the entry/exit event types.
+
+    Pure JVM islands: one lag window flags session breaks, a running sum
+    numbers sessions, min_by/max_by pick the boundary events — a single
+    shuffle on user_col, no Python kernel."""
+    us = F.unix_micros(F.col(ts_col))
+    w_seq = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    flagged = events.select(
+        F.col(user_col),
+        us.alias("__t"),
+        F.col(type_col).alias("__tp"),
+        F.col(id_col).alias("__id"),
+    ).withColumn(
+        "__brk",
+        F.when(
+            F.col("__t") - F.lag("__t").over(
+                Window.partitionBy(user_col).orderBy("__t", "__id")
+            )
+            > gap_us,
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy(user_col)
+        .orderBy("__t", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = flagged.withColumn("__sid", F.sum("__brk").over(w_run))
+    return (
+        sessioned.groupBy(user_col, "__sid")
+        .agg(
+            ((F.max("__t") - F.min("__t")) / 1_000_000.0).alias("duration_s"),
+            F.count(F.lit(1)).cast("long").alias("depth"),
+            F.min_by("__tp", F.struct("__t", "__id")).alias("entry_event"),
+            F.max_by("__tp", F.struct("__t", "__id")).alias("exit_event"),
+            F.timestamp_micros(F.min("__t")).alias("session_start"),
+        )
+        .drop("__sid")
+    )

@@ -731,3 +731,37 @@ def agg_theta_state_merge(spark: SparkSession, sf: str) -> DataFrame:
             "within_tol"
         ),
     )
+
+
+# ------------------- frequency: fixed engagement-bucket histogram
+@register(
+    "agg_frequency",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           [CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n = 3 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n = 4 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n = 5 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n >= 6 AND n <= 10 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n >= 11 AND n <= 20 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n >= 21 AND n <= 50 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n > 50 AND n <= 100 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN n > 100 THEN 1 END) AS BIGINT)] AS freq
+    FROM per_user GROUP BY event_type
+    """,
+)
+def agg_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    """frequency (reference AggregateFunctionFrequency.h): per event type,
+    the 10-bucket histogram of per-user event counts."""
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_user.groupBy("event_type").agg(
+        ch("frequency", F.col("n")).alias("freq")
+    )

@@ -882,3 +882,41 @@ def beh_funnel_rep_by_times(spark: SparkSession, sf: str) -> DataFrame:
         steps=["signup", "click", "purchase"],
     )
     return funnel_rep(levels, ["slot"], event_numbers=3)
+
+
+# --------------------------------------------------------------------------
+# sessionAnalysis: per-session duration/depth/entry/exit
+# (reference AggregateFunctionSessionAnalysis.h — output tuple
+# (session_duration, session_depth, end_event, ...)).
+# --------------------------------------------------------------------------
+@register(
+    "beh_session_analysis",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    f AS (
+      SELECT *,
+             CASE WHEN t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           (max(t) - min(t)) / 1000000.0          AS duration_s,
+           count(*)                               AS depth,
+           arg_min(event_type, printf('%020d%020d', t, event_id)) AS entry_event,
+           arg_max(event_type, printf('%020d%020d', t, event_id)) AS exit_event,
+           make_timestamp(min(t))                 AS session_start
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def beh_session_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import session_analysis
+
+    return session_analysis(_ev(spark, sf), gap_us=1_800_000_000)
