@@ -186,6 +186,27 @@ def _array_avg(c: Column) -> Column:
     return _array_sum(c) / F.size(c)
 
 
+def _gcd_col(a: Column, b: Column) -> Column:
+    """gcd via a runtime Euclid fold: F.aggregate over a 96-step sequence
+    keeps the expression tree CONSTANT-size (a naive unroll doubles the
+    tree per round), and 96 iterations exceed the worst-case step count
+    for 64-bit operands (~92, the Fibonacci pair bound).  Once y hits 0
+    the state is a fixpoint."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(96)),
+        F.struct(
+            F.abs(a.cast("long")).alias("x"), F.abs(b.cast("long")).alias("y")
+        ),
+        lambda acc, _: F.struct(
+            F.when(acc.y == 0, acc.x).otherwise(acc.y).alias("x"),
+            F.when(acc.y == 0, F.lit(0).cast("long"))
+            .otherwise(acc.x % acc.y)
+            .alias("y"),
+        ),
+        lambda acc: acc.x,
+    )
+
+
 def _haversine_m(lon1, lat1, lon2, lat2) -> Column:
     """Great-circle metres via haversine, radius 6371 km."""
     to_c = lambda x: x if isinstance(x, Column) else F.lit(x)  # noqa: E731
@@ -346,6 +367,35 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "ceiling": F.ceil,
     "trunc": lambda c: c.cast("long"),
     "sign": F.signum,
+    # ---- bitwise (src/Functions/bitAnd.cpp et al.)
+    "bitAnd": lambda a, b: a.bitwiseAND(b),
+    "bitOr": lambda a, b: a.bitwiseOR(b),
+    "bitXor": lambda a, b: a.bitwiseXOR(b),
+    "bitNot": lambda a: F.expr("-1").cast("long").bitwiseXOR(a.cast("long")),
+    "bitShiftLeft": lambda a, n: F.call_function(
+        "shiftleft", a.cast("long"), n if isinstance(n, Column) else F.lit(n)
+    ),
+    "bitShiftRight": lambda a, n: F.call_function(
+        "shiftright", a.cast("long"), n if isinstance(n, Column) else F.lit(n)
+    ),
+    "bitCount": F.bit_count,
+    "bitTest": lambda a, n: F.bit_get(a, n if isinstance(n, Column) else F.lit(n)),
+    # ---- more math (src/Functions/math*.cpp, greatCommonDivisor.cpp)
+    "gcd": _gcd_col,
+    "lcm": lambda a, b: F.when(
+        (a == 0) | (b == 0), F.lit(0)
+    ).otherwise(F.abs(a * b) / _gcd_col(a, b)).cast("long"),
+    "log1p": lambda a: F.log(F.lit(1.0) + a.cast("double")),
+    "degrees": F.degrees,
+    "radians": F.radians,
+    "isFinite": lambda a: ~(F.isnan(a) | (F.abs(a) == float("inf"))),
+    "isInfinite": lambda a: F.abs(a) == float("inf"),
+    "roundToExp2": lambda a: F.when(a <= 0, F.lit(0)).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2(a))).cast("long")
+    ),
+    "roundDown": lambda a, arr: F.array_max(
+        F.filter(arr, lambda x: x <= a)
+    ),
     "least": F.least,
     "greatest": F.greatest,
     "isNaN": F.isnan,
@@ -392,6 +442,45 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "arrayIntersect": F.array_intersect,
     "arrayFlatten": F.flatten,
     "arrayZip": F.arrays_zip,
+    "arrayCompact": lambda arr: F.filter(
+        arr,
+        lambda x, i: (i == 0)
+        | (~F.element_at(arr, i + 1).eqNullSafe(F.element_at(arr, i))),
+    ),
+    "arrayResize": lambda arr, n, *fill: F.when(
+        F.size(arr) >= n, F.slice(arr, 1, n)
+    ).otherwise(
+        F.concat(
+            arr,
+            F.transform(
+                F.sequence(F.lit(1), n - F.size(arr)),
+                lambda _: (fill[0] if fill else F.lit(None)),
+            ),
+        )
+    ),
+    "arrayPushBack": lambda arr, x: F.concat(arr, F.array(x)),
+    "arrayPushFront": lambda arr, x: F.concat(F.array(x), arr),
+    "arrayPopBack": lambda arr: F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+    "arrayEnumerateUniq": lambda arr: F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.size(
+            F.filter(
+                F.slice(arr, 1, i),
+                lambda x: x.eqNullSafe(F.element_at(arr, i)),
+            )
+        ),
+    ),
+    "countEqual": lambda arr, x: F.size(F.filter(arr, lambda v: v.eqNullSafe(x))),
+    "indexOfAll": lambda arr, x: F.filter(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.element_at(arr, i).eqNullSafe(x),
+    ),
+    # transform(x, from_arr, to_arr, default) — CH value remap
+    # (src/Functions/transform.cpp)
+    "transform": lambda x, frm, to, dflt: F.when(
+        F.array_position(frm, x) > 0,
+        F.element_at(to, F.array_position(frm, x).cast("int")),
+    ).otherwise(dflt),
     "arrayStringConcat": lambda arr, sep="": F.array_join(arr, sep),
     "arrayEnumerate": lambda arr: F.sequence(F.lit(1), F.size(arr)),
     "arrayLength": F.size,
@@ -494,6 +583,39 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "SHA256": lambda c: F.sha2(c.cast("binary"), 256),
     "hex": F.hex,
     "unhex": F.unhex,
+    "bin": F.bin,
+    "space": lambda n: F.repeat(F.lit(" "), n),
+    "tupleElement": lambda t, i: t.getField(f"col{i}") if isinstance(i, int) else t[i],
+    # ---- IPv4 (src/Functions/FunctionsCoding.h)
+    "IPv4NumToString": lambda n: F.concat_ws(
+        ".",
+        F.call_function("shiftright", n.cast("long"), F.lit(24)).bitwiseAND(F.lit(255)).cast("string"),
+        F.call_function("shiftright", n.cast("long"), F.lit(16)).bitwiseAND(F.lit(255)).cast("string"),
+        F.call_function("shiftright", n.cast("long"), F.lit(8)).bitwiseAND(F.lit(255)).cast("string"),
+        n.cast("long").bitwiseAND(F.lit(255)).cast("string"),
+    ),
+    "IPv4StringToNum": lambda s: (
+        F.split(s, r"\.")[0].cast("long") * 16777216
+        + F.split(s, r"\.")[1].cast("long") * 65536
+        + F.split(s, r"\.")[2].cast("long") * 256
+        + F.split(s, r"\.")[3].cast("long")
+    ),
+    # ---- formatReadable* (src/Functions/formatReadable*.cpp)
+    "formatReadableSize": lambda n: F.call_function(
+        "format_string",
+        F.lit("%.2f %s"),
+        n.cast("double")
+        / F.element_at(
+            F.array(*[F.lit(1024.0 ** i) for i in range(7)]),
+            (F.floor(F.log(1024.0, F.greatest(n.cast("double"), F.lit(1.0))))
+             .cast("int") + 1),
+        ),
+        F.element_at(
+            F.array(*[F.lit(u) for u in ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]]),
+            (F.floor(F.log(1024.0, F.greatest(n.cast("double"), F.lit(1.0))))
+             .cast("int") + 1),
+        ),
+    ),
     "base64Encode": lambda c: F.base64(c.cast("binary")),
     "base64Decode": lambda c: F.unbase64(c).cast("string"),
     "crc32": F.crc32,

@@ -1,0 +1,101 @@
+"""Round-3 scalar registry additions: bitwise, gcd/lcm, array editing,
+transform remap, IPv4, formatReadableSize."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from byconity_spark.functions import ch
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_bitwise(spark):
+    a, b = F.lit(0b1100), F.lit(0b1010)
+    assert _one(spark, ch("bitAnd", a, b)) == 0b1000
+    assert _one(spark, ch("bitOr", a, b)) == 0b1110
+    assert _one(spark, ch("bitXor", a, b)) == 0b0110
+    assert _one(spark, ch("bitNot", F.lit(0))) == -1
+    assert _one(spark, ch("bitShiftLeft", F.lit(3), 4)) == 48
+    assert _one(spark, ch("bitShiftRight", F.lit(48), 4)) == 3
+    assert _one(spark, ch("bitCount", F.lit(255))) == 8
+    assert _one(spark, ch("bitTest", F.lit(5), 0)) == 1
+    assert _one(spark, ch("bitTest", F.lit(5), 1)) == 0
+
+
+@pytest.mark.parametrize(
+    "a,b,g",
+    [(12, 18, 6), (7, 13, 1), (0, 5, 5), (5, 0, 5), (-12, 18, 6), (270, 192, 6)],
+)
+def test_gcd_lcm(spark, a, b, g):
+    assert _one(spark, ch("gcd", F.lit(a), F.lit(b))) == g
+    if a and b:
+        assert _one(spark, ch("lcm", F.lit(a), F.lit(b))) == abs(a * b) // g
+
+
+def test_gcd_fibonacci_worst_case(spark):
+    # consecutive Fibonacci numbers maximize Euclid step count
+    fa, fb = 7540113804746346429, 4660046610375530309  # F(92), F(91)
+    assert _one(spark, ch("gcd", F.lit(fa), F.lit(fb))) == 1
+
+
+def test_array_editing(spark):
+    arr = F.array(F.lit(1), F.lit(1), F.lit(2), F.lit(2), F.lit(1))
+    assert _one(spark, ch("arrayCompact", arr)) == [1, 2, 1]
+    assert _one(spark, ch("arrayPushBack", arr, F.lit(9))) == [1, 1, 2, 2, 1, 9]
+    assert _one(spark, ch("arrayPushFront", arr, F.lit(9))) == [9, 1, 1, 2, 2, 1]
+    assert _one(spark, ch("arrayPopBack", arr)) == [1, 1, 2, 2]
+    assert _one(spark, ch("arrayResize", arr, F.lit(3))) == [1, 1, 2]
+    assert _one(spark, ch("arrayResize", arr, F.lit(7), F.lit(0))) == [1, 1, 2, 2, 1, 0, 0]
+    assert _one(spark, ch("countEqual", arr, F.lit(2))) == 2
+    assert _one(spark, ch("indexOfAll", arr, F.lit(1))) == [1, 2, 5]
+    assert _one(spark, ch("arrayEnumerateUniq", arr)) == [1, 2, 1, 2, 3]
+
+
+def test_transform_remap(spark):
+    out = ch(
+        "transform",
+        F.lit("b"),
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.lit(1), F.lit(2)),
+        F.lit(0),
+    )
+    assert _one(spark, out) == 2
+    miss = ch(
+        "transform",
+        F.lit("z"),
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.lit(1), F.lit(2)),
+        F.lit(0),
+    )
+    assert _one(spark, miss) == 0
+
+
+def test_ipv4(spark):
+    n = 3232235777  # 192.168.1.1
+    assert _one(spark, ch("IPv4NumToString", F.lit(n))) == "192.168.1.1"
+    assert _one(spark, ch("IPv4StringToNum", F.lit("192.168.1.1"))) == n
+
+
+def test_format_readable_size(spark):
+    assert _one(spark, ch("formatReadableSize", F.lit(1024))) == "1.00 KiB"
+    assert _one(spark, ch("formatReadableSize", F.lit(1536))) == "1.50 KiB"
+    assert _one(spark, ch("formatReadableSize", F.lit(10))) == "10.00 B"
+    assert _one(spark, ch("formatReadableSize", F.lit(5 * 1024**3))) == "5.00 GiB"
+
+
+def test_misc(spark):
+    assert _one(spark, ch("log1p", F.lit(0.0))) == 0.0
+    assert _one(spark, ch("roundToExp2", F.lit(100))) == 64
+    assert _one(spark, ch("isFinite", F.lit(1.5))) is True
+    assert _one(spark, ch("isInfinite", F.lit(float("inf")))) is True
+    assert _one(spark, ch("bin", F.lit(5))) == "101"
+    assert _one(spark, ch("space", F.lit(3))) == "   "
+    assert _one(
+        spark, ch("roundDown", F.lit(7), F.array(F.lit(1), F.lit(5), F.lit(10)))
+    ) == 5
