@@ -222,3 +222,105 @@ def group_bitmap_merge(
         .groupBy(*group_cols)
         .applyInPandas(kernel, schema=f"{key_schema}, {state_col} binary")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap expression calculation (reference
+# AggregateFunctionBitmapExpressionCalculation.h BitmapCount/BitmapExtract,
+# expression analyzer over tag keys): evaluate a boolean tag algebra like
+# "tag1&(tag2|tag3)~tag4" over a (tag, bitmap-state) frame.
+# ---------------------------------------------------------------------------
+
+class BitmapExprError(ValueError):
+    pass
+
+
+def _parse_bitmap_expr(expr: str) -> list:
+    """'a&(b|c)~d' -> postfix token list.  ~ is ANDNOT (ByConity usage);
+    precedence ~ = & > |, left-assoc; tags are \\w+ tokens."""
+    import re
+
+    tokens = re.findall(r"\w+|[&|~()]", expr.replace(" ", ""))
+    if "".join(tokens) != expr.replace(" ", ""):
+        raise BitmapExprError(f"unparseable bitmap expression: {expr!r}")
+    prec = {"~": 2, "&": 2, "|": 1}
+    out: list = []
+    ops: list[str] = []
+    for t in tokens:
+        if t == "(":
+            ops.append(t)
+        elif t == ")":
+            while ops and ops[-1] != "(":
+                out.append(ops.pop())
+            if not ops:
+                raise BitmapExprError("unbalanced parens")
+            ops.pop()
+        elif t in prec:
+            while ops and ops[-1] != "(" and prec[ops[-1]] >= prec[t]:
+                out.append(ops.pop())
+            ops.append(t)
+        else:
+            out.append(("tag", t))
+    while ops:
+        op = ops.pop()
+        if op == "(":
+            raise BitmapExprError("unbalanced parens")
+        out.append(op)
+    n_tags = sum(1 for t in out if isinstance(t, tuple))
+    n_ops = len(out) - n_tags
+    if n_tags != n_ops + 1:
+        raise BitmapExprError(f"malformed bitmap expression: {expr!r}")
+    return out
+
+
+def bitmap_expression(
+    states: DataFrame,
+    expr: str,
+    tag_col: str = "tag",
+    bm_col: str = "bm",
+) -> DataFrame:
+    """BitmapCount/BitmapExtract: evaluate a tag algebra over per-tag bitmap
+    states; returns one row (bm binary, cardinality long) for the combined
+    audience.
+
+    Scale shape: only the referenced tags' states are collected into one
+    task (a handful of compressed blobs — the reference's merge() does the
+    same single-point combine, BitmapExpressionCalculation.h:272-291); the
+    BUILD of the states stays fully distributed via group_bitmap."""
+    postfix = _parse_bitmap_expr(expr)
+    tags = sorted({t[1] for t in postfix if isinstance(t, tuple)})
+    needed = states.filter(F.col(tag_col).isin(tags)).select(
+        F.col(tag_col).alias("t"), F.col(bm_col).alias("b")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_tag: dict[str, np.ndarray] = {}
+        for t, b in zip(pdf["t"], pdf["b"]):
+            arr = _decode(b)
+            by_tag[t] = (
+                np.union1d(by_tag[t], arr) if t in by_tag else arr
+            )
+        stack: list[np.ndarray] = []
+        empty = np.empty(0, dtype="<i8")
+        for tok in postfix:
+            if isinstance(tok, tuple):
+                stack.append(by_tag.get(tok[1], empty))
+            else:
+                b2 = stack.pop()
+                a2 = stack.pop()
+                if tok == "&":
+                    stack.append(np.intersect1d(a2, b2))
+                elif tok == "|":
+                    stack.append(np.union1d(a2, b2))
+                else:  # ~ ANDNOT
+                    stack.append(np.setdiff1d(a2, b2))
+        if len(stack) != 1:
+            raise BitmapExprError("malformed bitmap expression")
+        res = stack[0]
+        return pd.DataFrame({"bm": [_encode(res)], "cardinality": [len(res)]})
+
+    return (
+        needed.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(kernel, schema="bm binary, cardinality long")
+    )

@@ -95,3 +95,34 @@ def bitmap_state_merge_uniq(spark: SparkSession, sf: str) -> DataFrame:
     return merged.select(
         "event_type", bitmap_cardinality(F.col("bm")).alias("n_users")
     )
+
+
+# ------------------- BitmapCount expression over per-type user bitmaps
+@register(
+    "bitmap_expression_count",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    combined AS (
+      SELECT user_id FROM p
+      INTERSECT
+      (SELECT user_id FROM c UNION SELECT user_id FROM v)
+    )
+    SELECT count(*) AS cardinality
+    FROM (SELECT user_id FROM combined
+          EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    """,
+)
+def bitmap_expression_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BitmapCount('purchase&(click|view)~signup') — the reference's
+    audience-expression aggregate (BitmapExpressionCalculation.h) over
+    per-event-type user bitmaps built with group_bitmap."""
+    from byconity_spark.udafs.bitmaps import bitmap_expression
+
+    ev = load_table(spark, sf, "events")
+    states = group_bitmap(ev, ["event_type"], "user_id").withColumnRenamed(
+        "event_type", "tag"
+    )
+    out = bitmap_expression(states, "purchase&(click|view)~signup")
+    return out.select(F.col("cardinality"))

@@ -82,3 +82,39 @@ def test_roaring_codec_roundtrip_and_compression():
     assert len(_encode(dense)) < dense.size  # ~1 bit/value, << 8 B/value
     sparse = np.unique(rng.integers(-(2**40), 2**40, 5000))
     assert _encode(sparse)[0] == _MAGIC_PLAIN
+
+
+# ----------------------------------------------- expression calculation
+
+def test_bitmap_expr_parser():
+    from byconity_spark.udafs.bitmaps import BitmapExprError, _parse_bitmap_expr
+
+    assert _parse_bitmap_expr("a&b") == [("tag", "a"), ("tag", "b"), "&"]
+    # precedence: & binds tighter than |
+    assert _parse_bitmap_expr("a|b&c") == [
+        ("tag", "a"), ("tag", "b"), ("tag", "c"), "&", "|",
+    ]
+    assert _parse_bitmap_expr("(a|b)&c") == [
+        ("tag", "a"), ("tag", "b"), "|", ("tag", "c"), "&",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(BitmapExprError):
+        _parse_bitmap_expr("a&(b")
+    with _pytest.raises(BitmapExprError):
+        _parse_bitmap_expr("a b")
+
+
+def test_bitmap_expression_end_to_end(spark):
+    from byconity_spark.udafs.bitmaps import bitmap_expression, group_bitmap
+    from pyspark.sql import functions as F
+
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5, 15)] + [
+        ("c", i) for i in (3, 7, 99)
+    ]
+    df = spark.createDataFrame(rows, "tag string, uid long")
+    states = group_bitmap(df, ["tag"], "uid").withColumnRenamed("bm", "bm")
+    out = bitmap_expression(states, "a&b~c", tag_col="tag", bm_col="bm")
+    [r] = out.collect()
+    # a&b = {5..9}; minus c{3,7,99} -> {5,6,8,9}
+    assert r.cardinality == 4
