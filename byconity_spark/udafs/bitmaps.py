@@ -240,7 +240,7 @@ def _parse_bitmap_expr(expr: str) -> list:
     precedence ~ = & > |, left-assoc; tags are \\w+ tokens."""
     import re
 
-    tokens = re.findall(r"\w+|[&|~()]", expr.replace(" ", ""))
+    tokens = re.findall(r"\w+|[&|~()]", expr)
     if "".join(tokens) != expr.replace(" ", ""):
         raise BitmapExprError(f"unparseable bitmap expression: {expr!r}")
     prec = {"~": 2, "&": 2, "|": 1}
