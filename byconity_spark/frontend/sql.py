@@ -184,6 +184,39 @@ RULES: dict[str, object] = {
     "multiIf": _case_chain,
     "ifNull": "coalesce", "assumeNotNull": lambda a: a[0],
     "roundBankers": "bround",
+    # bitwise (CH names -> Spark SQL operators/functions)
+    "bitAnd": lambda a: f"({a[0]} & {a[1]})",
+    "bitOr": lambda a: f"({a[0]} | {a[1]})",
+    "bitXor": lambda a: f"({a[0]} ^ {a[1]})",
+    "bitNot": lambda a: f"(-1 ^ CAST({a[0]} AS BIGINT))",
+    "bitShiftLeft": lambda a: f"shiftleft(CAST({a[0]} AS BIGINT), {a[1]})",
+    "bitShiftRight": lambda a: f"shiftright(CAST({a[0]} AS BIGINT), {a[1]})",
+    "bitCount": "bit_count",
+    "bitTest": lambda a: f"bit_get({a[0]}, {a[1]})",
+    # arrays (CH names -> Spark SQL)
+    "arraySum": lambda a: f"aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE))",
+    "arrayAvg": lambda a: (
+        f"(aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)) / size({a[0]}))"
+    ),
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayLength": "size",
+    "arrayReverse": "reverse",
+    "arrayIntersect": "array_intersect",
+    "arrayZip": "arrays_zip",
+    "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arrayPushFront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "arrayPopBack": lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
+    "countEqual": lambda a: f"size(filter({a[0]}, x -> x <=> {a[1]}))",
+    # encoding / misc
+    "base64Encode": lambda a: f"base64(encode({a[0]}, 'utf-8'))",
+    "base64Decode": lambda a: f"decode(unbase64({a[0]}), 'utf-8')",
+    "IPv4NumToString": lambda a: (
+        f"concat_ws('.', CAST(shiftright(CAST({a[0]} AS BIGINT), 24) & 255 AS STRING),"
+        f" CAST(shiftright(CAST({a[0]} AS BIGINT), 16) & 255 AS STRING),"
+        f" CAST(shiftright(CAST({a[0]} AS BIGINT), 8) & 255 AS STRING),"
+        f" CAST(CAST({a[0]} AS BIGINT) & 255 AS STRING))"
+    ),
     # conversions
     "toInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
     "toInt32": lambda a: f"CAST({a[0]} AS INT)",

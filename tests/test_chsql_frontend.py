@@ -290,3 +290,20 @@ def test_conversion_and_search_rules(spark):
     assert r.m == 7 and r.tn == "double"
     assert r.ms is True and list(r.mp) == [3, 0]
     assert r.joda == "2024-03"
+
+
+def test_round3_rule_additions(spark):
+    from byconity_spark.frontend import ch_sql
+
+    r = ch_sql(
+        spark,
+        "SELECT bitAnd(12, 10) AS a, bitXor(12, 10) AS x, bitCount(255) AS c, "
+        "arraySum(array(1, 2, 3)) AS s, arrayMax(array(1, 9, 3)) AS m, "
+        "countEqual(array(1, 2, 1), 1) AS ce, "
+        "IPv4NumToString(3232235777) AS ip, "
+        "base64Decode(base64Encode('hi')) AS b",
+    ).collect()[0]
+    assert (r.a, r.x, r.c) == (8, 6, 8)
+    assert r.s == 6.0 and r.m == 9 and r.ce == 2
+    assert r.ip == "192.168.1.1"
+    assert r.b == "hi"
