@@ -204,3 +204,58 @@ def update_where(
         shutil.rmtree(path)
         os.rename(path + ".__mutating", path)
     return n_hit
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE TABLE ... FINAL analogue (reference MergeTree background
+    merges, src/Storages/MergeTree/MergeTreeDataMergerMutator.h;
+    StorageSystemParts 'active parts'): compact a parquet table's small
+    files into ~target_file_mb outputs, optionally re-sorting within
+    partitions so row-group min/max pruning stays effective after many
+    small appends.
+
+    The repartition count derives from the CURRENT on-disk byte size — the
+    one metadata listing the scan planner performs anyway.  Returns a
+    {files_before, files_after, bytes} report.  Atomicity matches the
+    reference's part-swap: write to a staging dir, then swap directories.
+    """
+    before = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__optimize_tmp"
+    out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    old = path.rstrip("/") + ".__optimize_old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    after = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

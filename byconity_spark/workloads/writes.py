@@ -147,3 +147,31 @@ def write_mutation_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("l_discount"), 4).alias("disc"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("price"),
     )
+
+
+# ----------------------------------------- OPTIMIZE (small-file compaction)
+@register(
+    "write_optimize_compaction",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def write_optimize_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Write orders fragmented into many small files, OPTIMIZE-compact them,
+    and prove the data survives byte-exactly (MergeTree background-merge
+    analogue; reference MergeTreeDataMergerMutator.h)."""
+    from byconity_spark.engine.write import optimize_table
+
+    o = load_table(spark, sf, "orders")
+    path = _tmp(sf, "optimize_orders")
+    # fragment: 64 tiny files
+    o.repartition(64).write.mode("overwrite").parquet(path)
+    report = optimize_table(spark, path, target_file_mb=128, sort_by=["o_orderkey"])
+    assert report["files_after"] < report["files_before"], report
+    back = read_back(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
