@@ -11,7 +11,7 @@ hash-check the Arrow-batched applyInPandas kernels.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from byconity_spark.engine.catalog import load_table
@@ -920,3 +920,115 @@ def beh_session_analysis(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.udafs.behavioral import session_analysis
 
     return session_analysis(_ev(spark, sf), gap_us=1_800_000_000)
+
+
+# --------------------------------------------------------------------------
+# pathCount: Sankey edge counts — (from_event -> to_event) transition
+# frequencies with distinct-user counts (reference
+# AggregateFunctionPathCount.h: Edge = (from, to), per-edge count + uniq).
+# --------------------------------------------------------------------------
+@register(
+    "beh_path_count",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_event,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS to_event
+      FROM events
+    )
+    SELECT from_event, to_event,
+           count(*)                 AS n_transitions,
+           count(DISTINCT user_id)  AS n_users
+    FROM seq WHERE to_event IS NOT NULL
+    GROUP BY from_event, to_event
+    """,
+)
+def beh_path_count(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _ev(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_event"),
+        F.lead("event_type").over(w).alias("to_event"),
+    ).filter(F.col("to_event").isNotNull())
+    return seq.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sparkbar: unicode bar-chart string of time-bucketed counts per group
+# (reference AggregateFunctionSparkbar.h).  Deterministic Column expr:
+# bucket counts -> 8-level block glyphs scaled by the max bucket.
+# --------------------------------------------------------------------------
+@register(
+    "beh_sparkbar",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                        / (7 * 86400000000)) AS BIGINT) AS wk,
+             count(*) AS n
+      FROM events
+      WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= 1704067200000000
+      GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT t.event_type, s.range AS wk, coalesce(b.n, 0) AS n
+      FROM (SELECT DISTINCT event_type FROM b) t
+      CROSS JOIN range(0, 26) s
+      LEFT JOIN b ON b.event_type = t.event_type AND b.wk = s.range
+    ),
+    scaled AS (
+      SELECT event_type, wk, n,
+             max(n) OVER (PARTITION BY event_type) AS mx
+      FROM filled WHERE wk < 26
+    )
+    SELECT event_type,
+           string_agg(
+             CASE WHEN n = 0 THEN ' '
+                  ELSE ['▁','▂','▃','▄','▅','▆','▇','█']
+                       [CAST(ceil(n * 8.0 / mx) AS INT)]
+             END, '' ORDER BY wk) AS bar
+    FROM scaled GROUP BY event_type
+    """,
+)
+def beh_sparkbar(spark: SparkSession, sf: str) -> DataFrame:
+    """sparkbar(26)(week, count): weekly activity rendered as block glyphs
+    (reference AggregateFunctionSparkbar.h) — bucket counts, zero-filled
+    spine, per-group max scaling, concat_ws fold.  All JVM expressions."""
+    glyphs = ["▁", "▂", "▃", "▄", "▅", "▆", "▇", "█"]
+    start = 1_704_067_200_000_000
+    week = 7 * 86_400_000_000
+    ev = _ev(spark, sf).select(
+        "event_type",
+        F.floor((F.unix_micros(F.col("ts")) - F.lit(start)) / F.lit(week)).alias("wk"),
+    ).filter((F.col("wk") >= 0) & (F.col("wk") < 26))
+    counts = ev.groupBy("event_type", "wk").agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        counts.select("event_type").distinct()
+        .crossJoin(spark.range(26).select(F.col("id").alias("wk")))
+    )
+    filled = spine.join(counts, ["event_type", "wk"], "left").select(
+        "event_type", "wk", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w_max = Window.partitionBy("event_type")
+    glyph = F.when(F.col("n") == 0, F.lit(" ")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(g) for g in glyphs]),
+            F.ceil(F.col("n") * 8.0 / F.max("n").over(w_max)).cast("int"),
+        )
+    )
+    lined = filled.select("event_type", "wk", glyph.alias("g"))
+    return (
+        lined.groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(
+                    F.collect_list(F.struct("wk", "g"))
+                ), lambda s: s.g)
+            ).alias("bar")
+        )
+    )
