@@ -232,7 +232,13 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = all_ids.select(F.col(id_col).alias("id")).withColumn("comp", F.col("id"))
+    # Iterate ONLY over edge-incident ids: every other id is trivially its
+    # own singleton component.  Near-dup edge sets are a tiny fraction of
+    # the corpus, so this shrinks every per-round join/groupBy from
+    # |corpus| to |touched ids| — the difference between iterating over
+    # 100 TB and iterating over the duplicates.
+    touched = edges.select(F.col("src").alias("id")).distinct().persist()
+    labels = touched.withColumn("comp", F.col("id"))
     prev_persisted = None
     for it in range(max_iter):
         prop = (
@@ -262,7 +268,13 @@ def connected_components(
                 break
         else:
             labels = new_labels
-    return labels
+    # add the untouched ids back as singleton components
+    singletons = (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(touched, "id", "left_anti")
+        .withColumn("comp", F.col("id"))
+    )
+    return labels.unionByName(singletons)
 
 
 def dedup_keep_list(

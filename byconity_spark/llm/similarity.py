@@ -258,21 +258,48 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
-    cosine >= threshold.  EXACT all-pairs variant — the verification
-    baseline, same role as ngram_jaccard_pairs: bounded inputs only
-    (the comparison is O(n^2)).  The 100 TB path is the LSH route
-    (ann_lsh_topk machinery / lsh_candidate_pairs recall-tested in
-    tests/test_similarity.py); this exact form is what the oracle can
-    express."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
-    return (
-        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    cosine >= threshold.  EXACT variant — the verification baseline, same
+    role as ngram_jaccard_pairs; the 100 TB path is the LSH route
+    (ann_lsh_topk machinery, recall-tested in tests/test_similarity.py).
+
+    Kernel shape: the normalized corpus matrix broadcasts to every task
+    (n×d float64 — the documented boundary of the exact form; beyond
+    broadcastable n, use LSH), and each PARTITION of rows computes one
+    blocked GEMM against it (numpy, Arrow-batched).  A row-at-a-time
+    zip_with/aggregate dot on the 4M-pair join was ~100× slower than this
+    for the same output."""
+    spark = embeddings.sparkSession
+    mat_rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in mat_rows], dtype=np.int64)
+    mat = np.array([r[1] for r in mat_rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def kernel(batches):
+        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["__v"]), dtype=np.float64)
+            bids = pdf["__id"].to_numpy(np.int64)
+            bnorm = np.sqrt((block * block).sum(axis=1))
+            cos = (block @ all_mat.T) / np.outer(bnorm, all_norms)
+            cos = np.round(cos, 6)
+            ii, jj = np.nonzero(
+                (cos >= threshold) & (bids[:, None] < all_ids[None, :])
+            )
+            if len(ii):
+                yield pd.DataFrame(
+                    {
+                        "id_a": bids[ii],
+                        "id_b": all_ids[jj],
+                        "cosine": cos[ii, jj],
+                    }
+                )
+
+    out_schema = "id_a long, id_b long, cosine double"
+    return embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(kernel, schema=out_schema)
