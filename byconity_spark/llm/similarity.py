@@ -303,3 +303,61 @@ def embedding_neardup_pairs(
     return embeddings.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).mapInPandas(kernel, schema=out_schema)
+
+
+def variance_matrix(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Covariance matrix of a vector column (reference
+    AggregateFunctionVarianceMatrix.h: covarianceMatrix over N numeric
+    args — here the args are the vector dimensions).
+
+    One distributed pass: each partition accumulates (n, sum_x, sum_xxT)
+    with a single numpy GEMM per Arrow batch; the d x (d+2) partials merge
+    by addition (one tiny reduce), and cov(i,j) = sxx/n - mean_i * mean_j
+    (population covariance).  Output: (i, j, cov) for the upper triangle,
+    i <= j."""
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = int(first.d)
+
+    def partials(batches):
+        n = 0
+        sx = np.zeros(d, dtype=np.float64)
+        sxx = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["__v"]), dtype=np.float64)
+            n += m.shape[0]
+            sx += m.sum(axis=0)
+            sxx += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "sx": [sx.tolist()],
+                    "sxx": [sxx.reshape(-1).tolist()],
+                }
+            )
+
+    parts = embeddings.select(F.col(vec_col).alias("__v")).mapInPandas(
+        partials, schema="n long, sx array<double>, sxx array<double>"
+    )
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["n"].sum())
+        sx = np.sum([np.asarray(v) for v in pdf["sx"]], axis=0)
+        sxx = np.sum([np.asarray(v) for v in pdf["sxx"]], axis=0).reshape(d, d)
+        mean = sx / n
+        cov = sxx / n - np.outer(mean, mean)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {"i": iu.astype(np.int64), "j": ju.astype(np.int64), "cov": cov[iu, ju]}
+        )
+
+    return (
+        parts.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(combine, schema="i long, j long, cov double")
+    )

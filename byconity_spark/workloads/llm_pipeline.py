@@ -371,3 +371,29 @@ def llm_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.llm.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
+
+
+# ------------------------------------ covariance matrix over embeddings
+@register(
+    "ann_variance_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT i.range AS i, j.range AS j,
+             covar_pop(CAST(e.embedding[i.range + 1] AS DOUBLE),
+                       CAST(e.embedding[j.range + 1] AS DOUBLE)) AS cov
+      FROM range(8) i, range(8) j, embeddings e
+      WHERE i.range <= j.range
+      GROUP BY 1, 2
+    )
+    SELECT i, j, round(cov, 8) AS cov FROM m
+    """,
+)
+def ann_variance_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """covarianceMatrix (reference AggregateFunctionVarianceMatrix.h) over
+    the first 8 embedding dimensions (the oracle unnests pairwise; the
+    operator computes all 64 in one GEMM pass — sliced here to match)."""
+    from byconity_spark.llm.similarity import variance_matrix
+
+    emb = _emb(spark, sf).select(F.slice(F.col("embedding"), 1, 8).alias("embedding"))
+    out = variance_matrix(emb)
+    return out.select("i", "j", F.round("cov", 8).alias("cov"))
