@@ -765,3 +765,75 @@ def agg_frequency(spark: SparkSession, sf: str) -> DataFrame:
     return per_user.groupBy("event_type").agg(
         ch("frequency", F.col("n")).alias("freq")
     )
+
+
+# ---------------- misc aggregate names: avgWeighted / boundingRatio /
+# sumCount / singleValueOrNull / groupArrayInsertAt (reference
+# AggregateFunctionAvgWeighted.h, BoundingRatio.h, SumCount.h,
+# SingleValueOrNull, GroupArrayInsertAt.h)
+@register(
+    "agg_misc_suite",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * user_id) / sum(user_id), 6)  AS w_avg,
+           round((max(value) - min(value))
+                 / (max(user_id) - min(user_id)), 6)      AS brat,
+           round(sum(value), 4)                           AS s,
+           count(value)                                   AS c,
+           CASE WHEN count(DISTINCT event_type) = 1
+                THEN any_value(event_type) END            AS single_val
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_misc_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    v, u = F.col("value"), F.col("user_id")
+    sc = ch("sumCount", v)
+    return ev.groupBy("event_type").agg(
+        F.round(ch("avgWeighted", v, u), 6).alias("w_avg"),
+        F.round(ch("boundingRatio", u, v), 6).alias("brat"),
+        F.round(sc.getField("sum"), 4).alias("s"),
+        sc.getField("count").alias("c"),
+        ch("singleValueOrNull", F.col("event_type")).alias("single_val"),
+    )
+
+
+# ------------------------- groupArrayInsertAt: position-addressed array
+@register(
+    "agg_group_array_insert_at",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type, user_id % 10 AS pos, max(event_id) AS v
+      FROM events WHERE user_id < 40
+      GROUP BY event_type, user_id % 10
+    )
+    SELECT event_type,
+           [coalesce(max(CASE WHEN pos = 0 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 1 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 2 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 3 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 4 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 5 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 6 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 7 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 8 THEN v END), -1),
+            coalesce(max(CASE WHEN pos = 9 THEN v END), -1)] AS arr
+    FROM pairs GROUP BY event_type
+    """,
+)
+def agg_group_array_insert_at(spark: SparkSession, sf: str) -> DataFrame:
+    """groupArrayInsertAt(default, size)(value, pos) (reference
+    AggregateFunctionGroupArrayInsertAt.h): array with each value placed at
+    its position, default-filled holes.  Conditional max per slot — one
+    map-side-combinable aggregate, no collect_list reshuffle."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 40)
+    pairs = ev.groupBy("event_type", (F.col("user_id") % 10).alias("pos")).agg(
+        F.max("event_id").alias("v")
+    )
+    slots = [
+        F.coalesce(
+            F.max(F.when(F.col("pos") == p, F.col("v"))), F.lit(-1).cast("long")
+        )
+        for p in range(10)
+    ]
+    return pairs.groupBy("event_type").agg(F.array(*slots).alias("arr"))
