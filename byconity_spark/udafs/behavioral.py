@@ -1084,3 +1084,51 @@ def session_analysis(
         )
         .drop("__sid")
     )
+
+
+def fast_auc(
+    events: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    n_bins: int = 100_000,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """fastAuc (reference AggregateFunctionFastAuc.h family): histogram-
+    bucketed AUC — scores quantize to n_bins fixed-width bins; the rank sum
+    comes from per-bin positive/total counts in closed form (ties within a
+    bin use the average-rank convention).  Error is bounded by the bin
+    width; with enough bins over the score range it is exact for discrete
+    scores.
+
+    Scale shape: ONE map-side-combinable aggregate (groupBy bin), a
+    #bins-bounded frame for the prefix sums, no range partition and no
+    per-row rank — cheaper than the exact distributed-rank `auc` when
+    scores are dense."""
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((score_col - F.lit(lo)) / F.lit((hi - lo) / n_bins)).cast("int"),
+        ),
+    )
+    per_bin = (
+        events.select(bin_col.alias("bin"), label_col.cast("long").alias("lab"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lab").alias("p"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    with_prefix = per_bin.withColumn(
+        "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    # average rank of a bin's rows = before + (n+1)/2; positives in the bin
+    # contribute p * that
+    rank_sum = F.sum(
+        F.col("p") * (F.col("before") + (F.col("n") + 1) / 2.0)
+    )
+    return with_prefix.agg(
+        (
+            (rank_sum - F.sum("p") * (F.sum("p") + 1) / 2.0)
+            / (F.sum("p") * (F.sum("n") - F.sum("p"))).cast("double")
+        ).alias("auc")
+    )

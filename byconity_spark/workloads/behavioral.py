@@ -1032,3 +1032,40 @@ def beh_sparkbar(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("bar")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# fastAuc: histogram-bucketed AUC (reference AggregateFunctionFastAuc.h) —
+# gated within 1e-3 of the tie-averaged exact AUC (bin-width error bound).
+# --------------------------------------------------------------------------
+@register(
+    "beh_fast_auc",
+    # the Spark side compares the histogram AUC against its own exact
+    # tie-averaged AUC; the oracle pins the expected gate outcome (same
+    # pattern as the sketch -State/-Merge gates)
+    oracle="SELECT true AS within_tol",
+)
+def beh_fast_auc(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import fast_auc
+
+    ev = _ev(spark, sf)
+    approx = fast_auc(
+        ev, F.col("value"), F.col("event_type") == "purchase",
+        n_bins=100_000, lo=0.0, hi=1000.0,
+    )
+    # exact tie-averaged AUC via the same per-value average-rank formulation
+    w_rank = Window.orderBy("value")
+    w_peers = Window.partitionBy("value")
+    ranked = ev.select(
+        (F.col("event_type") == "purchase").cast("long").alias("lab"),
+        F.avg(F.row_number().over(w_rank)).over(w_peers).alias("rank"),
+    )
+    exact = ranked.agg(
+        (
+            (F.sum(F.when(F.col("lab") == 1, F.col("rank"))) - F.sum("lab") * (F.sum("lab") + 1) / 2.0)
+            / (F.sum("lab") * (F.count(F.lit(1)) - F.sum("lab"))).cast("double")
+        ).alias("exact_auc")
+    )
+    return approx.crossJoin(exact).select(
+        (F.abs(F.col("auc") - F.col("exact_auc")) < 1e-3).alias("within_tol")
+    )
