@@ -317,6 +317,16 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "match": lambda c, p: c.rlike(p),
     "extract": lambda c, p, g=0: F.regexp_extract(c, p, g),
     "editDistance": F.levenshtein,
+    "levenshteinDistance": F.levenshtein,
+    "substringIndex": F.substring_index,
+    "yesterday": lambda: F.date_sub(F.current_date(), 1),
+    "generateUUIDv4": lambda: F.expr("uuid()"),
+    "ngramSearch": lambda a, b: F.when(
+        F.size(_char_ngrams(b, 3)) == 0, F.lit(0.0)
+    ).otherwise(
+        F.size(F.array_intersect(_char_ngrams(a, 3), _char_ngrams(b, 3)))
+        / F.size(_char_ngrams(b, 3)).cast("double")
+    ),
     "appendTrailingCharIfAbsent": lambda c, ch_: F.when(
         F.endswith(c, F.lit(ch_)), c
     ).otherwise(F.concat(c, F.lit(ch_))),
