@@ -62,3 +62,36 @@ def test_rewriter_preserves_string_literals(fn, ident, lit):
     out = rewrite_ch_sql(sql)
     assert lit in out  # literals pass through byte-identical
     assert out.endswith(" FROM t")
+
+
+# ------------------------- round-3 clause-interaction edge cases (pinned)
+
+def test_with_fill_plus_limit_by_order():
+    """WITH FILL consumes the ORDER BY; a following LIMIT n BY k must still
+    be rewritten (it lands in the preserved tail)."""
+    from byconity_spark.frontend.sql import rewrite_ch_sql
+
+    out = rewrite_ch_sql(
+        "SELECT g, k, v FROM t ORDER BY g, k WITH FILL LIMIT 2 BY g"
+    )
+    assert "WITH FILL" not in out.upper()
+    assert "row_number() OVER (PARTITION BY g" in out
+
+
+def test_with_fill_inside_subquery_is_untouched():
+    """Documented scope: WITH FILL rewrites at the top level only; a
+    subquery occurrence passes through (depth-0 scan does not fire)."""
+    from byconity_spark.frontend.sql import rewrite_ch_sql
+
+    sql = "SELECT * FROM (SELECT k FROM t ORDER BY k WITH FILL) sub"
+    assert rewrite_ch_sql(sql) == sql
+
+
+def test_interpolate_after_fill_with_limit():
+    from byconity_spark.frontend.sql import rewrite_ch_sql
+
+    out = rewrite_ch_sql(
+        "SELECT k, v FROM t ORDER BY k WITH FILL INTERPOLATE (v) LIMIT 5"
+    )
+    assert "last(v, true) OVER" in out
+    assert out.rstrip().endswith("LIMIT 5")
