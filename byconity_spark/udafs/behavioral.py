@@ -1132,3 +1132,74 @@ def fast_auc(
             / (F.sum("p") * (F.sum("n") - F.sum("p"))).cast("double")
         ).alias("auc")
     )
+
+
+def retention_loss(
+    events: DataFrame,
+    start_type: str,
+    return_type: str,
+    start_date: str,
+    window_days: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """retentionLoss (reference AggregateFunctionRetentionLoss.h:60-95):
+    the cumulative cohort-return matrix — cell (i, j) for j > i counts
+    users who did the start event on day i AND whose FIRST return event
+    after day i happened on day <= j; the diagonal (i, i) is the cohort
+    size.  Users with no return never contribute past the diagonal
+    (RetentionLoss.h: `current = window` when the scan finds no bit).
+
+    Shape: two distinct-day frames, one min-aggregate for the first
+    return, then cumulative sums over a window_days² grid (a constant-size
+    frame at any data scale)."""
+    spark = events.sparkSession
+    day = F.datediff(F.to_date(ts_col), F.to_date(F.lit(start_date)))
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("tp"), day.alias("d")
+    ).filter((F.col("d") >= 0) & (F.col("d") < window_days))
+    starts = base.filter(F.col("tp") == start_type).select("u", F.col("d").alias("i")).distinct()
+    rets = base.filter(F.col("tp") == return_type).select("u", F.col("d").alias("r")).distinct()
+    first_ret = (
+        starts.join(rets, "u")
+        .filter(F.col("r") > F.col("i"))
+        .groupBy("u", "i")
+        .agg(F.min("r").alias("j0"))
+    )
+    cohort = starts.groupBy("i").agg(F.count(F.lit(1)).alias("n_start"))
+    arrivals = first_ret.groupBy("i", "j0").agg(F.count(F.lit(1)).alias("n_first"))
+    # grid: all (i, j) with i <= j < window; cumulative over j
+    grid = (
+        spark.range(window_days)
+        .select(F.col("id").alias("i"))
+        .join(
+            spark.range(window_days).select(F.col("id").alias("j")),
+            F.col("j") >= F.col("i"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("i")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        grid.join(
+            arrivals,
+            (grid.i == arrivals.i) & (grid.j == arrivals.j0),
+            "left",
+        )
+        .select(grid.i, grid.j, F.coalesce("n_first", F.lit(0)).alias("nf"))
+        .withColumn("cum_returned", F.sum("nf").over(w_cum))
+    )
+    return (
+        filled.join(cohort, "i", "left")
+        .select(
+            "i",
+            "j",
+            F.when(F.col("i") == F.col("j"), F.coalesce("n_start", F.lit(0)))
+            .otherwise(F.col("cum_returned"))
+            .cast("long")
+            .alias("n"),
+        )
+    )

@@ -1062,3 +1062,57 @@ def beh_fast_auc(spark: SparkSession, sf: str) -> DataFrame:
     return approx.crossJoin(exact).select(
         (F.abs(F.col("auc") - F.col("exact_auc")) < 2e-3).alias("within_tol")
     )
+
+
+# --------------------------------------------------------------------------
+# retentionLoss: cumulative first-return cohort matrix
+# (reference AggregateFunctionRetentionLoss.h).
+# --------------------------------------------------------------------------
+@register(
+    "beh_retention_loss",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS u, event_type AS tp,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      FROM events
+    ),
+    ok AS (SELECT * FROM base WHERE d >= 0 AND d < 14),
+    starts AS (SELECT DISTINCT u, d AS i FROM ok WHERE tp = 'signup'),
+    rets   AS (SELECT DISTINCT u, d AS r FROM ok WHERE tp = 'purchase'),
+    first_ret AS (
+      SELECT s.u, s.i, min(r.r) AS j0
+      FROM starts s JOIN rets r ON s.u = r.u AND r.r > s.i
+      GROUP BY s.u, s.i
+    ),
+    cohort AS (SELECT i, count(*) AS n_start FROM starts GROUP BY i),
+    arrivals AS (SELECT i, j0, count(*) AS n_first FROM first_ret GROUP BY i, j0),
+    grid AS (
+      SELECT gi.range AS i, gj.range AS j
+      FROM range(14) gi, range(14) gj WHERE gj.range >= gi.range
+    ),
+    filled AS (
+      SELECT g.i, g.j, coalesce(a.n_first, 0) AS nf
+      FROM grid g LEFT JOIN arrivals a ON g.i = a.i AND g.j = a.j0
+    ),
+    cum AS (
+      SELECT i, j, sum(nf) OVER (PARTITION BY i ORDER BY j
+                                 ROWS UNBOUNDED PRECEDING) AS cum_returned
+      FROM filled
+    )
+    SELECT c.i, c.j,
+           CAST(CASE WHEN c.i = c.j THEN coalesce(ch.n_start, 0)
+                     ELSE c.cum_returned END AS BIGINT) AS n
+    FROM cum c LEFT JOIN cohort ch ON c.i = ch.i
+    """,
+)
+def beh_retention_loss(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import retention_loss
+
+    return retention_loss(
+        _ev(spark, sf),
+        start_type="signup",
+        return_type="purchase",
+        start_date="2024-01-01",
+        window_days=14,
+    )
