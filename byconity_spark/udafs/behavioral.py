@@ -1203,3 +1203,94 @@ def retention_loss(
             .alias("n"),
         )
     )
+
+
+ARRIVE = 1
+NEWONE = 2
+
+
+def user_slot_states(
+    events: DataFrame,
+    registrations: DataFrame,
+    start_us: int,
+    granularity_us: int,
+    num_slots: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    reg_ts_col: str = "register_ts",
+) -> DataFrame:
+    """Per-(user, slot) ARRIVE|NEWONE state flags — the userDistribution
+    state array (UserDistributionCommon.h:27-33) as rows."""
+    ev_us = F.unix_micros(F.col(ts_col))
+    arrivals = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.floor((ev_us - F.lit(start_us)) / F.lit(granularity_us)).alias("slot"),
+        )
+        .filter((F.col("slot") >= 0) & (F.col("slot") < num_slots))
+        .distinct()
+    )
+    reg = registrations.select(
+        F.col(user_col).alias("u"),
+        F.floor(
+            (F.unix_micros(F.col(reg_ts_col)) - F.lit(start_us))
+            / F.lit(granularity_us)
+        ).alias("reg_slot"),
+    )
+    return arrivals.join(reg, "u", "left").select(
+        "u",
+        "slot",
+        (
+            F.lit(ARRIVE)
+            + F.when(F.col("reg_slot") == F.col("slot"), F.lit(NEWONE)).otherwise(0)
+        ).alias("state"),
+    )
+
+
+def slide_match_count(
+    slot_states: DataFrame,
+    pattern: list[int],
+    start_index: int,
+    num_slides: int,
+    total_slots: int,
+) -> DataFrame:
+    """slideMatchCount (reference AggregateFunctionSlideMatchCount.h:88-122):
+    for each slide i, count users whose state window ENDING at
+    start_index + i matches `pattern` — pattern cell 0 and ARRIVE|NEWONE
+    demand exact equality, a bare ARRIVE cell demands the arrive bit.
+
+    Shape: one conditional-max aggregate builds each user's dense state
+    array (total_slots bounded), then num_slides boolean conjunctions sum
+    map-side — no Python, one shuffle on the user."""
+    p = len(pattern)
+    dense = slot_states.groupBy("u").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("slot") == s, F.col("state"))), F.lit(0)
+            ).alias(f"s{s}")
+            for s in range(total_slots)
+        ]
+    )
+
+    def cell_matches(slot_idx: int, pat: int) -> Column:
+        c = F.col(f"s{slot_idx}")
+        if pat == 0 or pat == (ARRIVE | NEWONE):
+            return c == pat
+        if pat == ARRIVE:
+            return c.bitwiseAND(F.lit(ARRIVE)) != 0
+        return F.lit(False)  # reference: any other pattern cell never hits
+
+    slides = []
+    for i in range(num_slides):
+        end = start_index + i
+        conds = [cell_matches(end + 1 - p + j, pattern[j]) for j in range(p)]
+        hit = conds[0]
+        for c in conds[1:]:
+            hit = hit & c
+        slides.append(F.sum(hit.cast("long")).alias(f"slide{i}"))
+    counted = dense.agg(*slides)
+    return counted.select(
+        F.array(*[F.col(f"slide{i}") for i in range(num_slides)]).alias(
+            "match_counts"
+        )
+    )

@@ -324,3 +324,42 @@ def bitmap_expression(
         .groupBy("__g")
         .applyInPandas(kernel, schema="bm binary, cardinality long")
     )
+
+
+def bitmap_max_level(
+    states: DataFrame,
+    level_col: str = "level",
+    bm_col: str = "bm",
+) -> DataFrame:
+    """bitmapMaxLevel (reference AggregateFunctionBitmapMaxLevel.h:108-151):
+    given per-level bitmap states, keep every member only at the HIGHEST
+    level it occurs in (top-down ANDNOT sweep), then emit (level,
+    cardinality) ascending.
+
+    The sweep runs in one task over #levels compressed blobs (levels are
+    bounded); the state build stays distributed via group_bitmap."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_level: dict[int, np.ndarray] = {}
+        for lv, b in zip(pdf[level_col], pdf[bm_col]):
+            arr = _decode(b)
+            lv = int(lv)
+            by_level[lv] = np.union1d(by_level[lv], arr) if lv in by_level else arr
+        keys = sorted(by_level, reverse=True)
+        seen = np.empty(0, dtype="<i8")
+        out_levels, out_cards = [], []
+        for lv in keys:  # highest level wins its members
+            uniq = np.setdiff1d(by_level[lv], seen)
+            by_level[lv] = uniq
+            seen = np.union1d(seen, uniq)
+        for lv in sorted(by_level):
+            out_levels.append(lv)
+            out_cards.append(len(by_level[lv]))
+        return pd.DataFrame({"level": out_levels, "cardinality": out_cards})
+
+    return (
+        states.select(F.col(level_col), F.col(bm_col))
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(kernel, schema="level long, cardinality long")
+    )

@@ -1116,3 +1116,73 @@ def beh_retention_loss(spark: SparkSession, sf: str) -> DataFrame:
         start_date="2024-01-01",
         window_days=14,
     )
+
+
+# --------------------------------------------------------------------------
+# slideMatchCount: sliding "registered last week AND returned this week"
+# pattern over weekly ARRIVE/NEWONE states (reference
+# AggregateFunctionSlideMatchCount.h; states per UserDistributionCommon.h).
+# --------------------------------------------------------------------------
+@register(
+    "beh_slide_match_count",
+    oracle=f"""
+    WITH arr AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - {_UD_START_US})
+                        / {_UD_GRAN_US}) AS BIGINT) AS slot
+      FROM events
+    ),
+    ok AS (SELECT * FROM arr WHERE slot >= 0 AND slot < {_UD_SLOTS}),
+    reg AS (
+      SELECT user_id AS u,
+             CAST(floor((epoch_us(min(CAST(ts AS TIMESTAMP))) - {_UD_START_US})
+                        / {_UD_GRAN_US}) AS BIGINT) AS reg_slot
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    st AS (
+      SELECT o.u, o.slot,
+             1 + CASE WHEN r.reg_slot = o.slot THEN 2 ELSE 0 END AS state
+      FROM ok o LEFT JOIN reg r ON o.u = r.u
+    ),
+    dense AS (
+      SELECT u.u, s.range AS slot, coalesce(st.state, 0) AS state
+      FROM (SELECT DISTINCT u FROM st) u
+      CROSS JOIN range({_UD_SLOTS}) s
+      LEFT JOIN st ON st.u = u.u AND st.slot = s.range
+    ),
+    hits AS (
+      SELECT a.u, a.slot - 1 AS base
+      FROM dense a JOIN dense b ON a.u = b.u AND b.slot = a.slot - 1
+      WHERE b.state = 3 AND (a.state & 1) != 0
+    )
+    SELECT [CAST(count(CASE WHEN base = 0 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN base = 1 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN base = 2 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN base = 3 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN base = 4 THEN 1 END) AS BIGINT),
+            CAST(count(CASE WHEN base = 5 THEN 1 END) AS BIGINT)]
+             AS match_counts
+    FROM hits
+    """,
+)
+def beh_slide_match_count(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import slide_match_count, user_slot_states
+
+    ev = _ev(spark, sf)
+    registrations = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("register_ts"))
+    )
+    states = user_slot_states(
+        ev, registrations, _UD_START_US, _UD_GRAN_US, _UD_SLOTS
+    )
+    # pattern [NEW+ARRIVE, ARRIVE]: registered in week w-1, back in week w;
+    # slides cover bases 1..6
+    return slide_match_count(
+        states,
+        pattern=[3, 1],
+        start_index=1,
+        num_slides=6,
+        total_slots=_UD_SLOTS,
+    )

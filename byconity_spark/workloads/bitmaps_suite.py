@@ -126,3 +126,34 @@ def bitmap_expression_count(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = bitmap_expression(states, "purchase&(click|view)~signup")
     return out.select(F.col("cardinality"))
+
+
+# --------------------- bitmapMaxLevel: members kept at their highest level
+@register(
+    "bitmap_max_level",
+    oracle="""
+    WITH lv AS (
+      SELECT user_id,
+             CASE event_type WHEN 'purchase' THEN 3
+                             WHEN 'click' THEN 2 ELSE 1 END AS level
+      FROM events
+    ),
+    top AS (SELECT user_id, max(level) AS level FROM lv GROUP BY user_id),
+    counts AS (SELECT level, count(*) AS cardinality FROM top GROUP BY level)
+    SELECT l.range + 1 AS level, coalesce(c.cardinality, 0) AS cardinality
+    FROM range(3) l LEFT JOIN counts c ON c.level = l.range + 1
+    """,
+)
+def bitmap_max_level(spark: SparkSession, sf: str) -> DataFrame:
+    """bitmapMaxLevel over engagement levels (view=1 < click=2 <
+    purchase=3): each user counts only at their deepest level."""
+    from byconity_spark.udafs.bitmaps import bitmap_max_level as bml
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "level",
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(1),
+    )
+    states = group_bitmap(ev, ["level"], "user_id")
+    return bml(states, "level", "bm")
