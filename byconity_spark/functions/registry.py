@@ -844,7 +844,37 @@ def _apply_resample(base: Callable[..., Column], *args) -> Column:
     return F.array(*cells)
 
 
-_SUFFIXES = ("If", "Distinct", "Array", "OrNull", "Resample")
+def _apply_foreach(base_name: str, arr: Column) -> Column:
+    """-ForEach combinator (reference AggregateFunctionForEach.h):
+    elementwise aggregation over array columns — result[i] = agg of the
+    i-th elements.  Column form folds collected arrays in-plan (bounded
+    groups only: collect_list defeats map-side combine); the SCALE path
+    for big groups is the posexplode + groupBy(pos) shape
+    (llm/similarity.py:elementwise_centroids)."""
+    lists = F.collect_list(arr)
+
+    def fold(op):
+        return F.aggregate(
+            lists,
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, a: F.when(F.size(acc) == 0, a.cast("array<double>")).otherwise(
+                F.zip_with(acc, a.cast("array<double>"), op)
+            ),
+        )
+
+    if base_name == "sum":
+        return fold(lambda x, y: x + y)
+    if base_name == "max":
+        return fold(lambda x, y: F.greatest(x, y))
+    if base_name == "min":
+        return fold(lambda x, y: F.least(x, y))
+    if base_name == "avg":
+        total = fold(lambda x, y: x + y)
+        return F.transform(total, lambda x: x / F.size(lists))
+    raise UnknownFunctionError(f"-ForEach not supported for {base_name}")
+
+
+_SUFFIXES = ("If", "Distinct", "Array", "OrNull", "Resample", "ForEach")
 
 
 def ch_agg(name: str, *args) -> Column:
@@ -867,6 +897,8 @@ def ch_agg(name: str, *args) -> Column:
                 return _apply_or_null(base_name, base, *args)
             if suffix == "Resample":
                 return _apply_resample(base, *args)
+            if suffix == "ForEach":
+                return _apply_foreach(base_name, *args)
     raise UnknownFunctionError(
         f"unknown aggregate function {name!r} (no base+combinator match)"
     )

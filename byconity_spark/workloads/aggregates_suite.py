@@ -837,3 +837,38 @@ def agg_group_array_insert_at(spark: SparkSession, sf: str) -> DataFrame:
         for p in range(10)
     ]
     return pairs.groupBy("event_type").agg(F.array(*slots).alias("arr"))
+
+
+# -------------------------------- -ForEach combinator: elementwise arrays
+@register(
+    "agg_foreach_suite",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             [CAST(embedding[1] AS DOUBLE), CAST(embedding[2] AS DOUBLE),
+              CAST(embedding[3] AS DOUBLE), CAST(embedding[4] AS DOUBLE)] AS a
+      FROM embeddings
+    )
+    SELECT label,
+           [round(sum(a[1]), 6), round(sum(a[2]), 6),
+            round(sum(a[3]), 6), round(sum(a[4]), 6)] AS sums,
+           [round(max(a[1]), 6), round(max(a[2]), 6),
+            round(max(a[3]), 6), round(max(a[4]), 6)] AS maxs,
+           [round(avg(a[1]), 6), round(avg(a[2]), 6),
+            round(avg(a[3]), 6), round(avg(a[4]), 6)] AS avgs
+    FROM v GROUP BY label
+    """,
+)
+def agg_foreach_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """sumForEach/maxForEach/avgForEach over the first 4 embedding dims
+    (reference AggregateFunctionForEach.h).  Rounded: elementwise double
+    sums are summation-order-dependent across engines."""
+    emb = _t(spark, sf, "embeddings").select(
+        "label", F.slice(F.col("embedding"), 1, 4).alias("a")
+    )
+    rnd = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
+    return emb.groupBy("label").agg(
+        rnd(ch("sumForEach", F.col("a"))).alias("sums"),
+        rnd(ch("maxForEach", F.col("a"))).alias("maxs"),
+        rnd(ch("avgForEach", F.col("a"))).alias("avgs"),
+    )
