@@ -81,3 +81,160 @@ def table_row_stats(spark: SparkSession, name: str) -> int | None:
         if row.col_name == "Statistics" and "rows" in row.data_type:
             return int(row.data_type.split(",")[1].strip().split(" ")[0])
     return None
+
+
+# ========================================================================
+# JSON-sidecar statistics for PATH-parquet frames (no catalog table):
+# the AutoStatisticsManager analogue feeding explicit broadcast hints
+# (reference src/Statistics/AutoStatisticsManager.h,
+# Rule/Implementation/SetJoinDistribution.h).
+# ========================================================================
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATS_DIR = os.environ.get("SPARK_GRAFT_STATS_DIR", "/tmp/byconity_spark_stats")
+
+# rough per-value byte widths for row-size estimation
+_TYPE_WIDTH = {
+    "int": 4, "bigint": 8, "double": 8, "float": 4, "date": 4,
+    "timestamp": 8, "boolean": 1, "string": 24, "binary": 32,
+}
+
+
+@dataclass
+class ColumnStats:
+    ndv: int
+    min: object
+    max: object
+    null_count: int
+
+
+@dataclass
+class TableStats:
+    table: str
+    row_count: int
+    columns: dict[str, ColumnStats] = field(default_factory=dict)
+    collected_at: float = 0.0
+
+    def avg_row_bytes(self, schema: T.StructType) -> int:
+        return sum(
+            _TYPE_WIDTH.get(f.dataType.simpleString(), 16) for f in schema.fields
+        )
+
+
+def _cache_path(sf_dir: str, table: str) -> str:
+    key = f"{sf_dir.strip('/').replace('/', '_')}__{table}"
+    return os.path.join(STATS_DIR, f"{key}.json")
+
+
+def analyze_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    refresh: bool = False,
+) -> TableStats:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: one aggregate pass,
+    JSON-sidecar cached (keyed by the source file's mtime)."""
+    from byconity_spark.engine.catalog import load_table
+
+    src = f"{sf_dir}/{table}.parquet"
+    mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
+    cpath = _cache_path(sf_dir, table)
+    if not refresh and os.path.exists(cpath):
+        with open(cpath) as fh:
+            raw = json.load(fh)
+        if raw.get("source_mtime") == mtime:
+            st = TableStats(
+                raw["table"], raw["row_count"],
+                {c: ColumnStats(**v) for c, v in raw["columns"].items()},
+                raw["collected_at"],
+            )
+            return st
+
+    df = load_table(spark, sf_dir, table)
+    cols = columns or [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        in ("int", "bigint", "double", "float", "date", "timestamp", "string")
+    ]
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    stats = TableStats(table, int(row["__n"]), {}, time.time())
+    for c in cols:
+        stats.columns[c] = ColumnStats(
+            ndv=int(row[f"__ndv_{c}"]),
+            min=_jsonable(row[f"__min_{c}"]),
+            max=_jsonable(row[f"__max_{c}"]),
+            null_count=int(row[f"__nulls_{c}"]),
+        )
+    os.makedirs(STATS_DIR, exist_ok=True)
+    payload = asdict(stats)
+    payload["source_mtime"] = mtime
+    with open(cpath, "w") as fh:
+        json.dump(payload, fh, default=str)
+    return stats
+
+
+def _jsonable(v):
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def estimate_rows(stats: TableStats, predicates: list[tuple[str, str, object]]) -> float:
+    """Cardinality estimate under simple predicates [(col, op, value)]:
+    '=' -> 1/ndv, range ops -> fraction of the [min, max] span (numeric
+    only; 1/3 fallback, the classic default selectivity)."""
+    sel = 1.0
+    for col, op, value in predicates:
+        cs = stats.columns.get(col)
+        if cs is None:
+            sel *= 1 / 3
+            continue
+        if op == "=":
+            sel *= 1.0 / max(cs.ndv, 1)
+        elif op in ("<", "<=", ">", ">="):
+            try:
+                lo, hi = float(cs.min), float(cs.max)
+                v = float(value)
+                span = max(hi - lo, 1e-12)
+                frac = (v - lo) / span if op in ("<", "<=") else (hi - v) / span
+                sel *= min(max(frac, 0.0), 1.0)
+            except (TypeError, ValueError):
+                sel *= 1 / 3
+        else:
+            sel *= 1 / 3
+    return stats.row_count * sel
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    est_rows: float,
+    schema_bytes: int,
+    threshold_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Apply an explicit broadcast hint when the ESTIMATED frame size is
+    under threshold — the SetJoinDistribution decision
+    (src/Optimizer/Rule/Implementation/SetJoinDistribution.h) made from
+    sidecar stats instead of a Cascades memo."""
+    if est_rows * schema_bytes < threshold_bytes:
+        return F.broadcast(df)
+    return df

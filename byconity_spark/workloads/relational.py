@@ -315,3 +315,42 @@ def cbo_join_reorder(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Stats-driven broadcast: ANALYZE sidecar estimates a filtered dim frame,
+# the SetJoinDistribution analogue hints broadcast, the plan is asserted.
+# (reference src/Statistics/AutoStatisticsManager.h, CardinalityEstimate/*,
+# Rule/Implementation/SetJoinDistribution.h)
+# --------------------------------------------------------------------------
+@register(
+    "cbo_stats_broadcast",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_mktsegment
+    """,
+)
+def cbo_stats_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.engine.stats import (
+        analyze_table,
+        broadcast_if_small,
+        estimate_rows,
+    )
+
+    stats = analyze_table(spark, sf, "customer")
+    cust = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+    est = estimate_rows(stats, [("c_acctbal", ">", 9000)])
+    cust = broadcast_if_small(
+        cust, est, stats.avg_row_bytes(_t(spark, sf, "customer").schema)
+    )
+    o = _t(spark, sf, "orders")
+    joined = o.join(cust, o.o_custkey == cust.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )

@@ -110,3 +110,24 @@ def test_auc_has_no_global_single_partition_sort(spark):
     plan = _plan(q)
     assert "rangepartitioning" in plan.lower()
     assert "monotonically_increasing_id" in plan
+
+
+def test_stats_broadcast_hint_applies(spark):
+    """The ANALYZE-stats estimate must turn the filtered dim side into a
+    BroadcastHashJoin at plan time (SetJoinDistribution analogue)."""
+    from byconity_spark.plans.explain import assert_plan
+
+    q = all_queries()["cbo_stats_broadcast"].builder(spark, SF_DIR)
+    assert_plan(q, requires_broadcast_join=True, no_cartesian=True)
+
+
+def test_stats_estimates_sane(spark):
+    from byconity_spark.engine.stats import analyze_table, estimate_rows
+
+    st = analyze_table(spark, SF_DIR, "customer", refresh=True)
+    exact = load_table(spark, SF_DIR, "customer").count()
+    assert st.row_count == exact
+    eq_est = estimate_rows(st, [("c_custkey", "=", 1)])
+    assert 0 < eq_est <= 2  # 1/ndv of a near-unique key
+    range_est = estimate_rows(st, [("c_acctbal", ">", st.columns["c_acctbal"].min)])
+    assert range_est > exact * 0.9  # > min keeps nearly everything
