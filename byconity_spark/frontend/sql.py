@@ -776,6 +776,34 @@ def _rewrite_with_fill(sql: str) -> str:
     return out
 
 
+def _rewrite_with_fill_recursive(sql: str) -> str:
+    """Apply the WITH FILL rewrite at the top level AND inside every
+    parenthesized subquery (reference: FillingStep may sit below other
+    steps in a nested query plan)."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "(":
+            close = _match_paren(sql, i)
+            inner = sql[i + 1 : close]
+            if inner.lstrip()[:6].upper() == "SELECT":
+                out.append("(" + _rewrite_with_fill_recursive(inner) + ")")
+            else:
+                out.append(sql[i : close + 1])
+            i = close + 1
+            continue
+        out.append(c)
+        i += 1
+    return _rewrite_with_fill("".join(out))
+
+
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
     if _depth0_find(sql, "ASOF JOIN") >= 0 or _depth0_find(sql, "ASOF LEFT JOIN") >= 0:
@@ -795,7 +823,7 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_array_join(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql)
-    sql = _rewrite_with_fill(sql)
+    sql = _rewrite_with_fill_recursive(sql)
     sql = _rewrite_limit_by_recursive(sql)
     out = []
     i = 0

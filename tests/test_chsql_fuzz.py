@@ -78,13 +78,15 @@ def test_with_fill_plus_limit_by_order():
     assert "row_number() OVER (PARTITION BY g" in out
 
 
-def test_with_fill_inside_subquery_is_untouched():
-    """Documented scope: WITH FILL rewrites at the top level only; a
-    subquery occurrence passes through (depth-0 scan does not fire)."""
+def test_with_fill_inside_subquery_rewrites():
+    """WITH FILL applies at any query depth (recursive scan, matching the
+    LIMIT BY recursion)."""
     from byconity_spark.frontend.sql import rewrite_ch_sql
 
     sql = "SELECT * FROM (SELECT k FROM t ORDER BY k WITH FILL) sub"
-    assert rewrite_ch_sql(sql) == sql
+    out = rewrite_ch_sql(sql)
+    assert "WITH FILL" not in out.upper()
+    assert "explode(sequence(__lo, __hi, 1))" in out
 
 
 def test_interpolate_after_fill_with_limit():
