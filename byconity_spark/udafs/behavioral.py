@@ -1294,3 +1294,39 @@ def slide_match_count(
             "match_counts"
         )
     )
+
+
+def last_range_count(
+    slot_states: DataFrame,
+    duration: int,
+    start_index: int,
+    num_slides: int,
+    total_slots: int,
+) -> DataFrame:
+    """lastRangeCount (reference AggregateFunctionLastRangeCount.h:78-96):
+    per slide i, the count of users with ANY arrival in the closed slot
+    window [start+i+1-duration, start+i] — rolling active users (the
+    WAU/MAU-from-daily-states shape).  Same dense-state conditional
+    aggregate as slide_match_count; booleans OR across the window."""
+    dense = slot_states.groupBy("u").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("slot") == s, F.col("state"))), F.lit(0)
+            ).alias(f"s{s}")
+            for s in range(total_slots)
+        ]
+    )
+    slides = []
+    for i in range(num_slides):
+        end = start_index + i
+        lo = end + 1 - duration
+        active = F.lit(False)
+        for s in range(lo, end + 1):
+            active = active | (F.col(f"s{s}").bitwiseAND(F.lit(ARRIVE)) != 0)
+        slides.append(F.sum(active.cast("long")).alias(f"slide{i}"))
+    counted = dense.agg(*slides)
+    return counted.select(
+        F.array(*[F.col(f"slide{i}") for i in range(num_slides)]).alias(
+            "range_counts"
+        )
+    )

@@ -1186,3 +1186,44 @@ def beh_slide_match_count(spark: SparkSession, sf: str) -> DataFrame:
         num_slides=6,
         total_slots=_UD_SLOTS,
     )
+
+
+# --------------------------------------------------------------------------
+# lastRangeCount: rolling 4-week active users over weekly slots
+# (reference AggregateFunctionLastRangeCount.h).
+# --------------------------------------------------------------------------
+@register(
+    "beh_last_range_count",
+    oracle=f"""
+    WITH arr AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - {_UD_START_US})
+                        / {_UD_GRAN_US}) AS BIGINT) AS slot
+      FROM events
+    ),
+    ok AS (SELECT * FROM arr WHERE slot >= 0 AND slot < {_UD_SLOTS}),
+    slides AS (
+      SELECT s.range AS i,
+             (SELECT count(DISTINCT u) FROM ok
+              WHERE slot >= s.range AND slot <= s.range + 3) AS n
+      FROM range(6) s
+    )
+    SELECT list(n ORDER BY i) AS range_counts FROM slides
+    """,
+)
+def beh_last_range_count(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import last_range_count, user_slot_states
+
+    ev = _ev(spark, sf)
+    registrations = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("register_ts"))
+    )
+    states = user_slot_states(
+        ev, registrations, _UD_START_US, _UD_GRAN_US, _UD_SLOTS
+    )
+    # duration 4 weeks, slides ending at slots 3..8
+    return last_range_count(
+        states, duration=4, start_index=3, num_slides=6, total_slots=_UD_SLOTS
+    )
