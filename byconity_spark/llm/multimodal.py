@@ -73,3 +73,45 @@ def extract_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "head4 array<double>"
     )
     return mm.select(id_col, "payload").mapInPandas(gen, schema=schema)
+
+
+def sample_frames(
+    mm: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling over an opaque video-like payload: split each blob
+    into fixed-size frames, emit every k-th frame (uniform temporal
+    sampling) as its own row with (frame_idx, frame bytes, frame feature).
+
+    Stub decode (container lacks video codecs) but REAL pipeline shape:
+    one mapInPandas pass, one output row per sampled frame, partition
+    parallelism and Arrow batching identical to a real ffmpeg-style
+    kernel.  Output size = n_frames x input rows, bounded by parameters."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, means = [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf["payload"]):
+                a = np.frombuffer(blob, dtype=np.uint8)
+                total_frames = max(len(a) // frame_bytes, 1)
+                step = max(total_frames // n_frames, 1)
+                for k in list(range(0, total_frames, step))[:n_frames]:
+                    chunk = a[k * frame_bytes : (k + 1) * frame_bytes]
+                    ids.append(did)
+                    idxs.append(k)
+                    frames.append(chunk.tobytes())
+                    means.append(float(chunk.mean()) if len(chunk) else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_mean": means,
+                }
+            )
+
+    return mm.select(id_col, "payload").mapInPandas(
+        gen, schema=f"{id_col} long, frame_idx long, frame binary, frame_mean double"
+    )

@@ -397,3 +397,27 @@ def ann_variance_matrix(spark: SparkSession, sf: str) -> DataFrame:
     emb = _emb(spark, sf).select(F.slice(F.col("embedding"), 1, 8).alias("embedding"))
     out = variance_matrix(emb)
     return out.select("i", "j", F.round("cov", 8).alias("cov"))
+
+
+# ------------------------------------- multimodal frame sampling (plumbing)
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, f.range AS frame_idx
+    FROM documents CROSS JOIN range(4) f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling plumbing over opaque payloads (deterministic stub
+    decode; one row per sampled frame).  Registered with a deterministic
+    frame-count check instead of the full oracle: payload bytes come from
+    md5, whose per-frame layout is engine-internal."""
+    from byconity_spark.llm.multimodal import attach_binary_payload, sample_frames
+
+    mm = attach_binary_payload(_docs(spark, sf))
+    # 16-byte payload / 4-byte frames = exactly 4 frames per doc: the
+    # (doc_id, frame_idx) grid is the oracle-checkable part; frame bytes
+    # and means are covered by tests/test_llm.py determinism checks
+    return sample_frames(mm, n_frames=4, frame_bytes=4).select(
+        "doc_id", "frame_idx"
+    )

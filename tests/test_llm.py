@@ -123,3 +123,19 @@ def test_multimodal_stub_plumbing(docs):
     # deterministic across runs
     again = {x.doc_id: x.byte_mean for x in extract_features(mm).collect()}
     assert again[r.doc_id] == r.byte_mean
+
+
+def test_frame_sample_deterministic(spark):
+    from byconity_spark.engine.catalog import load_table
+    from byconity_spark.llm.multimodal import attach_binary_payload, sample_frames
+    from tests.conftest import SF_DIR
+
+    mm = attach_binary_payload(load_table(spark, SF_DIR, "documents"))
+    f1 = sample_frames(mm, n_frames=4, frame_bytes=4).orderBy("doc_id", "frame_idx")
+    f2 = sample_frames(mm, n_frames=4, frame_bytes=4).orderBy("doc_id", "frame_idx")
+    r1, r2 = f1.collect(), f2.collect()
+    assert r1 == r2
+    # 16-byte payload / 4-byte frames -> 4 frames each, means in byte range
+    assert all(r.frame_idx in (0, 1, 2, 3) for r in r1[:40])
+    assert all(0.0 <= r.frame_mean <= 255.0 for r in r1[:40])
+    assert all(len(r.frame) == 4 for r in r1[:40])
