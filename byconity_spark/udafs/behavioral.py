@@ -1330,3 +1330,53 @@ def last_range_count(
             "range_counts"
         )
     )
+
+
+def debias_auc(
+    events: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    sample_rate_col: Column | None = None,
+    n_bins: int = 100_000,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """debiasAuc (reference AggregateFunctionDebiasAuc.h:50-83): bucketed
+    AUC in the pairwise-probability form with per-row 1/sample_rate
+    weights — undoes negative downsampling: each retained row stands for
+    1/rate originals.  auc = sum_b P_b * (cumN_before + N_b/2) / (P * N);
+    with rate = 1 this equals the tie-averaged histogram AUC.
+
+    Same scale shape as fast_auc: one weighted conditional aggregate per
+    bin + a bins-bounded prefix frame."""
+    w = (
+        F.lit(1.0) / sample_rate_col
+        if sample_rate_col is not None
+        else F.lit(1.0)
+    )
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((score_col - F.lit(lo)) / F.lit((hi - lo) / n_bins)).cast("int"),
+        ),
+    )
+    lab = label_col.cast("int")
+    per_bin = (
+        events.select(bin_col.alias("bin"), lab.alias("lab"), w.alias("w"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("lab") == 1, F.col("w")).otherwise(0.0)).alias("p"),
+            F.sum(F.when(F.col("lab") == 0, F.col("w")).otherwise(0.0)).alias("neg"),
+        )
+    )
+    w_pre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    pre = per_bin.withColumn(
+        "cum_neg_before", F.coalesce(F.sum("neg").over(w_pre), F.lit(0.0))
+    )
+    return pre.agg(
+        (
+            F.sum(F.col("p") * (F.col("cum_neg_before") + F.col("neg") / 2.0))
+            / (F.sum("p") * F.sum("neg"))
+        ).alias("auc")
+    )

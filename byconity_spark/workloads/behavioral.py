@@ -1227,3 +1227,28 @@ def beh_last_range_count(spark: SparkSession, sf: str) -> DataFrame:
     return last_range_count(
         states, duration=4, start_index=3, num_slides=6, total_slots=_UD_SLOTS
     )
+
+
+# --------------------------------------------------------------------------
+# debiasAuc: sample-rate-weighted bucketed AUC (reference
+# AggregateFunctionDebiasAuc.h).  Gate: with rate=1 it must agree with the
+# exact distributed-rank AUC; the weighted path is property-tested.
+# --------------------------------------------------------------------------
+@register(
+    "beh_debias_auc",
+    oracle="SELECT true AS within_tol",
+)
+def beh_debias_auc(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import auc, debias_auc
+
+    ev = _ev(spark, sf)
+    d = debias_auc(
+        ev, F.col("value"), F.col("event_type") == "purchase",
+        n_bins=100_000, lo=0.0, hi=1000.0,
+    )
+    exact = auc(ev, F.col("value"), F.col("event_type") == "purchase")
+    return (
+        d.withColumnRenamed("auc", "d_auc")
+        .crossJoin(exact)
+        .select((F.abs(F.col("d_auc") - F.col("auc")) < 2e-3).alias("within_tol"))
+    )

@@ -306,3 +306,34 @@ def test_attribution_value_conserved(spark):
     }
     # view credit: u1 first-of-two (0.5*100) + u3 middle (0.2*100) = 70
     assert abs(pos["view"] - 70.0) < 1e-9
+
+
+def test_debias_auc_undoes_downsampling(spark):
+    """Downsampling negatives at rate r with weight 1/r must reproduce the
+    full-data AUC (the whole point of debiasAuc)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from byconity_spark.udafs.behavioral import debias_auc
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    labels = (rng.random(n) < 0.1).astype(int)
+    scores = rng.random(n) * 0.2 + labels * rng.random(n) * 0.8
+    rows = [(float(s), int(l)) for s, l in zip(scores, labels)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    full = debias_auc(
+        df, F.col("score"), F.col("label") == 1, n_bins=50_000, lo=0.0, hi=1.0
+    ).collect()[0].auc
+
+    rate = 0.25  # keep 25% of negatives
+    keep = df.filter(
+        (F.col("label") == 1) | (F.xxhash64("score") % 100 < 25)
+    ).withColumn(
+        "sr", F.when(F.col("label") == 1, F.lit(1.0)).otherwise(F.lit(rate))
+    )
+    debiased = debias_auc(
+        keep, F.col("score"), F.col("label") == 1, F.col("sr"),
+        n_bins=50_000, lo=0.0, hi=1.0,
+    ).collect()[0].auc
+    assert abs(debiased - full) < 0.01
