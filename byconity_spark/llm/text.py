@@ -211,3 +211,54 @@ def quality_classify(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         score.cast("double").alias("quality_score"),
         keep.alias("keep"),
     )
+
+
+def ngram_language_train_and_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_n: int = 32,
+) -> DataFrame:
+    """Train profiles AND score docs from ONE persisted gram frame: the
+    char-trigram explosion (the expensive string pass) runs once instead of
+    twice; the profile aggregate and the scoring join both read the cached
+    (doc, lang, gram) rows.  Same results as
+    ngram_language_profiles + ngram_language_id."""
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        F.col(id_col), F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("t")
+    )
+    grams = staged.select(
+        id_col, "lang", F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
+    ).persist()
+    try:
+        counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("df"))
+        w_prof = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("gram"))
+        profiles = (
+            counts.withColumn("rn", F.row_number().over(w_prof))
+            .filter(F.col("rn") <= top_n)
+            .select("lang", "gram")
+        )
+        scores = (
+            grams.select(id_col, "gram")
+            .join(F.broadcast(profiles), "gram")
+            .groupBy(id_col, "lang")
+            .agg(F.count(F.lit(1)).alias("score"))
+        )
+        w_best = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("lang"))
+        out = (
+            scores.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col(id_col),
+                F.col("lang").alias("best_lang"),
+                F.col("score").alias("best_score"),
+            )
+        )
+        # materialize before unpersisting the shared gram frame
+        out = out.localCheckpoint(eager=True)
+    finally:
+        grams.unpersist()
+    return out

@@ -300,11 +300,9 @@ def llm_ngram_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Cavnar-Trenkle char-trigram language ID: train top-32 profiles from
     the labeled corpus, then argmax-score every doc via a broadcast
     gram join (llm/text.py:ngram_language_profiles / ngram_language_id)."""
-    from byconity_spark.llm.text import ngram_language_id, ngram_language_profiles
+    from byconity_spark.llm.text import ngram_language_train_and_id
 
-    docs = _docs(spark, sf)
-    profiles = ngram_language_profiles(docs)
-    return ngram_language_id(docs, profiles)
+    return ngram_language_train_and_id(_docs(spark, sf))
 
 
 # ------------------------------------------------- quality gate classifier
