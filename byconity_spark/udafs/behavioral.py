@@ -1380,3 +1380,52 @@ def debias_auc(
             / (F.sum("p") * F.sum("neg"))
         ).alias("auc")
     )
+
+
+def funnel_path_split(
+    events: DataFrame,
+    anchor_type: str,
+    window_us: int,
+    max_depth: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """funnelPathSplit (reference AggregateFunctionFunnelPathSplit.h:
+    paths anchored at a funnel event, bounded by window + max depth): for
+    each user's FIRST anchor event, the ordered event-type path from the
+    anchor until window_us later, truncated to max_depth types.
+
+    One aggregate for the anchors, one window-free filtered ordered-array
+    aggregate for the path — all JVM, no Python kernel."""
+    us = F.unix_micros(F.col(ts_col))
+    anchors = (
+        events.filter(F.col(type_col) == anchor_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(us).alias("t0"))
+    )
+    joined = events.select(
+        F.col(user_col).alias("u"),
+        us.alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("e"),
+    ).join(anchors, "u")
+    in_window = joined.filter(
+        (F.col("t") >= F.col("t0")) & (F.col("t") <= F.col("t0") + F.lit(window_us))
+    )
+    ordered_path = F.slice(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("t"), F.col("i"), F.col("e")))
+            ),
+            lambda s: s.e,
+        ),
+        1,
+        max_depth,
+    )
+    return (
+        in_window.groupBy("u")
+        .agg(ordered_path.alias("path"))
+        .select(F.col("u").alias(user_col), "path")
+    )

@@ -1252,3 +1252,38 @@ def beh_debias_auc(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(exact)
         .select((F.abs(F.col("d_auc") - F.col("auc")) < 2e-3).alias("within_tol"))
     )
+
+
+# --------------------------------------------------------------------------
+# funnelPathSplit: what does each user do in the day after first signup?
+# (reference AggregateFunctionFunnelPathSplit.h — anchored, windowed,
+# depth-bounded paths).
+# --------------------------------------------------------------------------
+@register(
+    "beh_funnel_path_split",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS u, event_id AS i, event_type AS e,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    a AS (SELECT u, min(t) AS t0 FROM e WHERE e = 'signup' GROUP BY u),
+    w AS (
+      SELECT e.u, e.t, e.i, e.e
+      FROM e JOIN a ON e.u = a.u
+      WHERE e.t >= a.t0 AND e.t <= a.t0 + 86400000000
+    )
+    SELECT u AS user_id,
+           (list(e ORDER BY t, i))[1:10] AS path
+    FROM w GROUP BY u
+    """,
+)
+def beh_funnel_path_split(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import funnel_path_split
+
+    return funnel_path_split(
+        _ev(spark, sf),
+        anchor_type="signup",
+        window_us=86_400_000_000,
+        max_depth=10,
+    )
