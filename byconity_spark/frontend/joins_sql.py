@@ -85,6 +85,44 @@ def _qualify_sub(text: str, mapping: dict[tuple[str, str], str], aliases: set[st
     return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", repl, text)
 
 
+def _materialize_subquery_sides(spark: SparkSession, sql: str) -> str:
+    """Subquery sides of a strict join — ``FROM (SELECT ...) a ASOF JOIN
+    (SELECT ...) b`` — execute through ch_sql (recursion handles their own
+    CH clauses) and register as temp views, rewriting the text to the
+    named-table shape the parser handles."""
+    from byconity_spark.frontend.sql import ch_sql, _match_paren, _skip_string
+
+    out = []
+    i = 0
+    n = len(sql)
+    view_n = 0
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "(":
+            close = _match_paren(sql, i)
+            inner = sql[i + 1 : close]
+            # a subquery that is a join SIDE: preceded by FROM/JOIN keyword
+            prev = "".join(out).rstrip().upper()
+            is_side = prev.endswith("FROM") or prev.endswith("JOIN")
+            if is_side and inner.lstrip()[:6].upper() == "SELECT":
+                view_n += 1
+                name = f"__strict_side_{view_n}"
+                ch_sql(spark, inner).createOrReplaceTempView(name)
+                out.append(name)
+            else:
+                out.append(sql[i : close + 1])
+            i = close + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
     """If `sql` contains a depth-0 ASOF/ANY join, execute it via the operator
     API and return the DataFrame; None when no strict join is present."""
@@ -93,6 +131,7 @@ def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
         for kw in ("ASOF", "ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN")
     ):
         return None
+    sql = _materialize_subquery_sides(spark, sql)
     m = _JOIN_RE.search(sql)
     if not m:
         raise ChSqlError(

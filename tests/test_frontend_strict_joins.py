@@ -68,3 +68,43 @@ def test_plain_sql_not_intercepted(views):
     # 'any'-free, asof-free SQL goes down the normal rewrite path
     out = ch_sql(views, "SELECT count() AS n FROM nation")
     assert out.collect()[0].n == 25
+
+
+def test_asof_with_subquery_sides(views):
+    """Subquery sides route through ch_sql and register as views before the
+    strict-join parse."""
+    out = ch_sql(
+        views,
+        """
+        SELECT p.event_id, p.user_id, c.click_ts
+        FROM (SELECT event_id, user_id, ts AS purchase_ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts AS click_ts,
+                               max(event_id) AS click_id
+                        FROM events WHERE event_type = 'click'
+                        GROUP BY user_id, ts) c
+          ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+        """,
+    )
+    rows = out.collect()
+    n_purchases = views.sql(
+        "SELECT count(*) n FROM events WHERE event_type = 'purchase'"
+    ).collect()[0].n
+    assert len(rows) == n_purchases
+    matched = [r for r in rows if r.click_ts is not None]
+    assert matched
+
+
+def test_any_with_subquery_right_side(views):
+    out = ch_sql(
+        views,
+        """
+        SELECT c.c_custkey, o.o_orderkey
+        FROM customer c ANY LEFT JOIN
+             (SELECT o_custkey, o_orderkey FROM orders) o
+          ON c.c_custkey = o.o_custkey
+        """,
+    )
+    from pyspark.sql import functions as F
+
+    assert out.groupBy("c_custkey").count().agg(F.max("count")).collect()[0][0] == 1
