@@ -177,7 +177,7 @@ def agg_decimal_money(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_type,
            CAST(floor(value / 50.0) AS BIGINT) AS bin,
            count(*) AS n,
-           avg(value) AS bin_avg
+           round(avg(value), 6) AS bin_avg
     FROM events GROUP BY 1, 2
     """,
 )
@@ -185,7 +185,7 @@ def agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     return ev.groupBy(
         "event_type", F.floor(F.col("value") / 50.0).alias("bin")
-    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("bin_avg"))
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("bin_avg"))
 
 
 # -------------------------------------------------- weighted aggregates
@@ -193,7 +193,7 @@ def agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
     "agg_weighted",
     oracle="""
     SELECT event_type,
-           sum(value * (user_id + 1)) / sum(user_id + 1) AS wavg
+           round(sum(value * (user_id + 1)) / sum(user_id + 1), 6) AS wavg
     FROM events GROUP BY event_type
     """,
 )
@@ -201,7 +201,7 @@ def agg_weighted(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     w = F.col("user_id") + 1
     return ev.groupBy("event_type").agg(
-        ch("avgWeighted", F.col("value"), w).alias("wavg")
+        F.round(ch("avgWeighted", F.col("value"), w), 6).alias("wavg")
     )
 
 
@@ -307,11 +307,11 @@ def agg_topk_arrays(spark: SparkSession, sf: str) -> DataFrame:
     "agg_statistics",
     oracle="""
     SELECT event_type,
-           stddev_samp(value) AS sd_samp,
-           stddev_pop(value)  AS sd_pop,
-           var_samp(value)    AS v_samp,
-           corr(value, CAST(user_id AS DOUBLE))       AS c,
-           covar_samp(value, CAST(user_id AS DOUBLE)) AS cv
+           round(stddev_samp(value), 6) AS sd_samp,
+           round(stddev_pop(value), 6)  AS sd_pop,
+           round(var_samp(value), 5)    AS v_samp,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6)       AS c,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 5) AS cv
     FROM events GROUP BY event_type
     """,
 )
@@ -319,11 +319,11 @@ def agg_statistics(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     v, u = F.col("value"), F.col("user_id").cast("double")
     return ev.groupBy("event_type").agg(
-        ch("stddevSamp", v).alias("sd_samp"),
-        ch("stddevPop", v).alias("sd_pop"),
-        ch("varSamp", v).alias("v_samp"),
-        ch("corr", v, u).alias("c"),
-        ch("covarSamp", v, u).alias("cv"),
+        F.round(ch("stddevSamp", v), 6).alias("sd_samp"),
+        F.round(ch("stddevPop", v), 6).alias("sd_pop"),
+        F.round(ch("varSamp", v), 5).alias("v_samp"),
+        F.round(ch("corr", v, u), 6).alias("c"),
+        F.round(ch("covarSamp", v, u), 5).alias("cv"),
     )
 
 

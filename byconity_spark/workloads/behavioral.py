@@ -375,7 +375,7 @@ def beh_interval_length_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT coalesce(t.channel, 'direct') AS channel,
            count(*)       AS n_purchases,
-           sum(p.value)   AS attributed_value
+           round(sum(p.value), 4) AS attributed_value
     FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
     GROUP BY 1
     """,
@@ -399,7 +399,7 @@ def beh_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("channel", F.lit("direct")).alias("channel")
     ).agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        F.sum("value").alias("attributed_value"),
+        F.round(F.sum("value"), 4).alias("attributed_value"),
     )
 
 
@@ -422,12 +422,13 @@ def beh_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
            min(ts)    AS session_start,
            max(ts)    AS session_end,
            count(*)   AS n_events,
-           sum(value) AS sum_value
+           round(sum(value), 4) AS sum_value
     FROM s GROUP BY user_id, session_id
     """,
 )
 def beh_session_split(spark: SparkSession, sf: str) -> DataFrame:
-    return session_split(_ev(spark, sf), gap_us=1_800_000_000)
+    out = session_split(_ev(spark, sf), gap_us=1_800_000_000)
+    return out.withColumn("sum_value", F.round("sum_value", 4))
 
 
 # --------------------------------------------------------------------------
@@ -479,8 +480,8 @@ _ATTR_ORACLE = """
                    OVER (PARTITION BY conv_id) AS rawsum
           FROM j)
     SELECT coalesce(channel, 'direct') AS channel,
-           sum(CASE WHEN touch_ts IS NULL THEN 1.0 ELSE {W} END * conv_value) AS attributed_value,
-           sum(CASE WHEN touch_ts IS NULL THEN 1.0 ELSE {W} END) AS n_conversions
+           round(sum(CASE WHEN touch_ts IS NULL THEN 1.0 ELSE {W} END * conv_value), 4) AS attributed_value,
+           round(sum(CASE WHEN touch_ts IS NULL THEN 1.0 ELSE {W} END), 6) AS n_conversions
     FROM w GROUP BY 1
 """
 
@@ -492,10 +493,13 @@ _ATTR_ORACLE = """
 def beh_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.udafs.behavioral import attribution_multi_touch
 
-    return attribution_multi_touch(
+    out = attribution_multi_touch(
         _ev(spark, sf), touch_types=["click", "view"], conv_type="purchase",
         model="linear",
     )
+    return out.withColumn(
+        "attributed_value", F.round("attributed_value", 4)
+    ).withColumn("n_conversions", F.round("n_conversions", 6))
 
 
 @register(
@@ -509,10 +513,13 @@ def beh_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
 def beh_attribution_position(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.udafs.behavioral import attribution_multi_touch
 
-    return attribution_multi_touch(
+    out = attribution_multi_touch(
         _ev(spark, sf), touch_types=["click", "view"], conv_type="purchase",
         model="position",
     )
+    return out.withColumn(
+        "attributed_value", F.round("attributed_value", 4)
+    ).withColumn("n_conversions", F.round("n_conversions", 6))
 
 
 @register(
@@ -522,10 +529,13 @@ def beh_attribution_position(spark: SparkSession, sf: str) -> DataFrame:
 def beh_attribution_time_decay(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.udafs.behavioral import attribution_multi_touch
 
-    return attribution_multi_touch(
+    out = attribution_multi_touch(
         _ev(spark, sf), touch_types=["click", "view"], conv_type="purchase",
         model="time_decay",
     )
+    return out.withColumn(
+        "attributed_value", F.round("attributed_value", 4)
+    ).withColumn("n_conversions", F.round("n_conversions", 6))
 
 
 # --------------------------------------------------------------------------

@@ -23,7 +23,7 @@ def _run(spark: SparkSession, sf: str, sql: str) -> DataFrame:
            count(*) FILTER (WHERE value > 100) AS n_big,
            count(DISTINCT user_id)             AS u,
            quantile_cont(value, 0.5)           AS p50,
-           sum(value) FILTER (WHERE user_id % 2 = 0) AS even_sum
+           round(sum(value) FILTER (WHERE user_id % 2 = 0), 4) AS even_sum
     FROM events GROUP BY 1, 2
     """,
 )
@@ -36,7 +36,7 @@ def chsql_hourly_activity(spark: SparkSession, sf: str) -> DataFrame:
                countIf(value > 100) AS n_big,
                uniqExact(user_id) AS u,
                quantileExact(0.5)(value) AS p50,
-               sumIf(value, user_id % 2 = 0) AS even_sum
+               round(sumIf(value, user_id % 2 = 0), 4) AS even_sum
         FROM events GROUP BY hour, event_type
         """,
     )
@@ -49,7 +49,7 @@ def chsql_hourly_activity(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN o_totalprice < 50000 THEN 'small'
                 WHEN o_totalprice < 200000 THEN 'mid'
                 ELSE 'big' END AS bucket,
-           count(*) AS n, sum(o_totalprice) AS total
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -61,7 +61,7 @@ def chsql_order_buckets(spark: SparkSession, sf: str) -> DataFrame:
         SELECT toYYYYMM(o_orderdate) AS ym,
                multiIf(o_totalprice < 50000, 'small',
                        o_totalprice < 200000, 'mid', 'big') AS bucket,
-               count() AS n, sum(o_totalprice) AS total
+               count() AS n, round(sum(o_totalprice), 2) AS total
         FROM orders GROUP BY ym, bucket
         """,
     )
@@ -192,7 +192,7 @@ def chsql_numbers_squares(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "chsql_totals_by_status",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), ())
     """,
@@ -203,7 +203,7 @@ def chsql_totals_by_status(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         sf,
         """
-        SELECT o_orderstatus, count() AS n, sum(o_totalprice) AS total
+        SELECT o_orderstatus, count() AS n, round(sum(o_totalprice), 2) AS total
         FROM orders GROUP BY o_orderstatus WITH TOTALS
         """,
     )

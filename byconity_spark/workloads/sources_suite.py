@@ -47,7 +47,7 @@ _FLAT_SCHEMA = T.StructType(
 _ROUNDTRIP_ORACLE = """
     SELECT event_type,
            count(*) AS n,
-           sum(value) AS total,
+           round(sum(value), 4) AS total,
            min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us
     FROM events WHERE user_id % 4 = 0 GROUP BY event_type
 """
@@ -67,7 +67,7 @@ def _flat_events(spark: SparkSession, sf: str) -> DataFrame:
 def _roundtrip_agg(back: DataFrame) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("total"),
+        F.round(F.sum("value"), 4).alias("total"),
         F.min("ts_us").alias("first_us"),
     )
 
@@ -131,7 +131,7 @@ def dict_get_order_status(spark: SparkSession, sf: str) -> DataFrame:
     "summap_user_buckets",
     oracle="""
     WITH per_key AS (
-      SELECT event_type, user_id % 5 AS k, sum(value) AS v
+      SELECT event_type, user_id % 5 AS k, round(sum(value), 4) AS v
       FROM events GROUP BY event_type, user_id % 5
     )
     SELECT event_type,
@@ -142,7 +142,11 @@ def dict_get_order_status(spark: SparkSession, sf: str) -> DataFrame:
 )
 def summap_user_buckets(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").withColumn("k", F.col("user_id") % 5)
-    return sum_map(ev, ["event_type"], "k", "value")
+    out = sum_map(ev, ["event_type"], "k", "value")
+    return out.withColumn(
+        "sum_map_values",
+        F.transform(F.col("sum_map_values"), lambda v: F.round(v, 4)),
+    )
 
 
 # ------------------------------------------------------------- extremes

@@ -114,16 +114,18 @@ def mv_rollup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
            min(ts)                        AS session_start,
            max(ts) + INTERVAL 30 MINUTE   AS session_end,
            count(*)                       AS n_events,
-           sum(value)                     AS sum_value
+           round(sum(value), 4)           AS sum_value
     FROM s GROUP BY user_id, sid
     """,
 )
 def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     stream = events_file_stream(spark, sf)
-    return _run_to_memory(
+    out = _run_to_memory(
         session_windows(stream, gap="30 minutes"),
         metric_name="stream_session_windows",
     )
+    # session sums of doubles are summation-order sensitive across engines
+    return out.withColumn("sum_value", F.round("sum_value", 4))
 
 
 @register(
@@ -142,7 +144,7 @@ def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
                    min(ts)    AS session_start,
                    max(ts)    AS session_end,
                    count(*)   AS n_events,
-                   sum(value) AS sum_value
+                   round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid)
     SELECT user_id, session_start, session_end, n_events, sum_value
     FROM agg
@@ -156,7 +158,8 @@ def stream_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.streaming.stateful import stateful_sessionize
 
     stream = events_file_stream(spark, sf)
-    return _run_to_memory(
+    out = _run_to_memory(
         stateful_sessionize(stream), mode="append",
         metric_name="stream_stateful_sessions",
     )
+    return out.withColumn("sum_value", F.round("sum_value", 4))

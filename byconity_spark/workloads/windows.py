@@ -256,7 +256,7 @@ def win_sessionize_users(spark: SparkSession, sf: str) -> DataFrame:
                       sum(o_totalprice) AS s, count(*) AS c
                FROM orders GROUP BY 1, 2),
     d2 AS (SELECT o_orderpriority, o_orderdate,
-                  coalesce(lag(s)  OVER w, 0) + s + coalesce(lead(s) OVER w, 0) AS grp_sum,
+                  round(coalesce(lag(s)  OVER w, 0) + s + coalesce(lead(s) OVER w, 0), 2) AS grp_sum,
                   coalesce(lag(c)  OVER w, 0) + c + coalesce(lead(c) OVER w, 0) AS grp_n
            FROM d WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate))
     SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate, d2.grp_sum, d2.grp_n
@@ -270,7 +270,7 @@ def win_groups_frame_sum(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.operators.windows import groups_frame_agg
 
     o = _t(spark, sf, "orders")
-    return groups_frame_agg(
+    out = groups_frame_agg(
         o.select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"),
         partition_by=["o_orderpriority"],
         order_by="o_orderdate",
@@ -279,3 +279,4 @@ def win_groups_frame_sum(spark: SparkSession, sf: str) -> DataFrame:
             "grp_n": F.count(F.lit(1)),
         },
     ).drop("o_totalprice")
+    return out.withColumn("grp_sum", F.round("grp_sum", 2))

@@ -27,7 +27,7 @@ def _tmp(sf: str, tag: str) -> str:
 @register(
     "write_ctas_roundtrip",
     oracle="""
-    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty,
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
            min(CAST(l_shipdate AS DATE)) AS first_ship
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-06-01'
@@ -45,7 +45,7 @@ def write_ctas_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     back = read_back(spark, path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("l_quantity").alias("qty"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
         F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
     )
 
