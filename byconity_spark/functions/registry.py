@@ -432,6 +432,12 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "toString": lambda c: c.cast("string"),
     "toDecimal64": lambda c, s: c.cast(f"decimal(18,{int(s)})"),
     "toDecimal128": lambda c, s: c.cast(f"decimal(38,{int(s)})"),
+    "toDateTime64": lambda c, *prec: c.cast("timestamp"),
+    "accurateCast": lambda c, t: c.cast(
+        {"UInt64": "bigint", "Int64": "bigint", "Int32": "int",
+         "Float64": "double", "String": "string", "Date": "date",
+         "DateTime": "timestamp"}.get(t, t.lower())
+    ),
     # ---- arrays (src/Functions/array/ — 73 files)
     "array": F.array,
     # 1-based, negative = from end (CH-equal); out-of-range -> NULL (CH
@@ -452,6 +458,18 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "arrayIntersect": F.array_intersect,
     "arrayFlatten": F.flatten,
     "arrayZip": F.arrays_zip,
+    # arrayReduce('agg', arr) — dynamic aggregate-by-name over an array
+    # (src/Functions/array/arrayReduce.cpp); dispatches to the array algebra
+    "arrayReduce": lambda name, arr: {
+        "sum": _array_sum,
+        "avg": _array_avg,
+        "min": F.array_min,
+        "max": F.array_max,
+        "count": F.size,
+        "uniq": lambda a: F.size(F.array_distinct(a)),
+        "any": lambda a: F.element_at(a, 1),
+        "anyLast": lambda a: F.element_at(a, -1),
+    }[name](arr),
     "arrayCompact": lambda arr: F.filter(
         arr,
         lambda x, i: (i == 0)
