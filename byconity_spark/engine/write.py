@@ -222,8 +222,15 @@ def optimize_table(
 
     The repartition count derives from the CURRENT on-disk byte size — the
     one metadata listing the scan planner performs anyway.  Returns a
-    {files_before, files_after, bytes} report.  Atomicity matches the
-    reference's part-swap: write to a staging dir, then swap directories.
+    {files_before, files_after, bytes} report.
+
+    Swap protocol: write to a staging dir, rename the live dir away, rename
+    staging in.  A failed staging write cleans up the staging dir; a failure
+    between the two renames restores the old dir.  The window between the
+    renames is NOT atomic (two rename syscalls) — a hard crash exactly
+    there leaves `<path>.__optimize_old` to be restored manually; a real
+    deployment puts both dirs on one filesystem so each rename itself is
+    atomic.
     """
     before = [
         os.path.join(dp, f)
@@ -242,11 +249,20 @@ def optimize_table(
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
+    try:
+        writer.parquet(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
 
     old = path.rstrip("/") + ".__optimize_old"
     os.rename(path, old)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(old, path)  # restore the live table
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     shutil.rmtree(old)
     after = [
         os.path.join(dp, f)

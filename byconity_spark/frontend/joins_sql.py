@@ -161,7 +161,19 @@ def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
     time_cond: tuple[str, str, str] | None = None  # (lcol, op, rcol)
     if conj.upper() == "USING":
         using_cols = re.findall(r"[A-Za-z_]\w*", cond_text)
-        equi = [(c, c) for c in using_cols]
+        if strictness == "ASOF":
+            # ClickHouse semantics: the LAST USING column is the ASOF
+            # inequality (>=) column, the rest are equality keys
+            if len(using_cols) < 2:
+                raise ChSqlError(
+                    "ASOF JOIN USING needs at least one equi key plus the "
+                    "trailing inequality column"
+                )
+            *eq_cols, t = using_cols
+            equi = [(c, c) for c in eq_cols]
+            time_cond = (t, ">=", t)
+        else:
+            equi = [(c, c) for c in using_cols]
     else:
         for cond in _split_depth0_and(cond_text):
             cm = _COND_RE.match(cond)

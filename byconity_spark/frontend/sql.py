@@ -18,9 +18,11 @@ Scope: the expression surface plus the ClickHouse-only clauses that admit a
 pure textual rewrite — ``LIMIT n BY`` (top-level and inside subqueries),
 ``ORDER BY ... WITH FILL`` (spine = explode(sequence()) + USING join),
 ``SAMPLE <fraction>`` (-> TABLESAMPLE) and a trailing ``FORMAT <name>``
-(no-op: the driver renders DataFrames).  ``ASOF JOIN`` is detected and
-rejected with a pointer to ``byconity_spark.operators.joins.asof_join`` —
-its tie/direction semantics need the operator API, not a text rewrite.
+(no-op: the driver renders DataFrames).  ``ASOF JOIN`` and ``ANY JOIN``
+(named tables or subquery sides, ON or USING) route through
+``frontend.joins_sql`` to the ``operators.joins`` implementations — the
+USING form treats its last column as the ASOF >= inequality, matching
+ClickHouse.
 """
 
 from __future__ import annotations

@@ -269,6 +269,13 @@ def embedding_neardup_pairs(
     zip_with/aggregate dot on the 4M-pair join was ~100× slower than this
     for the same output."""
     spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > 1_000_000:
+        raise ValueError(
+            f"embedding_neardup_pairs is the EXACT verification path and "
+            f"collects the corpus to the driver; {n} rows exceeds the 1M "
+            f"boundary — use the LSH route (ann_lsh_topk) at scale"
+        )
     mat_rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in mat_rows], dtype=np.int64)
     mat = np.array([r[1] for r in mat_rows], dtype=np.float64)

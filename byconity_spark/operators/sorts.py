@@ -49,9 +49,56 @@ def fill_time_series(
     return out
 
 
-def limit_with_ties(df: DataFrame, order: list[Column], n: int) -> DataFrame:
-    """LIMIT n WITH TIES: rank()<=n keeps peers of the n-th row."""
-    from pyspark.sql import Window
+def limit_with_ties(
+    df: DataFrame, order: list[tuple[Column, bool]], n: int
+) -> DataFrame:
+    """LIMIT n WITH TIES: keep the first n rows in sort order plus every
+    peer of the n-th row (reference src/QueryPlan/LimitStep.h:25).
 
-    w = Window.orderBy(*order)
-    return df.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") <= n).drop("__rk")
+    ``order`` is ``[(column, ascending), ...]``.
+
+    Scale shape: a naive ``rank() OVER (ORDER BY ...)`` forces every row
+    through ONE partition (`WindowExec: No Partition Defined`) — a
+    scale-killer at 100 TB.  Instead:
+
+    1. distributed top-n (`TakeOrderedAndProject`) fetches only the n
+       boundary-candidate key tuples to the driver (bounded by n, metadata
+       scale);
+    2. the n-th key tuple becomes a broadcast lexicographic predicate
+       ``key <= boundary`` evaluated map-side — no shuffle, no window.
+
+    NULL ordering follows Spark defaults (asc → nulls first, desc → nulls
+    last), matching the rank() formulation.
+    """
+    sort_cols = [c.asc() if asc else c.desc() for c, asc in order]
+    boundary_rows = (
+        df.select(
+            *[c.alias(f"__k{i}") for i, (c, _) in enumerate(order)]
+        )
+        .orderBy(*[
+            F.col(f"__k{i}").asc() if asc else F.col(f"__k{i}").desc()
+            for i, (_, asc) in enumerate(order)
+        ])
+        .limit(n)
+        .collect()
+    )
+    if len(boundary_rows) < n:
+        return df  # fewer than n rows: LIMIT keeps everything
+    boundary = boundary_rows[-1]
+
+    # lexicographic key <= boundary, honoring asc/desc and null position
+    def strict_lt(c: Column, asc: bool, b) -> Column:
+        if b is None:
+            # asc: null is smallest → nothing strictly before it
+            # desc: null is largest → every non-null is strictly before it
+            return c.isNotNull() if not asc else F.lit(False)
+        return (c.isNull() | (c < F.lit(b))) if asc else (c > F.lit(b))
+
+    keep = None
+    for i in range(len(order) - 1, -1, -1):
+        c, asc = order[i]
+        b = boundary[f"__k{i}"]
+        eq = c.eqNullSafe(F.lit(b)) if b is not None else c.isNull()
+        lt = strict_lt(c, asc, b)
+        keep = lt | eq if keep is None else lt | (eq & keep)
+    return df.filter(keep)

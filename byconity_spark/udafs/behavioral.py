@@ -1263,6 +1263,16 @@ def slide_match_count(
     array (total_slots bounded), then num_slides boolean conjunctions sum
     map-side — no Python, one shuffle on the user."""
     p = len(pattern)
+    # reference guards (SlideMatchCount.h add()): a window that would start
+    # before slot 0 or end past the state array contributes NOTHING — the
+    # result is all-zero counts, not an error
+    if start_index + num_slides > total_slots or start_index + 1 < p:
+        spark = slot_states.sparkSession
+        return spark.range(1).select(
+            F.array(*[F.lit(0).cast("long") for _ in range(num_slides)]).alias(
+                "match_counts"
+            )
+        )
     dense = slot_states.groupBy("u").agg(
         *[
             F.coalesce(
@@ -1308,6 +1318,15 @@ def last_range_count(
     window [start+i+1-duration, start+i] — rolling active users (the
     WAU/MAU-from-daily-states shape).  Same dense-state conditional
     aggregate as slide_match_count; booleans OR across the window."""
+    # reference guards (LastRangeCount.h add()): out-of-range windows
+    # contribute nothing — all-zero counts
+    if start_index + num_slides > total_slots or start_index + 1 < duration:
+        spark = slot_states.sparkSession
+        return spark.range(1).select(
+            F.array(*[F.lit(0).cast("long") for _ in range(num_slides)]).alias(
+                "range_counts"
+            )
+        )
     dense = slot_states.groupBy("u").agg(
         *[
             F.coalesce(

@@ -236,14 +236,17 @@ class BitmapExprError(ValueError):
 
 
 def _parse_bitmap_expr(expr: str) -> list:
-    """'a&(b|c)~d' -> postfix token list.  ~ is ANDNOT (ByConity usage);
-    precedence ~ = & > |, left-assoc; tags are \\w+ tokens."""
+    """'a&(b|c)~d' -> postfix token list.  ~ is ANDNOT, ',' a union alias
+    (ByConity usage).  The reference analyzer
+    (AggregateBitmapExpressionCommon.h subExpression) reduces EVERY operator
+    left-to-right with EQUAL precedence — 'a|b&c' is (a|b)&c, not
+    a|(b&c) — so all four operators share one precedence level here."""
     import re
 
-    tokens = re.findall(r"\w+|[&|~()]", expr)
+    tokens = re.findall(r"\w+|[&|~(),]", expr)
     if "".join(tokens) != expr.replace(" ", ""):
         raise BitmapExprError(f"unparseable bitmap expression: {expr!r}")
-    prec = {"~": 2, "&": 2, "|": 1}
+    prec = {"~": 1, "&": 1, "|": 1, ",": 1}
     out: list = []
     ops: list[str] = []
     for t in tokens:
@@ -310,7 +313,7 @@ def bitmap_expression(
                 a2 = stack.pop()
                 if tok == "&":
                     stack.append(np.intersect1d(a2, b2))
-                elif tok == "|":
+                elif tok in ("|", ","):
                     stack.append(np.union1d(a2, b2))
                 else:  # ~ ANDNOT
                     stack.append(np.setdiff1d(a2, b2))

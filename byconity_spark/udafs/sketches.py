@@ -71,8 +71,12 @@ def _estimate(regs: np.ndarray) -> int:
 
 
 def _hash_col(value_col: str) -> Column:
-    # JVM-side 64-bit hashing — only the hashes cross into Arrow batches
-    return F.xxhash64(F.col(value_col))
+    # JVM-side 64-bit hashing — only the hashes cross into Arrow batches.
+    # xxhash64(NULL) returns the SEED (42), not NULL, which would count
+    # NULL as one extra distinct; ClickHouse uniq skips NULLs, so gate on
+    # isNotNull first.
+    c = F.col(value_col)
+    return F.when(c.isNotNull(), F.xxhash64(c))
 
 
 def uniq_state(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:

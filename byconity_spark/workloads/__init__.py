@@ -35,31 +35,63 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
-# Queries certified green by a PRIOR round's driver run (CORRECTNESS_r01/r02
-# first-50 cap).  They re-register LAST so a capped correctness run spends
-# its budget on never-checked queries first.
+# Queries certified GREEN by a prior round's driver run (r01/r02/r03 caps).
+# They re-register LAST so a capped correctness run spends its budget on
+# never-checked queries first.  Only hash-green rows belong here — a query
+# that was sampled but FAILED goes in _MUST_RECERTIFY instead.
 _PREVIOUSLY_CERTIFIED = {
+    # --- r02 green ---
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
     "q18_large_volume_customer", "q4_order_priority", "q7_volume_shipping",
     "q13_customer_distribution", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q21_waiting_supplier",
+    "q21_waiting_supplier",
     "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q12_priority_shipping", "q16_supplier_part_counts", "q20_bulk_suppliers",
+    "q16_supplier_part_counts", "q20_bulk_suppliers",
     "q8_market_share", "q9_product_profit", "q15_top_supplier",
-    "q11_important_stock", "op_asof_purchase_prior_click",
+    "q11_important_stock",
     "op_any_join_first_order", "op_limit_by_segment_top3",
-    "op_with_totals_returnflag", "op_fill_hourly_purchases",
+    "op_with_totals_returnflag",
     "op_limit_ties_quantity", "op_quantified_above_all",
     "op_quantified_below_any", "cbo_join_reorder", "trivial_count_lineitem",
-    "read_nothing", "values_inline_join", "numbers_range_agg",
+    "read_nothing", "values_inline_join",
     "rollup_revenue", "cube_status_priority", "explode_word_topk",
     "explode_outer_long_tokens", "set_union_distinct", "set_intersect_all",
     "set_except_nonbuyers", "distinct_segment_priority",
     "theta_join_nation_pairs", "join_using_nation_counts",
     "semi_anti_counts", "full_outer_customer_supplier",
     "smj_order_lineitem_totals", "sample_lineitem", "agg_uniq_suite",
+    # --- r03 green ---
+    "agg_argminmax", "agg_quantiles_exact", "agg_topk_words",
+    "ann_cosine_topk", "beh_funnel_strict_dedup", "beh_funnel_strict_order",
+    "beh_retention", "beh_window_funnel", "bitmap_audience_overlap",
+    "bitmap_cardinality_by_type", "bitmap_state_merge_uniq",
+    "bitmap_union_reach", "cbo_stats_broadcast", "chsql_hourly_activity",
+    "chsql_limit_by", "chsql_order_buckets", "chsql_with_fill",
+    "dict_get_order_status", "extremes_lineitem", "fill_daily_by_type",
+    "fn_date_suite", "fn_math_cond_suite", "fn_string_suite",
+    "llm_dedup_keep_list", "llm_exact_dedup", "llm_minhash_dedup",
+    "llm_ngram_jaccard", "mm_frame_sample", "mv_rollup_rewrite",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "stream_hourly_counts", "stream_session_windows",
+    "stream_stateful_sessions", "win_distribution_by_type",
+    "win_frames_running_value", "win_lag_lead_user_activity",
+    "win_rank_recent_orders", "write_ctas_roundtrip",
+    "write_mutation_roundtrip", "write_optimize_compaction",
+    "write_upsert_roundtrip",
 }
+
+# Queries a prior driver run sampled and FAILED (r02) or errored (r03); their
+# fixes landed but the real driver has never confirmed them.  They register
+# FIRST — ahead of even never-sampled queries — so the next capped run
+# certifies the fixes.
+_MUST_RECERTIFY = [
+    "q12_priority_shipping", "q19_disjunctive_revenue", "numbers_range_agg",
+    "op_asof_purchase_prior_click", "op_fill_hourly_purchases",
+    "agg_group_arrays", "summap_user_buckets", "fn_array_suite",
+    "ann_label_centroids", "mm_decode_features", "ann_lsh_topk",
+    "ann_ivf_topk",
+]
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -104,7 +136,9 @@ def all_queries() -> dict[str, QueryDef]:
                     out.append(q.pop(0))
         return out
 
-    fresh = [n for n in _REGISTRY if n not in _PREVIOUSLY_CERTIFIED]
-    certified = [n for n in _REGISTRY if n in _PREVIOUSLY_CERTIFIED]
-    ordered = round_robin(fresh) + certified
+    recert = [n for n in _MUST_RECERTIFY if n in _REGISTRY]
+    skip = set(recert) | _PREVIOUSLY_CERTIFIED
+    fresh = [n for n in _REGISTRY if n not in skip]
+    certified = [n for n in _REGISTRY if n in _PREVIOUSLY_CERTIFIED and n not in set(recert)]
+    ordered = recert + round_robin(fresh) + certified
     return {n: _REGISTRY[n] for n in ordered}

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from byconity_spark.engine.catalog import load_table
 from byconity_spark.functions import ch
 from byconity_spark.workloads import register
+from byconity_spark.workloads._arrays import arr_dbl_str, arr_str
 
 
 def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
@@ -131,8 +132,8 @@ def agg_argminmax(spark: SparkSession, sf: str) -> DataFrame:
     "agg_group_arrays",
     oracle="""
     SELECT user_id,
-           list_sort(list(event_type))           AS all_types,
-           list_sort(list(DISTINCT event_type))  AS uniq_types,
+           array_to_string(list_sort(list(event_type)), '|')          AS all_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS uniq_types,
            len(list(DISTINCT event_type))        AS n_uniq_types
     FROM events WHERE user_id < 40 GROUP BY user_id
     """,
@@ -140,8 +141,8 @@ def agg_argminmax(spark: SparkSession, sf: str) -> DataFrame:
 def agg_group_arrays(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events").filter(F.col("user_id") < 40)
     return ev.groupBy("user_id").agg(
-        F.sort_array(ch("groupArray", F.col("event_type"))).alias("all_types"),
-        F.sort_array(ch("groupUniqArray", F.col("event_type"))).alias("uniq_types"),
+        arr_str(F.sort_array(ch("groupArray", F.col("event_type")))).alias("all_types"),
+        arr_str(F.sort_array(ch("groupUniqArray", F.col("event_type")))).alias("uniq_types"),
         F.size(ch("groupUniqArray", F.col("event_type"))).cast("long").alias("n_uniq_types"),
     )
 
@@ -216,7 +217,9 @@ def agg_weighted(spark: SparkSession, sf: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS rs
       FROM events WHERE user_id < 20
     )
-    SELECT user_id, list(round(rs, 6) ORDER BY event_id) AS moving_sums
+    SELECT user_id,
+           array_to_string(list_transform(list(round(rs, 6) ORDER BY event_id),
+                                          x -> printf('%.6f', x)), '|') AS moving_sums
     FROM r GROUP BY user_id
     """,
 )
@@ -236,7 +239,7 @@ def agg_moving_sum_arrays(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pairs.groupBy("user_id")
         .agg(F.sort_array(F.collect_list("er")).alias("ers"))
-        .select("user_id", F.col("ers.rs").alias("moving_sums"))
+        .select("user_id", arr_dbl_str(F.col("ers.rs")).alias("moving_sums"))
     )
 
 
@@ -285,7 +288,8 @@ def agg_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type, user_id % 10 AS k, count(*) AS n
       FROM events GROUP BY event_type, user_id % 10
     )
-    SELECT event_type, (list(k ORDER BY n DESC, k))[1:3] AS top3
+    SELECT event_type,
+           array_to_string((list(k ORDER BY n DESC, k))[1:3], '|') AS top3
     FROM counts GROUP BY event_type
     """,
 )
@@ -298,7 +302,7 @@ def agg_topk_arrays(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pairs.groupBy("event_type")
         .agg(F.slice(F.sort_array(F.collect_list("nk")), 1, 3).alias("nks"))
-        .select("event_type", F.col("nks.k").alias("top3"))
+        .select("event_type", arr_str(F.col("nks.k")).alias("top3"))
     )
 
 
@@ -542,14 +546,16 @@ def agg_stat_tests(spark: SparkSession, sf: str) -> DataFrame:
     "agg_resample",
     oracle="""
     SELECT event_type,
-           [CAST(coalesce(sum(CASE WHEN user_id >= 0  AND user_id < 50  THEN 1 END), 0) AS BIGINT),
-            CAST(coalesce(sum(CASE WHEN user_id >= 50 AND user_id < 100 THEN 1 END), 0) AS BIGINT),
-            CAST(coalesce(sum(CASE WHEN user_id >= 100 AND user_id < 150 THEN 1 END), 0) AS BIGINT)]
-             AS n_by_bucket,
-           [round(coalesce(sum(CASE WHEN user_id >= 0  AND user_id < 50  THEN value END), 0), 4),
-            round(coalesce(sum(CASE WHEN user_id >= 50 AND user_id < 100 THEN value END), 0), 4),
-            round(coalesce(sum(CASE WHEN user_id >= 100 AND user_id < 150 THEN value END), 0), 4)]
-             AS sum_by_bucket
+           array_to_string(
+             [CAST(coalesce(sum(CASE WHEN user_id >= 0  AND user_id < 50  THEN 1 END), 0) AS BIGINT),
+              CAST(coalesce(sum(CASE WHEN user_id >= 50 AND user_id < 100 THEN 1 END), 0) AS BIGINT),
+              CAST(coalesce(sum(CASE WHEN user_id >= 100 AND user_id < 150 THEN 1 END), 0) AS BIGINT)],
+             '|') AS n_by_bucket,
+           array_to_string(list_transform(
+             [round(coalesce(sum(CASE WHEN user_id >= 0  AND user_id < 50  THEN value END), 0), 4),
+              round(coalesce(sum(CASE WHEN user_id >= 50 AND user_id < 100 THEN value END), 0), 4),
+              round(coalesce(sum(CASE WHEN user_id >= 100 AND user_id < 150 THEN value END), 0), 4)],
+             x -> printf('%.6f', x)), '|') AS sum_by_bucket
     FROM events GROUP BY event_type
     """,
 )
@@ -561,11 +567,11 @@ def agg_resample(spark: SparkSession, sf: str) -> DataFrame:
     counts = ch("countResample", 0, 150, 50, uid)
     sums = ch("sumResample", 0, 150, 50, F.col("value"), uid)
     return ev.groupBy("event_type").agg(
-        F.transform(counts, lambda c: F.coalesce(c, F.lit(0)).cast("long")).alias(
-            "n_by_bucket"
-        ),
-        F.transform(
-            sums, lambda s: F.round(F.coalesce(s, F.lit(0.0)), 4)
+        arr_str(
+            F.transform(counts, lambda c: F.coalesce(c, F.lit(0)).cast("long"))
+        ).alias("n_by_bucket"),
+        arr_dbl_str(
+            F.transform(sums, lambda s: F.round(F.coalesce(s, F.lit(0.0)), 4))
         ).alias("sum_by_bucket"),
     )
 
@@ -742,6 +748,7 @@ def agg_theta_state_merge(spark: SparkSession, sf: str) -> DataFrame:
       FROM events GROUP BY event_type, user_id
     )
     SELECT event_type,
+           array_to_string(
            [CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT),
             CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT),
             CAST(count(CASE WHEN n = 3 THEN 1 END) AS BIGINT),
@@ -751,7 +758,7 @@ def agg_theta_state_merge(spark: SparkSession, sf: str) -> DataFrame:
             CAST(count(CASE WHEN n >= 11 AND n <= 20 THEN 1 END) AS BIGINT),
             CAST(count(CASE WHEN n >= 21 AND n <= 50 THEN 1 END) AS BIGINT),
             CAST(count(CASE WHEN n > 50 AND n <= 100 THEN 1 END) AS BIGINT),
-            CAST(count(CASE WHEN n > 100 THEN 1 END) AS BIGINT)] AS freq
+            CAST(count(CASE WHEN n > 100 THEN 1 END) AS BIGINT)], '|') AS freq
     FROM per_user GROUP BY event_type
     """,
 )
@@ -763,7 +770,7 @@ def agg_frequency(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return per_user.groupBy("event_type").agg(
-        ch("frequency", F.col("n")).alias("freq")
+        arr_str(ch("frequency", F.col("n"))).alias("freq")
     )
 
 
@@ -808,6 +815,7 @@ def agg_misc_suite(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY event_type, user_id % 10
     )
     SELECT event_type,
+           array_to_string(
            [coalesce(max(CASE WHEN pos = 0 THEN v END), -1),
             coalesce(max(CASE WHEN pos = 1 THEN v END), -1),
             coalesce(max(CASE WHEN pos = 2 THEN v END), -1),
@@ -817,7 +825,7 @@ def agg_misc_suite(spark: SparkSession, sf: str) -> DataFrame:
             coalesce(max(CASE WHEN pos = 6 THEN v END), -1),
             coalesce(max(CASE WHEN pos = 7 THEN v END), -1),
             coalesce(max(CASE WHEN pos = 8 THEN v END), -1),
-            coalesce(max(CASE WHEN pos = 9 THEN v END), -1)] AS arr
+            coalesce(max(CASE WHEN pos = 9 THEN v END), -1)], '|') AS arr
     FROM pairs GROUP BY event_type
     """,
 )
@@ -836,7 +844,7 @@ def agg_group_array_insert_at(spark: SparkSession, sf: str) -> DataFrame:
         )
         for p in range(10)
     ]
-    return pairs.groupBy("event_type").agg(F.array(*slots).alias("arr"))
+    return pairs.groupBy("event_type").agg(arr_str(F.array(*slots)).alias("arr"))
 
 
 # -------------------------------- -ForEach combinator: elementwise arrays
@@ -850,12 +858,18 @@ def agg_group_array_insert_at(spark: SparkSession, sf: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label,
-           [round(sum(a[1]), 6), round(sum(a[2]), 6),
-            round(sum(a[3]), 6), round(sum(a[4]), 6)] AS sums,
-           [round(max(a[1]), 6), round(max(a[2]), 6),
-            round(max(a[3]), 6), round(max(a[4]), 6)] AS maxs,
-           [round(avg(a[1]), 6), round(avg(a[2]), 6),
-            round(avg(a[3]), 6), round(avg(a[4]), 6)] AS avgs
+           array_to_string(list_transform(
+             [round(sum(a[1]), 6), round(sum(a[2]), 6),
+              round(sum(a[3]), 6), round(sum(a[4]), 6)],
+             x -> printf('%.6f', x)), '|') AS sums,
+           array_to_string(list_transform(
+             [round(max(a[1]), 6), round(max(a[2]), 6),
+              round(max(a[3]), 6), round(max(a[4]), 6)],
+             x -> printf('%.6f', x)), '|') AS maxs,
+           array_to_string(list_transform(
+             [round(avg(a[1]), 6), round(avg(a[2]), 6),
+              round(avg(a[3]), 6), round(avg(a[4]), 6)],
+             x -> printf('%.6f', x)), '|') AS avgs
     FROM v GROUP BY label
     """,
 )
@@ -868,7 +882,7 @@ def agg_foreach_suite(spark: SparkSession, sf: str) -> DataFrame:
     )
     rnd = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
     return emb.groupBy("label").agg(
-        rnd(ch("sumForEach", F.col("a"))).alias("sums"),
-        rnd(ch("maxForEach", F.col("a"))).alias("maxs"),
-        rnd(ch("avgForEach", F.col("a"))).alias("avgs"),
+        arr_dbl_str(rnd(ch("sumForEach", F.col("a")))).alias("sums"),
+        arr_dbl_str(rnd(ch("maxForEach", F.col("a")))).alias("maxs"),
+        arr_dbl_str(rnd(ch("avgForEach", F.col("a")))).alias("avgs"),
     )

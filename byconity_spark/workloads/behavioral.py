@@ -26,6 +26,7 @@ from byconity_spark.udafs.behavioral import (
     window_funnel,
 )
 from byconity_spark.workloads import register
+from byconity_spark.workloads._arrays import stringify_arrays
 
 _DAY_US = 86_400_000_000
 
@@ -447,7 +448,7 @@ def beh_session_split(spark: SparkSession, sf: str) -> DataFrame:
                                          ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
           FROM f)
     SELECT user_id, session_id,
-           (list(event_type ORDER BY ts, event_id))[1:5] AS path,
+           array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '|') AS path,
            count(*) AS n_events
     FROM s GROUP BY user_id, session_id
     """,
@@ -455,7 +456,9 @@ def beh_session_split(spark: SparkSession, sf: str) -> DataFrame:
 def beh_path_split(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.udafs.behavioral import path_split
 
-    return path_split(_ev(spark, sf), gap_us=1_800_000_000, max_session_events=5)
+    return stringify_arrays(
+        path_split(_ev(spark, sf), gap_us=1_800_000_000, max_session_events=5)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -586,9 +589,10 @@ def beh_xirr(spark: SparkSession, sf: str) -> DataFrame:
            LEFT JOIN u2 ON u1.user_id = u2.user_id
            LEFT JOIN u3 ON u1.user_id = u3.user_id)
     SELECT day,
+           array_to_string(
            [CAST(sum(CASE WHEN funnel_level > 0 THEN 1 ELSE 0 END) AS BIGINT),
             CAST(sum(CASE WHEN funnel_level > 1 THEN 1 ELSE 0 END) AS BIGINT),
-            CAST(sum(CASE WHEN funnel_level > 2 THEN 1 ELSE 0 END) AS BIGINT)]
+            CAST(sum(CASE WHEN funnel_level > 2 THEN 1 ELSE 0 END) AS BIGINT)], '|')
              AS funnel_counts
     FROM lv GROUP BY day
     """,
@@ -605,8 +609,8 @@ def beh_funnel_rep(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.to_date(F.min("ts")).alias("day"))
     )
-    return funnel_rep(
-        levels.join(first_signup, "user_id"), ["day"], event_numbers=3
+    return stringify_arrays(
+        funnel_rep(levels.join(first_signup, "user_id"), ["day"], event_numbers=3)
     )
 
 
@@ -684,7 +688,8 @@ def beh_user_distribution(spark: SparkSession, sf: str) -> DataFrame:
     ),
     run AS (
       SELECT p, d,
-             sum(d) OVER (ORDER BY p, d ROWS UNBOUNDED PRECEDING) AS r
+             CAST(sum(d) OVER (ORDER BY p, d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS r
       FROM deltas
     )
     SELECT (SELECT max(r) FROM run)          AS max_intersections,
@@ -723,10 +728,11 @@ _GA_STEPS = 100
     ),
     ok AS (SELECT * FROM slotted WHERE slot >= 0 AND slot < {_GA_STEPS})
     SELECT user_id,
+           array_to_string(
            [coalesce(bit_or(CASE WHEN slot // 64 = 0
                             THEN (1::BIGINT << CAST(slot % 64 AS INT)) END), 0),
             coalesce(bit_or(CASE WHEN slot // 64 = 1
-                            THEN (1::BIGINT << CAST(slot % 64 AS INT)) END), 0)]
+                            THEN (1::BIGINT << CAST(slot % 64 AS INT)) END), 0)], '|')
              AS gen_array
     FROM ok GROUP BY user_id
     """,
@@ -735,8 +741,8 @@ def beh_gen_array(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.udafs.behavioral import gen_array
 
     ev = _ev(spark, sf).select("user_id", F.unix_micros(F.col("ts")).alias("tus"))
-    return gen_array(
-        ev, ["user_id"], "tus", _GA_START_US, _GA_STEP_US, _GA_STEPS
+    return stringify_arrays(
+        gen_array(ev, ["user_id"], "tus", _GA_START_US, _GA_STEP_US, _GA_STEPS)
     )
 
 
@@ -873,9 +879,10 @@ def beh_finder_funnel(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH {_FF_ORACLE_CORE}
     SELECT slot,
+           array_to_string(
            [CAST(sum(CASE WHEN funnel_level > 0 THEN 1 ELSE 0 END) AS BIGINT),
             CAST(sum(CASE WHEN funnel_level > 1 THEN 1 ELSE 0 END) AS BIGINT),
-            CAST(sum(CASE WHEN funnel_level > 2 THEN 1 ELSE 0 END) AS BIGINT)]
+            CAST(sum(CASE WHEN funnel_level > 2 THEN 1 ELSE 0 END) AS BIGINT)], '|')
              AS funnel_counts
     FROM lv GROUP BY slot
     """,
@@ -891,7 +898,7 @@ def beh_funnel_rep_by_times(spark: SparkSession, sf: str) -> DataFrame:
         window_us=_FF_WINDOW_US,
         steps=["signup", "click", "purchase"],
     )
-    return funnel_rep(levels, ["slot"], event_numbers=3)
+    return stringify_arrays(funnel_rep(levels, ["slot"], event_numbers=3))
 
 
 # --------------------------------------------------------------------------
@@ -1165,12 +1172,13 @@ def beh_retention_loss(spark: SparkSession, sf: str) -> DataFrame:
       FROM dense a JOIN dense b ON a.u = b.u AND b.slot = a.slot - 1
       WHERE b.state = 3 AND (a.state & 1) != 0
     )
-    SELECT [CAST(count(CASE WHEN base = 0 THEN 1 END) AS BIGINT),
+    SELECT array_to_string(
+           [CAST(count(CASE WHEN base = 0 THEN 1 END) AS BIGINT),
             CAST(count(CASE WHEN base = 1 THEN 1 END) AS BIGINT),
             CAST(count(CASE WHEN base = 2 THEN 1 END) AS BIGINT),
             CAST(count(CASE WHEN base = 3 THEN 1 END) AS BIGINT),
             CAST(count(CASE WHEN base = 4 THEN 1 END) AS BIGINT),
-            CAST(count(CASE WHEN base = 5 THEN 1 END) AS BIGINT)]
+            CAST(count(CASE WHEN base = 5 THEN 1 END) AS BIGINT)], '|')
              AS match_counts
     FROM hits
     """,
@@ -1189,12 +1197,14 @@ def beh_slide_match_count(spark: SparkSession, sf: str) -> DataFrame:
     )
     # pattern [NEW+ARRIVE, ARRIVE]: registered in week w-1, back in week w;
     # slides cover bases 1..6
-    return slide_match_count(
-        states,
-        pattern=[3, 1],
-        start_index=1,
-        num_slides=6,
-        total_slots=_UD_SLOTS,
+    return stringify_arrays(
+        slide_match_count(
+            states,
+            pattern=[3, 1],
+            start_index=1,
+            num_slides=6,
+            total_slots=_UD_SLOTS,
+        )
     )
 
 
@@ -1218,7 +1228,7 @@ def beh_slide_match_count(spark: SparkSession, sf: str) -> DataFrame:
               WHERE slot >= s.range AND slot <= s.range + 3) AS n
       FROM range(6) s
     )
-    SELECT list(n ORDER BY i) AS range_counts FROM slides
+    SELECT array_to_string(list(n ORDER BY i), '|') AS range_counts FROM slides
     """,
 )
 def beh_last_range_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -1234,8 +1244,10 @@ def beh_last_range_count(spark: SparkSession, sf: str) -> DataFrame:
         ev, registrations, _UD_START_US, _UD_GRAN_US, _UD_SLOTS
     )
     # duration 4 weeks, slides ending at slots 3..8
-    return last_range_count(
-        states, duration=4, start_index=3, num_slides=6, total_slots=_UD_SLOTS
+    return stringify_arrays(
+        last_range_count(
+            states, duration=4, start_index=3, num_slides=6, total_slots=_UD_SLOTS
+        )
     )
 
 
@@ -1284,16 +1296,18 @@ def beh_debias_auc(spark: SparkSession, sf: str) -> DataFrame:
       WHERE e.t >= a.t0 AND e.t <= a.t0 + 86400000000
     )
     SELECT u AS user_id,
-           (list(e ORDER BY t, i))[1:10] AS path
+           array_to_string((list(e ORDER BY t, i))[1:10], '|') AS path
     FROM w GROUP BY u
     """,
 )
 def beh_funnel_path_split(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.udafs.behavioral import funnel_path_split
 
-    return funnel_path_split(
-        _ev(spark, sf),
-        anchor_type="signup",
-        window_us=86_400_000_000,
-        max_depth=10,
+    return stringify_arrays(
+        funnel_path_split(
+            _ev(spark, sf),
+            anchor_type="signup",
+            window_us=86_400_000_000,
+            max_depth=10,
+        )
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from byconity_spark.engine.catalog import load_table
 from byconity_spark.functions import ch
 from byconity_spark.workloads import register
+from byconity_spark.workloads._arrays import arr_str
 
 
 def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
@@ -180,7 +181,7 @@ def fn_math_cond_suite(spark: SparkSession, sf: str) -> DataFrame:
            len(list_distinct(arr))                        AS n_uniq,
            list_sort(list_distinct(arr))[1]               AS min_tok,
            len(list_filter(arr, x -> length(x) > 4))      AS n_long,
-           list_transform(arr[1:3], x -> upper(x))        AS up3,
+           array_to_string(list_transform(arr[1:3], x -> upper(x)), '|') AS up3,
            CAST(list_aggregate(list_transform(arr, x -> length(x)), 'sum') AS BIGINT) AS sum_lens,
            list_max(list_transform(arr, x -> length(x)))  AS max_len
     FROM d
@@ -202,7 +203,7 @@ def fn_array_suite(spark: SparkSession, sf: str) -> DataFrame:
             "min_tok"
         ),
         ch("arrayCount", lambda x: F.length(x) > 4, arr).cast("long").alias("n_long"),
-        ch("arrayMap", lambda x: F.upper(x), ch("arraySlice", arr, 1, 3)).alias("up3"),
+        arr_str(ch("arrayMap", lambda x: F.upper(x), ch("arraySlice", arr, 1, 3))).alias("up3"),
         ch("arraySum", ch("arrayMap", lambda x: F.length(x), arr))
         .cast("long")
         .alias("sum_lens"),
@@ -225,7 +226,7 @@ def fn_array_suite(spark: SparkSession, sf: str) -> DataFrame:
            value                                  AS v1,
            value * 2                              AS v2,
            CAST(2 AS BIGINT)                      AS n_vals,
-           ['id', 't']                            AS u_keys
+           array_to_string(['id', 't'], '|')      AS u_keys
     FROM events
     """,
 )
@@ -256,7 +257,7 @@ def fn_json_suite(spark: SparkSession, sf: str) -> DataFrame:
         ch("JSONExtractFloat", nested, "vals", 1).alias("v1"),
         ch("JSONExtractFloat", nested, "vals", 2).alias("v2"),
         F.size(ch("JSONExtractArrayRaw", nested, "vals")).cast("long").alias("n_vals"),
-        ch("JSONExtractKeys", nested, "u").alias("u_keys"),
+        arr_str(ch("JSONExtractKeys", nested, "u")).alias("u_keys"),
     )
 
 

@@ -36,6 +36,7 @@ from byconity_spark.llm import (
     text_quality,
 )
 from byconity_spark.workloads import register
+from byconity_spark.workloads._arrays import stringify_arrays
 
 # DuckDB-side normalized text + distinct word-3-shingles (mirrors
 # llm.dedup.normalize_text / word_shingles)
@@ -195,7 +196,7 @@ def llm_language_guess(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------------- fingerprint
 @register("llm_doc_fingerprint")  # rows-only: xxhash64-specific values
 def llm_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    return doc_fingerprint(_docs(spark, sf))
+    return stringify_arrays(doc_fingerprint(_docs(spark, sf)))
 
 
 # ------------------------------------------------------- ANN (brute force)
@@ -248,12 +249,18 @@ def ann_lsh_topk_query(spark: SparkSession, sf: str) -> DataFrame:
     per_dim AS (
       SELECT label, pos, avg(v) AS m FROM x GROUP BY label, pos
     )
-    SELECT label, list(m ORDER BY pos) AS centroid
+    SELECT label,
+           array_to_string(list_transform(list(round(m, 6) ORDER BY pos),
+                                          x -> printf('%.6f', x)), '|') AS centroid
     FROM per_dim GROUP BY label
     """,
 )
 def ann_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
-    return elementwise_centroids(_emb(spark, sf))
+    cent = elementwise_centroids(_emb(spark, sf))
+    cent = cent.withColumn(
+        "centroid", F.transform(F.col("centroid"), lambda x: F.round(x, 6))
+    )
+    return stringify_arrays(cent)
 
 
 # ------------------------------------------------------------- ANN (IVF)
@@ -270,7 +277,7 @@ def ann_ivf_topk_query(spark: SparkSession, sf: str) -> DataFrame:
 @register("mm_decode_features")  # rows-only: stubbed decode kernel
 def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     mm = attach_binary_payload(_docs(spark, sf))
-    return extract_features(mm)
+    return stringify_arrays(extract_features(mm))
 
 
 # ------------------------------------------- char-ngram language profiles

@@ -233,7 +233,7 @@ def op_limit_ties_quantity(spark: SparkSession, sf: str) -> DataFrame:
     )
     return limit_with_ties(
         li.select("l_orderkey", "l_linenumber", "l_quantity"),
-        order=[F.col("l_quantity").desc()],
+        order=[(F.col("l_quantity"), False)],
         n=10,
     )
 

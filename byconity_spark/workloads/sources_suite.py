@@ -28,6 +28,7 @@ from byconity_spark.operators.dictionary import dict_get
 from byconity_spark.operators.extremes import extremes
 from byconity_spark.operators.sorts import fill_time_series
 from byconity_spark.workloads import register
+from byconity_spark.workloads._arrays import arr_dbl_str, arr_str
 
 
 def _tmp(sf: str, tag: str) -> str:
@@ -135,17 +136,21 @@ def dict_get_order_status(spark: SparkSession, sf: str) -> DataFrame:
       FROM events GROUP BY event_type, user_id % 5
     )
     SELECT event_type,
-           list(k ORDER BY k) AS sum_map_keys,
-           list(v ORDER BY k) AS sum_map_values
+           array_to_string(list(k ORDER BY k), '|') AS sum_map_keys,
+           array_to_string(list_transform(list(v ORDER BY k),
+                                          x -> printf('%.6f', x)), '|') AS sum_map_values
     FROM per_key GROUP BY event_type
     """,
 )
 def summap_user_buckets(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").withColumn("k", F.col("user_id") % 5)
     out = sum_map(ev, ["event_type"], "k", "value")
-    return out.withColumn(
-        "sum_map_values",
-        F.transform(F.col("sum_map_values"), lambda v: F.round(v, 4)),
+    return out.select(
+        "event_type",
+        arr_str(F.col("sum_map_keys")).alias("sum_map_keys"),
+        arr_dbl_str(
+            F.transform(F.col("sum_map_values"), lambda v: F.round(v, 4))
+        ).alias("sum_map_values"),
     )
 
 

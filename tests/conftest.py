@@ -11,7 +11,9 @@ from datetime import date, datetime
 import duckdb
 import pytest
 
-SF_DIR = os.environ.get("BSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default to sf0.01 — the scale the verification driver certifies at.
+# Use BSPARK_TEST_SF_DIR=/root/testdata/sf0.001 for a faster smoke run.
+SF_DIR = os.environ.get("BSPARK_TEST_SF_DIR", "/root/testdata/sf0.01")
 TABLE_NAMES = [
     "region",
     "nation",

@@ -337,3 +337,26 @@ def test_debias_auc_undoes_downsampling(spark):
         n_bins=50_000, lo=0.0, hi=1.0,
     ).collect()[0].auc
     assert abs(debiased - full) < 0.01
+
+
+def test_slide_and_range_guards_return_zero_arrays(spark):
+    """Reference SlideMatchCount.h / LastRangeCount.h add(): out-of-range
+    windows contribute nothing — the result is zero counts, never an
+    unresolved-column crash (ADVICE r03)."""
+    from byconity_spark.udafs.behavioral import last_range_count, slide_match_count
+
+    states = spark.createDataFrame(
+        [(1, 0, 3), (1, 1, 1)], "u long, slot long, state int"
+    )
+    # pattern longer than start_index+1 → all-zero
+    r = slide_match_count(states, pattern=[3, 1, 1], start_index=1,
+                          num_slides=2, total_slots=4).collect()
+    assert r[0][0] == "0|0" or list(r[0][0]) == [0, 0]
+    # window runs past total_slots → all-zero
+    r = slide_match_count(states, pattern=[1], start_index=2,
+                          num_slides=5, total_slots=4).collect()
+    assert r[0][0] == "0|0|0|0|0" or list(r[0][0]) == [0, 0, 0, 0, 0]
+    # duration exceeds start_index+1 → all-zero
+    r = last_range_count(states, duration=4, start_index=1,
+                         num_slides=2, total_slots=4).collect()
+    assert r[0][0] == "0|0" or list(r[0][0]) == [0, 0]

@@ -90,13 +90,17 @@ def test_bitmap_expr_parser():
     from byconity_spark.udafs.bitmaps import BitmapExprError, _parse_bitmap_expr
 
     assert _parse_bitmap_expr("a&b") == [("tag", "a"), ("tag", "b"), "&"]
-    # precedence: & binds tighter than |
+    # reference semantics: ALL operators reduce left-to-right with EQUAL
+    # precedence (AggregateBitmapExpressionCommon.h subExpression), so
+    # a|b&c is (a|b)&c
     assert _parse_bitmap_expr("a|b&c") == [
-        ("tag", "a"), ("tag", "b"), ("tag", "c"), "&", "|",
+        ("tag", "a"), ("tag", "b"), "|", ("tag", "c"), "&",
     ]
     assert _parse_bitmap_expr("(a|b)&c") == [
         ("tag", "a"), ("tag", "b"), "|", ("tag", "c"), "&",
     ]
+    # ',' is a union alias
+    assert _parse_bitmap_expr("a,b") == [("tag", "a"), ("tag", "b"), ","]
     import pytest as _pytest
 
     with _pytest.raises(BitmapExprError):

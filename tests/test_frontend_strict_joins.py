@@ -43,6 +43,37 @@ def test_asof_forward_strict(views):
     assert all(r.click_ts >= r.signup_ts for r in matched)
 
 
+def test_asof_using_last_column_is_inequality(views):
+    """ClickHouse ASOF JOIN USING(k, t): the LAST column is the >=
+    inequality, the rest equi keys."""
+    views.sql(
+        "SELECT user_id, ts, event_id AS purchase_id FROM events "
+        "WHERE event_type = 'purchase'"
+    ).createOrReplaceTempView("asof_u_purch_v")
+    views.sql(
+        "SELECT user_id, ts, max(event_id) AS click_id FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id, ts"
+    ).createOrReplaceTempView("asof_u_click_v")
+    out = ch_sql(
+        views,
+        """
+        SELECT p.purchase_id, p.user_id, c.click_id
+        FROM asof_u_purch_v p ASOF LEFT JOIN asof_u_click_v c USING (user_id, ts)
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) == views.table("asof_u_purch_v").count()
+    assert any(r.click_id is not None for r in rows)
+
+    # single-column USING cannot express ASOF (no equi key left)
+    with pytest.raises(ChSqlError):
+        ch_sql(
+            views,
+            "SELECT p.purchase_id FROM asof_u_purch_v p "
+            "ASOF JOIN asof_u_click_v c USING (ts)",
+        )
+
+
 def test_any_inner_join(views):
     out = ch_sql(
         views,

@@ -38,6 +38,15 @@ def test_limit_by_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in _plan(q)
 
 
+def test_limit_with_ties_no_global_window(spark):
+    """LIMIT WITH TIES must use the boundary-broadcast plan: distributed
+    top-n + map-side filter, never a `rank() OVER ()` global window (one
+    partition holding the whole table at 100 TB)."""
+    df = all_queries()["op_limit_ties_quantity"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan, "global window reintroduced in WITH TIES"
+
+
 def test_equi_joins_never_cartesian(spark):
     for name in ["q3_shipping_priority", "q5_local_supplier_volume", "llm_minhash_dedup"]:
         plan = _plan(all_queries()[name].builder(spark, SF_DIR))

@@ -84,3 +84,20 @@ def test_theta_merge_equals_whole():
     # merge of halves must equal the whole-build sketch EXACTLY: the k
     # smallest of the union of per-half k-smallest = global k smallest
     assert _theta_merge_arrays([a, b]) == whole
+
+
+def test_uniq_state_skips_nulls(spark):
+    """ClickHouse uniq ignores NULL values; xxhash64(NULL) returning the
+    seed must not leak one phantom distinct (ADVICE r03)."""
+    from byconity_spark.udafs.sketches import uniq_estimate, uniq_merge, uniq_state
+
+    rows = [(1, "a"), (1, "b"), (1, None), (2, None), (2, None)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    est = (
+        uniq_merge(uniq_state(df, ["g"], "v"), ["g"])
+        .select("g", uniq_estimate("uniq_state").alias("u"))
+        .collect()
+    )
+    got = {r.g: r.u for r in est}
+    assert got[1] == 2  # 'a','b' — NULL not counted
+    assert got[2] == 0  # all-NULL group counts zero
