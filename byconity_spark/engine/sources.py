@@ -15,8 +15,9 @@ def jdbc_table(
     spark: SparkSession,
     url: str,
     table: str,
-    user: str,
-    password: str,
+    user: str = "",
+    password: str = "",
+    driver: str | None = None,
     partition_column: str | None = None,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
@@ -29,10 +30,12 @@ def jdbc_table(
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
         .option("fetchsize", str(fetch_size))
     )
+    if user:
+        reader = reader.option("user", user).option("password", password)
+    if driver:
+        reader = reader.option("driver", driver)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -41,3 +44,33 @@ def jdbc_table(
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
+
+
+def derby_memory_url(name: str) -> str:
+    """Embedded Derby in-memory JDBC URL — the only JDBC backend bundled
+    with Spark's jars, used to exercise the real JDBC read/write path in a
+    single-JVM deployment.  On a cluster, substitute a server URL
+    (jdbc:mysql://..., jdbc:postgresql://...) — the reader options are
+    identical (reference src/Storages/registerStorages.cpp:67-147 registers
+    the MySQL/PostgreSQL/JDBC table engines this maps to)."""
+    return f"jdbc:derby:memory:{name};create=true"
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """Configured JDBC write.  batchsize batches INSERTs per round trip;
+    at scale also repartition the frame to bound concurrent connections
+    (one per task)."""
+    props = {"batchsize": str(batch_size)}
+    if driver:
+        props["driver"] = driver
+    df.write.jdbc(url, table, mode=mode, properties=props)

@@ -668,6 +668,124 @@ SCALAR["substring"] = lambda c, pos, ln=None: (
     F.substring(c, pos, ln) if ln is not None else F.substring(c, pos, 1 << 30)
 )
 
+# --- round-4 breadth batch (reference src/Functions/array/*,
+# FunctionsStringSearch, FunctionsRound.cpp, FunctionDateOrDateTime*) ---
+SCALAR.update(
+    {
+        "arrayLast": lambda lam, arr: F.try_element_at(F.filter(arr, lam), F.lit(-1)),
+        "arrayFirstIndex": lambda lam, arr: F.coalesce(
+            F.array_position(
+                F.transform(arr, lam), F.lit(True)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        "arrayPopFront": lambda arr: F.slice(arr, 2, 1 << 30),
+        "arrayUniq": lambda arr: F.size(F.array_distinct(arr)).cast("long"),
+        "arrayCumSumNonNegative": lambda arr: F.reverse(
+            F.aggregate(
+                arr,
+                F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+                lambda acc, x: F.concat(
+                    F.array(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.coalesce(F.try_element_at(acc, F.lit(1)), F.lit(0.0))
+                            + x.cast("double"),
+                        )
+                    ),
+                    acc,
+                ),
+            )
+        ),
+        "mapFromArrays": lambda ks, vs: F.map_from_arrays(ks, vs),
+        "multiSearchAny": lambda c, needles: F.array_max(
+            F.array(*[F.instr(c, n) > 0 for n in needles])
+        ),
+        "countSubstrings": lambda c, needle: F.when(
+            F.length(c) > 0,
+            (
+                (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+                / len(needle)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+        "alphaTokens": lambda c: F.filter(
+            F.split(c, "[^A-Za-z]+"), lambda t: t != ""
+        ),
+        "tokens": lambda c: F.filter(
+            F.split(c, "[^A-Za-z0-9]+"), lambda t: t != ""
+        ),
+        "isValidUTF8": lambda c: c.isNotNull(),  # Spark strings are validated
+        "ascii": lambda c: F.ascii(c),
+        "char": lambda *cs: F.concat(*[F.char(c) for c in cs]),
+        "translate": lambda c, frm, to: F.translate(c, frm, to),
+        "initcap": lambda c: F.initcap(c),
+        "soundex": lambda c: F.soundex(c),
+        "regexpExtract": lambda c, pat, grp=1: F.regexp_extract(c, pat, grp),
+        # CH extractAll: capture group 1 when the pattern has one, else the
+        # whole match
+        "extractAll": lambda c, pat: F.regexp_extract_all(
+            c,
+            F.lit(pat),
+            1 if __import__("re").compile(pat).groups > 0 else 0,
+        ),
+        "countMatches": lambda c, pat: F.size(
+            F.regexp_extract_all(c, F.lit(pat), 0)
+        ).cast("long"),
+        "concatWithSeparator": lambda sep, *cols: F.concat_ws(sep, *cols),
+        "toLastDayOfMonth": lambda c: F.last_day(c),
+        "monthName": lambda c: F.date_format(c, "MMMM"),
+        "dateName": lambda part, c: {
+            "year": F.date_format(c, "yyyy"),
+            "month": F.date_format(c, "MMMM"),
+            "weekday": F.date_format(c, "EEEE"),
+            "day": F.date_format(c, "d"),
+        }[part.lower()],
+        "toRelativeDayNum": lambda c: (
+            F.unix_timestamp(c.cast("timestamp")) / 86400
+        ).cast("long"),
+        "toStartOfInterval": lambda c, unit: F.date_trunc(unit, c),
+        "roundAge": lambda c: _multi_if(
+            c < 1, F.lit(0), c < 18, F.lit(17), c < 25, F.lit(18),
+            c < 35, F.lit(25), c < 45, F.lit(35), c < 55, F.lit(45),
+            F.lit(55),
+        ).cast("long"),
+        "roundDuration": lambda c: F.coalesce(
+            *[
+                F.when(c >= F.lit(v), F.lit(v).cast("long"))
+                for v in (36000, 18000, 7200, 3600, 1800, 600, 300, 240,
+                          180, 120, 60, 30, 10, 1)
+            ],
+            F.lit(0).cast("long"),
+        ),
+        "bitRotateLeft": lambda c, n: F.shiftleft(c, n).bitwiseOR(
+            F.shiftrightunsigned(c, 64 - n)
+        ),
+        "erf": lambda c: _erf_col(c),
+        "ifNotFinite": lambda x, alt: F.when(
+            F.isnan(x) | (F.abs(x) == float("inf")), alt
+        ).otherwise(x),
+        "toNullable": lambda c: c,
+        "indexHint": lambda *cols: F.lit(True),
+    }
+)
+
+
+def _erf_col(c: Column) -> Column:
+    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| <= 1.5e-7) — Spark
+    has no native erf; this keeps the expression JVM-side."""
+    x = c.cast("double")
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * ax)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    y = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.when(x < 0, -y).otherwise(y)
+
 
 # =========================================================================
 # Aggregate functions + combinator engine
@@ -862,6 +980,34 @@ def _apply_resample(base: Callable[..., Column], *args) -> Column:
     return F.array(*cells)
 
 
+def _apply_stack(base: Callable[..., Column], *args) -> Column:
+    """-Stack combinator (reference AggregateFunctionStackGraph.h
+    AggregateFunctionStack): ``<agg>Stack(start, end, step, value..., key)``
+    buckets rows by key like -Resample, but emission CUMULATIVELY merges
+    slot i into slots 0..i-1 (insertResultInto merges left-to-right), so
+    cell i = nested agg over keys in [start, start + (i+1)*step) — the
+    stacked-graph prefix curve.  Expressed directly as a prefix-masked
+    aggregate (key < hi_i), which equals the reference's running merge for
+    ANY nested aggregate, not just distributive ones.  Returns
+    array<struct<k, v>> matching the reference's Array(Tuple(key, result))."""
+    start, end, step, *vals, key = args
+    if step <= 0 or end <= start:
+        raise ValueError("Stack needs start < end and step > 0")
+    n_buckets = -(-(end - start) // step)
+    cells = []
+    for i in range(int(n_buckets)):
+        hi = min(start + (i + 1) * step, end)
+        cond = (key >= F.lit(start)) & (key < F.lit(hi))
+        masked = [F.when(cond, v) for v in vals] or [F.when(cond, F.lit(1))]
+        cells.append(
+            F.struct(
+                F.lit(start + i * step).cast("long").alias("k"),
+                base(*masked).alias("v"),
+            )
+        )
+    return F.array(*cells)
+
+
 def _apply_foreach(base_name: str, arr: Column) -> Column:
     """-ForEach combinator (reference AggregateFunctionForEach.h):
     elementwise aggregation over array columns — result[i] = agg of the
@@ -892,7 +1038,7 @@ def _apply_foreach(base_name: str, arr: Column) -> Column:
     raise UnknownFunctionError(f"-ForEach not supported for {base_name}")
 
 
-_SUFFIXES = ("If", "Distinct", "Array", "OrNull", "Resample", "ForEach")
+_SUFFIXES = ("If", "Distinct", "Array", "OrNull", "Resample", "ForEach", "Stack")
 
 
 def ch_agg(name: str, *args) -> Column:
@@ -917,6 +1063,8 @@ def ch_agg(name: str, *args) -> Column:
                 return _apply_resample(base, *args)
             if suffix == "ForEach":
                 return _apply_foreach(base_name, *args)
+            if suffix == "Stack":
+                return _apply_stack(base, *args)
     raise UnknownFunctionError(
         f"unknown aggregate function {name!r} (no base+combinator match)"
     )

@@ -68,3 +68,41 @@ def sum_map(
             F.col("__kvs.v").alias("sum_map_values"),
         )
     )
+
+
+def merge_stream_stack(
+    df: DataFrame,
+    group_cols: list[str],
+    stack_col: str,
+) -> DataFrame:
+    """MergeStreamStack (reference AggregateFunctionStackGraph.h
+    MergeSteamStackData): merge array<struct<k, v>> stack curves by
+    element-wise SUM of values, requiring identical key vectors — the
+    "combine per-stream stacked graphs into one" step.
+
+    Scale shape: posexplode + groupBy(group, k) partial-sums map-side
+    (unlike collect-then-fold, this combines before the shuffle), then one
+    bounded collect_list per group rebuilds the ordered curve.  Key
+    mismatch surfaces as differing per-key row counts, checked with one
+    aggregate rather than the reference's per-merge exception."""
+    n_rows = df.groupBy(*group_cols).count().withColumnRenamed("count", "__n")
+    exploded = df.select(
+        *group_cols, F.explode(F.col(stack_col)).alias("__cell")
+    ).select(*group_cols, F.col("__cell.k").alias("__k"), F.col("__cell.v").alias("__v"))
+    summed = exploded.groupBy(*group_cols, "__k").agg(
+        F.sum("__v").alias("__v"), F.count(F.lit(1)).alias("__cnt")
+    )
+    checked = summed.join(n_rows, group_cols)
+    bad = checked.filter(F.col("__cnt") != F.col("__n"))
+    # contract check (cheap: runs over the tiny per-key aggregate)
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "MergeStreamStack requires identical key vectors across merged rows"
+        )
+    return (
+        checked.select(
+            *group_cols, F.struct(F.col("__k").alias("k"), F.col("__v").alias("v")).alias("__kv")
+        )
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__kv")).alias(stack_col))
+    )

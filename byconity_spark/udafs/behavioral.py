@@ -1448,3 +1448,177 @@ def funnel_path_split(
         .agg(ordered_path.alias("path"))
         .select(F.col("u").alias(user_col), "path")
     )
+
+
+def funnel_path_split_by_times(
+    events: DataFrame,
+    anchor_type: str,
+    window_us: int,
+    max_depth: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """funnelPathSplitByTimes (reference
+    AggregateFunctionFunnelPathSplitByTimes.h insertResultInto): unlike the
+    base funnelPathSplit (one path anchored at the user's FIRST anchor),
+    EVERY anchor event opens a new path bucket; each later event joins the
+    most recent bucket while inside its window/depth, so paths never
+    overlap.  Emits one row per (user, path_no) with the ordered type path.
+
+    Shape: the "most recent anchor at-or-before me" assignment is a
+    per-user last_value window (partitioned by user — no global window),
+    then one grouped ordered-array aggregate per bucket.  All JVM."""
+    us = F.unix_micros(F.col(ts_col))
+    e = events.select(
+        F.col(user_col).alias("u"),
+        us.alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("e"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "i")
+    is_anchor = F.col("e") == anchor_type
+    tagged = e.select(
+        "u", "t", "i", "e",
+        F.last(F.when(is_anchor, F.col("t")), ignorenulls=True).over(w).alias("a_t"),
+        F.last(F.when(is_anchor, F.col("i")), ignorenulls=True).over(w).alias("a_i"),
+    )
+    in_win = tagged.filter(
+        F.col("a_t").isNotNull() & (F.col("t") <= F.col("a_t") + F.lit(window_us))
+    )
+    ordered_path = F.slice(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("t", "i", "e"))), lambda s: s.e
+        ),
+        1,
+        max_depth,
+    )
+    per_bucket = in_win.groupBy("u", "a_t", "a_i").agg(ordered_path.alias("path"))
+    wn = Window.partitionBy("u").orderBy("a_t", "a_i")
+    return per_bucket.select(
+        F.col("u").alias(user_col),
+        F.row_number().over(wn).cast("long").alias("path_no"),
+        "path",
+    )
+
+
+def reg_auc_core(preds: np.ndarray, labels: np.ndarray) -> float:
+    """regAuc default-flag core (reference AggregateFunctionRegAuc.h
+    calc_correct_pairs): correct pairs = strictly concordant pairs
+    {p_a > p_b and l_a > l_b} plus identical pairs {p_a == p_b and
+    l_a == l_b}; rate over all C(n,2) pairs; -1.0 when no pairs.
+
+    Counting is O(n log n): Fenwick tree over compressed labels, scanning
+    pred-ties as blocks (query before inserting the block so equal preds
+    never count as concordant) — the same totals as the reference's
+    mergesort pair counter plus run corrections."""
+    n = len(preds)
+    if n < 2:
+        return -1.0
+    order = np.lexsort((labels, preds))
+    p, l = preds[order], labels[order]
+    _, lr = np.unique(l, return_inverse=True)
+    m = lr.max() + 1
+    tree = np.zeros(m + 1, dtype=np.int64)
+
+    def bit_add(i):
+        i += 1
+        while i <= m:
+            tree[i] += 1
+            i += i & (-i)
+
+    def bit_sum(i):  # count of inserted labels with rank < i
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    concordant = 0
+    start = 0
+    while start < n:
+        stop = start
+        while stop < n and p[stop] == p[start]:
+            stop += 1
+        for j in range(start, stop):  # query before inserting the pred block
+            concordant += bit_sum(lr[j])
+        for j in range(start, stop):
+            bit_add(lr[j])
+        start = stop
+    # identical (p, l) pairs
+    pl = np.stack([p, l], axis=1)
+    _, counts = np.unique(pl, axis=0, return_counts=True)
+    identical = int((counts * (counts - 1) // 2).sum())
+    total = n * (n - 1) // 2
+    return float(concordant + identical) / total
+
+
+def reg_auc(
+    events: DataFrame,
+    score_col: Column,
+    label_col: Column,
+) -> DataFrame:
+    """regAuc (reference AggregateFunctionRegAuc.h): regression-AUC
+    concordance rate, EXACT deterministic path (the reference samples
+    randomly above num_reg_sample pairs — non-deterministic, so the exact
+    path is the contract here; the state is a single collected pair array
+    in the reference too, max 4096 per block)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = reg_auc_core(
+            pdf["p"].to_numpy(np.float64), pdf["l"].to_numpy(np.float64)
+        )
+        return pd.DataFrame({"reg_auc": [round(v, 6)]})
+
+    return (
+        events.select(score_col.alias("p"), label_col.alias("l"))
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(kernel, schema="reg_auc double")
+    )
+
+
+def ecpm_auc(
+    events: DataFrame,
+    ecpm_col: Column,
+    adv_value_col: Column,
+    precision: float = 0.00001,
+    lo: float = -2.5,
+    hi: float = 2.5,
+) -> DataFrame:
+    """ecpmAuc (reference AggregateFunctionEcpmAuc.h): bucket rows by
+    quantized -log10(ecpm) (bucket 0 = highest ecpm), accumulate
+    (count, sum adv_value) per bucket, then
+    auc = (sum_i n_i*cum_adv_before_i + sum_i n_i*cum_adv_through_i)
+          / (2 * N * total_adv)  — the trapezoidal area under the
+    ecpm-ranked advertiser-value curve.
+
+    Scale shape mirrors fast_auc: ONE map-side-combinable bucket aggregate
+    plus a bounded (#occupied buckets <= 1/precision) prefix frame."""
+    interval = hi - lo
+    bucket_num = int(np.ceil(1.0 / precision))
+    bucket = F.least(
+        F.lit(bucket_num - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.lit(hi) - F.log10(ecpm_col)) / F.lit(precision * interval))
+            .cast("int"),
+        ),
+    )
+    per_bucket = (
+        events.select(bucket.alias("bucket"), adv_value_col.alias("adv"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("adv").alias("a"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    pref = per_bucket.withColumn(
+        "before", F.coalesce(F.sum("a").over(w), F.lit(0.0))
+    )
+    lb = F.sum(F.col("n") * F.col("before"))
+    ub = F.sum(F.col("n") * (F.col("before") + F.col("a")))
+    return pref.agg(
+        F.round(
+            (lb + ub) / (2.0 * F.sum("n") * F.sum("a")), 6
+        ).alias("ecpm_auc")
+    )

@@ -366,3 +366,70 @@ def bitmap_max_level(
         .groupBy("__g")
         .applyInPandas(kernel, schema="level long, cardinality long")
     )
+
+
+_BITMAP_JOIN_OPS = {"AND", "OR", "XOR", "ANDNOT", "RANDNOT", "REVERSEANDNOT", "NONE"}
+
+
+def bitmap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    logic_op: str = "AND",
+    how: str = "inner",
+    bm_col: str = "bm",
+) -> DataFrame:
+    """bitmapJoin / bitmapJoinAndCard (reference
+    AggregateFunctionBitMapJoin.h:52-118, BitMapJoinAndCard.h): join two
+    per-key bitmap-state frames on their join keys, combine the paired
+    bitmaps with a logic operation (AND / OR / XOR / ANDNOT / RANDNOT),
+    emit (keys..., bm, cardinality).
+
+    The reference executes this INSIDE one aggregate via a sharded
+    driver-local hash map (KVSharded) — single node by construction.  Here
+    the join is a plain Spark equi-join (broadcast or shuffle, AQE's call)
+    over compressed states, so it scales with the cluster; only the
+    per-pair combine kernel is Python (Arrow-batched numpy set ops).
+    LEFT join treats a missing right side as the empty bitmap."""
+    op = logic_op.upper()
+    if op not in _BITMAP_JOIN_OPS:
+        raise ValueError(f"bitmapJoin: unknown logic op {logic_op!r}")
+    if how not in ("inner", "left"):
+        raise ValueError("bitmapJoin supports INNER and LEFT joins")
+
+    l = left.select(*on, F.col(bm_col).alias("__bl"))
+    r = right.select(*on, F.col(bm_col).alias("__br"))
+    joined = l.join(r, on=on, how=how)
+
+    key_schema = ", ".join(
+        f"{c} {left.schema[c].dataType.simpleString()}" for c in on
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs, cards = [], []
+            for bl, br in zip(pdf["__bl"], pdf["__br"]):
+                a = _decode(bl)
+                b = _decode(br) if br is not None else np.empty(0, dtype="<i8")
+                if op == "AND":
+                    res = np.intersect1d(a, b)
+                elif op in ("OR", "NONE"):
+                    res = np.union1d(a, b)
+                elif op == "XOR":
+                    res = np.setxor1d(a, b)
+                elif op == "ANDNOT":
+                    res = np.setdiff1d(a, b)
+                else:  # RANDNOT / REVERSEANDNOT
+                    res = np.setdiff1d(b, a)
+                outs.append(_encode(res))
+                cards.append(len(res))
+            out = pdf[on].copy()
+            out["bm"] = outs
+            out["cardinality"] = cards
+            yield out
+
+    return joined.mapInPandas(
+        kernel, schema=f"{key_schema}, bm binary, cardinality long"
+    )

@@ -886,3 +886,60 @@ def agg_foreach_suite(spark: SparkSession, sf: str) -> DataFrame:
         arr_dbl_str(rnd(ch("maxForEach", F.col("a")))).alias("maxs"),
         arr_dbl_str(rnd(ch("avgForEach", F.col("a")))).alias("avgs"),
     )
+
+
+# ------------------- -Stack combinator (stacked-graph cumulative resample)
+_STACK_ORACLE = """
+    SELECT event_type,
+           concat(
+             '0:',    printf('%.4f', round(coalesce(sum(CASE WHEN user_id >= 0 AND user_id < 50  THEN value END), 0), 4)),
+             '|50:',  printf('%.4f', round(coalesce(sum(CASE WHEN user_id >= 0 AND user_id < 100 THEN value END), 0), 4)),
+             '|100:', printf('%.4f', round(coalesce(sum(CASE WHEN user_id >= 0 AND user_id < 150 THEN value END), 0), 4))
+           ) AS stack
+    FROM events GROUP BY event_type
+"""
+
+
+def _stack_to_string(stack) -> "F.Column":
+    return F.array_join(
+        F.transform(
+            stack,
+            lambda s: F.concat_ws(
+                ":",
+                s.k.cast("string"),
+                F.format_string(
+                    "%.4f", F.round(F.coalesce(s.v, F.lit(0.0)), 4)
+                ),
+            ),
+        ),
+        "|",
+    )
+
+
+@register("agg_sum_stack", oracle=_STACK_ORACLE)
+def agg_sum_stack(spark: SparkSession, sf: str) -> DataFrame:
+    """sumStack(0, 150, 50)(value, user_id) (reference
+    AggregateFunctionStackGraph.h AggregateFunctionStack): resample buckets
+    whose emitted cell i is the CUMULATIVE merge of slots 0..i — the
+    stacked-graph curve.  One conditional-masked aggregation pass."""
+    ev = _t(spark, sf, "events")
+    st = ch("sumStack", 0, 150, 50, F.col("value"), F.col("user_id"))
+    return ev.groupBy("event_type").agg(_stack_to_string(st).alias("stack"))
+
+
+@register("agg_merge_stream_stack", oracle=_STACK_ORACLE)
+def agg_merge_stream_stack(spark: SparkSession, sf: str) -> DataFrame:
+    """MergeStreamStack (reference AggregateFunctionStackGraph.h
+    AggregateFunctionMergeStreamStack): element-wise SUM of per-stream
+    stack curves with identical key vectors.  Sub-curves build per
+    (event_type, user_id%4) shard; the merge must reproduce the whole-group
+    curve exactly (sum is distributive), which the shared oracle asserts."""
+    from byconity_spark.operators.aggregates import merge_stream_stack
+
+    ev = _t(spark, sf, "events").withColumn("part", F.col("user_id") % 4)
+    st = ch("sumStack", 0, 150, 50, F.col("value"), F.col("user_id"))
+    sub = ev.groupBy("event_type", "part").agg(st.alias("curve"))
+    merged = merge_stream_stack(sub.drop("part"), ["event_type"], "curve")
+    return merged.select(
+        "event_type", _stack_to_string(F.col("curve")).alias("stack")
+    )

@@ -1311,3 +1311,140 @@ def beh_funnel_path_split(spark: SparkSession, sf: str) -> DataFrame:
             max_depth=10,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# funnelPathSplitByTimes: EVERY anchor opens a new path bucket (reference
+# AggregateFunctionFunnelPathSplitByTimes.h) — vs the base funnelPathSplit
+# which anchors only at the user's first anchor event.  Duplicate-timestamp
+# anchors are deduped (max event_id) so the bucket key is (user, anchor_ts)
+# on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "beh_funnel_path_split_times",
+    oracle="""
+    WITH raw AS (
+      SELECT user_id AS u, event_id AS i, event_type AS e,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ),
+    ded AS (
+      SELECT u, t, i, e FROM (
+        SELECT u, t, i, e,
+               row_number() OVER (PARTITION BY u, t, e ORDER BY i DESC) AS rn
+        FROM raw) x
+      WHERE e != 'signup' OR rn = 1
+    ),
+    tagged AS (
+      SELECT u, t, i, e,
+             max(CASE WHEN e = 'signup' THEN t END)
+               OVER (PARTITION BY u ORDER BY t, i ROWS UNBOUNDED PRECEDING) AS a_t
+      FROM ded
+    ),
+    win AS (
+      SELECT * FROM tagged
+      WHERE a_t IS NOT NULL AND t <= a_t + 86400000000
+    ),
+    paths AS (
+      SELECT u, a_t, (list(e ORDER BY t, i))[1:10] AS parr
+      FROM win GROUP BY u, a_t
+    )
+    SELECT u AS user_id,
+           CAST(row_number() OVER (PARTITION BY u ORDER BY a_t) AS BIGINT)
+             AS path_no,
+           array_to_string(parr, '|') AS path
+    FROM paths
+    """,
+)
+def beh_funnel_path_split_times(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import funnel_path_split_by_times
+
+    ev = _ev(spark, sf)
+    wdup = Window.partitionBy("user_id", "ts", "event_type").orderBy(
+        F.col("event_id").desc()
+    )
+    ded = (
+        ev.withColumn("__rn", F.row_number().over(wdup))
+        .filter((F.col("event_type") != "signup") | (F.col("__rn") == 1))
+        .drop("__rn")
+    )
+    return stringify_arrays(
+        funnel_path_split_by_times(
+            ded, anchor_type="signup", window_us=86_400_000_000, max_depth=10
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# regAuc: exact concordance rate over (pred, label) pairs (reference
+# AggregateFunctionRegAuc.h, default flag: strict-concordant + identical).
+# Bounded subset — the DuckDB oracle materializes all pairs.
+# --------------------------------------------------------------------------
+@register(
+    "beh_reg_auc",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, round(value, 0) AS p,
+             CAST(user_id % 3 AS DOUBLE) AS l
+      FROM events WHERE user_id < 50
+    ),
+    pairs AS (
+      SELECT a.p AS pa, a.l AS la, b.p AS pb, b.l AS lb
+      FROM d a JOIN d b ON a.event_id < b.event_id
+    )
+    SELECT round(
+      CAST(sum(CASE WHEN (pa > pb AND la > lb) OR (pb > pa AND lb > la)
+                      OR (pa = pb AND la = lb) THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(*), 6) AS reg_auc
+    FROM pairs
+    """,
+)
+def beh_reg_auc(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import reg_auc
+
+    ev = _ev(spark, sf).filter(F.col("user_id") < 50)
+    return reg_auc(
+        ev, F.round(F.col("value"), 0), (F.col("user_id") % 3).cast("double")
+    )
+
+
+# --------------------------------------------------------------------------
+# ecpmAuc: bucketed area under the ecpm-ranked advertiser-value curve
+# (reference AggregateFunctionEcpmAuc.h).
+# --------------------------------------------------------------------------
+@register(
+    "beh_ecpm_auc",
+    oracle="""
+    WITH d AS (
+      SELECT least(99999, greatest(0,
+               CAST(floor((2.5 - log10(value + 1.0)) / (0.00001 * 5.0)) AS INT)
+             )) AS bucket,
+             value * 0.01 AS adv
+      FROM events
+    ),
+    per AS (
+      SELECT bucket, count(*) AS n, sum(adv) AS a
+      FROM d GROUP BY bucket
+    ),
+    pref AS (
+      SELECT bucket, n, a,
+             coalesce(sum(a) OVER (ORDER BY bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS before
+      FROM per
+    )
+    SELECT round(
+      (sum(n * before) + sum(n * (before + a)))
+      / (2.0 * sum(n) * sum(a)), 6) AS ecpm_auc
+    FROM pref
+    """,
+)
+def beh_ecpm_auc(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import ecpm_auc
+
+    ev = _ev(spark, sf)
+    return ecpm_auc(
+        ev,
+        F.col("value") + F.lit(1.0),
+        F.col("value") * F.lit(0.01),
+    )

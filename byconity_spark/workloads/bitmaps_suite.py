@@ -157,3 +157,50 @@ def bitmap_max_level(spark: SparkSession, sf: str) -> DataFrame:
     )
     states = group_bitmap(ev, ["level"], "user_id")
     return bml(states, "level", "bm")
+
+
+# ----------------------- bitmapJoin (AND of per-slot audience bitmaps)
+@register(
+    "bitmap_join_slot_overlap",
+    oracle="""
+    WITH c AS (
+      SELECT DISTINCT
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) % 7
+                  AS BIGINT) AS slot,
+             user_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT DISTINCT
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) % 7
+                  AS BIGINT) AS slot,
+             user_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT slot, CAST(count(*) AS BIGINT) AS cardinality
+    FROM (SELECT DISTINCT c.slot, c.user_id FROM c JOIN p USING (slot, user_id)) g
+    GROUP BY slot
+    """,
+)
+def bitmap_join_slot_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """bitmapJoin (reference AggregateFunctionBitMapJoin.h:52-118): join
+    per-slot click and purchase audience bitmaps on the slot key, AND the
+    pairs, emit per-slot overlap cardinality.  The reference runs the join
+    inside one aggregate on a sharded driver map (single node by design);
+    here it is a Spark equi-join over compressed states — cluster-scaled."""
+    from byconity_spark.udafs.bitmaps import bitmap_join, group_bitmap
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "slot",
+        (F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)) % 7).cast(
+            "long"
+        ),
+    )
+    clicks = group_bitmap(
+        ev.filter(F.col("event_type") == "click"), ["slot"], "user_id"
+    )
+    purchases = group_bitmap(
+        ev.filter(F.col("event_type") == "purchase"), ["slot"], "user_id"
+    )
+    out = bitmap_join(clicks, purchases, on=["slot"], logic_op="AND")
+    return out.filter(F.col("cardinality") > 0).select("slot", "cardinality")

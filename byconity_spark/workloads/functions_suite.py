@@ -359,3 +359,67 @@ def fn_geo_suite(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("dist_m"), 3).alias("max_dist_m"),
         )
     )
+
+
+@register(
+    "fn_breadth_suite",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS arr FROM documents)
+    SELECT doc_id,
+           len(list_distinct(arr))                                  AS n_uniq,
+           array_to_string(arr[2:], '|')                            AS tail_toks,
+           coalesce(list_position(list_transform(arr, x -> length(x) > 4), true), 0)
+                                                                    AS first_long_idx,
+           list_filter(arr, x -> length(x) > 4)[-1]                 AS last_long,
+           upper(text[1:1]) || text[2:]                             AS cap,
+           ascii(text)                                              AS first_code,
+           len(regexp_extract_all(text, '[aeiou]+', 0))             AS n_vowel_runs,
+           regexp_extract(text, '([a-z]+)', 1)                      AS first_word,
+           array_to_string(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+                                       x -> x != ''), '|')          AS alpha_toks,
+           concat_ws('-', doc_id, length(text))                     AS tagged,
+           CASE WHEN length(text) >= 36000 THEN 36000
+                WHEN length(text) >= 18000 THEN 18000
+                WHEN length(text) >= 7200  THEN 7200
+                WHEN length(text) >= 3600  THEN 3600
+                WHEN length(text) >= 1800  THEN 1800
+                WHEN length(text) >= 600   THEN 600
+                WHEN length(text) >= 300   THEN 300
+                WHEN length(text) >= 240   THEN 240
+                WHEN length(text) >= 180   THEN 180
+                WHEN length(text) >= 120   THEN 120
+                WHEN length(text) >= 60    THEN 60
+                WHEN length(text) >= 30    THEN 30
+                WHEN length(text) >= 10    THEN 10
+                WHEN length(text) >= 1     THEN 1
+                ELSE 0 END                                          AS dur_bucket
+    FROM d
+    """,
+)
+def fn_breadth_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-4 scalar breadth: arrayUniq/PopFront/FirstIndex/arrayLast,
+    initcap-style capitalization, ascii, extractAll/countMatches/
+    regexpExtract, alphaTokens, concatWithSeparator, roundDuration
+    (reference src/Functions/array/*, FunctionsStringSearch*,
+    FunctionsRound.cpp roundDuration)."""
+    doc = _t(spark, sf, "documents")
+    d = doc.select(
+        "doc_id", "text", ch("splitByChar", " ", F.col("text")).alias("arr")
+    )
+    arr, txt = F.col("arr"), F.col("text")
+    long_tok = lambda x: F.length(x) > 4  # noqa: E731
+    return d.select(
+        "doc_id",
+        ch("arrayUniq", arr).alias("n_uniq"),
+        arr_str(ch("arrayPopFront", arr)).alias("tail_toks"),
+        ch("arrayFirstIndex", long_tok, arr).alias("first_long_idx"),
+        ch("arrayLast", long_tok, arr).alias("last_long"),
+        F.concat(F.upper(F.substring(txt, 1, 1)), F.substring(txt, 2, 1 << 30)).alias("cap"),
+        ch("ascii", txt).cast("bigint").alias("first_code"),
+        F.size(ch("extractAll", txt, "[aeiou]+")).cast("long").alias("n_vowel_runs"),
+        ch("regexpExtract", txt, "([a-z]+)", 1).alias("first_word"),
+        arr_str(ch("alphaTokens", txt)).alias("alpha_toks"),
+        ch("concatWithSeparator", "-", F.col("doc_id").cast("string"),
+           F.length(txt).cast("string")).alias("tagged"),
+        ch("roundDuration", F.length(txt)).alias("dur_bucket"),
+    )

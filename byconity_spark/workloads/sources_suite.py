@@ -97,6 +97,40 @@ def source_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+@register("source_jdbc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_jdbc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JDBC table engine parity (reference
+    src/Storages/registerStorages.cpp:67-147 — MySQL/PostgreSQL/JDBC
+    engines): write through Spark's JDBC sink into embedded Derby (the
+    bundled backend), read back as a PARTITIONED range scan (4 parallel
+    connections on user_id), aggregate.  Cluster deployments swap the URL
+    for a real server; the reader options are identical."""
+    from byconity_spark.engine.sources import (
+        DERBY_DRIVER,
+        derby_memory_url,
+        jdbc_table,
+        jdbc_write,
+    )
+
+    flat = _flat_events(spark, sf)
+    hi = flat.agg(F.max("user_id")).collect()[0][0] or 1
+    url = derby_memory_url("bspark_src")
+    jdbc_write(flat, url, "events_rt", driver=DERBY_DRIVER)
+    back = jdbc_table(
+        spark,
+        url,
+        "events_rt",
+        user="",
+        password="",
+        driver=DERBY_DRIVER,
+        partition_column="user_id",
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    return _roundtrip_agg(back)
+
+
 # -------------------------------------------------------------- dictGet
 @register(
     "dict_get_order_status",

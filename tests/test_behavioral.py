@@ -360,3 +360,36 @@ def test_slide_and_range_guards_return_zero_arrays(spark):
     r = last_range_count(states, duration=4, start_index=1,
                          num_slides=2, total_slots=4).collect()
     assert r[0][0] == "0|0" or list(r[0][0]) == [0, 0]
+
+
+def test_funnel_path_split_by_times_multi_anchor(spark):
+    """ByTimes variant: every anchor opens a NEW path; later events join the
+    most recent open path inside its window (reference
+    AggregateFunctionFunnelPathSplitByTimes.h insertResultInto)."""
+    from byconity_spark.udafs.behavioral import funnel_path_split_by_times
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # first anchor + two events, second anchor + one event, late event
+        (1, t0, 1, "signup"),
+        (1, t0 + dt.timedelta(minutes=1), 2, "click"),
+        (1, t0 + dt.timedelta(minutes=2), 3, "view"),
+        (1, t0 + dt.timedelta(hours=1), 4, "signup"),
+        (1, t0 + dt.timedelta(hours=1, minutes=5), 5, "purchase"),
+        # outside the 30-minute window of the second anchor -> dropped
+        (1, t0 + dt.timedelta(hours=2), 6, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r.path_no: list(r.path)
+        for r in funnel_path_split_by_times(
+            ev, anchor_type="signup", window_us=30 * 60 * 1_000_000
+        ).collect()
+    }
+    assert out == {
+        1: ["signup", "click", "view"],
+        2: ["signup", "purchase"],
+    }

@@ -122,3 +122,38 @@ def test_bitmap_expression_end_to_end(spark):
     [r] = out.collect()
     # a&b = {5..9}; minus c{3,7,99} -> {5,6,8,9}
     assert r.cardinality == 4
+
+
+def test_bitmap_join_ops_and_left(spark):
+    """bitmapJoin semantics (reference AggregateFunctionBitMapJoin.h):
+    AND/OR/XOR/ANDNOT/RANDNOT kernels and LEFT join vs empty right."""
+    from byconity_spark.udafs.bitmaps import bitmap_join, group_bitmap
+
+    left = spark.createDataFrame(
+        [("k1", i) for i in range(10)] + [("k2", i) for i in range(5)],
+        "k string, uid long",
+    )
+    right = spark.createDataFrame(
+        [("k1", i) for i in range(5, 15)], "k string, uid long"
+    )
+    ls, rs = group_bitmap(left, ["k"], "uid"), group_bitmap(right, ["k"], "uid")
+
+    def card(op, how="inner"):
+        return {
+            r.k: r.cardinality
+            for r in bitmap_join(ls, rs, ["k"], logic_op=op, how=how).collect()
+        }
+
+    assert card("AND") == {"k1": 5}           # {5..9}
+    assert card("OR") == {"k1": 15}           # {0..14}
+    assert card("XOR") == {"k1": 10}          # {0..4, 10..14}
+    assert card("ANDNOT") == {"k1": 5}        # {0..4}
+    assert card("RANDNOT") == {"k1": 5}       # {10..14}
+    # LEFT: k2 has no right side -> empty bitmap partner
+    got = card("ANDNOT", how="left")
+    assert got == {"k1": 5, "k2": 5}          # k2 keeps all 5
+    assert card("AND", how="left")["k2"] == 0
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        bitmap_join(ls, rs, ["k"], logic_op="NAND")

@@ -162,3 +162,34 @@ def test_json_and_url(spark):
     )
     assert (r.k, r.s, r.h) == (42, "hi", False)
     assert (r.d, r.p, r.y, r.cq) == ("ex.org", "/a/b", "2", "https://ex.org/a/b")
+
+
+def test_round4_breadth_batch(spark):
+    """Round-4 scalar additions: erf, roundAge, bitRotateLeft,
+    arrayCumSumNonNegative, multiSearchAny, countSubstrings, dateName."""
+    from byconity_spark.functions import ch
+    from pyspark.sql import functions as F
+    import math
+
+    df = spark.createDataFrame([("abcabca", 30, 5)], "s string, age long, x long")
+    r = df.select(
+        ch("countSubstrings", F.col("s"), "abc").alias("n_abc"),
+        ch("multiSearchAny", F.col("s"), ["zz", "bca"]).alias("any_hit"),
+        ch("multiSearchAny", F.col("s"), ["zz", "yy"]).alias("no_hit"),
+        ch("roundAge", F.col("age")).alias("age_b"),
+        ch("bitRotateLeft", F.col("x"), 2).alias("rot"),
+        ch("erf", F.lit(1.0)).alias("erf1"),
+        ch("erf", F.lit(-1.0)).alias("erfm1"),
+        ch("arrayCumSumNonNegative", F.array(F.lit(1.0), F.lit(-5.0), F.lit(3.0))).alias("cs"),
+        ch("dateName", "weekday", F.lit("2024-01-01").cast("date")).alias("wd"),
+        ch("toLastDayOfMonth", F.lit("2024-02-10").cast("date")).alias("eom"),
+    ).collect()[0]
+    assert r.n_abc == 2
+    assert r.any_hit is True and r.no_hit is False
+    assert r.age_b == 25
+    assert r.rot == 20
+    assert abs(r.erf1 - math.erf(1.0)) < 1e-6
+    assert abs(r.erfm1 - math.erf(-1.0)) < 1e-6
+    assert r.cs == [1.0, 0.0, 3.0]
+    assert r.wd == "Monday"
+    assert str(r.eom) == "2024-02-29"

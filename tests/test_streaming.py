@@ -256,3 +256,31 @@ def test_stateful_sessionize_idle_flush(spark, tmp_path):
     assert len(out) == 1
     assert out[0].user_id == 1
     assert out[0].n_events == 2 and out[0].sum_value == 3.0
+
+
+def test_kafka_stream_builder_guarded(spark):
+    """Kafka ingest (reference src/Storages/Kafka/StorageCnchKafka.h): the
+    builder must construct a valid reader; with the connector on the
+    classpath a real read starts, without it load() raises the documented
+    missing-data-source error — never a silent pass."""
+    import pytest as _p
+    from byconity_spark.streaming.ingest import kafka_stream
+
+    def connector_present() -> bool:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+            )
+            return True
+        except Exception:
+            return False
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    if connector_present():  # pragma: no cover - container lacks the jar
+        df = kafka_stream(spark, brokers="localhost:9092", topic="t", value_schema=schema)
+        assert df.isStreaming
+    else:
+        with _p.raises(Exception, match="(?i)kafka|data.?source"):
+            kafka_stream(spark, brokers="localhost:9092", topic="t", value_schema=schema)
