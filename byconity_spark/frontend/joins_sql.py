@@ -10,15 +10,19 @@ then run the REST of the query (select list, WHERE, GROUP BY, ORDER BY,
 LIMIT — still ClickHouse dialect) through the normal rewriter against that
 view.
 
-Supported shape (one strict join, named-table sides):
+Supported shape (one strict join; named-table or subquery sides — subqueries
+run through ch_sql and register as temp views first):
 
-    SELECT ... FROM <ltable> [AS] [lalias]
-    ASOF|ANY [LEFT|INNER] JOIN <rtable> [AS] [ralias]
-    ON l.k = r.k [AND ...] [AND l.t >= r.t]      -- or USING (k, ...)
+    SELECT ... FROM <ltable|(SELECT ...)> [AS] [lalias]
+    ASOF|ANY [LEFT|INNER] JOIN <rtable|(SELECT ...)> [AS] [ralias]
+    ON l.k = r.k [AND ...] [AND l.t >= r.t]      -- or USING (k, ..., t)
+    [JOIN <more ordinary joins> ...]
     [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT ...]
 
-Anything else (subquery sides, multiple strict joins) still raises
-ChSqlError pointing at the operator API.
+Ordinary joins FOLLOWING the strict join stay as SQL against the
+materialized strict pair.  Multiple strict joins, or a strict join whose
+left side is itself a textual join chain, still raise ChSqlError pointing
+at the operator API.
 """
 
 from __future__ import annotations
@@ -154,6 +158,19 @@ def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
             tail_at = p
     cond_text, tail = rest[:tail_at], rest[tail_at:]
 
+    # Multi-join support: ordinary joins FOLLOWING the strict join stay as
+    # SQL text — the strict pair materializes into _VIEW and the remaining
+    # "JOIN t ON ..." segment re-attaches to the rewritten FROM clause.
+    extra_joins = ""
+    m_extra = re.search(
+        r"\b(LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|CROSS\s+)?(OUTER\s+)?JOIN\b",
+        cond_text,
+        re.IGNORECASE,
+    )
+    if m_extra:
+        extra_joins = cond_text[m_extra.start():]
+        cond_text = cond_text[: m_extra.start()]
+
     left = spark.table(ltable)
     right = spark.table(rtable)
 
@@ -257,6 +274,8 @@ def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
     final_sql = (
         _qualify_sub(select_part, mapping, aliases)
         + f" FROM {_VIEW} "
+        + _qualify_sub(extra_joins, mapping, aliases)
+        + " "
         + _qualify_sub(tail, mapping, aliases)
     )
     return spark.sql(rewrite_ch_sql(final_sql))

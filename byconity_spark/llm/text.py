@@ -262,3 +262,30 @@ def ngram_language_train_and_id(
     finally:
         grams.unpersist()
     return out
+
+
+# GPT-2-style pre-tokenizer regex, RE2-compatible (no lookahead — DuckDB's
+# regex engine rejects it): contraction suffixes, space-prefixed letter runs,
+# digit runs, punctuation runs.  Whitespace itself is not a token.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(c) -> "F.Column":
+    """BPE-ish pre-tokenization (the GPT-2 pre-tokenizer shape): the token
+    count this yields tracks real BPE token counts within ~10-20% on
+    English text — the budget estimator a training pipeline needs before
+    the real tokenizer runs."""
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(t)).cast("long").alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )

@@ -982,6 +982,7 @@ def finder_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    emit_times: bool = False,
 ) -> DataFrame:
     """finderFunnel (reference AggregateFunctionFinderFunnel.h): funnel
     level per (user, watch slot).  Deterministic first-anchor-per-slot
@@ -1027,11 +1028,17 @@ def finder_funnel(
             F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(F.col("level")),
         )
         prev = f"t{i}"
-    return frame.select(
+    out_cols = [
         F.col("u").alias(user_col),
         F.col("slot"),
         F.col("level").cast("long").alias("funnel_level"),
-    )
+    ]
+    if emit_times:
+        out_cols += [
+            F.col(f"t{i}") if i > 1 else F.col("t1")
+            for i in range(1, len(steps) + 1)
+        ]
+    return frame.select(*out_cols)
 
 
 def session_analysis(
@@ -1621,4 +1628,210 @@ def ecpm_auc(
         F.round(
             (lb + ub) / (2.0 * F.sum("n") * F.sum("a")), 6
         ).alias("ecpm_auc")
+    )
+
+
+def finder_group_funnel(
+    events: DataFrame,
+    user_props: DataFrame,
+    watch_start_us: int,
+    watch_step_us: int,
+    watch_numbers: int,
+    window_us: int,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    prop_col: str = "prop",
+    **kw,
+) -> DataFrame:
+    """finderGroupFunnel (reference AggregateFunctionFinderGroupFunnel.h):
+    finderFunnel levels split by a USER property — output one funnel-level
+    row per (user, slot, prop).  ``user_props`` carries (user_col,
+    prop_col); the reference's [(prop, [level-counts...])...] array shape
+    is the funnel_rep aggregation of this frame grouped by (slot, prop).
+
+    Composition, not a new kernel: the per-slot level walk is
+    finder_funnel verbatim; the group dimension is one broadcast-friendly
+    equi-join on the user key."""
+    levels = finder_funnel(
+        events, watch_start_us, watch_step_us, watch_numbers, window_us,
+        steps, user_col=user_col, **kw,
+    )
+    return levels.join(
+        user_props.select(user_col, prop_col), user_col
+    ).select(user_col, "slot", prop_col, "funnel_level")
+
+
+def gen_array_month(
+    events: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    start_date: str,
+    num_steps: int,
+) -> DataFrame:
+    """genArrayMonth (reference AggregateFunctionGenArrayMonth.h:156-210):
+    genArray with CALENDAR-MONTH slots — slot = relative month number of
+    the event minus the start date's month (lut.toRelativeMonthNum), so
+    slot widths follow the calendar, not a fixed step.  Same 64-bit word
+    packing and OR-merge as gen_array."""
+    n_words = (num_steps + 63) // 64
+    start = F.lit(start_date).cast("date")
+    slot = (
+        (F.year(F.col(ts_col)) - F.year(start)) * 12
+        + (F.month(F.col(ts_col)) - F.month(start))
+    ).cast("long")
+    slotted = events.select(*group_cols, slot.alias("__slot")).filter(
+        (F.col("__slot") >= 0) & (F.col("__slot") < num_steps)
+    )
+    grouped = slotted.groupBy(*group_cols).agg(
+        F.collect_set("__slot").alias("__slots")
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.filter(F.col("__slots"), lambda s: (s / 64).cast("long") == w),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc.bitwiseOR(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (s % 64).cast("int")
+                )
+            ),
+        ),
+    )
+    return grouped.select(*group_cols, words.alias("gen_array"))
+
+
+def retention2(
+    events: DataFrame,
+    start_type: str,
+    end_type: str,
+    start_us: int,
+    window_days: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """retention2 (reference AggregateFunctionRetention2.h addImpl): the
+    cohort-retention TRIANGLE — for every (start day s, offset o >= 0)
+    inside the window, the count of users with a start event on day s and
+    an end event on day s+o.  The reference walks per-user start/end day
+    bitmasks and accumulates a flat window*window array; each flat cell
+    [s*window + o] equals this frame's (start_slot=s, offset=o) row — rows
+    instead of the packed array, the natural relational shape.
+
+    Scale: two slot-distinct projections and ONE equi-join on the user key,
+    partial-aggregated map-side; no per-user kernel."""
+    day = F.floor(
+        (F.unix_micros(F.col(ts_col)) - F.lit(start_us)) / F.lit(86_400_000_000)
+    ).cast("long")
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("tp"), day.alias("d")
+    ).filter((F.col("d") >= 0) & (F.col("d") < window_days))
+    starts = base.filter(F.col("tp") == start_type).select("u", F.col("d").alias("s")).distinct()
+    ends = base.filter(F.col("tp") == end_type).select("u", F.col("d").alias("e")).distinct()
+    pairs = starts.join(ends, "u").filter(F.col("e") >= F.col("s"))
+    return (
+        pairs.groupBy(
+            F.col("s").alias("start_slot"),
+            (F.col("e") - F.col("s")).alias("offset"),
+        )
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+
+
+def user_distribution_monthly(
+    events: DataFrame,
+    registrations: DataFrame,
+    start_date: str,
+    num_slots: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    reg_ts_col: str = "register_ts",
+) -> DataFrame:
+    """userDistributionMonthly (reference
+    AggregateFunctionUserDistributionMonthly.h): userDistribution with
+    CALENDAR-MONTH slots — slot i covers the i-th month after start_date's
+    month (convertTimeToIndex walks month boundaries); ARRIVE = any event
+    in the month, NEWONE = registered in the same month."""
+    spark = events.sparkSession
+    start = F.lit(start_date).cast("date")
+
+    def month_slot(c):
+        return (
+            (F.year(c) - F.year(start)) * 12 + (F.month(c) - F.month(start))
+        ).cast("long")
+
+    arrivals = (
+        events.select(
+            F.col(user_col).alias("u"), month_slot(F.col(ts_col)).alias("slot")
+        )
+        .filter((F.col("slot") >= 0) & (F.col("slot") < num_slots))
+        .distinct()
+    )
+    reg = registrations.select(
+        F.col(user_col).alias("u"),
+        month_slot(F.col(reg_ts_col)).alias("reg_slot"),
+    )
+    flagged = arrivals.join(reg, "u", "left").select(
+        "slot",
+        (F.col("reg_slot") == F.col("slot")).cast("long").alias("is_new"),
+    )
+    per_slot = flagged.groupBy("slot").agg(
+        F.count(F.lit(1)).alias("n_arrive"),
+        F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"),
+    )
+    slots = spark.range(num_slots).select(F.col("id").alias("slot"))
+    return slots.join(per_slot, "slot", "left").select(
+        "slot",
+        F.coalesce("n_arrive", F.lit(0)).alias("n_arrive"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+
+
+def funnel_rep2(
+    levels_with_times: DataFrame,
+    n_steps: int,
+    interval_group_us: list[int],
+    slot_col: str = "slot",
+) -> DataFrame:
+    """funnelRep2 (reference AggregateFunctionFunnelRep2.h — "TEA format"):
+    per watch slot, the distribution of funnel CONVERSION TIME (t_last -
+    t_1 for users who completed all steps): counts per interval group
+    [g_i, g_{i+1}) plus count/sum/min/max of the interval.  The reference
+    also keeps a tdigest per slot; this form computes EXACT quantiles
+    downstream instead (documented deviation — tdigest is an approximation
+    of what one more exact aggregate gives on Spark).
+
+    One conditional aggregate per slot over the finder_funnel(emit_times=
+    True) frame — no kernel."""
+    t1, tk = F.col("t1"), F.col(f"t{n_steps}")
+    conv = levels_with_times.filter(tk.isNotNull()).select(
+        F.col(slot_col), (tk - t1).alias("iv")
+    )
+    buckets = [
+        F.sum(
+            (
+                (F.col("iv") >= F.lit(lo)) & (F.col("iv") < F.lit(hi))
+            ).cast("long")
+        ).alias(f"g{i}")
+        for i, (lo, hi) in enumerate(
+            zip(interval_group_us[:-1], interval_group_us[1:])
+        )
+    ]
+    agg = conv.groupBy(slot_col).agg(
+        *buckets,
+        F.count(F.lit(1)).alias("n_conv"),
+        F.sum("iv").alias("iv_sum"),
+        F.min("iv").alias("iv_min"),
+        F.max("iv").alias("iv_max"),
+    )
+    gcols = [F.col(f"g{i}") for i in range(len(interval_group_us) - 1)]
+    return agg.select(
+        slot_col,
+        F.array_join(F.array(*[g.cast("string") for g in gcols]), "|").alias(
+            "interval_counts"
+        ),
+        "n_conv",
+        "iv_sum",
+        "iv_min",
+        "iv_max",
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -432,4 +432,55 @@ def bitmap_join(
 
     return joined.mapInPandas(
         kernel, schema=f"{key_schema}, bm binary, cardinality long"
+    )
+
+
+def bitmap_column_diff(
+    states: DataFrame,
+    key_col: str,
+    bm_col: str = "bm",
+    step: int = 1,
+    direction: str = "forward",
+) -> DataFrame:
+    """bitmapColumnDiff (reference AggregateFunctionBitmapColumnDiff.h
+    insertResultInto): sort the per-key bitmaps by key, emit for each key
+    the ANDNOT against the key `step` positions away — FORWARD compares
+    ascending (bm_i - bm_{i+step}: members lost by the later key), BACKWARD
+    descending; keys without a partner emit the empty bitmap.  Output rows
+    (key, cardinality) — result_type 0 (count) in the reference.
+
+    Shape: the states frame is #keys rows (bounded — days/weeks), so the
+    rank window and self-join are metadata-scale; only compressed blobs
+    move.  The BUILD of the states stays distributed (group_bitmap)."""
+    if direction not in ("forward", "backward"):
+        raise ValueError("bitmapColumnDiff: direction is forward|backward")
+    asc = direction == "forward"
+    w = Window.orderBy(F.col(key_col).asc() if asc else F.col(key_col).desc())
+    ranked = states.select(key_col, bm_col).withColumn(
+        "__r", F.row_number().over(w)
+    )
+    other = ranked.select(
+        (F.col("__r") - step).alias("__r"), F.col(bm_col).alias("__bm_other")
+    )
+    joined = ranked.join(other, "__r", "left")
+
+    key_t = states.schema[key_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cards = []
+            for bl, br in zip(pdf[bm_col], pdf["__bm_other"]):
+                a = _decode(bl)
+                if br is None:
+                    cards.append(0)  # reference: empty bitmap for tail keys
+                else:
+                    cards.append(len(np.setdiff1d(a, _decode(br))))
+            out = pdf[[key_col]].copy()
+            out["cardinality"] = cards
+            yield out
+
+    return joined.mapInPandas(
+        kernel, schema=f"{key_col} {key_t}, cardinality long"
     )

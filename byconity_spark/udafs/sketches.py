@@ -204,3 +204,66 @@ def theta_estimate(states: pd.Series) -> pd.Series:
         if b is not None
         else 0
     ).astype("int64")
+
+
+def adaptive_histogram_core(
+    values: np.ndarray, weights: np.ndarray, max_bins: int
+) -> list[tuple[float, float]]:
+    """histogram(n) core (reference AggregateFunctionHistogram.h
+    compress()): maintain weighted mean points; while over n bins, merge
+    the CLOSEST adjacent pair into its weighted mean.  Deterministic here
+    because input is pre-sorted and ties merge leftmost — the streaming
+    insertion order the reference depends on is pinned."""
+    order = np.argsort(values, kind="stable")
+    means = values[order].astype(np.float64)
+    w = weights[order].astype(np.float64)
+    # collapse exact duplicates first
+    uniq, inv = np.unique(means, return_inverse=True)
+    wu = np.zeros(len(uniq))
+    np.add.at(wu, inv, w)
+    means, w = list(uniq), list(wu)
+    while len(means) > max_bins:
+        gaps = [means[i + 1] - means[i] for i in range(len(means) - 1)]
+        i = int(np.argmin(gaps))  # leftmost minimal gap
+        tw = w[i] + w[i + 1]
+        means[i] = means[i] + w[i + 1] * (means[i + 1] - means[i]) / tw
+        w[i] = tw
+        del means[i + 1], w[i + 1]
+    return list(zip(means, w))
+
+
+def adaptive_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    max_bins: int = 10,
+) -> DataFrame:
+    """histogram(max_bins)(x) (reference AggregateFunctionHistogram.h):
+    adaptive weighted-mean bins per group.  Kernel runs per group over a
+    pre-aggregated (value, count) frame — the shuffle moves DISTINCT
+    values with counts, not raw rows, so the Arrow batch is bounded by the
+    value cardinality per group."""
+    counted = (
+        df.groupBy(*group_cols, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__w"))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        bins = adaptive_histogram_core(
+            pdf["__v"].to_numpy(np.float64),
+            pdf["__w"].to_numpy(np.float64),
+            max_bins,
+        )
+        keys["bin_means"] = ["|".join(f"{m:.6f}" for m, _ in bins)]
+        keys["bin_weights"] = ["|".join(f"{x:.1f}" for _, x in bins)]
+        keys["n_bins"] = [len(bins)]
+        return pd.DataFrame(keys)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return counted.groupBy(*group_cols).applyInPandas(
+        kernel,
+        schema=f"{key_schema}, bin_means string, bin_weights string, n_bins long",
+    )

@@ -943,3 +943,35 @@ def agg_merge_stream_stack(spark: SparkSession, sf: str) -> DataFrame:
     return merged.select(
         "event_type", _stack_to_string(F.col("curve")).alias("stack")
     )
+
+
+# ---------------- bitwise aggregates + uniqUpTo + simpleLinearRegression
+@register(
+    "agg_bitwise_linreg",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT)                  AS band,
+           CAST(bit_or(user_id) AS BIGINT)                   AS bor,
+           CAST(bit_xor(user_id) AS BIGINT)                  AS bxor,
+           CAST(least(count(DISTINCT user_id), 11) AS BIGINT) AS uniq_upto_10,
+           round(regr_slope(value, CAST(user_id AS DOUBLE)), 4)     AS k,
+           round(regr_intercept(value, CAST(user_id AS DOUBLE)), 4) AS b
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise_linreg(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBitAnd/Or/Xor (reference AggregateFunctionBitwise.h),
+    uniqUpTo(10) (AggregateFunctionUniqUpTo.h: exact count, saturating at
+    threshold+1), simpleLinearRegression (returns the (k, b) fit tuple,
+    AggregateFunctionSimpleLinearRegression.h)."""
+    ev = _t(spark, sf, "events")
+    u, v = F.col("user_id"), F.col("value")
+    lin = ch("simpleLinearRegression", u.cast("double"), v)
+    return ev.groupBy("event_type").agg(
+        ch("groupBitAnd", u).cast("long").alias("band"),
+        ch("groupBitOr", u).cast("long").alias("bor"),
+        ch("groupBitXor", u).cast("long").alias("bxor"),
+        ch("uniqUpTo", 10, u).cast("long").alias("uniq_upto_10"),
+        F.round(lin.getField("k"), 4).alias("k"),
+        F.round(lin.getField("b"), 4).alias("b"),
+    )

@@ -1448,3 +1448,193 @@ def beh_ecpm_auc(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value") + F.lit(1.0),
         F.col("value") * F.lit(0.01),
     )
+
+
+# --------------------------------------------------------------------------
+# finderGroupFunnel: finderFunnel levels split by a user property, emitted
+# as per-(slot, prop) step-reach counts (reference
+# AggregateFunctionFinderGroupFunnel.h return [(prop, [counts...])...]).
+# --------------------------------------------------------------------------
+@register(
+    "beh_finder_group_funnel",
+    oracle=f"""
+    WITH {{core}}
+    SELECT slot, user_id % 3 AS prop,
+           array_to_string(
+           [CAST(sum(CASE WHEN funnel_level > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN funnel_level > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN funnel_level > 2 THEN 1 ELSE 0 END) AS BIGINT)], '|')
+             AS funnel_counts
+    FROM lv GROUP BY slot, user_id % 3
+    """.format(core=_FF_ORACLE_CORE),
+)
+def beh_finder_group_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import finder_group_funnel, funnel_rep
+
+    ev = _ev(spark, sf)
+    props = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 3).alias("prop")
+    )
+    levels = finder_group_funnel(
+        ev,
+        props,
+        watch_start_us=_FF_START_US,
+        watch_step_us=_FF_STEP_US,
+        watch_numbers=_FF_SLOTS,
+        window_us=_FF_WINDOW_US,
+        steps=["signup", "click", "purchase"],
+    )
+    return stringify_arrays(funnel_rep(levels, ["slot", "prop"], event_numbers=3))
+
+
+# --------------------------------------------------------------------------
+# genArrayMonth: monthly presence bitmask (reference
+# AggregateFunctionGenArrayMonth.h — calendar-month slots).
+# --------------------------------------------------------------------------
+@register(
+    "beh_gen_array_month",
+    oracle="""
+    WITH slotted AS (
+      SELECT DISTINCT user_id,
+             (year(CAST(ts AS TIMESTAMP)) - 2024) * 12
+               + (month(CAST(ts AS TIMESTAMP)) - 1) AS slot
+      FROM events
+    ),
+    ok AS (SELECT * FROM slotted WHERE slot >= 0 AND slot < 12)
+    SELECT user_id,
+           array_to_string(
+           [coalesce(bit_or(1::BIGINT << CAST(slot AS INT)), 0)], '|')
+             AS gen_array
+    FROM ok GROUP BY user_id
+    """,
+)
+def beh_gen_array_month(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import gen_array_month
+
+    return stringify_arrays(
+        gen_array_month(_ev(spark, sf), ["user_id"], "ts", "2024-01-01", 12)
+    )
+
+
+# --------------------------------------------------------------------------
+# retention2: cohort retention triangle from start/end day slots (reference
+# AggregateFunctionRetention2.h — flat window*window array; emitted here as
+# (start_slot, offset, n_users) rows, the relational un-flattening).
+# --------------------------------------------------------------------------
+@register(
+    "beh_retention_triangle",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS u, event_type AS tp,
+             CAST(floor((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                        / 86400000000) AS BIGINT) AS d
+      FROM events
+    ),
+    ok AS (SELECT * FROM base WHERE d >= 0 AND d < 28),
+    s AS (SELECT DISTINCT u, d AS sd FROM ok WHERE tp = 'signup'),
+    e AS (SELECT DISTINCT u, d AS ed FROM ok WHERE tp = 'purchase')
+    SELECT s.sd AS start_slot, e.ed - s.sd AS offset,
+           count(DISTINCT s.u) AS n_users
+    FROM s JOIN e ON s.u = e.u AND e.ed >= s.sd
+    GROUP BY s.sd, e.ed - s.sd
+    """,
+)
+def beh_retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import retention2
+
+    return retention2(
+        _ev(spark, sf),
+        start_type="signup",
+        end_type="purchase",
+        start_us=1_704_067_200_000_000,
+        window_days=28,
+    )
+
+
+# --------------------------------------------------------------------------
+# userDistributionMonthly: ARRIVE/NEWONE per calendar month (reference
+# AggregateFunctionUserDistributionMonthly.h).
+# --------------------------------------------------------------------------
+@register(
+    "beh_user_distribution_monthly",
+    oracle="""
+    WITH arr AS (
+      SELECT DISTINCT user_id,
+             (year(CAST(ts AS TIMESTAMP)) - 2024) * 12
+               + (month(CAST(ts AS TIMESTAMP)) - 1) AS slot
+      FROM events
+    ),
+    ok AS (SELECT * FROM arr WHERE slot >= 0 AND slot < 6),
+    reg AS (
+      SELECT user_id,
+             (year(min(CAST(ts AS TIMESTAMP))) - 2024) * 12
+               + (month(min(CAST(ts AS TIMESTAMP))) - 1) AS reg_slot
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    per AS (
+      SELECT o.slot,
+             count(*) AS n_arrive,
+             coalesce(sum(CASE WHEN r.reg_slot = o.slot THEN 1 ELSE 0 END), 0) AS n_new
+      FROM ok o LEFT JOIN reg r ON o.user_id = r.user_id
+      GROUP BY o.slot
+    )
+    SELECT s.range AS slot,
+           CAST(coalesce(per.n_arrive, 0) AS BIGINT) AS n_arrive,
+           CAST(coalesce(per.n_new, 0) AS BIGINT)    AS n_new
+    FROM range(6) s LEFT JOIN per ON per.slot = s.range
+    """,
+)
+def beh_user_distribution_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import user_distribution_monthly
+
+    ev = _ev(spark, sf)
+    registrations = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("register_ts"))
+    )
+    return user_distribution_monthly(ev, registrations, "2024-01-01", 6)
+
+
+# --------------------------------------------------------------------------
+# funnelRep2: conversion-interval distribution per watch slot (reference
+# AggregateFunctionFunnelRep2.h "TEA format" — interval-group counts plus
+# count/sum/min/max of the conversion time).
+# --------------------------------------------------------------------------
+_FR2_GROUPS = [0, 3_600_000_000, 86_400_000_000, 259_200_000_000]
+
+
+@register(
+    "beh_funnel_rep2",
+    oracle=f"""
+    WITH {_FF_ORACLE_CORE},
+    conv AS (
+      SELECT a.slot, s3.t3 - a.t1 AS iv
+      FROM a JOIN s3 ON a.user_id = s3.user_id AND a.slot = s3.slot
+    )
+    SELECT slot,
+           concat(
+             CAST(coalesce(sum(CASE WHEN iv >= 0 AND iv < 3600000000 THEN 1 END), 0) AS VARCHAR), '|',
+             CAST(coalesce(sum(CASE WHEN iv >= 3600000000 AND iv < 86400000000 THEN 1 END), 0) AS VARCHAR), '|',
+             CAST(coalesce(sum(CASE WHEN iv >= 86400000000 AND iv < 259200000000 THEN 1 END), 0) AS VARCHAR)
+           ) AS interval_counts,
+           count(*) AS n_conv,
+           CAST(sum(iv) AS BIGINT) AS iv_sum,
+           min(iv) AS iv_min,
+           max(iv) AS iv_max
+    FROM conv GROUP BY slot
+    """,
+)
+def beh_funnel_rep2(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import finder_funnel, funnel_rep2
+
+    levels = finder_funnel(
+        _ev(spark, sf),
+        watch_start_us=_FF_START_US,
+        watch_step_us=_FF_STEP_US,
+        watch_numbers=_FF_SLOTS,
+        window_us=_FF_WINDOW_US,
+        steps=["signup", "click", "purchase"],
+        emit_times=True,
+    )
+    return funnel_rep2(levels, n_steps=3, interval_group_us=_FR2_GROUPS)

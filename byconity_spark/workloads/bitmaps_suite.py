@@ -204,3 +204,46 @@ def bitmap_join_slot_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = bitmap_join(clicks, purchases, on=["slot"], logic_op="AND")
     return out.filter(F.col("cardinality") > 0).select("slot", "cardinality")
+
+
+# ------------------- bitmapColumnDiff (day-over-day audience churn)
+@register(
+    "bitmap_column_diff_daily",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000)
+                  AS BIGINT) AS day,
+             user_id
+      FROM events WHERE event_type = 'click'
+    ),
+    days AS (SELECT DISTINCT day FROM d),
+    ranked AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS r FROM days
+    ),
+    pairs AS (
+      SELECT a.day AS day, b.day AS next_day
+      FROM ranked a LEFT JOIN ranked b ON b.r = a.r + 1
+    )
+    SELECT p.day,
+           CAST(coalesce(sum(CASE WHEN e.user_id IS NULL AND p.next_day IS NOT NULL
+                             THEN 1 END), 0) AS BIGINT) AS cardinality
+    FROM pairs p
+    LEFT JOIN d s ON s.day = p.day
+    LEFT JOIN d e ON e.day = p.next_day AND e.user_id = s.user_id
+    GROUP BY p.day
+    """,
+)
+def bitmap_column_diff_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """bitmapColumnDiff FORWARD step=1 over daily click-audience bitmaps:
+    per day, how many users did NOT return the next day (churn)."""
+    from byconity_spark.udafs.bitmaps import bitmap_column_diff, group_bitmap
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "click"
+    ).withColumn(
+        "day",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long"),
+    )
+    states = group_bitmap(ev, ["day"], "user_id")
+    return bitmap_column_diff(states, "day", step=1, direction="forward")

@@ -335,3 +335,39 @@ def chsql_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY event_type, day WITH FILL STEP INTERVAL 1 DAY INTERPOLATE (total)
         """,
     )
+
+
+@register(
+    "chsql_any_multi_join",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, n.n_name
+    FROM customer c
+    LEFT JOIN (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ) o ON c.c_custkey = o.o_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey < 200
+    """,
+)
+def chsql_any_multi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-join frontend routing: one ANY strict join materializes via
+    the operator API, the trailing ordinary JOIN stays SQL against the
+    materialized view (frontend/joins_sql.py extra_joins path)."""
+    register_views(spark, sf)
+    ch_sql(
+        spark, "SELECT o_custkey, o_orderkey FROM orders"
+    ).createOrReplaceTempView("orders_mj_v")
+    return ch_sql(
+        spark,
+        """
+        SELECT c.c_custkey, o.o_orderkey, n.n_name
+        FROM customer c ANY LEFT JOIN orders_mj_v o ON c.c_custkey = o.o_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_custkey < 200
+        """,
+    )

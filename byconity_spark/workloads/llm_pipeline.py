@@ -478,3 +478,25 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return sample_frames(mm, n_frames=4, frame_bytes=4).select(
         "doc_id", "frame_idx"
     )
+
+
+# ----------------------------------------------------- token counting
+@register(
+    "llm_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+'))       AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                                                            AS n_bpe_tokens,
+           length(text)                                     AS n_chars
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens plus a
+    GPT-2-shaped BPE-ish pre-tokenizer count (llm/text.py BPE_ISH_PATTERN,
+    RE2-compatible so the oracle runs the SAME regex)."""
+    from byconity_spark.llm.text import token_counts
+
+    return token_counts(_docs(spark, sf))

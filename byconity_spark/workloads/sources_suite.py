@@ -238,3 +238,65 @@ def fill_daily_by_type(spark: SparkSession, sf: str) -> DataFrame:
         daily, "day", step_expr="interval 1 day", fill_values={"n": 0},
         group_keys=["event_type"],
     )
+
+
+# ---------------------- StorageMerge: regex union of catalog tables
+@register(
+    "source_merge_tables",
+    oracle="""
+    SELECT src, count(*) AS n, CAST(sum(key_sum) AS BIGINT) AS total
+    FROM (
+      SELECT 'customer' AS src, c_custkey AS key_sum FROM customer
+      UNION ALL
+      SELECT 'supplier' AS src, s_suppkey AS key_sum FROM supplier
+    ) u GROUP BY src
+    """,
+)
+def source_merge_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """merge('(customer|supplier)') (reference StorageMerge /
+    TableFunctionMerge): one unionByName plan over regex-matched tables
+    with a _table virtual column; per-branch column pruning still applies
+    (only the key column is read from each parquet)."""
+    from byconity_spark.engine.tables import merge_tables
+
+    tables = {
+        "customer": load_table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("key_sum")
+        ),
+        "supplier": load_table(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("key_sum")
+        ),
+        "orders_x": load_table(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("key_sum")
+        ),
+    }
+    merged = merge_tables(spark, tables, "(customer|supplier)", with_table_col=True)
+    return merged.groupBy(F.col("_table").alias("src")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("key_sum").cast("long").alias("total"),
+    )
+
+
+# ---------------------- joinGet over a StorageJoin-style keyed table
+@register(
+    "source_join_get",
+    oracle="""
+    SELECT o.o_orderkey,
+           coalesce(n.label, 'other') AS joinGet_label
+    FROM orders o
+    LEFT JOIN (VALUES ('F', 'finished'), ('O', 'open')) AS n(code, label)
+      ON o.o_orderstatus = n.code
+    WHERE o.o_orderkey < 300
+    """,
+)
+def source_join_get(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.engine.tables import join_get
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 300)
+    jt = spark.createDataFrame(
+        [("F", "finished"), ("O", "open")], "code string, label string"
+    )
+    out = join_get(
+        o, jt, "label", F.col("o_orderstatus"), key_col="code", default="other"
+    )
+    return out.select("o_orderkey", "joinGet_label")

@@ -163,3 +163,30 @@ def stream_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
         metric_name="stream_stateful_sessions",
     )
     return out.withColumn("sum_value", F.round("sum_value", 4))
+
+
+@register(
+    "stream_dedup_ingest",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_id FROM events
+    )
+    SELECT count(*) AS n_unique FROM d
+    """,
+)
+def stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest deduplication (the reference's dedup-on-ingest /
+    ReplacingMergeTree semantics, src/Storages/MergeTree replacing merge):
+    the stream UNIONS the source with itself (every row duplicated), then
+    dropDuplicatesWithinWatermark('event_id') restores exactly-once rows.
+    State is bounded by the watermark horizon — the Structured Streaming
+    shape that survives unbounded streams."""
+    s1 = events_file_stream(spark, sf)
+    s2 = events_file_stream(spark, sf)
+    doubled = s1.unionByName(s2)
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    counted = deduped.groupBy().agg(F.count(F.lit(1)).alias("n_unique"))
+    return _run_to_memory(counted, metric_name="stream_dedup_ingest")

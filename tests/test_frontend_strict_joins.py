@@ -139,3 +139,23 @@ def test_any_with_subquery_right_side(views):
     from pyspark.sql import functions as F
 
     assert out.groupBy("c_custkey").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_strict_join_followed_by_ordinary_join(views):
+    """Multi-join: one ANY JOIN plus a following ordinary JOIN — the strict
+    pair materializes, the trailing join stays SQL."""
+    out = ch_sql(
+        views,
+        """
+        SELECT c.c_custkey, o.o_orderkey, n.n_name
+        FROM customer c ANY INNER JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_custkey < 50
+        """,
+    )
+    rows = out.collect()
+    assert rows and all(r.n_name is not None for r in rows)
+    per_cust = {}
+    for r in rows:
+        per_cust.setdefault(r.c_custkey, set()).add(r.o_orderkey)
+    assert all(len(v) == 1 for v in per_cust.values())  # ANY semantics held

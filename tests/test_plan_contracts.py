@@ -140,3 +140,37 @@ def test_stats_estimates_sane(spark):
     assert 0 < eq_est <= 2  # 1/ndv of a near-unique key
     range_est = estimate_rows(st, [("c_acctbal", ">", st.columns["c_acctbal"].min)])
     assert range_est > exact * 0.9  # > min keeps nearly everything
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Runtime (bloom) filters — ByConity AddRuntimeFilters.h analogue
+    (#23): with a selective build side, Catalyst must inject a
+    bloom_filter_agg on the creation side and a might_contain probe on the
+    big-table scan side.  Size thresholds are lowered for the small test
+    fixture; at 100 TB the defaults trigger on real selectivity."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j).lower()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

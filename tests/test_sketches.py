@@ -101,3 +101,31 @@ def test_uniq_state_skips_nulls(spark):
     got = {r.g: r.u for r in est}
     assert got[1] == 2  # 'a','b' — NULL not counted
     assert got[2] == 0  # all-NULL group counts zero
+
+
+def test_adaptive_histogram_invariants(spark):
+    """histogram(n) (reference AggregateFunctionHistogram.h): bin count
+    <= n, total weight preserved, weighted mean preserved, means sorted."""
+    import numpy as np
+    from byconity_spark.udafs.sketches import (
+        adaptive_histogram,
+        adaptive_histogram_core,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(50, 10, 5000)
+    bins = adaptive_histogram_core(vals, np.ones(len(vals)), 10)
+    assert len(bins) == 10
+    assert abs(sum(w for _, w in bins) - 5000) < 1e-6
+    assert abs(sum(m * w for m, w in bins) - vals.sum()) < 1e-4 * abs(vals.sum())
+    means = [m for m, _ in bins]
+    assert means == sorted(means)
+
+    df = spark.createDataFrame(
+        [(int(i % 3), float(v)) for i, v in enumerate(vals[:3000])], "g int, v double"
+    )
+    out = adaptive_histogram(df, ["g"], "v", max_bins=8).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.n_bins <= 8
+        assert abs(sum(float(x) for x in r.bin_weights.split("|")) - 1000) < 1e-6

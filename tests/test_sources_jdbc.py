@@ -40,3 +40,34 @@ def test_jdbc_roundtrip_partitioned(spark):
     assert back.count() == 1000
     s = back.agg({"v": "sum"}).collect()[0][0]
     assert abs(s - sum(i * 0.5 for i in range(1000))) < 1e-6
+
+
+def test_generate_random_and_null_sink(spark):
+    """generateRandom (reference TableFunctionGenerateRandom): seeded,
+    reproducible, schema-driven; StorageNull discards writes."""
+    from byconity_spark.engine.tables import generate_random, null_sink
+
+    df1 = generate_random(spark, "a bigint, b string, c double, d date", 1000, seed=7)
+    df2 = generate_random(spark, "a bigint, b string, c double, d date", 1000, seed=7)
+    assert df1.columns == ["a", "b", "c", "d"]
+    assert df1.count() == 1000
+    # same seed -> identical content
+    assert df1.exceptAll(df2).count() == 0
+    # different seed -> different content
+    df3 = generate_random(spark, "a bigint, b string, c double, d date", 1000, seed=8)
+    assert df1.exceptAll(df3).count() > 0
+    null_sink(df1)  # must execute without materializing anywhere
+
+
+def test_merge_tables_schema_alignment(spark):
+    from byconity_spark.engine.tables import merge_tables
+    import pytest as _p
+
+    t1 = spark.createDataFrame([(1, "x")], "a int, b string")
+    t2 = spark.createDataFrame([(2, 5.0)], "a int, c double")
+    m = merge_tables(spark, {"t1": t1, "t2": t2}, "t[0-9]", with_table_col=True)
+    rows = {r._table: r for r in m.collect()}
+    assert set(m.columns) == {"a", "b", "c", "_table"}
+    assert rows["t1"].c is None and rows["t2"].b is None
+    with _p.raises(ValueError):
+        merge_tables(spark, {"t1": t1}, "zzz")
