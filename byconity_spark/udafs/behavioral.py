@@ -1835,3 +1835,208 @@ def funnel_rep2(
         "iv_min",
         "iv_max",
     )
+
+
+def fast_auc2(
+    events: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    precision: float = 0.00001,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """fastAuc2 / fastAuc3 / fastPrevAuc2 (reference
+    AggregateFunctionFastAuc2.h, FastAuc3.h, FastPrevAuc2.h): all three
+    compute the IDENTICAL bucketed average-rank AUC — bucket =
+    clamp(floor((pred - min) / precision), 0, ceil((max-min)/precision)-1),
+    rank sums from per-bucket (pos, neg) counts, and
+    (sum_pos_rank - P(P+1)/2) / (P*N); they differ only in STATE LAYOUT
+    (dense pair array vs sparse unordered_map vs quoted-string
+    serialization), which has no Spark analogue — the shuffle format is
+    Tungsten rows either way.  Returns 1.0 when either class is empty
+    (FastAuc2.h:56-57).
+
+    Scale shape: one map-side-combinable groupBy(bucket) plus a
+    #buckets-bounded prefix frame — same as fast_auc."""
+    bucket_num = int(np.ceil((hi - lo) / precision))
+    bin_col = F.least(
+        F.lit(bucket_num - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((score_col - F.lit(lo)) / F.lit(precision)).cast("long"),
+        ),
+    )
+    per_bin = (
+        events.select(bin_col.alias("bin"), (label_col > 0).cast("long").alias("lab"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lab").alias("p"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    pre = per_bin.withColumn("before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    rank_sum = F.sum(F.col("p") * (F.col("before") + (F.col("n") + 1) / 2.0))
+    P, N = F.sum("p"), F.sum("n") - F.sum("p")
+    return pre.agg(
+        F.when((P == 0) | (N == 0), F.lit(1.0))
+        .otherwise((rank_sum - P * (P + 1) / 2.0) / (P * N).cast("double"))
+        .alias("auc")
+    )
+
+
+# State-layout-only siblings — same math, kept as named aliases so the
+# registry mirrors the reference surface one-to-one.
+fast_auc3 = fast_auc2
+fast_prev_auc2 = fast_auc2
+
+
+def regression_auc2(
+    events: DataFrame,
+    score_col: Column,
+    label_col: Column,
+) -> DataFrame:
+    """regressionAuc2 (reference AggregateFunctionRegAucV2.h): concordant-
+    pair rate with FOUR tie-handling flags, computed in closed form from
+    (pred, label) group counts instead of the reference's O(n log n)
+    mergesort over a collected pair array:
+
+      C = strictly concordant pairs  {p_a < p_b and l_a < l_b}
+      E = identical pairs            {p_a == p_b and l_a == l_b}
+      D = label-equal pairs          {l_a == l_b}
+      T = n(n-1)/2
+
+      flag 1 -> (C + E) / T        (RegAucV2.h:144, res = pairs + 2*cnt1
+      flag 2 -> (C + D) / T         - cnt0 etc. algebraically reduce to
+      flag 3 ->  C / T              these — derivation in the oracle SQL)
+      flag 4 ->  C / (T - D)
+
+    each returning -1.0 on a zero denominator (:60-62).  The exact path is
+    the contract; the reference's random pair-sampling path above
+    num_reg_sample is non-deterministic by construction.
+
+    Scale: ONE shuffle to group counts; C is a non-equi join over the
+    GROUP table (pred x label distinct combinations) — bounded for
+    discretized scores, which is the intended regime (the reference's
+    state itself is a collected array).  For unbounded real-valued scores,
+    discretize first (as fastAuc does) or use reg_auc's Fenwick kernel."""
+    g = (
+        events.select(score_col.alias("pr"), label_col.alias("lb"))
+        .groupBy("pr", "lb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = g.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("e"),
+    )
+    dd = (
+        g.groupBy("lb")
+        .agg(F.sum("c").alias("cl"))
+        .agg(F.sum(F.col("cl") * (F.col("cl") - 1) / 2).alias("d"))
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cc = (
+        a.join(
+            b,
+            (F.col("a.pr") < F.col("b.pr")) & (F.col("a.lb") < F.col("b.lb")),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("cc"))
+        .select(F.coalesce("cc", F.lit(0)).alias("cc"))
+    )
+    t = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+
+    def rate(num, den):
+        return F.when(den <= 0, F.lit(-1.0)).otherwise(num / den)
+
+    return (
+        tot.crossJoin(F.broadcast(dd))
+        .crossJoin(F.broadcast(cc))
+        .select(
+            rate(F.col("cc") + F.col("e"), t).alias("auc_flag1"),
+            rate(F.col("cc") + F.col("d"), t).alias("auc_flag2"),
+            rate(F.col("cc").cast("double"), t).alias("auc_flag3"),
+            rate(F.col("cc").cast("double"), t - F.col("d")).alias("auc_flag4"),
+        )
+    )
+
+
+def retention4(
+    events: DataFrame,
+    first_type: str,
+    return_type: str,
+    start_date: str,
+    end_date: str,
+    window_days: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """retention4 (reference AggregateFunctionRetention4.h): cohort
+    matrix keyed by each user's FIRST first-event day within
+    [start_date, end_date] — slot 0 counts the cohort
+    (add():109-135), slot k (1 <= k < window) counts users whose
+    return-event bitmap has day first+k set (:141-165; return days may
+    extend past end_date — only the window bounds them).  Output: one row
+    per cohort date with the '|'-joined window-slot counts, matching the
+    reference's Array(Tuple(Date, Array(UInt64))) shape.
+
+    Scale: two day-distinct frames + one min-aggregate + one bounded
+    (dates x window) grid; no kernel, no window function."""
+    import datetime as _dt
+
+    spark = events.sparkSession
+    ndays = (
+        _dt.date.fromisoformat(end_date) - _dt.date.fromisoformat(start_date)
+    ).days + 1
+    d = F.datediff(F.to_date(ts_col), F.to_date(F.lit(start_date)))
+    fd = (
+        events.filter(F.col(type_col) == first_type)
+        .select(F.col(user_col).alias("u"), d.alias("d"))
+        .filter(F.col("d") >= 0)
+        .groupBy("u")
+        .agg(F.min("d").alias("fd"))
+        .filter(F.col("fd") < ndays)
+    )
+    base = fd.groupBy("fd").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "fd", F.lit(0).alias("slot"), "cnt"
+    )
+    ret = (
+        events.filter(F.col(type_col) == return_type)
+        .select(F.col(user_col).alias("u"), d.alias("d"))
+        .filter(F.col("d") >= 0)
+        .distinct()
+        .join(fd, "u")
+        .filter((F.col("d") > F.col("fd")) & (F.col("d") - F.col("fd") < window_days))
+        .groupBy("fd", (F.col("d") - F.col("fd")).alias("slot"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = base.unionByName(ret)
+    grid = (
+        spark.range(0, ndays)
+        .select(F.col("id").cast("int").alias("fd"))
+        .crossJoin(
+            spark.range(0, window_days).select(
+                F.col("id").cast("int").alias("slot")
+            )
+        )
+    )
+    filled = grid.join(cells, ["fd", "slot"], "left").select(
+        "fd", "slot", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return (
+        filled.groupBy("fd")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("slot", "cnt"))
+                    ),
+                    lambda s: s["cnt"].cast("string"),
+                ),
+                "|",
+            ).alias("slots")
+        )
+        .select(
+            F.date_add(F.to_date(F.lit(start_date)), F.col("fd")).alias(
+                "cohort_date"
+            ),
+            "slots",
+        )
+    )

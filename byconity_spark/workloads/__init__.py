@@ -102,7 +102,9 @@ def all_queries() -> dict[str, QueryDef]:
     #   2. within each tier, families interleave ROUND-ROBIN (by name
     #      prefix) so a small cap still certifies every family.
     from byconity_spark.workloads import (  # noqa: F401
+        attribution_suite,
         behavioral,
+        ml_suite,
         bitmaps_suite,
         llm_pipeline,
         windows,
