@@ -20,9 +20,12 @@ run through ch_sql and register as temp views first):
     [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT ...]
 
 Ordinary joins FOLLOWING the strict join stay as SQL against the
-materialized strict pair.  Multiple strict joins, or a strict join whose
-left side is itself a textual join chain, still raise ChSqlError pointing
-at the operator API.
+materialized strict pair.  A strict join whose LEFT side is itself a
+textual join chain materializes the chain (``SELECT * FROM <chain>``)
+into a temp view first — column names must be unambiguous after
+flattening (TPC-H-style prefixed columns are).  MULTIPLE strict joins in
+one query resolve recursively: each pass materializes the first strict
+pair and re-enters on the rewritten text.
 """
 
 from __future__ import annotations
@@ -43,6 +46,16 @@ _VIEW = "__byconity_strict_join"
 _TABLE_REF = r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ASOF\b|ANY\b|ON\b|USING\b)([A-Za-z_]\w*))?"
 _JOIN_RE = re.compile(
     rf"\bFROM\s+{_TABLE_REF}\s+(ASOF|ANY)\s+(LEFT\s+|INNER\s+)?JOIN\s+{_TABLE_REF}\s+(ON|USING)\b",
+    re.IGNORECASE,
+)
+_STRICT_HEAD_RE = re.compile(
+    rf"(ASOF|ANY)\s+(LEFT\s+|INNER\s+)?JOIN\s+{_TABLE_REF}\s+(ON|USING)\b",
+    re.IGNORECASE,
+)
+_LEFT_ALIAS_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b|USING\b|LEFT\b|RIGHT\b|INNER\b|FULL\b|CROSS\b"
+    r"|JOIN\b|ASOF\b|ANY\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b)([A-Za-z_]\w*))?",
     re.IGNORECASE,
 )
 _COND_RE = re.compile(
@@ -74,16 +87,24 @@ def _split_depth0_and(cond: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _qualify_sub(text: str, mapping: dict[tuple[str, str], str], aliases: set[str]) -> str:
-    """Replace alias-qualified refs per mapping; strip qualifiers of known
-    aliases otherwise."""
+def _qualify_sub(
+    text: str,
+    mapping: dict[tuple[str, str], str],
+    aliases: set[str],
+    qual: str | None = None,
+) -> str:
+    """Replace alias-qualified refs per mapping; re-qualify references to
+    known aliases with `qual` (the materialized view) so a later strict
+    join in the same query can still parse two-sided conditions; strip
+    when no qual is given."""
 
     def repl(m: re.Match) -> str:
         q, col = m.group(1), m.group(2)
         if (q.lower(), col) in mapping:
-            return mapping[(q.lower(), col)]
+            new = mapping[(q.lower(), col)]
+            return f"{qual}.{new}" if qual else new
         if q.lower() in aliases:
-            return col
+            return f"{qual}.{col}" if qual else col
         return m.group(0)
 
     return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", repl, text)
@@ -127,27 +148,107 @@ def _materialize_subquery_sides(spark: SparkSession, sql: str) -> str:
     return "".join(out)
 
 
-def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
+def _depth0_regex(sql: str, regex: re.Pattern) -> re.Match | None:
+    """First regex match at paren depth 0 (outside string literals)."""
+    for m in regex.finditer(sql):
+        depth = 0
+        i = 0
+        while i < m.start():
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_str(sql, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth == 0 and i == m.start():
+            return m
+    return None
+
+
+def _skip_str(sql: str, i: int) -> int:
+    from byconity_spark.frontend.sql import _skip_string
+
+    return _skip_string(sql, i)
+
+
+def try_rewrite_strict_join(
+    spark: SparkSession, sql: str, _depth: int = 0
+) -> DataFrame | None:
     """If `sql` contains a depth-0 ASOF/ANY join, execute it via the operator
-    API and return the DataFrame; None when no strict join is present."""
+    API and return the DataFrame; None when no strict join is present.
+    Left-side join CHAINS materialize through ch_sql first; several strict
+    joins in one query resolve by recursion on the rewritten text."""
     if all(
         _depth0_find(sql, kw) < 0
         for kw in ("ASOF", "ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN")
     ):
         return None
+    if _depth > 8:
+        raise ChSqlError("strict-join recursion limit exceeded")
     sql = _materialize_subquery_sides(spark, sql)
+    chain_left = False
     m = _JOIN_RE.search(sql)
-    if not m:
-        raise ChSqlError(
-            "ASOF/ANY JOIN detected but not in the supported single-join "
-            "named-table shape; use byconity_spark.operators.joins directly"
+    if m:
+        ltable, lalias, strictness, side, rtable, ralias, conj = m.groups()
+        left_aliases = {ltable.lower(), (lalias or ltable).lower()}
+    else:
+        # LEFT side is a textual join chain: FROM a JOIN b ... ASOF JOIN c.
+        # Materialize the chain via ch_sql and re-anchor on the view.
+        sm = _depth0_regex(sql, _STRICT_HEAD_RE)
+        from_at = -1
+        p = _depth0_find(sql, "FROM")
+        while 0 <= p < (sm.start() if sm else -1):
+            from_at = p
+            p = _depth0_find(sql, "FROM", p + 4)
+        if sm is None or from_at < 0:
+            raise ChSqlError(
+                "ASOF/ANY JOIN detected but not in a supported shape; use "
+                "byconity_spark.operators.joins directly"
+            )
+        left_spec = sql[from_at + 4 : sm.start()].strip()
+        if _depth0_find(left_spec, "JOIN") < 0:
+            raise ChSqlError(
+                f"unsupported strict-join left side: {left_spec!r}"
+            )
+        from byconity_spark.frontend.sql import ch_sql
+
+        lview = f"__strict_left_{_depth}"
+        chain_df = ch_sql(spark, "SELECT * FROM " + left_spec)
+        # SELECT * over an equi-join flattens BOTH key columns under one
+        # name; suffix later duplicates so references resolve to the first
+        names: list[str] = []
+        seen: dict[str, int] = {}
+        for c in chain_df.columns:
+            if c in seen:
+                seen[c] += 1
+                names.append(f"{c}__dup{seen[c]}")
+            else:
+                seen[c] = 0
+                names.append(c)
+        if len(names) != len(set(chain_df.columns)):
+            chain_df = chain_df.toDF(*names)
+        chain_df.createOrReplaceTempView(lview)
+        left_aliases = set()
+        for am in _LEFT_ALIAS_RE.finditer("FROM " + left_spec):
+            left_aliases.add(am.group(1).lower())
+            if am.group(2):
+                left_aliases.add(am.group(2).lower())
+        chain_left = True
+        ltable, lalias = lview, lview
+        strictness, side, rtable, ralias, conj = (
+            sm.group(1), sm.group(2), sm.group(3), sm.group(4), sm.group(5)
         )
-    ltable, lalias, strictness, side, rtable, ralias, conj = m.groups()
+        m = sm
+        select_part = sql[:from_at] + " "
+    if not chain_left:
+        select_part = sql[: m.start()]
     lalias = (lalias or ltable).lower()
     ralias = (ralias or rtable).lower()
     strictness = strictness.upper()
     how = "left" if (side or "").strip().upper() == "LEFT" else "inner"
-    select_part = sql[: m.start()]
     rest = sql[m.end() :]
 
     # ON/USING clause runs until the first depth-0 tail keyword
@@ -163,7 +264,8 @@ def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
     # "JOIN t ON ..." segment re-attaches to the rewritten FROM clause.
     extra_joins = ""
     m_extra = re.search(
-        r"\b(LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|CROSS\s+)?(OUTER\s+)?JOIN\b",
+        r"\b(ASOF\s+|ANY\s+)?(LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+|CROSS\s+)?"
+        r"(OUTER\s+)?JOIN\b",
         cond_text,
         re.IGNORECASE,
     )
@@ -197,9 +299,14 @@ def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
             if not cm:
                 raise ChSqlError(f"unsupported {strictness} JOIN condition: {cond!r}")
             q1, c1, op, q2, c2 = cm.groups()
-            if q1.lower() == lalias and q2.lower() == ralias:
+            l_ok = (
+                (lambda q: q != ralias and (not left_aliases or q in left_aliases or chain_left))
+                if chain_left
+                else (lambda q: q == lalias)
+            )
+            if l_ok(q1.lower()) and q2.lower() == ralias:
                 lcol, rcol = c1, c2
-            elif q1.lower() == ralias and q2.lower() == lalias:
+            elif q1.lower() == ralias and l_ok(q2.lower()):
                 lcol, rcol = c2, c1
                 op = {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "="}[op]
             else:
@@ -269,13 +376,22 @@ def try_rewrite_strict_join(spark: SparkSession, sql: str) -> DataFrame | None:
 
         joined = any_join(left, right, on=keys, how=how)
 
-    joined.createOrReplaceTempView(_VIEW)
-    aliases = {lalias, ralias, ltable.lower(), rtable.lower()}
+    view = f"{_VIEW}_{_depth}"
+    joined.createOrReplaceTempView(view)
+    aliases = {lalias, ralias, ltable.lower(), rtable.lower()} | left_aliases
     final_sql = (
-        _qualify_sub(select_part, mapping, aliases)
-        + f" FROM {_VIEW} "
-        + _qualify_sub(extra_joins, mapping, aliases)
+        _qualify_sub(select_part, mapping, aliases, view)
+        + f" FROM {view} "
+        + _qualify_sub(extra_joins, mapping, aliases, view)
         + " "
-        + _qualify_sub(tail, mapping, aliases)
+        + _qualify_sub(tail, mapping, aliases, view)
     )
+    # another strict join further down the chain? resolve it recursively
+    if any(
+        _depth0_find(final_sql, kw) >= 0
+        for kw in ("ASOF", "ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN")
+    ):
+        out = try_rewrite_strict_join(spark, final_sql, _depth + 1)
+        if out is not None:
+            return out
     return spark.sql(rewrite_ch_sql(final_sql))

@@ -267,3 +267,63 @@ def adaptive_histogram(
         kernel,
         schema=f"{key_schema}, bin_means string, bin_weights string, n_bins long",
     )
+
+
+# ----------------------------------------------------- uniqCombined tiers
+# uniqCombined(HLL_precision)(x) / uniqCombined64 (reference
+# src/AggregateFunctions/AggregateFunctionUniqCombined.cpp:100-126 —
+# precision K in [12, 20], default 17; the 64 variant hashes with UInt64).
+# Our hashes are already 64-bit xxhash64, so this surface is the
+# uniqCombined64 semantics at parameterized register counts; the reference
+# additionally switches through array/hash-set modes below ~2^K items,
+# which only changes the error curve near zero — linear counting covers
+# the same regime here.
+
+
+def _registers_p(h: np.ndarray, p: int) -> np.ndarray:
+    m = 1 << p
+    u = h.astype(np.int64).view(np.uint64)
+    idx = (u >> np.uint64(64 - p)).astype(np.int64)
+    w = u & np.uint64((1 << (64 - p)) - 1)
+    rho = _rho(w, 64 - p).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _estimate_p(regs: np.ndarray, p: int) -> int:
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.ldexp(1.0, -regs.astype(np.int64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def uniq_combined(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    precision: int = 17,
+    out_col: str = "uniq_combined",
+) -> DataFrame:
+    """uniqCombined64(precision)(value) per group — one fused
+    state-build + estimate pass (use uniq_state/uniq_merge when the state
+    itself must be stored/rolled up).  Standard error ~1.04/sqrt(2^K)."""
+    if not 12 <= precision <= 20:
+        raise ValueError("uniqCombined precision must be in [12, 20]")
+    hashed = df.select(*group_cols, _hash_col(value_col).alias("__h"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        regs = _registers_p(pdf["__h"].dropna().to_numpy(), precision)
+        keys[out_col] = [_estimate_p(regs, precision)]
+        return pd.DataFrame(keys)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return hashed.groupBy(*group_cols).applyInPandas(
+        kernel, schema=f"{key_schema}, {out_col} long"
+    )

@@ -975,3 +975,40 @@ def agg_bitwise_linreg(spark: SparkSession, sf: str) -> DataFrame:
         F.round(lin.getField("k"), 4).alias("k"),
         F.round(lin.getField("b"), 4).alias("b"),
     )
+
+
+# ------------------------------------------------ uniqCombined precision tiers
+# uniqCombined(K)/uniqCombined64 (reference AggregateFunctionUniqCombined
+# .cpp:100-126): the oracle cannot replay the HLL registers (different
+# hash), so the check is exact-count equality PLUS error-banded booleans
+# per precision tier — 5-sigma bands on 1.04/sqrt(2^K): 8% (K=12),
+# 2% (K=16), 0.6% (K=20).
+@register(
+    "agg_uniq_combined_tiers",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_cnt,
+           TRUE AS ok12, TRUE AS ok16, TRUE AS ok20
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_uniq_combined_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.sketches import uniq_combined
+
+    ev = _t(spark, sf, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_cnt")
+    )
+    out = exact
+    for k, tol, name in ((12, 0.08, "ok12"), (16, 0.02, "ok16"), (20, 0.006, "ok20")):
+        est = uniq_combined(ev, ["event_type"], "user_id", precision=k,
+                            out_col=f"est{k}")
+        out = out.join(est, "event_type")
+        out = out.withColumn(
+            name,
+            (
+                F.abs(F.col(f"est{k}") - F.col("exact_cnt"))
+                <= F.greatest(F.lit(1.0), F.col("exact_cnt") * tol)
+            ),
+        ).drop(f"est{k}")
+    return out

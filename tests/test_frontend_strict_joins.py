@@ -159,3 +159,85 @@ def test_strict_join_followed_by_ordinary_join(views):
     for r in rows:
         per_cust.setdefault(r.c_custkey, set()).add(r.o_orderkey)
     assert all(len(v) == 1 for v in per_cust.values())  # ANY semantics held
+
+
+def test_strict_join_with_left_chain(views):
+    """Strict join whose LEFT side is a textual join chain: the chain
+    materializes first, then the ANY join anchors on it."""
+    out = ch_sql(
+        views,
+        """
+        SELECT n.n_name, c.c_custkey, o.o_orderkey
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ANY JOIN orders o ON c.c_custkey = o.o_custkey
+        ORDER BY c.c_custkey
+        """,
+    )
+    rows = out.collect()
+    buyers = views.sql(
+        "SELECT count(DISTINCT o_custkey) AS n FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer)"
+    ).first().n
+    assert len(rows) == buyers
+    assert len({r.c_custkey for r in rows}) == len(rows)  # ANY: one per key
+
+
+def test_two_strict_joins_in_one_query(views):
+    """Two ASOF joins resolve recursively."""
+    views.sql(
+        "SELECT user_id, ts AS signup_ts FROM events WHERE event_type='signup'"
+    ).createOrReplaceTempView("ms_signup_v")
+    views.sql(
+        "SELECT user_id, ts AS click_ts, max(event_id) AS click_id "
+        "FROM events WHERE event_type='click' GROUP BY user_id, ts"
+    ).createOrReplaceTempView("ms_click_v")
+    views.sql(
+        "SELECT user_id, ts AS purch_ts, max(event_id) AS purch_id "
+        "FROM events WHERE event_type='purchase' GROUP BY user_id, ts"
+    ).createOrReplaceTempView("ms_purch_v")
+    out = ch_sql(
+        views,
+        """
+        SELECT s.user_id, s.signup_ts, c.click_ts, p.purch_ts
+        FROM ms_signup_v s
+        ASOF LEFT JOIN ms_click_v c
+          ON s.user_id = c.user_id AND s.signup_ts <= c.click_ts
+        ASOF LEFT JOIN ms_purch_v p
+          ON s.user_id = p.user_id AND s.signup_ts <= p.purch_ts
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) == views.table("ms_signup_v").count()
+    m1 = [r for r in rows if r.click_ts is not None]
+    m2 = [r for r in rows if r.purch_ts is not None]
+    assert m1 and m2
+    assert all(r.click_ts >= r.signup_ts for r in m1)
+    assert all(r.purch_ts >= r.signup_ts for r in m2)
+
+
+def test_chain_then_asof_with_aggregate(views):
+    """Chain-left ASOF with GROUP BY over the mixed frame."""
+    views.sql(
+        "SELECT user_id, ts AS click_ts, max(event_id) AS click_id "
+        "FROM events WHERE event_type='click' GROUP BY user_id, ts"
+    ).createOrReplaceTempView("ca_click_v")
+    views.sql(
+        "SELECT user_id, event_id, ts AS purch_ts "
+        "FROM events WHERE event_type='purchase'"
+    ).createOrReplaceTempView("ca_purch_v")
+    views.sql(
+        "SELECT DISTINCT user_id, user_id % 5 AS cohort FROM events"
+    ).createOrReplaceTempView("ca_user_v")
+    out = ch_sql(
+        views,
+        """
+        SELECT u.cohort, count() AS n_matched
+        FROM ca_purch_v p JOIN ca_user_v u ON p.user_id = u.user_id
+        ASOF JOIN ca_click_v c
+          ON p.user_id = c.user_id AND p.purch_ts >= c.click_ts
+        GROUP BY u.cohort
+        ORDER BY u.cohort
+        """,
+    )
+    rows = out.collect()
+    assert rows and all(r.n_matched > 0 for r in rows)
