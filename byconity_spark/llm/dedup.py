@@ -227,11 +227,56 @@ def connected_components(
     Convergence is checked every OTHER round: near-dup components have
     tiny diameters (2-3 rounds), and each driver-side check is a full
     Spark job, so halving the checks removes ~40% of the loop's job count
-    without changing the fixpoint."""
+    without changing the fixpoint.
+
+    ADAPTIVE small-graph fast path: when the edge set is small (default
+    <= 2M edges, ~32 MB), collect it and run exact union-find on the
+    driver — one job instead of a multi-round join loop.  This is the
+    AQE-style runtime decision: the DISTRIBUTED loop remains the 100-TB
+    path (edge sets above the threshold never collect)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+
+    DRIVER_UF_MAX_EDGES = 2_000_000
+    n_edges = edges.count()
+    if n_edges <= DRIVER_UF_MAX_EDGES:
+        spark = pairs.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in pairs.select(id_a, id_b).collect():
+            a, b = int(r[0]), int(r[1])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-label root so comp == smallest id, matching the
+                # distributed path's fixpoint exactly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        touched_labels = (
+            spark.createDataFrame(rows, "id long, comp long")
+            if rows
+            else spark.createDataFrame([], "id long, comp long")
+        )
+        singletons = (
+            all_ids.select(F.col(id_col).alias("id"))
+            .join(
+                edges.select(F.col("src").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+            .withColumn("comp", F.col("id"))
+        )
+        return touched_labels.unionByName(singletons)
     # Iterate ONLY over edge-incident ids: every other id is trivially its
     # own singleton component.  Near-dup edge sets are a tiny fraction of
     # the corpus, so this shrinks every per-round join/groupBy from

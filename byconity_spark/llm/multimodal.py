@@ -22,11 +22,20 @@ from pyspark.sql import functions as F
 REAL_CODECS_AVAILABLE = False
 
 
-def attach_binary_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_binary_payload(
+    docs: DataFrame, id_col: str = "doc_id", blocks: int = 1
+) -> DataFrame:
     """Simulate a multimodal table: each row carries an opaque binary blob
     plus typed metadata (mime/n_bytes), the layout a real image/audio column
-    would use (binary payload + struct metadata, never decoded at scan)."""
-    payload = F.unhex(F.md5(F.col("text")))  # deterministic 16-byte stand-in
+    would use (binary payload + struct metadata, never decoded at scan).
+    ``blocks`` md5 blocks of 16 bytes each make longer deterministic
+    payloads for windowed kernels."""
+    suffixes = ["", "x", "y", "z", "w"][:blocks]
+    hexes = [
+        F.md5(F.concat(F.col("text"), F.lit(s)) if s else F.col("text"))
+        for s in suffixes
+    ]
+    payload = F.unhex(F.concat(*hexes))
     return docs.select(
         F.col(id_col),
         payload.alias("payload"),
@@ -114,4 +123,73 @@ def sample_frames(
 
     return mm.select(id_col, "payload").mapInPandas(
         gen, schema=f"{id_col} long, frame_idx long, frame binary, frame_mean double"
+    )
+
+
+def audio_frame_energy(
+    mm: DataFrame,
+    win_bytes: int = 8,
+    hop_bytes: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio feature extraction shape: sliding RMS-energy windows over the
+    payload (librosa frame/hop semantics — full windows only, hop-strided).
+    Stub "samples" are raw bytes; a real deployment decodes PCM first.
+    One mapInPandas pass, one output row per window: (id, win_idx, energy).
+
+    Output size = rows x n_windows, bounded by (payload_len - win)/hop + 1;
+    the kernel is vectorized numpy (stride tricks) per Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for did, blob in zip(pdf[id_col], pdf["payload"]):
+                a = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+                n_win = max((len(a) - win_bytes) // hop_bytes + 1, 0)
+                for k in range(n_win):
+                    w = a[k * hop_bytes : k * hop_bytes + win_bytes]
+                    ids.append(did)
+                    idxs.append(k)
+                    energies.append(float(np.sqrt(np.mean(w * w))))
+            yield pd.DataFrame(
+                {id_col: ids, "win_idx": idxs, "energy": energies}
+            )
+
+    return mm.select(id_col, "payload").mapInPandas(
+        gen, schema=f"{id_col} long, win_idx long, energy double"
+    )
+
+
+def select_keyframes(
+    mm: DataFrame,
+    frame_bytes: int = 4,
+    threshold: float = 40.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video keyframe selection shape: fixed-size frames, emit frame 0 plus
+    every frame whose mean-intensity DELTA vs the previous frame exceeds
+    the threshold (the scene-change-detector pattern; a real deployment
+    compares decoded luma histograms).  Variable output rows per input —
+    the batch shape uniform sampling can't exercise."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for did, blob in zip(pdf[id_col], pdf["payload"]):
+                a = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+                n = len(a) // frame_bytes
+                fm = a[: n * frame_bytes].reshape(n, frame_bytes).mean(axis=1)
+                prev = None
+                for k in range(n):
+                    if prev is None or abs(fm[k] - prev) > threshold:
+                        ids.append(did)
+                        idxs.append(k)
+                        means.append(float(fm[k]))
+                    prev = fm[k]
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_mean": means}
+            )
+
+    return mm.select(id_col, "payload").mapInPandas(
+        gen, schema=f"{id_col} long, frame_idx long, frame_mean double"
     )

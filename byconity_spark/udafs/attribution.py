@@ -114,14 +114,45 @@ def attribution_analysis_partials(
     n_procs = len(procs)
     touch_set = set(touch_list) - proc_set - {target_event}
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "name", "eid"], kind="mergesort")
-        uid = int(pdf["user_id"].iloc[0])
-        ts = pdf["ts_us"].to_numpy(dtype=np.int64)
-        names = pdf["name"].to_numpy()
-        attrs = pdf["attr"].to_numpy()
-        vals = pdf["value"].to_numpy(dtype=np.float64)
+    # Bucket users so ONE kernel invocation processes many users — the
+    # per-group Arrow/pandas overhead of user-sized groups dominates
+    # otherwise (15k tiny groups vs ~256 bucket groups).
+    n_buckets = 256
+    sel = sel.withColumn("__b", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
 
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "name", "eid"], kind="mergesort"
+        )
+        all_uids = pdf["user_id"].to_numpy(dtype=np.int64)
+        all_ts = pdf["ts_us"].to_numpy(dtype=np.int64)
+        all_names = pdf["name"].to_numpy()
+        all_attrs = pdf["attr"].to_numpy()
+        all_vals = pdf["value"].to_numpy(dtype=np.float64)
+        bounds = np.flatnonzero(np.diff(all_uids) != 0) + 1
+        out_rows: list[tuple] = []
+        for lo, hi in zip(
+            np.concatenate(([0], bounds)),
+            np.concatenate((bounds, [len(all_uids)])),
+        ):
+            out_rows.extend(
+                _user_partials(
+                    int(all_uids[lo]),
+                    all_ts[lo:hi],
+                    all_names[lo:hi],
+                    all_attrs[lo:hi],
+                    all_vals[lo:hi],
+                )
+            )
+        return pd.DataFrame(
+            out_rows,
+            columns=[
+                "user_id", "touch_event", "touch_attr",
+                "click_cnt", "valid_cnt", "value", "times", "steps",
+            ],
+        )
+
+    def _user_partials(uid, ts, names, attrs, vals) -> list[tuple]:
         res: dict[tuple, list] = {}
 
         def ent(key: tuple) -> list:
@@ -212,19 +243,12 @@ def attribution_analysis_partials(
                 e = ent(key)
                 e[2] += tv * c if tv > 0 else c
 
-        rows = [
+        return [
             (uid, k[0], k[1], e[0], e[1], e[2], e[3], e[4])
             for k, e in res.items()
         ]
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "user_id", "touch_event", "touch_attr",
-                "click_cnt", "valid_cnt", "value", "times", "steps",
-            ],
-        )
 
-    return sel.groupBy("user_id").applyInPandas(kernel, _PARTIAL_SCHEMA)
+    return sel.groupBy("__b").applyInPandas(kernel, _PARTIAL_SCHEMA)
 
 
 def attribution_analysis(events: DataFrame, **kwargs) -> DataFrame:
@@ -302,7 +326,10 @@ def attribution_analysis_fuse(
     deterministic deviation).
 
     Scale: aggregates per touch key + a broadcast single-row total; the
-    distributions are 10-slot bounded frames."""
+    distributions are 10-slot bounded frames.  The partial frame feeds
+    three consumers (sums, time dist, step dist) — persist it so the
+    applyInPandas kernel runs once."""
+    partials = partials.persist()
     agg = partials.groupBy("touch_event", "touch_attr").agg(
         F.sum("click_cnt").alias("click_cnt"),
         F.sum("valid_cnt").alias("valid_transform_cnt"),
@@ -367,7 +394,10 @@ def attribution_correlation(partials: DataFrame) -> DataFrame:
     yields.
 
     Scale: ranks are per-touch-key windows over per-user rows (bounded by
-    users-per-touch), never a global sort."""
+    users-per-touch), never a global sort.  Five consumers (sums,
+    features, correlation, two distributions) — persist the kernel output
+    once."""
+    partials = partials.persist()
     keys = ["touch_event", "touch_attr"]
     agg = partials.groupBy(*keys).agg(
         F.sum("click_cnt").alias("click_cnt"),

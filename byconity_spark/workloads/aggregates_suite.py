@@ -400,6 +400,9 @@ def agg_advanced_stats(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         (F.col("user_id") % 2 == 0).alias("grp"),
     )
+    # four stat families consume the same projected base: cache it once so
+    # the parquet scan + projection runs once, not four times
+    d = d.persist()
     ent = entropy(
         d.withColumn("bucket", F.col("user_id") % 10), ["event_type"], "bucket"
     ).withColumn("entropy", F.round("entropy", 6))

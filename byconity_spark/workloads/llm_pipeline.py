@@ -500,3 +500,69 @@ def llm_token_count(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.llm.text import token_counts
 
     return token_counts(_docs(spark, sf))
+
+
+# ---------------------------------------------- audio frame-energy windows
+# Sliding RMS-energy windows (librosa frame/hop shape) over a 48-byte
+# deterministic payload; the oracle recomputes the byte values from the
+# same md5 hex in pure SQL, so energies value-match exactly (window sums
+# are exact in float64).
+@register(
+    "mm_audio_energy",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      md5(text) || md5(text || 'x') || md5(text || 'y') AS h
+               FROM documents),
+    bytes AS (SELECT doc_id, i.range AS bi,
+                     (strpos('0123456789abcdef',
+                             substr(h, 1 + 2 * i.range, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef',
+                             substr(h, 2 + 2 * i.range, 1)) - 1) AS v
+              FROM b CROSS JOIN range(48) i),
+    win AS (SELECT y.doc_id, w.range AS win_idx,
+                   sqrt(avg(CAST(y.v * y.v AS DOUBLE))) AS energy
+            FROM bytes y CROSS JOIN range(11) w
+            WHERE y.bi >= 4 * w.range AND y.bi < 4 * w.range + 8
+            GROUP BY 1, 2)
+    SELECT doc_id, win_idx, round(energy, 6) AS energy FROM win
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.multimodal import attach_binary_payload, audio_frame_energy
+
+    mm = attach_binary_payload(_docs(spark, sf), blocks=3)
+    out = audio_frame_energy(mm, win_bytes=8, hop_bytes=4)
+    return out.withColumn("energy", F.round("energy", 6))
+
+
+# ---------------------------------------------- video keyframe selection
+# Scene-change keyframes: frame 0 plus frames whose mean-intensity delta
+# vs the previous frame exceeds 40; variable rows per doc, value-checked
+# against the same hex math in SQL (means are exact quarters).
+@register(
+    "mm_keyframes",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      md5(text) || md5(text || 'x') || md5(text || 'y') AS h
+               FROM documents),
+    bytes AS (SELECT doc_id, i.range AS bi,
+                     (strpos('0123456789abcdef',
+                             substr(h, 1 + 2 * i.range, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef',
+                             substr(h, 2 + 2 * i.range, 1)) - 1) AS v
+              FROM b CROSS JOIN range(48) i),
+    fm AS (SELECT doc_id, bi // 4 AS frame_idx, avg(CAST(v AS DOUBLE)) AS m
+           FROM bytes GROUP BY 1, 2),
+    d AS (SELECT doc_id, frame_idx, m,
+                 lag(m) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pm
+          FROM fm)
+    SELECT doc_id, frame_idx, round(m, 6) AS frame_mean
+    FROM d WHERE pm IS NULL OR abs(m - pm) > 40
+    """,
+)
+def mm_keyframes(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.multimodal import attach_binary_payload, select_keyframes
+
+    mm = attach_binary_payload(_docs(spark, sf), blocks=3)
+    out = select_keyframes(mm, frame_bytes=4, threshold=40.0)
+    return out.withColumn("frame_mean", F.round("frame_mean", 6))
