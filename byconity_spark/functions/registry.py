@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -1065,6 +1067,14 @@ def ch_agg(name: str, *args) -> Column:
                 return _apply_foreach(base_name, *args)
             if suffix == "Stack":
                 return _apply_stack(base, *args)
+            if suffix == "OrDefault":
+                return _apply_or_default(base_name, base, *args)
+            if suffix == "Map":
+                return _apply_map(base_name, *args)
+            if suffix == "SimpleState":
+                # -SimpleState (reference AggregateFunctionSimpleState.h):
+                # the state of a simple aggregate IS its value — identity
+                return base(*args)
     raise UnknownFunctionError(
         f"unknown aggregate function {name!r} (no base+combinator match)"
     )
@@ -1081,3 +1091,127 @@ def ch(name: str, *args) -> Column:
 
 def registered_names() -> dict[str, list[str]]:
     return {"scalar": sorted(SCALAR), "aggregate": sorted(AGG)}
+
+
+def _apply_map(base_name: str, m: Column) -> Column:
+    """-Map combinator (reference AggregateFunctionMap.h / sumMap single-
+    map form): per-key aggregation over MAP columns — result[k] = agg of
+    every value bound to k across the group.  Column form folds collected
+    maps with map_zip_with (key-union merge); bounded key cardinality only
+    — the scale path for wide maps is explode + groupBy(key)
+    (operators/aggregates.py:sum_map)."""
+    ops = {
+        "sum": lambda a, b: a + b,
+        "min": F.least,
+        "max": F.greatest,
+    }
+    op = ops.get(base_name)
+    if op is None:
+        raise UnknownFunctionError(f"-Map not supported for {base_name}")
+    lists = F.collect_list(m)
+    return F.aggregate(
+        F.slice(lists, 2, F.greatest(F.size(lists) - 1, F.lit(0))),
+        F.element_at(lists, 1),
+        lambda acc, x: F.map_zip_with(
+            acc, x, lambda k, v1, v2: F.coalesce(op(v1, v2), v1, v2)
+        ),
+    )
+
+
+def _apply_or_default(base_name: str, base: Callable[..., Column], *args) -> Column:
+    """-OrDefault combinator (reference AggregateFunctionOrFill.h, the
+    'OrDefault' template flavor): the return type's default value instead
+    of NULL on empty input — 0 for the numeric aggregates this engine
+    types them as."""
+    return F.coalesce(base(*args), F.lit(0))
+
+
+_SUFFIXES = (
+    "If", "Distinct", "Array", "OrNull", "OrDefault", "Resample",
+    "ForEach", "Stack", "Map", "SimpleState",
+)
+
+
+# ------------------------------------------------ round-4 scalar breadth
+_GEOHASH_CHARS = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_core(lngs, lats, precision: int) -> list:
+    out = []
+    for lng, lat in zip(lngs, lats):
+        lng_lo, lng_hi = -180.0, 180.0
+        lat_lo, lat_hi = -90.0, 90.0
+        bits = []
+        is_lng = True
+        while len(bits) < precision * 5:
+            if is_lng:
+                mid = (lng_lo + lng_hi) / 2
+                if lng >= mid:
+                    bits.append(1)
+                    lng_lo = mid
+                else:
+                    bits.append(0)
+                    lng_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    bits.append(1)
+                    lat_lo = mid
+                else:
+                    bits.append(0)
+                    lat_hi = mid
+            is_lng = not is_lng
+        out.append(
+            "".join(
+                _GEOHASH_CHARS[
+                    sum(b << (4 - j) for j, b in enumerate(bits[i : i + 5]))
+                ]
+                for i in range(0, precision * 5, 5)
+            )
+        )
+    return out
+
+
+def _geohash_encode(lng: Column, lat: Column, precision: int = 12) -> Column:
+    """geohashEncode (reference src/Functions/geohashEncode.cpp; public
+    Geohash base32 bit-interleaving).  Arrow-batched pandas UDF — the
+    60-level range-halving recurrence has no bounded Column form (the
+    expression tree grows exponentially in the precision)."""
+    @F.pandas_udf("string")
+    def k(lo: pd.Series, la: pd.Series) -> pd.Series:
+        return pd.Series(_geohash_core(lo, la, precision))
+
+    return k(lng, lat)
+
+
+SCALAR.update(
+    {
+        # arrayEnumerateDense (array/arrayEnumerateDense.cpp): index of the
+        # FIRST occurrence, in first-seen order — array_distinct preserves
+        # first-occurrence order, so array_position over it is exact.
+        "arrayEnumerateDense": lambda a: F.transform(
+            a, lambda x: F.array_position(F.array_distinct(a), x).cast("int")
+        ),
+        # UUID <-> 16-byte binary (FunctionsCodingUUID.cpp)
+        "UUIDStringToNum": lambda u: F.unhex(F.regexp_replace(u, "-", "")),
+        "UUIDNumToString": lambda b: F.concat_ws(
+            "-",
+            F.substring(F.lower(F.hex(b)), 1, 8),
+            F.substring(F.lower(F.hex(b)), 9, 4),
+            F.substring(F.lower(F.hex(b)), 13, 4),
+            F.substring(F.lower(F.hex(b)), 17, 4),
+            F.substring(F.lower(F.hex(b)), 21, 12),
+        ),
+        # map higher-order surface (src/Functions/map.cpp family)
+        "mapFilter": lambda f, m: F.map_filter(m, f),
+        "mapApply": lambda f, m: F.transform_values(m, f),
+        "mapUpdate": lambda m1, m2: F.map_concat(
+            F.map_filter(m1, lambda k, _v: ~F.array_contains(F.map_keys(m2), k)),
+            m2,
+        ),
+        "mapContainsKeyLike": lambda m, pat: F.exists(
+            F.map_keys(m), lambda k: k.like(pat)
+        ),
+        "geohashEncode": _geohash_encode,
+    }
+)

@@ -14,7 +14,7 @@ src/Functions/URL/ (hash/URL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from byconity_spark.engine.catalog import load_table
@@ -426,4 +426,81 @@ def fn_breadth_suite(spark: SparkSession, sf: str) -> DataFrame:
         ch("concatWithSeparator", "-", F.col("doc_id").cast("string"),
            F.length(txt).cast("string")).alias("tagged"),
         ch("roundDuration", F.length(txt)).alias("dur_bucket"),
+    )
+
+
+# ------------------------------------------- -Map combinators + enum/UUID
+# sumMap/minMap/maxMap single-map combinator form (reference
+# AggregateFunctionMap.h), arrayEnumerateDense, UUID string<->num
+# roundtrip (FunctionsCodingUUID.cpp).
+@register(
+    "fn_map_combinator_suite",
+    oracle="""
+    WITH s AS (SELECT user_id % 10 AS bucket, event_type AS k,
+                      sum(value) AS sv, min(value) AS nv, max(value) AS xv
+               FROM events GROUP BY 1, 2)
+    SELECT bucket,
+           string_agg(k || ':' || printf('%.4f', sv), '|' ORDER BY k) AS sum_map,
+           string_agg(k || ':' || printf('%.4f', nv), '|' ORDER BY k) AS min_map,
+           string_agg(k || ':' || printf('%.4f', xv), '|' ORDER BY k) AS max_map
+    FROM s GROUP BY bucket
+    """,
+)
+def fn_map_combinator_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.functions.registry import ch_agg
+
+    ev = _t(spark, sf, "events")
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    rows = ev.select((F.col("user_id") % 10).alias("bucket"), m.alias("m"))
+
+    def ser(mcol: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(mcol)),
+                lambda e: F.concat(
+                    e["key"], F.lit(":"), F.format_string("%.4f", e["value"])
+                ),
+            ),
+            "|",
+        )
+
+    return rows.groupBy("bucket").agg(
+        ser(ch_agg("sumMap", F.col("m"))).alias("sum_map"),
+        ser(ch_agg("minMap", F.col("m"))).alias("min_map"),
+        ser(ch_agg("maxMap", F.col("m"))).alias("max_map"),
+    )
+
+
+@register(
+    "fn_enum_uuid_suite",
+    oracle="""
+    WITH b AS (SELECT event_id, user_id % 5 AS u5, event_id % 5 AS e5,
+                      md5(props) AS h
+               FROM events)
+    SELECT event_id,
+           '1|' || (CASE WHEN e5 = u5 THEN 1 ELSE 2 END) || '|1' AS dense,
+           substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+           substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+           substr(h, 21, 12)                                    AS uuid_rt
+    FROM b
+    """,
+)
+def fn_enum_uuid_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.functions.registry import ch
+    from byconity_spark.workloads._arrays import arr_str
+
+    ev = _t(spark, sf, "events")
+    u5 = (F.col("user_id") % 5).cast("int")
+    e5 = (F.col("event_id") % 5).cast("int")
+    arr = F.array(u5, e5, u5)
+    h = F.md5(F.col("props"))
+    uuid_str = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    return ev.select(
+        "event_id",
+        arr_str(ch("arrayEnumerateDense", arr)).alias("dense"),
+        ch("UUIDNumToString", ch("UUIDStringToNum", uuid_str)).alias("uuid_rt"),
     )

@@ -193,3 +193,64 @@ def test_round4_breadth_batch(spark):
     assert r.cs == [1.0, 0.0, 3.0]
     assert r.wd == "Monday"
     assert str(r.eom) == "2024-02-29"
+
+
+def test_geohash_encode_golden(spark):
+    """Public geohash test vectors (geohash.org reference values)."""
+    from byconity_spark.functions.registry import ch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (-5.60302, 42.593385, "ezs42"),
+            (10.40744, 57.64911, "u4pruydqqvj"),
+            (139.691711, 35.689487, "xn774c06"),
+        ],
+        "lng double, lat double, expect string",
+    )
+    rows = df.select(
+        ch("geohashEncode", F.col("lng"), F.col("lat")).alias("gh"), "expect"
+    ).collect()
+    for r in rows:
+        assert r.gh.startswith(r.expect), (r.gh, r.expect)
+
+
+def test_map_combinators_and_simple_state(spark):
+    from byconity_spark.functions.registry import ch_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1.0, "b": 2.0}), (1, {"b": 3.0, "c": 4.0})],
+        "g int, m map<string,double>",
+    )
+    r = df.groupBy("g").agg(
+        ch_agg("sumMap", F.col("m")).alias("sm"),
+        ch_agg("minMap", F.col("m")).alias("nm"),
+        ch_agg("maxMap", F.col("m")).alias("xm"),
+        ch_agg("sumSimpleState", F.lit(2)).alias("ss"),
+        ch_agg("countOrDefault", F.lit(1)).alias("cd"),
+    ).first()
+    assert dict(r.sm) == {"a": 1.0, "b": 5.0, "c": 4.0}
+    assert dict(r.nm) == {"a": 1.0, "b": 2.0, "c": 4.0}
+    assert dict(r.xm) == {"a": 1.0, "b": 3.0, "c": 4.0}
+    assert r.ss == 4 and r.cd == 2
+
+
+def test_enumerate_dense_and_uuid(spark):
+    from byconity_spark.functions.registry import ch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([10, 20, 10, 30], "f47ac10b-58cc-4372-a567-0e02b2c3d479")],
+        "arr array<int>, u string",
+    )
+    r = df.select(
+        ch("arrayEnumerateDense", F.col("arr")).alias("d"),
+        ch("UUIDNumToString", ch("UUIDStringToNum", F.col("u"))).alias("rt"),
+        ch("mapUpdate",
+           F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)),
+           F.create_map(F.lit("b"), F.lit(9))).alias("mu"),
+    ).first()
+    assert r.d == [1, 2, 1, 3]
+    assert r.rt == "f47ac10b-58cc-4372-a567-0e02b2c3d479"
+    assert dict(r.mu) == {"a": 1, "b": 9}
