@@ -814,6 +814,17 @@ AGG: dict[str, Callable[..., Column]] = {
     "median": lambda c: F.percentile(c, F.lit(0.5)),
     "quantile": lambda level, c: F.percentile_approx(c, level),
     "quantileExact": lambda level, c: F.percentile(c, F.lit(level)),
+    # groupConcat(sep)(x) — reference AggregateFunctionGroupConcat.cpp.
+    # CH concatenates in ARRIVAL order, which is nondeterministic under
+    # distributed merge; this engine sorts for a deterministic result
+    # (documented deviation).
+    "groupConcat": lambda sep, c: F.array_join(
+        F.array_sort(F.collect_list(c.cast("string"))), sep
+    ),
+    # deltaSumTimestamp(value, ts) — AggregateFunctionDeltaSumTimestamp.h:
+    # the Column form only works when rows arrive time-ordered within the
+    # group; use functions/registry.delta_sum (the frame-level op) for the
+    # general shuffled case — it sorts by the ts columns explicitly.
     "quantilesExact": lambda levels, c: F.percentile(
         c, F.array(*[F.lit(v) for v in levels])
     ),

@@ -2040,3 +2040,157 @@ def retention4(
             "slots",
         )
     )
+
+
+def cross_tab_stats(
+    events: DataFrame, a_col: Column, b_col: Column
+) -> DataFrame:
+    """cramersV / cramersVBiasCorrected / contingency / theilsU (reference
+    src/AggregateFunctions/CrossTab.h + the four AggregateFunction*.cpp
+    wrappers): association statistics over the (a, b) contingency table.
+
+    Reference formulas, reproduced EXACTLY (note phi^2 sums only the
+    OBSERVED pairs — CrossTab.h getPhiSquared iterates count_ab, so cells
+    with zero observed count contribute nothing, unlike the textbook
+    chi^2):
+
+      phi2        = (1/n) * sum_ab (c_ab - c_a*c_b/n)^2 / (c_a*c_b/n)
+      cramersV    = sqrt(phi2 / (min(|A|, |B|) - 1))
+      biasCorr    = sqrt(max(0, phi2 - (|A|-1)(|B|-1)/(n-1))
+                         / (min(|A| - (|A|-1)^2/(n-1),
+                                |B| - (|B|-1)^2/(n-1)) - 1))
+      contingency = sqrt(phi2 / (phi2 + n))
+      theilsU     = (sum_ab (c_ab/n) ln(c_ab/c_b) - h_a) / h_a,
+                    h_a = sum_a (c_a/n) ln(c_a/n)
+
+    One row out; NaN when n < 2.  Shape: one groupBy to the pair-count
+    table (bounded by |A|x|B|), two tiny re-aggregations, broadcast joins
+    of single-row frames — no kernel, fully map-side combinable."""
+    pairs = (
+        events.select(a_col.alias("a"), b_col.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .persist()
+    )
+    ca = pairs.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    cb = pairs.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    tot = pairs.agg(
+        F.sum("c_ab").alias("n"),
+        F.countDistinct("a").alias("na"),
+        F.countDistinct("b").alias("nb"),
+    )
+    cell = (
+        pairs.join(ca, "a").join(cb, "b").crossJoin(F.broadcast(tot))
+    )
+    e = F.col("c_a") * F.col("c_b") / F.col("n")
+    chi = F.sum((F.col("c_ab") - e) * (F.col("c_ab") - e) / e)
+    dep = F.sum(
+        (F.col("c_ab") / F.col("n")) * F.log(F.col("c_ab") / F.col("c_b"))
+    )
+    agg1 = cell.groupBy("n", "na", "nb").agg(
+        chi.alias("chi"), dep.alias("dep")
+    )
+    ha = (
+        ca.crossJoin(F.broadcast(tot.select("n")))
+        .agg(
+            F.sum(
+                (F.col("c_a") / F.col("n")) * F.log(F.col("c_a") / F.col("n"))
+            ).alias("h_a")
+        )
+    )
+    out = agg1.crossJoin(F.broadcast(ha))
+    phi2 = F.col("chi") / F.col("n")
+    n1 = F.col("n") - 1
+    corr_a = F.col("na") - (F.col("na") - 1) * (F.col("na") - 1) / n1
+    corr_b = F.col("nb") - (F.col("nb") - 1) * (F.col("nb") - 1) / n1
+    res_bc = F.greatest(
+        F.lit(0.0),
+        phi2 - (F.col("na") - 1) * (F.col("nb") - 1) / n1,
+    ) / (F.least(corr_a, corr_b) - 1)
+    nan = F.lit(float("nan"))
+    small = F.col("n") < 2
+    return out.select(
+        F.when(small, nan)
+        .otherwise(F.sqrt(phi2 / (F.least("na", "nb") - 1)))
+        .alias("cramers_v"),
+        F.when(small, nan).otherwise(F.sqrt(res_bc)).alias("cramers_v_bc"),
+        F.when(small, nan)
+        .otherwise(F.sqrt(phi2 / (phi2 + F.col("n"))))
+        .alias("contingency"),
+        F.when(small, nan)
+        .otherwise((F.col("dep") - F.col("h_a")) / F.col("h_a"))
+        .alias("theils_u"),
+    )
+
+
+def exponential_moving_average(
+    events: DataFrame,
+    value_col: Column,
+    time_col: Column,
+    half_decay: float,
+    group_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """exponentialMovingAverage(half_decay)(value, time) — reference
+    AggregateFunctionExponentialMovingAverage.cpp over
+    Common/ExponentiallySmoothedCounter.h: every value decays by
+    2^(-dt/half_decay) toward the LATEST time in the group, and the sum
+    divides by the constant weight sum 1/(1 - 2^(-1/half_decay)).
+    Order-independent (merge remaps to max time), hence expressible as
+    max(t) + one weighted sum — no window, no kernel."""
+    groups = group_cols or []
+    base = events.select(
+        *groups, value_col.alias("v"), time_col.cast("double").alias("t")
+    )
+    tmax = base.groupBy(*groups).agg(F.max("t").alias("t_max"))
+    joined = (
+        base.join(F.broadcast(tmax), groups) if groups
+        else base.crossJoin(F.broadcast(tmax))
+    )
+    w_sum = 1.0 / (1.0 - 2.0 ** (-1.0 / half_decay))
+    num = F.sum(
+        F.col("v") * F.pow(F.lit(2.0), (F.col("t") - F.col("t_max")) / half_decay)
+    )
+    return joined.groupBy(*groups).agg((num / F.lit(w_sum)).alias("ema"))
+
+
+def funnel_rep3(
+    levels_with_times: DataFrame,
+    n_steps: int,
+    slot_col: str = "slot",
+) -> DataFrame:
+    """funnelRep3 (reference AggregateFunctionFunnelRep3.h — the per-step
+    "TEA format" report): for each watch slot and step e, the count of
+    users whose funnel level EXCEEDS e, plus interval statistics
+    (count/sum/min/max/avg and the 0.25/0.5/0.75 quantiles) of the time
+    from step 1 to step e+1 for users who reached it.  The reference keeps
+    a tdigest per cell; this form computes EXACT percentiles (the same
+    documented deviation as funnel_rep2 — an approximation of what one
+    exact aggregate gives on Spark).
+
+    Input: the finder_funnel(emit_times=True) frame (slot, level, t1..tN).
+    Output: one row per (slot, step) with scalar columns."""
+    rows = []
+    for e in range(n_steps):
+        te = F.col(f"t{e + 1}")
+        iv = (te - F.col("t1")).cast("double")
+        rows.append(
+            levels_with_times.select(
+                F.col(slot_col),
+                F.lit(e).alias("step"),
+                (F.col("funnel_level") > e).cast("long").alias("reached"),
+                F.when(te.isNotNull(), iv).alias("iv"),
+            )
+        )
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionByName(r)
+    return cells.groupBy(slot_col, "step").agg(
+        F.sum("reached").alias("cnt"),
+        F.count("iv").alias("iv_count"),
+        F.coalesce(F.sum("iv"), F.lit(0.0)).alias("iv_sum"),
+        F.min("iv").alias("iv_min"),
+        F.max("iv").alias("iv_max"),
+        F.percentile("iv", 0.25).alias("q25"),
+        F.percentile("iv", 0.5).alias("q50"),
+        F.percentile("iv", 0.75).alias("q75"),
+    )

@@ -1015,3 +1015,47 @@ def agg_uniq_combined_tiers(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).drop(f"est{k}")
     return out
+
+
+# ------------------------------------- groupConcat + deltaSumTimestamp
+@register(
+    "agg_concat_deltasum_ts",
+    oracle="""
+    WITH ds AS (
+      SELECT event_type,
+             sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS delta_sum_ts
+      FROM (SELECT event_type,
+                   value - lag(value) OVER
+                     (PARTITION BY event_type ORDER BY ts, event_id) AS dd
+            FROM events)
+      GROUP BY event_type
+    ),
+    gc AS (
+      SELECT event_type,
+             string_agg(d, ',' ORDER BY d) AS days_concat
+      FROM (SELECT DISTINCT event_type,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS d FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, round(ds.delta_sum_ts, 3) AS delta_sum_ts,
+           gc.days_concat
+    FROM ds JOIN gc USING (event_type)
+    """,
+)
+def agg_concat_deltasum_ts(spark: SparkSession, sf: str) -> DataFrame:
+    """groupConcat (AggregateFunctionGroupConcat.cpp, sorted-deterministic
+    form) + deltaSumTimestamp (AggregateFunctionDeltaSumTimestamp.h via
+    the ts-ordered delta_sum frame op)."""
+    from byconity_spark.functions.registry import delta_sum
+
+    ev = _t(spark, sf, "events")
+    ds = delta_sum(ev, ["event_type"], ["ts", "event_id"], "value").select(
+        "event_type", F.round("delta_sum", 3).alias("delta_sum_ts")
+    )
+    days = ev.select(
+        "event_type", F.to_date("ts").cast("string").alias("d")
+    ).distinct()
+    gc = days.groupBy("event_type").agg(
+        ch("groupConcat", ",", F.col("d")).alias("days_concat")
+    )
+    return ds.join(gc, "event_type")

@@ -1638,3 +1638,146 @@ def beh_funnel_rep2(spark: SparkSession, sf: str) -> DataFrame:
         emit_times=True,
     )
     return funnel_rep2(levels, n_steps=3, interval_group_us=_FR2_GROUPS)
+
+
+# --------------------------------------------------------------------------
+# funnelRep3: per-(slot, step) reached-counts + interval stats incl.
+# 0.25/0.5/0.75 percentiles (exact, vs the reference tdigest).
+# --------------------------------------------------------------------------
+@register(
+    "beh_funnel_rep3",
+    oracle=f"""
+    WITH {{core}},
+    iv1 AS (SELECT a.slot, CAST(0 AS DOUBLE) AS iv FROM a),
+    iv2 AS (SELECT a.slot, CAST(s2.t2 - a.t1 AS DOUBLE) AS iv
+            FROM a JOIN s2 ON a.user_id = s2.user_id AND a.slot = s2.slot),
+    iv3 AS (SELECT a.slot, CAST(s3.t3 - a.t1 AS DOUBLE) AS iv
+            FROM a JOIN s3 ON a.user_id = s3.user_id AND a.slot = s3.slot),
+    cnts AS (
+      SELECT slot, 0 AS step, count(*) AS cnt FROM lv WHERE funnel_level > 0 GROUP BY slot
+      UNION ALL
+      SELECT slot, 1, count(*) FROM lv WHERE funnel_level > 1 GROUP BY slot
+      UNION ALL
+      SELECT slot, 2, count(*) FROM lv WHERE funnel_level > 2 GROUP BY slot
+    ),
+    stats AS (
+      SELECT slot, 0 AS step, count(*) AS iv_count, round(sum(iv), 4) AS iv_sum,
+             min(iv) AS iv_min, max(iv) AS iv_max,
+             round(quantile_cont(iv, 0.25), 4) AS q25,
+             round(quantile_cont(iv, 0.5), 4) AS q50,
+             round(quantile_cont(iv, 0.75), 4) AS q75
+      FROM iv1 GROUP BY slot
+      UNION ALL
+      SELECT slot, 1, count(*), round(sum(iv), 4), min(iv), max(iv),
+             round(quantile_cont(iv, 0.25), 4), round(quantile_cont(iv, 0.5), 4),
+             round(quantile_cont(iv, 0.75), 4)
+      FROM iv2 GROUP BY slot
+      UNION ALL
+      SELECT slot, 2, count(*), round(sum(iv), 4), min(iv), max(iv),
+             round(quantile_cont(iv, 0.25), 4), round(quantile_cont(iv, 0.5), 4),
+             round(quantile_cont(iv, 0.75), 4)
+      FROM iv3 GROUP BY slot
+    )
+    SELECT c.slot, c.step, c.cnt,
+           coalesce(s.iv_count, 0) AS iv_count,
+           coalesce(s.iv_sum, 0.0) AS iv_sum,
+           s.iv_min, s.iv_max, s.q25, s.q50, s.q75
+    FROM cnts c LEFT JOIN stats s ON c.slot = s.slot AND c.step = s.step
+    """.format(core=_FF_ORACLE_CORE),
+)
+def beh_funnel_rep3(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import finder_funnel, funnel_rep3
+
+    levels = finder_funnel(
+        _ev(spark, sf),
+        watch_start_us=_FF_START_US,
+        watch_step_us=_FF_STEP_US,
+        watch_numbers=_FF_SLOTS,
+        window_us=_FF_WINDOW_US,
+        steps=["signup", "click", "purchase"],
+        emit_times=True,
+    )
+    out = funnel_rep3(levels, n_steps=3)
+    return out.select(
+        "slot", "step", "cnt", "iv_count",
+        F.round("iv_sum", 4).alias("iv_sum"),
+        "iv_min", "iv_max",
+        F.round("q25", 4).alias("q25"),
+        F.round("q50", 4).alias("q50"),
+        F.round("q75", 4).alias("q75"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Association statistics over the contingency table: cramersV,
+# cramersVBiasCorrected, contingencyCoefficient, theilsU.
+# --------------------------------------------------------------------------
+@register(
+    "beh_association_stats",
+    oracle="""
+    WITH p AS (SELECT event_type AS a, user_id % 7 AS b, count(*) AS c_ab
+               FROM events GROUP BY 1, 2),
+    ca AS (SELECT a, sum(c_ab) AS c_a FROM p GROUP BY a),
+    cb AS (SELECT b, sum(c_ab) AS c_b FROM p GROUP BY b),
+    tot AS (SELECT sum(c_ab) AS n, count(DISTINCT a) AS na,
+                   count(DISTINCT b) AS nb FROM p),
+    agg1 AS (
+      SELECT max(t.n) AS n, max(t.na) AS na, max(t.nb) AS nb,
+             sum(pow(p.c_ab - ca.c_a * cb.c_b / t.n, 2)
+                 / (ca.c_a * cb.c_b / t.n)) AS chi,
+             sum((p.c_ab / t.n) * ln(p.c_ab / cb.c_b)) AS dep
+      FROM p JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot t
+    ),
+    ha AS (SELECT sum((ca.c_a / t.n) * ln(ca.c_a / t.n)) AS h_a
+           FROM ca CROSS JOIN tot t)
+    SELECT round(sqrt((chi / n) / (least(na, nb) - 1)), 6) AS cramers_v,
+           round(sqrt(greatest(0.0, chi / n - (na-1)*(nb-1)/(n-1.0))
+                 / (least(na - (na-1)*(na-1)/(n-1.0),
+                          nb - (nb-1)*(nb-1)/(n-1.0)) - 1)), 6) AS cramers_v_bc,
+           round(sqrt((chi / n) / (chi / n + n)), 6) AS contingency,
+           round((dep - h_a) / h_a, 6) AS theils_u
+    FROM agg1 CROSS JOIN ha
+    """,
+)
+def beh_association_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import cross_tab_stats
+
+    out = cross_tab_stats(
+        _ev(spark, sf), F.col("event_type"), F.col("user_id") % 7
+    )
+    return out.select(
+        *[F.round(c, 6).alias(c)
+          for c in ("cramers_v", "cramers_v_bc", "contingency", "theils_u")]
+    )
+
+
+# --------------------------------------------------------------------------
+# exponentialMovingAverage(half_decay)(value, time): order-independent
+# latest-time-anchored decay sum over a constant weight denominator.
+# --------------------------------------------------------------------------
+@register(
+    "beh_ema_by_type",
+    oracle="""
+    WITH b AS (SELECT event_type, value AS v,
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 1e6 AS t
+               FROM events),
+    m AS (SELECT event_type, max(t) AS t_max FROM b GROUP BY event_type)
+    SELECT b.event_type,
+           round(sum(b.v * power(2.0, (b.t - m.t_max) / 3600.0))
+                 * (1.0 - power(2.0, -1.0 / 3600.0)), 6) AS ema
+    FROM b JOIN m USING (event_type)
+    GROUP BY b.event_type
+    """,
+)
+def beh_ema_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import exponential_moving_average
+
+    ev = _ev(spark, sf)
+    out = exponential_moving_average(
+        ev,
+        F.col("value"),
+        F.unix_micros("ts") / 1e6,
+        half_decay=3600.0,
+        group_cols=["event_type"],
+    )
+    return out.withColumn("ema", F.round("ema", 6))
