@@ -935,28 +935,61 @@ def mann_whitney_u(
 ) -> DataFrame:
     """mannWhitneyUTest (reference AggregateFunctionMannWhitney.h): U
     statistic of the labeled sample with average ranks on ties, plus the
-    tie-corrected normal z-score.  Ranks via the avg-row_number-over-peers
-    trick (no Python); tie correction sum(t^3 - t) from per-value counts."""
-    w_rank = Window.partitionBy(*group_cols).orderBy(value_col)
-    w_peers = Window.partitionBy(*group_cols, value_col)
-    ranked = df.select(
-        *group_cols,
-        F.col(value_col).alias("__v"),
-        label_col.cast("int").alias("__lab"),
-        F.avg(F.row_number().over(w_rank)).over(w_peers).alias("__rank"),
+    tie-corrected normal z-score.
+
+    Distributed shape: ONE shuffle to per-(group, value) counts (t, t1) —
+    the whole-sample rank sum collapses to avg_rank(v) = before(v) + 1 +
+    (t-1)/2 over the DISTINCT-value frame, so no window ever sees raw
+    rows.  With groups the prefix runs partition-parallel per group; the
+    ungrouped case range-partitions distinct values and computes the
+    prefix from per-partition totals (the same two-level decomposition as
+    auc() — every full-data pass stays parallel)."""
+    g = (
+        df.select(
+            *group_cols,
+            F.col(value_col).alias("__v"),
+            label_col.cast("int").alias("__lab"),
+        )
+        .groupBy(*group_cols, "__v")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum("__lab").alias("t1"),
+        )
     )
-    stats = ranked.groupBy(*group_cols).agg(
-        F.sum(F.when(F.col("__lab") == 1, F.col("__rank"))).alias("r1"),
-        F.sum("__lab").alias("n1"),
-        F.count(F.lit(1)).alias("n"),
+    if group_cols:
+        w_pre = (
+            Window.partitionBy(*group_cols)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        g = g.withColumn("before", F.coalesce(F.sum("t").over(w_pre), F.lit(0)))
+    else:
+        ranged = g.repartitionByRange(F.col("__v").asc()).sortWithinPartitions(
+            "__v"
+        ).withColumn("__pid", F.spark_partition_id())
+        w_loc = (
+            Window.partitionBy("__pid")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = ranged.withColumn(
+            "local_before", F.coalesce(F.sum("t").over(w_loc), F.lit(0))
+        )
+        totals = local.groupBy("__pid").agg(F.sum("t").alias("pt"))
+        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = totals.withColumn(
+            "off", F.coalesce(F.sum("pt").over(w_off), F.lit(0))
+        ).select("__pid", "off")
+        g = local.join(F.broadcast(offs), "__pid").withColumn(
+            "before", F.col("local_before") + F.col("off")
+        )
+    avg_rank = F.col("before") + 1 + (F.col("t") - 1) / 2.0
+    j = g.groupBy(*group_cols).agg(
+        F.sum(F.col("t1") * avg_rank).alias("r1"),
+        F.sum("t1").alias("n1"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
     )
-    ties = (
-        ranked.groupBy(*group_cols, "__v")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .groupBy(*group_cols)
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"))
-    )
-    j = stats.join(ties, group_cols) if group_cols else stats.crossJoin(ties)
     n1 = F.col("n1").cast("double")
     n2 = (F.col("n") - F.col("n1")).cast("double")
     n = F.col("n").cast("double")
