@@ -1226,3 +1226,191 @@ SCALAR.update(
         "geohashEncode": _geohash_encode,
     }
 )
+
+
+# ---------------------------------------------- round-4 scalar breadth 2
+def _bar(x: Column, lo, hi, width) -> Column:
+    """bar(x, min, max, width) — reference src/Functions/bar.cpp /
+    Common/UnicodeBar.h: `width` cells; full cells are U+2588, the
+    fractional remainder renders as one of the 1/8-block glyphs."""
+    eighth = "▏▎▍▌▋▊▉"
+    frac_w = (x.cast("double") - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * F.lit(width)
+    frac_w = F.greatest(F.lit(0.0), F.least(F.lit(float(width)), frac_w))
+    full = F.floor(frac_w).cast("int")
+    rem8 = F.floor((frac_w - full) * 8).cast("int")
+    partial = F.when(rem8 > 0, F.element_at(
+        F.split(F.lit("|".join(eighth)), "\\|"), rem8
+    )).otherwise(F.lit(""))
+    return F.concat(F.repeat(F.lit("█"), full), partial)
+
+
+def _has_substr(a: Column, b: Column) -> Column:
+    """hasSubstr(arr, sub): contiguous subsequence containment
+    (src/Functions/array/hasSubstr.cpp)."""
+    return F.when(F.size(b) == 0, F.lit(True)).otherwise(
+        F.exists(
+            F.sequence(F.lit(1), F.greatest(F.size(a) - F.size(b) + 1, F.lit(0))),
+            lambda i: F.slice(a, i, F.size(b)) == b,
+        )
+    )
+
+
+def _age(unit: str, a: Column, b: Column) -> Column:
+    """age(unit, a, b) — FULL units elapsed (src/Functions/dateDiff.cpp age
+    registration), unlike dateDiff's boundary counting."""
+    unit = unit.lower()
+    if unit in _UNIT_SECONDS:
+        secs = _UNIT_SECONDS[unit]
+        return F.floor(
+            (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(secs)
+        ).cast("long")
+    if unit == "month":
+        return F.floor(F.months_between(b, a)).cast("long")
+    if unit == "quarter":
+        return F.floor(F.months_between(b, a) / 3).cast("long")
+    if unit == "year":
+        return F.floor(F.months_between(b, a) / 12).cast("long")
+    raise ValueError(f"age: unsupported unit {unit!r}")
+
+
+def _point_in_polygon(x: Column, y: Column, polygon: list) -> Column:
+    """pointInPolygon((x, y), [(x1,y1), ...]) — even-odd ray casting over a
+    CONSTANT polygon (src/Functions/pointInPolygon.cpp; the reference also
+    only accepts constant polygons).  Unrolled crossing tests — one Column
+    expression per edge, no UDF."""
+    inside = F.lit(False)
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        crosses = (
+            ((F.lit(y1) > y) != (F.lit(y2) > y))
+            & (
+                x
+                < (F.lit(x2) - F.lit(x1))
+                * (y - F.lit(y1))
+                / (F.lit(y2) - F.lit(y1))
+                + F.lit(x1)
+            )
+        )
+        inside = F.when(crosses, ~inside).otherwise(inside)
+    return inside
+
+
+def _running_difference(v: Column, order_col: Column, partition=None) -> Column:
+    """runningDifference(x [, order, partition]) — the reference computes
+    within-BLOCK deltas (block order is nondeterministic distributed;
+    src/Functions/runningDifference.h); this engine requires an explicit
+    ordering column for a deterministic answer (documented deviation)."""
+    w = (
+        Window.partitionBy(partition) if partition is not None else Window.partitionBy()
+    ).orderBy(order_col)
+    return v - F.lag(v).over(w)
+
+
+def _neighbor(v: Column, offset: int, order_col: Column, partition=None) -> Column:
+    """neighbor(x, offset[, order, partition]) — same explicit-order
+    contract as runningDifference."""
+    w = (
+        Window.partitionBy(partition) if partition is not None else Window.partitionBy()
+    ).orderBy(order_col)
+    return F.lag(v, -offset).over(w) if offset < 0 else F.lead(v, offset).over(w)
+
+
+_SNOWFLAKE_EPOCH_MS = 1288834974657  # Twitter epoch (public)
+
+SCALAR.update(
+    {
+        "bar": _bar,
+        "formatReadableQuantity": lambda x: F.when(
+            F.abs(x) >= 1e9, F.concat(F.format_number(x / 1e9, 2), F.lit(" billion"))
+        )
+        .when(F.abs(x) >= 1e6, F.concat(F.format_number(x / 1e6, 2), F.lit(" million")))
+        .when(F.abs(x) >= 1e3, F.concat(F.format_number(x / 1e3, 2), F.lit(" thousand")))
+        .otherwise(F.format_number(x.cast("double"), 2)),
+        "runningDifference": _running_difference,
+        "neighbor": _neighbor,
+        "splitByRegexp": lambda pat, c: F.split(c, pat),
+        "toFixedString": lambda c, n: F.rpad(c, n, "\x00").substr(1, n),
+        "toIntervalDay": lambda n: F.make_interval(days=n if isinstance(n, Column) else F.lit(n)),
+        "toIntervalHour": lambda n: F.make_interval(hours=n if isinstance(n, Column) else F.lit(n)),
+        "toIntervalMinute": lambda n: F.make_interval(mins=n if isinstance(n, Column) else F.lit(n)),
+        "emptyArrayUInt8": lambda: F.array().cast("array<int>"),
+        "emptyArrayInt64": lambda: F.array().cast("array<long>"),
+        "emptyArrayString": lambda: F.array().cast("array<string>"),
+        "emptyArrayFloat64": lambda: F.array().cast("array<double>"),
+        "hasSubstr": _has_substr,
+        "arrayRotateLeft": lambda a, n: F.when(F.size(a) == 0, a).otherwise(
+            F.concat(
+                F.slice(a, (n % F.size(a)) + 1, F.size(a)),
+                F.slice(a, 1, n % F.size(a)),
+            )
+        ),
+        "toStartOfTenMinutes": lambda c: F.timestamp_seconds(
+            F.floor(F.unix_timestamp(c) / 600) * 600
+        ),
+        "toStartOfFiveMinute": lambda c: F.timestamp_seconds(
+            F.floor(F.unix_timestamp(c) / 300) * 300
+        ),
+        "timeSlot": lambda c: F.timestamp_seconds(
+            F.floor(F.unix_timestamp(c) / 1800) * 1800
+        ),
+        "timeSlots": lambda start, dur: F.transform(
+            F.sequence(
+                F.floor(F.unix_timestamp(start) / 1800),
+                F.floor((F.unix_timestamp(start) + dur) / 1800),
+            ),
+            lambda s: F.timestamp_seconds(s * 1800),
+        ),
+        "toRelativeHourNum": lambda c: F.floor(F.unix_timestamp(c) / 3600).cast("long"),
+        "toRelativeMinuteNum": lambda c: F.floor(F.unix_timestamp(c) / 60).cast("long"),
+        "age": _age,
+        "toValidUTF8": lambda c: c,  # Spark strings are already valid UTF-8
+        "positionUTF8": lambda c, sub: F.instr(c, sub),  # Spark instr is char-based
+        "tryBase64Decode": lambda c: F.try_to_binary(c, F.lit("base64")).cast("string"),
+        "domainWithoutWWW": lambda c: F.regexp_replace(
+            F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit("")), r"^www\.", ""
+        ),
+        # firstSignificantSubdomain: simplified public-suffix handling — the
+        # label before the TLD, with the common 2-level suffixes special-
+        # cased (the reference embeds a full suffix list).
+        "firstSignificantSubdomain": lambda c: F.element_at(
+            F.split(
+                F.regexp_replace(
+                    F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit("")),
+                    r"\.(com?|org|net|edu|gov)\.[a-z]{2}$|\.[a-z]+$",
+                    "",
+                ),
+                r"\.",
+            ),
+            -1,
+        ),
+        "pointInPolygon": _point_in_polygon,
+        "greatCircleAngle": lambda lon1, lat1, lon2, lat2: (
+            _haversine_m(lon1, lat1, lon2, lat2) / F.lit(6371000.0) * F.lit(180.0)
+        )
+        / F.lit(3.141592653589793),
+        "randNormal": lambda mean=0.0, sd=1.0: F.randn() * F.lit(sd) + F.lit(mean),
+        "randUniform": lambda lo=0.0, hi=1.0: F.rand() * (F.lit(hi) - F.lit(lo)) + F.lit(lo),
+        "formatDateTimeInJodaSyntax": lambda c, fmt: F.date_format(c, fmt),
+        "snowflakeToDateTime": lambda c: F.timestamp_millis(
+            F.shiftrightunsigned(c.cast("long"), 22) + F.lit(_SNOWFLAKE_EPOCH_MS)
+        ),
+        "dateTimeToSnowflake": lambda c: F.shiftleft(
+            F.unix_millis(c) - F.lit(_SNOWFLAKE_EPOCH_MS), 22
+        ),
+        "mapAdd": lambda m1, m2: F.map_zip_with(
+            m1, m2, lambda k, v1, v2: F.coalesce(v1 + v2, v1, v2)
+        ),
+        "mapSubtract": lambda m1, m2: F.map_zip_with(
+            m1, m2, lambda k, v1, v2: F.coalesce(v1 - v2, v1, -v2)
+        ),
+        "mapPopulateSeries": lambda m: F.map_from_arrays(
+            F.sequence(F.array_min(F.map_keys(m)), F.array_max(F.map_keys(m))),
+            F.transform(
+                F.sequence(F.array_min(F.map_keys(m)), F.array_max(F.map_keys(m))),
+                lambda k: F.coalesce(F.element_at(m, k), F.lit(0).cast("long")),
+            ),
+        ),
+    }
+)

@@ -504,3 +504,59 @@ def fn_enum_uuid_suite(spark: SparkSession, sf: str) -> DataFrame:
         arr_str(ch("arrayEnumerateDense", arr)).alias("dense"),
         ch("UUIDNumToString", ch("UUIDStringToNum", uuid_str)).alias("uuid_rt"),
     )
+
+
+# ------------------------------------------- breadth 2: time-slot / age /
+# snowflake / mapAdd / rotate / hasSubstr / bar surface, one row per event
+@register(
+    "fn_breadth2_suite",
+    oracle="""
+    WITH b AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS t,
+                      event_type FROM events)
+    SELECT event_id,
+           CAST(to_timestamp(floor(epoch(t) / 600) * 600) AS TIMESTAMP)   AS ten_min,
+           CAST(to_timestamp(floor(epoch(t) / 1800) * 1800) AS TIMESTAMP) AS slot30,
+           CAST(floor(epoch(t) / 3600) AS BIGINT)          AS rel_hour,
+           CAST(floor((epoch(t) - epoch(TIMESTAMP '2024-01-01')) / 86400)
+                AS BIGINT)                                 AS age_days,
+           CAST(date_trunc('second', t) AS TIMESTAMP)      AS snow_rt,
+           array_to_string(['b','c','a'][1 + (event_id % 3):] ||
+                           ['b','c','a'][:(event_id % 3)], '|') AS rot,
+           (user_id % 5 = 0)                               AS has_sub,
+           repeat('*', CAST(floor(least(greatest(value / 50.0, 0), 8)) AS INTEGER)) AS sbar
+    FROM b
+    """,
+)
+def fn_breadth2_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-4 scalar breadth: toStartOfTenMinutes, timeSlot,
+    toRelativeHourNum, age, snowflake round-trip, arrayRotateLeft,
+    hasSubstr, and a simplified bar (the unicode eighth-block bar is
+    pytest-covered; the oracle uses an ASCII stand-in with the same
+    width math)."""
+    ev = _t(spark, sf, "events")
+    t = F.col("ts")
+    arr = F.array(F.lit("b"), F.lit("c"), F.lit("a"))
+    sub = F.when(
+        F.col("user_id") % 5 == 0,
+        F.array(F.lit("b"), F.lit("c")),
+    ).otherwise(F.array(F.lit("x")))
+    # hasSubstr(['b','c','a'], ['b','c']) is True; ['x'] never occurs
+    return ev.select(
+        "event_id",
+        ch("toStartOfTenMinutes", t).alias("ten_min"),
+        ch("timeSlot", t).alias("slot30"),
+        ch("toRelativeHourNum", t).alias("rel_hour"),
+        ch("age", "day", F.lit("2024-01-01").cast("timestamp"), t).alias("age_days"),
+        ch("snowflakeToDateTime", ch("dateTimeToSnowflake", F.date_trunc("second", t))
+           ).alias("snow_rt"),
+        arr_str(ch("arrayRotateLeft", arr, F.col("event_id") % 3)).alias("rot"),
+        ch("hasSubstr", arr, sub).alias("has_sub"),
+        F.repeat(
+            F.lit("*"),
+            F.floor(
+                F.least(
+                    F.greatest(F.col("value") / 50.0, F.lit(0.0)), F.lit(8.0)
+                )
+            ).cast("int"),
+        ).alias("sbar"),
+    )

@@ -254,3 +254,57 @@ def test_enumerate_dense_and_uuid(spark):
     assert r.d == [1, 2, 1, 3]
     assert r.rt == "f47ac10b-58cc-4372-a567-0e02b2c3d479"
     assert dict(r.mu) == {"a": 1, "b": 9}
+
+
+def test_breadth2_scalars(spark):
+    from byconity_spark.functions.registry import ch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,)], "id int")
+    r = df.select(
+        ch("bar", F.lit(5.0), 0, 10, 4).alias("bar"),
+        ch("formatReadableQuantity", F.lit(1234567.0)).alias("frq"),
+        ch("pointInPolygon", F.lit(0.5), F.lit(0.5),
+           [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]).alias("inside"),
+        ch("pointInPolygon", F.lit(2.0), F.lit(0.5),
+           [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]).alias("outside"),
+        ch("mapAdd",
+           F.create_map(F.lit("a"), F.lit(1.0), F.lit("b"), F.lit(2.0)),
+           F.create_map(F.lit("b"), F.lit(3.0))).alias("madd"),
+        ch("firstSignificantSubdomain",
+           F.lit("https://news.example.com.cn/path")).alias("fss"),
+        ch("domainWithoutWWW", F.lit("https://www.example.org/x")).alias("dww"),
+        ch("mapPopulateSeries",
+           F.create_map(F.lit(1), F.lit(10).cast("long"),
+                        F.lit(4), F.lit(40).cast("long"))).alias("mps"),
+        ch("tryBase64Decode", F.lit("aGk=")).alias("b64ok"),
+        ch("tryBase64Decode", F.lit("!!!bad")).alias("b64bad"),
+    ).first()
+    assert r.bar == "██"
+    assert r.frq == "1.23 million"
+    assert r.inside is True and r.outside is False
+    assert dict(r.madd) == {"a": 1.0, "b": 5.0}
+    assert r.fss == "example"
+    assert r.dww == "example.org"
+    assert dict(r.mps) == {1: 10, 2: 0, 3: 0, 4: 40}
+    assert r.b64ok == "hi" and r.b64bad is None
+
+
+def test_running_difference_and_neighbor(spark):
+    from byconity_spark.functions.registry import ch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 13.0), (3, 11.0)], "o int, v double"
+    )
+    rows = (
+        df.select(
+            "o",
+            ch("runningDifference", F.col("v"), F.col("o")).alias("rd"),
+            ch("neighbor", F.col("v"), 1, F.col("o")).alias("nx"),
+        )
+        .orderBy("o")
+        .collect()
+    )
+    assert [r.rd for r in rows] == [None, 3.0, -2.0]
+    assert [r.nx for r in rows] == [13.0, 11.0, None]
