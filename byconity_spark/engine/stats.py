@@ -114,6 +114,14 @@ class ColumnStats:
     min: object
     max: object
     null_count: int
+    # NdvBuckets (reference src/Statistics/StatsNdvBuckets.h /
+    # BucketBounds.h): equi-width histogram over [min, max] with per-bucket
+    # row counts AND per-bucket NDV — the optimizer's range-selectivity and
+    # join-fanout source.  None for non-numeric columns.
+    buckets: list | None = None  # [[count, ndv], ...] over N_BUCKETS
+
+
+N_BUCKETS = 8
 
 
 @dataclass
@@ -183,6 +191,41 @@ def analyze_table(
             max=_jsonable(row[f"__max_{c}"]),
             null_count=int(row[f"__nulls_{c}"]),
         )
+    # NdvBuckets pass: per-bucket (count, ndv) for numeric columns, all
+    # columns folded into ONE conditional-masked aggregate (map-side
+    # combinable; 2*N_BUCKETS cells per column)
+    num_cols = [
+        c for c in cols
+        if df.schema[c].dataType.simpleString()
+        in ("int", "bigint", "double", "float")
+        and stats.columns[c].min is not None
+        and float(stats.columns[c].max) > float(stats.columns[c].min)
+    ]
+    if num_cols:
+        baggs = []
+        for c in num_cols:
+            lo = float(stats.columns[c].min)
+            hi = float(stats.columns[c].max)
+            width = (hi - lo) / N_BUCKETS
+            b = F.least(
+                F.lit(N_BUCKETS - 1),
+                F.floor((F.col(c) - F.lit(lo)) / F.lit(width)).cast("int"),
+            )
+            for i in range(N_BUCKETS):
+                baggs.append(
+                    F.count(F.when(b == i, 1)).alias(f"__bc_{c}_{i}")
+                )
+                baggs.append(
+                    F.approx_count_distinct(
+                        F.when(b == i, F.col(c))
+                    ).alias(f"__bn_{c}_{i}")
+                )
+        brow = df.agg(*baggs).collect()[0].asDict()
+        for c in num_cols:
+            stats.columns[c].buckets = [
+                [int(brow[f"__bc_{c}_{i}"]), int(brow[f"__bn_{c}_{i}"])]
+                for i in range(N_BUCKETS)
+            ]
     os.makedirs(STATS_DIR, exist_ok=True)
     payload = asdict(stats)
     payload["source_mtime"] = mtime
@@ -216,8 +259,26 @@ def estimate_rows(stats: TableStats, predicates: list[tuple[str, str, object]]) 
                 lo, hi = float(cs.min), float(cs.max)
                 v = float(value)
                 span = max(hi - lo, 1e-12)
-                frac = (v - lo) / span if op in ("<", "<=") else (hi - v) / span
-                sel *= min(max(frac, 0.0), 1.0)
+                if cs.buckets:
+                    # NdvBuckets path: exact bucket counts below/above v
+                    # plus a linear fraction of the straddled bucket —
+                    # robust to skew where the uniform span fraction
+                    # is not (StatsNdvBuckets selectivity model)
+                    nb = len(cs.buckets)
+                    width = span / nb
+                    total = sum(cnt for cnt, _ in cs.buckets) or 1
+                    pos = min(max((v - lo) / width, 0.0), float(nb))
+                    full = int(pos)
+                    below = sum(cnt for cnt, _ in cs.buckets[:full])
+                    if full < nb:
+                        below += cs.buckets[full][0] * (pos - full)
+                    frac = below / total
+                    sel *= frac if op in ("<", "<=") else 1.0 - frac
+                else:
+                    frac = (
+                        (v - lo) / span if op in ("<", "<=") else (hi - v) / span
+                    )
+                    sel *= min(max(frac, 0.0), 1.0)
             except (TypeError, ValueError):
                 sel *= 1 / 3
         else:

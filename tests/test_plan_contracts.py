@@ -174,3 +174,52 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mann_whitney_no_raw_row_global_window(spark):
+    """Ranks must derive from the distinct-value frame: no window may
+    consume the raw-row scan through a SinglePartition exchange (the
+    distinct-value prefix is partitioned by __pid; only the bounded
+    per-partition offset frame — one row per partition — meets a single
+    task)."""
+    from byconity_spark.udafs.behavioral import mann_whitney_u
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = mann_whitney_u(ev, [], "value", F.col("event_type") == "purchase")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*\]", plan):
+        raise AssertionError(f"raw row_number window in plan: {m.group(0)[:80]}")
+    # any unpartitioned window must sit above a HashAggregate (distinct
+    # values or per-partition totals), never directly above the scan
+    assert "Scan parquet" in plan
+
+
+def test_attribution_kernel_is_bucketed(spark):
+    """The attribution partials kernel must group by the 256-way user
+    bucket, not per-user (15k tiny Arrow groups are overhead-bound)."""
+    from byconity_spark.udafs.attribution import attribution_analysis_partials
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = attribution_analysis_partials(
+        ev, target_event="purchase", touch_events=["click"], back_time_ms=1000
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "__b" in plan  # bucket column drives the groupBy
+
+
+def test_connected_components_small_graph_single_pass(spark):
+    """Below the driver-union-find threshold the CC plan must not contain
+    the iterative join loop (no repeated label-propagation joins)."""
+    from byconity_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ids = spark.range(0, 20).select(F.col("id"))
+    out = connected_components(pairs, ids)
+    comp = {r.id: r.comp for r in out.collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[5] == 5

@@ -99,3 +99,36 @@ def test_misc(spark):
     assert _one(
         spark, ch("roundDown", F.lit(7), F.array(F.lit(1), F.lit(5), F.lit(10)))
     ) == 5
+
+
+def test_ndv_buckets_histogram_selectivity(spark, tmp_path):
+    """NdvBuckets (reference src/Statistics/StatsNdvBuckets.h): the
+    histogram beats the uniform span fraction on skewed data."""
+    import os
+
+    import byconity_spark.engine.stats as S
+
+    pdf_dir = str(tmp_path / "sfx")
+    os.makedirs(pdf_dir, exist_ok=True)
+    # 90% of mass at small values, tail to 1000
+    rows = [(i, float(i % 10)) for i in range(900)] + [
+        (900 + i, float(1000 - i)) for i in range(100)
+    ]
+    spark.createDataFrame(rows, "id long, v double").write.mode(
+        "overwrite"
+    ).parquet(f"{pdf_dir}/skew.parquet")
+    old = S.STATS_DIR
+    S.STATS_DIR = str(tmp_path / "stats")
+    try:
+        st = S.analyze_table(spark, pdf_dir, "skew", refresh=True)
+        cs = st.columns["v"]
+        assert cs.buckets and len(cs.buckets) == S.N_BUCKETS
+        assert sum(c for c, _ in cs.buckets) == 1000
+        # v <= 125 captures the 900-row cluster; uniform span fraction
+        # would claim ~12.5%
+        est = S.estimate_rows(st, [("v", "<=", 125.0)])
+        assert est > 800, est
+        # bucket NDVs are populated and bounded by counts
+        assert all(n <= c or c == 0 for c, n in cs.buckets)
+    finally:
+        S.STATS_DIR = old
