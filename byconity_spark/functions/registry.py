@@ -814,6 +814,36 @@ AGG: dict[str, Callable[..., Column]] = {
     "median": lambda c: F.percentile(c, F.lit(0.5)),
     "quantile": lambda level, c: F.percentile_approx(c, level),
     "quantileExact": lambda level, c: F.percentile(c, F.lit(level)),
+    "medianExact": lambda c: F.percentile(c, F.lit(0.5)),
+    # weighted quantiles (QuantileExactWeighted.h /
+    # AggregateFunctionQuantileInterpolatedWeighted.cpp): Spark percentile
+    # takes a frequency argument natively
+    "quantileExactWeighted": lambda level, c, w: F.percentile(
+        c, F.lit(level), w.cast("long")
+    ),
+    "quantileInterpolatedWeighted": lambda level, c, w: F.percentile(
+        c, F.lit(level), w.cast("long")
+    ),
+    # sketch-backed quantiles (QuantileBFloat16Weighted.h, KllSketch.cpp):
+    # mapped to Spark's mergeable GK/percentile_approx sketch — same
+    # accuracy class, different state encoding (documented deviation)
+    "quantileBFloat16": lambda level, c: F.percentile_approx(
+        c, F.lit(level), F.lit(10_000)
+    ),
+    "quantileKll": lambda level, c: F.percentile_approx(
+        c, F.lit(level), F.lit(10_000)
+    ),
+    "quantilesExact": lambda levels, c: F.percentile(
+        c, F.array(*[F.lit(x) for x in levels])
+    ),
+    "quantilesTiming": lambda levels, c: F.percentile_approx(
+        c, F.array(*[F.lit(x) for x in levels]), F.lit(10_000)
+    ),
+    # HLL/theta sketch estimates (AggregateFunctionHllSketch.cpp,
+    # ThetaSketchEstimate.cpp): the re-mergeable STATE forms live in
+    # udafs/sketches.py; these names are the fused estimate path
+    "hllSketchEstimate": F.approx_count_distinct,
+    "thetaSketchEstimate": F.approx_count_distinct,
     # groupConcat(sep)(x) — reference AggregateFunctionGroupConcat.cpp.
     # CH concatenates in ARRIVAL order, which is nondeterministic under
     # distributed merge; this engine sorts for a deterministic result

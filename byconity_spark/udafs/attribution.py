@@ -11,6 +11,11 @@ reference:
 * ``attributionCorrelation``   — AggregateFunctionAttributionCorrelation.h
   (per-touch Spearman rank correlation over per-group (total, valid)
   feature pairs + the same distributions).
+* ``attributionCorrelationFuse`` — AggregateFunctionAttributionCorrelationFuse.h
+  is the partial-merge stage of the same computation (it consumes and
+  re-merges correlation states); attribution_correlation() computes the
+  fused result directly from the partial frame, so no separate entry
+  point is needed — Spark's aggregate already IS the two-stage merge.
 
 Spark-first shape: ONE Arrow-batched ``applyInPandas`` pass per user
 produces per-(user, touch) partial rows (the equivalent of the reference's
