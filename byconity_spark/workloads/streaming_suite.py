@@ -190,3 +190,62 @@ def stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
     counted = deduped.groupBy().agg(F.count(F.lit(1)).alias("n_unique"))
     return _run_to_memory(counted, metric_name="stream_dedup_ingest")
+
+
+# ---------------------------------------------- stream-stream interval join
+# Spark-native bonus surface (the reference is ingestion-centric with no
+# event-time join algebra — SURVEY §2.11): watermarked click->purchase
+# interval join; availableNow drains the fixture in one batch, so the
+# result equals the batch interval join the oracle runs.
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           (epoch_us(CAST(p.ts AS TIMESTAMP))
+            - epoch_us(CAST(c.ts AS TIMESTAMP))) // 1000000 AS gap_s
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    s = events_file_stream(spark, sf)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_s"),
+    )
+    return _run_to_memory(
+        joined, mode="append", metric_name="stream_stream_join"
+    )
