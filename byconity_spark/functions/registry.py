@@ -1444,3 +1444,51 @@ SCALAR.update(
         ),
     }
 )
+
+
+def _array_auc(scores: Column, labels: Column) -> Column:
+    """arrayAUC(scores, labels) — reference src/Functions/array/
+    arrayAUC.cpp: sort DESC by score, walk the ROC staircase (positive =
+    step up, negative = area += positives-so-far), normalize by P*N; NaN
+    when one class is empty.  Ties sort label-ascending here for
+    determinism (the reference's std::sort leaves tie order unspecified).
+    Pure Column fold — constant-size expression tree, no UDF."""
+    z = F.array_sort(
+        F.zip_with(
+            scores,
+            labels,
+            lambda s, l: F.struct(
+                (-s).alias("ns"), (l > 0).cast("int").alias("l")
+            ),
+        )
+    )
+    acc = F.aggregate(
+        z,
+        F.struct(
+            F.lit(0).cast("long").alias("area"),
+            F.lit(0).cast("long").alias("pos"),
+        ),
+        lambda a, e: F.struct(
+            (a["area"] + F.when(e["l"] > 0, F.lit(0)).otherwise(a["pos"])).alias(
+                "area"
+            ),
+            (a["pos"] + e["l"]).alias("pos"),
+        ),
+    )
+    p = acc["pos"]
+    n = F.size(scores) - p
+    return F.when(
+        (p == 0) | (n == 0), F.lit(float("nan"))
+    ).otherwise(acc["area"].cast("double") / p / n)
+
+
+SCALAR.update(
+    {
+        "arrayAUC": _array_auc,
+        # arrayCompact (array/arrayCompact.cpp): drop CONSECUTIVE duplicates
+        "arrayCompact": lambda a: F.filter(
+            a, lambda x, i: (i == 0) | ~x.eqNullSafe(F.element_at(a, i))
+        ),
+        "arrayZip": F.arrays_zip,
+    }
+)

@@ -308,3 +308,23 @@ def test_running_difference_and_neighbor(spark):
     )
     assert [r.rd for r in rows] == [None, 3.0, -2.0]
     assert [r.nx for r in rows] == [13.0, 11.0, None]
+
+
+def test_array_auc_and_compact(spark):
+    from byconity_spark.functions.registry import ch
+    from pyspark.sql import functions as F
+    import math
+
+    df = spark.createDataFrame(
+        [([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1], [1, 1, 2, 2, 1])],
+        "s array<double>, l array<int>, c array<int>",
+    )
+    r = df.select(
+        ch("arrayAUC", F.col("s"), F.col("l")).alias("auc"),
+        ch("arrayAUC", F.col("s"), F.array(F.lit(1), F.lit(1), F.lit(1), F.lit(1))).alias("deg"),
+        ch("arrayCompact", F.col("c")).alias("cc"),
+    ).first()
+    # reference example: scores (0.1,-),(0.35,+),(0.4,-),(0.8,+) -> AUC 0.75
+    assert abs(r.auc - 0.75) < 1e-9
+    assert math.isnan(r.deg)
+    assert r.cc == [1, 2, 1]
