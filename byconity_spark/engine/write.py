@@ -212,6 +212,8 @@ def optimize_table(
     target_file_mb: int = 128,
     sort_by: list[str] | None = None,
     partition_by: list[str] | None = None,
+    deduplicate: bool = False,
+    dedup_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE TABLE ... FINAL analogue (reference MergeTree background
     merges, src/Storages/MergeTree/MergeTreeDataMergerMutator.h;
@@ -242,6 +244,21 @@ def optimize_table(
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
+    # OPTIMIZE ... DEDUPLICATE [BY cols] (reference
+    # src/Parsers/ParserOptimizeQuery.cpp, ReplacingMergeTree merge-time
+    # dedup): drop full-row duplicates, or keep ONE arbitrary-but-
+    # deterministic row per dedup_by key (min by the remaining columns)
+    if deduplicate:
+        if dedup_by:
+            others = [c for c in df.columns if c not in dedup_by]
+            if others:
+                df = df.groupBy(*dedup_by).agg(
+                    F.min(F.struct(*others)).alias("__rest")
+                ).select(*dedup_by, "__rest.*")
+            else:
+                df = df.distinct()
+        else:
+            df = df.distinct()
     staging = path.rstrip("/") + ".__optimize_tmp"
     out = df.repartition(n_files)
     if sort_by:

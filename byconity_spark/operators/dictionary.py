@@ -40,3 +40,67 @@ def dict_get(
             col = F.coalesce(col, F.lit(default))
         out = out.withColumn(c, col)
     return out.drop("__dk", *[f"__a_{c}" for c in defaults])
+
+
+def dict_get_hierarchy(
+    df: DataFrame,
+    dictionary: DataFrame,
+    key_col: str,
+    dict_key_col: str = "id",
+    parent_col: str = "parent_id",
+    max_depth: int = 10,
+    out_col: str = "hierarchy",
+) -> DataFrame:
+    """dictGetHierarchy (reference FunctionsExternalDictionaries.cpp
+    hierarchy support): the ancestor chain [key, parent(key), ...] walking
+    the dictionary's parent links until 0/NULL (root) or max_depth.
+
+    Spark shape: the chain unrolls into max_depth BROADCAST probes of the
+    same tiny dictionary — the fact side never shuffles, exactly like the
+    reference's in-memory hierarchy walk; depth is a plan-time constant
+    (the reference caps recursion too)."""
+    d = F.broadcast(
+        dictionary.select(
+            F.col(dict_key_col).alias("__hk"),
+            F.col(parent_col).alias("__hp"),
+        )
+    )
+    out = df.withColumn("__lvl0", F.col(key_col).cast("long"))
+    levels = ["__lvl0"]
+    for i in range(1, max_depth):
+        prev, cur = f"__lvl{i - 1}", f"__lvl{i}"
+        step = d.withColumnRenamed("__hk", f"__hk{i}").withColumnRenamed(
+            "__hp", f"__hp{i}"
+        )
+        out = out.join(
+            step, out[prev] == F.col(f"__hk{i}"), "left"
+        ).withColumn(
+            cur,
+            F.when(F.col(f"__hp{i}") > 0, F.col(f"__hp{i}").cast("long")),
+        ).drop(f"__hk{i}", f"__hp{i}")
+        levels.append(cur)
+    chain = F.filter(
+        F.array(*[F.col(c) for c in levels]), lambda x: x.isNotNull()
+    )
+    return out.withColumn(out_col, chain).drop(*levels)
+
+
+def dict_is_in(
+    df: DataFrame,
+    dictionary: DataFrame,
+    child_col: str,
+    ancestor_col: str,
+    dict_key_col: str = "id",
+    parent_col: str = "parent_id",
+    max_depth: int = 10,
+    out_col: str = "is_in",
+) -> DataFrame:
+    """dictIsIn(child, ancestor): whether `ancestor` appears in the child's
+    hierarchy chain — array_contains over dict_get_hierarchy."""
+    with_chain = dict_get_hierarchy(
+        df, dictionary, child_col, dict_key_col, parent_col, max_depth,
+        out_col="__chain",
+    )
+    return with_chain.withColumn(
+        out_col, F.array_contains(F.col("__chain"), F.col(ancestor_col).cast("long"))
+    ).drop("__chain")

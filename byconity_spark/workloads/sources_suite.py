@@ -300,3 +300,50 @@ def source_join_get(spark: SparkSession, sf: str) -> DataFrame:
         o, jt, "label", F.col("o_orderstatus"), key_col="code", default="other"
     )
     return out.select("o_orderkey", "joinGet_label")
+
+
+# ---------------------------------------------------- dictGetHierarchy
+@register(
+    "dict_hierarchy_regions",
+    oracle="""
+    SELECT c_custkey,
+           CAST(1 + c_nationkey AS VARCHAR) || '|' ||
+           CAST(26 + n_regionkey AS VARCHAR)          AS hierarchy,
+           (26 + n_regionkey = 27)                    AS in_region1
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 500
+    """,
+)
+def dict_hierarchy_regions(spark: SparkSession, sf: str) -> DataFrame:
+    """dictGetHierarchy / dictIsIn over a two-level nation->region
+    hierarchy dictionary (ids offset so 0 stays the root sentinel)."""
+    from byconity_spark.operators.dictionary import (
+        dict_get_hierarchy,
+        dict_is_in,
+    )
+    from byconity_spark.workloads._arrays import arr_str
+
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    hier = nation.select(
+        (F.col("n_nationkey") + 1).alias("id"),
+        (F.col("n_regionkey") + 26).alias("parent_id"),
+    ).unionByName(
+        region.select(
+            (F.col("r_regionkey") + 26).alias("id"),
+            F.lit(0).alias("parent_id"),
+        )
+    )
+    cust = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", (F.col("c_nationkey") + 1).alias("nk"))
+    )
+    out = dict_get_hierarchy(cust, hier, "nk", max_depth=4)
+    out = out.withColumn("__anc", F.lit(27))
+    out = dict_is_in(out, hier, "nk", "__anc", max_depth=4, out_col="in_region1")
+    return out.select(
+        "c_custkey",
+        arr_str(F.col("hierarchy")).alias("hierarchy"),
+        "in_region1",
+    )

@@ -175,3 +175,24 @@ def write_optimize_compaction(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "write_optimize_dedup",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM (SELECT DISTINCT * FROM orders) GROUP BY o_orderstatus
+    """,
+)
+def write_optimize_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """OPTIMIZE TABLE ... DEDUPLICATE (reference ParserOptimizeQuery.cpp,
+    ReplacingMergeTree merge-time dedup): write orders DOUBLED, compact
+    with deduplicate=True, and prove exactly one copy survives."""
+    from byconity_spark.engine.write import optimize_table
+
+    o = load_table(spark, sf, "orders")
+    path = _tmp(sf, "optimize_dedup_orders")
+    o.unionByName(o).repartition(16).write.mode("overwrite").parquet(path)
+    optimize_table(spark, path, deduplicate=True)
+    back = read_back(spark, path)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
