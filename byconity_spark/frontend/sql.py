@@ -354,10 +354,21 @@ def _rewrite_limit_by(sql: str) -> str:
     i_limit = -1 if i_order < 0 else _depth0_find(sql, "LIMIT", i_order)
     if i_limit < 0:
         return sql
-    m = re.match(r"LIMIT\s+(\d+)\s+BY\s+", sql[i_limit:], re.IGNORECASE)
+    # LIMIT n BY cols | LIMIT off, n BY cols | LIMIT n OFFSET off BY cols
+    # (reference LimitByStep.h offset support, ParserSelectQuery.cpp:75-82)
+    m = re.match(
+        r"LIMIT\s+(\d+)(?:\s*,\s*(\d+)|\s+OFFSET\s+(\d+))?\s+BY\s+",
+        sql[i_limit:],
+        re.IGNORECASE,
+    )
     if not m:
         return sql
-    n_per_group = int(m.group(1))
+    if m.group(2) is not None:  # LIMIT off, n BY
+        offset, n_per_group = int(m.group(1)), int(m.group(2))
+    elif m.group(3) is not None:  # LIMIT n OFFSET off BY
+        offset, n_per_group = int(m.group(3)), int(m.group(1))
+    else:
+        offset, n_per_group = 0, int(m.group(1))
     cols_start = i_limit + m.end()
     i_final_limit = _depth0_find(sql, "LIMIT", cols_start)
     if i_final_limit >= 0:
@@ -372,7 +383,8 @@ def _rewrite_limit_by(sql: str) -> str:
         f"SELECT * EXCEPT(__rn) FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {cols} ORDER BY {order}) AS __rn "
         f"FROM ({core})"
-        f") WHERE __rn <= {n_per_group} ORDER BY {order}{tail}"
+        f") WHERE __rn > {offset} AND __rn <= {offset + n_per_group} "
+        f"ORDER BY {order}{tail}"
     )
 
 

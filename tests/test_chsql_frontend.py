@@ -307,3 +307,37 @@ def test_round3_rule_additions(spark):
     assert r.s == 6.0 and r.m == 9 and r.ce == 2
     assert r.ip == "192.168.1.1"
     assert r.b == "hi"
+
+
+def test_limit_by_with_offset(spark):
+    """ClickHouse LIMIT off, n BY key and LIMIT n OFFSET off BY key."""
+    from byconity_spark.engine.catalog import register_views
+    from byconity_spark.frontend import ch_sql
+    from tests.conftest import SF_DIR
+
+    views = spark
+    register_views(views, SF_DIR)
+    base = (
+        "SELECT o_custkey, o_orderkey FROM orders "
+        "ORDER BY o_orderkey LIMIT 1, 2 BY o_custkey LIMIT 10"
+    )
+    out = ch_sql(views, base).collect()
+    assert len(out) == 10
+    # per customer the FIRST order is skipped: compare against the window form
+    alt = views.sql(
+        "SELECT o_custkey, o_orderkey FROM ("
+        " SELECT o_custkey, o_orderkey, row_number() OVER"
+        "  (PARTITION BY o_custkey ORDER BY o_orderkey) rn FROM orders)"
+        " WHERE rn > 1 AND rn <= 3 ORDER BY o_orderkey LIMIT 10"
+    ).collect()
+    assert [(r.o_custkey, r.o_orderkey) for r in out] == [
+        (r.o_custkey, r.o_orderkey) for r in alt
+    ]
+    out2 = ch_sql(
+        views,
+        "SELECT o_custkey, o_orderkey FROM orders "
+        "ORDER BY o_orderkey LIMIT 2 OFFSET 1 BY o_custkey LIMIT 10",
+    ).collect()
+    assert [(r.o_custkey, r.o_orderkey) for r in out2] == [
+        (r.o_custkey, r.o_orderkey) for r in out
+    ]
