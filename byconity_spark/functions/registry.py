@@ -1159,6 +1159,17 @@ def _apply_map(base_name: str, m: Column) -> Column:
     )
 
 
+def _map_filtered(base_name: str, keys: list, m: Column) -> Column:
+    """sumMapFiltered(keys)(map) family (reference
+    AggregateFunctionSumMap.h:397-469): the -Map fold restricted to the
+    parameter key set; the WithOverflow variants differ only in keeping
+    the input integer width (LongType here either way — documented)."""
+    filtered = F.map_filter(
+        m, lambda k, _v: k.isin(*[F.lit(x) for x in keys])
+    )
+    return _apply_map(base_name, filtered)
+
+
 def _apply_or_default(base_name: str, base: Callable[..., Column], *args) -> Column:
     """-OrDefault combinator (reference AggregateFunctionOrFill.h, the
     'OrDefault' template flavor): the return type's default value instead
@@ -1490,5 +1501,15 @@ SCALAR.update(
             a, lambda x, i: (i == 0) | ~x.eqNullSafe(F.element_at(a, i))
         ),
         "arrayZip": F.arrays_zip,
+    }
+)
+
+
+AGG.update(
+    {
+        "sumMapFiltered": lambda keys, m: _map_filtered("sum", keys, m),
+        "sumMapFilteredWithOverflow": lambda keys, m: _map_filtered("sum", keys, m),
+        "minMapFiltered": lambda keys, m: _map_filtered("min", keys, m),
+        "maxMapFiltered": lambda keys, m: _map_filtered("max", keys, m),
     }
 )

@@ -328,3 +328,19 @@ def test_array_auc_and_compact(spark):
     assert abs(r.auc - 0.75) < 1e-9
     assert math.isnan(r.deg)
     assert r.cc == [1, 2, 1]
+
+
+def test_sum_map_filtered(spark):
+    from byconity_spark.functions.registry import ch_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1.0, "b": 2.0}), (1, {"b": 3.0, "c": 4.0})],
+        "g int, m map<string,double>",
+    )
+    r = df.groupBy("g").agg(
+        ch_agg("sumMapFiltered", ["b", "c"], F.col("m")).alias("s"),
+        ch_agg("maxMapFiltered", ["b"], F.col("m")).alias("x"),
+    ).first()
+    assert dict(r.s) == {"b": 5.0, "c": 4.0}
+    assert dict(r.x) == {"b": 3.0}
