@@ -193,3 +193,39 @@ def select_keyframes(
     return mm.select(id_col, "payload").mapInPandas(
         gen, schema=f"{id_col} long, frame_idx long, frame_mean double"
     )
+
+
+def resize_thumbnail(
+    mm: DataFrame,
+    out_bytes: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image-resize batch shape: FIXED-size output per input (the third
+    kernel shape next to uniform sampling and variable keyframes).  Stub
+    "resize" = 1-D average pooling of the payload into out_bytes buckets
+    (floor of the bucket mean); a real deployment decodes and resamples
+    pixels.  Output: (id, thumb hex string, byte_sum) — one row per input,
+    constant width."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs, sums = [], [], []
+            for did, blob in zip(pdf[id_col], pdf["payload"]):
+                a = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+                block = max(len(a) // out_bytes, 1)
+                pooled = (
+                    a[: block * out_bytes]
+                    .reshape(out_bytes, block)
+                    .mean(axis=1)
+                )
+                tb = np.floor(pooled).astype(np.uint8)
+                ids.append(did)
+                thumbs.append("".join(f"{b:02x}" for b in tb))
+                sums.append(int(tb.sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "thumb": thumbs, "byte_sum": sums}
+            )
+
+    return mm.select(id_col, "payload").mapInPandas(
+        gen, schema=f"{id_col} long, thumb string, byte_sum long"
+    )

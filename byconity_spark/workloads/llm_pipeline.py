@@ -566,3 +566,32 @@ def mm_keyframes(spark: SparkSession, sf: str) -> DataFrame:
     mm = attach_binary_payload(_docs(spark, sf), blocks=3)
     out = select_keyframes(mm, frame_bytes=4, threshold=40.0)
     return out.withColumn("frame_mean", F.round("frame_mean", 6))
+
+
+# ---------------------------------------------- fixed-output resize shape
+@register(
+    "mm_resize_thumbnail",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      md5(text) || md5(text || 'x') || md5(text || 'y') AS h
+               FROM documents),
+    bytes AS (SELECT doc_id, i.range AS bi,
+                     (strpos('0123456789abcdef',
+                             substr(h, 1 + 2 * i.range, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef',
+                             substr(h, 2 + 2 * i.range, 1)) - 1) AS v
+              FROM b CROSS JOIN range(48) i),
+    pooled AS (SELECT doc_id, bi // 6 AS bucket,
+                      CAST(floor(avg(CAST(v AS DOUBLE))) AS BIGINT) AS tb
+               FROM bytes GROUP BY 1, 2)
+    SELECT doc_id,
+           string_agg(printf('%02x', tb), '' ORDER BY bucket) AS thumb,
+           sum(tb) AS byte_sum
+    FROM pooled GROUP BY doc_id
+    """,
+)
+def mm_resize_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.multimodal import attach_binary_payload, resize_thumbnail
+
+    mm = attach_binary_payload(_docs(spark, sf), blocks=3)
+    return resize_thumbnail(mm, out_bytes=8)
