@@ -214,6 +214,8 @@ def optimize_table(
     partition_by: list[str] | None = None,
     deduplicate: bool = False,
     dedup_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    n_output_files: int | None = None,
 ) -> dict:
     """OPTIMIZE TABLE ... FINAL analogue (reference MergeTree background
     merges, src/Storages/MergeTree/MergeTreeDataMergerMutator.h;
@@ -241,7 +243,9 @@ def optimize_table(
         if f.endswith(".parquet")
     ]
     total_bytes = sum(os.path.getsize(f) for f in before)
-    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    n_files = n_output_files or max(
+        1, round(total_bytes / (target_file_mb * 1024 * 1024))
+    )
 
     df = spark.read.parquet(path)
     # OPTIMIZE ... DEDUPLICATE [BY cols] (reference
@@ -260,7 +264,19 @@ def optimize_table(
         else:
             df = df.distinct()
     staging = path.rstrip("/") + ".__optimize_tmp"
-    out = df.repartition(n_files)
+    if zorder_by:
+        # Z-ORDER clustering: quantize each dimension to 21 bits over its
+        # [min, max] span and bit-interleave into one long, then
+        # range-partition + sort on it.  Multi-dimensional locality makes
+        # parquet row-group min/max pruning effective on EVERY zorder
+        # column (the Spark-side realization of the reference's minmax
+        # skip indexes, src/Storages/MergeTree/MergeTreeIndexMinMax.h —
+        # which only help when the data is clustered on those columns).
+        out = df.repartitionByRange(
+            n_files, _zorder_key(df, zorder_by)
+        ).sortWithinPartitions(_zorder_key(df, zorder_by))
+    else:
+        out = df.repartition(n_files)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     writer = out.write.mode("overwrite")
@@ -292,3 +308,39 @@ def optimize_table(
         "files_after": len(after),
         "bytes": total_bytes,
     }
+
+
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = 21) -> Column:
+    """Interleaved Morton code over up to 3 numeric columns, each
+    quantized to `bits` levels over its observed [min, max] span (one tiny
+    stats aggregate).  Constant-size Column expression — bits x dims
+    shift/mask terms, no UDF."""
+    if not 1 <= len(cols) <= 3:
+        raise ValueError("zorder_by supports 1-3 columns")
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    qcols = []
+    for c in cols:
+        mn = float(stats[f"mn_{c}"])
+        mx = float(stats[f"mx_{c}"])
+        span = max(mx - mn, 1e-12)
+        qcols.append(
+            F.least(
+                F.lit(levels),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span)
+                    * F.lit(levels)
+                ).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    nd = len(qcols)
+    for b in range(bits):
+        for i, q in enumerate(qcols):
+            bit = F.shiftrightunsigned(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * nd + i))
+    return z

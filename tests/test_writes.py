@@ -153,3 +153,48 @@ def test_delete_where_unpartitioned_swap(spark, tmp_path):
     assert delete_where(spark, p, "id >= 40") == 10
     assert spark.read.parquet(p).count() == 40
     assert delete_where(spark, p, "id >= 40") == 0
+
+
+def test_optimize_zorder_clusters_both_dims(spark, tmp_path):
+    """Z-ORDER compaction: per-file min/max spans shrink on BOTH cluster
+    columns vs the unclustered layout, so parquet row-group pruning works
+    on either predicate (MergeTreeIndexMinMax analogue)."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from byconity_spark.engine.write import optimize_table
+    from byconity_spark.engine.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "zorder_li")
+    li.repartition(8).write.mode("overwrite").parquet(path)
+
+    def spans(p):
+        tot = {"l_orderkey": 0.0, "l_partkey": 0.0}
+        files = [f for f in g.glob(f"{p}/*.parquet")]
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name in tot and col.statistics is not None:
+                        tot[name] += float(
+                            col.statistics.max - col.statistics.min
+                        )
+        return tot, len(files)
+
+    before, _ = spans(path)
+    optimize_table(
+        spark, path, zorder_by=["l_orderkey", "l_partkey"], n_output_files=8
+    )
+    after, n_after = spans(path)
+    assert n_after >= 2  # multiple files so clustering is observable
+    # both dimensions must tighten substantially (random layout spans the
+    # full domain in every file)
+    assert after["l_orderkey"] < before["l_orderkey"] * 0.7, (before, after)
+    assert after["l_partkey"] < before["l_partkey"] * 0.7, (before, after)
