@@ -484,3 +484,106 @@ def bitmap_column_diff(
     return joined.mapInPandas(
         kernel, schema=f"{key_col} {key_t}, cardinality long"
     )
+
+
+# ----------------------------------------- round-4 bitmap scalar breadth
+# (FunctionsBitmap.cpp registrations not yet covered above)
+@F.pandas_udf(T.LongType())
+def bitmap_min(a: pd.Series) -> pd.Series:
+    """bitmapMin: smallest member; 0 on an empty bitmap (reference
+    FunctionBitmapMin semantics)."""
+    return a.map(lambda b: int(v[0]) if len(v := _decode(b)) else 0)
+
+
+@F.pandas_udf(T.LongType())
+def bitmap_max(a: pd.Series) -> pd.Series:
+    """bitmapMax: largest member; 0 on empty."""
+    return a.map(lambda b: int(v[-1]) if len(v := _decode(b)) else 0)
+
+
+@F.pandas_udf(T.BooleanType())
+def bitmap_has_all(a: pd.Series, b: pd.Series) -> pd.Series:
+    """bitmapHasAll(a, b): b is a subset of a."""
+    return pd.Series(
+        [bool(np.isin(_decode(y), _decode(x)).all()) for x, y in zip(a, b)]
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def bitmap_has_any(a: pd.Series, b: pd.Series) -> pd.Series:
+    """bitmapHasAny(a, b): the intersection is non-empty."""
+    return pd.Series(
+        [bool(np.isin(_decode(y), _decode(x)).any()) for x, y in zip(a, b)]
+    )
+
+
+@F.pandas_udf(T.LongType())
+def bitmap_xor_cardinality(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [len(np.setxor1d(_decode(x), _decode(y))) for x, y in zip(a, b)]
+    )
+
+
+@F.pandas_udf(T.LongType())
+def bitmap_andnot_cardinality(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [len(np.setdiff1d(_decode(x), _decode(y))) for x, y in zip(a, b)]
+    )
+
+
+def bitmap_transform(bm: Column, from_vals: list, to_vals: list) -> Column:
+    """bitmapTransform(bm, from, to): replace each from[i] member with
+    to[i] (FunctionBitmapTransform)."""
+    if len(from_vals) != len(to_vals):
+        raise ValueError("bitmapTransform needs equal-length mapping arrays")
+    mapping = dict(zip(map(int, from_vals), map(int, to_vals)))
+
+    @F.pandas_udf(T.BinaryType())
+    def f(a: pd.Series) -> pd.Series:
+        def g(b):
+            v = _decode(b)
+            out = np.unique(
+                np.array([mapping.get(int(x), int(x)) for x in v], dtype=np.int64)
+            )
+            return _encode(out)
+
+        return a.map(g)
+
+    return f(bm)
+
+
+def bitmap_subset_limit(bm: Column, start: int, limit: int) -> Column:
+    """bitmapSubsetLimit(bm, start, limit): at most `limit` members with
+    value >= start (reference FunctionBitmapSubsetLimit)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def f(a: pd.Series) -> pd.Series:
+        def g(b):
+            v = _decode(b)
+            return _encode(v[v >= start][:limit])
+
+        return a.map(g)
+
+    return f(bm)
+
+
+def sub_bitmap(bm: Column, offset: int, limit: int) -> Column:
+    """subBitmap(bm, offset, limit): `limit` members starting at 1-based
+    member OFFSET (positional, not value-based —
+    FunctionSubBitmapStartsFromOne)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def f(a: pd.Series) -> pd.Series:
+        def g(b):
+            v = _decode(b)
+            return _encode(v[max(offset - 1, 0) : max(offset - 1, 0) + limit])
+
+        return a.map(g)
+
+    return f(bm)
+
+
+def empty_bitmap() -> Column:
+    """emptyBitmap()."""
+    blob = _encode(np.array([], dtype=np.int64))
+    return F.lit(bytearray(blob)).cast("binary")

@@ -157,3 +157,52 @@ def test_bitmap_join_ops_and_left(spark):
     import pytest as _p
     with _p.raises(ValueError):
         bitmap_join(ls, rs, ["k"], logic_op="NAND")
+
+
+def test_bitmap_scalar_breadth(spark):
+    """bitmapMin/Max, HasAll/HasAny, xor/andnot cardinality, transform,
+    subsetLimit, subBitmap, emptyBitmap (FunctionsBitmap.cpp surface)."""
+    from pyspark.sql import functions as F
+
+    from byconity_spark.udafs.bitmaps import (
+        bitmap_andnot_cardinality,
+        bitmap_cardinality,
+        bitmap_has_all,
+        bitmap_has_any,
+        bitmap_max,
+        bitmap_min,
+        bitmap_subset_limit,
+        bitmap_to_array,
+        bitmap_transform,
+        bitmap_xor_cardinality,
+        empty_bitmap,
+        group_bitmap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, v) for v in [1, 3, 5, 7, 9]] + [(2, v) for v in [3, 4]],
+        "g int, v long",
+    )
+    bms = group_bitmap(df, ["g"], "v")  # (g, bm)
+    a = bms.filter("g = 1").select(F.col("bm").alias("a"))
+    b = bms.filter("g = 2").select(F.col("bm").alias("b"))
+    row = a.crossJoin(b).select(
+        bitmap_min(F.col("a")).alias("mn"),
+        bitmap_max(F.col("a")).alias("mx"),
+        bitmap_has_all(F.col("a"), F.col("b")).alias("all_ab"),
+        bitmap_has_any(F.col("a"), F.col("b")).alias("any_ab"),
+        bitmap_xor_cardinality(F.col("a"), F.col("b")).alias("xc"),
+        bitmap_andnot_cardinality(F.col("a"), F.col("b")).alias("ac"),
+        bitmap_to_array(
+            bitmap_transform(F.col("a"), [1, 3], [100, 300])
+        ).alias("tr"),
+        bitmap_to_array(bitmap_subset_limit(F.col("a"), 3, 2)).alias("sl"),
+        bitmap_cardinality(empty_bitmap()).alias("ec"),
+    ).first()
+    assert (row.mn, row.mx) == (1, 9)
+    assert row.all_ab is False and row.any_ab is True
+    assert row.xc == 5  # {1,5,7,9,4}
+    assert row.ac == 4  # {1,5,7,9}
+    assert row.tr == [5, 7, 9, 100, 300]
+    assert row.sl == [3, 5]
+    assert row.ec == 0
