@@ -1530,3 +1530,145 @@ AGG.update(
         "maxMapFiltered": lambda keys, m: _map_filtered("max", keys, m),
     }
 )
+
+
+# ---------------------------------------------- round-4 scalar breadth 3
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def _date_add_unit(unit: str, n, c: Column) -> Column:
+    unit = unit.lower()
+    n = n if isinstance(n, Column) else F.lit(n)
+    if unit == "day":
+        return F.date_add(c, n.cast("int"))
+    if unit == "week":
+        return F.date_add(c, (n * 7).cast("int"))
+    if unit == "month":
+        return F.add_months(c, n.cast("int"))
+    if unit == "quarter":
+        return F.add_months(c, (n * 3).cast("int"))
+    if unit == "year":
+        return F.add_months(c, (n * 12).cast("int"))
+    if unit in ("second", "minute", "hour"):
+        secs = {"second": 1, "minute": 60, "hour": 3600}[unit]
+        return F.timestamp_seconds(F.unix_timestamp(c) + n.cast("long") * secs)
+    raise ValueError(f"dateAdd: unsupported unit {unit!r}")
+
+
+SCALAR.update(
+    {
+        # ---- vector math over array columns (src/Functions/array/ dot /
+        # L2 etc. + vectorFunctions.cpp): the embedding-pipeline surface
+        "dotProduct": _dot,
+        "L1Norm": lambda a: F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+        ),
+        "L2Norm": _l2,
+        "LinfNorm": lambda a: F.array_max(
+            F.transform(a, lambda x: F.abs(x.cast("double")))
+        ),
+        "L1Distance": lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        "L2Distance": lambda a, b: F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        "cosineDistance": lambda a, b: 1.0 - _dot(a, b) / (_l2(a) * _l2(b)),
+        # ---- arrays
+        "arrayProduct": lambda a: F.aggregate(
+            a, F.lit(1.0), lambda acc, x: acc * x.cast("double")
+        ),
+        "arrayFold": lambda f, a, init: F.aggregate(a, init, f),
+        # first n smallest sorted; remainder order is unspecified in the
+        # reference — a full sort is a valid instance
+        "arrayPartialSort": lambda n, a: F.array_sort(a),
+        # ---- strings
+        "left": lambda c, n: F.substring(c, 1, n),
+        "right": lambda c, n: F.substring(c, -n, n),
+        "leftUTF8": lambda c, n: F.substring(c, 1, n),
+        "rightUTF8": lambda c, n: F.substring(c, -n, n),
+        "mid": lambda c, p, n: F.substring(c, p, n),
+        "overlay": lambda c, r, p, n=None: (
+            F.overlay(c, r, p) if n is None else F.overlay(c, r, p, n)
+        ),
+        "chr": F.char,
+        "notILike": lambda c, pat: ~c.ilike(pat),
+        "startsWithUTF8": lambda c, p: c.startswith(p),
+        "endsWithUTF8": lambda c, p: c.endswith(p),
+        "regexpQuoteMeta": lambda c: F.regexp_replace(
+            c, r"([\\.^$|()\[\]{}*+?])", r"\\$1"
+        ),
+        "extractGroups": lambda c, pat, n_groups: F.array(
+            *[F.regexp_extract(c, pat, i + 1) for i in range(n_groups)]
+        ),
+        "stringJaccardIndex": lambda a, b: (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split(a, "")),
+                    F.array_distinct(F.split(b, "")),
+                )
+            ).cast("double")
+            / F.size(
+                F.array_union(
+                    F.array_distinct(F.split(a, "")),
+                    F.array_distinct(F.split(b, "")),
+                )
+            )
+        ),
+        # ---- numbers
+        "intExp2": lambda n: F.shiftleft(F.lit(1).cast("long"), n),
+        "intExp10": lambda n: F.pow(F.lit(10.0), n).cast("long"),
+        "erfc": lambda x: 1.0 - SCALAR["erf"](x),
+        "nanToNull": lambda x: F.when(~F.isnan(x), x),
+        "toDecimal32": lambda x, s: x.cast(f"decimal(9,{s})"),
+        "toDecimal128": lambda x, s: x.cast(f"decimal(38,{s})"),
+        "toInt128": lambda x: x.cast("decimal(38,0)"),
+        "bitHammingDistance": lambda a, b: F.bit_count(
+            a.cast("long").bitwiseXOR(b.cast("long"))
+        ),
+        # ---- dates
+        "toWeek": F.weekofyear,
+        "toISOWeek": F.weekofyear,
+        "toModifiedJulianDay": lambda c: F.datediff(
+            F.to_date(c), F.lit("1858-11-17").cast("date")
+        ).cast("long"),
+        "dateTrunc": lambda unit, c: F.date_trunc(unit, c),
+        "dateAdd": _date_add_unit,
+        "dateSub": lambda unit, n, c: _date_add_unit(
+            unit, (n if isinstance(n, Column) else F.lit(n)) * -1, c
+        ),
+        "timestampAdd": _date_add_unit,
+    }
+)
+
+
+def _to_iso_year(c: Column) -> Column:
+    """toISOYear: the year owning the date's ISO week — the year of the
+    Thursday of that week (ISO 8601 rule)."""
+    d = F.to_date(c)
+    # Thursday of the date's ISO week: date + (4 - isoDow)
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1
+    thursday = F.date_add(d, (F.lit(4) - iso_dow).cast("int"))
+    return F.year(thursday)
+
+
+SCALAR["toISOYear"] = _to_iso_year

@@ -344,3 +344,31 @@ def test_sum_map_filtered(spark):
     ).first()
     assert dict(r.s) == {"b": 5.0, "c": 4.0}
     assert dict(r.x) == {"b": 3.0}
+
+
+def test_vector_math_and_breadth3(spark):
+    from byconity_spark.functions.registry import ch
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0], dt.date(2021, 1, 1))],
+        "a array<double>, b array<double>, d date",
+    )
+    r = df.select(
+        ch("dotProduct", F.col("a"), F.col("b")).alias("dp"),
+        ch("L1Norm", F.col("a")).alias("l1"),
+        ch("L2Distance", F.col("a"), F.col("b")).alias("l2d"),
+        ch("cosineDistance", F.col("a"), F.col("b")).alias("cd"),
+        ch("toISOYear", F.col("d")).alias("iso"),
+        ch("dateSub", "day", 1, F.col("d")).alias("dm"),
+        ch("arrayFold", lambda acc, x: acc + x, F.col("a"), F.lit(0.0)).alias("fold"),
+        ch("intExp2", F.lit(10)).alias("e2"),
+        ch("nanToNull", F.lit(float("nan"))).alias("nn"),
+    ).first()
+    assert r.dp == 32.0 and r.l1 == 6.0
+    assert abs(r.l2d - 27 ** 0.5) < 1e-12
+    assert 0 < r.cd < 0.03  # nearly-parallel vectors
+    assert r.iso == 2020
+    assert str(r.dm) == "2020-12-31"
+    assert r.fold == 6.0 and r.e2 == 1024 and r.nn is None
