@@ -1635,7 +1635,11 @@ SCALAR.update(
             )
         ),
         # ---- numbers
-        "intExp2": lambda n: F.shiftleft(F.lit(1).cast("long"), n),
+        "intExp2": lambda n: (
+            F.shiftleft(F.lit(1).cast("long"), n)
+            if isinstance(n, int)
+            else F.pow(F.lit(2.0), n).cast("long")
+        ),
         "intExp10": lambda n: F.pow(F.lit(10.0), n).cast("long"),
         "erfc": lambda x: 1.0 - SCALAR["erf"](x),
         "nanToNull": lambda x: F.when(~F.isnan(x), x),
