@@ -216,3 +216,39 @@ def test_trailing_journey_ignored(spark):
     )
     assert out["click"] == (1, 0, 0.0)
     assert out["$other_conversions"] == (1, 0, 10.0)
+
+
+def test_attribution_partition_invariance(spark):
+    """Bucketed kernel output must be identical under any input
+    partitioning (the per-user logic may never depend on bucket or
+    partition boundaries)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(40):
+        t = 0.0
+        for _ in range(rng.randint(3, 12)):
+            t += rng.random() * 5000
+            typ = rng.choice(["click", "view", "purchase", "error"])
+            rows.append((eid, _t(t), u, typ, round(rng.random() * 100, 2), ""))
+            eid += 1
+    df = _df(spark, rows)
+
+    def run(d):
+        out = attribution_analysis(
+            d,
+            target_event="purchase",
+            touch_events=["click", "view"],
+            back_time_ms=86_400_000,
+            mode=2,
+            other_transform=True,
+        )
+        return sorted(
+            (r.touch_event, r.click_cnt, r.valid_transform_cnt,
+             round(r.value, 6), r.gap_ms_sum, r.steps_sum)
+            for r in out.collect()
+        )
+
+    assert run(df) == run(df.repartition(13)) == run(df.repartition(1))

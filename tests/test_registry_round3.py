@@ -132,3 +132,21 @@ def test_ndv_buckets_histogram_selectivity(spark, tmp_path):
         assert all(n <= c or c == 0 for c, n in cs.buckets)
     finally:
         S.STATS_DIR = old
+
+
+def test_mann_whitney_partition_invariance(spark):
+    """The distributed distinct-value rank decomposition must be exact
+    under any partitioning (offsets + local prefixes == global ranks)."""
+    from byconity_spark.udafs.behavioral import mann_whitney_u
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        ((F.col("id") * 37) % 101).cast("double").alias("v"),
+        (F.col("id") % 3 == 0).alias("lab"),
+    )
+
+    def run(d):
+        r = mann_whitney_u(d, [], "v", F.col("lab")).first()
+        return (round(r.u_stat, 6), round(r.z_score, 6))
+
+    assert run(df) == run(df.repartition(17)) == run(df.coalesce(1))
