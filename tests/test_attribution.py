@@ -252,3 +252,30 @@ def test_attribution_partition_invariance(spark):
         )
 
     assert run(df) == run(df.repartition(13)) == run(df.repartition(1))
+
+
+def test_procedure_attr_match(spark):
+    """procedure_attr_match: the procedure only gates when its attr equals
+    the target's attr (valueAssociation, AttributionAnalysis.h:401-427)."""
+    rows = [
+        (1, _t(0), 1, "click", 1.0, "X"),
+        (2, _t(1), 1, "step", 1.0, "Y"),    # wrong attr -> never seen
+        (3, _t(2), 1, "purchase", 30.0, "X"),
+        (4, _t(0), 2, "click", 1.0, "X"),
+        (5, _t(1), 2, "step", 1.0, "X"),    # matching attr -> gates open
+        (6, _t(2), 2, "purchase", 30.0, "X"),
+    ]
+    out = _as_map(
+        attribution_analysis(
+            _df(spark, rows),
+            target_event="purchase",
+            touch_events=["click"],
+            procedure_events=["step"],
+            back_time_ms=86_400_000,
+            mode=2,
+            procedure_attr_match=True,
+            attr_col="attr",
+        )
+    )
+    # only user 2's click validates (user 1's 'step' attr mismatches)
+    assert out["click"] == (2, 1, 30.0)
