@@ -1676,3 +1676,76 @@ def _to_iso_year(c: Column) -> Column:
 
 
 SCALAR["toISOYear"] = _to_iso_year
+
+
+# --------------------------------------- near-dup string hash family
+# (src/Functions/FunctionsStringHash.cpp: ngramSimHash / ngramMinHash /
+# wordShingleSimHash / wordShingleMinHash).  Hash primitive is xxhash64
+# (the engine-wide documented stand-in for CH's CRC32/cityHash — stable
+# within this engine, not bit-identical to ClickHouse).
+def _ngram_hashes(c: Column, n: int) -> Column:
+    return F.transform(_char_ngrams(F.lower(c), n), lambda g: F.xxhash64(g))
+
+
+def _word_shingle_hashes(c: Column, k: int) -> Column:
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.slice(words, i, k)),
+    )
+
+
+_BIT_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def _mask_array() -> Column:
+    return F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+
+
+def _simhash_of(hashes: Column) -> Column:
+    """64-bit bit-vote SimHash folded as a pure Column expression: one
+    64-cell vote array accumulated with zip_with against precomputed bit
+    masks (shift builtins take only literal bit counts), then
+    sign-majority recombination."""
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            _mask_array(),
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            _mask_array(),
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def _minhash_of(hashes: Column, hashnum: int) -> Column:
+    srt = F.array_sort(hashes)
+    lows = F.slice(srt, 1, hashnum)
+    his = F.slice(F.reverse(srt), 1, hashnum)
+    return F.struct(F.xxhash64(lows).alias("h1"), F.xxhash64(his).alias("h2"))
+
+
+SCALAR.update(
+    {
+        "ngramSimHash": lambda c, n=2: _simhash_of(_ngram_hashes(c, n)),
+        "ngramMinHash": lambda c, n=2, hashnum=6: _minhash_of(
+            _ngram_hashes(c, n), hashnum
+        ),
+        "wordShingleSimHash": lambda c, k=3: _simhash_of(
+            _word_shingle_hashes(c, k)
+        ),
+        "wordShingleMinHash": lambda c, k=3, hashnum=6: _minhash_of(
+            _word_shingle_hashes(c, k), hashnum
+        ),
+    }
+)

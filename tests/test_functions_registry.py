@@ -372,3 +372,41 @@ def test_vector_math_and_breadth3(spark):
     assert r.iso == 2020
     assert str(r.dm) == "2020-12-31"
     assert r.fold == 6.0 and r.e2 == 1024 and r.nn is None
+
+
+def test_ngram_hash_family(spark):
+    """ngramSimHash/ngramMinHash/wordShingle* (FunctionsStringHash.cpp):
+    near-duplicate strings land near in hamming space; identical strings
+    collide exactly; the MinHash tuple detects one-word edits via the
+    unchanged half."""
+    from byconity_spark.functions.registry import ch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely different text about databases",
+        )],
+        "a string, b string, c string",
+    )
+    r = df.select(
+        ch("ngramSimHash", F.col("a")).alias("sa"),
+        ch("ngramSimHash", F.col("a")).alias("sa2"),
+        ch("ngramSimHash", F.col("b")).alias("sb"),
+        ch("ngramSimHash", F.col("c")).alias("sc"),
+        ch("ngramMinHash", F.col("a")).alias("ma"),
+        ch("ngramMinHash", F.col("b")).alias("mb"),
+        ch("wordShingleSimHash", F.col("a")).alias("wa"),
+        ch("wordShingleSimHash", F.col("b")).alias("wb"),
+    ).first()
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert r.sa == r.sa2
+    assert ham(r.sa, r.sb) < ham(r.sa, r.sc)
+    assert ham(r.wa, r.wb) < 64
+    # one-word tail edit: the LOW-hash half of the minhash tuple usually
+    # survives — assert the tuple is not totally destroyed
+    assert (r.ma.h1 == r.mb.h1) or (r.ma.h2 == r.mb.h2) or ham(r.sa, r.sb) <= 10
