@@ -302,6 +302,20 @@ RULES: dict[str, object] = {
     "median": lambda a: f"percentile({a[0]}, 0.5)",
     "stddevPop": "stddev_pop", "stddevSamp": "stddev_samp",
     "varPop": "var_pop", "varSamp": "var_samp",
+    # retention(c1, ..., cn) (AggregateFunctionRetention.cpp): r[1] = any
+    # row matched c1; r[i>1] = r[1] AND any row matched c_i
+    "retention": lambda a: (
+        "array("
+        + ", ".join(
+            [f"max(CASE WHEN {a[0]} THEN 1 ELSE 0 END)"]
+            + [
+                f"least(max(CASE WHEN {a[0]} THEN 1 ELSE 0 END), "
+                f"max(CASE WHEN {c} THEN 1 ELSE 0 END))"
+                for c in a[1:]
+            ]
+        )
+        + ")"
+    ),
 }
 
 # ClickHouse parametric aggregates: name(params)(args)

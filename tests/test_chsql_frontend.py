@@ -341,3 +341,20 @@ def test_limit_by_with_offset(spark):
     assert [(r.o_custkey, r.o_orderkey) for r in out2] == [
         (r.o_custkey, r.o_orderkey) for r in out
     ]
+
+
+def test_retention_sql_rewrite(spark):
+    from byconity_spark.engine.catalog import register_views
+    from byconity_spark.frontend import ch_sql
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    out = ch_sql(
+        spark,
+        "SELECT user_id, retention(event_type='signup', "
+        "event_type='purchase') AS r FROM events GROUP BY user_id",
+    )
+    rows = out.collect()
+    assert rows and all(len(r.r) == 2 for r in rows)
+    # r2 can only fire when r1 fired
+    assert all(r.r[1] <= r.r[0] for r in rows)
