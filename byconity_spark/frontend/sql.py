@@ -318,6 +318,41 @@ RULES: dict[str, object] = {
     ),
 }
 
+def _window_funnel_sql(p: list[str], a: list[str]) -> str:
+    """windowFunnel(window_s)(ts, cond1, ..., condN) — the first-anchor
+    chain (same variant as udafs/behavioral.window_funnel) folded over the
+    time-sorted collected events as ONE aggregate expression:
+    aggregate(array_sort(collect_list(...)), nulls, chain-step, level).
+    Second granularity (ClickHouse DateTime is seconds)."""
+    w = p[0]
+    ts, conds = a[0], a[1:]
+    n = len(conds)
+    ev = "named_struct(" + ", ".join(
+        [f"'ts', unix_timestamp({ts})"]
+        + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]
+    ) + ")"
+    init = "named_struct(" + ", ".join(
+        f"'t{i + 1}', CAST(NULL AS BIGINT)" for i in range(n)
+    ) + ")"
+    upd = ["'t1', CASE WHEN s.t1 IS NULL AND e.c1 THEN e.ts ELSE s.t1 END"]
+    for i in range(2, n + 1):
+        upd.append(
+            f"'t{i}', CASE WHEN s.t{i - 1} IS NOT NULL AND s.t{i} IS NULL "
+            f"AND e.c{i} AND e.ts > s.t{i - 1} AND e.ts <= s.t1 + {w} "
+            f"THEN e.ts ELSE s.t{i} END"
+        )
+    merge = "named_struct(" + ", ".join(upd) + ")"
+    fin = (
+        "CASE "
+        + " ".join(f"WHEN s.t{i} IS NOT NULL THEN {i}" for i in range(n, 0, -1))
+        + " ELSE 0 END"
+    )
+    return (
+        f"aggregate(array_sort(collect_list({ev})), {init}, "
+        f"(s, e) -> {merge}, s -> {fin})"
+    )
+
+
 # ClickHouse parametric aggregates: name(params)(args)
 PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
@@ -325,6 +360,7 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantileTDigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "topK": lambda p, a: f"slice(array_sort(collect_set({a[0]})), 1, {p[0]})",
+    "windowFunnel": _window_funnel_sql,
 }
 
 _IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")

@@ -371,3 +371,43 @@ def chsql_any_multi_join(spark: SparkSession, sf: str) -> DataFrame:
         WHERE c.c_custkey < 200
         """,
     )
+
+
+# -------------------------------------------- windowFunnel SQL surface
+@register(
+    "chsql_window_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
+                      event_type FROM events),
+    u1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup'
+           GROUP BY user_id),
+    u2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > u1.t1
+             AND e.t <= u1.t1 + 604800 GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, min(e.t) AS t3
+           FROM e JOIN u1 USING (user_id) JOIN u2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > u2.t2
+             AND e.t <= u1.t1 + 604800 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+                WHEN u2.user_id IS NOT NULL THEN 2
+                WHEN u1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS INT) AS lvl
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN u1 ON u.user_id = u1.user_id
+    LEFT JOIN u2 ON u.user_id = u2.user_id
+    LEFT JOIN u3 ON u.user_id = u3.user_id
+    """,
+)
+def chsql_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """windowFunnel(w)(ts, conds...) straight from CH SQL — rewritten to a
+    sorted-fold aggregate expression (frontend PARAMETRIC
+    _window_funnel_sql), second granularity like ClickHouse DateTime."""
+    return _run(
+        spark,
+        sf,
+        "SELECT user_id, windowFunnel(604800)(ts, event_type = 'signup', "
+        "event_type = 'click', event_type = 'purchase') AS lvl "
+        "FROM events GROUP BY user_id",
+    )
