@@ -868,6 +868,110 @@ def _rewrite_with_fill_recursive(sql: str) -> str:
     return _rewrite_with_fill("".join(out))
 
 
+_KEYWORDS_BEFORE_LITERAL = {
+    "select", "from", "where", "and", "or", "not", "then", "else", "when",
+    "in", "on", "by", "as", "case", "having", "between", "union", "all",
+    "distinct", "limit", "offset", "return", "returns", "if",
+}
+
+
+def _match_bracket(sql: str, i: int) -> int:
+    """i points at '['; return index of the matching ']'."""
+    depth = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ChSqlError("unbalanced brackets")
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """ClickHouse bracket syntax -> Spark SQL:
+
+    * ``[1, 2, 3]`` array LITERALS -> ``array(1, 2, 3)`` — a ``[`` opens a
+      literal unless it directly follows a subscriptable expression
+      (identifier that is not a keyword, ``)`` or ``]``);
+    * ``expr[i]`` SUBSCRIPTS -> ``element_at(expr, i)`` — ClickHouse
+      indexing is 1-based with negative-from-the-end, which is
+      element_at's contract (Spark's native ``[]`` is 0-based and would
+      silently shift every index).
+    """
+    out: list[str] = []
+    # (start index in out, ) of the current trailing postfix expression —
+    # an identifier optionally followed by balanced (...) / rewritten
+    # subscript groups; None when the tail is not subscriptable
+    expr_start: int | None = None
+    i = 0
+    n = len(sql)
+
+    def tail() -> str:
+        return "".join(out)
+
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            expr_start = None
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and sql[j] in _IDENT_CHARS:
+                j += 1
+            word = sql[i:j]
+            expr_start = (
+                None
+                if word.lower() in _KEYWORDS_BEFORE_LITERAL
+                else sum(len(x) for x in out)
+            )
+            out.append(word)
+            i = j
+            continue
+        if c == "(":
+            close = _match_paren(sql, i)
+            inner = _rewrite_array_literals(sql[i + 1 : close])
+            start = sum(len(x) for x in out)
+            out.append(f"({inner})")
+            # '(...)' alone (e.g. a parenthesized expr) is subscriptable;
+            # keep expr_start if this group follows an identifier (call)
+            if expr_start is None:
+                expr_start = start
+            i = close + 1
+            continue
+        if c == "[":
+            close = _match_bracket(sql, i)
+            inner = _rewrite_array_literals(sql[i + 1 : close])
+            if expr_start is None:
+                start = sum(len(x) for x in out)
+                out.append(f"array({inner})")
+                expr_start = start
+            else:
+                text = tail()
+                expr = text[expr_start:]
+                out = [text[:expr_start], f"element_at({expr}, {inner})"]
+                expr_start = len(text[:expr_start])
+            i = close + 1
+            continue
+        if c in " \t\n":
+            out.append(c)
+            i += 1
+            continue
+        out.append(c)
+        expr_start = None
+        i += 1
+    return "".join(out)
+
+
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
     if _depth0_find(sql, "ASOF JOIN") >= 0 or _depth0_find(sql, "ASOF LEFT JOIN") >= 0:
@@ -889,6 +993,7 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_sample(sql)
     sql = _rewrite_with_fill_recursive(sql)
     sql = _rewrite_limit_by_recursive(sql)
+    sql = _rewrite_array_literals(sql)
     out = []
     i = 0
     n = len(sql)

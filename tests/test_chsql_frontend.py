@@ -358,3 +358,20 @@ def test_retention_sql_rewrite(spark):
     assert rows and all(len(r.r) == 2 for r in rows)
     # r2 can only fire when r1 fired
     assert all(r.r[1] <= r.r[0] for r in rows)
+
+
+def test_array_literals_and_one_based_subscripts():
+    out = rewrite_ch_sql(
+        "SELECT [1,2,3] AS a, x[1] AS e, [[1],[2]] AS n, 'lit[4]' AS s"
+    )
+    assert "array(1,2,3)" in out
+    assert "element_at(x, 1)" in out
+    assert "array(array(1),array(2))" in out
+    assert "'lit[4]'" in out
+
+
+def test_subscript_chains_and_calls():
+    out = rewrite_ch_sql("SELECT split(s, ' ')[1], m['k'], arr[-1] FROM t")
+    assert "element_at(split(s, ' '), 1)" in out
+    assert "element_at(m, 'k')" in out
+    assert "element_at(arr, -1)" in out
