@@ -259,6 +259,19 @@ RULES: dict[str, object] = {
     "arrayStringConcat": "array_join",
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "tuple": "struct",
+    "tupleElement": lambda a: f"({a[0]}.col{int(a[1])})" if a[1].strip().isdigit() else f"({a[0]}.{a[1]})",
+    # range(n) / range(start, end[, step]) -> CH half-open zero-based
+    "range": lambda a: (
+        f"(CASE WHEN {a[0]} <= 0 THEN array() ELSE sequence(0, {a[0]} - 1) END)"
+        if len(a) == 1
+        else (
+            f"(CASE WHEN {a[1]} <= {a[0]} THEN array() "
+            f"ELSE sequence({a[0]}, {a[1]} - 1"
+            + (f", {a[2]}" if len(a) == 3 else "")
+            + ") END)"
+        )
+    ),
     "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
     "arrayElement": "try_element_at",
     "arraySlice": "slice",

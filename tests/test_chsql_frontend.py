@@ -375,3 +375,10 @@ def test_subscript_chains_and_calls():
     assert "element_at(split(s, ' '), 1)" in out
     assert "element_at(m, 'k')" in out
     assert "element_at(arr, -1)" in out
+
+
+def test_tuple_range_rules():
+    out = rewrite_ch_sql("SELECT tuple(1, 'a'), range(3), range(2, 5)")
+    assert "struct(1, 'a')" in out
+    assert "sequence(0, 3 - 1)" in out
+    assert "sequence(2, 5 - 1)" in out
