@@ -115,6 +115,7 @@ def all_queries() -> dict[str, QueryDef]:
         sources_suite,
         streaming_suite,
         setops_grouping,
+        ssb_suite,
         tpch,
         tpch_extra,
         relational,
