@@ -260,7 +260,11 @@ RULES: dict[str, object] = {
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
     "tuple": "struct",
-    "tupleElement": lambda a: f"({a[0]}.col{int(a[1])})" if a[1].strip().isdigit() else f"({a[0]}.{a[1]})",
+    "tupleElement": lambda a: (
+        f"({a[0]}.col{int(a[1])})"
+        if a[1].strip().isdigit()
+        else f"({a[0]}.{_literal_value(a[1]) if _is_string_literal(a[1]) else a[1]})"
+    ),
     # range(n) / range(start, end[, step]) -> CH half-open zero-based
     "range": lambda a: (
         f"(CASE WHEN {a[0]} <= 0 THEN array() ELSE sequence(0, {a[0]} - 1) END)"
