@@ -89,6 +89,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        # query count grows round over round; the mean keeps totals
+        # comparable (headline_tpch7_wall is the fixed-set anchor)
+        "mean_query_wall": round(
+            total / max(sum(1 for v in timings.values() if v is not None), 1), 4
+        ),
         "headline_tpch7_wall": round(headline, 4),
         "stream_detail": stream_detail,
     }
