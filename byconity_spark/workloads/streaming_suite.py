@@ -210,6 +210,12 @@ def stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    # stream-stream joins allocate 4 state stores PER shuffle partition;
+    # a session clone with fewer partitions cuts state-store setup ~4x
+    # for this fixture-sized stream (a real deployment sizes partitions
+    # to state volume; the clone shares the SparkContext)
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     s = events_file_stream(spark, sf)
     clicks = (
         s.filter(F.col("event_type") == "click")
