@@ -27,6 +27,17 @@ from byconity_spark.workloads import register
 LAST_BATCH_SECONDS: dict[str, float] = {}
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Session clone with few shuffle partitions for the STATEFUL stream
+    queries: every stateful operator allocates state stores per shuffle
+    partition, and at fixture scale the store setup dominates the batch.
+    A real deployment sizes partitions to state volume instead."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    return s2
+
+
+
 def _run_to_memory(
     agg: DataFrame, mode: str = "complete", metric_name: str | None = None
 ) -> DataFrame:
@@ -58,6 +69,7 @@ def _run_to_memory(
     """,
 )
 def stream_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    spark = _stream_session(spark)
     stream = events_file_stream(spark, sf)
     return _run_to_memory(hourly_counts(stream), metric_name="stream_hourly_counts")
 
@@ -119,6 +131,7 @@ def mv_rollup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    spark = _stream_session(spark)
     stream = events_file_stream(spark, sf)
     out = _run_to_memory(
         session_windows(stream, gap="30 minutes"),
@@ -157,6 +170,7 @@ def stream_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     drops each user's last session to mirror the contract)."""
     from byconity_spark.streaming.stateful import stateful_sessionize
 
+    spark = _stream_session(spark)
     stream = events_file_stream(spark, sf)
     out = _run_to_memory(
         stateful_sessionize(stream), mode="append",
@@ -181,6 +195,7 @@ def stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     dropDuplicatesWithinWatermark('event_id') restores exactly-once rows.
     State is bounded by the watermark horizon — the Structured Streaming
     shape that survives unbounded streams."""
+    spark = _stream_session(spark)
     s1 = events_file_stream(spark, sf)
     s2 = events_file_stream(spark, sf)
     doubled = s1.unionByName(s2)
@@ -210,12 +225,7 @@ def stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
-    # stream-stream joins allocate 4 state stores PER shuffle partition;
-    # a session clone with fewer partitions cuts state-store setup ~4x
-    # for this fixture-sized stream (a real deployment sizes partitions
-    # to state volume; the clone shares the SparkContext)
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = _stream_session(spark)
     s = events_file_stream(spark, sf)
     clicks = (
         s.filter(F.col("event_type") == "click")
