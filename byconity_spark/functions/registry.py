@@ -926,32 +926,21 @@ def delta_sum(df, group_cols: list[str], order_cols: list[str], value_col: str):
 
 def rank_corr(df, group_cols: list[str], x_col: str, y_col: str):
     """Spearman rank correlation (AggregateFunctionRankCorrelation.h):
-    average-rank (ties) both columns, then Pearson corr of the ranks.
+    average-rank (ties) both columns with per-group windows, then Pearson
+    corr of the ranks — no Python in the path.
 
-    Distributed shape: avg ranks come from the DISTINCT-value frames —
-    avg_rank(v) = prefix(t) + (t+1)/2 — joined back to the rows, so no
-    window ever sees raw rows (the prefix runs over per-group distinct
-    values, the joins are plain hash joins).  No Python in the path."""
-    base = df.select(
-        *group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
-    )
-
-    def ranks(col: str, out: str):
-        g = base.groupBy(*group_cols, col).agg(F.count(F.lit(1)).alias("__t"))
-        w = (
-            Window.partitionBy(*group_cols)
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return g.withColumn(
-            out,
-            F.coalesce(F.sum("__t").over(w), F.lit(0))
-            + (F.col("__t") + 1) / 2.0,
-        ).drop("__t")
-
-    ranked = base.join(ranks("__x", "__rx"), [*group_cols, "__x"]).join(
-        ranks("__y", "__ry"), [*group_cols, "__y"]
-    )
+    Scale note: exact per-group Spearman over CONTINUOUS values needs the
+    whole group ranked — the distinct-value trick (mann_whitney_u) buys
+    nothing when ndv ≈ n, and the reference itself materializes every
+    group's full sample in memory (RankCorrelation.h pair array).  The
+    window form here is partition-parallel across groups and streams each
+    group; discretize first when a single group outgrows a task."""
+    wx = Window.partitionBy(*group_cols).orderBy(x_col)
+    wy = Window.partitionBy(*group_cols).orderBy(y_col)
+    # average rank for ties = avg(row_number) over the tie peers
+    rx = F.avg(F.row_number().over(wx)).over(Window.partitionBy(*group_cols, x_col))
+    ry = F.avg(F.row_number().over(wy)).over(Window.partitionBy(*group_cols, y_col))
+    ranked = df.select(*group_cols, rx.alias("__rx"), ry.alias("__ry"))
     return ranked.groupBy(*group_cols).agg(
         F.corr("__rx", "__ry").alias("rank_corr")
     )
