@@ -993,14 +993,16 @@ def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
     if _depth0_find(sql, "ASOF JOIN") >= 0 or _depth0_find(sql, "ASOF LEFT JOIN") >= 0:
         raise ChSqlError(
-            "ASOF JOIN is not expressible as a text rewrite; use "
-            "byconity_spark.operators.joins.asof_join(left, right, ...)"
+            "ASOF JOIN is not expressible as a text rewrite; run the "
+            "query through ch_sql() (which routes strict joins via "
+            "frontend.joins_sql) or call operators.joins.asof_join directly"
         )
     for kw in ("ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN", "ANY RIGHT JOIN"):
         if _depth0_find(sql, kw) >= 0:
             raise ChSqlError(
-                "ANY JOIN (first-match strictness) is not expressible as a "
-                "text rewrite; use byconity_spark.operators.joins.any_join"
+                "ANY JOIN (first-match strictness) is not expressible as "
+                "a text rewrite; run the query through ch_sql() (which "
+                "routes strict joins) or call operators.joins.any_join"
             )
     sql = _strip_format(sql)
     sql = _strip_final_and_global(sql)

@@ -198,3 +198,32 @@ def test_optimize_zorder_clusters_both_dims(spark, tmp_path):
     # full domain in every file)
     assert after["l_orderkey"] < before["l_orderkey"] * 0.7, (before, after)
     assert after["l_partkey"] < before["l_partkey"] * 0.7, (before, after)
+
+
+def test_optimize_zorder_single_column(spark, tmp_path):
+    from byconity_spark.engine.write import optimize_table
+    from byconity_spark.engine.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "z1")
+    li.repartition(4).write.mode("overwrite").parquet(path)
+    before = spark.read.parquet(path).count()
+    optimize_table(spark, path, zorder_by=["l_orderkey"], n_output_files=4)
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    # single-column zorder == plain clustering on that column
+    import glob as g
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in g.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                if col.path_in_schema == "l_orderkey" and col.statistics:
+                    spans.append(col.statistics.max - col.statistics.min)
+    full = max(spans) if spans else 0
+    assert len(spans) >= 2 and min(spans) < full
