@@ -119,6 +119,11 @@ class ColumnStats:
     # row counts AND per-bucket NDV — the optimizer's range-selectivity and
     # join-fanout source.  None for non-numeric columns.
     buckets: list | None = None  # [[count, ndv], ...] over N_BUCKETS
+    # NdvBucketsExtend (StatsNdvBucketsExtend.h): EXPLICIT equi-height
+    # bounds — the upper edge of each bucket from approx quantiles, which
+    # stays informative under skew where equi-width collapses into one
+    # dense cell.  None unless extended collection ran.
+    bounds: list | None = None  # ascending upper bounds, len N_BUCKETS
 
 
 N_BUCKETS = 8
@@ -226,6 +231,19 @@ def analyze_table(
                 [int(brow[f"__bc_{c}_{i}"]), int(brow[f"__bn_{c}_{i}"])]
                 for i in range(N_BUCKETS)
             ]
+        # NdvBucketsExtend pass: equi-HEIGHT bounds via approx quantiles
+        # (one more aggregate); robust range selectivity under skew
+        qaggs = [
+            F.percentile_approx(
+                c, [float(i + 1) / N_BUCKETS for i in range(N_BUCKETS)], 2500
+            ).alias(f"__q_{c}")
+            for c in num_cols
+        ]
+        qrow = df.agg(*qaggs).collect()[0].asDict()
+        for c in num_cols:
+            qs = qrow[f"__q_{c}"]
+            if qs is not None:
+                stats.columns[c].bounds = [float(x) for x in qs]
     os.makedirs(STATS_DIR, exist_ok=True)
     payload = asdict(stats)
     payload["source_mtime"] = mtime
@@ -259,7 +277,21 @@ def estimate_rows(stats: TableStats, predicates: list[tuple[str, str, object]]) 
                 lo, hi = float(cs.min), float(cs.max)
                 v = float(value)
                 span = max(hi - lo, 1e-12)
-                if cs.buckets:
+                if cs.bounds:
+                    # equi-height path: each bound holds ~1/NB of the
+                    # mass; linear interpolation inside the straddled
+                    # bucket (StatsNdvBucketsExtend selectivity)
+                    nb = len(cs.bounds)
+                    frac = 1.0
+                    prev = lo
+                    for bi, ub in enumerate(cs.bounds):
+                        if v <= ub:
+                            width = max(ub - prev, 1e-12)
+                            frac = (bi + min(max((v - prev) / width, 0.0), 1.0)) / nb
+                            break
+                        prev = ub
+                    sel *= frac if op in ("<", "<=") else 1.0 - frac
+                elif cs.buckets:
                     # NdvBuckets path: exact bucket counts below/above v
                     # plus a linear fraction of the straddled bucket —
                     # robust to skew where the uniform span fraction

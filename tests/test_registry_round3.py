@@ -150,3 +150,38 @@ def test_mann_whitney_partition_invariance(spark):
         return (round(r.u_stat, 6), round(r.z_score, 6))
 
     assert run(df) == run(df.repartition(17)) == run(df.coalesce(1))
+
+
+def test_ndv_buckets_extend_equi_height(spark, tmp_path):
+    """NdvBucketsExtend (StatsNdvBucketsExtend.h): equi-height bounds give
+    accurate range selectivity on skewed data where even the equi-width
+    histogram concentrates in one cell."""
+    import os
+
+    import byconity_spark.engine.stats as S
+
+    pdf_dir = str(tmp_path / "sfy")
+    os.makedirs(pdf_dir, exist_ok=True)
+    rows = [(i, float(i % 10)) for i in range(990)] + [
+        (990 + i, 1e6 + i) for i in range(10)
+    ]
+    spark.createDataFrame(rows, "id long, v double").write.mode(
+        "overwrite"
+    ).parquet(f"{pdf_dir}/skew2.parquet")
+    old = S.STATS_DIR
+    S.STATS_DIR = str(tmp_path / "stats")
+    try:
+        st = S.analyze_table(spark, pdf_dir, "skew2", refresh=True)
+        cs = st.columns["v"]
+        assert cs.bounds and len(cs.bounds) == S.N_BUCKETS
+        assert cs.bounds == sorted(cs.bounds)
+        # v <= 50 covers the 990-row cluster (99%); the quantile bounds
+        # resolve it to within one bucket (>= 7/8), while the equi-width
+        # span fraction would estimate ~0.04% (50 / 1e6 of the range)
+        est = S.estimate_rows(st, [("v", "<=", 50.0)])
+        assert est > 800, est
+        cs.bounds = None  # force the equi-width path for comparison
+        est_width = S.estimate_rows(st, [("v", "<=", 50.0)])
+        assert est_width < 100 < est, (est_width, est)
+    finally:
+        S.STATS_DIR = old
