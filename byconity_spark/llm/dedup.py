@@ -347,6 +347,16 @@ def dedup_keep_list(
 _SIMHASH_BITS = 64
 
 
+def portable_token_hash(col) -> "F.Column":
+    """60-bit token hash both engines can compute bit-exactly: the first 15
+    hex chars of md5, parsed base-16.  Value < 2^60, so it fits a signed
+    BIGINT on Spark AND DuckDB with no unsigned wraparound — used by the
+    oracle-checked simhash/fingerprint queries (production paths default to
+    the faster JVM xxhash64)."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 @F.pandas_udf(T.LongType())
 def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     """Bit-vote SimHash over per-token xxhash64 values (numpy vectorized)."""

@@ -79,18 +79,42 @@ _PREVIOUSLY_CERTIFIED = {
     "win_rank_recent_orders", "write_ctas_roundtrip",
     "write_mutation_roundtrip", "write_optimize_compaction",
     "write_upsert_roundtrip",
-}
-
-# Queries a prior driver run sampled and FAILED (r02) or errored (r03); their
-# fixes landed but the real driver has never confirmed them.  They register
-# FIRST — ahead of even never-sampled queries — so the next capped run
-# certifies the fixes.
-_MUST_RECERTIFY = [
+    # --- r04 green ---
     "q12_priority_shipping", "q19_disjunctive_revenue", "numbers_range_agg",
     "op_asof_purchase_prior_click", "op_fill_hourly_purchases",
     "agg_group_arrays", "summap_user_buckets", "fn_array_suite",
-    "ann_label_centroids", "mm_decode_features", "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_label_centroids", "ann_lsh_topk", "ann_ivf_topk",
+    "ml_fast_auc2_tiers", "bitmap_expression_count", "ann_variance_matrix",
+    "mm_audio_energy", "win_derivative_delta", "fn_json_suite",
+    "chsql_json_match", "write_optimize_dedup", "source_jdbc_roundtrip",
+    "dict_hierarchy_regions", "stream_dedup_ingest", "ssb_q1_revenue_filter",
+    "ml_regression_auc2", "bitmap_max_level", "llm_text_quality",
+    "mm_keyframes", "win_sessionize_users", "fn_hash_url_suite",
+    "chsql_array_join_words", "agg_histogram", "source_merge_tables",
+    "stream_stream_join", "ssb_q2_brand_revenue", "ml_linear_gd",
+    "bitmap_join_slot_overlap", "llm_language_guess", "win_groups_frame_sum",
+    "fn_geo_suite", "chsql_numbers_squares", "agg_weighted",
+    "source_join_get", "ssb_q3_nation_flows",
+}
+
+# Queries whose builders are rows-only BY DESIGN (randomness, honest codec
+# stub): the driver records `err: no_oracle` every time it samples one, so
+# they register dead LAST — a capped run should never burn a sample slot on
+# a row that cannot produce hash signal.  (`sample_lineitem` is already in
+# _PREVIOUSLY_CERTIFIED and sorts late anyway.)
+_ROWS_ONLY_LAST = ["mm_decode_features", "sample_lineitem"]
+
+# Queries a prior driver run sampled and FAILED; their fixes landed but the
+# real driver has never confirmed them.  They register FIRST — ahead of even
+# never-sampled queries — so the next capped run certifies the fixes.
+# r04: 5 hash-fails, all output-dtype renders (int-vs-float / Decimal-vs-
+# float) of numerically identical values, fixed by BIGINT/DOUBLE casts;
+# beh_attr_analysis_procedure shares _COUNTS_TAIL and would have failed the
+# same way when sampled, so it recertifies too.
+_MUST_RECERTIFY = [
+    "beh_attr_analysis_counts", "beh_attr_analysis_first",
+    "beh_attr_analysis_decay", "beh_attr_analysis_procedure",
+    "agg_decimal_money", "mm_resize_thumbnail",
 ]
 
 
@@ -140,8 +164,15 @@ def all_queries() -> dict[str, QueryDef]:
         return out
 
     recert = [n for n in _MUST_RECERTIFY if n in _REGISTRY]
-    skip = set(recert) | _PREVIOUSLY_CERTIFIED
+    last = [
+        n for n in _ROWS_ONLY_LAST
+        if n in _REGISTRY and n not in set(recert)
+    ]
+    skip = set(recert) | set(last) | _PREVIOUSLY_CERTIFIED
     fresh = [n for n in _REGISTRY if n not in skip]
-    certified = [n for n in _REGISTRY if n in _PREVIOUSLY_CERTIFIED and n not in set(recert)]
-    ordered = recert + round_robin(fresh) + certified
+    certified = [
+        n for n in _REGISTRY
+        if n in _PREVIOUSLY_CERTIFIED and n not in set(recert) and n not in set(last)
+    ]
+    ordered = recert + round_robin(fresh) + certified + last
     return {n: _REGISTRY[n] for n in ordered}

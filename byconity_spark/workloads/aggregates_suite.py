@@ -153,20 +153,23 @@ def agg_group_arrays(spark: SparkSession, sf: str) -> DataFrame:
     "agg_decimal_money",
     oracle="""
     SELECT o_orderstatus,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
-           min(CAST(o_totalprice AS DECIMAL(18,2)))   AS lo,
-           max(CAST(o_totalprice AS DECIMAL(18,2)))   AS hi,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
            count(*)                                   AS n
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def agg_decimal_money(spark: SparkSession, sf: str) -> DataFrame:
+    # The groupBy runs in exact Decimal64 arithmetic (the point of the
+    # operator); the OUTPUT renders as DOUBLE on both engines — the driver
+    # hash is dtype-exact, and DuckDB DECIMAL fetches to pandas as float64.
     o = _t(spark, sf, "orders")
     money = ch("toDecimal64", F.col("o_totalprice"), 2)
     return o.groupBy("o_orderstatus").agg(
-        F.sum(money).cast("decimal(38,2)").alias("total"),
-        F.min(money).alias("lo"),
-        F.max(money).alias("hi"),
+        F.sum(money).cast("double").alias("total"),
+        F.min(money).cast("double").alias("lo"),
+        F.max(money).cast("double").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
 

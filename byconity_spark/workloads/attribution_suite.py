@@ -85,13 +85,14 @@ _COUNTS_TAIL = """
     SELECT c.touch_event, c.click_cnt,
            coalesce(v.valid_transform_cnt, 0) AS valid_transform_cnt,
            round(coalesce(x.value, 0), 4)     AS value,
-           coalesce(v.gap_ms_sum, 0)          AS gap_ms_sum,
-           coalesce(v.steps_sum, 0)           AS steps_sum
+           CAST(coalesce(v.gap_ms_sum, 0) AS BIGINT) AS gap_ms_sum,
+           CAST(coalesce(v.steps_sum, 0) AS BIGINT)  AS steps_sum
     FROM clicks c
     LEFT JOIN vstat v USING (touch_event)
     LEFT JOIN vals x USING (touch_event)
     UNION ALL
-    SELECT '$other_conversions', o.click_cnt, 0, round(o.value, 4), 0, 0
+    SELECT '$other_conversions', o.click_cnt, 0, round(o.value, 4),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
     FROM others o
 """
 

@@ -586,7 +586,7 @@ def mm_keyframes(spark: SparkSession, sf: str) -> DataFrame:
                FROM bytes GROUP BY 1, 2)
     SELECT doc_id,
            string_agg(printf('%02x', tb), '' ORDER BY bucket) AS thumb,
-           sum(tb) AS byte_sum
+           CAST(sum(tb) AS BIGINT) AS byte_sum
     FROM pooled GROUP BY doc_id
     """,
 )
