@@ -377,13 +377,20 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document.  Token hashes are JVM-side xxhash64;
-    only the bit-vote runs in the (Arrow-batched) pandas UDF."""
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=F.xxhash64,
+) -> DataFrame:
+    """64-bit SimHash per document.  Token hashes are JVM-side xxhash64 by
+    default (pass ``token_hash=portable_token_hash`` for the md5-based
+    variant a SQL oracle can reproduce bit-exactly); only the bit-vote runs
+    in the (Arrow-batched) pandas UDF."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", token_hash(F.col("tok")).alias("h"))
     per_doc = toks.groupBy("id").agg(F.collect_list("h").alias("hs"))
     return per_doc.select(F.col("id"), _simhash_from_hashes(F.col("hs")).alias("simhash"))
 
@@ -393,12 +400,13 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash=F.xxhash64,
 ) -> DataFrame:
     """Near-duplicate pairs with hamming(simhash) <= max_hamming, found via
     4x16-bit band join.  Pigeonhole: <=3 differing bits cannot touch all 4
     bands, so at least one band matches — banding has recall 1.0 by
     construction (for max_hamming <= 3), while only same-band docs meet."""
-    sh = simhash(docs, id_col, text_col)
+    sh = simhash(docs, id_col, text_col, token_hash=token_hash)
     bands = sh.select(
         "id",
         "simhash",

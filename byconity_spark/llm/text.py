@@ -87,28 +87,35 @@ def language_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def doc_fingerprint(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bottom_k: int = 4
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bottom_k: int = 4,
+    shingle_hash=None,
 ) -> DataFrame:
     """Content-defined fingerprint: bottom-k sketch of shingle hashes packed
-    into one xxhash64 — identical for near-identical docs, cheap to index.
+    into one hash — identical for near-identical docs, cheap to index.
     (Winnowing-style selection; reference analogue: rolling-hash fingerprints
-    in ngram machinery, FunctionsStringSimilarity.cpp.)"""
+    in ngram machinery, FunctionsStringSimilarity.cpp.)  ``shingle_hash``
+    defaults to JVM xxhash64; pass ``portable_token_hash`` for the md5-based
+    variant a SQL oracle reproduces bit-exactly."""
     from byconity_spark.llm.dedup import shingle_frame
 
+    h = shingle_hash if shingle_hash is not None else F.xxhash64
     # stage the words/shingle chain so it runs ONCE per row (HOF lambdas
     # re-evaluate inline expressions per element), then slice the sketch
     sh_df = shingle_frame(docs, id_col, text_col, 3).withColumnRenamed("id", id_col)
     staged = sh_df.select(
         F.col(id_col),
         F.slice(
-            F.sort_array(F.transform("sh", lambda s: F.xxhash64(s))), 1, bottom_k
+            F.sort_array(F.transform("sh", lambda s: h(s))), 1, bottom_k
         ).alias("bottom_k_sketch"),
     )
     return staged.select(
         id_col,
-        F.xxhash64(
+        h(
             F.concat_ws(
-                ",", F.transform("bottom_k_sketch", lambda h: h.cast("string"))
+                ",", F.transform("bottom_k_sketch", lambda x: x.cast("string"))
             )
         ).alias("fingerprint"),
         "bottom_k_sketch",

@@ -263,10 +263,29 @@ def beh_sequence_match_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # sequenceCount: non-overlapping signup->purchase chains per user
-# (greedy core property-tested vs exhaustive DP; the count itself is not
-# ANSI-SQL-expressible -> rows-only driver check).
+# (greedy core property-tested vs exhaustive DP).  For a 2-step pattern the
+# greedy state machine has a closed form over the (signup|purchase)-filtered
+# subsequence: the machine is "open" at an event iff the PREVIOUS filtered
+# event was a signup (any signup opens; any purchase either matches or was
+# ignored while closed), so n_matches = #purchases whose lagged filtered
+# event is a signup — a plain window scan the oracle reproduces.
 # --------------------------------------------------------------------------
-@register("beh_sequence_count")
+@register(
+    "beh_sequence_count",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_type AS t,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pt
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    m AS (SELECT user_id,
+                 count(*) FILTER (WHERE t = 'purchase' AND pt = 'signup') AS n
+          FROM f GROUP BY user_id)
+    SELECT u.user_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN m USING (user_id)
+    """,
+)
 def beh_sequence_count(spark: SparkSession, sf: str) -> DataFrame:
     return sequence_count(_ev(spark, sf), pattern=["signup", "purchase"])
 
@@ -543,10 +562,83 @@ def beh_attribution_time_decay(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # xirr per user: signups as outflows (-value), purchases as inflows (+value)
-# (AggregateFunctionXirr.h: NPV root, 365-day year). The root is not
-# ANSI-SQL-expressible -> rows-only driver check + pytest ground truths.
+# (AggregateFunctionXirr.h: NPV root, 365-day year).  The kernel's
+# root-finder is DETERMINISTIC — a fixed 128-point grid scan (numpy
+# linspace(-0.999999, 0, 64, endpoint=False) ++ linspace(0, 10, 64)) for the
+# first zero / sign-change bracket, then bisection with |npv| < 1e-10 or
+# width < 1e-12 stops — so the oracle replicates the SAME algorithm in a
+# recursive CTE over per-user cashflow lists.  Both engines bisect the same
+# bracket to <=1e-11 of the same root; rates compare after round(6).
 # --------------------------------------------------------------------------
-@register("beh_xirr")
+_XIRR_NPV = (
+    "list_sum(list_transform(range(1, len(f.as_) + 1), "
+    "k -> f.as_[k] / power(1.0 + {rate}, f.ys[k])))"
+)
+
+_XIRR_ORACLE = f"""
+    WITH RECURSIVE flows AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN -value ELSE value END AS a,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS DOUBLE) AS d
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    fl AS (SELECT user_id, a,
+                  (d - min(d) OVER (PARTITION BY user_id)) / 365.0 AS y
+           FROM flows),
+    eligible AS (SELECT user_id FROM fl GROUP BY user_id
+                 HAVING min(a) < 0 AND max(a) > 0),
+    fla AS (SELECT user_id, list(a ORDER BY y, a) AS as_,
+                   list(y ORDER BY y, a) AS ys
+            FROM fl JOIN eligible USING (user_id) GROUP BY user_id),
+    g AS (SELECT j.range AS j,
+                 CASE WHEN j.range < 64
+                        THEN CAST(j.range AS DOUBLE) * (0.999999 / 64.0)
+                             + (-0.999999)
+                      WHEN j.range = 127 THEN 10.0
+                      ELSE CAST(j.range - 64 AS DOUBLE) * (10.0 / 63.0) END AS r
+          FROM range(128) j),
+    gv AS (SELECT f.user_id, g.j, g.r,
+                  {_XIRR_NPV.format(rate="g.r")} AS v
+           FROM fla f CROSS JOIN g),
+    ev2 AS (SELECT a.user_id, a.j,
+                   CASE WHEN a.v = 0.0 THEN 'zero' ELSE 'bracket' END AS kind,
+                   a.r AS lo, b.r AS hi, a.v AS flo
+            FROM gv a JOIN gv b ON a.user_id = b.user_id AND b.j = a.j + 1
+            WHERE a.j <= 126 AND (a.v = 0.0 OR a.v * b.v < 0)),
+    fev AS (SELECT user_id, min(j) AS j0 FROM ev2 GROUP BY user_id),
+    start AS (SELECT e.user_id, e.kind, e.lo, e.hi, e.flo
+              FROM ev2 e JOIN fev q ON e.user_id = q.user_id AND e.j = q.j0),
+    bis(user_id, it, lo, hi, flo, rate, done) AS (
+      SELECT user_id, 0, lo, hi, flo,
+             CASE WHEN kind = 'zero' THEN lo END,
+             kind = 'zero'
+      FROM start
+      UNION ALL
+      SELECT user_id, it + 1,
+             CASE WHEN stop OR flo * fm < 0 THEN lo ELSE mid END,
+             CASE WHEN stop THEN hi WHEN flo * fm < 0 THEN mid ELSE hi END,
+             CASE WHEN stop OR flo * fm < 0 THEN flo ELSE fm END,
+             CASE WHEN stop THEN mid
+                  WHEN it + 1 >= 200 THEN
+                    CASE WHEN flo * fm < 0 THEN (lo + mid) / 2.0
+                         ELSE (mid + hi) / 2.0 END
+                  END,
+             stop OR it + 1 >= 200
+      FROM (
+        SELECT s.*, (abs(fm) < 1e-10 OR (s.hi - s.lo) < 1e-12) AS stop
+        FROM (
+          SELECT b.user_id, b.it, b.lo, b.hi, b.flo,
+                 (b.lo + b.hi) / 2.0 AS mid,
+                 {_XIRR_NPV.format(rate="(b.lo + b.hi) / 2.0")} AS fm
+          FROM bis b JOIN fla f USING (user_id)
+          WHERE NOT b.done
+        ) s
+      ) q
+    )
+    SELECT user_id, round(rate, 6) AS rate FROM bis WHERE done
+"""
+
+
+@register("beh_xirr", oracle=_XIRR_ORACLE)
 def beh_xirr(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.udafs.behavioral import xirr
 
@@ -558,7 +650,12 @@ def beh_xirr(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("amount"),
     )
-    return xirr(flows, group_col="user_id").filter(~F.isnan("rate"))
+    # NaN from the Arrow kernel may surface as NULL (pandas uses NaN as its
+    # missing marker) — and Spark's isnan(NULL) is false, so guard BOTH.
+    out = xirr(flows, group_col="user_id").filter(
+        F.col("rate").isNotNull() & ~F.isnan("rate")
+    )
+    return out.withColumn("rate", F.round("rate", 6))
 
 
 # --------------------------------------------------------------------------

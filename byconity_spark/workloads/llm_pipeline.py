@@ -134,9 +134,48 @@ def llm_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- SimHash
-@register("llm_simhash_pairs")  # rows-only: xxhash64-specific bit patterns
+# Portable 60-bit md5 token hash (first 15 hex chars, base-16) so DuckDB
+# reproduces the bit-vote EXACTLY; the oracle finds pairs by brute-force
+# hamming, which equals the banded join's output because 4x16 banding has
+# recall 1.0 for hamming <= 3 (pigeonhole).
+_DUCK_MD5_60 = (
+    "CAST(list_sum(list_transform(range(0, 15), i -> "
+    "(CAST(strpos('0123456789abcdef', substr(md5({expr}), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)"
+    " << CAST(4 * (14 - i) AS INTEGER)))) AS BIGINT)"
+)
+
+
+def _md5_60(expr: str) -> str:
+    return _DUCK_MD5_60.format(expr=expr)
+
+
+@register(
+    "llm_simhash_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(string_split({_DUCK_NORM}, ' ')) AS tok
+               FROM documents),
+    hv AS (SELECT doc_id, {_md5_60('tok')} AS h FROM t),
+    bits AS (SELECT doc_id, b.range AS bit,
+                    sum(CASE WHEN ((h >> CAST(b.range AS INTEGER)) & 1) = 1
+                        THEN 1 ELSE -1 END) AS vote
+             FROM hv CROSS JOIN range(60) b GROUP BY 1, 2),
+    sh AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN vote >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+    """,
+)
 def llm_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+    from byconity_spark.llm.dedup import portable_token_hash
+
+    return simhash_near_pairs(
+        _docs(spark, sf), max_hamming=3, token_hash=portable_token_hash
+    )
 
 
 # ------------------------------------------------------------ text quality
@@ -194,9 +233,26 @@ def llm_language_guess(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- fingerprint
-@register("llm_doc_fingerprint")  # rows-only: xxhash64-specific values
+@register(
+    "llm_doc_fingerprint",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    hs AS (SELECT doc_id,
+                  list_sort(list_transform(sh, s -> {_md5_60('s')})) AS hsorted
+           FROM d),
+    sk AS (SELECT doc_id, list_slice(hsorted, 1, 4) AS sketch FROM hs)
+    SELECT doc_id,
+           {_md5_60("array_to_string(sketch, ',')")} AS fingerprint,
+           array_to_string(sketch, '|') AS bottom_k_sketch
+    FROM sk
+    """,
+)
 def llm_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    return stringify_arrays(doc_fingerprint(_docs(spark, sf)))
+    from byconity_spark.llm.dedup import portable_token_hash
+
+    return stringify_arrays(
+        doc_fingerprint(_docs(spark, sf), shingle_hash=portable_token_hash)
+    )
 
 
 # ------------------------------------------------------- ANN (brute force)
