@@ -630,6 +630,33 @@ SCALAR: dict[str, Callable[..., Column]] = {
         + F.split(s, r"\.")[2].cast("long") * 256
         + F.split(s, r"\.")[3].cast("long")
     ),
+    # IPv4 coding extras (src/Functions/FunctionsCodingIP.cpp)
+    "IPv4NumToStringClassC": lambda n: F.concat_ws(
+        ".",
+        F.call_function("shiftright", n.cast("long"), F.lit(24)).bitwiseAND(F.lit(255)).cast("string"),
+        F.call_function("shiftright", n.cast("long"), F.lit(16)).bitwiseAND(F.lit(255)).cast("string"),
+        F.call_function("shiftright", n.cast("long"), F.lit(8)).bitwiseAND(F.lit(255)).cast("string"),
+        F.lit("xxx"),
+    ),
+    "isIPv4String": lambda s: (
+        s.rlike(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+        & (F.split(s, r"\.")[0].cast("int") <= 255)
+        & (F.split(s, r"\.")[1].cast("int") <= 255)
+        & (F.split(s, r"\.")[2].cast("int") <= 255)
+        & (F.split(s, r"\.")[3].cast("int") <= 255)
+    ),
+    # IPv4CIDRToRange(ip, prefix) -> (lower, upper) as a struct of longs;
+    # prefix is a Python literal, so the 32-bit mask folds at plan time.
+    "IPv4CIDRToRange": lambda n, prefix: F.struct(
+        n.cast("long")
+        .bitwiseAND(F.lit((0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF if prefix else 0))
+        .alias("lower"),
+        (
+            n.cast("long")
+            .bitwiseAND(F.lit((0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF if prefix else 0))
+            + F.lit((1 << (32 - prefix)) - 1)
+        ).alias("upper"),
+    ),
     # ---- formatReadable* (src/Functions/formatReadable*.cpp)
     "formatReadableSize": lambda n: F.call_function(
         "format_string",
@@ -801,6 +828,14 @@ AGG: dict[str, Callable[..., Column]] = {
     "max": F.max,
     "any": F.first,
     "anyLast": F.last,
+    # arbitrary (AggregateFunctionArbitrary.cpp): ANY value of the group is
+    # a valid answer; like `any`, this engine picks the first seen —
+    # deterministic only under an explicit ordering (use min_by/argMin with
+    # a tiebreak key where reproducibility matters).
+    "arbitrary": F.first,
+    # singleValueOrNull (AggregateFunctionSingleValueOrNull.cpp): the
+    # group's value when all non-null inputs agree, NULL on conflict.
+    "singleValueOrNull": lambda c: F.when(F.countDistinct(c) == 1, F.max(c)),
     "argMin": F.min_by,
     "argMax": F.max_by,
     "uniq": F.approx_count_distinct,

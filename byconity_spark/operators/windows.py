@@ -54,3 +54,61 @@ def groups_frame_agg(
     for alias, agg in aggs.items():
         staged = staged.withColumn(alias, agg.over(frame))
     return staged.drop(GROUP_COL)
+
+
+def lag_in_frame(
+    col,
+    offset: int,
+    partition_by: list[str],
+    order_by: list,
+    preceding: int,
+    following: int = 0,
+) -> Column:
+    """``lagInFrame(col, offset)`` (reference WindowTransform.cpp:2524; the
+    plain ``lag`` alias at :2545 maps to it): the value ``offset`` rows
+    before the current row, but NULL when that row falls OUTSIDE the ROWS
+    frame ``preceding PRECEDING AND following FOLLOWING`` — unlike Spark's
+    ``lag``, which ignores the frame entirely.
+
+    Implementation: collect_list over the bounded frame (frame order is the
+    window order), locate the current row inside it (its in-frame position
+    is ``min(preceding, rows_before_in_partition) + 1``), and index
+    ``offset`` elements back; a guard returns NULL when the index leaves
+    the list.  O(frame_size) state per row — use bounded frames only.
+    Caveat: collect_list drops NULL inputs, so feed non-null columns.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    w_frame = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, following)
+    )
+    w_rn = Window.partitionBy(*partition_by).orderBy(*order_by)
+    lst = F.collect_list(c).over(w_frame)
+    cur_pos = F.least(F.lit(preceding), F.row_number().over(w_rn) - 1) + 1
+    pos = cur_pos - offset
+    return F.when(pos >= 1, F.element_at(lst, pos))
+
+
+def lead_in_frame(
+    col,
+    offset: int,
+    partition_by: list[str],
+    order_by: list,
+    following: int,
+    preceding: int = 0,
+) -> Column:
+    """``leadInFrame(col, offset)`` (WindowTransform.cpp:2531): the value
+    ``offset`` rows after the current row, NULL when outside the ROWS
+    frame.  Same collect_list construction as lag_in_frame."""
+    c = col if isinstance(col, Column) else F.col(col)
+    w_frame = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, following)
+    )
+    w_rn = Window.partitionBy(*partition_by).orderBy(*order_by)
+    lst = F.collect_list(c).over(w_frame)
+    cur_pos = F.least(F.lit(preceding), F.row_number().over(w_rn) - 1) + 1
+    pos = cur_pos + offset
+    return F.when(pos <= F.size(lst), F.element_at(lst, pos))

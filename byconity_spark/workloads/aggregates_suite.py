@@ -1062,3 +1062,32 @@ def agg_concat_deltasum_ts(spark: SparkSession, sf: str) -> DataFrame:
         ch("groupConcat", ",", F.col("d")).alias("days_concat")
     )
     return ds.join(gc, "event_type")
+
+
+# ------------------- arbitrary / singleValueOrNull corner semantics
+# (AggregateFunctionArbitrary.cpp, AggregateFunctionSingleValueOrNull.cpp —
+# the last registered aggregate names).  `arbitrary` may return ANY group
+# member, so the oracle-checked columns apply it to values CONSTANT within
+# the group (any pick is the same value — deterministic by construction);
+# singleValueOrNull's NULL-on-conflict shows on event_type (multi-typed
+# users -> NULL, single-typed -> the type).
+@register(
+    "agg_arbitrary_single",
+    oracle="""
+    SELECT user_id,
+           user_id % 7 AS arb_mod,
+           CASE WHEN count(DISTINCT event_type) = 1
+                THEN max(event_type) END AS single_type,
+           user_id % 2 AS single_flag,
+           count(*) AS n
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+)
+def agg_arbitrary_single(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 50)
+    return ev.groupBy("user_id").agg(
+        ch("arbitrary", F.col("user_id") % 7).alias("arb_mod"),
+        ch("singleValueOrNull", F.col("event_type")).alias("single_type"),
+        ch("singleValueOrNull", F.col("user_id") % 2).alias("single_flag"),
+        F.count(F.lit(1)).alias("n"),
+    )

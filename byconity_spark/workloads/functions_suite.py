@@ -560,3 +560,60 @@ def fn_breadth2_suite(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("int"),
         ).alias("sbar"),
     )
+
+
+# ----------------------------------------------------- IPv4 coding suite
+# (src/Functions/FunctionsCodingIP.cpp: IPv4NumToString, IPv4StringToNum,
+# IPv4NumToStringClassC, isIPv4String, IPv4CIDRToRange).  IPs synthesized
+# from (user_id, event_id) so both engines derive identical 10.x.y.z
+# addresses; the CIDR struct is flattened to scalar lower/upper columns.
+@register(
+    "fn_ipv4_suite",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT
+             167772160 + (user_id % 200) * 65536 + (event_id % 256) AS ip
+      FROM events WHERE user_id < 60),
+    s AS (SELECT ip,
+                 printf('%d.%d.%d.%d', ip // 16777216, (ip // 65536) % 256,
+                        (ip // 256) % 256, ip % 256) AS ip_str
+          FROM e)
+    SELECT ip, ip_str,
+           printf('%d.%d.%d.xxx', ip // 16777216, (ip // 65536) % 256,
+                  (ip // 256) % 256)       AS class_c,
+           ip                              AS roundtrip,
+           true                            AS is_valid,
+           false                           AS is_valid_oct999,
+           (ip // 256) * 256               AS cidr24_lo,
+           (ip // 256) * 256 + 255        AS cidr24_hi,
+           (ip // 65536) * 65536           AS cidr16_lo,
+           (ip // 65536) * 65536 + 65535  AS cidr16_hi
+    FROM s
+    """,
+)
+def fn_ipv4_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 60)
+    ips = ev.select(
+        (
+            F.lit(167772160)
+            + (F.col("user_id") % 200) * 65536
+            + (F.col("event_id") % 256)
+        ).alias("ip")
+    ).distinct()
+    ip = F.col("ip")
+    ip_str = ch("IPv4NumToString", ip)
+    cidr24 = ch("IPv4CIDRToRange", ip, 24)
+    cidr16 = ch("IPv4CIDRToRange", ip, 16)
+    return ips.select(
+        ip,
+        ip_str.alias("ip_str"),
+        ch("IPv4NumToStringClassC", ip).alias("class_c"),
+        ch("IPv4StringToNum", ip_str).alias("roundtrip"),
+        ch("isIPv4String", ip_str).alias("is_valid"),
+        ch("isIPv4String", F.concat(F.lit("999."), F.substring_index(ip_str, ".", -3)))
+        .alias("is_valid_oct999"),
+        cidr24.getField("lower").alias("cidr24_lo"),
+        cidr24.getField("upper").alias("cidr24_hi"),
+        cidr16.getField("lower").alias("cidr16_lo"),
+        cidr16.getField("upper").alias("cidr16_hi"),
+    )

@@ -280,3 +280,50 @@ def win_groups_frame_sum(spark: SparkSession, sf: str) -> DataFrame:
         },
     ).drop("o_totalprice")
     return out.withColumn("grp_sum", F.round("grp_sum", 2))
+
+
+# --------------------------------------------------------------------------
+# lagInFrame / leadInFrame (WindowTransform.cpp:2524,2531; the lag/lead
+# aliases at :2545 map to them): frame-RESPECTING offsets — NULL when the
+# offset row leaves the ROWS frame, unlike Spark/ANSI lag which ignore it.
+# Frame here: ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING; offset 2 stays in
+# frame (= plain lag/lead), offset 3 always leaves it (frame-clip -> NULL
+# for every row, which the plain-lag contrast column shows is NOT what ANSI
+# lag produces).
+# --------------------------------------------------------------------------
+@register(
+    "win_lag_in_frame",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value,
+                      row_number() OVER w AS rn,
+                      lag(value, 2)  OVER w AS lag2,
+                      lead(value, 2) OVER w AS lead2,
+                      lag(value, 3)  OVER w AS ansi_lag3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id))
+    SELECT user_id, event_id,
+           round(lag2, 6)           AS lag_in_frame_2,
+           CAST(NULL AS DOUBLE)     AS lag_in_frame_3,
+           round(lead2, 6)          AS lead_in_frame_2,
+           round(ansi_lag3, 6)      AS ansi_lag_3
+    FROM e WHERE user_id < 30
+    """,
+)
+def win_lag_in_frame(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.operators.windows import lag_in_frame, lead_in_frame
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 30)
+    pb, ob = ["user_id"], ["ts", "event_id"]
+    w = Window.partitionBy(*pb).orderBy(*ob)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(lag_in_frame("value", 2, pb, ob, preceding=2, following=2), 6)
+        .alias("lag_in_frame_2"),
+        F.round(lag_in_frame("value", 3, pb, ob, preceding=2, following=2), 6)
+        .alias("lag_in_frame_3"),
+        F.round(lead_in_frame("value", 2, pb, ob, following=2, preceding=2), 6)
+        .alias("lead_in_frame_2"),
+        F.round(F.lag("value", 3).over(w), 6).alias("ansi_lag_3"),
+    )
