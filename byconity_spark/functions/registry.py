@@ -1773,3 +1773,109 @@ SCALAR.update(
         ),
     }
 )
+
+
+# ---- IPv6 + base58 codecs (src/Functions/FunctionsCodingIP.cpp,
+# base58Encode.cpp / base58Decode.cpp).  IPv6 canonicalization (RFC 5952
+# longest-zero-run compression) and base58 bignum division are per-row
+# byte-level algorithms with no bounded Column form -> Arrow-batched pandas
+# UDFs (the registry's documented slow path; every other codec here stays
+# JVM-side).
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _b58_encode_bytes(b: bytes) -> str:
+    n = int.from_bytes(b, "big")
+    out = ""
+    while n:
+        out = _B58_ALPHABET[n % 58] + out
+        n //= 58
+    pad = 0
+    for byte in b:
+        if byte:
+            break
+        pad += 1
+    return "1" * pad + out
+
+
+def _b58_decode_str(s: str) -> bytes:
+    n = 0
+    for ch in s:
+        n = n * 58 + _B58_ALPHABET.index(ch)
+    pad = len(s) - len(s.lstrip("1"))
+    body = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    return b"\x00" * pad + body
+
+
+def _ipv6_string_to_num(col: Column) -> Column:
+    @F.pandas_udf("binary")
+    def k(s: pd.Series) -> pd.Series:
+        import ipaddress
+
+        return s.map(lambda v: None if v is None else ipaddress.IPv6Address(v).packed)
+
+    return k(col)
+
+
+def _ipv6_num_to_string(col: Column) -> Column:
+    @F.pandas_udf("string")
+    def k(b: pd.Series) -> pd.Series:
+        import ipaddress
+
+        return b.map(
+            lambda v: None if v is None else str(ipaddress.IPv6Address(bytes(v)))
+        )
+
+    return k(col)
+
+
+def _is_ipv6_string(col: Column) -> Column:
+    @F.pandas_udf("boolean")
+    def k(s: pd.Series) -> pd.Series:
+        import ipaddress
+
+        def chk(v):
+            if v is None:
+                return None
+            try:
+                ipaddress.IPv6Address(v)
+                return True
+            except ValueError:
+                return False
+
+        return s.map(chk)
+
+    return k(col)
+
+
+def _base58_encode(col: Column) -> Column:
+    @F.pandas_udf("string")
+    def k(b: pd.Series) -> pd.Series:
+        return b.map(
+            lambda v: None if v is None else _b58_encode_bytes(
+                v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+            )
+        )
+
+    return k(col)
+
+
+def _base58_decode(col: Column) -> Column:
+    @F.pandas_udf("binary")
+    def k(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else _b58_decode_str(v))
+
+    return k(col)
+
+
+SCALAR.update(
+    {
+        "IPv6StringToNum": _ipv6_string_to_num,
+        "IPv6NumToString": _ipv6_num_to_string,
+        "toIPv6": _ipv6_string_to_num,
+        "isIPv6String": _is_ipv6_string,
+        "base58Encode": _base58_encode,
+        "base58Decode": _base58_decode,
+    }
+)

@@ -73,11 +73,16 @@ def word_shingles(c, n: int = 3) -> "F.Column":
 def shingle_frame(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, sh) with the words array materialized in its own projection."""
+    """(id, sh) with the words array materialized in its own projection.
+
+    Repartitions to full parallelism first: a small docs table often scans
+    as ONE parquet split, which would single-thread the shingle/hash work
+    every caller stacks on top (the raw-text shuffle is a few MB)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
     staged = docs.select(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
-    )
+    ).repartition(par)
     return staged.select("id", shingles_from_words(F.col("__words"), n).alias("sh"))
 
 
@@ -387,10 +392,16 @@ def simhash(
     default (pass ``token_hash=portable_token_hash`` for the md5-based
     variant a SQL oracle can reproduce bit-exactly); only the bit-vote runs
     in the (Arrow-batched) pandas UDF."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).select("id", token_hash(F.col("tok")).alias("h"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+        )
+        .repartition(par)  # small docs tables scan as one split
+        .select("id", F.explode("__toks").alias("tok"))
+        .select("id", token_hash(F.col("tok")).alias("h"))
+    )
     per_doc = toks.groupBy("id").agg(F.collect_list("h").alias("hs"))
     return per_doc.select(F.col("id"), _simhash_from_hashes(F.col("hs")).alias("simhash"))
 

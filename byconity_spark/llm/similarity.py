@@ -368,3 +368,46 @@ def variance_matrix(
         .groupBy("__g")
         .applyInPandas(combine, schema="i long, j long, cov double")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the storage-compression
+    step ANN indexes apply before sharding): scale = max|v| / 127,
+    q_i = round(v_i / scale), plus the reconstruction MSE so a pipeline can
+    gate on quantization loss.  Pure JVM HOF expressions in DOUBLE — the
+    element order of the fold matches DuckDB's list_sum, so the oracle is
+    value-exact after round(6)."""
+    # internal full-precision scale is named __scale: a final select aliases
+    # the ROUNDED value as "scale", and Spark 4's lateral-column-alias
+    # resolution would otherwise make sibling expressions in that select
+    # read the rounded alias instead of the input column.
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = emb.select(
+        F.col(id_col),
+        v.alias("__v"),
+        (F.array_max(F.transform(v, F.abs)) / 127.0).alias("__scale"),
+    )
+    q = F.transform(
+        F.col("__v"), lambda x: F.round(x / F.col("__scale")).cast("int")
+    )
+    staged2 = staged.select(id_col, "__v", "__scale", q.alias("__q"))
+    sq_err = F.zip_with(
+        F.col("__v"),
+        F.col("__q"),
+        lambda a, b: F.pow(a - b.cast("double") * F.col("__scale"), F.lit(2.0)),
+    )
+    mse = (
+        F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(F.col("__v"))
+    )
+    # MSE magnitudes are ~1e-6 (scale/2 squared) — report in PPM so the
+    # 6-decimal output contract keeps ~6 significant digits instead of
+    # truncating at the knife edge.
+    return staged2.select(
+        id_col,
+        F.round("__scale", 6).alias("scale"),
+        F.array_join(F.col("__q").cast("array<string>"), "|").alias("q_vec"),
+        F.round(mse * 1e6, 6).alias("recon_mse_ppm"),
+    )

@@ -146,7 +146,10 @@ def ngram_language_profiles(
     the training pass is a single shuffle on (lang, gram)."""
     from pyspark.sql import Window
 
-    staged = docs.select(F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("t"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    staged = docs.select(
+        F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("t")
+    ).repartition(par)
     grams = staged.select(
         "lang", F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
     )
@@ -172,7 +175,10 @@ def ngram_language_id(
     all-pairs work, scales linearly in total characters."""
     from pyspark.sql import Window
 
-    staged = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("t"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    staged = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("t")
+    ).repartition(par)
     doc_grams = staged.select(
         id_col, F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
     )
@@ -234,9 +240,14 @@ def ngram_language_train_and_id(
     ngram_language_profiles + ngram_language_id."""
     from pyspark.sql import Window
 
+    # A small docs table often arrives as ONE parquet split — repartition
+    # before the trigram explosion so the expensive per-char string work
+    # uses every core (the text shuffle is a few MB, the gram frame it
+    # prevents from being single-threaded is ~100x larger).
+    par = docs.sparkSession.sparkContext.defaultParallelism
     staged = docs.select(
         F.col(id_col), F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("t")
-    )
+    ).repartition(par)
     grams = staged.select(
         id_col, "lang", F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
     ).persist()
@@ -295,4 +306,144 @@ def token_counts(
         F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_ws_tokens"),
         F.size(bpe_ish_tokens(t)).cast("long").alias("n_bpe_tokens"),
         F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+# -------------------------------------------------------------- PII scrub
+# Training-pipeline redaction pass (public practice: C4/Dolma-style rule
+# scrubbing).  Patterns use only character classes + bounded quantifiers so
+# DuckDB's RE2 oracle applies the IDENTICAL regexes; each rule is one
+# JVM-side regexp_replace — zero Python in the row path.
+PII_RULES: list[tuple[str, str, str]] = [
+    # (rule, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- .]\d{3}[- .]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, redacted, n_emails, n_ips, n_phones): rule-chained redaction
+    plus per-rule match counts (count = length delta of a sentinel
+    substitution, computed BEFORE the chain so rules don't shadow each
+    other)."""
+    t = F.col(text_col)
+    out = docs.select(
+        F.col(id_col),
+        t.alias("__t"),
+        *[
+            (
+                (F.length(F.regexp_replace(t, pat, "\x01")) 
+                 - F.length(F.regexp_replace(t, pat, "")))
+            ).cast("long").alias(f"n_{rule}s")
+            for rule, pat, _ in PII_RULES
+        ],
+    )
+    red = F.col("__t")
+    for _, pat, repl in PII_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    return out.select(
+        id_col,
+        red.alias("redacted"),
+        *[f"n_{rule}s" for rule, _, _ in PII_RULES],
+    )
+
+
+# ----------------------------------------------------------------- TF-IDF
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    min_len: int = 4,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (idf = ln(N / df), tf = in-doc term
+    count; terms shorter than min_len dropped).  Plan: one explode ->
+    (doc, term) counts -> df via a second aggregate on the SAME shuffled
+    frame -> broadcast idf join -> per-doc top-k window.  The (doc, term)
+    frame shuffles once; df/idf is metadata-scale (distinct terms)."""
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    n_docs = docs.count()
+    terms = (
+        docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .repartition(par)
+        .select(id_col, F.explode("__toks").alias("term"))
+        .filter(F.length("term") >= min_len)
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    try:
+        idf = tf.groupBy("term").agg(
+            F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
+        )
+        scored = tf.join(F.broadcast(idf), "term").select(
+            id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+        out = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select(
+                id_col,
+                F.col("rnk").cast("int").alias("rnk"),
+                "term",
+                F.round("tfidf", 6).alias("tfidf"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+    return out
+
+
+# -------------------------------------------------- deterministic sampling
+def hash_sample(
+    docs: DataFrame,
+    rate_pct: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep a document iff
+    md5(salt || normalized_text) % 100 < rate_pct.  Unlike TABLESAMPLE this
+    is REPRODUCIBLE across runs/engines and sticky under re-partitioning —
+    the property training-data splits need.  Pure Column exprs."""
+    from byconity_spark.llm.dedup import portable_token_hash
+
+    key = F.concat(F.lit(salt), normalize_text(F.col(text_col)))
+    bucket = portable_token_hash(key) % 100
+    return docs.select(
+        F.col(id_col), bucket.cast("long").alias("bucket")
+    ).filter(F.col("bucket") < rate_pct)
+
+
+# ------------------------------------------------- contamination screening
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check (public practice: n-gram overlap
+    screens, e.g. GPT-3 appendix C / PaLM dedup audits): any training doc
+    sharing an 8-gram with a benchmark doc is flagged.  Plan: explode both
+    sides to word-8-grams, equi-join on the gram (benchmark side is small
+    -> broadcast), count distinct shared grams per (doc, bench) pair.
+    Linear in corpus size, no all-pairs."""
+    from byconity_spark.llm.dedup import shingle_frame
+
+    d = shingle_frame(docs, id_col, text_col, n).select(
+        F.col("id").alias("doc_id"), F.explode("sh").alias("gram")
+    )
+    b = shingle_frame(benchmark, id_col, text_col, n).select(
+        F.col("id").alias("bench_id"), F.explode("sh").alias("gram")
+    )
+    return (
+        d.join(F.broadcast(b), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
     )

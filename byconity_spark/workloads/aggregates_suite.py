@@ -403,9 +403,12 @@ def agg_advanced_stats(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         (F.col("user_id") % 2 == 0).alias("grp"),
     )
-    # four stat families consume the same projected base: cache it once so
-    # the parquet scan + projection runs once, not four times
-    d = d.persist()
+    # four stat families consume the same projected base: hash-partition it
+    # by the common grouping key ONCE and cache — every downstream window /
+    # groupBy clusters on event_type (or a superset), so Catalyst reuses the
+    # cached partitioning instead of shuffling four more times.  Parallelism
+    # is not reduced: the event_type windows force that clustering anyway.
+    d = d.repartition("event_type").persist()
     ent = entropy(
         d.withColumn("bucket", F.col("user_id") % 10), ["event_type"], "bucket"
     ).withColumn("entropy", F.round("entropy", 6))

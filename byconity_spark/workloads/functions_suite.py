@@ -617,3 +617,52 @@ def fn_ipv4_suite(spark: SparkSession, sf: str) -> DataFrame:
         cidr16.getField("lower").alias("cidr16_lo"),
         cidr16.getField("upper").alias("cidr16_hi"),
     )
+
+
+# ------------------------------------------- IPv6 + base58 codec suite
+# (FunctionsCodingIP.cpp IPv6NumToString/StringToNum/isIPv6String;
+# base58Encode.cpp).  IPv6 strings are built from (user_id, event_id) with
+# a single zero run, so DuckDB reproduces the RFC 5952 canonical form with
+# printf; base58 is verified VALUE-exactly — the oracle performs the bignum
+# base-58 division of the same 8-byte integer via unrolled 58^k powers,
+# with '1'-padding for leading zero bytes.
+@register(
+    "fn_ipv6_base58_suite",
+    oracle="""
+    WITH e AS (SELECT DISTINCT user_id, event_id FROM events WHERE user_id < 10),
+    s AS (SELECT user_id, event_id,
+                 user_id + 1 AS h1, (event_id % 65535) + 1 AS h2,
+                 user_id * 4294967296 + event_id AS n
+          FROM e)
+    SELECT user_id, event_id,
+           printf('2001:db8::%x:%x', h1, h2)  AS ipv6_canon,
+           upper('20010db8' || repeat('0', 16) || printf('%04x%04x', h1, h2))
+                                              AS ipv6_hex,
+           true                               AS is_valid,
+           false                              AS is_invalid,
+           repeat('1', CAST((16 - length(ltrim(printf('%016x', n), '0'))) // 2 AS INTEGER))
+             || ltrim(substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 430804206899405824) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 7427658739644928) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 128063081718016) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 2207984167552) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 38068692544) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 656356768) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 11316496) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 195112) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 3364) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 58) % 58 AS INTEGER) + 1, 1) || substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz', CAST((n // 1) % 58 AS INTEGER) + 1, 1), '1')          AS b58,
+           true                               AS b58_roundtrip
+    FROM s
+    """,
+)
+def fn_ipv6_base58_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 10)
+    ids = ev.select("user_id", "event_id").distinct()
+    h1 = F.col("user_id") + 1
+    h2 = (F.col("event_id") % 65535) + 1
+    n = F.col("user_id").cast("long") * 4294967296 + F.col("event_id")
+    full = F.format_string("2001:db8:0:0:0:0:%x:%x", h1, h2)
+    packed = ch("IPv6StringToNum", full)
+    bytes8 = F.unhex(F.lpad(F.hex(n), 16, "0"))
+    b58 = ch("base58Encode", bytes8)
+    return ids.select(
+        "user_id",
+        "event_id",
+        ch("IPv6NumToString", packed).alias("ipv6_canon"),
+        F.hex(packed).alias("ipv6_hex"),
+        ch("isIPv6String", full).alias("is_valid"),
+        ch("isIPv6String", F.lit("2001::db8::1")).alias("is_invalid"),
+        b58.alias("b58"),
+        (ch("base58Decode", b58) == bytes8).alias("b58_roundtrip"),
+    )

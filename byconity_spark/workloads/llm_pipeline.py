@@ -651,3 +651,166 @@ def mm_resize_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
 
     mm = attach_binary_payload(_docs(spark, sf), blocks=3)
     return resize_thumbnail(mm, out_bytes=8)
+
+
+# ----------------------------------------------------------- PII redaction
+# Rule-scrub pass (C4/Dolma-style).  The fixture corpus has no PII, so the
+# query PLANTS deterministic PII markers on every third doc (same construct
+# on both engines), then redacts + counts.  Patterns are RE2-and-Java-
+# compatible; counts use the sentinel-length trick (match count = length
+# delta of a 1-char substitution).
+@register(
+    "llm_pii_redact",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || doc_id ||
+               '@mail.example.org or 10.' || (doc_id % 256) ||
+               '.0.1 tel +155 555 0' || (100 + doc_id % 900)
+             ELSE text END AS t
+      FROM documents),
+    c AS (SELECT doc_id, t,
+                 length(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', chr(1), 'g'))
+                 - length(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g')) AS n_emails,
+                 length(regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', chr(1), 'g'))
+                 - length(regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '', 'g')) AS n_ipv4s,
+                 length(regexp_replace(t, '\+?\d{3}[- .]\d{3}[- .]\d{4}\b', chr(1), 'g'))
+                 - length(regexp_replace(t, '\+?\d{3}[- .]\d{3}[- .]\d{4}\b', '', 'g')) AS n_phones
+          FROM d)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS redacted,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ipv4s AS BIGINT)  AS n_ipv4s,
+           CAST(n_phones AS BIGINT) AS n_phones
+    FROM c
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.text import pii_redact
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org or 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1 tel +155 555 0"),
+                (100 + F.col("doc_id") % 900).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_redact(d)
+
+
+# ----------------------------------------------------------------- TF-IDF
+@register(
+    "llm_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents),
+    ft AS (SELECT doc_id, term FROM toks WHERE length(term) >= 4),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+    idf AS (SELECT term,
+                   ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(*)) AS idf
+            FROM tf GROUP BY term),
+    sc AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf
+           FROM tf JOIN idf USING (term))
+    SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, round(tfidf, 6) AS tfidf
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rnk
+          FROM sc)
+    WHERE rnk <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), top_k=3, min_len=4)
+
+
+# ------------------------------------------- deterministic hash sampling
+@register(
+    "llm_hash_sample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      'sample' || {_DUCK_NORM} AS key
+               FROM documents),
+    h AS (SELECT doc_id, {_md5_60('key')} % 100 AS bucket FROM d)
+    SELECT doc_id, bucket FROM h WHERE bucket < 20
+    """,
+)
+def llm_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.text import hash_sample
+
+    return hash_sample(_docs(spark, sf), rate_pct=20)
+
+
+# ------------------------------------------------- contamination screening
+_DUCK_8GRAM_JOIN = " || ' ' || ".join(f"ws[i+{k}]" for k in range(8)).replace(
+    "ws[i+0]", "ws[i]"
+)
+
+
+@register(
+    "llm_contamination",
+    oracle=f"""
+    WITH w AS (SELECT doc_id,
+                      string_split({_DUCK_NORM}, ' ') AS ws
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(ws) - 6, 1)),
+                    i -> {_DUCK_8GRAM_JOIN})) AS g
+           FROM w),
+    d AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+    b AS (SELECT doc_id AS bench_id, unnest(g) AS gram FROM sh
+          WHERE doc_id % 97 = 0)
+    SELECT d.doc_id, b.bench_id, count(*) AS shared_grams
+    FROM d JOIN b USING (gram)
+    WHERE d.doc_id != b.bench_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.text import contamination_screen
+
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = contamination_screen(docs, bench, n=8)
+    return out.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+# ------------------------------------------------ embedding quantization
+@register(
+    "ann_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+    q AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv
+          FROM s)
+    SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(qv, '|') AS q_vec,
+           round(list_sum(list_transform(range(1, len(v) + 1),
+                 i -> pow(v[i] - qv[i] * scale, 2))) / len(v) * 1e6, 6)
+             AS recon_mse_ppm
+    FROM q
+    """,
+)
+def ann_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.similarity import quantize_int8
+
+    return quantize_int8(_emb(spark, sf))
