@@ -1,0 +1,161 @@
+"""Unit tests for the round-5 pipeline operators: PII redaction, TF-IDF,
+hash sampling, contamination screening, int8 quantization, IPv6/base58
+codecs, and the frame-respecting lag/lead windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from byconity_spark.functions import ch
+from byconity_spark.functions.registry import (
+    _b58_decode_str,
+    _b58_encode_bytes,
+)
+from tests.conftest import SF_DIR
+
+
+# --------------------------------------------------------------- base58
+def test_base58_known_vectors():
+    # public reference vectors (Bitcoin alphabet)
+    assert _b58_encode_bytes(b"Hello World!") == "2NEpo7TZRRrLZSi2U"
+    assert _b58_encode_bytes(b"") == ""
+    assert _b58_encode_bytes(b"\x00") == "1"
+    assert _b58_encode_bytes(b"\x00\x01") == "12"
+    for payload in [b"Hello World!", b"\x00\x00abc", b"\xff\xfe", b"x"]:
+        assert _b58_decode_str(_b58_encode_bytes(payload)) == payload
+
+
+def test_base58_column(spark):
+    df = spark.createDataFrame([("Hello World!",)], "s string")
+    out = df.select(
+        ch("base58Encode", F.col("s")).alias("e")
+    ).collect()[0]
+    assert out.e == "2NEpo7TZRRrLZSi2U"
+
+
+# ----------------------------------------------------------------- IPv6
+def test_ipv6_canonicalization(spark):
+    df = spark.createDataFrame(
+        [("2001:0db8:0000:0000:0000:0000:0000:0001",), ("::ffff:1.2.3.4",)],
+        "s string",
+    )
+    rows = df.select(
+        ch("IPv6NumToString", ch("IPv6StringToNum", F.col("s"))).alias("c"),
+        ch("isIPv6String", F.col("s")).alias("ok"),
+        ch("isIPv6String", F.lit("2001::db8::1")).alias("bad"),
+    ).collect()
+    assert rows[0].c == "2001:db8::1"
+    assert all(r.ok for r in rows)
+    assert not any(r.bad for r in rows)
+
+
+# ----------------------------------------------------------- PII redaction
+def test_pii_redact_counts(spark):
+    from byconity_spark.llm.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.org and c.d@e.co.uk from 10.0.0.1 tel +155 555 0100"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[1].n_emails == 2 and out[1].n_ipv4s == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].redacted and "<IP>" in out[1].redacted
+    assert "<PHONE>" in out[1].redacted
+    assert "@" not in out[1].redacted
+    assert out[2].n_emails == 0 and out[2].redacted == df.collect()[1].text
+
+
+# ----------------------------------------------------------------- TF-IDF
+def test_tfidf_ranks_discriminative_terms(spark):
+    from byconity_spark.llm.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common zebra zebra unique1"),
+            (2, "common common giraffe giraffe unique2"),
+            (3, "common common llama llama unique3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, top_k=1, min_len=4)
+    top = {r.doc_id: r.term for r in out.collect()}
+    # 'common' appears everywhere (idf = 0) -> the doc-specific repeated
+    # term must win
+    assert top == {1: "zebra", 2: "giraffe", 3: "llama"}
+
+
+# ------------------------------------------------------------- sampling
+def test_hash_sample_deterministic_and_unbiased(spark):
+    from byconity_spark.engine.catalog import load_table
+    from byconity_spark.llm.text import hash_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    a = hash_sample(docs, rate_pct=20).collect()
+    b = hash_sample(docs, rate_pct=20).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    # 20% +- generous binomial slack
+    assert 0.10 * n <= len(a) <= 0.30 * n
+    assert all(r.bucket < 20 for r in a)
+
+
+# -------------------------------------------------------- contamination
+def test_contamination_flags_planted_overlap(spark):
+    from byconity_spark.llm.text import contamination_screen
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram run
+            (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+            (2, "totally different words with no overlap whatsoever here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_screen(docs, bench, n=8).collect()
+    assert [(r.doc_id, r.bench_id) for r in out] == [(1, 100)]
+    assert out[0].shared_grams == 1
+
+
+# ----------------------------------------------------- int8 quantization
+def test_quantize_int8_bounds(spark):
+    from byconity_spark.engine.catalog import load_table
+    from byconity_spark.llm.similarity import quantize_int8
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    rows = quantize_int8(emb).collect()
+    assert len(rows) == 50
+    for r in rows:
+        qs = [int(x) for x in r.q_vec.split("|")]
+        assert all(-127 <= q <= 127 for q in qs)
+        # per-element error <= scale/2 -> mse_ppm <= (scale/2)^2 * 1e6
+        assert r.recon_mse_ppm <= (r.scale / 2) ** 2 * 1e6 * 1.001 + 1e-9
+
+
+# ------------------------------------------------- frame-respecting lag
+def test_lag_in_frame_clips_to_frame(spark):
+    from byconity_spark.operators.windows import lag_in_frame, lead_in_frame
+
+    df = spark.createDataFrame(
+        [(1, i, float(10 * i)) for i in range(5)],
+        "g long, seq long, v double",
+    )
+    out = df.select(
+        "seq",
+        lag_in_frame("v", 1, ["g"], ["seq"], preceding=1).alias("lag1"),
+        lag_in_frame("v", 2, ["g"], ["seq"], preceding=1).alias("lag2_clipped"),
+        lead_in_frame("v", 1, ["g"], ["seq"], following=1).alias("lead1"),
+        lead_in_frame("v", 2, ["g"], ["seq"], following=1).alias("lead2_clipped"),
+    ).orderBy("seq").collect()
+    assert [r.lag1 for r in out] == [None, 0.0, 10.0, 20.0, 30.0]
+    # offset 2 never fits in a 1-PRECEDING frame
+    assert all(r.lag2_clipped is None for r in out)
+    assert [r.lead1 for r in out] == [10.0, 20.0, 30.0, 40.0, None]
+    assert all(r.lead2_clipped is None for r in out)
