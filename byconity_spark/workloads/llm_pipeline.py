@@ -8,9 +8,13 @@ Oracle strategy per query:
     where the 16x4 band curve has recall 1-4e-8 (missing a pair would be a
     real bug, and the property test in tests/test_llm.py pins the band
     math).
-  * simhash / fingerprint / LSH-ANN / multimodal: hash-function- or
-    plane-dependent outputs -> rows-only driver check + dedicated pytests
-    (banded-vs-bruteforce equivalence, recall >= 0.9, determinism).
+  * simhash / fingerprint: the registered queries inject the PORTABLE
+    60-bit md5-prefix token hash (llm.dedup.portable_token_hash) so DuckDB
+    reproduces the bit math exactly; production defaults stay xxhash64.
+  * LSH-ANN: completeness-mode table counts make the banded result
+    provably exact -> exact-cosine oracles.
+  * mm_decode_features: honest codec stub -> the ONLY remaining rows-only
+    entry here (dedicated pytests cover plumbing + determinism).
 """
 
 from __future__ import annotations
