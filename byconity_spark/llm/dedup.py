@@ -77,13 +77,26 @@ def shingle_frame(
 
     Repartitions to full parallelism first: a small docs table often scans
     as ONE parquet split, which would single-thread the shingle/hash work
-    every caller stacks on top (the raw-text shuffle is a few MB)."""
+    every caller stacks on top (the raw-text shuffle is a few MB).
+
+    Because the exchange makes ``__words`` a real attribute (CollapseProject
+    cannot re-inline the split through it), the shingles use the INDEX-BASED
+    slice construction — ~5x cheaper than the zip_with fold for larger n
+    (one array_join per position instead of n-1 growing concat passes)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     staged = docs.select(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
     ).repartition(par)
-    return staged.select("id", shingles_from_words(F.col("__words"), n).alias("sh"))
+    w = F.col("__words")
+    idx = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    sh = F.when(F.size(w) >= n, F.array_distinct(idx)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return staged.select("id", sh.alias("sh"))
 
 
 def minhash_signature(shingles, n_hashes: int = 64) -> "F.Column":
@@ -399,7 +412,11 @@ def simhash(
             F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
         )
         .repartition(par)  # small docs tables scan as one split
-        .select("id", F.explode("__toks").alias("tok"))
+        # explode_outer: plain explode infers size>0, which pushes below
+        # the exchange and re-inlines the split at the scan (see
+        # contamination_screen note)
+        .select("id", F.explode_outer("__toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .select("id", token_hash(F.col("tok")).alias("h"))
     )
     per_doc = toks.groupBy("id").agg(F.collect_list("h").alias("hs"))

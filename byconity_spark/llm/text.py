@@ -151,8 +151,9 @@ def ngram_language_profiles(
         F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("t")
     ).repartition(par)
     grams = staged.select(
-        "lang", F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
-    )
+        "lang",
+        F.explode_outer(F.array_distinct(char_ngrams(F.col("t")))).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
     counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("gram"))
     return (
@@ -180,8 +181,9 @@ def ngram_language_id(
         F.col(id_col), F.lower(F.col(text_col)).alias("t")
     ).repartition(par)
     doc_grams = staged.select(
-        id_col, F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
-    )
+        id_col,
+        F.explode_outer(F.array_distinct(char_ngrams(F.col("t")))).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
     scores = (
         doc_grams.join(F.broadcast(profiles.select("lang", "gram")), "gram")
         .groupBy(id_col, "lang")
@@ -248,9 +250,15 @@ def ngram_language_train_and_id(
     staged = docs.select(
         F.col(id_col), F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("t")
     ).repartition(par)
-    grams = staged.select(
-        id_col, "lang", F.explode(F.array_distinct(char_ngrams(F.col("t")))).alias("gram")
-    ).persist()
+    grams = (
+        staged.select(
+            id_col,
+            "lang",
+            F.explode_outer(F.array_distinct(char_ngrams(F.col("t")))).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .persist()
+    )
     try:
         counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("df"))
         w_prof = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("gram"))
@@ -371,8 +379,11 @@ def tfidf_top_terms(
     terms = (
         docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
         .repartition(par)
-        .select(id_col, F.explode("__toks").alias("term"))
-        .filter(F.length("term") >= min_len)
+        # explode_outer: plain explode infers size>0, which pushes below
+        # the exchange and re-inlines the tokenizer at the scan (see
+        # contamination_screen note)
+        .select(id_col, F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isNotNull() & (F.length("term") >= min_len))
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     try:
@@ -436,12 +447,17 @@ def contamination_screen(
     Linear in corpus size, no all-pairs."""
     from byconity_spark.llm.dedup import shingle_frame
 
+    # explode_OUTER on purpose: plain explode infers a `size(sh) > 0`
+    # filter that Catalyst pushes below shingle_frame's exchange,
+    # re-inlining the whole shingle construction into a single-partition
+    # scan-side filter (it ran twice, once single-threaded — 4s of the old
+    # 4.7s).  outer + isNotNull keeps the inferred filter out of the plan.
     d = shingle_frame(docs, id_col, text_col, n).select(
-        F.col("id").alias("doc_id"), F.explode("sh").alias("gram")
-    )
+        F.col("id").alias("doc_id"), F.explode_outer("sh").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     b = shingle_frame(benchmark, id_col, text_col, n).select(
-        F.col("id").alias("bench_id"), F.explode("sh").alias("gram")
-    )
+        F.col("id").alias("bench_id"), F.explode_outer("sh").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     return (
         d.join(F.broadcast(b), "gram")
         .groupBy("doc_id", "bench_id")
