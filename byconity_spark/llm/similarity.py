@@ -411,3 +411,36 @@ def quantize_int8(
         F.array_join(F.col("__q").cast("array<string>"), "|").alias("q_vec"),
         F.round(mse * 1e6, 6).alias("recon_mse_ppm"),
     )
+
+
+def matryoshka_truncate(
+    emb: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation (public MRL usage): keep the first
+    `dims` components, renormalize, and report how much of the vector's
+    energy the prefix retains.  Pure HOF expressions; the truncated vector
+    serializes as fixed-point text for the scalar output contract."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sq = F.transform(v, lambda x: x * x)
+    staged = emb.select(
+        F.col(id_col),
+        F.slice(v, 1, dims).alias("__t"),
+        F.aggregate(sq, F.lit(0.0), lambda a, x: a + x).alias("__e_full"),
+        F.aggregate(
+            F.slice(sq, 1, dims), F.lit(0.0), lambda a, x: a + x
+        ).alias("__e_trunc"),
+    )
+    norm_t = F.sqrt(F.col("__e_trunc"))
+    return staged.select(
+        id_col,
+        F.round(F.sqrt("__e_full"), 6).alias("norm_full"),
+        F.round(norm_t, 6).alias("norm_trunc"),
+        F.round(F.col("__e_trunc") / F.col("__e_full"), 6).alias("energy_ratio"),
+        F.array_join(
+            F.transform(F.col("__t"), lambda x: F.format_string("%.6f", x / norm_t)),
+            "|",
+        ).alias("unit_prefix"),
+    )

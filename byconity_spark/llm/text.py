@@ -463,3 +463,127 @@ def contamination_screen(
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
+
+
+# ------------------------------------------------------- sequence packing
+def sequence_packing(
+    docs: DataFrame,
+    token_budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous-fill sequence packing for pretraining batches: documents
+    are sharded (hash-mod), ordered deterministically within each shard,
+    and assigned bin = floor(prefix_token_sum / budget) — every bin holds
+    ~budget tokens of consecutive docs.  One window cumsum PER SHARD (no
+    global window: shards are independent, so the sort parallelizes across
+    the cluster; n_shards scales with executors at 100 TB)."""
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / token_budget).alias("bin"),
+    )
+
+
+# ------------------------------------------------------------------ BM25
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 over whitespace tokens with the Lucene-style idf
+    ln(1 + (N - df + 0.5) / (df + 0.5)).  Plan: one (doc, term) explode
+    filtered to the query terms (tiny), tf groupBy, df/avgdl as
+    metadata-scale aggregates broadcast back in.  Linear in corpus size."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    staged = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    ).repartition(par)
+    lens = staged.select(
+        id_col, F.size("__toks").cast("long").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = (
+        staged.select(id_col, F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("part"), 6).alias("bm25")
+    )
+
+
+# ----------------------------------------------- unigram log-perplexity
+def unigram_log_ppl(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality scoring via a corpus-trained unigram LM: per-document mean
+    -ln p(token), p = corpus frequency.  The LM "training" is one (token)
+    aggregate; scoring joins doc tokens against the vocabulary-scale
+    frequency table on the token key (shuffle join — the vocab is Zipf
+    but AQE skew-split covers the head terms at scale)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .repartition(par)
+        .select(id_col, F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .persist()
+    )
+    try:
+        total = toks.count()
+        freq = toks.groupBy("term").agg(
+            (F.count(F.lit(1)) / F.lit(float(total))).alias("p")
+        )
+        out = (
+            toks.join(freq, "term")
+            .groupBy(id_col)
+            .agg(
+                F.round(F.avg(-F.log("p")), 6).alias("log_ppl"),
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
+    return out

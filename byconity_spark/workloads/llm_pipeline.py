@@ -818,3 +818,105 @@ def ann_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.llm.similarity import quantize_int8
 
     return quantize_int8(_emb(spark, sf))
+
+
+# ------------------------------------------------------ sequence packing
+# Contiguous-fill packing into ~2048-token bins, sharded so the cumsum
+# window parallelizes (no global window; shards scale with executors).
+@register(
+    "llm_seq_packing",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, doc_id % 32 AS shard,
+                      CAST(len(string_split({_DUCK_NORM}, ' ')) AS BIGINT)
+                        AS n_tokens
+               FROM documents)
+    SELECT doc_id, shard, n_tokens,
+           CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 2048 AS BIGINT) AS bin
+    FROM d
+    """,
+)
+def llm_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.text import sequence_packing
+
+    return sequence_packing(_docs(spark, sf), token_budget=2048, n_shards=32)
+
+
+# ------------------------------------------------------------------ BM25
+@register(
+    "llm_bm25",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split({_DUCK_NORM}, ' ')) AS term
+                  FROM documents),
+    lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    q AS (SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('vector', 'stream', 'filter') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM q GROUP BY term)
+    SELECT q.doc_id,
+           round(sum(
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (q.tf * 2.2)
+             / (q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM q JOIN dfreq d USING (term)
+           JOIN lens l ON q.doc_id = l.doc_id
+           CROSS JOIN stats s
+    GROUP BY q.doc_id
+    """,
+)
+def llm_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.text import bm25_score
+
+    return bm25_score(_docs(spark, sf), ["vector", "stream", "filter"])
+
+
+# ---------------------------------------------- unigram log-perplexity
+@register(
+    "llm_unigram_logppl",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split({_DUCK_NORM}, ' ')) AS term
+                  FROM documents),
+    freq AS (SELECT term,
+                    count(*)::DOUBLE / (SELECT count(*) FROM toks) AS p
+             FROM toks GROUP BY term)
+    SELECT t.doc_id,
+           round(avg(-ln(f.p)), 6) AS log_ppl,
+           count(*) AS n_tokens
+    FROM toks t JOIN freq f USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_logppl(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.text import unigram_log_ppl
+
+    return unigram_log_ppl(_docs(spark, sf))
+
+
+# -------------------------------------------- Matryoshka truncation
+@register(
+    "ann_matryoshka16",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, list_slice(v, 1, 16) AS t,
+                 list_sum(list_transform(v, x -> x * x)) AS e_full,
+                 list_sum(list_transform(list_slice(v, 1, 16), x -> x * x))
+                   AS e_trunc
+          FROM e)
+    SELECT vec_id,
+           round(sqrt(e_full), 6)  AS norm_full,
+           round(sqrt(e_trunc), 6) AS norm_trunc,
+           round(e_trunc / e_full, 6) AS energy_ratio,
+           array_to_string(list_transform(t,
+             x -> printf('%.6f', x / sqrt(e_trunc))), '|') AS unit_prefix
+    FROM s
+    """,
+)
+def ann_matryoshka16(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.similarity import matryoshka_truncate
+
+    return matryoshka_truncate(_emb(spark, sf), dims=16)
