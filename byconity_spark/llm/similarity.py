@@ -444,3 +444,68 @@ def matryoshka_truncate(
             "|",
         ).alias("unit_prefix"),
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    n_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Product-quantization encode: the vector splits into ``n_sub``
+    subvectors; each is coded as its nearest subspace centroid.  The
+    codebook here is trained supervised-style from the ``label`` clusters
+    (per-label elementwise means — deterministic, so a SQL oracle can
+    reproduce it; a production deployment swaps in k-means per subspace,
+    the ENCODE/scan shape is identical).
+
+    Plan: centroid table is (labels x dim) — metadata-scale, broadcast;
+    encoding is one scan x |labels| fan-out with per-subspace L2 folds,
+    then a (vec, sub) argmin window.  Linear in corpus size, no all-pairs.
+    Output: (vec_id, codes "c0|c1|...", recon_err = sum of chosen
+    subspace distances)."""
+    d_sub = dim // n_sub
+    cents = elementwise_centroids(emb, label_col, vec_col).select(
+        F.col(label_col).alias("cl"), F.col("centroid").alias("cv")
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pairs = emb.select(F.col(id_col), v.alias("__v")).crossJoin(F.broadcast(cents))
+
+    def sub_d2(s: int):
+        a = F.slice(F.col("__v"), s * d_sub + 1, d_sub)
+        b = F.slice(F.col("cv"), s * d_sub + 1, d_sub)
+        diff = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    long = pairs.select(
+        id_col,
+        "cl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("sub"), sub_d2(s).alias("d2"))
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("sd"),
+    ).select(id_col, "cl", F.col("sd.sub").alias("sub"), F.col("sd.d2").alias("d2"))
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d2"), F.asc("cl"))
+    best = (
+        long.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "sub", "cl", "d2")
+    )
+    return best.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("cl")))
+                ),
+                lambda s: s.getField("cl").cast("string"),
+            ),
+            "|",
+        ).alias("codes"),
+        F.round(F.sum("d2"), 6).alias("recon_err"),
+    )

@@ -920,3 +920,35 @@ def ann_matryoshka16(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.llm.similarity import matryoshka_truncate
 
     return matryoshka_truncate(_emb(spark, sf), dims=16)
+
+
+# --------------------------------------------------- PQ encode (codebook
+# from label-cluster means — deterministic, so the oracle re-derives the
+# identical codebook; see llm/similarity.py:pq_encode)
+@register(
+    "ann_pq_encode",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (SELECT vec_id, label, d.range AS d,
+                    v[CAST(d.range + 1 AS INTEGER)] AS x
+             FROM e CROSS JOIN range(64) d),
+    cent AS (SELECT label AS cl, d, avg(x) AS c FROM dims GROUP BY 1, 2),
+    dist AS (SELECT dims.vec_id, CAST(dims.d // 8 AS INTEGER) AS sub,
+                    cent.cl, sum(pow(dims.x - cent.c, 2)) AS d2
+             FROM dims JOIN cent USING (d) GROUP BY 1, 2, 3),
+    best AS (SELECT vec_id, sub, cl, d2 FROM (
+               SELECT vec_id, sub, cl, d2,
+                      row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, cl) AS rn
+               FROM dist) WHERE rn = 1)
+    SELECT vec_id,
+           string_agg(CAST(cl AS VARCHAR), '|' ORDER BY sub) AS codes,
+           round(sum(d2), 6) AS recon_err
+    FROM best GROUP BY vec_id
+    """,
+)
+def ann_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.similarity import pq_encode
+
+    return pq_encode(_emb(spark, sf))

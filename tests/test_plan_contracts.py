@@ -223,3 +223,51 @@ def test_connected_components_small_graph_single_pass(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
     assert comp[5] == 5
+
+
+def test_contamination_broadcasts_benchmark_not_corpus(spark):
+    """The contamination screen must broadcast ONLY the benchmark gram side
+    (bounded); the corpus side streams — and the inferred size>0 filter
+    must NOT re-inline the shingle construction below the exchange (it
+    would run the whole 8-gram build single-threaded at the scan)."""
+    df = all_queries()["llm_contamination"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # scan-side filters must not contain the shingle machinery
+    for scan_chunk in plan.split("FileScan")[1:]:
+        head = scan_chunk[:600]
+        assert "array_join" not in head.lower(), (
+            "shingle construction leaked into a scan-side pushed filter"
+        )
+
+
+def test_seq_packing_has_no_global_window(spark):
+    """Packing cumsums per SHARD — a global (unpartitioned) window would
+    serialize the whole corpus through one task at 100 TB."""
+    df = all_queries()["llm_seq_packing"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    import re
+
+    # every Window's partition spec must be non-empty (no `Window [..], [],`)
+    for m in re.finditer(r"partitionBy=\[\]", plan):
+        raise AssertionError("global window in seq packing plan")
+    assert "SinglePartition" not in plan
+
+
+def test_bm25_broadcasts_metadata_sides(spark):
+    """df/avgdl are metadata-scale; the doc-length join stays a shuffle
+    join but the stats/df sides must broadcast."""
+    df = all_queries()["llm_bm25"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_matryoshka_are_pure_projections(spark):
+    """Quantization/truncation are per-row — no exchange belongs in the
+    plan (any shuffle would be pure overhead at scale)."""
+    for name in ["ann_quantize_int8", "ann_matryoshka16"]:
+        plan = _plan(all_queries()[name].builder(spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} shuffles a per-row transform"
