@@ -134,9 +134,19 @@ def _minhash_sig_udf(n_hashes: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hs: pd.Series) -> pd.Series:
+        # int64-max signature for shingle-less docs (shorter than n words):
+        # they band only with other empties, and the exact-Jaccard verify
+        # drops those pairs (0/0 -> NaN fails the threshold).  Guarding here
+        # instead of a size(sh) > 0 pre-filter keeps that filter out of the
+        # plan — pushed below the exchange it would re-inline the whole
+        # shingle construction at the single-partition scan.
+        empty = np.full(A.shape[0], np.iinfo(np.int64).max)
         out = []
         for row in hs:
             h = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                out.append(empty)
+                continue
             vals = A[:, None] * h[None, :] + B[:, None]  # (n_hashes, n_shingles)
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
@@ -169,11 +179,12 @@ def minhash_lsh_pairs(
     # frame feeds the signature chain once and the verify join twice, and
     # the band table sits on BOTH sides of the self-join — without persist
     # each branch would recompute the whole scan+shingle+hash chain.
-    base = (
-        shingle_frame(docs, id_col, text_col, shingle_n)
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
+    # NO size(sh) > 0 pre-filter here: pushed below shingle_frame's
+    # exchange it re-inlines the whole shingle construction into a
+    # single-partition scan-side filter (the work would run twice, once
+    # unparallelized).  Empty-shingle docs are handled inside the
+    # signature kernel instead.
+    base = shingle_frame(docs, id_col, text_col, shingle_n).persist()
     hashed = base.select(
         "id", "sh", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
     )
