@@ -259,6 +259,7 @@ RULES: dict[str, object] = {
     "arrayStringConcat": "array_join",
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
     "tuple": "struct",
     "tupleElement": lambda a: (
         f"({a[0]}.col{int(a[1])})"
@@ -632,27 +633,43 @@ def _rewrite_array_join(sql: str) -> str:
             if 0 <= p < end:
                 end = p
         item = sql[i + len("ARRAY JOIN") : end].strip()
-        if len(_split_args(item)) > 1:
-            raise ChSqlError(
-                "multi-array ARRAY JOIN (zip semantics) is not auto-rewritten; "
-                "use arrays_zip: ARRAY JOIN arrays_zip(a, b) AS z, then z.a / z.b"
-            )
-        k = _depth0_find(item, "AS")
-        if k < 0:
-            raise ChSqlError(
-                "ARRAY JOIN without AS replaces the source column in ClickHouse; "
-                "write 'ARRAY JOIN <expr> AS <alias>' to make the output column "
-                "explicit"
-            )
-        expr = item[:k].strip()
-        alias = item[k + 2 :].strip()
+        items = _split_args(item)
+        parsed = []
+        for it in items:
+            k = _depth0_find(it, "AS")
+            if k < 0:
+                raise ChSqlError(
+                    "ARRAY JOIN without AS replaces the source column in "
+                    "ClickHouse; write 'ARRAY JOIN <expr> AS <alias>' to make "
+                    "the output column explicit"
+                )
+            parsed.append((it[:k].strip(), it[k + 2 :].strip()))
         outer = " OUTER" if left else ""
         n_aj += 1
-        sql = (
-            pre
-            + f" LATERAL VIEW{outer} explode({expr}) __aj{n_aj} AS {alias} "
-            + sql[end:]
-        )
+        if len(parsed) == 1:
+            expr, alias = parsed[0]
+            views = f" LATERAL VIEW{outer} explode({expr}) __aj{n_aj} AS {alias} "
+        else:
+            # Multi-array ARRAY JOIN zips POSITIONALLY (reference
+            # ArrayJoinStep.h / ArrayJoinAction: all arrays iterate in
+            # lock-step).  The first array drives a posexplode; each further
+            # alias is the element of ITS array at the same position,
+            # surfaced as a plain column via a 1-element-explode lateral
+            # view.  Deviation: length mismatches NULL-pad (element_at out
+            # of range) instead of raising as ClickHouse does.
+            pos = f"__ajpos{n_aj}"
+            first_expr, first_alias = parsed[0]
+            views = (
+                f" LATERAL VIEW{outer} posexplode({first_expr}) __aj{n_aj} "
+                f"AS {pos}, {first_alias}"
+            )
+            for j, (e2, a2) in enumerate(parsed[1:], 1):
+                views += (
+                    f" LATERAL VIEW explode(array(element_at({e2}, {pos} + 1)))"
+                    f" __aj{n_aj}_{j} AS {a2}"
+                )
+            views += " "
+        sql = pre + views + sql[end:]
 
 
 def _parse_fill_item(item: str):

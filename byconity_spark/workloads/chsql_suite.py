@@ -411,3 +411,33 @@ def chsql_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "event_type = 'click', event_type = 'purchase') AS lvl "
         "FROM events GROUP BY user_id",
     )
+
+
+@register(
+    "chsql_multi_array_join",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+               WHERE doc_id < 40),
+    z AS (SELECT doc_id, u.w AS word, u.i AS idx
+          FROM d, LATERAL (SELECT unnest(ws) AS w,
+                                  generate_subscripts(ws, 1) AS i) u)
+    SELECT doc_id, CAST(idx AS BIGINT) AS idx, word
+    FROM z WHERE length(word) >= 6
+    """,
+)
+def chsql_multi_array_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-array ARRAY JOIN zips positionally (ArrayJoinStep.h /
+    ArrayJoinAction lock-step iteration): words paired with their 1-based
+    positions via arrayEnumerate — rewritten to posexplode + aligned
+    element_at lateral views."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT doc_id, idx, w AS word
+        FROM documents
+        ARRAY JOIN splitByChar(' ', text) AS w,
+                   arrayEnumerate(splitByChar(' ', text)) AS idx
+        WHERE doc_id < 40 AND lengthUTF8(w) >= 6
+        """,
+    )

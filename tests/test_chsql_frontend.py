@@ -229,8 +229,24 @@ def test_array_join_rewrite():
     assert "LATERAL VIEW OUTER explode(arr)" in left and " LEFT " not in left
     with pytest.raises(ChSqlError):
         rewrite_ch_sql("SELECT x FROM t ARRAY JOIN arr")  # no AS
-    with pytest.raises(ChSqlError):
-        rewrite_ch_sql("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")  # zip
+    # multi-array zip: positional pairing via posexplode + aligned element_at
+    z = rewrite_ch_sql("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")
+    assert "posexplode(a)" in z and "__ajpos1, x" in z
+    assert "element_at(b, __ajpos1 + 1)" in z and "AS y" in z
+
+
+def test_multi_array_join_zips_positionally(spark):
+    from byconity_spark.frontend import ch_sql
+
+    spark.sql(
+        "SELECT 1 AS id, array('a', 'b') AS xs, array(10, 20) AS ys "
+        "UNION ALL SELECT 2, array('c'), array(30)"
+    ).createOrReplaceTempView("__maj_t")
+    rows = ch_sql(
+        spark,
+        "SELECT id, x, y FROM __maj_t ARRAY JOIN xs AS x, ys AS y ORDER BY id, x",
+    ).collect()
+    assert [(r.id, r.x, r.y) for r in rows] == [(1, "a", 10), (1, "b", 20), (2, "c", 30)]
 
 
 def test_numbers_rewrite(spark):
