@@ -497,6 +497,29 @@ def _strip_format(sql: str) -> str:
     return sql
 
 
+def _strip_settings(sql: str) -> str:
+    """Drop a trailing ``SETTINGS k = v[, ...]`` clause.  These are CH
+    runtime execution knobs (max_threads, max_memory_usage, ...); the Spark
+    equivalents live in session confs, so the clause is ignored —
+    documented deviation, semantics of the query itself are unchanged."""
+    import re
+
+    i = _depth0_find(sql, "SETTINGS")
+    if i < 0:
+        return sql
+    tail = sql[i + len("SETTINGS") :]
+    assign = r"[A-Za-z_][A-Za-z0-9_]*\s*=\s*(?:'[^']*'|[A-Za-z0-9_.+-]+)"
+    if re.fullmatch(
+        rf"\s+{assign}(?:\s*,\s*{assign})*\s*(FORMAT\s+[A-Za-z][A-Za-z0-9]*)?\s*;?\s*",
+        tail,
+        re.IGNORECASE,
+    ):
+        fmt = re.search(r"FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", tail, re.IGNORECASE)
+        kept = " " + tail[fmt.start():] if fmt else ""
+        return sql[:i].rstrip() + kept
+    return sql
+
+
 def _rewrite_sample(sql: str) -> str:
     """``FROM t SAMPLE 0.1`` -> ``FROM t TABLESAMPLE (10.0 PERCENT)``.
     Only the fractional form is supported (``SAMPLE n`` approximate-rows
@@ -1021,6 +1044,7 @@ def rewrite_ch_sql(sql: str) -> str:
                 "a text rewrite; run the query through ch_sql() (which "
                 "routes strict joins) or call operators.joins.any_join"
             )
+    sql = _strip_settings(sql)
     sql = _strip_format(sql)
     sql = _strip_final_and_global(sql)
     sql = _rewrite_prewhere(sql)

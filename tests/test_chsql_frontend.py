@@ -398,3 +398,16 @@ def test_tuple_range_rules():
     assert "struct(1, 'a')" in out
     assert "sequence(0, 3 - 1)" in out
     assert "sequence(2, 5 - 1)" in out
+
+
+def test_settings_clause_stripped():
+    from byconity_spark.frontend.sql import rewrite_ch_sql
+
+    out = rewrite_ch_sql(
+        "SELECT count() FROM t SETTINGS max_threads = 8, "
+        "max_memory_usage = '10G' FORMAT JSON"
+    )
+    assert "SETTINGS" not in out and "FORMAT" not in out
+    # a column named 'settings' or mid-query text must not be eaten
+    keep = rewrite_ch_sql("SELECT settings FROM t WHERE settings = 1")
+    assert "settings" in keep.lower()
