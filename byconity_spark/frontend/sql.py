@@ -376,10 +376,110 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+    "quantiles": lambda p, a: (
+        f"percentile_approx({a[0]}, array({', '.join(p)}))"
+    ),
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "topK": lambda p, a: f"slice(array_sort(collect_set({a[0]})), 1, {p[0]})",
+    # precision tiers collapse to Spark's HLL++ default sketch (the Python
+    # API's registry keeps the per-tier accuracy mapping)
+    "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
+    "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    # CH adaptive histogram(n) -> Spark's adaptive histogram_numeric
+    # (same bins-by-merging idea, different merge rule — stand-in)
+    "histogram": lambda p, a: f"histogram_numeric({a[0]}, {p[0]})",
     "windowFunnel": _window_funnel_sql,
 }
+
+
+def _date_diff_sql(a: list[str]) -> str:
+    unit = a[0].strip().strip("'\"").upper()
+    if unit not in (
+        "SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH", "QUARTER", "YEAR"
+    ):
+        raise ChSqlError(f"dateDiff: unsupported unit {a[0]}")
+    return f"timestampdiff({unit}, {a[1]}, {a[2]})"
+
+
+def _format_datetime_sql(a: list[str]) -> str:
+    fmt = a[1].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        raise ChSqlError("formatDateTime needs a literal format string")
+    from byconity_spark.functions.registry import ch_datetime_pattern
+
+    pat = ch_datetime_pattern(fmt[1:-1]).replace("'", "''")
+    return f"date_format({a[0]}, '{pat}')"
+
+
+def _to_start_of_interval_sql(a: list[str]) -> str:
+    import re
+
+    m = re.fullmatch(
+        r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?",
+        a[1].strip(),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ChSqlError(
+            "toStartOfInterval supports INTERVAL n SECOND|MINUTE|HOUR|DAY"
+        )
+    secs = int(m.group(1)) * {
+        "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400
+    }[m.group(2).upper()]
+    return f"timestamp_seconds((unix_timestamp({a[0]}) div {secs}) * {secs})"
+
+
+def _bucket_ts(secs: int):
+    return lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) div {secs}) * {secs})"
+    )
+
+
+RULES.update(
+    {
+        "countDistinct": lambda a: f"count(DISTINCT {', '.join(a)})",
+        "dateDiff": _date_diff_sql,
+        "age": _date_diff_sql,  # timestampdiff counts COMPLETE units = CH age
+        "formatDateTime": _format_datetime_sql,
+        "today": lambda a: "current_date()",
+        "yesterday": lambda a: "date_sub(current_date(), 1)",
+        "toStartOfFiveMinutes": _bucket_ts(300),
+        "toStartOfTenMinutes": _bucket_ts(600),
+        "toStartOfFifteenMinutes": _bucket_ts(900),
+        "timeSlot": _bucket_ts(1800),
+        "toStartOfInterval": _to_start_of_interval_sql,
+        "subtractDays": lambda a: f"({a[0]} - make_interval(0, 0, 0, {a[1]}, 0, 0, 0))",
+        "subtractHours": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, {a[1]}, 0, 0))",
+        "addMinutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
+        "addSeconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
+        "subtractMinutes": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
+        "subtractSeconds": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
+        "toIntervalDay": lambda a: f"make_interval(0, 0, 0, {a[0]}, 0, 0, 0)",
+        "toIntervalHour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",
+        "toIntervalMinute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",
+        "toIntervalSecond": lambda a: f"make_interval(0, 0, 0, 0, 0, 0, {a[0]})",
+        "caseWithExpression": lambda a: (
+            "CASE " + a[0] + " "
+            + " ".join(
+                f"WHEN {a[i]} THEN {a[i + 1]}" for i in range(1, len(a) - 1, 2)
+            )
+            + f" ELSE {a[-1]} END"
+        ),
+        "intDivOrZero": lambda a: (
+            f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} div {a[1]} END)"
+        ),
+        "ifNotFinite": lambda a: (
+            f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = double('Infinity') "
+            f"THEN {a[1]} ELSE {a[0]} END)"
+        ),
+        "emptyArrayString": lambda a: "CAST(array() AS ARRAY<STRING>)",
+        "emptyArrayInt32": lambda a: "CAST(array() AS ARRAY<INT>)",
+        "emptyArrayInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+        "emptyArrayUInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+        "emptyArrayFloat64": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
+        "farmHash64": "xxhash64",  # 64-bit stand-in, like sipHash64
+    }
+)
 
 _IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 

@@ -95,9 +95,10 @@ _CH_FMT = {
 }
 
 
-def _format_date_time(c: Column, fmt: str) -> Column:
-    """CH formatDateTime: translate ClickHouse %-codes to a Spark datetime
-    pattern, quoting literal runs so pattern letters stay literal."""
+def ch_datetime_pattern(fmt: str) -> str:
+    """Translate a ClickHouse %-code datetime format to a Spark pattern,
+    quoting literal runs so pattern letters stay literal.  Shared by the
+    Column-API formatDateTime and the SQL frontend's rewrite."""
     out: list[str] = []
     literal: list[str] = []
 
@@ -123,7 +124,12 @@ def _format_date_time(c: Column, fmt: str) -> Column:
             literal.append(fmt[i])
             i += 1
     flush_literal()
-    return F.date_format(c, "".join(out))
+    return "".join(out)
+
+
+def _format_date_time(c: Column, fmt: str) -> Column:
+    """CH formatDateTime via the shared %-code translation."""
+    return F.date_format(c, ch_datetime_pattern(fmt))
 
 
 def _jpath(keys: tuple) -> str:

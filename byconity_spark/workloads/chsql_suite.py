@@ -441,3 +441,40 @@ def chsql_multi_array_join(spark: SparkSession, sf: str) -> DataFrame:
         WHERE doc_id < 40 AND lengthUTF8(w) >= 6
         """,
     )
+
+
+@register(
+    "chsql_compat_suite",
+    oracle="""
+    WITH b AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)
+                        * 900000000 AS bus,
+                      user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us
+               FROM events)
+    SELECT strftime(make_timestamp(bus), '%Y-%m-%d %H:%M') AS q15,
+           count(DISTINCT user_id) AS uniq_users,
+           count(*) AS n,
+           count(*) // count(DISTINCT user_id) AS per_user,
+           CAST((max(us) - min(us)) // 3600000000 AS BIGINT) AS span_hours
+    FROM b GROUP BY q15
+    """,
+)
+def chsql_compat_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-5 drop-in-compat batch through the frontend: countDistinct,
+    toStartOfFifteenMinutes, formatDateTime %-codes, dateDiff ->
+    timestampdiff, intDivOrZero, and a trailing SETTINGS clause (stripped;
+    CH runtime knobs map to Spark session confs)."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT formatDateTime(toStartOfFifteenMinutes(ts), '%Y-%m-%d %H:%M') AS q15,
+               countDistinct(user_id) AS uniq_users,
+               count() AS n,
+               intDivOrZero(count(), countDistinct(user_id)) AS per_user,
+               dateDiff('hour', min(ts), max(ts)) AS span_hours
+        FROM events
+        GROUP BY q15
+        SETTINGS max_threads = 4
+        """,
+    )

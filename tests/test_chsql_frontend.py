@@ -411,3 +411,33 @@ def test_settings_clause_stripped():
     # a column named 'settings' or mid-query text must not be eaten
     keep = rewrite_ch_sql("SELECT settings FROM t WHERE settings = 1")
     assert "settings" in keep.lower()
+
+
+def test_round5_compat_rules():
+    assert (
+        rewrite_ch_sql("SELECT countDistinct(u, v) FROM t")
+        == "SELECT count(DISTINCT u, v) FROM t"
+    )
+    assert "timestampdiff(DAY, a, b)" in rewrite_ch_sql(
+        "SELECT dateDiff('day', a, b) FROM t"
+    )
+    assert "date_format(ts, 'yyyy-MM-dd HH:mm')" in rewrite_ch_sql(
+        "SELECT formatDateTime(ts, '%Y-%m-%d %H:%M') FROM t"
+    )
+    assert "div 900" in rewrite_ch_sql("SELECT toStartOfFifteenMinutes(ts) FROM t")
+    assert "div 300" in rewrite_ch_sql(
+        "SELECT toStartOfInterval(ts, INTERVAL 5 MINUTE) FROM t"
+    )
+    assert "percentile_approx(v, array(0.5, 0.9))" in rewrite_ch_sql(
+        "SELECT quantiles(0.5, 0.9)(v) FROM t"
+    )
+    assert rewrite_ch_sql("SELECT uniqCombined(14)(u) FROM t") == (
+        "SELECT approx_count_distinct(u) FROM t"
+    )
+    assert "CASE a WHEN 1 THEN 'x' ELSE 'y' END" in rewrite_ch_sql(
+        "SELECT caseWithExpression(a, 1, 'x', 'y') FROM t"
+    )
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT dateDiff('fortnight', a, b) FROM t")
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT formatDateTime(ts, fmtcol) FROM t")
