@@ -254,7 +254,8 @@ RULES: dict[str, object] = {
         else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
     ),
     "arrayDistinct": "array_distinct",
-    "arraySort": "sort_array",
+    "arraySort": lambda a: _array_sort_sql(a, desc=False),
+    "arrayReverseSort": lambda a: _array_sort_sql(a, desc=True),
     "arrayConcat": "concat",
     "arrayStringConcat": "array_join",
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
@@ -310,6 +311,14 @@ RULES: dict[str, object] = {
     "avgIf": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
     "minIf": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
     "maxIf": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "uniqIf": lambda a: (
+        f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)"
+    ),
+    "uniqExactIf": lambda a: (
+        f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)"
+    ),
+    "sumDistinct": lambda a: f"sum(DISTINCT {a[0]})",
+    "avgDistinct": lambda a: f"avg(DISTINCT {a[0]})",
     "anyLast": "last",
     # NB: no rule for `any` — it would capture SQL's `> ANY (subquery)`
     "anyValue": "first",
@@ -433,6 +442,82 @@ def _bucket_ts(secs: int):
     return lambda a: (
         f"timestamp_seconds((unix_timestamp({a[0]}) div {secs}) * {secs})"
     )
+
+
+def _array_sort_sql(a: list[str], desc: bool) -> str:
+    """CH arraySort[Desc]([f,] arr): the optional FIRST arg is a KEY lambda
+    (sort by f(x)), while Spark's array_sort takes a COMPARATOR — translate
+    by inlining the key body for both sides of a three-way compare."""
+    import re
+
+    if len(a) == 1:
+        return f"sort_array({a[0]}, {str(not desc).lower()})"
+    lam, arr = a[0], a[1]
+    if "->" not in lam:
+        raise ChSqlError("arraySort: first of two args must be a lambda")
+    var, body = lam.split("->", 1)
+    var = var.strip().lstrip("(").rstrip(")").strip()
+    body = body.strip()
+
+    def sub(name: str) -> str:
+        return re.sub(rf"\b{re.escape(var)}\b", name, body)
+
+    lo, hi = ("1", "-1") if desc else ("-1", "1")
+    return (
+        f"array_sort({arr}, (__l, __r) -> CASE "
+        f"WHEN ({sub('__l')}) < ({sub('__r')}) THEN {lo} "
+        f"WHEN ({sub('__l')}) > ({sub('__r')}) THEN {hi} ELSE 0 END)"
+    )
+
+
+_POW2 = ", ".join(str(1 << i) for i in range(63))
+
+RULES.update(
+    {
+        # strings / search
+        "notLike": lambda a: f"(NOT ({a[0]} LIKE {a[1]}))",
+        "positionCaseInsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+        "countSubstrings": lambda a: (
+            f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
+            f"div length({a[1]}) AS BIGINT)"
+        ),
+        "splitByString": lambda a: (
+            f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))"
+        ),
+        "alphaTokens": lambda a: (
+            f"filter(split({a[0]}, '[^A-Za-z]+'), __x -> __x != '')"
+        ),
+        # conversions (Or-variants: CH's non-throwing forms -> try_cast)
+        "toInt32OrNull": lambda a: f"try_cast({a[0]} AS INT)",
+        "toInt64OrNull": lambda a: f"try_cast({a[0]} AS BIGINT)",
+        "toFloat64OrNull": lambda a: f"try_cast({a[0]} AS DOUBLE)",
+        "toInt32OrZero": lambda a: f"coalesce(try_cast({a[0]} AS INT), 0)",
+        "toInt64OrZero": lambda a: f"coalesce(try_cast({a[0]} AS BIGINT), 0)",
+        "toFloat64OrZero": lambda a: f"coalesce(try_cast({a[0]} AS DOUBLE), 0.0)",
+        "toDateOrNull": lambda a: f"try_cast({a[0]} AS DATE)",
+        "toDateTimeOrNull": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
+        "parseDateTimeBestEffort": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
+        "parseDateTimeBestEffortOrNull": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
+        "generateUUIDv4": lambda a: "uuid()",
+        # arrays
+        "arrayCumSum": lambda a: (
+            f"aggregate({a[0]}, CAST(array() AS ARRAY<DOUBLE>), (__acc, __x) -> "
+            f"concat(__acc, array(coalesce(try_element_at(__acc, -1), 0D) "
+            f"+ CAST(__x AS DOUBLE))))"
+        ),
+        "bitmaskToList": lambda a: (
+            f"array_join(filter(transform(sequence(0, 62), __i -> "
+            f"CASE WHEN ((CAST({a[0]} AS BIGINT) >> __i) & 1) = 1 "
+            f"THEN CAST(element_at(array({_POW2}), __i + 1) AS STRING) END), "
+            f"__x -> __x IS NOT NULL), ',')"
+        ),
+        # URL extras
+        "domainWithoutWWW": lambda a: (
+            f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+        ),
+        "decodeURLComponent": lambda a: f"url_decode({a[0]})",
+    }
+)
 
 
 RULES.update(

@@ -441,3 +441,28 @@ def test_round5_compat_rules():
         rewrite_ch_sql("SELECT dateDiff('fortnight', a, b) FROM t")
     with pytest.raises(ChSqlError):
         rewrite_ch_sql("SELECT formatDateTime(ts, fmtcol) FROM t")
+
+
+def test_round5_compat_rules_batch2(spark):
+    """The batch-2 rules EXECUTE correctly (not just rewrite)."""
+    from byconity_spark.frontend import ch_sql
+
+    got = ch_sql(
+        spark,
+        "SELECT arraySort(x -> -x, [3,1,2]) AS a,"
+        "       countSubstrings('ababab', 'ab') AS c,"
+        "       splitByString('--', 'a--b--c') AS s,"
+        "       toInt64OrNull('12x') AS bad,"
+        "       toFloat64OrZero('2.5') AS v,"
+        "       arrayCumSum([1,2,3]) AS cs,"
+        "       bitmaskToList(50) AS bl,"
+        "       uniqExactIf(x, x > 1) AS u "
+        "FROM (SELECT explode(array(1,2,2,3)) AS x)",
+    ).collect()[0]
+    assert got.a == [3, 2, 1]
+    assert got.c == 3
+    assert got.s == ["a", "b", "c"]
+    assert got.bad is None and got.v == 2.5
+    assert got.cs == [1.0, 3.0, 6.0]
+    assert got.bl == "2,16,32"
+    assert got.u == 2
