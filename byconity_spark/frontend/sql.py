@@ -500,15 +500,20 @@ RULES.update(
         "parseDateTimeBestEffortOrNull": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
         "generateUUIDv4": lambda a: "uuid()",
         # arrays
+        # NB: emitted SQL avoids BOTH the ARRAY<T> generic syntax and the
+        # >> operator — Spark's parser mis-lexes a later `>>` in any
+        # statement that already contained `ARRAY<...>` (extra-input
+        # parse error), so a typed-empty-array seed uses array_remove and
+        # shifts use the shiftright() function form.
         "arrayCumSum": lambda a: (
-            f"aggregate({a[0]}, CAST(array() AS ARRAY<DOUBLE>), (__acc, __x) -> "
+            f"aggregate({a[0]}, array_remove(array(0D), 0D), (__acc, __x) -> "
             f"concat(__acc, array(coalesce(try_element_at(__acc, -1), 0D) "
             f"+ CAST(__x AS DOUBLE))))"
         ),
         "bitmaskToList": lambda a: (
             f"array_join(filter(transform(sequence(0, 62), __i -> "
-            f"CASE WHEN ((CAST({a[0]} AS BIGINT) >> __i) & 1) = 1 "
-            f"THEN CAST(element_at(array({_POW2}), __i + 1) AS STRING) END), "
+            f"CASE WHEN shiftright(CAST({a[0]} AS BIGINT), CAST(__i AS INT)) % 2 = 1 "
+            f"THEN CAST(element_at(array({_POW2}), CAST(__i + 1 AS INT)) AS STRING) END), "
             f"__x -> __x IS NOT NULL), ',')"
         ),
         # URL extras
@@ -557,11 +562,13 @@ RULES.update(
             f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = double('Infinity') "
             f"THEN {a[1]} ELSE {a[0]} END)"
         ),
-        "emptyArrayString": lambda a: "CAST(array() AS ARRAY<STRING>)",
-        "emptyArrayInt32": lambda a: "CAST(array() AS ARRAY<INT>)",
-        "emptyArrayInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
-        "emptyArrayUInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
-        "emptyArrayFloat64": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
+        # typed empties via array_remove — not CAST(.. AS ARRAY<T>), which
+        # poisons any later >> in the statement (parser quirk above)
+        "emptyArrayString": lambda a: "array_remove(array(''), '')",
+        "emptyArrayInt32": lambda a: "array_remove(array(0), 0)",
+        "emptyArrayInt64": lambda a: "array_remove(array(0L), 0L)",
+        "emptyArrayUInt64": lambda a: "array_remove(array(0L), 0L)",
+        "emptyArrayFloat64": lambda a: "array_remove(array(0D), 0D)",
         "farmHash64": "xxhash64",  # 64-bit stand-in, like sipHash64
     }
 )
