@@ -1885,3 +1885,133 @@ SCALAR.update(
         "base58Decode": _base58_decode,
     }
 )
+
+
+# ---- round-5 registry batch: conversion Or-variants, URL codecs, hash
+# stand-ins, bitmaskToList, caseWithExpression, ngrams
+# (src/Functions/FunctionsConversion.h try-parse forms, URL/,
+# FunctionsHashing.h, bitmaskToList.cpp, caseWithExpression.cpp)
+
+def _case_with_expression(expr: Column, *rest) -> Column:
+    """caseWithExpression(x, w1, r1, ..., default): CASE x WHEN w THEN r."""
+    pairs, default = rest[:-1], rest[-1]
+    out = None
+    for i in range(0, len(pairs) - 1, 2):
+        cond = expr == pairs[i]
+        out = F.when(cond, pairs[i + 1]) if out is None else out.when(cond, pairs[i + 1])
+    return out.otherwise(default) if out is not None else F.lit(default)
+
+
+_B2L_POWERS = F.array(*[F.lit(1 << i) for i in range(63)])
+
+
+def _bitmask_to_list(c: Column) -> Column:
+    n = c.cast("long")
+    return F.array_join(
+        F.filter(
+            F.transform(
+                _B2L_POWERS,
+                lambda p: F.when((n.bitwiseAND(p)) == p, p.cast("string")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+
+
+SCALAR.update(
+    {
+        "decodeURLComponent": F.url_decode,
+        "encodeURLComponent": F.url_encode,
+        "toInt32OrNull": lambda c: c.try_cast("int"),
+        "toInt64OrNull": lambda c: c.try_cast("bigint"),
+        "toFloat64OrNull": lambda c: c.try_cast("double"),
+        "toInt32OrZero": lambda c: F.coalesce(c.try_cast("int"), F.lit(0)),
+        "toInt64OrZero": lambda c: F.coalesce(c.try_cast("bigint"), F.lit(0).cast("bigint")),
+        "toFloat64OrZero": lambda c: F.coalesce(c.try_cast("double"), F.lit(0.0)),
+        "toDateOrNull": lambda c: c.try_cast("date"),
+        "toDateTimeOrNull": lambda c: c.try_cast("timestamp"),
+        "parseDateTimeBestEffortOrNull": lambda c: c.try_cast("timestamp"),
+        "bitmaskToList": _bitmask_to_list,
+        "caseWithExpression": _case_with_expression,
+        # hash stand-ins (documented, like cityHash64 -> xxhash64)
+        "sipHash128": lambda *cols: F.md5(F.concat_ws("\x01", *cols)),
+        "hiveHash": lambda c: F.hash(c),
+        "intHash32": lambda c: F.hash(c.cast("long")),
+        "intHash64": lambda c: F.xxhash64(c.cast("long")),
+        "URLHash": lambda c: F.xxhash64(F.substring_index(c, "#", 1)),
+        "ngrams": lambda c, n: __import__(
+            "byconity_spark.llm.text", fromlist=["char_ngrams"]
+        ).char_ngrams(c, n),
+    }
+)
+
+
+# ---- skew/kurt moment aggregates (AggregateFunctionStatisticsSimple.cpp:
+# skewPop/skewSamp/kurtPop/kurtSamp).  CH semantics: skewPop = m3/m2^1.5,
+# skewSamp = m3/s^3 (s^2 = SAMPLE variance), kurtPop = m4/m2^2 (NOT
+# excess), kurtSamp = m4/s^4 — all derived from raw power sums, which map
+# to one partial-aggregable pass.
+
+def _central_moments(c: Column):
+    x = c.cast("double")
+    n = F.count(x).cast("double")
+    mean = F.avg(x)
+    s2 = F.avg(x * x)
+    s3 = F.avg(x * x * x)
+    s4 = F.avg(x * x * x * x)
+    m2 = s2 - mean * mean
+    m3 = s3 - 3 * mean * s2 + 2 * mean * mean * mean
+    m4 = s4 - 4 * mean * s3 + 6 * mean * mean * s2 - 3 * mean * mean * mean * mean
+    return n, m2, m3, m4
+
+
+def _skew_pop(c: Column) -> Column:
+    _, m2, m3, _ = _central_moments(c)
+    return m3 / F.pow(m2, 1.5)
+
+
+def _skew_samp(c: Column) -> Column:
+    n, m2, m3, _ = _central_moments(c)
+    return m3 / F.pow(n / (n - 1) * m2, 1.5)
+
+
+def _kurt_pop(c: Column) -> Column:
+    _, m2, _, m4 = _central_moments(c)
+    return m4 / (m2 * m2)
+
+
+def _kurt_samp(c: Column) -> Column:
+    n, m2, _, m4 = _central_moments(c)
+    sv = n / (n - 1) * m2
+    return m4 / (sv * sv)
+
+
+AGG.update(
+    {
+        "skewPop": _skew_pop,
+        "skewSamp": _skew_samp,
+        "kurtPop": _kurt_pop,
+        "kurtSamp": _kurt_samp,
+        # Kahan compensation is how the runtime sums; result-equivalent
+        "sumKahan": F.sum,
+        # Spark's percentile_approx IS the Greenwald-Khanna sketch
+        "quantileGK": lambda level, c: F.percentile_approx(c, level),
+        # two-sample pooled-variance t statistic (StudentTTest.h); CH also
+        # returns the p-value, which needs the t CDF — t-stat only here
+        "studentTTest": lambda v, g: (
+            (
+                F.avg(F.when(g, v.cast("double")))
+                - F.avg(F.when(~g, v.cast("double")))
+            )
+            / F.sqrt(
+                (
+                    (F.count(F.when(g, v)) - 1) * F.var_samp(F.when(g, v.cast("double")))
+                    + (F.count(F.when(~g, v)) - 1) * F.var_samp(F.when(~g, v.cast("double")))
+                )
+                / (F.count(F.when(g, v)) + F.count(F.when(~g, v)) - 2)
+                * (1.0 / F.count(F.when(g, v)) + 1.0 / F.count(F.when(~g, v)))
+            )
+        ),
+    }
+)

@@ -1094,3 +1094,51 @@ def agg_arbitrary_single(spark: SparkSession, sf: str) -> DataFrame:
         ch("singleValueOrNull", F.col("user_id") % 2).alias("single_flag"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ----------------- skew/kurt moment aggregates + pooled t
+# (AggregateFunctionStatisticsSimple.cpp: skewPop/skewSamp/kurtPop/
+# kurtSamp — CH flavors: skewPop=m3/m2^1.5, skewSamp=m3/s^3 with SAMPLE
+# variance, kurtPop=m4/m2^2 (not excess), kurtSamp=m4/s^4; StudentTTest.h
+# pooled-variance t).  round(5): the central-moment subtraction amplifies
+# double summation-order ulps between engines (~1e-7 at 60k rows).
+@register(
+    "agg_moments_suite",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      count(*)::DOUBLE AS n, avg(value) AS mean,
+                      avg(value*value) AS s2, avg(value*value*value) AS s3,
+                      avg(value*value*value*value) AS s4,
+                      avg(CASE WHEN user_id % 2 = 0 THEN value END) AS a1,
+                      avg(CASE WHEN user_id % 2 != 0 THEN value END) AS a0,
+                      var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS v1,
+                      var_samp(CASE WHEN user_id % 2 != 0 THEN value END) AS v0,
+                      count(CASE WHEN user_id % 2 = 0 THEN 1 END)::DOUBLE AS n1,
+                      count(CASE WHEN user_id % 2 != 0 THEN 1 END)::DOUBLE AS n0
+               FROM events GROUP BY event_type),
+    m AS (SELECT event_type, n, a1, a0, v1, v0, n1, n0,
+                 s2 - mean*mean AS m2,
+                 s3 - 3*mean*s2 + 2*mean*mean*mean AS m3,
+                 s4 - 4*mean*s3 + 6*mean*mean*s2
+                   - 3*mean*mean*mean*mean AS m4
+          FROM s)
+    SELECT event_type,
+           round(m3 / pow(m2, 1.5), 5)              AS skew_pop,
+           round(m3 / pow(n/(n-1)*m2, 1.5), 5)      AS skew_samp,
+           round(m4 / (m2*m2), 5)                   AS kurt_pop,
+           round(m4 / pow(n/(n-1)*m2, 2), 5)        AS kurt_samp,
+           round((a1 - a0) / sqrt(((n1-1)*v1 + (n0-1)*v0) / (n1+n0-2)
+                 * (1/n1 + 1/n0)), 5)               AS t_stat
+    FROM m
+    """,
+)
+def agg_moments_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    v, even = F.col("value"), F.col("user_id") % 2 == 0
+    return ev.groupBy("event_type").agg(
+        F.round(ch("skewPop", v), 5).alias("skew_pop"),
+        F.round(ch("skewSamp", v), 5).alias("skew_samp"),
+        F.round(ch("kurtPop", v), 5).alias("kurt_pop"),
+        F.round(ch("kurtSamp", v), 5).alias("kurt_samp"),
+        F.round(ch("studentTTest", v, even), 5).alias("t_stat"),
+    )

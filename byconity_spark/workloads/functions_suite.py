@@ -666,3 +666,48 @@ def fn_ipv6_base58_suite(spark: SparkSession, sf: str) -> DataFrame:
         b58.alias("b58"),
         (ch("base58Decode", b58) == bytes8).alias("b58_roundtrip"),
     )
+
+
+# ------------------------- conversion Or-variants / codecs / case-expr
+# (FunctionsConversion.h try-parse forms, bitmaskToList.cpp,
+# caseWithExpression.cpp, URL decodeURLComponent)
+@register(
+    "fn_conv_suite",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id < 200)
+    SELECT k,
+           try_cast(CAST(k AS VARCHAR) AS BIGINT)        AS i_ok,
+           try_cast('x' || CAST(k AS VARCHAR) AS BIGINT) AS i_bad,
+           coalesce(try_cast(CASE WHEN k % 2 = 0 THEN '1.5' ELSE 'bad' END
+                             AS DOUBLE), 0.0)            AS f_zero,
+           try_cast('2024-03-15' AS DATE)                AS d_ok,
+           array_to_string(list_filter(list_transform(range(0, 63),
+             i -> CASE WHEN (((k % 64) >> CAST(i AS INTEGER)) & 1) = 1
+                  THEN CAST((CAST(1 AS BIGINT) << CAST(i AS INTEGER)) AS VARCHAR)
+                  END), x -> x IS NOT NULL), ',')        AS bml,
+           CASE k % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one'
+                ELSE 'many' END                          AS cwe,
+           replace(replace('a%20b%26' || CAST(k AS VARCHAR), '%20', ' '),
+                   '%26', '&')                           AS urld
+    FROM d
+    """,
+)
+def fn_conv_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 200)
+    d = ev.select(F.col("user_id").alias("k")).distinct()
+    k = F.col("k")
+    ks = k.cast("string")
+    return d.select(
+        k,
+        ch("toInt64OrNull", ks).alias("i_ok"),
+        ch("toInt64OrNull", F.concat(F.lit("x"), ks)).alias("i_bad"),
+        ch(
+            "toFloat64OrZero",
+            F.when(k % 2 == 0, F.lit("1.5")).otherwise(F.lit("bad")),
+        ).alias("f_zero"),
+        ch("toDateOrNull", F.lit("2024-03-15")).alias("d_ok"),
+        ch("bitmaskToList", k % 64).alias("bml"),
+        ch("caseWithExpression", k % 3, 0, F.lit("zero"), 1, F.lit("one"),
+           F.lit("many")).alias("cwe"),
+        ch("decodeURLComponent", F.concat(F.lit("a%20b%26"), ks)).alias("urld"),
+    )
