@@ -265,3 +265,46 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return _run_to_memory(
         joined, mode="append", metric_name="stream_stream_join"
     )
+
+
+@register(
+    "stream_mv_to_table",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_mv_to_table(spark: SparkSession, sf: str) -> DataFrame:
+    """ByConity's ``MATERIALIZED VIEW ... TO table`` shape (reference
+    StorageMaterializedView: the MV continuously maintains a physical
+    target table): streaming rollup -> foreachBatch overwrite of a parquet
+    target -> the QUERY then reads the TARGET TABLE, not the stream.
+    Restart-safe: the overwrite is idempotent per epoch, so a replayed
+    batch converges to the same table."""
+    spark2 = _stream_session(spark)
+    stream = events_file_stream(spark2, sf)
+    agg = stream.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    target = tempfile.mkdtemp(prefix="bspark_mvt_")
+    ckpt = tempfile.mkdtemp(prefix="bspark_ckpt_")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(target)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch_ms = 0.0
+    for prog in q.recentProgress:
+        batch_ms += float((prog.get("durationMs") or {}).get("addBatch", 0))
+    LAST_BATCH_SECONDS["stream_mv_to_table"] = round(batch_ms / 1000.0, 4)
+    return spark2.read.parquet(target)
