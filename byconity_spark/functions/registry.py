@@ -2015,3 +2015,41 @@ AGG.update(
         ),
     }
 )
+
+
+# ---- string-distance family (src/Functions/FunctionsStringDistance.cpp:
+# editDistance/levenshteinDistance, byteHammingDistance,
+# stringJaccardIndex).  All pure Column HOFs.
+
+def _byte_hamming(a: Column, b: Column) -> Column:
+    la, lb = F.length(a), F.length(b)
+    common = F.least(la, lb)
+    diff = F.when(
+        common >= 1,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), common),
+                lambda i: a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
+            )
+        ),
+    ).otherwise(0)
+    return (diff + F.abs(la - lb)).cast("long")
+
+
+def _string_jaccard(a: Column, b: Column) -> Column:
+    ca = F.array_distinct(F.split(a, ""))
+    cb = F.array_distinct(F.split(b, ""))
+    inter = F.size(F.array_intersect(ca, cb)).cast("double")
+    union = F.size(F.array_union(ca, cb))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+SCALAR.update(
+    {
+        "editDistance": F.levenshtein,
+        "levenshteinDistance": F.levenshtein,
+        "byteHammingDistance": _byte_hamming,
+        "mismatches": _byte_hamming,  # CH alias
+        "stringJaccardIndex": _string_jaccard,
+    }
+)

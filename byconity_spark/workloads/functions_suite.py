@@ -711,3 +711,39 @@ def fn_conv_suite(spark: SparkSession, sf: str) -> DataFrame:
            F.lit("many")).alias("cwe"),
         ch("decodeURLComponent", F.concat(F.lit("a%20b%26"), ks)).alias("urld"),
     )
+
+
+# ------------------- string distances (FunctionsStringDistance.cpp:
+# editDistance, byteHammingDistance, stringJaccardIndex).  Pairs = cross
+# of distinct event types (bounded alphabet); hamming compares rpad-equal
+# strings (DuckDB's hamming requires equal lengths, CH adds the length
+# delta — padding makes both agree).
+@register(
+    "fn_strdist_suite",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type AS s FROM events)
+    SELECT a.s AS s1, b.s AS s2,
+           levenshtein(a.s, b.s) AS lev,
+           CAST(hamming(rpad(a.s, 10, '#'), rpad(b.s, 10, '#')) AS BIGINT)
+             AS ham10,
+           round(jaccard(a.s, b.s), 6) AS jac
+    FROM t a CROSS JOIN t b
+    """,
+)
+def fn_strdist_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    t = ev.select(F.col("event_type").alias("s")).distinct()
+    a = t.select(F.col("s").alias("s1"))
+    b = t.select(F.col("s").alias("s2"))
+    pairs = a.crossJoin(b)
+    return pairs.select(
+        "s1",
+        "s2",
+        ch("editDistance", F.col("s1"), F.col("s2")).cast("long").alias("lev"),
+        ch(
+            "byteHammingDistance",
+            F.rpad(F.col("s1"), 10, "#"),
+            F.rpad(F.col("s2"), 10, "#"),
+        ).alias("ham10"),
+        F.round(ch("stringJaccardIndex", F.col("s1"), F.col("s2")), 6).alias("jac"),
+    )
