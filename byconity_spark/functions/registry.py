@@ -1902,15 +1902,16 @@ def _case_with_expression(expr: Column, *rest) -> Column:
     return out.otherwise(default) if out is not None else F.lit(default)
 
 
-_B2L_POWERS = F.array(*[F.lit(1 << i) for i in range(63)])
-
-
 def _bitmask_to_list(c: Column) -> Column:
+    # powers array built INSIDE the call: module-level F.array(...) would
+    # run at import time — and pandas-UDF workers re-import this module
+    # with no active SparkContext, which crashes every UDF in the registry
     n = c.cast("long")
+    powers = F.array(*[F.lit(1 << i) for i in range(63)])
     return F.array_join(
         F.filter(
             F.transform(
-                _B2L_POWERS,
+                powers,
                 lambda p: F.when((n.bitwiseAND(p)) == p, p.cast("string")),
             ),
             lambda x: x.isNotNull(),
