@@ -952,3 +952,40 @@ def ann_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.llm.similarity import pq_encode
 
     return pq_encode(_emb(spark, sf))
+
+
+# ----------------------------------------------- IVF-PQ fused ANN search
+@register(
+    "ann_ivfpq_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))) AS cosine
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_ivfpq_topk_query(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ in COMPLETENESS mode (nprobe >= n_lists, adc_keep >= corpus):
+    every list probed and every ADC-scored candidate exactly re-ranked, so
+    the result is provably the exact cosine top-k while the query still
+    exercises the full pipeline — coarse assignment, PQ encode, ADC
+    lookup-table join, re-rank.  Partial-setting recall is pinned in
+    tests/test_llm.py."""
+    from byconity_spark.llm.similarity import ann_ivfpq_topk
+
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivfpq_topk(emb, queries, k=10, nprobe=100, adc_keep=10_000_000)

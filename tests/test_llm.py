@@ -139,3 +139,34 @@ def test_frame_sample_deterministic(spark):
     assert all(r.frame_idx in (0, 1, 2, 3) for r in r1[:40])
     assert all(0.0 <= r.frame_mean <= 255.0 for r in r1[:40])
     assert all(len(r.frame) == 4 for r in r1[:40])
+
+
+def test_ann_ivfpq_recall_and_completeness(emb):
+    from byconity_spark.llm.similarity import ann_ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in ann_bruteforce_topk(emb, queries, k=10).collect()
+    }
+    # partial probing + ADC shortlist.  The fixture codebook has only 10
+    # label-mean codewords per subspace (production trains ~256 by
+    # k-means), so the ADC shortlist must be generous to shield recall.
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_ivfpq_topk(
+            emb, queries, k=10, nprobe=6, adc_keep=200
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} < 0.8"
+    # completeness mode must EQUAL brute force exactly
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ann_ivfpq_topk(
+            emb, queries, k=10, nprobe=100, adc_keep=10_000_000
+        ).collect()
+    }
+    assert full == exact
