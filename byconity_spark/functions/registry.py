@@ -2054,3 +2054,83 @@ SCALAR.update(
         "stringJaccardIndex": _string_jaccard,
     }
 )
+
+
+def _jaro_core(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(l2, i + md + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler_core(s1: str, s2: str, p: float = 0.1, thr: float = 0.7) -> float:
+    j = _jaro_core(s1, s2)
+    if j > thr:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        j += l * p * (1.0 - j)
+    return j
+
+
+def _jaro_winkler(a: Column, b: Column) -> Column:
+    """jaroWinklerSimilarity (FunctionsStringDistance.cpp) — standard
+    Winkler boost (p=0.1, threshold 0.7), verified double-exact against
+    DuckDB's jaro_winkler_similarity on public test vectors.  Per-row
+    character scanning -> Arrow-batched pandas UDF."""
+
+    @F.pandas_udf("double")
+    def k(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (s1 is None or s2 is None) else _jaro_winkler_core(s1, s2)
+                for s1, s2 in zip(x, y)
+            ]
+        )
+
+    return k(a, b)
+
+
+def _jaro_similarity(a: Column, b: Column) -> Column:
+    """jaroSimilarity — plain Jaro, no Winkler prefix boost."""
+
+    @F.pandas_udf("double")
+    def k(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (s1 is None or s2 is None) else _jaro_core(s1, s2)
+                for s1, s2 in zip(x, y)
+            ]
+        )
+
+    return k(a, b)
+
+
+SCALAR["jaroWinklerSimilarity"] = _jaro_winkler
+SCALAR["jaroSimilarity"] = _jaro_similarity

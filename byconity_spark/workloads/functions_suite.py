@@ -726,7 +726,8 @@ def fn_conv_suite(spark: SparkSession, sf: str) -> DataFrame:
            levenshtein(a.s, b.s) AS lev,
            CAST(hamming(rpad(a.s, 10, '#'), rpad(b.s, 10, '#')) AS BIGINT)
              AS ham10,
-           round(jaccard(a.s, b.s), 6) AS jac
+           round(jaccard(a.s, b.s), 6) AS jac,
+           round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
     FROM t a CROSS JOIN t b
     """,
 )
@@ -746,4 +747,5 @@ def fn_strdist_suite(spark: SparkSession, sf: str) -> DataFrame:
             F.rpad(F.col("s2"), 10, "#"),
         ).alias("ham10"),
         F.round(ch("stringJaccardIndex", F.col("s1"), F.col("s2")), 6).alias("jac"),
+        F.round(ch("jaroWinklerSimilarity", F.col("s1"), F.col("s2")), 6).alias("jw"),
     )
