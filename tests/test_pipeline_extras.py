@@ -159,3 +159,59 @@ def test_lag_in_frame_clips_to_frame(spark):
     assert all(r.lag2_clipped is None for r in out)
     assert [r.lead1 for r in out] == [10.0, 20.0, 30.0, 40.0, None]
     assert all(r.lead2_clipped is None for r in out)
+
+
+# ------------------------------------------------- round-5 registry names
+def test_moment_aggregates_known_values(spark):
+    import math
+
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 2, 3, 7]], "v double")
+    row = df.agg(
+        ch("skewPop", F.col("v")).alias("sp"),
+        ch("skewSamp", F.col("v")).alias("ss"),
+        ch("kurtPop", F.col("v")).alias("kp"),
+        ch("kurtSamp", F.col("v")).alias("ks"),
+    ).collect()[0]
+    vals = [1, 2, 2, 3, 7]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((x - mean) ** 2 for x in vals) / n
+    m3 = sum((x - mean) ** 3 for x in vals) / n
+    m4 = sum((x - mean) ** 4 for x in vals) / n
+    sv = n / (n - 1) * m2
+    assert math.isclose(row.sp, m3 / m2**1.5, rel_tol=1e-9)
+    assert math.isclose(row.ss, m3 / sv**1.5, rel_tol=1e-9)
+    assert math.isclose(row.kp, m4 / m2**2, rel_tol=1e-9)
+    assert math.isclose(row.ks, m4 / sv**2, rel_tol=1e-9)
+
+
+def test_string_distances(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("abcde", "abcde"), ("abc", "abd")],
+        "a string, b string",
+    )
+    rows = df.select(
+        ch("editDistance", F.col("a"), F.col("b")).alias("lev"),
+        ch("byteHammingDistance", F.col("a"), F.col("b")).alias("ham"),
+        F.round(ch("jaroWinklerSimilarity", F.col("a"), F.col("b")), 6).alias("jw"),
+        F.round(ch("stringJaccardIndex", F.col("a"), F.col("b")), 6).alias("jac"),
+    ).collect()
+    assert rows[0].lev == 3          # kitten -> sitting
+    assert rows[1].lev == 0 and rows[1].jw == 1.0 and rows[1].jac == 1.0
+    # hamming: abc vs abd differs in 1 position, equal length
+    assert rows[2].ham == 1
+    # kitten/sitting: common length 6, 2 mismatches + 1 length delta
+    assert rows[0].ham == 3
+
+
+def test_conversion_or_variants(spark):
+    df = spark.createDataFrame([("42", "bad")], "good string, bad string")
+    row = df.select(
+        ch("toInt64OrNull", F.col("good")).alias("a"),
+        ch("toInt64OrNull", F.col("bad")).alias("b"),
+        ch("toFloat64OrZero", F.col("bad")).alias("c"),
+        ch("toDateOrNull", F.lit("2024-02-29")).alias("d"),
+        ch("toDateOrNull", F.lit("2023-02-29")).alias("e"),
+    ).collect()[0]
+    assert row.a == 42 and row.b is None and row.c == 0.0
+    assert str(row.d) == "2024-02-29" and row.e is None
