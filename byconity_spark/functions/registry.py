@@ -2134,3 +2134,66 @@ def _jaro_similarity(a: Column, b: Column) -> Column:
 
 SCALAR["jaroWinklerSimilarity"] = _jaro_winkler
 SCALAR["jaroSimilarity"] = _jaro_similarity
+
+
+# ---- firstSignificantSubdomain family (src/Functions/URL/
+# firstSignificantSubdomain.h).  The reference embeds a full public-suffix
+# list; this carries a bounded subset of common two-label suffixes — the
+# plan shape (host split + suffix membership + label pick) is identical,
+# and the list is a data swap-in point.
+_TWO_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.cn", "net.cn", "org.cn", "com.br",
+    "com.mx", "co.in", "co.kr", "com.tr", "com.sg", "co.za", "com.hk",
+]
+
+
+def _host_parts(url: Column):
+    # try_element_at everywhere: CASE branches do NOT guard subexpression
+    # evaluation, so a single-label host would crash a strict element_at(-2)
+    host = F.parse_url(url, F.lit("HOST"))
+    parts = F.split(host, r"\.")
+    last2 = F.concat_ws(
+        ".", F.try_element_at(parts, F.lit(-2)), F.try_element_at(parts, F.lit(-1))
+    )
+    return parts, F.size(parts), last2.isin(_TWO_LABEL_SUFFIXES)
+
+
+def _first_significant_subdomain(url: Column) -> Column:
+    parts, np, is2 = _host_parts(url)
+    return (
+        F.when(is2 & (np >= 3), F.try_element_at(parts, F.lit(-3)))
+        .when(np >= 2, F.try_element_at(parts, F.lit(-2)))
+        .otherwise(F.try_element_at(parts, F.lit(-1)))
+    )
+
+
+def _cut_to_first_significant_subdomain(url: Column) -> Column:
+    parts, np, is2 = _host_parts(url)
+    return (
+        F.when(
+            is2 & (np >= 3),
+            F.concat_ws(
+                ".",
+                F.try_element_at(parts, F.lit(-3)),
+                F.try_element_at(parts, F.lit(-2)),
+                F.try_element_at(parts, F.lit(-1)),
+            ),
+        )
+        .when(
+            np >= 2,
+            F.concat_ws(
+                ".",
+                F.try_element_at(parts, F.lit(-2)),
+                F.try_element_at(parts, F.lit(-1)),
+            ),
+        )
+        .otherwise(F.try_element_at(parts, F.lit(-1)))
+    )
+
+
+SCALAR["firstSignificantSubdomain"] = _first_significant_subdomain
+SCALAR["cutToFirstSignificantSubdomain"] = _cut_to_first_significant_subdomain
+SCALAR["domainWithoutWWW"] = lambda c: F.regexp_replace(
+    F.parse_url(c, F.lit("HOST")), r"^www\.", ""
+)

@@ -215,3 +215,23 @@ def test_conversion_or_variants(spark):
     ).collect()[0]
     assert row.a == 42 and row.b is None and row.c == 0.0
     assert str(row.d) == "2024-02-29" and row.e is None
+
+
+def test_first_significant_subdomain(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://news.example.co.uk/path",),
+            ("https://www.example.com/x",),
+            ("http://localhost/",),
+        ],
+        "u string",
+    )
+    rows = df.select(
+        ch("firstSignificantSubdomain", F.col("u")).alias("fsd"),
+        ch("cutToFirstSignificantSubdomain", F.col("u")).alias("cut"),
+        ch("domainWithoutWWW", F.col("u")).alias("nw"),
+    ).collect()
+    assert rows[0].fsd == "example" and rows[0].cut == "example.co.uk"
+    assert rows[1].fsd == "example" and rows[1].cut == "example.com"
+    assert rows[1].nw == "example.com"
+    assert rows[2].fsd == "localhost" and rows[2].cut == "localhost"
