@@ -681,10 +681,10 @@ def fn_ipv6_base58_suite(spark: SparkSession, sf: str) -> DataFrame:
            coalesce(try_cast(CASE WHEN k % 2 = 0 THEN '1.5' ELSE 'bad' END
                              AS DOUBLE), 0.0)            AS f_zero,
            try_cast('2024-03-15' AS DATE)                AS d_ok,
-           array_to_string(list_filter(list_transform(range(0, 63),
+           coalesce(array_to_string(list_filter(list_transform(range(0, 63),
              i -> CASE WHEN (((k % 64) >> CAST(i AS INTEGER)) & 1) = 1
                   THEN CAST((CAST(1 AS BIGINT) << CAST(i AS INTEGER)) AS VARCHAR)
-                  END), x -> x IS NOT NULL), ',')        AS bml,
+                  END), x -> x IS NOT NULL), ','), '')   AS bml,
            CASE k % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one'
                 ELSE 'many' END                          AS cwe,
            replace(replace('a%20b%26' || CAST(k AS VARCHAR), '%20', ' '),
