@@ -2197,3 +2197,37 @@ SCALAR["cutToFirstSignificantSubdomain"] = _cut_to_first_significant_subdomain
 SCALAR["domainWithoutWWW"] = lambda c: F.regexp_replace(
     F.parse_url(c, F.lit("HOST")), r"^www\.", ""
 )
+
+
+# ---- JSON tail (FunctionsJSON.cpp): type probing, validation, visitParam
+# aliases, struct-to-JSON
+SCALAR.update(
+    {
+        # JSONType: CH returns 'Object'/'Array'/'String'/'Int64'/'Double'/
+        # 'Bool'/'Null' — derived from the extract's shape.  NB
+        # get_json_object UNQUOTES scalar strings, so "non-numeric scalar"
+        # classifies as String (a JSON string holding digits is
+        # indistinguishable post-unquote — documented deviation).
+        "JSONType": lambda c, *keys: (
+            lambda raw: F.when(raw.isNull(), F.lit(None).cast("string"))
+            .when(raw.startswith("{"), "Object")
+            .when(raw.startswith("["), "Array")
+            .when(raw.isin("true", "false"), "Bool")
+            .when(raw == "null", "Null")
+            .when(raw.rlike(r"^-?\d+$"), "Int64")
+            .when(raw.try_cast("double").isNotNull(), "Double")
+            .otherwise("String")
+        )(F.get_json_object(c, _jpath(keys) if keys else "$")),
+        "isValidJSON": lambda c: F.get_json_object(c, "$").isNotNull()
+        | F.from_json(c, "map<string,string>").isNotNull(),
+        "JSON_EXISTS": lambda c, p: F.get_json_object(
+            c, p if isinstance(p, str) else p
+        ).isNotNull(),
+        "simpleJSONExtractInt": lambda c, k: F.get_json_object(
+            c, _jpath((k,))
+        ).cast("bigint"),
+        "simpleJSONExtractString": lambda c, k: F.get_json_object(c, _jpath((k,))),
+        "visitParamHas": lambda c, k: F.get_json_object(c, _jpath((k,))).isNotNull(),
+        "toJSONString": F.to_json,
+    }
+)

@@ -235,3 +235,29 @@ def test_first_significant_subdomain(spark):
     assert rows[1].fsd == "example" and rows[1].cut == "example.com"
     assert rows[1].nw == "example.com"
     assert rows[2].fsd == "localhost" and rows[2].cut == "localhost"
+
+
+def test_json_tail_functions(spark):
+    df = spark.createDataFrame(
+        [('{"a": 5, "b": "x", "c": [1,2], "d": {"e": 1}, "f": 2.5, "g": true}',),
+         ("not json",)],
+        "j string",
+    )
+    rows = df.select(
+        ch("JSONType", F.col("j"), "a").alias("ta"),
+        ch("JSONType", F.col("j"), "b").alias("tb"),
+        ch("JSONType", F.col("j"), "c").alias("tc"),
+        ch("JSONType", F.col("j"), "d").alias("td"),
+        ch("JSONType", F.col("j"), "f").alias("tf"),
+        ch("JSONType", F.col("j"), "g").alias("tg"),
+        ch("isValidJSON", F.col("j")).alias("ok"),
+        ch("simpleJSONExtractInt", F.col("j"), "a").alias("ia"),
+        ch("visitParamHas", F.col("j"), "b").alias("hb"),
+        ch("toJSONString", F.struct(F.lit(1).alias("x"))).alias("tj"),
+    ).collect()
+    good, bad = rows
+    assert (good.ta, good.tb, good.tc, good.td, good.tf, good.tg) == (
+        "Int64", "String", "Array", "Object", "Double", "Bool"
+    )
+    assert good.ok and good.ia == 5 and good.hb and good.tj == '{"x":1}'
+    assert not bad.ok and bad.ia is None and not bad.hb
