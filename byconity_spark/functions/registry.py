@@ -2231,3 +2231,273 @@ SCALAR.update(
         "toJSONString": F.to_json,
     }
 )
+
+
+# ---- round-5 exact-name parity sweep (diffed against the reference's
+# registered names).  Everything below maps CH names onto machinery that
+# already exists — Spark built-ins, the vector/bitmap helpers, or trivial
+# Column math.  UTF8-suffixed variants equal the base forms (Spark strings
+# are UTF-8 throughout).
+
+def _bm(name):
+    """Lazy bitmap-helper lookup (udafs.bitmaps defines the kernels)."""
+    import importlib
+
+    return getattr(importlib.import_module("byconity_spark.udafs.bitmaps"), name)
+
+
+def _num_conversions() -> dict:
+    out = {}
+    specs = {
+        "Int8": "tinyint", "Int16": "smallint", "Int32": "int",
+        "Int64": "bigint", "UInt8": "smallint", "UInt16": "int",
+        "UInt32": "bigint", "UInt64": "bigint", "Float32": "float",
+        "Float64": "double",
+    }
+    for ch_name, t in specs.items():
+        out[f"to{ch_name}"] = (lambda tt: lambda c: c.cast(tt))(t)
+        out[f"to{ch_name}OrNull"] = (lambda tt: lambda c: c.try_cast(tt))(t)
+        out[f"to{ch_name}OrZero"] = (
+            lambda tt: lambda c: F.coalesce(c.try_cast(tt), F.lit(0).cast(tt))
+        )(t)
+        out[f"to{ch_name}OrDefault"] = (
+            lambda tt: lambda c, d: F.coalesce(c.try_cast(tt), F.lit(d).cast(tt))
+        )(t)
+    return out
+
+
+def _multi_search() -> dict:
+    def _needles(h, needles, ci):
+        hh = F.lower(h) if ci else h
+        arr = needles if isinstance(needles, Column) else F.array(
+            *[F.lit(n) for n in needles]
+        )
+        if ci:
+            arr = F.transform(arr, F.lower)
+        return hh, arr
+
+    def any_(ci):
+        def f(h, needles):
+            hh, arr = _needles(h, needles, ci)
+            return F.exists(arr, lambda n: F.instr(hh, n) > 0)
+        return f
+
+    def first_index(ci):
+        def f(h, needles):
+            hh, arr = _needles(h, needles, ci)
+            idx = F.filter(
+                F.transform(arr, lambda n, i: F.when(F.instr(hh, n) > 0, i + 1)),
+                lambda x: x.isNotNull(),
+            )
+            return F.coalesce(F.try_element_at(idx, F.lit(1)), F.lit(0)).cast("long")
+        return f
+
+    def first_position(ci):
+        def f(h, needles):
+            hh, arr = _needles(h, needles, ci)
+            pos = F.filter(
+                F.transform(arr, lambda n: F.instr(hh, n)), lambda p: p > 0
+            )
+            return F.coalesce(F.array_min(pos), F.lit(0)).cast("long")
+        return f
+
+    def all_positions(ci):
+        def f(h, needles):
+            hh, arr = _needles(h, needles, ci)
+            return F.transform(arr, lambda n: F.instr(hh, n).cast("long"))
+        return f
+
+    out = {}
+    for base, fn in [
+        ("multiSearchAny", any_),
+        ("multiSearchFirstIndex", first_index),
+        ("multiSearchFirstPosition", first_position),
+        ("multiSearchAllPositions", all_positions),
+    ]:
+        out[base] = fn(False)
+        out[base + "UTF8"] = fn(False)
+        out[base + "CaseInsensitive"] = fn(True)
+        out[base + "CaseInsensitiveUTF8"] = fn(True)
+    return out
+
+
+SCALAR.update(_num_conversions())
+SCALAR.update(_multi_search())
+SCALAR.update(
+    {
+        # hashes / checksums
+        "SHA1": lambda c: F.sha1(c.cast("binary")),
+        "SHA224": lambda c: F.sha2(c.cast("binary"), 224),
+        "SHA384": lambda c: F.sha2(c.cast("binary"), 384),
+        "SHA512": lambda c: F.sha2(c.cast("binary"), 512),
+        "CRC32IEEE": F.crc32,
+        "CRC64": lambda c: F.xxhash64(c),  # 64-bit stand-in
+        "farmFingerprint64": lambda *cols: F.xxhash64(*cols),  # stand-in
+        # math
+        "cosh": F.cosh, "sinh": F.sinh, "tanh": F.tanh,
+        "acosh": F.acosh, "asinh": F.asinh, "atanh": F.atanh,
+        "cot": F.cot, "factorial": F.factorial,
+        "countDigits": lambda c: F.length(
+            F.regexp_replace(F.abs(c).cast("string"), r"[^0-9]", "")
+        ).cast("long"),
+        "divideDecimal": lambda a, b, *s: a / b,
+        # operator-name functions (CH registers the operators as functions)
+        "and": lambda *cs: __import__("functools").reduce(lambda a, b: a & b, cs),
+        "or": lambda *cs: __import__("functools").reduce(lambda a, b: a | b, cs),
+        "not": lambda c: ~c,
+        "equals": lambda a, b: a == b,
+        "notEquals": lambda a, b: a != b,
+        "less": lambda a, b: a < b,
+        "greater": lambda a, b: a > b,
+        "lessOrEquals": lambda a, b: a <= b,
+        "greaterOrEquals": lambda a, b: a >= b,
+        # date/time extras
+        "FROM_UNIXTIME": lambda c, fmt=None: (
+            F.from_unixtime(c) if fmt is None else F.from_unixtime(c, fmt)
+        ),
+        "UTCTimestamp": lambda: F.current_timestamp(),
+        "TimeDiff": lambda a, b: F.unix_timestamp(b) - F.unix_timestamp(a),
+        "timeDiff": lambda a, b: F.unix_timestamp(b) - F.unix_timestamp(a),
+        "convert_tz": lambda c, frm, to: F.convert_timezone(
+            F.lit(frm) if isinstance(frm, str) else frm,
+            F.lit(to) if isinstance(to, str) else to,
+            c,
+        ),
+        "dayname": lambda c: F.date_format(c, "EEEE"),
+        "monthname": lambda c: F.date_format(c, "MMMM"),
+        "addQuarters": lambda c, n: F.add_months(c, n * 3 if isinstance(n, int) else n * 3),
+        "subtractQuarters": lambda c, n: F.add_months(
+            c, -n * 3 if isinstance(n, int) else n * -3
+        ),
+        "subtractWeeks": lambda c, n: F.date_sub(c, n * 7 if isinstance(n, int) else n * 7),
+        "subtractYears": lambda c, n: F.add_months(
+            c, -n * 12 if isinstance(n, int) else n * -12
+        ),
+        "addMilliseconds": lambda c, n: F.timestamp_micros(
+            F.unix_micros(c) + (n * 1000 if isinstance(n, int) else n * 1000)
+        ),
+        "addMicroseconds": lambda c, n: F.timestamp_micros(F.unix_micros(c) + n),
+        "subtractMilliseconds": lambda c, n: F.timestamp_micros(
+            F.unix_micros(c) - (n * 1000 if isinstance(n, int) else n * 1000)
+        ),
+        "subtractMicroseconds": lambda c, n: F.timestamp_micros(F.unix_micros(c) - n),
+        "toStartOfSecond": lambda c: F.date_trunc("second", c),
+        "toStartOfMillisecond": lambda c: F.timestamp_micros(
+            (F.unix_micros(c) / 1000).cast("long") * 1000
+        ),
+        "toStartOfMicrosecond": lambda c: c,  # us is native precision
+        "toStartOfNanosecond": lambda c: c,   # ns below native precision
+        "toStartOfBiMonth": lambda c: F.make_date(
+            F.year(c), ((F.month(c) - 1) - (F.month(c) - 1) % 2) + 1, F.lit(1)
+        ),
+        "toStartOfISOYear": lambda c: F.date_trunc(
+            "week", F.make_date(F.extract(F.lit("YEAROFWEEK"), c), F.lit(1), F.lit(4))
+        ).cast("date"),
+        # strings
+        "positionCaseInsensitiveUTF8": lambda a, b: F.instr(F.lower(a), F.lower(b)),
+        "countSubstringsCaseInsensitive": lambda a, b: (
+            (F.length(F.lower(a)) - F.length(F.replace(F.lower(a), F.lower(b), F.lit(""))))
+            / F.length(b)
+        ).cast("long"),
+        "countMatches": lambda c, pat: F.regexp_count(c, F.lit(pat) if isinstance(pat, str) else pat),
+        "countMatchesCaseInsensitive": lambda c, pat: F.regexp_count(
+            F.lower(c), F.lower(F.lit(pat) if isinstance(pat, str) else pat)
+        ),
+        "concatAssumeInjective": lambda *cs: F.concat(*cs),
+        "substring_index": F.substring_index,
+        "bit_length": lambda c: (F.length(c.cast("binary")) * 8).cast("long"),
+        "encodeXMLComponent": lambda c: F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(c, F.lit("&"), F.lit("&amp;")),
+                        F.lit("<"), F.lit("&lt;"),
+                    ),
+                    F.lit(">"), F.lit("&gt;"),
+                ),
+                F.lit('"'), F.lit("&quot;"),
+            ),
+            F.lit("'"), F.lit("&apos;"),
+        ),
+        "decodeXMLComponent": lambda c: F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(c, F.lit("&lt;"), F.lit("<")),
+                        F.lit("&gt;"), F.lit(">"),
+                    ),
+                    F.lit("&quot;"), F.lit('"'),
+                ),
+                F.lit("&apos;"), F.lit("'"),
+            ),
+            F.lit("&amp;"), F.lit("&"),
+        ),
+        # vector math extras
+        "L2SquaredNorm": lambda a: F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        ),
+        "L2SquaredDistance": lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        "LinfDistance": lambda a, b: F.array_max(
+            F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y))
+        ),
+        "LpNorm": lambda a, p: F.pow(
+            F.aggregate(
+                a, F.lit(0.0),
+                lambda acc, x: acc + F.pow(F.abs(x.cast("double")), F.lit(float(p))),
+            ),
+            F.lit(1.0 / float(p)),
+        ),
+        "LpDistance": lambda a, b, p: F.pow(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: F.pow(F.abs(x.cast("double") - y), F.lit(float(p)))),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            F.lit(1.0 / float(p)),
+        ),
+        # session introspection
+        "currentDatabase": lambda: F.current_database(),
+        "currentCatalog": lambda: F.current_catalog(),
+        "currentUser": lambda: F.current_user(),
+        # bitmap scalar names -> udafs.bitmaps kernels (binary sorted-set
+        # state encoding; lazy lookup avoids import cycles)
+        "bitmapCardinality": lambda bm: _bm("bitmap_cardinality")(bm),
+        "bitmapAndCardinality": lambda a, b: _bm("bitmap_and_cardinality")(a, b),
+        "bitmapOrCardinality": lambda a, b: _bm("bitmap_or_cardinality")(a, b),
+        "bitmapXorCardinality": lambda a, b: _bm("bitmap_xor_cardinality")(a, b),
+        "bitmapAndnotCardinality": lambda a, b: _bm("bitmap_andnot_cardinality")(a, b),
+        "bitmapAnd": lambda a, b: _bm("bitmap_and")(a, b),
+        "bitmapOr": lambda a, b: _bm("bitmap_or")(a, b),
+        "bitmapXor": lambda a, b: _bm("bitmap_xor")(a, b),
+        "bitmapAndnot": lambda a, b: _bm("bitmap_andnot")(a, b),
+        "bitmapToArray": lambda bm: _bm("bitmap_to_array")(bm),
+        "bitmapContains": lambda bm, v: _bm("bitmap_contains")(bm, v),
+        "bitmapHasAll": lambda a, b: _bm("bitmap_has_all")(a, b),
+        "bitmapHasAny": lambda a, b: _bm("bitmap_has_any")(a, b),
+        "bitmapMin": lambda bm: _bm("bitmap_min")(bm),
+        "bitmapMax": lambda bm: _bm("bitmap_max")(bm),
+        "bitmapSubsetInRange": lambda bm, lo, hi: _bm("bitmap_subset_in_range")(bm, lo, hi),
+        "bitmapSubsetLimit": lambda bm, s, l: _bm("bitmap_subset_limit")(bm, s, l),
+        "bitmapTransform": lambda bm, f, t: _bm("bitmap_transform")(bm, f, t),
+        "subBitmap": lambda bm, o, l: _bm("sub_bitmap")(bm, o, l),
+        "emptyBitmap": lambda: _bm("empty_bitmap")(),
+        # bit extras
+        "bitTestAll": lambda c, *bits: __import__("functools").reduce(
+            lambda a, b: a & b, [F.bit_get(c, F.lit(b)) == 1 for b in bits]
+        ),
+        "bitTestAny": lambda c, *bits: __import__("functools").reduce(
+            lambda a, b: a | b, [F.bit_get(c, F.lit(b)) == 1 for b in bits]
+        ),
+        "bitPositionsToArray": lambda c: F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(62)),
+                lambda i: F.when(F.bit_get(c.cast("long"), i) == 1, i.cast("long")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    }
+)

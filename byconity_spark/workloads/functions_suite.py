@@ -749,3 +749,51 @@ def fn_strdist_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.round(ch("stringJaccardIndex", F.col("s1"), F.col("s2")), 6).alias("jac"),
         F.round(ch("jaroWinklerSimilarity", F.col("s1"), F.col("s2")), 6).alias("jw"),
     )
+
+
+# ------------------- round-5 exact-name parity suite (multiSearch family,
+# numeric conversion variants, XML codecs, countMatches, vector norms —
+# the name sweep diffed against the reference's registered names)
+@register(
+    "fn_parity_suite",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, event_type, value FROM events
+               WHERE user_id < 30)
+    SELECT user_id, event_type, round(value, 4) AS value,
+           (contains(event_type, 'ick') OR contains(event_type, 'chase'))
+             AS msa,
+           CAST(CASE WHEN contains(event_type, 'view') THEN 1
+                     WHEN contains(event_type, 'ick') THEN 2
+                     WHEN contains(event_type, 'chase') THEN 3
+                     ELSE 0 END AS BIGINT) AS msi,
+           CAST(user_id % 200 AS SMALLINT) + 1 AS u8,
+           try_cast(event_type AS SMALLINT)    AS i16n,
+           round(5 * value * value, 4)         AS l2sq,
+           replace(replace(event_type || '<' || CAST(user_id AS VARCHAR) || '>',
+                   '<', '&lt;'), '>', '&gt;')  AS xml,
+           CAST(length(regexp_replace(event_type, '[^aeiou]', '', 'g'))
+                AS INTEGER)                    AS vowels
+    FROM d
+    """,
+)
+def fn_parity_suite(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 30)
+    d = ev.select("user_id", "event_type", "value").distinct()
+    et = F.col("event_type")
+    return d.select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        ch("multiSearchAny", et, ["ick", "chase"]).alias("msa"),
+        ch("multiSearchFirstIndex", et, ["view", "ick", "chase"]).alias("msi"),
+        (ch("toUInt8", (F.col("user_id") % 200).cast("string")) + 1).alias("u8"),
+        ch("toInt16OrNull", et).alias("i16n"),
+        F.round(
+            ch("L2SquaredNorm", F.array(F.col("value"), 2 * F.col("value"))), 4
+        ).alias("l2sq"),
+        ch(
+            "encodeXMLComponent",
+            F.concat(et, F.lit("<"), F.col("user_id").cast("string"), F.lit(">")),
+        ).alias("xml"),
+        ch("countMatches", et, "[aeiou]").alias("vowels"),
+    )

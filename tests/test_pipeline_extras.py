@@ -261,3 +261,44 @@ def test_json_tail_functions(spark):
     )
     assert good.ok and good.ia == 5 and good.hb and good.tj == '{"x":1}'
     assert not bad.ok and bad.ia is None and not bad.hb
+
+
+def test_parity_sweep_vectors(spark):
+    """Spot-check the round-5 exact-name parity batch."""
+    df = spark.createDataFrame(
+        [("2024-03-15 10:30:45.123456", "Hello World hello", "-7")],
+        "ts string, s string, istr string",
+    ).withColumn("t", F.col("ts").cast("timestamp"))
+    r = df.select(
+        ch("toInt16OrNull", F.col("istr")).alias("i16"),
+        ch("toInt64OrDefault", F.lit("x"), 9).alias("dflt"),
+        ch("multiSearchAny", F.col("s"), ["xyz", "World"]).alias("msa"),
+        ch("multiSearchFirstIndex", F.col("s"), ["xyz", "World", "Hello"]).alias("msi"),
+        ch("multiSearchFirstPosition", F.col("s"), ["World", "Hello"]).alias("msp"),
+        ch("SHA1", F.lit("abc")).alias("sha1"),
+        ch("factorial", F.lit(5)).alias("fact"),
+        ch("countDigits", F.lit(-1234)).alias("cd"),
+        ch("dayname", F.col("t")).alias("dn"),
+        ch("addMilliseconds", F.col("t"), 500).alias("ams"),
+        ch("toStartOfMillisecond", F.col("t")).alias("tsm"),
+        ch("toStartOfISOYear", F.lit("2021-01-01").cast("date")).alias("isoy"),
+        ch("countMatches", F.col("s"), "l+").alias("cm"),
+        ch("encodeXMLComponent", F.lit('a<b>&"c"')).alias("xml"),
+        ch("decodeXMLComponent", F.lit("a&lt;b&gt;&amp;")).alias("unxml"),
+        ch("L2SquaredNorm", F.array(F.lit(3.0), F.lit(4.0))).alias("l2sq"),
+        ch("LpNorm", F.array(F.lit(3.0), F.lit(4.0)), 2).alias("lp2"),
+        ch("bitTestAny", F.lit(5), 1, 2).alias("bta"),
+        ch("bitPositionsToArray", F.lit(5)).alias("bpa"),
+    ).collect()[0]
+    assert r.i16 == -7 and r.dflt == 9
+    assert r.msa and r.msi == 2 and r.msp == 1
+    assert r.sha1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert r.fact == 120 and r.cd == 4
+    assert r.dn == "Friday"
+    assert r.ams.microsecond == 623456
+    assert r.tsm.microsecond == 123000
+    assert str(r.isoy) == "2019-12-30"  # ISO year 2020 starts Mon 2019-12-30
+    assert r.cm == 3
+    assert r.xml == "a&lt;b&gt;&amp;&quot;c&quot;" and r.unxml == 'a<b>&'
+    assert r.l2sq == 25.0 and r.lp2 == 5.0
+    assert r.bta and r.bpa == [0, 2]
