@@ -2501,3 +2501,15 @@ SCALAR.update(
         ),
     }
 )
+
+
+# UTF8-suffixed aliases are IDENTICAL to base forms (Spark strings are
+# UTF-8); register whatever bases exist.
+for _base in [
+    "countSubstringsCaseInsensitive", "ngramDistance", "ngramMinHash",
+    "ngramSearch", "ngramSimHash", "translate", "wordShingleMinHash",
+    "wordShingleSimHash", "splitByChar", "splitByString", "substring",
+    "position", "length", "reverse", "lower", "upper", "trimBoth",
+]:
+    if _base in SCALAR and f"{_base}UTF8" not in SCALAR:
+        SCALAR[f"{_base}UTF8"] = SCALAR[_base]
