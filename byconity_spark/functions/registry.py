@@ -2513,3 +2513,65 @@ for _base in [
 ]:
     if _base in SCALAR and f"{_base}UTF8" not in SCALAR:
         SCALAR[f"{_base}UTF8"] = SCALAR[_base]
+
+
+# ---- encrypt/decrypt (FunctionsAES.h): CH mode strings map onto Spark's
+# native aes_encrypt/aes_decrypt (supported modes: ECB, GCM, CBC)
+def _aes_mode(ch_mode: str) -> tuple:
+    # 'aes-128-ecb' -> ('ECB', padding) ; key length enforced by Spark
+    m = ch_mode.lower().rsplit("-", 1)[-1].upper()
+    if m not in ("ECB", "GCM", "CBC"):
+        raise ValueError(f"unsupported AES mode {ch_mode!r} (ECB/GCM/CBC)")
+    return m, "DEFAULT"
+
+
+SCALAR.update(
+    {
+        "encrypt": lambda mode, c, key: F.aes_encrypt(
+            c.cast("binary"),
+            key if isinstance(key, Column) else F.lit(key),
+            F.lit(_aes_mode(mode)[0]),
+        ),
+        "decrypt": lambda mode, c, key: F.aes_decrypt(
+            c,
+            key if isinstance(key, Column) else F.lit(key),
+            F.lit(_aes_mode(mode)[0]),
+        ).cast("string"),
+        "tryDecrypt": lambda mode, c, key: F.try_aes_decrypt(
+            c,
+            key if isinstance(key, Column) else F.lit(key),
+            F.lit(_aes_mode(mode)[0]),
+        ).cast("string"),
+        # simpleJSON tail (FunctionsVisitParam.h aliases)
+        "simpleJSONExtractFloat": lambda c, k: F.get_json_object(
+            c, _jpath((k,))
+        ).cast("double"),
+        "simpleJSONExtractUInt": lambda c, k: F.get_json_object(
+            c, _jpath((k,))
+        ).cast("bigint"),
+        "simpleJSONExtractBool": lambda c, k: F.get_json_object(c, _jpath((k,)))
+        == "true",
+        "simpleJSONExtractRaw": lambda c, k: F.get_json_object(c, _jpath((k,))),
+        "simpleJSONHas": lambda c, k: F.get_json_object(c, _jpath((k,))).isNotNull(),
+        "visitParamExtractFloat": lambda c, k: F.get_json_object(
+            c, _jpath((k,))
+        ).cast("double"),
+        "visitParamExtractBool": lambda c, k: F.get_json_object(c, _jpath((k,)))
+        == "true",
+        "visitParamExtractRaw": lambda c, k: F.get_json_object(c, _jpath((k,))),
+        # MySQL-compat names (mysqlCompatibility.cpp family)
+        "ELT": lambda n, *cs: F.try_element_at(F.array(*cs), n if isinstance(n, Column) else F.lit(n)),
+        "field": lambda s, *cs: F.coalesce(
+            F.array_position(F.array(*cs), s), F.lit(0)
+        ).cast("long"),
+        "extractTextFromHTML": lambda c: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " "),
+                    r"<[^>]*>", " ",
+                ),
+                r"\s+", " ",
+            )
+        ),
+    }
+)

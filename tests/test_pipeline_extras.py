@@ -302,3 +302,25 @@ def test_parity_sweep_vectors(spark):
     assert r.xml == "a&lt;b&gt;&amp;&quot;c&quot;" and r.unxml == 'a<b>&'
     assert r.l2sq == 25.0 and r.lp2 == 5.0
     assert r.bta and r.bpa == [0, 2]
+
+
+def test_aes_and_mysql_compat(spark):
+    df = spark.createDataFrame(
+        [("secret data", '{"a": 2.5, "b": true}',
+          "<html><script>x=1</script><p>Hello <b>World</b></p></html>")],
+        "s string, j string, h string",
+    )
+    enc = ch("encrypt", "aes-128-ecb", F.col("s"), "0123456789abcdef")
+    r = df.select(
+        ch("decrypt", "aes-128-ecb", enc, "0123456789abcdef").alias("rt"),
+        ch("tryDecrypt", "aes-128-ecb", enc, "WRONGKEYWRONGKEY").alias("bad"),
+        ch("simpleJSONExtractFloat", F.col("j"), "a").alias("f"),
+        ch("simpleJSONExtractBool", F.col("j"), "b").alias("b"),
+        ch("ELT", 2, F.lit("x"), F.lit("y"), F.lit("z")).alias("elt"),
+        ch("field", F.lit("y"), F.lit("x"), F.lit("y")).alias("fld"),
+        ch("extractTextFromHTML", F.col("h")).alias("txt"),
+    ).collect()[0]
+    assert r.rt == "secret data" and r.bad is None
+    assert r.f == 2.5 and r.b is True
+    assert r.elt == "y" and r.fld == 2
+    assert r.txt == "Hello World"
