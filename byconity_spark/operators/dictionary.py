@@ -104,3 +104,61 @@ def dict_is_in(
     return with_chain.withColumn(
         out_col, F.array_contains(F.col("__chain"), F.col(ancestor_col).cast("long"))
     ).drop("__chain")
+
+
+def dict_get_children(
+    df: DataFrame,
+    dictionary: DataFrame,
+    key_col: str,
+    dict_key_col: str = "id",
+    parent_col: str = "parent_id",
+    out_col: str = "children",
+) -> DataFrame:
+    """dictGetChildren (FunctionsExternalDictionaries.cpp hierarchy
+    support): the DIRECT children of each key — one reverse broadcast probe
+    (dictionary grouped by parent into sorted child arrays; CH returns
+    dictionary order, this engine sorts for determinism — documented
+    deviation).  The fact side never shuffles."""
+    kids = dictionary.groupBy(F.col(parent_col).alias("__p")).agg(
+        F.sort_array(F.collect_list(F.col(dict_key_col))).alias(out_col)
+    )
+    joined = df.join(F.broadcast(kids), df[key_col] == F.col("__p"), "left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<long>"))
+    ).drop("__p")
+
+
+def dict_get_descendants(
+    df: DataFrame,
+    dictionary: DataFrame,
+    key_col: str,
+    max_depth: int = 5,
+    dict_key_col: str = "id",
+    parent_col: str = "parent_id",
+    out_col: str = "descendants",
+) -> DataFrame:
+    """dictGetDescendants: ALL keys below each key, to ``max_depth`` levels.
+
+    The transitive closure is computed over the DICTIONARY ONLY (iterative
+    self-join — metadata-scale, the dictionary is tiny by contract), then
+    broadcast to the fact side as sorted arrays: the 100 TB fact scan pays
+    one map-side probe, never an iterative join."""
+    edges = dictionary.select(
+        F.col(parent_col).alias("anc"), F.col(dict_key_col).alias("d")
+    ).filter(F.col("anc").isNotNull())
+    closure = edges
+    frontier = edges
+    for _ in range(max_depth - 1):
+        frontier = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.d") == F.col("e.anc"))
+            .select(F.col("f.anc").alias("anc"), F.col("e.d").alias("d"))
+        )
+        closure = closure.unionByName(frontier).distinct()
+    desc = closure.groupBy(F.col("anc").alias("__p")).agg(
+        F.sort_array(F.collect_set("d")).alias(out_col)
+    )
+    joined = df.join(F.broadcast(desc), df[key_col] == F.col("__p"), "left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<long>"))
+    ).drop("__p")

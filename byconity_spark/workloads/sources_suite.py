@@ -347,3 +347,58 @@ def dict_hierarchy_regions(spark: SparkSession, sf: str) -> DataFrame:
         arr_str(F.col("hierarchy")).alias("hierarchy"),
         "in_region1",
     )
+
+
+# ------------------------------------ dictGetChildren / dictGetDescendants
+@register(
+    "dict_children_descendants",
+    oracle="""
+    WITH keys AS (SELECT r_regionkey + 26 AS k FROM region
+                  UNION ALL SELECT 0),
+    edges AS (SELECT n_regionkey + 26 AS p, n_nationkey + 1 AS c FROM nation
+              UNION ALL SELECT 0, r_regionkey + 26 FROM region),
+    closure AS (SELECT p, c FROM edges
+                UNION
+                SELECT e1.p, e2.c FROM edges e1 JOIN edges e2 ON e1.c = e2.p),
+    kid AS (SELECT p, array_to_string(list_sort(list(c)), '|') AS children
+            FROM edges GROUP BY p),
+    des AS (SELECT p, array_to_string(list_sort(list(DISTINCT c)), '|')
+              AS descendants
+            FROM closure GROUP BY p)
+    SELECT k,
+           coalesce(kid.children, '')    AS children,
+           coalesce(des.descendants, '') AS descendants
+    FROM keys LEFT JOIN kid ON keys.k = kid.p
+              LEFT JOIN des ON keys.k = des.p
+    """,
+)
+def dict_children_descendants(spark: SparkSession, sf: str) -> DataFrame:
+    """dictGetChildren + dictGetDescendants over the nation->region
+    hierarchy dictionary (root 0 -> regions -> nations)."""
+    from byconity_spark.operators.dictionary import (
+        dict_get_children,
+        dict_get_descendants,
+    )
+    from byconity_spark.workloads._arrays import arr_str
+
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    hier = nation.select(
+        (F.col("n_nationkey") + 1).alias("id"),
+        (F.col("n_regionkey") + 26).alias("parent_id"),
+    ).unionByName(
+        region.select(
+            (F.col("r_regionkey") + 26).alias("id"),
+            F.lit(0).cast("long").alias("parent_id"),
+        )
+    )
+    keys = region.select((F.col("r_regionkey") + 26).alias("k")).unionByName(
+        spark.range(1).select(F.lit(0).cast("long").alias("k"))
+    )
+    out = dict_get_children(keys, hier, "k")
+    out = dict_get_descendants(out, hier, "k", max_depth=3)
+    return out.select(
+        "k",
+        arr_str(F.col("children")).alias("children"),
+        arr_str(F.col("descendants")).alias("descendants"),
+    )
