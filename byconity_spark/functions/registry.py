@@ -2575,3 +2575,39 @@ SCALAR.update(
         ),
     }
 )
+
+
+# ---- Int128/256 (DataTypeInt128.h family): mapped onto DECIMAL(38,0) —
+# covers the full Int128-typical use (big counters/ids) up to 38 digits;
+# beyond-38-digit Int256 values overflow to NULL (documented deviation).
+for _big in ("Int128", "UInt128", "Int256", "UInt256"):
+    SCALAR[f"to{_big}"] = lambda c: c.cast("decimal(38,0)")
+    SCALAR[f"to{_big}OrNull"] = lambda c: c.try_cast("decimal(38,0)")
+    SCALAR[f"to{_big}OrZero"] = lambda c: F.coalesce(
+        c.try_cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)")
+    )
+
+SCALAR.update(
+    {
+        # MySQL-compat date helpers (mysqlCompatibility family)
+        "makedate": lambda y, d: F.date_add(
+            F.make_date(y if isinstance(y, Column) else F.lit(y), F.lit(1), F.lit(1)),
+            (d if isinstance(d, Column) else F.lit(d)) - 1,
+        ),
+        "DATE_FORMAT_MYSQL": lambda c, fmt: _format_date_time(c, fmt),
+        "TIME_FORMAT": lambda c, fmt: _format_date_time(c, fmt),
+        "export_set": lambda bits, on, off, sep=",", n=64: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(min(n, 63) - 1)),
+                lambda i: F.when(
+                    F.bit_get(
+                        (bits if isinstance(bits, Column) else F.lit(bits)).cast("long"), i
+                    )
+                    == 1,
+                    on if isinstance(on, Column) else F.lit(on),
+                ).otherwise(off if isinstance(off, Column) else F.lit(off)),
+            ),
+            sep,
+        ),
+    }
+)

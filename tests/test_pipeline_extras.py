@@ -324,3 +324,21 @@ def test_aes_and_mysql_compat(spark):
     assert r.f == 2.5 and r.b is True
     assert r.elt == "y" and r.fld == 2
     assert r.txt == "Hello World"
+
+
+def test_bigint_and_mysql_compat(spark):
+    from decimal import Decimal
+
+    r = spark.range(1).select(
+        ch("toInt128", F.lit("123456789012345678901234567890")).alias("i128"),
+        ch("toUInt256OrNull", F.lit("bad")).alias("nul"),
+        ch("toInt128OrZero", F.lit("x")).alias("z"),
+        ch("makedate", 2024, 75).alias("md"),
+        ch("DATE_FORMAT_MYSQL", F.lit("2024-03-15").cast("date"), "%Y/%m/%d").alias("dfm"),
+        ch("export_set", 5, "Y", "N", ",", 4).alias("es"),
+    ).collect()[0]
+    assert r.i128 == Decimal("123456789012345678901234567890")
+    assert r.nul is None and r.z == Decimal(0)
+    assert str(r.md) == "2024-03-15"
+    assert r.dfm == "2024/03/15"
+    assert r.es == "Y,N,Y,N"
