@@ -308,3 +308,40 @@ def stream_mv_to_table(spark: SparkSession, sf: str) -> DataFrame:
         batch_ms += float((prog.get("durationMs") or {}).get("addBatch", 0))
     LAST_BATCH_SECONDS["stream_mv_to_table"] = round(batch_ms / 1000.0, 4)
     return spark2.read.parquet(target)
+
+
+@register(
+    "stream_topk_trending",
+    oracle="""
+    WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                      event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT hour, event_type, n, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT hour, event_type, n,
+                 row_number() OVER (PARTITION BY hour
+                                    ORDER BY n DESC, event_type) AS rnk
+          FROM c)
+    WHERE rnk <= 2
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending top-K: a STREAMING windowed count feeds a batch rank over
+    the materialized aggregate (the LiveView pattern — continuous counts,
+    rank computed at read time; ranks inside the streaming query itself
+    would need complete-mode re-emission of every window)."""
+    from pyspark.sql import Window
+
+    spark2 = _stream_session(spark)
+    stream = events_file_stream(spark2, sf)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    counts = _run_to_memory(agg, metric_name="stream_topk_trending").select(
+        F.col("w.start").alias("hour"), "event_type", "n"
+    )
+    rk = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(rk))
+        .filter(F.col("rnk") <= 2)
+        .select("hour", "event_type", "n", "rnk")
+    )
