@@ -196,3 +196,76 @@ def write_optimize_dedup(spark: SparkSession, sf: str) -> DataFrame:
     optimize_table(spark, path, deduplicate=True)
     back = read_back(spark, path)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------- schema evolution round-trip
+@register(
+    "write_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(CASE WHEN o_orderkey % 4 != 0 THEN 1 END) AS with_clerk,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS urgent
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def write_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution on the write path (reference: MergeTree ALTER ADD
+    COLUMN — old parts serve NULL/default for the new column): v1 parts
+    are written WITHOUT o_clerk, v2 parts add it; a mergeSchema read serves
+    both generations, old rows surfacing NULL for the added column.  The
+    oracle checks exactly that: count(o_clerk) counts only v2 rows."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    v1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.concat(F.lit("Clerk#"), (F.col("o_custkey") % 100).cast("string")).alias(
+            "o_clerk"
+        ),
+    )
+    path = _tmp(sf, "evolve")
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_clerk").alias("with_clerk"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("urgent"),
+    )
+
+
+# --------------------------------------------- partition pruning proof
+@register(
+    "write_partition_prune",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def write_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-pruned read of a hive-partitioned CTAS target: the filter
+    on the PARTITION column must become a PartitionFilters entry (directory
+    pruning — only the o_orderstatus=F subtree is listed/read, the
+    MergeTree partition-pruning analogue).  Plan pinned by
+    tests/test_plan_contracts.py."""
+    o = load_table(spark, sf, "orders")
+    path = _tmp(sf, "prune")
+    create_table_as(
+        o.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+        path,
+        partition_by=["o_orderstatus"],
+    )
+    back = read_back(spark, path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -271,3 +271,14 @@ def test_quantize_matryoshka_are_pure_projections(spark):
     for name in ["ann_quantize_int8", "ann_matryoshka16"]:
         plan = _plan(all_queries()[name].builder(spark, SF_DIR))
         assert "Exchange" not in plan, f"{name} shuffles a per-row transform"
+
+
+def test_partition_prune_reaches_directory_filter(spark):
+    """A filter on the hive-partition column must appear as a
+    PartitionFilters entry on the scan (directory pruning — the MergeTree
+    partition-pruning analogue), not just a row-level filter."""
+    df = all_queries()["write_partition_prune"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    scan = plan.split("PartitionFilters")
+    assert len(scan) > 1, "no PartitionFilters on the partitioned scan"
+    assert "o_orderstatus" in scan[1][:300]
