@@ -1751,11 +1751,14 @@ def beh_funnel_rep2(spark: SparkSession, sf: str) -> DataFrame:
     iv3 AS (SELECT a.slot, CAST(s3.t3 - a.t1 AS DOUBLE) AS iv
             FROM a JOIN s3 ON a.user_id = s3.user_id AND a.slot = s3.slot),
     cnts AS (
-      SELECT slot, 0 AS step, count(*) AS cnt FROM lv WHERE funnel_level > 0 GROUP BY slot
-      UNION ALL
-      SELECT slot, 1, count(*) FROM lv WHERE funnel_level > 1 GROUP BY slot
-      UNION ALL
-      SELECT slot, 2, count(*) FROM lv WHERE funnel_level > 2 GROUP BY slot
+      -- cross slots x steps so sparse slots keep their ZERO-count rows
+      -- (funnelRep emits every watch slot; a bare per-step GROUP BY
+      -- drops slots with no user above that level at tiny scale)
+      SELECT sl.slot, st.step, count(lv2.user_id) AS cnt
+      FROM (SELECT DISTINCT slot FROM lv) sl
+      CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INTEGER) AS step) st
+      LEFT JOIN lv lv2 ON lv2.slot = sl.slot AND lv2.funnel_level > st.step
+      GROUP BY 1, 2
     ),
     stats AS (
       SELECT slot, 0 AS step, count(*) AS iv_count, round(sum(iv), 4) AS iv_sum,
