@@ -1761,21 +1761,27 @@ def beh_funnel_rep2(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     stats AS (
-      SELECT slot, 0 AS step, count(*) AS iv_count, round(sum(iv), 4) AS iv_sum,
-             min(iv) AS iv_min, max(iv) AS iv_max,
-             round(quantile_cont(iv, 0.25), 4) AS q25,
-             round(quantile_cont(iv, 0.5), 4) AS q50,
-             round(quantile_cont(iv, 0.75), 4) AS q75
+      SELECT slot, 0 AS step, count(*) AS iv_count,
+             round(sum(iv) / 1e6, 4) AS iv_sum,
+             round(min(iv) / 1e6, 4) AS iv_min,
+             round(max(iv) / 1e6, 4) AS iv_max,
+             round(quantile_cont(iv, 0.25) / 1e6, 4) AS q25,
+             round(quantile_cont(iv, 0.5) / 1e6, 4) AS q50,
+             round(quantile_cont(iv, 0.75) / 1e6, 4) AS q75
       FROM iv1 GROUP BY slot
       UNION ALL
-      SELECT slot, 1, count(*), round(sum(iv), 4), min(iv), max(iv),
-             round(quantile_cont(iv, 0.25), 4), round(quantile_cont(iv, 0.5), 4),
-             round(quantile_cont(iv, 0.75), 4)
+      SELECT slot, 1, count(*), round(sum(iv) / 1e6, 4),
+             round(min(iv) / 1e6, 4), round(max(iv) / 1e6, 4),
+             round(quantile_cont(iv, 0.25) / 1e6, 4),
+             round(quantile_cont(iv, 0.5) / 1e6, 4),
+             round(quantile_cont(iv, 0.75) / 1e6, 4)
       FROM iv2 GROUP BY slot
       UNION ALL
-      SELECT slot, 2, count(*), round(sum(iv), 4), min(iv), max(iv),
-             round(quantile_cont(iv, 0.25), 4), round(quantile_cont(iv, 0.5), 4),
-             round(quantile_cont(iv, 0.75), 4)
+      SELECT slot, 2, count(*), round(sum(iv) / 1e6, 4),
+             round(min(iv) / 1e6, 4), round(max(iv) / 1e6, 4),
+             round(quantile_cont(iv, 0.25) / 1e6, 4),
+             round(quantile_cont(iv, 0.5) / 1e6, 4),
+             round(quantile_cont(iv, 0.75) / 1e6, 4)
       FROM iv3 GROUP BY slot
     )
     SELECT c.slot, c.step, c.cnt,
@@ -1798,13 +1804,16 @@ def beh_funnel_rep3(spark: SparkSession, sf: str) -> DataFrame:
         emit_times=True,
     )
     out = funnel_rep3(levels, n_steps=3)
+    # interval stats reported in SECONDS (see oracle note: microsecond
+    # sums outgrow the round(4) double grid at larger scale factors)
     return out.select(
         "slot", "step", "cnt", "iv_count",
-        F.round("iv_sum", 4).alias("iv_sum"),
-        "iv_min", "iv_max",
-        F.round("q25", 4).alias("q25"),
-        F.round("q50", 4).alias("q50"),
-        F.round("q75", 4).alias("q75"),
+        F.round(F.col("iv_sum") / 1e6, 4).alias("iv_sum"),
+        F.round(F.col("iv_min") / 1e6, 4).alias("iv_min"),
+        F.round(F.col("iv_max") / 1e6, 4).alias("iv_max"),
+        F.round(F.col("q25") / 1e6, 4).alias("q25"),
+        F.round(F.col("q50") / 1e6, 4).alias("q50"),
+        F.round(F.col("q75") / 1e6, 4).alias("q75"),
     )
 
 
