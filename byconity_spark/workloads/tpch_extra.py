@@ -133,7 +133,8 @@ def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH pa AS (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
                 FROM lineitem GROUP BY l_partkey)
-    SELECT sum(l.l_extendedprice) / 7.0 AS avg_yearly, count(*) AS n_small
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
     FROM lineitem l
     JOIN pa ON l.l_partkey = pa.l_partkey
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 10
@@ -151,7 +152,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(p, p.p_partkey == l.l_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            # round(2): canonical TPC-H Q17 output precision — at sf>=0.1
+            # the sum reaches ~1e9 where round(6) sits below the ulp of a
+            # double under cross-engine summation order
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
