@@ -95,6 +95,24 @@ _PREVIOUSLY_CERTIFIED = {
     "bitmap_join_slot_overlap", "llm_language_guess", "win_groups_frame_sum",
     "fn_geo_suite", "chsql_numbers_squares", "agg_weighted",
     "source_join_get", "ssb_q3_nation_flows",
+    # --- r05 green ---
+    "beh_attr_analysis_counts", "beh_attr_analysis_first", "beh_attr_analysis_decay",
+    "beh_attr_analysis_procedure", "agg_decimal_money", "mm_resize_thumbnail",
+    "beh_attr_fuse", "ml_logistic_gd", "bitmap_column_diff_daily",
+    "llm_simhash_pairs", "ann_quantize_int8", "win_lag_in_frame",
+    "fn_breadth_suite", "chsql_totals_by_status", "agg_moving_sum_arrays",
+    "write_schema_evolution", "dict_children_descendants", "stream_mv_to_table",
+    "ssb_q4_profit_drilldown", "beh_attr_correlation", "ml_eval_method_scores",
+    "llm_doc_fingerprint", "ann_matryoshka16", "fn_map_combinator_suite",
+    "chsql_asof", "agg_cohort_retention", "write_partition_prune",
+    "stream_topk_trending", "beh_sequence_match", "llm_ngram_lang_id",
+    "ann_pq_encode", "fn_enum_uuid_suite", "chsql_any_join",
+    "agg_topk_arrays", "beh_sequence_match_gaps", "llm_quality_classifier",
+    "ann_ivfpq_topk", "fn_breadth2_suite", "chsql_fill_interpolate",
+    "agg_statistics", "beh_sequence_count", "llm_embedding_neardup",
+    "fn_ipv4_suite", "chsql_any_multi_join", "agg_advanced_stats",
+    "beh_auc", "llm_token_count", "fn_ipv6_base58_suite",
+    "chsql_window_funnel", "agg_uniq_state_merge",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec
@@ -107,15 +125,8 @@ _ROWS_ONLY_LAST = ["mm_decode_features", "sample_lineitem"]
 # Queries a prior driver run sampled and FAILED; their fixes landed but the
 # real driver has never confirmed them.  They register FIRST — ahead of even
 # never-sampled queries — so the next capped run certifies the fixes.
-# r04: 5 hash-fails, all output-dtype renders (int-vs-float / Decimal-vs-
-# float) of numerically identical values, fixed by BIGINT/DOUBLE casts;
-# beh_attr_analysis_procedure shares _COUNTS_TAIL and would have failed the
-# same way when sampled, so it recertifies too.
-_MUST_RECERTIFY = [
-    "beh_attr_analysis_counts", "beh_attr_analysis_first",
-    "beh_attr_analysis_decay", "beh_attr_analysis_procedure",
-    "agg_decimal_money", "mm_resize_thumbnail",
-]
+# r05: 50/50 sampled queries hash-green — nothing to recertify.
+_MUST_RECERTIFY: list[str] = []
 
 
 def all_queries() -> dict[str, QueryDef]:
