@@ -63,6 +63,24 @@ def main() -> None:
     ]
     headline = sum(timings.get(q) or 0.0 for q in R01_HEADLINE)
 
+    # Warm (rep 1) pass for the headline set plus any query whose cold time
+    # exceeds 1.5 s: separates steady-state engine work from one-off codegen/
+    # scan-footer costs, so run-variance in the cold numbers (e.g. r04→r05
+    # headline 3.09→3.37 s noise) is self-evident in the artifact.
+    warm: dict[str, float] = {}
+    rerun = [
+        n for n in timings
+        if n in R01_HEADLINE or (timings[n] is not None and timings[n] > 1.5)
+    ]
+    for name in sorted(rerun):
+        t0 = time.perf_counter()
+        try:
+            qdefs[name].builder(spark, sf_dir).collect()
+            warm[name] = round(time.perf_counter() - t0, 4)
+        except Exception:
+            pass
+    headline_warm = sum(warm.get(q) or 0.0 for q in R01_HEADLINE)
+
     # availableNow streaming queries pay a fixed per-query startup cost
     # (checkpoint dir + query planning, ~1.5 s) that is NOT engine work;
     # report the actual micro-batch processing time separately so stream
@@ -95,6 +113,8 @@ def main() -> None:
             total / max(sum(1 for v in timings.values() if v is not None), 1), 4
         ),
         "headline_tpch7_wall": round(headline, 4),
+        "headline_tpch7_warm": round(headline_warm, 4),
+        "queries_warm": warm,
         "stream_detail": stream_detail,
     }
     if failed:

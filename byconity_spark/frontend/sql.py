@@ -401,12 +401,48 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
 }
 
 
+_DATE_DIFF_SECS = {
+    "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400, "WEEK": 604800
+}
+
+
 def _date_diff_sql(a: list[str]) -> str:
+    # CH dateDiff counts unit-BOUNDARY crossings (dateDiff.cpp
+    # DiffType::DateDiff: relative-unit subtraction), not complete elapsed
+    # units — dateDiff('day', '2024-01-01 23:00', '2024-01-02 01:00') = 1.
+    # Spark's timestampdiff counts COMPLETE units (= 0 there), so emit the
+    # same boundary arithmetic as the Column API's registry._date_diff.
+    unit = a[0].strip().strip("'\"").upper()
+    x, y = a[1], a[2]
+    if unit in _DATE_DIFF_SECS:
+        secs = _DATE_DIFF_SECS[unit]
+        lo = unit.lower()
+        return (
+            f"CAST((unix_timestamp(date_trunc('{lo}', {y})) - "
+            f"unix_timestamp(date_trunc('{lo}', {x}))) / {secs} AS BIGINT)"
+        )
+    if unit == "MONTH":
+        return (
+            f"CAST((year({y}) * 12 + month({y})) - "
+            f"(year({x}) * 12 + month({x})) AS BIGINT)"
+        )
+    if unit == "QUARTER":
+        return (
+            f"CAST((year({y}) * 4 + quarter({y})) - "
+            f"(year({x}) * 4 + quarter({x})) AS BIGINT)"
+        )
+    if unit == "YEAR":
+        return f"CAST(year({y}) - year({x}) AS BIGINT)"
+    raise ChSqlError(f"dateDiff: unsupported unit {a[0]}")
+
+
+def _age_sql(a: list[str]) -> str:
+    # CH age() counts COMPLETE elapsed units — exactly Spark timestampdiff.
     unit = a[0].strip().strip("'\"").upper()
     if unit not in (
         "SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH", "QUARTER", "YEAR"
     ):
-        raise ChSqlError(f"dateDiff: unsupported unit {a[0]}")
+        raise ChSqlError(f"age: unsupported unit {a[0]}")
     return f"timestampdiff({unit}, {a[1]}, {a[2]})"
 
 
@@ -529,7 +565,7 @@ RULES.update(
     {
         "countDistinct": lambda a: f"count(DISTINCT {', '.join(a)})",
         "dateDiff": _date_diff_sql,
-        "age": _date_diff_sql,  # timestampdiff counts COMPLETE units = CH age
+        "age": _age_sql,  # timestampdiff counts COMPLETE units = CH age
         "formatDateTime": _format_datetime_sql,
         "today": lambda a: "current_date()",
         "yesterday": lambda a: "date_sub(current_date(), 1)",
@@ -870,8 +906,11 @@ def _rewrite_array_join(sql: str) -> str:
             # lock-step).  The first array drives a posexplode; each further
             # alias is the element of ITS array at the same position,
             # surfaced as a plain column via a 1-element-explode lateral
-            # view.  Deviation: length mismatches NULL-pad (element_at out
-            # of range) instead of raising as ClickHouse does.
+            # view.  Deviation: length mismatches NULL-pad — try_element_at,
+            # because the session runs ANSI-on and a strict element_at would
+            # raise INVALID_ARRAY_INDEX — whereas ClickHouse raises a
+            # sizes-do-not-match error; and a shorter FIRST array drops the
+            # tail of the others (posexplode drives the positions).
             pos = f"__ajpos{n_aj}"
             first_expr, first_alias = parsed[0]
             views = (
@@ -880,7 +919,7 @@ def _rewrite_array_join(sql: str) -> str:
             )
             for j, (e2, a2) in enumerate(parsed[1:], 1):
                 views += (
-                    f" LATERAL VIEW explode(array(element_at({e2}, {pos} + 1)))"
+                    f" LATERAL VIEW explode(array(try_element_at({e2}, {pos} + 1)))"
                     f" __aj{n_aj}_{j} AS {a2}"
                 )
             views += " "

@@ -2205,9 +2205,11 @@ SCALAR.update(
     {
         # JSONType: CH returns 'Object'/'Array'/'String'/'Int64'/'Double'/
         # 'Bool'/'Null' — derived from the extract's shape.  NB
-        # get_json_object UNQUOTES scalar strings, so "non-numeric scalar"
-        # classifies as String (a JSON string holding digits is
-        # indistinguishable post-unquote — documented deviation).
+        # get_json_object UNQUOTES scalar strings, so post-unquote a JSON
+        # string is indistinguishable from the bare scalar it spells:
+        # {"k":"123"} classifies as Int64 (CH: String), {"k":"1.5"} as
+        # Double, {"k":"true"} as Bool — documented deviation for EVERY
+        # scalar-looking quoted string, not just non-numeric ones.
         "JSONType": lambda c, *keys: (
             lambda raw: F.when(raw.isNull(), F.lit(None).cast("string"))
             .when(raw.startswith("{"), "Object")
@@ -2365,14 +2367,13 @@ SCALAR.update(
         ),
         "dayname": lambda c: F.date_format(c, "EEEE"),
         "monthname": lambda c: F.date_format(c, "MMMM"),
-        "addQuarters": lambda c, n: F.add_months(c, n * 3 if isinstance(n, int) else n * 3),
-        "subtractQuarters": lambda c, n: F.add_months(
-            c, -n * 3 if isinstance(n, int) else n * -3
-        ),
-        "subtractWeeks": lambda c, n: F.date_sub(c, n * 7 if isinstance(n, int) else n * 7),
-        "subtractYears": lambda c, n: F.add_months(
-            c, -n * 12 if isinstance(n, int) else n * -12
-        ),
+        # INTERVAL arithmetic (not add_months/date_sub, which return DATE
+        # for timestamp input) so DateTime stays DateTime, like CH — same
+        # rule as addYears/addWeeks/subtractDays at the top of this file.
+        "addQuarters": lambda c, n: c + F.expr(f"INTERVAL {3 * int(n)} MONTH"),
+        "subtractQuarters": lambda c, n: c - F.expr(f"INTERVAL {3 * int(n)} MONTH"),
+        "subtractWeeks": lambda c, n: c - F.expr(f"INTERVAL {7 * int(n)} DAY"),
+        "subtractYears": lambda c, n: c - F.expr(f"INTERVAL {int(n)} YEAR"),
         "addMilliseconds": lambda c, n: F.timestamp_micros(
             F.unix_micros(c) + (n * 1000 if isinstance(n, int) else n * 1000)
         ),

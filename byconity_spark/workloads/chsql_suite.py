@@ -455,15 +455,17 @@ def chsql_multi_array_join(spark: SparkSession, sf: str) -> DataFrame:
            count(DISTINCT user_id) AS uniq_users,
            count(*) AS n,
            count(*) // count(DISTINCT user_id) AS per_user,
-           CAST((max(us) - min(us)) // 3600000000 AS BIGINT) AS span_hours
+           CAST(date_diff('hour', make_timestamp(min(us)),
+                          make_timestamp(max(us))) AS BIGINT) AS span_hours
     FROM b GROUP BY q15
     """,
 )
 def chsql_compat_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Round-5 drop-in-compat batch through the frontend: countDistinct,
-    toStartOfFifteenMinutes, formatDateTime %-codes, dateDiff ->
-    timestampdiff, intDivOrZero, and a trailing SETTINGS clause (stripped;
-    CH runtime knobs map to Spark session confs)."""
+    toStartOfFifteenMinutes, formatDateTime %-codes, dateDiff (CH
+    boundary-crossing semantics, = DuckDB date_diff), intDivOrZero, and a
+    trailing SETTINGS clause (stripped; CH runtime knobs map to Spark
+    session confs)."""
     return _run(
         spark,
         sf,

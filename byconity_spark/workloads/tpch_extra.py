@@ -68,24 +68,38 @@ def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
-    s = _t(spark, sf, "supplier")
+    # Plan note: filter both nation dims to the TWO names BEFORE the joins
+    # (reference golden plan tests/optimizers/tpch/q7 pushes the disjunction
+    # into each nation scan).  The 2-row broadcasts prune supplier/customer
+    # immediately, and AQE runtime filters on s_suppkey/o_custkey then prune
+    # lineitem/orders early — at 100× scale this joins ~8% of lineitem
+    # instead of all of it.  Only the symmetric-pair condition (which needs
+    # both sides) stays post-join.
+    pair = ["NATION_1", "NATION_2"]
     l = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate").between("1996-01-01", "1997-12-31")
     )
     o = _t(spark, sf, "orders")
-    c = _t(spark, sf, "customer")
-    n1 = _t(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    n1 = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = _t(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    s = _t(spark, sf, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    )
+    c = _t(spark, sf, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
     )
     j = (
         l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))

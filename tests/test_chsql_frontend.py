@@ -101,6 +101,35 @@ def test_execution_end_to_end(spark):
     assert out[0].big == 1 and out[0].n == 2
 
 
+def test_date_diff_boundary_vs_age(spark):
+    # 23:00 -> next day 01:00: 2 h elapsed, ONE day boundary crossed.
+    # CH dateDiff counts the crossing (=1); CH age counts complete days (=0).
+    spark.createDataFrame(
+        [("2024-01-01 23:00:00", "2024-01-02 01:00:00")], "a string, b string"
+    ).selectExpr(
+        "CAST(a AS TIMESTAMP) AS a", "CAST(b AS TIMESTAMP) AS b"
+    ).createOrReplaceTempView("t_dd")
+    from byconity_spark.frontend import ch_sql
+
+    row = ch_sql(
+        spark,
+        "SELECT dateDiff('day', a, b) AS dd, age('day', a, b) AS ag, "
+        "dateDiff('hour', a, b) AS dh, dateDiff('month', a, b) AS dm, "
+        "dateDiff('year', a, b) AS dy FROM t_dd",
+    ).collect()[0]
+    assert (row.dd, row.ag, row.dh, row.dm, row.dy) == (1, 0, 2, 0, 0)
+    # and the SQL path must agree with the Column-API registry._date_diff
+    from byconity_spark.functions.registry import SCALAR
+    from pyspark.sql import functions as F
+
+    col_row = (
+        spark.table("t_dd")
+        .select(SCALAR["dateDiff"]("day", F.col("a"), F.col("b")).alias("dd"))
+        .collect()[0]
+    )
+    assert col_row.dd == row.dd
+
+
 # ------------------------------------------------------------- new clauses
 
 def test_format_clause_stripped():
@@ -232,7 +261,9 @@ def test_array_join_rewrite():
     # multi-array zip: positional pairing via posexplode + aligned element_at
     z = rewrite_ch_sql("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")
     assert "posexplode(a)" in z and "__ajpos1, x" in z
-    assert "element_at(b, __ajpos1 + 1)" in z and "AS y" in z
+    # try_element_at: session is ANSI-on, strict element_at would raise
+    # INVALID_ARRAY_INDEX on a shorter second array instead of NULL-padding
+    assert "try_element_at(b, __ajpos1 + 1)" in z and "AS y" in z
 
 
 def test_multi_array_join_zips_positionally(spark):
@@ -247,6 +278,16 @@ def test_multi_array_join_zips_positionally(spark):
         "SELECT id, x, y FROM __maj_t ARRAY JOIN xs AS x, ys AS y ORDER BY id, x",
     ).collect()
     assert [(r.id, r.x, r.y) for r in rows] == [(1, "a", 10), (1, "b", 20), (2, "c", 30)]
+    # shorter SECOND array NULL-pads (ANSI-safe try_element_at) instead of
+    # crashing with INVALID_ARRAY_INDEX
+    spark.sql(
+        "SELECT 1 AS id, array('a', 'b', 'c') AS xs, array(10) AS ys"
+    ).createOrReplaceTempView("__maj_short")
+    rows = ch_sql(
+        spark,
+        "SELECT id, x, y FROM __maj_short ARRAY JOIN xs AS x, ys AS y ORDER BY x",
+    ).collect()
+    assert [(r.x, r.y) for r in rows] == [("a", 10), ("b", None), ("c", None)]
 
 
 def test_numbers_rewrite(spark):
@@ -418,8 +459,13 @@ def test_round5_compat_rules():
         rewrite_ch_sql("SELECT countDistinct(u, v) FROM t")
         == "SELECT count(DISTINCT u, v) FROM t"
     )
+    # dateDiff = boundary crossings (CH DiffType::DateDiff), NOT complete
+    # elapsed units — so it must NOT be timestampdiff
+    ddiff = rewrite_ch_sql("SELECT dateDiff('day', a, b) FROM t")
+    assert "date_trunc('day'" in ddiff and "timestampdiff" not in ddiff
+    # age() IS complete elapsed units = Spark timestampdiff
     assert "timestampdiff(DAY, a, b)" in rewrite_ch_sql(
-        "SELECT dateDiff('day', a, b) FROM t"
+        "SELECT age('day', a, b) FROM t"
     )
     assert "date_format(ts, 'yyyy-MM-dd HH:mm')" in rewrite_ch_sql(
         "SELECT formatDateTime(ts, '%Y-%m-%d %H:%M') FROM t"

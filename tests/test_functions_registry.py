@@ -93,6 +93,27 @@ def test_group_array_sorted(tbl):
     assert r.g == ["a", "a", "b", "b"]
 
 
+def test_quarter_week_year_arithmetic_keeps_time(spark):
+    # add/subtractQuarters/Weeks/Years must use INTERVAL arithmetic so a
+    # DateTime input keeps its time-of-day (add_months/date_sub return DATE)
+    df = (
+        spark.createDataFrame([("2024-03-15 13:45:30",)], "t string")
+        .withColumn("t", F.col("t").cast("timestamp"))
+    )
+    out = df.select(
+        ch("addQuarters", F.col("t"), 1).alias("aq"),
+        ch("subtractQuarters", F.col("t"), 1).alias("sq"),
+        ch("subtractWeeks", F.col("t"), 2).alias("sw"),
+        ch("subtractYears", F.col("t"), 1).alias("sy"),
+    )
+    assert all(f.dataType.typeName() == "timestamp" for f in out.schema.fields)
+    r = _one(out.select(*[F.col(c).cast("string").alias(c) for c in out.columns]))
+    assert r.aq == "2024-06-15 13:45:30"
+    assert r.sq == "2023-12-15 13:45:30"
+    assert r.sw == "2024-03-01 13:45:30"
+    assert r.sy == "2023-03-15 13:45:30"
+
+
 # ------------------------------------------------------------ scalar spot
 def test_scalar_functions_roundtrip(spark):
     df = spark.createDataFrame([("Hello World", "2024-03-15 13:45:30")], "s string, t string")
