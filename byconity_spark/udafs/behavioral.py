@@ -124,6 +124,70 @@ def funnel_level_modes_core(
     return level
 
 
+def funnel_level_sliding_core(
+    types: np.ndarray,
+    ts: np.ndarray,
+    steps: list,
+    window_us: int,
+    strict_order: bool = False,
+    strict_dedup: bool = False,
+    strict_increase: bool = False,
+) -> int:
+    """ClickHouse's DEFAULT windowFunnel walk (sliding anchor) — replica of
+    AggregateFunctionWindowFunnel.h getEventLevel(): every step-1 event
+    RE-ANCHORS the chain (events_timestamp[0] is overwritten), and each
+    level stores (chain_anchor_ts, last_matched_ts); a step-k event extends
+    whichever chain state level k-1 currently holds iff it falls within
+    window of THAT chain's anchor.  Final level = deepest level with state.
+
+    Differences from the first-anchor variant above: a late signup can
+    rescue a funnel the first signup's window already missed.  Tie policy:
+    callers sort by (ts, event_id); CH sorts by bare ts with insertion
+    order on ties (nondeterministic cross-engine), documented deviation.
+
+    Flag replicas (same branch ORDER as the reference):
+      * strict_order — an untracked event type breaks the scan once any
+        step-1 event has been seen (and is skipped before);
+      * strict_dedup — an event matching a step whose state is already set
+        returns the PREVIOUS tracked event's step number (CH returns
+        events_list[i-1].second);
+      * strict_increase — extending requires ts strictly greater than the
+        chain's last matched ts.
+    """
+    step_rank = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+    et: list = [None] * k  # (chain_anchor_ts, last_matched_ts) per level
+    first_event = False
+    prev_rank = 0  # 1-based step of the previous TRACKED event
+    for t, tp in zip(ts, types):
+        r = step_rank.get(tp, -1)
+        if strict_order and r == -1:
+            if first_event:
+                break
+            continue
+        if r == -1:
+            continue
+        if r == 0:
+            et[0] = (t, t)
+            first_event = True
+        elif strict_dedup and et[r] is not None:
+            return prev_rank
+        elif et[r - 1] is not None:
+            anchor, last = et[r - 1]
+            ok = t <= anchor + window_us
+            if ok and strict_increase:
+                ok = last < t
+            if ok:
+                et[r] = (anchor, t)
+                if r + 1 == k:
+                    return k
+        prev_rank = r + 1
+    for lev in range(k, 0, -1):
+        if et[lev - 1] is not None:
+            return lev
+    return 0
+
+
 def window_funnel_modes(
     events: DataFrame,
     window_us: int,
@@ -131,6 +195,7 @@ def window_funnel_modes(
     strict_order: bool = False,
     strict_dedup: bool = False,
     strict_increase: bool = False,
+    sliding: bool = False,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -141,8 +206,13 @@ def window_funnel_modes(
     funnel_level) via a sequential walk over the (ts, event_id)-sorted
     stream.  Unlike the vectorized base ``window_funnel`` (per-step
     searchsorted), strict modes depend on EVERY intervening event, so the
-    kernel scans the stream; work is O(events-per-user)."""
+    kernel scans the stream; work is O(events-per-user).
+
+    ``sliding=True`` selects the ClickHouse-default sliding-anchor walk
+    (``funnel_level_sliding_core``); the default pins the deterministic
+    first-anchor variant this engine has always shipped."""
     steps = list(steps)
+    core = funnel_level_sliding_core if sliding else funnel_level_modes_core
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([user_col, ts_col, id_col], kind="stable")
@@ -157,7 +227,7 @@ def window_funnel_modes(
         for u, g in frame.groupby("u", sort=False):
             users.append(u)
             levels.append(
-                funnel_level_modes_core(
+                core(
                     g["tp"].to_numpy(),
                     g["ts"].to_numpy(),
                     steps,
@@ -1072,6 +1142,116 @@ def finder_funnel(
             for i in range(1, len(steps) + 1)
         ]
     return frame.select(*out_cols)
+
+
+def finder_funnel_by_times(
+    events: DataFrame,
+    watch_start_us: int,
+    watch_step_us: int,
+    watch_numbers: int,
+    window_us: int,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """finderFunnelByTimes (reference
+    AggregateFunctionFinderFunnelByTimes.h calculateFunnel — fixed-window
+    mode, no attr correlation): unlike finderFunnel (ONE level per
+    (user, slot)), EVERY step-1 event anchors its own chain, each chain
+    adds +1 to the reach count of every level it passed, and step-2+
+    events are CONSUMED (each joins at most one chain,
+    ``events[index].event = 0`` in the reference's count_funnel).
+
+    Loop equivalence (derived, not copied): with distinct step types and a
+    fixed window, the reference's last_start / window-expiry / same-slot
+    re-anchor bookkeeping reduces to — walk step-1 events in time order;
+    each one whose slot lies in [0, watch_numbers) anchors a chain; the
+    chain greedily takes, per later step, the EARLIEST not-yet-consumed
+    event of that type strictly after the previous matched time and within
+    ``window_us`` of the ANCHOR.  (Every scanned step-1 event becomes
+    last_start of the round before it and so anchors exactly one round;
+    events timestamped before watch_start are dropped at add().)
+
+    Output: (user, slot, reach1..reachK) — reach_k = chains in that slot
+    reaching at least level k; the reference's per-slot output sections
+    (its leading total section is just the sum over slots).  Bucketed
+    applyInPandas, O(events-per-user)."""
+    steps = list(steps)
+    k = len(steps)
+    reach_cols = [f"reach{i}" for i in range(1, k + 1)]
+    schema = (
+        f"{user_col} long, slot long, "
+        + ", ".join(f"{c} long" for c in reach_cols)
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([user_col, ts_col, id_col], kind="stable")
+        u_arr = pdf[user_col].to_numpy()
+        t_arr = _us(pdf[ts_col])
+        tp_arr = pdf[type_col].to_numpy()
+        n = len(pdf)
+        out_u: list = []
+        out_slot: list = []
+        out_counts: list = []
+        splits = np.flatnonzero(u_arr[1:] != u_arr[:-1]) + 1
+        for seg in np.split(np.arange(n), splits) if n else []:
+            u = u_arr[seg[0]]
+            t = t_arr[seg]
+            tp = tp_arr[seg]
+            step_times = []
+            step_used = []
+            for s_name in steps:
+                m = tp == s_name
+                step_times.append(t[m])
+                step_used.append(np.zeros(int(m.sum()), dtype=bool))
+            counts: dict = {}
+            for ta in step_times[0]:
+                slot = (ta - watch_start_us) // watch_step_us
+                if slot < 0 or slot >= watch_numbers:
+                    continue
+                level = 1
+                prev = ta
+                deadline = ta + window_us
+                for si in range(1, k):
+                    arr = step_times[si]
+                    used = step_used[si]
+                    j = int(np.searchsorted(arr, prev, side="right"))
+                    while j < len(arr) and used[j]:
+                        j += 1
+                    if j < len(arr) and arr[j] <= deadline:
+                        used[j] = True
+                        prev = arr[j]
+                        level += 1
+                    else:
+                        break
+                c = counts.setdefault(int(slot), np.zeros(k, dtype=np.int64))
+                c[:level] += 1
+            for slot, c in counts.items():
+                out_u.append(u)
+                out_slot.append(slot)
+                out_counts.append(c)
+        data = {
+            user_col: np.asarray(out_u, dtype=np.int64),
+            "slot": np.asarray(out_slot, dtype=np.int64),
+        }
+        stacked = (
+            np.stack(out_counts)
+            if out_counts
+            else np.zeros((0, k), dtype=np.int64)
+        )
+        for i, c in enumerate(reach_cols):
+            data[c] = stacked[:, i]
+        return pd.DataFrame(data)
+
+    filtered = events.filter(F.unix_micros(F.col(ts_col)) >= watch_start_us)
+    return (
+        _bucketed(filtered, user_col, [ts_col, type_col, id_col], n_buckets)
+        .groupBy("__b")
+        .applyInPandas(kernel, schema=schema)
+    )
 
 
 def session_analysis(

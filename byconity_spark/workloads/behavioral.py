@@ -72,6 +72,55 @@ def beh_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# windowFunnel, ClickHouse-DEFAULT sliding-anchor semantics: every signup
+# re-anchors the chain, so a late signup can rescue a funnel the first
+# signup's window missed.  Oracle: the sliding walk is equivalent to chain
+# EXISTENCE (for the default flags) — level >= k iff some signup->...->step_k
+# chain fits inside one window — because the stored anchor is always the
+# LATEST feasible one, which maximizes anchor+window (proof sketch in
+# udafs/behavioral.py funnel_level_sliding_core docstring).  Ties: the
+# events table has no duplicate (user_id, ts) pairs, so strict > in the
+# oracle equals scan-order-after in the kernel.
+# --------------------------------------------------------------------------
+@register(
+    "beh_window_funnel_sliding",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+    l2 AS (SELECT DISTINCT a.user_id
+           FROM e a JOIN e b ON a.user_id = b.user_id
+           WHERE a.event_type = 'signup' AND b.event_type = 'click'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7 DAY),
+    l3 AS (SELECT DISTINCT a.user_id
+           FROM e a JOIN e b ON a.user_id = b.user_id
+                    JOIN e c ON a.user_id = c.user_id
+           WHERE a.event_type = 'signup' AND b.event_type = 'click'
+             AND c.event_type = 'purchase'
+             AND b.ts > a.ts AND c.ts > b.ts
+             AND c.ts <= a.ts + INTERVAL 7 DAY)
+    SELECT u.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN l1 ON u.user_id = l1.user_id
+    LEFT JOIN l2 ON u.user_id = l2.user_id
+    LEFT JOIN l3 ON u.user_id = l3.user_id
+    """,
+)
+def beh_window_funnel_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import window_funnel_modes
+
+    return window_funnel_modes(
+        _ev(spark, sf),
+        window_us=7 * _DAY_US,
+        steps=["signup", "click", "purchase"],
+        sliding=True,
+    )
+
+
+# --------------------------------------------------------------------------
 # windowFunnel strict_order: after the first signup, the user's very next
 # events (ANY type) must be click then purchase, inside the window.
 # --------------------------------------------------------------------------
@@ -996,6 +1045,125 @@ def beh_funnel_rep_by_times(spark: SparkSession, sf: str) -> DataFrame:
         steps=["signup", "click", "purchase"],
     )
     return stringify_arrays(funnel_rep(levels, ["slot"], event_numbers=3))
+
+
+# --------------------------------------------------------------------------
+# finderFunnelByTimes: every signup anchors its OWN chain (counting every
+# funnel pass, with step-2+ events consumed), vs finderFunnel's one level
+# per (user, slot).  Oracle: DuckDB recursive CTE replaying the greedy
+# rounds per user — state carries the consumed click/purchase timestamp
+# lists; validated row-exact against an independent python simulation
+# (.dev/ffbt_proto.py derivation note in udafs/behavioral.py docstring).
+# --------------------------------------------------------------------------
+_FFBT_ORACLE_CORE = f"""
+e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+      FROM events WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= {_FF_START_US}),
+a AS (SELECT user_id, t,
+             CAST(floor((t - {_FF_START_US}) / {_FF_STEP_US}) AS BIGINT) AS slot,
+             row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+      FROM e WHERE event_type = 'signup'
+        AND floor((t - {_FF_START_US}) / {_FF_STEP_US}) >= 0
+        AND floor((t - {_FF_START_US}) / {_FF_STEP_US}) < {_FF_SLOTS}),
+bl AS (SELECT user_id, list(t ORDER BY t) AS bs FROM e
+       WHERE event_type = 'click' GROUP BY user_id),
+cl AS (SELECT user_id, list(t ORDER BY t) AS cs FROM e
+       WHERE event_type = 'purchase' GROUP BY user_id),
+sim(user_id, rn, slot, level, used_b, used_c) AS (
+  SELECT user_id, 0, CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+  FROM (SELECT DISTINCT user_id FROM a)
+  UNION ALL
+  SELECT s.user_id, s.rn + 1, a.slot,
+         CASE WHEN p.cpick IS NOT NULL THEN 3
+              WHEN p.bpick IS NOT NULL THEN 2 ELSE 1 END,
+         CASE WHEN p.bpick IS NOT NULL THEN list_append(s.used_b, p.bpick)
+              ELSE s.used_b END,
+         CASE WHEN p.cpick IS NOT NULL THEN list_append(s.used_c, p.cpick)
+              ELSE s.used_c END
+  FROM sim s
+  JOIN a ON a.user_id = s.user_id AND a.rn = s.rn + 1
+  LEFT JOIN bl ON bl.user_id = s.user_id
+  LEFT JOIN cl ON cl.user_id = s.user_id,
+  LATERAL (
+    SELECT bpick,
+           CASE WHEN bpick IS NOT NULL THEN
+             list_min(list_filter(coalesce(cl.cs, CAST([] AS BIGINT[])),
+               x -> x > bpick AND x <= a.t + {_FF_WINDOW_US}
+                    AND NOT list_contains(s.used_c, x)))
+           END AS cpick
+    FROM (SELECT list_min(list_filter(coalesce(bl.bs, CAST([] AS BIGINT[])),
+            x -> x > a.t AND x <= a.t + {_FF_WINDOW_US}
+                 AND NOT list_contains(s.used_b, x))) AS bpick)
+  ) p
+)
+"""
+
+
+@register(
+    "beh_finder_funnel_by_times",
+    oracle=f"""
+    WITH RECURSIVE
+    {_FFBT_ORACLE_CORE}
+    SELECT user_id, slot,
+           CAST(count(*) AS BIGINT) AS reach1,
+           CAST(sum(CASE WHEN level >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS reach2,
+           CAST(sum(CASE WHEN level >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS reach3
+    FROM sim WHERE rn > 0
+    GROUP BY user_id, slot
+    """,
+)
+def beh_finder_funnel_by_times(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import finder_funnel_by_times
+
+    return finder_funnel_by_times(
+        _ev(spark, sf),
+        watch_start_us=_FF_START_US,
+        watch_step_us=_FF_STEP_US,
+        watch_numbers=_FF_SLOTS,
+        window_us=_FF_WINDOW_US,
+        steps=["signup", "click", "purchase"],
+    )
+
+
+# --------------------------------------------------------------------------
+# finderGroupFunnelByTimes: ByTimes chain counts split by a USER property
+# (reference AggregateFunctionFinderGroupFunnelByTimes.h — composition of
+# the ByTimes kernel with the group join, same pattern as
+# finder_group_funnel).
+# --------------------------------------------------------------------------
+@register(
+    "beh_finder_group_funnel_by_times",
+    oracle=f"""
+    WITH RECURSIVE
+    {_FFBT_ORACLE_CORE}
+    SELECT slot, user_id % 3 AS prop,
+           CAST(count(*) AS BIGINT) AS reach1,
+           CAST(sum(CASE WHEN level >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS reach2,
+           CAST(sum(CASE WHEN level >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS reach3
+    FROM sim WHERE rn > 0
+    GROUP BY slot, user_id % 3
+    """,
+)
+def beh_finder_group_funnel_by_times(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import finder_funnel_by_times
+
+    per_user = finder_funnel_by_times(
+        _ev(spark, sf),
+        watch_start_us=_FF_START_US,
+        watch_step_us=_FF_STEP_US,
+        watch_numbers=_FF_SLOTS,
+        window_us=_FF_WINDOW_US,
+        steps=["signup", "click", "purchase"],
+    )
+    return (
+        per_user.withColumn("prop", F.col("user_id") % 3)
+        .groupBy("slot", "prop")
+        .agg(
+            F.sum("reach1").cast("long").alias("reach1"),
+            F.sum("reach2").cast("long").alias("reach2"),
+            F.sum("reach3").cast("long").alias("reach3"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

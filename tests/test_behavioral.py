@@ -215,6 +215,123 @@ def test_strict_increase_and_anchor_ties():
     assert _modes([(0, "A"), (10, "B")], window=5) == 1
 
 
+def test_finder_funnel_by_times_counts_every_pass(spark):
+    from byconity_spark.udafs.behavioral import finder_funnel_by_times
+
+    # user 1, all inside slot 0 (day 0), window 100 s:
+    #   A@10 -> B@20 -> C@30   (complete chain, consumes B@20/C@30)
+    #   A@15 -> B@40           (B@20 already consumed; no C left in window)
+    #   A@400                  (alone: level 1)
+    # => slot 0: reach1=3, reach2=2, reach3=1
+    rows = [
+        (1, 10, "A"), (1, 15, "A"), (1, 20, "B"), (1, 30, "C"),
+        (1, 40, "B"), (1, 400, "A"),
+        # user 2: signup before watch_start is dropped entirely
+        (2, -5, "A"), (2, 3, "B"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t * 1_000_000, f"t{i}") for i, (u, t, tp) in enumerate(rows)],
+        "user_id long, us long, event_id string",
+    ).selectExpr(
+        "user_id", "timestamp_micros(us) AS ts", "event_id"
+    )
+    types = spark.createDataFrame(
+        [(f"t{i}", tp) for i, (u, t, tp) in enumerate(rows)],
+        "event_id string, event_type string",
+    )
+    ev = df.join(types, "event_id")
+    out = {
+        (r.user_id, r.slot): (r.reach1, r.reach2, r.reach3)
+        for r in finder_funnel_by_times(
+            ev,
+            watch_start_us=0,
+            watch_step_us=86_400_000_000,
+            watch_numbers=10,
+            window_us=100_000_000,
+            steps=["A", "B", "C"],
+        ).collect()
+    }
+    assert out == {(1, 0): (3, 2, 1)}
+
+
+# ---------------------------------------------------------------- sliding
+
+def _sliding(events, window=100, **flags):
+    from byconity_spark.udafs.behavioral import funnel_level_sliding_core
+
+    order = sorted(range(len(events)), key=lambda i: (events[i][0], i))
+    ts = np.array([events[i][0] for i in order], dtype=np.int64)
+    tp = np.array([events[i][1] for i in order])
+    return funnel_level_sliding_core(tp, ts, ["A", "B", "C"], window, **flags)
+
+
+def test_sliding_anchor_rescues_late_start():
+    # first A's window misses B entirely; the second A re-anchors (CH
+    # default) and completes — the pinned first-anchor variant stays at 1
+    ev = [(0, "A"), (200, "A"), (250, "B"), (260, "C")]
+    assert _modes(ev) == 1
+    assert _sliding(ev) == 3
+
+
+def test_sliding_chain_window_binds_to_own_anchor():
+    # B chains from A@0 (within window), but C@150 is outside A@0+100;
+    # no later A->B chain exists, so level stays 2
+    ev = [(0, "A"), (50, "B"), (150, "C")]
+    assert _sliding(ev) == 2
+    # re-anchor at 120 without a following B does not help
+    assert _sliding(ev + [(120, "A")]) == 2
+    # ...but a B after the re-anchor completes via the NEW chain
+    assert _sliding(ev + [(120, "A"), (140, "B")]) == 3
+
+
+def test_sliding_strict_flags():
+    # strict_increase: ties on the chain's last matched ts stop the extend
+    assert _sliding([(0, "A"), (1, "B"), (1, "C")]) == 3
+    assert _sliding([(0, "A"), (1, "B"), (1, "C")], strict_increase=True) == 2
+    # strict_order: untracked event after the first A breaks the walk
+    assert _sliding([(0, "A"), (1, "X"), (2, "B")], strict_order=True) == 1
+    # strict_dedup: re-matching an already-set step returns the previous
+    # tracked event's step number (CH events_list[i-1].second replica)
+    assert _sliding([(0, "A"), (1, "B"), (2, "B"), (3, "C")], strict_dedup=True) == 2
+
+
+def _sliding_bruteforce(events, window):
+    """Max k with an existing chain A->..->step_k inside one window, over
+    the (ts, idx)-sorted stream — the EXISTS formulation the DuckDB oracle
+    of beh_window_funnel_sliding uses."""
+    order = sorted(range(len(events)), key=lambda i: (events[i][0], i))
+    ts = [events[i][0] for i in order]
+    tp = [events[i][1] for i in order]
+    n = len(order)
+    steps = ["A", "B", "C"]
+    best = 0
+    import itertools
+
+    for k in range(1, 4):
+        for combo in itertools.combinations(range(n), k):
+            if [tp[i] for i in combo] != steps[:k]:
+                continue
+            if ts[combo[-1]] <= ts[combo[0]] + window:
+                best = max(best, k)
+                break
+    return best
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.sampled_from("ABCXY")),
+        max_size=12,
+    ),
+    window=st.integers(min_value=0, max_value=40),
+)
+def test_sliding_default_equals_chain_existence(events, window):
+    """The CH sliding walk (default flags) returns exactly the deepest level
+    for which a chain exists inside one window — the equivalence the SQL
+    oracle relies on."""
+    assert _sliding(events, window) == _sliding_bruteforce(events, window)
+
+
 modes_events = st.lists(
     st.tuples(st.integers(min_value=0, max_value=30), st.sampled_from("ABCXY")),
     max_size=25,
