@@ -74,3 +74,42 @@ def jdbc_write(
     if driver:
         props["driver"] = driver
     df.write.jdbc(url, table, mode=mode, properties=props)
+
+
+def hive_external_table(
+    spark: SparkSession,
+    base_path: str,
+    partition_types: dict[str, str] | None = None,
+    data_schema=None,
+    file_format: str = "parquet",
+) -> DataFrame:
+    """Hive-LAYOUT external table reader (reference src/Storages/Hive/
+    StorageCnchHive.h + registerStorages.cpp:33-103 CnchHive): reads a
+    directory tree some other system laid out as
+    ``base/part_col=value/.../files`` WITHOUT a metastore — Spark's
+    partition discovery under ``basePath`` recovers the partition columns
+    from the directory names, and ``partition_types`` casts them from the
+    discovered string/inferred type to the table's declared types (the
+    metastore's job in real Hive).
+
+    A filter on a partition column prunes whole directory subtrees before
+    any file is opened (PartitionFilters in the scan plan, the MergeTree
+    partition-prune analogue) — at 100 TB this is the difference between
+    listing one subtree and scanning the lake.
+
+    ``data_schema`` (optional StructType) pins the NON-partition columns,
+    skipping footer-based inference across thousands of files."""
+    reader = spark.read.option("basePath", base_path)
+    if data_schema is not None:
+        reader = reader.schema(data_schema)
+    df = getattr(reader, file_format)(base_path)
+    from pyspark.sql import functions as F
+
+    for col, dtype in (partition_types or {}).items():
+        if col not in df.columns:
+            raise ValueError(
+                f"hive_external_table: partition column {col!r} not found in "
+                f"discovered layout; got {df.columns}"
+            )
+        df = df.withColumn(col, F.col(col).cast(dtype))
+    return df

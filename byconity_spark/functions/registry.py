@@ -25,6 +25,7 @@ Byte-compatibility notes (documented deviations):
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import pandas as pd
@@ -1168,9 +1169,57 @@ def ch_agg(name: str, *args) -> Column:
     )
 
 
+# Hash functions whose stand-in produces DIFFERENT VALUES than the
+# reference implementation (cityHash64 et al. are xxhash64-backed: stable
+# within this engine, NOT CH-bit-identical).  A workload that persists or
+# exchanges these hash values cross-engine would break silently — so by
+# default the dispatcher warns once per name, and strict mode
+# (set_strict_hash_compat(True) or env BYCONITY_STRICT_HASH_COMPAT=1)
+# raises instead.
+VALUE_DIVERGENT_HASHES = frozenset(
+    {
+        "cityHash64", "sipHash64", "sipHash128", "halfMD5", "hiveHash",
+        "intHash32", "intHash64", "URLHash", "farmFingerprint64",
+    }
+)
+
+_strict_hash_compat = bool(int(os.environ.get("BYCONITY_STRICT_HASH_COMPAT", "0")))
+_warned_hashes: set = set()
+
+
+def set_strict_hash_compat(enabled: bool) -> None:
+    """Strict mode: calling a value-divergent hash stand-in raises instead
+    of warning, for workloads that must be bit-compatible with the
+    reference's hash values."""
+    global _strict_hash_compat
+    _strict_hash_compat = bool(enabled)
+
+
+def _check_hash_compat(name: str) -> None:
+    if name not in VALUE_DIVERGENT_HASHES:
+        return
+    if _strict_hash_compat:
+        raise ValueError(
+            f"{name}: stand-in produces different values than the reference "
+            "implementation and strict_hash_compat is enabled; use xxHash64 "
+            "(value-stable here) or disable strict mode"
+        )
+    if name not in _warned_hashes:
+        _warned_hashes.add(name)
+        import warnings
+
+        warnings.warn(
+            f"{name} is a value-divergent stand-in (xxhash64-backed): stable "
+            "within this engine, not bit-identical to the reference. "
+            "Enable set_strict_hash_compat(True) to make this an error.",
+            stacklevel=3,
+        )
+
+
 def ch(name: str, *args) -> Column:
     """Resolve any CH function name (scalar first, then aggregate +
     combinators) to a PySpark Column."""
+    _check_hash_compat(name)
     fn = SCALAR.get(name)
     if fn is not None:
         return fn(*args)

@@ -402,3 +402,46 @@ def dict_children_descendants(spark: SparkSession, sf: str) -> DataFrame:
         arr_str(F.col("children")).alias("children"),
         arr_str(F.col("descendants")).alias("descendants"),
     )
+
+
+# ------------------------------------------- Hive-layout external table
+@register(
+    "source_hive_external",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) = 1995
+    GROUP BY o_orderpriority
+    """,
+)
+def source_hive_external(spark: SparkSession, sf: str) -> DataFrame:
+    """Metastore-less Hive-style external table (reference
+    src/Storages/Hive/StorageCnchHive.h): another system wrote a
+    two-level ``o_orderstatus=X/o_year=N`` directory tree; we read it via
+    layout discovery alone, cast the o_year partition column to the
+    declared int type, and prune BOTH partition levels before touching a
+    file."""
+    from byconity_spark.engine.sources import hive_external_table
+
+    o = load_table(spark, sf, "orders")
+    path = _tmp(sf, "hive_layout")
+    (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            "o_orderstatus",
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus", "o_year")
+        .parquet(path)
+    )
+    back = hive_external_table(
+        spark, path, partition_types={"o_year": "int"}
+    ).filter((F.col("o_orderstatus") == "F") & (F.col("o_year") == 1995))
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -431,3 +431,30 @@ def test_ngram_hash_family(spark):
     # one-word tail edit: the LOW-hash half of the minhash tuple usually
     # survives — assert the tuple is not totally destroyed
     assert (r.ma.h1 == r.mb.h1) or (r.ma.h2 == r.mb.h2) or ham(r.sa, r.sb) <= 10
+
+
+def test_value_divergent_hash_warns_then_strict_raises(spark):
+    import warnings
+
+    import pytest as _pytest
+
+    from byconity_spark.functions import registry as reg
+
+    reg._warned_hashes.discard("cityHash64")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ch("cityHash64", F.lit("x"))
+        assert any("value-divergent" in str(w.message) for w in caught)
+    # warned once per name only
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        ch("cityHash64", F.lit("x"))
+        assert not caught2
+    reg.set_strict_hash_compat(True)
+    try:
+        with _pytest.raises(ValueError, match="strict_hash_compat"):
+            ch("sipHash128", F.lit("x"))
+        # value-stable names stay usable in strict mode
+        ch("xxHash64", F.lit("x"))
+    finally:
+        reg.set_strict_hash_compat(False)

@@ -282,3 +282,15 @@ def test_partition_prune_reaches_directory_filter(spark):
     scan = plan.split("PartitionFilters")
     assert len(scan) > 1, "no PartitionFilters on the partitioned scan"
     assert "o_orderstatus" in scan[1][:300]
+
+
+def test_hive_external_prunes_both_partition_levels(spark):
+    """source_hive_external filters on BOTH discovered partition columns;
+    both must reach PartitionFilters (subtree pruning, no file opened
+    outside o_orderstatus=F/o_year=1995)."""
+    df = all_queries()["source_hive_external"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    scan = plan.split("PartitionFilters")
+    assert len(scan) > 1, "no PartitionFilters on the hive-layout scan"
+    head = scan[1][:400]
+    assert "o_orderstatus" in head and "o_year" in head
