@@ -346,11 +346,27 @@ RULES: dict[str, object] = {
 }
 
 def _window_funnel_sql(p: list[str], a: list[str]) -> str:
-    """windowFunnel(window_s)(ts, cond1, ..., condN) — the first-anchor
-    chain (same variant as udafs/behavioral.window_funnel) folded over the
-    time-sorted collected events as ONE aggregate expression:
-    aggregate(array_sort(collect_list(...)), nulls, chain-step, level).
-    Second granularity (ClickHouse DateTime is seconds)."""
+    """windowFunnel(window_s)(ts, cond1, ..., condN) — ClickHouse DEFAULT
+    (sliding-anchor) semantics, folded over the time-sorted collected
+    events as ONE aggregate expression.  State keeps, per level, the
+    ANCHOR timestamp of the chain that reached it (the reference's
+    events_timestamp[i].first): every cond1 event RE-anchors level 1, and
+    a cond_i event extends level i-1's chain iff it falls within window of
+    THAT chain's anchor.  Level = deepest state set.  Second granularity
+    (ClickHouse DateTime is seconds).
+
+    Deviations (documented): an event matching several conditions advances
+    at most ONE step (CH processes one list entry per matched condition —
+    funnel conditions are mutually exclusive event predicates in
+    practice); ties at equal ts process in struct sort order.  Strictness
+    mode params are NOT supported here — the Column API
+    (udafs/behavioral.window_funnel_modes) covers them."""
+    if len(p) > 1:
+        raise ChSqlError(
+            "windowFunnel: mode parameters (strict_order/...) are not "
+            "supported in the SQL rewrite; use the Column API "
+            "window_funnel_modes"
+        )
     w = p[0]
     ts, conds = a[0], a[1:]
     n = len(conds)
@@ -359,19 +375,19 @@ def _window_funnel_sql(p: list[str], a: list[str]) -> str:
         + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]
     ) + ")"
     init = "named_struct(" + ", ".join(
-        f"'t{i + 1}', CAST(NULL AS BIGINT)" for i in range(n)
+        f"'a{i + 1}', CAST(NULL AS BIGINT)" for i in range(n)
     ) + ")"
-    upd = ["'t1', CASE WHEN s.t1 IS NULL AND e.c1 THEN e.ts ELSE s.t1 END"]
+    upd = ["'a1', CASE WHEN e.c1 THEN e.ts ELSE s.a1 END"]
     for i in range(2, n + 1):
         upd.append(
-            f"'t{i}', CASE WHEN s.t{i - 1} IS NOT NULL AND s.t{i} IS NULL "
-            f"AND e.c{i} AND e.ts > s.t{i - 1} AND e.ts <= s.t1 + {w} "
-            f"THEN e.ts ELSE s.t{i} END"
+            f"'a{i}', CASE WHEN e.c{i} AND s.a{i - 1} IS NOT NULL "
+            f"AND e.ts <= s.a{i - 1} + {w} "
+            f"THEN s.a{i - 1} ELSE s.a{i} END"
         )
     merge = "named_struct(" + ", ".join(upd) + ")"
     fin = (
         "CASE "
-        + " ".join(f"WHEN s.t{i} IS NOT NULL THEN {i}" for i in range(n, 0, -1))
+        + " ".join(f"WHEN s.a{i} IS NOT NULL THEN {i}" for i in range(n, 0, -1))
         + " ELSE 0 END"
     )
     return (

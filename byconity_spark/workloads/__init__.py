@@ -112,7 +112,7 @@ _PREVIOUSLY_CERTIFIED = {
     "agg_statistics", "beh_sequence_count", "llm_embedding_neardup",
     "fn_ipv4_suite", "chsql_any_multi_join", "agg_advanced_stats",
     "beh_auc", "llm_token_count", "fn_ipv6_base58_suite",
-    "chsql_window_funnel", "agg_uniq_state_merge",
+    "agg_uniq_state_merge",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec
@@ -125,8 +125,10 @@ _ROWS_ONLY_LAST = ["mm_decode_features", "sample_lineitem"]
 # Queries a prior driver run sampled and FAILED; their fixes landed but the
 # real driver has never confirmed them.  They register FIRST — ahead of even
 # never-sampled queries — so the next capped run certifies the fixes.
-# r05: 50/50 sampled queries hash-green — nothing to recertify.
-_MUST_RECERTIFY: list[str] = []
+# r05: 50/50 sampled queries hash-green.  chsql_window_funnel recertifies
+# because round 6 changed its SEMANTICS (first-anchor -> CH-default
+# sliding-anchor fold) and rewrote its oracle to match.
+_MUST_RECERTIFY: list[str] = ["chsql_window_funnel"]
 
 
 def all_queries() -> dict[str, QueryDef]:

@@ -380,30 +380,37 @@ def chsql_any_multi_join(spark: SparkSession, sf: str) -> DataFrame:
     WITH e AS (SELECT user_id,
                       CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
                       event_type FROM events),
-    u1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup'
-           GROUP BY user_id),
-    u2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN u1 USING (user_id)
-           WHERE e.event_type = 'click' AND e.t > u1.t1
-             AND e.t <= u1.t1 + 604800 GROUP BY e.user_id),
-    u3 AS (SELECT e.user_id, min(e.t) AS t3
-           FROM e JOIN u1 USING (user_id) JOIN u2 USING (user_id)
-           WHERE e.event_type = 'purchase' AND e.t > u2.t2
-             AND e.t <= u1.t1 + 604800 GROUP BY e.user_id)
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+    l2 AS (SELECT DISTINCT a.user_id
+           FROM e a JOIN e b ON a.user_id = b.user_id
+           WHERE a.event_type = 'signup' AND b.event_type = 'click'
+             AND b.t > a.t AND b.t <= a.t + 604800),
+    l3 AS (SELECT DISTINCT a.user_id
+           FROM e a JOIN e b ON a.user_id = b.user_id
+                    JOIN e c ON a.user_id = c.user_id
+           WHERE a.event_type = 'signup' AND b.event_type = 'click'
+             AND c.event_type = 'purchase'
+             AND b.t > a.t AND c.t > b.t AND c.t <= a.t + 604800)
     SELECT u.user_id,
-           CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
-                WHEN u2.user_id IS NOT NULL THEN 2
-                WHEN u1.user_id IS NOT NULL THEN 1
+           CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
                 ELSE 0 END AS INT) AS lvl
     FROM (SELECT DISTINCT user_id FROM e) u
-    LEFT JOIN u1 ON u.user_id = u1.user_id
-    LEFT JOIN u2 ON u.user_id = u2.user_id
-    LEFT JOIN u3 ON u.user_id = u3.user_id
+    LEFT JOIN l1 ON u.user_id = l1.user_id
+    LEFT JOIN l2 ON u.user_id = l2.user_id
+    LEFT JOIN l3 ON u.user_id = l3.user_id
     """,
 )
 def chsql_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """windowFunnel(w)(ts, conds...) straight from CH SQL — rewritten to a
     sorted-fold aggregate expression (frontend PARAMETRIC
-    _window_funnel_sql), second granularity like ClickHouse DateTime."""
+    _window_funnel_sql) with ClickHouse's DEFAULT sliding-anchor
+    semantics; oracle is the chain-EXISTENCE formulation (equivalent for
+    default flags, see udafs/behavioral.funnel_level_sliding_core).
+    Second granularity like ClickHouse DateTime; the events table has no
+    same-user same-second ties at oracle scale, so strict > in the oracle
+    equals scan-order-after in the fold."""
     return _run(
         spark,
         sf,

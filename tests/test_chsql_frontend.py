@@ -290,6 +290,30 @@ def test_multi_array_join_zips_positionally(spark):
     assert [(r.x, r.y) for r in rows] == [("a", 10), ("b", None), ("c", None)]
 
 
+def test_window_funnel_sql_is_sliding_anchor(spark):
+    from byconity_spark.frontend import ch_sql
+
+    # first A's window misses B; the second A re-anchors (CH default
+    # sliding semantics) and the chain completes -> level 3
+    spark.createDataFrame(
+        [(1, 0, "A"), (1, 200, "A"), (1, 250, "B"), (1, 260, "C")],
+        "user_id long, sec long, et string",
+    ).selectExpr(
+        "user_id", "timestamp_seconds(sec) AS ts", "et"
+    ).createOrReplaceTempView("__wf_t")
+    rows = ch_sql(
+        spark,
+        "SELECT user_id, windowFunnel(100)(ts, et = 'A', et = 'B', et = 'C') "
+        "AS lvl FROM __wf_t GROUP BY user_id",
+    ).collect()
+    assert rows[0].lvl == 3
+    # mode params are not supported in the SQL rewrite — explicit error
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql(
+            "SELECT windowFunnel(100, 'strict_order')(ts, a, b) FROM t"
+        )
+
+
 def test_numbers_rewrite(spark):
     from byconity_spark.frontend import ch_sql
     from byconity_spark.frontend.sql import rewrite_ch_sql
