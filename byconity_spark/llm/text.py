@@ -55,6 +55,48 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def repetition_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple = (2, 3),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    appendix A1.1 repetition filters): per word-n-gram size, the fraction
+    of n-grams that are DUPLICATES (1 - distinct/total) — high values mark
+    boilerplate/spam that survives doc-level dedup.
+
+    Column-only (split + transform + array_distinct): whole-stage codegen,
+    no UDF, no shuffle — at 100 TB this is a pure map over the scan and
+    the downstream keep-filter is a plain WHERE on the fractions."""
+    toks = tokenize(F.col(text_col))
+    out = docs.select(F.col(id_col), toks.alias("__toks"))
+    projs = [F.col(id_col)]
+
+    def _gram(n):
+        # single-arg lambda via factory: a 2-arg lambda (even with a bound
+        # default) makes PySpark pass (element, index) and the closure var
+        # silently becomes the array index
+        return lambda i: F.concat_ws(" ", F.slice("__toks", i, n))
+
+    for n in ns:
+        total = F.size("__toks") - (n - 1)
+        # greatest(total, 1): sequence(1, 0) would run DESCENDING in Spark;
+        # the bogus single n-gram on short docs is masked by the total > 0
+        # guard below
+        ng = F.transform(
+            F.sequence(F.lit(1), F.greatest(total, F.lit(1))), _gram(n)
+        )
+        frac = F.when(
+            total > 0,
+            (total - F.size(F.array_distinct(ng))).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+        # raw double division (int operands) — bit-identical cross-engine,
+        # no rounding needed
+        projs.append(frac.alias(f"dup{n}gram_frac"))
+    return out.select(*projs)
+
+
 def language_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-profile language guess with a deterministic priority tiebreak
     (en > es > de > fr)."""

@@ -18,9 +18,10 @@ Semantics notes:
   * ``window_funnel`` implements the deterministic FIRST-ANCHOR variant:
     the chain starts at the user's earliest step-1 event; each later step is
     the earliest strictly-later event of that type within ``window`` of the
-    anchor.  (ClickHouse's default mode slides the anchor to later step-1
-    events; that variant is order-dependent under equal timestamps and not
-    SQL-expressible, so we pin the deterministic one and document it.)
+    anchor.  ClickHouse's DEFAULT mode (anchor slides to later step-1
+    events) is available as ``window_funnel_modes(..., sliding=True)`` —
+    ``funnel_level_sliding_core`` replicates the reference walk, with ties
+    resolved by the documented (ts, event_id) sort.
   * ``sequence_match`` supports the '(?1).*(?2).*...(?k)' pattern family
     (ordered subsequence); greedy earliest-match is exact for subsequence
     existence.

@@ -989,3 +989,33 @@ def ann_ivfpq_topk_query(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_ivfpq_topk(emb, queries, k=10, nprobe=100, adc_keep=10_000_000)
+
+
+# --------------------------------- within-doc repetition (Gopher filters)
+@register(
+    "llm_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS toks
+               FROM documents),
+    m AS (SELECT doc_id, len(toks) AS L,
+            list_transform(range(1, greatest(len(toks), 1)),
+              i -> toks[i] || ' ' || toks[i+1]) AS g2,
+            list_transform(range(1, greatest(len(toks) - 1, 1)),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN L - 1 > 0
+                THEN (L - 1 - len(list_distinct(g2)))::DOUBLE / (L - 1)
+                ELSE 0.0 END AS dup2gram_frac,
+           CASE WHEN L - 2 > 0
+                THEN (L - 2 - len(list_distinct(g3)))::DOUBLE / (L - 2)
+                ELSE 0.0 END AS dup3gram_frac
+    FROM m
+    """,
+)
+def llm_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram fractions per document (repetition
+    filter for training corpora) — column-only map, no UDF/shuffle."""
+    from byconity_spark.llm.text import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf))
