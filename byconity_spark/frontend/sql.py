@@ -843,8 +843,23 @@ def _strip_final_and_global(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     sql = re.sub(
-        r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|(?:ANY\s+|ALL\s+)?(?:LEFT\s+|INNER\s+|SEMI\s+|ANTI\s+)?JOIN\b)",
+        r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|"
+        r"(?:ANY\s+|ALL\s+|SEMI\s+|ANTI\s+|LEFT\s+|INNER\s+)*JOIN\b)",
         "",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # ClickHouse strictness-first word order: SEMI/ANTI LEFT JOIN ->
+    # Spark's LEFT SEMI/ANTI JOIN.  RIGHT SEMI/ANTI (returns right-side
+    # rows) has no Spark join type — explicit error, not silent wrong side.
+    if re.search(r"\b(?:SEMI|ANTI)\s+RIGHT\s+JOIN\b", sql, flags=re.IGNORECASE):
+        raise ChSqlError(
+            "SEMI/ANTI RIGHT JOIN is not supported: Spark has no right-semi "
+            "join type — swap the table order and use SEMI/ANTI LEFT JOIN"
+        )
+    sql = re.sub(
+        r"\b(SEMI|ANTI)\s+LEFT\s+JOIN\b",
+        lambda m: f"LEFT {m.group(1).upper()} JOIN",
         sql,
         flags=re.IGNORECASE,
     )

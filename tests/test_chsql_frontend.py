@@ -290,6 +290,26 @@ def test_multi_array_join_zips_positionally(spark):
     assert [(r.x, r.y) for r in rows] == [("a", 10), ("b", None), ("c", None)]
 
 
+def test_semi_anti_left_join_word_order(spark):
+    # CH puts strictness FIRST (SEMI LEFT JOIN); Spark wants LEFT SEMI JOIN
+    out = rewrite_ch_sql("SELECT a FROM t SEMI LEFT JOIN u ON t.k = u.k")
+    assert "LEFT SEMI JOIN" in out
+    out = rewrite_ch_sql("SELECT a FROM t GLOBAL ANTI LEFT JOIN u ON t.k = u.k")
+    assert "LEFT ANTI JOIN" in out and "GLOBAL" not in out
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql("SELECT a FROM t SEMI RIGHT JOIN u ON t.k = u.k")
+    # executes end-to-end
+    from byconity_spark.frontend import ch_sql
+
+    spark.sql("SELECT 1 AS k UNION ALL SELECT 2").createOrReplaceTempView("__sj_t")
+    spark.sql("SELECT 1 AS k").createOrReplaceTempView("__sj_u")
+    rows = ch_sql(
+        spark,
+        "SELECT k FROM __sj_t SEMI LEFT JOIN __sj_u ON __sj_t.k = __sj_u.k",
+    ).collect()
+    assert [r.k for r in rows] == [1]
+
+
 def test_window_funnel_sql_is_sliding_anchor(spark):
     from byconity_spark.frontend import ch_sql
 
