@@ -223,6 +223,14 @@ RULES: dict[str, object] = {
     "toInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
     "toInt32": lambda a: f"CAST({a[0]} AS INT)",
     "toUInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
+    # unsigned tiers widen (Spark has no unsigned types; UInt32 max
+    # overflows INT, so lift each tier one signed size up)
+    "toUInt32": lambda a: f"CAST({a[0]} AS BIGINT)",
+    "toUInt16": lambda a: f"CAST({a[0]} AS INT)",
+    "toUInt8": lambda a: f"CAST({a[0]} AS SMALLINT)",
+    "toInt16": lambda a: f"CAST({a[0]} AS SMALLINT)",
+    "toInt8": lambda a: f"CAST({a[0]} AS TINYINT)",
+    "toFloat32": lambda a: f"CAST({a[0]} AS FLOAT)",
     "toFloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
     "toString": lambda a: f"CAST({a[0]} AS STRING)",
     "toDate32": lambda a: f"CAST({a[0]} AS DATE)",
@@ -577,8 +585,62 @@ RULES.update(
 )
 
 
+def _transform_sql(a: list[str]) -> str:
+    # transform(x, from_arr, to_arr, default) — CH value remap
+    # (src/Functions/transform.cpp), mirroring registry."transform"
+    if len(a) != 4:
+        raise ChSqlError("transform expects (x, from, to, default)")
+    x, frm, to, dflt = a
+    pos = f"array_position({frm}, {x})"
+    return (
+        f"CASE WHEN {pos} > 0 "
+        f"THEN element_at({to}, CAST({pos} AS INT)) ELSE {dflt} END"
+    )
+
+
+def _array_count_sql(a: list[str]) -> str:
+    if len(a) == 1:  # no-lambda form counts non-zero elements
+        return f"size(filter({a[0]}, __x -> __x != 0))"
+    return f"size(filter({a[1]}, {a[0]}))"
+
+
 RULES.update(
     {
+        # round-6 probe batch: names with registry entries but no SQL rule
+        "negate": lambda a: f"(-({a[0]}))",
+        "toMonday": lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
+        "mapKeys": "map_keys",
+        "mapValues": "map_values",
+        "toYYYYMMDD": lambda a: (
+            f"CAST(year({a[0]}) * 10000 + month({a[0]}) * 100 "
+            f"+ day({a[0]}) AS INT)"
+        ),
+        "toWeek": "weekofyear",
+        "fromUnixTimestamp": "timestamp_seconds",
+        "toRelativeDayNum": lambda a: (
+            f"CAST(unix_timestamp({a[0]}) / 86400 AS BIGINT)"
+        ),
+        "timeSlots": lambda a: (
+            f"transform(sequence(CAST(floor(unix_timestamp({a[0]}) / 1800) "
+            f"AS BIGINT), CAST(floor((unix_timestamp({a[0]}) + {a[1]}) / 1800) "
+            f"AS BIGINT)), __s -> timestamp_seconds(__s * 1800))"
+        ),
+        "isFinite": lambda a: (
+            f"(NOT (isnan({a[0]}) OR abs({a[0]}) = CAST('Infinity' AS DOUBLE)))"
+        ),
+        "isInfinite": lambda a: f"(abs({a[0]}) = CAST('Infinity' AS DOUBLE))",
+        "isNaN": lambda a: f"isnan({a[0]})",
+        # 0-based global row number (CH debug helper) — single-partition
+        # window by necessity, like the reference's sequential semantics;
+        # don't use on big frames
+        "rowNumberInAllBlocks": lambda a: (
+            "(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)"
+        ),
+        "transform": _transform_sql,
+        # CH higher-order forms put the LAMBDA first
+        "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
+        "arrayCount": _array_count_sql,
+        "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
         "countDistinct": lambda a: f"count(DISTINCT {', '.join(a)})",
         "dateDiff": _date_diff_sql,
         "age": _age_sql,  # timestampdiff counts COMPLETE units = CH age

@@ -290,6 +290,39 @@ def test_multi_array_join_zips_positionally(spark):
     assert [(r.x, r.y) for r in rows] == [("a", 10), ("b", None), ("c", None)]
 
 
+def test_round6_probe_batch_executes(spark):
+    """Round-6 gap batch from the 101-idiom frontend probe: every name had
+    a Column-API registry entry but no SQL rewrite rule."""
+    from byconity_spark.frontend import ch_sql
+
+    spark.sql(
+        "SELECT 10 AS v, CAST('2024-03-15 10:00:00' AS TIMESTAMP) AS ts, "
+        "array(1,2,3) AS arr, map('a', 1) AS m"
+    ).createOrReplaceTempView("__p6")
+    r = ch_sql(
+        spark,
+        "SELECT negate(v) AS ng, toMonday(ts) AS mo, mapKeys(m) AS mk, "
+        "toYYYYMMDD(ts) AS ymd, toWeek(ts) AS wk, "
+        "toRelativeDayNum(ts) AS rd, isFinite(v) AS fi, isNaN(v) AS nn, "
+        "transform(v, [10, 20], ['ten', 'twenty'], 'other') AS tr, "
+        "arrayFirst(x -> x > 1, arr) AS af, arrayCount(x -> x > 1, arr) AS ac, "
+        "arrayAll(x -> x > 0, arr) AS aa, "
+        "size(timeSlots(ts, toUInt32(3600))) AS nslots, "
+        "rowNumberInAllBlocks() AS rn "
+        "FROM __p6",
+    ).collect()[0]
+    assert r.ng == -10
+    assert str(r.mo) == "2024-03-11"  # Monday of that week, DATE type
+    assert r.mk == ["a"]
+    assert r.ymd == 20240315
+    assert r.rd == 19797  # days since epoch for 2024-03-15 10:00 UTC
+    assert r.fi is True and r.nn is False
+    assert r.tr == "ten"
+    assert (r.af, r.ac, r.aa) == (2, 2, True)
+    assert r.nslots == 3  # 10:00, 10:30, 11:00 slots cover [t, t+3600]
+    assert r.rn == 0
+
+
 def test_semi_anti_left_join_word_order(spark):
     # CH puts strictness FIRST (SEMI LEFT JOIN); Spark wants LEFT SEMI JOIN
     out = rewrite_ch_sql("SELECT a FROM t SEMI LEFT JOIN u ON t.k = u.k")
