@@ -585,6 +585,224 @@ RULES.update(
 )
 
 
+def _moment_strs(a0: str):
+    """Population central-moment SQL strings — mirrors
+    registry._central_moments exactly (same avg-of-powers formulation, so
+    SQL and Column API agree bit-for-bit)."""
+    x = f"CAST({a0} AS DOUBLE)"
+    n = f"CAST(count({x}) AS DOUBLE)"
+    mean = f"avg({x})"
+    s2 = f"avg({x} * {x})"
+    s3 = f"avg({x} * {x} * {x})"
+    s4 = f"avg({x} * {x} * {x} * {x})"
+    m2 = f"({s2} - {mean} * {mean})"
+    m3 = f"({s3} - 3 * {mean} * {s2} + 2 * {mean} * {mean} * {mean})"
+    m4 = (
+        f"({s4} - 4 * {mean} * {s3} + 6 * {mean} * {mean} * {s2}"
+        f" - 3 * {mean} * {mean} * {mean} * {mean})"
+    )
+    return n, m2, m3, m4
+
+
+def _skew_pop_sql(a):
+    _, m2, m3, _ = _moment_strs(a[0])
+    return f"({m3} / pow({m2}, 1.5))"
+
+
+def _skew_samp_sql(a):
+    n, m2, m3, _ = _moment_strs(a[0])
+    return f"({m3} / pow({n} / ({n} - 1) * {m2}, 1.5))"
+
+
+def _kurt_pop_sql(a):
+    _, m2, _, m4 = _moment_strs(a[0])
+    return f"({m4} / ({m2} * {m2}))"
+
+
+def _kurt_samp_sql(a):
+    n, m2, _, m4 = _moment_strs(a[0])
+    return f"({m4} / pow({n} / ({n} - 1) * {m2}, 2))"
+
+
+def _entropy_sql(a):
+    # Shannon entropy (bits) over the value distribution
+    # (AggregateFunctionEntropy.h).  Identity via string render; counts by
+    # an O(n·distinct) filter fold over ONE collect_list (Catalyst dedups
+    # the identical aggregate) — group-state bounded like CH's hashmap.
+    L = f"collect_list(CAST({a[0]} AS STRING))"
+    cnt = f"CAST(size({L}) AS DOUBLE)"
+    counts = (
+        f"transform(array_distinct({L}), "
+        f"__d -> CAST(size(filter({L}, __y -> __y <=> __d)) AS DOUBLE))"
+    )
+    return (
+        f"(log2({cnt}) - aggregate({counts}, CAST(0.0 AS DOUBLE), "
+        f"(__ac, __c) -> __ac + __c * log2(__c)) / {cnt})"
+    )
+
+
+def _delta_sum_sql(a):
+    # deltaSum: sum of positive deltas of consecutive values in collect
+    # order (CH sums in scan order — both are arrival-order semantics)
+    L = f"collect_list(CAST({a[0]} AS DOUBLE))"
+    return (
+        f"aggregate({L}, named_struct('p', CAST(NULL AS DOUBLE), "
+        f"'t', CAST(0.0 AS DOUBLE)), (__s, __x) -> named_struct('p', __x, "
+        f"'t', __s.t + CASE WHEN __s.p IS NOT NULL AND __x > __s.p "
+        f"THEN __x - __s.p ELSE CAST(0.0 AS DOUBLE) END), __s -> __s.t)"
+    )
+
+
+def _interval_length_sum_sql(a):
+    # length of the UNION of [start, end) intervals
+    # (AggregateFunctionIntervalLengthSum.h): sort by start, merge-fold
+    L = (
+        f"array_sort(collect_list(named_struct("
+        f"'s', CAST({a[0]} AS DOUBLE), 'e', CAST({a[1]} AS DOUBLE))))"
+    )
+    return (
+        f"aggregate({L}, named_struct('cs', CAST(NULL AS DOUBLE), "
+        f"'ce', CAST(NULL AS DOUBLE), 't', CAST(0.0 AS DOUBLE)), "
+        f"(__st, __iv) -> CASE "
+        f"WHEN __st.cs IS NULL THEN named_struct('cs', __iv.s, 'ce', __iv.e, 't', __st.t) "
+        f"WHEN __iv.s <= __st.ce THEN named_struct('cs', __st.cs, "
+        f"'ce', greatest(__st.ce, __iv.e), 't', __st.t) "
+        f"ELSE named_struct('cs', __iv.s, 'ce', __iv.e, "
+        f"'t', __st.t + (__st.ce - __st.cs)) END, "
+        f"__st -> CASE WHEN __st.cs IS NULL THEN __st.t "
+        f"ELSE __st.t + (__st.ce - __st.cs) END)"
+    )
+
+
+def _map_agg_sql(merge: str):
+    # sumMap/minMap/maxMap over MAP column (or CH (keys, values) pair):
+    # fold of map_zip_with over the collected maps, seeded by the first.
+    def rule(a: list[str]) -> str:
+        m = a[0] if len(a) == 1 else f"map_from_arrays({a[0]}, {a[1]})"
+        # values to DOUBLE upfront: the merge lambda's result type must
+        # equal the accumulator's value type (decimal would widen per step)
+        m = f"transform_values({m}, (__vk, __vv) -> CAST(__vv AS DOUBLE))"
+        L = f"collect_list({m})"
+        return (
+            f"aggregate(slice({L}, 2, greatest(size({L}) - 1, 0)), "
+            f"try_element_at({L}, 1), (__acc, __m) -> "
+            f"map_zip_with(__acc, __m, (__k, __a, __b) -> {merge}))"
+        )
+
+    return rule
+
+
+def _top_k_weighted_sql(p: list[str], a: list[str]) -> str:
+    # topKWeighted(k)(x, w): keys by descending summed weight; ties break
+    # by key (deterministic — CH's tie order is unspecified).  O(n·distinct)
+    # filter fold like entropy.
+    P = (
+        f"collect_list(named_struct('k', {a[0]}, "
+        f"'w', CAST({a[1]} AS DOUBLE)))"
+    )
+    pairs = (
+        f"transform(array_distinct(transform({P}, __p -> __p.k)), "
+        f"__d -> named_struct('nw', -aggregate(filter({P}, __p -> __p.k <=> __d), "
+        f"CAST(0.0 AS DOUBLE), (__ac, __p) -> __ac + __p.w), 'k', __d))"
+    )
+    return f"slice(transform(array_sort({pairs}), __s -> __s.k), 1, {p[0]})"
+
+
+PARAMETRIC.update(
+    {
+        "quantileIf": lambda p, a: (
+            f"percentile_approx(CASE WHEN {a[1]} THEN {a[0]} END, {p[0]})"
+        ),
+        "quantileExactIf": lambda p, a: (
+            f"percentile(CASE WHEN {a[1]} THEN {a[0]} END, {p[0]})"
+        ),
+        "quantileTiming": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+        "quantilesTiming": lambda p, a: (
+            f"percentile_approx({a[0]}, array({', '.join(p)}))"
+        ),
+        # arbitrary-prefix sample (CH's reservoir is also arrival-arbitrary)
+        "groupArraySample": lambda p, a: (
+            f"slice(collect_list({a[0]}), 1, {p[0]})"
+        ),
+        "topKWeighted": _top_k_weighted_sql,
+    }
+)
+
+
+# Bases eligible for generic -If/-OrNull/-OrDefault/-Distinct peeling (the
+# reference's combinator factory composes ANY aggregate with these; we
+# whitelist the bases whose Spark mapping distributes over the rewrite).
+_COMBINATOR_BASES = {
+    "sum", "avg", "min", "max", "count", "any", "anyLast", "groupArray",
+    "groupUniqArray", "uniq", "uniqExact", "countDistinct", "stddevPop",
+    "stddevSamp", "varPop", "varSamp", "corr", "covarPop", "covarSamp",
+    "argMax", "argMin", "medianExact", "avgWeighted", "sumMap", "maxMap",
+    "minMap", "skewPop", "skewSamp", "kurtPop", "kurtSamp",
+}
+
+
+def _emit_call(base: str, args: list[str]) -> str:
+    rule = RULES.get(base)
+    if rule is None:
+        return f"{base}({', '.join(args)})"
+    if callable(rule):
+        return rule(args)
+    return f"{rule}({', '.join(args)})"
+
+
+def _combinator_rule(name: str):
+    """Generic combinator peel for names with no explicit rule:
+    sumOrNull, anyIf, groupArrayIf, countDistinctIf, varPopIf, ...
+    (reference AggregateFunctionCombinatorFactory).  Returns a rule
+    callable or None."""
+    for suf in ("OrNull", "OrDefault", "Distinct", "If"):
+        if not name.endswith(suf) or len(name) <= len(suf):
+            continue
+        base = name[: -len(suf)]
+        if base not in _COMBINATOR_BASES:
+            continue
+        if suf == "If":
+
+            def rule_if(a: list[str], base=base) -> str:
+                if len(a) < 2:
+                    raise ChSqlError(f"{base}If needs (args..., cond)")
+                cond = a[-1]
+                wrapped = [f"CASE WHEN {cond} THEN {x} END" for x in a[:-1]]
+                return _emit_call(base, wrapped)
+
+            return rule_if
+        if suf == "OrNull":
+
+            def rule_orn(a: list[str], base=base) -> str:
+                # Spark aggs are NULL on empty input already; only the
+                # count family needs the 0 -> NULL conversion
+                if base in ("count", "countDistinct", "uniq", "uniqExact"):
+                    return f"nullif({_emit_call(base, a)}, 0)"
+                return _emit_call(base, a)
+
+            return rule_orn
+        if suf == "OrDefault":
+
+            def rule_ord(a: list[str], base=base) -> str:
+                return f"coalesce({_emit_call(base, a)}, 0)"
+
+            return rule_ord
+
+        def rule_dis(a: list[str], base=base, name=name) -> str:
+            rule = RULES.get(base)
+            inner = ", ".join(a)
+            if rule is None:
+                return f"{base}(DISTINCT {inner})"
+            if isinstance(rule, str):
+                return f"{rule}(DISTINCT {inner})"
+            raise ChSqlError(
+                f"{name}: -Distinct unsupported for a rewritten base"
+            )
+
+        return rule_dis
+    return None
+
+
 def _transform_sql(a: list[str]) -> str:
     # transform(x, from_arr, to_arr, default) — CH value remap
     # (src/Functions/transform.cpp), mirroring registry."transform"
@@ -641,6 +859,48 @@ RULES.update(
         "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
         "arrayCount": _array_count_sql,
         "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+        # round-6 probe batch 2: aggregate surface
+        # CH any/anyLast = arbitrary NON-NULL value, NOT Spark's boolean
+        # any(); ignoreNulls=true matches CH's null-skipping
+        "any": lambda a: f"any_value({a[0]}, true)",
+        "anyLast": lambda a: f"any_value({a[0]}, true)",
+        "anyHeavy": lambda a: f"any_value({a[0]}, true)",
+        "covarPop": "covar_pop",
+        "covarSamp": "covar_samp",
+        "medianExact": lambda a: f"percentile({a[0]}, 0.5)",
+        "uniqTheta": "approx_count_distinct",
+        "avgWeighted": lambda a: (
+            f"try_divide(sum(CAST({a[0]} AS DOUBLE) * ({a[1]})), sum({a[1]}))"
+        ),
+        # slope between the leftmost and rightmost (x, y) points
+        "boundingRatio": lambda a: (
+            f"CAST(try_divide(max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}), "
+            f"max({a[0]}) - min({a[0]})) AS DOUBLE)"
+        ),
+        "sumCount": lambda a: (
+            f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
+        ),
+        # y = k*x + b; CH returns the (k, b) tuple
+        "simpleLinearRegression": lambda a: (
+            f"named_struct('k', regr_slope({a[1]}, {a[0]}), "
+            f"'b', regr_intercept({a[1]}, {a[0]}))"
+        ),
+        "skewPop": _skew_pop_sql,
+        "skewSamp": _skew_samp_sql,
+        "kurtPop": _kurt_pop_sql,
+        "kurtSamp": _kurt_samp_sql,
+        "entropy": _entropy_sql,
+        "deltaSum": _delta_sum_sql,
+        "intervalLengthSum": _interval_length_sum_sql,
+        "sumMap": _map_agg_sql("coalesce(__a, 0) + coalesce(__b, 0)"),
+        "minMap": _map_agg_sql(
+            "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
+            "ELSE least(__a, __b) END"
+        ),
+        "maxMap": _map_agg_sql(
+            "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
+            "ELSE greatest(__a, __b) END"
+        ),
         "countDistinct": lambda a: f"count(DISTINCT {', '.join(a)})",
         "dateDiff": _date_diff_sql,
         "age": _age_sql,  # timestampdiff counts COMPLETE units = CH age
@@ -788,6 +1048,135 @@ def _rewrite_limit_by_recursive(sql: str) -> str:
         out.append(c)
         i += 1
     return _rewrite_limit_by("".join(out))
+
+
+def _rewrite_limit_with_ties(sql: str) -> str:
+    """``ORDER BY <keys> LIMIT <n> WITH TIES`` (LimitStep.h with_ties_) —
+    Spark has no WITH TIES, so wrap in a rank() window over the same keys
+    (the distributed equivalent operators/sorts.py:limit_with_ties uses).
+    Top-level only."""
+    import re
+
+    i = _depth0_find(sql, "WITH TIES")
+    if i < 0:
+        return sql
+    lim = _depth0_find(sql, "LIMIT")
+    ob = _depth0_find(sql, "ORDER BY")
+    if lim < 0 or ob < 0 or not (ob < lim < i):
+        raise ChSqlError("LIMIT WITH TIES needs ORDER BY <keys> LIMIT <n>")
+    keys = sql[ob + len("ORDER BY") : lim].strip()
+    m = re.fullmatch(r"\s*(\d+)\s*", sql[lim + len("LIMIT") : i])
+    if not m or not keys:
+        raise ChSqlError("cannot parse LIMIT <n> WITH TIES")
+    n_rows = m.group(1)
+    tail = sql[i + len("WITH TIES") :].strip()
+    if tail and tail != ";":
+        raise ChSqlError("WITH TIES must end the statement")
+    inner = sql[:ob].strip()  # ORDER BY moves to the window + outer query
+    return (
+        f"SELECT * EXCEPT (__rk) FROM (SELECT __wt.*, rank() OVER "
+        f"(ORDER BY {keys}) AS __rk FROM ({inner}) AS __wt) "
+        f"WHERE __rk <= {n_rows} ORDER BY {keys}"
+    )
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (keys) cols ... [ORDER BY ...]`` (ClickHouse
+    DISTINCT ON): first row per key group in ORDER BY order -> row_number
+    window.  Without ORDER BY the keys themselves order (CH keeps an
+    arbitrary row; ours is deterministic, documented)."""
+    import re
+
+    m = re.match(r"\s*SELECT\s+DISTINCT\s+ON\s*\(", sql, re.IGNORECASE)
+    if not m:
+        return sql
+    op = m.end() - 1
+    close = _match_paren(sql, op)
+    keys = sql[op + 1 : close].strip()
+    rest = sql[close + 1 :]
+    ob = _depth0_find(rest, "ORDER BY")
+    if ob >= 0:
+        order = rest[ob + len("ORDER BY") :].strip().rstrip(";").strip()
+        body = rest[:ob].strip()
+        outer_order = f" ORDER BY {order}"
+    else:
+        order = keys
+        body = rest.strip().rstrip(";").strip()
+        outer_order = ""
+    inner = f"SELECT {body}"
+    return (
+        f"SELECT * EXCEPT (__dn) FROM (SELECT __d.*, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {order}) AS __dn FROM ({inner}) "
+        f"AS __d) WHERE __dn = 1{outer_order}"
+    )
+
+
+def _rewrite_frame_offsets(sql: str) -> str:
+    """``leadInFrame(x[, n[, d]]) OVER (spec)`` / ``lagInFrame`` —
+    frame-RESPECTING offsets (WindowFunctionsUtils: unlike lead/lag these
+    never leave the frame).  Emulated as element offsets into
+    collect_list() over the same window; exact when the current row sits
+    at the frame edge the offset walks away from (lead: frame starts at
+    CURRENT ROW; lag: frame ends at CURRENT ROW — Spark's default frame
+    with ORDER BY qualifies), enforced, else ChSqlError.  The Column API
+    (operators/windows.py) handles arbitrary frames."""
+    import re
+
+    out = []
+    i = 0
+    n = len(sql)
+    pat = re.compile(r"(leadInFrame|lagInFrame)\s*\(", re.IGNORECASE)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = pat.match(sql, i)
+        if not m:
+            out.append(c)
+            i += 1
+            continue
+        is_lead = m.group(1).lower() == "leadinframe"
+        op = m.end() - 1
+        close = _match_paren(sql, op)
+        args = _split_args(sql[op + 1 : close])
+        k = close + 1
+        while k < n and sql[k] in " \t":
+            k += 1
+        if not (sql[k : k + 4].upper() == "OVER"):
+            raise ChSqlError(f"{m.group(1)} needs an OVER clause")
+        k += 4
+        while k < n and sql[k] in " \t":
+            k += 1
+        if k >= n or sql[k] != "(":
+            raise ChSqlError(f"{m.group(1)}: cannot parse OVER clause")
+        oclose = _match_paren(sql, k)
+        over = sql[k : oclose + 1]
+        up = " ".join(over.upper().split())
+        has_frame = "ROWS" in up or "RANGE" in up or "GROUPS" in up
+        if is_lead and "BETWEEN CURRENT ROW" not in up:
+            raise ChSqlError(
+                "leadInFrame rewrite requires a frame starting at CURRENT "
+                "ROW (e.g. ROWS BETWEEN CURRENT ROW AND UNBOUNDED "
+                "FOLLOWING); use the Column API for other frames"
+            )
+        if not is_lead and has_frame and not up.rstrip(")").rstrip().endswith(
+            "AND CURRENT ROW"
+        ):
+            raise ChSqlError(
+                "lagInFrame rewrite requires a frame ending at CURRENT ROW"
+            )
+        x = args[0]
+        off = args[1] if len(args) > 1 else "1"
+        idx = f"({off} + 1)" if is_lead else f"-(({off}) + 1)"
+        expr = f"try_element_at(collect_list({x}) OVER {over}, {idx})"
+        if len(args) > 2:
+            expr = f"coalesce({expr}, {args[2]})"
+        out.append(expr)
+        i = oclose + 1
+    return "".join(out)
 
 
 def _strip_format(sql: str) -> str:
@@ -1377,6 +1766,9 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_sample(sql)
     sql = _rewrite_with_fill_recursive(sql)
     sql = _rewrite_limit_by_recursive(sql)
+    sql = _rewrite_limit_with_ties(sql)
+    sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_frame_offsets(sql)
     sql = _rewrite_array_literals(sql)
     out = []
     i = 0
@@ -1396,7 +1788,14 @@ def rewrite_ch_sql(sql: str) -> str:
             k = j
             while k < n and sql[k] in " \t":
                 k += 1
-            if k < n and sql[k] == "(" and (name in RULES or name in PARAMETRIC):
+            combo = (
+                None
+                if (name in RULES or name in PARAMETRIC)
+                else _combinator_rule(name)
+            )
+            if k < n and sql[k] == "(" and (
+                name in RULES or name in PARAMETRIC or combo is not None
+            ):
                 close = _match_paren(sql, k)
                 args = [
                     rewrite_ch_sql(a) for a in _split_args(sql[k + 1 : close])
@@ -1413,8 +1812,8 @@ def rewrite_ch_sql(sql: str) -> str:
                     out.append(PARAMETRIC[name](args, args2))
                     i = close2 + 1
                     continue
-                if name in RULES:
-                    rule = RULES[name]
+                if name in RULES or combo is not None:
+                    rule = RULES[name] if name in RULES else combo
                     if callable(rule):
                         out.append(rule(args))
                     else:

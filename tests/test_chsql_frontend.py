@@ -323,6 +323,119 @@ def test_round6_probe_batch_executes(spark):
     assert r.rn == 0
 
 
+@pytest.fixture()
+def probe2(spark):
+    spark.sql(
+        "SELECT 1 AS id, 1 AS g, 10.0 AS v, 'a' AS s "
+        "UNION ALL SELECT 2, 1, 20.0, 'b' "
+        "UNION ALL SELECT 3, 2, 30.0, 'a' "
+        "UNION ALL SELECT 4, 2, 20.0, 'c'"
+    ).createOrReplaceTempView("__pr2")
+    return "__pr2"
+
+
+def test_generic_combinator_peel(spark, probe2):
+    from byconity_spark.frontend import ch_sql
+
+    r = ch_sql(
+        spark,
+        "SELECT sumOrNull(v) AS so, countDistinctIf(s, v > 15) AS cd, "
+        "anyIf(s, v > 25) AS ai, groupArrayIf(s, g = 1) AS ga, "
+        "countOrNull(CASE WHEN v > 100 THEN v END) AS cn, "
+        "varPopIf(v, g = 2) AS vp FROM __pr2",
+    ).collect()[0]
+    assert r.so == 80.0
+    assert r.cd == 3  # v>15 keeps (b, a, c) -> 3 distinct
+    assert r.ai == "a"
+    assert sorted(r.ga) == ["a", "b"]
+    assert r.cn is None
+    assert r.vp == 25.0  # var_pop of {30, 20}
+
+
+def test_round6_agg_batch_values(spark, probe2):
+    from byconity_spark.frontend import ch_sql
+
+    r = ch_sql(
+        spark,
+        "SELECT medianExact(v) AS me, avgWeighted(v, id) AS aw, "
+        "sumCount(v) AS sc, boundingRatio(id, v) AS br, "
+        "skewPop(v) AS sk, kurtPop(v) AS ku, entropy(s) AS en, "
+        "intervalLengthSum(id, id + 2) AS ils, "
+        "simpleLinearRegression(id, v) AS slr, "
+        "any(v) IS NOT NULL AS av FROM __pr2",
+    ).collect()[0]
+    assert r.me == 20.0
+    # sum(v*id)/sum(id) = (10+40+90+80)/10
+    assert r.aw == 22.0
+    assert (r.sc["sum"], r.sc["count"]) == (80.0, 4)
+    # leftmost (1,10), rightmost (4,20): slope (20-10)/(4-1)
+    assert abs(r.br - 10.0 / 3) < 1e-12
+    import math
+
+    vals = [10.0, 20.0, 30.0, 20.0]
+    mean = sum(vals) / 4
+    m2 = sum((x - mean) ** 2 for x in vals) / 4
+    m3 = sum((x - mean) ** 3 for x in vals) / 4
+    m4 = sum((x - mean) ** 4 for x in vals) / 4
+    assert abs(r.sk - m3 / m2**1.5) < 1e-9
+    assert abs(r.ku - m4 / m2**2) < 1e-9
+    # s values: a×2, b, c -> H = -(1/2 log 1/2 + 1/4 log 1/4 ×2) = 1.5 bits
+    assert abs(r.en - 1.5) < 1e-12
+    # intervals [1,3),[2,4),[3,5),[4,6) merge to [1,6) -> 5
+    assert r.ils == 5.0
+    assert abs(r.slr["k"] - 4.0) < 1e-9  # regr_slope of v on id
+    assert r.av is True
+
+
+def test_sum_map_and_parametric_batch(spark, probe2):
+    from byconity_spark.frontend import ch_sql
+
+    r = ch_sql(
+        spark,
+        "SELECT sumMap(map(s, v)) AS sm, maxMap(map(s, v)) AS mm, "
+        "quantileExactIf(0.5)(v, g = 1) AS qi, "
+        "topKWeighted(2)(s, v) AS tw FROM __pr2",
+    ).collect()[0]
+    assert r.sm == {"a": 40.0, "b": 20.0, "c": 20.0}
+    assert r.mm == {"a": 30.0, "b": 20.0, "c": 20.0}
+    assert r.qi == 15.0
+    assert r.tw == ["a", "b"]  # weights a=40, b=20, c=20 -> tie broken by key
+
+
+def test_limit_with_ties_and_distinct_on(spark, probe2):
+    from byconity_spark.frontend import ch_sql
+
+    rows = ch_sql(
+        spark, "SELECT s, v FROM __pr2 ORDER BY v LIMIT 2 WITH TIES"
+    ).collect()
+    # v sorted: 10, 20, 20, 30 — rank ties at 20 keep BOTH 20s
+    assert sorted((r.s, r.v) for r in rows) == [("a", 10.0), ("b", 20.0), ("c", 20.0)]
+    rows = ch_sql(
+        spark, "SELECT DISTINCT ON (g) g, id, v FROM __pr2 ORDER BY g, id"
+    ).collect()
+    assert sorted((r.g, r.id) for r in rows) == [(1, 1), (2, 3)]
+
+
+def test_lead_lag_in_frame_sql(spark, probe2):
+    from byconity_spark.frontend import ch_sql
+
+    rows = ch_sql(
+        spark,
+        "SELECT id, leadInFrame(v) OVER (PARTITION BY g ORDER BY id "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS lf, "
+        "lagInFrame(v, 1, -1.0) OVER (PARTITION BY g ORDER BY id) AS lg "
+        "FROM __pr2 ORDER BY id",
+    ).collect()
+    assert [(r.id, r.lf, r.lg) for r in rows] == [
+        (1, 20.0, -1.0), (2, None, 10.0), (3, 20.0, -1.0), (4, None, 30.0),
+    ]
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql(
+            "SELECT leadInFrame(v) OVER (ORDER BY id "
+            "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) FROM t"
+        )
+
+
 def test_semi_anti_left_join_word_order(spark):
     # CH puts strictness FIRST (SEMI LEFT JOIN); Spark wants LEFT SEMI JOIN
     out = rewrite_ch_sql("SELECT a FROM t SEMI LEFT JOIN u ON t.k = u.k")
