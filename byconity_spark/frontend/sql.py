@@ -708,6 +708,420 @@ def _top_k_weighted_sql(p: list[str], a: list[str]) -> str:
     return f"slice(transform(array_sort({pairs}), __s -> __s.k), 1, {p[0]})"
 
 
+def _erf_sql(x: str) -> str:
+    # Abramowitz-Stegun 7.1.26 — same polynomial as registry._erf_col
+    ax = f"abs(CAST({x} AS DOUBLE))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {ax}))"
+    poly = (
+        f"(0.254829592 * {t} - 0.284496736 * {t} * {t} "
+        f"+ 1.421413741 * {t} * {t} * {t} "
+        f"- 1.453152027 * {t} * {t} * {t} * {t} "
+        f"+ 1.061405429 * {t} * {t} * {t} * {t} * {t})"
+    )
+    y = f"(1.0 - {poly} * exp(-{ax} * {ax}))"
+    return f"(CASE WHEN CAST({x} AS DOUBLE) < 0 THEN -{y} ELSE {y} END)"
+
+
+def _format_ch_sql(a: list[str]) -> str:
+    # CH format('{} and {}', args...) -> format_string with %s; literal
+    # pattern only ({N} positional -> %N$s)
+    import re
+
+    fmt = a[0].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        raise ChSqlError("format needs a literal pattern string")
+    body = fmt[1:-1]
+    body = re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s", body)
+    body = body.replace("{}", "%s").replace("%%", "%%")
+    return f"format_string('{body}', {', '.join(a[1:])})"
+
+
+def _extract_groups_sql(a: list[str]) -> str:
+    # array of capture groups of the FIRST match; literal pattern only
+    # (group count must be known at rewrite time)
+    import re
+
+    pat = a[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ChSqlError("extractGroups needs a literal pattern")
+    n_groups = re.compile(pat[1:-1].replace("\\\\", "\\")).groups
+    parts = ", ".join(
+        f"regexp_extract({a[0]}, {pat}, {g})" for g in range(1, n_groups + 1)
+    )
+    return f"array({parts})"
+
+
+def _neighbor_sql(a: list[str]) -> str:
+    # block-local in CH (arbitrary order); here a single-partition window
+    # over arrival order — small frames only, documented
+    import re
+
+    if not re.fullmatch(r"-?\d+", a[1].strip()):
+        raise ChSqlError("neighbor offset must be a literal integer")
+    off = int(a[1])
+    fn = "lead" if off >= 0 else "lag"
+    base = (
+        f"{fn}({a[0]}, {abs(off)}) OVER "
+        f"(ORDER BY monotonically_increasing_id())"
+    )
+    return f"coalesce({base}, {a[2]})" if len(a) > 2 else base
+
+
+_ARRAY_REDUCE_FOLDS = {
+    "sum": ("CAST(0 AS DOUBLE)", "(__a, __x) -> __a + CAST(__x AS DOUBLE)"),
+    "min": (None, "array_min"),
+    "max": (None, "array_max"),
+    "avg": (None, None),
+    "count": (None, "size"),
+}
+
+
+def _array_reduce_sql(a: list[str]) -> str:
+    agg = a[0].strip().strip("'\"").lower()
+    arr = a[1]
+    if agg == "sum":
+        return f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
+    if agg == "min":
+        return f"array_min({arr})"
+    if agg == "max":
+        return f"array_max({arr})"
+    if agg == "count":
+        return f"size({arr})"
+    if agg == "avg":
+        return (
+            f"(aggregate({arr}, CAST(0 AS DOUBLE), "
+            f"(__a, __x) -> __a + CAST(__x AS DOUBLE)) / size({arr}))"
+        )
+    raise ChSqlError(f"arrayReduce: unsupported aggregate {agg!r}")
+
+
+def _gcd_sql(a: list[str]) -> str:
+    # Euclid via bounded fold (63 iterations covers BIGINT)
+    return (
+        f"aggregate(sequence(1, 63), named_struct('a', abs(CAST({a[0]} AS BIGINT)), "
+        f"'b', abs(CAST({a[1]} AS BIGINT))), (__s, __i) -> CASE WHEN __s.b = 0 "
+        f"THEN __s ELSE named_struct('a', __s.b, 'b', __s.a % __s.b) END, "
+        f"__s -> __s.a)"
+    )
+
+
+def _readable_size_sql(a: list[str]) -> str:
+    b = f"CAST({a[0]} AS DOUBLE)"
+    k = f"CAST(floor(log(1024, {b})) AS INT)"
+    return (
+        f"(CASE WHEN {b} < 1024 THEN concat(format_string('%.2f', {b}), ' B') "
+        f"ELSE format_string('%.2f %s', {b} / pow(1024, {k}), "
+        f"element_at(array('KiB','MiB','GiB','TiB','PiB','EiB'), {k})) END)"
+    )
+
+
+def _readable_quantity_sql(a: list[str]) -> str:
+    b = f"CAST({a[0]} AS DOUBLE)"
+    k = f"CAST(floor(log(1000, {b})) AS INT)"
+    return (
+        f"(CASE WHEN {b} < 1000 THEN format_string('%.2f', {b}) "
+        f"ELSE format_string('%.2f%s', {b} / pow(1000, {k}), "
+        f"element_at(array(' thousand',' million',' billion',' trillion',"
+        f"' quadrillion'), {k})) END)"
+    )
+
+
+def _parse_time_delta_sql(a: list[str]) -> str:
+    s = a[0]
+
+    def unit(pat: str, secs: int) -> str:
+        return (
+            f"coalesce(try_cast(regexp_extract({s}, '(\\\\d+)\\\\s*{pat}', 1) "
+            f"AS DOUBLE), 0) * {secs}"
+        )
+
+    return (
+        f"({unit('d', 86400)} + {unit('h', 3600)} + "
+        f"{unit('m(?!s)', 60)} + {unit('s', 1)})"
+    )
+
+
+def _default_value_of_type_sql(a: list[str]) -> str:
+    t = a[0].strip().strip("'\"")
+    if t.startswith(("Int", "UInt")) or t.startswith("Float") or t.startswith(
+        "Decimal"
+    ):
+        return "0"
+    if t == "String":
+        return "''"
+    if t == "Date":
+        return "DATE '1970-01-01'"
+    if t.startswith("DateTime"):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if t == "UUID":
+        return "'00000000-0000-0000-0000-000000000000'"
+    raise ChSqlError(f"defaultValueOfTypeName: unsupported type {t!r}")
+
+
+_ISO_DOW = "(((dayofweek({x}) + 5) % 7) + 1)"
+
+
+def _iso_year_sql(x: str) -> str:
+    # year of the Thursday of x's ISO week
+    return f"year(date_add({x}, 4 - {_ISO_DOW.format(x=x)}))"
+
+
+RULES.update(
+    {
+        # ---- round-6 probe batch 3: string tail
+        "substringUTF8": "substring",
+        "positionCaseInsensitive": lambda a: (
+            f"locate(lower({a[1]}), lower({a[0]}))"
+        ),
+        "tryBase64Decode": lambda a: (
+            f"coalesce(CAST(try_to_binary({a[0]}, 'base64') AS STRING), '')"
+        ),
+        "char": lambda a: (
+            "concat(" + ", ".join(f"char({x})" for x in a) + ")"
+            if len(a) > 1
+            else f"char({a[0]})"
+        ),
+        "format": _format_ch_sql,
+        "concatWithSeparator": "concat_ws",
+        "extractAll": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+        "extractGroups": _extract_groups_sql,
+        # Spark strings are validated UTF-8 already
+        "toValidUTF8": lambda a: f"({a[0]})",
+        # literal/number normalization for query-log grouping (approximate:
+        # CH also collapses IN-lists)
+        "normalizeQuery": lambda a: (
+            f"regexp_replace(regexp_replace({a[0]}, \"'[^']*'\", '?'), "
+            f"'\\\\b\\\\d+\\\\b', '?')"
+        ),
+        "editDistance": "levenshtein",
+        "levenshteinDistance": "levenshtein",
+        # char-set Jaccard over the two strings (CH is byte-set; identical
+        # for ASCII).  split('') may emit empty edge tokens — filtered.
+        "stringJaccardIndex": lambda a, _cs=(
+            "filter(array_distinct(split({s}, '')), __c -> __c != '')"
+        ): (
+            f"(CAST(size(array_intersect({_cs.format(s=a[0])}, "
+            f"{_cs.format(s=a[1])})) AS DOUBLE) / "
+            f"size(array_union({_cs.format(s=a[0])}, {_cs.format(s=a[1])})))"
+        ),
+        # ---- URL tail (parse_url-backed, mirroring registry semantics)
+        "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
+        "netloc": lambda a: f"parse_url({a[0]}, 'AUTHORITY')",
+        "queryString": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY'), '')",
+        "fragment": lambda a: f"coalesce(parse_url({a[0]}, 'REF'), '')",
+        "port": lambda a: (
+            f"coalesce(CAST(nullif(regexp_extract(parse_url({a[0]}, "
+            f"'AUTHORITY'), ':(\\\\d+)$', 1), '') AS INT), 0)"
+        ),
+        "topLevelDomain": lambda a: (
+            f"coalesce(regexp_extract(parse_url({a[0]}, 'HOST'), "
+            f"'\\\\.([^.]+)$', 1), '')"
+        ),
+        "cutWWW": lambda a: f"regexp_replace({a[0]}, '(//)(www\\\\.)', '$1')",
+        "encodeURLComponent": lambda a: (
+            f"replace(url_encode({a[0]}), '+', '%20')"
+        ),
+        "extractURLParameters": lambda a: (
+            f"filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), '&'), "
+            f"__p -> __p != '')"
+        ),
+        "extractURLParameterNames": lambda a: (
+            f"transform(filter(split(coalesce(parse_url({a[0]}, 'QUERY'), "
+            f"''), '&'), __p -> __p != ''), "
+            f"__p -> element_at(split(__p, '='), 1))"
+        ),
+        # ['/a/', '/a/b'] prefix list; a trailing-slash path loses its
+        # final empty segment (split drops it) — documented approximation.
+        # The segment array repeats inline (Catalyst CSE collapses it).
+        "URLPathHierarchy": lambda a, _ps=(
+            "filter(split(coalesce(parse_url({u}, 'PATH'), ''), '/'), "
+            "__s -> __s != '')"
+        ): (
+            lambda ps: (
+                f"filter(transform(sequence(1, greatest(size({ps}), 1)), "
+                f"__i -> concat('/', array_join(slice({ps}, 1, __i), '/'), "
+                f"CASE WHEN __i < size({ps}) THEN '/' ELSE '' END)), "
+                f"__h -> __h != '/')"
+            )
+        )(_ps.format(u=a[0])),
+        # ---- date tail
+        "toISOWeek": "weekofyear",
+        "toISOYear": lambda a: _iso_year_sql(a[0]),
+        "toStartOfISOYear": lambda a: (
+            f"CAST(date_trunc('week', make_date({_iso_year_sql(a[0])}, 1, 4)) "
+            f"AS DATE)"
+        ),
+        # DateTime on 1970-01-02/03 keeping the time of day (CH toTime)
+        "toTime": lambda a: (
+            f"timestamp_seconds(86400 + unix_timestamp({a[0]}) % 86400)"
+        ),
+        # mode-3 (ISO) semantics: iso_year*100 + iso_week
+        "toYearWeek": lambda a: (
+            f"CAST({_iso_year_sql(a[0])} * 100 + weekofyear({a[0]}) AS INT)"
+        ),
+        "toDaysSinceYearZero": lambda a: (
+            f"CAST(datediff(CAST({a[0]} AS DATE), DATE '1970-01-01') "
+            f"+ 719528 AS BIGINT)"
+        ),
+        "fromDaysSinceYearZero": lambda a: (
+            f"date_add(DATE '1970-01-01', CAST({a[0]} - 719528 AS INT))"
+        ),
+        "toModifiedJulianDay": lambda a: (
+            f"CAST(datediff(CAST({a[0]} AS DATE), DATE '1858-11-17') AS BIGINT)"
+        ),
+        "makeDate": "make_date",
+        "makeDateTime": "make_timestamp",
+        # ---- array tail
+        "arrayShuffle": "shuffle",
+        # full sort is a valid instance of CH's partial-sort contract
+        "arrayPartialSort": lambda a: f"array_sort({a[1]})",
+        "arrayResize": lambda a: (
+            f"(CASE WHEN size({a[0]}) >= {a[1]} THEN slice({a[0]}, 1, {a[1]}) "
+            f"ELSE concat({a[0]}, array_repeat("
+            + (a[2] if len(a) > 2 else "NULL")
+            + f", CAST({a[1]} AS INT) - size({a[0]}))) END)"
+        ),
+        "arrayPopBack": lambda a: (
+            f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+        ),
+        "arrayPopFront": lambda a: (
+            f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+        ),
+        # consecutive dedup: keep element i iff it differs from element i-1
+        "arrayCompact": lambda a: (
+            f"filter({a[0]}, (__x, __i) -> __i = 0 "
+            f"OR NOT (__x <=> try_element_at({a[0]}, __i)))"
+        ),
+        "arrayIntersect": "array_intersect",
+        "arrayRotateLeft": lambda a: (
+            f"concat(slice({a[0]}, pmod({a[1]}, greatest(size({a[0]}), 1)) + 1, "
+            f"size({a[0]})), slice({a[0]}, 1, "
+            f"pmod({a[1]}, greatest(size({a[0]}), 1))))"
+        ),
+        "arrayReduce": _array_reduce_sql,
+        # numeric init literals cast to DOUBLE: Spark needs the lambda's
+        # result type to equal the accumulator type (a DECIMAL 0.0 seed
+        # would clash with double arithmetic inside the lambda)
+        "arrayFold": lambda a: (
+            f"aggregate({a[1]}, "
+            + (
+                f"CAST({a[2]} AS DOUBLE)"
+                if __import__("re").fullmatch(r"-?\d+(\.\d+)?", a[2].strip())
+                else a[2]
+            )
+            + f", {a[0]})"
+        ),
+        "arrayShingles": lambda a: (
+            f"filter(transform(sequence(1, greatest(size({a[0]}) - {a[1]} + 1, "
+            f"1)), __i -> slice({a[0]}, __i, {a[1]})), "
+            f"__s -> size(__s) = {a[1]})"
+        ),
+        # ---- math tail
+        "roundBankers": lambda a: (
+            f"rint({a[0]})"
+            if len(a) == 1
+            else f"(rint({a[0]} * pow(10, {a[1]})) / pow(10, {a[1]}))"
+        ),
+        "roundDown": lambda a: (
+            f"coalesce(array_max(filter({a[1]}, __e -> __e <= {a[0]})), "
+            f"try_element_at(array_sort({a[1]}), 1))"
+        ),
+        "roundDuration": lambda a: (
+            f"coalesce(array_max(filter(array(0, 1, 10, 30, 60, 120, 180, "
+            f"240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000), "
+            f"__e -> __e <= {a[0]})), 0)"
+        ),
+        "truncate": lambda a: (
+            f"CAST({a[0]} AS BIGINT)"
+            if len(a) == 1
+            else (
+                f"(sign({a[0]}) * floor(abs({a[0]}) * pow(10, {a[1]})) "
+                f"/ pow(10, {a[1]}))"
+            )
+        ),
+        "gcd": _gcd_sql,
+        "lcm": lambda a: (
+            f"CAST(abs(CAST({a[0]} AS BIGINT)) / {_gcd_sql(a)} "
+            f"* abs(CAST({a[1]} AS BIGINT)) AS BIGINT)"
+        ),
+        "exp2": lambda a: f"power(2.0, {a[0]})",
+        "exp10": lambda a: f"power(10.0, {a[0]})",
+        "erf": lambda a: _erf_sql(a[0]),
+        "erfc": lambda a: f"(1.0 - {_erf_sql(a[0])})",
+        "bitTest": lambda a: (
+            f"(shiftright(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT)) & 1)"
+        ),
+        "bitTestAll": lambda a: (
+            "("
+            + " AND ".join(
+                f"(shiftright(CAST({a[0]} AS BIGINT), CAST({i} AS INT)) & 1) = 1"
+                for i in a[1:]
+            )
+            + ")"
+        ),
+        "bitTestAny": lambda a: (
+            "("
+            + " OR ".join(
+                f"(shiftright(CAST({a[0]} AS BIGINT), CAST({i} AS INT)) & 1) = 1"
+                for i in a[1:]
+            )
+            + ")"
+        ),
+        "formatReadableSize": _readable_size_sql,
+        "formatReadableQuantity": _readable_quantity_sql,
+        "parseTimeDelta": _parse_time_delta_sql,
+        # ---- UUID / IP tail
+        "toUUID": lambda a: f"lower({a[0]})",
+        "UUIDStringToNum": lambda a: f"unhex(replace({a[0]}, '-', ''))",
+        "IPv4StringToNum": lambda a: (
+            f"aggregate(split({a[0]}, '\\\\.'), CAST(0 AS BIGINT), "
+            f"(__a, __o) -> __a * 256 + CAST(__o AS BIGINT))"
+        ),
+        "isIPv4String": lambda a: (
+            f"({a[0]} RLIKE '^(\\\\d{{1,3}})(\\\\.\\\\d{{1,3}}){{3}}$' AND "
+            f"forall(split({a[0]}, '\\\\.'), __o -> CAST(__o AS INT) <= 255))"
+        ),
+        # structural check (hex groups + colons); CH validates full RFC
+        # grammar — documented approximation
+        "isIPv6String": lambda a: (
+            f"({a[0]} RLIKE '^[0-9a-fA-F:]{{2,39}}$' AND "
+            f"contains({a[0]}, ':'))"
+        ),
+        "greatCircleDistance": lambda a: (
+            f"(2.0 * 6371000.0 * asin(sqrt(pow(sin(radians({a[3]} - {a[1]}) "
+            f"/ 2), 2) + cos(radians({a[1]})) * cos(radians({a[3]})) * "
+            f"pow(sin(radians({a[2]} - {a[0]}) / 2), 2))))"
+        ),
+        # ---- misc tail
+        "currentDatabase": lambda a: "current_database()",
+        "sleep": lambda a: "0",  # no per-block sleep; returns CH's 0
+        "sleepEachRow": lambda a: "0",
+        "ignore": lambda a: "0",
+        "identity": lambda a: f"({a[0]})",
+        # full-block bar chart (CH draws eighth-blocks for the remainder)
+        "bar": lambda a: (
+            f"repeat('█', CAST(round(({a[0]} - {a[1]}) / ({a[2]} - {a[1]}) "
+            f"* {a[3]}) AS INT))"
+        ),
+        "runningDifference": lambda a: (
+            f"coalesce({a[0]} - lag({a[0]}) OVER "
+            f"(ORDER BY monotonically_increasing_id()), 0)"
+        ),
+        "neighbor": _neighbor_sql,
+        "isZeroOrNull": lambda a: f"({a[0]} = 0 OR {a[0]} IS NULL)",
+        "ifNotFinite": lambda a: (
+            f"(CASE WHEN isnan(CAST({a[0]} AS DOUBLE)) OR "
+            f"abs(CAST({a[0]} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+            f"THEN {a[1]} ELSE {a[0]} END)"
+        ),
+        "nanIfNull": lambda a: (
+            f"coalesce(CAST({a[0]} AS DOUBLE), CAST('NaN' AS DOUBLE))"
+        ),
+        "defaultValueOfTypeName": _default_value_of_type_sql,
+    }
+)
+
+
 PARAMETRIC.update(
     {
         "quantileIf": lambda p, a: (

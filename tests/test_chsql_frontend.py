@@ -402,6 +402,68 @@ def test_sum_map_and_parametric_batch(spark, probe2):
     assert r.tw == ["a", "b"]  # weights a=40, b=20, c=20 -> tie broken by key
 
 
+def test_round6_probe3_values(spark):
+    from byconity_spark.frontend import ch_sql
+
+    spark.sql(
+        "SELECT 'Hello World' AS s, "
+        "'https://u:p@sub.ex.org:8080/a/b?x=1&y=2#f' AS u, "
+        "CAST('2024-03-15 10:30:45' AS TIMESTAMP) AS ts, "
+        "array(3.0, 1.0, 2.0) AS arr"
+    ).createOrReplaceTempView("__p6b")
+    r = ch_sql(
+        spark,
+        "SELECT editDistance('abc', 'abd') AS ed, "
+        "port(u) AS po, protocol(u) AS pr, fragment(u) AS fr, "
+        "topLevelDomain(u) AS tld, "
+        "extractURLParameterNames(u) AS pn, "
+        "URLPathHierarchy(u) AS ph, "
+        "toISOYear(ts) AS iy, toModifiedJulianDay('2024-03-15') AS mjd, "
+        "makeDate(2024, 3, 15) AS md, "
+        "arrayCompact(array(1, 1, 2, 2, 1)) AS ac, "
+        "arrayPopBack(arr) AS apb, arrayRotateLeft(arr, 1) AS arl, "
+        "arrayResize(arr, 5, 0.0) AS ars, "
+        "arrayFold((acc, x) -> acc + x, arr, 0.0) AS af, "
+        "arrayReduce('max', arr) AS ar, "
+        "roundBankers(2.5) AS rb, roundBankers(3.5) AS rb2, "
+        "roundDown(3.14159, [1.0, 2.0, 3.0, 4.0]) AS rd, "
+        "gcd(12, 18) AS g, lcm(4, 6) AS l, "
+        "round(erf(1.0), 5) AS e1, "
+        "bitTest(5, 0) AS bt0, bitTest(5, 1) AS bt1, "
+        "parseTimeDelta('1h 30m') AS ptd, "
+        "IPv4StringToNum('192.168.1.1') AS ip, "
+        "isIPv4String('1.2.3.400') AS bad4, isIPv4String('1.2.3.4') AS ok4, "
+        "format('{} and {}', 'a', 'b') AS fm, "
+        "stringJaccardIndex('abc', 'abd') AS sj, "
+        "truncate(3.789, 2) AS tr "
+        "FROM __p6b",
+    ).collect()[0]
+    assert r.ed == 1
+    assert (r.po, r.pr, r.fr, r.tld) == (8080, "https", "f", "org")
+    assert r.pn == ["x", "y"]
+    assert r.ph == ["/a/", "/a/b"]
+    assert (r.iy, r.mjd) == (2024, 60384)
+    assert str(r.md) == "2024-03-15"
+    assert r.ac == [1, 2, 1]
+    assert r.apb == [3.0, 1.0]
+    assert r.arl == [1.0, 2.0, 3.0]
+    assert r.ars == [3.0, 1.0, 2.0, 0.0, 0.0]
+    assert r.af == 6.0
+    assert r.ar == 3.0
+    assert (r.rb, r.rb2) == (2.0, 4.0)  # half-even
+    assert r.rd == 3.0
+    assert (r.g, r.l) == (6, 12)
+    assert abs(r.e1 - 0.8427) < 1e-3
+    assert (r.bt0, r.bt1) == (1, 0)
+    assert r.ptd == 5400.0
+    assert r.ip == 3232235777
+    assert (r.bad4, r.ok4) == (False, True)
+    assert r.fm == "a and b"
+    # chars {a,b,c} vs {a,b,d}: |∩|=2, |∪|=4
+    assert r.sj == 0.5
+    assert abs(r.tr - 3.78) < 1e-12
+
+
 def test_limit_with_ties_and_distinct_on(spark, probe2):
     from byconity_spark.frontend import ch_sql
 
