@@ -1494,6 +1494,33 @@ def _rewrite_limit_with_ties(sql: str) -> str:
     )
 
 
+def _rewrite_distinct_on_recursive(sql: str) -> str:
+    """Apply the DISTINCT ON rewrite at the top level AND inside every
+    parenthesized subquery."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "(":
+            close = _match_paren(sql, i)
+            inner = sql[i + 1 : close]
+            if inner.lstrip()[:6].upper() == "SELECT":
+                out.append("(" + _rewrite_distinct_on_recursive(inner) + ")")
+            else:
+                out.append(sql[i : close + 1])
+            i = close + 1
+            continue
+        out.append(c)
+        i += 1
+    return _rewrite_distinct_on("".join(out))
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     """``SELECT DISTINCT ON (keys) cols ... [ORDER BY ...]`` (ClickHouse
     DISTINCT ON): first row per key group in ORDER BY order -> row_number
@@ -1517,11 +1544,32 @@ def _rewrite_distinct_on(sql: str) -> str:
         order = keys
         body = rest.strip().rstrip(";").strip()
         outer_order = ""
-    inner = f"SELECT {body}"
+    # inject the window INTO the original select scope so ORDER BY may
+    # reference source columns the select list doesn't project
+    fr = _depth0_find(body, "FROM")
+    if fr < 0:
+        raise ChSqlError("DISTINCT ON needs a FROM clause")
+    select_list = body[:fr].strip()
+    tail = body[fr:]
+    inner = (
+        f"SELECT {select_list}, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {order}) AS __dn {tail}"
+    )
+    # keep the outer ORDER BY only when every key is visible in the
+    # projected select list (the window may order by unprojected source
+    # columns; result ORDER is cosmetic for a subquery anyway)
+    if outer_order:
+        toks = [
+            re.sub(r"\s+(ASC|DESC)$", "", k.strip(), flags=re.IGNORECASE)
+            for k in order.split(",")
+        ]
+        if not all(
+            re.search(rf"\b{re.escape(t)}\b", select_list) for t in toks
+        ):
+            outer_order = ""
     return (
-        f"SELECT * EXCEPT (__dn) FROM (SELECT __d.*, row_number() OVER "
-        f"(PARTITION BY {keys} ORDER BY {order}) AS __dn FROM ({inner}) "
-        f"AS __d) WHERE __dn = 1{outer_order}"
+        f"SELECT * EXCEPT (__dn) FROM ({inner}) AS __d "
+        f"WHERE __dn = 1{outer_order}"
     )
 
 
@@ -2181,7 +2229,7 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_with_fill_recursive(sql)
     sql = _rewrite_limit_by_recursive(sql)
     sql = _rewrite_limit_with_ties(sql)
-    sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_distinct_on_recursive(sql)
     sql = _rewrite_frame_offsets(sql)
     sql = _rewrite_array_literals(sql)
     out = []

@@ -487,3 +487,94 @@ def chsql_compat_suite(spark: SparkSession, sf: str) -> DataFrame:
         SETTINGS max_threads = 4
         """,
     )
+
+
+@register(
+    "chsql_round6_agg_suite",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+                      event_type, value
+               FROM events),
+    iv AS (SELECT user_id, t AS s, t + 3600 AS e2 FROM e),
+    o AS (SELECT *, max(e2) OVER (PARTITION BY user_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax FROM iv),
+    g AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                      AS brk FROM o),
+    isl AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s)
+                        AS gid FROM g),
+    merged AS (SELECT user_id,
+                      sum(mx - mn) AS ils
+               FROM (SELECT user_id, gid, min(s) AS mn, max(e2) AS mx
+                     FROM isl GROUP BY user_id, gid)
+               GROUP BY user_id),
+    agg AS (SELECT user_id,
+                   count(DISTINCT CASE WHEN value > 50 THEN event_type END)
+                     AS n_types_hi,
+                   median(value) AS med,
+                   CASE WHEN max(t) > min(t)
+                        THEN (arg_max(value, t) - arg_min(value, t))
+                               / (max(t) - min(t))
+                        END AS br,
+                   entropy(event_type) AS ent
+            FROM e GROUP BY user_id)
+    SELECT agg.user_id,
+           CAST(n_types_hi AS BIGINT) AS n_types_hi,
+           med,
+           round(coalesce(br, 0.0), 9) AS br,
+           round(ent, 9) AS ent,
+           CAST(merged.ils AS DOUBLE) AS ils
+    FROM agg JOIN merged ON agg.user_id = merged.user_id
+    """,
+)
+def chsql_round6_agg_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-6 frontend aggregate batch straight from CH SQL: generic
+    countDistinctIf peel, medianExact, boundingRatio, entropy,
+    intervalLengthSum (merged-interval union length)."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT user_id,
+               countDistinctIf(event_type, value > 50) AS n_types_hi,
+               medianExact(value) AS med,
+               round(ifNull(boundingRatio(toUnixTimestamp(ts), value), 0.0), 9)
+                 AS br,
+               round(entropy(event_type), 9) AS ent,
+               intervalLengthSum(toUnixTimestamp(ts),
+                                 toUnixTimestamp(ts) + 3600) AS ils
+        FROM events GROUP BY user_id
+        """,
+    )
+
+
+@register(
+    "chsql_distinct_on_ties",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn
+      FROM events
+    ),
+    firsts AS (SELECT user_id, event_id, value FROM f WHERE rn = 1),
+    ranked AS (SELECT *, rank() OVER (ORDER BY value DESC) AS rk
+               FROM firsts)
+    SELECT user_id, event_id, value FROM ranked WHERE rk <= 25
+    """,
+)
+def chsql_distinct_on_ties(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT ON + LIMIT WITH TIES through the frontend: first event per
+    user (by ts, event_id), then top-25 by value keeping ties."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT * FROM (
+          SELECT DISTINCT ON (user_id) user_id, event_id, value
+          FROM events ORDER BY user_id, ts, event_id
+        ) ORDER BY value DESC LIMIT 25 WITH TIES
+        """,
+    )
