@@ -474,6 +474,42 @@ def hash_sample(
 
 
 # ------------------------------------------------- contamination screening
+def stratified_sample(
+    docs: DataFrame,
+    rates_pct: dict,
+    default_pct: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "strat",
+) -> DataFrame:
+    """Corpus-mixing sampler: per-stratum (language/domain) keep rates with
+    deterministic content-hash bucketing — the reproducible, sticky-under-
+    repartitioning property training-data mixture specs need (same bucket
+    mechanism as ``hash_sample``; portable md5 hash so any engine
+    reproduces the split bit-exactly).  Pure Column exprs, no shuffle."""
+    from byconity_spark.llm.dedup import portable_token_hash
+
+    key = F.concat(F.lit(salt), normalize_text(F.col(text_col)))
+    bucket = (portable_token_hash(key) % 100).cast("long")
+    rate = None
+    for k, v in rates_pct.items():
+        cond = F.col(stratum_col) == k
+        rate = F.when(cond, v) if rate is None else rate.when(cond, v)
+    rate = (
+        rate.otherwise(default_pct) if rate is not None else F.lit(default_pct)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            bucket.alias("bucket"),
+            rate.cast("long").alias("rate_pct"),
+        )
+        .filter(F.col("bucket") < F.col("rate_pct"))
+    )
+
+
 def contamination_screen(
     docs: DataFrame,
     benchmark: DataFrame,

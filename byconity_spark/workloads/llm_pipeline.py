@@ -1019,3 +1019,31 @@ def llm_repetition(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.llm.text import repetition_metrics
 
     return repetition_metrics(_docs(spark, sf))
+
+
+# --------------------------------------- stratified corpus-mixing sample
+@register(
+    "llm_stratified_sample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang,
+                      'strat' || {_DUCK_NORM} AS key
+               FROM documents),
+    h AS (SELECT doc_id, lang, {_md5_60('key')} % 100 AS bucket,
+                 CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40
+                           WHEN 'fr' THEN 20 ELSE 10 END AS rate_pct
+          FROM d)
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(rate_pct AS BIGINT) AS rate_pct
+    FROM h WHERE bucket < rate_pct
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-balanced deterministic sampling (corpus mixture spec:
+    en 80% / de 40% / fr 20% / rest 10%)."""
+    from byconity_spark.llm.text import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf),
+        rates_pct={"en": 80, "de": 40, "fr": 20},
+        default_pct=10,
+    )
