@@ -269,7 +269,13 @@ RULES: dict[str, object] = {
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
     "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
-    "tuple": "struct",
+    # named colN fields so tupleElement/.N access works for column args
+    # too (bare struct(id) would name the field "id", not "col1")
+    "tuple": lambda a: (
+        "struct("
+        + ", ".join(f"{x} AS col{i + 1}" for i, x in enumerate(a))
+        + ")"
+    ),
     "tupleElement": lambda a: (
         f"({a[0]}.col{int(a[1])})"
         if a[1].strip().isdigit()
@@ -841,6 +847,128 @@ def _parse_time_delta_sql(a: list[str]) -> str:
     )
 
 
+_CH_TYPE_MAP = {
+    "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT", "Int64": "BIGINT",
+    "UInt8": "SMALLINT", "UInt16": "INT", "UInt32": "BIGINT",
+    "UInt64": "BIGINT", "Float32": "FLOAT", "Float64": "DOUBLE",
+    "String": "STRING", "Date": "DATE", "Date32": "DATE",
+    "DateTime": "TIMESTAMP", "Bool": "BOOLEAN", "UUID": "STRING",
+}
+
+
+def _ch_type(t: str) -> str:
+    """CH type name -> Spark type name; unknown names pass through (the
+    statement may already use Spark type names)."""
+    import re
+
+    t = t.strip()
+    # wrappers that Spark doesn't distinguish
+    m = re.fullmatch(r"(?:Nullable|LowCardinality)\((.+)\)", t)
+    if m:
+        return _ch_type(m.group(1))
+    if re.fullmatch(r"DateTime64(\(\d+\))?", t):
+        return "TIMESTAMP"
+    if re.fullmatch(r"FixedString\(\d+\)", t):
+        return "STRING"
+    m = re.fullmatch(r"Decimal(32|64|128)\((\d+)\)", t)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return f"DECIMAL({prec}, {m.group(2)})"
+    return _CH_TYPE_MAP.get(t, t)
+
+
+def _cast_sql(a: list[str]) -> str:
+    """CAST(x AS Int64), CAST(x, 'Int64') and accurateCast forms with CH
+    type names mapped to Spark's."""
+    import re
+
+    if len(a) == 2:
+        return f"CAST({a[0]} AS {_ch_type(a[1].strip().strip(chr(39)))})"
+    m = re.match(r"(?s)^(.*\S)\s+AS\s+([A-Za-z_][\w()',\s]*)$", a[0])
+    if not m:
+        return f"CAST({a[0]})"
+    return f"CAST({m.group(1)} AS {_ch_type(m.group(2))})"
+
+
+def _rewrite_colon_casts(sql: str) -> str:
+    """``expr::Int64`` postfix casts: map the CH type name."""
+    import re
+
+    return re.sub(
+        r"::\s*([A-Za-z_]\w*(?:\(\d+(?:,\s*\d+)?\))?)",
+        lambda m: f"::{_ch_type(m.group(1))}",
+        sql,
+    )
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse scalar WITH aliases: ``WITH <expr> AS name, ... SELECT``
+    — substitute ``(expr)`` for every later ``name`` reference.  Standard
+    SQL CTEs (``name AS (SELECT ...)``) stay in the WITH clause."""
+    import re
+
+    m = re.match(r"\s*WITH\s+", sql, re.IGNORECASE)
+    if not m:
+        return sql
+    # scan depth-0 comma-separated items until the depth-0 SELECT
+    i = m.end()
+    items = []
+    start = i
+    depth = 0
+    n = len(sql)
+    sel_at = None
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c == "," :
+            items.append(sql[start:i])
+            start = i + 1
+        elif depth == 0 and sql[i : i + 7].upper() == "SELECT " and (
+            i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+        ):
+            items.append(sql[start:i])
+            sel_at = i
+            break
+        i += 1
+    if sel_at is None:
+        return sql
+    ctes, scalars = [], []
+    for it in items:
+        mm = re.fullmatch(
+            r"(?s)\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*", it
+        )
+        if mm:
+            scalars.append((mm.group(2), mm.group(1)))
+        else:
+            ctes.append(it.strip())
+    if not scalars:
+        return sql
+    body = sql[sel_at:]
+    for name, expr in scalars:
+        body = re.sub(rf"\b{re.escape(name)}\b", f"({expr})", body)
+    head = f"WITH {', '.join(ctes)} " if ctes else ""
+    return head + body
+
+
+def _rewrite_limit_offset_comma(sql: str) -> str:
+    """CH ``LIMIT offset, limit`` -> ``LIMIT limit OFFSET offset`` (runs
+    AFTER the LIMIT BY rewrite, whose pattern is LIMIT n BY col)."""
+    import re
+
+    return re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+        r"LIMIT \2 OFFSET \1",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def _default_value_of_type_sql(a: list[str]) -> str:
     t = a[0].strip().strip("'\"")
     if t.startswith(("Int", "UInt")) or t.startswith("Float") or t.startswith(
@@ -1118,6 +1246,25 @@ RULES.update(
             f"coalesce(CAST({a[0]} AS DOUBLE), CAST('NaN' AS DOUBLE))"
         ),
         "defaultValueOfTypeName": _default_value_of_type_sql,
+        # CH type names inside casts (CAST(x AS Int64), CAST(x, 'Int64'))
+        "CAST": _cast_sql,
+        "cast": _cast_sql,
+        "accurateCast": _cast_sql,
+        "accurateCastOrNull": lambda a: (
+            f"try_cast({a[0]} AS "
+            f"{_ch_type(a[1].strip().strip(chr(39)))})"
+        ),
+    }
+)
+
+
+PARAMETRIC.update(
+    {
+        # bounded collection: groupArray(max_size)(x)
+        "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+        "groupUniqArray": lambda p, a: (
+            f"slice(collect_set({a[0]}), 1, {p[0]})"
+        ),
     }
 )
 
@@ -2231,6 +2378,13 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_distinct_on_recursive(sql)
     sql = _rewrite_frame_offsets(sql)
+    sql = _rewrite_scalar_with(sql)
+    sql = _rewrite_colon_casts(sql)
+    sql = _rewrite_limit_offset_comma(sql)
+    # tuple(...).N positional access -> struct field colN
+    import re as _re_mod
+
+    sql = _re_mod.sub(r"\)\.(\d+)", r").col\1", sql)
     sql = _rewrite_array_literals(sql)
     out = []
     i = 0

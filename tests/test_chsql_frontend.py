@@ -464,6 +464,48 @@ def test_round6_probe3_values(spark):
     assert abs(r.tr - 3.78) < 1e-12
 
 
+def test_round6_probe4_query_idioms(spark, probe2):
+    from byconity_spark.frontend import ch_sql
+
+    # scalar WITH aliases (CH form: WITH <expr> AS name)
+    rows = ch_sql(
+        spark, "WITH 2 AS lim SELECT id FROM __pr2 WHERE id < lim"
+    ).collect()
+    assert [r.id for r in rows] == [1]
+    rows = ch_sql(
+        spark,
+        "WITH (SELECT max(v) FROM __pr2) AS mx "
+        "SELECT id FROM __pr2 WHERE v = mx",
+    ).collect()
+    assert [r.id for r in rows] == [3]
+    # CH type names in casts, all three syntaxes
+    r = ch_sql(
+        spark,
+        "SELECT CAST(v AS Int64) AS c1, CAST(v, 'Int32') AS c2, "
+        "v::UInt64 AS c3, accurateCastOrNull(s, 'Int64') AS c4, "
+        "CAST(v AS Nullable(Float64)) AS c5 FROM __pr2 WHERE id = 1",
+    ).collect()[0]
+    assert (r.c1, r.c2, r.c3, r.c4, r.c5) == (10, 10, 10, None, 10.0)
+    # LIMIT offset, limit
+    rows = ch_sql(
+        spark, "SELECT id FROM __pr2 ORDER BY id LIMIT 1, 2"
+    ).collect()
+    assert [r.id for r in rows] == [2, 3]
+    # tuple positional access + parametric groupArray
+    r = ch_sql(
+        spark,
+        "SELECT tuple(id, v).2 AS second, tupleElement(tuple(id, v), 1) "
+        "AS first FROM __pr2 WHERE id = 1",
+    ).collect()[0]
+    assert (r.second, r.first) == (10.0, 1)
+    r = ch_sql(
+        spark,
+        "SELECT size(groupArray(2)(s)) AS n2, size(groupArray(s)) AS nall "
+        "FROM __pr2",
+    ).collect()[0]
+    assert (r.n2, r.nall) == (2, 4)
+
+
 def test_limit_with_ties_and_distinct_on(spark, probe2):
     from byconity_spark.frontend import ch_sql
 
@@ -688,7 +730,7 @@ def test_subscript_chains_and_calls():
 
 def test_tuple_range_rules():
     out = rewrite_ch_sql("SELECT tuple(1, 'a'), range(3), range(2, 5)")
-    assert "struct(1, 'a')" in out
+    assert "struct(1 AS col1, 'a' AS col2)" in out
     assert "sequence(0, 3 - 1)" in out
     assert "sequence(2, 5 - 1)" in out
 
