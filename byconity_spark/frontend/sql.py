@@ -1258,8 +1258,68 @@ RULES.update(
 )
 
 
+def _sequence_pattern(p: str) -> list[int]:
+    """Parse a sequenceMatch pattern literal: (?1)(?2)... with optional
+    .* separators (equivalent under subsequence semantics).  Time guards
+    ``(?t...)`` are not expressible in the fold — explicit error."""
+    import re
+
+    pat = p.strip().strip("'\"")
+    if "(?t" in pat:
+        raise ChSqlError(
+            "sequenceMatch: (?t...) time conditions are not supported in "
+            "the SQL rewrite; use the Column API "
+            "(udafs/behavioral.sequence_match_gaps)"
+        )
+    if not re.fullmatch(r"(?:\(\?\d+\)(?:\.\*)?)+", pat):
+        raise ChSqlError(f"sequenceMatch: cannot parse pattern {pat!r}")
+    return [int(x) for x in re.findall(r"\(\?(\d+)\)", pat)]
+
+
+def _sequence_fold(p: list[str], a: list[str], count: bool = False) -> str:
+    # subsequence walk over the time-sorted events: state = matched prefix
+    # length (+ completed-match counter for sequenceCount, which restarts
+    # the walk after each completion — CH's non-overlapping count)
+    steps = _sequence_pattern(p[0])
+    ts, conds = a[0], a[1:]
+    ev = "named_struct(" + ", ".join(
+        [f"'ts', unix_timestamp({ts})"]
+        + [f"'c{i + 1}', coalesce(({c}), false)" for i, c in enumerate(conds)]
+    ) + ")"
+    np_ = len(steps)
+    want = "array(" + ", ".join(f"__e.c{k}" for k in steps) + ")"
+    L = f"array_sort(collect_list({ev}))"
+    return (
+        f"aggregate({L}, 0, (__s, __e) -> CASE WHEN "
+        f"coalesce(try_element_at({want}, __s + 1), false) "
+        f"THEN __s + 1 ELSE __s END, __s -> __s = {np_})"
+    )
+
+
+def _sequence_count_fold(p: list[str], a: list[str]) -> str:
+    steps = _sequence_pattern(p[0])
+    ts, conds = a[0], a[1:]
+    ev = "named_struct(" + ", ".join(
+        [f"'ts', unix_timestamp({ts})"]
+        + [f"'c{i + 1}', coalesce(({c}), false)" for i, c in enumerate(conds)]
+    ) + ")"
+    np_ = len(steps)
+    want = "array(" + ", ".join(f"__e.c{k}" for k in steps) + ")"
+    L = f"array_sort(collect_list({ev}))"
+    adv = f"coalesce(try_element_at({want}, __st.l + 1), false)"
+    return (
+        f"aggregate({L}, named_struct('l', 0, 'n', CAST(0 AS BIGINT)), "
+        f"(__st, __e) -> CASE WHEN {adv} AND __st.l + 1 = {np_} "
+        f"THEN named_struct('l', 0, 'n', __st.n + 1) "
+        f"WHEN {adv} THEN named_struct('l', __st.l + 1, 'n', __st.n) "
+        f"ELSE __st END, __st -> __st.n)"
+    )
+
+
 PARAMETRIC.update(
     {
+        "sequenceMatch": lambda p, a: _sequence_fold(p, a, count=False),
+        "sequenceCount": _sequence_count_fold,
         # bounded collection: groupArray(max_size)(x)
         "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
         "groupUniqArray": lambda p, a: (

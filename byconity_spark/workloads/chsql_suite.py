@@ -578,3 +578,46 @@ def chsql_distinct_on_ties(spark: SparkSession, sf: str) -> DataFrame:
         ) ORDER BY value DESC LIMIT 25 WITH TIES
         """,
     )
+
+
+@register(
+    "chsql_sequence_match_count",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                      event_type FROM events),
+    f AS (SELECT user_id, event_type AS t,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pt
+          FROM e WHERE event_type IN ('signup', 'purchase')),
+    m AS (SELECT user_id,
+                 count(*) FILTER (WHERE t = 'purchase' AND pt = 'signup') AS n
+          FROM f GROUP BY user_id),
+    x AS (SELECT DISTINCT a.user_id
+          FROM e a JOIN e b ON a.user_id = b.user_id
+          WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+            AND b.ts > a.ts)
+    SELECT u.user_id,
+           x.user_id IS NOT NULL AS matched,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN m ON u.user_id = m.user_id
+    LEFT JOIN x ON u.user_id = x.user_id
+    """,
+)
+def chsql_sequence_match_count(spark: SparkSession, sf: str) -> DataFrame:
+    """sequenceMatch / sequenceCount straight from CH SQL (parametric
+    pattern rewritten to a sorted-fold subsequence walk; sequenceCount's
+    non-overlapping greedy count equals the filtered-lag closed form the
+    oracle uses)."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT user_id,
+               sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup',
+                                           event_type = 'purchase') AS matched,
+               sequenceCount('(?1)(?2)')(ts, event_type = 'signup',
+                                         event_type = 'purchase') AS n_matches
+        FROM events GROUP BY user_id
+        """,
+    )

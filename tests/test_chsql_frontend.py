@@ -464,6 +464,29 @@ def test_round6_probe3_values(spark):
     assert abs(r.tr - 3.78) < 1e-12
 
 
+def test_sequence_match_count_sql(spark):
+    from byconity_spark.frontend import ch_sql
+
+    spark.sql(
+        "SELECT 1 AS u, 1 AS t, 'A' AS e UNION ALL SELECT 1, 2, 'X' "
+        "UNION ALL SELECT 1, 3, 'B' UNION ALL SELECT 1, 4, 'A' "
+        "UNION ALL SELECT 1, 5, 'B' UNION ALL SELECT 2, 1, 'B'"
+    ).selectExpr(
+        "u", "timestamp_seconds(t) AS ts", "e"
+    ).createOrReplaceTempView("__sm_t")
+    rows = ch_sql(
+        spark,
+        "SELECT u, sequenceMatch('(?1).*(?2)')(ts, e = 'A', e = 'B') AS m, "
+        "sequenceCount('(?1)(?2)')(ts, e = 'A', e = 'B') AS n "
+        "FROM __sm_t GROUP BY u ORDER BY u",
+    ).collect()
+    assert [(r.u, r.m, r.n) for r in rows] == [(1, True, 2), (2, False, 0)]
+    with pytest.raises(ChSqlError):
+        rewrite_ch_sql(
+            "SELECT sequenceMatch('(?1)(?t<10)(?2)')(ts, a, b) FROM t"
+        )
+
+
 def test_round6_probe4_query_idioms(spark, probe2):
     from byconity_spark.frontend import ch_sql
 
