@@ -2661,3 +2661,11 @@ SCALAR.update(
         ),
     }
 )
+
+
+# --- round-6 parity extension batches (registry_ext.py): MySQL aliases,
+# conversion variants, parseDateTime family, DateTime64 unix helpers,
+# reinterpretAs*, hash tail, IN functional forms, server constants ---
+from byconity_spark.functions import registry_ext as _registry_ext  # noqa: E402
+
+_registry_ext.install(SCALAR, AGG)
