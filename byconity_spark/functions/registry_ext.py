@@ -1055,6 +1055,7 @@ def install(SCALAR: dict, AGG: dict) -> None:  # noqa: C901 (flat table)
     })
 
     _install_batch2(SCALAR, AGG)
+    _install_batch3(SCALAR, AGG)
 
 
 # --------------------------------------------------------------------------
@@ -1594,3 +1595,318 @@ def _ip_in_range(addr, cidr) -> "Column":
     return F.when(is_v4, v4_match).otherwise(
         F.lower(_lit(addr)) == F.lower(base_ip)
     ).cast("int")
+
+
+# --------------------------------------------------------------------------
+# batch 3: aggregate-name parity (registerAggregateFunctions.cpp tail) —
+# SQL/MySQL-standard aliases, median variants, correlation matrices,
+# mapped-array aggregates, two-sample test Column forms
+# --------------------------------------------------------------------------
+
+def _sorted_pairs(ts, v) -> "Column":
+    return F.array_sort(F.collect_list(F.struct(ts.alias("t"), v.alias("v"))))
+
+
+def _delta_sum_timestamp(v, ts) -> "Column":
+    """deltaSumTimestamp (AggregateFunctionDeltaSumTimestamp.h): sum of
+    positive increments taken in timestamp order.  Column form sorts the
+    collected (ts, value) pairs — correct under any shuffle order."""
+    pairs = _sorted_pairs(_lit(ts), _lit(v).cast("double"))
+    return F.aggregate(
+        pairs,
+        F.struct(F.lit(None).cast("double").alias("last"),
+                 F.lit(0.0).alias("total")),
+        lambda acc, p: F.struct(
+            p["v"].alias("last"),
+            (acc["total"] + F.when(
+                acc["last"].isNotNull() & (p["v"] > acc["last"]),
+                p["v"] - acc["last"],
+            ).otherwise(F.lit(0.0))).alias("total"),
+        ),
+        lambda acc: acc["total"],
+    )
+
+
+def _top_k(k, c, w=None) -> "Column":
+    """topK(k)(x) / topKWeighted(k)(x, w) (AggregateFunctionTopK.cpp):
+    deterministic exact top-k by (count|weight) desc, value asc tiebreak.
+    O(n·d) per group in the Column form — the scale path for huge groups
+    is the explode+groupBy top-k in operators/aggregates.py."""
+    k = int(k)
+    elems = F.collect_list(F.struct(
+        _lit(c).cast("string").alias("v"),
+        (F.lit(1).cast("double") if w is None else _lit(w).cast("double")).alias("w"),
+    ))
+
+    def score(vals):
+        distinct = F.array_distinct(F.transform(vals, lambda s: s["v"]))
+        return F.transform(
+            distinct,
+            lambda v: F.struct(
+                (-F.aggregate(
+                    F.filter(vals, lambda s: s["v"] == v),
+                    F.lit(0.0), lambda acc, s: acc + s["w"],
+                )).alias("negw"),
+                v.alias("v"),
+            ),
+        )
+
+    return F.transform(F.slice(F.array_sort(score(elems)), 1, k), lambda s: s["v"])
+
+
+def _median_exact_pick(c, high: bool) -> "Column":
+    # medianExactLow/High (QuantileExactLow.h): lower/upper middle ELEMENT
+    # of the sorted multiset (no interpolation)
+    srt = F.array_sort(F.collect_list(_lit(c)))
+    n = F.size(srt)
+    idx = F.when(
+        n % 2 == 1, (n + 1) / 2
+    ).otherwise((n / 2) + (1 if high else 0))
+    return F.try_element_at(srt, idx.cast("int"))
+
+
+def _mapped_arrays(op_name: str):
+    """sum/min/maxMappedArrays(keys, values) (AggregateFunctionSumMap.h
+    two-array form): per-key aggregation over parallel key/value arrays →
+    struct(keys sorted asc, values).  O(n·d) fold per group."""
+    ops = {
+        "sum": lambda acc, x: acc + x,
+        "min": F.least,
+        "max": F.greatest,
+    }
+    op = ops[op_name]
+
+    def builder(keys, values) -> "Column":
+        flat = F.flatten(F.collect_list(
+            F.zip_with(keys, values,
+                       lambda a, b: F.struct(a.alias("k"), b.alias("v")))
+        ))
+        ks = F.array_sort(F.array_distinct(F.transform(flat, lambda s: s["k"])))
+        vals = F.transform(
+            ks,
+            lambda kk: F.aggregate(
+                F.transform(
+                    F.filter(flat, lambda s: s["k"] == kk), lambda s: s["v"]
+                ),
+                F.lit(None).cast("double"),
+                lambda acc, x: F.when(acc.isNull(), x.cast("double")).otherwise(
+                    op(acc, x.cast("double"))
+                ),
+            ),
+        )
+        return F.struct(ks.alias("keys"), vals.alias("values"))
+
+    return builder
+
+
+def _ranks_with_ties(vals) -> "Column":
+    # average-tie ranks of each element within the array (1-based):
+    # rank(v) = #(x < v) + (#(x == v) + 1)/2.  O(n²) fold per group.
+    return F.transform(
+        vals,
+        lambda v: F.size(F.filter(vals, lambda x: x < v)).cast("double")
+        + (F.size(F.filter(vals, lambda x: x == v)) + 1) / 2.0,
+    )
+
+
+def _mann_whitney_u(c, idx) -> "Column":
+    """mannWhitneyUTest(sample, index) (AggregateFunctionMannWhitney.h):
+    exact U via average-tie ranks; p-value from the normal approximation
+    with tie correction — the same large-sample approximation the
+    reference uses."""
+    pairs = F.collect_list(F.struct(_lit(c).cast("double").alias("v"),
+                                    _lit(idx).cast("int").alias("g")))
+    vals = F.transform(pairs, lambda s: s["v"])
+    ranks = _ranks_with_ties(vals)
+    n = F.size(pairs)
+    n1 = F.size(F.filter(pairs, lambda s: s["g"] == 0)).cast("double")
+    n2 = n.cast("double") - n1
+    r1 = F.aggregate(
+        F.zip_with(pairs, ranks,
+                   lambda s, r: F.when(s["g"] == 0, r).otherwise(F.lit(0.0))),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    u1 = r1 - n1 * (n1 + 1) / 2
+    # tie correction: sum over tie groups of (t³ - t)
+    counts = F.transform(
+        F.array_distinct(vals),
+        lambda v: F.size(F.filter(vals, lambda x: x == v)).cast("double"),
+    )
+    tie_term = F.aggregate(counts, F.lit(0.0),
+                           lambda acc, t: acc + t * t * t - t)
+    nn = n.cast("double")
+    mu = n1 * n2 / 2
+    sigma = F.sqrt(n1 * n2 / 12 * ((nn + 1) - tie_term / (nn * (nn - 1))))
+    z = (u1 - mu) / sigma
+    p = F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(z)))
+    return F.struct(u1.alias("u_statistic"), F.least(p, F.lit(1.0)).alias("p_value"))
+
+
+def _welch_t(c, idx) -> "Column":
+    """welchTTest(sample, index) (AggregateFunctionTTest.h WelchTTestData):
+    exact t statistic; p-value via the normal approximation of the
+    t-distribution (documented deviation — exact for large df)."""
+    x0 = F.when(_lit(idx) == 0, _lit(c).cast("double"))
+    x1 = F.when(_lit(idx) == 1, _lit(c).cast("double"))
+    m0, m1 = F.avg(x0), F.avg(x1)
+    v0, v1 = F.var_samp(x0), F.var_samp(x1)
+    n0, n1 = F.count(x0).cast("double"), F.count(x1).cast("double")
+    se2 = v0 / n0 + v1 / n1
+    t = (m0 - m1) / F.sqrt(se2)
+    p = F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(t)))
+    return F.struct(t.alias("t_statistic"), p.alias("p_value"))
+
+
+def _mean_z_test(c, idx, pop_var_x=1.0, pop_var_y=1.0, conf=0.95) -> "Column":
+    """meanZTest(sample, index)(σx², σy², conf) (meanZTest.cpp): two-sample
+    z-test with KNOWN population variances — exact closed form."""
+    x0 = F.when(_lit(idx) == 0, _lit(c).cast("double"))
+    x1 = F.when(_lit(idx) == 1, _lit(c).cast("double"))
+    m0, m1 = F.avg(x0), F.avg(x1)
+    n0, n1 = F.count(x0).cast("double"), F.count(x1).cast("double")
+    se = F.sqrt(F.lit(float(pop_var_x)) / n0 + F.lit(float(pop_var_y)) / n1)
+    z = (m0 - m1) / se
+    p = F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(z)))
+    zq = F.lit(-_norm_quantile((1.0 - float(conf)) / 2.0))
+    return F.struct(
+        z.alias("z_statistic"), p.alias("p_value"),
+        ((m0 - m1) - zq * se).alias("confidence_interval_low"),
+        ((m0 - m1) + zq * se).alias("confidence_interval_high"),
+    )
+
+
+def _rank_corr(x, y) -> "Column":
+    """rankCorr(x, y) (AggregateFunctionRankCorr.h): Spearman ρ = Pearson
+    correlation of average-tie ranks.  Exact; O(n²) fold per group."""
+    pairs = F.collect_list(F.struct(_lit(x).cast("double").alias("x"),
+                                    _lit(y).cast("double").alias("y")))
+    rx = _ranks_with_ties(F.transform(pairs, lambda s: s["x"]))
+    ry = _ranks_with_ties(F.transform(pairs, lambda s: s["y"]))
+    n = F.size(pairs).cast("double")
+    sx = F.aggregate(rx, F.lit(0.0), lambda a, v: a + v)
+    sy = F.aggregate(ry, F.lit(0.0), lambda a, v: a + v)
+    sxy = F.aggregate(F.zip_with(rx, ry, lambda a, b: a * b), F.lit(0.0),
+                      lambda a, v: a + v)
+    sx2 = F.aggregate(rx, F.lit(0.0), lambda a, v: a + v * v)
+    sy2 = F.aggregate(ry, F.lit(0.0), lambda a, v: a + v * v)
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sx2 / n - (sx / n) * (sx / n)
+    vy = sy2 / n - (sy / n) * (sy / n)
+    return cov / F.sqrt(vx * vy)
+
+
+def _install_batch3(SCALAR: dict, AGG: dict) -> None:
+    from byconity_spark.functions import registry as R
+
+    # SQL/MySQL-standard aliases (registerAggregateFunctions.cpp
+    # CaseInsensitive registrations; MySQL STD/STDDEV/VARIANCE are the
+    # POPULATION forms)
+    AGG_ALIASES = {
+        "STD": "stddevPop", "STDDEV": "stddevPop", "STDDEV_POP": "stddevPop",
+        "STDDEV_SAMP": "stddevSamp", "VARIANCE": "varPop", "VAR_POP": "varPop",
+        "VAR_SAMP": "varSamp", "COVAR_POP": "covarPop", "COVAR_SAMP": "covarSamp",
+        "BIT_AND": "groupBitAnd", "BIT_OR": "groupBitOr", "BIT_XOR": "groupBitXor",
+        "any_value": "any", "first_value": "any", "last_value": "anyLast",
+        "groupArbitrary": "arbitrary",
+        "sumWithOverflow": "sum",  # UInt64→long wraps anyway (documented)
+        "uniqCombined64": "uniqCombined",
+        "medianDeterministic": "medianExact",
+        "hll": "uniqHLL12",
+        # stable (Kahan) flavors: Spark's JVM aggregates are the baseline —
+        # same double rounding class (documented)
+        "corrStable": "corr", "covarPopStable": "covarPop",
+        "covarSampStable": "covarSamp", "stddevPopStable": "stddevPop",
+        "stddevSampStable": "stddevSamp", "varPopStable": "varPop",
+        "varSampStable": "varSamp",
+    }
+    for tgt, src in AGG_ALIASES.items():
+        if src in AGG:
+            AGG.setdefault(tgt, AGG[src])
+
+    def addA(d: dict) -> None:
+        for k, v in d.items():
+            AGG.setdefault(k, v)
+
+    addA({
+        "GROUP_CONCAT": lambda c, sep=",": F.array_join(
+            F.array_sort(F.collect_list(_lit(c).cast("string"))), sep
+        ),
+        # anyHeavy (AggregateFunctionAnyHeavy.h): a frequently-occurring
+        # value; the exact mode is a valid (and deterministic) answer
+        "anyHeavy": lambda c: F.mode(c),
+        "topK": lambda k, c: _top_k(k, c),
+        "topKWeighted": lambda k, c, w: _top_k(k, c, w),
+        "medianExactLow": lambda c: _median_exact_pick(c, high=False),
+        "medianExactHigh": lambda c: _median_exact_pick(c, high=True),
+        "medianExactWeighted": lambda c, w: F.percentile(
+            _lit(c), F.lit(0.5), _lit(w).cast("long")
+        ),
+        "medianInterpolatedWeighted": lambda c, w: F.percentile(
+            _lit(c), F.lit(0.5), _lit(w).cast("long")
+        ),
+        "medianTDigest": lambda c: F.percentile_approx(_lit(c), F.lit(0.5)),
+        "medianTDigestWeighted": lambda c, w: F.percentile(
+            _lit(c), F.lit(0.5), _lit(w).cast("long")
+        ),
+        "medianTiming": lambda c: F.percentile_approx(_lit(c), F.lit(0.5)),
+        "medianTimingWeighted": lambda c, w: F.percentile(
+            _lit(c), F.lit(0.5), _lit(w).cast("long")
+        ),
+        "medianBFloat16": lambda c: F.percentile_approx(_lit(c), F.lit(0.5)),
+        "medianBFloat16Weighted": lambda c, w: F.percentile(
+            _lit(c), F.lit(0.5), _lit(w).cast("long")
+        ),
+        # correlation/covariance matrices (AggregateFunctionCorrMatrix.cpp):
+        # symmetric matrix as array<array<double>>
+        "corrMatrix": lambda *cols: F.array(*[
+            F.array(*[F.corr(a, b) for b in cols]) for a in cols
+        ]),
+        "covarPopMatrix": lambda *cols: F.array(*[
+            F.array(*[F.covar_pop(a, b) for b in cols]) for a in cols
+        ]),
+        "covarSampMatrix": lambda *cols: F.array(*[
+            F.array(*[F.covar_samp(a, b) for b in cols]) for a in cols
+        ]),
+        "sumMappedArrays": _mapped_arrays("sum"),
+        "minMappedArrays": _mapped_arrays("min"),
+        "maxMappedArrays": _mapped_arrays("max"),
+        "sumMapWithOverflow": lambda m: R._apply_map("sum", m),
+        "deltaSumTimestamp": _delta_sum_timestamp,
+        "groupArrayLast": lambda n, c: F.slice(
+            F.collect_list(c), -int(n), int(n)
+        ),
+        # moving aggregates over the group in sorted order (deterministic —
+        # the reference's arrival order is not reproducible under shuffle;
+        # documented like groupConcat)
+        "groupArrayMovingSum": lambda c, n=None: (
+            lambda vals: F.transform(
+                F.sequence(F.lit(1), F.size(vals)),
+                lambda i: F.aggregate(
+                    F.slice(
+                        vals,
+                        F.greatest(F.lit(1), i - (int(n) - 1)) if n else F.lit(1),
+                        (F.least(i, F.lit(int(n))) if n else i).cast("int"),
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x.cast("double"),
+                ),
+            )
+        )(F.array_sort(F.collect_list(c))),
+        "groupArrayMovingAvg": lambda c, n=None: (
+            lambda vals: F.transform(
+                F.sequence(F.lit(1), F.size(vals)),
+                lambda i: F.aggregate(
+                    F.slice(
+                        vals,
+                        F.greatest(F.lit(1), i - (int(n) - 1)) if n else F.lit(1),
+                        (F.least(i, F.lit(int(n))) if n else i).cast("int"),
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x.cast("double"),
+                ) / (F.least(i, F.lit(int(n))) if n else i).cast("double"),
+            )
+        )(F.array_sort(F.collect_list(c))),
+        "nothing": lambda c=None: F.max(F.lit(None)),
+        "mannWhitneyUTest": _mann_whitney_u,
+        "welchTTest": _welch_t,
+        "meanZTest": _mean_z_test,
+        "rankCorr": _rank_corr,
+    })

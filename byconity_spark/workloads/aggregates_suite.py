@@ -1142,3 +1142,104 @@ def agg_moments_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.round(ch("kurtSamp", v), 5).alias("kurt_samp"),
         F.round(ch("studentTTest", v, even), 5).alias("t_stat"),
     )
+
+
+# ------------------------------------------- round-6 agg parity extension
+# (registry_ext batch 3): SQL-standard aliases, medianExactLow/High picks,
+# deltaSumTimestamp sorted-fold, welch/mann-whitney/rankCorr Column forms,
+# deterministic topK, sorted GROUP_CONCAT.
+@register(
+    "agg_parity_ext_suite",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, ts, user_id,
+             epoch(date_trunc('second', ts)) AS sec
+      FROM events
+    ),
+    ranks AS (
+      SELECT event_type, value, sec, user_id,
+             rank() OVER (PARTITION BY event_type ORDER BY value)
+               + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+               AS rv,
+             rank() OVER (PARTITION BY event_type ORDER BY sec)
+               + (count(*) OVER (PARTITION BY event_type, sec) - 1) / 2.0
+               AS rs
+      FROM ev
+    ),
+    delta AS (
+      SELECT event_type,
+             CASE WHEN value > lag_v THEN value - lag_v ELSE 0 END AS inc
+      FROM (SELECT event_type, value,
+                   lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, value) AS lag_v
+            FROM ev)
+    ),
+    counts AS (
+      SELECT event_type, user_id % 3 AS tag, count(*) AS cnt
+      FROM ev GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT event_type, string_agg(CAST(tag AS VARCHAR), '|' ORDER BY rn) AS top2
+      FROM (SELECT event_type, tag,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cnt DESC, CAST(tag AS VARCHAR)) AS rn
+            FROM counts)
+      WHERE rn <= 2 GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT)                              AS n,
+           round(stddev_pop(e.value), 6)                         AS std_pop,
+           round(var_pop(e.value), 6)                            AS var_p,
+           quantile_disc(e.value, 0.5)                           AS medlow,
+           -quantile_disc(-e.value, 0.5)                         AS medhigh,
+           round((SELECT sum(inc) FROM delta d
+                  WHERE d.event_type = e.event_type), 4)         AS dsum_ts,
+           round((avg(CASE WHEN e.user_id % 2 = 0 THEN e.value END)
+                  - avg(CASE WHEN e.user_id % 2 = 1 THEN e.value END))
+                 / sqrt(var_samp(CASE WHEN e.user_id % 2 = 0 THEN e.value END)
+                        / count(CASE WHEN e.user_id % 2 = 0 THEN e.value END)
+                        + var_samp(CASE WHEN e.user_id % 2 = 1 THEN e.value END)
+                        / count(CASE WHEN e.user_id % 2 = 1 THEN e.value END)),
+                 6)                                              AS welch_t,
+           round((SELECT sum(r.rv) FROM ranks r
+                  WHERE r.event_type = e.event_type AND r.user_id % 2 = 0)
+                 - count(CASE WHEN e.user_id % 2 = 0 THEN 1 END)
+                   * (count(CASE WHEN e.user_id % 2 = 0 THEN 1 END) + 1) / 2.0,
+                 4)                                              AS mwu,
+           round((SELECT corr(r.rv, r.rs) FROM ranks r
+                  WHERE r.event_type = e.event_type), 6)         AS rankc,
+           (SELECT t.top2 FROM topk t
+            WHERE t.event_type = e.event_type)                   AS top2
+    FROM ev e
+    GROUP BY e.event_type
+    """,
+)
+def agg_parity_ext_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.functions.registry import ch_agg
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", "value", "ts", "user_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+    )
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(ch_agg("STD", v), 6).alias("std_pop"),
+        F.round(ch_agg("VARIANCE", v), 6).alias("var_p"),
+        ch_agg("medianExactLow", v).alias("medlow"),
+        ch_agg("medianExactHigh", v).alias("medhigh"),
+        F.round(ch_agg("deltaSumTimestamp", v, F.struct(
+            F.col("ts").alias("t0"), v.alias("t1"))), 4).alias("dsum_ts"),
+        F.round(
+            ch_agg("welchTTest", v, (F.col("user_id") % 2).cast("int"))
+            ["t_statistic"], 6
+        ).alias("welch_t"),
+        F.round(
+            ch_agg("mannWhitneyUTest", v, (F.col("user_id") % 2).cast("int"))
+            ["u_statistic"], 4
+        ).alias("mwu"),
+        F.round(ch_agg("rankCorr", v, F.col("sec")), 6).alias("rankc"),
+        F.array_join(
+            ch_agg("topK", 2, (F.col("user_id") % 3).cast("string")), "|"
+        ).alias("top2"),
+    )

@@ -797,3 +797,127 @@ def fn_parity_suite(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("xml"),
         ch("countMatches", et, "[aeiou]").alias("vowels"),
     )
+
+
+# ------------------------------------------- round-6 parity extension
+# MySQL/date compat batch (registry_ext.py groups 1-2; reference
+# IFunctionMySql wrappers, DateLUTImpl toRelative*Num, FunctionsConversion
+# unix64 helpers, FunctionAppVersionCompare.h).
+@register(
+    "fn_mysql_time_suite",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           CAST((dayofweek(o_orderdate) + 6) % 7 AS BIGINT)      AS wd,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT)            AS dow_mysql,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) + 719528 AS BIGINT) AS tdays,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS rel_month,
+           CAST((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 + 8 - isodow(o_orderdate)) // 7 AS BIGINT)      AS rel_week,
+           CAST(year(o_orderdate) * 10000000000
+                + month(o_orderdate) * 100000000
+                + day(o_orderdate) * 1000000
+                + hour(o_orderdate) * 10000
+                + minute(o_orderdate) * 100
+                + second(o_orderdate) AS BIGINT)                 AS ymdhms,
+           CAST(day(o_orderdate) * 100 + hour(o_orderdate) AS BIGINT) AS day_hour,
+           CAST(hour(o_orderdate) * 3600 + minute(o_orderdate) * 60
+                + second(o_orderdate) AS BIGINT)                 AS t2s,
+           printf('%02d:%02d:%02d', (o_orderkey % 90000) // 3600,
+                  ((o_orderkey % 90000) // 60) % 60,
+                  (o_orderkey % 90000) % 60)                     AS s2t,
+           CAST(epoch_ms(o_orderdate) AS BIGINT)                 AS unix_ms,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')            AS adaptive,
+           CAST(CASE WHEN o_orderkey % 4 > 2 THEN 1
+                     WHEN o_orderkey % 4 < 2 THEN 0
+                     WHEN o_orderkey % 10 > 5 THEN 1
+                     WHEN o_orderkey % 10 < 5 THEN 0
+                     WHEN o_orderkey % 3 > 1 THEN 1 ELSE 0 END AS INT) AS vcmp,
+           CAST(CASE WHEN o_orderpriority < '3-MEDIUM' THEN -1
+                     WHEN o_orderpriority > '3-MEDIUM' THEN 1
+                     ELSE 0 END AS INT)                          AS scmp,
+           CAST(CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2
+                WHEN 'P' THEN 3 ELSE 0 END AS BIGINT)            AS fis,
+           printf('%.2f', o_totalprice)                          AS decs,
+           strftime(o_orderdate, '%Y-%m-%d')                     AS pdt
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def fn_mysql_time_suite(spark: SparkSession, sf: str) -> DataFrame:
+    od = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate")
+    k = F.col("o_orderkey")
+    ver = F.concat_ws(".", (k % 4).cast("string"), (k % 10).cast("string"),
+                      (k % 3).cast("string"))
+    return od.select(
+        k.alias("okey"),
+        ch("WEEKDAY", d).cast("long").alias("wd"),
+        ch("DAYOFWEEK", d).cast("long").alias("dow_mysql"),
+        ch("to_days", d).alias("tdays"),
+        ch("toRelativeMonthNum", d).alias("rel_month"),
+        ch("toRelativeWeekNum", d).alias("rel_week"),
+        ch("toYYYYMMDDhhmmss", d).alias("ymdhms"),
+        ch("toDayHour", d).alias("day_hour"),
+        ch("time_to_sec", d).alias("t2s"),
+        ch("sec_to_time", k % 90000).alias("s2t"),
+        ch("toUnixTimestamp64Milli", d).alias("unix_ms"),
+        F.date_format(ch("FROM_UNIXTIME_ADAPTIVE", F.unix_timestamp(d)),
+                      "yyyy-MM-dd HH:mm:ss").alias("adaptive"),
+        ch("versionCompare", ver, F.lit("2.5.1"), ">").alias("vcmp"),
+        ch("strcmp", F.col("o_orderpriority"), F.lit("3-MEDIUM")).cast("int")
+        .alias("scmp"),
+        ch("find_in_set", F.col("o_orderstatus"), F.lit("O,F,P")).alias("fis"),
+        ch("toDecimalString", F.col("o_totalprice"), 2).alias("decs"),
+        F.date_format(
+            ch("parseDateTime", ch("formatDateTime", d, "%Y-%m-%d"), "%Y-%m-%d"),
+            "yyyy-MM-dd",
+        ).alias("pdt"),
+    )
+
+
+# Vector norm/distance family (registry_ext batch 2; reference
+# array/arrayNorm.cpp + arrayDistance.cpp kernels) + mortonEncode
+# (mortonEncode.cpp, bit layout pinned by mortonEncode(1,2,3)=53).
+@register(
+    "fn_vector_suite",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a,
+             list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS b
+      FROM embeddings WHERE vec_id % 13 = 0
+    )
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(a, x -> x * x))), 4)   AS l2,
+           round(list_sum(list_transform(a, x -> abs(x))), 4)        AS l1,
+           round(list_max(list_transform(a, x -> abs(x))), 4)        AS linf,
+           round(list_sum(list_transform(range(1, len(a) + 1),
+                                         i -> a[i] * b[i])), 4)      AS dot,
+           round(1.0 - list_sum(list_transform(range(1, len(a) + 1),
+                                               i -> a[i] * b[i]))
+                 / (sqrt(list_sum(list_transform(a, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b, x -> x * x)))), 6) AS cosd,
+           round(a[1] / sqrt(list_sum(list_transform(a, x -> x * x))), 6) AS n2_first,
+           CAST(list_sum(list_transform(range(0, 10),
+                i -> (((o_x >> i) & 1) << (2 * i))
+                     | (((o_y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS morton
+    FROM (SELECT *, vec_id % 1024 AS o_x, (vec_id * 7) % 1024 AS o_y FROM e)
+    """,
+)
+def fn_vector_suite(spark: SparkSession, sf: str) -> DataFrame:
+    em = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 13 == 0)
+    a = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = F.reverse(a)
+    return em.select(
+        "vec_id",
+        F.round(ch("L2Norm", a), 4).alias("l2"),
+        F.round(ch("L1Norm", a), 4).alias("l1"),
+        F.round(ch("LinfNorm", a), 4).alias("linf"),
+        F.round(ch("dotProduct", a, b), 4).alias("dot"),
+        F.round(ch("cosineDistance", a, b), 6).alias("cosd"),
+        F.round(
+            F.try_element_at(ch("normalizeL2", a), F.lit(1)), 6
+        ).alias("n2_first"),
+        ch("mortonEncode", F.col("vec_id") % 1024, (F.col("vec_id") * 7) % 1024)
+        .alias("morton"),
+    )

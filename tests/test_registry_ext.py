@@ -306,3 +306,100 @@ def test_min_sample_size_conversion_formula(vdf):
     assert row["minimum_sample_size"] == pytest.approx(want, rel=1e-9)
     assert row["detect_range_lower"] == pytest.approx(0.22)
     assert row["detect_range_upper"] == pytest.approx(0.28)
+
+
+# ---------------------------------------------------------------- batch 3
+@pytest.fixture(scope="module")
+def adf(spark):
+    import pandas as pd
+    return spark.createDataFrame(pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 2.0, 2.0],
+        "y": [2.0, 4.0, 6.0, 8.0, 10.0, 1.0, 5.0, 5.0],
+        "g": [0, 0, 0, 0, 1, 1, 1, 1],
+        "ts": [1, 2, 3, 4, 5, 6, 7, 8],
+    }))
+
+
+def _agg1(df, col):
+    return df.agg(col.alias("v")).collect()[0][0]
+
+
+def test_agg_aliases_and_medians(adf):
+    from byconity_spark.functions.registry import ch_agg
+    import math
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 2.0, 2.0]
+    mean = sum(xs) / len(xs)
+    std_pop = math.sqrt(sum((v - mean) ** 2 for v in xs) / len(xs))
+    assert _agg1(adf, ch_agg("STD", F.col("x"))) == pytest.approx(std_pop)
+    assert _agg1(adf, ch_agg("first_value", F.col("x"))) == 1.0
+    assert _agg1(adf, ch_agg("anyHeavy", F.col("x"))) == 2.0  # exact mode
+    assert _agg1(adf, ch_agg("medianExactLow", F.col("x"))) == 2.0
+    assert _agg1(adf, ch_agg("medianExactHigh", F.col("x"))) == 3.0
+    assert _agg1(adf, ch_agg("topK", 2, F.col("x"))) == ["2.0", "1.0"]
+
+
+def test_agg_delta_sum_timestamp(adf):
+    from byconity_spark.functions.registry import ch_agg
+    # x in ts order: 1,2,3,4,5,100,2,2 → positive increments 1+1+1+1+95 = 99
+    assert _agg1(adf, ch_agg("deltaSumTimestamp", F.col("x"), F.col("ts"))) == 99.0
+
+
+def test_agg_rank_corr_exact_spearman(adf):
+    """rankCorr must equal Pearson-of-average-tie-ranks, computed by hand."""
+    import math
+    from byconity_spark.functions.registry import ch_agg
+    x = [1, 2, 3, 4, 5, 100, 2, 2]
+    y = [2, 4, 6, 8, 10, 1, 5, 5]
+
+    def ranks(v):
+        return [sum(1 for u in v if u < w) + (sum(1 for u in v if u == w) + 1) / 2
+                for w in v]
+
+    rx, ry = ranks(x), ranks(y)
+    n = len(x)
+    ma, mb = sum(rx) / n, sum(ry) / n
+    cov = sum((p - ma) * (q - mb) for p, q in zip(rx, ry)) / n
+    va = sum((p - ma) ** 2 for p in rx) / n
+    vb = sum((q - mb) ** 2 for q in ry) / n
+    want = cov / math.sqrt(va * vb)
+    assert _agg1(adf, ch_agg("rankCorr", F.col("x"), F.col("y"))) == \
+        pytest.approx(want, abs=1e-12)
+
+
+def test_agg_mann_whitney_u_exact(adf):
+    """U statistic pinned by hand: group0=[1,2,3,4], group1=[5,100,2,2] →
+    rank-sum R1=15, U1=5."""
+    from byconity_spark.functions.registry import ch_agg
+    row = _agg1(adf, ch_agg("mannWhitneyUTest", F.col("x"), F.col("g")))
+    assert row["u_statistic"] == 5.0
+    assert 0.0 < row["p_value"] <= 1.0
+
+
+def test_agg_welch_t_exact_statistic(adf):
+    import statistics
+    import math
+    from byconity_spark.functions.registry import ch_agg
+    g0, g1 = [1.0, 2.0, 3.0, 4.0], [5.0, 100.0, 2.0, 2.0]
+    t = (statistics.mean(g0) - statistics.mean(g1)) / math.sqrt(
+        statistics.variance(g0) / 4 + statistics.variance(g1) / 4)
+    row = _agg1(adf, ch_agg("welchTTest", F.col("x"), F.col("g")))
+    assert row["t_statistic"] == pytest.approx(t, abs=1e-12)
+
+
+def test_agg_mapped_arrays(spark):
+    import pandas as pd
+    from byconity_spark.functions.registry import ch_agg
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": [["a", "b"], ["b"], ["a"]],
+        "v": [[1.0, 2.0], [3.0], [5.0]],
+    }))
+    row = _agg1(df, ch_agg("sumMappedArrays", F.col("k"), F.col("v")))
+    assert dict(zip(row["keys"], row["values"])) == {"a": 6.0, "b": 5.0}
+    row = _agg1(df, ch_agg("maxMappedArrays", F.col("k"), F.col("v")))
+    assert dict(zip(row["keys"], row["values"])) == {"a": 5.0, "b": 3.0}
+
+
+def test_agg_moving_sum_windowed(adf):
+    from byconity_spark.functions.registry import ch_agg
+    got = _agg1(adf, ch_agg("groupArrayMovingSum", F.col("x"), 3))
+    assert got == [1.0, 3.0, 5.0, 6.0, 7.0, 9.0, 12.0, 109.0]
