@@ -162,3 +162,89 @@ def dict_get_descendants(
     return joined.withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<long>"))
     ).drop("__p")
+
+
+# ---------------------------------------------------------------------------
+# Typed dictGet variants (FunctionsExternalDictionaries.cpp registers one
+# name per attribute type: dictGetString/dictGetInt8..dictGetUInt64/
+# dictGetFloat32/64/Date/DateTime/UUID/Decimal32..128, each with an
+# OrDefault twin, plus dictGetOrNull/dictHas).  They are all the SAME probe
+# as dict_get with a declared result cast — the per-type names exist so CH
+# can type the result without inspecting the dictionary layout; here the
+# cast IS the typing.
+# ---------------------------------------------------------------------------
+
+_DICT_GET_CASTS = {
+    "Int8": "tinyint", "Int16": "smallint", "Int32": "int", "Int64": "bigint",
+    "UInt8": "smallint", "UInt16": "int", "UInt32": "bigint", "UInt64": "bigint",
+    "Float32": "float", "Float64": "double", "String": "string",
+    "Date": "date", "DateTime": "timestamp", "UUID": "string",
+    "Decimal32": "decimal(9,4)", "Decimal64": "decimal(18,4)",
+    "Decimal128": "decimal(38,4)", "IPv4": "string", "IPv6": "string",
+}
+
+
+def dict_get_typed(
+    type_name: str,
+    df: DataFrame,
+    dictionary: DataFrame,
+    key_col: str,
+    attr_col: str,
+    default=None,
+    dict_key_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """dictGet{Type} / dictGet{Type}OrDefault dispatch — pass e.g.
+    ``type_name="Int64"`` for dictGetInt64.  ``default=None`` gives the
+    plain (NULL-on-miss) form; a non-None default gives the OrDefault form,
+    matching the reference's name pairs."""
+    spark_t = _DICT_GET_CASTS[type_name]
+    out = out_col or attr_col
+    got = dict_get(
+        df, dictionary, key_col,
+        {attr_col: default} if default is not None else [attr_col],
+        dict_key_col,
+    )
+    return got.withColumn(out, F.col(attr_col).cast(spark_t))
+
+
+def dict_get_or_null(
+    df: DataFrame,
+    dictionary: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    dict_key_col: str | None = None,
+) -> DataFrame:
+    """dictGetOrNull: identical to the plain dictGet probe — NULL on miss is
+    already this engine's base semantics (CH needs the separate name because
+    its plain dictGet returns the attribute's DEFAULT on miss)."""
+    return dict_get(df, dictionary, key_col, list(attr_cols), dict_key_col)
+
+
+def dict_has(
+    df: DataFrame,
+    dictionary: DataFrame,
+    key_col: str,
+    dict_key_col: str | None = None,
+    out_col: str = "has",
+) -> DataFrame:
+    """dictHas(key): broadcast semi-probe → 0/1."""
+    dict_key = dict_key_col or key_col
+    d = dictionary.select(F.col(dict_key).alias("__dk")).distinct()
+    joined = df.join(F.broadcast(d), df[key_col] == F.col("__dk"), "left")
+    return joined.withColumn(
+        out_col, F.col("__dk").isNotNull().cast("int")
+    ).drop("__dk")
+
+
+def dict_typed_names() -> dict[str, str]:
+    """Exact reference names covered by dict_get_typed/dict_get_or_null/
+    dict_has, for the parity inventory."""
+    names = {"dictGetOrNull": "dict_get_or_null", "dictHas": "dict_has",
+             "dictIsIn": "dict_is_in", "dictGetHierarchy": "dict_get_hierarchy",
+             "dictGetChildren": "dict_get_children",
+             "dictGetDescendants": "dict_get_descendants"}
+    for t in _DICT_GET_CASTS:
+        names[f"dictGet{t}"] = f"dict_get_typed({t!r}, ...)"
+        names[f"dictGet{t}OrDefault"] = f"dict_get_typed({t!r}, ..., default=)"
+    return names
