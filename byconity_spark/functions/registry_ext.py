@@ -1056,6 +1056,7 @@ def install(SCALAR: dict, AGG: dict) -> None:  # noqa: C901 (flat table)
 
     _install_batch2(SCALAR, AGG)
     _install_batch3(SCALAR, AGG)
+    _install_batch4(SCALAR, AGG)
 
 
 # --------------------------------------------------------------------------
@@ -1910,3 +1911,23 @@ def _install_batch3(SCALAR: dict, AGG: dict) -> None:
         "meanZTest": _mean_z_test,
         "rankCorr": _rank_corr,
     })
+
+
+def _install_batch4(SCALAR: dict, AGG: dict) -> None:
+    # uniqTheta set-operation scalar names (reference uniqTheta family):
+    # operate on theta states produced by udafs/sketches.theta_state.
+    def _lazy(fn_name):
+        def call(a, b):
+            from byconity_spark.udafs import sketches
+            return getattr(sketches, fn_name)(a, b)
+        return call
+
+    SCALAR.setdefault("uniqThetaUnion", _lazy("theta_union_col"))
+    SCALAR.setdefault("uniqThetaIntersect", _lazy("theta_intersect_col"))
+    SCALAR.setdefault("uniqThetaNot", _lazy("theta_not_col"))
+
+    def _theta_est(c):
+        from byconity_spark.udafs import sketches
+        return sketches.theta_set_estimate(c)
+
+    SCALAR.setdefault("uniqThetaSetEstimate", _theta_est)

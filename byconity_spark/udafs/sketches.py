@@ -327,3 +327,87 @@ def uniq_combined(
     return hashed.groupBy(*group_cols).applyInPandas(
         kernel, schema=f"{key_schema}, {out_col} long"
     )
+
+
+# ---------------------------------------------------- theta set algebra
+# uniqThetaUnion / uniqThetaIntersect / uniqThetaNot (reference
+# src/AggregateFunctions + src/Functions uniqTheta set operations over
+# DataSketches states).  KMV set algebra needs an EXPLICIT theta once an
+# intersection/difference shrinks the retained set, so these produce a
+# prefixed state: 8-byte little-endian float64 theta, then the sorted
+# uint64 retained hashes.  `theta_set_estimate` reads both formats (bare
+# KMV arrays from theta_state/theta_merge have implicit theta).
+
+_THETA_PREFIX_MAGIC = b"\x00THETA\x00\x01"
+
+
+def _theta_parse(state: bytes) -> tuple[float, np.ndarray]:
+    if state[:8] == _THETA_PREFIX_MAGIC:
+        th = float(np.frombuffer(state[8:16], dtype=np.float64)[0])
+        vals = np.frombuffer(state[16:], dtype=np.uint64)
+        return th, vals
+    vals = np.frombuffer(state, dtype=np.uint64)
+    th = 1.0 if len(vals) < THETA_K else float(vals[THETA_K - 1]) / _U64_SPAN
+    return th, vals
+
+
+def _theta_pack(theta: float, vals: np.ndarray) -> bytes:
+    return (_THETA_PREFIX_MAGIC
+            + np.float64(theta).tobytes()
+            + np.sort(vals.astype(np.uint64)).tobytes())
+
+
+def _theta_binop(a: bytes, b: bytes, op: str) -> bytes:
+    th_a, va = _theta_parse(a)
+    th_b, vb = _theta_parse(b)
+    th = min(th_a, th_b)
+    if th < 1.0:
+        # retained set = hashes strictly below theta (estimate = |set|/theta,
+        # the (k-1)/theta KMV estimator when theta is the k-th minimum)
+        cutoff = th * _U64_SPAN
+        va = va[va.astype(np.float64) < cutoff]
+        vb = vb[vb.astype(np.float64) < cutoff]
+    if op == "union":
+        vals = np.union1d(va, vb)
+        if len(vals) > THETA_K:
+            vals = np.sort(vals)[:THETA_K]
+            th = float(vals[-1]) / _U64_SPAN
+    elif op == "intersect":
+        vals = np.intersect1d(va, vb)
+    else:  # a_not_b
+        vals = np.setdiff1d(va, vb)
+    return _theta_pack(th, vals)
+
+
+def theta_union_col(a: Column, b: Column) -> Column:
+    @F.pandas_udf("binary")
+    def k(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series([_theta_binop(x, y, "union") for x, y in zip(sa, sb)])
+    return k(a, b)
+
+
+def theta_intersect_col(a: Column, b: Column) -> Column:
+    @F.pandas_udf("binary")
+    def k(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series([_theta_binop(x, y, "intersect") for x, y in zip(sa, sb)])
+    return k(a, b)
+
+
+def theta_not_col(a: Column, b: Column) -> Column:
+    @F.pandas_udf("binary")
+    def k(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series([_theta_binop(x, y, "a_not_b") for x, y in zip(sa, sb)])
+    return k(a, b)
+
+
+def theta_set_estimate(states: Column) -> Column:
+    """Distinct-count estimate for either state format: |retained| / theta
+    (exact count when theta == 1.0, i.e. nothing was discarded)."""
+    @F.pandas_udf("long")
+    def k(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            th, vals = _theta_parse(bytes(b))
+            out.append(int(round(len(vals) / th)) if th > 0 else 0)
+        return pd.Series(out)
+    return k(states)

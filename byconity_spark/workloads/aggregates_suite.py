@@ -1152,9 +1152,13 @@ def agg_moments_suite(spark: SparkSession, sf: str) -> DataFrame:
     "agg_parity_ext_suite",
     oracle="""
     WITH ev AS (
+      -- 4% deterministic sample: the rank-based columns (mwu/rankc) are
+      -- O(n^2) folds per group in the Column form; bounded-group inputs are
+      -- the documented contract (the scale path is the window-rank variant
+      -- in workloads/behavioral.py)
       SELECT event_type, value, ts, user_id,
              epoch(date_trunc('second', ts)) AS sec
-      FROM events
+      FROM events WHERE user_id % 25 = 7
     ),
     ranks AS (
       SELECT event_type, value, sec, user_id,
@@ -1217,9 +1221,13 @@ def agg_moments_suite(spark: SparkSession, sf: str) -> DataFrame:
 def agg_parity_ext_suite(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.functions.registry import ch_agg
 
-    ev = _t(spark, sf, "events").select(
-        "event_type", "value", "ts", "user_id",
-        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") % 25 == 7)  # bounded groups for the O(n^2) folds
+        .select(
+            "event_type", "value", "ts", "user_id",
+            F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+        )
     )
     v = F.col("value")
     return ev.groupBy("event_type").agg(
@@ -1242,4 +1250,50 @@ def agg_parity_ext_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(
             ch_agg("topK", 2, (F.col("user_id") % 3).cast("string")), "|"
         ).alias("top2"),
+    )
+
+
+# uniqTheta set algebra (reference uniqThetaUnion/Intersect/Not over
+# DataSketches states; udafs/sketches.py theta KMV states + explicit-theta
+# set ops).  Audiences are bounded to < THETA_K distinct members, where the
+# KMV retains every hash (theta = 1.0) and the set algebra is EXACT — so a
+# plain COUNT(DISTINCT ...) SQL oracle applies.
+@register(
+    "agg_theta_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id % 700 AS m FROM events
+               WHERE event_type = 'purchase'),
+         b AS (SELECT DISTINCT user_id % 700 AS m FROM events
+               WHERE event_type = 'click')
+    SELECT CAST((SELECT count(*) FROM (SELECT m FROM a UNION SELECT m FROM b))
+                AS BIGINT) AS u,
+           CAST((SELECT count(*) FROM (SELECT m FROM a INTERSECT SELECT m FROM b))
+                AS BIGINT) AS i,
+           CAST((SELECT count(*) FROM (SELECT m FROM a EXCEPT SELECT m FROM b))
+                AS BIGINT) AS d
+    """,
+)
+def agg_theta_setops(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.functions import ch
+    from byconity_spark.udafs.sketches import theta_state
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_type", (F.col("user_id") % 700).alias("m"))
+    states = theta_state(ev, ["event_type"], "m")
+    wide = (
+        states.filter(F.col("event_type") == "purchase")
+        .select(F.col("theta_state").alias("sa"))
+        .crossJoin(
+            states.filter(F.col("event_type") == "click")
+            .select(F.col("theta_state").alias("sb"))
+        )
+    )
+    return wide.select(
+        ch("uniqThetaSetEstimate",
+           ch("uniqThetaUnion", F.col("sa"), F.col("sb"))).alias("u"),
+        ch("uniqThetaSetEstimate",
+           ch("uniqThetaIntersect", F.col("sa"), F.col("sb"))).alias("i"),
+        ch("uniqThetaSetEstimate",
+           ch("uniqThetaNot", F.col("sa"), F.col("sb"))).alias("d"),
     )

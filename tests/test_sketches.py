@@ -129,3 +129,63 @@ def test_adaptive_histogram_invariants(spark):
     for r in out:
         assert r.n_bins <= 8
         assert abs(sum(float(x) for x in r.bin_weights.split("|")) - 1000) < 1e-6
+
+
+# ------------------------------------------- theta set algebra (round 6)
+def test_theta_set_algebra_exact_small(spark):
+    """Below THETA_K nothing is discarded (theta=1.0), so union/intersect/
+    not are EXACT set operations on the distinct hash sets."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from byconity_spark.udafs.sketches import (
+        theta_state, theta_union_col, theta_intersect_col, theta_not_col,
+        theta_set_estimate,
+    )
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a"] * 60 + ["b"] * 60,
+        "v": [f"x{i}" for i in range(60)] + [f"x{i}" for i in range(40, 100)],
+    }))
+    states = theta_state(df, ["g"], "v")
+    wide = (states.filter(F.col("g") == "a").select(F.col("theta_state").alias("sa"))
+            .crossJoin(states.filter(F.col("g") == "b")
+                       .select(F.col("theta_state").alias("sb"))))
+    row = wide.select(
+        theta_set_estimate(theta_union_col(F.col("sa"), F.col("sb"))).alias("u"),
+        theta_set_estimate(theta_intersect_col(F.col("sa"), F.col("sb"))).alias("i"),
+        theta_set_estimate(theta_not_col(F.col("sa"), F.col("sb"))).alias("d"),
+    ).collect()[0]
+    assert row["u"] == 100   # |A ∪ B|
+    assert row["i"] == 20    # |{x40..x59}|
+    assert row["d"] == 40    # |A \ B|
+
+
+def test_theta_set_algebra_estimates_at_scale(spark):
+    """Above THETA_K the ops carry an explicit theta; estimates stay within
+    the documented ~1/sqrt(k) band."""
+    from pyspark.sql import functions as F
+    from byconity_spark.udafs.sketches import (
+        theta_state, theta_union_col, theta_intersect_col, theta_set_estimate,
+    )
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") < n // 2, "a").otherwise("b").alias("g"),
+        # 25% overlap between the two halves
+        F.concat(F.lit("v"), (F.col("id") % int(n * 0.625)).cast("string")).alias("v"),
+    )
+    states = theta_state(df, ["g"], "v")
+    wide = (states.filter(F.col("g") == "a").select(F.col("theta_state").alias("sa"))
+            .crossJoin(states.filter(F.col("g") == "b")
+                       .select(F.col("theta_state").alias("sb"))))
+    row = wide.select(
+        theta_set_estimate(theta_union_col(F.col("sa"), F.col("sb"))).alias("u"),
+        theta_set_estimate(theta_intersect_col(F.col("sa"), F.col("sb"))).alias("i"),
+    ).collect()[0]
+    true_union = int(n * 0.625)
+    assert abs(row["u"] - true_union) / true_union < 0.15
+    assert row["i"] > 0
+
+
+def test_uniq_theta_names_registered():
+    from byconity_spark.functions.registry import registered_names
+    names = set(registered_names()["scalar"])
+    assert {"uniqThetaUnion", "uniqThetaIntersect", "uniqThetaNot"} <= names
