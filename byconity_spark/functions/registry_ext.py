@@ -468,11 +468,12 @@ def install(SCALAR: dict, AGG: dict) -> None:  # noqa: C901 (flat table)
         ),
         "date_format": lambda c, fmt: R.SCALAR["DATE_FORMAT_MYSQL"](c, fmt),
         "yearweek": lambda c, mode=0: (
-            F.date_format(_lit(c), "YYYY").cast("int") * 100 + F.weekofyear(_lit(c))
+            F.date_part(F.lit("YEAROFWEEK"), _lit(c)).cast("int") * 100
+            + F.weekofyear(_lit(c))
         ).cast("int"),  # ISO week-year basis (CH default mode deviates ±1 at year edges, documented)
         "toWeekOfYear": F.weekofyear,
         "toWeekOfWeekYear": F.weekofyear,
-        "toWeekYear": lambda c: F.date_format(_lit(c), "YYYY").cast("int"),
+        "toWeekYear": lambda c: F.date_part(F.lit("YEAROFWEEK"), _lit(c)).cast("int"),
         # MySQL EXTRACT composite units (ddHH, ddHHmm, ...)
         "toDayHour": lambda c: (F.dayofmonth(c) * 100 + F.hour(c)).cast("long"),
         "toDayMinute": lambda c: (

@@ -621,3 +621,56 @@ def chsql_sequence_match_count(spark: SparkSession, sf: str) -> DataFrame:
         FROM events GROUP BY user_id
         """,
     )
+
+
+@register(
+    "chsql_batch5_suite",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) + 719528 AS BIGINT) AS tdays,
+           printf('%02d:%02d:%02d', (o_orderkey % 90000) // 3600,
+                  ((o_orderkey % 90000) // 60) % 60,
+                  (o_orderkey % 90000) % 60)                            AS s2t,
+           CAST(CASE WHEN o_orderpriority < '3-MEDIUM' THEN -1
+                     WHEN o_orderpriority > '3-MEDIUM' THEN 1
+                     ELSE 0 END AS INT)                                 AS scmp,
+           CAST(CASE WHEN o_orderkey % 4 > 2 THEN 1
+                     WHEN o_orderkey % 4 < 2 THEN 0
+                     WHEN o_orderkey % 10 > 5 THEN 1
+                     WHEN o_orderkey % 10 < 5 THEN 0
+                     WHEN o_orderkey % 3 > 1 THEN 1 ELSE 0 END AS INT)  AS vcmp,
+           round(sqrt((o_totalprice / 1000.0) * (o_totalprice / 1000.0)
+                      + 9.0), 4)                                        AS l2,
+           CAST(epoch_ms(o_orderdate) AS BIGINT)                        AS unix_ms,
+           printf('%.2f', o_totalprice)                                 AS decs,
+           CAST(CASE WHEN regexp_matches(o_orderpriority,
+                '(^|[^A-Za-z0-9])HIGH($|[^A-Za-z0-9])') THEN 1 ELSE 0 END
+                AS INT)                                                 AS tok
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def chsql_batch5_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-6 frontend batch 5 through ch_sql: MySQL date helpers
+    (TO_DAYS/SEC_TO_TIME), STRCMP, numeric versionCompare, vector L2Norm,
+    toUnixTimestamp64Milli, toDecimalString, hasToken (ASCII-non-alnum
+    boundaries, matching HasTokenImpl.h)."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT o_orderkey AS okey,
+               TO_DAYS(toDate(o_orderdate)) AS tdays,
+               SEC_TO_TIME(o_orderkey % 90000) AS s2t,
+               STRCMP(o_orderpriority, '3-MEDIUM') AS scmp,
+               versionCompare(concat(toString(o_orderkey % 4), '.',
+                                     toString(o_orderkey % 10), '.',
+                                     toString(o_orderkey % 3)),
+                              '2.5.1', '>') AS vcmp,
+               round(L2Norm([o_totalprice / 1000.0, 3.0]), 4) AS l2,
+               toUnixTimestamp64Milli(toDateTime(o_orderdate)) AS unix_ms,
+               toDecimalString(o_totalprice, 2) AS decs,
+               hasToken(o_orderpriority, 'HIGH') AS tok
+        FROM orders WHERE o_orderkey % 11 = 0
+        """,
+    )

@@ -829,3 +829,68 @@ def test_round5_compat_rules_batch2(spark):
     assert got.cs == [1.0, 3.0, 6.0]
     assert got.bl == "2,16,32"
     assert got.u == 2
+
+
+# ---------------------------------------------------------------- batch 5
+import pytest as _pt
+
+_BATCH5 = [
+    ("SELECT TO_DAYS(toDate('1970-01-02')) AS v", 719529),
+    ("SELECT CAST(FROM_DAYS(719529) AS STRING) AS v", "1970-01-02"),
+    ("SELECT SEC_TO_TIME(3661) AS v", "01:01:01"),
+    ("SELECT TIME_TO_SEC('01:01:01') AS v", 3661),
+    ("SELECT TIME_TO_SEC(toDateTime('2024-03-15 14:30:45')) AS v", 52245),
+    ("SELECT YEARWEEK(toDate('2024-03-15')) AS v", 202411),
+    ("SELECT STRCMP('a','b') AS v", -1),
+    ("SELECT MAKE_SET(5,'x','y','z') AS v", "x,z"),
+    ("SELECT FROM_BASE64(TO_BASE64('hi')) AS v", "hi"),
+    ("SELECT INET_ATON('1.2.3.4') AS v", 16909060),
+    ("SELECT INET_NTOA(16909060) AS v", "1.2.3.4"),
+    ("SELECT versionCompare('1.2.10','1.2.9','>') AS v", 1),
+    ("SELECT javaHash('hello world') AS v", 1794106052),
+    ("SELECT L2Norm([3.0,4.0]) AS v", 5.0),
+    ("SELECT L1Distance([3.0,4.0],[1.0,2.0]) AS v", 4.0),
+    ("SELECT dotProduct([1.0,2.0],[3.0,4.0]) AS v", 11.0),
+    ("SELECT CAST(normalizeL2([3.0,4.0]) AS STRING) AS v", "[0.6, 0.8]"),
+    ("SELECT tupleHammingDistance([1,2,3],[1,5,3]) AS v", 1),
+    ("SELECT hasToken('the quick fox', 'quick') AS v", 1),
+    ("SELECT hasToken('the quick fox', 'qui') AS v", 0),
+    ("SELECT multiMatchAnyIndex('abc', ['x','b.']) AS v", 2),
+    ("SELECT CAST(multiMatchAllIndices('abc', ['a','x','b.']) AS STRING) AS v",
+     "[1, 3]"),
+    ("SELECT CAST(splitByWhitespace(' a  b ') AS STRING) AS v", "[a, b]"),
+    ("SELECT CAST(arrayFill(x -> x > 0, [1,0,5,0]) AS STRING) AS v",
+     "[1, 1, 5, 5]"),
+    ("SELECT CAST(arraySplit(x -> x > 3, [1,2,4,5,1]) AS STRING) AS v",
+     "[[1, 2], [4], [5, 1]]"),
+    ("SELECT CAST(arrayReverseSplit(x -> x > 3, [1,4,2,5,1]) AS STRING) AS v",
+     "[[1, 4], [2, 5], [1]]"),
+    ("SELECT toUnixTimestamp64Milli(toDateTime('2024-03-15 14:30:45')) AS v",
+     1710513045000),
+    ("SELECT CAST(fromUnixTimestamp64Nano(1710513045123456789) AS STRING) AS v",
+     "2024-03-15 14:30:45.123456"),
+    ("SELECT CAST(parseDateTimeBestEffortUS('03/15/2024') AS STRING) AS v",
+     "2024-03-15 00:00:00"),
+    ("SELECT toDecimalString(3.14159, 2) AS v", "3.14"),
+    ("SELECT deltaSumTimestamp(number % 5, number) AS v FROM numbers(10)", 8.0),
+    ("SELECT medianExactLow(number) AS v FROM numbers(10)", 4),
+    ("SELECT medianExactHigh(number) AS v FROM numbers(10)", 5),
+    ("SELECT GROUP_CONCAT(number) AS v FROM numbers(3)", "0,1,2"),
+    # MySQL STD/VARIANCE are POPULATION forms — Spark alone would resolve
+    # these names to the sample forms (silent wrong answers without rules)
+    ("SELECT round(STD(number), 4) AS v FROM numbers(10)", 2.8723),
+    ("SELECT round(VARIANCE(number), 4) AS v FROM numbers(10)", 8.25),
+    # topK ranks by FREQUENCY (was: sorted-distinct slice)
+    ("SELECT CAST(topK(1)(CASE WHEN number < 7 THEN 9 ELSE number END) AS STRING)"
+     " AS v FROM numbers(10)", "[9]"),
+]
+
+
+@_pt.mark.parametrize("sql,want", _BATCH5, ids=[q[0][7:40] for q in _BATCH5])
+def test_frontend_batch5(spark, sql, want):
+    from byconity_spark.frontend.sql import ch_sql
+    got = ch_sql(spark, sql).collect()[0][0]
+    if isinstance(want, float):
+        assert got == _pt.approx(want, abs=1e-6)
+    else:
+        assert got == want
