@@ -2408,3 +2408,89 @@ def funnel_rep3(
         F.percentile("iv", 0.5).alias("q50"),
         F.percentile("iv", 0.75).alias("q75"),
     )
+
+
+def path_split_reverse(
+    events: DataFrame,
+    gap_us: int,
+    max_session_events: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """pathSplitR (reference AggregateFunctionPathSplit.cpp template
+    <reversed=true>; PathSplitData::sort(reverse) orders time DESC): the
+    stream is scanned newest-to-oldest, sessions split where the BACKWARD
+    step exceeds ``gap_us``, and each session's path lists event types in
+    reverse-chronological order.  Same pure-JVM window+sort shape as
+    path_split."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    brk = F.when(
+        F.unix_micros(F.lag(ts_col).over(w)) - F.unix_micros(F.col(ts_col)) > gap_us,
+        1,
+    ).otherwise(0)
+    sess = events.withColumn(
+        "session_id",
+        (F.lit(1) + F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .cast("int"),
+    )
+    ordered_path = F.transform(
+        F.reverse(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col(ts_col)).alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            )
+        ),
+        lambda s: s["e"],
+    )
+    if max_session_events is not None:
+        ordered_path = F.slice(ordered_path, 1, max_session_events)
+    return sess.groupBy(user_col, "session_id").agg(
+        ordered_path.alias("path"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def session_split_r2(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    param_col: str = "event_type",
+) -> DataFrame:
+    """sessionSplitR2 (reference AggregateFunctionSessionSplit.h:234-275):
+    per-session (duration, depth, entry_param, exit_param) tuples — the
+    type=2 flavor (entry from the FIRST event, exit from the LAST).  The
+    reference's page-view event taxonomy (BeActive/...) reduces to plain
+    sessionization over this engine's event rows.  Pure JVM: lag/cumsum
+    sessionize + min_by/max_by endpoints."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    brk = F.when(
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us,
+        1,
+    ).otherwise(0)
+    sess = events.withColumn(
+        "session_id",
+        (F.lit(1) + F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .cast("int"),
+    )
+    key = F.struct(F.unix_micros(F.col(ts_col)).alias("t"), F.col(id_col).alias("i"))
+    return sess.groupBy(user_col, "session_id").agg(
+        (
+            (F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col))))
+            / 1_000_000
+        ).cast("long").alias("duration_sec"),
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.min_by(F.col(param_col), key).alias("entry_param"),
+        F.max_by(F.col(param_col), key).alias("exit_param"),
+    )

@@ -587,3 +587,89 @@ def empty_bitmap() -> Column:
     """emptyBitmap()."""
     blob = _encode(np.array([], dtype=np.int64))
     return F.lit(bytearray(blob)).cast("binary")
+
+
+# ---------------------------------------------------------------------------
+# BitMapColumn* logical folds (reference
+# AggregateFunctionBitmapLogic.h/.cpp: bitMapColumnOr/And/Xor fold a
+# BitMap64 COLUMN with the op; bitMapColumnCardinality = cardinality of the
+# OR-fold; bitMapColumnHas = whether ANY bitmap in the group contains the
+# key).  Same grouped applyInPandas shape as group_bitmap_merge — only the
+# compressed states shuffle.
+# ---------------------------------------------------------------------------
+
+def bitmap_column_fold(
+    df: DataFrame, group_cols: list[str], state_col: str, op: str,
+) -> DataFrame:
+    """BitMapColumnAnd/Or/Xor(state_col) per group → one folded state.
+    ``op`` ∈ {"and", "or", "xor"}."""
+    reducers = {
+        "or": lambda arrs: np.unique(np.concatenate(arrs)),
+        "and": lambda arrs: __import__("functools").reduce(np.intersect1d, arrs),
+        "xor": lambda arrs: __import__("functools").reduce(np.setxor1d, arrs),
+    }
+    reduce_fn = reducers[op]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        arrs = [_decode(b) for b in pdf[state_col]]
+        merged = reduce_fn(arrs) if arrs else np.empty(0, dtype="<i8")
+        keys[state_col] = [_encode(np.asarray(merged))]
+        return pd.DataFrame(keys)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return (
+        df.select(*group_cols, state_col)
+        .groupBy(*group_cols)
+        .applyInPandas(kernel, schema=f"{key_schema}, {state_col} binary")
+    )
+
+
+def bitmap_column_cardinality(
+    df: DataFrame, group_cols: list[str], state_col: str = "bm",
+    out_col: str = "cardinality",
+) -> DataFrame:
+    """BitMapColumnCardinality: cardinality of the OR-fold per group."""
+    folded = bitmap_column_fold(df, group_cols, state_col, "or")
+    return folded.select(
+        *group_cols, bitmap_cardinality(F.col(state_col)).alias(out_col)
+    )
+
+
+def bitmap_column_has(
+    df: DataFrame, group_cols: list[str], state_col: str, key,
+    out_col: str = "has",
+) -> DataFrame:
+    """BitMapColumnHas(bitmap, key): 1 if ANY bitmap in the group contains
+    the key — short-circuit OR over per-row contains."""
+    per_row = df.select(
+        *group_cols, bitmap_contains(F.col(state_col), key).alias("__c")
+    )
+    return per_row.groupBy(*group_cols).agg(
+        F.max(F.col("__c").cast("int")).alias(out_col)
+    )
+
+
+def bitmap_logic_names() -> dict[str, str]:
+    """Exact reference names covered by the folds above plus the existing
+    kernels, for the parity inventory."""
+    return {
+        "BitMapColumnOr": "bitmap_column_fold(op='or')",
+        "BitMapColumnAnd": "bitmap_column_fold(op='and')",
+        "BitMapColumnXor": "bitmap_column_fold(op='xor')",
+        "BitMapColumnCardinality": "bitmap_column_cardinality",
+        "BitMapColumnHas": "bitmap_column_has",
+        "BitMapFromColumn": "group_bitmap",
+        "BitmapCount": "bitmap_expression(count=True)",
+        "BitmapExtract": "bitmap_expression(count=False)",
+        "BitMapJoin": "bitmap_join",
+        "BitMapJoinAndCard": "bitmap_join(cardinality_only=True)",
+        "BitMapMaxLevel": "bitmap_max_level",
+        "BitmapColumnDiff": "bitmap_column_diff",
+        "groupBitmap": "group_bitmap + bitmap_cardinality",
+        "groupBitmapAnd": "bitmap_column_fold(op='and') + cardinality",
+        "groupBitmapOr": "bitmap_column_fold(op='or') + cardinality",
+        "groupBitmapXor": "bitmap_column_fold(op='xor') + cardinality",
+    }

@@ -2058,3 +2058,85 @@ def beh_ema_by_type(spark: SparkSession, sf: str) -> DataFrame:
         group_cols=["event_type"],
     )
     return out.withColumn("ema", F.round("ema", 6))
+
+
+# --------------------------------------------------------------------------
+# pathSplitR / sessionSplitR2 (reference AggregateFunctionPathSplit.cpp
+# reversed template, AggregateFunctionSessionSplit.h:234): reverse-scan
+# path sessions + (duration, depth, entry, exit) session tuples.
+# --------------------------------------------------------------------------
+@register(
+    "beh_path_split_r",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS prev_t
+      FROM events WHERE user_id % 20 = 3
+    ),
+    sess AS (
+      SELECT *, 1 + sum(CASE WHEN prev_t IS NOT NULL
+                              AND epoch_us(prev_t) - epoch_us(t) > 1800000000
+                             THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id
+                      ORDER BY t DESC, event_id DESC) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '|' ORDER BY t DESC, event_id DESC) AS path
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def beh_path_split_r(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import path_split_reverse
+
+    ev = _ev(spark, sf).filter(F.col("user_id") % 20 == 3)
+    out = path_split_reverse(ev, gap_us=1_800_000_000)
+    return out.select(
+        "user_id", "session_id", "n_events",
+        F.array_join(F.col("path"), "|").alias("path"),
+    )
+
+
+@register(
+    "beh_session_split_r2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_t
+      FROM events WHERE user_id % 20 = 11
+    ),
+    sess AS (
+      SELECT *, 1 + sum(CASE WHEN prev_t IS NOT NULL
+                              AND epoch_us(t) - epoch_us(prev_t) > 1800000000
+                             THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY t, event_id) AS session_id
+      FROM ordered
+    ),
+    tagged AS (
+      SELECT *, first_value(event_type) OVER
+               (PARTITION BY user_id, session_id ORDER BY t, event_id) AS entry_param,
+             last_value(event_type) OVER
+               (PARTITION BY user_id, session_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS exit_param
+      FROM sess
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           CAST((max(epoch_us(t)) - min(epoch_us(t))) // 1000000 AS BIGINT)
+             AS duration_sec,
+           CAST(count(*) AS BIGINT) AS depth,
+           any_value(entry_param) AS entry_param,
+           any_value(exit_param) AS exit_param
+    FROM tagged GROUP BY user_id, session_id
+    """,
+)
+def beh_session_split_r2(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import session_split_r2
+
+    ev = _ev(spark, sf).filter(F.col("user_id") % 20 == 11)
+    return session_split_r2(ev, gap_us=1_800_000_000)

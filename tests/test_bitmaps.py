@@ -206,3 +206,34 @@ def test_bitmap_scalar_breadth(spark):
     assert row.tr == [5, 7, 9, 100, 300]
     assert row.sl == [3, 5]
     assert row.ec == 0
+
+
+# ------------------------------------------ BitMapColumn* folds (round 6)
+def test_bitmap_column_folds(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from byconity_spark.udafs.bitmaps import (
+        group_bitmap, bitmap_column_fold, bitmap_column_cardinality,
+        bitmap_column_has, bitmap_to_array,
+    )
+    rows = pd.DataFrame({
+        "g": ["a"] * 3 + ["b"] * 3,
+        "tag": ["t1", "t1", "t2", "t1", "t2", "t2"],
+        "m": [1, 2, 2, 10, 10, 11],
+    })
+    df = spark.createDataFrame(rows)
+    states = group_bitmap(df, ["g", "tag"], "m")  # (a,t1)={1,2} (a,t2)={2} ...
+    ored = bitmap_column_fold(states, ["g"], "bm", "or")
+    anded = bitmap_column_fold(states, ["g"], "bm", "and")
+    got_or = {r["g"]: sorted(r["arr"]) for r in
+              ored.select("g", bitmap_to_array(F.col("bm")).alias("arr")).collect()}
+    got_and = {r["g"]: sorted(r["arr"]) for r in
+               anded.select("g", bitmap_to_array(F.col("bm")).alias("arr")).collect()}
+    assert got_or == {"a": [1, 2], "b": [10, 11]}
+    assert got_and == {"a": [2], "b": [10]}
+    card = {r["g"]: r["cardinality"]
+            for r in bitmap_column_cardinality(states, ["g"]).collect()}
+    assert card == {"a": 2, "b": 2}
+    has = {r["g"]: r["has"]
+           for r in bitmap_column_has(states, ["g"], "bm", 1).collect()}
+    assert has == {"a": 1, "b": 0}
