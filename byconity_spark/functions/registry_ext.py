@@ -1058,6 +1058,7 @@ def install(SCALAR: dict, AGG: dict) -> None:  # noqa: C901 (flat table)
     _install_batch2(SCALAR, AGG)
     _install_batch3(SCALAR, AGG)
     _install_batch4(SCALAR, AGG)
+    _install_batch5(SCALAR, AGG)
 
 
 # --------------------------------------------------------------------------
@@ -1932,3 +1933,28 @@ def _install_batch4(SCALAR: dict, AGG: dict) -> None:
         return sketches.theta_set_estimate(c)
 
     SCALAR.setdefault("uniqThetaSetEstimate", _theta_est)
+
+
+def _install_batch5(SCALAR: dict, AGG: dict) -> None:
+    # groupArraySample(k[, seed])(x) (AggregateFunctionGroupArraySample.h):
+    # k-sized sample of the group.  Deterministic here: order by
+    # xxhash64(value, seed) and slice — a valid sample draw that is also
+    # shuffle-reproducible (the reference's RNG sample is not).
+    def _group_array_sample(k, c, seed=0):
+        pairs = F.collect_list(F.struct(
+            F.xxhash64(_lit(c), F.lit(int(seed))).alias("h"), _lit(c).alias("v")
+        ))
+        return F.transform(
+            F.slice(F.array_sort(pairs), 1, int(k)), lambda s: s["v"]
+        )
+
+    AGG.setdefault("groupArraySample", _group_array_sample)
+    # histogram(bins)(x) (AggregateFunctionHistogram.h): adaptive
+    # bins-by-merging — mapped to Spark's histogram_numeric (same adaptive
+    # family, different merge rule; documented stand-in, mirrors the SQL
+    # frontend's parametric rule)
+    AGG.setdefault(
+        "histogram",
+        lambda bins, c: F.call_function("histogram_numeric", _lit(c),
+                                        F.lit(int(bins))),
+    )

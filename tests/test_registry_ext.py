@@ -403,3 +403,39 @@ def test_agg_moving_sum_windowed(adf):
     from byconity_spark.functions.registry import ch_agg
     got = _agg1(adf, ch_agg("groupArrayMovingSum", F.col("x"), 3))
     assert got == [1.0, 3.0, 5.0, 6.0, 7.0, 9.0, 12.0, 109.0]
+
+
+# ------------------------------------------------------- name inventory
+def test_name_inventory_pointers_resolve():
+    """Every operator-surface pointer of form module:function must resolve
+    to a real attribute — the inventory is a parity index, not a wish list."""
+    import importlib
+    from byconity_spark.functions.name_inventory import inventory
+
+    inv = inventory()
+    assert len(inv) > 1200
+    checked = 0
+    for name, (surface, ptr) in inv.items():
+        if surface != "operator" or ":" not in ptr:
+            continue
+        mod_path, _, fn = ptr.partition(":")
+        fn = fn.split(" ")[0].split("(")[0]
+        if not fn.isidentifier():
+            continue
+        mod = importlib.import_module(f"byconity_spark.{mod_path}")
+        assert hasattr(mod, fn), f"{name} -> {ptr}"
+        checked += 1
+    assert checked >= 60
+
+
+def test_group_array_sample_and_histogram(spark):
+    from byconity_spark.functions.registry import ch_agg
+    d = spark.range(100).select((F.col("id") % 10).alias("x"))
+    samp = d.agg(ch_agg("groupArraySample", 5, F.col("x")).alias("s")) \
+        .collect()[0][0]
+    assert len(samp) == 5
+    samp2 = d.agg(ch_agg("groupArraySample", 5, F.col("x")).alias("s")) \
+        .collect()[0][0]
+    assert samp == samp2  # deterministic
+    hist = d.agg(ch_agg("histogram", 4, F.col("x")).alias("h")).collect()[0][0]
+    assert len(hist) == 4
