@@ -1059,6 +1059,7 @@ def install(SCALAR: dict, AGG: dict) -> None:  # noqa: C901 (flat table)
     _install_batch3(SCALAR, AGG)
     _install_batch4(SCALAR, AGG)
     _install_batch5(SCALAR, AGG)
+    _install_batch6(SCALAR, AGG)
 
 
 # --------------------------------------------------------------------------
@@ -1957,4 +1958,49 @@ def _install_batch5(SCALAR: dict, AGG: dict) -> None:
         "histogram",
         lambda bins, c: F.call_function("histogram_numeric", _lit(c),
                                         F.lit(int(bins))),
+    )
+
+
+def _spark_partition(value, split_number) -> "Column":
+    """sparkpartition(x, n) (reference sparkpartition.cpp): bucket id =
+    abs(HiveIntHash::intHash64(x) % n), where intHash64 is the fmix64-style
+    mix (k0=0xff51afd7ed558ccd, k1=0xc4ceb9fe1a85ec53) computed in
+    UNBOUNDED BigInteger precision — the multiplies do NOT wrap to 64 bits
+    (hiveIntHash.cpp), so the standard fmix64 is NOT equivalent.  Exact
+    python-int replication in an Arrow kernel."""
+    n = int(split_number)
+    K0 = 18397679294719823053
+    K1 = 14181476777654086739
+
+    @F.pandas_udf("long")
+    def k(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            x = int(v)
+            x ^= x >> 33
+            x *= K0
+            x ^= x >> 33
+            x *= K1
+            x ^= x >> 33
+            out.append(abs(x % n) if n else 0)
+        return pd.Series(out, dtype="object")
+
+    return k(_lit(value).cast("long"))
+
+
+def _install_batch6(SCALAR: dict, AGG: dict) -> None:
+    from byconity_spark.functions import registry as R
+
+    SCALAR.setdefault("sparkpartition", _spark_partition)
+    # dtspartition/dmpPartition (dtspartition.cpp, dtsCityHash): city-hash
+    # bucket ids — xxhash64-backed stand-ins, flagged value-divergent
+    SCALAR.setdefault("dtspartition", lambda v, n: F.pmod(
+        F.xxhash64(_lit(v)), F.lit(int(n))
+    ))
+    SCALAR.setdefault("dmpPartition", SCALAR["dtspartition"])
+    R.VALUE_DIVERGENT_HASHES = frozenset(
+        set(R.VALUE_DIVERGENT_HASHES) | {"dtspartition", "dmpPartition"}
     )

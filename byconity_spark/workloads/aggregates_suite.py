@@ -1152,13 +1152,13 @@ def agg_moments_suite(spark: SparkSession, sf: str) -> DataFrame:
     "agg_parity_ext_suite",
     oracle="""
     WITH ev AS (
-      -- 4% deterministic sample: the rank-based columns (mwu/rankc) are
+      -- ~2% deterministic sample (odd modulus keeps user parity mixed): the rank-based columns (mwu/rankc) are
       -- O(n^2) folds per group in the Column form; bounded-group inputs are
       -- the documented contract (the scale path is the window-rank variant
       -- in workloads/behavioral.py)
       SELECT event_type, value, ts, user_id,
              epoch(date_trunc('second', ts)) AS sec
-      FROM events WHERE user_id % 25 = 7
+      FROM events WHERE user_id % 49 = 7
     ),
     ranks AS (
       SELECT event_type, value, sec, user_id,
@@ -1223,7 +1223,7 @@ def agg_parity_ext_suite(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = (
         _t(spark, sf, "events")
-        .filter(F.col("user_id") % 25 == 7)  # bounded groups for the O(n^2) folds
+        .filter(F.col("user_id") % 49 == 7)  # bounded groups for the O(n^2) folds
         .select(
             "event_type", "value", "ts", "user_id",
             F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),

@@ -439,3 +439,23 @@ def test_group_array_sample_and_histogram(spark):
     assert samp == samp2  # deterministic
     hist = d.agg(ch_agg("histogram", 4, F.col("x")).alias("h")).collect()[0][0]
     assert len(hist) == 4
+
+
+def test_sparkpartition_exact_biginteger_semantics(spark):
+    """Replicates hiveIntHash.cpp's UNBOUNDED BigInteger mix by hand for a
+    few values — the multiplies must NOT wrap to 64 bits."""
+    K0, K1 = 18397679294719823053, 14181476777654086739
+
+    def ref(x, n):
+        x ^= x >> 33
+        x *= K0
+        x ^= x >> 33
+        x *= K1
+        x ^= x >> 33
+        return abs(x % n)
+
+    d = spark.createDataFrame([(1,), (123456789,), (2**40 + 7,)], "v long")
+    got = [r[0] for r in d.select(ch("sparkpartition", F.col("v"), 32)
+                                  .alias("b")).collect()]
+    assert got == [ref(1, 32), ref(123456789, 32), ref(2**40 + 7, 32)]
+    assert all(0 <= b < 32 for b in got)
