@@ -1060,6 +1060,7 @@ def install(SCALAR: dict, AGG: dict) -> None:  # noqa: C901 (flat table)
     _install_batch4(SCALAR, AGG)
     _install_batch5(SCALAR, AGG)
     _install_batch6(SCALAR, AGG)
+    _install_batch7(SCALAR, AGG)
 
 
 # --------------------------------------------------------------------------
@@ -2004,3 +2005,42 @@ def _install_batch6(SCALAR: dict, AGG: dict) -> None:
     R.VALUE_DIVERGENT_HASHES = frozenset(
         set(R.VALUE_DIVERGENT_HASHES) | {"dtspartition", "dmpPartition"}
     )
+
+
+def _install_batch7(SCALAR: dict, AGG: dict) -> None:
+    from byconity_spark.functions import registry as R
+
+    _MJD_EPOCH = "1858-11-17"  # Modified Julian Day 0
+    add = SCALAR.setdefault
+    add("visitParamExtractUInt", lambda c, key: F.get_json_object(
+        _lit(c), f"$.{key}"
+    ).try_cast("bigint"))
+    add("toModifiedJulianDayOrNull", lambda c: F.datediff(
+        _lit(c).try_cast("date"), F.lit(_MJD_EPOCH).cast("date")
+    ).cast("long"))
+    add("fromModifiedJulianDay", lambda n: F.date_add(
+        F.lit(_MJD_EPOCH).cast("date"), _as_long(n).cast("int")
+    ))
+    add("fromModifiedJulianDayOrNull", lambda n: F.date_add(
+        F.lit(_MJD_EPOCH).cast("date"),
+        _lit(n).try_cast("long").cast("int"),
+    ))
+    # multiplyDecimal/divideDecimal(a, b[, result_scale])
+    # (FunctionsDecimalArithmetics.h): explicit result scale (default 0 for
+    # multiply per the reference; keep the operand scale when omitted here
+    # — documented: Spark decimals carry their own scale inference)
+    add("multiplyDecimal", lambda a, b, scale=None: (
+        (_lit(a) * _lit(b)).cast(f"decimal(38,{int(scale)})")
+        if scale is not None else _lit(a) * _lit(b)
+    ))
+    # isDecimalOverflow(x, precision): |x| needs more than `precision`
+    # digits (FunctionsDecimalArithmetics isDecimalOverflow) — digit count
+    # via the decimal's string form (exact, no double comparison)
+    add("isDecimalOverflow", lambda x, precision=38: (
+        F.length(F.abs(_lit(x).cast("decimal(38,0)")).cast("string"))
+        > int(precision)
+    ).cast("int"))
+    # subBitmapStartsFromOne: subBitmap with CH's 1-based offset form
+    if "subBitmap" in SCALAR:
+        add("subBitmapStartsFromOne",
+            lambda bm, o, l: SCALAR["subBitmap"](bm, int(o) - 1, l))

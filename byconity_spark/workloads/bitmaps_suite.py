@@ -247,3 +247,45 @@ def bitmap_column_diff_daily(spark: SparkSession, sf: str) -> DataFrame:
     )
     states = group_bitmap(ev, ["day"], "user_id")
     return bitmap_column_diff(states, "day", step=1, direction="forward")
+
+
+# --------------------------------------------------------------------------
+# BitMapColumn* logical folds (reference AggregateFunctionBitmapLogic.h:
+# bitMapColumnAnd/Or/Xor/Cardinality): per-type user bitmaps AND/OR/XOR
+# folded across all types — users in EVERY type, ANY type, an ODD number of
+# types.  All three have exact COUNT-DISTINCT-style SQL oracles.
+# --------------------------------------------------------------------------
+@register(
+    "bitmap_column_logic",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+    ),
+    n_all AS (SELECT count(DISTINCT event_type) AS t FROM events)
+    SELECT CAST((SELECT count(*) FROM per_user, n_all
+                 WHERE n_types = t) AS BIGINT)            AS in_all,
+           CAST((SELECT count(*) FROM per_user) AS BIGINT) AS in_any,
+           CAST((SELECT count(*) FROM per_user
+                 WHERE n_types % 2 = 1) AS BIGINT)        AS in_odd
+    """,
+)
+def bitmap_column_logic(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.bitmaps import (
+        bitmap_cardinality, bitmap_column_fold, group_bitmap,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    states = group_bitmap(ev, ["event_type"], "user_id").withColumn(
+        "g", F.lit(1)
+    )
+
+    def card(op: str, name: str) -> DataFrame:
+        folded = bitmap_column_fold(states, ["g"], "bm", op)
+        return folded.select(bitmap_cardinality(F.col("bm")).alias(name))
+
+    return (
+        card("and", "in_all")
+        .crossJoin(card("or", "in_any"))
+        .crossJoin(card("xor", "in_odd"))
+    )
