@@ -345,3 +345,82 @@ def stream_topk_trending(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("hour", "event_type", "n", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark late-data DROP proof (reference: streaming ingestion discards
+# events older than the consumer's high-water mark; Spark analogue:
+# withWatermark + append-mode windowed aggregation).  TWO sequential
+# checkpointed availableNow runs against the same parquet sink (the
+# exactly-once restart pattern): run 1 drains the recent half and advances
+# the checkpointed watermark to max(ts) - 1h; run 2 feeds rows >3 days
+# older — every one lands in an already-finalized window and MUST be
+# dropped.  The persistent sink therefore holds ONLY run-1 days whose
+# window end the watermark passed — an exact SQL oracle.
+# --------------------------------------------------------------------------
+@register(
+    "stream_watermark_late_drop",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           count(*) AS n
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+      AND date_trunc('day', CAST(ts AS TIMESTAMP)) < TIMESTAMP '2024-01-30 00:00:00'
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from byconity_spark.engine.catalog import load_table
+
+    spark = _stream_session(spark)
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = f"/tmp/byconity_spark_wm_{tag}"
+    feed, out, ckpt = f"{base}/feed", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(feed, exist_ok=True)
+
+    ev = load_table(spark, sf, "events").select("ts", "event_id")
+    recent = ev.filter(F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+    late = ev.filter(F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+
+    def land(df, name: str) -> None:
+        tmp = f"{base}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(feed, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def drain(metric: bool) -> None:
+        stream = spark.readStream.schema("ts timestamp, event_id long").parquet(feed)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("day"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if metric:
+            batch_ms = 0.0
+            for prog in q.recentProgress:
+                batch_ms += float((prog.get("durationMs") or {}).get("addBatch", 0))
+            LAST_BATCH_SECONDS["stream_watermark_late_drop"] = round(
+                batch_ms / 1000.0, 4
+            )
+
+    land(recent, "0_recent.parquet")
+    drain(metric=False)
+    land(late, "1_late.parquet")
+    drain(metric=True)
+    return spark.read.parquet(out)
