@@ -294,3 +294,39 @@ def test_hive_external_prunes_both_partition_levels(spark):
     assert len(scan) > 1, "no PartitionFilters on the hive-layout scan"
     head = scan[1][:400]
     assert "o_orderstatus" in head and "o_year" in head
+
+
+# ----------------------------------------------- round-6 extension suites
+def test_mysql_time_suite_filter_pushed(spark):
+    """fn_mysql_time_suite's o_orderkey % 7 filter must at least prune
+    columns at the scan (ReadSchema) and keep the modulo filter above a
+    columnar scan, never a full-row parse."""
+    plan = _plan(all_queries()["fn_mysql_time_suite"].builder(spark, SF_DIR))
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema")[1][:400]
+    assert "o_comment" not in read  # column pruning held
+
+
+def test_vector_suite_scan_prunes_columns(spark):
+    plan = _plan(all_queries()["fn_vector_suite"].builder(spark, SF_DIR))
+    assert "ReadSchema" in plan
+    assert "label" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_theta_setops_no_cartesian_blowup(spark):
+    """The crossJoins in agg_theta_setops only combine SINGLE-ROW aggregated
+    states (one per event type) — each branch re-reads the filtered scan
+    (unpersisted subtree duplication, ≤ 2 scans per state side), and no
+    join may sit below an aggregation (that would be a real cartesian)."""
+    plan = _plan(all_queries()["agg_theta_setops"].builder(spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 6
+    # every join input is a FlatMapGroupsInPandas (aggregated state), so a
+    # nested-loop join above them is 1x1; a SortMergeJoin of raw scans is not
+    assert "SortMergeJoin" not in plan
+
+
+def test_parity_ext_suite_single_shuffle(spark):
+    """agg_parity_ext_suite: one groupBy on event_type — the aggregate must
+    shuffle once (plus the bounded-sample scan), not per-statistic."""
+    plan = _plan(all_queries()["agg_parity_ext_suite"].builder(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(event_type") <= 2
