@@ -269,3 +269,40 @@ def write_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (reference bucket tables: CLUSTER BY keys,
+# MergeTreeSettings.h:453 / BUCKET_REPARTITION ExchangeMode.h:34): two
+# tables bucketed on the same key join WITHOUT an exchange on either side
+# (plan pinned in tests/test_writes.py); this query certifies the VALUES
+# coming back from the bucketed files against a plain-SQL oracle.
+# --------------------------------------------------------------------------
+@register(
+    "write_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 5 = 0
+    GROUP BY c.c_mktsegment
+    """,
+)
+def write_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.engine.write import create_bucketed_table
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    c = load_table(spark, sf, "customer")
+    create_bucketed_table(o, f"bjoin_orders_{tag}", 8, ["o_custkey"],
+                          sort_cols=["o_custkey"])
+    create_bucketed_table(c, f"bjoin_customer_{tag}", 8, ["c_custkey"],
+                          sort_cols=["c_custkey"])
+    ot = spark.table(f"bjoin_orders_{tag}")
+    ct = spark.table(f"bjoin_customer_{tag}")
+    joined = ot.join(ct, ot.o_custkey == ct.c_custkey)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
