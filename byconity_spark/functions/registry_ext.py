@@ -1061,6 +1061,7 @@ def install(SCALAR: dict, AGG: dict) -> None:  # noqa: C901 (flat table)
     _install_batch5(SCALAR, AGG)
     _install_batch6(SCALAR, AGG)
     _install_batch7(SCALAR, AGG)
+    _install_batch8(SCALAR, AGG)
 
 
 # --------------------------------------------------------------------------
@@ -2044,3 +2045,121 @@ def _install_batch7(SCALAR: dict, AGG: dict) -> None:
     if "subBitmap" in SCALAR:
         add("subBitmapStartsFromOne",
             lambda bm, o, l: SCALAR["subBitmap"](bm, int(o) - 1, l))
+
+
+def _extract_all_groups(c, pat: str) -> "Column":
+    """extractAllGroups (extractAllGroups.h Horizontal): one array per
+    capture group, each holding that group's value from every match.
+    Group count read from the compiled pattern driver-side."""
+    import re as _re
+    n_groups = _re.compile(str(pat)).groups
+    return F.array(*[
+        F.regexp_extract_all(_lit(c), F.lit(str(pat)), i)
+        for i in range(1, n_groups + 1)
+    ])
+
+
+def _format_readable_time_delta(sec, max_unit: str = "years") -> "Column":
+    """formatReadableTimeDelta (formatReadableTimeDelta.cpp):
+    '1 hour, 22 minutes, 3 seconds' style decomposition down from
+    ``max_unit`` (years by default)."""
+    units = [("year", 31536000), ("month", 2592000), ("day", 86400),
+             ("hour", 3600), ("minute", 60), ("second", 1)]
+    start = {"years": 0, "months": 1, "days": 2, "hours": 3,
+             "minutes": 4, "seconds": 5}[str(max_unit)]
+    total = F.abs(_as_long(sec))
+    parts = []
+    rem = total
+    for name, span in units[start:]:
+        q = (rem / span).cast("long")
+        rem = rem - q * span
+        parts.append(
+            F.when(q > 0, F.concat(q.cast("string"), F.lit(" " + name),
+                                   F.when(q > 1, F.lit("s")).otherwise(F.lit(""))))
+        )
+    body = F.array_join(F.filter(F.array(*parts), lambda x: x.isNotNull()), ", ")
+    return F.when(total == 0, F.lit("0 seconds")).otherwise(
+        F.concat(F.when(_as_long(sec) < 0, F.lit("-")).otherwise(F.lit("")), body)
+    )
+
+
+def _point_in_ellipses(x, y, *params) -> "Column":
+    """pointInEllipses (pointInEllipses.cpp): true when (x, y) falls inside
+    ANY of the (x0, y0, a, b) ellipses."""
+    if len(params) % 4 != 0 or not params:
+        raise ValueError("pointInEllipses(x, y, x0, y0, a0, b0, ...)")
+    xd, yd = _lit(x).cast("double"), _lit(y).cast("double")
+    import functools
+    terms = []
+    for i in range(0, len(params), 4):
+        x0, y0, a, b = (_lit(p).cast("double") for p in params[i:i + 4])
+        terms.append(
+            ((xd - x0) / a) * ((xd - x0) / a) + ((yd - y0) / b) * ((yd - y0) / b)
+            <= F.lit(1.0)
+        )
+    return functools.reduce(lambda p, q: p | q, terms).cast("int")
+
+
+def _json_merge_patch(*docs) -> "Column":
+    """jsonMergePatch (jsonMergePatch.cpp; RFC 7386): right-to-left object
+    merge, null values delete keys.  Arrow kernel over the json module —
+    exact per the RFC."""
+    import json as _json
+
+    def merge(a, b):
+        if not isinstance(a, dict) or not isinstance(b, dict):
+            return b
+        out = dict(a)
+        for k, v in b.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    @F.pandas_udf("string")
+    def k(*cols: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*cols):
+            acc = None
+            try:
+                for v in vals:
+                    doc = _json.loads(v) if v is not None else None
+                    acc = doc if acc is None else merge(acc, doc)
+                out.append(_json.dumps(acc, separators=(",", ":"),
+                                       sort_keys=True))
+            except (ValueError, TypeError):
+                out.append(None)
+        return pd.Series(out)
+
+    return k(*[_lit(d) for d in docs])
+
+
+def _install_batch8(SCALAR: dict, AGG: dict) -> None:
+    add = SCALAR.setdefault
+    add("extractAllGroups", _extract_all_groups)
+    add("extractAllGroupsHorizontal", _extract_all_groups)
+    add("formatReadableTimeDelta", _format_readable_time_delta)
+    add("pointInEllipses", _point_in_ellipses)
+    add("jsonMergePatch", _json_merge_patch)
+    add("JSONMergePatch", _json_merge_patch)
+    if "concatWithSeparator" in SCALAR:
+        add("concatWithSeparatorAssumeInjective", SCALAR["concatWithSeparator"])
+
+    def _has_column_in_table(*args):
+        # hasColumnInTable([host, user, pw,] db, table, column) — catalog
+        # probe against the ACTIVE session (remote forms resolve locally)
+        from pyspark.sql import SparkSession
+        db, table, column = (str(a).strip("'\"") for a in args[-3:])
+        spark = SparkSession.getActiveSession()
+        try:
+            cols = [f.name for f in spark.table(f"{db}.{table}").schema.fields] \
+                if db else [f.name for f in spark.table(table).schema.fields]
+            return F.lit(1 if column in cols else 0)
+        except Exception:
+            return F.lit(0)
+
+    add("hasColumnInTable", _has_column_in_table)
+    add("getEnv", lambda name: F.lit(
+        __import__("os").environ.get(str(name).strip("'\""))
+    ))

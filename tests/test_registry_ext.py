@@ -459,3 +459,25 @@ def test_sparkpartition_exact_biginteger_semantics(spark):
                                   .alias("b")).collect()]
     assert got == [ref(1, 32), ref(123456789, 32), ref(2**40 + 7, 32)]
     assert all(0 <= b < 32 for b in got)
+
+
+def test_batch8_scalars(spark):
+    d = spark.range(1)
+
+    def one(col):
+        return d.select(col.alias("v")).collect()[0][0]
+
+    got = one(ch("extractAllGroups", F.lit("a1 b2 c3"), r"([a-z])(\d)")
+              .cast("string"))
+    assert got == "[[a, b, c], [1, 2, 3]]"
+    assert one(ch("formatReadableTimeDelta", F.lit(3723))) == \
+        "1 hour, 2 minutes, 3 seconds"
+    assert one(ch("formatReadableTimeDelta", F.lit(0))) == "0 seconds"
+    assert one(ch("pointInEllipses", F.lit(0.5), F.lit(0.0),
+                  0.0, 0.0, 1.0, 1.0)) == 1
+    assert one(ch("pointInEllipses", F.lit(2.0), F.lit(0.0),
+                  0.0, 0.0, 1.0, 1.0)) == 0
+    merged = one(ch("jsonMergePatch", F.lit('{"a":1,"b":{"x":1}}'),
+                    F.lit('{"b":{"y":2},"a":null}')))
+    import json
+    assert json.loads(merged) == {"b": {"x": 1, "y": 2}}
