@@ -665,3 +665,53 @@ def unigram_log_ppl(
     finally:
         toks.unpersist()
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking for training/RAG pipelines: split each
+    document's whitespace-token stream into windows of ``chunk_tokens``
+    with ``overlap_tokens`` carried between consecutive chunks (stride =
+    chunk - overlap; the final short chunk is kept).
+
+    Scale shape: pure JVM — tokenize once with split(), then one
+    transform over a per-doc chunk-index sequence slices the token array
+    (no Python, no shuffle beyond the source scan; each doc's chunk count
+    is ceil((n - overlap) / stride), the standard sliding-window count).
+    One row out per chunk via explode of the per-doc struct array."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap_tokens)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("chunk"),
+        ),
+    )
+    staged = docs.select(
+        F.col(id_col), n.alias("doc_tokens"), chunks.alias("__chunks")
+    )
+    # explode_outer: a plain explode's inferred size>0 filter can be pushed
+    # below exchanges and re-inline the array build (engine-wide rule)
+    out = staged.select(
+        id_col, "doc_tokens", F.explode_outer("__chunks").alias("c")
+    ).filter(F.col("c").isNotNull())
+    return out.select(
+        id_col,
+        "doc_tokens",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size(F.col("c.chunk")).alias("chunk_len"),
+        F.array_join(F.slice(F.col("c.chunk"), 1, 3), " ").alias("head_tokens"),
+        F.md5(F.array_join(F.col("c.chunk"), " ")).alias("chunk_hash"),
+    )

@@ -1047,3 +1047,42 @@ def llm_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         rates_pct={"en": 80, "de": 40, "fr": 20},
         default_pct=10,
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking (training-data prep: fixed token windows with
+# overlap carried between chunks — the slide-and-slice every tokenizer
+# pipeline performs before packing).  Exact oracle: DuckDB list slicing
+# over the same whitespace token stream.
+# --------------------------------------------------------------------------
+@register(
+    "llm_chunking",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    meta AS (
+      SELECT doc_id, toks, len(toks) AS doc_tokens,
+             greatest(1, CAST(ceil((len(toks) - 16) / 112.0) AS INT)) AS n_chunks
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(doc_tokens AS BIGINT) AS doc_tokens,
+           CAST(s.range AS INT)       AS chunk_idx,
+           CAST(len(toks[s.range * 112 + 1 : s.range * 112 + 128]) AS INT)
+             AS chunk_len,
+           array_to_string(toks[s.range * 112 + 1 : s.range * 112 + 3], ' ')
+             AS head_tokens,
+           md5(array_to_string(toks[s.range * 112 + 1 : s.range * 112 + 128],
+                               ' ')) AS chunk_hash
+    FROM meta CROSS JOIN range(0, 100000) s
+    WHERE s.range < n_chunks
+    """,
+)
+def llm_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.llm.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 17 == 0)
+    return chunk_documents(docs, chunk_tokens=128, overlap_tokens=16)

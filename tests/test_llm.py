@@ -170,3 +170,31 @@ def test_ann_ivfpq_recall_and_completeness(emb):
         ).collect()
     }
     assert full == exact
+
+
+# ------------------------------------------------- chunking (round 6)
+def test_chunk_documents_window_math(spark):
+    from byconity_spark.llm.text import chunk_documents
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [" ".join(f"t{i}" for i in range(10)), "a b"],
+    }))
+    out = chunk_documents(docs, chunk_tokens=4, overlap_tokens=1) \
+        .orderBy("doc_id", "chunk_idx").collect()
+    # doc 1: 10 tokens, stride 3 -> ceil((10-1)/3)=3 chunks: [0..3],[3..6],[6..9]
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2]
+    assert [r["chunk_len"] for r in d1] == [4, 4, 4]
+    assert d1[1]["head_tokens"].startswith("t3")  # overlap carried
+    # doc 2: shorter than one chunk -> single short chunk
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_len"] == 2
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from byconity_spark.llm.text import chunk_documents
+    import pytest as pt
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
