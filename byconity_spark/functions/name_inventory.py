@@ -51,6 +51,9 @@ _OPERATOR_NAMES: dict[str, str] = {
     "sessionSplit": "udafs.behavioral:session_split",
     "sessionSplitR2": "udafs.behavioral:session_split_r2",
     "sessionAnalysis": "udafs.behavioral:session_analysis",
+    "pageTime": "udafs.behavioral:page_time",
+    "pageTime2": "udafs.behavioral:page_time (refer-type variant folds into"
+                 " the same dwell plan)",
     "vSessionAnalysis": "udafs.behavioral:session_analysis (v-variant)",
     # AUC family
     "auc": "udafs.behavioral:auc (distributed exact rank)",

@@ -2163,3 +2163,9 @@ def _install_batch8(SCALAR: dict, AGG: dict) -> None:
     add("getEnv", lambda name: F.lit(
         __import__("os").environ.get(str(name).strip("'\""))
     ))
+    # arrayEnumerate*Ranked default arity (rank = outermost array) is
+    # exactly the unranked form (arrayEnumerate*Ranked.cpp: max_depth=1)
+    if "arrayEnumerateUniq" in SCALAR:
+        add("arrayEnumerateUniqRanked", SCALAR["arrayEnumerateUniq"])
+    if "arrayEnumerateDense" in SCALAR:
+        add("arrayEnumerateDenseRanked", SCALAR["arrayEnumerateDense"])

@@ -2494,3 +2494,47 @@ def session_split_r2(
         F.min_by(F.col(param_col), key).alias("entry_param"),
         F.max_by(F.col(param_col), key).alias("exit_param"),
     )
+
+
+def page_time(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    url_col: str = "event_type",
+) -> DataFrame:
+    """pageTime (reference AggregateFunctionSessionSplit.h:794): per page
+    URL, the visit count and total dwell duration across sessions.  The
+    reference reads explicit be_active start/end columns from its
+    page-view taxonomy; this engine derives dwell as the gap to the NEXT
+    event inside the same session (the standard next-hit approximation —
+    a session's last page contributes 0; documented).  Pure JVM:
+    lag/cumsum sessionize + lead dwell + one groupBy(url)."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    brk = F.when(
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us,
+        1,
+    ).otherwise(0)
+    sess = events.withColumn(
+        "__sid",
+        (F.lit(1) + F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .cast("int"),
+    )
+    ws = Window.partitionBy(user_col, "__sid").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    dwell_us = F.coalesce(
+        F.unix_micros(F.lead(ts_col).over(ws)) - F.unix_micros(F.col(ts_col)),
+        F.lit(0),
+    )
+    return (
+        sess.withColumn("__dwell", dwell_us)
+        .groupBy(F.col(url_col).alias("url"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            (F.sum("__dwell") / 1_000_000).cast("long").alias("total_duration_sec"),
+        )
+    )

@@ -2140,3 +2140,40 @@ def beh_session_split_r2(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = _ev(spark, sf).filter(F.col("user_id") % 20 == 11)
     return session_split_r2(ev, gap_us=1_800_000_000)
+
+
+# pageTime (AggregateFunctionSessionSplit.h:794): per-URL visit count +
+# total dwell (next-hit approximation), sessions split at 30-min gaps.
+@register(
+    "beh_page_time",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_t
+      FROM events
+    ),
+    sess AS (
+      SELECT *, 1 + sum(CASE WHEN prev_t IS NOT NULL
+                              AND epoch_us(t) - epoch_us(prev_t) > 1800000000
+                             THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY t, event_id) AS sid
+      FROM ordered
+    ),
+    dwell AS (
+      SELECT event_type AS url,
+             coalesce(epoch_us(lead(t) OVER
+               (PARTITION BY user_id, sid ORDER BY t, event_id))
+               - epoch_us(t), 0) AS d_us
+      FROM sess
+    )
+    SELECT url, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(d_us) // 1000000 AS BIGINT) AS total_duration_sec
+    FROM dwell GROUP BY url
+    """,
+)
+def beh_page_time(spark: SparkSession, sf: str) -> DataFrame:
+    from byconity_spark.udafs.behavioral import page_time
+
+    return page_time(_ev(spark, sf), gap_us=1_800_000_000)
