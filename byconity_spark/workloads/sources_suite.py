@@ -445,3 +445,54 @@ def source_hive_external(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corrupt-tolerant ingestion (reference input_format_allow_errors_num /
+# kafka_skip_broken_messages: bad rows are counted and skipped, not fatal).
+# Spark analogue: PERMISSIVE mode + columnNameOfCorruptRecord.  The feed is
+# the JSON flat-events file with 25 deterministic junk lines appended; the
+# oracle knows the good-row aggregate from the events table and the junk
+# count as a constant.
+# --------------------------------------------------------------------------
+@register(
+    "source_json_corrupt_tolerance",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM events WHERE user_id % 4 = 0) AS BIGINT)
+             AS n_good,
+           CAST(25 AS BIGINT) AS n_corrupt,
+           (SELECT round(sum(value), 4) FROM events WHERE user_id % 4 = 0)
+             AS total_good
+    """,
+)
+def source_json_corrupt_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    path = _tmp(sf, "json_corrupt")
+    _flat_events(spark, sf).write.mode("overwrite").json(path)
+    junk = "\n".join(
+        f'{{"event_id": "not-a-number", "user_id": [{i}], "value": }}'
+        for i in range(25)
+    )
+    with open(os.path.join(path, "zz_corrupt.json"), "w") as fh:
+        fh.write(junk + "\n")
+    schema = T.StructType(
+        _FLAT_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()  # Spark requires materialization before referencing the
+    # corrupt-record column in a filter (SPARK-21610)
+    good = back.filter(F.col("_corrupt_record").isNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    return (
+        good.agg(
+            F.count(F.lit(1)).alias("n_good"),
+            F.round(F.sum("value"), 4).alias("total_good"),
+        )
+        .crossJoin(bad.agg(F.count(F.lit(1)).alias("n_corrupt")))
+        .select("n_good", "n_corrupt", "total_good")
+    )
