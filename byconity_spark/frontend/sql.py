@@ -2428,6 +2428,7 @@ def rewrite_ch_sql(sql: str) -> str:
             )
     sql = _strip_settings(sql)
     sql = _strip_format(sql)
+    sql = _rewrite_final_replacing(sql)
     sql = _strip_final_and_global(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join(sql)
@@ -2845,3 +2846,54 @@ def _topk_sql(p: list[str], a: list[str]) -> str:
 
 
 PARAMETRIC["topK"] = _topk_sql
+
+
+# ---------------------------------------------------------------------------
+# FINAL on replacing tables (reference ReplacingMergeTree + SELECT ... FINAL
+# — StorageMergeTree reads collapse duplicate keys to the max-version row).
+# Tables registered here get REAL dedup-on-read semantics for FINAL; any
+# other table keeps the strip behavior (this engine's write path collapses
+# versions at upsert time, so plain tables never carry pending merges).
+# ---------------------------------------------------------------------------
+_REPLACING_TABLES: dict[str, tuple[list[str], str]] = {}
+
+
+def register_replacing_table(name: str, key_cols: list[str], version_col: str) -> None:
+    """Declare ``name`` (a registered view/table) as replacing-keyed:
+    ``SELECT ... FROM name FINAL`` collapses to the max-``version_col`` row
+    per ``key_cols`` (ties broken deterministically by the remaining
+    columns — the reference keeps an unspecified last-in-part row)."""
+    _REPLACING_TABLES[name] = (list(key_cols), version_col)
+
+
+def _rewrite_final_replacing(sql: str) -> str:
+    import re
+
+    from pyspark.sql import SparkSession
+
+    def repl(m: re.Match) -> str:
+        kw, table, alias = m.group(1), m.group(2), m.group(3)
+        if table not in _REPLACING_TABLES:
+            return m.group(0)
+        keys, ver = _REPLACING_TABLES[table]
+        spark = SparkSession.getActiveSession()
+        cols = spark.table(table).columns
+        tiebreak = [c for c in cols if c not in keys and c != ver]
+        order = ", ".join(
+            [f"{ver} DESC"] + [f"{c} DESC" for c in tiebreak]
+        )
+        proj = ", ".join(cols)
+        sub = (
+            f"(SELECT {proj} FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {', '.join(keys)} ORDER BY {order}) AS __rn "
+            f"FROM {table}) WHERE __rn = 1)"
+        )
+        return f"{kw} {sub} {alias or table}"
+
+    return re.sub(
+        r"\b(FROM|JOIN)\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?(?!FINAL\b)([A-Za-z_]\w*))?\s+FINAL\b",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )

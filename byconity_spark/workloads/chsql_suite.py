@@ -674,3 +674,56 @@ def chsql_batch5_suite(spark: SparkSession, sf: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 11 = 0
         """,
     )
+
+
+@register(
+    "chsql_final_replacing",
+    oracle="""
+    WITH versions AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS v
+      FROM orders WHERE o_orderkey % 9 = 0
+      UNION ALL
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2, 2 AS v
+      FROM orders WHERE o_orderkey % 18 = 0
+    ),
+    latest AS (
+      SELECT * FROM versions
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM latest GROUP BY o_orderstatus
+    """,
+)
+def chsql_final_replacing(spark: SparkSession, sf: str) -> DataFrame:
+    """SELECT ... FINAL over a registered replacing table: version-2
+    updates (doubled totalprice, status 'U') must WIN over the base rows
+    — real ReplacingMergeTree dedup-on-read, not a FINAL strip."""
+    from pyspark.sql import functions as F
+
+    from byconity_spark.engine.catalog import load_table
+    from byconity_spark.frontend.sql import register_replacing_table
+
+    register_views(spark, sf)
+    base = load_table(spark, sf, "orders").filter(
+        F.col("o_orderkey") % 9 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("v"))
+    updates = load_table(spark, sf, "orders").filter(
+        F.col("o_orderkey") % 18 == 0
+    ).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"), F.lit(2).alias("v"),
+    )
+    base.unionByName(updates).createOrReplaceTempView("orders_versions")
+    register_replacing_table("orders_versions", ["o_orderkey"], "v")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_versions FINAL
+        GROUP BY o_orderstatus
+        """,
+    )

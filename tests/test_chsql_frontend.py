@@ -894,3 +894,23 @@ def test_frontend_batch5(spark, sql, want):
         assert got == _pt.approx(want, abs=1e-6)
     else:
         assert got == want
+
+
+def test_final_replacing_dedup_on_read(spark):
+    """FINAL over a registered replacing table collapses to the
+    max-version row per key; unregistered tables keep the strip."""
+    from byconity_spark.frontend.sql import ch_sql, register_replacing_table
+    import pandas as pd
+    spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2], "val": ["old", "new", "only"], "v": [1, 2, 1],
+    })).createOrReplaceTempView("repl_demo")
+    register_replacing_table("repl_demo", ["k"], "v")
+    rows = sorted(
+        (r.k, r.val) for r in ch_sql(
+            spark, "SELECT k, val FROM repl_demo FINAL"
+        ).collect()
+    )
+    assert rows == [(1, "new"), (2, "only")]
+    # unregistered table: FINAL still strips cleanly
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("plain_demo")
+    assert ch_sql(spark, "SELECT x FROM plain_demo FINAL").collect()[0][0] == 1
