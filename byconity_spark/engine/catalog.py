@@ -220,3 +220,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def register_system_tables(spark: SparkSession) -> None:
+    """``system.tables`` / ``system.columns`` introspection views
+    (reference src/Storages/System/StorageSystemTables.cpp,
+    StorageSystemColumns.cpp — the first thing reference users query).
+    Dots aren't legal in temp-view names, so they register as
+    ``system_tables`` / ``system_columns``; the SQL frontend maps the
+    dotted reference spelling (frontend/sql.py _SYSTEM_TABLE_MAP)."""
+    tables_rows = [
+        ("default", name, "MergeTree", len(schema.fields))
+        for name, schema in TABLES.items()
+    ]
+    spark.createDataFrame(
+        tables_rows, "database string, name string, engine string, n_columns int"
+    ).createOrReplaceTempView("system_tables")
+    col_rows = [
+        ("default", tname, f.name, f.dataType.simpleString(), i + 1)
+        for tname, schema in TABLES.items()
+        for i, f in enumerate(schema.fields)
+    ]
+    spark.createDataFrame(
+        col_rows,
+        "database string, table string, name string, type string, position int",
+    ).createOrReplaceTempView("system_columns")

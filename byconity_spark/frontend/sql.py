@@ -2411,8 +2411,21 @@ def _rewrite_array_literals(sql: str) -> str:
     return "".join(out)
 
 
+_SYSTEM_TABLE_MAP = {
+    "system.tables": "system_tables",
+    "system.columns": "system_columns",
+    "system.one": "(SELECT 0 AS dummy)",
+    "system.numbers": "(SELECT id AS number FROM range(1000000))",
+}
+
+
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
+    for dotted, target in _SYSTEM_TABLE_MAP.items():
+        import re as _re_sys
+        sql = _re_sys.sub(
+            r"\b" + dotted.replace(".", r"\.") + r"\b", target, sql
+        )
     if _depth0_find(sql, "ASOF JOIN") >= 0 or _depth0_find(sql, "ASOF LEFT JOIN") >= 0:
         raise ChSqlError(
             "ASOF JOIN is not expressible as a text rewrite; run the "

@@ -727,3 +727,33 @@ def chsql_final_replacing(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY o_orderstatus
         """,
     )
+
+
+@register(
+    "chsql_system_tables",
+    oracle="""
+    WITH t(name, n_columns) AS (VALUES
+      ('customer', 5), ('documents', 5), ('embeddings', 3), ('events', 6),
+      ('lineitem', 11), ('nation', 3), ('orders', 6), ('part', 6),
+      ('region', 2), ('supplier', 4))
+    SELECT name, CAST(n_columns AS INT) AS n_columns,
+           CAST((SELECT sum(n_columns) FROM t) AS BIGINT) AS total_cols
+    FROM t
+    """,
+)
+def chsql_system_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """system.tables / system.columns introspection through the CH-dialect
+    frontend (StorageSystemTables.cpp analogue)."""
+    from byconity_spark.engine.catalog import register_system_tables
+
+    register_views(spark, sf)
+    register_system_tables(spark)
+    return ch_sql(
+        spark,
+        """
+        SELECT t.name AS name, t.n_columns AS n_columns,
+               (SELECT count(*) FROM system.columns) AS total_cols
+        FROM system.tables t
+        ORDER BY name
+        """,
+    )
