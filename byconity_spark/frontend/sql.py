@@ -2541,6 +2541,10 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
             [(line,) for line in text.splitlines()], "explain string"
         )
 
+    ddl = _try_ddl(spark, sql)
+    if ddl is not None:
+        return ddl
+
     from byconity_spark.frontend.joins_sql import try_rewrite_strict_join
 
     handled = try_rewrite_strict_join(spark, sql)
@@ -2910,3 +2914,89 @@ def _rewrite_final_replacing(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Session DDL statements (reference InterpreterCreateQuery / InterpreterInsertQuery
+# / InterpreterDropQuery / InterpreterOptimizeQuery surfaces): CREATE TABLE
+# ... [ENGINE = x] [ORDER BY ...] AS SELECT, INSERT INTO ... SELECT/VALUES,
+# DROP TABLE, OPTIMIZE TABLE ... FINAL.  Tables are session temp views
+# (the persistent write path is engine/write.py); ENGINE/ORDER BY clauses
+# are accepted and recorded, and a ReplacingMergeTree engine auto-registers
+# the FINAL dedup contract.
+# ---------------------------------------------------------------------------
+_SESSION_TABLE_ENGINES: dict[str, str] = {}
+
+
+def _try_ddl(spark: SparkSession, sql: str):
+    import re
+
+    s = sql.strip().rstrip(";")
+
+    m = re.match(
+        r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
+        r"(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
+        r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?\s+AS\s+(SELECT|WITH)\b(.*)",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, engine, eng_args, order_by, kw, rest = m.groups()
+        df = ch_sql(spark, kw + rest)
+        df.createOrReplaceTempView(name)
+        _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
+        if engine and engine.lower().startswith("replacingmergetree"):
+            ver = (eng_args or "").strip() or df.columns[-1]
+            keys = [c.strip() for c in (order_by or df.columns[0]).split(",")]
+            register_replacing_table(name, keys, ver)
+        return spark.createDataFrame(
+            [(name, "created")], "table string, status string"
+        )
+
+    m = re.match(
+        r"INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
+        r"(SELECT|WITH|VALUES)\b(.*)",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, kw, rest = m.groups()
+        if kw.upper() == "VALUES":
+            cols = spark.table(name).columns
+            new = spark.sql(
+                f"SELECT * FROM (VALUES {rewrite_ch_sql(rest)}) "
+                f"AS v({', '.join(cols)})"
+            )
+        else:
+            new = ch_sql(spark, kw + rest)
+        merged = spark.table(name).unionByName(new.toDF(*spark.table(name).columns))
+        merged.createOrReplaceTempView(name)
+        return spark.createDataFrame(
+            [(name, "inserted")], "table string, status string"
+        )
+
+    m = re.match(
+        r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
+    if m:
+        spark.catalog.dropTempView(m.group(1))
+        _SESSION_TABLE_ENGINES.pop(m.group(1), None)
+        _REPLACING_TABLES.pop(m.group(1), None)
+        return spark.createDataFrame(
+            [(m.group(1), "dropped")], "table string, status string"
+        )
+
+    m = re.match(
+        r"OPTIMIZE\s+TABLE\s+([A-Za-z_]\w*)(\s+FINAL)?$", s, re.IGNORECASE
+    )
+    if m:
+        name, final = m.group(1), bool(m.group(2))
+        if final and name in _REPLACING_TABLES:
+            deduped = ch_sql(spark, f"SELECT * FROM {name} FINAL")
+            deduped.createOrReplaceTempView(name)
+            status = "optimized_final"
+        else:
+            status = "noop"  # parquet views carry no pending merges
+        return spark.createDataFrame(
+            [(name, status)], "table string, status string"
+        )
+
+    return None

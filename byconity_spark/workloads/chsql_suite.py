@@ -757,3 +757,40 @@ def chsql_system_tables(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY name
         """,
     )
+
+
+@register(
+    "chsql_ddl_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    extra AS (
+      SELECT 'X' AS o_orderstatus, 42.5 AS o_totalprice
+    ),
+    allrows AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM allrows GROUP BY o_orderstatus
+    """,
+)
+def chsql_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CREATE TABLE AS + INSERT INTO (SELECT and VALUES forms) through the
+    frontend, then aggregate the session table."""
+    register_views(spark, sf)
+    ch_sql(spark, "DROP TABLE IF EXISTS ddl_orders_rt")
+    ch_sql(
+        spark,
+        "CREATE TABLE ddl_orders_rt ENGINE = MergeTree AS "
+        "SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 13 = 0",
+    )
+    ch_sql(spark, "INSERT INTO ddl_orders_rt VALUES ('X', 42.5)")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM ddl_orders_rt GROUP BY o_orderstatus
+        """,
+    )

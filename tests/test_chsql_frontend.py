@@ -914,3 +914,26 @@ def test_final_replacing_dedup_on_read(spark):
     # unregistered table: FINAL still strips cleanly
     spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("plain_demo")
     assert ch_sql(spark, "SELECT x FROM plain_demo FINAL").collect()[0][0] == 1
+
+
+def test_ddl_create_insert_optimize_roundtrip(spark):
+    """CREATE TABLE AS / INSERT INTO / OPTIMIZE FINAL / DROP through
+    ch_sql (Interpreter{Create,Insert,Optimize,Drop}Query surfaces)."""
+    from byconity_spark.frontend.sql import ch_sql
+    ch_sql(spark, "DROP TABLE IF EXISTS ddl_demo")
+    r = ch_sql(spark,
+               "CREATE TABLE ddl_demo ENGINE = ReplacingMergeTree(v) "
+               "ORDER BY k AS SELECT 1 AS k, 'old' AS val, 1 AS v")
+    assert r.collect()[0]["status"] == "created"
+    ch_sql(spark, "INSERT INTO ddl_demo SELECT 1 AS k, 'new' AS val, 2 AS v")
+    ch_sql(spark, "INSERT INTO ddl_demo VALUES (2, 'only', 1)")
+    # FINAL view collapses to max version per key
+    rows = sorted((r.k, r.val) for r in ch_sql(
+        spark, "SELECT k, val FROM ddl_demo FINAL").collect())
+    assert rows == [(1, "new"), (2, "only")]
+    # OPTIMIZE FINAL physically collapses the view
+    assert ch_sql(spark, "OPTIMIZE TABLE ddl_demo FINAL") \
+        .collect()[0]["status"] == "optimized_final"
+    assert ch_sql(spark, "SELECT count(*) AS n FROM ddl_demo") \
+        .collect()[0]["n"] == 2
+    assert ch_sql(spark, "DROP TABLE ddl_demo").collect()[0]["status"] == "dropped"
