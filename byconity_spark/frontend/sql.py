@@ -2952,6 +2952,56 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(name, "created")], "table string, status string"
         )
 
+    # bare CREATE TABLE with a column list: empty session table with the
+    # translated schema (CH types via _ch_type); ReplacingMergeTree
+    # auto-registers the FINAL contract like the AS-SELECT form
+    m = re.match(
+        r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*(?=\()",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1)
+        open_paren = s.index("(", m.end() - 1)
+        close = _match_paren(s, open_paren)
+        collist = s[open_paren + 1 : close]
+        tail = s[close + 1 :]
+        tm = re.match(
+            r"\s*(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
+            r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?\s*$",
+            tail, re.IGNORECASE | re.DOTALL,
+        )
+        if tm is None:
+            raise ChSqlError(f"CREATE TABLE: unparsed tail {tail!r}")
+        engine, eng_args, order_by = tm.groups()
+        fields = []
+        for part in _split_args(collist):
+            part = part.strip()
+            cname, _, ctype = part.partition(" ")
+            fields.append(f"`{cname.strip('`')}` {_ch_type(ctype)}")
+        empty = spark.createDataFrame([], ", ".join(fields))
+        empty.createOrReplaceTempView(name)
+        _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
+        if engine and engine.lower().startswith("replacingmergetree"):
+            ver = (eng_args or "").strip() or empty.columns[-1]
+            keys = [c.strip() for c in (order_by or empty.columns[0]).split(",")]
+            register_replacing_table(name, keys, ver)
+        return spark.createDataFrame(
+            [(name, "created")], "table string, status string"
+        )
+
+    m = re.match(
+        r"SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
+    if m:
+        name = m.group(1)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.table(name).schema.fields
+        )
+        engine = _SESSION_TABLE_ENGINES.get(name, "MergeTree")
+        stmt = f"CREATE TABLE {name} ({cols}) ENGINE = {engine}"
+        return spark.createDataFrame([(stmt,)], "statement string")
+
     m = re.match(
         r"INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
         r"(SELECT|WITH|VALUES)\b(.*)",

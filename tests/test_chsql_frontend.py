@@ -937,3 +937,19 @@ def test_ddl_create_insert_optimize_roundtrip(spark):
     assert ch_sql(spark, "SELECT count(*) AS n FROM ddl_demo") \
         .collect()[0]["n"] == 2
     assert ch_sql(spark, "DROP TABLE ddl_demo").collect()[0]["status"] == "dropped"
+
+
+def test_ddl_bare_create_with_ch_types(spark):
+    """Column-list CREATE TABLE translates CH types (UInt64/DateTime/
+    Decimal64) and supports VALUES inserts + SHOW CREATE TABLE."""
+    from byconity_spark.frontend.sql import ch_sql
+    ch_sql(spark, "DROP TABLE IF EXISTS bare_demo")
+    ch_sql(spark, "CREATE TABLE bare_demo (k UInt64, name String, "
+                  "amt Decimal64(4)) ENGINE = MergeTree ORDER BY k")
+    assert ch_sql(spark, "SELECT count(*) AS n FROM bare_demo") \
+        .collect()[0]["n"] == 0
+    ch_sql(spark, "INSERT INTO bare_demo VALUES (1, 'a', 1.5)")
+    row = ch_sql(spark, "SELECT * FROM bare_demo").collect()[0]
+    assert (row.k, row.name, float(row.amt)) == (1, "a", 1.5)
+    stmt = ch_sql(spark, "SHOW CREATE TABLE bare_demo").collect()[0][0]
+    assert "k bigint" in stmt and "decimal(18,4)" in stmt
