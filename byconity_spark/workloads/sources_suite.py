@@ -467,8 +467,12 @@ def source_hive_external(spark: SparkSession, sf: str) -> DataFrame:
 )
 def source_json_corrupt_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     import os
+    import uuid
 
-    path = _tmp(sf, "json_corrupt")
+    # unique path per invocation: a repeated same-path plan would collide
+    # with Spark's plan-keyed cache when the suite re-runs the builder in
+    # one session (the junk file rewrite would race the cached scan)
+    path = _tmp(sf, f"json_corrupt_{uuid.uuid4().hex[:8]}")
     _flat_events(spark, sf).write.mode("overwrite").json(path)
     junk = "\n".join(
         f'{{"event_id": "not-a-number", "user_id": [{i}], "value": }}'
