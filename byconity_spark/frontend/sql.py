@@ -2990,6 +2990,37 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
+        r"DESCRIBE\s+(?:TABLE\s+)?([A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
+    if m:
+        # reference DESCRIBE prints CH type names (InterpreterDescribeQuery)
+        _SPARK_TO_CH = {
+            "bigint": "Int64", "int": "Int32", "smallint": "Int16",
+            "tinyint": "Int8", "double": "Float64", "float": "Float32",
+            "string": "String", "boolean": "Bool", "date": "Date",
+            "timestamp": "DateTime", "binary": "String",
+        }
+
+        def ch_name(t: str) -> str:
+            import re as _re2
+            dm = _re2.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+            if dm:
+                prec = int(dm.group(1))
+                base = "Decimal128" if prec > 18 else (
+                    "Decimal64" if prec > 9 else "Decimal32")
+                return f"{base}({dm.group(2)})"
+            am = _re2.fullmatch(r"array<(.+)>", t)
+            if am:
+                return f"Array({ch_name(am.group(1))})"
+            return _SPARK_TO_CH.get(t, t)
+
+        rows = [
+            (f.name, ch_name(f.dataType.simpleString()))
+            for f in spark.table(m.group(1)).schema.fields
+        ]
+        return spark.createDataFrame(rows, "name string, type string")
+
+    m = re.match(
         r"SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)$", s, re.IGNORECASE
     )
     if m:

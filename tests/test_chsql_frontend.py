@@ -953,3 +953,15 @@ def test_ddl_bare_create_with_ch_types(spark):
     assert (row.k, row.name, float(row.amt)) == (1, "a", 1.5)
     stmt = ch_sql(spark, "SHOW CREATE TABLE bare_demo").collect()[0][0]
     assert "k bigint" in stmt and "decimal(18,4)" in stmt
+
+
+def test_describe_prints_ch_type_names(spark):
+    from byconity_spark.frontend.sql import ch_sql
+    from byconity_spark.engine.catalog import register_views
+    from tests.conftest import SF_DIR
+    register_views(spark, SF_DIR)
+    rows = {r["name"]: r["type"]
+            for r in ch_sql(spark, "DESCRIBE TABLE embeddings").collect()}
+    assert rows["vec_id"] == "Int64"
+    assert rows["embedding"] == "Array(Float32)"
+    assert rows["label"] == "Int32"
