@@ -102,3 +102,24 @@ def limit_with_ties(
         lt = strict_lt(c, asc, b)
         keep = lt | eq if keep is None else lt | (eq & keep)
     return df.filter(keep)
+
+
+def keyed_sample(
+    df, key, fraction: float, offset: float = 0.0, buckets: int = 1_000_000
+):
+    """Deterministic keyed SAMPLE (reference: SAMPLE k [OFFSET m] over the
+    table's SAMPLE BY expression — MergeTreeDataSelectExecutor maps the
+    fraction onto the sampling key's hash range, so the SAME rows are
+    selected on every run and across replicas).  Portable-hash bucket
+    (md5 low bits) so external engines select the identical row set;
+    ``fraction``/``offset`` are fractions of the key space.
+
+    Scale shape: a pure scan-side filter — no shuffle, no RNG, prunes in
+    the same pass as any other predicate."""
+    from pyspark.sql import functions as F
+
+    lo = int(offset * buckets)
+    hi = int((offset + fraction) * buckets)
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+        .cast("long") % buckets
+    return df.filter((bucket >= lo) & (bucket < hi))

@@ -354,3 +354,38 @@ def cbo_stats_broadcast(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic keyed SAMPLE (the reference's SAMPLE k OFFSET m semantics:
+# a fixed slice of the sampling key's hash space, reproducible across runs
+# and engines — unlike TABLESAMPLE's RNG).  Upgrades the §2.6 SAMPLE row
+# from rows-only to exact-oracle: the md5 bucket is portable, so DuckDB
+# selects the identical row set.
+# --------------------------------------------------------------------------
+@register(
+    "op_sample_keyed",
+    oracle="""
+    WITH sampled AS (
+      SELECT * FROM lineitem
+      WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 BETWEEN 200000 AND 299999
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_extendedprice), 2) AS total
+    FROM sampled GROUP BY l_returnflag
+    """,
+)
+def op_sample_keyed(spark: SparkSession, sf: str) -> DataFrame:
+    """SAMPLE 1/10 OFFSET 2/10 over the l_orderkey sampling key."""
+    from byconity_spark.operators.sorts import keyed_sample
+
+    li = _t(spark, sf, "lineitem")
+    sampled = keyed_sample(li, F.col("l_orderkey"), fraction=0.1, offset=0.2)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
