@@ -1884,11 +1884,57 @@ def _strip_settings(sql: str) -> str:
     return sql
 
 
+# tables with a declared SAMPLE BY key (reference: the MergeTree table's
+# SAMPLE BY expression): SAMPLE k [OFFSET m] selects a FIXED slice of the
+# key's hash space — deterministic, engine-portable (md5 bucket), unlike
+# TABLESAMPLE's RNG.  register_sample_key() opts a table in.
+_SAMPLE_KEYS: dict[str, str] = {}
+
+
+def register_sample_key(table: str, key_expr: str) -> None:
+    _SAMPLE_KEYS[table] = key_expr
+
+
+def _keyed_sample_sql(table: str, frac: float, offset: float) -> str:
+    key = _SAMPLE_KEYS[table]
+    lo = int(offset * 1_000_000)
+    hi = int((offset + frac) * 1_000_000) - 1
+    bucket = (
+        f"pmod(CAST(conv(substring(md5(CAST({key} AS STRING)), 1, 8), 16, 10) "
+        f"AS BIGINT), 1000000)"
+    )
+    return (
+        f"(SELECT * FROM {table} WHERE {bucket} BETWEEN {lo} AND {hi})"
+    )
+
+
 def _rewrite_sample(sql: str) -> str:
-    """``FROM t SAMPLE 0.1`` -> ``FROM t TABLESAMPLE (10.0 PERCENT)``.
-    Only the fractional form is supported (``SAMPLE n`` approximate-rows
-    needs table statistics; raise rather than silently mis-sample)."""
+    """``FROM t SAMPLE 0.1 [OFFSET 0.2]``.  Tables registered via
+    register_sample_key get the reference's DETERMINISTIC keyed sampling
+    (fixed md5-bucket slice of the key space); others fall back to
+    ``TABLESAMPLE (... PERCENT)`` (RNG).  Only fractional forms are
+    supported (``SAMPLE n`` approximate-rows needs table statistics;
+    raise rather than silently mis-sample)."""
     import re
+
+    # keyed form first: FROM|JOIN <registered-table> [alias] SAMPLE k [OFFSET m]
+    def keyed_repl(m: re.Match) -> str:
+        kw, table, alias, frac_s, off_s = m.groups()
+        if table not in _SAMPLE_KEYS:
+            return m.group(0)
+        frac, off = float(frac_s), float(off_s or 0.0)
+        if not 0.0 < frac <= 1.0 or not 0.0 <= off < 1.0:
+            raise ChSqlError("SAMPLE/OFFSET fractions must be in (0,1]/[0,1)")
+        return f"{kw} {_keyed_sample_sql(table, frac, off)} {alias or table}"
+
+    sql = re.sub(
+        r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?:AS\s+)?(?!SAMPLE\b)([A-Za-z_]\w*))?\s+"
+        r"SAMPLE\s+([0-9]*\.?[0-9]+)(?:\s+OFFSET\s+([0-9]*\.?[0-9]+))?",
+        keyed_repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     while True:
         i = _depth0_find(sql, "SAMPLE")

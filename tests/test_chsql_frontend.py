@@ -965,3 +965,22 @@ def test_describe_prints_ch_type_names(spark):
     assert rows["vec_id"] == "Int64"
     assert rows["embedding"] == "Array(Float32)"
     assert rows["label"] == "Int32"
+
+
+def test_sample_keyed_deterministic(spark):
+    """SAMPLE on a table with a registered SAMPLE BY key is a fixed slice
+    of the key's hash space — identical rows on every run; SAMPLE with
+    OFFSET selects a DISJOINT slice."""
+    from byconity_spark.frontend.sql import ch_sql, register_sample_key
+    from byconity_spark.engine.catalog import register_views
+    from tests.conftest import SF_DIR
+    register_views(spark, SF_DIR)
+    register_sample_key("lineitem", "l_orderkey")
+    q = "SELECT l_orderkey, l_linenumber FROM lineitem SAMPLE 0.1"
+    a = sorted(map(tuple, ch_sql(spark, q).collect()))
+    b = sorted(map(tuple, ch_sql(spark, q).collect()))
+    assert a == b and len(a) > 0
+    off = sorted(map(tuple, ch_sql(
+        spark, "SELECT l_orderkey, l_linenumber FROM lineitem "
+               "SAMPLE 0.1 OFFSET 0.5").collect()))
+    assert off and not (set(r[0] for r in a) & set(r[0] for r in off))
