@@ -2669,3 +2669,16 @@ SCALAR.update(
 from byconity_spark.functions import registry_ext as _registry_ext  # noqa: E402
 
 _registry_ext.install(SCALAR, AGG)
+
+# --- round-7 geo-index batch (geo_index.py): H3 index math, full S2
+# cell-id math, geohash decode/box cover ---
+from byconity_spark.functions import geo_index as _geo_index  # noqa: E402
+
+_geo_index.install(SCALAR)
+
+# --- round-7 parity batch (registry_ext7.py): Spark-dialect + MySQL
+# aliases, unicode normal forms, NLP tail, sumMetric/deltaSum/aggThrow ---
+from byconity_spark.functions import registry_ext7 as _registry_ext7  # noqa: E402
+
+_registry_ext7.install(SCALAR, AGG)
+_registry_ext7.install2(SCALAR, AGG)
