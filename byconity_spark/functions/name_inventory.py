@@ -143,6 +143,31 @@ def inventory() -> dict[str, tuple[str, str]]:
             out.setdefault(name, ("operator", f"udafs.bitmaps:{ptr}"))
     except Exception:
         pass
+    from byconity_spark.operators.geobase import geobase_names
+    for name, ptr in geobase_names().items():
+        out.setdefault(name, ("operator", ptr))
+    # DataFrame-level names implemented in registry.py / workloads whose
+    # Column form is not expressible as one aggregate expression
+    out.setdefault("entropy", ("operator", "functions.registry:entropy"))
+    # merge-state variants of the attribution kernels: the DataFrame plans
+    # recompute from partials, covering the -Merge consumption path
+    out.setdefault("attributionAnalysisMerge",
+                   ("operator", "udafs.attribution:attribution_analysis"))
+    out.setdefault("attributionCorrelationMerge",
+                   ("operator", "udafs.attribution:attribution_correlation"))
+    out.setdefault("attributionCorrelationFuse",
+                   ("operator", "udafs.attribution:attribution_correlation"))
+    # sketch-union / stack-merge companions of the existing stand-ins
+    out.setdefault("quantilesSketchUnion",
+                   ("operator", "registry quantilesTiming recompute "
+                                "(stand-in, like quantilesSketchEstimate)"))
+    out.setdefault("doubleHllSketchEstimate",
+                   ("operator", "udafs.sketches HLL estimate (double form)"))
+    out.setdefault("doubleQuantilesSketchEstimate",
+                   ("operator", "registry quantilesTiming (stand-in)"))
+    out.setdefault("MergeStreamStack",
+                   ("operator", "workloads.behavioral stackGraph plan "
+                                "(merge companion)"))
     names = R.registered_names()
     for name in names["scalar"]:
         out[name] = ("registry", "functions.registry SCALAR")

@@ -500,3 +500,102 @@ def source_json_corrupt_tolerance(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(bad.agg(F.count(F.lit(1)).alias("n_corrupt")))
         .select("n_good", "n_corrupt", "total_good")
     )
+
+
+# ------------------------------------------------ region* geobase family
+@register(
+    "dict_region_suite",
+    oracle="""
+    SELECT c_custkey,
+           CAST(300 + c_custkey % 50 AS BIGINT)                    AS city,
+           CAST(200 + (c_custkey % 50) // 2 AS BIGINT)             AS country,
+           CAST(100 + n_regionkey AS BIGINT)                       AS continent,
+           CAST(100 + n_regionkey AS BIGINT)                       AS top_cont,
+           CAST(1000 * ((300 + c_custkey % 50) % 97) AS BIGINT)    AS pop,
+           'R' || CAST(200 + (c_custkey % 50) // 2 AS VARCHAR)     AS cname,
+           (100 + n_regionkey = 101)                               AS in_101,
+           CAST(300 + c_custkey % 50 AS VARCHAR) || '|' ||
+           CAST(200 + (c_custkey % 50) // 2 AS VARCHAR) || '|' ||
+           CAST(100 + n_regionkey AS VARCHAR)                      AS hier
+    FROM customer
+    JOIN nation ON n_nationkey = (c_custkey % 50) // 2
+    WHERE c_custkey <= 400
+    ORDER BY c_custkey
+    """,
+)
+def dict_region_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """region* geobase family (FunctionsEmbeddedDictionaries.cpp) over a
+    three-level continent/country/city hierarchy built from the region and
+    nation tables: regionToCountry/Continent/TopContinent walk the parent
+    chain to the requested geobase type, regionToPopulation/Name probe
+    attributes, regionIn tests ancestry — every probe a broadcast of the
+    tiny hierarchy, fact side unshuffled."""
+    from byconity_spark.operators.geobase import (
+        region_in,
+        region_hierarchy,
+        region_to_name,
+        region_to_population,
+        region_to_top_continent,
+        region_to_type,
+    )
+    from byconity_spark.workloads._arrays import arr_str
+
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    continents = region.select(
+        (F.col("r_regionkey") + 100).alias("id"),
+        F.lit(0).alias("parent_id"),
+        F.lit(1).alias("type"),
+    )
+    countries = nation.select(
+        (F.col("n_nationkey") + 200).alias("id"),
+        (F.col("n_regionkey") + 100).alias("parent_id"),
+        F.lit(3).alias("type"),
+    )
+    cities = nation.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+        (F.col("n_nationkey") * 2 + 300).alias("base"),
+    ).select(
+        (F.col("base") + F.col("j")).alias("id"),
+        ((F.col("base") + F.col("j") - 300) / 2).cast("long")
+        .alias("__nk"),
+    ).select(
+        "id",
+        (F.col("__nk") + 200).alias("parent_id"),
+        F.lit(6).alias("type"),
+    )
+    regions = (
+        continents.unionByName(countries).unionByName(cities)
+        .withColumn("population",
+                    F.when(F.col("type") == 6, (F.col("id") % 97) * 1000)
+                    .otherwise(F.lit(0)))
+        .withColumn("name", F.concat(F.lit("R"), F.col("id")))
+    )
+    cust = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select("c_custkey",
+                (F.col("c_custkey") % 50 + 300).alias("city"))
+    )
+    # depth 4 covers the 3-level hierarchy — each extra level is another
+    # broadcast probe in the plan, so don't pay for 10
+    out = region_to_type(cust, regions, "city", "country", out_col="country",
+                         max_depth=4)
+    out = region_to_type(out, regions, "city", "continent",
+                         out_col="continent", max_depth=4)
+    out = region_to_top_continent(out, regions, "city", out_col="top_cont",
+                                  max_depth=4)
+    out = region_to_population(out, regions, "city", out_col="pop")
+    out = region_to_name(out, regions, "country", out_col="cname")
+    out = out.withColumn("__c101", F.lit(101))
+    out = region_in(out, regions, "city", "__c101", out_col="in_101",
+                    max_depth=4)
+    out = region_hierarchy(out, regions, "city", out_col="__hier",
+                           max_depth=4)
+    return out.select(
+        "c_custkey", F.col("city").cast("long"),
+        F.col("country").cast("long"), F.col("continent").cast("long"),
+        F.col("top_cont").cast("long"), F.col("pop").cast("long"),
+        "cname", "in_101",
+        arr_str(F.col("__hier")).alias("hier"),
+    ).orderBy("c_custkey")
