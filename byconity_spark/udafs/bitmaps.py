@@ -669,7 +669,52 @@ def bitmap_logic_names() -> dict[str, str]:
         "BitMapMaxLevel": "bitmap_max_level",
         "BitmapColumnDiff": "bitmap_column_diff",
         "groupBitmap": "group_bitmap + bitmap_cardinality",
+        "BitmapCountV2": "bitmap_expression (v2 = container encoding rev)",
+        "BitmapExtractV2": "bitmap_expression",
+        "BitmapMultiCountV2": "bitmap_expression (multi exprs)",
+        "BitmapMultiExtractV2": "bitmap_expression (multi exprs)",
+        "BitmapMultiCountWithDate": "bitmap_expression_with_date",
+        "BitmapMultiCountWithDateV2": "bitmap_expression_with_date",
+        "BitmapMultiExtractWithDate": "bitmap_expression_with_date",
+        "BitmapMultiExtractWithDateV2": "bitmap_expression_with_date",
+        "bitmapBuild": "bitmap_build",
+        "arrayToBitmap": "bitmap_build",
         "groupBitmapAnd": "bitmap_column_fold(op='and') + cardinality",
         "groupBitmapOr": "bitmap_column_fold(op='or') + cardinality",
         "groupBitmapXor": "bitmap_column_fold(op='xor') + cardinality",
     }
+
+
+def bitmap_build(arr_col: Column) -> Column:
+    """bitmapBuild / arrayToBitmap (FunctionsBitmap.h): array<long> ->
+    serialized bitmap state (same container encoding as group_bitmap, so
+    the scalar algebra above composes with it)."""
+    @F.pandas_udf("binary")
+    def k(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None
+            else _encode(np.unique(np.asarray(list(v), dtype="<i8")))
+        )
+
+    return k(arr_col)
+
+
+def bitmap_expression_with_date(
+    states: DataFrame,
+    expr: str,
+    date_col: str = "p_date",
+    tag_col: str = "tag",
+    bm_col: str = "bm",
+) -> DataFrame:
+    """BitmapMultiCountWithDate/-ExtractWithDate (+V2)
+    (AggregateBitmapExpressionCommon.h:990 BitMapExpressionWithDateMultiAnalyzer):
+    expression tokens are '{date}_{tag}' composites — the analyzer keys
+    each bitmap by date+tag before running the same algebra.  Subset note:
+    the reference's bare-tag tokens (keys_without_date + global_index
+    resolution) are not supported — qualify every token with its date."""
+    keyed = states.select(
+        F.concat_ws("_", F.col(date_col).cast("string"),
+                    F.col(tag_col).cast("string")).alias(tag_col),
+        F.col(bm_col),
+    )
+    return bitmap_expression(keyed, expr, tag_col=tag_col, bm_col=bm_col)
