@@ -15,6 +15,7 @@ src/Functions/URL/ (hash/URL).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
 
 from byconity_spark.engine.catalog import load_table
@@ -920,4 +921,423 @@ def fn_vector_suite(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("n2_first"),
         ch("mortonEncode", F.col("vec_id") % 1024, (F.col("vec_id") * 7) % 1024)
         .alias("morton"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-7 geo-index suites (functions/geo_index.py)
+# ---------------------------------------------------------------------------
+
+def _h3_oracle_sql() -> str:
+    """DuckDB recomputation of the H3 bit layout from the same integer
+    seeds: both engines construct the index arithmetically; Spark then
+    RE-EXTRACTS every property from the BITS via the registry functions
+    while the oracle derives them from the construction formulas — a
+    genuine cross-check of the bit math."""
+    digit = "CASE WHEN {r} <= res THEN (seed + {r}) % 7 ELSE 7 END"
+    h_terms = " + ".join(
+        f"(({digit.format(r=r)}) * {1 << (45 - 3 * r)})" for r in range(1, 16)
+    )
+    # first nonzero digit among d1..d_res (NULL if all zero)
+    lead = "coalesce(" + ", ".join(
+        f"nullif(CASE WHEN {r} <= res THEN (seed + {r}) % 7 END, 0)"
+        for r in range(1, 6)
+    ) + ")"
+    import math
+
+    from byconity_spark.functions.geo_index import _H3_EARTH_R_KM
+
+    # EXACTLY the constant _h3_hex_area_km2 folds into its plan, so the
+    # floor() on both sides sees bit-identical doubles
+    sphere_over_120 = (
+        4.0 * math.pi * _H3_EARTH_R_KM * _H3_EARTH_R_KM / 120.0
+    )
+    return f"""
+    WITH s AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS seed,
+             CAST((n_nationkey % 5) + 1 AS BIGINT)   AS res,
+             CAST((n_nationkey * 7) % 122 AS BIGINT) AS bc
+      FROM nation
+    ),
+    hx AS (
+      SELECT seed, res, bc,
+             {1 << 59} + res * {1 << 52} + bc * {1 << 45} + {h_terms} AS h,
+             ({lead}) AS lead,
+             bc IN (4,14,24,38,49,58,63,72,83,97,107,117) AS pent_bc
+      FROM s
+    ),
+    p AS (
+      SELECT seed, res, bc, h, lead, pent_bc,
+             (pent_bc AND lead IS NULL)                         AS pent,
+             NOT (pent_bc AND lead = 1)                         AS valid
+      FROM hx
+    )
+    SELECT seed,
+           printf('%x', h)                                      AS h3_hex,
+           CAST(res AS BIGINT)                                  AS res_out,
+           CAST(bc AS BIGINT)                                   AS bc_out,
+           CAST(CASE WHEN valid THEN 1 ELSE 0 END AS BIGINT)    AS valid,
+           CAST(CASE WHEN pent THEN 1 ELSE 0 END AS BIGINT)     AS pent,
+           CAST(res % 2 AS BIGINT)                              AS class3,
+           printf('%x', (h | (({1 << 45} / power(8, res - 1))::BIGINT - 1))
+                        - (res * {1 << 52}) + ((res - 1) * {1 << 52}))
+                                                                AS parent_hex,
+           CAST(CASE WHEN pent THEN 6 ELSE 7 END AS BIGINT)     AS nkids,
+           CAST(CASE WHEN pent THEN 5 ELSE 6 END AS BIGINT)     AS nedges,
+           CAST(2 + 120 * power(7, res) AS BIGINT)              AS numhex,
+           CAST(floor({sphere_over_120!r} / power(7, res) * 1000) AS BIGINT)
+                                                                AS area_milli,
+           CAST(1 AS BIGINT)                                    AS origin_ok,
+           CAST(CASE WHEN valid THEN 1 ELSE 0 END AS BIGINT)    AS edge_valid
+    FROM p ORDER BY seed
+    """
+
+
+@register("fn_h3_suite", oracle=_h3_oracle_sql())
+def fn_h3_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """H3 index-math family (src/Functions/h3*.cpp; geo_index.py): both
+    sides construct the same indexes arithmetically from n_nationkey; the
+    Spark side re-derives resolution / base cell / validity / pentagon
+    rule / parent / children / edge counts from the BITS via the registry
+    while the oracle derives them from the construction formulas."""
+    n = _t(spark, sf, "nation")
+    seed = F.col("n_nationkey").cast("long")
+    res = (seed % 5 + 1).cast("int")
+    bc = (seed * 7) % 122
+    h = F.lit(1 << 59) + res.cast("long") * F.lit(1 << 52) + bc * F.lit(1 << 45)
+    for r in range(1, 16):
+        d = F.when(F.lit(r) <= res, (seed + r) % 7).otherwise(F.lit(7))
+        h = h + d * F.lit(1 << (45 - 3 * r))
+    h = h.cast("long")
+    df = n.select(
+        seed.alias("seed"), res.alias("__res"), h.alias("__h")
+    )
+    hh = F.col("__h")
+    first_edge = F.element_at(
+        ch("h3GetUnidirectionalEdgesFromHexagon", hh), 1
+    )
+    return df.select(
+        "seed",
+        ch("h3ToString", hh).alias("h3_hex"),
+        ch("h3GetResolution", hh).cast("long").alias("res_out"),
+        ch("h3GetBaseCell", hh).cast("long").alias("bc_out"),
+        ch("h3IsValid", hh).cast("long").alias("valid"),
+        ch("h3IsPentagon", hh).cast("long").alias("pent"),
+        ch("h3IsResClassIII", hh).cast("long").alias("class3"),
+        ch("h3ToString",
+           ch("h3ToParent", hh, F.col("__res") - 1)).alias("parent_hex"),
+        F.size(ch("h3ToChildren", hh, F.col("__res") + 1))
+        .cast("long").alias("nkids"),
+        F.size(ch("h3GetUnidirectionalEdgesFromHexagon", hh))
+        .cast("long").alias("nedges"),
+        ch("h3NumHexagons", F.col("__res")).alias("numhex"),
+        F.floor(ch("h3HexAreaKm2", F.col("__res")) * 1000)
+        .cast("long").alias("area_milli"),
+        (ch("h3GetOriginIndexFromUnidirectionalEdge", first_edge) == hh)
+        .cast("long").alias("origin_ok"),
+        ch("h3UnidirectionalEdgeIsValid", first_edge)
+        .cast("long").alias("edge_valid"),
+    ).orderBy("seed")
+
+
+def _s2_oracle_sql() -> str:
+    """DuckDB re-implementation of the full S2 leaf-cell pipeline — cube
+    face, quadratic st<->uv, and the 30-level Hilbert walk as a recursive
+    CTE over the same canonical tables (independent second
+    implementation, not a shared code path)."""
+    from byconity_spark.functions.geo_index import _IJ_TO_POS
+
+    arms = " ".join(
+        f"WHEN orient = {o} AND ijb = {ij} THEN {int(_IJ_TO_POS[o, ij])}"
+        for o in range(4) for ij in range(4)
+    )
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT n_nationkey AS seed,
+             ((((n_nationkey * 137) % 360) - 180) + 0.5)::DOUBLE AS lon,
+             ((((n_nationkey * 83) % 160) - 80) + 0.25)::DOUBLE  AS lat
+      FROM nation
+    ),
+    xyz AS (
+      SELECT seed,
+             cos(radians(lat)) * cos(radians(lon)) AS x,
+             cos(radians(lat)) * sin(radians(lon)) AS y,
+             sin(radians(lat))                     AS z
+      FROM pts
+    ),
+    fc AS (
+      SELECT seed, x, y, z,
+        CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+               THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+             WHEN abs(y) >= abs(z)
+               THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+             ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END END AS face
+      FROM xyz
+    ),
+    uv AS (
+      SELECT seed, face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+      FROM fc
+    ),
+    ij AS (
+      SELECT seed, face,
+        CAST(least(greatest(floor(1073741824 * (
+          CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u)
+               ELSE 1 - 0.5 * sqrt(1 - 3 * u) END)), 0), 1073741823)
+          AS BIGINT) AS i,
+        CAST(least(greatest(floor(1073741824 * (
+          CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v)
+               ELSE 1 - 0.5 * sqrt(1 - 3 * v) END)), 0), 1073741823)
+          AS BIGINT) AS j
+      FROM uv
+    ),
+    walk AS (
+      SELECT seed, face, i, j, 0 AS lvl, face % 2 AS orient,
+             CAST(0 AS BIGINT) AS pos
+      FROM ij
+      UNION ALL
+      SELECT seed, face, i, j, lvl + 1,
+             xor(orient, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+             pos * 4 + p
+      FROM (
+        SELECT *, CASE {arms} END AS p
+        FROM (
+          SELECT *, ((i >> (29 - lvl)) & 1) * 2 + ((j >> (29 - lvl)) & 1)
+                      AS ijb
+          FROM walk WHERE lvl < 30
+        ) t1
+      ) t2
+    ),
+    leaf AS (
+      SELECT seed,
+        CAST(CASE WHEN hid >= 9223372036854775808::HUGEINT
+                  THEN hid - 18446744073709551616::HUGEINT ELSE hid END
+             AS BIGINT) AS s2_id
+      FROM (
+        SELECT seed,
+               face::HUGEINT * 2305843009213693952::HUGEINT
+                 + pos::HUGEINT * 2 + 1 AS hid
+        FROM walk WHERE lvl = 30
+      ) t3
+    )
+    SELECT seed, s2_id,
+           ((s2_id & -1099511627776) | 1099511627776) AS parent10,
+           CAST(1 AS BIGINT) AS isect_parent,
+           CAST(0 AS BIGINT) AS isect_next
+    FROM leaf ORDER BY seed
+    """
+
+
+@register("fn_s2_suite", oracle=_s2_oracle_sql())
+def fn_s2_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 cell-id family (src/Functions/geoToS2.cpp, s2*.cpp;
+    geo_index.py): per-nation synthetic coordinates -> leaf cell id.  The
+    oracle recomputes the ENTIRE pipeline (cube face, quadratic
+    projection, 30-level Hilbert walk) as a DuckDB recursive CTE — an
+    independent second implementation of the spec.  parent10 is the
+    level-10 ancestor by lsb bit math; the intersect flags exercise
+    s2CellsIntersect against the parent (true) and the next seed's
+    distant cell (false)."""
+    n = _t(spark, sf, "nation")
+    seed = F.col("n_nationkey").cast("long")
+    lon = (((seed * 137) % 360) - 180 + F.lit(0.5)).cast("double")
+    lat = (((seed * 83) % 160) - 80 + F.lit(0.25)).cast("double")
+    lsb10 = 1 << 40
+    df = n.select(
+        seed.alias("seed"),
+        ch("geoToS2", lon, lat).alias("s2_id"),
+    )
+    parent10 = (
+        F.col("s2_id").bitwiseAND(F.lit(-lsb10)).bitwiseOR(F.lit(lsb10))
+    )
+    w = df.select(
+        "seed", "s2_id", parent10.alias("parent10"),
+        F.lead("s2_id", 1).over(_W.orderBy("seed")).alias("__next"),
+    )
+    return w.select(
+        "seed", "s2_id", "parent10",
+        ch("s2CellsIntersect", F.col("s2_id"), F.col("parent10"))
+        .cast("long").alias("isect_parent"),
+        F.coalesce(
+            ch("s2CellsIntersect", F.col("s2_id"), F.col("__next"))
+            .cast("long"),
+            F.lit(0),
+        ).alias("isect_next"),
+    ).orderBy("seed")
+
+
+@register(
+    "fn_round7_suite",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, text, string_split(norm, ' ') AS toks,
+             'https://www.ex' || doc_id || '.com/p?a=' || doc_id || '&b=2'
+               AS url,
+             (doc_id % 23) AS hh, (doc_id % 59) AS mm
+      FROM d
+    ),
+    sc AS (
+      SELECT *,
+        len(list_filter(toks, w -> w IN ('the','and','of','a','in','to','is')))
+          AS s_en,
+        len(list_filter(toks, w -> w IN ('el','la','de','que','y','los')))
+          AS s_es,
+        len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein')))
+          AS s_de,
+        len(list_filter(toks, w -> w IN ('le','la','et','les','des','une')))
+          AS s_fr,
+        len(list_filter(tone_toks, w -> w IN
+          ('good','great','excellent','love','happy','best','wonderful',
+           'amazing','nice','perfect','awesome','fantastic','enjoy',
+           'beautiful','win','success','improve','like'))) AS s_pos,
+        len(list_filter(tone_toks, w -> w IN
+          ('bad','terrible','hate','awful','worst','horrible','poor','fail',
+           'sad','angry','wrong','broken','ugly','lose','problem','annoy',
+           'disappoint'))) AS s_neg,
+        len(tone_toks) AS n_tone
+      FROM (SELECT *, regexp_extract_all(lower(text), '[a-z'']+') AS tone_toks
+            FROM t) tt
+    )
+    SELECT doc_id,
+           CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'un'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_det,
+           CAST(floor(greatest(-1.0, least(1.0,
+             (s_pos - s_neg) / greatest(n_tone, 1)::DOUBLE * 5.0))
+             * 1000) AS BIGINT)                            AS tone_m,
+           CASE WHEN regexp_matches(text, '^[\\x00-\\x7F]*$')
+                THEN 'US-ASCII' ELSE 'UTF-8' END            AS charset,
+           substr(nfc_normalize('e' || chr(769) || text), 1, 1) AS nfc_prefix,
+           regexp_extract(url,
+             '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1) AS net,
+           array_to_string(list_transform(
+             string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+             kv -> string_split(kv, '=')[1]), ',')          AS pnames,
+           CAST(hh * 3600 + mm * 60 AS DOUBLE)              AS delta_s,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0')            AS padded,
+           printf('%o', length(text))                       AS oct_len,
+           ascii(substr(text, 1, 1))                        AS first_code,
+           CAST(length(text) AS BIGINT)                     AS nchars,
+           substr(text, 1, 2) || '<>' || substr(text, 5, 5)  AS spliced
+    FROM sc ORDER BY doc_id
+    """,
+)
+def fn_round7_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 parity batch end-to-end (registry_ext7.py): language /
+    tonality / charset heuristics, NFC normalization, netloc + URL-param
+    names, parseTimeDelta, and the Spark-dialect + MySQL alias names —
+    every projected column re-derived independently in DuckDB."""
+    d = _t(spark, sf, "documents")
+    text = F.col("text")
+    url = F.concat(
+        F.lit("https://www.ex"), F.col("doc_id"),
+        F.lit(".com/p?a="), F.col("doc_id"), F.lit("&b=2"),
+    )
+    hh, mm = F.col("doc_id") % 23, F.col("doc_id") % 59
+    delta_str = F.concat(hh, F.lit("h "), mm, F.lit("m"))
+    return d.select(
+        "doc_id",
+        ch("detectLanguage", text).alias("lang_det"),
+        F.floor(ch("detectTonality", text) * 1000)
+        .cast("long").alias("tone_m"),
+        ch("detectCharset", text).alias("charset"),
+        F.substring(
+            ch("normalizeUTF8NFC",
+               F.concat(F.lit("e"), F.lit("́"), text)), 1, 1
+        ).alias("nfc_prefix"),
+        ch("netloc", url).alias("net"),
+        F.concat_ws(",", ch("extractURLParameterNames", url)).alias("pnames"),
+        ch("parseTimeDelta", delta_str).alias("delta_s"),
+        ch("lpad", F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        ch("oct", F.length(text)).alias("oct_len"),
+        ch("ord", F.substring(text, 1, 1)).cast("int").alias("first_code"),
+        ch("CHAR_LENGTH", text).alias("nchars"),
+        ch("insert", F.substring(text, 1, 9), F.lit(3), F.lit(2),
+           F.lit("<>")).alias("spliced"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "agg_round7_suite",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             user_id % 100 AS dur, user_id % 7 AS depth, user_id % 2 AS jmp,
+             user_id % 5 AS pos, CAST(event_id AS BIGINT) AS v
+      FROM events WHERE user_id < 60
+    ),
+    slot AS (
+      SELECT event_type, pos, max(v) AS mv FROM e GROUP BY event_type, pos
+    ),
+    ins AS (
+      SELECT event_type, array_to_string(
+        [coalesce(max(CASE WHEN pos = 0 THEN mv END), -1),
+         coalesce(max(CASE WHEN pos = 1 THEN mv END), -1),
+         coalesce(max(CASE WHEN pos = 2 THEN mv END), -1),
+         coalesce(max(CASE WHEN pos = 3 THEN mv END), -1),
+         coalesce(max(CASE WHEN pos = 4 THEN mv END), -1)], '|') AS slots
+      FROM slot GROUP BY event_type
+    )
+    SELECT m.event_type,
+           m.session_cnt, m.total_dur, m.total_depth, m.total_jump,
+           i.slots
+    FROM (
+      SELECT event_type,
+             count(*)                     AS session_cnt,
+             CAST(sum(dur) AS BIGINT)     AS total_dur,
+             CAST(sum(depth) AS BIGINT)   AS total_depth,
+             CAST(sum(jmp) AS BIGINT)     AS total_jump
+      FROM e GROUP BY event_type
+    ) m JOIN ins i USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def agg_round7_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """sumMetric (AggregateFunctionSessionSplit.h:678 — tuple-in,
+    counters-tuple-out) + parametric groupArrayInsertAt driven through
+    ch_agg by NAME, against a conditional-aggregate DuckDB oracle.  The
+    InsertAt slots use max-per-slot (the deterministic keeper) so the
+    distributed collect order cannot change the answer."""
+    from byconity_spark.functions import ch_agg
+    from byconity_spark.workloads._arrays import arr_str
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 60)
+    e = ev.select(
+        "event_type",
+        (F.col("user_id") % 100).alias("dur"),
+        (F.col("user_id") % 7).alias("depth"),
+        (F.col("user_id") % 2).alias("jmp"),
+        (F.col("user_id") % 5).cast("int").alias("pos"),
+        F.col("event_id").cast("long").alias("v"),
+    )
+    metric = e.groupBy("event_type").agg(
+        ch_agg("sumMetric", F.col("dur"), F.col("depth"), F.col("jmp"))
+        .alias("m")
+    )
+    slots = e.groupBy("event_type", "pos").agg(F.max("v").alias("mv"))
+    ins = slots.groupBy("event_type").agg(
+        arr_str(
+            ch_agg("groupArrayInsertAt", -1, 5)(F.col("mv"), F.col("pos"))
+        ).alias("slots")
+    )
+    return (
+        metric.join(ins, "event_type")
+        .select(
+            "event_type",
+            F.col("m.session_cnt").alias("session_cnt"),
+            F.col("m.total_dur").alias("total_dur"),
+            F.col("m.total_depth").alias("total_depth"),
+            F.col("m.total_jump").alias("total_jump"),
+            "slots",
+        )
+        .orderBy("event_type")
     )
