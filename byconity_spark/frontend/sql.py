@@ -2596,6 +2596,7 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     handled = try_rewrite_strict_join(spark, sql)
     if handled is not None:
         return handled
+    ensure_sql_kernels(spark)
     return spark.sql(rewrite_ch_sql(sql))
 
 
@@ -3127,3 +3128,91 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     return None
+
+
+# ---------------------------------------------------------------------------
+# round-7 geo batch: H3 index math as pure SQL rewrites (whole-stage
+# codegen), kernel-backed geo/NLP names via session-registered pandas UDFs
+# ---------------------------------------------------------------------------
+
+_H3_RES_FIELD = 15 << 52
+_H3_SPHERE_OVER_120 = (
+    4.0 * 3.141592653589793 * 6371.007180918475 * 6371.007180918475 / 120.0
+)
+
+
+def _h3_parent_sql(a: list[str]) -> str:
+    h, r = a[0], a[1]
+    return (
+        f"(((({h}) | (shiftleft(CAST(1 AS BIGINT), "
+        f"45 - 3 * CAST({r} AS INT)) - 1)) & ~{_H3_RES_FIELD}) "
+        f"| shiftleft(CAST({r} AS BIGINT), 52))"
+    )
+
+
+def _h3_point_dist_sql(scale: float):
+    def rule(a: list[str]) -> str:
+        la1, lo1, la2, lo2 = a
+        return (
+            f"(2 * atan2(sqrt(pow(sin((radians({la2}) - radians({la1})) / 2)"
+            f", 2) + cos(radians({la1})) * cos(radians({la2})) * "
+            f"pow(sin((radians({lo2}) - radians({lo1})) / 2), 2)), "
+            f"sqrt(1 - (pow(sin((radians({la2}) - radians({la1})) / 2), 2) "
+            f"+ cos(radians({la1})) * cos(radians({la2})) * "
+            f"pow(sin((radians({lo2}) - radians({lo1})) / 2), 2)))) "
+            f"* {scale!r})"
+        )
+
+    return rule
+
+
+RULES.update(
+    {
+        "h3GetResolution": lambda a: (
+            f"CAST(shiftright({a[0]}, 52) & 15 AS INT)"
+        ),
+        "h3GetBaseCell": lambda a: (
+            f"CAST(shiftright({a[0]}, 45) & 127 AS INT)"
+        ),
+        "h3ToString": lambda a: f"lower(hex({a[0]}))",
+        "stringToH3": lambda a: (
+            f"coalesce(CASE WHEN {a[0]} RLIKE '^[0-9a-fA-F]{{1,16}}$' "
+            f"THEN try_cast(conv({a[0]}, 16, -10) AS BIGINT) END, "
+            f"CAST(0 AS BIGINT))"
+        ),
+        "h3IsResClassIII": lambda a: (
+            f"((shiftright({a[0]}, 52) & 15) % 2 = 1)"
+        ),
+        "h3ToParent": _h3_parent_sql,
+        "h3NumHexagons": lambda a: (
+            f"CAST(2 + 120 * power(7, {a[0]}) AS BIGINT)"
+        ),
+        "h3HexAreaKm2": lambda a: (
+            f"({_H3_SPHERE_OVER_120!r} / power(7, CAST({a[0]} AS DOUBLE)))"
+        ),
+        "h3HexAreaM2": lambda a: (
+            f"({_H3_SPHERE_OVER_120!r} / power(7, CAST({a[0]} AS DOUBLE)) "
+            f"* 1e6)"
+        ),
+        "h3PointDistRads": _h3_point_dist_sql(1.0),
+        "h3PointDistKm": _h3_point_dist_sql(6371.007180918475),
+        "h3PointDistM": _h3_point_dist_sql(6371007.180918475),
+    }
+)
+
+
+_SQL_KERNEL_SESSIONS: set[int] = set()
+
+
+def ensure_sql_kernels(spark: "SparkSession") -> None:
+    """Register the kernel-backed geo/NLP pandas UDFs on this session so
+    CH SQL can call them by name (idempotent per session)."""
+    key = id(spark)
+    if key in _SQL_KERNEL_SESSIONS:
+        return
+    from byconity_spark.functions.geo_index import sql_kernels as _geo_k
+    from byconity_spark.functions.registry_ext7 import sql_kernels as _r7_k
+
+    for name, udf in {**_geo_k(), **_r7_k()}.items():
+        spark.udf.register(name, udf)
+    _SQL_KERNEL_SESSIONS.add(key)

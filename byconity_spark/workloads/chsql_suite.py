@@ -794,3 +794,55 @@ def chsql_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         FROM ddl_orders_rt GROUP BY o_orderstatus
         """,
     )
+
+
+def _chsql_geo_oracle() -> str:
+    from byconity_spark.workloads.functions_suite import _s2_oracle_sql
+
+    # the s2 walk is the heavy part — reuse the round-7 recursive-CTE
+    # oracle and join the h3 formula columns onto it
+    s2 = _s2_oracle_sql()
+    return f"""
+    WITH s2q AS ({s2})
+    SELECT seed,
+           printf('%x', {1 << 59} + ((seed % 5) + 1) * {1 << 52}
+                        + ((seed * 7) % 122) * {1 << 45}
+                        + {(1 << 45) - 1})            AS h3hex,
+           printf('%x', {1 << 59} + (seed % 5) * {1 << 52}
+                        + ((seed * 7) % 122) * {1 << 45}
+                        + {(1 << 45) - 1})            AS parenthex,
+           CAST((seed % 5) + 1 AS BIGINT)             AS res,
+           CAST(2 + 120 * power(7, (seed % 5) + 1) AS BIGINT) AS numhex,
+           s2_id
+    FROM s2q ORDER BY seed
+    """
+
+
+@register("chsql_geo_suite", oracle=_chsql_geo_oracle())
+def chsql_geo_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 geo families through the SQL FRONTEND: the H3 names rewrite
+    to pure Spark SQL (RULES batch at the bottom of frontend/sql.py) and
+    geoToS2 resolves via the session-registered Arrow kernel
+    (ensure_sql_kernels).  Both sides build the same all-sevens-digit
+    index arithmetically from n_nationkey; the Spark side additionally
+    round-trips it through stringToH3(h3ToString(...)) and derives the
+    parent via h3ToParent — proving the frontend rewrites end-to-end."""
+    h = ("({mode} + ((n_nationkey % 5) + 1) * {res_unit}"
+         " + ((n_nationkey * 7) % 122) * {bc_unit} + {digits7})").format(
+        mode=1 << 59, res_unit=1 << 52, bc_unit=1 << 45,
+        digits7=(1 << 45) - 1,
+    )
+    return _run(
+        spark,
+        sf,
+        f"""
+        SELECT n_nationkey AS seed,
+               h3ToString(stringToH3(h3ToString({h})))        AS h3hex,
+               h3ToString(h3ToParent({h}, n_nationkey % 5))   AS parenthex,
+               CAST(h3GetResolution({h}) AS BIGINT)           AS res,
+               h3NumHexagons((n_nationkey % 5) + 1)           AS numhex,
+               geoToS2((((n_nationkey * 137) % 360) - 180) + 0.5,
+                       (((n_nationkey * 83) % 160) - 80) + 0.25) AS s2_id
+        FROM nation ORDER BY seed
+        """,
+    )

@@ -984,3 +984,33 @@ def test_sample_keyed_deterministic(spark):
         spark, "SELECT l_orderkey, l_linenumber FROM lineitem "
                "SAMPLE 0.1 OFFSET 0.5").collect()))
     assert off and not (set(r[0] for r in a) & set(r[0] for r in off))
+
+
+# ------------------------------------------------ round-7 geo SQL surface
+
+def test_chsql_h3_rules(spark):
+    from byconity_spark.frontend.sql import ch_sql
+
+    r = ch_sql(spark, "SELECT h3GetResolution(stringToH3('8928308280fffff')) AS r").collect()[0]
+    assert r["r"] == 9
+    p = ch_sql(spark, "SELECT h3ToString(h3ToParent(stringToH3('8928308280fffff'), 8)) AS p").collect()[0]
+    assert p["p"] == "8828308281fffff"  # published h3 quickstart anchor
+    n = ch_sql(spark, "SELECT h3NumHexagons(2) AS n").collect()[0]
+    assert n["n"] == 2 + 120 * 49
+    assert ch_sql(spark, "SELECT stringToH3('nope') AS z").collect()[0]["z"] == 0
+
+
+def test_chsql_geo_kernels_registered(spark):
+    from byconity_spark.frontend.sql import ch_sql
+
+    rows = ch_sql(spark, """
+        SELECT geoToS2(10.5, 47.3) AS id,
+               s2CellsIntersect(geoToS2(1.0, 2.0), geoToS2(1.0, 2.0)) AS s,
+               stem('en', 'relational') AS st,
+               parseTimeDelta('2h 5m') AS d,
+               normalizeUTF8NFKC('ﬁ') AS n
+    """).collect()[0]
+    assert rows["id"] != 0 and rows["s"] is True
+    assert rows["st"] == "relat"
+    assert rows["d"] == 7500.0
+    assert rows["n"] == "fi"
