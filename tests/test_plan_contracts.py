@@ -330,3 +330,32 @@ def test_parity_ext_suite_single_shuffle(spark):
     shuffle once (plus the bounded-sample scan), not per-statistic."""
     plan = _plan(all_queries()["agg_parity_ext_suite"].builder(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning(event_type") <= 2
+
+
+def test_h3_suite_stays_jvm_side(spark):
+    """The H3 index math is pure bitwise Column expressions — the plan must
+    contain NO Python evaluation node (at 100 TB these run inside
+    whole-stage codegen on the scan)."""
+    df = all_queries()["fn_h3_suite"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_region_suite_broadcasts_hierarchy(spark):
+    """Every region* probe is a broadcast of the tiny hierarchy — the fact
+    side must never SortMergeJoin (which would shuffle all customers per
+    probe at scale)."""
+    df = all_queries()["dict_region_suite"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_s2_suite_single_arrow_kernel_per_call(spark):
+    """geoToS2 is one Arrow-batched kernel over the scan (no row-at-a-time
+    PythonUDF node)."""
+    df = all_queries()["fn_s2_suite"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
