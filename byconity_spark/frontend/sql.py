@@ -2055,6 +2055,88 @@ def _rewrite_with_totals(sql: str) -> str:
     )
 
 
+def _rewrite_arrayjoin_calls(sql: str) -> str:
+    """``SELECT arrayJoin(expr) ...`` -> LATERAL VIEW explode (reference
+    src/Functions/array/arrayJoin.cpp + the special-case handling in
+    ActionsVisitor: the scalar form multiplies rows like the ARRAY JOIN
+    clause).  ClickHouse gives IDENTICAL arrayJoin expressions the same
+    exploded value (common-subexpression rule), so every occurrence of
+    the same call text maps to one lateral view; DIFFERENT expressions
+    get independent lateral views (cartesian), also like the reference.
+
+    Only depth-0 call sites rewrite (an arrayJoin nested inside another
+    call — e.g. an aggregate — is invalid in ClickHouse too and raises)."""
+    n_fn = 0
+    while True:
+        # find a depth-0 `arrayJoin(` token outside strings
+        i, depth, found = 0, 0, -1
+        n = len(sql)
+        while i < n:
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif (
+                sql.startswith("arrayJoin", i)
+                and (i == 0 or sql[i - 1] not in _IDENT_CHARS)
+            ):
+                j = i + len("arrayJoin")
+                while j < n and sql[j] in " \t":
+                    j += 1
+                if j < n and sql[j] == "(" and depth == 0:
+                    found = i
+                    break
+            i += 1
+        if found < 0:
+            if "arrayJoin" in sql:
+                raise ChSqlError(
+                    "arrayJoin() below depth 0 (inside a subquery or "
+                    "another call) is not rewritable as text; use the "
+                    "ARRAY JOIN clause in that subquery instead"
+                )
+            return sql
+        # balanced argument extraction
+        op = sql.index("(", found)
+        k, d = op, 0
+        while k < n:
+            ck = sql[k]
+            if ck in "'\"":
+                k = _skip_string(sql, k)
+                continue
+            if ck == "(":
+                d += 1
+            elif ck == ")":
+                d -= 1
+                if d == 0:
+                    break
+            k += 1
+        if d != 0:
+            raise ChSqlError("arrayJoin: unbalanced parentheses")
+        expr = sql[op + 1 : k].strip()
+        call_text = sql[found : k + 1]
+        alias = f"__ajfn{n_fn}"
+        sql = sql.replace(call_text, alias)
+        # append the lateral view after the FROM table expression
+        f = _depth0_find(sql, "FROM")
+        if f < 0:
+            raise ChSqlError("arrayJoin needs a FROM clause to multiply")
+        end = len(sql)
+        for kw in _CLAUSE_STOPPERS:
+            p = _depth0_find(sql, kw, f + 4)
+            if p >= 0:
+                end = min(end, p)
+        sql = (
+            sql[:end]
+            + f" LATERAL VIEW explode({expr}) __ajfv{n_fn} AS {alias} "
+            + sql[end:]
+        )
+        n_fn += 1
+
+
 def _rewrite_array_join(sql: str) -> str:
     """``FROM t [LEFT] ARRAY JOIN <expr> AS <name>`` ->
     ``FROM t LATERAL VIEW [OUTER] explode(<expr>) __aj AS <name>``
@@ -2491,6 +2573,7 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _strip_final_and_global(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join(sql)
+    sql = _rewrite_arrayjoin_calls(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql)
     sql = _rewrite_with_fill_recursive(sql)

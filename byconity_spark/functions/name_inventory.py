@@ -149,6 +149,15 @@ def inventory() -> dict[str, tuple[str, str]]:
     # DataFrame-level names implemented in registry.py / workloads whose
     # Column form is not expressible as one aggregate expression
     out.setdefault("entropy", ("operator", "functions.registry:entropy"))
+    # round-7 second pass: scalar arrayJoin rewrites to a lateral view in
+    # the SQL frontend; runningConcurrency is the event-stream operator
+    out.setdefault(
+        "arrayJoin", ("frontend", "frontend.sql:_rewrite_arrayjoin_calls")
+    )
+    out.setdefault(
+        "runningConcurrency",
+        ("operator", "operators.windows:running_concurrency"),
+    )
     # merge-state variants of the attribution kernels: the DataFrame plans
     # recompute from partials, covering the -Merge consumption path
     out.setdefault("attributionAnalysisMerge",

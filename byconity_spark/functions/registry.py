@@ -2682,3 +2682,20 @@ from byconity_spark.functions import registry_ext7 as _registry_ext7  # noqa: E4
 
 _registry_ext7.install(SCALAR, AGG)
 _registry_ext7.install2(SCALAR, AGG)
+
+# --- round-7 second-pass batch (registry_ext7b.py): the feasible tail of
+# the previously-skipped names — sharding math, ByteMap name helpers,
+# partitionId, MySQL globals/AES, errorCodeToName, array-set probes,
+# topoFindDown, bitSlice, hashid, MD4, exact bayesAB, restricted
+# multiFuzzyMatch*, text-search query pair ---
+from byconity_spark.functions import registry_ext7b as _registry_ext7b  # noqa: E402
+
+_registry_ext7b.install(SCALAR, AGG)
+_registry_ext7b.install2(SCALAR, AGG)
+
+# --- BLAKE3 (FunctionsHashing.h; expected digests pinned from the
+# reference's own 02456_BLAKE3_hash_function_test) — pure-python spec
+# implementation in blake3_impl.py, hex-string render like MD5 ---
+from byconity_spark.functions.blake3_impl import blake3_column as _blake3  # noqa: E402
+
+SCALAR["BLAKE3"] = _blake3

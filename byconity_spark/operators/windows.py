@@ -112,3 +112,68 @@ def lead_in_frame(
     cur_pos = F.least(F.lit(preceding), F.row_number().over(w_rn) - 1) + 1
     pos = cur_pos + offset
     return F.when(pos <= F.size(lst), F.element_at(lst, pos))
+
+
+def running_concurrency(
+    df: DataFrame,
+    begin: str,
+    end: str,
+    partition_by: list[str] | None = None,
+    out: str = "concurrency",
+) -> DataFrame:
+    """runningConcurrency(begin, end) (reference
+    src/Functions/runningConcurrency.cpp): for each interval, the number
+    of intervals open at its begin instant — the reference walks rows in
+    order keeping a multiset of end times (purge ends <= begin, insert
+    own end, report set size).
+
+    Distributed formulation: explode each interval into a +1 event at
+    ``begin`` and a -1 event at ``end``, then take a running sum ordered
+    by (time, delta, end) per partition — ends sort before begins at the
+    same instant (delta -1 < +1), which reproduces the reference's
+    "purge ends <= begin" rule, and the +1 event rows carry their source
+    row so no join-back is needed.  Scale: one shuffle (the window
+    partitioning); within equal sort keys the per-row values are
+    order-dependent but the value MULTISET is stable, so aggregates over
+    the result are deterministic.
+
+    The reference raises on begin > end; rows violating that are
+    rejected here the same way (filtered into a hard error).
+    """
+    parts = partition_by or []
+    b, e = F.col(begin), F.col(end)
+    ev = df.select(
+        *parts,
+        F.explode(
+            F.array(
+                F.struct(
+                    b.alias("__t"), F.lit(1).alias("__d"), e.alias("__e"),
+                    F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+                ),
+                F.struct(
+                    e.alias("__t"), F.lit(-1).alias("__d"), e.alias("__e"),
+                    F.lit(None)
+                    .cast(
+                        "struct<"
+                        + ",".join(
+                            f"`{f.name}`:{f.dataType.simpleString()}"
+                            for f in df.schema.fields
+                        )
+                        + ">"
+                    )
+                    .alias("__row"),
+                ),
+            )
+        ).alias("__ev"),
+    ).select(*parts, "__ev.*")
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col("__t"), F.col("__d"), F.col("__e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = ev.withColumn("__conc", F.sum("__d").over(w))
+    begins = scored.filter(F.col("__d") == 1)
+    return begins.select(
+        *[F.col(f"__row.`{c}`").alias(c) for c in df.columns],
+        F.col("__conc").cast("long").alias(out),
+    )

@@ -1341,3 +1341,256 @@ def agg_round7_suite(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "fn_round7b_suite",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT k,
+           (k % 10) // 4                                    AS hr,
+           k % 8                                            AS bkt,
+           least((k % 16) // 4, 3)                          AS bktr,
+           CAST(len(list_filter([1000, 5000, 20000],
+                b -> b <= floor(o_totalprice))) AS BIGINT)  AS bbs,
+           CAST(len(list_filter([15, 17, 30, 44, 200],
+                b -> (k % 250) >= b)) AS BIGINT)            AS iv,
+           CASE k % 4 WHEN 0 THEN 'OK' WHEN 1 THEN 'UNKNOWN_TABLE'
+                WHEN 2 THEN '' ELSE 'TABLE_ALREADY_EXISTS' END AS ec,
+           'm' || (k % 3)                                   AS mc,
+           'k' || k                                         AS mk,
+           strftime(o_orderdate, '%Y%m%d')                  AS pid,
+           o_custkey || '-' || (k % 5)                      AS pid2,
+           CAST(CAST(o_orderdate AS TIMESTAMP)
+                + INTERVAL 1 DAY + INTERVAL 2 HOUR AS VARCHAR) AS ati,
+           strftime(CAST(o_orderdate AS TIMESTAMP)
+                + INTERVAL 2 HOUR, '%H:%M:%S')              AS tt,
+           '5.7.0'                                          AS gv,
+           CAST(floor(o_totalprice) AS BIGINT)              AS cast_i64,
+           ((k % 5) + (k % 7)) || '|' ||
+             ((k % 7) + (k % 11) + (k % 13))                AS arr_sums
+    FROM o ORDER BY k
+    """,
+)
+def fn_round7b_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-7 second-pass parity batch end-to-end (registry_ext7b.py):
+    sharding math (hashRange hashRange.cpp:29, bucket FunctionBucket.h:34,
+    bucket_bounds_search), MySQL INTERVAL, errorCodeToName, the ByteMap
+    implicit-name helpers (MapHelpers.cpp), partitionId
+    (MergeTreePartition.cpp:283), interval-tuple arithmetic, toTimeType,
+    globalVariable, the CAST alias, and arrayReduceInRanges — every
+    column re-derived independently in DuckDB."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    impl_name = F.concat(
+        F.lit("__m"), (k % 3).cast("string"),
+        F.lit("__'k"), k.cast("string"), F.lit("'.bin"),
+    )
+    ts = F.col("o_orderdate").cast("timestamp")
+    code = (
+        F.when(k % 4 == 0, 0)
+        .when(k % 4 == 1, 60)
+        .when(k % 4 == 2, 999999)
+        .otherwise(57)
+    )
+    red = ch(
+        "arrayReduceInRanges", "sum",
+        F.array(F.array(F.lit(1), F.lit(2)), F.array(F.lit(2), F.lit(3))),
+        F.array(k % 5, k % 7, k % 11, k % 13),
+    )
+    return o.select(
+        k.alias("k"),
+        ch("hashRange", k, 10, 3).alias("hr"),
+        ch("bucket", k, 8).alias("bkt"),
+        ch("bucket", k, 4, 1, 16).alias("bktr"),
+        ch(
+            "bucket_bounds_search",
+            F.array(F.lit(1000), F.lit(5000), F.lit(20000)),
+            F.floor(F.col("o_totalprice")),
+        ).cast("long").alias("bbs"),
+        ch("interval", k % 250, 15, 17, 30, 44, 200)
+        .cast("long").alias("iv"),
+        ch("errorCodeToName", code).alias("ec"),
+        ch("extractMapColumn", impl_name).alias("mc"),
+        ch("extractMapKey", impl_name).alias("mk"),
+        ch("partitionId", F.col("o_orderdate")).alias("pid"),
+        ch("partitionId", F.col("o_custkey"), k % 5).alias("pid2"),
+        ch("addTupleOfIntervals", ts, "1 DAY", "2 HOUR")
+        .cast("string").alias("ati"),
+        ch("toTimeType", ts + F.expr("INTERVAL 2 HOUR")).alias("tt"),
+        ch("globalVariable", "version").alias("gv"),
+        ch("CAST", F.col("o_totalprice"), "Int64").alias("cast_i64"),
+        F.concat_ws(
+            "|",
+            F.transform(red, lambda x: x.cast("long").cast("string")),
+        ).alias("arr_sums"),
+    ).orderBy("k")
+
+
+@register(
+    "fn_textsearch_suite",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, lang,
+             regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN list_contains(toks, 'the')
+                       OR list_contains(toks, 'data')
+                THEN 1 ELSE 0 END AS BIGINT)                 AS ts_or,
+           CAST(CASE WHEN list_contains(toks, 'data')
+                      AND NOT list_contains(toks, 'qwertyzz')
+                THEN 1 ELSE 0 END AS BIGINT)                 AS ts_andnot,
+           'AND(VAL(a), OR(VAL(b), NOT(VAL(c))))'            AS q_render,
+           CAST(CASE WHEN len(list_intersect(toks, ['data', 'model'])) > 0
+                THEN 1 ELSE 0 END AS BIGINT)                 AS set_check,
+           coalesce(array_to_string(
+             list_filter(toks, t -> list_contains(['data', 'model'], t)),
+             '|'), '')                                       AS set_get,
+           coalesce(list_filter(toks,
+             t -> list_contains(['data', 'model'], t))[1], '') AS set_any,
+           'a=' || doc_id || ',b=' || lang                   AS tnv
+    FROM d ORDER BY doc_id
+    """,
+)
+def fn_textsearch_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-search query pair (Common/TextSreachQuery.h, tsquery.cpp) and
+    array-set probes (arraySetCheck/Get/GetAny arraySetCheck.cpp:23) over
+    the documents corpus, plus tupleToNameValuePairs — the textSearch
+    evaluation here is the REAL boolean fold (the reference's scalar is an
+    index placeholder, DOCUMENTED superset)."""
+    d = _t(spark, sf, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")
+    sset = F.array(F.lit("data"), F.lit("model"))
+    tup = F.named_struct(
+        F.lit("a"), F.col("doc_id").cast("string"),
+        F.lit("b"), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        ch("textSearch", F.col("text"), "the | data")
+        .cast("long").alias("ts_or"),
+        ch("textSearch", F.col("text"), "data & !qwertyzz")
+        .cast("long").alias("ts_andnot"),
+        ch("toTextSearchQuery", F.lit("a & (b | !c)")).alias("q_render"),
+        ch("arraySetCheck", toks, sset).cast("long").alias("set_check"),
+        F.concat_ws("|", ch("arraySetGet", toks, sset)).alias("set_get"),
+        F.coalesce(ch("arraySetGetAny", toks, sset), F.lit(""))
+        .alias("set_any"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                ch("tupleToNameValuePairs", tup),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+        ).alias("tnv"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_bayes_ab",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, count(*) AS x,
+             sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS y
+      FROM events WHERE user_id < 200 AND event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    p AS (
+      SELECT
+        (SELECT x FROM counts WHERE event_type = 'click') AS cx,
+        (SELECT y FROM counts WHERE event_type = 'click') AS cy,
+        (SELECT x FROM counts WHERE event_type = 'view') AS vx,
+        (SELECT y FROM counts WHERE event_type = 'view') AS vy
+    ),
+    ab AS (
+      SELECT cx, cy, vx, vy,
+             1.0 + vy AS av, 1.0 + vx - vy AS bv,
+             1.0 + cy AS ac, 1.0 + cx - cy AS bc
+      FROM p
+    ),
+    prob AS (
+      SELECT cx, cy, vx, vy,
+             sum(exp(
+               (lgamma(ac + i) + lgamma(bv + bc) - lgamma(ac + i + bv + bc))
+               - ln(bv + i)
+               - (lgamma(1 + i) + lgamma(bv) - lgamma(1 + i + bv))
+               - (lgamma(ac) + lgamma(bc) - lgamma(ac + bc))
+             )) AS pv
+      FROM ab CROSS JOIN generate_series(0, 2000000) t(i)
+      WHERE i <= CAST(av AS BIGINT) - 1
+      GROUP BY cx, cy, vx, vy
+    )
+    SELECT CAST(cx AS BIGINT) AS control_x, CAST(cy AS BIGINT) AS control_y,
+           CAST(vx AS BIGINT) AS variant_x, CAST(vy AS BIGINT) AS variant_y,
+           CAST(floor(pv * 10000 + 0.5) AS BIGINT)       AS v_beats_ctl_4dp,
+           CAST(floor((1 - pv) * 10000 + 0.5) AS BIGINT) AS c_best_4dp,
+           CAST(floor(pv * 10000 + 0.5) AS BIGINT)       AS v_best_4dp
+    FROM prob
+    """,
+)
+def fn_bayes_ab(spark: SparkSession, sf: str) -> DataFrame:
+    """bayesAB (abtesting.cpp) certified cross-engine: conversion counts
+    come from the events table, the win probability is the EXACT
+    closed-form Beta race integral (the reference Monte-Carlo-samples it —
+    DOCUMENTED METHOD DEVIATION), and DuckDB re-derives the same sum with
+    lgamma + generate_series.  The 2-row count collect is driver-side by
+    design (aggregate-to-literal, like the stats-collection paths)."""
+    ev = _t(spark, sf, "events").filter(
+        (F.col("user_id") < 200)
+        & F.col("event_type").isin("click", "view")
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("x"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("y"),
+    )
+    rows = {r["event_type"]: (int(r["x"]), int(r["y"])) for r in agg.collect()}
+    cx, cy = rows["click"]
+    vx, vy = rows["view"]
+    col = ch("bayesAB", "beta", 1, ["click", "view"], [cx, vx], [cy, vy])
+
+    def dp4(path: str):
+        return F.floor(
+            F.get_json_object(col, path).cast("double") * 10000 + F.lit(0.5)
+        ).cast("long")
+
+    return spark.range(1).select(
+        F.lit(cx).cast("long").alias("control_x"),
+        F.lit(cy).cast("long").alias("control_y"),
+        F.lit(vx).cast("long").alias("variant_x"),
+        F.lit(vy).cast("long").alias("variant_y"),
+        dp4("$.data[1].beats_control").alias("v_beats_ctl_4dp"),
+        dp4("$.data[0].to_be_best").alias("c_best_4dp"),
+        dp4("$.data[1].to_be_best").alias("v_best_4dp"),
+    )
+
+
+# --------------------------------------------------------------- BLAKE3
+@register(
+    "fn_blake3_vectors",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('test_1', '0c673da1ef75d2daa895483138340f041881ea975d57c1435d487f454a111b74'),
+      ('test_2', '007ed777b7a1cba08d37bda339efabb42fa460d953070779903125b0f4d5fb5f'),
+      ('test_3', 'e25232688e2a4d3a55174decb33815a27b2a92dc8839e3cda456105c259bb071'),
+      ('',       'af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262')
+    ) AS t(input, digest) ORDER BY input
+    """,
+)
+def fn_blake3_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """BLAKE3 (FunctionsHashing.h) against EXTERNAL ground truth only: the
+    reference repo's own expected digests
+    (tests/queries/0_stateless/02456_BLAKE3_hash_function_test.reference)
+    plus the published empty-input digest — never this repo's output fed
+    back to itself.  Multi-block/multi-chunk tree shapes are exercised
+    spec-faithfully in tests/test_registry_ext7b.py."""
+    rows = spark.createDataFrame(
+        [("test_1",), ("test_2",), ("test_3",), ("",)], "input string"
+    )
+    return rows.select("input", ch("BLAKE3", F.col("input")).alias("digest")).orderBy(
+        "input"
+    )

@@ -327,3 +327,63 @@ def win_lag_in_frame(spark: SparkSession, sf: str) -> DataFrame:
         .alias("lead_in_frame_2"),
         F.round(F.lag("value", 3).over(w), 6).alias("ansi_lag_3"),
     )
+
+
+@register(
+    "win_running_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS b,
+             ts + to_seconds(60 * (1 + event_id % 5)) AS e
+      FROM events WHERE event_type = 'click' AND user_id < 500
+    ),
+    ev AS (
+      SELECT user_id, b AS t, 1 AS d, e FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS d, e FROM iv
+    ),
+    s AS (
+      SELECT user_id, d,
+             sum(d) OVER (PARTITION BY user_id ORDER BY t, d, e
+                          ROWS UNBOUNDED PRECEDING) AS conc
+      FROM ev
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)    AS n_intervals,
+           CAST(max(conc) AS BIGINT)   AS max_conc,
+           CAST(sum(conc) AS BIGINT)   AS sum_conc
+    FROM s WHERE d = 1
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_running_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """runningConcurrency (src/Functions/runningConcurrency.cpp) over
+    per-user click intervals: each click opens an interval of 1-5 minutes;
+    the operator reports how many intervals are open at each begin
+    instant.  Aggregated per user (max + sum of concurrency) because the
+    per-row value is tie-order-dependent while its multiset is not — the
+    same reason the DuckDB oracle folds the identical event stream."""
+    from byconity_spark.operators.windows import running_concurrency
+
+    ev = _t(spark, sf, "events").filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 500)
+    )
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("b"),
+        (
+            F.col("ts")
+            + F.make_interval(secs=(60 * (1 + F.col("event_id") % 5)))
+        ).alias("e"),
+    )
+    scored = running_concurrency(iv, "b", "e", partition_by=["user_id"])
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.max("concurrency").cast("long").alias("max_conc"),
+            F.sum("concurrency").cast("long").alias("sum_conc"),
+        )
+        .orderBy("user_id")
+    )

@@ -1014,3 +1014,31 @@ def test_chsql_geo_kernels_registered(spark):
     assert rows["st"] == "relat"
     assert rows["d"] == 7500.0
     assert rows["n"] == "fi"
+
+
+def test_arrayjoin_scalar_call(spark):
+    from byconity_spark.frontend.sql import ch_sql
+
+    # scalar arrayJoin multiplies rows like the ARRAY JOIN clause
+    # (src/Functions/array/arrayJoin.cpp)
+    spark.range(1).selectExpr("array(10, 20, 30) AS arr").createOrReplaceTempView(
+        "__ajfn_t"
+    )
+    rows = ch_sql(
+        spark, "SELECT arrayJoin(arr) AS v FROM __ajfn_t ORDER BY v"
+    ).collect()
+    assert [r.v for r in rows] == [10, 20, 30]
+    # identical calls share one explode (CH common-subexpression rule)
+    rows2 = ch_sql(
+        spark,
+        "SELECT arrayJoin(arr) AS a, arrayJoin(arr) * 2 AS b "
+        "FROM __ajfn_t ORDER BY a",
+    ).collect()
+    assert [(r.a, r.b) for r in rows2] == [(10, 20), (20, 40), (30, 60)]
+    # distinct expressions multiply (cartesian)
+    rows3 = ch_sql(
+        spark,
+        "SELECT arrayJoin(array(1, 2)) AS a, arrayJoin(array(10, 20)) AS b "
+        "FROM __ajfn_t",
+    ).collect()
+    assert len(rows3) == 4
