@@ -14,6 +14,11 @@ from byconity_spark.llm.dedup import (  # noqa: F401
     simhash_near_pairs,
     word_shingles,
 )
+from byconity_spark.llm.clustering import (  # noqa: F401
+    assign_clusters,
+    kmeans_fit,
+    kmeans_summary,
+)
 from byconity_spark.llm.multimodal import attach_binary_payload, extract_features  # noqa: F401
 from byconity_spark.llm.similarity import (  # noqa: F401
     ann_bruteforce_topk,

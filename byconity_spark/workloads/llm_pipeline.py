@@ -1086,3 +1086,69 @@ def llm_chunking(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 17 == 0)
     return chunk_documents(docs, chunk_tokens=128, overlap_tokens=16)
+
+
+# ------------------------------------------------------------------ k-means
+# Unrolled-Lloyd oracle, same determinism trick as udafs/mlmethod.py's GD
+# oracle: centroids round to 6 decimals after init and after every update,
+# so both engines walk identical centroid sequences; assignment ties break
+# to the smallest cid on both sides (ORDER BY dist, cid / numpy first-index
+# argmin).  Embedding dim is fixed at 64 by the generator (TESTDATA.md).
+def _kmeans_assign_cte(src: str, cents: str, out: str) -> str:
+    return f"""
+    {out} AS (SELECT vec_id, e, cid FROM (
+       SELECT v.vec_id, v.e, c.cid,
+              row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_distance(v.e, c.c), c.cid) AS rn
+       FROM {src} v CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+
+def _kmeans_update_cte(assigned: str, out: str) -> str:
+    return f"""
+    {out} AS (SELECT cid, list(m ORDER BY i) AS c FROM (
+       SELECT cid, i, round(avg(e[CAST(i AS INT)]), 6) AS m
+       FROM {assigned} CROSS JOIN generate_series(1, 64) t(i)
+       GROUP BY cid, i) GROUP BY cid)"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  list_transform(e, x -> round(x, 6)) AS c
+           FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+    {_kmeans_assign_cte('v', 'c0', 'a1')},
+    {_kmeans_update_cte('a1', 'c1')},
+    {_kmeans_assign_cte('v', 'c1', 'a2')},
+    {_kmeans_update_cte('a2', 'c2')},
+    {_kmeans_assign_cte('v', 'c2', 'a3')},
+    {_kmeans_update_cte('a3', 'c3')},
+    {_kmeans_assign_cte('v', 'c3', 'a4')}
+    SELECT a4.cid,
+           CAST(count(*) AS BIGINT)                  AS n,
+           round(avg(list_distance(a4.e, c3.c)), 4)  AS avg_dist
+    FROM a4 JOIN c3 ON a4.cid = c3.cid
+    GROUP BY a4.cid ORDER BY a4.cid
+"""
+
+
+@register("llm_kmeans_clusters", oracle=_KMEANS_ORACLE)
+def llm_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd k-means (llm/clustering.py) over the embeddings
+    table: k=8 deterministic init (8 smallest vec_ids), 3 assign+update
+    rounds, then per-cluster size + mean distance to the final centroid.
+    The training-data curation primitive (topic bucketing / IVF coarse
+    quantizer); scale notes in the module docstring."""
+    from byconity_spark.llm.clustering import kmeans_fit, kmeans_summary
+
+    emb = _emb(spark, sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cids, cents, assigned = kmeans_fit(
+        emb, "e", k=8, iters=3, id_col="vec_id", round_decimals=6
+    )
+    out = kmeans_summary(assigned, cents, cids, "e", dist_decimals=4)
+    return out.select(
+        F.col("cid").cast("bigint").alias("cid"), "n", "avg_dist"
+    )

@@ -198,3 +198,48 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+
+
+# ------------------------------------------------------------- k-means
+def test_kmeans_deterministic_and_partitioned(spark):
+    import numpy as np
+    from byconity_spark.llm.clustering import kmeans_fit, kmeans_summary
+
+    rng = np.random.default_rng(7)
+    # 3 well-separated blobs => Lloyd must recover them exactly
+    # id layout i*3+b => the 3 lowest ids (the deterministic seeds) land
+    # one per blob, so Lloyd must recover the blobs exactly
+    pts = []
+    for b, center in enumerate(((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))):
+        for i in range(40):
+            pts.append(
+                (
+                    i * 3 + b,
+                    [float(center[0] + rng.normal(0, 0.3)),
+                     float(center[1] + rng.normal(0, 0.3))],
+                )
+            )
+    df = spark.createDataFrame(pts, "vec_id long, e array<double>").repartition(8)
+    cids, cents, assigned = kmeans_fit(df, "e", k=3, iters=4, id_col="vec_id")
+    out = kmeans_summary(assigned, cents, cids, "e").collect()
+    # blobs are tight: every cluster ends up with exactly 40 members
+    assert sorted(r.n for r in out) == [40, 40, 40]
+    assert all(r.avg_dist < 1.0 for r in out)
+    # determinism across reruns (fixed init, rounded centroids)
+    cids2, cents2, _ = kmeans_fit(df, "e", k=3, iters=4, id_col="vec_id")
+    assert np.array_equal(cents, cents2) and np.array_equal(cids, cids2)
+
+
+def test_kmeans_empty_cluster_drop(spark):
+    from byconity_spark.llm.clustering import kmeans_fit
+
+    # two coincident points + one far away, k=3: the duplicate seed's
+    # cluster empties after the first assignment and must be dropped
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [9.0, 9.0])],
+        "vec_id long, e array<double>",
+    )
+    cids, cents, assigned = kmeans_fit(df, "e", k=3, iters=2, id_col="vec_id")
+    assert len(cents) == 2
+    got = {r.cid for r in assigned.select("cid").distinct().collect()}
+    assert got == {int(c) for c in cids}
