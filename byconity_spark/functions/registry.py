@@ -2699,3 +2699,37 @@ _registry_ext7b.install2(SCALAR, AGG)
 from byconity_spark.functions.blake3_impl import blake3_column as _blake3  # noqa: E402
 
 SCALAR["BLAKE3"] = _blake3
+
+# --- LBS geo-filter family (greatCircleDistance.cpp:346-489 business
+# circles, addressFilter.cpp multiAddress*Filter) + the replicate array
+# internal — pure Column expressions, constants unroll to OR-chains ---
+from byconity_spark.functions import geo_filters as _geo_filters  # noqa: E402
+
+_geo_filters.install(SCALAR)
+
+
+def _nested(names, *arrs):
+    """nested(['k','v'], keys_arr, vals_arr) -> array of named structs
+    (src/Functions/nested.cpp — zips N equal-length arrays into one array
+    of tuples with the given field names; names must be constants, like
+    the reference's always-const argument 0)."""
+    if not isinstance(names, (list, tuple)) or not names:
+        raise ValueError("nested: first arg must be a non-empty python "
+                         "list of field names (reference requires a "
+                         "constant array of strings)")
+    if len(names) != len(arrs):
+        raise ValueError(
+            f"nested: {len(names)} names vs {len(arrs)} array arguments"
+        )
+    cols = [c if isinstance(c, Column) else F.lit(c) for c in arrs]
+    n = F.greatest(*[F.size(c) for c in cols]) if len(cols) > 1 else F.size(cols[0])
+    row = lambda i: F.struct(  # noqa: E731
+        *[F.get(c, i).alias(nm) for nm, c in zip(names, cols)]
+    )
+    # sequence(0, -1) would infer step -1; guard the empty case explicitly
+    # (slice of a one-row build keeps the struct element type)
+    empty = F.slice(F.transform(F.sequence(F.lit(0), F.lit(0)), row), 1, 0)
+    return F.when(n > 0, F.transform(F.sequence(F.lit(0), n - 1), row)).otherwise(empty)
+
+
+SCALAR["nested"] = _nested

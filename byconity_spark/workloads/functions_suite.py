@@ -1594,3 +1594,119 @@ def fn_blake3_vectors(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select("input", ch("BLAKE3", F.col("input")).alias("digest")).orderBy(
         "input"
     )
+
+
+_LBS_HAV = (
+    "2*6371007.180918475*asin(sqrt(pow(sin(radians(({PLAT} - {LAT}))/2),2)"
+    " + cos(radians({LAT}))*cos(radians({PLAT}))"
+    "*pow(sin(radians(({PLON} - {LON}))/2),2)))"
+)
+_LBS_D2 = (
+    "(pow((radians({PLON}) - radians(lon)) * 6370996.81"
+    " * cos((radians(lat) + radians({PLAT}))/2), 2)"
+    " + pow((radians({PLAT}) - radians(lat)) * 6370996.81, 2))"
+)
+# longlatOffset (addressFilter.cpp:38-45): corner constants — the SQL text
+# mirrors the Python float op order in geo_filters._lbs_bbox exactly
+_LBS_BOX = (
+    "{PLON} + {D}*sin(pi()/4*5)/(6371.393*1000.0*cos(radians({PLAT}))*2*pi())*360 AS {P}_x0, "
+    "{PLAT} + {D}*cos(pi()/4*5)/(6371.393*1000.0*2*pi())*360 AS {P}_y0, "
+    "{PLON} + {D}*sin(pi()/4)/(6371.393*1000.0*cos(radians({PLAT}))*2*pi())*360 AS {P}_x1, "
+    "{PLAT} + {D}*cos(pi()/4)/(6371.393*1000.0*2*pi())*360 AS {P}_y1"
+)
+
+
+def _lbs_oracle_sql() -> str:
+    hav = _LBS_HAV
+    d_p1 = hav.format(PLON="2.35", PLAT="48.85", LON="lon", LAT="lat")
+    d_p2 = hav.format(PLON="2.35", PLAT="48.85", LON="lon2", LAT="lat2")
+    d_n1 = hav.format(PLON="(-74.0)", PLAT="40.7", LON="lon", LAT="lat")
+    d_n2 = hav.format(PLON="(-74.0)", PLAT="40.7", LON="lon2", LAT="lat2")
+    box = ", ".join([
+        _LBS_BOX.format(PLON="2.35", PLAT="48.85",
+                        D="(2000000.0*sqrt(2))", P="pm"),
+        _LBS_BOX.format(PLON="(-74.0)", PLAT="40.7",
+                        D="(2000000.0*sqrt(2))", P="nm"),
+        _LBS_BOX.format(PLON="2.35", PLAT="48.85",
+                        D="(2000000.0*sqrt(2))", P="po"),
+        _LBS_BOX.format(PLON="2.35", PLAT="48.85", D="2000000.0", P="pi"),
+        _LBS_BOX.format(PLON="139.69", PLAT="35.68",
+                        D="(3000000.0*sqrt(2))", P="to"),
+        _LBS_BOX.format(PLON="139.69", PLAT="35.68", D="3000000.0", P="ti"),
+    ])
+    d2_p = _LBS_D2.format(PLON="2.35", PLAT="48.85")
+    d2_n = _LBS_D2.format(PLON="(-74.0)", PLAT="40.7")
+    d2_t = _LBS_D2.format(PLON="139.69", PLAT="35.68")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey, c_nationkey,
+             (((c_custkey * 7) % 360) - 180 + 0.25)::DOUBLE AS lon,
+             ((c_custkey % 180) - 90 + 0.5)::DOUBLE         AS lat
+      FROM customer
+    ),
+    c2 AS (
+      SELECT *, lon + 1.5 AS lon2, lat - 1.0 AS lat2,
+             (lon + 1.5 >= -180 AND lon + 1.5 <= 180
+              AND lat - 1.0 >= -90 AND lat - 1.0 <= 90) AS v2
+      FROM pts
+    ),
+    k AS (SELECT {box}),
+    d AS (
+      SELECT c2.*, k.*,
+             {d_p1} AS dp1, {d_p2} AS dp2,
+             {d_n1} AS dn1, {d_n2} AS dn2,
+             {d2_p} AS q2p, {d2_n} AS q2n, {d2_t} AS q2t
+      FROM c2, k
+    )
+    SELECT c_custkey,
+      CASE WHEN dp1 <= 3000000.0 OR (v2 AND dp2 <= 3000000.0)
+           THEN 1 ELSE 0 END AS in_bc,
+      CASE WHEN dp1 <= 3000000.0 OR (v2 AND dp2 <= 3000000.0)
+             OR dn1 <= 4000000.0 OR (v2 AND dn2 <= 4000000.0)
+           THEN 1 ELSE 0 END AS in_bc2,
+      CASE WHEN (lon >= pm_x0 AND lon <= pm_x1 AND lat >= pm_y0
+                 AND lat <= pm_y1 AND q2p <= 2000000.0*2000000.0)
+             OR (lon >= nm_x0 AND lon <= nm_x1 AND lat >= nm_y0
+                 AND lat <= nm_y1 AND q2n <= 2000000.0*2000000.0)
+           THEN 1 ELSE 0 END AS maf,
+      CASE WHEN (lon >= pi_x0 AND lon <= pi_x1 AND lat >= pi_y0 AND lat <= pi_y1)
+             OR (lon >= po_x0 AND lon <= po_x1 AND lat >= po_y0
+                 AND lat <= po_y1 AND q2p <= 2000000.0*2000000.0)
+             OR (lon >= ti_x0 AND lon <= ti_x1 AND lat >= ti_y0 AND lat <= ti_y1)
+             OR (lon >= to_x0 AND lon <= to_x1 AND lat >= to_y0
+                 AND lat <= to_y1 AND q2t <= 3000000.0*3000000.0)
+           THEN 1 ELSE 0 END AS mamdf,
+      concat_ws('|', c_nationkey::VARCHAR, c_nationkey::VARCHAR,
+                c_nationkey::VARCHAR, c_nationkey::VARCHAR) AS rep_tags
+    FROM d
+    """
+
+
+@register("fn_lbs_filter_suite", oracle=_lbs_oracle_sql())
+def fn_lbs_filter_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """LBS geo-filter family (functions/geo_filters.py): inBusinessCircle /
+    inBusinessCircle2 (greatCircleDistance.cpp:346-495 — any array point in
+    a haversine circle, NULL/out-of-range points skipped), multiAddressFilter
+    / multiAddressMultiDistanceFilter (addressFilter.cpp:68-300 — bbox
+    prefilter + equirectangular distance, inner-box short-circuit), and the
+    replicate array internal (replicate.h:14).  The point arrays carry one
+    NULL and one out-of-range entry on purpose — the oracle only credits the
+    two valid candidates, so skip semantics are value-checked."""
+    c = _t(spark, sf, "customer")
+    lon = (((F.col("c_custkey") * 7) % 360) - 180 + F.lit(0.25)).cast("double")
+    lat = ((F.col("c_custkey") % 180) - 90 + F.lit(0.5)).cast("double")
+    lon_arr = F.array(lon, lon + 1.5, F.lit(None).cast("double"), F.lit(200.0))
+    lat_arr = F.array(lat, lat - 1.0, lat, F.lit(95.0))
+    return c.select(
+        "c_custkey",
+        ch("inBusinessCircle", 3000000.0, 2.35, 48.85, lon_arr, lat_arr)
+        .alias("in_bc"),
+        ch("inBusinessCircle2", lon_arr, lat_arr,
+           3000000.0, 2.35, 48.85, 4000000.0, -74.0, 40.7).alias("in_bc2"),
+        ch("multiAddressFilter", lon, lat, 2000000.0,
+           2.35, 48.85, -74.0, 40.7).alias("maf"),
+        ch("multiAddressMultiDistanceFilter", lon, lat,
+           2000000.0, 2.35, 48.85, 3000000.0, 139.69, 35.68).alias("mamdf"),
+        arr_str(ch("replicate", F.col("c_nationkey"), lon_arr))
+        .alias("rep_tags"),
+    )

@@ -297,3 +297,60 @@ def test_geohashes_in_box(spark):
     empty = _val(spark, ch("geohashesInBox", F.lit(11.0), F.lit(50.0),
                            F.lit(10.0), F.lit(50.0), 3))
     assert empty == []
+
+
+# ------------------------------------------------------- LBS geo filters
+
+def test_in_business_circle_skips_invalid_points(spark):
+    # point 1 is ~0 m from the centre; points 2/3 are NULL / out-of-range
+    # and must be skipped, not poison the row (greatCircleDistance.cpp:460)
+    arr_lon = F.array(F.lit(2.35), F.lit(None).cast("double"), F.lit(200.0))
+    arr_lat = F.array(F.lit(48.85), F.lit(10.0), F.lit(95.0))
+    assert _val(spark, ch("inBusinessCircle", 1000.0, 2.35, 48.85,
+                          arr_lon, arr_lat)) == 1
+    # only invalid points -> 0, never NULL
+    bad_lon = F.array(F.lit(None).cast("double"), F.lit(200.0))
+    bad_lat = F.array(F.lit(10.0), F.lit(95.0))
+    assert _val(spark, ch("inBusinessCircle", 1e9, 2.35, 48.85,
+                          bad_lon, bad_lat)) == 0
+
+
+def test_in_business_circle2_any_circle(spark):
+    arr_lon = F.array(F.lit(-74.0))
+    arr_lat = F.array(F.lit(40.7))
+    # not in the Paris circle, in the NYC circle
+    assert _val(spark, ch("inBusinessCircle2", arr_lon, arr_lat,
+                          1000.0, 2.35, 48.85, 1000.0, -74.0, 40.7)) == 1
+    assert _val(spark, ch("inBusinessCircle2", arr_lon, arr_lat,
+                          1000.0, 2.35, 48.85)) == 0
+
+
+def test_multi_address_filter_inner_shortcut(spark):
+    # dead-centre point passes both filters; antipode passes neither
+    assert _val(spark, ch("multiAddressFilter", F.lit(2.35), F.lit(48.85),
+                          5000.0, 2.35, 48.85)) == 1
+    assert _val(spark, ch("multiAddressFilter", F.lit(-177.0), F.lit(-48.0),
+                          5000.0, 2.35, 48.85)) == 0
+    assert _val(spark, ch("multiAddressMultiDistanceFilter",
+                          F.lit(2.35), F.lit(48.85),
+                          5000.0, 2.35, 48.85, 100.0, 139.69, 35.68)) == 1
+    assert _val(spark, ch("multiAddressMultiDistanceFilter",
+                          F.lit(-177.0), F.lit(-48.0),
+                          5000.0, 2.35, 48.85, 100.0, 139.69, 35.68)) == 0
+
+
+def test_replicate_shapes_like_array(spark):
+    out = _val(spark, ch("replicate", F.lit(7),
+                         F.array(F.lit(1), F.lit(2), F.lit(3))))
+    assert out == [7, 7, 7]
+
+
+def test_nested_zips_named_structs(spark):
+    out = _val(spark, ch("nested", ["k", "v"],
+                         F.array(F.lit("a"), F.lit("b")),
+                         F.array(F.lit(1), F.lit(2))))
+    assert [r.asDict() for r in out] == [
+        {"k": "a", "v": 1}, {"k": "b", "v": 2}]
+    empty = _val(spark, ch("nested", ["k"],
+                           F.slice(F.array(F.lit(1)), 1, 0)))
+    assert empty == []

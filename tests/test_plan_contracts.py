@@ -359,3 +359,14 @@ def test_s2_suite_single_arrow_kernel_per_call(spark):
     plan = _plan(df)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lbs_filter_suite_stays_jvm_side_no_shuffle(spark):
+    """The LBS geo-filter family unrolls to Column OR-chains — the plan
+    must be a single scan+project with no Python node and no exchange
+    (at 100 TB these predicates run inside whole-stage codegen)."""
+    df = all_queries()["fn_lbs_filter_suite"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
