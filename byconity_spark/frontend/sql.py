@@ -2542,6 +2542,7 @@ def _rewrite_array_literals(sql: str) -> str:
 _SYSTEM_TABLE_MAP = {
     "system.tables": "system_tables",
     "system.columns": "system_columns",
+    "system.query_cache": "system_query_cache",
     "system.one": "(SELECT 0 AS dummy)",
     "system.numbers": "(SELECT id AS number FROM range(1000000))",
 }
@@ -2680,7 +2681,31 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     if handled is not None:
         return handled
     ensure_sql_kernels(spark)
-    return spark.sql(rewrite_ch_sql(sql))
+
+    from byconity_spark.engine.query_cache import query_cache
+
+    if _re.search(r"\bsystem\.query_cache\b", sql, _re.IGNORECASE):
+        # refresh the introspection view on every read — entries move
+        # between fresh/stale continuously (StorageSystemQueryCache.cpp)
+        query_cache.entries_df(spark).createOrReplaceTempView(
+            "system_query_cache"
+        )
+
+    # per-statement SETTINGS use_query_cache = 0/1 overrides the session
+    # default (Settings.h:1155); the clause itself is stripped by the
+    # normal rewrite, so the probe runs on the raw statement
+    qc_m = _re.search(r"\buse_query_cache\s*=\s*([01])\b", sql, _re.IGNORECASE)
+    use_qc = bool(int(qc_m.group(1))) if qc_m else query_cache.enabled
+
+    norm = rewrite_ch_sql(sql)
+    if use_qc and query_cache.reads_enabled:
+        hit = query_cache.lookup(norm)
+        if hit is not None:
+            return hit
+    df = spark.sql(norm)
+    if use_qc and query_cache.writes_enabled:
+        df = query_cache.store(norm, df)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -3074,6 +3099,8 @@ def _try_ddl(spark: SparkSession, sql: str):
         df = ch_sql(spark, kw + rest)
         df.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)  # re-CREATE invalidates cached readers
         if engine and engine.lower().startswith("replacingmergetree"):
             ver = (eng_args or "").strip() or df.columns[-1]
             keys = [c.strip() for c in (order_by or df.columns[0]).split(",")]
@@ -3180,6 +3207,8 @@ def _try_ddl(spark: SparkSession, sql: str):
             new = ch_sql(spark, kw + rest)
         merged = spark.table(name).unionByName(new.toDF(*spark.table(name).columns))
         merged.createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)  # cached readers of this table go stale
         return spark.createDataFrame(
             [(name, "inserted")], "table string, status string"
         )
@@ -3191,6 +3220,8 @@ def _try_ddl(spark: SparkSession, sql: str):
         spark.catalog.dropTempView(m.group(1))
         _SESSION_TABLE_ENGINES.pop(m.group(1), None)
         _REPLACING_TABLES.pop(m.group(1), None)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(m.group(1))
         return spark.createDataFrame(
             [(m.group(1), "dropped")], "table string, status string"
         )
@@ -3203,6 +3234,8 @@ def _try_ddl(spark: SparkSession, sql: str):
         if final and name in _REPLACING_TABLES:
             deduped = ch_sql(spark, f"SELECT * FROM {name} FINAL")
             deduped.createOrReplaceTempView(name)
+            from byconity_spark.engine.query_cache import query_cache
+            query_cache.bump_table(name)
             status = "optimized_final"
         else:
             status = "noop"  # parquet views carry no pending merges
