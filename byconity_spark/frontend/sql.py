@@ -2543,6 +2543,7 @@ _SYSTEM_TABLE_MAP = {
     "system.tables": "system_tables",
     "system.columns": "system_columns",
     "system.query_cache": "system_query_cache",
+    "system.query_log": "system_query_log",
     "system.one": "(SELECT 0 AS dummy)",
     "system.numbers": "(SELECT id AS number FROM range(1000000))",
 }
@@ -2654,7 +2655,36 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     ASOF/ANY strict joins route through the operator API (they have no
     text-rewrite equivalent); ``EXPLAIN [kind]`` returns the plan as rows
     (reference ASTExplainQuery.h:36-54); everything else is a pure string
-    rewrite."""
+    rewrite.  Top-level statements are recorded in ``system.query_log``
+    (reference QueryLog.h) with their query-cache usage."""
+    import time as _time
+
+    from byconity_spark.engine.query_log import query_log
+
+    depth = getattr(_QUERY_LOG_TLS, "depth", 0)
+    _QUERY_LOG_TLS.depth = depth + 1
+    t0 = _time.perf_counter()
+    status, exc_name = "QueryFinish", ""
+    try:
+        return _ch_sql_impl(spark, sql)
+    except Exception as e:
+        status, exc_name = "ExceptionBeforeStart", type(e).__name__
+        raise
+    finally:
+        _QUERY_LOG_TLS.depth = depth
+        if depth == 0:
+            query_log.record(
+                sql.strip(), status,
+                (_time.perf_counter() - t0) * 1000.0,
+                cache_usage=query_log.take_cache_usage(),
+                exception=exc_name,
+            )
+
+
+_QUERY_LOG_TLS = __import__("threading").local()
+
+
+def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     import re as _re
 
     m = _re.match(
@@ -2690,6 +2720,9 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
         query_cache.entries_df(spark).createOrReplaceTempView(
             "system_query_cache"
         )
+    if _re.search(r"\bsystem\.query_log\b", sql, _re.IGNORECASE):
+        from byconity_spark.engine.query_log import query_log as _qlog
+        _qlog.entries_df(spark).createOrReplaceTempView("system_query_log")
 
     # per-statement SETTINGS use_query_cache = 0/1 overrides the session
     # default (Settings.h:1155); the clause itself is stripped by the
@@ -2701,10 +2734,16 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     if use_qc and query_cache.reads_enabled:
         hit = query_cache.lookup(norm)
         if hit is not None:
+            from byconity_spark.engine.query_log import query_log as _qlog
+            _qlog.note_cache_usage("Read")
             return hit
     df = spark.sql(norm)
     if use_qc and query_cache.writes_enabled:
+        stores_before = query_cache.stats["stores"]
         df = query_cache.store(norm, df)
+        if query_cache.stats["stores"] > stores_before:
+            from byconity_spark.engine.query_log import query_log as _qlog
+            _qlog.note_cache_usage("Write")
     return df
 
 
