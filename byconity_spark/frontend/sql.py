@@ -3371,3 +3371,142 @@ def ensure_sql_kernels(spark: "SparkSession") -> None:
     for name, udf in {**_geo_k(), **_r7_k()}.items():
         spark.udf.register(name, udf)
     _SQL_KERNEL_SESSIONS.add(key)
+
+
+# ---------------------------------------------------------------------------
+# LBS geo-filter family as SQL rewrites (greatCircleDistance.cpp:346-495,
+# addressFilter.cpp) — same formulas as functions/geo_filters.py, emitted as
+# whole-stage-codegen SQL.  The constant centres/distances must be numeric
+# literals (the reference requires ColumnConst for them too); bbox corners
+# are computed at rewrite time via geo_filters._lbs_bbox so the SQL path is
+# bit-identical to the Column API.
+# ---------------------------------------------------------------------------
+
+def _lbs_hav_sql(plon: str, plat: str, lo: str, la: str) -> str:
+    return (
+        f"2*6371007.180918475*asin(sqrt(pow(sin(radians(({plat}) - ({la}))/2),2)"
+        f" + cos(radians({la}))*cos(radians({plat}))"
+        f"*pow(sin(radians(({plon}) - ({lo}))/2),2)))"
+    )
+
+
+def _lbs_any_point_sql(lon_arr: str, lat_arr: str, d: str, plon: str,
+                       plat: str) -> str:
+    cond = (
+        "CASE WHEN __lo IS NOT NULL AND __la IS NOT NULL "
+        "AND __lo >= -180 AND __lo <= 180 AND __la >= -90 AND __la <= 90 "
+        f"THEN {_lbs_hav_sql(plon, plat, '__lo', '__la')} <= ({d}) "
+        "ELSE false END"
+    )
+    return (
+        f"coalesce(array_contains(zip_with(CAST({lon_arr} AS ARRAY<DOUBLE>), "
+        f"CAST({lat_arr} AS ARRAY<DOUBLE>), (__lo, __la) -> {cond}), true), "
+        f"false)"
+    )
+
+
+def _in_business_circle_sql(a: list[str]) -> str:
+    if len(a) != 5:
+        raise ChSqlError(
+            "inBusinessCircle(distance, lon, lat, lon_array, lat_array)"
+        )
+    return (
+        f"CAST({_lbs_any_point_sql(a[3], a[4], a[0], a[1], a[2])} AS INT)"
+    )
+
+
+def _in_business_circle2_sql(a: list[str]) -> str:
+    if len(a) < 5 or (len(a) - 2) % 3 != 0:
+        raise ChSqlError(
+            "inBusinessCircle2(lon_array, lat_array, d1, lon1, lat1, ...)"
+        )
+    parts = [
+        _lbs_any_point_sql(a[0], a[1], a[i], a[i + 1], a[i + 2])
+        for i in range(2, len(a), 3)
+    ]
+    return "CAST((" + " OR ".join(parts) + ") AS INT)"
+
+
+def _lbs_const(tok: str, fname: str) -> float:
+    try:
+        return float(tok.strip().lstrip("(").rstrip(")"))
+    except ValueError:
+        raise ChSqlError(
+            f"{fname}: centre/distance arguments must be numeric literals "
+            f"(the reference requires constants), got {tok!r}"
+        )
+
+
+def _lbs_dist_sq_sql(lon: str, lat: str, plon: float, plat: float) -> str:
+    return (
+        f"(pow((radians({plon!r}) - radians({lon})) * 6370996.81"
+        f" * cos((radians({lat}) + radians({plat!r}))/2), 2)"
+        f" + pow((radians({plat!r}) - radians({lat})) * 6370996.81, 2))"
+    )
+
+
+def _lbs_bbox_sql(lon: str, lat: str, plon: float, plat: float,
+                  d: float) -> str:
+    from byconity_spark.functions.geo_filters import _lbs_bbox
+
+    x0, y0, x1, y1 = _lbs_bbox(plon, plat, d)
+    return (
+        f"({lon} >= {x0!r} AND {lon} <= {x1!r} "
+        f"AND {lat} >= {y0!r} AND {lat} <= {y1!r})"
+    )
+
+
+def _multi_address_filter_sql(a: list[str]) -> str:
+    import math as _math
+
+    if len(a) < 5 or (len(a) - 3) % 2 != 0:
+        raise ChSqlError(
+            "multiAddressFilter(lon, lat, distance, p_lon1, p_lat1, ...)"
+        )
+    lon, lat = f"CAST({a[0]} AS DOUBLE)", f"CAST({a[1]} AS DOUBLE)"
+    d = _lbs_const(a[2], "multiAddressFilter")
+    parts = []
+    for i in range(3, len(a), 2):
+        plon = _lbs_const(a[i], "multiAddressFilter")
+        plat = _lbs_const(a[i + 1], "multiAddressFilter")
+        parts.append(
+            f"({_lbs_bbox_sql(lon, lat, plon, plat, d * _math.sqrt(2))} "
+            f"AND {_lbs_dist_sq_sql(lon, lat, plon, plat)} <= {d * d!r})"
+        )
+    return "CAST(coalesce(" + " OR ".join(parts) + ", false) AS INT)"
+
+
+def _multi_address_multi_distance_filter_sql(a: list[str]) -> str:
+    import math as _math
+
+    if len(a) < 5 or (len(a) - 2) % 3 != 0:
+        raise ChSqlError(
+            "multiAddressMultiDistanceFilter(lon, lat, d1, p_lon1, "
+            "p_lat1, ...)"
+        )
+    lon, lat = f"CAST({a[0]} AS DOUBLE)", f"CAST({a[1]} AS DOUBLE)"
+    parts = []
+    for i in range(2, len(a), 3):
+        d = _lbs_const(a[i], "multiAddressMultiDistanceFilter")
+        plon = _lbs_const(a[i + 1], "multiAddressMultiDistanceFilter")
+        plat = _lbs_const(a[i + 2], "multiAddressMultiDistanceFilter")
+        inner = _lbs_bbox_sql(lon, lat, plon, plat, d)
+        outer = (
+            f"({_lbs_bbox_sql(lon, lat, plon, plat, d * _math.sqrt(2))} "
+            f"AND {_lbs_dist_sq_sql(lon, lat, plon, plat)} <= {d * d!r})"
+        )
+        parts.append(f"({inner} OR {outer})")
+    return "CAST(coalesce(" + " OR ".join(parts) + ", false) AS INT)"
+
+
+RULES.update(
+    {
+        "inBusinessCircle": _in_business_circle_sql,
+        "inBusinessCircle2": _in_business_circle2_sql,
+        "multiAddressFilter": _multi_address_filter_sql,
+        "multiAddressMultiDistanceFilter":
+            _multi_address_multi_distance_filter_sql,
+        # replicate.h / nested.cpp internals
+        "replicate": lambda a: f"transform({a[1]}, __x -> {a[0]})",
+    }
+)

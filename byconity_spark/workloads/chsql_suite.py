@@ -846,3 +846,52 @@ def chsql_geo_suite(spark: SparkSession, sf: str) -> DataFrame:
         FROM nation ORDER BY seed
         """,
     )
+
+
+def _chsql_lbs_oracle() -> str:
+    hav = (
+        "2*6371007.180918475*asin(sqrt(pow(sin(radians((48.85 - {LAT}))/2),2)"
+        " + cos(radians({LAT}))*cos(radians(48.85))"
+        "*pow(sin(radians((2.35 - {LON}))/2),2)))"
+    )
+    d1 = hav.format(LON="lon", LAT="lat")
+    d2 = hav.format(LON="(lon + 1.5)", LAT="(lat - 1.0)")
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (((c_custkey * 7) % 360) - 180 + 0.25)::DOUBLE AS lon,
+             ((c_custkey % 180) - 90 + 0.5)::DOUBLE         AS lat
+      FROM customer
+    )
+    SELECT c_custkey,
+      CASE WHEN {d1} <= 3000000.0
+             OR (lon + 1.5 >= -180 AND lon + 1.5 <= 180
+                 AND lat - 1.0 >= -90 AND lat - 1.0 <= 90
+                 AND {d2} <= 3000000.0)
+           THEN 1 ELSE 0 END AS in_bc
+    FROM pts ORDER BY c_custkey
+    """
+
+
+@register("chsql_lbs_circle", oracle=_chsql_lbs_oracle())
+def chsql_lbs_circle(spark: SparkSession, sf: str) -> DataFrame:
+    """inBusinessCircle through the SQL FRONTEND (the RULES batch at the
+    bottom of frontend/sql.py emits the same haversine OR-chain SQL the
+    Column API builds — greatCircleDistance.cpp:346-489).  The point array
+    carries a NULL and an out-of-range entry so the frontend's skip
+    rewrite is value-checked; the oracle only credits the valid points."""
+    return _run(
+        spark,
+        sf,
+        """
+        SELECT c_custkey,
+               inBusinessCircle(3000000.0, 2.35, 48.85,
+                 [(((c_custkey * 7) % 360) - 180 + 0.25) + 0.0,
+                  (((c_custkey * 7) % 360) - 180 + 0.25) + 1.5,
+                  NULL, 200.0],
+                 [((c_custkey % 180) - 90 + 0.5) + 0.0,
+                  ((c_custkey % 180) - 90 + 0.5) - 1.0,
+                  ((c_custkey % 180) - 90 + 0.5) + 0.0, 95.0]) AS in_bc
+        FROM customer ORDER BY c_custkey
+        """,
+    )
