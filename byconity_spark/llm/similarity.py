@@ -312,6 +312,36 @@ def embedding_neardup_pairs(
     ).mapInPandas(kernel, schema=out_schema)
 
 
+def embedding_keep_list(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-cosine) dedup decision: near-dup pairs ->
+    connected components -> one keeper (smallest id) per component.
+    The embedding-space sibling of dedup.dedup_keep_list — output
+    (vec_id, comp, keep) for EVERY vector, the actionable keep/drop list.
+
+    Scale shape: the pair stage here is the exact verification kernel
+    (guarded at 1M rows); at 100 TB swap in the LSH-bucketed pair source —
+    connected_components is shared and already distributed (min-label
+    loop with the small-graph driver fast path)."""
+    from byconity_spark.llm.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    comps = connected_components(
+        pairs, embeddings.select(F.col(id_col).alias("id"))
+    )
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("comp"),
+        (F.col("id") == F.col("comp")).alias("keep"),
+    )
+
+
 def variance_matrix(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -490,6 +490,40 @@ def llm_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
 
 
+
+# -------------------------------------- embedding-cosine dedup keep-list
+@register(
+    "llm_embedding_keep_list",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    ),
+    bi AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT bi.dst, reach.r FROM bi JOIN reach ON bi.src = reach.id
+    )
+    SELECT id AS vec_id, min(r) AS comp, (id = min(r)) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def llm_embedding_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup keep/drop list: embedding-cosine near-dup pairs ->
+    connected components -> smallest-id keeper (llm/similarity.py:
+    embedding_keep_list; components shared with the MinHash keep-list)."""
+    from byconity_spark.llm.similarity import embedding_keep_list
+
+    return embedding_keep_list(_emb(spark, sf), threshold=0.35)
+
+
 # ------------------------------------ covariance matrix over embeddings
 @register(
     "ann_variance_matrix",

@@ -243,3 +243,27 @@ def test_kmeans_empty_cluster_drop(spark):
     assert len(cents) == 2
     got = {r.cid for r in assigned.select("cid").distinct().collect()}
     assert got == {int(c) for c in cids}
+
+
+def test_embedding_keep_list_clusters(spark):
+    from byconity_spark.llm.similarity import embedding_keep_list
+
+    # two tight cosine clusters + one isolated vector: the keep list must
+    # keep exactly the smallest id per cluster and the isolate
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+            (5, [0.0, 1.0, 0.0]),
+            (7, [0.0, 0.999, 0.02]),   # near-dup of 5
+            (9, [0.0, 0.0, 1.0]),      # isolate
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in
+            embedding_keep_list(df, threshold=0.95).collect()}
+    assert len(rows) == 5
+    assert [rows[i]["keep"] for i in (1, 2, 5, 7, 9)] == [
+        True, False, True, False, True]
+    assert rows[2]["comp"] == 1 and rows[7]["comp"] == 5
+    assert rows[9]["comp"] == 9
