@@ -3282,6 +3282,88 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(name, status)], "table string, status string"
         )
 
+    # ALTER TABLE t DELETE WHERE cond / UPDATE a = e[, ...] WHERE cond —
+    # the reference's mutations (ASTAlterQuery.h, MutationCommands.h;
+    # ByConity rewrites parts asynchronously).  Session tables rewrite the
+    # view through the frontend so CH functions work in cond/assignments;
+    # path-backed parquet tables use engine/write.py's partition-scoped
+    # delete_where/update_where instead.
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DELETE\s+WHERE\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, cond = m.group(1), m.group(2).strip()
+        kept = ch_sql(spark, f"SELECT * FROM {name} WHERE NOT ({cond})")
+        kept.createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "mutated_delete")], "table string, status string"
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, assigns_txt, cond = m.groups()
+        cols = spark.table(name).columns
+        assigns: dict[str, str] = {}
+        for part in _split_args(assigns_txt):
+            lhs, eq, rhs = part.partition("=")
+            lhs = lhs.strip()
+            if not eq or lhs not in cols:
+                raise ChSqlError(
+                    f"ALTER UPDATE: bad assignment {part!r} "
+                    f"(column must exist; got columns {cols})"
+                )
+            assigns[lhs] = rhs.strip()
+        sel = ", ".join(
+            f"CASE WHEN ({cond}) THEN ({assigns[c]}) ELSE {c} END AS {c}"
+            if c in assigns else c
+            for c in cols
+        )
+        updated = ch_sql(spark, f"SELECT {sel} FROM {name}")
+        updated.createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "mutated_update")], "table string, status string"
+        )
+
+    m = re.match(
+        r"TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1)
+        spark.table(name).filter("false").createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "truncated")], "table string, status string"
+        )
+
+    m = re.match(
+        r"RENAME\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        old, new = m.groups()
+        spark.table(old).createOrReplaceTempView(new)
+        spark.catalog.dropTempView(old)
+        if old in _SESSION_TABLE_ENGINES:
+            _SESSION_TABLE_ENGINES[new] = _SESSION_TABLE_ENGINES.pop(old)
+        if old in _REPLACING_TABLES:
+            _REPLACING_TABLES[new] = _REPLACING_TABLES.pop(old)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(old)
+        query_cache.bump_table(new)
+        return spark.createDataFrame(
+            [(new, "renamed")], "table string, status string"
+        )
+
     return None
 
 

@@ -895,3 +895,55 @@ def chsql_lbs_circle(spark: SparkSession, sf: str) -> DataFrame:
         FROM customer ORDER BY c_custkey
         """,
     )
+
+
+@register(
+    "chsql_mutation_ddl",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    after_delete AS (
+      SELECT * FROM base WHERE NOT (o_orderstatus = 'F')
+    ),
+    after_update AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_totalprice > 100000.0
+                  THEN o_totalprice * 0.9 ELSE o_totalprice END AS o_totalprice
+      FROM after_delete
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM after_update GROUP BY o_orderstatus
+    """,
+)
+def chsql_mutation_ddl(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutation DDL lifecycle through the frontend (reference
+    ASTAlterQuery.h / MutationCommands.h): CREATE AS -> ALTER DELETE ->
+    ALTER UPDATE -> RENAME, then aggregate the renamed table.  The oracle
+    replays the same mutations as plain SQL stages."""
+    register_views(spark, sf)
+    ch_sql(spark, "DROP TABLE IF EXISTS mut_orders")
+    ch_sql(spark, "DROP TABLE IF EXISTS mut_orders_final")
+    ch_sql(
+        spark,
+        "CREATE TABLE mut_orders ENGINE = MergeTree AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 11 = 0",
+    )
+    ch_sql(spark, "ALTER TABLE mut_orders DELETE WHERE o_orderstatus = 'F'")
+    ch_sql(
+        spark,
+        "ALTER TABLE mut_orders UPDATE o_totalprice = o_totalprice * 0.9 "
+        "WHERE o_totalprice > 100000.0",
+    )
+    ch_sql(spark, "RENAME TABLE mut_orders TO mut_orders_final")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM mut_orders_final GROUP BY o_orderstatus
+        """,
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from byconity_spark.frontend import rewrite_ch_sql
-from byconity_spark.frontend.sql import ChSqlError
+from byconity_spark.frontend.sql import ChSqlError, ch_sql
 
 
 def test_simple_renames():
@@ -1042,3 +1042,43 @@ def test_arrayjoin_scalar_call(spark):
         "FROM __ajfn_t",
     ).collect()
     assert len(rows3) == 4
+
+
+def test_mutation_ddl_truncate_and_rename(spark):
+    ch_sql(spark, "DROP TABLE IF EXISTS __mut_t")
+    ch_sql(spark, "DROP TABLE IF EXISTS __mut_renamed")
+    ch_sql(spark, "CREATE TABLE __mut_t ENGINE = MergeTree AS "
+                  "SELECT 1 AS k, 10.0 AS v")
+    ch_sql(spark, "INSERT INTO __mut_t VALUES (2, 20.0), (3, 30.0)")
+    # ALTER DELETE removes matching rows only
+    ch_sql(spark, "ALTER TABLE __mut_t DELETE WHERE k = 2")
+    assert ch_sql(spark, "SELECT count(*) AS n FROM __mut_t"
+                  ).collect()[0]["n"] == 2
+    # ALTER UPDATE rewrites matching rows, leaves the rest
+    ch_sql(spark, "ALTER TABLE __mut_t UPDATE v = v + 1 WHERE k = 3")
+    vals = {r.k: r.v for r in ch_sql(spark, "SELECT k, v FROM __mut_t").collect()}
+    assert vals == {1: 10.0, 3: 31.0}
+    # RENAME moves the view and its engine registration
+    ch_sql(spark, "RENAME TABLE __mut_t TO __mut_renamed")
+    assert ch_sql(spark, "SELECT count(*) AS n FROM __mut_renamed"
+                  ).collect()[0]["n"] == 2
+    # TRUNCATE empties but keeps the schema
+    ch_sql(spark, "TRUNCATE TABLE __mut_renamed")
+    out = ch_sql(spark, "SELECT * FROM __mut_renamed")
+    assert out.count() == 0 and out.columns == ["k", "v"]
+    ch_sql(spark, "DROP TABLE __mut_renamed")
+
+
+def test_mutation_ddl_invalidates_query_cache(spark):
+    from byconity_spark.engine.query_cache import query_cache
+
+    query_cache.clear()
+    ch_sql(spark, "DROP TABLE IF EXISTS __mut_qc")
+    ch_sql(spark, "CREATE TABLE __mut_qc ENGINE = MergeTree AS SELECT 5 AS k")
+    q = "SELECT count(*) AS n FROM __mut_qc SETTINGS use_query_cache = 1"
+    assert ch_sql(spark, q).collect()[0]["n"] == 1
+    ch_sql(spark, "ALTER TABLE __mut_qc DELETE WHERE k = 5")
+    # the mutation bumped the table version -> cached entry is stale
+    assert ch_sql(spark, q).collect()[0]["n"] == 0
+    query_cache.clear()
+    ch_sql(spark, "DROP TABLE __mut_qc")
