@@ -2544,6 +2544,7 @@ _SYSTEM_TABLE_MAP = {
     "system.columns": "system_columns",
     "system.query_cache": "system_query_cache",
     "system.query_log": "system_query_log",
+    "system.metrics": "system_metrics",
     "system.one": "(SELECT 0 AS dummy)",
     "system.numbers": "(SELECT id AS number FROM range(1000000))",
 }
@@ -2723,6 +2724,37 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if _re.search(r"\bsystem\.query_log\b", sql, _re.IGNORECASE):
         from byconity_spark.engine.query_log import query_log as _qlog
         _qlog.entries_df(spark).createOrReplaceTempView("system_query_log")
+    if _re.search(r"\bsystem\.metrics\b", sql, _re.IGNORECASE):
+        # CH system.metrics (metric, value, description) — engine counters
+        from byconity_spark.engine.query_log import query_log as _qlog
+        rows = [
+            ("QueryCacheHits", float(query_cache.stats["hits"]),
+             "query-cache hits this session"),
+            ("QueryCacheMisses", float(query_cache.stats["misses"]),
+             "query-cache misses this session"),
+            ("QueryCacheStores", float(query_cache.stats["stores"]),
+             "query-cache entries written"),
+            ("QueryCacheEvictions", float(query_cache.stats["evictions"]),
+             "query-cache LRU evictions"),
+            ("QueryCacheStaleDrops", float(query_cache.stats["stale_drops"]),
+             "query-cache entries dropped stale (TTL or table mutation)"),
+            ("QueryCacheEntries", float(len(query_cache._entries)),
+             "live query-cache entries"),
+            ("QueryLogEntries", float(len(_qlog._entries)),
+             "statements recorded in system.query_log"),
+            ("SessionTables", float(len(_SESSION_TABLE_ENGINES)),
+             "session DDL tables registered"),
+            ("ShufflePartitions",
+             float(spark.conf.get("spark.sql.shuffle.partitions")),
+             "spark.sql.shuffle.partitions"),
+            ("AdaptiveExecution",
+             1.0 if spark.conf.get("spark.sql.adaptive.enabled") == "true"
+             else 0.0,
+             "spark.sql.adaptive.enabled"),
+        ]
+        spark.createDataFrame(
+            rows, "metric string, value double, description string"
+        ).createOrReplaceTempView("system_metrics")
 
     # per-statement SETTINGS use_query_cache = 0/1 overrides the session
     # default (Settings.h:1155); the clause itself is stripped by the
@@ -3330,6 +3362,69 @@ def _try_ddl(spark: SparkSession, sql: str):
         query_cache.bump_table(name)
         return spark.createDataFrame(
             [(name, "mutated_update")], "table string, status string"
+        )
+
+    # ALTER TABLE t ADD/DROP/RENAME COLUMN (ASTAlterQuery.h column
+    # commands).  ADD COLUMN fills existing rows with the CH default for
+    # the translated type (or an explicit DEFAULT expression, run through
+    # the frontend).
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMN\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+([A-Za-z0-9()]+)"
+        r"(?:\s+DEFAULT\s+(.+))?$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name, col, ctype, default = m.groups()
+        t = spark.table(name)
+        if col in t.columns:
+            raise ChSqlError(f"ADD COLUMN: {col!r} already exists on {name}")
+        spark_type = _ch_type(ctype)
+        if default is not None:
+            expr = rewrite_ch_sql(f"SELECT {default}")[len("SELECT "):]
+        else:
+            # CH column defaults: 0 for numerics, '' for String, NULL
+            # only for Nullable — translate the common cases
+            low = ctype.lower()
+            expr = ("''" if "string" in low or "fixedstring" in low
+                    else "NULL" if "nullable" in low else "0")
+        t.selectExpr("*", f"CAST(({expr}) AS {spark_type}) AS {col}"
+                     ).createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "added_column")], "table string, status string"
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+COLUMN\s+"
+        r"(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name, col = m.groups()
+        t = spark.table(name)
+        if col in t.columns:
+            t.drop(col).createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "dropped_column")], "table string, status string"
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
+        r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name, old, new = m.groups()
+        spark.table(name).withColumnRenamed(old, new
+                                            ).createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "renamed_column")], "table string, status string"
         )
 
     m = re.match(

@@ -1082,3 +1082,39 @@ def test_mutation_ddl_invalidates_query_cache(spark):
     assert ch_sql(spark, q).collect()[0]["n"] == 0
     query_cache.clear()
     ch_sql(spark, "DROP TABLE __mut_qc")
+
+
+def test_alter_column_ddl(spark):
+    ch_sql(spark, "DROP TABLE IF EXISTS __col_t")
+    ch_sql(spark, "CREATE TABLE __col_t ENGINE = MergeTree AS "
+                  "SELECT 1 AS k UNION ALL SELECT 2 AS k")
+    # ADD COLUMN with the CH numeric default (0) and with an expression
+    ch_sql(spark, "ALTER TABLE __col_t ADD COLUMN score Float64")
+    ch_sql(spark, "ALTER TABLE __col_t ADD COLUMN label String DEFAULT "
+                  "concat('k=', toString(k))")
+    rows = {r.k: r for r in ch_sql(spark, "SELECT * FROM __col_t").collect()}
+    assert rows[1]["score"] == 0.0 and rows[2]["label"] == "k=2"
+    # RENAME COLUMN then DROP COLUMN
+    ch_sql(spark, "ALTER TABLE __col_t RENAME COLUMN score TO s2")
+    ch_sql(spark, "ALTER TABLE __col_t DROP COLUMN label")
+    out = ch_sql(spark, "SELECT * FROM __col_t")
+    assert out.columns == ["k", "s2"]
+    with pytest.raises(ChSqlError):
+        ch_sql(spark, "ALTER TABLE __col_t ADD COLUMN k Int64")
+    ch_sql(spark, "DROP TABLE __col_t")
+
+
+def test_system_metrics_counters(spark):
+    from byconity_spark.engine.query_cache import query_cache
+
+    query_cache.clear()
+    ch_sql(spark, "SELECT 77 AS v SETTINGS use_query_cache = 1")
+    ch_sql(spark, "SELECT 77 AS v SETTINGS use_query_cache = 1")
+    rows = {r.metric: r.value for r in ch_sql(
+        spark, "SELECT metric, value FROM system.metrics").collect()}
+    assert rows["QueryCacheHits"] == 1.0
+    assert rows["QueryCacheStores"] == 1.0
+    assert rows["QueryCacheEntries"] == 1.0
+    assert rows["QueryLogEntries"] >= 2.0
+    assert rows["ShufflePartitions"] > 0
+    query_cache.clear()
