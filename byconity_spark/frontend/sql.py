@@ -3413,6 +3413,26 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+MODIFY\s+COLUMN\s+"
+        r"([A-Za-z_]\w*)\s+([A-Za-z0-9(),\s]+)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name, col, ctype = m.group(1), m.group(2), m.group(3).strip()
+        t = spark.table(name)
+        if col not in t.columns:
+            raise ChSqlError(f"MODIFY COLUMN: no column {col!r} on {name}")
+        t.selectExpr(
+            *[f"CAST({c} AS {_ch_type(ctype)}) AS {c}" if c == col else c
+              for c in t.columns]
+        ).createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "modified_column")], "table string, status string"
+        )
+
+    m = re.match(
         r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
         r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$",
         s, re.IGNORECASE,

@@ -1118,3 +1118,16 @@ def test_system_metrics_counters(spark):
     assert rows["QueryLogEntries"] >= 2.0
     assert rows["ShufflePartitions"] > 0
     query_cache.clear()
+
+
+def test_alter_modify_column_type(spark):
+    ch_sql(spark, "DROP TABLE IF EXISTS __modc_t")
+    ch_sql(spark, "CREATE TABLE __modc_t ENGINE = MergeTree AS "
+                  "SELECT 1 AS k, 2.9 AS v")
+    ch_sql(spark, "ALTER TABLE __modc_t MODIFY COLUMN v Int64")
+    row = ch_sql(spark, "SELECT v FROM __modc_t").collect()[0]
+    assert row["v"] == 2  # CAST truncates like CH toInt64
+    assert dict(ch_sql(spark, "SELECT * FROM __modc_t").dtypes)["v"] == "bigint"
+    with pytest.raises(ChSqlError):
+        ch_sql(spark, "ALTER TABLE __modc_t MODIFY COLUMN missing Int64")
+    ch_sql(spark, "DROP TABLE __modc_t")
