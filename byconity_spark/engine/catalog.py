@@ -214,12 +214,51 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+_LAST_SF_DIR: list[str] = []  # last register_views target, for system.parts
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every engine table as a temp view (for the SQL surface)."""
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    _LAST_SF_DIR[:] = [sf_dir]
     return dfs
+
+
+def parts_rows(sf_dir: str) -> list[tuple]:
+    """system.parts rows (reference StorageSystemParts.cpp — per-part
+    rows/bytes).  Parquet files play the role of parts; rows come from the
+    footer metadata only (no data scan — same listing cost as the scan
+    planner's own planning pass)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    for name in TABLES:
+        root = f"{sf_dir}/{name}.parquet"
+        files = []
+        if os.path.isfile(root):
+            files = [root]
+        elif os.path.isdir(root):
+            for dirpath, _dirs, fnames in os.walk(root):
+                files += [
+                    os.path.join(dirpath, f)
+                    for f in fnames
+                    if f.endswith(".parquet")
+                ]
+        for f in sorted(files):
+            try:
+                meta = pq.ParquetFile(f).metadata
+            except Exception:
+                continue
+            out.append((
+                "default", name, os.path.basename(f),
+                int(meta.num_rows), int(os.path.getsize(f)),
+                int(meta.num_row_groups), True,
+            ))
+    return out
 
 
 def register_system_tables(spark: SparkSession) -> None:

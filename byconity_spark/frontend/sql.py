@@ -2545,6 +2545,7 @@ _SYSTEM_TABLE_MAP = {
     "system.query_cache": "system_query_cache",
     "system.query_log": "system_query_log",
     "system.metrics": "system_metrics",
+    "system.parts": "system_parts",
     "system.one": "(SELECT 0 AS dummy)",
     "system.numbers": "(SELECT id AS number FROM range(1000000))",
 }
@@ -2724,6 +2725,16 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if _re.search(r"\bsystem\.query_log\b", sql, _re.IGNORECASE):
         from byconity_spark.engine.query_log import query_log as _qlog
         _qlog.entries_df(spark).createOrReplaceTempView("system_query_log")
+    if _re.search(r"\bsystem\.parts\b", sql, _re.IGNORECASE):
+        # CH system.parts (StorageSystemParts.cpp) — parquet files play
+        # the role of parts; rows come from footer metadata only
+        from byconity_spark.engine.catalog import _LAST_SF_DIR, parts_rows
+        rows = parts_rows(_LAST_SF_DIR[0]) if _LAST_SF_DIR else []
+        spark.createDataFrame(
+            rows,
+            "database string, table string, name string, rows bigint, "
+            "bytes_on_disk bigint, row_groups int, active boolean",
+        ).createOrReplaceTempView("system_parts")
     if _re.search(r"\bsystem\.metrics\b", sql, _re.IGNORECASE):
         # CH system.metrics (metric, value, description) — engine counters
         from byconity_spark.engine.query_log import query_log as _qlog

@@ -947,3 +947,35 @@ def chsql_mutation_ddl(spark: SparkSession, sf: str) -> DataFrame:
         FROM mut_orders_final GROUP BY o_orderstatus
         """,
     )
+
+
+@register(
+    "chsql_system_parts",
+    oracle="""
+    SELECT 'customer' AS tbl, (SELECT count(*) FROM customer) AS n_rows
+    UNION ALL
+    SELECT 'lineitem', (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders', (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'documents', (SELECT count(*) FROM documents)
+    UNION ALL
+    SELECT 'embeddings', (SELECT count(*) FROM embeddings)
+    """,
+)
+def chsql_system_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """system.parts introspection (StorageSystemParts.cpp analogue —
+    parquet files as parts, rows from footer metadata with NO data scan):
+    summing the per-part footer row counts must equal the true table
+    counts the oracle computes by scanning."""
+    register_views(spark, sf)
+    return ch_sql(
+        spark,
+        """
+        SELECT table AS tbl, sum(rows) AS n_rows
+        FROM system.parts
+        WHERE table IN ('customer', 'lineitem', 'orders',
+                        'documents', 'embeddings')
+        GROUP BY table
+        """,
+    )
