@@ -1,0 +1,429 @@
+"""Query limits, quotas, and the process list — session analogues of the
+reference's resource-governance surface:
+
+* limit settings block (``src/Core/Settings.h:574-660``):
+  ``max_result_rows`` / ``result_overflow_mode``, ``max_rows_to_read`` /
+  ``read_overflow_mode``, ``max_execution_time`` / ``timeout_overflow_mode``,
+  ``readonly`` — enforced by ``SettingQuotaAndLimitsStep``
+  (``src/QueryPlan/SettingQuotaAndLimitsStep.h``) in the reference; here
+  they hook the SQL frontend's statement path.
+* quotas (``src/Access/Quota.h``,
+  ``src/Interpreters/InterpreterCreateQuotaQuery.cpp``): windowed counters
+  over queries / errors / result rows, raising ``QUOTA_EXPIRED``.
+* process list (``src/Interpreters/ProcessList.h``): every frontend
+  statement registers while it runs; ``KILL QUERY`` cancels its Spark job
+  group (the ``ProcessListEntry`` → ``CancellationCode`` path).
+
+Scale notes: enforcement is plan-side or footer-metadata-side only —
+``max_rows_to_read`` uses the same pre-execution parquet-footer estimate
+the scan planner already collects (the reference's MergeTree analogue
+checks selected parts' row counts BEFORE reading,
+``ReadFromMergeTree``), so no extra data pass happens at any scale.
+``result_overflow_mode = 'break'`` compiles to a plain ``LIMIT`` (no
+shuffle added); only the ``'throw'`` probe and ``max_execution_time``
+materialize eagerly, which is the documented cost of opting in.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+__all__ = [
+    "LimitExceeded", "QuotaExceeded", "ReadonlyError",
+    "session_limits", "quotas", "process_list",
+]
+
+
+class LimitExceeded(ValueError):
+    """TOO_MANY_ROWS / TOO_MANY_ROWS_OR_BYTES / TIMEOUT_EXCEEDED."""
+
+
+class QuotaExceeded(ValueError):
+    """QUOTA_EXPIRED — a quota interval's counter ran out."""
+
+
+class ReadonlyError(ValueError):
+    """READONLY — write statement under ``readonly`` >= 1."""
+
+
+# ---------------------------------------------------------------------------
+# limit settings
+# ---------------------------------------------------------------------------
+
+_INT_KEYS = frozenset({
+    "max_result_rows", "max_rows_to_read", "readonly",
+})
+_FLOAT_KEYS = frozenset({"max_execution_time"})
+_MODE_KEYS = frozenset({
+    "result_overflow_mode", "read_overflow_mode", "timeout_overflow_mode",
+})
+LIMIT_KEYS = _INT_KEYS | _FLOAT_KEYS | _MODE_KEYS
+
+_DEFAULTS = {
+    "max_result_rows": 0,
+    "max_rows_to_read": 0,
+    "max_execution_time": 0.0,
+    "readonly": 0,
+    "result_overflow_mode": "throw",
+    "read_overflow_mode": "throw",
+    "timeout_overflow_mode": "throw",
+}
+
+
+class SessionLimits:
+    """Mutable session-level limit settings (``SET key = value``), with
+    per-statement overrides layered on top (``SELECT ... SETTINGS k = v``).
+
+    ``readonly`` follows the reference's three-state contract
+    (``Settings.h:665`` / ``Access/ContextAccess``): 0 = writes allowed;
+    1 = no writes AND no settings changes; 2 = no writes, settings
+    changes allowed (except raising/lowering ``readonly`` itself back
+    to 0)."""
+
+    def __init__(self) -> None:
+        self._values = dict(_DEFAULTS)
+
+    # -- mutation ----------------------------------------------------------
+    def set(self, key: str, value) -> None:
+        key = key.lower()
+        if key not in LIMIT_KEYS:
+            raise ValueError(f"unknown limit setting {key!r}")
+        ro = self._values["readonly"]
+        if ro == 1:
+            raise ReadonlyError(
+                "Cannot modify settings in readonly mode (READONLY, "
+                "readonly = 1)"
+            )
+        if ro == 2 and key == "readonly" and self._coerce(key, value) < 2:
+            raise ReadonlyError(
+                "Cannot lower 'readonly' in readonly = 2 mode (READONLY)"
+            )
+        self._values[key] = self._coerce(key, value)
+
+    def _coerce(self, key: str, value):
+        if key in _MODE_KEYS:
+            v = str(value).strip().strip("'\"").lower()
+            if v not in ("throw", "break"):
+                raise ValueError(f"{key}: expected 'throw' or 'break', got {v!r}")
+            return v
+        if key in _FLOAT_KEYS:
+            return float(str(value).strip().strip("'\""))
+        return int(str(value).strip().strip("'\""))
+
+    def reset(self) -> None:
+        self._values = dict(_DEFAULTS)
+
+    def get(self, key: str):
+        return self._values[key.lower()]
+
+    def effective(self, overrides: Optional[dict] = None) -> dict:
+        out = dict(self._values)
+        for k, v in (overrides or {}).items():
+            out[k.lower()] = self._coerce(k.lower(), v)
+        return out
+
+    # -- enforcement -------------------------------------------------------
+    def check_readonly_write(self, statement_kind: str) -> None:
+        if self._values["readonly"] >= 1:
+            raise ReadonlyError(
+                f"Cannot execute {statement_kind} in readonly mode "
+                f"(READONLY, readonly = {self._values['readonly']})"
+            )
+
+    @staticmethod
+    def check_rows_to_read(eff: dict, sql: str) -> None:
+        """Pre-execution read estimate against ``max_rows_to_read`` —
+        parquet-footer row counts of the referenced base tables, the same
+        moment the reference checks selected parts' rows before reading."""
+        n = eff.get("max_rows_to_read") or 0
+        if not n:
+            return
+        from byconity_spark.engine.catalog import _LAST_SF_DIR, parts_rows
+
+        if not _LAST_SF_DIR:
+            return
+        import re
+
+        referenced = {
+            m.lower()
+            for m in re.findall(r"\b([A-Za-z_]\w*)\b", sql)
+        }
+        est = sum(
+            r[3] for r in parts_rows(_LAST_SF_DIR[0])
+            if r[1].lower() in referenced
+        )
+        if est > n:
+            if eff.get("read_overflow_mode") == "break":
+                return  # break: let the scan proceed; LIMIT governs output
+            raise LimitExceeded(
+                f"Limit for rows to read exceeded: estimated {est} rows, "
+                f"maximum: {n} (TOO_MANY_ROWS)"
+            )
+
+    @staticmethod
+    def apply_result_limits(df, eff: dict):
+        n = eff.get("max_result_rows") or 0
+        if not n:
+            return df
+        if eff.get("result_overflow_mode") == "break":
+            # GROUP BY ... LIMIT semantics: cut the result, no error —
+            # compiles to a plain Limit node, nothing materializes here
+            return df.limit(n)
+        probe = df.limit(n + 1).count()
+        if probe > n:
+            raise LimitExceeded(
+                f"Limit for result rows exceeded: at least {probe} rows, "
+                f"maximum: {n} (TOO_MANY_ROWS)"
+            )
+        return df
+
+    @staticmethod
+    def apply_execution_timeout(spark, df, eff: dict):
+        """Materialize ``df`` under ``max_execution_time`` with job-group
+        cancellation (the ``ProcessList`` soft-cancel path).  Returns the
+        persisted DataFrame on success; raises TIMEOUT_EXCEEDED on
+        overrun.  Eager by construction — documented cost of the guard."""
+        secs = eff.get("max_execution_time") or 0.0
+        if not secs:
+            return df
+        sc = spark.sparkContext
+        # reuse the statement's ProcessList query_id as the job group when
+        # one is active, so KILL QUERY reaches timeout-guarded jobs too
+        group = (process_list.current_qid()
+                 or f"max-exec-{id(df)}-{threading.get_ident()}")
+        persisted = df.persist()
+        state: dict = {}
+
+        def work() -> None:
+            try:
+                sc.setJobGroup(group, "max_execution_time guard",
+                               interruptOnCancel=True)
+                state["rows"] = persisted.count()
+            except BaseException as exc:  # noqa: BLE001 — captured for re-raise
+                state["exc"] = exc
+            finally:
+                try:
+                    sc.setJobGroup("", "")
+                except Exception:
+                    pass
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(timeout=secs)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(timeout=30)
+            persisted.unpersist()
+            if eff.get("timeout_overflow_mode") == "break":
+                # break: return an empty frame with the same schema (the
+                # reference stops the pipeline and returns what it has; a
+                # lazy engine has nothing yet)
+                return spark.createDataFrame([], df.schema)
+            raise LimitExceeded(
+                f"Timeout exceeded: maximum: {secs} sec (TIMEOUT_EXCEEDED)"
+            )
+        if "exc" in state:
+            persisted.unpersist()
+            raise state["exc"]
+        return persisted
+
+
+session_limits = SessionLimits()
+
+
+def parse_statement_settings(sql: str) -> dict:
+    """Pull per-statement limit overrides out of a raw CH statement's
+    ``SETTINGS`` clause (the clause itself is stripped by the normal
+    rewrite, so this probes the raw text, same as ``use_query_cache``).
+    Only text AFTER the last ``SETTINGS`` keyword is probed, so a WHERE
+    clause mentioning e.g. a column named ``readonly`` cannot misfire."""
+    import re
+
+    hits = list(re.finditer(r"\bSETTINGS\b", sql, re.IGNORECASE))
+    if not hits:
+        return {}
+    tail = sql[hits[-1].end():]
+    out: dict = {}
+    for key in LIMIT_KEYS:
+        m = re.search(
+            rf"\b{key}\s*=\s*('[^']*'|\"[^\"]*\"|[\w.]+)", tail, re.IGNORECASE
+        )
+        if m:
+            out[key] = m.group(1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# quotas
+# ---------------------------------------------------------------------------
+
+class _QuotaState:
+    __slots__ = ("name", "interval_s", "limits", "window_start", "used")
+
+    def __init__(self, name: str, interval_s: float, limits: dict) -> None:
+        self.name = name
+        self.interval_s = interval_s
+        self.limits = limits  # {"queries": n, "errors": n, "result_rows": n}
+        self.window_start = time.time()
+        self.used = {k: 0 for k in limits}
+
+    def _roll(self) -> None:
+        now = time.time()
+        if now - self.window_start >= self.interval_s:
+            # randomized-start intervals are a reference option; the
+            # session analogue uses aligned consecutive windows
+            self.window_start = now
+            self.used = {k: 0 for k in self.limits}
+
+
+class QuotaRegistry:
+    """``CREATE QUOTA`` / ``DROP QUOTA`` + per-statement consumption.
+
+    Counters mirror the reference's ``Quota::ResourceType`` subset that is
+    observable from the frontend: ``queries``, ``errors``,
+    ``result_rows``."""
+
+    def __init__(self) -> None:
+        self._quotas: dict[str, _QuotaState] = {}
+
+    def create(self, name: str, interval_s: float, limits: dict) -> None:
+        self._quotas[name] = _QuotaState(name, interval_s, limits)
+
+    def drop(self, name: str) -> bool:
+        return self._quotas.pop(name, None) is not None
+
+    def clear(self) -> None:
+        self._quotas.clear()
+
+    def charge_query(self) -> None:
+        """Charge one query BEFORE execution; raises QUOTA_EXPIRED when a
+        quota's ``queries`` budget for the current interval is spent."""
+        for q in self._quotas.values():
+            q._roll()
+            if "queries" in q.limits:
+                if q.used["queries"] + 1 > q.limits["queries"]:
+                    raise QuotaExceeded(
+                        f"Quota for user limit exceeded: queries = "
+                        f"{q.limits['queries']} for quota '{q.name}' "
+                        f"(QUOTA_EXPIRED)"
+                    )
+                q.used["queries"] += 1
+
+    def charge_error(self) -> None:
+        for q in self._quotas.values():
+            q._roll()
+            if "errors" in q.limits:
+                q.used["errors"] += 1
+
+    def tracks_result_rows(self) -> bool:
+        return any("result_rows" in q.limits for q in self._quotas.values())
+
+    def charge_result_rows(self, n: int) -> None:
+        for q in self._quotas.values():
+            q._roll()
+            if "result_rows" in q.limits:
+                q.used["result_rows"] += n
+                if q.used["result_rows"] > q.limits["result_rows"]:
+                    raise QuotaExceeded(
+                        f"Quota for user limit exceeded: result_rows = "
+                        f"{q.limits['result_rows']} for quota '{q.name}' "
+                        f"(QUOTA_EXPIRED)"
+                    )
+
+    def usage_rows(self) -> list[tuple]:
+        """system.quota_usage (StorageSystemQuotaUsage.cpp): one row per
+        (quota, metric) with spent / max in the live interval."""
+        out = []
+        for q in self._quotas.values():
+            q._roll()
+            for metric, mx in sorted(q.limits.items()):
+                out.append((q.name, metric, int(q.used[metric]), int(mx)))
+        return out
+
+    def quota_rows(self) -> list[tuple]:
+        return [
+            (q.name, float(q.interval_s),
+             ",".join(sorted(q.limits)))
+            for q in self._quotas.values()
+        ]
+
+
+quotas = QuotaRegistry()
+
+
+# ---------------------------------------------------------------------------
+# process list
+# ---------------------------------------------------------------------------
+
+class ProcessList:
+    """Running frontend statements (``src/Interpreters/ProcessList.h``).
+
+    Each top-level ``ch_sql`` statement registers itself for its lifetime
+    with a session-unique ``query_id``; the executing thread tags its
+    Spark jobs with that id as the job group so ``KILL QUERY`` maps to
+    ``cancelJobGroup`` — cancellation reaches running stages on every
+    executor, exactly the behavior a cluster needs."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._seq = 0
+        self._running: dict[str, dict] = {}
+        self._killed: set[str] = set()
+        self._tls = threading.local()
+
+    def current_qid(self) -> Optional[str]:
+        """query_id of the statement registered by THIS thread, if any."""
+        return getattr(self._tls, "qid", None)
+
+    def register(self, spark, sql: str) -> str:
+        with self._lock:
+            self._seq += 1
+            qid = f"q{self._seq}"
+        self._running[qid] = {
+            "query": sql.strip(),
+            "start": time.time(),
+            "thread": threading.get_ident(),
+        }
+        self._tls.qid = qid
+        try:
+            spark.sparkContext.setJobGroup(
+                qid, sql.strip()[:200], interruptOnCancel=True
+            )
+        except Exception:
+            pass
+        return qid
+
+    def unregister(self, spark, qid: str) -> None:
+        self._running.pop(qid, None)
+        if getattr(self._tls, "qid", None) == qid:
+            self._tls.qid = None
+        try:
+            spark.sparkContext.setJobGroup("", "")
+        except Exception:
+            pass
+
+    def kill(self, spark, qid: str) -> str:
+        """KILL QUERY WHERE query_id = ... — CancellationCode analogue."""
+        if qid not in self._running:
+            return "NotFound"
+        self._killed.add(qid)
+        try:
+            spark.sparkContext.cancelJobGroup(qid)
+        except Exception:
+            return "CancelCannotBeSent"
+        return "CancelSent"
+
+    def was_killed(self, qid: str) -> bool:
+        return qid in self._killed
+
+    def rows(self) -> list[tuple]:
+        now = time.time()
+        return [
+            (qid, info["query"], round(now - info["start"], 3))
+            for qid, info in sorted(self._running.items())
+        ]
+
+
+process_list = ProcessList()

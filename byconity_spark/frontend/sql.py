@@ -2548,6 +2548,9 @@ _SYSTEM_TABLE_MAP = {
     "system.parts": "system_parts",
     "system.one": "(SELECT 0 AS dummy)",
     "system.numbers": "(SELECT id AS number FROM range(1000000))",
+    "system.processes": "system_processes",
+    "system.quotas": "system_quotas",
+    "system.quota_usage": "system_quota_usage",
 }
 
 
@@ -2663,17 +2666,31 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
 
     from byconity_spark.engine.query_log import query_log
 
+    from byconity_spark.engine.limits import process_list, quotas
+
     depth = getattr(_QUERY_LOG_TLS, "depth", 0)
     _QUERY_LOG_TLS.depth = depth + 1
     t0 = _time.perf_counter()
     status, exc_name = "QueryFinish", ""
+    qid = None
     try:
+        if depth == 0:
+            # ProcessList registration + quota charge happen only for the
+            # TOP-LEVEL statement (nested ch_sql calls from DDL internals
+            # are the same user query — reference ProcessList.h keeps one
+            # entry per client statement)
+            qid = process_list.register(spark, sql)
+            quotas.charge_query()
         return _ch_sql_impl(spark, sql)
     except Exception as e:
         status, exc_name = "ExceptionBeforeStart", type(e).__name__
+        if depth == 0:
+            quotas.charge_error()
         raise
     finally:
         _QUERY_LOG_TLS.depth = depth
+        if qid is not None:
+            process_list.unregister(spark, qid)
         if depth == 0:
             query_log.record(
                 sql.strip(), status,
@@ -2766,6 +2783,26 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         spark.createDataFrame(
             rows, "metric string, value double, description string"
         ).createOrReplaceTempView("system_metrics")
+    if _re.search(r"\bsystem\.processes\b", sql, _re.IGNORECASE):
+        # reference ProcessList.h / StorageSystemProcesses.cpp — live
+        # frontend statements (includes this one: registered on entry)
+        from byconity_spark.engine.limits import process_list
+        spark.createDataFrame(
+            process_list.rows(),
+            "query_id string, query string, elapsed double",
+        ).createOrReplaceTempView("system_processes")
+    if _re.search(r"\bsystem\.quotas\b", sql, _re.IGNORECASE):
+        from byconity_spark.engine.limits import quotas as _q
+        spark.createDataFrame(
+            _q.quota_rows(),
+            "name string, interval_seconds double, keys string",
+        ).createOrReplaceTempView("system_quotas")
+    if _re.search(r"\bsystem\.quota_usage\b", sql, _re.IGNORECASE):
+        from byconity_spark.engine.limits import quotas as _q
+        spark.createDataFrame(
+            _q.usage_rows(),
+            "quota_name string, metric string, used bigint, max_value bigint",
+        ).createOrReplaceTempView("system_quota_usage")
 
     # per-statement SETTINGS use_query_cache = 0/1 overrides the session
     # default (Settings.h:1155); the clause itself is stripped by the
@@ -2773,20 +2810,37 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     qc_m = _re.search(r"\buse_query_cache\s*=\s*([01])\b", sql, _re.IGNORECASE)
     use_qc = bool(int(qc_m.group(1))) if qc_m else query_cache.enabled
 
+    # limit settings: session values + per-statement SETTINGS overrides
+    # (SettingQuotaAndLimitsStep analogue — Settings.h:574-660)
+    from byconity_spark.engine.limits import (
+        parse_statement_settings, quotas as _quotas, session_limits,
+    )
+    eff = session_limits.effective(parse_statement_settings(sql))
+
     norm = rewrite_ch_sql(sql)
+    session_limits.check_rows_to_read(eff, norm)
+    df = None
     if use_qc and query_cache.reads_enabled:
         hit = query_cache.lookup(norm)
         if hit is not None:
             from byconity_spark.engine.query_log import query_log as _qlog
             _qlog.note_cache_usage("Read")
-            return hit
-    df = spark.sql(norm)
-    if use_qc and query_cache.writes_enabled:
-        stores_before = query_cache.stats["stores"]
-        df = query_cache.store(norm, df)
-        if query_cache.stats["stores"] > stores_before:
-            from byconity_spark.engine.query_log import query_log as _qlog
-            _qlog.note_cache_usage("Write")
+            df = hit
+    if df is None:
+        df = spark.sql(norm)
+        if use_qc and query_cache.writes_enabled:
+            stores_before = query_cache.stats["stores"]
+            df = query_cache.store(norm, df)
+            if query_cache.stats["stores"] > stores_before:
+                from byconity_spark.engine.query_log import query_log as _qlog
+                _qlog.note_cache_usage("Write")
+    # result limits apply AFTER the cache store (the cache keeps the full
+    # result; the statement's view of it is what gets limited) and to
+    # cache hits too, matching the reference's per-statement enforcement
+    df = session_limits.apply_result_limits(df, eff)
+    df = session_limits.apply_execution_timeout(spark, df, eff)
+    if _quotas.tracks_result_rows():
+        _quotas.charge_result_rows(df.count())
     return df
 
 
@@ -3169,6 +3223,83 @@ def _try_ddl(spark: SparkSession, sql: str):
     import re
 
     s = sql.strip().rstrip(";")
+
+    # readonly gate (Settings.h:665 / ContextAccess): every write-class
+    # statement — including quota DDL — is rejected under readonly >= 1
+    m = re.match(
+        r"(CREATE|INSERT|DROP|OPTIMIZE|ALTER|TRUNCATE|RENAME)\b",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.limits import session_limits
+        session_limits.check_readonly_write(m.group(1).upper())
+
+    # SET <limit setting> = <value> — session-scoped, subject to the
+    # readonly contract implemented in SessionLimits.set
+    m = re.match(r"SET\s+(\w+)\s*=\s*(.+)$", s, re.IGNORECASE)
+    if m:
+        from byconity_spark.engine.limits import LIMIT_KEYS, session_limits
+        key = m.group(1).lower()
+        if key not in LIMIT_KEYS:
+            raise ChSqlError(
+                f"SET: unknown or unsupported setting {key!r} "
+                f"(supported: {sorted(LIMIT_KEYS)})"
+            )
+        session_limits.set(key, m.group(2))
+        return spark.createDataFrame(
+            [(key, "set")], "setting string, status string"
+        )
+
+    # CREATE QUOTA q FOR INTERVAL n <unit> MAX queries = x[, errors = y,
+    # result_rows = z]  (InterpreterCreateQuotaQuery.cpp / Access/Quota.h)
+    m = re.match(
+        r"CREATE\s+QUOTA\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+"
+        r"FOR\s+INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s+MAX\s+(.+)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.limits import quotas
+        name, n, unit, maxes = m.groups()
+        secs = int(n) * {
+            "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+        }[unit.lower()]
+        limits: dict = {}
+        for part in maxes.split(","):
+            k, eq, v = part.partition("=")
+            k = k.strip().lower()
+            if not eq or k not in ("queries", "errors", "result_rows"):
+                raise ChSqlError(
+                    f"CREATE QUOTA: unsupported MAX clause {part.strip()!r} "
+                    "(supported: queries, errors, result_rows)"
+                )
+            limits[k] = int(v.strip())
+        quotas.create(name, secs, limits)
+        return spark.createDataFrame(
+            [(name, "created")], "quota string, status string"
+        )
+
+    m = re.match(
+        r"DROP\s+QUOTA\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
+    if m:
+        from byconity_spark.engine.limits import quotas
+        dropped = quotas.drop(m.group(1))
+        return spark.createDataFrame(
+            [(m.group(1), "dropped" if dropped else "not_found")],
+            "quota string, status string",
+        )
+
+    # KILL QUERY WHERE query_id = 'qN' (InterpreterKillQueryQuery.cpp) —
+    # maps to cancelJobGroup on the target statement's job group
+    m = re.match(
+        r"KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'$", s, re.IGNORECASE
+    )
+    if m:
+        from byconity_spark.engine.limits import process_list
+        code = process_list.kill(spark, m.group(1))
+        return spark.createDataFrame(
+            [(m.group(1), code)], "query_id string, status string"
+        )
 
     m = re.match(
         r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"

@@ -979,3 +979,163 @@ def chsql_system_parts(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY table
         """,
     )
+
+
+@register(
+    "chsql_limits_suite",
+    oracle="""
+    SELECT 'break_rows' AS probe, CAST(50 AS BIGINT) AS value
+    UNION ALL
+    SELECT 'break_sum', (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM
+        (SELECT l_orderkey FROM lineitem
+         ORDER BY l_orderkey, l_linenumber LIMIT 50) t)
+    UNION ALL SELECT 'result_throw_raised', 1
+    UNION ALL SELECT 'read_throw_raised', 1
+    UNION ALL SELECT 'read_ok_count',
+        (SELECT CAST(count(*) AS BIGINT) FROM nation)
+    UNION ALL SELECT 'readonly_blocked_ddl', 1
+    UNION ALL SELECT 'readonly_blocks_set', 1
+    UNION ALL SELECT 'readonly2_set_ok', 1
+    UNION ALL SELECT 'readonly2_blocked_ddl', 1
+    UNION ALL SELECT 'timeout_ok_count',
+        (SELECT CAST(count(*) AS BIGINT) FROM region)
+    """,
+)
+def chsql_limits_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-limit settings end-to-end (reference Settings.h:574-660 +
+    SettingQuotaAndLimitsStep.h): max_result_rows with break/throw
+    overflow modes, the pre-execution footer estimate behind
+    max_rows_to_read, the three-state readonly contract, and a generous
+    max_execution_time pass.  Every probe runs through the SQL frontend;
+    expected-raise probes record 1 only when the documented error fires."""
+    from byconity_spark.engine.limits import (
+        LimitExceeded, ReadonlyError, session_limits,
+    )
+
+    register_views(spark, sf)
+    session_limits.reset()
+    rows: list[tuple[str, int]] = []
+    try:
+        brk = ch_sql(
+            spark,
+            """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            ORDER BY l_orderkey, l_linenumber
+            SETTINGS max_result_rows = 50, result_overflow_mode = 'break'
+            """,
+        ).collect()
+        rows.append(("break_rows", len(brk)))
+        rows.append(("break_sum", int(sum(r[0] for r in brk))))
+
+        try:
+            ch_sql(
+                spark,
+                "SELECT l_orderkey FROM lineitem SETTINGS max_result_rows = 10",
+            )
+            rows.append(("result_throw_raised", 0))
+        except LimitExceeded:
+            rows.append(("result_throw_raised", 1))
+
+        try:
+            ch_sql(
+                spark,
+                "SELECT count(*) FROM lineitem SETTINGS max_rows_to_read = 10",
+            )
+            rows.append(("read_throw_raised", 0))
+        except LimitExceeded:
+            rows.append(("read_throw_raised", 1))
+
+        ok = ch_sql(
+            spark,
+            "SELECT count(*) AS n FROM nation "
+            "SETTINGS max_rows_to_read = 1000000000",
+        ).collect()
+        rows.append(("read_ok_count", int(ok[0][0])))
+
+        ch_sql(spark, "SET readonly = 1")
+        try:
+            ch_sql(spark, "CREATE TABLE ro_probe (x Int64)")
+            rows.append(("readonly_blocked_ddl", 0))
+        except ReadonlyError:
+            rows.append(("readonly_blocked_ddl", 1))
+        try:
+            ch_sql(spark, "SET max_result_rows = 5")
+            rows.append(("readonly_blocks_set", 0))
+        except ReadonlyError:
+            rows.append(("readonly_blocks_set", 1))
+
+        session_limits.reset()
+        ch_sql(spark, "SET readonly = 2")
+        try:
+            ch_sql(spark, "SET max_result_rows = 5")
+            rows.append(("readonly2_set_ok", 1))
+        except ReadonlyError:
+            rows.append(("readonly2_set_ok", 0))
+        try:
+            ch_sql(spark, "CREATE TABLE ro_probe2 (x Int64)")
+            rows.append(("readonly2_blocked_ddl", 0))
+        except ReadonlyError:
+            rows.append(("readonly2_blocked_ddl", 1))
+        session_limits.reset()
+
+        tok = ch_sql(
+            spark,
+            "SELECT count(*) AS n FROM region SETTINGS max_execution_time = 300",
+        ).collect()
+        rows.append(("timeout_ok_count", int(tok[0][0])))
+    finally:
+        session_limits.reset()
+    return spark.createDataFrame(rows, "probe string, value bigint")
+
+
+@register(
+    "chsql_quota_process_suite",
+    oracle="""
+    SELECT 'nation_rows' AS probe,
+           (SELECT CAST(count(*) AS BIGINT) FROM nation) AS value
+    UNION ALL SELECT 'usage_used', CAST(2 AS BIGINT)
+    UNION ALL SELECT 'usage_max', 4
+    UNION ALL SELECT 'processes_self', 1
+    UNION ALL SELECT 'quota_exceeded', 1
+    UNION ALL SELECT 'kill_not_found', 1
+    """,
+)
+def chsql_quota_process_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Quotas + process list end-to-end (reference Access/Quota.h,
+    InterpreterCreateQuotaQuery.cpp, ProcessList.h): CREATE QUOTA with a
+    windowed query budget, per-statement consumption visible through
+    system.quota_usage, self-visibility in system.processes, the
+    QUOTA_EXPIRED raise, and KILL QUERY's CancellationCode for an unknown
+    query id.  The quota is dropped via the engine API in ``finally`` so
+    an exhausted budget can never leak into later statements."""
+    from byconity_spark.engine.limits import QuotaExceeded, quotas
+
+    register_views(spark, sf)
+    rows: list[tuple[str, int]] = []
+    quotas.drop("wl_q")
+    try:
+        ch_sql(spark, "CREATE QUOTA wl_q FOR INTERVAL 1 HOUR MAX queries = 4")
+        n = ch_sql(spark, "SELECT count(*) AS n FROM nation").collect()  # 1
+        rows.append(("nation_rows", int(n[0][0])))
+        usage = ch_sql(  # statement 2 — charged before the view renders
+            spark,
+            "SELECT used, max_value FROM system.quota_usage "
+            "WHERE quota_name = 'wl_q' AND metric = 'queries'",
+        ).collect()
+        rows.append(("usage_used", int(usage[0][0])))
+        rows.append(("usage_max", int(usage[0][1])))
+        p = ch_sql(  # statement 3 — sees itself registered
+            spark, "SELECT count(*) AS c FROM system.processes"
+        ).collect()
+        rows.append(("processes_self", int(p[0][0])))
+        ch_sql(spark, "SELECT 1 AS one FROM system.one")  # statement 4
+        try:
+            ch_sql(spark, "SELECT 1 AS one FROM system.one")  # 5 — over
+            rows.append(("quota_exceeded", 0))
+        except QuotaExceeded:
+            rows.append(("quota_exceeded", 1))
+    finally:
+        quotas.drop("wl_q")
+    k = ch_sql(spark, "KILL QUERY WHERE query_id = 'no_such_query'").collect()
+    rows.append(("kill_not_found", 1 if k[0][1] == "NotFound" else 0))
+    return spark.createDataFrame(rows, "probe string, value bigint")
