@@ -173,6 +173,20 @@ def analyze_table(
             return st
 
     df = load_table(spark, sf_dir, table)
+    stats = _compute_stats(df, table, columns)
+    os.makedirs(STATS_DIR, exist_ok=True)
+    payload = asdict(stats)
+    payload["source_mtime"] = mtime
+    with open(cpath, "w") as fh:
+        json.dump(payload, fh, default=str)
+    return stats
+
+
+def _compute_stats(
+    df: DataFrame, table: str, columns: list[str] | None = None
+) -> TableStats:
+    """The collection passes behind ANALYZE/CREATE STATS, independent of
+    where the frame came from (path-backed parquet or a session table)."""
     cols = columns or [
         f.name
         for f in df.schema.fields
@@ -244,11 +258,6 @@ def analyze_table(
             qs = qrow[f"__q_{c}"]
             if qs is not None:
                 stats.columns[c].bounds = [float(x) for x in qs]
-    os.makedirs(STATS_DIR, exist_ok=True)
-    payload = asdict(stats)
-    payload["source_mtime"] = mtime
-    with open(cpath, "w") as fh:
-        json.dump(payload, fh, default=str)
     return stats
 
 
@@ -331,3 +340,81 @@ def broadcast_if_small(
     if est_rows * schema_bytes < threshold_bytes:
         return F.broadcast(df)
     return df
+
+
+# ========================================================================
+# Stats DDL (reference src/Parsers/ASTStatsQuery.h — CREATE/DROP/SHOW
+# STATS | COLUMN_STATS, driven by src/Statistics/StatisticsCollector.h):
+# the ByConity-dialect statement surface over the collection machinery
+# above.  CREATE STATS on a path-backed engine table runs the sidecar
+# collection AND registers + ANALYZEs a catalog table so Catalyst CBO
+# consumes the same pass; session tables collect in-memory only.
+# ========================================================================
+
+_STATS_REGISTRY: dict[str, TableStats] = {}
+
+
+def create_stats(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> TableStats:
+    from byconity_spark.engine.catalog import _LAST_SF_DIR, TABLES
+
+    if _LAST_SF_DIR and table in TABLES:
+        st = analyze_table(
+            spark, _LAST_SF_DIR[0], table, columns, refresh=True
+        )
+        try:
+            # register + row-count ANALYZE so spark.sql.cbo.* sees the
+            # catalog-side stats too; per-column NDVs already live in the
+            # sidecar, so skip the second (FOR COLUMNS) scan
+            register_stats_tables(
+                spark, _LAST_SF_DIR[0], [table], column_stats=False
+            )
+        except Exception:
+            pass  # catalog may be read-only in exotic sessions — sidecar
+            # stats above are already collected and registered
+    else:
+        st = _compute_stats(spark.table(table), table, columns)
+    _STATS_REGISTRY[table] = st
+    return st
+
+
+def drop_stats(table: str) -> bool:
+    """DROP STATS t — forgets registry AND sidecar cache entries."""
+    found = _STATS_REGISTRY.pop(table, None) is not None
+    from byconity_spark.engine.catalog import _LAST_SF_DIR
+
+    if _LAST_SF_DIR:
+        cpath = _cache_path(_LAST_SF_DIR[0], table)
+        if os.path.exists(cpath):
+            os.remove(cpath)
+            found = True
+    return found
+
+
+def stats_rows(table: str | None = None) -> list[tuple]:
+    """SHOW STATS [t] — (table, row_count, n_column_stats)."""
+    if table is not None:
+        items = (
+            [(table, _STATS_REGISTRY[table])]
+            if table in _STATS_REGISTRY else []
+        )
+    else:
+        items = sorted(_STATS_REGISTRY.items())
+    return [
+        (name, int(st.row_count), len(st.columns)) for name, st in items
+    ]
+
+
+def column_stats_rows(table: str) -> list[tuple]:
+    """SHOW COLUMN_STATS t — (column, ndv, null_count, min, max) with
+    min/max rendered as strings (mixed types in one result column)."""
+    st = _STATS_REGISTRY.get(table)
+    if st is None:
+        return []
+    return [
+        (c, int(cs.ndv), int(cs.null_count),
+         None if cs.min is None else str(cs.min),
+         None if cs.max is None else str(cs.max))
+        for c, cs in sorted(st.columns.items())
+    ]

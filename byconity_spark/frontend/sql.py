@@ -3301,6 +3301,62 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(m.group(1), code)], "query_id string, status string"
         )
 
+    if re.match(r"SHOW\s+PROCESSLIST$", s, re.IGNORECASE):
+        from byconity_spark.engine.limits import process_list
+        return spark.createDataFrame(
+            process_list.rows(),
+            "query_id string, query string, elapsed double",
+        )
+
+    # CREATE/DROP/SHOW STATS | COLUMN_STATS — the ByConity stats DDL
+    # (reference src/Parsers/ASTStatsQuery.h, ParserStatsQuery.cpp;
+    # collection semantics src/Statistics/StatisticsCollector.h).
+    # CREATE STATS runs the real distributed collection pass and feeds
+    # Catalyst CBO for path-backed engine tables.
+    m = re.match(
+        r"CREATE\s+STATS\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)"
+        r"(?:\s*\(([^)]*)\))?$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.stats import create_stats
+        cols = (
+            [c.strip() for c in m.group(2).split(",") if c.strip()]
+            if m.group(2) else None
+        )
+        st = create_stats(spark, m.group(1), cols)
+        return spark.createDataFrame(
+            [(m.group(1), int(st.row_count), "created")],
+            "table string, row_count bigint, status string",
+        )
+
+    m = re.match(
+        r"DROP\s+STATS\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
+    if m:
+        from byconity_spark.engine.stats import drop_stats
+        return spark.createDataFrame(
+            [(m.group(1), "dropped" if drop_stats(m.group(1)) else "not_found")],
+            "table string, status string",
+        )
+
+    m = re.match(r"SHOW\s+STATS\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
+    if m:
+        from byconity_spark.engine.stats import stats_rows
+        return spark.createDataFrame(
+            stats_rows(m.group(1)),
+            "table string, row_count bigint, n_column_stats int",
+        )
+
+    m = re.match(r"SHOW\s+COLUMN_STATS\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
+    if m:
+        from byconity_spark.engine.stats import column_stats_rows
+        return spark.createDataFrame(
+            column_stats_rows(m.group(1)),
+            "column string, ndv bigint, null_count bigint, "
+            "min_value string, max_value string",
+        )
+
     m = re.match(
         r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
         r"(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"

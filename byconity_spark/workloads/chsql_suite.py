@@ -1139,3 +1139,69 @@ def chsql_quota_process_suite(spark: SparkSession, sf: str) -> DataFrame:
     k = ch_sql(spark, "KILL QUERY WHERE query_id = 'no_such_query'").collect()
     rows.append(("kill_not_found", 1 if k[0][1] == "NotFound" else 0))
     return spark.createDataFrame(rows, "probe string, value bigint")
+
+
+@register(
+    "chsql_stats_ddl",
+    oracle="""
+    SELECT 'orders_row_count' AS item,
+           CAST((SELECT count(*) FROM orders) AS VARCHAR) AS value
+    UNION ALL SELECT 'custkey_nulls',
+        CAST((SELECT count(*) FILTER (WHERE o_custkey IS NULL) FROM orders)
+             AS VARCHAR)
+    UNION ALL SELECT 'custkey_min',
+        CAST((SELECT min(o_custkey) FROM orders) AS VARCHAR)
+    UNION ALL SELECT 'custkey_max',
+        CAST((SELECT max(o_custkey) FROM orders) AS VARCHAR)
+    UNION ALL SELECT 'orderkey_min',
+        CAST((SELECT min(o_orderkey) FROM orders) AS VARCHAR)
+    UNION ALL SELECT 'session_tbl_rows',
+        CAST((SELECT count(*) FROM nation WHERE n_regionkey = 1) AS VARCHAR)
+    UNION ALL SELECT 'after_drop_rows', '0'
+    """,
+)
+def chsql_stats_ddl(spark: SparkSession, sf: str) -> DataFrame:
+    """ByConity stats DDL end-to-end (reference ASTStatsQuery.h /
+    ParserStatsQuery.cpp / StatisticsCollector.h): CREATE STATS runs the
+    real distributed collection pass (row count, per-column NDV sketch,
+    min/max, nulls, NdvBuckets histograms) and feeds Catalyst CBO for
+    path-backed tables; SHOW STATS / SHOW COLUMN_STATS expose it; DROP
+    STATS forgets it.  Exact fields (row count, nulls, min/max) are
+    oracle-checked; the NDV sketch is approximate by design (reference
+    uses KLL/HLL sketches) and is covered by unit tests instead."""
+    from byconity_spark.engine.stats import _STATS_REGISTRY
+
+    register_views(spark, sf)
+    rows: list[tuple[str, str]] = []
+    try:
+        created = ch_sql(
+            spark, "CREATE STATS orders (o_orderkey, o_custkey)"
+        ).collect()
+        rows.append(("orders_row_count", str(created[0][1])))
+        cstats = {
+            r[0]: r for r in
+            ch_sql(spark, "SHOW COLUMN_STATS orders").collect()
+        }
+        rows.append(("custkey_nulls", str(cstats["o_custkey"][2])))
+        rows.append(("custkey_min", cstats["o_custkey"][3]))
+        rows.append(("custkey_max", cstats["o_custkey"][4]))
+        rows.append(("orderkey_min", cstats["o_orderkey"][3]))
+
+        ch_sql(spark, "DROP TABLE IF EXISTS stats_probe_t")
+        ch_sql(
+            spark,
+            "CREATE TABLE stats_probe_t AS SELECT * FROM nation "
+            "WHERE n_regionkey = 1",
+        )
+        ch_sql(spark, "CREATE STATS stats_probe_t")
+        shown = ch_sql(spark, "SHOW STATS stats_probe_t").collect()
+        rows.append(("session_tbl_rows", str(shown[0][1])))
+
+        ch_sql(spark, "DROP STATS stats_probe_t")
+        after = ch_sql(spark, "SHOW STATS stats_probe_t").collect()
+        rows.append(("after_drop_rows", str(len(after))))
+    finally:
+        _STATS_REGISTRY.pop("orders", None)
+        _STATS_REGISTRY.pop("stats_probe_t", None)
+        ch_sql(spark, "DROP TABLE IF EXISTS stats_probe_t")
+    return spark.createDataFrame(rows, "item string, value string")

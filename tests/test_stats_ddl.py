@@ -1,0 +1,80 @@
+"""ByConity stats DDL (reference src/Parsers/ASTStatsQuery.h,
+src/Statistics/StatisticsCollector.h): CREATE/DROP/SHOW STATS|COLUMN_STATS
+through the SQL frontend, backed by the engine/stats.py collection pass."""
+
+from __future__ import annotations
+
+import pytest
+
+from byconity_spark.engine.catalog import register_views
+from byconity_spark.engine.stats import _STATS_REGISTRY
+from byconity_spark.frontend import ch_sql
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    _STATS_REGISTRY.clear()
+    yield
+    _STATS_REGISTRY.clear()
+
+
+def test_create_stats_base_table(spark):
+    register_views(spark, SF_DIR)
+    out = ch_sql(spark, "CREATE STATS orders (o_orderkey, o_custkey)").collect()
+    true_n = spark.table("orders").count()
+    assert out[0][1] == true_n and out[0][2] == "created"
+
+    shown = ch_sql(spark, "SHOW STATS orders").collect()
+    assert shown[0][0] == "orders"
+    assert shown[0][1] == true_n
+    assert shown[0][2] == 2  # exactly the two requested columns
+
+    cs = {r[0]: r for r in ch_sql(spark, "SHOW COLUMN_STATS orders").collect()}
+    assert set(cs) == {"o_orderkey", "o_custkey"}
+    exact_ndv = spark.table("orders").select("o_custkey").distinct().count()
+    assert abs(cs["o_custkey"][1] - exact_ndv) / exact_ndv < 0.1  # HLL sketch
+    assert cs["o_custkey"][2] == 0  # no nulls in TPC-H custkey
+    lo, hi = (
+        spark.sql("SELECT min(o_custkey), max(o_custkey) FROM orders")
+        .collect()[0]
+    )
+    assert cs["o_custkey"][3] == str(lo) and cs["o_custkey"][4] == str(hi)
+
+
+def test_create_stats_feeds_cbo_catalog(spark):
+    register_views(spark, SF_DIR)
+    ch_sql(spark, "CREATE STATS nation")
+    assert spark.catalog.tableExists("cbo_nation")
+
+
+def test_create_stats_session_table(spark):
+    register_views(spark, SF_DIR)
+    ch_sql(spark, "DROP TABLE IF EXISTS st_probe")
+    ch_sql(
+        spark,
+        "CREATE TABLE st_probe AS SELECT n_nationkey, n_regionkey "
+        "FROM nation WHERE n_regionkey < 2",
+    )
+    out = ch_sql(spark, "CREATE STATS st_probe").collect()
+    expect = spark.table("st_probe").count()
+    assert out[0][1] == expect
+    ch_sql(spark, "DROP TABLE st_probe")
+
+
+def test_drop_and_show_all(spark):
+    register_views(spark, SF_DIR)
+    ch_sql(spark, "CREATE STATS region")
+    ch_sql(spark, "CREATE STATS nation")
+    allrows = ch_sql(spark, "SHOW STATS nation").collect()
+    assert len(allrows) == 1  # named form: only that table
+    dropped = ch_sql(spark, "DROP STATS region").collect()
+    assert dropped[0][1] == "dropped"
+    assert ch_sql(spark, "SHOW STATS region").collect() == []
+    again = ch_sql(spark, "DROP STATS IF EXISTS region").collect()
+    assert again[0][1] in ("dropped", "not_found")  # sidecar may linger
+
+
+def test_show_processlist_statement(spark):
+    rows = ch_sql(spark, "SHOW PROCESSLIST").collect()
+    assert len(rows) == 1 and "PROCESSLIST" in rows[0][1].upper()
