@@ -2551,6 +2551,7 @@ _SYSTEM_TABLE_MAP = {
     "system.processes": "system_processes",
     "system.quotas": "system_quotas",
     "system.quota_usage": "system_quota_usage",
+    "system.resource_groups": "system_resource_groups",
 }
 
 
@@ -2667,19 +2668,24 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     from byconity_spark.engine.query_log import query_log
 
     from byconity_spark.engine.limits import process_list, quotas
+    from byconity_spark.engine.resource_groups import resource_groups
 
     depth = getattr(_QUERY_LOG_TLS, "depth", 0)
     _QUERY_LOG_TLS.depth = depth + 1
     t0 = _time.perf_counter()
     status, exc_name = "QueryFinish", ""
     qid = None
+    rg = None
+    rg_t0 = _time.time()
     try:
         if depth == 0:
-            # ProcessList registration + quota charge happen only for the
-            # TOP-LEVEL statement (nested ch_sql calls from DDL internals
-            # are the same user query — reference ProcessList.h keeps one
-            # entry per client statement)
+            # ProcessList registration + quota charge + resource-group
+            # admission happen only for the TOP-LEVEL statement (nested
+            # ch_sql calls from DDL internals are the same user query —
+            # reference ProcessList.h keeps one entry per client statement)
             qid = process_list.register(spark, sql)
+            rg = resource_groups.acquire(spark)
+            rg_t0 = _time.time()
             quotas.charge_query()
         return _ch_sql_impl(spark, sql)
     except Exception as e:
@@ -2689,6 +2695,8 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
         raise
     finally:
         _QUERY_LOG_TLS.depth = depth
+        if rg is not None:
+            resource_groups.release(spark, rg, started_at=rg_t0)
         if qid is not None:
             process_list.unregister(spark, qid)
         if depth == 0:
@@ -2797,6 +2805,17 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             _q.quota_rows(),
             "name string, interval_seconds double, keys string",
         ).createOrReplaceTempView("system_quotas")
+    if _re.search(r"\bsystem\.resource_groups\b", sql, _re.IGNORECASE):
+        # StorageSystemResourceGroups.cpp column subset
+        from byconity_spark.engine.resource_groups import resource_groups
+        spark.createDataFrame(
+            resource_groups.rows(),
+            "name string, parent_resource_group string, can_run_more int, "
+            "can_queue_more int, priority int, max_concurrent_queries int, "
+            "running_queries int, max_queued int, queued_queries int, "
+            "max_queued_waiting_ms int, queued_time_total_ms double, "
+            "running_time_total_ms double",
+        ).createOrReplaceTempView("system_resource_groups")
     if _re.search(r"\bsystem\.quota_usage\b", sql, _re.IGNORECASE):
         from byconity_spark.engine.limits import quotas as _q
         spark.createDataFrame(
@@ -3240,10 +3259,18 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         from byconity_spark.engine.limits import LIMIT_KEYS, session_limits
         key = m.group(1).lower()
+        if key == "resource_group":
+            # session routing into a resource group ('' clears it)
+            from byconity_spark.engine.resource_groups import resource_groups
+            name = m.group(2).strip().strip("'\"")
+            resource_groups.set_current(name or None)
+            return spark.createDataFrame(
+                [(key, "set")], "setting string, status string"
+            )
         if key not in LIMIT_KEYS:
             raise ChSqlError(
                 f"SET: unknown or unsupported setting {key!r} "
-                f"(supported: {sorted(LIMIT_KEYS)})"
+                f"(supported: {sorted(LIMIT_KEYS) + ['resource_group']})"
             )
         session_limits.set(key, m.group(2))
         return spark.createDataFrame(
@@ -3299,6 +3326,44 @@ def _try_ddl(spark: SparkSession, sql: str):
         code = process_list.kill(spark, m.group(1))
         return spark.createDataFrame(
             [(m.group(1), code)], "query_id string, status string"
+        )
+
+    # CREATE/DROP RESOURCE GROUP — the session transport for what the
+    # reference loads from server config (IResourceGroupManager::
+    # loadFromConfig; object model src/ResourceGroup/IResourceGroup.h)
+    m = re.match(
+        r"CREATE\s+RESOURCE\s+GROUP\s+([A-Za-z_]\w*)"
+        r"(?:\s+IN\s+([A-Za-z_]\w*))?"
+        r"(?:\s+MAX_CONCURRENT_QUERIES\s*=?\s*(\d+))?"
+        r"(?:\s+MAX_QUEUED\s*=?\s*(\d+))?"
+        r"(?:\s+MAX_QUEUED_WAITING_MS\s*=?\s*(\d+))?"
+        r"(?:\s+PRIORITY\s*=?\s*(-?\d+))?$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.resource_groups import resource_groups
+        name, parent, mcq, mq, mqw, prio = m.groups()
+        resource_groups.create(
+            name, parent,
+            max_concurrent_queries=int(mcq) if mcq else 8,
+            max_queued=int(mq) if mq else 16,
+            max_queued_waiting_ms=int(mqw) if mqw else 5000,
+            priority=int(prio) if prio else 0,
+        )
+        return spark.createDataFrame(
+            [(name, "created")], "resource_group string, status string"
+        )
+
+    m = re.match(
+        r"DROP\s+RESOURCE\s+GROUP\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.resource_groups import resource_groups
+        ok = resource_groups.drop(m.group(1))
+        return spark.createDataFrame(
+            [(m.group(1), "dropped" if ok else "not_found")],
+            "resource_group string, status string",
         )
 
     if re.match(r"SHOW\s+PROCESSLIST$", s, re.IGNORECASE):

