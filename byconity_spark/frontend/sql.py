@@ -2552,6 +2552,7 @@ _SYSTEM_TABLE_MAP = {
     "system.quotas": "system_quotas",
     "system.quota_usage": "system_quota_usage",
     "system.resource_groups": "system_resource_groups",
+    "system.backups": "system_backups",
 }
 
 
@@ -2805,6 +2806,14 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             _q.quota_rows(),
             "name string, interval_seconds double, keys string",
         ).createOrReplaceTempView("system_quotas")
+    if _re.search(r"\bsystem\.backups\b", sql, _re.IGNORECASE):
+        # reference StorageSystemBackups / BackupStatus.h
+        from byconity_spark.engine.backups import backups_rows
+        spark.createDataFrame(
+            backups_rows(),
+            "id string, name string, status string, num_entries bigint, "
+            "start_time double",
+        ).createOrReplaceTempView("system_backups")
     if _re.search(r"\bsystem\.resource_groups\b", sql, _re.IGNORECASE):
         # StorageSystemResourceGroups.cpp column subset
         from byconity_spark.engine.resource_groups import resource_groups
@@ -3246,7 +3255,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     # readonly gate (Settings.h:665 / ContextAccess): every write-class
     # statement — including quota DDL — is rejected under readonly >= 1
     m = re.match(
-        r"(CREATE|INSERT|DROP|OPTIMIZE|ALTER|TRUNCATE|RENAME)\b",
+        r"(CREATE|INSERT|DROP|OPTIMIZE|ALTER|TRUNCATE|RENAME|RESTORE)\b",
         s, re.IGNORECASE,
     )
     if m:
@@ -3364,6 +3373,38 @@ def _try_ddl(spark: SparkSession, sql: str):
         return spark.createDataFrame(
             [(m.group(1), "dropped" if ok else "not_found")],
             "resource_group string, status string",
+        )
+
+    # BACKUP TABLE t [AS name] TO Disk('disk', 'path') /
+    # RESTORE TABLE name [AS t] FROM Disk('disk', 'path')
+    # (reference ASTBackupQuery.h:14-27, BackupsWorker.cpp; restore is
+    # create-or-append, never drop)
+    m = re.match(
+        r"BACKUP\s+TABLE\s+([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?\s+"
+        r"TO\s+DISK\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.backups import backup_table
+        table, as_name, disk, path = m.groups()
+        n = backup_table(spark, table, disk, path, as_name)
+        return spark.createDataFrame(
+            [(table, int(n), "backup_created")],
+            "table string, rows bigint, status string",
+        )
+
+    m = re.match(
+        r"RESTORE\s+TABLE\s+([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?\s+"
+        r"FROM\s+DISK\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.backups import restore_table
+        name, as_name, disk, path = m.groups()
+        target, n, mode = restore_table(spark, name, disk, path, as_name)
+        return spark.createDataFrame(
+            [(target, int(n), mode)],
+            "table string, rows bigint, status string",
         )
 
     if re.match(r"SHOW\s+PROCESSLIST$", s, re.IGNORECASE):

@@ -1319,3 +1319,78 @@ def chsql_resource_group_suite(spark: SparkSession, sf: str) -> DataFrame:
         resource_groups.set_current(None)
         resource_groups.clear()
     return spark.createDataFrame(rows, "probe string, value bigint")
+
+
+@register(
+    "chsql_backup_restore",
+    oracle="""
+    WITH src AS (SELECT count(*) AS n FROM nation WHERE n_regionkey IN (0, 3))
+    SELECT 'backup_rows' AS probe, CAST(n AS BIGINT) AS value FROM src
+    UNION ALL SELECT 'restored_rows', CAST(n AS BIGINT) FROM src
+    UNION ALL SELECT 'appended_rows', CAST(2 * n AS BIGINT) FROM src
+    UNION ALL SELECT 'incompat_raises', 1
+    UNION ALL SELECT 'missing_raises', 1
+    """,
+)
+def chsql_backup_restore(spark: SparkSession, sf: str) -> DataFrame:
+    """BACKUP / RESTORE end-to-end (reference ASTBackupQuery.h:14-27,
+    BackupsWorker.cpp): parquet-snapshot backup of a session table,
+    restore-as-create after DROP, restore-into-existing APPEND (the
+    documented duplication), schema-incompatibility and missing-entry
+    errors.  The snapshot is one distributed parquet write — nothing
+    touches the driver, so the statement scales with the cluster."""
+    from byconity_spark.engine.backups import BackupError
+
+    register_views(spark, sf)
+    rows: list[tuple[str, int]] = []
+    try:
+        ch_sql(spark, "DROP TABLE IF EXISTS bkwl_src")
+        ch_sql(
+            spark,
+            "CREATE TABLE bkwl_src AS SELECT n_nationkey, n_name, "
+            "n_regionkey FROM nation WHERE n_regionkey IN (0, 3)",
+        )
+        b = ch_sql(
+            spark, "BACKUP TABLE bkwl_src TO Disk('backups', 'wl_rt')"
+        ).collect()
+        rows.append(("backup_rows", int(b[0][1])))
+        ch_sql(spark, "DROP TABLE bkwl_src")
+        r = ch_sql(
+            spark,
+            "RESTORE TABLE bkwl_src FROM Disk('backups', 'wl_rt')",
+        ).collect()
+        rows.append(("restored_rows", int(r[0][1])))
+        ch_sql(
+            spark, "RESTORE TABLE bkwl_src FROM Disk('backups', 'wl_rt')"
+        )
+        n2 = ch_sql(
+            spark, "SELECT count(*) AS n FROM bkwl_src"
+        ).collect()[0][0]
+        rows.append(("appended_rows", int(n2)))
+
+        ch_sql(spark, "DROP TABLE IF EXISTS bkwl_other")
+        ch_sql(
+            spark,
+            "CREATE TABLE bkwl_other AS SELECT r_regionkey FROM region",
+        )
+        try:
+            ch_sql(
+                spark,
+                "RESTORE TABLE bkwl_src AS bkwl_other "
+                "FROM Disk('backups', 'wl_rt')",
+            )
+            rows.append(("incompat_raises", 0))
+        except BackupError:
+            rows.append(("incompat_raises", 1))
+        try:
+            ch_sql(
+                spark,
+                "RESTORE TABLE ghost FROM Disk('backups', 'nowhere_wl')",
+            )
+            rows.append(("missing_raises", 0))
+        except BackupError:
+            rows.append(("missing_raises", 1))
+    finally:
+        ch_sql(spark, "DROP TABLE IF EXISTS bkwl_src")
+        ch_sql(spark, "DROP TABLE IF EXISTS bkwl_other")
+    return spark.createDataFrame(rows, "probe string, value bigint")
