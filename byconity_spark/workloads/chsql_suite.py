@@ -1394,3 +1394,79 @@ def chsql_backup_restore(spark: SparkSession, sf: str) -> DataFrame:
         ch_sql(spark, "DROP TABLE IF EXISTS bkwl_src")
         ch_sql(spark, "DROP TABLE IF EXISTS bkwl_other")
     return spark.createDataFrame(rows, "probe string, value bigint")
+
+
+@register(
+    "chsql_advisor_suite",
+    oracle="""
+    SELECT 'OrderByKeyAdvisor' AS advisor, 'orders' AS subject,
+           'o_orderdate' AS value
+    UNION ALL SELECT 'OrderByKeyBenefit', 'orders', '2'
+    UNION ALL SELECT 'OrderByKeyAdvisor', 'customer', 'c_custkey'
+    UNION ALL SELECT 'PartitionKeyAdvisor', 'orders', 'o_custkey'
+    UNION ALL SELECT 'PartitionKeyAdvisor', 'customer', 'c_custkey'
+    UNION ALL SELECT 'DataTypeAdvisor', 'orders.o_orderkey',
+        (SELECT CASE WHEN max(o_orderkey) <= 255 THEN 'UInt8'
+                     WHEN max(o_orderkey) <= 65535 THEN 'UInt16'
+                     WHEN max(o_orderkey) <= 4294967295 THEN 'UInt32'
+                     ELSE 'none' END FROM orders)
+    UNION ALL SELECT 'DataTypeAdvisor', 'orders.o_custkey',
+        (SELECT CASE WHEN max(o_custkey) <= 255 THEN 'UInt8'
+                     WHEN max(o_custkey) <= 65535 THEN 'UInt16'
+                     WHEN max(o_custkey) <= 4294967295 THEN 'UInt32'
+                     ELSE 'none' END FROM orders)
+    UNION ALL SELECT 'DataTypeAdvisor', 'orders.o_orderstatus',
+        'LowCardinality(String)'
+    UNION ALL SELECT 'MaterializedViewAdvisor', 'lineitem', '2'
+    """,
+)
+def chsql_advisor_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Workload advisor end-to-end (reference src/Advisor — ColumnUsage.h
+    taxonomy, OrderByKeyAdvise.cpp frequency ranking, PartitionKeyAdvise
+    equi-join keys, DataTypeAdvise integer narrowing + LowCardinality,
+    MaterializedViewAdvise repeated-signature detection) over a fixed
+    five-query workload.  The integer-narrowing advises are data-derived
+    (max-value driven), so the oracle recomputes them per scale factor."""
+    from byconity_spark.engine.advisor import analyze_workload
+    from byconity_spark.engine.stats import _STATS_REGISTRY
+
+    register_views(spark, sf)
+    workload = [
+        "SELECT o_orderstatus, count() AS n FROM orders "
+        "WHERE o_orderdate >= '1995-01-01' GROUP BY o_orderstatus",
+        "SELECT o_orderpriority, count() AS n FROM orders "
+        "WHERE o_orderdate >= '1995-01-01' AND o_totalprice > 1000 "
+        "GROUP BY o_orderpriority",
+        "SELECT c.c_mktsegment, sum(o.o_totalprice) AS s FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment",
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag",
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag",
+    ]
+    rows: list[tuple[str, str, str]] = []
+    try:
+        ch_sql(
+            spark,
+            "CREATE STATS orders (o_orderkey, o_custkey, o_orderstatus)",
+        )
+        advises = analyze_workload(spark, workload)
+        for a in advises:
+            if a.advisor == "OrderByKeyAdvisor":
+                rows.append((a.advisor, a.table, a.optimized_value))
+                if a.table == "orders":
+                    rows.append(
+                        ("OrderByKeyBenefit", a.table, str(int(a.benefit)))
+                    )
+            elif a.advisor == "PartitionKeyAdvisor":
+                rows.append((a.advisor, a.table, a.optimized_value))
+            elif a.advisor == "DataTypeAdvisor":
+                rows.append(
+                    (a.advisor, f"{a.table}.{a.column}", a.optimized_value)
+                )
+            elif a.advisor == "MaterializedViewAdvisor":
+                rows.append((a.advisor, a.table, str(int(a.benefit))))
+    finally:
+        _STATS_REGISTRY.pop("orders", None)
+    return spark.createDataFrame(rows, "advisor string, subject string, value string")
