@@ -3247,6 +3247,28 @@ def _rewrite_final_replacing(sql: str) -> str:
 _SESSION_TABLE_ENGINES: dict[str, str] = {}
 
 
+def _like_rx(pat: str) -> str:
+    """CH LIKE pattern → regex: % = any run, _ = one char, backslash
+    escapes a literal wildcard."""
+    import re as _re_l
+
+    out, i = [], 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat) and pat[i + 1] in "%_\\":
+            out.append(_re_l.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(_re_l.escape(c))
+        i += 1
+    return "".join(out)
+
+
 def _try_ddl(spark: SparkSession, sql: str):
     import re
 
@@ -3412,6 +3434,40 @@ def _try_ddl(spark: SparkSession, sql: str):
         return spark.createDataFrame(
             process_list.rows(),
             "query_id string, query string, elapsed double",
+        )
+
+    m = re.match(
+        r"SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?$", s, re.IGNORECASE
+    )
+    if m:
+        # InterpreterShowTablesQuery — engine views + session tables;
+        # CH LIKE patterns use % / _ wildcards
+        names = sorted(t.name for t in spark.catalog.listTables())
+        pat = m.group(1)
+        if pat is not None:
+            names = [n for n in names if re.fullmatch(_like_rx(pat), n)]
+        return spark.createDataFrame([(n,) for n in names], "name string")
+
+    if re.match(r"SHOW\s+DATABASES$", s, re.IGNORECASE):
+        return spark.createDataFrame(
+            [("default",), ("system",)], "name string"
+        )
+
+    m = re.match(
+        r"SHOW\s+SETTINGS\s+LIKE\s+'([^']*)'$", s, re.IGNORECASE
+    )
+    if m:
+        from byconity_spark.engine.limits import (
+            _DEFAULTS, LIMIT_KEYS, session_limits,
+        )
+        rx = _like_rx(m.group(1))
+        rows = [
+            (k, str(session_limits.get(k)),
+             0 if session_limits.get(k) == _DEFAULTS[k] else 1)
+            for k in sorted(LIMIT_KEYS) if re.fullmatch(rx, k)
+        ]
+        return spark.createDataFrame(
+            rows, "name string, value string, changed int"
         )
 
     # CREATE/DROP/SHOW STATS | COLUMN_STATS — the ByConity stats DDL

@@ -78,3 +78,40 @@ def test_drop_and_show_all(spark):
 def test_show_processlist_statement(spark):
     rows = ch_sql(spark, "SHOW PROCESSLIST").collect()
     assert len(rows) == 1 and "PROCESSLIST" in rows[0][1].upper()
+
+
+def test_show_tables_and_like(spark):
+    register_views(spark, SF_DIR)
+    names = [r[0] for r in ch_sql(spark, "SHOW TABLES").collect()]
+    assert "nation" in names and "lineitem" in names
+    filtered = [
+        r[0] for r in ch_sql(spark, "SHOW TABLES LIKE 'nat%'").collect()
+    ]
+    assert filtered == ["nation"]
+
+
+def test_show_databases(spark):
+    names = {r[0] for r in ch_sql(spark, "SHOW DATABASES").collect()}
+    assert names == {"default", "system"}
+
+
+def test_show_settings_like(spark):
+    from byconity_spark.engine.limits import session_limits
+
+    session_limits.reset()
+    rows = ch_sql(
+        spark, "SHOW SETTINGS LIKE 'max!_%'".replace("!", "\\")
+    ).collect()
+    # underscore is a single-char wildcard in CH LIKE; escaped form above
+    assert {r[0] for r in rows} >= {"max_result_rows", "max_rows_to_read"}
+    assert all(r[2] == 0 for r in rows)  # nothing changed from defaults
+    ch_sql(spark, "SET max_result_rows = 9")
+    try:
+        row = [
+            r for r in
+            ch_sql(spark, "SHOW SETTINGS LIKE 'max%'").collect()
+            if r[0] == "max_result_rows"
+        ][0]
+        assert row[1] == "9" and row[2] == 1
+    finally:
+        session_limits.reset()
