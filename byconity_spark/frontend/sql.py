@@ -2553,6 +2553,14 @@ _SYSTEM_TABLE_MAP = {
     "system.quota_usage": "system_quota_usage",
     "system.resource_groups": "system_resource_groups",
     "system.backups": "system_backups",
+    "system.dictionaries": "system_dictionaries",
+    "system.functions": "system_functions",
+    "system.detached_parts": "system_detached_parts",
+    "system.projections": "system_projections",
+    "system.users": "system_users",
+    "system.roles": "system_roles",
+    "system.grants": "system_grants",
+    "system.row_policies": "system_row_policies",
 }
 
 
@@ -2688,7 +2696,18 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
             rg = resource_groups.acquire(spark)
             rg_t0 = _time.time()
             quotas.charge_query()
-        return _ch_sql_impl(spark, sql)
+        res = _ch_sql_impl(spark, sql)
+        if depth == 0:
+            # successful top-level statements inside an open transaction
+            # are listed by SHOW STATEMENTS (reference ASTTransaction.h)
+            from byconity_spark.engine.transactions import transactions
+            import re as _re
+            if transactions.open and not _re.match(
+                r"\s*(BEGIN|COMMIT|ROLLBACK|SHOW\s+STATEMENTS)\b",
+                sql, _re.IGNORECASE,
+            ):
+                transactions.record_statement(sql)
+        return res
     except Exception as e:
         status, exc_name = "ExceptionBeforeStart", type(e).__name__
         if depth == 0:
@@ -2728,6 +2747,33 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         return spark.createDataFrame(
             [(line,) for line in text.splitlines()], "explain string"
         )
+
+    # SELECT ... FORMAT <fmt> — output serialization (reference
+    # ASTQueryWithOutput format clause + src/Formats/ row-OUTPUT formats).
+    # The client-visible text rows come back as one `line` string column;
+    # serialization is F.to_json / F.to_csv — JVM-side, whole-stage
+    # codegen'd, so formatting scales with the cluster like any projection.
+    if _re.match(r"(?is)^\s*(?:SELECT|WITH)\b", sql):
+        fm = _re.search(
+            r"(?is)\s+FORMAT\s+(JSONEachRow|NDJSON|CSV|TSV|TabSeparated)"
+            r"\s*;?\s*$",
+            sql,
+        )
+        if fm:
+            from pyspark.sql import functions as _F
+
+            inner = ch_sql(spark, sql[: fm.start()])
+            f = fm.group(1).lower()
+            if f in ("jsoneachrow", "ndjson"):
+                return inner.select(
+                    _F.to_json(_F.struct(*inner.columns)).alias("line")
+                )
+            sep = "," if f == "csv" else "\t"
+            return inner.select(
+                _F.to_csv(_F.struct(*inner.columns), {"sep": sep}).alias(
+                    "line"
+                )
+            )
 
     ddl = _try_ddl(spark, sql)
     if ddl is not None:
@@ -2806,6 +2852,75 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             _q.quota_rows(),
             "name string, interval_seconds double, keys string",
         ).createOrReplaceTempView("system_quotas")
+    if _re.search(r"\bsystem\.dictionaries\b", sql, _re.IGNORECASE):
+        # reference StorageSystemDictionaries.cpp column subset
+        spark.createDataFrame(
+            [
+                (n, d["source"], d["key"], d["layout"], int(d["lifetime"]))
+                for n, d in sorted(_SESSION_DICTIONARIES.items())
+            ],
+            "name string, source_table string, key string, layout string, "
+            "lifetime_seconds int",
+        ).createOrReplaceTempView("system_dictionaries")
+    if _re.search(r"\bsystem\.projections\b", sql, _re.IGNORECASE):
+        # reference StorageSystemProjectionParts.cpp metadata subset
+        from byconity_spark.engine.projections import projections as _pr
+        spark.createDataFrame(
+            _pr.rows(),
+            "table string, name string, dims string, n_measures int, "
+            "source_version int",
+        ).createOrReplaceTempView("system_projections")
+    if _re.search(r"\bsystem\.detached_parts\b", sql, _re.IGNORECASE):
+        # reference StorageSystemDetachedParts.cpp (table, partition_id,
+        # rows) — counting a detached plan is a distributed count, same as
+        # the footer-metadata model of system.parts
+        spark.createDataFrame(
+            [
+                (t, p, int(df_.count()))
+                for (t, p), df_ in sorted(_DETACHED_PARTS.items())
+            ],
+            "table string, partition_id string, rows bigint",
+        ).createOrReplaceTempView("system_detached_parts")
+    if _re.search(r"\bsystem\.functions\b", sql, _re.IGNORECASE):
+        # reference StorageSystemFunctions.cpp columns (name, is_aggregate,
+        # case_insensitive, alias_to); rows come from the unified parity
+        # inventory — is_aggregate is 1 for AGG-registry names and for
+        # udafs-backed operator names (the reference's aggregate factory)
+        from byconity_spark.functions.name_inventory import inventory
+        from byconity_spark.functions.registry import AGG as _AGG
+        _rows = sorted(
+            (
+                n,
+                1 if (n in _AGG or ptr.startswith("udafs.")) else 0,
+                0,
+                "",
+            )
+            for n, (_surface, ptr) in inventory().items()
+        )
+        spark.createDataFrame(
+            _rows,
+            "name string, is_aggregate int, case_insensitive int, "
+            "alias_to string",
+        ).createOrReplaceTempView("system_functions")
+    if _re.search(
+        r"\bsystem\.(users|roles|grants|row_policies)\b", sql, _re.IGNORECASE
+    ):
+        # reference StorageSystemUsers/Roles/Grants/RowPolicies.cpp subsets
+        from byconity_spark.engine.access import access_control as _ac
+        spark.createDataFrame(
+            _ac.users_rows(), "name string, granted_roles string"
+        ).createOrReplaceTempView("system_users")
+        spark.createDataFrame(
+            _ac.roles_rows(), "name string"
+        ).createOrReplaceTempView("system_roles")
+        spark.createDataFrame(
+            _ac.grants_rows(), "principal string, table string, columns string"
+        ).createOrReplaceTempView("system_grants")
+        spark.createDataFrame(
+            _ac.row_policies_rows(),
+            "name string, table string, kind string, condition string, "
+            "apply_to string",
+        ).createOrReplaceTempView("system_row_policies")
     if _re.search(r"\bsystem\.backups\b", sql, _re.IGNORECASE):
         # reference StorageSystemBackups / BackupStatus.h
         from byconity_spark.engine.backups import backups_rows
@@ -2845,31 +2960,104 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     )
     eff = session_limits.effective(parse_statement_settings(sql))
 
+    # projection rewrite (reference optimizeUseAggregateProjection.cpp):
+    # a matching aggregate statement is answered from the materialized
+    # rollup instead of the fact table
+    from byconity_spark.engine.projections import projections as _projections
+    _proj_sql = _projections.try_rewrite(spark, sql)
+    if _proj_sql is not None:
+        sql = _proj_sql
+
+    # CH star modifiers (* EXCEPT/APPLY/REPLACE, COLUMNS('re')) expand
+    # against the FROM table's schema before the string rewrite
+    sql = _expand_select_modifiers(spark, sql)
+
     norm = rewrite_ch_sql(sql)
     session_limits.check_rows_to_read(eff, norm)
-    df = None
-    if use_qc and query_cache.reads_enabled:
-        hit = query_cache.lookup(norm)
-        if hit is not None:
-            from byconity_spark.engine.query_log import query_log as _qlog
-            _qlog.note_cache_usage("Read")
-            df = hit
-    if df is None:
-        df = spark.sql(norm)
-        if use_qc and query_cache.writes_enabled:
-            stores_before = query_cache.stats["stores"]
-            df = query_cache.store(norm, df)
-            if query_cache.stats["stores"] > stores_before:
+    # RBAC + row policies (reference ContextAccess / RowPolicyCache): may
+    # raise ACCESS_DENIED, and may swap referenced views for policy-filtered
+    # or column-projected ones for the duration of statement ANALYSIS (the
+    # analyzed plan bakes the swap in; restoring afterwards is safe)
+    swaps = _enforce_access(spark, norm)
+    if swaps:
+        use_qc = False  # policy-shaped plans must never cross the cache
+    try:
+        df = None
+        if use_qc and query_cache.reads_enabled:
+            hit = query_cache.lookup(norm)
+            if hit is not None:
                 from byconity_spark.engine.query_log import query_log as _qlog
-                _qlog.note_cache_usage("Write")
-    # result limits apply AFTER the cache store (the cache keeps the full
-    # result; the statement's view of it is what gets limited) and to
-    # cache hits too, matching the reference's per-statement enforcement
-    df = session_limits.apply_result_limits(df, eff)
-    df = session_limits.apply_execution_timeout(spark, df, eff)
-    if _quotas.tracks_result_rows():
-        _quotas.charge_result_rows(df.count())
+                _qlog.note_cache_usage("Read")
+                df = hit
+        if df is None:
+            df = spark.sql(norm)
+            if use_qc and query_cache.writes_enabled:
+                stores_before = query_cache.stats["stores"]
+                df = query_cache.store(norm, df)
+                if query_cache.stats["stores"] > stores_before:
+                    from byconity_spark.engine.query_log import (
+                        query_log as _qlog,
+                    )
+                    _qlog.note_cache_usage("Write")
+        # result limits apply AFTER the cache store (the cache keeps the full
+        # result; the statement's view of it is what gets limited) and to
+        # cache hits too, matching the reference's per-statement enforcement
+        df = session_limits.apply_result_limits(df, eff)
+        df = session_limits.apply_execution_timeout(spark, df, eff)
+        if _quotas.tracks_result_rows():
+            _quotas.charge_result_rows(df.count())
+    finally:
+        for _name, _orig in swaps:
+            _orig.createOrReplaceTempView(_name)
     return df
+
+
+def _enforce_access(spark: SparkSession, norm: str) -> list:
+    """Apply the session's access control to a rewritten statement.
+
+    Mirrors the reference's per-query path: ContextAccess::checkAccessImpl
+    (SELECT grant + column list) then RowPolicyCache's mixed condition per
+    (user, table).  Enforcement is a view swap: the policy filter / granted
+    -column projection is registered under the table's name, the statement
+    analyzes against it (Catalyst pushes the predicate into the parquet
+    scan), and the original view is restored by the caller's ``finally``.
+    Returns the [(table, original_df)] swap list; raises AccessDeniedError.
+    """
+    from byconity_spark.engine.access import access_control
+
+    if not access_control.active:
+        return []
+    import re as _re
+
+    from byconity_spark.engine.catalog import TABLES as _CATALOG_TABLES
+
+    known = set(_CATALOG_TABLES) | set(_SESSION_TABLE_ENGINES)
+    swaps: list = []
+    try:
+        for t in sorted(known):
+            if not _re.search(rf"\b{t}\b", norm):
+                continue
+            cols = access_control.check_select(t)
+            cond = access_control.policy_condition(t)
+            if cols is None and cond is None:
+                continue
+            orig = spark.table(t)
+            filtered = orig
+            if cond is not None:
+                filtered = spark.sql(
+                    rewrite_ch_sql(f"SELECT * FROM {t} WHERE ({cond})")
+                )
+            if cols is not None:
+                filtered = filtered.select(
+                    *[c for c in orig.columns if c in cols]
+                )
+            filtered.createOrReplaceTempView(t)
+            swaps.append((t, orig))
+    except BaseException:
+        for _name, _orig in swaps:
+            _orig.createOrReplaceTempView(_name)
+        raise
+    return swaps
 
 
 # ---------------------------------------------------------------------------
@@ -3246,6 +3434,19 @@ def _rewrite_final_replacing(sql: str) -> str:
 # ---------------------------------------------------------------------------
 _SESSION_TABLE_ENGINES: dict[str, str] = {}
 
+# MergeTree partition model for session tables (reference
+# MergeTreePartition.h: partition id = PARTITION BY expression value).
+# _SESSION_TABLE_PARTITIONS maps table -> the CH partition expression;
+# _DETACHED_PARTS holds DETACHed partitions as logical plans keyed by
+# (table, partition literal) — ATTACH re-unions them (ASTAlterQuery
+# DROP/DETACH/ATTACH/REPLACE PARTITION; MergeTreeDataMergerMutator).
+_SESSION_TABLE_PARTITIONS: dict[str, str] = {}
+_DETACHED_PARTS: dict = {}
+
+# SYSTEM STOP/START MERGES state ("*" = all tables); OPTIMIZE ... FINAL
+# refuses while merges are stopped (reference ActionLocks::PartsMerge)
+_MERGES_STOPPED: set = set()
+
 
 def _like_rx(pat: str) -> str:
     """CH LIKE pattern → regex: % = any run, _ = one char, backslash
@@ -3277,12 +3478,109 @@ def _try_ddl(spark: SparkSession, sql: str):
     # readonly gate (Settings.h:665 / ContextAccess): every write-class
     # statement — including quota DDL — is rejected under readonly >= 1
     m = re.match(
-        r"(CREATE|INSERT|DROP|OPTIMIZE|ALTER|TRUNCATE|RENAME|RESTORE)\b",
+        r"(CREATE|INSERT|DROP|OPTIMIZE|ALTER|TRUNCATE|RENAME|RESTORE|"
+        r"EXCHANGE)\b",
         s, re.IGNORECASE,
     )
     if m:
         from byconity_spark.engine.limits import session_limits
         session_limits.check_readonly_write(m.group(1).upper())
+        # inside an open transaction, write statements snapshot the target
+        # table's pre-image first (engine/transactions.py; reference
+        # CnchTransaction scopes writes until COMMIT)
+        from byconity_spark.engine.transactions import transactions
+        if transactions.open:
+            tm = re.match(
+                r"(?:INSERT\s+INTO(?:\s+TABLE)?|"
+                r"CREATE\s+TABLE(?:\s+IF\s+NOT\s+EXISTS)?|"
+                r"DROP\s+TABLE(?:\s+IF\s+EXISTS)?|TRUNCATE\s+TABLE\s*|"
+                r"ALTER\s+TABLE|OPTIMIZE\s+TABLE|RENAME\s+TABLE|"
+                r"DROP\s+VIEW(?:\s+IF\s+EXISTS)?|"
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW|"
+                r"EXCHANGE\s+TABLES)\s+"
+                r"([A-Za-z_]\w*)(?:\s+(?:TO|AND)\s+([A-Za-z_]\w*))?",
+                s, re.IGNORECASE,
+            )
+            if tm:
+                transactions.snapshot_table(
+                    spark, tm.group(1),
+                    _SESSION_TABLE_ENGINES, _REPLACING_TABLES,
+                )
+                if tm.group(2):
+                    transactions.snapshot_table(
+                        spark, tm.group(2),
+                        _SESSION_TABLE_ENGINES, _REPLACING_TABLES,
+                    )
+
+    # SYSTEM <command> — the operational subset with real engine effects
+    # (reference ASTSystemQuery.h Type enum; InterpreterSystemQuery.cpp)
+    m = re.match(
+        r"SYSTEM\s+(DROP\s+QUERY\s+CACHE|RELOAD\s+DICTIONARIES|"
+        r"RELOAD\s+DICTIONARY\s+([A-Za-z_]\w*)|FLUSH\s+LOGS|"
+        r"(STOP|START)\s+MERGES(?:\s+([A-Za-z_]\w*))?)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        cmd = re.sub(r"\s+", " ", m.group(1).upper())
+        if cmd == "DROP QUERY CACHE":
+            from byconity_spark.engine.query_cache import query_cache
+            query_cache.clear()
+            detail = "cleared"
+        elif cmd.startswith("RELOAD DICTIONAR"):
+            # re-resolve every (or the named) dictionary source — errors
+            # surface now if a source table was dropped, like the reference
+            names = [m.group(2)] if m.group(2) else list(_SESSION_DICTIONARIES)
+            for dname in names:
+                d = _SESSION_DICTIONARIES.get(dname)
+                if d is None:
+                    raise ChSqlError(
+                        f"RELOAD DICTIONARY: unknown dictionary {dname!r}"
+                    )
+                spark.table(d["source"])
+            detail = f"reloaded {len(names)}"
+        elif cmd == "FLUSH LOGS":
+            from byconity_spark.engine.query_log import query_log
+            detail = f"flushed {len(query_log._entries)} entries"
+        else:  # STOP|START MERGES [table]
+            stop = m.group(3).upper() == "STOP"
+            target = m.group(4) or "*"
+            if stop:
+                _MERGES_STOPPED.add(target)
+            else:
+                _MERGES_STOPPED.discard(target)
+            detail = ("stopped" if stop else "started") + f" for {target}"
+        return spark.createDataFrame(
+            [(cmd, detail)], "command string, status string"
+        )
+
+    # BEGIN / COMMIT / ROLLBACK / SHOW STATEMENTS (reference
+    # ASTTransaction.h keywords, InterpreterBeginQuery.h; engine analogue
+    # in engine/transactions.py)
+    if re.match(r"BEGIN(\s+TRANSACTION)?$", s, re.IGNORECASE):
+        from byconity_spark.engine.transactions import transactions
+        txn_id = transactions.begin()
+        return spark.createDataFrame(
+            [(txn_id, "begun")], "txn_id int, status string"
+        )
+    if re.match(r"COMMIT$", s, re.IGNORECASE):
+        from byconity_spark.engine.transactions import transactions
+        txn_id = transactions.commit()
+        return spark.createDataFrame(
+            [(txn_id, "committed")], "txn_id int, status string"
+        )
+    if re.match(r"ROLLBACK$", s, re.IGNORECASE):
+        from byconity_spark.engine.transactions import transactions
+        txn_id, restored = transactions.rollback(
+            spark, _SESSION_TABLE_ENGINES, _REPLACING_TABLES
+        )
+        return spark.createDataFrame(
+            [(txn_id, f"rolled_back_{restored}_tables")],
+            "txn_id int, status string",
+        )
+    if re.match(r"SHOW\s+STATEMENTS$", s, re.IGNORECASE):
+        from byconity_spark.engine.transactions import transactions
+        rows = [(i + 1, st) for i, st in enumerate(transactions.statements())]
+        return spark.createDataFrame(rows, "seq int, statement string")
 
     # SET <limit setting> = <value> — session-scoped, subject to the
     # readonly contract implemented in SessionLimits.set
@@ -3502,6 +3800,173 @@ def _try_ddl(spark: SparkSession, sql: str):
             "table string, status string",
         )
 
+    # CREATE DICTIONARY name [(col list)] PRIMARY KEY k
+    #   SOURCE(CLICKHOUSE(TABLE 'src')) [LAYOUT(...)] [LIFETIME(n)]
+    # (reference ASTDictionary.h grammar; the column list is accepted and
+    # ignored — the source table's schema is authoritative here)
+    m = re.match(
+        r"CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
+        r"(?:\([^)]*\)\s*)?PRIMARY\s+KEY\s+([A-Za-z_]\w*)\s+"
+        r"SOURCE\s*\(\s*\w+\s*\(\s*TABLE\s+'([A-Za-z_]\w*)'\s*\)\s*\)"
+        r"(?:\s+LAYOUT\s*\(\s*(\w+)\s*\(\s*\)\s*\))?"
+        r"(?:\s+LIFETIME\s*\(\s*(\d+)\s*\))?$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name, key, src, layout, lifetime = m.groups()
+        spark.table(src)  # source must resolve now, like the reference
+        _SESSION_DICTIONARIES[name] = {
+            "source": src,
+            "key": key,
+            "layout": (layout or "HASHED").upper(),
+            "lifetime": int(lifetime) if lifetime else 0,
+        }
+        return spark.createDataFrame(
+            [(name, "created")], "dictionary string, status string"
+        )
+
+    m = re.match(
+        r"DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        ok = _SESSION_DICTIONARIES.pop(m.group(1), None) is not None
+        return spark.createDataFrame(
+            [(m.group(1), "dropped" if ok else "not_found")],
+            "dictionary string, status string",
+        )
+
+    # ---- Access entities (reference src/Access/; parser grammar
+    # src/Parsers/Access/; enforcement engine/access.py) -------------------
+    m = re.match(
+        r"CREATE\s+(USER|ROLE)\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.access import access_control
+        kind, ine, name = m.groups()
+        if kind.upper() == "USER":
+            access_control.create_user(name, if_not_exists=bool(ine))
+        else:
+            access_control.create_role(name, if_not_exists=bool(ine))
+        return spark.createDataFrame(
+            [(name, "created")], f"{kind.lower()} string, status string"
+        )
+
+    m = re.match(
+        r"DROP\s+(USER|ROLE)\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.access import access_control
+        kind, ie, name = m.groups()
+        if kind.upper() == "USER":
+            ok = access_control.drop_user(name, if_exists=bool(ie))
+        else:
+            ok = access_control.drop_role(name, if_exists=bool(ie))
+        return spark.createDataFrame(
+            [(name, "dropped" if ok else "not_found")],
+            f"{kind.lower()} string, status string",
+        )
+
+    # GRANT SELECT[(c1, c2)] ON tbl|* TO principal  (AccessRightsElement)
+    m = re.match(
+        r"GRANT\s+SELECT\s*(?:\(([^)]*)\))?\s+ON\s+(\*|[A-Za-z_]\w*)\s+"
+        r"TO\s+([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.access import access_control
+        cols, table, principal = m.groups()
+        access_control.grant_select(
+            table, principal,
+            [c.strip() for c in cols.split(",")] if cols else None,
+        )
+        return spark.createDataFrame(
+            [(principal, table, "granted")],
+            "principal string, table string, status string",
+        )
+
+    m = re.match(
+        r"REVOKE\s+SELECT\s+ON\s+(\*|[A-Za-z_]\w*)\s+FROM\s+([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.access import access_control
+        ok = access_control.revoke_select(m.group(1), m.group(2))
+        return spark.createDataFrame(
+            [(m.group(2), m.group(1), "revoked" if ok else "not_found")],
+            "principal string, table string, status string",
+        )
+
+    # GRANT role TO user (GrantedRoles) — after the SELECT form
+    m = re.match(
+        r"GRANT\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
+    if m:
+        from byconity_spark.engine.access import access_control
+        access_control.grant_role(m.group(1), m.group(2))
+        return spark.createDataFrame(
+            [(m.group(2), m.group(1), "granted")],
+            "user string, role string, status string",
+        )
+
+    # CREATE ROW POLICY p ON t [AS PERMISSIVE|RESTRICTIVE] [FOR SELECT]
+    #   USING cond [TO ALL | principal, ...]   (reference RowPolicy.h; like
+    # the reference, omitting TO applies the policy to nobody)
+    m = re.match(
+        r"CREATE\s+ROW\s+POLICY\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+"
+        r"ON\s+([A-Za-z_]\w*)"
+        r"(?:\s+AS\s+(PERMISSIVE|RESTRICTIVE))?"
+        r"(?:\s+FOR\s+SELECT)?"
+        r"\s+USING\s+(.+?)"
+        r"(?:\s+TO\s+(ALL|[A-Za-z_][\w,\s]*))?$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        from byconity_spark.engine.access import access_control
+        name, table, kind, cond, to = m.groups()
+        to = (to or "").strip()
+        access_control.create_row_policy(
+            name, table, cond.strip(),
+            restrictive=(kind or "").upper() == "RESTRICTIVE",
+            to_all=to.upper() == "ALL",
+            to_roles=(
+                [p.strip() for p in to.split(",")]
+                if to and to.upper() != "ALL" else ()
+            ),
+        )
+        return spark.createDataFrame(
+            [(name, table, "created")],
+            "policy string, table string, status string",
+        )
+
+    m = re.match(
+        r"DROP\s+ROW\s+POLICY\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s+ON\s+"
+        r"([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.access import access_control
+        ok = access_control.drop_row_policy(m.group(1), m.group(2))
+        return spark.createDataFrame(
+            [(m.group(1), m.group(2), "dropped" if ok else "not_found")],
+            "policy string, table string, status string",
+        )
+
+    # SET SESSION USER [=] name — the session transport for connection
+    # authentication (the reference binds the user at handshake;
+    # Authentication.h) — 'default' restores the built-in full-access user
+    m = re.match(
+        r"SET\s+SESSION\s+USER\s*=?\s*'?([A-Za-z_]\w*)'?$", s, re.IGNORECASE
+    )
+    if m:
+        from byconity_spark.engine.access import access_control
+        access_control.set_user(m.group(1))
+        return spark.createDataFrame(
+            [(m.group(1), "set")], "user string, status string"
+        )
+
     m = re.match(r"SHOW\s+STATS\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
     if m:
         from byconity_spark.engine.stats import stats_rows
@@ -3522,14 +3987,17 @@ def _try_ddl(spark: SparkSession, sql: str):
     m = re.match(
         r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
         r"(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
+        r"(?:PARTITION\s+BY\s+([\w(),\s]+?)\s*)?"
         r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?\s+AS\s+(SELECT|WITH)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, engine, eng_args, order_by, kw, rest = m.groups()
+        name, engine, eng_args, part_by, order_by, kw, rest = m.groups()
         df = ch_sql(spark, kw + rest)
         df.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
+        if part_by:
+            _SESSION_TABLE_PARTITIONS[name] = part_by.strip()
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)  # re-CREATE invalidates cached readers
         if engine and engine.lower().startswith("replacingmergetree"):
@@ -3555,12 +4023,15 @@ def _try_ddl(spark: SparkSession, sql: str):
         tail = s[close + 1 :]
         tm = re.match(
             r"\s*(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
+            r"(?:PARTITION\s+BY\s+([\w(),\s]+?)\s*)?"
             r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?\s*$",
             tail, re.IGNORECASE | re.DOTALL,
         )
         if tm is None:
             raise ChSqlError(f"CREATE TABLE: unparsed tail {tail!r}")
-        engine, eng_args, order_by = tm.groups()
+        engine, eng_args, part_by, order_by = tm.groups()
+        if part_by:
+            _SESSION_TABLE_PARTITIONS[name] = part_by.strip()
         fields = []
         for part in _split_args(collist):
             part = part.strip()
@@ -3621,6 +4092,39 @@ def _try_ddl(spark: SparkSession, sql: str):
         stmt = f"CREATE TABLE {name} ({cols}) ENGINE = {engine}"
         return spark.createDataFrame([(stmt,)], "statement string")
 
+    # INSERT INTO t [(cols)] FORMAT <fmt>\n<inline rows>  (reference
+    # ParserInsertQuery.cpp FORMAT branch + src/Formats/ row-input formats:
+    # JSONEachRowRowInputFormat.cpp, CSVRowInputFormat.cpp,
+    # TabSeparatedRowInputFormat.cpp, ValuesBlockInputFormat.cpp).  Inline
+    # payloads are client-typed statement text — small by construction —
+    # so rows parse on the driver and land through one distributed union;
+    # bulk ingestion goes through engine/sources.py readers instead.
+    m = re.match(
+        r"INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*"
+        r"(?:\(([^)]*)\)\s*)?FORMAT\s+(\w+)\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, collist, fmt, payload = m.groups()
+        target = spark.table(name)
+        cols = (
+            [c.strip().strip("`") for c in collist.split(",")]
+            if collist else list(target.columns)
+        )
+        unknown = [c for c in cols if c not in target.columns]
+        if unknown:
+            raise ChSqlError(
+                f"INSERT FORMAT: unknown column(s) {unknown} in {name!r}"
+            )
+        new = _parse_inline_format(spark, fmt, payload, cols, target)
+        merged = spark.table(name).unionByName(new)
+        merged.createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "inserted")], "table string, status string"
+        )
+
     m = re.match(
         r"INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
         r"(SELECT|WITH|VALUES)\b(.*)",
@@ -3651,6 +4155,12 @@ def _try_ddl(spark: SparkSession, sql: str):
         spark.catalog.dropTempView(m.group(1))
         _SESSION_TABLE_ENGINES.pop(m.group(1), None)
         _REPLACING_TABLES.pop(m.group(1), None)
+        _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
+        for key in [k for k in _DETACHED_PARTS if k[0] == m.group(1)]:
+            del _DETACHED_PARTS[key]
+        from byconity_spark.engine.projections import projections as _pr
+        for pname in list(_pr._by_table.get(m.group(1), {})):
+            _pr.drop(m.group(1), pname)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(m.group(1))
         return spark.createDataFrame(
@@ -3662,6 +4172,12 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         name, final = m.group(1), bool(m.group(2))
+        if final and ("*" in _MERGES_STOPPED or name in _MERGES_STOPPED):
+            # reference: OPTIMIZE can't proceed under STOP MERGES
+            # (ActionLocks::PartsMerge held)
+            return spark.createDataFrame(
+                [(name, "merges_stopped")], "table string, status string"
+            )
         if final and name in _REPLACING_TABLES:
             deduped = ch_sql(spark, f"SELECT * FROM {name} FINAL")
             deduped.createOrReplaceTempView(name)
@@ -3672,6 +4188,120 @@ def _try_ddl(spark: SparkSession, sql: str):
             status = "noop"  # parquet views carry no pending merges
         return spark.createDataFrame(
             [(name, status)], "table string, status string"
+        )
+
+    # ALTER TABLE t ADD|DROP|MATERIALIZE PROJECTION — MergeTree projections
+    # (ASTProjectionDeclaration.h / ProjectionsDescription.h); the rewrite
+    # hook lives in engine/projections.py + _ch_sql_impl
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+PROJECTION\s+"
+        r"([A-Za-z_]\w*)\s*(?=\()",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.projections import projections
+        name, pname = m.groups()
+        spark.table(name)  # table must resolve, like the reference
+        open_paren = s.index("(", m.end() - 1)
+        close = _match_paren(s, open_paren)
+        if s[close + 1 :].strip():
+            raise ChSqlError("ADD PROJECTION: trailing text after ')'")
+        try:
+            projections.add(name, pname, s[open_paren + 1 : close])
+        except ValueError as e:
+            raise ChSqlError(str(e)) from e
+        return spark.createDataFrame(
+            [(name, pname, "added")],
+            "table string, projection string, status string",
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(DROP|MATERIALIZE)\s+"
+        r"PROJECTION\s+([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        from byconity_spark.engine.projections import projections
+        name, op, pname = m.group(1), m.group(2).upper(), m.group(3)
+        if op == "DROP":
+            ok = projections.drop(name, pname)
+            status = "dropped" if ok else "not_found"
+        else:
+            proj = projections._by_table.get(name, {}).get(pname)
+            if proj is None:
+                raise ChSqlError(
+                    f"MATERIALIZE PROJECTION: no projection {pname!r} on "
+                    f"{name!r}"
+                )
+            projections._ensure_fresh(spark, proj)
+            status = "materialized"
+        return spark.createDataFrame(
+            [(name, pname, status)],
+            "table string, projection string, status string",
+        )
+
+    # ALTER TABLE t DROP|DETACH|ATTACH|REPLACE PARTITION lit [FROM src] —
+    # reference ASTAlterQuery partition commands over the MergeTree
+    # partition model (MergeTreePartition.h).  All five forms are logical-
+    # plan algebra (a partition-predicate filter and/or a union): nothing
+    # is copied or collected, and the partition predicate pushes into the
+    # scan, so each command is O(1) driver work at any data volume.
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+"
+        r"(DROP|DETACH|ATTACH|REPLACE)\s+PARTITION\s+(.+?)"
+        r"(?:\s+FROM\s+([A-Za-z_]\w*))?$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name, op, lit, src = m.groups()
+        op = op.upper()
+        pexpr = _SESSION_TABLE_PARTITIONS.get(name)
+        if pexpr is None:
+            raise ChSqlError(
+                f"ALTER ... PARTITION: table {name!r} has no PARTITION BY "
+                "clause (NOT_A_PARTITIONED_TABLE)"
+            )
+
+        def _part(table: str, match: bool):
+            neg = "" if match else "NOT "
+            return spark.sql(
+                rewrite_ch_sql(
+                    f"SELECT * FROM {table} WHERE {neg}"
+                    f"(({pexpr}) <=> ({lit}))"
+                )
+            )
+
+        from byconity_spark.engine.query_cache import query_cache
+        if op == "DROP":
+            _part(name, match=False).createOrReplaceTempView(name)
+        elif op == "DETACH":
+            _DETACHED_PARTS[(name, lit.strip())] = _part(name, match=True)
+            _part(name, match=False).createOrReplaceTempView(name)
+        elif op == "ATTACH" and src is None:
+            part = _DETACHED_PARTS.pop((name, lit.strip()), None)
+            if part is None:
+                raise ChSqlError(
+                    f"ATTACH PARTITION: no detached partition {lit!r} for "
+                    f"{name!r} (NO_SUCH_DATA_PART)"
+                )
+            spark.table(name).unionByName(part).createOrReplaceTempView(name)
+        else:  # ATTACH|REPLACE ... FROM src (reference REPLACE_PARTITION)
+            if src is None:
+                raise ChSqlError("REPLACE PARTITION requires FROM <table>")
+            incoming = _part(src, match=True).toDF(*spark.table(name).columns)
+            base = (
+                spark.table(name) if op == "ATTACH"
+                else _part(name, match=False)
+            )
+            base.unionByName(incoming).createOrReplaceTempView(name)
+        query_cache.bump_table(name)
+        status = {
+            "DROP": "dropped", "DETACH": "detached",
+            "ATTACH": "attached", "REPLACE": "replaced",
+        }[op]
+        return spark.createDataFrame(
+            [(name, lit.strip(), status)],
+            "table string, partition string, status string",
         )
 
     # ALTER TABLE t DELETE WHERE cond / UPDATE a = e[, ...] WHERE cond —
@@ -3837,6 +4467,80 @@ def _try_ddl(spark: SparkSession, sql: str):
         query_cache.bump_table(new)
         return spark.createDataFrame(
             [(new, "renamed")], "table string, status string"
+        )
+
+    # EXCHANGE TABLES a AND b — atomic pair swap (reference
+    # ASTRenameQuery.h:54 exchange flag; InterpreterRenameQuery)
+    m = re.match(
+        r"EXCHANGE\s+TABLES\s+([A-Za-z_]\w*)\s+AND\s+([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        a, b = m.groups()
+        da, db = spark.table(a), spark.table(b)
+        db.createOrReplaceTempView(a)
+        da.createOrReplaceTempView(b)
+        ea = _SESSION_TABLE_ENGINES.get(a)
+        eb = _SESSION_TABLE_ENGINES.get(b)
+        for name, eng in ((a, eb), (b, ea)):
+            if eng is None:
+                _SESSION_TABLE_ENGINES.pop(name, None)
+            else:
+                _SESSION_TABLE_ENGINES[name] = eng
+        ra = _REPLACING_TABLES.get(a)
+        rb = _REPLACING_TABLES.get(b)
+        for name, repl in ((a, rb), (b, ra)):
+            if repl is None:
+                _REPLACING_TABLES.pop(name, None)
+            else:
+                _REPLACING_TABLES[name] = repl
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(a)
+        query_cache.bump_table(b)
+        return spark.createDataFrame(
+            [(a, b, "exchanged")], "table string, table2 string, status string"
+        )
+
+    # CREATE [OR REPLACE] VIEW v AS SELECT ... / DROP VIEW v (reference
+    # ASTCreateQuery is_ordinary_view).  Deviation (documented): the view
+    # body's plan is captured at CREATE time — re-CREATEing a source
+    # session table is not reflected until the view is re-created (CH
+    # re-interprets the stored AST per query).
+    m = re.match(
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*)\s+AS\s+(SELECT|WITH)\b(.*)",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, kw, rest = m.groups()
+        ch_sql(spark, kw + rest).createOrReplaceTempView(name)
+        _SESSION_TABLE_ENGINES[name] = "View"
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "created")], "view string, status string"
+        )
+
+    m = re.match(
+        r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
+    if m:
+        if_exists, name = bool(m.group(1)), m.group(2)
+        if _SESSION_TABLE_ENGINES.get(name) != "View":
+            if if_exists:
+                return spark.createDataFrame(
+                    [(name, "not_found")], "view string, status string"
+                )
+            raise ChSqlError(
+                f"DROP VIEW: {name!r} is not a view "
+                "(use DROP TABLE for tables)"
+            )
+        spark.catalog.dropTempView(name)
+        _SESSION_TABLE_ENGINES.pop(name, None)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "dropped")], "view string, status string"
         )
 
     return None
@@ -4065,5 +4769,209 @@ RULES.update(
             _multi_address_multi_distance_filter_sql,
         # replicate.h / nested.cpp internals
         "replicate": lambda a: f"transform({a[1]}, __x -> {a[0]})",
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# SQL-side dictionaries (reference src/Dictionaries/, DDL grammar
+# ParserCreateQuery / ASTDictionary.h; functions
+# src/Functions/FunctionsExternalDictionaries.h).  A session dictionary is
+# a (source_table, key_column) registration; dictGet-family calls rewrite
+# to AGGREGATED correlated scalar subqueries, which Catalyst de-correlates
+# into left outer joins — small dictionary sources broadcast under AQE, so
+# the plan at scale is exactly the broadcast-join the Column API
+# (operators/dictionary.py) builds explicitly.  Missing keys yield NULL
+# (the repo-wide "dictGet semantics with Nullable" convention) —
+# dictGetOrDefault supplies the default.
+# ---------------------------------------------------------------------------
+
+def _expand_select_modifiers(spark, sql: str) -> str:
+    """CH star modifiers (reference ASTColumnsMatcher.h /
+    TranslateQualifiedNamesVisitor COLUMNS / APPLY / REPLACE transformers):
+    ``SELECT * EXCEPT (a) APPLY(f)``, ``COLUMNS('re') APPLY(f)``,
+    ``* REPLACE(expr AS col)``.  Expansion needs the FROM table's schema,
+    so only the simple single-table statement shape is handled; Spark's
+    native ``* EXCEPT`` covers the bare-EXCEPT case everywhere else.
+    Result columns follow the reference naming: ``f(col)`` for APPLY."""
+    import re
+
+    if not re.search(
+        r"(?i)\*\s+(EXCEPT|APPLY|REPLACE)\s*\(|\bCOLUMNS\s*\(", sql
+    ):
+        return sql
+    m = re.match(
+        r"(?is)^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\b(.*)$", sql
+    )
+    if not m:
+        return sql
+    items, table, rest = m.groups()
+    try:
+        cols = spark.table(table).columns
+    except Exception:
+        return sql
+
+    out_items = []
+    for item in _split_args(items):
+        item = item.strip()
+        sm = re.match(
+            r"(?is)^(\*|COLUMNS\s*\(\s*'([^']*)'\s*\))((\s+\w+\s*\(.*)|\s*)$",
+            item,
+        )
+        if not sm:
+            out_items.append(item)
+            continue
+        selected = (
+            list(cols) if sm.group(1) == "*"
+            else [c for c in cols if re.search(sm.group(2), c)]
+        )
+        tail = (sm.group(3) or "").strip()
+        exprs = {c: c for c in selected}
+        while tail:
+            mm = re.match(r"(?is)^(EXCEPT|APPLY|REPLACE)\s*(?=\()", tail)
+            if not mm:
+                raise ChSqlError(
+                    f"star modifiers: unparsed tail {tail!r} "
+                    "(expected EXCEPT/APPLY/REPLACE)"
+                )
+            op = mm.group(1).upper()
+            open_p = tail.index("(", mm.end() - 1)
+            close = _match_paren(tail, open_p)
+            arg = tail[open_p + 1 : close].strip()
+            tail = tail[close + 1 :].strip()
+            if op == "EXCEPT":
+                drop = {c.strip().strip("`") for c in arg.split(",")}
+                exprs = {c: e for c, e in exprs.items() if c not in drop}
+            elif op == "REPLACE":
+                for repl in _split_args(arg):
+                    rm = re.match(
+                        r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$", repl.strip()
+                    )
+                    if not rm or rm.group(2) not in exprs:
+                        raise ChSqlError(
+                            f"REPLACE: bad clause {repl.strip()!r} "
+                            "(need <expr> AS <existing column>)"
+                        )
+                    exprs[rm.group(2)] = rm.group(1)
+            else:  # APPLY(f) — reference names the result f(col)
+                exprs = {
+                    f"{arg}({c})": f"{arg}({e})" for c, e in exprs.items()
+                }
+        out_items.extend(
+            e if (e == c and "(" not in c) else f"{e} AS `{c}`"
+            for c, e in exprs.items()
+        )
+    return f"SELECT {', '.join(out_items)} FROM {table}{rest}"
+
+
+def _parse_inline_format(spark, fmt: str, payload: str, cols: list, target):
+    """Parse an inline INSERT payload in a CH row-input format into a
+    DataFrame matching ``target``'s schema (reference src/Formats/ —
+    JSONEachRowRowInputFormat.cpp, CSVRowInputFormat.cpp,
+    TabSeparatedRowInputFormat.cpp, ValuesBlockInputFormat.cpp).  Columns
+    absent from the insert list are filled with NULL (the reference fills
+    declared defaults; session tables declare none).  Scalar fields only —
+    the format surface here mirrors what a client types inline."""
+    import csv as _csv
+    import io as _io
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    f = fmt.lower()
+    if f == "values":
+        inner = spark.sql(
+            f"SELECT * FROM (VALUES {rewrite_ch_sql(payload)}) "
+            f"AS v({', '.join(cols)})"
+        )
+    else:
+        if f in ("jsoneachrow", "ndjson"):
+            str_rows = []
+            for line in payload.strip().splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                d = _json.loads(line)
+                str_rows.append(
+                    tuple(
+                        None if d.get(c) is None
+                        else (str(d[c]).lower() if isinstance(d[c], bool)
+                              else str(d[c]))
+                        for c in cols
+                    )
+                )
+        elif f in ("csv", "csvwithnames", "tsv", "tabseparated",
+                   "tsvwithnames", "tabseparatedwithnames"):
+            delim = "," if f.startswith("csv") else "\t"
+            reader = _csv.reader(
+                _io.StringIO(payload.strip()), delimiter=delim
+            )
+            raw = [r for r in reader if r]
+            if f.endswith("withnames"):
+                header, raw = raw[0], raw[1:]
+                order = [header.index(c) for c in cols]
+                raw = [[r[i] for i in order] for r in raw]
+            str_rows = [
+                tuple(None if v == "\\N" else v for v in r) for r in raw
+            ]
+        else:
+            raise ChSqlError(
+                f"INSERT FORMAT: unsupported format {fmt!r} (supported: "
+                "JSONEachRow, CSV[WithNames], TSV/TabSeparated[WithNames], "
+                "Values)"
+            )
+        inner = spark.createDataFrame(
+            str_rows, ", ".join(f"`{c}` string" for c in cols)
+        )
+    by_name = {fld.name: fld.dataType for fld in target.schema.fields}
+    return inner.select(
+        *[
+            (F.col(c).cast(by_name[c]) if c in inner.columns
+             else F.lit(None).cast(by_name[c])).alias(c)
+            for c in target.columns
+        ]
+    )
+
+
+_SESSION_DICTIONARIES: dict[str, dict] = {}
+
+
+def _dict_def(name_arg: str) -> dict:
+    dname = name_arg.strip().strip("'\"")
+    d = _SESSION_DICTIONARIES.get(dname)
+    if d is None:
+        raise ChSqlError(
+            f"unknown dictionary {dname!r} (CREATE DICTIONARY first)"
+        )
+    return d
+
+
+def _dict_get_sql(a: list[str]) -> str:
+    d = _dict_def(a[0])
+    attr = a[1].strip().strip("'\"")
+    return (
+        f"(SELECT max(__d.{attr}) FROM {d['source']} __d "
+        f"WHERE __d.{d['key']} = ({a[2]}))"
+    )
+
+
+def _dict_get_or_default_sql(a: list[str]) -> str:
+    return f"coalesce({_dict_get_sql(a[:3])}, {a[3]})"
+
+
+def _dict_has_sql(a: list[str]) -> str:
+    d = _dict_def(a[0])
+    return (
+        f"((SELECT count(*) FROM {d['source']} __d "
+        f"WHERE __d.{d['key']} = ({a[1]})) > 0)"
+    )
+
+
+RULES.update(
+    {
+        "dictGet": _dict_get_sql,
+        "dictGetOrNull": _dict_get_sql,  # NULL-on-miss is the base form
+        "dictGetOrDefault": _dict_get_or_default_sql,
+        "dictHas": _dict_has_sql,
     }
 )

@@ -1470,3 +1470,410 @@ def chsql_advisor_suite(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         _STATS_REGISTRY.pop("orders", None)
     return spark.createDataFrame(rows, "advisor string, subject string, value string")
+
+
+@register(
+    "chsql_dictionary_sql",
+    oracle="""
+    SELECT n_name AS nname, CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def chsql_dictionary_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-side dictionary lookups (reference src/Dictionaries/ +
+    FunctionsExternalDictionaries.h): CREATE DICTIONARY over the nation
+    table, then dictGet/dictHas in a statement.  The rewrite emits
+    aggregated correlated scalar subqueries; Catalyst de-correlates them
+    into a left join whose small side broadcasts under AQE — the identical
+    physical plan the Column API builds explicitly, so the pattern holds
+    at any scale."""
+    from byconity_spark.frontend.sql import _SESSION_DICTIONARIES
+
+    register_views(spark, sf)
+    try:
+        ch_sql(
+            spark,
+            "CREATE DICTIONARY wl_nation_dict PRIMARY KEY n_nationkey "
+            "SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(HASHED()) "
+            "LIFETIME(300)",
+        )
+        return ch_sql(
+            spark,
+            """
+            SELECT nname, count(*) AS n FROM (
+              SELECT dictGet('wl_nation_dict', 'n_name', c_nationkey)
+                     AS nname
+              FROM customer
+              WHERE dictHas('wl_nation_dict', c_nationkey)
+            ) GROUP BY nname
+            """,
+        )
+    finally:
+        _SESSION_DICTIONARIES.pop("wl_nation_dict", None)
+
+
+@register(
+    "chsql_rbac_suite",
+    oracle="""
+    SELECT 'alice_permissive' AS stage,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'alice_mixed',
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '1%'
+    UNION ALL
+    SELECT 'customer_denied', CAST(1 AS BIGINT)
+    """,
+)
+def chsql_rbac_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """RBAC + row policies end-to-end (reference src/Access/:
+    ContextAccess.cpp grant checks + RowPolicyCache.cpp condition mixing).
+    Row-policy enforcement is a view swap whose predicate Catalyst pushes
+    into the parquet scan — at 100 TB the policy filter prunes row groups
+    like any WHERE clause, so secured reads cost the same as filtered
+    reads."""
+    from byconity_spark.engine.access import AccessDeniedError, access_control
+
+    register_views(spark, sf)
+    access_control.reset()
+    try:
+        ch_sql(spark, "CREATE ROLE analyst")
+        ch_sql(spark, "CREATE USER alice")
+        ch_sql(spark, "GRANT analyst TO alice")
+        ch_sql(spark, "GRANT SELECT ON orders TO analyst")
+        ch_sql(
+            spark,
+            "CREATE ROW POLICY rbac_perm ON orders FOR SELECT "
+            "USING o_orderstatus = 'F' TO analyst",
+        )
+        ch_sql(spark, "SET SESSION USER alice")
+        n_perm = ch_sql(
+            spark, "SELECT count(*) AS n FROM orders"
+        ).collect()[0][0]
+        ch_sql(spark, "SET SESSION USER default")
+        ch_sql(
+            spark,
+            "CREATE ROW POLICY rbac_restr ON orders AS RESTRICTIVE "
+            "USING o_orderpriority LIKE '1%' TO analyst",
+        )
+        ch_sql(spark, "SET SESSION USER alice")
+        n_mixed = ch_sql(
+            spark, "SELECT count(*) AS n FROM orders"
+        ).collect()[0][0]
+        try:
+            ch_sql(spark, "SELECT count(*) AS n FROM customer")
+            denied = 0
+        except AccessDeniedError:
+            denied = 1
+        rows = [
+            ("alice_permissive", int(n_perm)),
+            ("alice_mixed", int(n_mixed)),
+            ("customer_denied", denied),
+        ]
+    finally:
+        access_control.reset()
+    return spark.createDataFrame(rows, "stage string, n bigint")
+
+
+@register(
+    "chsql_transaction_suite",
+    oracle="""
+    SELECT 'created' AS stage, CAST(count(*) AS BIGINT) AS n
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 'read_your_writes', CAST(count(*) AS BIGINT)
+    FROM nation WHERE n_regionkey IN (0, 1)
+    UNION ALL
+    SELECT 'after_rollback', CAST(count(*) AS BIGINT)
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 'after_commit', CAST(count(*) AS BIGINT)
+    FROM nation WHERE n_regionkey IN (0, 2)
+    """,
+)
+def chsql_transaction_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """BEGIN / COMMIT / ROLLBACK over session tables (reference
+    src/Parsers/ASTTransaction.h, src/Transaction/ CnchTransaction).
+    Rollback restores pre-image LOGICAL PLANS, not data copies — nothing
+    is collected, so transaction bookkeeping is O(tables touched), never
+    O(rows), at any scale."""
+    from byconity_spark.engine.transactions import transactions
+
+    register_views(spark, sf)
+    transactions.reset()
+
+    def count() -> int:
+        return int(
+            ch_sql(spark, "SELECT count(*) AS n FROM wl_txn_t").collect()[0][0]
+        )
+
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_txn_t AS SELECT n_nationkey AS k FROM nation "
+            "WHERE n_regionkey = 0",
+        )
+        rows = [("created", count())]
+        ch_sql(spark, "BEGIN TRANSACTION")
+        ch_sql(
+            spark,
+            "INSERT INTO wl_txn_t SELECT n_nationkey FROM nation "
+            "WHERE n_regionkey = 1",
+        )
+        rows.append(("read_your_writes", count()))
+        ch_sql(spark, "ROLLBACK")
+        rows.append(("after_rollback", count()))
+        ch_sql(spark, "BEGIN")
+        ch_sql(
+            spark,
+            "INSERT INTO wl_txn_t SELECT n_nationkey FROM nation "
+            "WHERE n_regionkey = 2",
+        )
+        ch_sql(spark, "COMMIT")
+        rows.append(("after_commit", count()))
+    finally:
+        transactions.reset()
+        ch_sql(spark, "DROP TABLE IF EXISTS wl_txn_t")
+    return spark.createDataFrame(rows, "stage string, n bigint")
+
+
+@register(
+    "chsql_insert_format",
+    oracle="""
+    SELECT CAST(k AS INTEGER) AS k, v, CAST(x AS DOUBLE) AS x
+    FROM (VALUES (1, 'a', 1.5), (2, 'b', NULL), (3, 'c', 2.5),
+                 (4, 'd', 3.25), (5, 'e', NULL), (6, 'f', 4.0))
+         AS t(k, v, x)
+    """,
+)
+def chsql_insert_format(spark: SparkSession, sf: str) -> DataFrame:
+    """Inline INSERT ... FORMAT row-input formats (reference src/Formats/:
+    JSONEachRow, CSV, TSVWithNames subset+reorder, Values).  Inline
+    payloads are client-typed text — parsing them on the driver is the
+    reference's model too (the server parses the statement body); bulk
+    data goes through the distributed source readers instead."""
+    register_views(spark, sf)
+    ch_sql(spark, "DROP TABLE IF EXISTS wl_fmt_t")
+    try:
+        ch_sql(spark, "CREATE TABLE wl_fmt_t (k Int32, v String, x Float64)")
+        ch_sql(
+            spark,
+            "INSERT INTO wl_fmt_t FORMAT JSONEachRow "
+            '{"k": 1, "v": "a", "x": 1.5}\n{"k": 2, "v": "b", "x": null}',
+        )
+        ch_sql(spark, "INSERT INTO wl_fmt_t FORMAT CSV 3,c,2.5\n4,d,3.25")
+        ch_sql(
+            spark,
+            "INSERT INTO wl_fmt_t (v, k) FORMAT TSVWithNames v\tk\ne\t5",
+        )
+        ch_sql(spark, "INSERT INTO wl_fmt_t FORMAT Values (6, 'f', 4.0)")
+        out = ch_sql(spark, "SELECT k, v, x FROM wl_fmt_t")
+        # materialize before the view is dropped (the view swap chain
+        # underneath is lazy plans over inline literals — tiny)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        ch_sql(spark, "DROP TABLE IF EXISTS wl_fmt_t")
+
+
+@register(
+    "chsql_view_exchange",
+    oracle="""
+    SELECT 'a_after_exchange' AS stage, CAST(count(*) AS BIGINT) AS n
+    FROM nation WHERE n_regionkey IN (1, 2)
+    UNION ALL
+    SELECT 'b_after_exchange', CAST(count(*) AS BIGINT)
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 'view_rows', CAST(count(DISTINCT n_regionkey) AS BIGINT)
+    FROM nation WHERE n_regionkey IN (1, 2)
+    """,
+)
+def chsql_view_exchange(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCHANGE TABLES atomic pair swap (reference ASTRenameQuery.h:54) +
+    CREATE VIEW (ASTCreateQuery is_ordinary_view).  Both are catalog
+    operations over logical plans — O(1) regardless of data volume."""
+    register_views(spark, sf)
+    for t in ("wl_ex_a", "wl_ex_b"):
+        ch_sql(spark, f"DROP TABLE IF EXISTS {t}")
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_ex_a AS SELECT * FROM nation "
+            "WHERE n_regionkey = 0",
+        )
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_ex_b AS SELECT * FROM nation "
+            "WHERE n_regionkey IN (1, 2)",
+        )
+        ch_sql(spark, "EXCHANGE TABLES wl_ex_a AND wl_ex_b")
+        ch_sql(
+            spark,
+            "CREATE VIEW wl_ex_v AS SELECT n_regionkey, count(*) AS c "
+            "FROM wl_ex_a GROUP BY n_regionkey",
+        )
+        rows = [
+            ("a_after_exchange", int(
+                ch_sql(spark, "SELECT count(*) AS n FROM wl_ex_a")
+                .collect()[0][0])),
+            ("b_after_exchange", int(
+                ch_sql(spark, "SELECT count(*) AS n FROM wl_ex_b")
+                .collect()[0][0])),
+            ("view_rows", int(
+                ch_sql(spark, "SELECT count(*) AS n FROM wl_ex_v")
+                .collect()[0][0])),
+        ]
+    finally:
+        for t in ("wl_ex_a", "wl_ex_b"):
+            ch_sql(spark, f"DROP TABLE IF EXISTS {t}")
+        ch_sql(spark, "DROP VIEW IF EXISTS wl_ex_v")
+    return spark.createDataFrame(rows, "stage string, n bigint")
+
+
+@register(
+    "chsql_partition_ops",
+    oracle="""
+    SELECT 'after_drop' AS stage, CAST(count(*) AS BIGINT) AS n
+    FROM nation WHERE n_regionkey <> 0
+    UNION ALL
+    SELECT 'after_detach', CAST(count(*) AS BIGINT)
+    FROM nation WHERE n_regionkey NOT IN (0, 3)
+    UNION ALL
+    SELECT 'after_attach', CAST(count(*) AS BIGINT)
+    FROM nation WHERE n_regionkey <> 0
+    UNION ALL
+    SELECT 'after_replace', CAST(count(*) AS BIGINT)
+    FROM nation WHERE n_regionkey <> 0
+    UNION ALL
+    SELECT 'replaced_min',
+           CAST(100 + min(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def chsql_partition_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """MergeTree partition commands (reference ASTAlterQuery
+    DROP/DETACH/ATTACH/REPLACE PARTITION; MergeTreePartition.h).  Every
+    command is partition-predicate plan algebra — the predicate pushes to
+    the scan and nothing moves through the driver, so partition management
+    stays O(1) at 100 TB exactly like the reference's part-catalog ops."""
+    from byconity_spark.frontend.sql import _DETACHED_PARTS
+
+    register_views(spark, sf)
+    for t in ("wl_pt", "wl_pt_src"):
+        ch_sql(spark, f"DROP TABLE IF EXISTS {t}")
+
+    def count() -> int:
+        return int(
+            ch_sql(spark, "SELECT count(*) AS n FROM wl_pt").collect()[0][0]
+        )
+
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_pt PARTITION BY n_regionkey AS "
+            "SELECT * FROM nation",
+        )
+        ch_sql(spark, "ALTER TABLE wl_pt DROP PARTITION 0")
+        rows = [("after_drop", count())]
+        ch_sql(spark, "ALTER TABLE wl_pt DETACH PARTITION 3")
+        rows.append(("after_detach", count()))
+        ch_sql(spark, "ALTER TABLE wl_pt ATTACH PARTITION 3")
+        rows.append(("after_attach", count()))
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_pt_src PARTITION BY n_regionkey AS "
+            "SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey "
+            "FROM nation WHERE n_regionkey = 1",
+        )
+        ch_sql(spark, "ALTER TABLE wl_pt REPLACE PARTITION 1 FROM wl_pt_src")
+        rows.append(("after_replace", count()))
+        rows.append(
+            ("replaced_min", int(
+                ch_sql(
+                    spark,
+                    "SELECT min(n_nationkey) AS m FROM wl_pt "
+                    "WHERE n_regionkey = 1",
+                ).collect()[0][0]
+            ))
+        )
+    finally:
+        for t in ("wl_pt", "wl_pt_src"):
+            ch_sql(spark, f"DROP TABLE IF EXISTS {t}")
+        _DETACHED_PARTS.clear()
+    return spark.createDataFrame(rows, "stage string, n bigint")
+
+
+@register(
+    "chsql_projection_rewrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(o_custkey) AS BIGINT) AS n,
+           min(o_totalprice) AS mn,
+           max(o_totalprice) AS mx
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def chsql_projection_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """MergeTree projection + automatic aggregate rewrite (reference
+    ASTProjectionDeclaration.h / optimizeUseAggregateProjection.cpp /
+    MaterializedViewRewriter.h).  The statement is answered by
+    RE-AGGREGATING the materialized rollup (count via sum of counts, min
+    of mins, max of maxes — exact under re-aggregation, so the projection
+    path itself is what the oracle validates).  The fact table is scanned
+    once at materialization; at 100 TB every matching query after that
+    reads the rollup, smaller by the group-by reduction factor."""
+    from byconity_spark.engine.projections import projections
+
+    register_views(spark, sf)
+    projections.clear()
+    ch_sql(spark, "DROP TABLE IF EXISTS wl_pj")
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_pj AS SELECT o_orderstatus, o_totalprice, "
+            "o_custkey FROM orders",
+        )
+        ch_sql(
+            spark,
+            "ALTER TABLE wl_pj ADD PROJECTION agg_status ("
+            "SELECT o_orderstatus, count(o_custkey) AS n, "
+            "min(o_totalprice) AS mn, max(o_totalprice) AS mx "
+            "GROUP BY o_orderstatus)",
+        )
+        q = (
+            "SELECT o_orderstatus, count(o_custkey) AS n, "
+            "min(o_totalprice) AS mn, max(o_totalprice) AS mx "
+            "FROM wl_pj GROUP BY o_orderstatus"
+        )
+        assert projections.try_rewrite(spark, q) is not None
+        out = ch_sql(spark, q)  # answered from the projection
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        projections.clear()
+        ch_sql(spark, "DROP TABLE IF EXISTS wl_pj")
+
+
+@register(
+    "chsql_star_modifiers",
+    oracle="""
+    SELECT n_nationkey, n_regionkey * 10 AS n_regionkey
+    FROM nation WHERE n_nationkey < 5
+    """,
+)
+def chsql_star_modifiers(spark: SparkSession, sf: str) -> DataFrame:
+    """CH star modifiers * EXCEPT / REPLACE (reference ASTColumnsMatcher.h,
+    TranslateQualifiedNamesVisitor transformers): expansion against the
+    table schema happens before the string rewrite, so the emitted plan is
+    a plain projection — column pruning and pushdown see ordinary columns."""
+    return _run(
+        spark,
+        sf,
+        "SELECT * EXCEPT (n_name) REPLACE(n_regionkey * 10 AS n_regionkey) "
+        "FROM nation WHERE n_nationkey < 5",
+    )

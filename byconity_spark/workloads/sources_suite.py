@@ -599,3 +599,48 @@ def dict_region_suite(spark: SparkSession, sf: str) -> DataFrame:
         "cname", "in_101",
         arr_str(F.col("__hier")).alias("hier"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "idx_token_pruned_search",
+    oracle="""
+    SELECT doc_id
+    FROM documents
+    WHERE regexp_matches(lower(text), '(^|[^a-z0-9])dup([^a-z0-9]|$)')
+    """,
+)
+def idx_token_pruned_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Token skip index + file-pruned scan (reference
+    MergeTreeIndexFullText.h tokenbf_v1 / MergeTreeIndexInverted.h over
+    MergeTreeDataSelectExecutor granule skipping).  One distributed pass
+    builds a (file, token) posting list; the search reads ONLY the files
+    whose posting list contains the token, then re-applies the exact
+    hasToken predicate — the index prunes, the residual filter keeps
+    results exact (a lossy index can cost time, never correctness).  At
+    100 TB this is the difference between scanning every file and the
+    handful holding a selective token."""
+    import shutil
+    import tempfile
+
+    from byconity_spark.engine.skip_index import (
+        build_token_index,
+        pruned_token_scan,
+    )
+
+    base = tempfile.mkdtemp(prefix="bspark_wl_skipidx_")
+    try:
+        data, idx = f"{base}/docs", f"{base}/idx"
+        (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .repartition(32, "doc_id")
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+        build_token_index(spark, data, "text", idx)
+        df, _scanned, _total = pruned_token_scan(
+            spark, data, "text", "dup", idx
+        )
+        rows = df.select("doc_id").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint")

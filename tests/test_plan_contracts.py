@@ -370,3 +370,61 @@ def test_lbs_filter_suite_stays_jvm_side_no_shuffle(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_row_policy_filter_reaches_scan(spark):
+    """Row-policy enforcement (engine/access.py) is a view swap whose
+    predicate Catalyst must push into the parquet scan — secured reads
+    cost the same as filtered reads at any scale."""
+    from byconity_spark.engine.access import access_control
+    from byconity_spark.engine.catalog import register_views
+    from byconity_spark.frontend import ch_sql
+
+    access_control.reset()
+    register_views(spark, SF_DIR)
+    try:
+        ch_sql(
+            spark,
+            "CREATE ROW POLICY plan_p ON orders "
+            "USING o_orderstatus = 'F' TO ALL",
+        )
+        plan = _plan(ch_sql(spark, "SELECT count(*) AS n FROM orders"))
+        scan = plan.split("PushedFilters")[1][:400]
+        assert "o_orderstatus" in scan
+    finally:
+        access_control.reset()
+
+
+def test_projection_rewrite_reads_rollup_not_fact(spark):
+    """A matching aggregate must be answered from the materialized rollup
+    (engine/projections.py) — the fact table path must not appear in the
+    physical plan."""
+    from byconity_spark.engine.catalog import register_views
+    from byconity_spark.engine.projections import projections
+    from byconity_spark.frontend import ch_sql
+
+    projections.clear()
+    register_views(spark, SF_DIR)
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE plan_pj AS SELECT o_orderstatus, o_custkey "
+            "FROM orders",
+        )
+        ch_sql(
+            spark,
+            "ALTER TABLE plan_pj ADD PROJECTION p ("
+            "SELECT o_orderstatus, count(o_custkey) AS n "
+            "GROUP BY o_orderstatus)",
+        )
+        df = ch_sql(
+            spark,
+            "SELECT o_orderstatus, count(o_custkey) AS n FROM plan_pj "
+            "GROUP BY o_orderstatus",
+        )
+        plan = _plan(df)
+        assert "bspark_proj_" in plan  # the rollup parquet path
+        assert "orders.parquet" not in plan  # fact table untouched
+    finally:
+        projections.clear()
+        ch_sql(spark, "DROP TABLE IF EXISTS plan_pj")
