@@ -1221,7 +1221,8 @@ RULES.update(
             f"pow(sin(radians({a[2]} - {a[0]}) / 2), 2))))"
         ),
         # ---- misc tail
-        "currentDatabase": lambda a: "current_database()",
+        # the session CH database, not Spark's catalog namespace
+        "currentDatabase": lambda a: f"'{_CURRENT_DATABASE[0]}'",
         "sleep": lambda a: "0",  # no per-block sleep; returns CH's 0
         "sleepEachRow": lambda a: "0",
         "ignore": lambda a: "0",
@@ -2734,6 +2735,55 @@ _QUERY_LOG_TLS = __import__("threading").local()
 def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     import re as _re
 
+    sql = _qualify_databases(sql)
+
+    # SELECT TOP n — MySQL-dialect alias for LIMIT n (reference
+    # ParserSelectQuery TOP branch; top-level only, like the reference,
+    # and mutually exclusive with LIMIT there)
+    tm = _re.match(r"(?is)^(\s*SELECT\s+)TOP\s+(\d+)\s+(.*)$", sql)
+    if tm:
+        sql = f"{tm.group(1)}{tm.group(3).rstrip()} LIMIT {tm.group(2)}"
+
+    # ORDER BY ... COLLATE 'locale' → Spark 4 ICU collations (reference
+    # Collator.h; simple column/call expressions only)
+    if _re.search(r"(?i)\bCOLLATE\s+'", sql):
+        sql = _re.sub(
+            r"(?i)([A-Za-z_]\w*(?:\([\w,\s]*\))?)\s+COLLATE\s+'([\w.-]+)'",
+            r"collate(\1, '\2')",
+            sql,
+        )
+
+    # SELECT ... INTO OUTFILE 'path' [FORMAT fmt] — client-side result
+    # export (reference ASTQueryWithOutput out_file; clickhouse-client
+    # writes the file where the client runs, so a driver-side write IS
+    # the reference cost model — bulk exports go through engine sinks)
+    om = _re.search(
+        r"(?is)\s+INTO\s+OUTFILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*$",
+        sql,
+    )
+    if om and _re.match(r"(?is)^\s*(SELECT|WITH)\b", sql):
+        inner = ch_sql(spark, sql[: om.start()])
+        path, fmt = om.group(1), (om.group(2) or "TabSeparated").lower()
+        pdf = inner.toPandas()
+        if fmt in ("tabseparated", "tsv"):
+            pdf.to_csv(path, sep="\t", header=False, index=False)
+        elif fmt == "csv":
+            pdf.to_csv(path, header=False, index=False)
+        elif fmt in ("csvwithnames", "tsvwithnames"):
+            pdf.to_csv(
+                path, sep="," if fmt.startswith("csv") else "\t",
+                header=True, index=False,
+            )
+        elif fmt in ("jsoneachrow", "ndjson"):
+            pdf.to_json(path, orient="records", lines=True)
+        elif fmt == "parquet":
+            pdf.to_parquet(path, index=False)
+        else:
+            raise ChSqlError(f"INTO OUTFILE: unsupported format {fmt!r}")
+        return spark.createDataFrame(
+            [(path, len(pdf))], "outfile string, rows bigint"
+        )
+
     m = _re.match(
         r"\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?\s+(?=SELECT|WITH)",
         sql,
@@ -3447,6 +3497,72 @@ _DETACHED_PARTS: dict = {}
 # refuses while merges are stopped (reference ActionLocks::PartsMerge)
 _MERGES_STOPPED: set = set()
 
+# Row TTL (reference src/Storages/TTLDescription.h,
+# src/DataStreams/TTLBlockInputStream.h): rows whose TTL expression is
+# <= now expire AT MERGE TIME — here, at OPTIMIZE ... FINAL.  The wall
+# clock can be pinned (`SET ttl_now = '<timestamp>'`) so TTL sweeps are
+# reproducible in tests and oracles; '' restores the real clock.
+_SESSION_TABLE_TTLS: dict = {}
+_TTL_NOW: list = [None]
+
+# Databases (reference InterpreterCreateQuery database branch,
+# DatabaseCatalog.h).  A session database is a namespace over session
+# tables: ``db.t`` resolves to the internal view name ``db__t``; under
+# ``USE db`` unqualified table references in statements resolve into the
+# current database first.  ``default`` is the reference's built-in
+# database (qualified ``default.t`` strips to ``t``); ``system`` is the
+# introspection namespace handled by _SYSTEM_TABLE_MAP.
+_SESSION_DATABASES: set = {"default"}
+_CURRENT_DATABASE: list = ["default"]
+
+
+def _qualify_databases(sql: str) -> str:
+    """Rewrite ``db.table`` → ``db__table`` for registered session
+    databases and resolve unqualified table references under USE.
+    Quote-aware: only text outside single-quoted literals is touched."""
+    import re
+
+    cur = _CURRENT_DATABASE[0]
+    if _SESSION_DATABASES == {"default"} and cur == "default":
+        return sql
+
+    def outside(seg: str) -> str:
+        def dot(m):
+            db, t = m.group(1), m.group(2)
+            if db == "default":
+                return t
+            if db in _SESSION_DATABASES:
+                return f"{db}__{t}"
+            return m.group(0)
+
+        seg = re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", dot, seg)
+        if cur != "default":
+            # CREATE lands in the current database unconditionally
+            seg = re.sub(
+                r"(?i)\b(CREATE\s+TABLE(?:\s+IF\s+NOT\s+EXISTS)?|"
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW(?:\s+IF\s+NOT\s+EXISTS)?)"
+                r"\s+([A-Za-z_]\w*)\b",
+                lambda m: f"{m.group(1)} {cur}__{m.group(2)}",
+                seg,
+            )
+            # other references resolve into the current database only if
+            # the table exists there (else they fall through to default)
+            def ref(m):
+                kw, name = m.group(1), m.group(2)
+                if f"{cur}__{name}" in _SESSION_TABLE_ENGINES:
+                    return f"{kw} {cur}__{name}"
+                return m.group(0)
+
+            seg = re.sub(
+                r"(?i)\b(FROM|JOIN|INTO|TABLE)\s+([A-Za-z_]\w*)\b", ref, seg
+            )
+        return seg
+
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        parts[i] = outside(parts[i])
+    return "'".join(parts)
+
 
 def _like_rx(pat: str) -> str:
     """CH LIKE pattern → regex: % = any run, _ = one char, backslash
@@ -3596,10 +3712,17 @@ def _try_ddl(spark: SparkSession, sql: str):
             return spark.createDataFrame(
                 [(key, "set")], "setting string, status string"
             )
+        if key == "ttl_now":
+            # pinned TTL clock (engine-specific, for reproducible sweeps)
+            val = m.group(2).strip().strip("'\"")
+            _TTL_NOW[0] = val or None
+            return spark.createDataFrame(
+                [(key, "set")], "setting string, status string"
+            )
         if key not in LIMIT_KEYS:
             raise ChSqlError(
                 f"SET: unknown or unsupported setting {key!r} "
-                f"(supported: {sorted(LIMIT_KEYS) + ['resource_group']})"
+                f"(supported: {sorted(LIMIT_KEYS) + ['resource_group', 'ttl_now']})"
             )
         session_limits.set(key, m.group(2))
         return spark.createDataFrame(
@@ -3734,21 +3857,94 @@ def _try_ddl(spark: SparkSession, sql: str):
             "query_id string, query string, elapsed double",
         )
 
+    # CREATE/DROP DATABASE + USE (reference InterpreterCreateQuery
+    # database branch, DatabaseCatalog.h; resolution in
+    # _qualify_databases)
     m = re.match(
-        r"SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?$", s, re.IGNORECASE
+        r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        ine, name = bool(m.group(1)), m.group(2)
+        if name.lower() == "system":
+            raise ChSqlError("CREATE DATABASE: 'system' is reserved")
+        if name in _SESSION_DATABASES and not ine:
+            raise ChSqlError(f"DATABASE_ALREADY_EXISTS: {name!r}")
+        _SESSION_DATABASES.add(name)
+        return spark.createDataFrame(
+            [(name, "created")], "database string, status string"
+        )
+
+    m = re.match(
+        r"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        ie, name = bool(m.group(1)), m.group(2)
+        if name == "default":
+            raise ChSqlError("DROP DATABASE: cannot drop 'default'")
+        if name not in _SESSION_DATABASES:
+            if ie:
+                return spark.createDataFrame(
+                    [(name, "not_found")], "database string, status string"
+                )
+            raise ChSqlError(f"UNKNOWN_DATABASE: {name!r}")
+        # cascade: drop every table in the namespace through the normal
+        # DROP path so engines/partitions/projections clean up too
+        prefix = f"{name}__"
+        for t in [
+            t for t in list(_SESSION_TABLE_ENGINES) if t.startswith(prefix)
+        ]:
+            _try_ddl(spark, f"DROP TABLE {t}")
+        _SESSION_DATABASES.discard(name)
+        if _CURRENT_DATABASE[0] == name:
+            _CURRENT_DATABASE[0] = "default"
+        return spark.createDataFrame(
+            [(name, "dropped")], "database string, status string"
+        )
+
+    m = re.match(r"USE\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        if name not in _SESSION_DATABASES:
+            raise ChSqlError(f"UNKNOWN_DATABASE: {name!r}")
+        _CURRENT_DATABASE[0] = name
+        return spark.createDataFrame(
+            [(name, "using")], "database string, status string"
+        )
+
+    m = re.match(
+        r"SHOW\s+TABLES(?:\s+FROM\s+([A-Za-z_]\w*))?"
+        r"(?:\s+LIKE\s+'([^']*)')?$",
+        s, re.IGNORECASE,
     )
     if m:
         # InterpreterShowTablesQuery — engine views + session tables;
-        # CH LIKE patterns use % / _ wildcards
-        names = sorted(t.name for t in spark.catalog.listTables())
-        pat = m.group(1)
+        # CH LIKE patterns use % / _ wildcards.  FROM db (or USE db)
+        # lists that namespace; db-internal names never leak elsewhere.
+        db = m.group(1) or _CURRENT_DATABASE[0]
+        if db != "default" and db not in _SESSION_DATABASES:
+            raise ChSqlError(f"UNKNOWN_DATABASE: {db!r}")
+        all_names = sorted(t.name for t in spark.catalog.listTables())
+        prefixes = tuple(
+            f"{d}__" for d in _SESSION_DATABASES if d != "default"
+        )
+        if db == "default":
+            names = [n for n in all_names if not n.startswith(prefixes)]
+        else:
+            names = [
+                n[len(db) + 2 :] for n in all_names
+                if n.startswith(f"{db}__")
+            ]
+        pat = m.group(2)
         if pat is not None:
             names = [n for n in names if re.fullmatch(_like_rx(pat), n)]
         return spark.createDataFrame([(n,) for n in names], "name string")
 
     if re.match(r"SHOW\s+DATABASES$", s, re.IGNORECASE):
         return spark.createDataFrame(
-            [("default",), ("system",)], "name string"
+            [(n,) for n in sorted(_SESSION_DATABASES | {"system"})],
+            "name string",
         )
 
     m = re.match(
@@ -3988,16 +4184,19 @@ def _try_ddl(spark: SparkSession, sql: str):
         r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
         r"(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
         r"(?:PARTITION\s+BY\s+([\w(),\s]+?)\s*)?"
-        r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?\s+AS\s+(SELECT|WITH)\b(.*)",
+        r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?"
+        r"(?:\s+TTL\s+(.+?))?\s+AS\s+(SELECT|WITH)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, engine, eng_args, part_by, order_by, kw, rest = m.groups()
+        name, engine, eng_args, part_by, order_by, ttl, kw, rest = m.groups()
         df = ch_sql(spark, kw + rest)
         df.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
         if part_by:
             _SESSION_TABLE_PARTITIONS[name] = part_by.strip()
+        if ttl:
+            _SESSION_TABLE_TTLS[name] = ttl.strip()
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)  # re-CREATE invalidates cached readers
         if engine and engine.lower().startswith("replacingmergetree"):
@@ -4024,14 +4223,17 @@ def _try_ddl(spark: SparkSession, sql: str):
         tm = re.match(
             r"\s*(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
             r"(?:PARTITION\s+BY\s+([\w(),\s]+?)\s*)?"
-            r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?\s*$",
+            r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?"
+            r"(?:\s*TTL\s+(.+?))?\s*$",
             tail, re.IGNORECASE | re.DOTALL,
         )
         if tm is None:
             raise ChSqlError(f"CREATE TABLE: unparsed tail {tail!r}")
-        engine, eng_args, part_by, order_by = tm.groups()
+        engine, eng_args, part_by, order_by, ttl = tm.groups()
         if part_by:
             _SESSION_TABLE_PARTITIONS[name] = part_by.strip()
+        if ttl:
+            _SESSION_TABLE_TTLS[name] = ttl.strip()
         fields = []
         for part in _split_args(collist):
             part = part.strip()
@@ -4156,6 +4358,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _SESSION_TABLE_ENGINES.pop(m.group(1), None)
         _REPLACING_TABLES.pop(m.group(1), None)
         _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
+        _SESSION_TABLE_TTLS.pop(m.group(1), None)
         for key in [k for k in _DETACHED_PARTS if k[0] == m.group(1)]:
             del _DETACHED_PARTS[key]
         from byconity_spark.engine.projections import projections as _pr
@@ -4178,14 +4381,33 @@ def _try_ddl(spark: SparkSession, sql: str):
             return spark.createDataFrame(
                 [(name, "merges_stopped")], "table string, status string"
             )
+        status = "noop"  # parquet views carry no pending merges
         if final and name in _REPLACING_TABLES:
             deduped = ch_sql(spark, f"SELECT * FROM {name} FINAL")
             deduped.createOrReplaceTempView(name)
             from byconity_spark.engine.query_cache import query_cache
             query_cache.bump_table(name)
             status = "optimized_final"
-        else:
-            status = "noop"  # parquet views carry no pending merges
+        if final and name in _SESSION_TABLE_TTLS:
+            # TTL sweep at merge time (TTLBlockInputStream.h): rows whose
+            # TTL expression <= now() drop; the filter is plan algebra and
+            # pushes into the scan like any predicate
+            now = (
+                f"toDateTime('{_TTL_NOW[0]}')" if _TTL_NOW[0] else "now()"
+            )
+            kept = spark.sql(
+                rewrite_ch_sql(
+                    f"SELECT * FROM {name} WHERE NOT "
+                    f"(({_SESSION_TABLE_TTLS[name]}) <= {now})"
+                )
+            )
+            kept.createOrReplaceTempView(name)
+            from byconity_spark.engine.query_cache import query_cache
+            query_cache.bump_table(name)
+            status = (
+                "optimized_final_ttl" if status == "optimized_final"
+                else "optimized_ttl"
+            )
         return spark.createDataFrame(
             [(name, status)], "table string, status string"
         )
@@ -4238,6 +4460,28 @@ def _try_ddl(spark: SparkSession, sql: str):
         return spark.createDataFrame(
             [(name, pname, status)],
             "table string, projection string, status string",
+        )
+
+    # ALTER TABLE t MODIFY TTL expr / REMOVE TTL (TTLDescription.h)
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+MODIFY\s+TTL\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        spark.table(m.group(1))
+        _SESSION_TABLE_TTLS[m.group(1)] = m.group(2).strip()
+        return spark.createDataFrame(
+            [(m.group(1), "ttl_set")], "table string, status string"
+        )
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+REMOVE\s+TTL$", s, re.IGNORECASE
+    )
+    if m:
+        ok = _SESSION_TABLE_TTLS.pop(m.group(1), None) is not None
+        return spark.createDataFrame(
+            [(m.group(1), "ttl_removed" if ok else "no_ttl")],
+            "table string, status string",
         )
 
     # ALTER TABLE t DROP|DETACH|ATTACH|REPLACE PARTITION lit [FROM src] —

@@ -1877,3 +1877,107 @@ def chsql_star_modifiers(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT * EXCEPT (n_name) REPLACE(n_regionkey * 10 AS n_regionkey) "
         "FROM nation WHERE n_nationkey < 5",
     )
+
+
+@register(
+    "chsql_databases",
+    oracle="""
+    SELECT 'total' AS stage, CAST(count(*) AS BIGINT) AS n FROM nation
+    UNION ALL
+    SELECT 'joined', CAST(count(*) AS BIGINT) FROM (
+        SELECT n_regionkey FROM nation GROUP BY n_regionkey
+    ) t JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def chsql_databases(spark: SparkSession, sf: str) -> DataFrame:
+    """Session databases (reference InterpreterCreateQuery database
+    branch, DatabaseCatalog.h): CREATE DATABASE, qualified db.table,
+    USE-scoped resolution with fall-through to default.  Namespacing is
+    pure name resolution — plans are identical to unqualified ones."""
+    from byconity_spark.frontend.sql import _CURRENT_DATABASE
+
+    register_views(spark, sf)
+    ch_sql(spark, "DROP DATABASE IF EXISTS wl_db")
+    try:
+        ch_sql(spark, "CREATE DATABASE wl_db")
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_db.rollup AS SELECT n_regionkey, "
+            "count(*) AS c FROM nation GROUP BY n_regionkey",
+        )
+        ch_sql(spark, "USE wl_db")
+        total = int(
+            ch_sql(spark, "SELECT sum(c) AS n FROM rollup").collect()[0][0]
+        )
+        joined = int(
+            ch_sql(
+                spark,
+                "SELECT count(*) AS n FROM rollup "
+                "JOIN region ON n_regionkey = r_regionkey",
+            ).collect()[0][0]
+        )
+        rows = [("total", total), ("joined", joined)]
+    finally:
+        _CURRENT_DATABASE[0] = "default"
+        ch_sql(spark, "DROP DATABASE IF EXISTS wl_db")
+    return spark.createDataFrame(rows, "stage string, n bigint")
+
+
+@register(
+    "chsql_ttl_sweep",
+    oracle="""
+    SELECT 'kept' AS stage, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE NOT (ts + INTERVAL 10 DAY <= TIMESTAMP '2024-01-25 00:00:00')
+    UNION ALL
+    SELECT 'total', CAST(count(*) AS BIGINT) FROM events
+    """,
+)
+def chsql_ttl_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Row TTL swept at merge time (reference TTLDescription.h,
+    TTLBlockInputStream.h), with the clock pinned for reproducibility.
+    The expiry filter is plan algebra pushed into the scan — a TTL sweep
+    at 100 TB costs one filtered rewrite of the expiring parts, exactly
+    the reference's merge-time model."""
+    from byconity_spark.frontend.sql import _TTL_NOW
+
+    register_views(spark, sf)
+    ch_sql(spark, "DROP TABLE IF EXISTS wl_ttl")
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_ttl TTL ts + INTERVAL 10 DAY AS "
+            "SELECT event_id, ts FROM events",
+        )
+        total = int(
+            ch_sql(spark, "SELECT count(*) AS n FROM wl_ttl").collect()[0][0]
+        )
+        ch_sql(spark, "SET ttl_now = '2024-01-25 00:00:00'")
+        ch_sql(spark, "OPTIMIZE TABLE wl_ttl FINAL")
+        kept = int(
+            ch_sql(spark, "SELECT count(*) AS n FROM wl_ttl").collect()[0][0]
+        )
+        rows = [("kept", kept), ("total", total)]
+    finally:
+        _TTL_NOW[0] = None
+        ch_sql(spark, "DROP TABLE IF EXISTS wl_ttl")
+    return spark.createDataFrame(rows, "stage string, n bigint")
+
+
+@register(
+    "chsql_top_collate",
+    oracle="""
+    SELECT n_nationkey AS k, n_name AS v
+    FROM nation ORDER BY n_name, n_nationkey LIMIT 5
+    """,
+)
+def chsql_top_collate(spark: SparkSession, sf: str) -> DataFrame:
+    """SELECT TOP n (ParserSelectQuery TOP branch) + ORDER BY ... COLLATE
+    (Collator.h → Spark 4 ICU collations; binary-equal on this ASCII
+    data, so the oracle pins exact values)."""
+    return _run(
+        spark,
+        sf,
+        "SELECT TOP 5 n_nationkey AS k, n_name AS v FROM nation "
+        "ORDER BY n_name COLLATE 'en', n_nationkey",
+    )

@@ -1,0 +1,92 @@
+"""Session databases (reference InterpreterCreateQuery database branch,
+DatabaseCatalog.h): CREATE/DROP DATABASE, USE, qualified db.table
+resolution, SHOW TABLES FROM."""
+
+from __future__ import annotations
+
+import pytest
+
+from byconity_spark.engine.catalog import register_views
+from byconity_spark.frontend import ch_sql
+from byconity_spark.frontend.sql import (
+    _CURRENT_DATABASE,
+    _SESSION_DATABASES,
+    ChSqlError,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _clean(spark):
+    yield
+    for db in [d for d in list(_SESSION_DATABASES) if d != "default"]:
+        ch_sql(spark, f"DROP DATABASE IF EXISTS {db}")
+    _CURRENT_DATABASE[0] = "default"
+
+
+def test_qualified_create_and_select(spark):
+    register_views(spark, SF_DIR)
+    ch_sql(spark, "CREATE DATABASE mart")
+    ch_sql(
+        spark,
+        "CREATE TABLE mart.dims AS SELECT n_nationkey, n_name FROM nation",
+    )
+    assert (
+        ch_sql(spark, "SELECT count(*) AS n FROM mart.dims").collect()[0][0]
+        == 25
+    )
+    # default-qualified names strip to the bare view
+    assert (
+        ch_sql(
+            spark, "SELECT count(*) AS n FROM default.nation"
+        ).collect()[0][0]
+        == 25
+    )
+    rows = ch_sql(spark, "SHOW TABLES FROM mart").collect()
+    assert [r[0] for r in rows] == ["dims"]
+    assert "mart__dims" not in [
+        r[0] for r in ch_sql(spark, "SHOW TABLES").collect()
+    ]
+
+
+def test_use_resolves_unqualified(spark):
+    register_views(spark, SF_DIR)
+    ch_sql(spark, "CREATE DATABASE staging")
+    ch_sql(spark, "USE staging")
+    ch_sql(spark, "CREATE TABLE t1 AS SELECT 1 AS x")
+    ch_sql(spark, "INSERT INTO t1 VALUES (2)")
+    assert (
+        ch_sql(spark, "SELECT count(*) AS n FROM t1").collect()[0][0] == 2
+    )
+    assert ch_sql(
+        spark, "SELECT currentDatabase() AS d FROM system.one"
+    ).collect()[0][0] == "staging"
+    # unqualified names not in the current db fall through to default
+    assert (
+        ch_sql(spark, "SELECT count(*) AS n FROM nation").collect()[0][0]
+        == 25
+    )
+    ch_sql(spark, "USE default")
+    assert (
+        ch_sql(
+            spark, "SELECT count(*) AS n FROM staging.t1"
+        ).collect()[0][0]
+        == 2
+    )
+
+
+def test_drop_database_cascades_and_errors(spark):
+    register_views(spark, SF_DIR)
+    ch_sql(spark, "CREATE DATABASE tmpdb")
+    ch_sql(spark, "CREATE TABLE tmpdb.t AS SELECT 1 AS x")
+    with pytest.raises(ChSqlError, match="DATABASE_ALREADY_EXISTS"):
+        ch_sql(spark, "CREATE DATABASE tmpdb")
+    ch_sql(spark, "DROP DATABASE tmpdb")
+    with pytest.raises(Exception):
+        ch_sql(spark, "SELECT * FROM tmpdb.t").collect()
+    with pytest.raises(ChSqlError, match="UNKNOWN_DATABASE"):
+        ch_sql(spark, "USE tmpdb")
+    with pytest.raises(ChSqlError, match="cannot drop 'default'"):
+        ch_sql(spark, "DROP DATABASE default")
+    dbs = [r[0] for r in ch_sql(spark, "SHOW DATABASES").collect()]
+    assert dbs == ["default", "system"]
