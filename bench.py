@@ -72,13 +72,22 @@ def main() -> None:
         n for n in timings
         if n in R01_HEADLINE or (timings[n] is not None and timings[n] > 1.5)
     ]
+    # min of 2 reps: the least-contended measurement — headline queries
+    # are sub-second each, so machine noise (co-tenant load, GC) dominates
+    # a single rep and made r04→r06 headline numbers jump ±20%
+    reps = 2
     for name in sorted(rerun):
-        t0 = time.perf_counter()
-        try:
-            qdefs[name].builder(spark, sf_dir).collect()
-            warm[name] = round(time.perf_counter() - t0, 4)
-        except Exception:
-            pass
+        best = None
+        for _ in range(reps if name in R01_HEADLINE else 1):
+            t0 = time.perf_counter()
+            try:
+                qdefs[name].builder(spark, sf_dir).collect()
+            except Exception:
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            warm[name] = round(best, 4)
     headline_warm = sum(warm.get(q) or 0.0 for q in R01_HEADLINE)
 
     # availableNow streaming queries pay a fixed per-query startup cost
