@@ -2825,6 +2825,11 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
                 )
             )
 
+    # stale materialized views referenced by this statement refresh first
+    # (StorageMaterializedView.h; full re-run, see _SESSION_MVS note)
+    if _SESSION_MVS:
+        _refresh_stale_mvs(spark, sql)
+
     ddl = _try_ddl(spark, sql)
     if ddl is not None:
         return ddl
@@ -3496,6 +3501,64 @@ _DETACHED_PARTS: dict = {}
 # SYSTEM STOP/START MERGES state ("*" = all tables); OPTIMIZE ... FINAL
 # refuses while merges are stopped (reference ActionLocks::PartsMerge)
 _MERGES_STOPPED: set = set()
+
+# SQL-surface materialized views (reference StorageMaterializedView.h,
+# InterpreterCreateQuery MV branch).  A session MV stores its SELECT and
+# the version of every source table it reads (engine/query_cache table
+# versions — bumped by every session write); a statement referencing the
+# MV re-materializes it first if any source moved.  Deviation
+# (documented): refresh is a full re-run of the SELECT, not ClickHouse's
+# insert-block transformation — same visible result on every read,
+# different cost profile (the streaming incremental path lives in
+# streaming/mv.py).
+_SESSION_MVS: dict = {}
+
+
+def _mv_sources(sql: str) -> dict:
+    """Snapshot {table: version} for every known table the MV SELECT
+    references."""
+    import re
+
+    from byconity_spark.engine.catalog import TABLES as _CAT
+    from byconity_spark.engine.query_cache import query_cache
+
+    known = set(_CAT) | set(_SESSION_TABLE_ENGINES)
+    return {
+        t: query_cache.table_version(t)
+        for t in known
+        if re.search(rf"\b{t}\b", sql)
+    }
+
+
+def _ensure_mv_fresh(spark, name: str, _seen=None) -> None:
+    """Re-materialize ``name`` if any source moved — TRANSITIVELY, so an
+    MV over an MV sees its upstream refresh first (cycle-guarded)."""
+    from byconity_spark.engine.query_cache import query_cache
+
+    mv = _SESSION_MVS.get(name)
+    if mv is None:
+        return
+    seen = _seen if _seen is not None else set()
+    if name in seen:
+        return
+    seen.add(name)
+    for src in mv["sources"]:
+        if src in _SESSION_MVS:
+            _ensure_mv_fresh(spark, src, seen)
+    current = {t: query_cache.table_version(t) for t in mv["sources"]}
+    if current != mv["versions"]:
+        ch_sql(spark, mv["select"]).createOrReplaceTempView(name)
+        mv["versions"] = current
+        query_cache.bump_table(name)
+
+
+def _refresh_stale_mvs(spark, sql: str) -> None:
+    import re
+
+    for name in list(_SESSION_MVS):
+        if re.search(rf"\b{name}\b", sql):
+            _ensure_mv_fresh(spark, name)
+
 
 # Row TTL (reference src/Storages/TTLDescription.h,
 # src/DataStreams/TTLBlockInputStream.h): rows whose TTL expression is
@@ -4359,6 +4422,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _REPLACING_TABLES.pop(m.group(1), None)
         _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
         _SESSION_TABLE_TTLS.pop(m.group(1), None)
+        _SESSION_MVS.pop(m.group(1), None)
         for key in [k for k in _DETACHED_PARTS if k[0] == m.group(1)]:
             del _DETACHED_PARTS[key]
         from byconity_spark.engine.projections import projections as _pr
@@ -4745,6 +4809,29 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(a, b, "exchanged")], "table string, table2 string, status string"
         )
 
+    # CREATE MATERIALIZED VIEW mv AS SELECT ... (reference
+    # StorageMaterializedView.h; refresh-on-stale in _refresh_stale_mvs)
+    m = re.match(
+        r"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*)\s+AS\s+(SELECT|WITH)\b(.*)",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, kw, rest = m.groups()
+        select = kw + rest
+        ch_sql(spark, select).createOrReplaceTempView(name)
+        _SESSION_MVS[name] = {
+            "select": select,
+            "sources": set(_mv_sources(select)),
+            "versions": _mv_sources(select),
+        }
+        _SESSION_TABLE_ENGINES[name] = "MaterializedView"
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "created")], "materialized_view string, status string"
+        )
+
     # CREATE [OR REPLACE] VIEW v AS SELECT ... / DROP VIEW v (reference
     # ASTCreateQuery is_ordinary_view).  Deviation (documented): the view
     # body's plan is captured at CREATE time — re-CREATEing a source
@@ -4770,7 +4857,9 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         if_exists, name = bool(m.group(1)), m.group(2)
-        if _SESSION_TABLE_ENGINES.get(name) != "View":
+        if _SESSION_TABLE_ENGINES.get(name) not in (
+            "View", "MaterializedView"
+        ):
             if if_exists:
                 return spark.createDataFrame(
                     [(name, "not_found")], "view string, status string"
@@ -4781,6 +4870,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             )
         spark.catalog.dropTempView(name)
         _SESSION_TABLE_ENGINES.pop(name, None)
+        _SESSION_MVS.pop(name, None)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
         return spark.createDataFrame(

@@ -3,8 +3,10 @@ SimHash / n-gram Jaccard), text analysis, similarity search, multimodal
 binary plumbing."""
 
 from byconity_spark.llm.dedup import (  # noqa: F401
+    cap_per_source,
     connected_components,
     dedup_keep_list,
+    dup_ngram_ratio,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,

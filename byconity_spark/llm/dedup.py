@@ -507,3 +507,88 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") > threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
     )
+
+
+def dup_ngram_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram ratio against the whole corpus —
+    the filtering signal behind exact-substring train-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": substrings repeated across documents are memorization
+    hazards).  For each document: the fraction of its DISTINCT word
+    n-grams that appear in >= ``min_docs`` documents.
+
+    Distributed shape: explode distinct (doc, ngram) pairs, count docs
+    per ngram (shuffle on ngram — uniform keys, no skew), join back and
+    re-aggregate per doc.  No driver data, no crossJoin; at 100 TB both
+    shuffles are hash-partitioned on high-cardinality keys.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-zA-Z0-9]+"),
+        lambda x: x != "",
+    )
+    # documents shorter than n tokens have no n-grams and drop out
+    grams = (
+        docs.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, n)),
+                )
+            ).alias("ngram"),
+        )
+        .distinct()
+    )
+    ngram_docs = grams.groupBy("ngram").agg(
+        F.count("*").alias("__ndocs")
+    )
+    return (
+        grams.join(ngram_docs, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("__ndocs") >= min_docs, 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_dup",
+            (F.col("n_dup") / F.col("n_ngrams")).alias("dup_ratio"),
+        )
+    )
+
+
+def cap_per_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    max_per_source: int = 100,
+) -> DataFrame:
+    """Domain/source frequency capping (the RefinedWeb/C4-style guard
+    against any single source dominating the training mix): keep the
+    first ``max_per_source`` documents per source in deterministic
+    ``id_col`` order.
+
+    One window shuffle on the source key.  At 100 TB a mega-source is a
+    skew hazard — but the window only needs each source's FIRST
+    max_per_source ids, so Spark's rank-based window group limit
+    (row_number < k pushed below the sort) keeps per-key state bounded.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_per_source)
+        .drop("__rn")
+    )

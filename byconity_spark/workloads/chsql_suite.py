@@ -1981,3 +1981,44 @@ def chsql_top_collate(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT TOP 5 n_nationkey AS k, n_name AS v FROM nation "
         "ORDER BY n_name COLLATE 'en', n_nationkey",
     )
+
+
+@register(
+    "chsql_mv_sql",
+    oracle="""
+    SELECT 'initial' AS stage, CAST(count(*) AS BIGINT) AS n FROM nation
+    UNION ALL
+    SELECT 'after_insert', CAST(count(*) + 1 AS BIGINT) FROM nation
+    """,
+)
+def chsql_mv_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-surface materialized view with refresh-on-stale (reference
+    StorageMaterializedView.h): a statement touching a stale MV
+    re-materializes it first, keyed on source-table versions.  The
+    refresh is the SELECT itself — a distributed job, never driver
+    work."""
+    from byconity_spark.frontend.sql import _SESSION_MVS
+
+    register_views(spark, sf)
+    ch_sql(spark, "DROP TABLE IF EXISTS wl_mv_src")
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE wl_mv_src AS SELECT n_regionkey AS r FROM nation",
+        )
+        ch_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW wl_mv AS "
+            "SELECT count(*) AS c FROM wl_mv_src",
+        )
+        initial = int(
+            ch_sql(spark, "SELECT c FROM wl_mv").collect()[0][0]
+        )
+        ch_sql(spark, "INSERT INTO wl_mv_src VALUES (9)")
+        after = int(ch_sql(spark, "SELECT c FROM wl_mv").collect()[0][0])
+        rows = [("initial", initial), ("after_insert", after)]
+    finally:
+        _SESSION_MVS.pop("wl_mv", None)
+        spark.catalog.dropTempView("wl_mv")
+        ch_sql(spark, "DROP TABLE IF EXISTS wl_mv_src")
+    return spark.createDataFrame(rows, "stage string, n bigint")

@@ -1186,3 +1186,77 @@ def llm_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.col("cid").cast("bigint").alias("cid"), "n", "avg_dist"
     )
+
+
+@register(
+    "llm_dup_ngram_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''
+               ) AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[CAST(i AS BIGINT):CAST(i + 9 AS BIGINT)], ' ') AS ngram
+        FROM toks, UNNEST(range(1, len(t) - 10 + 2)) AS u(i)
+        WHERE len(t) >= 10
+    ), counts AS (
+        SELECT ngram, count(*) AS ndocs FROM grams GROUP BY ngram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) AS dup_ratio
+    FROM grams g JOIN counts c USING (ngram)
+    GROUP BY g.doc_id
+    HAVING dup_ratio > 0.5
+    """,
+)
+def llm_dup_ngram_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022): documents
+    whose distinct 10-grams mostly occur in other documents too are
+    memorization hazards.  Two hash shuffles on high-cardinality keys
+    (ngram, then doc_id) — no crossJoin, no driver data, 100 TB-shaped."""
+    from byconity_spark.llm.dedup import dup_ngram_ratio
+
+    docs = load_table(spark, sf, "documents")
+    out = dup_ngram_ratio(docs, n=10, min_docs=2)
+    return out.where(F.col("dup_ratio") > 0.5).select(
+        "doc_id",
+        "n_ngrams",
+        F.col("n_dup").cast("long").alias("n_dup"),
+        "dup_ratio",
+    )
+
+
+@register(
+    "llm_source_cap",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS kept,
+           CAST(max(doc_id) AS BIGINT) AS max_kept_id
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 40
+    GROUP BY source
+    """,
+)
+def llm_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain/source frequency capping (RefinedWeb/C4-style): keep at
+    most N documents per source, deterministic doc_id order.  One window
+    shuffle; Spark's rank-based window group limit bounds per-key state,
+    so a mega-source doesn't become a skew hazard."""
+    from byconity_spark.llm.dedup import cap_per_source
+
+    docs = load_table(spark, sf, "documents")
+    kept = cap_per_source(docs, max_per_source=40)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept"),
+        F.max("doc_id").alias("max_kept_id"),
+    )

@@ -267,3 +267,37 @@ def test_embedding_keep_list_clusters(spark):
         True, False, True, False, True]
     assert rows[2]["comp"] == 1 and rows[7]["comp"] == 5
     assert rows[9]["comp"] == 9
+
+
+def test_dup_ngram_ratio_synthetic(spark):
+    """Two identical docs share every 10-gram (ratio 1.0); a unique doc
+    shares none (ratio 0.0)."""
+    from byconity_spark.llm.dedup import dup_ngram_ratio
+
+    words_a = " ".join(f"w{i}" for i in range(20))
+    words_b = " ".join(f"u{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, words_a), (2, words_a), (3, words_b), (4, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_ratio(df, n=10).collect()}
+    assert out[1]["dup_ratio"] == 1.0 and out[2]["dup_ratio"] == 1.0
+    assert out[3]["dup_ratio"] == 0.0
+    assert out[1]["n_ngrams"] == 11  # 20 tokens -> 11 distinct 10-grams
+    assert 4 not in out  # < 10 tokens: no 10-grams at all
+
+
+def test_cap_per_source(spark):
+    from byconity_spark.llm.dedup import cap_per_source
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    kept = cap_per_source(df, max_per_source=10)
+    counts = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    assert counts == {"big": 10, "small": 10}
+    # deterministic: the FIRST ids per source survive
+    assert sorted(
+        r[0] for r in kept.where("source = 'big'").collect()
+    ) == list(range(10))

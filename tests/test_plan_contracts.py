@@ -428,3 +428,16 @@ def test_projection_rewrite_reads_rollup_not_fact(spark):
     finally:
         projections.clear()
         ch_sql(spark, "DROP TABLE IF EXISTS plan_pj")
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """cap_per_source's skew-safety claim: Spark must plan a
+    WindowGroupLimit (rank pushed below the sort, per-key state bounded
+    at max_per_source) and exactly one exchange."""
+    from byconity_spark.llm.dedup import cap_per_source
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = cap_per_source(docs, max_per_source=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
