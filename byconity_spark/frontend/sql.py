@@ -2737,6 +2737,40 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
 
     sql = _qualify_databases(sql)
 
+    # file('path', 'Format'[, 'schema']) table function (reference
+    # src/TableFunctions/TableFunctionFile.cpp over StorageFile): each
+    # call resolves to a temp view backed by a DISTRIBUTED read with the
+    # DECLARED schema — never inference (inference costs a listing +
+    # sampling pass at scale and makes plans nondeterministic)
+    if _re.search(r"(?i)\bfile\s*\(\s*'", sql):
+        sql = _expand_file_table_function(spark, sql)
+
+    # merge('regex') table function (reference TableFunctionMerge.cpp /
+    # StorageMerge): union every SESSION table whose name matches, columns
+    # aligned by name with NULL fill, `_table` virtual column included
+    if _re.search(r"(?i)\bmerge\s*\(\s*'", sql):
+        def _merge_repl(m):
+            import hashlib
+
+            from byconity_spark.engine.tables import merge_tables
+
+            pat = m.group(1)
+            tables = {}
+            for t in sorted(_SESSION_TABLE_ENGINES):
+                try:  # registry entries can outlive their temp views
+                    tables[t] = spark.table(t)
+                except Exception:
+                    continue
+            try:
+                df = merge_tables(spark, tables, pat, with_table_col=True)
+            except ValueError as e:
+                raise ChSqlError(str(e)) from e
+            view = "__tf_merge_" + hashlib.md5(pat.encode()).hexdigest()[:10]
+            df.createOrReplaceTempView(view)
+            return view
+
+        sql = _re.sub(r"(?i)\bmerge\s*\(\s*'([^']+)'\s*\)", _merge_repl, sql)
+
     # SELECT TOP n — MySQL-dialect alias for LIMIT n (reference
     # ParserSelectQuery TOP branch; top-level only, like the reference,
     # and mutually exclusive with LIMIT there)
@@ -5119,6 +5153,68 @@ RULES.update(
 # (the repo-wide "dictGet semantics with Nullable" convention) —
 # dictGetOrDefault supplies the default.
 # ---------------------------------------------------------------------------
+
+def _expand_file_table_function(spark, sql: str) -> str:
+    """Replace every ``file('path', 'Format'[, 'schema'])`` call with a
+    temp view over the corresponding Spark reader (reference
+    TableFunctionFile.cpp).  Formats: CSV[WithNames], TSV/TabSeparated
+    [WithNames], JSONEachRow, Parquet.  The CH column-type list is
+    translated through _ch_type; Parquet may omit it (self-describing
+    footer).  Text formats REQUIRE it, like the reference without a
+    structure hint."""
+    import hashlib
+    import re
+
+    def repl(m):
+        path, fmt, schema_str = m.group(1), m.group(2).lower(), m.group(3)
+        view = "__tf_file_" + hashlib.md5(
+            f"{path}|{fmt}|{schema_str}".encode()
+        ).hexdigest()[:10]
+        schema = None
+        if schema_str:
+            fields = []
+            for part in _split_args(schema_str):
+                cname, _, ctype = part.strip().partition(" ")
+                fields.append(f"`{cname.strip('`')}` {_ch_type(ctype)}")
+            schema = ", ".join(fields)
+        if fmt == "parquet":
+            reader = spark.read
+            if schema:
+                reader = reader.schema(schema)
+            df = reader.parquet(path)
+        else:
+            if not schema:
+                raise ChSqlError(
+                    f"file(): format {m.group(2)!r} requires the column "
+                    "structure argument (no schema inference on engine "
+                    "reads)"
+                )
+            if fmt in ("jsoneachrow", "ndjson"):
+                df = spark.read.schema(schema).json(path)
+            elif fmt in ("csv", "csvwithnames", "tsv", "tabseparated",
+                         "tsvwithnames", "tabseparatedwithnames"):
+                df = (
+                    spark.read.schema(schema)
+                    .option("header", fmt.endswith("withnames"))
+                    .option(
+                        "sep", "," if fmt.startswith("csv") else "\t"
+                    )
+                    .csv(path)
+                )
+            else:
+                raise ChSqlError(
+                    f"file(): unsupported format {m.group(2)!r}"
+                )
+        df.createOrReplaceTempView(view)
+        return view
+
+    return re.sub(
+        r"(?i)\bfile\s*\(\s*'([^']+)'\s*,\s*'(\w+)'"
+        r"(?:\s*,\s*'([^']*)')?\s*\)",
+        repl,
+        sql,
+    )
+
 
 def _expand_select_modifiers(spark, sql: str) -> str:
     """CH star modifiers (reference ASTColumnsMatcher.h /

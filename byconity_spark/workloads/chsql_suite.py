@@ -2022,3 +2022,42 @@ def chsql_mv_sql(spark: SparkSession, sf: str) -> DataFrame:
         spark.catalog.dropTempView("wl_mv")
         ch_sql(spark, "DROP TABLE IF EXISTS wl_mv_src")
     return spark.createDataFrame(rows, "stage string, n bigint")
+
+
+@register(
+    "chsql_file_function",
+    oracle="""
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def chsql_file_function(spark: SparkSession, sf: str) -> DataFrame:
+    """file() table function (reference TableFunctionFile.cpp): export
+    nation via INTO OUTFILE, read it back with file() and the DECLARED
+    structure (never inference — at 100 TB inference means a listing +
+    sampling pass), aggregate.  Proves the serializer/reader pair
+    value-exact."""
+    import shutil
+    import tempfile
+
+    register_views(spark, sf)
+    base = tempfile.mkdtemp(prefix="bspark_wl_file_")
+    try:
+        path = f"{base}/nation.tsv"
+        ch_sql(
+            spark,
+            "SELECT n_nationkey, n_regionkey FROM nation "
+            f"INTO OUTFILE '{path}'",
+        )
+        out = ch_sql(
+            spark,
+            f"SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS "
+            f"key_sum FROM file('{path}', 'TSV', "
+            "'n_nationkey Int32, n_regionkey Int32') GROUP BY n_regionkey",
+        )
+        # materialize before the temp file goes away (the read is lazy)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
