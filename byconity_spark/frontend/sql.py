@@ -2558,6 +2558,7 @@ _SYSTEM_TABLE_MAP = {
     "system.functions": "system_functions",
     "system.detached_parts": "system_detached_parts",
     "system.projections": "system_projections",
+    "system.mutations": "system_mutations",
     "system.users": "system_users",
     "system.roles": "system_roles",
     "system.grants": "system_grants",
@@ -2951,6 +2952,12 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             "name string, source_table string, key string, layout string, "
             "lifetime_seconds int",
         ).createOrReplaceTempView("system_dictionaries")
+    if _re.search(r"\bsystem\.mutations\b", sql, _re.IGNORECASE):
+        # reference StorageSystemMutations.cpp column subset
+        spark.createDataFrame(
+            list(_MUTATIONS_LOG),
+            "table string, mutation_id string, command string, is_done int",
+        ).createOrReplaceTempView("system_mutations")
     if _re.search(r"\bsystem\.projections\b", sql, _re.IGNORECASE):
         # reference StorageSystemProjectionParts.cpp metadata subset
         from byconity_spark.engine.projections import projections as _pr
@@ -3535,6 +3542,11 @@ _DETACHED_PARTS: dict = {}
 # SYSTEM STOP/START MERGES state ("*" = all tables); OPTIMIZE ... FINAL
 # refuses while merges are stopped (reference ActionLocks::PartsMerge)
 _MERGES_STOPPED: set = set()
+
+# system.mutations log (reference StorageSystemMutations.cpp /
+# MutationCommands.h) — session mutations apply synchronously, so
+# is_done is always 1; rows are (table, mutation_id, command, is_done)
+_MUTATIONS_LOG: list = []
 
 # SQL-surface materialized views (reference StorageMaterializedView.h,
 # InterpreterCreateQuery MV branch).  A session MV stores its SELECT and
@@ -4389,6 +4401,12 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
         engine = _SESSION_TABLE_ENGINES.get(name, "MergeTree")
         stmt = f"CREATE TABLE {name} ({cols}) ENGINE = {engine}"
+        # echo the full table definition like the reference
+        # (InterpreterShowCreateQuery): partition key, TTL
+        if name in _SESSION_TABLE_PARTITIONS:
+            stmt += f" PARTITION BY {_SESSION_TABLE_PARTITIONS[name]}"
+        if name in _SESSION_TABLE_TTLS:
+            stmt += f" TTL {_SESSION_TABLE_TTLS[name]}"
         return spark.createDataFrame([(stmt,)], "statement string")
 
     # INSERT INTO t [(cols)] FORMAT <fmt>\n<inline rows>  (reference
@@ -4662,6 +4680,10 @@ def _try_ddl(spark: SparkSession, sql: str):
         kept.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
+        _MUTATIONS_LOG.append(
+            (name, f"mutation_{len(_MUTATIONS_LOG) + 1}",
+             f"DELETE WHERE {cond}", 1)
+        )
         return spark.createDataFrame(
             [(name, "mutated_delete")], "table string, status string"
         )
@@ -4692,6 +4714,10 @@ def _try_ddl(spark: SparkSession, sql: str):
         updated.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
+        _MUTATIONS_LOG.append(
+            (name, f"mutation_{len(_MUTATIONS_LOG) + 1}",
+             f"UPDATE {assigns_txt} WHERE {cond.strip()}", 1)
+        )
         return spark.createDataFrame(
             [(name, "mutated_update")], "table string, status string"
         )

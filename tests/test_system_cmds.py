@@ -80,3 +80,36 @@ def test_reload_dictionaries(spark):
         ch_sql(spark, "SYSTEM RELOAD DICTIONARY ghost")
     out = ch_sql(spark, "SYSTEM FLUSH LOGS").collect()
     assert out[0][1].startswith("flushed")
+
+
+def test_show_create_echoes_partition_and_ttl(spark):
+    register_views(spark, SF_DIR)
+    ch_sql(
+        spark,
+        "CREATE TABLE sys_t PARTITION BY n_regionkey "
+        "TTL ts_col + INTERVAL 5 DAY AS "
+        "SELECT n_regionkey, CAST('2024-01-01' AS TIMESTAMP) AS ts_col "
+        "FROM nation",
+    )
+    stmt = ch_sql(spark, "SHOW CREATE TABLE sys_t").collect()[0][0]
+    assert "PARTITION BY n_regionkey" in stmt
+    assert "TTL ts_col + INTERVAL 5 DAY" in stmt
+
+
+def test_system_mutations_log(spark):
+    from byconity_spark.frontend.sql import _MUTATIONS_LOG
+
+    register_views(spark, SF_DIR)
+    before = len(_MUTATIONS_LOG)
+    ch_sql(spark, "CREATE TABLE sys_t AS SELECT n_nationkey AS k FROM nation")
+    ch_sql(spark, "ALTER TABLE sys_t DELETE WHERE k > 20")
+    ch_sql(spark, "ALTER TABLE sys_t UPDATE k = k + 100 WHERE k = 0")
+    rows = ch_sql(
+        spark,
+        "SELECT table, command, is_done FROM system.mutations",
+    ).collect()
+    assert len(rows) == before + 2
+    assert rows[before][0:1] == ("sys_t",)
+    assert rows[before][1].startswith("DELETE WHERE")
+    assert rows[before + 1][1].startswith("UPDATE k = k + 100")
+    assert all(r[2] == 1 for r in rows)
