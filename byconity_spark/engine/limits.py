@@ -146,10 +146,20 @@ class SessionLimits:
             return
         import re
 
-        referenced = {
-            m.lower()
-            for m in re.findall(r"\b([A-Za-z_]\w*)\b", sql)
-        }
+        # only names at FROM/JOIN positions count, and string literals are
+        # blanked first — a literal or column sharing a base table's name
+        # must not inflate the estimate into a false TOO_MANY_ROWS
+        text = re.sub(r"'(?:[^'\\]|\\.|'')*'", "''", sql)
+        referenced = set()
+        for m in re.finditer(
+            r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)"
+            r"((?:\s*,\s*[A-Za-z_]\w*)*)",
+            text, re.IGNORECASE,
+        ):
+            if m.group(1).upper() != "SELECT":
+                referenced.add(m.group(1).lower())
+            for extra in re.findall(r",\s*([A-Za-z_]\w*)", m.group(2) or ""):
+                referenced.add(extra.lower())
         est = sum(
             r[3] for r in parts_rows(_LAST_SF_DIR[0])
             if r[1].lower() in referenced
@@ -360,11 +370,23 @@ quotas = QuotaRegistry()
 class ProcessList:
     """Running frontend statements (``src/Interpreters/ProcessList.h``).
 
-    Each top-level ``ch_sql`` statement registers itself for its lifetime
-    with a session-unique ``query_id``; the executing thread tags its
-    Spark jobs with that id as the job group so ``KILL QUERY`` maps to
-    ``cancelJobGroup`` — cancellation reaches running stages on every
-    executor, exactly the behavior a cluster needs."""
+    Each top-level ``ch_sql`` statement registers itself with a
+    session-unique ``query_id``; the executing thread tags its Spark jobs
+    with that id as the job group so ``KILL QUERY`` maps to
+    ``cancelJobGroup`` — cancellation reaches the running stages of any
+    job launched while the statement is registered.
+
+    SCOPE (documented deviation from the reference): registration covers
+    the statement's time INSIDE ``ch_sql`` — analysis, DDL, INSERT,
+    OUTFILE, and any materialization the statement itself performs (e.g.
+    result-row quota counting).  An ordinary SELECT returns a LAZY
+    DataFrame; its slot, job group and resource-group ticket are released
+    when ``ch_sql`` returns, so a ``.collect()`` issued later by the
+    caller runs outside ProcessList admission and outside KILL QUERY's
+    reach.  The reference holds the entry until the client drains the
+    result stream; matching that here would require wrapping every
+    DataFrame action, which would break the driver's plain-DataFrame
+    contract."""
 
     def __init__(self) -> None:
         self._lock = threading.Lock()

@@ -65,21 +65,37 @@ class TransactionManager:
         return list(self._txn["statements"])
 
     def snapshot_table(
-        self, spark, name: str, engines: dict, replacing: dict
+        self, spark, name: str, engines: dict, replacing: dict,
+        extras: dict | None = None,
     ) -> None:
         """Record ``name``'s pre-image once per transaction (lazy, first
         write wins — later writes to the same table roll back to the state
-        at transaction start, not to intermediate states)."""
+        at transaction start, not to intermediate states).
+
+        ``extras`` maps label -> a live session-metadata dict keyed by
+        table name (PARTITION BY exprs, TTLs, MV definitions, projection
+        registries).  Their per-table values are snapshotted too, so
+        ``BEGIN; DROP TABLE t; ROLLBACK`` restores a partitioned table's
+        PARTITION BY / TTL / projections, not just its rows."""
         if self._txn is None or name in self._txn["snapshot"]:
             return
         try:
             pre_image = spark.table(name)
         except Exception:
             pre_image = None  # table did not exist at first touch
+        import copy
+
+        extra_vals = {}
+        for label, d in (extras or {}).items():
+            v = d.get(name)
+            # one-level copy: the per-table value may itself be a mutable
+            # dict (projection registry) that DROP/ALTER mutates in place
+            extra_vals[label] = copy.copy(v) if isinstance(v, dict) else v
         self._txn["snapshot"][name] = (
             pre_image,
             engines.get(name),
             replacing.get(name),
+            extra_vals,
         )
 
     def commit(self) -> int:
@@ -91,7 +107,10 @@ class TransactionManager:
         self._txn = None  # writes already live in the session views
         return txn_id
 
-    def rollback(self, spark, engines: dict, replacing: dict) -> tuple:
+    def rollback(
+        self, spark, engines: dict, replacing: dict,
+        extras: dict | None = None,
+    ) -> tuple:
         if self._txn is None:
             raise TransactionError(
                 "INVALID_TRANSACTION: no active transaction to ROLLBACK"
@@ -100,7 +119,8 @@ class TransactionManager:
 
         txn_id = self._txn["id"]
         restored = 0
-        for name, (pre_image, engine, repl) in self._txn["snapshot"].items():
+        for name, snap in self._txn["snapshot"].items():
+            pre_image, engine, repl, extra_vals = snap
             if pre_image is None:
                 spark.catalog.dropTempView(name)
                 engines.pop(name, None)
@@ -115,6 +135,12 @@ class TransactionManager:
                     replacing[name] = repl
                 else:
                     replacing.pop(name, None)
+            for label, d in (extras or {}).items():
+                v = extra_vals.get(label)
+                if pre_image is None or v is None:
+                    d.pop(name, None)
+                else:
+                    d[name] = v
             query_cache.bump_table(name)
             restored += 1
         self._txn = None

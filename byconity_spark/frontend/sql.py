@@ -3058,11 +3058,18 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
 
     # projection rewrite (reference optimizeUseAggregateProjection.cpp):
     # a matching aggregate statement is answered from the materialized
-    # rollup instead of the fact table
+    # rollup instead of the fact table.  Access control must see the
+    # ORIGINAL table reference — the rewrite swaps `FROM t` for
+    # `FROM __proj_t_p`, which would hide `t` from _enforce_access
+    # (RBAC/RLS bypass) — so the grant check runs here first, on the raw
+    # statement, and any column grant or row policy on a referenced table
+    # disables the rewrite (the statement then runs against the
+    # policy-filtered base table).
     from byconity_spark.engine.projections import projections as _projections
-    _proj_sql = _projections.try_rewrite(spark, sql)
-    if _proj_sql is not None:
-        sql = _proj_sql
+    if not _access_restricts(spark, sql):
+        _proj_sql = _projections.try_rewrite(spark, sql)
+        if _proj_sql is not None:
+            sql = _proj_sql
 
     # CH star modifiers (* EXCEPT/APPLY/REPLACE, COLUMNS('re')) expand
     # against the FROM table's schema before the string rewrite
@@ -3108,6 +3115,43 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     return df
 
 
+def _strip_sql_literals(stmt: str) -> str:
+    """Blank out single-quoted string literals (''-escape and
+    backslash-escape aware) so table-name scans never match text inside
+    them — a literal sharing a catalog table's name must not trigger
+    ACCESS_DENIED, row-policy view swaps, or TOO_MANY_ROWS estimates."""
+    import re as _re
+
+    return _re.sub(r"'(?:[^'\\]|\\.|'')*'", "''", stmt)
+
+
+def _access_restricts(spark: SparkSession, stmt: str) -> bool:
+    """True when the current user has any column grant or row policy on a
+    table referenced by ``stmt``; raises AccessDeniedError when a
+    referenced table has no SELECT grant at all.  Runs BEFORE the
+    projection rewrite so the grant check fires on the original table
+    names (see the call site in _ch_sql_impl)."""
+    from byconity_spark.engine.access import access_control
+
+    if not access_control.active or getattr(
+        _QUERY_LOG_TLS, "access_suspended", False
+    ):
+        return False
+    import re as _re
+
+    from byconity_spark.engine.catalog import TABLES as _CATALOG_TABLES
+
+    known = set(_CATALOG_TABLES) | set(_SESSION_TABLE_ENGINES)
+    text = _strip_sql_literals(stmt)
+    for t in sorted(known):
+        if not _re.search(rf"\b{t}\b", text):
+            continue
+        cols = access_control.check_select(t)  # may raise ACCESS_DENIED
+        if cols is not None or access_control.policy_condition(t) is not None:
+            return True
+    return False
+
+
 def _enforce_access(spark: SparkSession, norm: str) -> list:
     """Apply the session's access control to a rewritten statement.
 
@@ -3121,17 +3165,23 @@ def _enforce_access(spark: SparkSession, norm: str) -> list:
     """
     from byconity_spark.engine.access import access_control
 
-    if not access_control.active:
+    if not access_control.active or getattr(
+        _QUERY_LOG_TLS, "access_suspended", False
+    ):
         return []
     import re as _re
 
     from byconity_spark.engine.catalog import TABLES as _CATALOG_TABLES
 
     known = set(_CATALOG_TABLES) | set(_SESSION_TABLE_ENGINES)
+    # conservative over-match (any word-boundary occurrence outside string
+    # literals): a spurious match costs a needless view swap; an UNDER-match
+    # at a FROM/JOIN position we failed to parse would be a policy bypass
+    text = _strip_sql_literals(norm)
     swaps: list = []
     try:
         for t in sorted(known):
-            if not _re.search(rf"\b{t}\b", norm):
+            if not _re.search(rf"\b{t}\b", text):
                 continue
             cols = access_control.check_select(t)
             cond = access_control.policy_condition(t)
@@ -3599,11 +3649,22 @@ def _ensure_mv_fresh(spark, name: str, _seen=None) -> None:
 
 
 def _refresh_stale_mvs(spark, sql: str) -> None:
+    """Refresh every stale MV the statement references — with access
+    enforcement SUSPENDED (owner semantics, reference
+    StorageMaterializedView: the MV populates as its definer, not as the
+    querying user).  Without this a policy-restricted user's query would
+    re-materialize a SHARED session MV from the policy-filtered source and
+    bump its version, poisoning it for every later reader."""
     import re
 
-    for name in list(_SESSION_MVS):
-        if re.search(rf"\b{name}\b", sql):
-            _ensure_mv_fresh(spark, name)
+    saved = getattr(_QUERY_LOG_TLS, "access_suspended", False)
+    _QUERY_LOG_TLS.access_suspended = True
+    try:
+        for name in list(_SESSION_MVS):
+            if re.search(rf"\b{name}\b", sql):
+                _ensure_mv_fresh(spark, name)
+    finally:
+        _QUERY_LOG_TLS.access_suspended = saved
 
 
 # Row TTL (reference src/Storages/TTLDescription.h,
@@ -3613,6 +3674,22 @@ def _refresh_stale_mvs(spark, sql: str) -> None:
 # reproducible in tests and oracles; '' restores the real clock.
 _SESSION_TABLE_TTLS: dict = {}
 _TTL_NOW: list = [None]
+
+
+def _txn_metadata_dicts() -> dict:
+    """Per-table session metadata that a transaction snapshot must carry so
+    ``BEGIN; DROP TABLE t; ROLLBACK`` restores PARTITION BY / TTL /
+    projections / MV definitions along with the rows (not just the view,
+    engine and replacing keys).  Detached parts are keyed by (table, part)
+    and stay outside the snapshot — a documented deviation."""
+    from byconity_spark.engine.projections import projections as _pr
+
+    return {
+        "partitions": _SESSION_TABLE_PARTITIONS,
+        "ttls": _SESSION_TABLE_TTLS,
+        "mvs": _SESSION_MVS,
+        "projections": _pr._by_table,
+    }
 
 # Databases (reference InterpreterCreateQuery database branch,
 # DatabaseCatalog.h).  A session database is a namespace over session
@@ -3730,11 +3807,13 @@ def _try_ddl(spark: SparkSession, sql: str):
                 transactions.snapshot_table(
                     spark, tm.group(1),
                     _SESSION_TABLE_ENGINES, _REPLACING_TABLES,
+                    extras=_txn_metadata_dicts(),
                 )
                 if tm.group(2):
                     transactions.snapshot_table(
                         spark, tm.group(2),
                         _SESSION_TABLE_ENGINES, _REPLACING_TABLES,
+                        extras=_txn_metadata_dicts(),
                     )
 
     # SYSTEM <command> — the operational subset with real engine effects
@@ -3796,7 +3875,8 @@ def _try_ddl(spark: SparkSession, sql: str):
     if re.match(r"ROLLBACK$", s, re.IGNORECASE):
         from byconity_spark.engine.transactions import transactions
         txn_id, restored = transactions.rollback(
-            spark, _SESSION_TABLE_ENGINES, _REPLACING_TABLES
+            spark, _SESSION_TABLE_ENGINES, _REPLACING_TABLES,
+            extras=_txn_metadata_dicts(),
         )
         return spark.createDataFrame(
             [(txn_id, f"rolled_back_{restored}_tables")],

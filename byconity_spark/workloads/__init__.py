@@ -113,6 +113,24 @@ _PREVIOUSLY_CERTIFIED = {
     "fn_ipv4_suite", "chsql_any_multi_join", "agg_advanced_stats",
     "beh_auc", "llm_token_count", "fn_ipv6_base58_suite",
     "agg_uniq_state_merge",
+    # --- r06 green ---
+    "chsql_window_funnel", "beh_window_funnel_sliding", "bitmap_column_logic",
+    "llm_embedding_keep_list", "win_running_concurrency", "fn_conv_suite",
+    "agg_round7_suite", "chsql_multi_array_join", "write_bucketed_join",
+    "source_hive_external", "dict_region_suite", "idx_token_pruned_search",
+    "stream_watermark_late_drop", "op_sample_keyed", "beh_next_after_signup",
+    "llm_pii_redact", "fn_strdist_suite", "agg_stat_tests",
+    "chsql_compat_suite", "source_json_corrupt_tolerance", "beh_interval_length_sum",
+    "llm_tfidf_top_terms", "fn_parity_suite", "agg_resample",
+    "chsql_round6_agg_suite", "beh_attribution_last_touch", "llm_hash_sample",
+    "fn_mysql_time_suite", "agg_ndcg", "chsql_distinct_on_ties",
+    "beh_session_split", "llm_contamination", "fn_vector_suite",
+    "agg_categorical_iv", "chsql_sequence_match_count", "beh_path_split",
+    "llm_seq_packing", "fn_h3_suite", "agg_mean_ztest",
+    "chsql_batch5_suite", "beh_attribution_linear", "llm_bm25",
+    "fn_s2_suite", "agg_theta_state_merge", "chsql_final_replacing",
+    "beh_attribution_position", "llm_unigram_logppl", "fn_round7_suite",
+    "agg_frequency", "chsql_system_tables",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec
@@ -125,10 +143,9 @@ _ROWS_ONLY_LAST = ["mm_decode_features", "sample_lineitem"]
 # Queries a prior driver run sampled and FAILED; their fixes landed but the
 # real driver has never confirmed them.  They register FIRST — ahead of even
 # never-sampled queries — so the next capped run certifies the fixes.
-# r05: 50/50 sampled queries hash-green.  chsql_window_funnel recertifies
-# because round 6 changed its SEMANTICS (first-anchor -> CH-default
-# sliding-anchor fold) and rewrote its oracle to match.
-_MUST_RECERTIFY: list[str] = ["chsql_window_funnel"]
+# r06: 50/50 sampled queries hash-green (including the chsql_window_funnel
+# recertification after its round-6 sliding-anchor semantics change).
+_MUST_RECERTIFY: list[str] = []
 
 
 def all_queries() -> dict[str, QueryDef]:

@@ -142,3 +142,144 @@ def test_system_views_and_unknown_user(spark):
     assert ("analyst", "orders", "*") in [tuple(r) for r in grants]
     with pytest.raises(Exception, match="UNKNOWN_USER"):
         ch_sql(spark, "SET SESSION USER nobody")
+
+
+def test_projection_rewrite_respects_row_policy(spark):
+    """ADVICE r6 (high): the projection rewrite replaced ``FROM t`` with
+    ``FROM __proj_t_p`` BEFORE access enforcement saw ``t`` — a
+    policy-restricted user got full, unfiltered aggregates from the
+    rollup.  Any restriction on a referenced table now disables the
+    rewrite; the statement runs on the policy-filtered base table."""
+    from byconity_spark.engine.projections import projections
+
+    projections.clear()
+    _setup(spark)
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE acc_pj AS SELECT o_orderstatus, o_totalprice "
+            "FROM orders",
+        )
+        ch_sql(
+            spark,
+            "ALTER TABLE acc_pj ADD PROJECTION by_st ("
+            "SELECT o_orderstatus, sum(o_totalprice) AS rev "
+            "GROUP BY o_orderstatus)",
+        )
+        q = (
+            "SELECT o_orderstatus, sum(o_totalprice) AS rev FROM acc_pj "
+            "GROUP BY o_orderstatus"
+        )
+        assert len(ch_sql(spark, q).collect()) > 1  # materializes rollup
+        ch_sql(spark, "GRANT SELECT ON acc_pj TO analyst")
+        ch_sql(
+            spark,
+            "CREATE ROW POLICY only_f ON acc_pj FOR SELECT "
+            "USING o_orderstatus = 'F' TO analyst",
+        )
+        ch_sql(spark, "SET SESSION USER alice")
+        rows = ch_sql(spark, q).collect()
+        assert [r[0] for r in rows] == ["F"]
+        ch_sql(spark, "SET SESSION USER default")
+        # unrestricted default user still gets the projection-backed answer
+        assert len(ch_sql(spark, q).collect()) > 1
+    finally:
+        access_control.reset()
+        projections.clear()
+        ch_sql(spark, "DROP TABLE IF EXISTS acc_pj")
+
+
+def test_projection_rewrite_no_grant_denied(spark):
+    """A user with NO SELECT grant must be denied even when the statement
+    matches a projection (the rewrite used to hide the table from the
+    grant check)."""
+    from byconity_spark.engine.projections import projections
+
+    projections.clear()
+    _setup(spark)
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE acc_pj2 AS SELECT o_orderstatus, o_totalprice "
+            "FROM orders",
+        )
+        ch_sql(
+            spark,
+            "ALTER TABLE acc_pj2 ADD PROJECTION by_st ("
+            "SELECT o_orderstatus, sum(o_totalprice) AS rev "
+            "GROUP BY o_orderstatus)",
+        )
+        ch_sql(spark, "SET SESSION USER alice")  # no grant on acc_pj2
+        with pytest.raises(AccessDeniedError, match="ACCESS_DENIED"):
+            ch_sql(
+                spark,
+                "SELECT o_orderstatus, sum(o_totalprice) AS rev FROM "
+                "acc_pj2 GROUP BY o_orderstatus",
+            )
+    finally:
+        access_control.reset()
+        projections.clear()
+        ch_sql(spark, "DROP TABLE IF EXISTS acc_pj2")
+
+
+def test_literal_table_name_not_access_checked(spark):
+    """ADVICE r6 (low): a string literal sharing a catalog table's name
+    ('customer') must not trigger a grant check on that table."""
+    _setup(spark)
+    ch_sql(spark, "SET SESSION USER alice")
+    got = ch_sql(
+        spark, "SELECT 'customer' AS lbl, count(*) AS n FROM orders"
+    ).collect()
+    assert got[0][0] == "customer" and got[0][1] > 0
+
+
+def test_mv_refresh_uses_owner_semantics(spark):
+    """ADVICE r6 (medium): a policy-restricted user's query must NOT
+    repopulate a shared MV with policy-filtered rows — refresh runs with
+    access enforcement suspended (owner semantics,
+    StorageMaterializedView)."""
+    from byconity_spark.frontend.sql import _SESSION_MVS
+
+    _setup(spark)
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE acc_src AS SELECT n_regionkey AS r, "
+            "n_nationkey AS k FROM nation",
+        )
+        ch_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW acc_mv AS "
+            "SELECT r, count(*) AS n FROM acc_src GROUP BY r",
+        )
+        ch_sql(spark, "GRANT SELECT ON acc_src TO analyst")
+        ch_sql(spark, "GRANT SELECT ON acc_mv TO analyst")
+        ch_sql(
+            spark,
+            "CREATE ROW POLICY r0 ON acc_src USING r = 0 TO analyst",
+        )
+        ch_sql(spark, "INSERT INTO acc_src VALUES (9, 999)")  # MV now stale
+        ch_sql(spark, "SET SESSION USER alice")
+        rows = {
+            r[0]: r[1]
+            for r in ch_sql(spark, "SELECT r, n FROM acc_mv").collect()
+        }
+        # the refresh alice triggered ran as owner: every region present
+        assert sum(rows.values()) == 26 and 9 in rows
+        ch_sql(spark, "SET SESSION USER default")
+        rows2 = {
+            r[0]: r[1]
+            for r in ch_sql(spark, "SELECT r, n FROM acc_mv").collect()
+        }
+        assert sum(rows2.values()) == 26
+        # alice's direct reads of the SOURCE are still policy-filtered
+        ch_sql(spark, "SET SESSION USER alice")
+        assert (
+            ch_sql(spark, "SELECT count(*) AS n FROM acc_src").collect()[0][0]
+            == 5
+        )
+    finally:
+        access_control.reset()
+        _SESSION_MVS.pop("acc_mv", None)
+        spark.catalog.dropTempView("acc_mv")
+        ch_sql(spark, "DROP TABLE IF EXISTS acc_src")

@@ -205,3 +205,17 @@ def test_kill_query_cancels_running_statement(spark):
 def test_kill_unknown_query(spark):
     res = ch_sql(spark, "KILL QUERY WHERE query_id = 'zzz'").collect()
     assert res[0][1] == "NotFound"
+
+
+def test_rows_to_read_ignores_literals_and_columns(spark):
+    """ADVICE r6 (low): a string literal naming a big table must not
+    inflate the pre-read estimate into a false TOO_MANY_ROWS — only
+    FROM/JOIN-position names count."""
+    from byconity_spark.frontend import ch_sql
+
+    got = ch_sql(
+        spark,
+        "SELECT 'lineitem' AS lbl, count(*) AS n FROM nation "
+        "SETTINGS max_rows_to_read = 1000",
+    ).collect()
+    assert got[0][0] == "lineitem" and got[0][1] == 25

@@ -84,3 +84,47 @@ def test_show_statements_and_errors(spark):
     assert any(s.startswith("INSERT INTO txn_t") for s in stmts)
     assert any(s.startswith("SELECT count(*)") for s in stmts)
     ch_sql(spark, "ROLLBACK")
+
+
+def test_rollback_restores_partition_ttl_projection_metadata(spark):
+    """ADVICE r6 (low): BEGIN; DROP TABLE t; ROLLBACK used to restore only
+    the view/engine/replacing-keys — PARTITION BY, TTL and projections
+    vanished, so ALTER ... DROP PARTITION failed afterwards."""
+    from byconity_spark.engine.projections import projections
+    from byconity_spark.frontend.sql import (
+        _SESSION_TABLE_PARTITIONS,
+        _SESSION_TABLE_TTLS,
+    )
+
+    register_views(spark, SF_DIR)
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE txn_pt ENGINE = MergeTree "
+            "PARTITION BY n_regionkey ORDER BY n_nationkey "
+            "AS SELECT * FROM nation",
+        )
+        ch_sql(
+            spark, "ALTER TABLE txn_pt MODIFY TTL n_nationkey + 1000000"
+        )
+        ch_sql(
+            spark,
+            "ALTER TABLE txn_pt ADD PROJECTION pr ("
+            "SELECT n_regionkey, count(n_nationkey) AS n "
+            "GROUP BY n_regionkey)",
+        )
+        ch_sql(spark, "BEGIN TRANSACTION")
+        ch_sql(spark, "DROP TABLE txn_pt")
+        assert "txn_pt" not in _SESSION_TABLE_PARTITIONS
+        ch_sql(spark, "ROLLBACK")
+        assert _SESSION_TABLE_PARTITIONS.get("txn_pt") == "n_regionkey"
+        assert _SESSION_TABLE_TTLS.get("txn_pt") == "n_nationkey + 1000000"
+        assert "pr" in projections._by_table.get("txn_pt", {})
+        ch_sql(spark, "ALTER TABLE txn_pt DROP PARTITION 0")
+        assert (
+            ch_sql(spark, "SELECT count(*) AS n FROM txn_pt").collect()[0][0]
+            == 20
+        )
+    finally:
+        projections.clear()
+        ch_sql(spark, "DROP TABLE IF EXISTS txn_pt")
