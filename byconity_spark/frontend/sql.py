@@ -3626,9 +3626,144 @@ def _mv_sources(sql: str) -> dict:
     }
 
 
+# Insert-block delta log for incremental MV refresh (reference
+# StorageMaterializedView.h:129-168: the MV transform consumes the INSERTED
+# block, never the whole source).  table -> [(version_after_insert, block)].
+# Bounded: dropping the oldest entry only forfeits incrementality for that
+# gap (refresh falls back to a full re-run), never correctness.
+_MV_DELTA_LOG: dict = {}
+_MV_DELTA_CAP = 64
+
+
+def _log_mv_delta(name: str, delta) -> None:
+    """Record an INSERTed block — only for tables feeding a registered MV."""
+    if not any(name in mv["sources"] for mv in _SESSION_MVS.values()):
+        return
+    from byconity_spark.engine.query_cache import query_cache
+
+    log = _MV_DELTA_LOG.setdefault(name, [])
+    log.append((query_cache.table_version(name), delta))
+    if len(log) > _MV_DELTA_CAP:
+        del log[0]
+
+
+def _materialize_mv(spark, name: str, mv: dict, df) -> None:
+    """MVs are MATERIALIZED (parquet rollup, like the reference's target
+    table), so reading one costs a rollup scan — not a re-run of the
+    defining SELECT over the full source.  Each refresh writes a new
+    versioned directory (the old one may still back transaction snapshot
+    pre-images); directories are reclaimed at DROP."""
+    import tempfile
+
+    if not mv.get("tmpdir"):
+        mv["tmpdir"] = tempfile.mkdtemp(prefix="bspark_mv_")
+    mv["ver"] = mv.get("ver", -1) + 1
+    path = f"{mv['tmpdir']}/v{mv['ver']}"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def _drop_mv_storage(name: str) -> None:
+    import shutil
+
+    mv = _SESSION_MVS.pop(name, None)
+    if mv and mv.get("tmpdir"):
+        shutil.rmtree(mv["tmpdir"], ignore_errors=True)
+
+
+_MV_AGG_ITEM = __import__("re").compile(
+    r"(?is)^(sum|count|min|max)\s*\((.*)\)\s+AS\s+([A-Za-z_]\w*)$"
+)
+
+
+def _try_incremental_mv_refresh(spark, name: str, mv: dict, current) -> bool:
+    """Insert-block incremental refresh.  Applies when (a) the defining
+    SELECT is single-table — a projection/filter or a SPLITTABLE aggregate
+    (sum/count/min/max over bare GROUP BY dims; avg is not mergeable from
+    its stored values) — and (b) every moved source's version gap is fully
+    covered by logged INSERT deltas (any other write bumps the version
+    without a delta, which breaks coverage and forces the full path).
+
+    Cost: |MV rollup| + |inserted blocks| — the source is NEVER rescanned;
+    that is the 100 TB contract (reference transforms each inserted block
+    and lets AggregatingMergeTree merge; here the merge happens at refresh
+    into the materialized rollup)."""
+    import re
+    from functools import reduce
+
+    select = mv["select"]
+    if re.search(r"(?i)\bjoin\b|\(\s*select\b", select):
+        return False
+    m = re.match(
+        r"(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s*"
+        r"(?:WHERE\s+(.+?)\s*)?(?:GROUP\s+BY\s+([\w,\s]+?))?\s*$",
+        select,
+    )
+    if not m:
+        return False
+    items, src, _cond, group_by = m.groups()
+    if f"{src}." in select:  # qualified refs would break the delta swap
+        return False
+    # coverage: only the FROM table may have moved, and purely by inserts
+    deltas = None
+    for t, cur in current.items():
+        old = mv["versions"].get(t, 0)
+        if cur == old:
+            continue
+        if t != src:
+            return False
+        have = {v: df for v, df in _MV_DELTA_LOG.get(t, [])}
+        needed = list(range(old + 1, cur + 1))
+        if not all(v in have for v in needed):
+            return False
+        deltas = [have[v] for v in needed]
+    if not deltas:
+        return False
+
+    merge_exprs, dims = None, None
+    if group_by is not None:
+        from byconity_spark.engine.projections import _split_commas
+
+        dims = [c.strip() for c in group_by.split(",")]
+        if not all(re.match(r"^[A-Za-z_]\w*$", d) for d in dims):
+            return False
+        merge_exprs = []
+        for item in _split_commas(items):
+            item = item.strip()
+            if item in dims:
+                continue
+            am = _MV_AGG_ITEM.match(item)
+            if not am:
+                return False
+            kind, alias = am.group(1).lower(), am.group(3)
+            fn = F.sum if kind in ("sum", "count") else getattr(F, kind)
+            merge_exprs.append(fn(alias).alias(alias))
+
+    delta = reduce(lambda a, b: a.unionByName(b), deltas)
+    view = f"__mv_delta_{name}"
+    delta.createOrReplaceTempView(view)
+    inc_select = re.sub(
+        rf"(?i)\bFROM\s+{src}\b", f"FROM {view}", select, count=1
+    )
+    transformed = ch_sql(spark, inc_select)
+    old_mv = spark.table(name)
+    if merge_exprs is None:
+        new = old_mv.unionByName(transformed.toDF(*old_mv.columns))
+    else:
+        new = (
+            old_mv.unionByName(transformed.toDF(*old_mv.columns))
+            .groupBy(*dims)
+            .agg(*merge_exprs)
+            .select(*old_mv.columns)
+        )
+    _materialize_mv(spark, name, mv, new)
+    return True
+
+
 def _ensure_mv_fresh(spark, name: str, _seen=None) -> None:
     """Re-materialize ``name`` if any source moved — TRANSITIVELY, so an
-    MV over an MV sees its upstream refresh first (cycle-guarded)."""
+    MV over an MV sees its upstream refresh first (cycle-guarded).
+    Incremental insert-block path first; full re-run as the fallback."""
     from byconity_spark.engine.query_cache import query_cache
 
     mv = _SESSION_MVS.get(name)
@@ -3643,7 +3778,8 @@ def _ensure_mv_fresh(spark, name: str, _seen=None) -> None:
             _ensure_mv_fresh(spark, src, seen)
     current = {t: query_cache.table_version(t) for t in mv["sources"]}
     if current != mv["versions"]:
-        ch_sql(spark, mv["select"]).createOrReplaceTempView(name)
+        if not _try_incremental_mv_refresh(spark, name, mv, current):
+            _materialize_mv(spark, name, mv, ch_sql(spark, mv["select"]))
         mv["versions"] = current
         query_cache.bump_table(name)
 

@@ -1,0 +1,446 @@
+"""Reference-exact hash implementations for ``strict_hash_compat`` mode.
+
+The fast default for cityHash64/sipHash64/etc. is Spark's JVM-side
+xxhash64 — value-stable within this engine but NOT bit-identical to the
+reference, which matters only when hash values are persisted or exchanged
+cross-engine (bucket assignment, sampling keys, dedup fingerprints written
+by the reference and read here, or vice versa).  This module provides the
+bit-exact implementations, activated per-call by
+``functions.registry.set_strict_hash_compat(True)`` (or env
+``BYCONITY_STRICT_HASH_COMPAT=1``).
+
+Reference semantics implemented (src/Functions/FunctionsHashing.h):
+
+* ``cityHash64`` — CityHash v1.0.2 (contrib/cityhash102/src/city.cc) over
+  string/binary bytes; POD (numeric) arguments go through
+  ``IntHash64Impl::apply(bit_cast<UInt64>(v))`` where IntHash64Impl is
+  ``intHash64(x ^ 0x4CF2D2BAAE6DA887)`` (FunctionsHashing.h:168-176 —
+  note the ByConity-specific XOR salt, verified against
+  tests/queries/4_cnch_stateless/00751_hashing_ints.reference);
+  multi-arg combine = ``Hash128to64(uint128(h1, h2))``
+  (FunctionsHashing.h:851-860, verified against 00259_hashing_tuples).
+* ``sipHash64`` — SipHash-2-4 with zero key over the argument's
+  little-endian binary representation (strings = raw bytes); combine =
+  sipHash64 over the 16 bytes {h1, h2} (combineHashesFunc,
+  FunctionsHashing.h:178-190,325-338).
+* ``intHash64`` / ``intHash32`` — the murmur-style finalizer with the
+  ByConity XOR salt / the 32-bit mix with salt 0x75D9543DE018BF45
+  (FunctionsHashing.h:157-176), verified against
+  0_stateless/02184_hash_functions_and_ip_types.reference.
+* ``halfMD5`` — first 8 bytes of MD5, big-endian (FunctionsHashing.h:
+  HalfMD5Impl); combine = halfMD5 over {h1, h2} LE bytes.
+* ``URLHash`` — cityHash64 with one trailing '/', '?' or '#' trimmed
+  (src/Functions/URL/URLHash... URLHashImpl).
+* ``hiveHash`` — Java String.hashCode over bytes with the sign bit
+  cleared (FunctionsHashing.h:833-849).
+
+All vector anchors come from the reference's OWN test outputs, so exact
+means exact.  Scale note: these are Arrow-batched pandas UDFs doing
+per-row Python math — 10-100× slower than the JVM xxhash64 default.  That
+is the documented cost of the opt-in; workloads that only need a stable
+hash keep the fast path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+_M64 = (1 << 64) - 1
+_K0 = 0xC3A5C85C97CB3127
+_K1 = 0xB492B66FBE98F273
+_K2 = 0x9AE16A3B2F90404F
+_K3 = 0xC949D7C7509E6557
+# ByConity's IntHash64Impl XOR salt (FunctionsHashing.h:175)
+_INT64_SALT = 0x4CF2D2BAAE6DA887
+# IntHash32Impl template salt (FunctionsHashing.h:164)
+_INT32_SALT = 0x75D9543DE018BF45
+
+
+def _rot(v: int, s: int) -> int:
+    return ((v >> s) | (v << (64 - s))) & _M64
+
+
+def _f64(s: bytes, i: int = 0) -> int:
+    return struct.unpack_from("<Q", s, i)[0]
+
+
+def _f32(s: bytes, i: int = 0) -> int:
+    return struct.unpack_from("<I", s, i)[0]
+
+
+def _shift_mix(v: int) -> int:
+    v &= _M64
+    return (v ^ (v >> 47)) & _M64
+
+
+def hash128to64(lo: int, hi: int) -> int:
+    """CityHash's Hash128to64 — also the cityHash64 multi-arg combiner."""
+    kmul = 0x9DDFEA08EB382D69
+    a = ((lo ^ hi) * kmul) & _M64
+    a ^= a >> 47
+    b = ((hi ^ a) * kmul) & _M64
+    b ^= b >> 47
+    return (b * kmul) & _M64
+
+
+def _hash_len_16(u: int, v: int) -> int:
+    return hash128to64(u & _M64, v & _M64)
+
+
+def _hash_len_0_to_16(s: bytes) -> int:
+    n = len(s)
+    if n > 8:
+        a = _f64(s)
+        b = _f64(s, n - 8)
+        r = n & 63
+        if r == 0:
+            r = 1
+        return (_hash_len_16(a, _rot((b + n) & _M64, r)) ^ b) & _M64
+    if n >= 4:
+        a = _f32(s)
+        return _hash_len_16((n + (a << 3)) & _M64, _f32(s, n - 4))
+    if n > 0:
+        a, b, c = s[0], s[n >> 1], s[n - 1]
+        y = (a + (b << 8)) & _M64
+        z = (n + (c << 2)) & _M64
+        return (_shift_mix((y * _K2 ^ z * _K3) & _M64) * _K2) & _M64
+    return _K2
+
+
+def _hash_len_17_to_32(s: bytes) -> int:
+    n = len(s)
+    a = (_f64(s) * _K1) & _M64
+    b = _f64(s, 8)
+    c = (_f64(s, n - 8) * _K2) & _M64
+    d = (_f64(s, n - 16) * _K0) & _M64
+    return _hash_len_16(
+        (_rot((a - b) & _M64, 43) + _rot(c, 30) + d) & _M64,
+        (a + _rot((b ^ _K3) & _M64, 20) - c + n) & _M64,
+    )
+
+
+def _weak32(s: bytes, i: int, a: int, b: int) -> tuple:
+    w, x, y, z = _f64(s, i), _f64(s, i + 8), _f64(s, i + 16), _f64(s, i + 24)
+    a = (a + w) & _M64
+    b = _rot((b + a + z) & _M64, 21)
+    c = a
+    a = (a + x + y) & _M64
+    b = (b + _rot(a, 44)) & _M64
+    return (a + z) & _M64, (b + c) & _M64
+
+
+def _hash_len_33_to_64(s: bytes) -> int:
+    n = len(s)
+    z = _f64(s, 24)
+    a = (_f64(s) + (n + _f64(s, n - 16)) * _K0) & _M64
+    b = _rot((a + z) & _M64, 52)
+    c = _rot(a, 37)
+    a = (a + _f64(s, 8)) & _M64
+    c = (c + _rot(a, 7)) & _M64
+    a = (a + _f64(s, 16)) & _M64
+    vf = (a + z) & _M64
+    vs = (b + _rot(a, 31) + c) & _M64
+    a = (_f64(s, 16) + _f64(s, n - 32)) & _M64
+    z = _f64(s, n - 8)
+    b = _rot((a + z) & _M64, 52)
+    c = _rot(a, 37)
+    a = (a + _f64(s, n - 24)) & _M64
+    c = (c + _rot(a, 7)) & _M64
+    a = (a + _f64(s, n - 16)) & _M64
+    wf = (a + z) & _M64
+    ws = (b + _rot(a, 31) + c) & _M64
+    r = _shift_mix(((vf + ws) * _K2 + (wf + vs) * _K0) & _M64)
+    return (_shift_mix((r * _K0 + vs) & _M64) * _K2) & _M64
+
+
+def city_hash_64(s: bytes) -> int:
+    """CityHash v1.0.2 CityHash64 (contrib/cityhash102/src/city.cc:205)."""
+    n = len(s)
+    if n <= 32:
+        return _hash_len_0_to_16(s) if n <= 16 else _hash_len_17_to_32(s)
+    if n <= 64:
+        return _hash_len_33_to_64(s)
+    x = _f64(s)
+    y = (_f64(s, n - 16) ^ _K1) & _M64
+    z = (_f64(s, n - 56) ^ _K0) & _M64
+    v = _weak32(s, n - 64, n, y)
+    w = _weak32(s, n - 32, (n * _K1) & _M64, _K0)
+    z = (z + _shift_mix(v[1]) * _K1) & _M64
+    x = (_rot((z + x) & _M64, 39) * _K1) & _M64
+    y = (_rot(y, 33) * _K1) & _M64
+    rem = (n - 1) & ~63
+    i = 0
+    while True:
+        x = (_rot((x + y + v[0] + _f64(s, i + 16)) & _M64, 37) * _K1) & _M64
+        y = (_rot((y + v[1] + _f64(s, i + 48)) & _M64, 42) * _K1) & _M64
+        x ^= w[1]
+        y ^= v[0]
+        z = _rot((z ^ w[0]) & _M64, 33)
+        v = _weak32(s, i, (v[1] * _K1) & _M64, (x + w[0]) & _M64)
+        w = _weak32(s, i + 32, (z + w[1]) & _M64, y)
+        z, x = x, z
+        i += 64
+        rem -= 64
+        if rem == 0:
+            break
+    return _hash_len_16(
+        (_hash_len_16(v[0], w[0]) + _shift_mix(y) * _K1 + z) & _M64,
+        (_hash_len_16(v[1], w[1]) + x) & _M64,
+    )
+
+
+def int_hash_64(x: int) -> int:
+    """Reference SQL intHash64 = finalizer(x ^ ByConity salt)."""
+    x = (x & _M64) ^ _INT64_SALT
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & _M64
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & _M64
+    x ^= x >> 33
+    return x
+
+
+def int_hash_32(x: int) -> int:
+    """Reference SQL intHash32 (Common/HashTable/Hash.h intHash32<salt>)."""
+    key = (x & _M64) ^ _INT32_SALT
+    key = ((~key & _M64) + ((key << 18) & _M64)) & _M64
+    key ^= (key >> 31) | ((key << 33) & _M64)
+    key = (key * 21) & _M64
+    key ^= (key >> 11) | ((key << 53) & _M64)
+    key = (key + ((key << 6) & _M64)) & _M64
+    key ^= (key >> 22) | ((key << 42) & _M64)
+    return key & 0xFFFFFFFF
+
+
+def sip_hash_64(data: bytes, k0: int = 0, k1: int = 0) -> int:
+    """SipHash-2-4, zero key — the reference's sipHash64 (SipHash.h)."""
+    v0 = 0x736F6D6570736575 ^ k0
+    v1 = 0x646F72616E646F6D ^ k1
+    v2 = 0x6C7967656E657261 ^ k0
+    v3 = 0x7465646279746573 ^ k1
+
+    def rnd():
+        nonlocal v0, v1, v2, v3
+        v0 = (v0 + v1) & _M64
+        v1 = ((v1 << 13) | (v1 >> 51)) & _M64
+        v1 ^= v0
+        v0 = ((v0 << 32) | (v0 >> 32)) & _M64
+        v2 = (v2 + v3) & _M64
+        v3 = ((v3 << 16) | (v3 >> 48)) & _M64
+        v3 ^= v2
+        v0 = (v0 + v3) & _M64
+        v3 = ((v3 << 21) | (v3 >> 43)) & _M64
+        v3 ^= v0
+        v2 = (v2 + v1) & _M64
+        v1 = ((v1 << 17) | (v1 >> 47)) & _M64
+        v1 ^= v2
+        v2 = ((v2 << 32) | (v2 >> 32)) & _M64
+
+    n = len(data)
+    end = n - (n % 8)
+    for i in range(0, end, 8):
+        m = _f64(data, i)
+        v3 ^= m
+        rnd()
+        rnd()
+        v0 ^= m
+    b = (n & 0xFF) << 56
+    for i, ch_ in enumerate(data[end:]):
+        b |= ch_ << (8 * i)
+    v3 ^= b
+    rnd()
+    rnd()
+    v0 ^= b
+    v2 ^= 0xFF
+    rnd()
+    rnd()
+    rnd()
+    rnd()
+    return (v0 ^ v1 ^ v2 ^ v3) & _M64
+
+
+def half_md5(data: bytes) -> int:
+    """First 8 MD5 bytes as big-endian UInt64 (HalfMD5Impl)."""
+    return struct.unpack(">Q", hashlib.md5(data).digest()[:8])[0]
+
+
+def url_hash(s: bytes) -> int:
+    """cityHash64 with ONE trailing '/', '?' or '#' trimmed (URLHashImpl)."""
+    if s and s[-1:] in (b"/", b"?", b"#"):
+        s = s[:-1]
+    return city_hash_64(s)
+
+
+def hive_hash(s: bytes) -> int:
+    """Java String.hashCode over SIGNED bytes, sign bit cleared
+    (HiveHashImpl / JavaHashImpl string branch)."""
+    h = 0
+    for b in s:
+        if b >= 128:
+            b -= 256
+        h = (h * 31 + b) & 0xFFFFFFFF
+    return h & 0x7FFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# per-argument encoding + multi-arg combine, CH semantics
+# ---------------------------------------------------------------------------
+
+def _arg_bytes(v, itemsize: int) -> bytes:
+    """Little-endian binary representation, CH column layout."""
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, bool):
+        return struct.pack("<B", int(v))
+    if isinstance(v, float):
+        return struct.pack("<f" if itemsize == 4 else "<d", v)
+    # integer: two's complement within the column width
+    return int(v).to_bytes(itemsize, "little", signed=int(v) < 0)
+
+
+def _arg_u64(v, itemsize: int) -> int:
+    """bit_cast<UInt64> — memcpy of the value's bytes, zero-extended."""
+    return int.from_bytes(_arg_bytes(v, itemsize), "little")
+
+
+def city64_values(values, itemsizes) -> int:
+    """cityHash64(args...) with full reference semantics (string bytes →
+    CityHash64; PODs → IntHash64Impl; Hash128to64 combine)."""
+    h = None
+    for v, size in zip(values, itemsizes):
+        if isinstance(v, (str, bytes)):
+            hv = city_hash_64(
+                v.encode("utf-8") if isinstance(v, str) else v
+            )
+        else:
+            hv = int_hash_64(_arg_u64(v, size))
+        h = hv if h is None else hash128to64(h, hv)
+    return h if h is not None else _K2
+
+
+def sip64_values(values, itemsizes) -> int:
+    h = None
+    for v, size in zip(values, itemsizes):
+        hv = sip_hash_64(_arg_bytes(v, size))
+        h = hv if h is None else sip_hash_64(struct.pack("<QQ", h, hv))
+    return h if h is not None else sip_hash_64(b"")
+
+
+def half_md5_values(values, itemsizes) -> int:
+    h = None
+    for v, size in zip(values, itemsizes):
+        hv = half_md5(_arg_bytes(v, size))
+        h = hv if h is None else half_md5(struct.pack("<QQ", h, hv))
+    return h if h is not None else half_md5(b"")
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: Arrow-batched pandas UDFs (opt-in strict path)
+# ---------------------------------------------------------------------------
+
+def _series_itemsize(ser) -> int:
+    k = getattr(ser.dtype, "kind", "O")
+    if k in ("i", "u", "f", "b"):
+        return ser.dtype.itemsize
+    return 0  # object (str/bytes) — unused
+
+
+def _to_signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _make_multiarg_udf(scalar_fn):
+    def batch(*series):
+        import pandas as pd
+
+        sizes = [_series_itemsize(s) for s in series]
+        n = len(series[0])
+        out = []
+        for i in range(n):
+            vals = [s.iloc[i] for s in series]
+            if any(v is None or (isinstance(v, float) and v != v) for v in vals):
+                out.append(None)
+                continue
+            out.append(_to_signed64(scalar_fn(vals, sizes)))
+        return pd.Series(out, dtype="Int64")
+
+    return F.pandas_udf(batch, LongType())
+
+
+def _make_bytes_udf(scalar_fn, to32: bool = False):
+    def batch(ser):
+        import pandas as pd
+
+        size = _series_itemsize(ser)
+
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            u = scalar_fn(_arg_bytes(v, size))
+            return u if to32 else _to_signed64(u)
+
+        return pd.Series([one(v) for v in ser], dtype="Int64")
+
+    return F.pandas_udf(batch, LongType())
+
+
+def _make_int_udf(scalar_fn, to32: bool = False):
+    def batch(ser):
+        import pandas as pd
+
+        size = _series_itemsize(ser) or 8
+
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            u = scalar_fn(_arg_u64(v, size))
+            return u if to32 else _to_signed64(u)
+
+        return pd.Series([one(v) for v in ser], dtype="Int64")
+
+    return F.pandas_udf(batch, LongType())
+
+
+_UDF_CACHE: dict = {}
+
+
+def exact_hash_column(name: str, *cols) -> Column:
+    """Reference-exact Column for ``name`` (strict_hash_compat path).
+    Returns CH's UInt64 as its two's-complement BIGINT (the same signed
+    view DuckDB/Spark give); intHash32/hiveHash fit in the positive range.
+    """
+    key = (name, len(cols))
+    udf = _UDF_CACHE.get(key)
+    if udf is None:
+        if name == "cityHash64":
+            udf = _make_multiarg_udf(city64_values)
+        elif name == "sipHash64":
+            udf = _make_multiarg_udf(sip64_values)
+        elif name == "halfMD5":
+            udf = _make_multiarg_udf(half_md5_values)
+        elif name == "intHash64":
+            udf = _make_int_udf(int_hash_64)
+        elif name == "intHash32":
+            udf = _make_int_udf(int_hash_32, to32=True)
+        elif name == "URLHash":
+            udf = _make_bytes_udf(url_hash)
+        elif name == "hiveHash":
+            udf = _make_bytes_udf(hive_hash, to32=True)
+        else:
+            raise ValueError(f"no exact implementation for {name!r}")
+        _UDF_CACHE[key] = udf
+    return udf(*cols)
+
+
+#: names exact_hash_column can serve
+EXACT_HASHES = frozenset(
+    {"cityHash64", "sipHash64", "halfMD5", "intHash64", "intHash32",
+     "URLHash", "hiveHash"}
+)

@@ -26,7 +26,7 @@ Byte-compatibility notes (documented deviations):
 from __future__ import annotations
 
 import os
-from typing import Callable
+from typing import Callable, Optional
 
 import pandas as pd
 
@@ -1188,21 +1188,34 @@ _warned_hashes: set = set()
 
 
 def set_strict_hash_compat(enabled: bool) -> None:
-    """Strict mode: calling a value-divergent hash stand-in raises instead
-    of warning, for workloads that must be bit-compatible with the
-    reference's hash values."""
+    """Strict mode: a value-divergent hash name resolves to its
+    reference-EXACT implementation (functions/hash_exact.py pandas UDFs,
+    anchored on the reference's own test vectors) when one exists —
+    cityHash64, sipHash64, halfMD5, intHash64, intHash32, URLHash,
+    hiveHash — and raises for the remainder (sipHash128,
+    farmFingerprint64).  Off (default): the fast JVM xxhash64 stand-ins,
+    with a one-time warning per name."""
     global _strict_hash_compat
     _strict_hash_compat = bool(enabled)
 
 
-def _check_hash_compat(name: str) -> None:
+def _check_hash_compat(name: str, args: tuple) -> Optional[Column]:
+    """None = proceed with the registered stand-in; a Column = strict-mode
+    exact override; raises when strict and no exact impl exists."""
     if name not in VALUE_DIVERGENT_HASHES:
-        return
+        return None
     if _strict_hash_compat:
+        from byconity_spark.functions.hash_exact import (
+            EXACT_HASHES, exact_hash_column,
+        )
+
+        if name in EXACT_HASHES:
+            return exact_hash_column(name, *args)
         raise ValueError(
             f"{name}: stand-in produces different values than the reference "
-            "implementation and strict_hash_compat is enabled; use xxHash64 "
-            "(value-stable here) or disable strict mode"
+            "implementation, strict_hash_compat is enabled, and no exact "
+            "port exists for this name; use xxHash64 (value-stable here) "
+            "or disable strict mode"
         )
     if name not in _warned_hashes:
         _warned_hashes.add(name)
@@ -1211,15 +1224,19 @@ def _check_hash_compat(name: str) -> None:
         warnings.warn(
             f"{name} is a value-divergent stand-in (xxhash64-backed): stable "
             "within this engine, not bit-identical to the reference. "
-            "Enable set_strict_hash_compat(True) to make this an error.",
+            "Enable set_strict_hash_compat(True) for the reference-exact "
+            "(slower, pandas-UDF) implementation.",
             stacklevel=3,
         )
+    return None
 
 
 def ch(name: str, *args) -> Column:
     """Resolve any CH function name (scalar first, then aggregate +
     combinators) to a PySpark Column."""
-    _check_hash_compat(name)
+    exact = _check_hash_compat(name, args)
+    if exact is not None:
+        return exact
     fn = SCALAR.get(name)
     if fn is not None:
         return fn(*args)

@@ -1710,3 +1710,51 @@ def fn_lbs_filter_suite(spark: SparkSession, sf: str) -> DataFrame:
         arr_str(ch("replicate", F.col("c_nationkey"), lon_arr))
         .alias("rep_tags"),
     )
+
+
+@register(
+    "fn_hash_exact_vectors",
+    oracle="""
+    SELECT CAST(-7286425919675154353 AS BIGINT) AS city_empty,
+           CAST(-5067632665394241483 AS BIGINT) AS city_u32,
+           CAST(1599722731594796935 AS BIGINT) AS city_ipv6,
+           CAST(3151614220437955012 AS BIGINT) AS city_multi,
+           CAST(-6728778887698311270 AS BIGINT) AS sip_u32,
+           CAST(5715546585361069049 AS BIGINT) AS ih64_ipv4,
+           CAST(3152671896 AS BIGINT) AS ih32_ipv4,
+           CAST(1452224150530656417 AS BIGINT) AS hmd5_u32,
+           CAST(96354 AS BIGINT) AS hive_abc
+    """,
+)
+def fn_hash_exact_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """strict_hash_compat exact hashes (functions/hash_exact.py) against
+    EXTERNAL ground truth: the reference's own test outputs
+    (4_cnch_stateless/00751_hashing_ints.reference, 00259_hashing_tuples,
+    0_stateless/02184_hash_functions_and_ip_types.reference) — the oracle
+    is those published numbers as signed BIGINT, never this engine's own
+    output fed back.  Covers cityHash64 string/numeric/multi-arg combine,
+    sipHash64, intHash64/intHash32, halfMD5 and hiveHash."""
+    from byconity_spark.functions.registry import set_strict_hash_compat
+
+    row = spark.createDataFrame(
+        [("", "abc", 123456, 0x01020304)], "s string, t string, v int, ip int"
+    )
+    set_strict_hash_compat(True)
+    try:
+        out = row.select(
+            ch("cityHash64", F.col("s")).alias("city_empty"),
+            ch("cityHash64", F.col("v")).alias("city_u32"),
+            ch("cityHash64",
+               F.unhex(F.lit("fe8000000000000000625afffed1daf0")))
+            .alias("city_ipv6"),
+            ch("cityHash64", F.lit(1).cast("tinyint"),
+               F.lit(2).cast("tinyint"), F.col("s")).alias("city_multi"),
+            ch("sipHash64", F.col("v")).alias("sip_u32"),
+            ch("intHash64", F.col("ip")).alias("ih64_ipv4"),
+            ch("intHash32", F.col("ip")).alias("ih32_ipv4"),
+            ch("halfMD5", F.col("v")).alias("hmd5_u32"),
+            ch("hiveHash", F.col("t")).alias("hive_abc"),
+        )
+    finally:
+        set_strict_hash_compat(False)
+    return out

@@ -644,3 +644,57 @@ def idx_token_pruned_search(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint")
+
+
+# ------------------------------------------- Hudi COW snapshot read
+@register(
+    "source_hudi_cow",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS r,
+           CAST(CASE WHEN n_regionkey < 2 THEN 2 ELSE 1 END AS BIGINT) AS v,
+           CASE WHEN n_regionkey < 2 THEN '20240102000000000'
+                ELSE '20240101000000000' END AS commit_time
+    FROM nation
+    """,
+)
+def source_hudi_cow(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi Copy-on-Write SNAPSHOT read (reference registerStorages.cpp:
+    33-103 CnchHudi via the Hive connector; engine/hudi.py implements the
+    public COW table spec).  The fixture is a partitioned COW layout with
+    two completed commits — commit 2 rewrites the file slices of
+    partitions r=0 and r=1 only — plus one INFLIGHT commit whose data
+    file must stay invisible.  The reader must return exactly one file
+    slice per file group: v=2 where rewritten, v=1 elsewhere, no inflight
+    rows; `_hoodie_commit_time` proves which slice won."""
+    import shutil
+
+    from byconity_spark.engine.hudi import hudi_cow_table, write_cow_file
+
+    n = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("r"),
+    )
+    pdf = n.toPandas()  # 25 rows — fixture construction, metadata-scale
+    base = _tmp(sf, "hudi_cow")
+    shutil.rmtree(base, ignore_errors=True)
+    c1, c2, c3 = "20240101000000000", "20240102000000000", "20240103000000000"
+    for r, grp in pdf.groupby("r"):
+        body = grp[["k", "name"]].reset_index(drop=True)
+        write_cow_file(base, f"r={r}", f"fg-{r}", c1, body.assign(v=1))
+        if r < 2:  # commit 2 rewrites these file groups (same keys, v=2)
+            write_cow_file(base, f"r={r}", f"fg-{r}", c2, body.assign(v=2))
+    # an in-progress commit's file must be invisible to snapshot readers
+    write_cow_file(
+        base, "r=0", "fg-0", c3,
+        pdf[pdf.r == 0][["k", "name"]].assign(v=9), complete=False,
+    )
+    back = hudi_cow_table(spark, base, partition_types={"r": "long"})
+    return back.select(
+        F.col("k").cast("long").alias("k"),
+        "name",
+        "r",
+        F.col("v").cast("long").alias("v"),
+        F.col("_hoodie_commit_time").alias("commit_time"),
+    )
