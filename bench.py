@@ -72,10 +72,12 @@ def main() -> None:
         n for n in timings
         if n in R01_HEADLINE or (timings[n] is not None and timings[n] > 1.5)
     ]
-    # min of 2 reps: the least-contended measurement — headline queries
-    # are sub-second each, so machine noise (co-tenant load, GC) dominates
-    # a single rep and made r04→r06 headline numbers jump ±20%
-    reps = 2
+    # min of 3 reps for the headline set (min of N is the least-contended
+    # measurement): headline queries are sub-second each, so machine noise
+    # (co-tenant load, GC) dominates a single rep and made r04→r06 cold
+    # numbers jump ±20%; three reps brought builder-side repeat variance
+    # under ±5%
+    reps = 3
     for name in sorted(rerun):
         best = None
         for _ in range(reps if name in R01_HEADLINE else 1):

@@ -61,6 +61,16 @@ def get_spark(app_name: str = "byconity-spark", extra_conf: dict | None = None) 
         # --- broadcast threshold: dims (region/nation/supplier/part) always
         # broadcast; AQE may promote larger sides at runtime
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- JVM heap: local mode folds driver+executors into ONE JVM whose
+        # default 1g heap cannot hold a 64m-compressed broadcast build
+        # (found by tools/scale_probe.py at sf1: q18/minhash OOM'd in
+        # BroadcastExchange).  Applies only when this factory launches the
+        # JVM; on a real cluster the submit config owns these.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        .config("spark.driver.maxResultSize", "4g")
         # --- runtime (bloom) filters, ByConity AddRuntimeFilters.h analogue
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # --- cost-based optimizer: join reorder from ANALYZE statistics

@@ -2861,7 +2861,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             )
 
     # stale materialized views referenced by this statement refresh first
-    # (StorageMaterializedView.h; full re-run, see _SESSION_MVS note)
+    # (StorageMaterializedView.h; incremental-or-full, see _SESSION_MVS)
     if _SESSION_MVS:
         _refresh_stale_mvs(spark, sql)
 
@@ -3599,14 +3599,17 @@ _MERGES_STOPPED: set = set()
 _MUTATIONS_LOG: list = []
 
 # SQL-surface materialized views (reference StorageMaterializedView.h,
-# InterpreterCreateQuery MV branch).  A session MV stores its SELECT and
-# the version of every source table it reads (engine/query_cache table
-# versions — bumped by every session write); a statement referencing the
-# MV re-materializes it first if any source moved.  Deviation
-# (documented): refresh is a full re-run of the SELECT, not ClickHouse's
-# insert-block transformation — same visible result on every read,
-# different cost profile (the streaming incremental path lives in
-# streaming/mv.py).
+# InterpreterCreateQuery MV branch).  A session MV is MATERIALIZED to a
+# parquet rollup (reads cost a rollup scan, like the reference's target
+# table) and stores its SELECT plus the version of every source table it
+# reads (engine/query_cache table versions — bumped by every session
+# write); a statement referencing the MV refreshes it first if any source
+# moved.  Refresh is INCREMENTAL for append-only staleness on single-table
+# projection/filter or splittable-aggregate selects — the reference's
+# insert-block transformation (StorageMaterializedView.h:129-168), cost
+# |rollup| + |inserted blocks|, source never rescanned — with a full
+# re-run fallback for every other shape (joins, avg, non-append writes).
+# The streaming incremental path lives in streaming/mv.py.
 _SESSION_MVS: dict = {}
 
 
@@ -3664,10 +3667,15 @@ def _materialize_mv(spark, name: str, mv: dict, df) -> None:
 
 
 def _drop_mv_storage(name: str) -> None:
+    """Pop the MV registration and reclaim its rollup directories — unless
+    a transaction is open (ROLLBACK must be able to restore the pre-image
+    view, which reads the old parquet)."""
     import shutil
 
+    from byconity_spark.engine.transactions import transactions
+
     mv = _SESSION_MVS.pop(name, None)
-    if mv and mv.get("tmpdir"):
+    if mv and mv.get("tmpdir") and not transactions.open:
         shutil.rmtree(mv["tmpdir"], ignore_errors=True)
 
 
@@ -3690,6 +3698,8 @@ def _try_incremental_mv_refresh(spark, name: str, mv: dict, current) -> bool:
     into the materialized rollup)."""
     import re
     from functools import reduce
+
+    from pyspark.sql import functions as F
 
     select = mv["select"]
     if re.search(r"(?i)\bjoin\b|\(\s*select\b", select):
@@ -3720,11 +3730,25 @@ def _try_incremental_mv_refresh(spark, name: str, mv: dict, current) -> bool:
     if not deltas:
         return False
 
+    delta = reduce(lambda a, b: a.unionByName(b), deltas)
+    view = f"__mv_delta_{name}"
+    delta.createOrReplaceTempView(view)
+    inc_select = re.sub(
+        rf"(?i)\bFROM\s+{src}\b", f"FROM {view}", select, count=1
+    )
+    transformed = ch_sql(spark, inc_select)
+    # ANY aggregation in the analyzed plan (grouped or global, incl. names
+    # like uniq that the string scan below can't see) must go through the
+    # merge path or not at all — appending aggregate rows would be wrong
+    is_agg = "Aggregate" in (
+        transformed._jdf.queryExecution().analyzed().toString()
+    )
+
     merge_exprs, dims = None, None
-    if group_by is not None:
+    if is_agg:
         from byconity_spark.engine.projections import _split_commas
 
-        dims = [c.strip() for c in group_by.split(",")]
+        dims = [c.strip() for c in group_by.split(",")] if group_by else []
         if not all(re.match(r"^[A-Za-z_]\w*$", d) for d in dims):
             return False
         merge_exprs = []
@@ -3734,18 +3758,13 @@ def _try_incremental_mv_refresh(spark, name: str, mv: dict, current) -> bool:
                 continue
             am = _MV_AGG_ITEM.match(item)
             if not am:
-                return False
+                return False  # avg/uniq/anything non-splittable: full path
             kind, alias = am.group(1).lower(), am.group(3)
             fn = F.sum if kind in ("sum", "count") else getattr(F, kind)
             merge_exprs.append(fn(alias).alias(alias))
+        if not merge_exprs:
+            return False
 
-    delta = reduce(lambda a, b: a.unionByName(b), deltas)
-    view = f"__mv_delta_{name}"
-    delta.createOrReplaceTempView(view)
-    inc_select = re.sub(
-        rf"(?i)\bFROM\s+{src}\b", f"FROM {view}", select, count=1
-    )
-    transformed = ch_sql(spark, inc_select)
     old_mv = spark.table(name)
     if merge_exprs is None:
         new = old_mv.unionByName(transformed.toDF(*old_mv.columns))
@@ -4654,6 +4673,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         merged.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
+        _log_mv_delta(name, new)
         return spark.createDataFrame(
             [(name, "inserted")], "table string, status string"
         )
@@ -4673,10 +4693,12 @@ def _try_ddl(spark: SparkSession, sql: str):
             )
         else:
             new = ch_sql(spark, kw + rest)
-        merged = spark.table(name).unionByName(new.toDF(*spark.table(name).columns))
+        new = new.toDF(*spark.table(name).columns)
+        merged = spark.table(name).unionByName(new)
         merged.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)  # cached readers of this table go stale
+        _log_mv_delta(name, new)
         return spark.createDataFrame(
             [(name, "inserted")], "table string, status string"
         )
@@ -4690,7 +4712,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _REPLACING_TABLES.pop(m.group(1), None)
         _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
         _SESSION_TABLE_TTLS.pop(m.group(1), None)
-        _SESSION_MVS.pop(m.group(1), None)
+        _drop_mv_storage(m.group(1))
         for key in [k for k in _DETACHED_PARTS if k[0] == m.group(1)]:
             del _DETACHED_PARTS[key]
         from byconity_spark.engine.projections import projections as _pr
@@ -5095,12 +5117,13 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         name, kw, rest = m.groups()
         select = kw + rest
-        ch_sql(spark, select).createOrReplaceTempView(name)
-        _SESSION_MVS[name] = {
+        mv = {
             "select": select,
             "sources": set(_mv_sources(select)),
             "versions": _mv_sources(select),
         }
+        _materialize_mv(spark, name, mv, ch_sql(spark, select))
+        _SESSION_MVS[name] = mv
         _SESSION_TABLE_ENGINES[name] = "MaterializedView"
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
@@ -5146,7 +5169,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             )
         spark.catalog.dropTempView(name)
         _SESSION_TABLE_ENGINES.pop(name, None)
-        _SESSION_MVS.pop(name, None)
+        _drop_mv_storage(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
         return spark.createDataFrame(

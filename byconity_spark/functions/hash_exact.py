@@ -269,6 +269,56 @@ def half_md5(data: bytes) -> int:
     return struct.unpack(">Q", hashlib.md5(data).digest()[:8])[0]
 
 
+def sip_hash_128(data: bytes, k0: int = 0, k1: int = 0) -> bytes:
+    """The reference's LEGACY sipHash128 (Common/SipHash.h get128 with
+    is_reference_128=false): SipHash-2-4 body, 64-bit-style 0xff finalize,
+    output = LE(v0^v1) || LE(v2^v3) — verified against
+    0_stateless/02184 hex(sipHash128(toIPv4('1.2.3.4')))."""
+    v0 = 0x736F6D6570736575 ^ k0
+    v1 = 0x646F72616E646F6D ^ k1
+    v2 = 0x6C7967656E657261 ^ k0
+    v3 = 0x7465646279746573 ^ k1
+
+    def rnd():
+        nonlocal v0, v1, v2, v3
+        v0 = (v0 + v1) & _M64
+        v1 = ((v1 << 13) | (v1 >> 51)) & _M64
+        v1 ^= v0
+        v0 = ((v0 << 32) | (v0 >> 32)) & _M64
+        v2 = (v2 + v3) & _M64
+        v3 = ((v3 << 16) | (v3 >> 48)) & _M64
+        v3 ^= v2
+        v0 = (v0 + v3) & _M64
+        v3 = ((v3 << 21) | (v3 >> 43)) & _M64
+        v3 ^= v0
+        v2 = (v2 + v1) & _M64
+        v1 = ((v1 << 17) | (v1 >> 47)) & _M64
+        v1 ^= v2
+        v2 = ((v2 << 32) | (v2 >> 32)) & _M64
+
+    n = len(data)
+    end = n - (n % 8)
+    for i in range(0, end, 8):
+        m = _f64(data, i)
+        v3 ^= m
+        rnd()
+        rnd()
+        v0 ^= m
+    b = (n & 0xFF) << 56
+    for i, ch_ in enumerate(data[end:]):
+        b |= ch_ << (8 * i)
+    v3 ^= b
+    rnd()
+    rnd()
+    v0 ^= b
+    v2 ^= 0xFF
+    rnd()
+    rnd()
+    rnd()
+    rnd()
+    return struct.pack("<QQ", v0 ^ v1, v2 ^ v3)
+
+
 def url_hash(s: bytes) -> int:
     """cityHash64 with ONE trailing '/', '?' or '#' trimmed (URLHashImpl)."""
     if s and s[-1:] in (b"/", b"?", b"#"):
@@ -331,6 +381,16 @@ def sip64_values(values, itemsizes) -> int:
         hv = sip_hash_64(_arg_bytes(v, size))
         h = hv if h is None else sip_hash_64(struct.pack("<QQ", h, hv))
     return h if h is not None else sip_hash_64(b"")
+
+
+def sip128_values(values, itemsizes) -> bytes:
+    """sipHash128 multi-arg: combine = sipHash128 over the two 16-byte
+    states (SipHash128Impl::combineHashes → combineHashesFunc<UInt128>)."""
+    h = None
+    for v, size in zip(values, itemsizes):
+        hv = sip_hash_128(_arg_bytes(v, size))
+        h = hv if h is None else sip_hash_128(h + hv)
+    return h if h is not None else sip_hash_128(b"")
 
 
 def half_md5_values(values, itemsizes) -> int:
@@ -433,6 +493,28 @@ def exact_hash_column(name: str, *cols) -> Column:
             udf = _make_bytes_udf(url_hash)
         elif name == "hiveHash":
             udf = _make_bytes_udf(hive_hash, to32=True)
+        elif name == "sipHash128":
+            # hex STRING of the 16-byte FixedString, lowercase — the same
+            # column convention the fast-path stand-in uses
+            def batch128(*series):
+                import pandas as pd
+
+                sizes = [_series_itemsize(s) for s in series]
+                out = []
+                for i in range(len(series[0])):
+                    vals = [s.iloc[i] for s in series]
+                    if any(
+                        v is None or (isinstance(v, float) and v != v)
+                        for v in vals
+                    ):
+                        out.append(None)
+                        continue
+                    out.append(sip128_values(vals, sizes).hex())
+                return pd.Series(out, dtype="object")
+
+            from pyspark.sql.types import StringType
+
+            udf = F.pandas_udf(batch128, StringType())
         else:
             raise ValueError(f"no exact implementation for {name!r}")
         _UDF_CACHE[key] = udf
@@ -441,6 +523,6 @@ def exact_hash_column(name: str, *cols) -> Column:
 
 #: names exact_hash_column can serve
 EXACT_HASHES = frozenset(
-    {"cityHash64", "sipHash64", "halfMD5", "intHash64", "intHash32",
-     "URLHash", "hiveHash"}
+    {"cityHash64", "sipHash64", "sipHash128", "halfMD5", "intHash64",
+     "intHash32", "URLHash", "hiveHash"}
 )

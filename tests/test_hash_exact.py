@@ -163,3 +163,16 @@ def test_default_mode_stays_fast_xxhash(spark):
         F.xxhash64(F.col("s")).alias("x"),
     ).collect()[0]
     assert got["h"] == got["x"]
+
+
+def test_siphash128_vectors(spark, strict):
+    from byconity_spark.functions.hash_exact import sip_hash_128
+
+    # 02184: hex(sipHash128(toIPv4('1.2.3.4')))
+    assert (
+        sip_hash_128(struct.pack("<I", IPV4)).hex().upper()
+        == "DBB6A76B92B59789EFB42185DC32311D"
+    )
+    df = spark.createDataFrame([(0x01020304,)], "ip int")
+    got = df.select(ch("sipHash128", F.col("ip")).alias("h")).collect()[0]["h"]
+    assert got == "dbb6a76b92b59789efb42185dc32311d"

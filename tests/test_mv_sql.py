@@ -73,3 +73,127 @@ def test_drop_view_covers_mv(spark):
     assert "mv_agg" in _SESSION_MVS
     assert ch_sql(spark, "DROP VIEW mv_agg").collect()[0][1] == "dropped"
     assert "mv_agg" not in _SESSION_MVS
+
+
+@pytest.fixture
+def inc_spy(monkeypatch):
+    """Records whether each refresh took the incremental path."""
+    import byconity_spark.frontend.sql as fe
+
+    calls = []
+    orig = fe._try_incremental_mv_refresh
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(r)
+        return r
+
+    monkeypatch.setattr(fe, "_try_incremental_mv_refresh", spy)
+    return calls
+
+
+def _mk_src(spark):
+    register_views(spark, SF_DIR)
+    ch_sql(
+        spark,
+        "CREATE TABLE mv_src AS SELECT n_regionkey AS r, "
+        "CAST(n_nationkey AS BIGINT) AS k FROM nation",
+    )
+
+
+def test_incremental_refresh_aggregate_merge(spark, inc_spy):
+    """Insert-block refresh (StorageMaterializedView.h:129-168): an
+    append-only staleness on a splittable aggregate MV merges the rollup
+    with the transformed delta — no full-source re-run."""
+    _mk_src(spark)
+    ch_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv_agg AS "
+        "SELECT r, count(*) AS n, sum(k) AS s FROM mv_src GROUP BY r",
+    )
+    ch_sql(spark, "INSERT INTO mv_src VALUES (0, 1000)")
+    ch_sql(spark, "INSERT INTO mv_src VALUES (9, 2000)")
+    rows = {
+        row["r"]: (row["n"], row["s"])
+        for row in ch_sql(spark, "SELECT r, n, s FROM mv_agg").collect()
+    }
+    assert inc_spy == [True], "refresh did not take the incremental path"
+    assert rows[9] == (1, 2000)  # brand-new group appears
+    assert rows[0][0] == 6  # 5 region-0 nations + the inserted row
+    assert rows[0][1] == sum(
+        r[0] for r in ch_sql(
+            spark, "SELECT k FROM mv_src WHERE r = 0"
+        ).collect()
+    )
+
+
+def test_incremental_refresh_projection_append(spark, inc_spy):
+    _mk_src(spark)
+    ch_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv_over AS "
+        "SELECT k, r FROM mv_src WHERE r < 2",
+    )
+    ch_sql(spark, "INSERT INTO mv_src VALUES (1, 777)")
+    ch_sql(spark, "INSERT INTO mv_src VALUES (4, 888)")  # filtered out
+    got = {row["k"] for row in ch_sql(spark, "SELECT k FROM mv_over").collect()}
+    assert inc_spy == [True]
+    assert 777 in got and 888 not in got
+    assert len(got) == 11  # 10 nations with r<2 + the one new row
+
+
+def test_non_append_write_falls_back_to_full(spark, inc_spy):
+    """A mutation bumps the source version without a delta-log entry —
+    coverage breaks and the refresh must take the full path (and still be
+    correct)."""
+    _mk_src(spark)
+    ch_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv_agg AS "
+        "SELECT r, count(*) AS n FROM mv_src GROUP BY r",
+    )
+    ch_sql(spark, "INSERT INTO mv_src VALUES (0, 1000)")
+    ch_sql(spark, "ALTER TABLE mv_src DELETE WHERE k = 1000")
+    rows = {
+        row["r"]: row["n"]
+        for row in ch_sql(spark, "SELECT r, n FROM mv_agg").collect()
+    }
+    assert inc_spy == [False]
+    assert rows[0] == 5  # inserted row deleted again
+
+
+def test_avg_is_not_mergeable_full_path(spark, inc_spy):
+    _mk_src(spark)
+    ch_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv_agg AS "
+        "SELECT r, avg(k) AS a FROM mv_src GROUP BY r",
+    )
+    ch_sql(spark, "INSERT INTO mv_src VALUES (0, 100)")
+    got = {
+        row["r"]: row["a"]
+        for row in ch_sql(spark, "SELECT r, a FROM mv_agg").collect()
+    }
+    assert inc_spy == [False]
+    want = {
+        row["r"]: row["a"]
+        for row in ch_sql(
+            spark, "SELECT r, avg(k) AS a FROM mv_src GROUP BY r"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_mv_read_is_rollup_scan_not_source_rerun(spark):
+    """MVs are materialized: reading one scans the rollup parquet, it does
+    not re-execute the defining SELECT over the source (the reference's
+    target-table cost model)."""
+    _mk_src(spark)
+    ch_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv_agg AS "
+        "SELECT r, count(*) AS n FROM mv_src GROUP BY r",
+    )
+    plan = spark.table("mv_agg")._jdf.queryExecution().executedPlan().toString()
+    assert "bspark_mv_" in plan  # rollup parquet location
+    assert "HashAggregate" not in plan.split("bspark_mv_")[0]

@@ -441,3 +441,63 @@ def test_source_cap_uses_window_group_limit(spark):
     ).executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------- round-7 DDL-surface contracts
+def test_row_policy_predicate_pushes_to_scan(spark):
+    """The RBAC row-policy filter is enforced as a view swap whose
+    predicate must reach the parquet scan as PushedFilters — at 100 TB the
+    policy costs a pushed predicate, not a post-scan filter pass."""
+    from byconity_spark.engine.access import access_control
+    from byconity_spark.engine.catalog import register_views
+    from byconity_spark.frontend import ch_sql
+
+    register_views(spark, SF_DIR)
+    access_control.reset()
+    try:
+        ch_sql(spark, "CREATE USER pp_user")
+        ch_sql(spark, "GRANT SELECT ON orders TO pp_user")
+        ch_sql(
+            spark,
+            "CREATE ROW POLICY pp ON orders FOR SELECT "
+            "USING o_orderstatus = 'F' TO pp_user",
+        )
+        ch_sql(spark, "SET SESSION USER pp_user")
+        df = ch_sql(spark, "SELECT o_orderkey, o_totalprice FROM orders")
+        plan = _plan(df)
+        pushed = [
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        ]
+        assert pushed, "no PushedFilters on the policy-filtered scan"
+        assert any("o_orderstatus" in ln for ln in pushed), pushed
+    finally:
+        access_control.reset()
+
+
+def test_ttl_sweep_filter_pushes_to_scan(spark):
+    """The TTL sweep at OPTIMIZE FINAL is plan algebra: with a pinned
+    clock and a column-valued TTL expression the kept-rows predicate must
+    reach the parquet scan (PushedFilters), not re-filter after a full
+    read."""
+    from byconity_spark.engine.catalog import register_views
+    from byconity_spark.frontend import ch_sql
+    from byconity_spark.frontend.sql import _TTL_NOW
+
+    register_views(spark, SF_DIR)
+    try:
+        ch_sql(
+            spark,
+            "CREATE TABLE ttl_pp TTL o_orderdate AS "
+            "SELECT o_orderkey, o_orderdate FROM orders",
+        )
+        ch_sql(spark, "SET ttl_now = '1995-06-01 00:00:00'")
+        ch_sql(spark, "OPTIMIZE TABLE ttl_pp FINAL")
+        plan = _plan(spark.table("ttl_pp"))
+        pushed = [
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        ]
+        assert pushed, "no PushedFilters on the TTL-swept scan"
+        assert any("o_orderdate" in ln for ln in pushed), pushed
+    finally:
+        _TTL_NOW[0] = None
+        ch_sql(spark, "DROP TABLE IF EXISTS ttl_pp")
