@@ -3580,6 +3580,42 @@ def _rewrite_final_replacing(sql: str) -> str:
 # ---------------------------------------------------------------------------
 _SESSION_TABLE_ENGINES: dict[str, str] = {}
 
+# EmbeddedRocksDB key-value engine analogue (reference
+# src/Storages/RocksDB/StorageEmbeddedRocksDB.cpp, registerStorages.cpp):
+# a PRIMARY KEY table where INSERT is an UPSERT — rocksdb Put semantics,
+# the new row replaces any existing row with the same key, and reads are
+# always deduplicated (no FINAL needed).  table -> [key columns].
+# Scale note: the upsert compiles to anti-join(old, new-keys) + union —
+# one shuffle on the key, the same cost class as the reference's
+# write-path rocksdb compaction amortized.
+_ROCKSDB_KEYS: dict = {}
+
+
+def _register_rocksdb(name: str, engine, pk) -> None:
+    if not engine or engine.lower() != "embeddedrocksdb":
+        return
+    if not pk:
+        # reference StorageEmbeddedRocksDB::create: "StorageEmbeddedRocksDB
+        # must require one column in primary key"
+        raise ChSqlError(
+            "EmbeddedRocksDB: PRIMARY KEY is required (BAD_ARGUMENTS)"
+        )
+    _ROCKSDB_KEYS[name] = [c.strip() for c in pk.split(",")]
+
+
+def _apply_insert_semantics(spark, name: str, new):
+    """The engine-specific merge of an inserted block into ``name``:
+    EmbeddedRocksDB upserts by primary key (last write wins; within one
+    unordered distributed block the survivor among duplicate keys is
+    arbitrary, matching the reference's distributed-insert behavior);
+    every other engine appends."""
+    old = spark.table(name)
+    keys = _ROCKSDB_KEYS.get(name)
+    if keys:
+        new = new.dropDuplicates(keys)
+        return old.join(new.select(*keys), keys, "left_anti").unionByName(new)
+    return old.unionByName(new)
+
 # MergeTree partition model for session tables (reference
 # MergeTreePartition.h: partition id = PARTITION BY expression value).
 # _SESSION_TABLE_PARTITIONS maps table -> the CH partition expression;
@@ -3844,6 +3880,7 @@ def _txn_metadata_dicts() -> dict:
         "ttls": _SESSION_TABLE_TTLS,
         "mvs": _SESSION_MVS,
         "projections": _pr._by_table,
+        "rocksdb": _ROCKSDB_KEYS,
     }
 
 # Databases (reference InterpreterCreateQuery database branch,
@@ -4527,16 +4564,19 @@ def _try_ddl(spark: SparkSession, sql: str):
     m = re.match(
         r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
         r"(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
+        r"(?:PRIMARY\s+KEY\s+\(?([\w,\s]+?)\)?\s*)?"
         r"(?:PARTITION\s+BY\s+([\w(),\s]+?)\s*)?"
         r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?"
         r"(?:\s+TTL\s+(.+?))?\s+AS\s+(SELECT|WITH)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, engine, eng_args, part_by, order_by, ttl, kw, rest = m.groups()
+        (name, engine, eng_args, pk, part_by, order_by, ttl, kw,
+         rest) = m.groups()
         df = ch_sql(spark, kw + rest)
         df.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
+        _register_rocksdb(name, engine, pk)
         if part_by:
             _SESSION_TABLE_PARTITIONS[name] = part_by.strip()
         if ttl:
@@ -4566,6 +4606,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         tail = s[close + 1 :]
         tm = re.match(
             r"\s*(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
+            r"(?:PRIMARY\s+KEY\s+\(?([\w,\s]+?)\)?\s*)?"
             r"(?:PARTITION\s+BY\s+([\w(),\s]+?)\s*)?"
             r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?"
             r"(?:\s*TTL\s+(.+?))?\s*$",
@@ -4573,7 +4614,8 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
         if tm is None:
             raise ChSqlError(f"CREATE TABLE: unparsed tail {tail!r}")
-        engine, eng_args, part_by, order_by, ttl = tm.groups()
+        engine, eng_args, pk, part_by, order_by, ttl = tm.groups()
+        _register_rocksdb(name, engine, pk)
         if part_by:
             _SESSION_TABLE_PARTITIONS[name] = part_by.strip()
         if ttl:
@@ -4637,7 +4679,9 @@ def _try_ddl(spark: SparkSession, sql: str):
         engine = _SESSION_TABLE_ENGINES.get(name, "MergeTree")
         stmt = f"CREATE TABLE {name} ({cols}) ENGINE = {engine}"
         # echo the full table definition like the reference
-        # (InterpreterShowCreateQuery): partition key, TTL
+        # (InterpreterShowCreateQuery): primary key, partition key, TTL
+        if name in _ROCKSDB_KEYS:
+            stmt += f" PRIMARY KEY {', '.join(_ROCKSDB_KEYS[name])}"
         if name in _SESSION_TABLE_PARTITIONS:
             stmt += f" PARTITION BY {_SESSION_TABLE_PARTITIONS[name]}"
         if name in _SESSION_TABLE_TTLS:
@@ -4669,11 +4713,12 @@ def _try_ddl(spark: SparkSession, sql: str):
                 f"INSERT FORMAT: unknown column(s) {unknown} in {name!r}"
             )
         new = _parse_inline_format(spark, fmt, payload, cols, target)
-        merged = spark.table(name).unionByName(new)
+        merged = _apply_insert_semantics(spark, name, new)
         merged.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        _log_mv_delta(name, new)
+        if name not in _ROCKSDB_KEYS:  # an upsert is not an append-delta
+            _log_mv_delta(name, new)
         return spark.createDataFrame(
             [(name, "inserted")], "table string, status string"
         )
@@ -4694,11 +4739,12 @@ def _try_ddl(spark: SparkSession, sql: str):
         else:
             new = ch_sql(spark, kw + rest)
         new = new.toDF(*spark.table(name).columns)
-        merged = spark.table(name).unionByName(new)
+        merged = _apply_insert_semantics(spark, name, new)
         merged.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)  # cached readers of this table go stale
-        _log_mv_delta(name, new)
+        if name not in _ROCKSDB_KEYS:  # an upsert is not an append-delta
+            _log_mv_delta(name, new)
         return spark.createDataFrame(
             [(name, "inserted")], "table string, status string"
         )
@@ -4712,6 +4758,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _REPLACING_TABLES.pop(m.group(1), None)
         _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
         _SESSION_TABLE_TTLS.pop(m.group(1), None)
+        _ROCKSDB_KEYS.pop(m.group(1), None)
         _drop_mv_storage(m.group(1))
         for key in [k for k in _DETACHED_PARTS if k[0] == m.group(1)]:
             del _DETACHED_PARTS[key]

@@ -2061,3 +2061,39 @@ def chsql_file_function(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "chsql_rocksdb_upsert",
+    oracle="""
+    SELECT CAST(k AS BIGINT) AS k, v FROM (
+      SELECT n_nationkey AS k, n_name AS v FROM nation
+      WHERE n_nationkey NOT IN (0, 5)
+      UNION ALL
+      SELECT * FROM (VALUES (0, 'X0'), (5, 'X5'), (99, 'NEW')) t(k, v)
+    ) ORDER BY k
+    """,
+)
+def chsql_rocksdb_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """EmbeddedRocksDB key-value engine (reference
+    src/Storages/RocksDB/StorageEmbeddedRocksDB.cpp via
+    registerStorages.cpp): INSERT upserts by PRIMARY KEY — the second
+    batch REPLACES rows 0 and 5 and adds 99; reads are always
+    deduplicated, no FINAL.  The upsert compiles to one key-shuffled
+    anti-join + union (rocksdb Put cost class)."""
+    register_views(spark, sf)
+    ch_sql(spark, "DROP TABLE IF EXISTS kv_upsert_wl")
+    ch_sql(
+        spark,
+        "CREATE TABLE kv_upsert_wl ENGINE = EmbeddedRocksDB "
+        "PRIMARY KEY k AS SELECT CAST(n_nationkey AS BIGINT) AS k, "
+        "n_name AS v FROM nation",
+    )
+    ch_sql(
+        spark,
+        "INSERT INTO kv_upsert_wl VALUES (0, 'X0'), (5, 'X5'), (99, 'NEW')",
+    )
+    out = ch_sql(spark, "SELECT k, v FROM kv_upsert_wl ORDER BY k")
+    rows = out.collect()
+    ch_sql(spark, "DROP TABLE IF EXISTS kv_upsert_wl")
+    return spark.createDataFrame(rows, out.schema)

@@ -66,10 +66,15 @@ def build(spark) -> None:
             r = base
             for k in keys:
                 r = r.withColumn(k, F.col(k) + F.lit(i * STRIDE))
-            if t == "documents":
-                # keep near-dup structure: replica token changes shingles
+            if t == "documents" and i > 0:
+                # interleave a replica token between every word: EVERY
+                # shingle differs across replicas (cross-replica jaccard
+                # ~0) while within-replica dup structure is preserved —
+                # a trailing token alone left replicas ~0.95-jaccard
+                # near-dups of each other and inflated pair counts 1000x
                 r = r.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" rr{i}"))
+                    "text",
+                    F.regexp_replace(F.col("text"), " ", f" q{i}z "),
                 )
             reps.append(r)
         out = reps[0]
