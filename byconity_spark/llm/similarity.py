@@ -689,3 +689,75 @@ def ann_ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def semdedup_keep_list(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    eps: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then search for semantic duplicates only WITHIN each
+    cluster — the clustering is what makes the pair search tractable
+    (Σ|cluster|² pairs instead of n²).
+
+    Drop rule (deterministic): a vector drops iff a smaller-id vector in
+    the SAME cluster has cosine ≥ eps; id order replaces the paper's
+    random exemplar choice so two engines agree.  Cosines round to 6
+    decimals before the threshold so the cut is reproducible cross-engine.
+
+    100 TB shape: one cluster-keyed self-equi-join (k chosen so clusters
+    are small bounds the join), JVM HOF dot products, no driver data, no
+    crossJoin.  Output: (id, cid, keep) for EVERY vector."""
+    from byconity_spark.llm.clustering import kmeans_fit
+
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    _cids, _cents, assigned = kmeans_fit(
+        emb, "e", k=k, iters=iters, id_col=id_col,
+        round_decimals=round_decimals,
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cid", F.col("e").alias("ea")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cid", F.col("e").alias("eb")
+    )
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (
+            F.sqrt(_dot(F.col("ea"), F.col("ea")))
+            * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+        ),
+        6,
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= eps)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cid")
+        .join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )

@@ -715,3 +715,94 @@ def chunk_documents(
         F.array_join(F.slice(F.col("c.chunk"), 1, 3), " ").alias("head_tokens"),
         F.md5(F.array_join(F.col("c.chunk"), " ")).alias("chunk_hash"),
     )
+
+
+# ------------------------------------------------ DSIR data selection
+def dsir_scores(
+    docs: DataFrame,
+    target_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
+    Selection for Language Models via Importance Resampling").  Features
+    are hashed word BIGRAMS; a document's weight is the sum over its
+    bigram occurrences of ``log p̂_target(bucket) − log p̂_raw(bucket)``
+    with Laplace smoothing, where the target distribution comes from the
+    rows satisfying ``target_cond`` and raw from the whole frame.
+
+    100 TB design: bigrams/buckets are JVM HOFs (no Python in the row
+    path); the bucket distribution is ONE aggregate producing n_buckets
+    rows; the per-document score is an explode → broadcast-join(bucket
+    log-ratios) → re-aggregate by id — two shuffles total, both on
+    high-cardinality keys.  ``portable_hash`` swaps xxhash64 for the
+    md5-based 60-bit hash DuckDB can reproduce (oracle mode)."""
+    from byconity_spark.llm.dedup import normalize_text, portable_token_hash
+
+    ws = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.when(F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+        ),
+    )
+    hash_fn = portable_token_hash if portable_hash else F.xxhash64
+    ex = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            target_cond.alias("is_target"),
+            bigrams.alias("bg"),
+        )
+        .select("id", "is_target", F.explode("bg").alias("g"))
+        .withColumn("bucket", F.pmod(hash_fn(F.col("g")), F.lit(n_buckets)))
+    )
+    dist = ex.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = dist.agg(
+        F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total")
+    )
+    ratios = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("t_total") + n_buckets))
+            - F.log((F.col("cr") + 1.0) / (F.col("r_total") + n_buckets))
+        ).alias("logr"),
+    )
+    scores = (
+        ex.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(F.sum("logr").alias("logw"))
+    )
+    return docs.join(
+        scores, docs[id_col] == scores["id"], "left"
+    ).select(
+        docs[id_col],
+        F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_cond,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Deterministic DSIR top-k (the paper's Gumbel resampling with noise
+    pinned to zero): highest importance weight wins, id breaks ties.
+    Global top-k compiles to TakeOrderedAndProject — no full sort."""
+    scored = dsir_scores(
+        docs, target_cond, id_col, text_col, n_buckets, portable_hash
+    ).select(
+        id_col, F.round(F.col("logw"), 4).alias("logw")
+    )
+    return scored.orderBy(F.desc("logw"), F.col(id_col)).limit(k)

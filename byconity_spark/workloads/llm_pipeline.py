@@ -1260,3 +1260,82 @@ def llm_source_cap(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("kept"),
         F.max("doc_id").alias("max_kept_id"),
     )
+
+
+# --------------------------------------------------- DSIR data selection
+@register(
+    "llm_dsir_selection",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+                      string_split({_DUCK_NORM}, ' ') AS ws
+               FROM documents),
+    bg AS (SELECT doc_id, is_t,
+                  unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                        i -> ws[i] || ' ' || ws[i+1])) AS g
+           FROM w),
+    b AS (SELECT doc_id, is_t, {_md5_60('g')} % 64 AS bucket FROM bg),
+    dist AS (SELECT bucket,
+                    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                    count(*) AS cr
+             FROM b GROUP BY bucket),
+    tot AS (SELECT sum(ct) AS t_total, sum(cr) AS r_total FROM dist),
+    lr AS (SELECT bucket,
+                  ln((ct + 1.0) / (t_total + 64))
+                    - ln((cr + 1.0) / (r_total + 64)) AS logr
+           FROM dist, tot),
+    sc AS (SELECT doc_id, round(sum(logr), 4) AS logw
+           FROM b JOIN lr USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, logw FROM sc ORDER BY logw DESC, doc_id LIMIT 50
+    """,
+)
+def llm_dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
+    word-bigram importance weights against an English-target distribution,
+    deterministic top-50.  Oracle mode uses the md5-based portable hash;
+    production defaults to JVM xxhash64 (llm/text.py:dsir_select)."""
+    from byconity_spark.llm.text import dsir_select
+
+    return dsir_select(
+        _docs(spark, sf),
+        F.col("lang") == "en",
+        k=50,
+        n_buckets=64,
+        portable_hash=True,
+    )
+
+
+# ------------------------------------------------------ SemDeDup
+@register(
+    "llm_semdedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  list_transform(e, x -> round(x, 6)) AS c
+           FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+    {_kmeans_assign_cte('v', 'c0', 'a1')},
+    {_kmeans_update_cte('a1', 'c1')},
+    {_kmeans_assign_cte('v', 'c1', 'a2')},
+    {_kmeans_update_cte('a2', 'c2')},
+    {_kmeans_assign_cte('v', 'c2', 'a3')},
+    {_kmeans_update_cte('a3', 'c3')},
+    {_kmeans_assign_cte('v', 'c3', 'a4')},
+    p AS (SELECT DISTINCT b.vec_id AS dropped
+          FROM a4 a JOIN a4 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35)
+    SELECT a4.vec_id, CAST(a4.cid AS BIGINT) AS cid,
+           a4.vec_id NOT IN (SELECT dropped FROM p) AS keep
+    FROM a4
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means buckets the
+    embedding space so semantic-duplicate search runs within clusters only
+    (Σ|c|² pairs, never n²); a vector drops iff a smaller-id same-cluster
+    vector has cosine ≥ 0.35 (llm/similarity.py:semdedup_keep_list)."""
+    from byconity_spark.llm.similarity import semdedup_keep_list
+
+    return semdedup_keep_list(_emb(spark, sf), k=8, iters=3, eps=0.35)

@@ -301,3 +301,54 @@ def test_cap_per_source(spark):
     assert sorted(
         r[0] for r in kept.where("source = 'big'").collect()
     ) == list(range(10))
+
+
+def test_dsir_scores_favor_target_like_docs(spark):
+    """DSIR (arXiv:2302.03169): docs sharing the target's bigrams must
+    outscore docs that don't, in both hash modes."""
+    from pyspark.sql import functions as F
+
+    from byconity_spark.llm.text import dsir_scores, dsir_select
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", True),
+        (1, "the quick brown fox jumps over the lazy dog", True),
+        (2, "the quick brown fox runs over the lazy cat", False),
+        (3, "completely unrelated numeric tokens 1 2 3 4 5", False),
+        (4, "the quick brown fox jumps over the lazy dog", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    for portable in (False, True):
+        got = {
+            r["doc_id"]: r["logw"]
+            for r in dsir_scores(
+                docs, F.col("is_t"), n_buckets=64, portable_hash=portable
+            ).collect()
+        }
+        assert got[4] > got[3]  # identical to target beats unrelated
+        assert got[2] > got[3]  # partial overlap beats none
+        top = dsir_select(
+            docs, F.col("is_t"), k=3, n_buckets=64, portable_hash=portable
+        ).collect()
+        assert {r["doc_id"] for r in top} == {0, 1, 4}
+
+
+def test_semdedup_drops_within_cluster_duplicates(spark):
+    """SemDeDup (arXiv:2303.09540): same-cluster near-identical vectors
+    collapse to the smallest-id exemplar; far-apart clusters don't
+    interact."""
+    from byconity_spark.llm.similarity import semdedup_keep_list
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.02, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 0.0, 1.0]),      # alone
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup_keep_list(emb, k=3, iters=2, eps=0.9).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True}
