@@ -2746,6 +2746,11 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if _re.search(r"(?i)\bfile\s*\(\s*'", sql):
         sql = _expand_file_table_function(spark, sql)
 
+    # url('scheme://...', 'Format'[, 'structure']) table function
+    # (reference TableFunctionURL.cpp over StorageURL)
+    if _re.search(r"(?i)\burl\s*\(\s*'", sql):
+        sql = _expand_url_table_function(spark, sql)
+
     # merge('regex') table function (reference TableFunctionMerge.cpp /
     # StorageMerge): union every SESSION table whose name matches, columns
     # aligned by name with NULL fill, `_table` virtual column included
@@ -3850,9 +3855,10 @@ def _refresh_stale_mvs(spark, sql: str) -> None:
 
     saved = getattr(_QUERY_LOG_TLS, "access_suspended", False)
     _QUERY_LOG_TLS.access_suspended = True
+    text = _strip_sql_literals(sql)  # an MV name in a literal is not a read
     try:
         for name in list(_SESSION_MVS):
-            if re.search(rf"\b{name}\b", sql):
+            if re.search(rf"\b{name}\b", text):
                 _ensure_mv_fresh(spark, name)
     finally:
         _QUERY_LOG_TLS.access_suspended = saved
@@ -5522,6 +5528,57 @@ def _expand_file_table_function(spark, sql: str) -> str:
 
     return re.sub(
         r"(?i)\bfile\s*\(\s*'([^']+)'\s*,\s*'(\w+)'"
+        r"(?:\s*,\s*'([^']*)')?\s*\)",
+        repl,
+        sql,
+    )
+
+
+def _expand_url_table_function(spark, sql: str) -> str:
+    """``url('scheme://...', 'Format', 'structure')`` (reference
+    src/TableFunctions/TableFunctionURL.cpp over StorageURL).
+    ``file://`` URLs resolve locally through the file() machinery;
+    ``http(s)://`` fetches ONCE on the driver into a temp file, then reads
+    distributed — the reference's StorageURL likewise streams the whole
+    body per query (bulk lake data belongs in the parquet/Hive/Hudi
+    readers, not url()).  No-network environments get a clear error, not
+    a silent empty table."""
+    import re
+
+    def repl(m):
+        url, fmt, schema_str = m.group(1), m.group(2), m.group(3) or ""
+        if url.lower().startswith("file://"):
+            local = url[len("file://"):]
+        elif url.lower().startswith(("http://", "https://")):
+            import hashlib
+            import os
+            import tempfile
+            import urllib.request
+
+            local = os.path.join(
+                tempfile.gettempdir(),
+                "bspark_url_" + hashlib.md5(url.encode()).hexdigest()[:12],
+            )
+            try:
+                with urllib.request.urlopen(url, timeout=20) as resp, open(
+                    local, "wb"
+                ) as out:
+                    out.write(resp.read())
+            except Exception as exc:
+                raise ChSqlError(
+                    f"url(): cannot fetch {url!r}: {exc} (CANNOT_READ_FROM"
+                    f"_SOCKET analogue; this environment may have no "
+                    "network)"
+                ) from exc
+        else:
+            raise ChSqlError(f"url(): unsupported scheme in {url!r}")
+        inner = f"file('{local}', '{fmt}'" + (
+            f", '{schema_str}'" if schema_str else ""
+        ) + ")"
+        return _expand_file_table_function(spark, inner)
+
+    return re.sub(
+        r"(?i)\burl\s*\(\s*'([^']+)'\s*,\s*'(\w+)'"
         r"(?:\s*,\s*'([^']*)')?\s*\)",
         repl,
         sql,

@@ -722,13 +722,6 @@ def semdedup_keep_list(
         emb, "e", k=k, iters=iters, id_col=id_col,
         round_decimals=round_decimals,
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), "cid", F.col("e").alias("ea")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), "cid", F.col("e").alias("eb")
-    )
-
     def _dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
@@ -736,13 +729,22 @@ def semdedup_keep_list(
             lambda acc, v: acc + v,
         )
 
+    # persist: the assignment feeds BOTH self-join sides and the output
+    # join — each reuse would otherwise replay the whole k-means lineage.
+    # Norms precompute per VECTOR here (O(n·d)), not per pair (O(pairs·d)).
+    assigned = assigned.withColumn(
+        "__nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    ).persist()
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cid",
+        F.col("e").alias("ea"), F.col("__nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cid",
+        F.col("e").alias("eb"), F.col("__nrm").alias("nb"),
+    )
     cos = F.round(
-        _dot(F.col("ea"), F.col("eb"))
-        / (
-            F.sqrt(_dot(F.col("ea"), F.col("ea")))
-            * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-        ),
-        6,
+        _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
     )
     drops = (
         a.join(b, "cid")

@@ -741,25 +741,32 @@ def dsir_scores(
     md5-based 60-bit hash DuckDB can reproduce (oracle mode)."""
     from byconity_spark.llm.dedup import normalize_text, portable_token_hash
 
-    ws = F.split(normalize_text(F.col(text_col)), " ")
-    idx = F.when(F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)).otherwise(
-        F.array().cast("array<int>")
+    # STAGE the token array as a real column before the bigram lambda:
+    # referencing the split() expression from inside transform() makes
+    # codegen re-evaluate the whole regex+split per element_at per element
+    # (measured 16x slower at sf0.1) — a projection boundary fixes it
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        target_cond.alias("is_target"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__ws"),
     )
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-        ),
+    wc = F.col("__ws")
+    bigrams = F.zip_with(
+        F.slice(wc, 1, F.greatest(F.size(wc) - 1, F.lit(0))),
+        F.slice(wc, 2, F.greatest(F.size(wc) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     hash_fn = portable_token_hash if portable_hash else F.xxhash64
+    # persist: the exploded bucket frame feeds the distribution aggregate
+    # AND the per-doc scoring join — without it the bigram+hash chain runs
+    # twice end to end
     ex = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            target_cond.alias("is_target"),
-            bigrams.alias("bg"),
+        staged.select("id", "is_target", F.explode(bigrams).alias("g"))
+        .select(
+            "id", "is_target",
+            F.pmod(hash_fn(F.col("g")), F.lit(n_buckets)).alias("bucket"),
         )
-        .select("id", "is_target", F.explode("bg").alias("g"))
-        .withColumn("bucket", F.pmod(hash_fn(F.col("g")), F.lit(n_buckets)))
+        .persist()
     )
     dist = ex.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),

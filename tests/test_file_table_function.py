@@ -89,3 +89,44 @@ def test_merge_table_function(spark):
         ch_sql(spark, "DROP TABLE IF EXISTS mrg_a")
         ch_sql(spark, "DROP TABLE IF EXISTS mrg_b")
         _SESSION_TABLE_ENGINES.pop("mrg_ghost", None)
+
+
+def test_url_table_function_file_scheme(spark, tmp_path):
+    """url() (TableFunctionURL.cpp): file:// resolves through the file()
+    machinery with the declared structure."""
+    p = tmp_path / "kv.csv"
+    p.write_text("1,a\n2,b\n")
+    got = ch_sql(
+        spark,
+        f"SELECT sum(k) AS s, count(*) AS n FROM "
+        f"url('file://{p}', 'CSV', 'k Int64, v String')",
+    ).collect()[0]
+    assert (got["s"], got["n"]) == (3, 2)
+
+
+def test_url_table_function_bad_scheme_and_no_network(spark):
+    import pytest as pt
+
+    from byconity_spark.frontend.sql import ChSqlError
+
+    with pt.raises(ChSqlError, match="unsupported scheme"):
+        ch_sql(spark, "SELECT * FROM url('ftp://x/y', 'CSV', 'k Int64')")
+    with pt.raises(ChSqlError, match="cannot fetch"):
+        ch_sql(
+            spark,
+            "SELECT * FROM url('http://127.0.0.1:1/none.csv', 'CSV', "
+            "'k Int64')",
+        )
+
+
+def test_describe_over_file_function(spark, tmp_path):
+    """DESCRIBE file(...) prints the declared CH types (the file() call
+    rewrites to its backing view before DDL dispatch, so the normal
+    DESCRIBE path serves it)."""
+    p = tmp_path / "kv2.csv"
+    p.write_text("1,a\n")
+    rows = ch_sql(
+        spark,
+        f"DESCRIBE file('{p}', 'CSV', 'k Int64, v String')",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("k", "Int64"), ("v", "String")]

@@ -452,8 +452,12 @@ def test_value_divergent_hash_warns_then_strict_raises(spark):
         assert not caught2
     reg.set_strict_hash_compat(True)
     try:
-        with _pytest.raises(ValueError, match="strict_hash_compat"):
-            ch("sipHash128", F.lit("x"))
+        # names WITH an exact port resolve to it instead of raising (r7)
+        col = ch("sipHash128", F.lit("x"))
+        assert col is not None
+        # names WITHOUT an exact port still raise
+        with _pytest.raises(ValueError, match="no exact port"):
+            ch("farmFingerprint64", F.lit("x"))
         # value-stable names stay usable in strict mode
         ch("xxHash64", F.lit("x"))
     finally:

@@ -1,6 +1,7 @@
 """SQL-surface materialized views (reference StorageMaterializedView.h,
 InterpreterCreateQuery MV branch): refresh-on-stale against source table
-versions; full re-run semantics documented."""
+versions; incremental insert-block refresh with full-re-run fallback
+(round 7)."""
 
 from __future__ import annotations
 
