@@ -45,11 +45,11 @@ _VIEW = "__byconity_strict_join"
 
 _TABLE_REF = r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ASOF\b|ANY\b|ON\b|USING\b)([A-Za-z_]\w*))?"
 _JOIN_RE = re.compile(
-    rf"\bFROM\s+{_TABLE_REF}\s+(ASOF|ANY)\s+(LEFT\s+|INNER\s+)?JOIN\s+{_TABLE_REF}\s+(ON|USING)\b",
+    rf"\bFROM\s+{_TABLE_REF}\s+(ASOF|ANY)\s+(LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\s+{_TABLE_REF}\s+(ON|USING)\b",
     re.IGNORECASE,
 )
 _STRICT_HEAD_RE = re.compile(
-    rf"(ASOF|ANY)\s+(LEFT\s+|INNER\s+)?JOIN\s+{_TABLE_REF}\s+(ON|USING)\b",
+    rf"(ASOF|ANY)\s+(LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\s+{_TABLE_REF}\s+(ON|USING)\b",
     re.IGNORECASE,
 )
 _LEFT_ALIAS_RE = re.compile(
@@ -183,11 +183,16 @@ def try_rewrite_strict_join(
     joins in one query resolve by recursion on the rewritten text."""
     if all(
         _depth0_find(sql, kw) < 0
-        for kw in ("ASOF", "ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN")
+        for kw in ("ASOF", "ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN",
+                   "ANY RIGHT JOIN")
     ):
         return None
     if _depth > 8:
         raise ChSqlError("strict-join recursion limit exceeded")
+    # GLOBAL is a distribution modifier (broadcast the right side to every
+    # shard — ASTTablesInSelectQuery.h locality); single-engine semantics
+    # are identical, so it strips before the strict-join parse
+    sql = re.sub(r"(?i)\bGLOBAL\s+(?=(?:ASOF|ANY)\b)", "", sql)
     sql = _materialize_subquery_sides(spark, sql)
     chain_left = False
     m = _JOIN_RE.search(sql)
@@ -248,7 +253,11 @@ def try_rewrite_strict_join(
     lalias = (lalias or ltable).lower()
     ralias = (ralias or rtable).lower()
     strictness = strictness.upper()
-    how = "left" if (side or "").strip().upper() == "LEFT" else "inner"
+    side_u = (side or "").strip().upper()
+    how = {"LEFT": "left", "RIGHT": "right"}.get(side_u, "inner")
+    if strictness == "ASOF" and how == "right":
+        raise ChSqlError("ASOF RIGHT JOIN is not supported (reference "
+                         "allows ASOF [LEFT|INNER] only)")
     rest = sql[m.end() :]
 
     # ON/USING clause runs until the first depth-0 tail keyword
@@ -368,13 +377,20 @@ def try_rewrite_strict_join(
         if how == "inner":
             joined = joined.filter(F.col(matched_name).isNotNull())
     else:  # ANY
-        for p in [c for c in right.columns if c not in keys]:
-            if p in left.columns:
-                right = right.withColumnRenamed(p, f"{ralias}__{p}")
-                mapping[(ralias, p)] = f"{ralias}__{p}"
+        a_left, a_right, a_ralias, a_how = left, right, ralias, how
+        if how == "right":
+            # CH ANY RIGHT JOIN keeps every RIGHT row with at most one
+            # LEFT match — the mirror of ANY LEFT with the sides swapped
+            # (ASTTablesInSelectQuery.h:127 strictness binds to the other
+            # side)
+            a_left, a_right, a_ralias, a_how = right, left, lalias, "left"
+        for p in [c for c in a_right.columns if c not in keys]:
+            if p in a_left.columns:
+                a_right = a_right.withColumnRenamed(p, f"{a_ralias}__{p}")
+                mapping[(a_ralias, p)] = f"{a_ralias}__{p}"
         from byconity_spark.operators.joins import any_join
 
-        joined = any_join(left, right, on=keys, how=how)
+        joined = any_join(a_left, a_right, on=keys, how=a_how)
 
     view = f"{_VIEW}_{_depth}"
     joined.createOrReplaceTempView(view)
@@ -389,7 +405,8 @@ def try_rewrite_strict_join(
     # another strict join further down the chain? resolve it recursively
     if any(
         _depth0_find(final_sql, kw) >= 0
-        for kw in ("ASOF", "ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN")
+        for kw in ("ASOF", "ANY JOIN", "ANY LEFT JOIN", "ANY INNER JOIN",
+                   "ANY RIGHT JOIN")
     ):
         out = try_rewrite_strict_join(spark, final_sql, _depth + 1)
         if out is not None:

@@ -2097,3 +2097,30 @@ def chsql_rocksdb_upsert(spark: SparkSession, sf: str) -> DataFrame:
     rows = out.collect()
     ch_sql(spark, "DROP TABLE IF EXISTS kv_upsert_wl")
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "chsql_any_right_join",
+    oracle="""
+    SELECT r.r_name AS rname, m.nname
+    FROM region r
+    LEFT JOIN (SELECT n_regionkey, min(n_name) AS nname
+               FROM nation GROUP BY n_regionkey) m
+      ON r.r_regionkey = m.n_regionkey
+    ORDER BY rname
+    """,
+)
+def chsql_any_right_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ANY RIGHT JOIN (ASTTablesInSelectQuery.h:127 — strictness binds to
+    the OTHER side, so every right row survives with at most one left
+    match; this engine's deterministic pick is the first left row under
+    payload ordering = min(n_name) here).  GLOBAL-prefixed strict joins
+    strip the locality modifier the same way (frontend/joins_sql.py)."""
+    register_views(spark, sf)
+    return ch_sql(
+        spark,
+        "SELECT r.r_name AS rname, n.n_name AS nname "
+        "FROM (SELECT n_regionkey, n_name FROM nation) AS n "
+        "GLOBAL ANY RIGHT JOIN region AS r "
+        "ON n.n_regionkey = r.r_regionkey ORDER BY rname",
+    )

@@ -1131,3 +1131,19 @@ def test_alter_modify_column_type(spark):
     with pytest.raises(ChSqlError):
         ch_sql(spark, "ALTER TABLE __modc_t MODIFY COLUMN missing Int64")
     ch_sql(spark, "DROP TABLE __modc_t")
+
+
+def test_group_by_all_order_by_all(spark):
+    """CH GROUP BY ALL / ORDER BY ALL (ParserSelectQuery group_by_all):
+    Spark 4 resolves both natively with the same semantics — pinned so a
+    rewrite regression can't silently break them."""
+    from byconity_spark.engine.catalog import register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    rows = ch_sql(
+        spark,
+        "SELECT n_regionkey, count(*) AS n FROM nation "
+        "GROUP BY ALL ORDER BY ALL",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(i, 5) for i in range(5)]

@@ -241,3 +241,49 @@ def test_chain_then_asof_with_aggregate(views):
     )
     rows = out.collect()
     assert rows and all(r.n_matched > 0 for r in rows)
+
+
+def test_any_right_join_keeps_all_right_rows(spark):
+    """ANY RIGHT JOIN: every right row, at most one left match (the
+    smallest under payload order)."""
+    from byconity_spark.engine.catalog import register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    rows = ch_sql(
+        spark,
+        "SELECT r.r_name AS rname, n.n_name AS nname "
+        "FROM (SELECT n_regionkey, n_name FROM nation) AS n "
+        "ANY RIGHT JOIN region AS r ON n.n_regionkey = r.r_regionkey "
+        "ORDER BY rname",
+    ).collect()
+    assert len(rows) == 5  # all regions survive
+    assert all(r["nname"] is not None for r in rows)
+
+
+def test_global_prefix_strips_on_strict_joins(spark):
+    from byconity_spark.engine.catalog import register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    n = ch_sql(
+        spark,
+        "SELECT count(*) AS n FROM orders AS o GLOBAL ANY INNER JOIN "
+        "customer AS c ON o.o_custkey = c.c_custkey",
+    ).collect()[0][0]
+    assert n > 0
+
+
+def test_asof_right_join_rejected(spark):
+    import pytest as _pt
+
+    from byconity_spark.engine.catalog import register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    with _pt.raises(ChSqlError, match="ASOF RIGHT"):
+        ch_sql(
+            spark,
+            "SELECT 1 FROM events AS a ASOF RIGHT JOIN events AS b "
+            "USING (user_id, ts)",
+        )
