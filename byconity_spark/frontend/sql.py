@@ -136,9 +136,12 @@ def _json_path(fn: str) -> Callable[[list[str]], str]:
 def _case_chain(args: list[str]) -> str:
     if len(args) < 3 or len(args) % 2 == 0:
         raise ChSqlError("multiIf expects cond1, val1, ..., default")
+    # CH conditions may be UInt8 (multiIf(0, 'a', 1, 'b', 'c') in the
+    # reference's own tests) — CAST coerces nonzero→true, NULL→else branch,
+    # matching the reference; a boolean condition casts as a no-op
     parts = ["CASE"]
     for i in range(0, len(args) - 1, 2):
-        parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        parts.append(f"WHEN CAST({args[i]} AS BOOLEAN) THEN {args[i + 1]}")
     parts.append(f"ELSE {args[-1]} END")
     return " ".join(parts)
 
@@ -179,6 +182,9 @@ RULES: dict[str, object] = {
     # math / conditional
     "intDiv": lambda a: f"({a[0]} div {a[1]})",
     "modulo": lambda a: f"({a[0]} % {a[1]})",
+    # CH if() accepts UInt8 conditions (if(1, ...) in the reference's own
+    # tests); the cast is a no-op for boolean conditions
+    "if": lambda a: f"if(CAST({a[0]} AS BOOLEAN), {a[1]}, {a[2]})",
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "multiply": lambda a: f"({a[0]} * {a[1]})",
@@ -343,6 +349,19 @@ RULES: dict[str, object] = {
     "median": lambda a: f"percentile({a[0]}, 0.5)",
     "stddevPop": "stddev_pop", "stddevSamp": "stddev_samp",
     "varPop": "var_pop", "varSamp": "var_samp",
+    # Stable (Kahan-summation) flavors (AggregateFunctionStatistics.cpp):
+    # Spark's JVM aggregates are the baseline — same double rounding class
+    "corrStable": "corr", "covarPopStable": "covar_pop",
+    "covarSampStable": "covar_samp", "stddevPopStable": "stddev_pop",
+    "stddevSampStable": "stddev_samp", "varPopStable": "var_pop",
+    "varSampStable": "var_samp",
+    # plain groupConcat(x) = empty separator (the parametric
+    # groupConcat(sep)(x) form lives in PARAMETRIC); sorted = documented
+    # deterministic deviation from CH arrival order
+    "groupConcat": lambda a: (
+        f"array_join(array_sort(collect_list(CAST({a[0]} AS STRING))), "
+        + (a[1] if len(a) > 1 else "''") + ")"
+    ),
     # retention(c1, ..., cn) (AggregateFunctionRetention.cpp): r[1] = any
     # row matched c1; r[i>1] = r[1] AND any row matched c_i
     "retention": lambda a: (
@@ -428,6 +447,14 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     # (same bins-by-merging idea, different merge rule — stand-in)
     "histogram": lambda p, a: f"histogram_numeric({a[0]}, {p[0]})",
     "windowFunnel": _window_funnel_sql,
+    # groupConcat(sep)(x) parametric form (AggregateFunctionGroupConcat
+    # .cpp; CH concatenates in ARRIVAL order — nondeterministic under
+    # distributed merge, so this engine sorts: documented deviation shared
+    # with the Column-API registry entry)
+    "groupConcat": lambda p, a: (
+        f"array_join(array_sort(collect_list(CAST({a[0]} AS STRING))), "
+        f"{p[0]})"
+    ),
 }
 
 

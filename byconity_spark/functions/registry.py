@@ -48,13 +48,14 @@ def _to_day_of_week(c: Column) -> Column:
 
 
 def _multi_if(*args) -> Column:
-    # multiIf(c1, v1, c2, v2, ..., default)
+    # multiIf(c1, v1, c2, v2, ..., default); CH conditions may be UInt8 —
+    # the boolean cast coerces nonzero→true like the reference
     if len(args) < 3 or len(args) % 2 == 0:
         raise ValueError("multiIf expects cond1, val1, ..., default")
     conds, default = args[:-1], args[-1]
-    expr = F.when(conds[0], conds[1])
+    expr = F.when(conds[0].cast("boolean"), conds[1])
     for i in range(2, len(conds), 2):
-        expr = expr.when(conds[i], conds[i + 1])
+        expr = expr.when(conds[i].cast("boolean"), conds[i + 1])
     return expr.otherwise(default)
 
 
@@ -419,7 +420,9 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "greatest": F.greatest,
     "isNaN": F.isnan,
     # ---- conditionals (if.cpp, multiIf.cpp, coalesce.cpp, nullIf, ifNull)
-    "if": lambda c, a, b: F.when(c, a).otherwise(b),
+    # CH conditions may be UInt8 — cast coerces nonzero→true like the
+    # reference; boolean input casts as a no-op
+    "if": lambda c, a, b: F.when(c.cast("boolean"), a).otherwise(b),
     "multiIf": _multi_if,
     "coalesce": F.coalesce,
     "ifNull": lambda a, b: F.coalesce(a, b),

@@ -59,9 +59,12 @@ def test_strings_and_keywords_untouched():
 
 
 def test_multi_if_chain():
+    # conditions coerce through CAST(... AS BOOLEAN): CH allows UInt8
+    # conditions (multiIf(0, 'a', 1, 'b', 'c') in the reference's tests)
     assert (
         rewrite_ch_sql("multiIf(a > 1, 'x', b > 2, 'y', 'z')")
-        == "CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' ELSE 'z' END"
+        == "CASE WHEN CAST(a > 1 AS BOOLEAN) THEN 'x' "
+           "WHEN CAST(b > 2 AS BOOLEAN) THEN 'y' ELSE 'z' END"
     )
 
 
@@ -1147,3 +1150,31 @@ def test_group_by_all_order_by_all(spark):
         "GROUP BY ALL ORDER BY ALL",
     ).collect()
     assert [tuple(r) for r in rows] == [(i, 5) for i in range(5)]
+
+
+def test_if_multiif_accept_uint8_conditions(spark):
+    """CH treats UInt8 as boolean in if()/multiIf() — the reference's own
+    stateless tests call if(1, ...) and multiIf(0, ...)."""
+    r = ch_sql(
+        spark,
+        "SELECT if(1, 'y', 'n') AS a, multiIf(0, 'a', 1, 'b', 'c') AS b",
+    ).collect()[0]
+    assert (r["a"], r["b"]) == ("y", "b")
+
+
+def test_stable_stats_and_group_concat(spark):
+    """Stable-summation aggregate names (AggregateFunctionStatistics.cpp)
+    and groupConcat — both parametric (sep)(x) and plain forms — resolve
+    in the SQL dialect (found sweeping the reference's stateless tests)."""
+    spark.createDataFrame(
+        [(1.0, 2.0, "a"), (2.0, 1.0, "b"), (3.0, 4.0, "c")],
+        "x double, y double, s string",
+    ).createOrReplaceTempView("t_stb")
+    r = ch_sql(
+        spark,
+        "SELECT round(corrStable(x, y), 4) AS c, "
+        "round(varSampStable(x), 4) AS v, "
+        "groupConcat(',')(s) AS g1, groupConcat(s) AS g2 FROM t_stb",
+    ).collect()[0]
+    assert r["c"] == 0.6547 and r["v"] == 1.0
+    assert r["g1"] == "a,b,c" and r["g2"] == "abc"
