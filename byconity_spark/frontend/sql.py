@@ -167,12 +167,53 @@ RULES: dict[str, object] = {
     # strings
     "lengthUTF8": "char_length",
     "lowerUTF8": "lower", "upperUTF8": "upper",
-    "position": lambda a: f"instr({a[0]}, {a[1]})",
+    # position(haystack, needle[, start]) — CH arg order; Spark's locate
+    # is (needle, haystack, start)
+    "position": lambda a: (
+        f"locate({a[1]}, {a[0]}, {a[2]})" if len(a) > 2
+        else f"instr({a[0]}, {a[1]})"
+    ),
     "match": lambda a: f"({a[0]} RLIKE {a[1]})",
     "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 0)",
     "splitByChar": lambda a: f"split({a[1]}, {a[0]})",
     "replaceAll": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
     "replaceRegexpAll": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    # first-occurrence form: anchor the remainder with a backreference
+    # (mirrors registry_ext.replaceRegexpOne)
+    "replaceRegexpOne": lambda a: (
+        f"regexp_replace({a[0]}, concat('(', {a[1]}, ')(.*)$'), "
+        f"concat({a[2]}, '$2'))"
+    ),
+    # DateLUTImpl::toRelative*Num epoch-relative counters (SQL mirrors of
+    # the registry Column forms)
+    "toRelativeSecondNum": lambda a: f"unix_timestamp({a[0]})",
+    "toRelativeMinuteNum": lambda a: (
+        f"CAST(floor(unix_timestamp({a[0]}) / 60) AS BIGINT)"
+    ),
+    "toRelativeHourNum": lambda a: (
+        f"CAST(floor(unix_timestamp({a[0]}) / 3600) AS BIGINT)"
+    ),
+    "toRelativeDayNum": lambda a: (
+        f"CAST(unix_timestamp(CAST({a[0]} AS TIMESTAMP)) / 86400 AS BIGINT)"
+    ),
+    "toRelativeYearNum": lambda a: f"CAST(year({a[0]}) AS BIGINT)",
+    "toRelativeMonthNum": lambda a: (
+        f"CAST(year({a[0]}) * 12 + month({a[0]}) AS BIGINT)"
+    ),
+    "bitRotateLeft": lambda a: (
+        f"(shiftleft({a[0]}, {a[1]}) | shiftrightunsigned({a[0]}, "
+        f"64 - {a[1]}))"
+    ),
+    "roundBankers": lambda a: (
+        f"bround({a[0]}, {a[1] if len(a) > 1 else 0})"
+    ),
+    "roundToExp2": lambda a: (
+        f"(CASE WHEN {a[0]} <= 0 THEN 0 ELSE "
+        f"CAST(pow(2.0, floor(log2({a[0]}))) AS BIGINT) END)"
+    ),
+    "roundDown": lambda a: (
+        f"array_max(filter({a[1]}, __x -> __x <= {a[0]}))"
+    ),
     "startsWith": "startswith", "endsWith": "endswith",
     "trimBoth": "trim", "trimLeft": "ltrim", "trimRight": "rtrim",
     "leftPad": "lpad", "rightPad": "rpad",
@@ -244,6 +285,7 @@ RULES: dict[str, object] = {
     # fixed micro-precision — scale argument dropped
     "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))",
+    "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1]}))",
     "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
     "toFixedString": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
     # CH test-surface no-ops: materialize defeats constant folding (Catalyst
@@ -259,6 +301,9 @@ RULES: dict[str, object] = {
     # arrays
     "has": "array_contains",
     "indexOf": "array_position",
+    # hasAll/hasAny (src/Functions/hasAllAny.h): subset / intersection
+    "hasAll": lambda a: f"forall({a[1]}, __x -> array_contains({a[0]}, __x))",
+    "hasAny": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
     "arrayJoin": "explode",
     # table function: numbers(N) / numbers(start, N) -> range(); CH's
     # column is `number`, Spark range()'s is `id`
@@ -2151,7 +2196,15 @@ def _rewrite_arrayjoin_calls(sql: str) -> str:
         # append the lateral view after the FROM table expression
         f = _depth0_find(sql, "FROM")
         if f < 0:
-            raise ChSqlError("arrayJoin needs a FROM clause to multiply")
+            # SELECT arrayJoin([...]) with no FROM: CH multiplies the
+            # implicit one-row system.one relation
+            end = len(sql)
+            for kw in _CLAUSE_STOPPERS:
+                p = _depth0_find(sql, kw)
+                if p >= 0:
+                    end = min(end, p)
+            sql = sql[:end] + " FROM (SELECT 1) " + sql[end:]
+            f = _depth0_find(sql, "FROM")
         end = len(sql)
         for kw in _CLAUSE_STOPPERS:
             p = _depth0_find(sql, kw, f + 4)

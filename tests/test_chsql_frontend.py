@@ -1178,3 +1178,41 @@ def test_stable_stats_and_group_concat(spark):
     ).collect()[0]
     assert r["c"] == 0.6547 and r["v"] == 1.0
     assert r["g1"] == "a,b,c" and r["g2"] == "abc"
+
+
+def test_arrayjoin_function_without_from(spark):
+    """SELECT arrayJoin([...]) with no FROM multiplies the implicit
+    one-row relation, like CH's system.one."""
+    rows = ch_sql(spark, "SELECT arrayJoin([1, 2, 3]) AS a").collect()
+    assert [r["a"] for r in rows] == [1, 2, 3]
+
+
+def test_position_start_and_array_predicates(spark):
+    """position() 3-arg keeps CH's (haystack, needle, start) arg order —
+    Spark's locate is (needle, haystack, start); hasAll/hasAny/toDecimal64
+    resolve in the SQL dialect (reference-test sweep findings)."""
+    r = ch_sql(
+        spark,
+        "SELECT position('hello world hello', 'hello', 5) AS p, "
+        "hasAll([1,2,3], [1,3]) AS ha, hasAny([1,2], [3,2]) AS hn, "
+        "hasAll([1,2], [1,9]) AS ha2, "
+        "CAST(toDecimal64('3.14159', 2) AS STRING) AS d",
+    ).collect()[0]
+    assert (r["p"], r["ha"], r["hn"], r["ha2"], r["d"]) == (
+        13, True, True, False, "3.14",
+    )
+
+
+def test_relative_nums_and_round_variants(spark):
+    """toRelative*Num / replaceRegexpOne / bitRotateLeft / roundToExp2 /
+    roundDown / roundBankers in the SQL dialect (reference-test sweep)."""
+    r = ch_sql(
+        spark,
+        "SELECT toRelativeDayNum(toDateTime('2024-01-02 00:00:00')) AS d, "
+        "replaceRegexpOne('a1b2', '[0-9]', 'x') AS o, "
+        "bitRotateLeft(1, 3) AS rl, roundToExp2(100) AS e, "
+        "roundDown(7, [2, 5, 10]) AS rd, roundBankers(2.5) AS b",
+    ).collect()[0]
+    assert (r["d"], r["o"], r["rl"], r["e"], r["rd"], r["b"]) == (
+        19724, "axb2", 8, 64, 5, 2.0,
+    )
