@@ -133,6 +133,20 @@ def _json_path(fn: str) -> Callable[[list[str]], str]:
     return rule
 
 
+def _raise_ch(msg: str) -> str:
+    raise ChSqlError(msg)
+
+
+def _sql_char_ngrams(s: str, n: int = 4) -> str:
+    """SQL mirror of registry._char_ngrams (distinct char n-grams,
+    whole-string fallback under length n)."""
+    return (
+        f"(CASE WHEN length({s}) >= {n} THEN array_distinct(transform("
+        f"sequence(1, length({s}) - {n - 1}), __i -> "
+        f"substring({s}, __i, {n}))) ELSE array({s}) END)"
+    )
+
+
 def _case_chain(args: list[str]) -> str:
     if len(args) < 3 or len(args) % 2 == 0:
         raise ChSqlError("multiIf expects cond1, val1, ..., default")
@@ -229,7 +243,27 @@ RULES: dict[str, object] = {
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "multiply": lambda a: f"({a[0]} * {a[1]})",
-    "divide": lambda a: f"(CAST({a[0]} AS DOUBLE) / {a[1]})",
+    # CH divide() is Float64 IEEE division: /0 yields ±inf (nan for 0/0),
+    # NEVER an error — Spark's ANSI mode (default on in Spark 4) raises
+    # DIVIDE_BY_ZERO instead, so the zero branch is explicit
+    "divide": lambda a: (
+        f"(CASE WHEN CAST({a[1]} AS DOUBLE) = 0D THEN "
+        f"(CASE WHEN CAST({a[0]} AS DOUBLE) > 0D THEN CAST('Infinity' AS DOUBLE) "
+        f"WHEN CAST({a[0]} AS DOUBLE) < 0D THEN CAST('-Infinity' AS DOUBLE) "
+        f"ELSE CAST('NaN' AS DOUBLE) END) "
+        f"ELSE CAST({a[0]} AS DOUBLE) / CAST({a[1]} AS DOUBLE) END)"
+    ),
+    "moduloOrZero": lambda a: (
+        f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} % {a[1]} END)"
+    ),
+    "concatAssumeInjective": lambda a: f"concat({', '.join(a)})",
+    # arrayWithConstant(n, x) — Spark array_repeat is (element, count)
+    "arrayWithConstant": lambda a: f"array_repeat({a[1]}, CAST({a[0]} AS INT))",
+    "ifNotFinite": lambda a: (
+        f"(CASE WHEN isnan(CAST({a[0]} AS DOUBLE)) OR "
+        f"abs(CAST({a[0]} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+        f"THEN {a[1]} ELSE {a[0]} END)"
+    ),
     "multiIf": _case_chain,
     "ifNull": "coalesce", "assumeNotNull": lambda a: a[0],
     "roundBankers": "bround",
@@ -317,9 +351,37 @@ RULES: dict[str, object] = {
     "arrayReverseSort": lambda a: _array_sort_sql(a, desc=True),
     "arrayConcat": "concat",
     "arrayStringConcat": "array_join",
-    "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
-    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    # arrayMap(lambda, arr[, arr2]): a bare transform() would feed a
+    # TWO-ARG lambda Spark's (element, index) pair — silently computing
+    # x+index instead of x+y — so the 2-array form routes through
+    # zip_with and >2 arrays reject loudly
+    "arrayMap": lambda a: (
+        f"transform({a[1]}, {a[0]})" if len(a) == 2
+        else f"zip_with({a[1]}, {a[2]}, {a[0]})" if len(a) == 3
+        else _raise_ch(
+            "arrayMap with more than 2 arrays is not supported in the "
+            "SQL dialect; use the Column API (functions.ch)"
+        )
+    ),
+    "arrayFilter": lambda a: (
+        f"filter({a[1]}, {a[0]})" if len(a) == 2
+        else _raise_ch(
+            "arrayFilter with multiple arrays is not supported in the "
+            "SQL dialect (Spark's 2-arg filter lambda is (element, "
+            "index)); use the Column API"
+        )
+    ),
     "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
+    "arrayEnumerateUniq": lambda a: (
+        # rank of each element among its equals, in order
+        # (arrayEnumerateUniq.cpp): count of equal elements in the prefix
+        f"transform({a[0]}, (__e, __i) -> size(filter(slice({a[0]}, 1, "
+        f"__i + 1), __p -> __p = __e)))"
+    ),
+    "arrayDifference": lambda a: (
+        f"transform({a[0]}, (__e, __i) -> CASE WHEN __i = 0 THEN 0 "
+        f"ELSE __e - element_at({a[0]}, __i) END)"
+    ),
     # named colN fields so tupleElement/.N access works for column args
     # too (bare struct(id) would name the field "id", not "col1")
     "tuple": lambda a: (
@@ -363,6 +425,47 @@ RULES: dict[str, object] = {
     ),
     "JSONHas": _json_path("(get_json_object({col}, {path}) IS NOT NULL)"),
     "visitParamExtractString": _json_path("get_json_object({col}, {path})"),
+    # visitParam*/simpleJSON* fast-path extractors (FunctionsVisitParam.h,
+    # same name family — simpleJSON is the modern alias)
+    "visitParamExtractInt": _json_path(
+        "CAST(get_json_object({col}, {path}) AS BIGINT)"
+    ),
+    "visitParamExtractUInt": _json_path(
+        "CAST(get_json_object({col}, {path}) AS BIGINT)"
+    ),
+    "visitParamExtractFloat": _json_path(
+        "CAST(get_json_object({col}, {path}) AS DOUBLE)"
+    ),
+    "visitParamExtractBool": _json_path(
+        "CAST(get_json_object({col}, {path}) AS BOOLEAN)"
+    ),
+    "visitParamHas": _json_path(
+        "(get_json_object({col}, {path}) IS NOT NULL)"
+    ),
+    "simpleJSONExtractString": _json_path("get_json_object({col}, {path})"),
+    "simpleJSONExtractInt": _json_path(
+        "CAST(get_json_object({col}, {path}) AS BIGINT)"
+    ),
+    "simpleJSONExtractUInt": _json_path(
+        "CAST(get_json_object({col}, {path}) AS BIGINT)"
+    ),
+    "simpleJSONExtractFloat": _json_path(
+        "CAST(get_json_object({col}, {path}) AS DOUBLE)"
+    ),
+    "simpleJSONExtractBool": _json_path(
+        "CAST(get_json_object({col}, {path}) AS BOOLEAN)"
+    ),
+    "simpleJSONHas": _json_path(
+        "(get_json_object({col}, {path}) IS NOT NULL)"
+    ),
+    # char 4-gram Jaccard distance (FunctionsStringSimilarity.cpp
+    # analogue) — SQL mirror of registry._char_ngrams/ngramDistance
+    "ngramDistance": lambda a: (
+        "(1.0 - CAST(size(array_intersect({g0}, {g1})) AS DOUBLE) / "
+        "greatest(size({g0}), size({g1}), 1))".format(
+            g0=_sql_char_ngrams(a[0]), g1=_sql_char_ngrams(a[1])
+        )
+    ),
     # hashing
     "cityHash64": "xxhash64", "sipHash64": "xxhash64", "xxHash64": "xxhash64",
     # aggregates
@@ -625,15 +728,50 @@ RULES.update(
         "alphaTokens": lambda a: (
             f"filter(split({a[0]}, '[^A-Za-z]+'), __x -> __x != '')"
         ),
-        # conversions (Or-variants: CH's non-throwing forms -> try_cast)
-        "toInt32OrNull": lambda a: f"try_cast({a[0]} AS INT)",
-        "toInt64OrNull": lambda a: f"try_cast({a[0]} AS BIGINT)",
-        "toFloat64OrNull": lambda a: f"try_cast({a[0]} AS DOUBLE)",
-        "toInt32OrZero": lambda a: f"coalesce(try_cast({a[0]} AS INT), 0)",
-        "toInt64OrZero": lambda a: f"coalesce(try_cast({a[0]} AS BIGINT), 0)",
-        "toFloat64OrZero": lambda a: f"coalesce(try_cast({a[0]} AS DOUBLE), 0.0)",
+        # conversions (Or-variants: CH's non-throwing forms -> try_cast;
+        # the full signed/unsigned width family — UInt64 rides BIGINT,
+        # the documented Decimal/UInt64 ceiling)
+        **{
+            f"to{sign}{width}Or{suffix}": (
+                lambda a, _t=sqlt, _z=zero: f"try_cast({a[0]} AS {_t})"
+                if _z is None
+                else f"coalesce(try_cast({a[0]} AS {_t}), {_z})"
+            )
+            for sign in ("Int", "UInt")
+            for width, sqlt in (
+                (8, "TINYINT"), (16, "SMALLINT"), (32, "INT"),
+                (64, "BIGINT"),
+            )
+            for suffix, zero in (("Null", None), ("Zero", 0))
+        },
+        **{
+            f"toFloat{width}Or{suffix}": (
+                lambda a, _t=sqlt, _z=zero: f"try_cast({a[0]} AS {_t})"
+                if _z is None
+                else f"coalesce(try_cast({a[0]} AS {_t}), {_z})"
+            )
+            for width, sqlt in ((32, "FLOAT"), (64, "DOUBLE"))
+            for suffix, zero in (("Null", None), ("Zero", "0.0"))
+        },
         "toDateOrNull": lambda a: f"try_cast({a[0]} AS DATE)",
         "toDateTimeOrNull": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
+        # emptyArray<Type>() (emptyArrayToSingle.cpp family): typed empty
+        # arrays without the ARRAY<T> syntax (parser `>>` hazard, see NB
+        # below) — a one-NULL array filtered empty keeps the element type
+        **{
+            f"emptyArray{ch_t}": (
+                lambda a, _t=sql_t: (
+                    f"filter(array(CAST(NULL AS {_t})), __x -> false)"
+                )
+            )
+            for ch_t, sql_t in (
+                ("UInt8", "SMALLINT"), ("UInt16", "INT"), ("UInt32", "BIGINT"),
+                ("UInt64", "BIGINT"), ("Int8", "TINYINT"), ("Int16", "SMALLINT"),
+                ("Int32", "INT"), ("Int64", "BIGINT"), ("Float32", "FLOAT"),
+                ("Float64", "DOUBLE"), ("Date", "DATE"),
+                ("DateTime", "TIMESTAMP"), ("String", "STRING"),
+            )
+        },
         "parseDateTimeBestEffort": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
         "parseDateTimeBestEffortOrNull": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
         "generateUUIDv4": lambda a: "uuid()",

@@ -1216,3 +1216,43 @@ def test_relative_nums_and_round_variants(spark):
     assert (r["d"], r["o"], r["rl"], r["e"], r["rd"], r["b"]) == (
         19724, "axb2", 8, 64, 5, 2.0,
     )
+
+
+def test_multiarray_lambdas_and_json_fastpath(spark):
+    """arrayMap over TWO arrays must zip (a bare transform would feed
+    Spark's (element, index) pair into the lambda — silent wrong values);
+    arrayFilter multi-array rejects loudly; arrayEnumerateUniq /
+    arrayDifference / visitParam* / simpleJSON* / ngramDistance resolve."""
+    r = ch_sql(
+        spark,
+        "SELECT arrayMap((x, y) -> x + y, [1,2], [10,20]) AS m, "
+        "arrayEnumerateUniq([1,1,2]) AS u, arrayDifference([1,4,9]) AS d, "
+        "visitParamExtractInt('{\"a\":42}', 'a') AS v, "
+        "simpleJSONHas('{\"s\":1}', 's') AS h, "
+        "ngramDistance('abc', 'abc') AS nd",
+    ).collect()[0]
+    assert r["m"] == [11, 22] and r["u"] == [1, 2, 1]
+    assert r["d"] == [0, 3, 5] and r["v"] == 42 and r["h"] is True
+    assert r["nd"] == 0.0
+    with pytest.raises(ChSqlError, match="arrayFilter with multiple"):
+        ch_sql(spark, "SELECT arrayFilter((x, y) -> x > y, [1], [2])")
+
+
+def test_ansi_safe_division_and_conversion_family(spark):
+    """CH divide() is IEEE Float64 division — /0 yields ±inf (nan for
+    0/0), never Spark-ANSI's DIVIDE_BY_ZERO; moduloOrZero guards the
+    zero branch; to*OrNull/OrZero cover every signed/unsigned width;
+    emptyArray<Type>() and arrayWithConstant resolve."""
+    r = ch_sql(
+        spark,
+        "SELECT divide(1, 0) AS pinf, divide(-1, 0) AS ninf, "
+        "isNaN(divide(0, 0)) AS nn, divide(6, 3) AS ok, "
+        "moduloOrZero(5, 0) AS mz, intDivOrZero(5, 0) AS dz, "
+        "toUInt64OrNull('xyz') AS cn, toInt16OrZero('bad') AS cz, "
+        "emptyArrayInt64() AS ea, arrayWithConstant(2, 'x') AS ac, "
+        "ifNotFinite(divide(1, 0), 99) AS nf",
+    ).collect()[0]
+    assert r["pinf"] == float("inf") and r["ninf"] == float("-inf")
+    assert r["nn"] is True and r["ok"] == 2.0
+    assert (r["mz"], r["dz"], r["cn"], r["cz"]) == (0, 0, None, 0)
+    assert r["ea"] == [] and r["ac"] == ["x", "x"] and r["nf"] == 99.0
