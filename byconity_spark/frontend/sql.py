@@ -257,6 +257,38 @@ RULES: dict[str, object] = {
         f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} % {a[1]} END)"
     ),
     "concatAssumeInjective": lambda a: f"concat({', '.join(a)})",
+    # URL family (src/Functions/URL/ — SQL mirrors of the registry forms)
+    "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
+    "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
+    "domainWithoutWWW": lambda a: (
+        f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+    ),
+    "path": lambda a: f"parse_url({a[0]}, 'PATH')",
+    "queryString": lambda a: f"parse_url({a[0]}, 'QUERY')",
+    "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
+    "topLevelDomain": lambda a: (
+        f"substring_index(parse_url({a[0]}, 'HOST'), '.', -1)"
+    ),
+    # two-label public suffixes (co.uk etc.) keep three labels — the SQL
+    # mirror of registry._cut_to_first_significant_subdomain
+    "cutToFirstSignificantSubdomain": lambda a: (
+        "(CASE WHEN substring_index({h}, '.', -2) IN ({sfx}) "
+        "AND size(split({h}, '\\\\.')) >= 3 "
+        "THEN substring_index({h}, '.', -3) "
+        "WHEN size(split({h}, '\\\\.')) >= 2 "
+        "THEN substring_index({h}, '.', -2) ELSE {h} END)".format(
+            h=f"parse_url({a[0]}, 'HOST')",
+            sfx=", ".join(
+                f"'{s}'" for s in (
+                    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au",
+                    "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+                    "com.cn", "net.cn", "org.cn", "com.br", "com.mx",
+                    "co.in", "co.kr", "com.tr", "com.sg", "co.za",
+                    "com.hk",
+                )
+            ),
+        )
+    ),
     # arrayWithConstant(n, x) — Spark array_repeat is (element, count)
     "arrayWithConstant": lambda a: f"array_repeat({a[1]}, CAST({a[0]} AS INT))",
     "ifNotFinite": lambda a: (

@@ -1256,3 +1256,19 @@ def test_ansi_safe_division_and_conversion_family(spark):
     assert r["nn"] is True and r["ok"] == 2.0
     assert (r["mz"], r["dz"], r["cn"], r["cz"]) == (0, 0, None, 0)
     assert r["ea"] == [] and r["ac"] == ["x", "x"] and r["nf"] == 99.0
+
+
+def test_url_family_sql(spark):
+    """URL family in the SQL dialect mirrors the Column registry, incl.
+    the two-label public-suffix rule."""
+    r = ch_sql(
+        spark,
+        "SELECT domain('https://sub.example.com/x') AS d, "
+        "protocol('https://a.co/x') AS p, "
+        "cutToFirstSignificantSubdomain('https://sub.example.com/x') AS c, "
+        "cutToFirstSignificantSubdomain('https://a.b.co.uk/x') AS cu, "
+        "domainWithoutWWW('https://www.ex.com') AS w",
+    ).collect()[0]
+    assert tuple(r) == (
+        "sub.example.com", "https", "example.com", "b.co.uk", "ex.com",
+    )
