@@ -1782,6 +1782,14 @@ RULES.update(
         "addSeconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
         "subtractMinutes": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
         "subtractSeconds": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
+        "subtractMonths": lambda a: f"({a[0]} - make_interval(0, {a[1]}, 0, 0, 0, 0, 0))",
+        "subtractYears": lambda a: f"({a[0]} - make_interval({a[1]}, 0, 0, 0, 0, 0, 0))",
+        "subtractWeeks": lambda a: f"({a[0]} - make_interval(0, 0, {a[1]}, 0, 0, 0, 0))",
+        "subtractQuarters": lambda a: f"({a[0]} - make_interval(0, {a[1]} * 3, 0, 0, 0, 0, 0))",
+        "toLastDayOfMonth": lambda a: f"last_day({a[0]})",
+        "toYYYYMMDDhhmmss": lambda a: (
+            f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+        ),
         "toIntervalDay": lambda a: f"make_interval(0, 0, 0, {a[0]}, 0, 0, 0)",
         "toIntervalHour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",
         "toIntervalMinute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",

@@ -1272,3 +1272,16 @@ def test_url_family_sql(spark):
     assert tuple(r) == (
         "sub.example.com", "https", "example.com", "b.co.uk", "ex.com",
     )
+
+
+def test_subtract_family_and_yyyymmddhhmmss(spark):
+    r = ch_sql(
+        spark,
+        "SELECT subtractMonths(toDate('2024-03-15'), 2) AS m, "
+        "subtractYears(toDate('2024-03-15'), 1) AS y, "
+        "toLastDayOfMonth(toDate('2024-02-10')) AS l, "
+        "toYYYYMMDDhhmmss(toDateTime('2024-01-02 03:04:05')) AS t",
+    ).collect()[0]
+    import datetime as dt
+    assert r["m"] == dt.date(2024, 1, 15) and r["y"] == dt.date(2023, 3, 15)
+    assert r["l"] == dt.date(2024, 2, 29) and r["t"] == 20240102030405
