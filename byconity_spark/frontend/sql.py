@@ -310,6 +310,22 @@ RULES: dict[str, object] = {
     "bitTest": lambda a: f"bit_get({a[0]}, {a[1]})",
     # arrays (CH names -> Spark SQL)
     "arraySum": lambda a: f"aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE))",
+    "arrayProduct": lambda a: (
+        f"aggregate({a[0]}, 1.0D, (acc, x) -> acc * CAST(x AS DOUBLE))"
+    ),
+    # -Array combinators (AggregateFunctionArray.h): the aggregate runs
+    # over every ELEMENT of every array in the group
+    "sumArray": lambda a: (
+        f"sum(aggregate({a[0]}, 0.0D, (__acc, __x) -> "
+        f"__acc + CAST(__x AS DOUBLE)))"
+    ),
+    "minArray": lambda a: f"min(array_min({a[0]}))",
+    "maxArray": lambda a: f"max(array_max({a[0]}))",
+    "avgArray": lambda a: (
+        f"(sum(aggregate({a[0]}, 0.0D, (__acc, __x) -> "
+        f"__acc + CAST(__x AS DOUBLE))) / sum(size({a[0]})))"
+    ),
+    "countArray": lambda a: f"CAST(sum(size({a[0]})) AS BIGINT)",
     "arrayAvg": lambda a: (
         f"(aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)) / size({a[0]}))"
     ),

@@ -1285,3 +1285,16 @@ def test_subtract_family_and_yyyymmddhhmmss(spark):
     import datetime as dt
     assert r["m"] == dt.date(2024, 1, 15) and r["y"] == dt.date(2023, 3, 15)
     assert r["l"] == dt.date(2024, 2, 29) and r["t"] == 20240102030405
+
+
+def test_array_combinators_sql(spark):
+    """-Array combinators (AggregateFunctionArray.h) + arrayProduct in
+    the SQL dialect."""
+    r = ch_sql(
+        spark,
+        "SELECT arrayProduct([2,3,4]) AS p, sumArray(arr) AS s, "
+        "minArray(arr) AS mn, maxArray(arr) AS mx, avgArray(arr) AS av, "
+        "countArray(arr) AS c "
+        "FROM (SELECT [1, 2] AS arr UNION ALL SELECT [3, 4])",
+    ).collect()[0]
+    assert tuple(r) == (24.0, 10.0, 1, 4, 2.5, 4)
