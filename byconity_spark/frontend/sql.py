@@ -257,6 +257,20 @@ RULES: dict[str, object] = {
         f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} % {a[1]} END)"
     ),
     "concatAssumeInjective": lambda a: f"concat({', '.join(a)})",
+    "substringIndex": "substring_index",
+    "mid": "substring",
+    "initcapUTF8": "initcap",
+    "regexpExtract": lambda a: (
+        f"regexp_extract({a[0]}, {a[1]}, {a[2] if len(a) > 2 else 1})"
+    ),
+    # FunctionSnowflake.h: ms timestamp = (id >> 22) + snowflake epoch
+    "snowflakeToDateTime": lambda a: (
+        f"timestamp_millis(shiftrightunsigned(CAST({a[0]} AS BIGINT), 22) "
+        f"+ 1288834974657)"
+    ),
+    "dateTimeToSnowflake": lambda a: (
+        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+    ),
     # URL family (src/Functions/URL/ — SQL mirrors of the registry forms)
     "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
     "domain": lambda a: f"parse_url({a[0]}, 'HOST')",

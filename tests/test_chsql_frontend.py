@@ -1298,3 +1298,17 @@ def test_array_combinators_sql(spark):
         "FROM (SELECT [1, 2] AS arr UNION ALL SELECT [3, 4])",
     ).collect()[0]
     assert tuple(r) == (24.0, 10.0, 1, 4, 2.5, 4)
+
+
+def test_string_aliases_and_snowflake(spark):
+    r = ch_sql(
+        spark,
+        "SELECT substringIndex('a.b.c', '.', 2) AS s, mid('hello', 2, 3) "
+        "AS m, initcapUTF8('hello world') AS i, "
+        "regexpExtract('a1b2', '([0-9])', 1) AS r, "
+        "snowflakeToDateTime(dateTimeToSnowflake("
+        "toDateTime('2024-01-01 00:00:00'))) AS rt",
+    ).collect()[0]
+    import datetime as dt
+    assert (r["s"], r["m"], r["i"], r["r"]) == ("a.b", "ell", "Hello World", "1")
+    assert r["rt"] == dt.datetime(2024, 1, 1, 0, 0)
