@@ -130,8 +130,29 @@ def main() -> None:
     }
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
-    spark.stop()
+
+    # The JSON line MUST be the absolute last thing in merged stdout+stderr:
+    # the driver captures both streams and tails the output, and a Spark
+    # StateStore maintenance-thread stacktrace landing after the JSON made
+    # BENCH_r02..r07 unparseable. Order: stop every active streaming query,
+    # stop the session, give async JVM log threads a beat to drain, flush
+    # both streams, THEN print.
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    time.sleep(1.0)  # let any in-flight JVM shutdown logging hit stderr first
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(json.dumps(out), flush=True)
     if failed:
         sys.exit(1)
 

@@ -49,6 +49,39 @@ def hudi_completed_instants(base_path: str) -> list[str]:
     return sorted(out)
 
 
+def hudi_replaced_file_groups(
+    base_path: str, completed: set
+) -> set:
+    """(partition, fileId) groups retired by completed replacecommits
+    (clustering / insert-overwrite).  The spec stores them in the
+    replacecommit metadata's ``partitionToReplaceFileIds``; a reader that
+    keeps serving those groups returns every clustered row TWICE (round-8
+    advisory).  Unreadable metadata raises — silently keeping the groups
+    would be a silent duplicate."""
+    import json
+
+    tl = os.path.join(base_path, ".hoodie")
+    replaced: set = set()
+    for name in os.listdir(tl):
+        m = re.match(r"^(\d+)\.replacecommit$", name)
+        if not m or m.group(1) not in completed:
+            continue
+        fp = os.path.join(tl, name)
+        try:
+            with open(fp) as fh:
+                meta = json.load(fh) or {}
+            part_map = meta.get("partitionToReplaceFileIds", {})
+        except (OSError, ValueError) as exc:
+            raise ValueError(
+                f"hudi: unreadable replacecommit metadata {fp}: {exc}"
+            ) from exc
+        for part, file_ids in part_map.items():
+            rel = part if part else "."  # spec uses '' for unpartitioned
+            for fid in file_ids:
+                replaced.add((rel, fid))
+    return replaced
+
+
 def hudi_snapshot_files(base_path: str, as_of: str | None = None) -> list[str]:
     """The one winning file per file group at the read instant."""
     completed = set(hudi_completed_instants(base_path))
@@ -56,6 +89,7 @@ def hudi_snapshot_files(base_path: str, as_of: str | None = None) -> list[str]:
         completed = {i for i in completed if i <= as_of}
     if not completed:
         return []
+    replaced = hudi_replaced_file_groups(base_path, completed)
     best: dict[tuple, tuple] = {}  # (partition, file_id) -> (instant, path)
     for root, dirs, files in os.walk(base_path):
         dirs[:] = [d for d in dirs if d != ".hoodie"]
@@ -65,6 +99,8 @@ def hudi_snapshot_files(base_path: str, as_of: str | None = None) -> list[str]:
             if not m or m.group("instant") not in completed:
                 continue  # non-data file, or inflight/filtered-out instant
             key = (rel, m.group("file_id"))
+            if key in replaced:
+                continue  # group retired by a completed replacecommit
             cand = (m.group("instant"), os.path.join(root, f))
             if key not in best or cand[0] > best[key][0]:
                 best[key] = cand
@@ -132,4 +168,36 @@ def write_cow_file(
     marker = f"{instant}.commit" if complete else f"{instant}.commit.inflight"
     with open(os.path.join(tl, marker), "w") as fh:
         fh.write("{}")
+    return path
+
+
+def write_replacecommit_file(
+    base_path: str,
+    partition: str,
+    file_id: str,
+    instant: str,
+    pdf,
+    replaces: dict[str, list[str]],
+    complete: bool = True,
+) -> str:
+    """Clustering/insert-overwrite fixture: writes the NEW file slice plus
+    a ``<instant>.replacecommit`` whose metadata retires ``replaces``
+    ({partition_path: [fileId, ...]}, '' = unpartitioned root)."""
+    import json
+
+    part_dir = os.path.join(base_path, partition) if partition else base_path
+    os.makedirs(part_dir, exist_ok=True)
+    tl = os.path.join(base_path, ".hoodie")
+    os.makedirs(tl, exist_ok=True)
+    path = os.path.join(part_dir, f"{file_id}_0-0-0_{instant}.parquet")
+    out = pdf.copy()
+    out.insert(0, "_hoodie_commit_time", instant)
+    out.to_parquet(path, index=False)
+    marker = (
+        f"{instant}.replacecommit"
+        if complete
+        else f"{instant}.replacecommit.inflight"
+    )
+    with open(os.path.join(tl, marker), "w") as fh:
+        json.dump({"partitionToReplaceFileIds": replaces}, fh)
     return path

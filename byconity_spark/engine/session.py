@@ -80,6 +80,11 @@ def get_spark(app_name: str = "byconity-spark", extra_conf: dict | None = None) 
         .config("spark.sql.cbo.planStats.enabled", "true")
         # --- bucketed (CLUSTER BY) tables live under /tmp, not the repo
         .config("spark.sql.warehouse.dir", "/tmp/byconity_spark_warehouse")
+        # --- keep the StateStore maintenance thread from firing during/after
+        # shutdown: its "SparkEnv not active" stacktrace used to land in
+        # stderr AFTER bench.py's JSON line, corrupting the bench artifact.
+        # Local runs are short; snapshot maintenance adds nothing here.
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
         # quiet progress bars in benchmark output
         .config("spark.ui.showConsoleProgress", "false")
     )

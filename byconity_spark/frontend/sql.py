@@ -104,6 +104,55 @@ def _literal_value(s: str) -> str:
     return s.strip()[1:-1].replace("''", "'")
 
 
+def _sql_quote(v: str) -> str:
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+_ESCAPES = {"\\": "\\", "'": "'", '"': '"', "n": "\n", "t": "\t",
+            "r": "\r", "0": "\0", "b": "\b", "f": "\f"}
+
+
+def _unescape_sql_literal(raw: str) -> str:
+    """Backslash-escape processing for a literal's inner text (both Spark
+    and CH process these at parse time; a rule that TRANSFORMS the value
+    must work on the real string, not the escaped source text)."""
+    out, i, n = [], 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == "\\" and i + 1 < n:
+            nxt = raw[i + 1]
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _replace_regexp_one_sql(a: list[str]) -> str:
+    """replaceRegexpOne(h, pat, repl): first occurrence only, via an
+    anchored lazy prefix '^((?s:.*?))' — so user capture groups keep
+    working (all group numbers shift by exactly 1) and a newline before
+    the match can't defeat the anchor.  CH-style \\N backrefs in a LITERAL
+    replacement are translated to Spark's $(N+1); non-literal pattern/
+    replacement expressions fall back to runtime concat (backrefs in a
+    dynamic replacement are not translatable by a text rewriter)."""
+    import re as _re
+
+    hay, pat, repl = a[0], a[1], a[2]
+    if _is_string_literal(pat) and _is_string_literal(repl):
+        p = "^((?s:.*?))" + _unescape_sql_literal(_literal_value(pat))
+        r = "$1" + _re.sub(
+            r"\\(\d)", lambda m: f"${int(m.group(1)) + 1}",
+            _unescape_sql_literal(_literal_value(repl)),
+        )
+        return f"regexp_replace({hay}, {_sql_quote(p)}, {_sql_quote(r)})"
+    return (
+        f"regexp_replace({hay}, concat('^((?s:.*?))', {pat}), "
+        f"concat('$1', {repl}))"
+    )
+
+
 # ------------------------------------------------------------------- rules
 # value is either a str (plain rename) or a callable(args)->sql /
 # callable(params, args)->sql for parametric aggregates.
@@ -192,12 +241,12 @@ RULES: dict[str, object] = {
     "splitByChar": lambda a: f"split({a[1]}, {a[0]})",
     "replaceAll": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
     "replaceRegexpAll": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
-    # first-occurrence form: anchor the remainder with a backreference
-    # (mirrors registry_ext.replaceRegexpOne)
-    "replaceRegexpOne": lambda a: (
-        f"regexp_replace({a[0]}, concat('(', {a[1]}, ')(.*)$'), "
-        f"concat({a[2]}, '$2'))"
-    ),
+    # first-occurrence form: anchored lazy prefix keeps everything before
+    # the first match, group numbering shifts by 1 (mirrors
+    # registry_ext.replaceRegexpOne).  The old wrap-pattern-as-group-1 +
+    # (.*)$ form broke on user capture groups (numbering shift), CH \N
+    # backrefs, and multi-line strings ((.*) can't cross a newline).
+    "replaceRegexpOne": lambda a: _replace_regexp_one_sql(a),
     # DateLUTImpl::toRelative*Num epoch-relative counters (SQL mirrors of
     # the registry Column forms)
     "toRelativeSecondNum": lambda a: f"unix_timestamp({a[0]})",
@@ -214,6 +263,11 @@ RULES: dict[str, object] = {
     "toRelativeMonthNum": lambda a: (
         f"CAST(year({a[0]}) * 12 + month({a[0]}) AS BIGINT)"
     ),
+    # 64-bit-only stand-in: the reference rotates within the argument's
+    # declared width (UInt8 rotates in 8 bits) but a text rewriter cannot
+    # type-dispatch — same documented limitation as length()/empty().
+    # Callers with narrower ints: cast to BIGINT first or use the typed
+    # registry Column form.
     "bitRotateLeft": lambda a: (
         f"(shiftleft({a[0]}, {a[1]}) | shiftrightunsigned({a[0]}, "
         f"64 - {a[1]}))"
@@ -4088,6 +4142,11 @@ def _try_incremental_mv_refresh(spark, name: str, mv: dict, current) -> bool:
             am = _MV_AGG_ITEM.match(item)
             if not am:
                 return False  # avg/uniq/anything non-splittable: full path
+            if re.search(r"(?i)\bdistinct\b", am.group(2)):
+                # count(DISTINCT x)/sum(DISTINCT x) partials are NOT
+                # mergeable by summing — a distinct value present in both
+                # the old rollup and an inserted block would double-count
+                return False
             kind, alias = am.group(1).lower(), am.group(3)
             fn = F.sum if kind in ("sum", "count") else getattr(F, kind)
             merge_exprs.append(fn(alias).alias(alias))

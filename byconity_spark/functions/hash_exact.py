@@ -35,7 +35,8 @@ Reference semantics implemented (src/Functions/FunctionsHashing.h):
   cleared (FunctionsHashing.h:833-849).
 
 All vector anchors come from the reference's OWN test outputs, so exact
-means exact.  Scale note: these are Arrow-batched pandas UDFs doing
+means exact.  Scale note: these are Arrow UDFs (pyarrow.Array batches —
+the declared column type survives, unlike pandas conversion) doing
 per-row Python math — 10-100× slower than the JVM xxhash64 default.  That
 is the documented cost of the opt-in; workloads that only need a stable
 hash keep the fast path.
@@ -46,6 +47,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -360,17 +362,29 @@ def _arg_u64(v, itemsize: int) -> int:
     return int.from_bytes(_arg_bytes(v, itemsize), "little")
 
 
+def _value_bytes(v, size: int) -> bytes:
+    """Canonical bytes for one argument.  ``size == 0`` marks the
+    string/binary branch (dispatch is by the DECLARED column type via
+    itemsize, never isinstance — runtime Python types lie after Arrow
+    conversions, round-8 advisory).  ``size > 0`` PODs may arrive either
+    pre-encoded (bytes of exactly ``size``) or as raw Python numbers."""
+    if size == 0:
+        return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return _arg_bytes(v, size)
+
+
 def city64_values(values, itemsizes) -> int:
     """cityHash64(args...) with full reference semantics (string bytes →
     CityHash64; PODs → IntHash64Impl; Hash128to64 combine)."""
     h = None
     for v, size in zip(values, itemsizes):
-        if isinstance(v, (str, bytes)):
-            hv = city_hash_64(
-                v.encode("utf-8") if isinstance(v, str) else v
-            )
+        b = _value_bytes(v, size)
+        if size == 0:
+            hv = city_hash_64(b)
         else:
-            hv = int_hash_64(_arg_u64(v, size))
+            hv = int_hash_64(int.from_bytes(b, "little"))
         h = hv if h is None else hash128to64(h, hv)
     return h if h is not None else _K2
 
@@ -378,7 +392,7 @@ def city64_values(values, itemsizes) -> int:
 def sip64_values(values, itemsizes) -> int:
     h = None
     for v, size in zip(values, itemsizes):
-        hv = sip_hash_64(_arg_bytes(v, size))
+        hv = sip_hash_64(_value_bytes(v, size))
         h = hv if h is None else sip_hash_64(struct.pack("<QQ", h, hv))
     return h if h is not None else sip_hash_64(b"")
 
@@ -388,7 +402,7 @@ def sip128_values(values, itemsizes) -> bytes:
     states (SipHash128Impl::combineHashes → combineHashesFunc<UInt128>)."""
     h = None
     for v, size in zip(values, itemsizes):
-        hv = sip_hash_128(_arg_bytes(v, size))
+        hv = sip_hash_128(_value_bytes(v, size))
         h = hv if h is None else sip_hash_128(h + hv)
     return h if h is not None else sip_hash_128(b"")
 
@@ -396,20 +410,48 @@ def sip128_values(values, itemsizes) -> bytes:
 def half_md5_values(values, itemsizes) -> int:
     h = None
     for v, size in zip(values, itemsizes):
-        hv = half_md5(_arg_bytes(v, size))
+        hv = half_md5(_value_bytes(v, size))
         h = hv if h is None else half_md5(struct.pack("<QQ", h, hv))
     return h if h is not None else half_md5(b"")
 
 
 # ---------------------------------------------------------------------------
-# Spark integration: Arrow-batched pandas UDFs (opt-in strict path)
+# Spark integration: Arrow UDFs (opt-in strict path)
+#
+# arrow_udf (Spark 4.1) hands each batch as a pyarrow.Array carrying the
+# column's DECLARED type: an Int8 column arrives as pa.int8() even when the
+# batch contains NULLs, and Float32 arrives as pa.float32().  The previous
+# pandas_udf implementation lost exactly that information — Arrow→pandas
+# widens nullable ints to float64 and per-value isinstance cannot tell
+# float32 from float64 — which silently broke bit-exactness for any batch
+# containing a NULL and truncated Float32 values (round-8 advisory).
+# Encoding width is now derived from the Arrow field type, nulls from the
+# Arrow validity bitmap; NaN is a VALUE (hashed by bit pattern, like the
+# reference), not a null.
 # ---------------------------------------------------------------------------
 
-def _series_itemsize(ser) -> int:
-    k = getattr(ser.dtype, "kind", "O")
-    if k in ("i", "u", "f", "b"):
-        return ser.dtype.itemsize
-    return 0  # object (str/bytes) — unused
+def _pa_itemsize(pa_type) -> int:
+    """Byte width of the declared column type; 0 = string/binary."""
+    if pa.types.is_string(pa_type) or pa.types.is_large_string(pa_type):
+        return 0
+    if pa.types.is_binary(pa_type) or pa.types.is_large_binary(pa_type):
+        return 0
+    if pa.types.is_boolean(pa_type):
+        return 1
+    return pa_type.bit_width // 8
+
+
+def _pa_encode(v, pa_type, itemsize: int) -> bytes:
+    """CH column-layout bytes for a non-null value, width from the DECLARED
+    Arrow type (never the runtime Python type)."""
+    if itemsize == 0:  # string/binary
+        return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    if pa.types.is_floating(pa_type):
+        return struct.pack("<f" if itemsize == 4 else "<d", float(v))
+    if pa.types.is_boolean(pa_type):
+        return struct.pack("<B", int(v))
+    iv = int(v)
+    return iv.to_bytes(itemsize, "little", signed=iv < 0)
 
 
 def _to_signed64(u: int) -> int:
@@ -417,55 +459,67 @@ def _to_signed64(u: int) -> int:
 
 
 def _make_multiarg_udf(scalar_fn):
-    def batch(*series):
-        import pandas as pd
+    """Multi-arg hash: each arg hashed per its declared type, then combined.
 
-        sizes = [_series_itemsize(s) for s in series]
-        n = len(series[0])
+    scalar_fn receives (values, itemsizes) where string/binary values stay
+    str/bytes (the *_values combiners branch on that) and POD values are
+    pre-encoded via the declared Arrow type — delivered as the raw bytes so
+    the combiner needs no further type knowledge.
+    """
+    import pyarrow as pa
+
+    def batch(*arrays: pa.Array) -> pa.Array:
+        sizes = [_pa_itemsize(a.type) for a in arrays]
+        types = [a.type for a in arrays]
+        cols = [a.to_pylist() for a in arrays]
+        n = len(cols[0])
         out = []
         for i in range(n):
-            vals = [s.iloc[i] for s in series]
-            if any(v is None or (isinstance(v, float) and v != v) for v in vals):
+            vals = [c[i] for c in cols]
+            if any(v is None for v in vals):
                 out.append(None)
                 continue
-            out.append(_to_signed64(scalar_fn(vals, sizes)))
-        return pd.Series(out, dtype="Int64")
+            enc = [
+                v if sz == 0 else _pa_encode(v, t, sz)
+                for v, t, sz in zip(vals, types, sizes)
+            ]
+            out.append(_to_signed64(scalar_fn(enc, sizes)))
+        return pa.array(out, type=pa.int64())
 
-    return F.pandas_udf(batch, LongType())
+    return F.arrow_udf(batch, LongType())
 
 
 def _make_bytes_udf(scalar_fn, to32: bool = False):
-    def batch(ser):
-        import pandas as pd
+    def batch(arr: pa.Array) -> pa.Array:
+        size = _pa_itemsize(arr.type)
+        t = arr.type
+        out = []
+        for v in arr.to_pylist():
+            if v is None:
+                out.append(None)
+            else:
+                u = scalar_fn(_pa_encode(v, t, size) if size else
+                              (v.encode("utf-8") if isinstance(v, str) else bytes(v)))
+                out.append(u if to32 else _to_signed64(u))
+        return pa.array(out, type=pa.int64())
 
-        size = _series_itemsize(ser)
-
-        def one(v):
-            if v is None or (isinstance(v, float) and v != v):
-                return None
-            u = scalar_fn(_arg_bytes(v, size))
-            return u if to32 else _to_signed64(u)
-
-        return pd.Series([one(v) for v in ser], dtype="Int64")
-
-    return F.pandas_udf(batch, LongType())
+    return F.arrow_udf(batch, LongType())
 
 
 def _make_int_udf(scalar_fn, to32: bool = False):
-    def batch(ser):
-        import pandas as pd
+    def batch(arr: pa.Array) -> pa.Array:
+        size = _pa_itemsize(arr.type) or 8
+        t = arr.type
+        out = []
+        for v in arr.to_pylist():
+            if v is None:
+                out.append(None)
+            else:
+                u = scalar_fn(int.from_bytes(_pa_encode(v, t, size), "little"))
+                out.append(u if to32 else _to_signed64(u))
+        return pa.array(out, type=pa.int64())
 
-        size = _series_itemsize(ser) or 8
-
-        def one(v):
-            if v is None or (isinstance(v, float) and v != v):
-                return None
-            u = scalar_fn(_arg_u64(v, size))
-            return u if to32 else _to_signed64(u)
-
-        return pd.Series([one(v) for v in ser], dtype="Int64")
-
-    return F.pandas_udf(batch, LongType())
+    return F.arrow_udf(batch, LongType())
 
 
 _UDF_CACHE: dict = {}
@@ -496,25 +550,26 @@ def exact_hash_column(name: str, *cols) -> Column:
         elif name == "sipHash128":
             # hex STRING of the 16-byte FixedString, lowercase — the same
             # column convention the fast-path stand-in uses
-            def batch128(*series):
-                import pandas as pd
-
-                sizes = [_series_itemsize(s) for s in series]
+            def batch128(*arrays):
+                sizes = [_pa_itemsize(a.type) for a in arrays]
+                types = [a.type for a in arrays]
+                cols = [a.to_pylist() for a in arrays]
                 out = []
-                for i in range(len(series[0])):
-                    vals = [s.iloc[i] for s in series]
-                    if any(
-                        v is None or (isinstance(v, float) and v != v)
-                        for v in vals
-                    ):
+                for i in range(len(cols[0])):
+                    vals = [c[i] for c in cols]
+                    if any(v is None for v in vals):
                         out.append(None)
                         continue
-                    out.append(sip128_values(vals, sizes).hex())
-                return pd.Series(out, dtype="object")
+                    enc = [
+                        v if sz == 0 else _pa_encode(v, t, sz)
+                        for v, t, sz in zip(vals, types, sizes)
+                    ]
+                    out.append(sip128_values(enc, sizes).hex())
+                return pa.array(out, type=pa.string())
 
             from pyspark.sql.types import StringType
 
-            udf = F.pandas_udf(batch128, StringType())
+            udf = F.arrow_udf(batch128, StringType())
         else:
             raise ValueError(f"no exact implementation for {name!r}")
         _UDF_CACHE[key] = udf

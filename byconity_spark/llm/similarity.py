@@ -712,12 +712,26 @@ def semdedup_keep_list(
 
     100 TB shape: one cluster-keyed self-equi-join (k chosen so clusters
     are small bounds the join), JVM HOF dot products, no driver data, no
-    crossJoin.  Output: (id, cid, keep) for EVERY vector."""
+    crossJoin.  Output: (id, cid, keep) for EVERY vector.
+
+    The Σ|cluster|² bound only holds when k GROWS with n — the default
+    k=8 is a fixture size.  Mirroring the exact-ANN 1M-row raise, this
+    guards avg-cluster-size n/k > 100k (≈10¹⁰ in-cluster pairs) and
+    raises with the k the caller should pass instead of silently
+    launching an n²-shaped join."""
     from byconity_spark.llm.clustering import kmeans_fit
 
     emb = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
     )
+    n = emb.count()
+    if n / max(k, 1) > 100_000:
+        raise ValueError(
+            f"semdedup_keep_list: n={n} with k={k} averages "
+            f"{n // max(k, 1)} vectors/cluster — the within-cluster "
+            f"self-join would be quadratic. Scale k with n "
+            f"(suggest k >= {max(8, n // 100_000)})."
+        )
     _cids, _cents, assigned = kmeans_fit(
         emb, "e", k=k, iters=iters, id_col=id_col,
         round_decimals=round_decimals,

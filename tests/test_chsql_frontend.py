@@ -1218,6 +1218,24 @@ def test_relative_nums_and_round_variants(spark):
     )
 
 
+def test_replace_regexp_one_groups_backrefs_multiline(spark):
+    """Round-8 advisory regression: the old SQL rewrite wrapped the user
+    pattern as group 1 and appended (.*)$ — a user capture group shifted
+    the numbering ('aXb' instead of 'aXc'), CH \\N backrefs weren't
+    translated, and a newline after the match made it a silent no-op."""
+    r = ch_sql(
+        spark,
+        "SELECT replaceRegexpOne('abc', '(b)', 'X') AS g, "
+        "replaceRegexpOne('abc', '(b)', '[\\\\1]') AS br, "
+        "replaceRegexpOne('a1b\nc2d', '[0-9]', 'x') AS ml, "
+        "replaceRegexpOne('aXbXc', 'X', '-') AS one",
+    ).collect()[0]
+    assert r["g"] == "aXc"          # user group doesn't break numbering
+    assert r["br"] == "a[b]c"       # CH \1 backref → matched text
+    assert r["ml"] == "axb\nc2d"    # newline after match: still replaces
+    assert r["one"] == "a-bXc"      # first occurrence only
+
+
 def test_multiarray_lambdas_and_json_fastpath(spark):
     """arrayMap over TWO arrays must zip (a bare transform would feed
     Spark's (element, index) pair into the lambda — silent wrong values);

@@ -149,6 +149,53 @@ def test_strict_mode_multiarg_and_null(spark, strict):
     assert got[1]["h"] is None
 
 
+def test_strict_mode_null_in_same_arrow_batch(spark, strict):
+    """Round-8 advisory regression: Arrow→pandas used to widen a nullable
+    int batch to float64, so a NULL row ANYWHERE in the batch silently
+    changed every other row's hash (8-byte double encoding instead of the
+    declared tinyint).  coalesce(1) forces the null into the SAME batch as
+    the probe row — the old pandas_udf path fails this, arrow_udf passes."""
+    df = spark.createDataFrame(
+        [(1, 2, ""), (None, 2, ""), (7, 1, "z")], "a int, b int, s string"
+    ).coalesce(1)
+    got = df.select(
+        ch("cityHash64", F.col("a").cast("tinyint"),
+           F.col("b").cast("tinyint"), F.col("s")).alias("h"),
+        ch("sipHash64", F.col("a").cast("tinyint")).alias("s64"),
+        ch("intHash64", F.col("a").cast("tinyint")).alias("i64"),
+    ).collect()
+    assert got[0]["h"] == _to_signed(3151614220437955012)
+    assert got[1]["h"] is None and got[1]["s64"] is None and got[1]["i64"] is None
+    assert got[0]["s64"] == _to_signed(sip64_values([1], [1]))
+    assert got[0]["i64"] == _to_signed(int_hash_64(1))
+
+
+def test_strict_mode_float32_width_and_nan(spark, strict):
+    """Float32 must hash its DECLARED 4-byte layout (np.float32 failed the
+    old isinstance(v, float) check and was int()-truncated); Float32 NaN is
+    a VALUE hashed by bit pattern, not a NULL; real NULL stays NULL."""
+    df = spark.createDataFrame(
+        [(1.5,), (float("nan"),), (None,)], "f float"
+    ).coalesce(1)
+    got = df.select(ch("cityHash64", F.col("f")).alias("h")).collect()
+    exp = _to_signed(
+        int_hash_64(int.from_bytes(struct.pack("<f", 1.5), "little"))
+    )
+    assert got[0]["h"] == exp
+    assert got[1]["h"] is not None  # NaN hashes, never raises
+    assert got[2]["h"] is None
+    # and float64 packs 8 bytes — different from the float32 encoding
+    got8 = (
+        spark.createDataFrame([(1.5,)], "f double")
+        .select(ch("cityHash64", F.col("f")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert got8 == _to_signed(
+        int_hash_64(int.from_bytes(struct.pack("<d", 1.5), "little"))
+    )
+    assert got8 != exp
+
+
 def test_strict_mode_raises_without_exact_port(spark, strict):
     df = spark.createDataFrame([("x",)], "s string")
     with pytest.raises(ValueError, match="no exact port"):

@@ -15,6 +15,7 @@ from byconity_spark.engine.hudi import (
     hudi_cow_table,
     hudi_snapshot_files,
     write_cow_file,
+    write_replacecommit_file,
 )
 
 C1, C2, C3 = "20240101000000000", "20240102000000000", "20240103000000000"
@@ -68,6 +69,52 @@ def test_time_travel(spark, cow):
 def test_not_a_hudi_table(tmp_path):
     with pytest.raises(ValueError, match="no .hoodie timeline"):
         hudi_completed_instants(str(tmp_path))
+
+
+C4 = "20240104000000000"
+
+
+def test_replacecommit_retires_old_file_groups(spark, cow):
+    """Round-8 advisory regression: a clustering replacecommit rewrites
+    file groups under NEW fileIds — the retired groups must vanish from
+    the snapshot or every clustered row is returned twice."""
+    rows = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    # cluster partition r=0: new group fg-c replaces fg-0
+    write_replacecommit_file(
+        cow, "r=0", "fg-c", C4, rows.assign(v=4),
+        replaces={"r=0": ["fg-0"]},
+    )
+    files = hudi_snapshot_files(cow)
+    assert any(f"fg-c_0-0-0_{C4}" in f for f in files)
+    assert not any("fg-0_" in f for f in files)  # retired group gone
+    df = hudi_cow_table(spark, cow, partition_types={"r": "int"})
+    got = {(row["r"], row["k"]): row["v"] for row in df.collect()}
+    assert len(got) == 6  # no duplicate rows
+    assert got[(0, 1)] == 4 and got[(1, 1)] == 1
+
+
+def test_replacecommit_time_travel_before_keeps_old_groups(spark, cow):
+    rows = pd.DataFrame({"k": [1], "name": ["a"]})
+    write_replacecommit_file(
+        cow, "r=0", "fg-c", C4, rows.assign(v=4),
+        replaces={"r=0": ["fg-0"]},
+    )
+    # read pinned BEFORE the replacecommit: fg-0 still visible
+    files = hudi_snapshot_files(cow, as_of=C2)
+    assert any(f"fg-0_0-0-0_{C2}" in f for f in files)
+    assert not any("fg-c_" in f for f in files)
+
+
+def test_inflight_replacecommit_is_invisible(cow):
+    rows = pd.DataFrame({"k": [1], "name": ["a"]})
+    write_replacecommit_file(
+        cow, "r=0", "fg-c", C4, rows.assign(v=4),
+        replaces={"r=0": ["fg-0"]}, complete=False,
+    )
+    files = hudi_snapshot_files(cow)
+    # neither the new group nor the retirement applies
+    assert any(f"fg-0_0-0-0_{C2}" in f for f in files)
+    assert not any("fg-c_" in f for f in files)
 
 
 def test_partition_filter_prunes_directories(spark, cow):

@@ -352,3 +352,19 @@ def test_semdedup_drops_within_cluster_duplicates(spark):
         for r in semdedup_keep_list(emb, k=3, iters=2, eps=0.9).collect()
     }
     assert got == {1: True, 2: False, 3: True, 4: False, 5: True}
+
+
+def test_semdedup_guards_quadratic_cluster_size(spark, monkeypatch):
+    """The Σ|cluster|² bound requires k to scale with n; a fixture-sized k
+    against a large n must raise with a usable suggestion, not launch an
+    n²-shaped self-join (round-7 verdict task)."""
+    from byconity_spark.llm import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    monkeypatch.setattr(
+        type(emb), "count", lambda self: 10_000_000, raising=True
+    )
+    with pytest.raises(ValueError, match="Scale k with n"):
+        sim.semdedup_keep_list(emb, k=8)

@@ -185,6 +185,38 @@ def test_avg_is_not_mergeable_full_path(spark, inc_spy):
     assert got == want
 
 
+def test_count_distinct_is_not_mergeable_full_path(spark, inc_spy):
+    """Round-8 advisory regression: count(DISTINCT x)/sum(DISTINCT x)
+    matched the splittable-aggregate regex and the merge path SUMMED the
+    per-refresh partials, double-counting any distinct value present in
+    both the old rollup and an inserted block.  Must take the full path."""
+    _mk_src(spark)
+    ch_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv_agg AS "
+        "SELECT r, count(DISTINCT k) AS d, sum(DISTINCT k) AS sd "
+        "FROM mv_src GROUP BY r",
+    )
+    # k=0 already exists in region 0 (ALGERIA) — re-inserting it must not
+    # bump the distinct count or the distinct sum
+    ch_sql(spark, "INSERT INTO mv_src VALUES (0, 0)")
+    got = {
+        row["r"]: (row["d"], row["sd"])
+        for row in ch_sql(spark, "SELECT r, d, sd FROM mv_agg").collect()
+    }
+    assert inc_spy == [False]
+    want = {
+        row["r"]: (row["d"], row["sd"])
+        for row in ch_sql(
+            spark,
+            "SELECT r, count(DISTINCT k) AS d, sum(DISTINCT k) AS sd "
+            "FROM mv_src GROUP BY r",
+        ).collect()
+    }
+    assert got == want
+    assert got[0][0] == 5  # still 5 distinct keys in region 0
+
+
 def test_mv_read_is_rollup_scan_not_source_rerun(spark):
     """MVs are materialized: reading one scans the rollup parquet, it does
     not re-execute the defining SELECT over the source (the reference's
