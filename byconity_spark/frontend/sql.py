@@ -95,6 +95,11 @@ def _split_args(argstr: str) -> list[str]:
     return out
 
 
+def _raise_chsql(msg: str):
+    """Expression-position raise for lambda-valued rewrite rules."""
+    raise ChSqlError(msg)
+
+
 def _is_string_literal(s: str) -> bool:
     s = s.strip()
     return len(s) >= 2 and s[0] == "'" and s[-1] == "'"
@@ -214,7 +219,11 @@ RULES: dict[str, object] = {
     "toYear": "year", "toMonth": "month", "toDayOfMonth": "day",
     "toHour": "hour", "toMinute": "minute", "toSecond": "second",
     "toQuarter": "quarter", "toDayOfYear": "dayofyear",
-    "toDate": "to_date", "toDateTime": "to_timestamp",
+    # optional 2nd arg is a TIMEZONE in CH (never a format): the string is
+    # interpreted AND displayed in that zone, so the wall-clock digits are
+    # unchanged — dropping the zone keeps the rendered value (session UTC)
+    "toDate": lambda a: f"to_date({a[0]})",
+    "toDateTime": lambda a: f"to_timestamp({a[0]})",
     "toUnixTimestamp": "unix_timestamp",
     "toStartOfYear": lambda a: f"date_trunc('year', {a[0]})",
     "toStartOfQuarter": lambda a: f"date_trunc('quarter', {a[0]})",
@@ -282,6 +291,50 @@ RULES: dict[str, object] = {
     "roundDown": lambda a: (
         f"array_max(filter({a[1]}, __x -> __x <= {a[0]}))"
     ),
+    # comparison function forms (src/Functions/comparison — CH exposes the
+    # operators as callables)
+    "appendTrailingCharIfAbsent": lambda a: (
+        f"(CASE WHEN endswith({a[0]}, {a[1]}) OR {a[0]} = '' THEN {a[0]} "
+        f"ELSE concat({a[0]}, {a[1]}) END)"
+    ),
+    "equals": lambda a: f"({a[0]} = {a[1]})",
+    "notEquals": lambda a: f"({a[0]} != {a[1]})",
+    "less": lambda a: f"({a[0]} < {a[1]})",
+    "greater": lambda a: f"({a[0]} > {a[1]})",
+    "lessOrEquals": lambda a: f"({a[0]} <= {a[1]})",
+    "greaterOrEquals": lambda a: f"({a[0]} >= {a[1]})",
+    # now([tz]) — optional display timezone (the session runs UTC, so the
+    # tz form shifts the wall-clock reading exactly like the reference
+    # renders DateTime in that zone)
+    "now": lambda a: (
+        f"from_utc_timestamp(current_timestamp(), {a[0]})" if a
+        else "current_timestamp()"
+    ),
+    # MySQL-compat ADDTIME (ByteDance mysql dialect surface)
+    "ADDTIME": lambda a: f"({a[0]} + CAST({a[1]} AS INTERVAL HOUR TO SECOND))",
+    "addtime": lambda a: f"({a[0]} + CAST({a[1]} AS INTERVAL HOUR TO SECOND))",
+    "OCT": lambda a: f"conv({a[0]}, 10, 8)",
+    "oct": lambda a: f"conv({a[0]}, 10, 8)",
+    # build identifier: a fixed engine fingerprint (reference returns the
+    # binary's build hash; any >=16-char stable token satisfies callers)
+    "buildId": lambda a: "'byconity-spark-0000000000000000'",
+    "toTimeZone": lambda a: f"from_utc_timestamp({a[0]}, {a[1]})",
+    # next_day: CH/MySQL accepts 1..7 (1 = Monday) as well as day names
+    "next_day": lambda a: (
+        f"next_day({a[0]}, element_at(array('MO','TU','WE','TH','FR',"
+        f"'SA','SU'), {a[1]}))"
+        if __import__("re").fullmatch(r"\d+", a[1].strip())
+        else f"next_day({a[0]}, {a[1]})"
+    ),
+    # URLHash: cityHash64 with ONE trailing /?# trimmed (URLHashImpl);
+    # xxhash64 stand-in like the registry (value-stable, not bit-exact —
+    # strict_hash_compat owns exactness); the level form needs the URL
+    # hierarchy and stays a loud error in the text dialect
+    "URLHash": lambda a: (
+        f"xxhash64(regexp_replace({a[0]}, '[/?#]$', ''))" if len(a) == 1
+        else _raise_chsql("URLHash(url, level) is not supported in the "
+                          "SQL dialect; use the registry Column form")
+    ),
     "startsWith": "startswith", "endsWith": "endswith",
     "trimBoth": "trim", "trimLeft": "ltrim", "trimRight": "rtrim",
     "leftPad": "lpad", "rightPad": "rpad",
@@ -289,7 +342,12 @@ RULES: dict[str, object] = {
     "notEmpty": lambda a: f"(length({a[0]}) > 0)",
     "concatWs": "concat_ws",
     # math / conditional
-    "intDiv": lambda a: f"({a[0]} div {a[1]})",
+    # truncation-toward-zero integer division, NULL-safe (mirrors the
+    # registry Column form; bare `div` rejects float/NULL operands)
+    "intDiv": lambda a: (
+        f"CAST(try_divide(CAST({a[0]} AS BIGINT) - "
+        f"try_mod(CAST({a[0]} AS BIGINT), {a[1]}), {a[1]}) AS BIGINT)"
+    ),
     "modulo": lambda a: f"({a[0]} % {a[1]})",
     # CH if() accepts UInt8 conditions (if(1, ...) in the reference's own
     # tests); the cast is a no-op for boolean conditions
@@ -1124,6 +1182,14 @@ def _array_reduce_sql(a: list[str]) -> str:
             f"(aggregate({arr}, CAST(0 AS DOUBLE), "
             f"(__a, __x) -> __a + CAST(__x AS DOUBLE)) / size({arr}))"
         )
+    # -OrNull / -OrDefault combinators over the supported folds
+    for suffix, empty_val in (("ornull", "NULL"), ("ordefault", "0")):
+        if agg.endswith(suffix):
+            base = _array_reduce_sql([f"'{agg[: -len(suffix)]}'", arr])
+            return (
+                f"(CASE WHEN size({arr}) = 0 THEN {empty_val} "
+                f"ELSE {base} END)"
+            )
     raise ChSqlError(f"arrayReduce: unsupported aggregate {agg!r}")
 
 
@@ -1179,27 +1245,69 @@ _CH_TYPE_MAP = {
     "UInt64": "BIGINT", "Float32": "FLOAT", "Float64": "DOUBLE",
     "String": "STRING", "Date": "DATE", "Date32": "DATE",
     "DateTime": "TIMESTAMP", "Bool": "BOOLEAN", "UUID": "STRING",
+    "IPv4": "STRING", "IPv6": "STRING", "JSON": "STRING",
+    "Int128": "DECIMAL(38, 0)", "Int256": "DECIMAL(38, 0)",
+    "UInt128": "DECIMAL(38, 0)", "UInt256": "DECIMAL(38, 0)",
+    "Int": "INT", "Float": "DOUBLE",
 }
 
 
 def _ch_type(t: str) -> str:
     """CH type name -> Spark type name; unknown names pass through (the
-    statement may already use Spark type names)."""
+    statement may already use Spark type names).  Composite types map
+    structurally: Array→ARRAY, Map→MAP, Tuple→STRUCT (unnamed elements get
+    the reference's 1-based positional names as _1.._n), Nested→
+    ARRAY<STRUCT> (the reference's array-of-tuples storage layout),
+    Enum→STRING, 128/256-bit ints→DECIMAL(38,0) (documented ceiling)."""
     import re
+
+    from byconity_spark.frontend.ddl import split_top_level
 
     t = t.strip()
     # wrappers that Spark doesn't distinguish
-    m = re.fullmatch(r"(?:Nullable|LowCardinality)\((.+)\)", t)
+    m = re.fullmatch(r"(?s)(?:Nullable|LowCardinality)\((.+)\)", t)
     if m:
         return _ch_type(m.group(1))
-    if re.fullmatch(r"DateTime64(\(\d+\))?", t):
+    if re.fullmatch(r"DateTime64(\(\s*\d+\s*(?:,\s*'[^']*'\s*)?\))?", t):
+        return "TIMESTAMP"
+    if re.fullmatch(r"DateTime\('[^']*'\)", t):
         return "TIMESTAMP"
     if re.fullmatch(r"FixedString\(\d+\)", t):
         return "STRING"
-    m = re.fullmatch(r"Decimal(32|64|128)\((\d+)\)", t)
+    m = re.fullmatch(r"Decimal(32|64|128|256)\((\d+)\)", t)
     if m:
-        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        prec = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
         return f"DECIMAL({prec}, {m.group(2)})"
+    m = re.fullmatch(r"Decimal\((\d+)\s*,\s*(\d+)\)", t)
+    if m:
+        return f"DECIMAL({min(int(m.group(1)), 38)}, {m.group(2)})"
+    m = re.fullmatch(r"(?s)Array\((.+)\)", t)
+    if m:
+        return f"ARRAY<{_ch_type(m.group(1))}>"
+    m = re.fullmatch(r"(?s)Map\((.+)\)", t)
+    if m:
+        k, v = split_top_level(m.group(1))
+        return f"MAP<{_ch_type(k)}, {_ch_type(v)}>"
+    m = re.fullmatch(r"(?s)(Tuple|Nested)\((.+)\)", t)
+    if m:
+        fields = []
+        for i, item in enumerate(split_top_level(m.group(2))):
+            nm = re.match(r"([A-Za-z_]\w*|`[^`]+`)\s+(\S.*)$", item, re.DOTALL)
+            if nm and not re.fullmatch(r"[A-Za-z_]\w*", item.strip()):
+                fields.append(
+                    f"{nm.group(1).strip('`')}: {_ch_type(nm.group(2))}"
+                )
+            else:
+                fields.append(f"_{i + 1}: {_ch_type(item)}")
+        struct = f"STRUCT<{', '.join(fields)}>"
+        return f"ARRAY<{struct}>" if m.group(1) == "Nested" else struct
+    if re.fullmatch(r"Enum(?:8|16)?\(.*\)", t, re.DOTALL):
+        return "STRING"
+    m = re.fullmatch(r"(?s)SimpleAggregateFunction\((\w+)\s*,\s*(.+)\)", t)
+    if m:
+        return _ch_type(m.group(2))
+    if re.fullmatch(r"(?s)AggregateFunction\(.*\)", t):
+        return "BINARY"  # opaque serialized state
     return _CH_TYPE_MAP.get(t, t)
 
 
@@ -1874,6 +1982,12 @@ RULES.update(
         "toYYYYMMDDhhmmss": lambda a: (
             f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
         ),
+        "toIntervalWeek": lambda a: f"make_interval(0, 0, {a[0]}, 0, 0, 0, 0)",
+        "toIntervalMonth": lambda a: f"make_interval(0, {a[0]}, 0, 0, 0, 0, 0)",
+        "toIntervalQuarter": lambda a: (
+            f"make_interval(0, {a[0]} * 3, 0, 0, 0, 0, 0)"
+        ),
+        "toIntervalYear": lambda a: f"make_interval({a[0]}, 0, 0, 0, 0, 0, 0)",
         "toIntervalDay": lambda a: f"make_interval(0, 0, 0, {a[0]}, 0, 0, 0)",
         "toIntervalHour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",
         "toIntervalMinute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",
@@ -2399,39 +2513,59 @@ def _rewrite_arrayjoin_calls(sql: str) -> str:
     the same call text maps to one lateral view; DIFFERENT expressions
     get independent lateral views (cartesian), also like the reference.
 
-    Only depth-0 call sites rewrite (an arrayJoin nested inside another
-    call — e.g. an aggregate — is invalid in ClickHouse too and raises)."""
+    Call sites rewrite at ANY nesting depth within this statement's own
+    scope (``toUInt32OrZero(arrayJoin([...]))`` is valid ClickHouse — the
+    multiply happens before the enclosing scalar call); sites inside a
+    parenthesized SELECT/WITH body belong to that subquery's scope and
+    are handled by the recursion below."""
     n_fn = 0
     while True:
-        # find a depth-0 `arrayJoin(` token outside strings
-        i, depth, found = 0, 0, -1
+        # find an `arrayJoin(` token outside strings and outside
+        # subquery bodies (paren groups that start with SELECT/WITH)
+        import re as _re_aj
+
+        i, found = 0, -1
         n = len(sql)
+        subq: list[bool] = []
         while i < n:
             c = sql[i]
             if c in "'\"":
                 i = _skip_string(sql, i)
                 continue
             if c == "(":
-                depth += 1
+                subq.append(bool(_re_aj.match(
+                    r"\s*(SELECT|WITH)\b", sql[i + 1 :], _re_aj.IGNORECASE
+                )))
             elif c == ")":
-                depth -= 1
+                if subq:
+                    subq.pop()
             elif (
                 sql.startswith("arrayJoin", i)
                 and (i == 0 or sql[i - 1] not in _IDENT_CHARS)
+                and not any(subq)
             ):
                 j = i + len("arrayJoin")
                 while j < n and sql[j] in " \t":
                     j += 1
-                if j < n and sql[j] == "(" and depth == 0:
+                if j < n and sql[j] == "(":
                     found = i
                     break
             i += 1
         if found < 0:
             if "arrayJoin" in sql:
+                # arrayJoin() inside a SUBQUERY: recurse into each
+                # parenthesized SELECT/WITH body and rewrite there — the
+                # lateral view belongs to that subquery's own FROM scope
+                # (reference: ActionsVisitor handles arrayJoin per
+                # interpreted SELECT, so nesting is naturally scoped)
+                rewritten = _rewrite_arrayjoin_in_subqueries(sql)
+                if rewritten != sql:
+                    sql = rewritten
+                    continue
                 raise ChSqlError(
-                    "arrayJoin() below depth 0 (inside a subquery or "
-                    "another call) is not rewritable as text; use the "
-                    "ARRAY JOIN clause in that subquery instead"
+                    "arrayJoin() below depth 0 (inside another call, e.g. "
+                    "an aggregate) is not rewritable as text; use the "
+                    "ARRAY JOIN clause instead"
                 )
             return sql
         # balanced argument extraction
@@ -2478,6 +2612,51 @@ def _rewrite_arrayjoin_calls(sql: str) -> str:
             + sql[end:]
         )
         n_fn += 1
+
+
+def _rewrite_arrayjoin_in_subqueries(sql: str) -> str:
+    """Apply the arrayJoin→LATERAL VIEW rewrite inside every
+    parenthesized SELECT/WITH body (depth-first; each subquery is its own
+    arrayJoin scope)."""
+    import re as _re
+
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "(":
+            k, d = i, 0
+            while k < n:
+                ck = sql[k]
+                if ck in "'\"`":
+                    k = _skip_string(sql, k)
+                    continue
+                if ck == "(":
+                    d += 1
+                elif ck == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                k += 1
+            inner = sql[i + 1 : k]
+            if (
+                _re.match(r"\s*(SELECT|WITH)\b", inner, _re.IGNORECASE)
+                and "arrayJoin" in inner
+            ):
+                inner = _rewrite_arrayjoin_calls(inner)
+            elif "arrayJoin" in inner:
+                inner = _rewrite_arrayjoin_in_subqueries(inner)
+            out.append("(" + inner + ")")
+            i = k + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_array_join(sql: str) -> str:
@@ -2890,7 +3069,7 @@ _SYSTEM_TABLE_MAP = {
     "system.metrics": "system_metrics",
     "system.parts": "system_parts",
     "system.one": "(SELECT 0 AS dummy)",
-    "system.numbers": "(SELECT id AS number FROM range(1000000))",
+    "system.numbers": "(SELECT id AS number FROM RANGE(1000000))",
     "system.processes": "system_processes",
     "system.quotas": "system_quotas",
     "system.quota_usage": "system_quota_usage",
@@ -2908,8 +3087,308 @@ _SYSTEM_TABLE_MAP = {
 }
 
 
+def _rewrite_system_numbers(sql: str) -> str:
+    """``FROM system.numbers[_mt] LIMIT n`` — the reference's infinite
+    generator bounded by LIMIT — becomes the bounded ``numbers(n)`` table
+    function (same distributed range source); ``system.one`` is the
+    implicit one-row relation.  An UNBOUNDED system.numbers reference has
+    no Spark analogue and raises."""
+    import re as _re
+
+    sql = _re.sub(
+        r"(?is)\b(FROM\s+)system\.numbers(?:_mt)?\s+LIMIT\s+(\d+)"
+        r"(?:\s*,\s*(\d+))?",
+        lambda m: (
+            f"{m.group(1)}(SELECT id AS number FROM "
+            f"RANGE({int(m.group(2)) + int(m.group(3))}) "
+            f"LIMIT {m.group(3)} OFFSET {m.group(2)})"
+            if m.group(3)
+            else f"{m.group(1)}(SELECT id AS number FROM "
+                 f"RANGE({m.group(2)}))"
+        ),
+        sql,
+    )
+    # bare system.numbers (no adjacent LIMIT) falls through to the
+    # 1M-capped relation in _SYSTEM_TABLE_MAP; system.one likewise
+    return sql
+
+
+def _normalize_exotic_tokens(sql: str) -> str:
+    """Token-level compatibility, quote-aware:
+    * ``0xFF`` hex integer literals → decimal (Spark lacks them);
+    * digit-leading identifiers (``00745_merge_tree_map...`` — legal in
+      ClickHouse DDL, common in the reference's own tests) → backticked;
+    * ``DATETIME '...'`` literals → ``TIMESTAMP '...'``."""
+    import re as _re
+
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        seg = parts[i]
+        seg = _re.sub(
+            r"\b0[xX]([0-9a-fA-F]+)\b",
+            lambda m: str(int(m.group(1), 16)),
+            seg,
+        )
+        # digit-leading identifier: starts with digits, contains an
+        # underscore or letters beyond a lone exponent marker — excludes
+        # numeric literals (1e5, 1.5, 0x handled above)
+        seg = _re.sub(
+            r"(?<![`\w.])(\d+_\w+|\d+[A-Za-df-zA-DF-Z_]\w*)\b(?!`)",
+            r"`\1`",
+            seg,
+        )
+        if i + 1 < len(parts):
+            seg = _re.sub(r"(?i)\bDATETIME\s*$", "TIMESTAMP ", seg)
+        parts[i] = seg
+    return "'".join(parts)
+
+
+def _rewrite_all_join_strictness(sql: str) -> str:
+    """``ALL [kind] JOIN`` — ClickHouse's EXPLICIT default strictness
+    marker (ParserJoin: ALL = every match, the standard SQL join) — drops
+    to the plain join.  Word-bounded so UNION ALL / GROUP BY ALL /
+    quantified ``> ALL (...)`` are untouched (they are never followed by
+    JOIN)."""
+    import re as _re
+
+    return _re.sub(
+        r"(?i)\bALL\s+((?:LEFT|RIGHT|INNER|FULL)\s+(?:OUTER\s+)?)?JOIN\b",
+        lambda m: (m.group(1) or "") + "JOIN",
+        sql,
+    )
+
+
+def _parenthesize_using(sql: str) -> str:
+    """``USING k1, k2`` (ClickHouse allows a bare column list) →
+    ``USING (k1, k2)`` for Spark's parser."""
+    import re as _re
+
+    return _re.sub(
+        r"(?i)\bUSING\s+(?!\()"
+        r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*,\s*(?:`[^`]+`|[A-Za-z_]\w*))*)",
+        r"USING (\1)",
+        sql,
+    )
+
+
+def _rewrite_ch_ternary(sql: str) -> str:
+    """ClickHouse ternary ``cond ? a : b`` → ``if(cond, a, b)``.
+
+    The operand span is the enclosing depth-0 segment: from the previous
+    same-depth ',' / '(' / clause keyword to the next.  Right-associative
+    (nested ternaries recurse through the else branch, like the
+    reference's ParserTernaryOperatorExpression)."""
+    import re as _re
+
+    if "?" not in sql:
+        return sql
+
+    def find_q(s: str) -> int:
+        i, n, depth = 0, len(s), 0
+        while i < n:
+            c = s[i]
+            if c in "'\"`":
+                i = _skip_string(s, i)
+                continue
+            if c == "?":
+                return i
+            i += 1
+        return -1
+
+    q = find_q(sql)
+    if q < 0:
+        return sql
+    # left boundary: walk left to the previous depth-delta comma/paren or
+    # top-level clause keyword end
+    depth = 0
+    left = 0
+    i = q - 1
+    while i >= 0:
+        c = sql[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                left = i + 1
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            left = i + 1
+            break
+        i -= 1
+    seg_head = sql[left:q]
+    km = None
+    for kw in ("SELECT", "WHERE", "WHEN", "THEN", "ELSE", "BY", "HAVING",
+               "AND", "OR", "ON", "AS", "SET"):
+        for m in _re.finditer(rf"(?i)\b{kw}\b", seg_head):
+            if km is None or m.end() > km:
+                km = m.end()
+    if km is not None:
+        left = left + km
+    cond = sql[left:q].strip()
+    # colon: scan right at depth 0, skipping nested '?' pairs
+    i, n, depth, pend = q + 1, len(sql), 0, 0
+    colon = -1
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c == "?" and depth == 0:
+            pend += 1
+        elif c == ":" and depth == 0:
+            if pend == 0:
+                colon = i
+                break
+            pend -= 1
+        elif c == "," and depth == 0:
+            break
+        i += 1
+    if colon < 0:
+        return sql  # a lone '?' that is not a ternary — leave it alone
+    then_part = sql[q + 1 : colon].strip()
+    # right boundary of the else branch
+    i, depth = colon + 1, 0
+    right = n
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                right = i
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            right = i
+            break
+        elif depth == 0 and c in " \t\n":
+            m = _re.match(
+                r"(?i)\s+(FROM|WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|"
+                r"SETTINGS|AS)\b",
+                sql[i:],
+            )
+            if m:
+                right = i
+                break
+        i += 1
+    else_part = sql[colon + 1 : right].strip()
+    new = f"{sql[:left]} if({cond}, {then_part}, {else_part}){sql[right:]}"
+    return _rewrite_ch_ternary(new)
+
+
+def _rewrite_inline_alias(sql: str) -> str:
+    """ClickHouse lets any subexpression carry an alias that later
+    expressions reference (``URLHash('x' AS url) = f(url)`` —
+    ActionsVisitor registers the alias in the scope).  Spark has no
+    analogue inside expressions; rewrite: record ``<literal-or-call> AS
+    name`` occurrences at paren depth > 0 (depth 0 is a normal SELECT-item
+    alias), drop the AS, substitute the expression for later bare
+    references."""
+    import re as _re
+
+    # find "AS ident" sites at depth > 0.  A stack tracks whether each
+    # enclosing paren group is a SUBQUERY — an AS inside one is that
+    # subquery's own SELECT-item alias, not an inline expression alias.
+    aliases: dict[str, str] = {}
+    spans = []  # (expr_start, as_end) to excise
+    i, n, depth = 0, len(sql), 0
+    subq_stack: list[bool] = []
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+            subq_stack.append(
+                bool(_re.match(r"\s*(SELECT|WITH)\b", sql[i + 1 :],
+                               _re.IGNORECASE))
+            )
+        elif c == ")":
+            depth -= 1
+            if subq_stack:
+                subq_stack.pop()
+        elif depth > 0 and not any(subq_stack) and c in "aA" and _re.match(
+            r"(?i)AS\s+([A-Za-z_]\w*)", sql[i:]
+        ) and sql[i - 1] in " \t\n":
+            m = _re.match(r"(?i)AS\s+([A-Za-z_]\w*)", sql[i:])
+            name = m.group(1)
+            # next non-space must close the arg (')' or ',') — otherwise
+            # this AS belongs to something else (CAST(x AS T) handled by
+            # its own rule before us, but stay defensive)
+            k = i + m.end()
+            while k < n and sql[k] in " \t\n":
+                k += 1
+            if k < n and sql[k] not in "),":
+                i += m.end()
+                continue
+            # walk left for the expression start: previous same-depth
+            # ',' or the opening '('
+            d2, j = 0, i - 1
+            start = None
+            while j >= 0:
+                cj = sql[j]
+                if cj == ")":
+                    d2 += 1
+                elif cj == "(":
+                    if d2 == 0:
+                        start = j + 1
+                        break
+                    d2 -= 1
+                elif cj == "," and d2 == 0:
+                    start = j + 1
+                    break
+                j -= 1
+            if start is None:
+                i += m.end()
+                continue
+            # CAST(x AS Int64)-family: the AS belongs to the cast syntax,
+            # not an alias — identified by the callable before the '('
+            if sql[start - 1] == "(":
+                fm = _re.search(r"([A-Za-z_]\w*)\s*$", sql[: start - 1])
+                if fm and fm.group(1).lower() in (
+                    "cast", "try_cast", "accuratecast",
+                    "accuratecastornull", "extract",
+                ):
+                    i += m.end()
+                    continue
+            expr = sql[start:i].strip()
+            if not expr:
+                i += m.end()
+                continue
+            aliases[name] = expr
+            spans.append((i - 1 if sql[i - 1] in " \t\n" else i, i + m.end()))
+            i += m.end()
+            continue
+        i += 1
+    if not aliases:
+        return sql
+    # excise the AS clauses (right to left)
+    for a, b in sorted(spans, reverse=True):
+        sql = sql[:a] + sql[b:]
+    # substitute later references (outside strings)
+    parts = sql.split("'")
+    for pi in range(0, len(parts), 2):
+        for name, expr in aliases.items():
+            parts[pi] = _re.sub(
+                rf"\b{name}\b(?!\s*\()", f"({expr})", parts[pi]
+            )
+    return "'".join(parts)
+
+
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
+    sql = _rewrite_system_numbers(sql)
     for dotted, target in _SYSTEM_TABLE_MAP.items():
         import re as _re_sys
         sql = _re_sys.sub(
@@ -2930,6 +3409,11 @@ def rewrite_ch_sql(sql: str) -> str:
             )
     sql = _strip_settings(sql)
     sql = _strip_format(sql)
+    sql = _normalize_exotic_tokens(sql)
+    sql = _rewrite_all_join_strictness(sql)
+    sql = _parenthesize_using(sql)
+    sql = _rewrite_ch_ternary(sql)
+    sql = _rewrite_inline_alias(sql)
     sql = _rewrite_final_replacing(sql)
     sql = _strip_final_and_global(sql)
     sql = _rewrite_prewhere(sql)
@@ -2989,13 +3473,28 @@ def rewrite_ch_sql(sql: str) -> str:
                     args2 = [
                         rewrite_ch_sql(a) for a in _split_args(sql[k2 + 1 : close2])
                     ]
-                    out.append(PARAMETRIC[name](args, args2))
+                    try:
+                        out.append(PARAMETRIC[name](args, args2))
+                    except IndexError:
+                        # reference errors with NUMBER_OF_ARGUMENTS_DOES_
+                        # NOT_MATCH (code 42); never a raw IndexError
+                        raise ChSqlError(
+                            f"{name}: wrong number of arguments "
+                            f"(got {len(args)} + {len(args2)} parameters)"
+                        ) from None
                     i = close2 + 1
                     continue
                 if name in RULES or combo is not None:
                     rule = RULES[name] if name in RULES else combo
                     if callable(rule):
-                        out.append(rule(args))
+                        try:
+                            out.append(rule(args))
+                        except IndexError:
+                            raise ChSqlError(
+                                f"{name}: wrong number of arguments "
+                                f"(got {len(args)}) — NUMBER_OF_ARGUMENTS_"
+                                f"DOES_NOT_MATCH"
+                            ) from None
                     else:
                         out.append(f"{rule}({', '.join(args)})")
                     i = close + 1
@@ -3079,6 +3578,11 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     import re as _re
 
     sql = _qualify_databases(sql)
+
+    if (_TABLE_MATERIALIZED or _TABLE_ALIASES) and _re.match(
+        r"(?is)^\s*(SELECT|WITH)\b", sql
+    ):
+        sql = _expand_hidden_columns(spark, sql)
 
     # file('path', 'Format'[, 'schema']) table function (reference
     # src/TableFunctions/TableFunctionFile.cpp over StorageFile): each
@@ -3440,7 +3944,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
                 _qlog.note_cache_usage("Read")
                 df = hit
         if df is None:
-            df = spark.sql(norm)
+            df = _sql_with_ch_ambiguity_resolution(spark, norm)
             if use_qc and query_cache.writes_enabled:
                 stores_before = query_cache.stats["stores"]
                 df = query_cache.store(norm, df)
@@ -3460,6 +3964,64 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         for _name, _orig in swaps:
             _orig.createOrReplaceTempView(_name)
     return df
+
+
+def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
+    """spark.sql with ClickHouse name resolution for ambiguous columns:
+    the reference binds a bare column that exists in several joined tables
+    to the FIRST one in join order (ExpressionAnalyzer identifier
+    resolution), where Spark raises AMBIGUOUS_REFERENCE.  On that specific
+    error, qualify the bare references with Spark's first-listed candidate
+    and retry — bounded by the number of distinct ambiguous names."""
+    import re as _re
+
+    from pyspark.sql.utils import AnalysisException
+
+    for _ in range(8):
+        try:
+            return spark.sql(norm)
+        except AnalysisException as exc:
+            msg = str(exc)
+            m = _re.search(
+                r"Reference `(\w+)` is ambiguous, could be: "
+                r"\[`([^`]+)`\.`\w+`",
+                msg,
+            )
+            if not m:
+                raise
+            name, first = m.group(1), m.group(2)
+            # qualify DEPTH-0 bare references only (inside a subquery the
+            # name belongs to that scope, not to the ambiguous join)
+            out, i, n, depth, changed = [], 0, len(norm), 0, False
+            pat = _re.compile(rf"{name}\b(?!\s*\()")
+            while i < n:
+                c = norm[i]
+                if c in "'\"`":
+                    j = _skip_string(norm, i)
+                    out.append(norm[i:j])
+                    i = j
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif (
+                    depth == 0
+                    and c == name[0]
+                    and (i == 0 or norm[i - 1] not in _IDENT_CHARS)
+                    and norm[i - 1 : i] != "."
+                    and pat.match(norm, i)
+                ):
+                    out.append(f"{first}.{name}")
+                    i += len(name)
+                    changed = True
+                    continue
+                out.append(c)
+                i += 1
+            if not changed:
+                raise
+            norm = "".join(out)
+    return spark.sql(norm)
 
 
 def _strip_sql_literals(stmt: str) -> str:
@@ -3927,6 +4489,77 @@ def _rewrite_final_replacing(sql: str) -> str:
 # ---------------------------------------------------------------------------
 _SESSION_TABLE_ENGINES: dict[str, str] = {}
 
+# Recorded DDL clauses (clause-aware CREATE TABLE parser, frontend/ddl.py):
+# sort/partition keys, per-table SETTINGS, skip-index declarations — the
+# reference's physical-layout hints, recorded for SHOW CREATE TABLE and
+# the advisor; session temp views have no physical layout to apply them to
+# (the persistent write path engine/write.py owns real layout).
+_SESSION_TABLE_SETTINGS: dict[str, dict] = {}
+_SESSION_TABLE_INDEXES: dict[str, list] = {}
+_SESSION_TABLE_KEYS: dict[str, dict] = {}
+
+# Accepted-and-recorded session settings (reference Settings.h names with
+# no Spark analogue — SET stores them here; SHOW SETTINGS surfaces them)
+_SESSION_SETTINGS: dict[str, str] = {}
+
+# DEFAULT / MATERIALIZED / ALIAS column expressions
+# (ColumnsDescription visibility rules: DEFAULT columns are ordinary for
+# SELECT *; MATERIALIZED are stored but hidden; ALIAS are computed-on-read
+# and hidden).  table -> {column: ch_expr}
+_TABLE_DEFAULTS: dict[str, dict] = {}
+_TABLE_MATERIALIZED: dict[str, dict] = {}
+_TABLE_ALIASES: dict[str, dict] = {}
+
+
+def _forget_table_metadata(name: str) -> None:
+    for d in (_SESSION_TABLE_SETTINGS, _SESSION_TABLE_INDEXES,
+              _SESSION_TABLE_KEYS, _TABLE_DEFAULTS, _TABLE_MATERIALIZED,
+              _TABLE_ALIASES):
+        d.pop(name, None)
+
+
+def _expand_hidden_columns(spark, sql: str) -> str:
+    """SELECT-side visibility for MATERIALIZED/ALIAS columns.
+
+    * A bare ``SELECT * FROM t`` on a table with MATERIALIZED columns
+      expands the star to the VISIBLE column list (ordinary + DEFAULT) —
+      the reference's SELECT * contract.
+    * A statement referencing an ALIAS column swaps ``FROM t`` for a
+      computed projection ``(SELECT *, expr AS alias_col FROM t) AS t`` —
+      computed on read, exactly like the reference resolves aliases."""
+    import re as _re
+
+    for t, hidden in list(_TABLE_MATERIALIZED.items()):
+        if not hidden or not _re.search(rf"(?i)\b{t}\b", sql):
+            continue
+        try:
+            all_cols = spark.table(t).columns
+        except Exception:
+            continue
+        visible = [c for c in all_cols if c not in hidden]
+        collist = ", ".join(f"`{c}`" for c in visible)
+        sql = _re.sub(
+            rf"(?is)\bSELECT\s+\*\s+FROM\s+{t}\b",
+            f"SELECT {collist} FROM {t}",
+            sql,
+        )
+    for t, aliases in list(_TABLE_ALIASES.items()):
+        if not aliases or not _re.search(rf"(?i)\bFROM\s+{t}\b", sql):
+            continue
+        used = {
+            c: e for c, e in aliases.items()
+            if _re.search(rf"\b{c}\b", sql)
+        }
+        if not used:
+            continue
+        proj = ", ".join(f"({e}) AS `{c}`" for c, e in used.items())
+        sql = _re.sub(
+            rf"(?i)\bFROM\s+{t}\b(?!\s*\.)",
+            f"FROM (SELECT *, {proj} FROM {t}) AS {t}",
+            sql,
+        )
+    return sql
+
 # EmbeddedRocksDB key-value engine analogue (reference
 # src/Storages/RocksDB/StorageEmbeddedRocksDB.cpp, registerStorages.cpp):
 # a PRIMARY KEY table where INSERT is an UPSERT — rocksdb Put semantics,
@@ -3948,6 +4581,104 @@ def _register_rocksdb(name: str, engine, pk) -> None:
             "EmbeddedRocksDB: PRIMARY KEY is required (BAD_ARGUMENTS)"
         )
     _ROCKSDB_KEYS[name] = [c.strip() for c in pk.split(",")]
+
+
+def _comma_join_value_tuples(rest: str) -> str:
+    """ClickHouse accepts ``VALUES (1,2) (3,4)`` — adjacent tuples with no
+    comma (ParserInsertQuery token stream); Spark requires the commas."""
+    out = []
+    i, n, depth = 0, len(rest), 0
+    last_sig = ""  # last significant char emitted
+    while i < n:
+        c = rest[i]
+        if c in "'\"":
+            j = _skip_string(rest, i)
+            out.append(rest[i:j])
+            last_sig = "'"
+            i = j
+            continue
+        if c == "(":
+            if depth == 0 and last_sig == ")":
+                out.append(", ")
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if not c.isspace():
+            last_sig = c
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _type_default_sql(spark_type: str) -> str:
+    """The reference's per-type default VALUE for omitted non-default
+    columns (Field default: 0 / '' / epoch / empty container) — CH fills
+    these, it does not insert NULLs (IColumn::insertDefault)."""
+    t = spark_type.lower()
+    if t.startswith(("tinyint", "smallint", "int", "bigint", "float",
+                     "double", "decimal")):
+        return "0"
+    if t == "string" or t.startswith("varchar") or t.startswith("char"):
+        return "''"
+    if t == "boolean":
+        return "false"
+    if t == "date":
+        return "DATE'1970-01-01'"
+    if t == "timestamp":
+        return "TIMESTAMP'1970-01-01 00:00:00'"
+    if t.startswith("array"):
+        return f"CAST(array() AS {spark_type})"
+    if t.startswith("map"):
+        return f"CAST(map() AS {spark_type})"
+    return "NULL"
+
+
+def _prepare_insert_block(spark, name: str, new, provided):
+    """Align an inserted block with ``name``'s stored layout
+    (InterpreterInsertQuery::buildChain → AddingDefaultsTransform):
+    positional columns bind to the VISIBLE schema (stored minus
+    MATERIALIZED), omitted columns fill from their DEFAULT expression or
+    the type default, MATERIALIZED columns compute from the block, and
+    every column casts to its declared type."""
+    target = spark.table(name)
+    stored = target.schema
+    mat = _TABLE_MATERIALIZED.get(name, {})
+    defaults = _TABLE_DEFAULTS.get(name, {})
+    visible = [f.name for f in stored.fields if f.name not in mat]
+    cols = provided if provided else list(new.columns)
+    if not provided:
+        # positional: bind to the visible prefix
+        if len(cols) > len(visible):
+            raise ChSqlError(
+                f"INSERT INTO {name}: {len(cols)} values for "
+                f"{len(visible)} visible columns"
+            )
+        cols = visible[: len(cols)]
+    unknown = [c for c in cols if c not in [f.name for f in stored.fields]]
+    if unknown:
+        raise ChSqlError(f"INSERT: unknown column(s) {unknown} in {name!r}")
+    new = new.toDF(*cols)
+    view = f"__ins_{name}"
+    new.createOrReplaceTempView(view)
+    exprs = []
+    for f in stored.fields:
+        t = f.dataType.simpleString()
+        if f.name in cols:
+            exprs.append(f"CAST(`{f.name}` AS {t}) AS `{f.name}`")
+        elif f.name in mat:
+            exprs.append(
+                f"CAST(({rewrite_ch_sql(mat[f.name])}) AS {t}) AS `{f.name}`"
+            )
+        elif f.name in defaults:
+            exprs.append(
+                f"CAST(({rewrite_ch_sql(defaults[f.name])}) AS {t}) "
+                f"AS `{f.name}`"
+            )
+        else:
+            exprs.append(
+                f"CAST({_type_default_sql(t)} AS {t}) AS `{f.name}`"
+            )
+    return spark.sql(f"SELECT {', '.join(exprs)} FROM {view}")
 
 
 def _apply_insert_semantics(spark, name: str, new):
@@ -4432,35 +5163,49 @@ def _try_ddl(spark: SparkSession, sql: str):
         rows = [(i + 1, st) for i, st in enumerate(transactions.statements())]
         return spark.createDataFrame(rows, "seq int, statement string")
 
-    # SET <limit setting> = <value> — session-scoped, subject to the
-    # readonly contract implemented in SessionLimits.set
-    m = re.match(r"SET\s+(\w+)\s*=\s*(.+)$", s, re.IGNORECASE)
+    # SET k = v[, k2 = v2, ...] — session-scoped.  Enforced settings
+    # (limits block) keep their semantics; every OTHER name declared by
+    # the reference's own Settings.h is ACCEPTED and recorded (visible in
+    # SHOW SETTINGS / system.settings) — they are knobs of the reference
+    # engine with no Spark analogue, and rejecting them aborted 469 of the
+    # reference's own test files on their first statement.  Genuinely
+    # unknown names still error, same as BaseSettings::set.
+    m = re.match(
+        r"SET\s+(?!SESSION\s+USER\b)(\w+\s*=.+)$", s,
+        re.IGNORECASE | re.DOTALL,
+    )
     if m:
         from byconity_spark.engine.limits import LIMIT_KEYS, session_limits
-        key = m.group(1).lower()
-        if key == "resource_group":
-            # session routing into a resource group ('' clears it)
-            from byconity_spark.engine.resource_groups import resource_groups
-            name = m.group(2).strip().strip("'\"")
-            resource_groups.set_current(name or None)
-            return spark.createDataFrame(
-                [(key, "set")], "setting string, status string"
-            )
-        if key == "ttl_now":
-            # pinned TTL clock (engine-specific, for reproducible sweeps)
-            val = m.group(2).strip().strip("'\"")
-            _TTL_NOW[0] = val or None
-            return spark.createDataFrame(
-                [(key, "set")], "setting string, status string"
-            )
-        if key not in LIMIT_KEYS:
-            raise ChSqlError(
-                f"SET: unknown or unsupported setting {key!r} "
-                f"(supported: {sorted(LIMIT_KEYS) + ['resource_group', 'ttl_now']})"
-            )
-        session_limits.set(key, m.group(2))
+        from byconity_spark.frontend.ddl import split_top_level
+        from byconity_spark.frontend.settings_known import KNOWN_SETTINGS
+
+        applied = []
+        for item in split_top_level(m.group(1)):
+            k, eq, v = item.partition("=")
+            key, val = k.strip().lower(), v.strip()
+            if not eq or not key:
+                raise ChSqlError(f"SET: cannot parse assignment {item!r}")
+            if key == "resource_group":
+                # session routing into a resource group ('' clears it)
+                from byconity_spark.engine.resource_groups import (
+                    resource_groups,
+                )
+                resource_groups.set_current(val.strip("'\"") or None)
+            elif key == "ttl_now":
+                # pinned TTL clock (engine-specific, reproducible sweeps)
+                _TTL_NOW[0] = val.strip("'\"") or None
+            elif key in LIMIT_KEYS:
+                session_limits.set(key, val)
+            elif key in KNOWN_SETTINGS:
+                _SESSION_SETTINGS[key] = val.strip("'\"")
+            else:
+                raise ChSqlError(
+                    f"SET: unknown setting {key!r} (not a reference "
+                    f"Settings.h name; enforced keys: {sorted(LIMIT_KEYS)})"
+                )
+            applied.append(key)
         return spark.createDataFrame(
-            [(key, "set")], "setting string, status string"
+            [(k, "set") for k in applied], "setting string, status string"
         )
 
     # CREATE QUOTA q FOR INTERVAL n <unit> MAX queries = x[, errors = y,
@@ -4693,6 +5438,10 @@ def _try_ddl(spark: SparkSession, sql: str):
             (k, str(session_limits.get(k)),
              0 if session_limits.get(k) == _DEFAULTS[k] else 1)
             for k in sorted(LIMIT_KEYS) if re.fullmatch(rx, k)
+        ] + [
+            (k, v, 1)
+            for k, v in sorted(_SESSION_SETTINGS.items())
+            if re.fullmatch(rx, k)
         ]
         return spark.createDataFrame(
             rows, "name string, value string, changed int"
@@ -4915,76 +5664,130 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
-        r"(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
-        r"(?:PRIMARY\s+KEY\s+\(?([\w,\s]+?)\)?\s*)?"
-        r"(?:PARTITION\s+BY\s+([\w(),\s]+?)\s*)?"
-        r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?"
-        r"(?:\s+TTL\s+(.+?))?\s+AS\s+(SELECT|WITH)\b(.*)",
+        r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"`?(\w+)`?\s*(?!\()(.*?)\s+AS\s+(SELECT|WITH)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        (name, engine, eng_args, pk, part_by, order_by, ttl, kw,
-         rest) = m.groups()
+        from byconity_spark.frontend.ddl import (
+            DDLError, key_list, parse_create_tail,
+        )
+
+        name, tail, kw, rest = m.groups()
+        try:
+            tailinfo = parse_create_tail(tail)
+        except DDLError as exc:
+            raise ChSqlError(str(exc)) from exc
+        engine, eng_args = tailinfo.engine, tailinfo.engine_args
+        order_keys = key_list(tailinfo.order_by)
         df = ch_sql(spark, kw + rest)
         df.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
-        _register_rocksdb(name, engine, pk)
-        if part_by:
-            _SESSION_TABLE_PARTITIONS[name] = part_by.strip()
-        if ttl:
-            _SESSION_TABLE_TTLS[name] = ttl.strip()
+        _register_rocksdb(name, engine, tailinfo.primary_key)
+        _forget_table_metadata(name)
+        if tailinfo.partition_by:
+            _SESSION_TABLE_PARTITIONS[name] = tailinfo.partition_by
+        if tailinfo.ttl:
+            _SESSION_TABLE_TTLS[name] = tailinfo.ttl
+        if tailinfo.settings:
+            _SESSION_TABLE_SETTINGS[name] = tailinfo.settings
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)  # re-CREATE invalidates cached readers
         if engine and engine.lower().startswith("replacingmergetree"):
             ver = (eng_args or "").strip() or df.columns[-1]
-            keys = [c.strip() for c in (order_by or df.columns[0]).split(",")]
+            keys = order_keys or [df.columns[0]]
             register_replacing_table(name, keys, ver)
         return spark.createDataFrame(
             [(name, "created")], "table string, status string"
         )
 
     # bare CREATE TABLE with a column list: empty session table with the
-    # translated schema (CH types via _ch_type); ReplacingMergeTree
-    # auto-registers the FINAL contract like the AS-SELECT form
+    # translated schema; the clause-aware parser (frontend/ddl.py) accepts
+    # the reference's REAL DDL — ORDER BY tuple()/expressions, INDEX
+    # declarations, DEFAULT/MATERIALIZED/ALIAS columns, dotted Nested
+    # names, SETTINGS/COMMENT tails (ParserCreateQuery.cpp surface).
+    # ReplacingMergeTree auto-registers the FINAL contract.
     m = re.match(
-        r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*(?=\()",
+        r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"`?(\w+)`?\s*(?=\()",
         s, re.IGNORECASE,
     )
     if m:
+        from byconity_spark.frontend.ddl import (
+            DDLError, key_list, parse_create_body, parse_create_tail,
+        )
+
         name = m.group(1)
         open_paren = s.index("(", m.end() - 1)
         close = _match_paren(s, open_paren)
-        collist = s[open_paren + 1 : close]
-        tail = s[close + 1 :]
-        tm = re.match(
-            r"\s*(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?)?\s*"
-            r"(?:PRIMARY\s+KEY\s+\(?([\w,\s]+?)\)?\s*)?"
-            r"(?:PARTITION\s+BY\s+([\w(),\s]+?)\s*)?"
-            r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?)?"
-            r"(?:\s*TTL\s+(.+?))?\s*$",
-            tail, re.IGNORECASE | re.DOTALL,
+        try:
+            body = parse_create_body(s[open_paren + 1 : close])
+            tailinfo = parse_create_tail(s[close + 1 :])
+        except DDLError as exc:
+            raise ChSqlError(str(exc)) from exc
+        engine, eng_args = tailinfo.engine, tailinfo.engine_args
+        order_keys = key_list(tailinfo.order_by)
+        pk = tailinfo.primary_key or tailinfo.unique_key or (
+            ", ".join(order_keys) if order_keys else None
         )
-        if tm is None:
-            raise ChSqlError(f"CREATE TABLE: unparsed tail {tail!r}")
-        engine, eng_args, pk, part_by, order_by, ttl = tm.groups()
-        _register_rocksdb(name, engine, pk)
-        if part_by:
-            _SESSION_TABLE_PARTITIONS[name] = part_by.strip()
-        if ttl:
-            _SESSION_TABLE_TTLS[name] = ttl.strip()
-        fields = []
-        for part in _split_args(collist):
-            part = part.strip()
-            cname, _, ctype = part.partition(" ")
-            fields.append(f"`{cname.strip('`')}` {_ch_type(ctype)}")
+        _register_rocksdb(name, engine, tailinfo.primary_key)
+        if tailinfo.partition_by:
+            _SESSION_TABLE_PARTITIONS[name] = tailinfo.partition_by
+        if tailinfo.ttl:
+            _SESSION_TABLE_TTLS[name] = tailinfo.ttl
+        _forget_table_metadata(name)
+        if tailinfo.settings:
+            _SESSION_TABLE_SETTINGS[name] = tailinfo.settings
+        if body.indexes:
+            _SESSION_TABLE_INDEXES[name] = body.indexes
+        _SESSION_TABLE_KEYS[name] = {
+            k: v for k, v in (
+                ("order_by", tailinfo.order_by),
+                ("primary_key", tailinfo.primary_key),
+                ("unique_key", tailinfo.unique_key),
+                ("sample_by", tailinfo.sample_by),
+                ("cluster_by", tailinfo.cluster_by),
+            ) if v
+        }
+        fields, defaults, materialized, aliases = [], {}, {}, {}
+        for col in body.columns:
+            if col.kind == "ALIAS":
+                aliases[col.name] = col.expr
+                continue  # never stored
+            ctype = col.ch_type
+            if ctype is None:
+                # type inferred from the DEFAULT expression; a probe select
+                # resolves constant expressions — column-referencing
+                # defaults fall back to STRING (inference without the peer
+                # schema is impossible for a text frontend)
+                try:
+                    ctype_spark = spark.sql(
+                        f"SELECT {rewrite_ch_sql(col.expr)} AS v"
+                    ).schema[0].dataType.simpleString()
+                except Exception:
+                    ctype_spark = "STRING"
+            else:
+                ctype_spark = _ch_type(ctype)
+            fields.append(f"`{col.name}` {ctype_spark}")
+            if col.kind == "DEFAULT":
+                defaults[col.name] = col.expr
+            elif col.kind == "MATERIALIZED":
+                materialized[col.name] = col.expr
+        if defaults:
+            _TABLE_DEFAULTS[name] = defaults
+        if materialized:
+            _TABLE_MATERIALIZED[name] = materialized
+        if aliases:
+            _TABLE_ALIASES[name] = aliases
         empty = spark.createDataFrame([], ", ".join(fields))
         empty.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
         if engine and engine.lower().startswith("replacingmergetree"):
             ver = (eng_args or "").strip() or empty.columns[-1]
-            keys = [c.strip() for c in (order_by or empty.columns[0]).split(",")]
+            keys = order_keys or [empty.columns[0]]
             register_replacing_table(name, keys, ver)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
         return spark.createDataFrame(
             [(name, "created")], "table string, status string"
         )
@@ -5042,6 +5845,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         return spark.createDataFrame([(stmt,)], "statement string")
 
     # INSERT INTO t [(cols)] FORMAT <fmt>\n<inline rows>  (reference
+    # block alignment shared with the VALUES/SELECT forms below
     # ParserInsertQuery.cpp FORMAT branch + src/Formats/ row-input formats:
     # JSONEachRowRowInputFormat.cpp, CSVRowInputFormat.cpp,
     # TabSeparatedRowInputFormat.cpp, ValuesBlockInputFormat.cpp).  Inline
@@ -5049,7 +5853,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     # so rows parse on the driver and land through one distributed union;
     # bulk ingestion goes through engine/sources.py readers instead.
     m = re.match(
-        r"INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*"
+        r"INSERT\s+INTO\s+(?:TABLE\s+)?`?(\w+)`?\s*"
         r"(?:\(([^)]*)\)\s*)?FORMAT\s+(\w+)\s+(.+)$",
         s, re.IGNORECASE | re.DOTALL,
     )
@@ -5077,21 +5881,33 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        r"INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
-        r"(SELECT|WITH|VALUES)\b(.*)",
+        r"INSERT\s+INTO\s+(?:TABLE\s+)?`?(\w+)`?\s*"
+        r"(?:\(([^)]*)\)\s*)?(SELECT|WITH|VALUES)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, kw, rest = m.groups()
+        name, collist, kw, rest = m.groups()
+        provided = (
+            [c.strip().strip("`") for c in collist.split(",")]
+            if collist else None
+        )
         if kw.upper() == "VALUES":
-            cols = spark.table(name).columns
+            stored = spark.table(name).columns
+            mat = _TABLE_MATERIALIZED.get(name, {})
+            cols = provided or [c for c in stored if c not in mat]
             new = spark.sql(
-                f"SELECT * FROM (VALUES {rewrite_ch_sql(rest)}) "
-                f"AS v({', '.join(cols)})"
+                f"SELECT * FROM "
+                f"(VALUES {rewrite_ch_sql(_comma_join_value_tuples(rest))}) "
+                f"AS v({', '.join(f'`{c}`' for c in cols)})"
             )
         else:
             new = ch_sql(spark, kw + rest)
-        new = new.toDF(*spark.table(name).columns)
+        new = _prepare_insert_block(spark, name, new, provided)
+        if (_SESSION_TABLE_ENGINES.get(name, "").lower() == "null"):
+            # StorageNull: INSERT discards, SELECT stays empty
+            return spark.createDataFrame(
+                [(name, "inserted")], "table string, status string"
+            )
         merged = _apply_insert_semantics(spark, name, new)
         merged.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
@@ -5103,7 +5919,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$", s, re.IGNORECASE
+        r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?$", s, re.IGNORECASE
     )
     if m:
         spark.catalog.dropTempView(m.group(1))
@@ -5112,6 +5928,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
         _SESSION_TABLE_TTLS.pop(m.group(1), None)
         _ROCKSDB_KEYS.pop(m.group(1), None)
+        _forget_table_metadata(m.group(1))
         _drop_mv_storage(m.group(1))
         for key in [k for k in _DETACHED_PARTS if k[0] == m.group(1)]:
             del _DETACHED_PARTS[key]
@@ -5124,8 +5941,30 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(m.group(1), "dropped")], "table string, status string"
         )
 
+    # ALTER TABLE t MODIFY SETTING k = v[, ...] — per-table setting knobs
+    # (reference ASTAlterQuery MODIFY_SETTING over MergeTreeSettings.h):
+    # accepted and recorded, same contract as the CREATE-time SETTINGS tail
     m = re.match(
-        r"OPTIMIZE\s+TABLE\s+([A-Za-z_]\w*)(\s+FINAL)?$", s, re.IGNORECASE
+        r"ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+SETTING\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        from byconity_spark.frontend.ddl import split_top_level
+        name = m.group(1)
+        spark.table(name)  # raises if the table doesn't exist
+        tbl = _SESSION_TABLE_SETTINGS.setdefault(name, {})
+        for item in split_top_level(m.group(2)):
+            k, eq, v = item.partition("=")
+            if not eq:
+                raise ChSqlError(f"MODIFY SETTING: bad assignment {item!r}")
+            tbl[k.strip()] = v.strip().strip("'\"")
+        return spark.createDataFrame(
+            [(name, "setting_modified")], "table string, status string"
+        )
+
+    m = re.match(
+        r"OPTIMIZE\s+TABLE\s+`?(\w+)`?(\s+FINAL)?(?:\s+SETTINGS\s+.+)?$",
+        s, re.IGNORECASE
     )
     if m:
         name, final = m.group(1), bool(m.group(2))

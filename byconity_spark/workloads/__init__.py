@@ -131,6 +131,24 @@ _PREVIOUSLY_CERTIFIED = {
     "fn_s2_suite", "agg_theta_state_merge", "chsql_final_replacing",
     "beh_attribution_position", "llm_unigram_logppl", "fn_round7_suite",
     "agg_frequency", "chsql_system_tables",
+    # r07 (50/50 green)
+    "beh_attribution_time_decay", "llm_repetition", "fn_round7b_suite",
+    "chsql_ddl_roundtrip", "agg_misc_suite", "source_hudi_cow",
+    "beh_xirr", "llm_stratified_sample", "fn_textsearch_suite",
+    "chsql_geo_suite", "agg_group_array_insert_at", "beh_funnel_rep",
+    "llm_chunking", "fn_bayes_ab", "chsql_lbs_circle",
+    "agg_foreach_suite", "beh_user_distribution", "llm_kmeans_clusters",
+    "fn_blake3_vectors", "chsql_mutation_ddl", "agg_sum_stack",
+    "beh_max_intersections", "llm_dup_ngram_filter", "fn_lbs_filter_suite",
+    "chsql_system_parts", "agg_merge_stream_stack", "beh_gen_array",
+    "llm_source_cap", "fn_hash_exact_vectors", "chsql_limits_suite",
+    "agg_bitwise_linreg", "beh_count_by_granularity", "llm_dsir_selection",
+    "chsql_quota_process_suite", "agg_uniq_combined_tiers", "beh_mann_whitney",
+    "llm_semdedup", "chsql_stats_ddl", "agg_concat_deltasum_ts",
+    "beh_finder_funnel", "chsql_resource_group_suite", "agg_arbitrary_single",
+    "beh_funnel_rep_by_times", "chsql_backup_restore", "agg_moments_suite",
+    "beh_finder_funnel_by_times", "chsql_advisor_suite", "agg_parity_ext_suite",
+    "beh_finder_group_funnel_by_times", "chsql_dictionary_sql",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec

