@@ -214,7 +214,7 @@ def key_list(expr: str | None) -> list[str]:
 
 _MODIFIER_KEYWORDS = [
     "DEFAULT", "MATERIALIZED", "ALIAS", "CODEC", "TTL", "COMMENT",
-    "NOT NULL", "NULL",
+    "NOT NULL", "NULL", "KV", "BYTE",
 ]
 # expression TERMINATORS exclude NULL/NOT NULL — they legally appear inside
 # DEFAULT/TTL expressions (`d DEFAULT NULL`, `x IS NOT NULL`)
@@ -344,6 +344,8 @@ def _parse_column_item(item: str) -> ColumnDef:
             col.not_null = True
         elif kw == "NULL":
             pass  # nullable is the default here
+        elif kw in ("KV", "BYTE"):
+            pass  # ByteDance Map storage variants — layout hints only
     if col.ch_type is None and col.kind is None:
         raise DDLError(
             f"CREATE TABLE: column {name!r} has neither a type nor a "

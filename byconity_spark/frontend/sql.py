@@ -39,10 +39,15 @@ class ChSqlError(ValueError):
 # ---------------------------------------------------------------- scanning
 
 def _skip_string(sql: str, i: int) -> int:
-    """i points at a quote char; return index past the closing quote."""
+    """i points at a quote char; return index past the closing quote.
+    Single-quoted literals process BOTH escape styles ('' and \\', like
+    the reference's parser and Spark's default)."""
     q = sql[i]
     i += 1
     while i < len(sql):
+        if q == "'" and sql[i] == "\\" and i + 1 < len(sql):
+            i += 2  # backslash escape: \' \\ \n ...
+            continue
         if sql[i] == q:
             if i + 1 < len(sql) and sql[i + 1] == q:  # doubled quote
                 i += 2
@@ -298,6 +303,17 @@ RULES: dict[str, object] = {
         f"ELSE concat({a[0]}, {a[1]}) END)"
     ),
     "equals": lambda a: f"({a[0]} = {a[1]})",
+    # variadic logical forms (reference FunctionsLogical: any arity)
+    "xor": lambda a: (
+        "(" + " != ".join(f"CAST(({x}) AS BOOLEAN)" for x in a) + ")"
+    ),
+    "emptyArrayToSingle": lambda a: (
+        # reference: [] -> [default]; NULL carries the element type so the
+        # branch stays type-stable (the reference fills 0/''-defaults —
+        # documented NULL stand-in, same convention as arrayReduce)
+        f"(CASE WHEN size({a[0]}) = 0 "
+        f"THEN array(try_element_at({a[0]}, 1)) ELSE {a[0]} END)"
+    ),
     "notEquals": lambda a: f"({a[0]} != {a[1]})",
     "less": lambda a: f"({a[0]} < {a[1]})",
     "greater": lambda a: f"({a[0]} > {a[1]})",
@@ -1272,6 +1288,8 @@ def _ch_type(t: str) -> str:
         return "TIMESTAMP"
     if re.fullmatch(r"DateTime\('[^']*'\)", t):
         return "TIMESTAMP"
+    if re.fullmatch(r"(?:DateTimeWithoutTz|Time)(\(\d+\))?", t):
+        return "TIMESTAMP_NTZ"
     if re.fullmatch(r"FixedString\(\d+\)", t):
         return "STRING"
     m = re.fullmatch(r"Decimal(32|64|128|256)\((\d+)\)", t)
@@ -1773,6 +1791,9 @@ PARAMETRIC.update(
             f"percentile(CASE WHEN {a[1]} THEN {a[0]} END, {p[0]})"
         ),
         "quantileTiming": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+        "quantileTimingWeighted": lambda p, a: (
+            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+        ),
         "quantilesTiming": lambda p, a: (
             f"percentile_approx({a[0]}, array({', '.join(p)}))"
         ),
@@ -1962,6 +1983,11 @@ RULES.update(
         "age": _age_sql,  # timestampdiff counts COMPLETE units = CH age
         "formatDateTime": _format_datetime_sql,
         "today": lambda a: "current_date()",
+        # quantileTiming(0.5) shorthands (reference aliases)
+        "medianTiming": lambda a: f"percentile_approx({a[0]}, 0.5)",
+        "medianTimingWeighted": lambda a: (
+            f"percentile({a[0]}, 0.5, CAST({a[1]} AS BIGINT))"
+        ),
         "yesterday": lambda a: "date_sub(current_date(), 1)",
         "toStartOfFiveMinutes": _bucket_ts(300),
         "toStartOfTenMinutes": _bucket_ts(600),
@@ -2227,6 +2253,50 @@ def _rewrite_distinct_on(sql: str) -> str:
         f"SELECT * EXCEPT (__dn) FROM ({inner}) AS __d "
         f"WHERE __dn = 1{outer_order}"
     )
+
+
+def _strip_ranking_frames(sql: str) -> str:
+    """Frame clauses on RANKING window functions: the reference accepts
+    and ignores them (rank() is frame-insensitive); Spark rejects the
+    combination — strip the frame from the OVER body."""
+    import re
+
+    pat = re.compile(
+        r"\b(rank|dense_rank|row_number|ntile|percent_rank|cume_dist)"
+        r"\s*\([^)]*\)\s+over\s*\(",
+        re.IGNORECASE,
+    )
+    out, i = [], 0
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        op = m.end() - 1
+        close = _match_paren(sql, op)
+        body = sql[op + 1 : close]
+        fm = None
+        depth = 0
+        k = 0
+        while k < len(body):
+            ck = body[k]
+            if ck in "'\"":
+                k = _skip_string(body, k)
+                continue
+            if ck == "(":
+                depth += 1
+            elif ck == ")":
+                depth -= 1
+            elif depth == 0:
+                mm = re.match(r"(?i)\b(ROWS|RANGE|GROUPS)\b", body[k:])
+                if mm and (k == 0 or not body[k - 1].isalnum()):
+                    fm = k
+                    break
+            k += 1
+        if fm is not None:
+            body = body[:fm].rstrip()
+        out.append(sql[i : op + 1] + body)
+        i = close
 
 
 def _rewrite_frame_offsets(sql: str) -> str:
@@ -3426,6 +3496,7 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_distinct_on_recursive(sql)
     sql = _rewrite_frame_offsets(sql)
+    sql = _strip_ranking_frames(sql)
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_colon_casts(sql)
     sql = _rewrite_limit_offset_comma(sql)
@@ -3596,6 +3667,11 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     # (reference TableFunctionURL.cpp over StorageURL)
     if _re.search(r"(?i)\burl\s*\(\s*'", sql):
         sql = _expand_url_table_function(spark, sql)
+
+    # VALUES('structure', tuples...) table function
+    # (reference TableFunctionValues.cpp)
+    if _re.search(r"(?i)\bFROM\s+VALUES\s*\(\s*'", sql):
+        sql = _expand_values_table_function(spark, sql)
 
     # merge('regex') table function (reference TableFunctionMerge.cpp /
     # StorageMerge): union every SESSION table whose name matches, columns
@@ -4989,21 +5065,15 @@ def _qualify_databases(sql: str) -> str:
         return sql
 
     def outside(seg: str) -> str:
-        def dot(m):
-            db, t = m.group(1), m.group(2)
-            if db == "default":
-                return t
-            if db in _SESSION_DATABASES:
-                return f"{db}__{t}"
-            return m.group(0)
-
-        seg = re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", dot, seg)
+        # current-database resolution runs FIRST, and only on UNQUALIFIED
+        # names (a trailing '.' marks an explicit db.table reference —
+        # re-qualifying after the dot rewrite double-prefixed the name)
         if cur != "default":
             # CREATE lands in the current database unconditionally
             seg = re.sub(
                 r"(?i)\b(CREATE\s+TABLE(?:\s+IF\s+NOT\s+EXISTS)?|"
                 r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW(?:\s+IF\s+NOT\s+EXISTS)?)"
-                r"\s+([A-Za-z_]\w*)\b",
+                r"\s+(\w+)\b(?!\s*\.)",
                 lambda m: f"{m.group(1)} {cur}__{m.group(2)}",
                 seg,
             )
@@ -5011,14 +5081,28 @@ def _qualify_databases(sql: str) -> str:
             # the table exists there (else they fall through to default)
             def ref(m):
                 kw, name = m.group(1), m.group(2)
+                if cur == "system" and f"system.{name}" in _SYSTEM_TABLE_MAP:
+                    return f"{kw} system.{name}"
                 if f"{cur}__{name}" in _SESSION_TABLE_ENGINES:
                     return f"{kw} {cur}__{name}"
                 return m.group(0)
 
             seg = re.sub(
-                r"(?i)\b(FROM|JOIN|INTO|TABLE)\s+([A-Za-z_]\w*)\b", ref, seg
+                r"(?i)\b(FROM|JOIN|INTO\s+TABLE|INTO|TABLE)\s+(\w+)\b"
+                r"(?!\s*\.)",
+                ref, seg,
             )
-        return seg
+
+        def dot(m):
+            db, t = m.group(1), m.group(2)
+            if db == "default":
+                return t
+            if db in _SESSION_DATABASES and db != "system":
+                # system.* stays dotted for _SYSTEM_TABLE_MAP resolution
+                return f"{db}__{t}"
+            return m.group(0)
+
+        return re.sub(r"\b(\w+)\.([A-Za-z_]\w*)\b", dot, seg)
 
     parts = sql.split("'")
     for i in range(0, len(parts), 2):
@@ -5340,7 +5424,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     # database branch, DatabaseCatalog.h; resolution in
     # _qualify_databases)
     m = re.match(
-        r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?$",
         s, re.IGNORECASE,
     )
     if m:
@@ -5355,7 +5439,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        r"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)$",
+        r"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?`?(\w+)`?$",
         s, re.IGNORECASE,
     )
     if m:
@@ -5382,9 +5466,13 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(name, "dropped")], "database string, status string"
         )
 
-    m = re.match(r"USE\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
+    m = re.match(r"USE\s+`?(\w+)`?$", s, re.IGNORECASE)
     if m:
         name = m.group(1)
+        if name == "system":
+            # the introspection namespace is always present (its tables
+            # resolve through _SYSTEM_TABLE_MAP, not the session catalog)
+            _SESSION_DATABASES.add("system")
         if name not in _SESSION_DATABASES:
             raise ChSqlError(f"UNKNOWN_DATABASE: {name!r}")
         _CURRENT_DATABASE[0] = name
@@ -5891,13 +5979,46 @@ def _try_ddl(spark: SparkSession, sql: str):
             [c.strip().strip("`") for c in collist.split(",")]
             if collist else None
         )
+        if provided:
+            # exact name first; case-insensitive fallback (the MySQL-
+            # compat dialect resolves column names case-insensitively)
+            canon = {c.lower(): c for c in spark.table(name).columns}
+            provided = [
+                c if c in canon.values() else canon.get(c.lower(), c)
+                for c in provided
+            ]
         if kw.upper() == "VALUES":
-            stored = spark.table(name).columns
+            schema = spark.table(name).schema
+            stored = [f.name for f in schema.fields]
             mat = _TABLE_MATERIALIZED.get(name, {})
             cols = provided or [c for c in stored if c not in mat]
+            rows = _comma_join_value_tuples(rest)
+            if (
+                len(cols) == 1
+                and schema[cols[0]].dataType.simpleString().startswith(
+                    "struct"
+                )
+            ):
+                # single Tuple column: `VALUES ((a, b, c))` — the inner
+                # parens are a TUPLE LITERAL, not a 3-column row
+                # (ValuesBlockInputFormat); wrap as a struct constructor
+                from byconity_spark.frontend.ddl import split_top_level
+                fields = [f.name for f in schema[cols[0]].dataType.fields]
+                wrapped = []
+                for row in split_top_level(rows):
+                    inner = row.strip()[1:-1].strip()  # drop row parens
+                    if inner.startswith("(") and inner.endswith(")"):
+                        # named_struct, not struct(): Spark expands a bare
+                        # struct() VALUES row into N columns
+                        elems = split_top_level(inner[1:-1])
+                        inner = "named_struct(" + ", ".join(
+                            f"'{fn}', {e}" for fn, e in zip(fields, elems)
+                        ) + ")"
+                    wrapped.append(f"({inner})")
+                rows = ", ".join(wrapped)
             new = spark.sql(
                 f"SELECT * FROM "
-                f"(VALUES {rewrite_ch_sql(_comma_join_value_tuples(rest))}) "
+                f"(VALUES {rewrite_ch_sql(rows)}) "
                 f"AS v({', '.join(f'`{c}`' for c in cols)})"
             )
         else:
@@ -6657,6 +6778,48 @@ RULES.update(
 # (the repo-wide "dictGet semantics with Nullable" convention) —
 # dictGetOrDefault supplies the default.
 # ---------------------------------------------------------------------------
+
+def _expand_values_table_function(spark, sql: str) -> str:
+    """``FROM VALUES('x UInt64, s String[, z ALIAS expr]', (..), ..)`` —
+    the reference's VALUES table function (TableFunctionValues.cpp):
+    declared CH types cast every tuple column; ALIAS entries become
+    computed columns over the named ones."""
+    import re
+
+    from byconity_spark.frontend.ddl import parse_create_body, split_top_level
+
+    pat = re.compile(r"(?i)\b(FROM\s+)VALUES\s*\(")
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        open_p = sql.index("(", m.end() - 1)
+        close = _match_paren(sql, open_p)
+        args = split_top_level(sql[open_p + 1 : close])
+        if not args or not _is_string_literal(args[0]):
+            raise ChSqlError(
+                "VALUES table function: first argument must be the "
+                "'name Type, ...' structure string"
+            )
+        body = parse_create_body(
+            _unescape_sql_literal(_literal_value(args[0]))
+        )
+        rows = ", ".join(args[1:])
+        ordinary = [c for c in body.columns if c.kind != "ALIAS"]
+        inner_cols = ", ".join(f"__c{i + 1}" for i in range(len(ordinary)))
+        casts = ", ".join(
+            f"CAST(__c{i + 1} AS {_ch_type(c.ch_type)}) AS `{c.name}`"
+            for i, c in enumerate(ordinary)
+        )
+        aliases = [c for c in body.columns if c.kind == "ALIAS"]
+        inner = (
+            f"(SELECT {casts} FROM (VALUES {rows}) AS __vtf({inner_cols}))"
+        )
+        if aliases:
+            extra = ", ".join(f"({c.expr}) AS `{c.name}`" for c in aliases)
+            inner = f"(SELECT *, {extra} FROM {inner})"
+        sql = sql[: m.end(1)] + inner + sql[close + 1 :]
+
 
 def _expand_file_table_function(spark, sql: str) -> str:
     """Replace every ``file('path', 'Format'[, 'schema'])`` call with a

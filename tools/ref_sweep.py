@@ -35,13 +35,23 @@ REF_DIR = "/root/reference/tests/queries/4_cnch_stateless"
 
 
 def split_statements(sql: str) -> list[str]:
-    """Split on top-level ';' — quote- and comment-aware."""
+    """Split on top-level ';' — quote- and comment-aware.  A
+    clickhouse-test error annotation (``-- { serverError N }`` /
+    ``{ clientError N }``) attaches to the statement it follows: the
+    reference's own harness EXPECTS that statement to raise, so the sweep
+    marks it with a leading ``--EXPECT_ERROR `` sentinel."""
     out, cur = [], []
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
         if c == "-" and sql[i : i + 2] == "--":
             j = sql.find("\n", i)
+            comment = sql[i : n if j < 0 else j]
+            if re.search(r"\{\s*(serverError|clientError)", comment):
+                if "".join(cur).strip():
+                    cur.insert(0, "--EXPECT_ERROR ")  # pre-';' placement
+                elif out and not out[-1].startswith("--EXPECT_ERROR "):
+                    out[-1] = "--EXPECT_ERROR " + out[-1]  # post-';'
             i = n if j < 0 else j
             continue
         if c == "/" and sql[i : i + 2] == "/*":
@@ -131,11 +141,20 @@ def main() -> None:
             continue
         err = None
         for st in stmts:
+            expect_error = st.startswith("--EXPECT_ERROR ")
+            if expect_error:
+                st = st[len("--EXPECT_ERROR "):].strip()
             try:
                 df = ch_sql(spark, st)
                 if df is not None and hasattr(df, "collect"):
                     df.limit(100).collect()
+                if expect_error:
+                    err = (st, "EXPECTED an error (reference test marks "
+                               "this statement serverError) but it ran")
+                    break
             except Exception as exc:  # noqa: BLE001 — bucket everything
+                if expect_error:
+                    continue  # the reference expects this raise too
                 err = (st, f"{type(exc).__name__}: {exc}")
                 break
         if err is None:
