@@ -307,6 +307,18 @@ RULES: dict[str, object] = {
     "xor": lambda a: (
         "(" + " != ".join(f"CAST(({x}) AS BOOLEAN)" for x in a) + ")"
     ),
+    # NOTE: or/and/not double as SQL's infix keywords — the rewrite loop
+    # only takes the whitespace-free call form (_INFIX_KEYWORD_FUNCS), and
+    # a single-argument and(x)/or(x) re-emits as infix (it was `a and(b)`)
+    "or": lambda a: (
+        "(" + " OR ".join(f"CAST(({x}) AS BOOLEAN)" for x in a) + ")"
+        if len(a) >= 2 else f"OR ({a[0]})"
+    ),
+    "and": lambda a: (
+        "(" + " AND ".join(f"CAST(({x}) AS BOOLEAN)" for x in a) + ")"
+        if len(a) >= 2 else f"AND ({a[0]})"
+    ),
+    "not": lambda a: f"(NOT CAST(({a[0]}) AS BOOLEAN))",
     "emptyArrayToSingle": lambda a: (
         # reference: [] -> [default]; NULL carries the element type so the
         # branch stays type-stable (the reference fills 0/''-defaults —
@@ -1381,8 +1393,11 @@ def _rewrite_scalar_with(sql: str) -> str:
         elif depth == 0 and c == "," :
             items.append(sql[start:i])
             start = i + 1
-        elif depth == 0 and sql[i : i + 7].upper() == "SELECT " and (
-            i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+        elif (
+            depth == 0
+            and sql[i : i + 6].upper() == "SELECT"
+            and (i + 6 >= n or sql[i + 6].isspace() or sql[i + 6] == "*")
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
         ):
             items.append(sql[start:i])
             sel_at = i
@@ -1393,7 +1408,7 @@ def _rewrite_scalar_with(sql: str) -> str:
     ctes, scalars = [], []
     for it in items:
         mm = re.fullmatch(
-            r"(?s)\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*", it
+            r"(?si)\s*(.+?)\s+AS\s+([A-Za-z_]\w*)\s*", it
         )
         if mm:
             scalars.append((mm.group(2), mm.group(1)))
@@ -1401,8 +1416,15 @@ def _rewrite_scalar_with(sql: str) -> str:
             ctes.append(it.strip())
     if not scalars:
         return sql
-    body = sql[sel_at:]
+    # later scalar items may reference earlier aliases
+    # (WITH 'x' AS s, f(s) AS y SELECT ...)
+    resolved: list = []
     for name, expr in scalars:
+        for pname, pexpr in resolved:
+            expr = re.sub(rf"\b{re.escape(pname)}\b", f"({pexpr})", expr)
+        resolved.append((name, expr))
+    body = sql[sel_at:]
+    for name, expr in resolved:
         body = re.sub(rf"\b{re.escape(name)}\b", f"({expr})", body)
     head = f"WITH {', '.join(ctes)} " if ctes else ""
     return head + body
@@ -1796,6 +1818,10 @@ PARAMETRIC.update(
         ),
         "quantilesTiming": lambda p, a: (
             f"percentile_approx({a[0]}, array({', '.join(p)}))"
+        ),
+        "quantilesTimingWeighted": lambda p, a: (
+            f"percentile({a[0]}, array({', '.join(p)}), "
+            f"CAST({a[1]} AS BIGINT))"
         ),
         # arbitrary-prefix sample (CH's reservoir is also arrival-arbitrary)
         "groupArraySample": lambda p, a: (
@@ -3138,6 +3164,7 @@ _SYSTEM_TABLE_MAP = {
     "system.query_log": "system_query_log",
     "system.metrics": "system_metrics",
     "system.parts": "system_parts",
+    "system.cnch_parts": "system_parts",
     "system.one": "(SELECT 0 AS dummy)",
     "system.numbers": "(SELECT id AS number FROM RANGE(1000000))",
     "system.processes": "system_processes",
@@ -3211,6 +3238,95 @@ def _normalize_exotic_tokens(sql: str) -> str:
             seg = _re.sub(r"(?i)\bDATETIME\s*$", "TIMESTAMP ", seg)
         parts[i] = seg
     return "'".join(parts)
+
+
+def _rewrite_map_literals(sql: str) -> str:
+    """ClickHouse map literals ``{'k': v, ...}`` → ``map('k', v, ...)``
+    (ParserCollectionOfLiterals); nested maps recurse.  Braces whose
+    content doesn't look like key:value pairs pass through untouched."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "{":
+            depth, k = 0, i
+            while k < n:
+                ck = sql[k]
+                if ck in "'\"`":
+                    k = _skip_string(sql, k)
+                    continue
+                if ck == "{":
+                    depth += 1
+                elif ck == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                out.append(c)
+                i += 1
+                continue
+            inner = _rewrite_map_literals(sql[i + 1 : k])
+
+            def _split_brackets_aware(s2: str) -> list:
+                items, cur, d3, ci2 = [], [], 0, 0
+                while ci2 < len(s2):
+                    c2 = s2[ci2]
+                    if c2 in "'\"`":
+                        j2 = _skip_string(s2, ci2)
+                        cur.append(s2[ci2:j2])
+                        ci2 = j2
+                        continue
+                    if c2 in "([{":
+                        d3 += 1
+                    elif c2 in ")]}":
+                        d3 -= 1
+                    elif c2 == "," and d3 == 0:
+                        items.append("".join(cur))
+                        cur = []
+                        ci2 += 1
+                        continue
+                    cur.append(c2)
+                    ci2 += 1
+                items.append("".join(cur))
+                return [x.strip() for x in items if x.strip()]
+
+            pairs = []
+            ok = bool(inner.strip()) or True
+            for item in _split_brackets_aware(inner):
+                ci, d2, colon = 0, 0, -1
+                while ci < len(item):
+                    cc = item[ci]
+                    if cc in "'\"`":
+                        ci = _skip_string(item, ci)
+                        continue
+                    if cc in "([{":
+                        d2 += 1
+                    elif cc in ")]}":
+                        d2 -= 1
+                    elif cc == ":" and d2 == 0:
+                        colon = ci
+                        break
+                    ci += 1
+                if colon < 0:
+                    ok = False
+                    break
+                pairs.append((item[:colon].strip(), item[colon + 1 :].strip()))
+            if ok:
+                args = ", ".join(f"{k_}, {v_}" for k_, v_ in pairs)
+                out.append(f"map({args})")
+                i = k + 1
+                continue
+            out.append(c)
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_all_join_strictness(sql: str) -> str:
@@ -3456,6 +3572,11 @@ def _rewrite_inline_alias(sql: str) -> str:
     return "'".join(parts)
 
 
+# names that are ALSO SQL infix keywords: only `name(` with no whitespace
+# before the paren is the ClickHouse call form
+_INFIX_KEYWORD_FUNCS = frozenset({"or", "and", "not"})
+
+
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
     sql = _rewrite_system_numbers(sql)
@@ -3480,6 +3601,8 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _strip_settings(sql)
     sql = _strip_format(sql)
     sql = _normalize_exotic_tokens(sql)
+    if "{" in sql:
+        sql = _rewrite_map_literals(sql)
     sql = _rewrite_all_join_strictness(sql)
     sql = _parenthesize_using(sql)
     sql = _rewrite_ch_ternary(sql)
@@ -3528,6 +3651,12 @@ def rewrite_ch_sql(sql: str) -> str:
                 if (name in RULES or name in PARAMETRIC)
                 else _combinator_rule(name)
             )
+            if name in _INFIX_KEYWORD_FUNCS and k != j:
+                # `x and (y)` is the INFIX operator, not the and() call —
+                # only the whitespace-free call form rewrites
+                out.append(name)
+                i = j
+                continue
             if k < n and sql[k] == "(" and (
                 name in RULES or name in PARAMETRIC or combo is not None
             ):
@@ -3814,7 +3943,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if _re.search(r"\bsystem\.query_log\b", sql, _re.IGNORECASE):
         from byconity_spark.engine.query_log import query_log as _qlog
         _qlog.entries_df(spark).createOrReplaceTempView("system_query_log")
-    if _re.search(r"\bsystem\.parts\b", sql, _re.IGNORECASE):
+    if _re.search(r"\bsystem\.(cnch_)?parts\b", sql, _re.IGNORECASE):
         # CH system.parts (StorageSystemParts.cpp) — parquet files play
         # the role of parts; rows come from footer metadata only
         from byconity_spark.engine.catalog import _LAST_SF_DIR, parts_rows
@@ -5102,7 +5231,7 @@ def _qualify_databases(sql: str) -> str:
                 return f"{db}__{t}"
             return m.group(0)
 
-        return re.sub(r"\b(\w+)\.([A-Za-z_]\w*)\b", dot, seg)
+        return re.sub(r"\b(\w+)\.(\w+)\b", dot, seg)
 
     parts = sql.split("'")
     for i in range(0, len(parts), 2):
@@ -5181,7 +5310,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     m = re.match(
         r"SYSTEM\s+(DROP\s+QUERY\s+CACHE|RELOAD\s+DICTIONARIES|"
         r"RELOAD\s+DICTIONARY\s+([A-Za-z_]\w*)|FLUSH\s+LOGS|"
-        r"(STOP|START)\s+MERGES(?:\s+([A-Za-z_]\w*))?)$",
+        r"(STOP|START)\s+MERGES(?:\s+`?(\w+)`?)?)$",
         s, re.IGNORECASE,
     )
     if m:
@@ -6471,12 +6600,20 @@ def _try_ddl(spark: SparkSession, sql: str):
     # StorageMaterializedView.h; refresh-on-stale in _refresh_stale_mvs)
     m = re.match(
         r"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"([A-Za-z_]\w*)\s+AS\s+(SELECT|WITH)\b(.*)",
+        r"`?(\w+)`?"
+        r"(?:\s+TO\s+`?(\w+)`?\s*(?:\(([^()]*)\))?)?"
+        r"\s+AS\s+(SELECT|WITH)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, kw, rest = m.groups()
+        name, to_table, _to_cols, kw, rest = m.groups()
         select = kw + rest
+        if to_table:
+            # TO-table form (StorageMaterializedView inner-table
+            # indirection): reads of the MV resolve to the rollup like the
+            # plain form; the declared target keeps its own identity —
+            # recorded so SHOW CREATE can surface it
+            _SESSION_TABLE_ENGINES.setdefault(name, "MaterializedView")
         mv = {
             "select": select,
             "sources": set(_mv_sources(select)),

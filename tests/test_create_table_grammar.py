@@ -169,6 +169,60 @@ def test_arrayjoin_inside_subquery(spark):
     assert sorted(x["key1"] for x in r) == [1, 2, 3]
 
 
+def test_tuple_column_values_insert(spark):
+    """00520_tuple_values_interpreter: a single Tuple column's VALUES row
+    is a tuple LITERAL, not a multi-column row."""
+    ch_sql(spark, "DROP TABLE IF EXISTS g_tup")
+    ch_sql(spark, "CREATE TABLE g_tup (t Tuple(Date, UInt32, UInt64)) "
+                  "ENGINE = CnchMergeTree ORDER BY t")
+    ch_sql(spark, "INSERT INTO g_tup VALUES "
+                  "((concat('2000', '-01-01'), 12+3, 45+6))")
+    ch_sql(spark, "INSERT INTO g_tup VALUES (('2000-01-01', 123, 456))")
+    rows = ch_sql(spark, "SELECT * FROM g_tup ORDER BY t").collect()
+    assert [tuple(r["t"]) for r in rows] == [
+        (__import__("datetime").date(2000, 1, 1), 15, 51),
+        (__import__("datetime").date(2000, 1, 1), 123, 456),
+    ]
+    ch_sql(spark, "DROP TABLE g_tup")
+
+
+def test_insert_case_insensitive_columns(spark):
+    """60104 mysql-dialect shape: column names resolve case-insensitively
+    when no exact match exists."""
+    ch_sql(spark, "CREATE TABLE g_ppl (event_date Date, event_type String)"
+                  " ENGINE = CnchMergeTree ORDER BY tuple()")
+    ch_sql(spark, "INSERT INTO g_ppl (EVENT_date, EVENT_TYPE) "
+                  "VALUES ('2024-01-01', 'x')")
+    r = ch_sql(spark, "SELECT * FROM g_ppl").collect()[0]
+    assert str(r["event_date"]) == "2024-01-01" and r["event_type"] == "x"
+
+
+def test_values_table_function_with_alias(spark):
+    """00978_table_function_values_alias."""
+    r = ch_sql(
+        spark,
+        r"SELECT x, s, z FROM VALUES('x UInt64, s String, "
+        r"z ALIAS concat(toString(x), \': \', s)', "
+        r"(1, 'hello'), (2, 'world'))",
+    ).collect()
+    assert [tuple(row) for row in r] == [
+        (1, "hello", "1: hello"), (2, "world", "2: world"),
+    ]
+
+
+def test_ranking_frame_stripped_and_use_system(spark):
+    r = ch_sql(spark, "SELECT rank() OVER (ORDER BY b ROWS BETWEEN "
+                      "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS r "
+                      "FROM (SELECT 2 AS b)").collect()
+    assert r[0]["r"] == 1
+    ch_sql(spark, "USE system")
+    try:
+        assert ch_sql(spark, "SELECT dummy FROM one").collect()[0][
+            "dummy"] == 0
+    finally:
+        ch_sql(spark, "USE default")
+
+
 def test_misc_dialect_functions(spark):
     r = ch_sql(spark, "SELECT OCT(12) AS o, equals(1, 1) AS e, "
                       "intDiv(1, CAST(NULL, 'Nullable(Float32)')) AS i, "

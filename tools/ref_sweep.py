@@ -132,6 +132,19 @@ def main() -> None:
 
     for fp in sample:
         name = os.path.basename(fp)
+        # clickhouse-test runs each file in its own session: USE / SET
+        # state must not leak between files
+        try:
+            ch_sql(spark, "USE default")
+        except Exception:
+            pass
+        try:
+            from byconity_spark.engine.limits import session_limits
+            from byconity_spark.frontend.sql import _SESSION_SETTINGS
+            session_limits.reset()
+            _SESSION_SETTINGS.clear()
+        except Exception:
+            pass
         try:
             text = open(fp, encoding="utf-8", errors="replace").read()
         except OSError:
