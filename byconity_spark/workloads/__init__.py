@@ -182,6 +182,7 @@ def all_queries() -> dict[str, QueryDef]:
         windows,
         functions_suite,
         chsql_suite,
+        chsql_round8,
         aggregates_suite,
         writes,
         sources_suite,

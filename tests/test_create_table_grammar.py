@@ -223,6 +223,39 @@ def test_ranking_frame_stripped_and_use_system(spark):
         ch_sql(spark, "USE default")
 
 
+def test_parts_to_throw_insert_guard(spark):
+    """Reference MergeTreeData::delayInsertOrThrowIfNeeded (error 252):
+    a table opting in via SETTINGS parts_to_throw_insert rejects inserts
+    once accumulated parts exceed the threshold; OPTIMIZE FINAL compacts
+    (01603_insert_select_too_many_parts shape)."""
+    ch_sql(spark, "DROP TABLE IF EXISTS g_parts")
+    ch_sql(spark, "CREATE TABLE g_parts (d Date, x UInt64) "
+                  "ENGINE = CnchMergeTree PARTITION BY d ORDER BY x "
+                  "SETTINGS parts_to_throw_insert = 5")
+    ch_sql(spark, "SET max_block_size = 1")
+    try:
+        ch_sql(spark, "INSERT INTO g_parts SELECT '2024-01-01', number "
+                      "FROM numbers(10)")
+        with pytest.raises(ChSqlError, match="TOO_MANY_PARTS"):
+            ch_sql(spark, "INSERT INTO g_parts SELECT '2024-01-01', "
+                          "number FROM numbers(10)")
+        ch_sql(spark, "OPTIMIZE TABLE g_parts FINAL")
+        ch_sql(spark, "INSERT INTO g_parts SELECT '2024-01-02', number "
+                      "FROM numbers(3)")  # compacted: allowed again
+    finally:
+        ch_sql(spark, "SET max_block_size = 65409")
+        ch_sql(spark, "DROP TABLE g_parts")
+
+
+def test_gcd_rejects_float_literals(spark):
+    """Reference gcd/lcm take integers only (ILLEGAL_TYPE_OF_ARGUMENT) —
+    00515_gcd_lcm marks the float form serverError."""
+    with pytest.raises(ChSqlError, match="ILLEGAL_TYPE_OF_ARGUMENT"):
+        ch_sql(spark, "select gcd(1280.1, 1024.1)")
+    r = ch_sql(spark, "SELECT gcd(12, 18) AS g, lcm(4, 6) AS l").collect()
+    assert (r[0]["g"], r[0]["l"]) == (6, 12)
+
+
 def test_misc_dialect_functions(spark):
     r = ch_sql(spark, "SELECT OCT(12) AS o, equals(1, 1) AS e, "
                       "intDiv(1, CAST(NULL, 'Nullable(Float32)')) AS i, "
