@@ -149,12 +149,13 @@ def main() -> None:
         spark.stop()
     except Exception:
         pass
-    time.sleep(1.0)  # let any in-flight JVM shutdown logging hit stderr first
+    time.sleep(2.0)  # let any in-flight JVM shutdown logging hit stderr first
     sys.stdout.flush()
     sys.stderr.flush()
     print(json.dumps(out), flush=True)
-    if failed:
-        sys.exit(1)
+    # hard-exit: sys.exit would run py4j atexit hooks whose stray logging
+    # could land AFTER the JSON line and re-break the driver's parse
+    os._exit(1 if failed else 0)
 
 
 if __name__ == "__main__":

@@ -233,6 +233,7 @@ class ColumnDef:
     ttl: str | None = None
     comment: str | None = None
     not_null: bool = False
+    map_kind: str | None = None  # None | KV | BYTE (Map storage variant)
 
 
 @dataclass
@@ -345,7 +346,10 @@ def _parse_column_item(item: str) -> ColumnDef:
         elif kw == "NULL":
             pass  # nullable is the default here
         elif kw in ("KV", "BYTE"):
-            pass  # ByteDance Map storage variants — layout hints only
+            # ByteDance Map storage variants: layout hints, except that
+            # KV maps reject the implicit-column surface (getMapKeys
+            # raises BAD_ARGUMENTS on them — frontend checks map_kind)
+            col.map_kind = kw
     if col.ch_type is None and col.kind is None:
         raise DDLError(
             f"CREATE TABLE: column {name!r} has neither a type nor a "

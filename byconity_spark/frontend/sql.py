@@ -84,9 +84,9 @@ def _split_args(argstr: str) -> list[str]:
             cur.append(argstr[i:j])
             i = j
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         if c == "," and depth == 0:
             out.append("".join(cur).strip())
@@ -98,6 +98,173 @@ def _split_args(argstr: str) -> list[str]:
     if last or out:
         out.append(last)
     return out
+
+
+def _bool_lambda(lam: str) -> str:
+    """Wrap a one-arg lambda body in CAST(.. AS BOOLEAN) — CH lambda
+    predicates may return UInt8 (`x -> 0`), Spark requires BOOLEAN."""
+    depth = 0
+    i, n = 0, len(lam)
+    while i < n - 1:
+        c = lam[i]
+        if c in "'\"`":
+            i = _skip_string(lam, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c == "-" and lam[i + 1] == ">":
+            head, body = lam[:i], lam[i + 2:]
+            return f"{head}-> CAST(({body.strip()}) AS BOOLEAN)"
+        i += 1
+    return lam
+
+
+# Map columns declared with the KV storage variant — they reject the
+# implicit-column surface (reference src/Functions/getMapKeys.cpp checks
+# the serialization kind and raises BAD_ARGUMENTS for KV maps)
+_TABLE_KV_MAPS: dict = {}
+
+# BYTE-map columns per table (per-key implicit column files in the
+# reference): reading the WHOLE column needs
+# allow_map_access_without_key (error 48 when disabled)
+_TABLE_BYTE_MAPS: dict = {}
+
+# per-statement SETTINGS (populated by _strip_settings, cleared at each
+# statement entry) — some are semantic, not just execution knobs
+_LAST_STMT_SETTINGS: dict = {}
+
+
+def _validate_byte_map_types(kt: str, vt: str) -> None:
+    """BYTE map key/value constraints (reference MergeTreeData
+    checkColumnsValidity over DataTypeByteMap): composite values are out,
+    the value may be Nullable/LowCardinality ONLY via a LowCardinality
+    pair (LowCardinality(Nullable(T)) with a LowCardinality key), a bare
+    Nullable value or key is rejected — all error 36."""
+    import re as _re
+
+    kt, vt = kt.strip(), vt.strip()
+    if _re.match(r"(?i)(Tuple|Map|Nested)\s*\(", vt):
+        raise ChSqlError(
+            f"BAD_ARGUMENTS (36): BYTE map value type {vt!r} is not "
+            f"supported"
+        )
+    if _re.match(r"(?i)Nullable\s*\(", kt):
+        raise ChSqlError(
+            f"BAD_ARGUMENTS (36): BYTE map key type {kt!r} may not be "
+            f"Nullable"
+        )
+    if _re.match(r"(?i)Nullable\s*\(", vt):
+        raise ChSqlError(
+            f"BAD_ARGUMENTS (36): BYTE map value type {vt!r} may not be "
+            f"bare Nullable (use LowCardinality(Nullable(..)) with a "
+            f"LowCardinality key)"
+        )
+    if _re.match(r"(?i)LowCardinality\s*\(", vt) and not _re.match(
+        r"(?i)LowCardinality\s*\(", kt
+    ):
+        raise ChSqlError(
+            f"BAD_ARGUMENTS (36): BYTE map LowCardinality value {vt!r} "
+            f"requires a LowCardinality key"
+        )
+
+
+def _get_map_keys_sql(a: list[str]) -> str:
+    """getMapKeys(db, table, col[, pattern]) — one distributed map_keys
+    scan collapsed to a scalar subquery (the reference reads per-key
+    implicit-column names from part metadata; same observable)."""
+    if len(a) < 3:
+        raise ChSqlError("getMapKeys needs (db, table, column)")
+    tbl = a[1].strip().strip(chr(39))
+    col = a[2].strip().strip(chr(39))
+    if col in _TABLE_KV_MAPS.get(tbl, ()):  # KV maps have no implicit cols
+        raise ChSqlError(
+            f"BAD_ARGUMENTS (36): getMapKeys: column {col!r} of {tbl!r} "
+            f"is a KV map — it has no implicit key columns"
+        )
+    return (
+        "(SELECT sort_array(array_distinct(flatten(collect_list("
+        f"map_keys(`{col}`))))) FROM `{tbl}`)"
+    )
+
+
+def _addtime_sql(a: list[str], sign: str) -> str:
+    """ADDTIME/SUBTIME(datetime, 'HH:MM:SS[.f]') — the reference rejects
+    a literal outside the time-of-day domain (24:00:00 -> error)."""
+    import re as _re
+
+    if len(a) != 2:
+        raise ChSqlError("ADDTIME needs (datetime, time)")
+    lit = _re.fullmatch(r"\s*'(\d+):(\d+):(\d+(?:\.\d+)?)'\s*", a[1])
+    if lit:
+        h, m_, sec = int(lit.group(1)), int(lit.group(2)), float(lit.group(3))
+        if h > 23 or m_ > 59 or sec >= 60:
+            raise ChSqlError(
+                f"CANNOT_PARSE_DATETIME (41): ADDTIME literal "
+                f"{a[1].strip()!r} is outside the time-of-day domain"
+            )
+    return f"({a[0]} {sign} CAST({a[1]} AS INTERVAL HOUR TO SECOND))"
+
+
+def _url_hierarchy_sql(u: str) -> str:
+    """URLHierarchy (URL/URLHierarchy.cpp): progressively longer URL
+    prefixes cut at '/' boundaries, protocol://host first; intermediate
+    entries keep the trailing '/'.  Mirrors registry_ext._url_hierarchy;
+    the repeated subexpressions collapse under Catalyst CSE."""
+    segs = (
+        f"filter(split(coalesce(parse_url({u}, 'PATH'), ''), '/'), "
+        f"__s -> __s != '')"
+    )
+    prefix = (
+        f"concat(parse_url({u}, 'PROTOCOL'), '://', "
+        f"parse_url({u}, 'HOST'))"
+    )
+    tail_slash = (
+        f"CASE WHEN endswith(coalesce(parse_url({u}, 'PATH'), ''), '/') "
+        f"THEN '/' ELSE '' END"
+    )
+    levels = (
+        f"transform(sequence(1, greatest(size({segs}), 1)), "
+        f"__k -> concat({prefix}, '/', array_join(slice({segs}, 1, __k), "
+        f"'/'), CASE WHEN __k < size({segs}) THEN '/' ELSE {tail_slash} "
+        f"END))"
+    )
+    first = f"array(concat({prefix}, '/'))"
+    return (
+        f"(CASE WHEN parse_url({u}, 'HOST') IS NULL THEN "
+        f"slice(array(''), 1, 0) "
+        f"WHEN size({segs}) = 0 THEN {first} "
+        f"ELSE concat({first}, {levels}) END)"
+    )
+
+
+def _url_hash_level_sql(a: list[str]) -> str:
+    """URLHash(url, level) — hash of URLHierarchy(url)[level+1], falling
+    back to the whole URL when the level exceeds the hierarchy depth
+    (URL/URLHash.cpp); same xxhash64 stand-in as the 1-arg form."""
+    u, lvl = a[0], a[1]
+    hier = _url_hierarchy_sql(u)
+    return (
+        f"xxhash64(regexp_replace(coalesce(try_element_at({hier}, "
+        f"CAST(({lvl}) + 1 AS INT)), {u}), '[/?#]$', ''))"
+    )
+
+
+def _epoch_if_ts(arg: str) -> str:
+    """toFloat64/toFloat32 over a DateTime yield epoch seconds in the
+    reference (FunctionsConversion.h DateTime -> number path); Spark
+    cannot CAST TIMESTAMP to DOUBLE.  When the argument text is visibly
+    timestamp-valued, route through unix_micros."""
+    import re as _re
+
+    if _re.search(
+        r"(?i)(AS TIMESTAMP|::\s*TIMESTAMP|to_timestamp\s*\(|"
+        r"from_utc_timestamp\s*\(|current_timestamp|\bnow\s*\()",
+        arg,
+    ):
+        return f"(unix_micros(CAST({arg} AS TIMESTAMP)) / 1000000.0)"
+    return arg
 
 
 def _raise_chsql(msg: str):
@@ -339,8 +506,10 @@ RULES: dict[str, object] = {
         else "current_timestamp()"
     ),
     # MySQL-compat ADDTIME (ByteDance mysql dialect surface)
-    "ADDTIME": lambda a: f"({a[0]} + CAST({a[1]} AS INTERVAL HOUR TO SECOND))",
-    "addtime": lambda a: f"({a[0]} + CAST({a[1]} AS INTERVAL HOUR TO SECOND))",
+    "ADDTIME": lambda a: _addtime_sql(a, "+"),
+    "addtime": lambda a: _addtime_sql(a, "+"),
+    "SUBTIME": lambda a: _addtime_sql(a, "-"),
+    "subtime": lambda a: _addtime_sql(a, "-"),
     "OCT": lambda a: f"conv({a[0]}, 10, 8)",
     "oct": lambda a: f"conv({a[0]}, 10, 8)",
     # build identifier: a fixed engine fingerprint (reference returns the
@@ -364,9 +533,15 @@ RULES: dict[str, object] = {
     # hierarchy and stays a loud error in the text dialect
     "URLHash": lambda a: (
         f"xxhash64(regexp_replace({a[0]}, '[/?#]$', ''))" if len(a) == 1
-        else _raise_chsql("URLHash(url, level) is not supported in the "
-                          "SQL dialect; use the registry Column form")
+        else _url_hash_level_sql(a)
     ),
+    "URLHierarchy": lambda a: _url_hierarchy_sql(a[0]),
+    # getMapKeys(db, table, col[, pattern]) — ByConity map introspection
+    # (src/Functions/getMapKeys.cpp reads the per-key implicit column
+    # list from part metadata).  Spark analogue: one distributed
+    # map_keys scan collapsed to a scalar subquery — same observable,
+    # metadata-free
+    "getMapKeys": _get_map_keys_sql,
     "startsWith": "startswith", "endsWith": "endswith",
     "trimBoth": "trim", "trimLeft": "ltrim", "trimRight": "rtrim",
     "leftPad": "lpad", "rightPad": "rpad",
@@ -517,8 +692,12 @@ RULES: dict[str, object] = {
     "toUInt8": lambda a: f"CAST({a[0]} AS SMALLINT)",
     "toInt16": lambda a: f"CAST({a[0]} AS SMALLINT)",
     "toInt8": lambda a: f"CAST({a[0]} AS TINYINT)",
-    "toFloat32": lambda a: f"CAST({a[0]} AS FLOAT)",
-    "toFloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
+    "toFloat32": lambda a: (
+        f"CAST({_epoch_if_ts(a[0])} AS FLOAT)"
+    ),
+    "toFloat64": lambda a: (
+        f"CAST({_epoch_if_ts(a[0])} AS DOUBLE)"
+    ),
     "toString": lambda a: f"CAST({a[0]} AS STRING)",
     "toDate32": lambda a: f"CAST({a[0]} AS DATE)",
     # DateTime64 scale is display precision in CH; Spark timestamps are
@@ -531,7 +710,10 @@ RULES: dict[str, object] = {
     # CH test-surface no-ops: materialize defeats constant folding (Catalyst
     # folds anyway — identity is semantically exact); toNullable only
     # changes nullability metadata
-    "materialize": lambda a: a[0],
+    # parenthesized so const-only argument checks (geohashEncode
+    # precision, LBS centres) can tell a materialized value from a
+    # bare literal, like the reference's ColumnConst checks do
+    "materialize": lambda a: f"({a[0]})",
     "toNullable": lambda a: a[0],
     "toTypeName": lambda a: f"typeof({a[0]})",
     # multi-needle search (src/Functions/MultiSearchImpl.h)
@@ -570,7 +752,7 @@ RULES: dict[str, object] = {
         )
     ),
     "arrayFilter": lambda a: (
-        f"filter({a[1]}, {a[0]})" if len(a) == 2
+        f"filter({a[1]}, {_bool_lambda(a[0])})" if len(a) == 2
         else _raise_ch(
             "arrayFilter with multiple arrays is not supported in the "
             "SQL dialect (Spark's 2-arg filter lambda is (element, "
@@ -611,7 +793,7 @@ RULES: dict[str, object] = {
             + ") END)"
         )
     ),
-    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayExists": lambda a: f"exists({a[1]}, {_bool_lambda(a[0])})",
     "arrayElement": "try_element_at",
     "arraySlice": "slice",
     "arrayFlatten": "flatten",
@@ -1214,10 +1396,27 @@ def _array_reduce_sql(a: list[str]) -> str:
             f"(aggregate({arr}, CAST(0 AS DOUBLE), "
             f"(__a, __x) -> __a + CAST(__x AS DOUBLE)) / size({arr}))"
         )
-    # -OrNull / -OrDefault combinators over the supported folds
+    if agg in ("stddevsamp", "stddevpop", "varsamp", "varpop"):
+        # Welford-free two-pass over the array: n, Σx, Σx² (reference
+        # AggregateFunctionStatisticsSimple.h); try_divide keeps the
+        # n<=ddof case NULL instead of raising under ANSI
+        ddof = "1" if agg.endswith("samp") else "0"
+        n_ = f"CAST(size({arr}) AS DOUBLE)"
+        s_ = f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
+        q_ = f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))"
+        var = f"try_divide(({q_}) - try_divide(({s_}) * ({s_}), {n_}), {n_} - {ddof})"
+        return f"sqrt({var})" if agg.startswith("stddev") else f"({var})"
+    # -OrNull / -OrDefault combinators over the supported folds.
+    # min/max are type-polymorphic: a static default literal cannot be
+    # synthesized for ARRAY<STRING>/ARRAY<TIMESTAMP> under ANSI typing,
+    # so their OrDefault degrades to the OrNull observable (documented
+    # divergence: the reference returns the type's zero value)
     for suffix, empty_val in (("ornull", "NULL"), ("ordefault", "0")):
         if agg.endswith(suffix):
-            base = _array_reduce_sql([f"'{agg[: -len(suffix)]}'", arr])
+            base_name = agg[: -len(suffix)]
+            base = _array_reduce_sql([f"'{base_name}'", arr])
+            if empty_val == "0" and base_name in ("min", "max", "any"):
+                empty_val = "NULL"
             return (
                 f"(CASE WHEN size({arr}) = 0 THEN {empty_val} "
                 f"ELSE {base} END)"
@@ -1307,16 +1506,22 @@ def _ch_type(t: str) -> str:
 
     t = t.strip()
     # wrappers that Spark doesn't distinguish
-    m = re.fullmatch(r"(?s)(?:Nullable|LowCardinality)\((.+)\)", t)
+    m = re.fullmatch(r"(?si)(?:Nullable|LowCardinality)\((.+)\)", t)
     if m:
         return _ch_type(m.group(1))
-    if re.fullmatch(r"DateTime64(\(\s*\d+\s*(?:,\s*'[^']*'\s*)?\))?", t):
+    if re.fullmatch(
+        r"(?i)DateTime64(\(\s*(?:\d+\s*(?:,\s*'[^']*'\s*)?)?\))?", t
+    ):
         return "TIMESTAMP"
-    if re.fullmatch(r"DateTime\('[^']*'\)", t):
+    if re.fullmatch(r"(?i)DateTime\('[^']*'\)", t):
         return "TIMESTAMP"
-    if re.fullmatch(r"(?:DateTimeWithoutTz|Time)(\(\d+\))?", t):
+    if re.fullmatch(r"(?i)DateTimeWithoutTz(\(\d+\))?", t):
         return "TIMESTAMP_NTZ"
-    if re.fullmatch(r"FixedString\(\d+\)", t):
+    if re.fullmatch(r"(?i)Time(\(\d+\))?", t):
+        # TIME has no Spark analogue; a time-of-day string feeds the
+        # ADDTIME/SUBTIME interval-cast path
+        return "STRING"
+    if re.fullmatch(r"(?i)FixedString\(\d+\)", t):
         return "STRING"
     m = re.fullmatch(r"Decimal(32|64|128|256)\((\d+)\)", t)
     if m:
@@ -1325,10 +1530,10 @@ def _ch_type(t: str) -> str:
     m = re.fullmatch(r"Decimal\((\d+)\s*,\s*(\d+)\)", t)
     if m:
         return f"DECIMAL({min(int(m.group(1)), 38)}, {m.group(2)})"
-    m = re.fullmatch(r"(?s)Array\((.+)\)", t)
+    m = re.fullmatch(r"(?si)Array\((.+)\)", t)
     if m:
         return f"ARRAY<{_ch_type(m.group(1))}>"
-    m = re.fullmatch(r"(?s)Map\((.+)\)", t)
+    m = re.fullmatch(r"(?si)Map\((.+)\)", t)
     if m:
         k, v = split_top_level(m.group(1))
         return f"MAP<{_ch_type(k)}, {_ch_type(v)}>"
@@ -1352,7 +1557,12 @@ def _ch_type(t: str) -> str:
         return _ch_type(m.group(2))
     if re.fullmatch(r"(?s)AggregateFunction\(.*\)", t):
         return "BINARY"  # opaque serialized state
-    return _CH_TYPE_MAP.get(t, t)
+    if t in _CH_TYPE_MAP:
+        return _CH_TYPE_MAP[t]
+    return _CH_TYPE_MAP_CI.get(t.lower(), t)
+
+
+_CH_TYPE_MAP_CI = {k.lower(): v for k, v in _CH_TYPE_MAP.items()}
 
 
 def _cast_sql(a: list[str]) -> str:
@@ -1361,11 +1571,32 @@ def _cast_sql(a: list[str]) -> str:
     import re
 
     if len(a) == 2:
-        return f"CAST({a[0]} AS {_ch_type(a[1].strip().strip(chr(39)))})"
-    m = re.match(r"(?s)^(.*\S)\s+AS\s+([A-Za-z_][\w()',\s]*)$", a[0])
+        return _emit_cast(a[0], a[1].strip().strip(chr(39)))
+    m = re.match(r"(?s)^(.*\S)\s+AS\s+([A-Za-z_][\w()',/\s]*)$", a[0])
     if not m:
         return f"CAST({a[0]})"
-    return f"CAST({m.group(1)} AS {_ch_type(m.group(2))})"
+    return _emit_cast(m.group(1), m.group(2))
+
+
+def _emit_cast(x: str, ch_t: str) -> str:
+    import re
+
+    t = _ch_type(ch_t)
+    if t.upper().startswith("TIMESTAMP") and re.fullmatch(
+        r"\s*\d+(\.\d+)?\s*", x
+    ):
+        # numeric epoch → DateTime (FunctionsConversion.h treats the
+        # number as unix seconds); Spark can't CAST DECIMAL to TIMESTAMP
+        return f"CAST(timestamp_seconds({x}) AS {t})"
+    if t.upper() == "BIGINT" and re.fullmatch(r"\s*-?\d+\s*", x):
+        # integer-literal overflow WRAPS in the reference (modular
+        # conversion, FunctionsConversion.h); Spark's ANSI cast raises —
+        # fold the wrap at rewrite time
+        v = int(x)
+        if not (-(2**63) <= v < 2**63):
+            v = (v + 2**63) % 2**64 - 2**63
+            return f"CAST({v} AS BIGINT)"
+    return f"CAST({x} AS {t})"
 
 
 def _rewrite_colon_casts(sql: str) -> str:
@@ -1373,7 +1604,7 @@ def _rewrite_colon_casts(sql: str) -> str:
     import re
 
     return re.sub(
-        r"::\s*([A-Za-z_]\w*(?:\(\d+(?:,\s*\d+)?\))?)",
+        r"::\s*([A-Za-z_]\w*(?:\(\s*(?:\d+(?:,\s*\d+)?)?\s*\))?)",
         lambda m: f"::{_ch_type(m.group(1))}",
         sql,
     )
@@ -1667,21 +1898,23 @@ RULES.update(
         "bitTest": lambda a: (
             f"(shiftright(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT)) & CAST(1 AS BIGINT))"
         ),
+        # the reference returns UInt8, not Bool (bitTestAll(0,0) = 0
+        # must typecheck) — wrap the fold in a CAST to INT
         "bitTestAll": lambda a: (
-            "("
+            "CAST(("
             + " AND ".join(
                 f"(shiftright(CAST({a[0]} AS BIGINT), CAST({i} AS INT)) & CAST(1 AS BIGINT)) = 1"
                 for i in a[1:]
             )
-            + ")"
+            + ") AS INT)"
         ),
         "bitTestAny": lambda a: (
-            "("
+            "CAST(("
             + " OR ".join(
                 f"(shiftright(CAST({a[0]} AS BIGINT), CAST({i} AS INT)) & CAST(1 AS BIGINT)) = 1"
                 for i in a[1:]
             )
-            + ")"
+            + ") AS INT)"
         ),
         "formatReadableSize": _readable_size_sql,
         "formatReadableQuantity": _readable_quantity_sql,
@@ -1710,6 +1943,8 @@ RULES.update(
         ),
         # ---- misc tail
         # the session CH database, not Spark's catalog namespace
+        # the reference tolerates a dummy argument (currentDatabase(0)
+        # appears throughout its own tests)
         "currentDatabase": lambda a: f"'{_CURRENT_DATABASE[0]}'",
         "sleep": lambda a: "0",  # no per-block sleep; returns CH's 0
         "sleepEachRow": lambda a: "0",
@@ -1867,57 +2102,173 @@ def _emit_call(base: str, args: list[str]) -> str:
     return f"{rule}({', '.join(args)})"
 
 
+# Mergeable SQL-dialect state representation per base (reference
+# AggregateFunctionState/Merge combinators, DataTypeAggregateFunction):
+# for re-aggregable bases the partial IS the value; avg carries a
+# (sum, count) struct; the uniq family carries its distinct-set partial.
+# The operator path (udafs/sketches.py) owns the bounded-memory HLL
+# states; this SQL form is the dialect-compatibility surface.
+_STATE_VALUE_MERGE = {
+    "sum": "sum", "min": "min", "max": "max", "count": "sum",
+    "any": "any_value", "anyLast": "any_value",
+}
+
+
+def _state_merge_rule(base: str, sufs: list[str], name: str):
+    has_state = "State" in sufs
+    has_merge = "Merge" in sufs
+    if has_state and has_merge:
+        # fooMergeState: merging states yields a state again — for the
+        # value-partial representation that's exactly the merge emission
+        sufs = [s for s in sufs if s != "State"]
+        has_state = False
+
+    def rule(a: list[str]) -> str:
+        args = list(a)
+        distinct = False
+        finalizers: list[str] = []
+        for suf in sufs:
+            if suf == "If" and has_state:
+                if len(args) < 2:
+                    raise ChSqlError(f"{name} needs (args..., cond)")
+                cond = args[-1]
+                args = [
+                    f"CASE WHEN CAST(({cond}) AS BOOLEAN) THEN {x} END"
+                    for x in args[:-1]
+                ]
+            elif suf == "Distinct":
+                distinct = True
+            elif suf in ("OrNull", "OrDefault"):
+                finalizers.append(suf)
+        x = args[0] if args else "NULL"
+        if has_state:
+            if base == "avg":
+                return (
+                    f"named_struct('s', sum(CAST({x} AS DOUBLE)), "
+                    f"'c', count({x}))"
+                )
+            if base in ("uniq", "uniqExact", "groupUniqArray"):
+                return f"collect_set({x})"
+            if base in ("groupArray",):
+                return f"collect_list({x})"
+            if base in ("stddevSamp", "stddevPop", "varSamp", "varPop"):
+                # moments partial (n, Σx, Σx²) — reference
+                # AggregateFunctionStatisticsSimple.h state layout
+                return (
+                    f"named_struct('n', count({x}), "
+                    f"'s', sum(CAST({x} AS DOUBLE)), "
+                    f"'q', sum(CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE)))"
+                )
+            if base in _STATE_VALUE_MERGE:
+                if distinct:
+                    r = RULES.get(base)
+                    fn = r if isinstance(r, str) else base
+                    return f"{fn}(DISTINCT {', '.join(args)})"
+                return _emit_call(base, args)
+            raise ChSqlError(
+                f"{name}: -State has no SQL-dialect representation for "
+                f"base {base!r}; use the registry Column form"
+            )
+        # ---- Merge over the representations above
+        st = x
+        if base == "avg":
+            emitted = f"try_divide(sum({st}.s), sum({st}.c))"
+        elif base in ("uniq", "uniqExact"):
+            emitted = f"size(array_distinct(flatten(collect_list({st}))))"
+        elif base == "groupUniqArray":
+            emitted = f"array_distinct(flatten(collect_list({st})))"
+        elif base == "groupArray":
+            emitted = f"flatten(collect_list({st}))"
+        elif base in ("stddevSamp", "stddevPop", "varSamp", "varPop"):
+            ddof = "1" if base.endswith("Samp") else "0"
+            n_ = f"CAST(sum({st}.n) AS DOUBLE)"
+            s_ = f"sum({st}.s)"
+            q_ = f"sum({st}.q)"
+            var = (
+                f"try_divide(({q_}) - try_divide(({s_}) * ({s_}), {n_}), "
+                f"{n_} - {ddof})"
+            )
+            emitted = f"sqrt({var})" if base.startswith("stddev") else f"({var})"
+        elif base in _STATE_VALUE_MERGE:
+            emitted = f"{_STATE_VALUE_MERGE[base]}({st})"
+        else:
+            raise ChSqlError(
+                f"{name}: -Merge has no SQL-dialect representation for "
+                f"base {base!r}; use the registry Column form"
+            )
+        for suf in finalizers:
+            if suf == "OrNull":
+                if base in ("count", "uniq", "uniqExact"):
+                    emitted = f"nullif({emitted}, 0)"
+            else:
+                emitted = f"coalesce({emitted}, 0)"
+        return emitted
+
+    return rule
+
+
 def _combinator_rule(name: str):
     """Generic combinator peel for names with no explicit rule:
-    sumOrNull, anyIf, groupArrayIf, countDistinctIf, varPopIf, ...
-    (reference AggregateFunctionCombinatorFactory).  Returns a rule
-    callable or None."""
-    for suf in ("OrNull", "OrDefault", "Distinct", "If"):
-        if not name.endswith(suf) or len(name) <= len(suf):
-            continue
-        base = name[: -len(suf)]
-        if base not in _COMBINATOR_BASES:
-            continue
-        if suf == "If":
+    sumOrNull, anyIf, groupArrayIf, countDistinctIf, varPopIf — and
+    CHAINS of them (avgOrDefaultIf = If outermost over OrDefault over
+    avg), matching the reference AggregateFunctionCombinatorFactory's
+    right-to-left composition.  Returns a rule callable or None."""
+    sufs: list[str] = []  # outermost first
+    base = name
+    while base not in _COMBINATOR_BASES:
+        for suf in ("OrNull", "OrDefault", "Distinct", "If", "State", "Merge"):
+            if base.endswith(suf) and len(base) > len(suf):
+                sufs.append(suf)
+                base = base[: -len(suf)]
+                break
+        else:
+            return None
+    if not sufs:
+        return None
+    if "State" in sufs or "Merge" in sufs:
+        return _state_merge_rule(base, sufs, name)
 
-            def rule_if(a: list[str], base=base) -> str:
-                if len(a) < 2:
-                    raise ChSqlError(f"{base}If needs (args..., cond)")
-                cond = a[-1]
-                wrapped = [f"CASE WHEN {cond} THEN {x} END" for x in a[:-1]]
-                return _emit_call(base, wrapped)
-
-            return rule_if
-        if suf == "OrNull":
-
-            def rule_orn(a: list[str], base=base) -> str:
+    def rule(a: list[str], base=base, sufs=tuple(sufs), name=name) -> str:
+        args = list(a)
+        distinct = False
+        wrappers: list[str] = []
+        for suf in sufs:  # outermost first: If consumes the last arg
+            if suf == "If":
+                if len(args) < 2:
+                    raise ChSqlError(f"{name} needs (args..., cond)")
+                cond = args[-1]
+                args = [
+                    f"CASE WHEN CAST(({cond}) AS BOOLEAN) THEN {x} END"
+                    for x in args[:-1]
+                ]
+            elif suf == "Distinct":
+                distinct = True
+            else:
+                wrappers.append(suf)
+        if distinct:
+            r = RULES.get(base)
+            inner = ", ".join(args)
+            if r is None:
+                emitted = f"{base}(DISTINCT {inner})"
+            elif isinstance(r, str):
+                emitted = f"{r}(DISTINCT {inner})"
+            else:
+                raise ChSqlError(
+                    f"{name}: -Distinct unsupported for a rewritten base"
+                )
+        else:
+            emitted = _emit_call(base, args)
+        for suf in wrappers:
+            if suf == "OrNull":
                 # Spark aggs are NULL on empty input already; only the
                 # count family needs the 0 -> NULL conversion
                 if base in ("count", "countDistinct", "uniq", "uniqExact"):
-                    return f"nullif({_emit_call(base, a)}, 0)"
-                return _emit_call(base, a)
+                    emitted = f"nullif({emitted}, 0)"
+            else:  # OrDefault
+                emitted = f"coalesce({emitted}, 0)"
+        return emitted
 
-            return rule_orn
-        if suf == "OrDefault":
-
-            def rule_ord(a: list[str], base=base) -> str:
-                return f"coalesce({_emit_call(base, a)}, 0)"
-
-            return rule_ord
-
-        def rule_dis(a: list[str], base=base, name=name) -> str:
-            rule = RULES.get(base)
-            inner = ", ".join(a)
-            if rule is None:
-                return f"{base}(DISTINCT {inner})"
-            if isinstance(rule, str):
-                return f"{rule}(DISTINCT {inner})"
-            raise ChSqlError(
-                f"{name}: -Distinct unsupported for a rewritten base"
-            )
-
-        return rule_dis
-    return None
+    return rule
 
 
 def _transform_sql(a: list[str]) -> str:
@@ -1973,9 +2324,9 @@ RULES.update(
         ),
         "transform": _transform_sql,
         # CH higher-order forms put the LAMBDA first
-        "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
+        "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {_bool_lambda(a[0])}), 1)",
         "arrayCount": _array_count_sql,
-        "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+        "arrayAll": lambda a: f"forall({a[1]}, {_bool_lambda(a[0])})",
         # round-6 probe batch 2: aggregate surface
         # CH any/anyLast = arbitrary NON-NULL value, NOT Spark's boolean
         # any(); ignoreNulls=true matches CH's null-skipping
@@ -2099,9 +2450,9 @@ def _depth0_find(sql: str, needle: str, start: int = 0) -> int:
         if c in "'\"":
             i = _skip_string(sql, i)
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif depth == 0 and low.startswith(nlow, i):
             before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
@@ -2438,6 +2789,11 @@ def _strip_settings(sql: str) -> str:
         re.IGNORECASE,
     ):
         fmt = re.search(r"FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", tail, re.IGNORECASE)
+        for am in re.finditer(
+            rf"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*('[^']*'|[A-Za-z0-9_.+-]+)",
+            tail,
+        ):
+            _LAST_STMT_SETTINGS[am.group(1)] = am.group(2).strip("'")
         kept = " " + tail[fmt.start():] if fmt else ""
         return sql[:i].rstrip() + kept
     return sql
@@ -3157,7 +3513,11 @@ def _rewrite_array_literals(sql: str) -> str:
             else:
                 text = tail()
                 expr = text[expr_start:]
-                out = [text[:expr_start], f"element_at({expr}, {inner})"]
+                # try_element_at: CH subscripts return the type default
+                # for an out-of-range index / missing map key — never an
+                # error like Spark's ANSI element_at (NULL stands in for
+                # the default, the established approximation here)
+                out = [text[:expr_start], f"try_element_at({expr}, {inner})"]
                 expr_start = len(text[:expr_start])
             i = close + 1
             continue
@@ -3250,8 +3610,67 @@ def _normalize_exotic_tokens(sql: str) -> str:
         )
         if i + 1 < len(parts):
             seg = _re.sub(r"(?i)\bDATETIME\s*$", "TIMESTAMP ", seg)
+            # TIME '01:02:03' literal: Spark has no TIME type — a plain
+            # string literal feeds the time-of-day functions (ADDTIME,
+            # SUBTIME) that consume it
+            seg = _re.sub(r"(?i)\bTIME\s*$", " ", seg)
+            # DATE32 'lit' / DATETIME64 'lit' typed literals → DATE /
+            # TIMESTAMP (same value domain at Spark's precision)
+            seg = _re.sub(r"(?i)\bDATE32\s*$", "DATE ", seg)
+            seg = _re.sub(r"(?i)\bDATETIME64\s*$", "TIMESTAMP ", seg)
         parts[i] = seg
     return "'".join(parts)
+
+
+def _rewrite_implicit_map_access(sql: str) -> str:
+    """ByConity implicit map access ``col{key}`` (reference
+    src/Storages/MergeTree/MergeTreeDataPartType.h map implicit columns;
+    the `m{'k'}` form reads one key without materializing the map) →
+    ``try_element_at(col, key)``.  The storage benefit (per-key column
+    files) has no Spark analogue — the parquet map column is already
+    columnar — so the access form is semantics-only."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "{" and out:
+            # walk back over the just-emitted text for an identifier end
+            prev = "".join(out[-96:])
+            import re as _re
+
+            m = _re.search(r"(?<![\w.])([A-Za-z_]\w*)\s*$", prev)
+            if m and m.group(1).upper() not in _SQL_KEYWORDS_UP:
+                # find the matching }
+                depth, k = 0, i
+                while k < n:
+                    if sql[k] in "'\"`":
+                        k = _skip_string(sql, k)
+                        continue
+                    if sql[k] == "{":
+                        depth += 1
+                    elif sql[k] == "}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                if k < n:
+                    inner = _rewrite_implicit_map_access(sql[i + 1 : k])
+                    # drop the identifier from emitted text, re-emit call
+                    tail_txt = "".join(out)
+                    ident = m.group(1)
+                    cut = tail_txt.rstrip()
+                    if cut.endswith(ident):
+                        cut = cut[: -len(ident)]
+                        out = [cut, f"try_element_at({ident}, {inner})"]
+                        i = k + 1
+                        continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_map_literals(sql: str) -> str:
@@ -3594,11 +4013,40 @@ _INFIX_KEYWORD_FUNCS = frozenset({"or", "and", "not"})
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
     sql = _rewrite_system_numbers(sql)
+    import re as _re_sys
     for dotted, target in _SYSTEM_TABLE_MAP.items():
-        import re as _re_sys
-        sql = _re_sys.sub(
-            r"\b" + dotted.replace(".", r"\.") + r"\b", target, sql
-        )
+        pat = _re_sys.compile(r"\b" + dotted.replace(".", r"\.") + r"\b")
+        if target.startswith("(") and "." in dotted and pat.search(sql):
+            # subquery-backed system table: keep its short name visible
+            # as the relation alias when it stands UNALIASED in a
+            # FROM/JOIN (the reference lets `JOIN system.one ON
+            # one.dummy = ...` qualify by table name).  If the SAME ref
+            # stands unaliased twice, alias NEITHER — that is the
+            # reference's 352 self-join ambiguity, caught downstream.
+            short = dotted.rsplit(".", 1)[1]
+            sites = []
+            for m in pat.finditer(sql):
+                pre = sql[: m.start()].rstrip()
+                if not _re_sys.search(r"(?i)\b(FROM|JOIN)$", pre):
+                    continue
+                post = sql[m.end():].lstrip()
+                w = _re_sys.match(r"(?i)(\w+)", post)
+                aliased = bool(w) and (
+                    w.group(1).upper() == "AS"
+                    or w.group(1).upper() not in _TABLE_REF_STOP_KWS
+                )
+                if not aliased:
+                    sites.append(m.start())
+            alias_at = sites[0] if len(sites) == 1 else None
+
+            def _sysrepl(m, target=target, short=short, alias_at=alias_at):
+                if m.start() == alias_at:
+                    return f"{target} AS {short}"
+                return target
+
+            sql = pat.sub(_sysrepl, sql)
+        else:
+            sql = pat.sub(target, sql)
     if _depth0_find(sql, "ASOF JOIN") >= 0 or _depth0_find(sql, "ASOF LEFT JOIN") >= 0:
         raise ChSqlError(
             "ASOF JOIN is not expressible as a text rewrite; run the "
@@ -3616,6 +4064,7 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _strip_format(sql)
     sql = _normalize_exotic_tokens(sql)
     if "{" in sql:
+        sql = _rewrite_implicit_map_access(sql)
         sql = _rewrite_map_literals(sql)
     sql = _rewrite_all_join_strictness(sql)
     sql = _parenthesize_using(sql)
@@ -3641,6 +4090,10 @@ def rewrite_ch_sql(sql: str) -> str:
     import re as _re_mod
 
     sql = _re_mod.sub(r"\)\.(\d+)", r").col\1", sql)
+    # alias.N positional tuple access (`actual.2` where actual aliases a
+    # tuple-valued item) — identifiers cannot start with a digit, so the
+    # \w+.\d+ shape is unambiguous
+    sql = _re_mod.sub(r"\b([A-Za-z_]\w*)\.(\d+)\b(?!\s*\.)", r"\1.col\2", sql)
     sql = _rewrite_array_literals(sql)
     out = []
     i = 0
@@ -3791,12 +4244,44 @@ _QUERY_LOG_TLS = __import__("threading").local()
 def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     import re as _re
 
+    _LAST_STMT_SETTINGS.clear()
     sql = _qualify_databases(sql)
 
     if (_TABLE_MATERIALIZED or _TABLE_ALIASES) and _re.match(
         r"(?is)^\s*(SELECT|WITH)\b", sql
     ):
         sql = _expand_hidden_columns(spark, sql)
+
+    # `x [NOT] IN table_name` (reference interprets a bare identifier on
+    # the right of IN as a table/Set-engine source —
+    # src/Interpreters/ActionsVisitor.cpp makeSetsForIndex): rewrite to
+    # an IN-subquery, but only for names that ARE session tables so a
+    # scalar `a IN b` comparison is left alone
+    if _re.search(r"(?i)\bIN\s+[a-zA-Z_]\w*\b(?!\s*\()", sql):
+        def _in_tbl_repl(m):
+            word = m.group(2)
+            try:
+                if spark.catalog.tableExists(word):
+                    return f"{m.group(1)}IN (SELECT * FROM {word})"
+            except Exception:
+                pass
+            return m.group(0)
+
+        pat = _re.compile(
+            r"(?i)\b((?:NOT\s+)?)IN\s+([a-zA-Z_]\w*)\b(?!\s*[.(])"
+        )
+        # apply only OUTSIDE string/backtick literals
+        parts, i, last = [], 0, 0
+        while i < len(sql):
+            if sql[i] in "'\"`":
+                parts.append(pat.sub(_in_tbl_repl, sql[last:i]))
+                j = _skip_string(sql, i)
+                parts.append(sql[i:j])
+                i = last = j
+            else:
+                i += 1
+        parts.append(pat.sub(_in_tbl_repl, sql[last:]))
+        sql = "".join(parts)
 
     # file('path', 'Format'[, 'schema']) table function (reference
     # src/TableFunctions/TableFunctionFile.cpp over StorageFile): each
@@ -4185,6 +4670,611 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     return df
 
 
+_CLAUSE_END_KWS = (
+    "GROUP BY", "ORDER BY", "HAVING", "LIMIT", "WINDOW", "UNION",
+    "EXCEPT", "INTERSECT", "SETTINGS", "FORMAT", "QUALIFY",
+)
+
+
+def _cast_filters_boolean(sql: str) -> str:
+    """Wrap every WHERE/HAVING condition body in CAST((..) AS BOOLEAN) —
+    the reference accepts any UInt8 expression as a predicate
+    (`WHERE hasTokens(doc, 'x')`), Spark requires BOOLEAN.  Only invoked
+    as a retry after FILTER_NOT_BOOLEAN, so subquery-predicate filters
+    (IN/EXISTS — which may not nest inside CAST) never reach this path:
+    those already typecheck as BOOLEAN and don't raise."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if (c in "Ww" or c in "Hh") and (i == 0 or sql[i - 1] not in _IDENT_CHARS):
+            kw = None
+            for cand in ("WHERE", "HAVING"):
+                if sql[i : i + len(cand)].upper() == cand and (
+                    i + len(cand) >= n or sql[i + len(cand)] not in _IDENT_CHARS
+                ):
+                    kw = cand
+                    break
+            if kw:
+                j = i + len(kw)
+                # span the condition until a clause keyword or the scope end
+                k, depth = j, 0
+                while k < n:
+                    ch = sql[k]
+                    if ch in "'\"`":
+                        k = _skip_string(sql, k)
+                        continue
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and ch.isalpha() and sql[k - 1] not in _IDENT_CHARS:
+                        up = sql[k:].upper()
+                        if any(
+                            up.startswith(e)
+                            and (len(up) == len(e) or not up[len(e)].isalnum())
+                            for e in _CLAUSE_END_KWS
+                        ):
+                            break
+                    k += 1
+                body = sql[j:k].strip()
+                if body:
+                    out.append(f"{kw} CAST(({body}) AS BOOLEAN) ")
+                    i = k
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_CMP_NEIGHBORS = set("=<>!+-*/%|&^")
+
+
+def _cast_logical_operands(sql: str) -> str:
+    """CH evaluates infix AND/OR over UInt8 operands (`x1 AND x2` where
+    x1 is a number); Spark requires BOOLEAN.  Wrap each primary operand
+    adjacent to an infix AND/OR — a bare identifier, call, or
+    parenthesized group — in CAST((..) AS BOOLEAN), skipping operands
+    that sit in a comparison (`a = 1 AND b`: the `1` is preceded by `=`,
+    the `b` is followed by `=`, neither wraps) and the AND that belongs
+    to BETWEEN.  Retry-only: invoked after BINARY_OP_WRONG_TYPE."""
+    tokens = []  # (kind, text) where kind in {w(ord), s(tring), o(ther)}
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            tokens.append(("s", sql[i:j]))
+            i = j
+        elif c.isalpha() or c == "_":
+            j = i
+            while j < n and sql[j] in _IDENT_CHARS:
+                j += 1
+            tokens.append(("w", sql[i:j]))
+            i = j
+        elif c.isdigit():
+            j = i
+            while j < n and (sql[j].isdigit() or sql[j] in ".eExX"
+                             or (sql[j] in "+-" and sql[j - 1] in "eE")):
+                j += 1
+            tokens.append(("n", sql[i:j]))
+            i = j
+        else:
+            tokens.append(("o", c))
+            i += 1
+
+    def prev_nonspace(k):
+        k -= 1
+        while k >= 0 and tokens[k][1].isspace():
+            k -= 1
+        return k
+
+    def next_nonspace(k):
+        k += 1
+        while k < len(tokens) and tokens[k][1].isspace():
+            k += 1
+        return k
+
+    def find_group_start(k):
+        """k indexes a ')'; return index of its '('."""
+        depth = 0
+        while k >= 0:
+            t = tokens[k][1]
+            if t == ")":
+                depth += 1
+            elif t == "(":
+                depth -= 1
+                if depth == 0:
+                    return k
+            k -= 1
+        return -1
+
+    def find_group_end(k):
+        depth = 0
+        while k < len(tokens):
+            t = tokens[k][1]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    return k
+            k += 1
+        return len(tokens) - 1
+
+    wrap_open: dict[int, int] = {}   # token idx -> count of "CAST((" before
+    wrap_close: dict[int, int] = {}  # token idx -> count of ") AS BOOLEAN)" after
+    between_pending = 0
+    for k, (kind, text) in enumerate(tokens):
+        if kind != "w":
+            continue
+        up = text.upper()
+        if up == "BETWEEN":
+            between_pending += 1
+            continue
+        if up == "NOT":
+            # NOT <uint8-primary> — but never IS NOT / NOT IN|LIKE|
+            # BETWEEN|EXISTS|NULL (keyword forms)
+            pnot = prev_nonspace(k)
+            if pnot >= 0 and tokens[pnot][0] == "w" and tokens[pnot][1].upper() in ("IS", "AS"):
+                continue
+            qn = next_nonspace(k)
+            if qn < len(tokens) and tokens[qn][0] in ("w", "n"):
+                nxt_up = tokens[qn][1].upper()
+                if tokens[qn][0] == "w" and nxt_up in _SQL_KEYWORDS_UP:
+                    continue
+                e = qn
+                qq = next_nonspace(qn)
+                if qq < len(tokens) and tokens[qq][1] == "(":
+                    e = find_group_end(qq)
+                    qq = next_nonspace(e)
+                if not (qq < len(tokens) and (tokens[qq][1] in _CMP_NEIGHBORS
+                                              or tokens[qq][1] == ".")):
+                    wrap_open[qn] = wrap_open.get(qn, 0) + 1
+                    wrap_close[e] = wrap_close.get(e, 0) + 1
+            continue
+        if up not in ("AND", "OR"):
+            continue
+        if up == "AND" and between_pending:
+            between_pending -= 1
+            continue
+        # `... AS AND` / `... AS OR`: an alias that happens to be named
+        # like the operator — not an infix site
+        pk = prev_nonspace(k)
+        if pk >= 0 and tokens[pk][0] == "w" and tokens[pk][1].upper() == "AS":
+            continue
+        # ---- left operand
+        p = prev_nonspace(k)
+        if p >= 0:
+            if tokens[p][1] == ")":
+                g = find_group_start(p)
+                # a call f(...) includes its name
+                h = prev_nonspace(g)
+                start = h if (g >= 0 and h >= 0 and tokens[h][0] == "w"
+                              and tokens[h][1].upper() not in _SQL_KEYWORDS_UP
+                              ) else g
+                if start >= 0:
+                    pp = prev_nonspace(start)
+                    if not (pp >= 0 and tokens[pp][1] in _CMP_NEIGHBORS):
+                        wrap_open[start] = wrap_open.get(start, 0) + 1
+                        wrap_close[p] = wrap_close.get(p, 0) + 1
+            elif tokens[p][0] in ("w", "n") and (
+                tokens[p][0] == "n"
+                or tokens[p][1].upper() not in _SQL_KEYWORDS_UP
+            ):
+                pp = prev_nonspace(p)
+                if not (pp >= 0 and (tokens[pp][1] in _CMP_NEIGHBORS
+                                     or tokens[pp][1] == ".")):
+                    wrap_open[p] = wrap_open.get(p, 0) + 1
+                    wrap_close[p] = wrap_close.get(p, 0) + 1
+        # ---- right operand
+        q = next_nonspace(k)
+        if q < len(tokens):
+            if tokens[q][1] == "(":
+                e = find_group_end(q)
+                qq = next_nonspace(e)
+                if not (qq < len(tokens) and tokens[qq][1] in _CMP_NEIGHBORS):
+                    wrap_open[q] = wrap_open.get(q, 0) + 1
+                    wrap_close[e] = wrap_close.get(e, 0) + 1
+            elif tokens[q][0] in ("w", "n") and (
+                tokens[q][0] == "n"
+                or tokens[q][1].upper() not in _SQL_KEYWORDS_UP
+            ):
+                e = q
+                qq = next_nonspace(q)
+                if qq < len(tokens) and tokens[qq][1] == "(":
+                    e = find_group_end(qq)  # call: name(...)
+                    qq = next_nonspace(e)
+                if not (qq < len(tokens) and (tokens[qq][1] in _CMP_NEIGHBORS
+                                              or tokens[qq][1] == ".")):
+                    wrap_open[q] = wrap_open.get(q, 0) + 1
+                    wrap_close[e] = wrap_close.get(e, 0) + 1
+    if not wrap_open:
+        return sql
+    out = []
+    for k, (kind, text) in enumerate(tokens):
+        out.append("CAST((" * wrap_open.get(k, 0))
+        out.append(text)
+        out.append(") AS BOOLEAN)" * wrap_close.get(k, 0))
+    return "".join(out)
+
+
+_SQL_KEYWORDS_UP = {
+    "AND", "OR", "NOT", "WHERE", "SELECT", "FROM", "GROUP", "ORDER",
+    "HAVING", "LIMIT", "BY", "ON", "USING", "JOIN", "IN", "AS", "THEN",
+    "WHEN", "ELSE", "CASE", "END", "BETWEEN", "LIKE", "IS", "NULL",
+    "DISTINCT", "UNION", "ALL", "EXISTS", "VALUES", "SETTINGS",
+}
+
+
+def _swap_length_for_size(sql: str, want_arg: str) -> str:
+    """Replace every ``length(ARG)`` whose ARG (backticks stripped)
+    equals ``want_arg`` with ``size(ARG)`` — the array branch of CH's
+    polymorphic length()."""
+    import re as _re
+
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _re.match(r"(?i)length\s*\(", sql[i:])
+        if m and (i == 0 or sql[i - 1] not in _IDENT_CHARS):
+            op = i + m.end() - 1
+            close = _match_paren(sql, op)
+            arg = sql[op + 1 : close].replace("`", "").strip()
+            if arg == want_arg:
+                out.append(f"size({sql[op + 1:close]})")
+                i = close + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_TS_PRODUCING = ("to_timestamp", "from_utc_timestamp", "date_trunc",
+                 "current_timestamp", "now", "to_date")
+
+
+def _timestamp_int_arith(sql: str) -> str:
+    """CH DateTime + N adds N seconds (reference FunctionDateOrDateTime
+    AddSeconds path for integer addends); Spark rejects TIMESTAMP +
+    BIGINT.  Rewrite `<ts-call> + X` / `- X` into interval arithmetic
+    with make_interval(secs => X).  Retry-only, driven by the analyzer's
+    BINARY_OP_DIFF_TYPES error, and skipped when X itself looks like a
+    timestamp (a ts-call: that's a legal datetime difference)."""
+    import re as _re
+
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = None
+        if c.isalpha() or c == "_":
+            for fn in _TS_PRODUCING:
+                if sql[i : i + len(fn)].lower() == fn and (
+                    i == 0 or sql[i - 1] not in _IDENT_CHARS
+                ):
+                    m = _re.match(rf"(?i){fn}\s*\(", sql[i:])
+                    if m:
+                        break
+        if m:
+            op = i + m.end() - 1
+            close = _match_paren(sql, op)
+            call_txt = (
+                sql[i : op + 1]
+                + _timestamp_int_arith(sql[op + 1 : close])
+                + ")"
+            )
+            k = close + 1
+            while k < n and sql[k] in " \t":
+                k += 1
+            if k < n and sql[k] in "+-" and sql[k : k + 2] != "--":
+                sign = sql[k]
+                # right primary: number | word | call | paren group
+                k2 = k + 1
+                while k2 < n and sql[k2] in " \t":
+                    k2 += 1
+                rstart = k2
+                if k2 < n and (sql[k2].isalpha() or sql[k2] == "_"):
+                    while k2 < n and sql[k2] in _IDENT_CHARS:
+                        k2 += 1
+                    word = sql[rstart:k2]
+                    k3 = k2
+                    while k3 < n and sql[k3] in " \t":
+                        k3 += 1
+                    if k3 < n and sql[k3] == "(":
+                        if word.lower() in _TS_PRODUCING:
+                            out.append(call_txt)
+                            i = close + 1
+                            continue
+                        k2 = _match_paren(sql, k3) + 1
+                elif k2 < n and sql[k2].isdigit():
+                    while k2 < n and (sql[k2].isdigit() or sql[k2] == "."):
+                        k2 += 1
+                elif k2 < n and sql[k2] == "(":
+                    k2 = _match_paren(sql, k2) + 1
+                else:
+                    out.append(call_txt)
+                    i = close + 1
+                    continue
+                rhs = sql[rstart:k2]
+                if fn == "to_date":
+                    # Date + N adds N days (reference AddDays path);
+                    # Spark's date_add needs an INT addend
+                    dfn = "date_add" if sign == "+" else "date_sub"
+                    out.append(
+                        f"{dfn}({call_txt}, CAST(({rhs}) AS INT))"
+                    )
+                else:
+                    out.append(
+                        f"({call_txt} {sign} make_interval(0, 0, 0, 0, 0, 0, "
+                        f"CAST(({rhs}) AS BIGINT)))"
+                    )
+                i = k2
+                continue
+            out.append(call_txt)
+            i = close + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _substitute_select_alias(sql: str, name: str, dotted: bool = False):
+    """Inline the SELECT-list alias ``name`` at every OTHER reference site
+    (ExpressionAnalyzer alias visibility: CH lets WHERE/PREWHERE and
+    sibling select items reference a select alias; Spark does not).
+    Returns the rewritten statement, or None when no alias named ``name``
+    exists.  Only invoked as an UNRESOLVED_COLUMN retry, so a real source
+    column of the same name — which the reference prefers — never gets
+    substituted: it resolves and no error is raised."""
+    import re as _re
+
+    m = _re.search(rf"(?i)\bAS\s+`?{_re.escape(name)}`?(?![\w`])", sql)
+    if not m:
+        return None
+    # walk backwards from AS to the expression start: the previous comma,
+    # SELECT or DISTINCT keyword at the same (reverse) bracket depth
+    j = m.start()
+    depth = 0
+    i = j - 1
+    start = 0
+    while i >= 0:
+        c = sql[i]
+        if c in "'\"`":
+            q = c
+            i -= 1
+            while i >= 0 and sql[i] != q:
+                i -= 1
+            i -= 1
+            continue
+        if c in ")]":
+            depth += 1
+        elif c in "([":
+            if depth == 0:
+                start = i + 1
+                break
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                start = i + 1
+                break
+            if c.isalpha():
+                for kw in ("SELECT", "DISTINCT", "WHERE", "BY"):
+                    k = i - len(kw) + 1
+                    if (
+                        k >= 0
+                        and sql[k : i + 1].upper() == kw
+                        and (k == 0 or sql[k - 1] not in _IDENT_CHARS)
+                    ):
+                        start = i + 1
+                        break
+                else:
+                    i -= 1
+                    continue
+                break
+        i -= 1
+    expr = sql[start:j].strip()
+    if not expr:
+        return None
+    # replace every bare reference to the alias OUTSIDE the defining item
+    out, i, n = [], 0, len(sql)
+    defl, defr = start, m.end()
+    changed = False
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            k = _skip_string(sql, i)
+            out.append(sql[i:k])
+            i = k
+            continue
+        if (
+            (c.isalpha() or c == "_")
+            and (i == 0 or sql[i - 1] not in _IDENT_CHARS)
+            and sql[i - 1 : i] != "."
+        ):
+            k = i
+            while k < n and sql[k] in _IDENT_CHARS:
+                k += 1
+            word = sql[i:k]
+            if (
+                word == name
+                and not (defl <= i < defr)
+                and (dotted or k >= n or sql[k : k + 1] != ".")
+                and sql[max(0, i - 4) : i].upper().strip() != "AS"
+            ):
+                out.append(f"({expr})")
+                changed = True
+            else:
+                out.append(word)
+            i = k
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out) if changed else None
+
+
+_TABLE_REF_STOP_KWS = {
+    "ON", "USING", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+    "EXCEPT", "INTERSECT", "SETTINGS", "FORMAT", "JOIN", "LEFT", "RIGHT",
+    "INNER", "FULL", "CROSS", "SEMI", "ANTI", "ANY", "ASOF", "GLOBAL",
+    "PREWHERE", "FINAL", "SAMPLE", "ARRAY", "WINDOW", "INTO", "LATERAL",
+    "VALUES", "SELECT", "AS", "NATURAL", "ALL",
+}
+
+
+def _check_duplicate_bare_tables(sql: str) -> None:
+    """The reference raises AMBIGUOUS_COLUMN_NAME (352) when the same
+    table is joined to itself with NEITHER side aliased (`select * from
+    one cross join one`): every star column is duplicated with no way to
+    qualify.  One alias is enough to disambiguate.  Scope = (paren
+    nesting id, SELECT ordinal within it), so subqueries and UNION
+    branches never cross-count."""
+    import re as _re
+
+    refs: dict = {}
+    scope_stack = [0]
+    next_scope = 1
+    sel_count = {0: 0}
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            scope_stack.append(next_scope)
+            sel_count[next_scope] = 0
+            next_scope += 1
+            i += 1
+            continue
+        if c == ")":
+            if len(scope_stack) > 1:
+                scope_stack.pop()
+            i += 1
+            continue
+        if (c.isalpha() or c == "_") and (i == 0 or sql[i - 1] not in _IDENT_CHARS):
+            j = i
+            while j < n and sql[j] in _IDENT_CHARS:
+                j += 1
+            word = sql[i:j]
+            up = word.upper()
+            cur = scope_stack[-1]
+            if up == "SELECT":
+                sel_count[cur] = sel_count.get(cur, 0) + 1
+            elif up in ("FROM", "JOIN"):
+                msub = _re.match(r"\s*\(", sql[j:])
+                if msub:
+                    # subquery source: an UNALIASED repeat of the same
+                    # text (e.g. two bare system.one expansions) is the
+                    # same self-join-without-alias ambiguity
+                    op = j + msub.end() - 1
+                    close = _match_paren(sql, op)
+                    body = " ".join(sql[op : close + 1].split())
+                    m2 = _re.match(r"\s*(\w+)", sql[close + 1 :])
+                    aliased = bool(
+                        m2
+                        and (
+                            m2.group(1).upper() == "AS"
+                            or m2.group(1).upper() not in _TABLE_REF_STOP_KWS
+                        )
+                    )
+                    # JOIN ... USING merges the key columns — a legal
+                    # unaliased self-join in the reference
+                    if m2 and m2.group(1).upper() == "USING":
+                        aliased = True
+                    if not aliased:
+                        cur2 = scope_stack[-1]
+                        key = (cur2, sel_count.get(cur2, 0), "\x00" + body)
+                        refs[key] = refs.get(key, 0) + 1
+                        if refs[key] >= 2:
+                            raise ChSqlError(
+                                "AMBIGUOUS_COLUMN_NAME (352): the same "
+                                "unaliased relation is joined to itself; "
+                                "columns cannot be qualified"
+                            )
+                    i = op  # reprocess '(' so it pushes its scope
+                    continue
+                m = _re.match(r"\s*(`[^`]+`|[\w.]+)", sql[j:])
+                if m and not m.group(1).upper() in _TABLE_REF_STOP_KWS:
+                    tbl = m.group(1).strip("`")
+                    k = j + m.end()
+                    m2 = _re.match(r"\s*(\w+)", sql[k:])
+                    aliased = bool(
+                        m2 and m2.group(1).upper() not in _TABLE_REF_STOP_KWS
+                    ) or bool(
+                        m2 and m2.group(1).upper() in ("AS", "USING")
+                    )
+                    if not aliased and "(" not in m.group(1):
+                        key = (cur, sel_count.get(cur, 0), tbl.lower())
+                        refs[key] = refs.get(key, 0) + 1
+                        if refs[key] >= 2:
+                            raise ChSqlError(
+                                f"AMBIGUOUS_COLUMN_NAME (352): table "
+                                f"{tbl!r} is joined to itself without an "
+                                f"alias; columns cannot be qualified"
+                            )
+            i = j
+            continue
+        i += 1
+
+
+def _check_map_access_without_key(sql: str) -> None:
+    """allow_map_access_without_key = 0 (reference MergeTree setting):
+    reading a BYTE-map column WHOLE (including via ``*``) raises
+    NOT_IMPLEMENTED (48) — only per-key implicit-column reads are
+    allowed.  Statement-level SETTINGS wins over the session value."""
+    val = _LAST_STMT_SETTINGS.get(
+        "allow_map_access_without_key",
+        _SESSION_SETTINGS.get("allow_map_access_without_key"),
+    )
+    if val not in ("0", 0):
+        return
+    import re as _re
+
+    for tbl, cols in _TABLE_BYTE_MAPS.items():
+        if not _re.search(rf"(?i)\b(FROM|JOIN)\s+`?{_re.escape(tbl)}`?\b", sql):
+            continue
+        if _re.search(r"(?is)\bSELECT\s+(DISTINCT\s+)?\*", sql):
+            raise ChSqlError(
+                f"NOT_IMPLEMENTED (48): reading BYTE map column(s) of "
+                f"{tbl!r} without a key is disabled "
+                f"(allow_map_access_without_key = 0)"
+            )
+        for c in cols:
+            # a bare reference not followed by a subscript and not the
+            # argument of a per-key/metadata map accessor
+            for mm in _re.finditer(
+                rf"(?<![\w.`]){_re.escape(c)}\b(?!\s*[\[{{])", sql
+            ):
+                pre = sql[max(0, mm.start() - 32) : mm.start()]
+                if _re.search(
+                    r"(?:element_at|map_keys|map_values|map_filter|"
+                    r"map_contains_key|map_concat)\(\s*$",
+                    pre,
+                ):
+                    continue
+                raise ChSqlError(
+                    f"NOT_IMPLEMENTED (48): reading BYTE map column "
+                    f"{c!r} of {tbl!r} without a key is disabled "
+                    f"(allow_map_access_without_key = 0)"
+                )
+
+
 def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
     """spark.sql with ClickHouse name resolution for ambiguous columns:
     the reference binds a bare column that exists in several joined tables
@@ -4196,11 +5286,162 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
 
     from pyspark.sql.utils import AnalysisException
 
-    for _ in range(8):
+    _check_duplicate_bare_tables(norm)
+    _check_map_access_without_key(norm)
+    cast_filters_tried = False
+    cast_logical_tried = False
+    ts_arith_tried = False
+    for _ in range(32):
         try:
             return spark.sql(norm)
         except AnalysisException as exc:
             msg = str(exc)
+            if (
+                (
+                    "BINARY_OP_WRONG_TYPE" in msg
+                    and 'requires the input type "BOOLEAN"' in msg
+                )
+                or (
+                    'Cannot resolve "(NOT ' in msg
+                    and '"BOOLEAN" type' in msg
+                )
+            ) and not cast_logical_tried:
+                cast_logical_tried = True
+                recast = _cast_logical_operands(norm)
+                if recast != norm:
+                    norm = recast
+                    continue
+            if (
+                (
+                    "BINARY_OP_DIFF_TYPES" in msg
+                    and '"TIMESTAMP"' in msg
+                    and ('"BIGINT"' in msg or '"INT"' in msg
+                         or '"SMALLINT"' in msg)
+                )
+                or (
+                    'Cannot resolve "date_add(' in msg
+                    or 'Cannot resolve "date_sub(' in msg
+                )
+            ) and not ts_arith_tried:
+                ts_arith_tried = True
+                recast = _timestamp_int_arith(norm)
+                if recast != norm:
+                    norm = recast
+                    continue
+            if (
+                "FILTER_NOT_BOOLEAN" in msg or "INVALID_HAVING" in msg
+            ) and not cast_filters_tried:
+                # CH treats UInt8 as a predicate (WHERE hasTokens(...)):
+                # cast every WHERE/HAVING body to BOOLEAN and retry once
+                cast_filters_tried = True
+                recast = _cast_filters_boolean(norm)
+                if recast != norm:
+                    norm = recast
+                    continue
+            ml = _re.search(
+                r'Cannot resolve "length\((.*?)\)" due to data type '
+                r'mismatch: .* has the type "ARRAY', msg
+            )
+            if ml:
+                # CH length() is polymorphic over String and Array
+                # (reference src/Functions/array/length.cpp); Spark needs
+                # size() for arrays — swap the reported call site only
+                want = ml.group(1).replace("`", "").strip()
+                swapped = _swap_length_for_size(norm, want)
+                if swapped != norm:
+                    norm = swapped
+                    continue
+            mk = _re.search(
+                r'Cannot resolve "(?:try_)?element_at\((\w+), (.+?)\)" due '
+                r"to data type mismatch: .*?\[\"MAP<([A-Za-z0-9_]+)", msg
+            )
+            if mk:
+                # map subscript with a key literal of a near-miss type
+                # (float_map[0.5] parses the key as DECIMAL;
+                # date_map['2022-06-14'] as STRING) — CH coerces the key
+                # to the map's key type; add the CAST at the call site
+                # (keys in the message lose their quotes, so locate by
+                # the map expression and wrap whatever key is there)
+                mexpr, _kexpr, ktype = mk.groups()
+                head = f"try_element_at({mexpr}, "
+                pos = norm.find(head)
+                fixed = norm
+                while pos >= 0:
+                    op = pos + len("try_element_at")
+                    close = _match_paren(fixed, op)
+                    key_txt = fixed[pos + len(head) : close]
+                    if f"AS {ktype}" not in key_txt:
+                        fixed = (
+                            fixed[: pos + len(head)]
+                            + f"CAST({key_txt} AS {ktype})"
+                            + fixed[close:]
+                        )
+                    pos = fixed.find(head, close + 1)
+                if fixed != norm:
+                    norm = fixed
+                    continue
+            mu = _re.search(
+                r"with name `(.+?)` cannot be resolved", msg
+            )
+            if mu and "UNRESOLVED_COLUMN" in msg:
+                name = mu.group(1)
+                # 1) the "column" is literally a dotted stored name
+                #    (`c.d` Array(Date)): Spark parsed it as tbl.col —
+                #    re-quote if the suggestions contain `<tbl>`.`x.y`
+                if "`.`" in f"`{name}`":
+                    flat = name.replace("`.`", ".")
+                    if _re.search(
+                        rf"`[\w.]+`\.`{_re.escape(flat)}`", msg
+                    ):
+                        requoted = _re.sub(
+                            rf"(?<![`\w.]){_re.escape(flat)}\b(?!\s*`)",
+                            f"`{flat}`",
+                            norm,
+                        )
+                        if requoted != norm:
+                            norm = requoted
+                            continue
+                    # `tbl.col` qualified by the ORIGINAL table name while
+                    # the relation is aliased (CH resolves either name):
+                    # if the suggestions hold exactly one `alias`.`col`
+                    # candidate for the same col, re-qualify to it
+                    parts_q = flat.rsplit(".", 1)
+                    if len(parts_q) == 2:
+                        tblq, colq = parts_q
+                        cands = set(_re.findall(
+                            rf"`([\w.]+)`\.`{_re.escape(colq)}`", msg
+                        ))
+                        cands.discard(tblq)  # the error's own mention
+                        if len(cands) == 1:
+                            alias = next(iter(cands))
+                            requal = _re.sub(
+                                rf"(?<![\w.`]){_re.escape(tblq)}\."
+                                rf"{_re.escape(colq)}\b",
+                                f"{alias}.{colq}",
+                                norm,
+                            )
+                            if requal != norm:
+                                norm = requal
+                                continue
+                        # `alias.colN` where alias names a tuple-valued
+                        # SELECT item: inline the alias expression so
+                        # the struct-field access resolves
+                        sub = _substitute_select_alias(
+                            norm, tblq, dotted=True
+                        )
+                        if sub is not None and sub != norm:
+                            norm = sub
+                            continue
+                else:
+                    # 2) CH alias visibility: a SELECT-list alias is
+                    #    referenceable from WHERE/other items; Spark is
+                    #    not.  Inline the alias expression and retry —
+                    #    names that resolve never reach here, which IS
+                    #    the reference's prefer-source-column rule.
+                    sub = _substitute_select_alias(norm, name)
+                    if sub is not None and sub != norm:
+                        norm = sub
+                        continue
             m = _re.search(
                 r"Reference `(\w+)` is ambiguous, could be: "
                 r"\[`([^`]+)`\.`\w+`",
@@ -4209,6 +5450,18 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
             if not m:
                 raise
             name, first = m.group(1), m.group(2)
+            # a bare ambiguous name inside a JOIN ... ON condition is an
+            # ERROR in the reference too (352 AMBIGUOUS_COLUMN_NAME) —
+            # first-table binding applies to SELECT/WHERE scopes only
+            if _re.search(
+                rf"(?is)\bON\b(?:(?!\b(?:WHERE|GROUP|ORDER|LIMIT|HAVING|"
+                rf"SETTINGS|UNION|JOIN)\b).)*?(?<![\w.`]){name}\b(?!\s*[.(])",
+                norm,
+            ):
+                raise ChSqlError(
+                    f"AMBIGUOUS_COLUMN_NAME (352): column {name!r} in the "
+                    f"join condition is ambiguous; qualify it"
+                ) from exc
             # qualify DEPTH-0 bare references only (inside a subquery the
             # name belongs to that scope, not to the ambiguous join)
             out, i, n, depth, changed = [], 0, len(norm), 0, False
@@ -4646,6 +5899,63 @@ def _topk_sql(p: list[str], a: list[str]) -> str:
 PARAMETRIC["topK"] = _topk_sql
 
 
+def _mwu_sql(p: list[str], a: list[str]) -> str:
+    """mannWhitneyUTest([alternative[, continuity]])(value, label) —
+    reference AggregateFunctionMannWhitney.h.  Emits the grouped-agg
+    kernel (udafs/sql_aggs.py) wrapped in a col1/col2 struct so tuple
+    access works.  The reference rejects a constant sample (error 36)."""
+    if len(a) != 2:
+        raise ChSqlError(
+            "mannWhitneyUTest needs exactly (sample_data, sample_index)"
+        )
+    import re as _re
+
+    if _re.fullmatch(r"\s*\d+(\.\d+)?\s*", a[0]):
+        raise ChSqlError(
+            "BAD_ARGUMENTS (36): mannWhitneyUTest sample_data must be a "
+            "column expression, not a constant"
+        )
+    alt = (p[0].strip().strip("'\"").lower() if p else "two-sided")
+    altkey = {"two-sided": "ts", "greater": "gt", "less": "lt"}.get(alt)
+    if altkey is None:
+        raise ChSqlError(
+            f"BAD_ARGUMENTS (36): mannWhitneyUTest alternative {alt!r} "
+            f"must be 'two-sided', 'greater' or 'less'"
+        )
+    cont = True
+    if len(p) > 1:
+        cont = p[1].strip() not in ("0", "false", "FALSE")
+    call = (
+        f"__mwu_{altkey}_{'c' if cont else 'nc'}"
+        f"(CAST({a[0]} AS DOUBLE), CAST({a[1]} AS DOUBLE))"
+    )
+    return f"named_struct('col1', {call}[0], 'col2', {call}[1])"
+
+
+PARAMETRIC["mannWhitneyUTest"] = _mwu_sql
+RULES["mannWhitneyUTest"] = lambda a: _mwu_sql([], a)
+def _geohash_encode_sql(a: list[str]) -> str:
+    if len(a) not in (2, 3):
+        raise ChSqlError("geohashEncode needs (lon, lat[, precision])")
+    prec = a[2].strip() if len(a) == 3 else "12"
+    import re as _re
+
+    # a bare integer or a bare identifier (a const-folded alias) is
+    # accepted; anything parenthesized/computed — including
+    # materialize(0), which parenthesizes — is the reference's
+    # non-ColumnConst error.  The kernel reads the first batch value, so
+    # only genuinely constant precisions reach it (CH rejects the rest).
+    if not _re.fullmatch(r"\d+|[A-Za-z_]\w*", prec):
+        raise ChSqlError(
+            "ILLEGAL_COLUMN (44): geohashEncode precision must be a "
+            "constant integer"
+        )
+    return f"geohashEncode({a[0]}, {a[1]}, {prec})"
+
+
+RULES["geohashEncode"] = _geohash_encode_sql
+
+
 # ---------------------------------------------------------------------------
 # FINAL on replacing tables (reference ReplacingMergeTree + SELECT ... FINAL
 # — StorageMergeTree reads collapse duplicate keys to the max-version row).
@@ -4714,6 +6024,28 @@ _SESSION_TABLE_ENGINES: dict[str, str] = {}
 # the advisor; session temp views have no physical layout to apply them to
 # (the persistent write path engine/write.py owns real layout).
 _SESSION_TABLE_SETTINGS: dict[str, dict] = {}
+
+# Virtual warehouses that exist in this "cluster" — the reference's
+# resource manager registry (MergeTreeSettings.h:415-418 defaults).
+# Assigning an unknown VW raises VIRTUAL_WAREHOUSE_NOT_FOUND (5025),
+# same as the reference's check at CREATE/ALTER time.
+_KNOWN_VIRTUAL_WAREHOUSES = {"vw_default", "vw_read", "vw_write", "vw_task"}
+
+
+def _validate_table_settings(settings: dict) -> None:
+    for k, v in settings.items():
+        v = str(v).strip().strip("'\"")
+        if k.startswith("cnch_vw_") and v not in _KNOWN_VIRTUAL_WAREHOUSES:
+            raise ChSqlError(
+                f"VIRTUAL_WAREHOUSE_NOT_FOUND (5025): virtual warehouse "
+                f"{v!r} for setting {k!r} does not exist"
+            )
+        if k == "enable_compact_map_data" and str(v).strip() not in ("0", "false"):
+            # reference CNCH rejects compact map data parts (error 344)
+            raise ChSqlError(
+                "NOT_IMPLEMENTED (344): enable_compact_map_data is not "
+                "supported by the cloud-native MergeTree"
+            )
 _SESSION_TABLE_INDEXES: dict[str, list] = {}
 _SESSION_TABLE_KEYS: dict[str, dict] = {}
 
@@ -4763,18 +6095,24 @@ def _expand_hidden_columns(spark, sql: str) -> str:
             sql,
         )
     for t, aliases in list(_TABLE_ALIASES.items()):
-        if not aliases or not _re.search(rf"(?i)\bFROM\s+{t}\b", sql):
+        if not aliases or not _re.search(rf"(?i)\b(FROM|JOIN)\s+{t}\b", sql):
             continue
         used = {
             c: e for c, e in aliases.items()
-            if _re.search(rf"\b{c}\b", sql)
+            if _re.search(rf"(?i)\b{c}\b", sql)
         }
         if not used:
             continue
         proj = ", ".join(f"({e}) AS `{c}`" for c, e in used.items())
+
+        def _alias_repl(m, t=t, proj=proj):
+            kw = m.group(1)
+            talias = m.group(2) or t
+            return f"{kw} (SELECT *, {proj} FROM {t}) AS {talias}"
+
         sql = _re.sub(
-            rf"(?i)\bFROM\s+{t}\b(?!\s*\.)",
-            f"FROM (SELECT *, {proj} FROM {t}) AS {t}",
+            rf"(?i)\b(FROM|JOIN)\s+{t}\b(?!\s*[.(])(?:\s+AS\s+(\w+))?",
+            _alias_repl,
             sql,
         )
     return sql
@@ -4903,29 +6241,60 @@ def _prepare_insert_block(spark, name: str, new, provided):
 # MergeTree parts accounting for tables that OPT INTO the parts guard
 # via SETTINGS parts_to_throw_insert / max_parts_in_total (reference
 # MergeTreeData::delayInsertOrThrowIfNeeded, error 252 TOO_MANY_PARTS).
+# parts_to_throw_insert bounds the busiest PARTITION (reference
+# getMaxPartsCountForPartition); max_parts_in_total bounds the table.
 # Block granularity follows max_block_size like the reference's insert
 # pipeline: max_block_size=1 makes every row its own part, which is
 # exactly how the reference's own guard test drives the counter.
+# _TABLE_PARTS_COUNT: table -> {partition literal: active part count}.
 _TABLE_PARTS_COUNT: dict = {}
 
 
 def _check_and_count_parts(spark, name: str, new) -> None:
     settings = _SESSION_TABLE_SETTINGS.get(name, {})
-    thr = settings.get("parts_to_throw_insert") or settings.get(
-        "max_parts_in_total"
-    )
-    if not thr:
+    thr_part = settings.get("parts_to_throw_insert")
+    thr_total = settings.get("max_parts_in_total")
+    if not thr_part and not thr_total:
         return
-    have = _TABLE_PARTS_COUNT.get(name, 0)
-    if have > int(thr):
+    counts = _TABLE_PARTS_COUNT.setdefault(name, {})
+    if thr_part and counts and max(counts.values()) > int(thr_part):
         raise ChSqlError(
-            f"TOO_MANY_PARTS (252): table {name!r} has {have} active "
-            f"parts, more than parts_to_throw_insert = {thr}; merges are "
+            f"TOO_MANY_PARTS (252): table {name!r} has "
+            f"{max(counts.values())} active parts in a single partition, "
+            f"more than parts_to_throw_insert = {thr_part}; merges are "
             f"processing significantly slower than inserts"
         )
+    if thr_total and sum(counts.values()) > int(thr_total):
+        raise ChSqlError(
+            f"TOO_MANY_PARTS (252): table {name!r} has "
+            f"{sum(counts.values())} active parts in total, more than "
+            f"max_parts_in_total = {thr_total}; merges are processing "
+            f"significantly slower than inserts"
+        )
     block = int(_SESSION_SETTINGS.get("max_block_size", "65409") or 65409)
-    n_parts = new.count() if block <= 1 else 1
-    _TABLE_PARTS_COUNT[name] = have + n_parts
+    part_expr = _SESSION_TABLE_PARTITIONS.get(name)
+    if part_expr:
+        try:
+            rows = (
+                new.selectExpr(
+                    f"CAST(({rewrite_ch_sql(part_expr)}) AS STRING) AS __p"
+                )
+                .groupBy("__p")
+                .count()
+                .collect()  # metadata-scale: one row per partition touched
+            )
+        except Exception:
+            rows = None
+    else:
+        rows = None
+    if rows is None:
+        n = new.count()
+        rows_iter = [("", n)]
+    else:
+        rows_iter = [(r["__p"], r["count"]) for r in rows]
+    for pval, nrows in rows_iter:
+        n_parts = int(nrows) if block <= 1 else 1
+        counts[pval] = counts.get(pval, 0) + n_parts
 
 
 def _apply_insert_semantics(spark, name: str, new):
@@ -4950,6 +6319,9 @@ def _apply_insert_semantics(spark, name: str, new):
 # DROP/DETACH/ATTACH/REPLACE PARTITION; MergeTreeDataMergerMutator).
 _SESSION_TABLE_PARTITIONS: dict[str, str] = {}
 _DETACHED_PARTS: dict = {}
+
+# DETACH TABLE / ATTACH TABLE bookkeeping: name -> detached DataFrame
+_DETACHED_TABLES: dict = {}
 
 # SYSTEM STOP/START MERGES state ("*" = all tables); OPTIMIZE ... FINAL
 # refuses while merges are stopped (reference ActionLocks::PartsMerge)
@@ -5222,7 +6594,9 @@ def _txn_metadata_dicts() -> dict:
 # current database first.  ``default`` is the reference's built-in
 # database (qualified ``default.t`` strips to ``t``); ``system`` is the
 # introspection namespace handled by _SYSTEM_TABLE_MAP.
-_SESSION_DATABASES: set = {"default"}
+# `test` is pre-created like the reference's clickhouse-test harness
+# (tests/clickhouse-test creates it before running any stateless file)
+_SESSION_DATABASES: set = {"default", "test"}
 _CURRENT_DATABASE: list = ["default"]
 
 
@@ -5950,6 +7324,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         if tailinfo.ttl:
             _SESSION_TABLE_TTLS[name] = tailinfo.ttl
         if tailinfo.settings:
+            _validate_table_settings(tailinfo.settings)
             _SESSION_TABLE_SETTINGS[name] = tailinfo.settings
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)  # re-CREATE invalidates cached readers
@@ -5985,6 +7360,41 @@ def _try_ddl(spark: SparkSession, sql: str):
             tailinfo = parse_create_tail(s[close + 1 :])
         except DDLError as exc:
             raise ChSqlError(str(exc)) from exc
+        # column-name validity (reference MergeTreeData::checkColumns-
+        # Validity, error 36): the map implicit-column namespace is
+        # reserved — no `__`-prefixed names, and no `m.key`/`m.value`
+        # beside a map column `m`
+        colnames = {c.name for c in body.columns}
+        for c in body.columns:
+            if c.name.startswith("__"):
+                raise ChSqlError(
+                    f"BAD_ARGUMENTS (36): column name {c.name!r} collides "
+                    f"with the map implicit-column namespace (__ prefix)"
+                )
+            for suf in (".key", ".value", ".keys", ".values"):
+                if c.name.endswith(suf) and c.name[: -len(suf)] in colnames:
+                    raise ChSqlError(
+                        f"BAD_ARGUMENTS (36): column name {c.name!r} "
+                        f"collides with map column "
+                        f"{c.name[: -len(suf)]!r}'s implicit columns"
+                    )
+            is_map = bool(c.ch_type) and re.match(
+                r"(?i)\s*Map\s*\(", c.ch_type
+            )
+            if is_map and getattr(c, "map_kind", None) != "KV":
+                # BYTE-map implicit column files are named
+                # __<col>__<key>: the column name itself may not contain
+                # '__' or end in '_' (MergeTree checkColumnsValidity)
+                if "__" in c.name or c.name.endswith("_"):
+                    raise ChSqlError(
+                        f"BAD_ARGUMENTS (36): BYTE map column name "
+                        f"{c.name!r} may not contain '__' or end with '_'"
+                    )
+                inner = c.ch_type.strip()[c.ch_type.index("(") + 1 : -1]
+                from byconity_spark.frontend.ddl import split_top_level
+                parts_m = split_top_level(inner)
+                if len(parts_m) == 2:
+                    _validate_byte_map_types(parts_m[0], parts_m[1])
         engine, eng_args = tailinfo.engine, tailinfo.engine_args
         order_keys = key_list(tailinfo.order_by)
         pk = tailinfo.primary_key or tailinfo.unique_key or (
@@ -5997,9 +7407,27 @@ def _try_ddl(spark: SparkSession, sql: str):
             _SESSION_TABLE_TTLS[name] = tailinfo.ttl
         _forget_table_metadata(name)
         if tailinfo.settings:
+            _validate_table_settings(tailinfo.settings)
             _SESSION_TABLE_SETTINGS[name] = tailinfo.settings
         if body.indexes:
             _SESSION_TABLE_INDEXES[name] = body.indexes
+        kv_cols = {
+            c.name for c in body.columns
+            if getattr(c, "map_kind", None) == "KV"
+        }
+        if kv_cols:
+            _TABLE_KV_MAPS[name] = kv_cols
+        else:
+            _TABLE_KV_MAPS.pop(name, None)
+        byte_maps = {
+            c.name for c in body.columns
+            if c.ch_type and re.match(r"(?i)\s*Map\s*\(", c.ch_type)
+            and getattr(c, "map_kind", None) != "KV"
+        }
+        if byte_maps:
+            _TABLE_BYTE_MAPS[name] = byte_maps
+        else:
+            _TABLE_BYTE_MAPS.pop(name, None)
         _SESSION_TABLE_KEYS[name] = {
             k: v for k, v in (
                 ("order_by", tailinfo.order_by),
@@ -6212,7 +7640,8 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?$", s, re.IGNORECASE
+        r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?"
+        r"(?:\s+(?:SYNC|NO\s+DELAY))?$", s, re.IGNORECASE
     )
     if m:
         spark.catalog.dropTempView(m.group(1))
@@ -6250,6 +7679,31 @@ def _try_ddl(spark: SparkSession, sql: str):
             raise ChSqlError(
                 f"MODIFY COLUMN: no column {colname!r} in {name!r}"
             )
+        new_type = new_type.strip()
+        kv_m = re.match(r"(?is)^(.*?)\s+(KV|BYTE)$", new_type)
+        new_kind = None
+        if kv_m:
+            new_type, new_kind = kv_m.group(1).strip(), kv_m.group(2).upper()
+        mm = re.match(r"(?is)\s*Map\s*\((.+)\)\s*$", new_type)
+        if mm:
+            # the map STORAGE KIND is immutable (reference
+            # AlterCommands::validate — TYPE_MISMATCH 53 on byte<->KV)
+            was_kv = colname in _TABLE_KV_MAPS.get(name, ())
+            wants_kv = new_kind == "KV"
+            if was_kv != wants_kv and (
+                was_kv or colname in _TABLE_BYTE_MAPS.get(name, ())
+            ):
+                raise ChSqlError(
+                    f"TYPE_MISMATCH (53): MODIFY COLUMN cannot change "
+                    f"the map storage kind of {colname!r} "
+                    f"({'KV' if was_kv else 'BYTE'} -> "
+                    f"{'KV' if wants_kv else 'BYTE'})"
+                )
+            if not wants_kv:
+                from byconity_spark.frontend.ddl import split_top_level
+                parts_m2 = split_top_level(mm.group(1))
+                if len(parts_m2) == 2:
+                    _validate_byte_map_types(parts_m2[0], parts_m2[1])
         from pyspark.sql import functions as F
         df.withColumn(
             colname, F.col(colname).cast(_ch_type(new_type.strip()))
@@ -6264,7 +7718,8 @@ def _try_ddl(spark: SparkSession, sql: str):
     # (reference ASTAlterQuery MODIFY_SETTING over MergeTreeSettings.h):
     # accepted and recorded, same contract as the CREATE-time SETTINGS tail
     m = re.match(
-        r"ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+SETTING\s+(.+)$",
+        r"ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+SETTING\s+(.+?)"
+        r"(?:\s+FORMAT\s+\w+)?$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
@@ -6272,11 +7727,14 @@ def _try_ddl(spark: SparkSession, sql: str):
         name = m.group(1)
         spark.table(name)  # raises if the table doesn't exist
         tbl = _SESSION_TABLE_SETTINGS.setdefault(name, {})
+        staged = {}
         for item in split_top_level(m.group(2)):
             k, eq, v = item.partition("=")
             if not eq:
                 raise ChSqlError(f"MODIFY SETTING: bad assignment {item!r}")
-            tbl[k.strip()] = v.strip().strip("'\"")
+            staged[k.strip()] = v.strip().strip("'\"")
+        _validate_table_settings(staged)
+        tbl.update(staged)
         return spark.createDataFrame(
             [(name, "setting_modified")], "table string, status string"
         )
@@ -6398,6 +7856,36 @@ def _try_ddl(spark: SparkSession, sql: str):
         return spark.createDataFrame(
             [(m.group(1), "ttl_removed" if ok else "no_ttl")],
             "table string, status string",
+        )
+
+    # DETACH TABLE t [PERMANENTLY] / ATTACH TABLE t (reference
+    # InterpreterDropQuery::executeToTable kind=Detach + ASTCreateQuery
+    # attach): the table disappears from the catalog but its plan and
+    # metadata survive for a later ATTACH — plan-pointer bookkeeping only
+    m = re.match(
+        r"DETACH\s+TABLE\s+`?(\w+)`?(?:\s+PERMANENTLY)?\s*$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1)
+        _DETACHED_TABLES[name] = spark.table(name)
+        spark.catalog.dropTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "detached")], "table string, status string"
+        )
+    m = re.match(r"ATTACH\s+TABLE\s+`?(\w+)`?\s*$", s, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        df = _DETACHED_TABLES.pop(name, None)
+        if df is None:
+            raise ChSqlError(f"ATTACH TABLE: {name!r} is not detached")
+        df.createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "attached")], "table string, status string"
         )
 
     # ALTER TABLE t DROP|DETACH|ATTACH|REPLACE PARTITION lit [FROM src] —
@@ -6522,18 +8010,61 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(name, "mutated_update")], "table string, status string"
         )
 
+    # ALTER TABLE t CLEAR MAP KEY col(key)[, CLEAR MAP KEY ...] —
+    # ByteDance BYTE-map mutation dropping one key's implicit column
+    # (MutationCommands CLEAR_MAP_KEY).  Spark analogue: map_filter out
+    # the key — one distributed rewrite, no collect.  KV maps have no
+    # per-key files: ILLEGAL_COLUMN (44), like the reference.
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+(CLEAR\s+MAP\s+KEY\s+.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m and re.match(r"(?i)CLEAR\s+MAP\s+KEY", m.group(2)):
+        name = m.group(1).strip("`")
+        t = spark.table(name)
+        exprs = {}
+        for cm in re.finditer(
+            r"(?i)CLEAR\s+MAP\s+KEY\s+(`[^`]+`|\w+)\s*\(([^)]*)\)",
+            m.group(2),
+        ):
+            col, key = cm.group(1).strip("`"), cm.group(2).strip()
+            if col in _TABLE_KV_MAPS.get(name, ()):
+                raise ChSqlError(
+                    f"ILLEGAL_COLUMN (44): CLEAR MAP KEY on KV map "
+                    f"{col!r} — only BYTE maps store per-key columns"
+                )
+            if col not in t.columns:
+                raise ChSqlError(f"CLEAR MAP KEY: no column {col!r}")
+            exprs[col] = (
+                f"map_filter(`{col}`, (__k, __v) -> __k != {key})"
+                f" AS `{col}`"
+            )
+        proj = [exprs.get(c, f"`{c}`") for c in t.columns]
+        t.selectExpr(*proj).createOrReplaceTempView(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        _MUTATIONS_LOG.append((name, f"mut_{len(_MUTATIONS_LOG) + 1}",
+                               "CLEAR MAP KEY", 1))
+        return spark.createDataFrame(
+            [(name, "cleared_map_key")], "table string, status string"
+        )
+
     # ALTER TABLE t ADD/DROP/RENAME COLUMN (ASTAlterQuery.h column
     # commands).  ADD COLUMN fills existing rows with the CH default for
     # the translated type (or an explicit DEFAULT expression, run through
     # the frontend).
     m = re.match(
-        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMN\s+"
-        r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+([A-Za-z0-9()]+)"
+        r"ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+ADD\s+COLUMN\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_]\w*)\s+(.+?)"
         r"(?:\s+DEFAULT\s+(.+))?$",
-        s, re.IGNORECASE,
+        s, re.IGNORECASE | re.DOTALL,
     )
     if m:
         name, col, ctype, default = m.groups()
+        name, col = name.strip("`"), col.strip("`")
+        ctype = ctype.strip()
+        import re as _re_kv
+        ctype = _re_kv.sub(r"(?i)\s+(KV|BYTE)$", "", ctype)
         t = spark.table(name)
         if col in t.columns:
             raise ChSqlError(f"ADD COLUMN: {col!r} already exists on {name}")
@@ -6544,9 +8075,12 @@ def _try_ddl(spark: SparkSession, sql: str):
             # CH column defaults: 0 for numerics, '' for String, NULL
             # only for Nullable — translate the common cases
             low = ctype.lower()
-            expr = ("''" if "string" in low or "fixedstring" in low
+            sl = spark_type.upper()
+            expr = ("map()" if sl.startswith("MAP") else
+                    "array()" if sl.startswith("ARRAY") else
+                    "''" if "string" in low or "fixedstring" in low
                     else "NULL" if "nullable" in low else "0")
-        t.selectExpr("*", f"CAST(({expr}) AS {spark_type}) AS {col}"
+        t.selectExpr("*", f"CAST(({expr}) AS {spark_type}) AS `{col}`"
                      ).createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
@@ -6591,14 +8125,25 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
-        r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$",
-        s, re.IGNORECASE,
+        r"ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+(RENAME\s+COLUMN\s+.+)$",
+        s, re.IGNORECASE | re.DOTALL,
     )
-    if m:
-        name, old, new = m.groups()
-        spark.table(name).withColumnRenamed(old, new
-                                            ).createOrReplaceTempView(name)
+    if m and re.match(r"(?i)RENAME\s+COLUMN", m.group(2)):
+        name = m.group(1).strip("`")
+        df = spark.table(name)
+        pairs = re.findall(
+            r"(?i)RENAME\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
+            r"(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)",
+            m.group(2),
+        )
+        if not pairs:
+            raise ChSqlError("RENAME COLUMN: no OLD TO NEW pair found")
+        for old, new in pairs:
+            old, new = old.strip("`"), new.strip("`")
+            if old not in df.columns:
+                raise ChSqlError(f"RENAME COLUMN: no column {old!r}")
+            df = df.withColumnRenamed(old, new)
+        df.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
         return spark.createDataFrame(
@@ -6699,6 +8244,30 @@ def _try_ddl(spark: SparkSession, sql: str):
         query_cache.bump_table(name)
         return spark.createDataFrame(
             [(name, "created")], "materialized_view string, status string"
+        )
+
+    # REFRESH MATERIALIZED VIEW mv [PARTITION 'p'] [WHERE cond] [SYNC]
+    # (reference ASTRefreshQuery / StorageMaterializedView::refresh).
+    # A full re-run supersets any partition/WHERE scope — the scope is a
+    # cost optimization in the reference, not a semantic filter on the
+    # refreshed result, so the full path is always correct
+    m = re.match(
+        r"REFRESH\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?"
+        r"(?:\s+PARTITION\s+(?:'[^']*'|\S+))?"
+        r"(?:\s+WHERE\s+.+?)?(?:\s+SYNC)?\s*$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name = m.group(1)
+        mv = _SESSION_MVS.get(name)
+        if mv is None:
+            raise ChSqlError(f"REFRESH: unknown materialized view {name!r}")
+        _materialize_mv(spark, name, mv, ch_sql(spark, mv["select"]))
+        mv["versions"] = _mv_sources(mv["select"])
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "refreshed")], "materialized_view string, status string"
         )
 
     # CREATE [OR REPLACE] VIEW v AS SELECT ... / DROP VIEW v (reference
@@ -6831,8 +8400,9 @@ def ensure_sql_kernels(spark: "SparkSession") -> None:
         return
     from byconity_spark.functions.geo_index import sql_kernels as _geo_k
     from byconity_spark.functions.registry_ext7 import sql_kernels as _r7_k
+    from byconity_spark.udafs.sql_aggs import sql_kernels as _agg_k
 
-    for name, udf in {**_geo_k(), **_r7_k()}.items():
+    for name, udf in {**_geo_k(), **_r7_k(), **_agg_k()}.items():
         spark.udf.register(name, udf)
     _SQL_KERNEL_SESSIONS.add(key)
 

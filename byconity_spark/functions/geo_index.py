@@ -958,10 +958,10 @@ def sql_kernels() -> dict:
         return _i64(_s2_leaf_from_deg(
             lo.to_numpy(dtype=np.float64), la.to_numpy(dtype=np.float64)))
 
-    @F.pandas_udf("lon double, lat double")
+    @F.pandas_udf("col1 double, col2 double")
     def s2ToGeo(c: pd.Series) -> pd.DataFrame:
         lon, lat = _s2_deg_from_id(_u64(c))
-        return pd.DataFrame({"lon": lon, "lat": lat})
+        return pd.DataFrame({"col1": lon, "col2": lat})
 
     @F.pandas_udf("boolean")
     def s2CellsIntersect(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -984,12 +984,25 @@ def sql_kernels() -> dict:
         deg = d.to_numpy(dtype=np.float64)
         return pd.Series((deg >= 0) & (ang <= deg))
 
-    @F.pandas_udf("lon double, lat double")
+    @F.pandas_udf("col1 double, col2 double")
     def geohashDecode(c: pd.Series) -> pd.DataFrame:
+        # fields named col1/col2 so CH tuple access `.1`/`.2` (rewritten
+        # to .colN) resolves on the SQL surface
         lons, lats = _geohash_decode_core(c.tolist())
-        return pd.DataFrame({"lon": lons, "lat": lats})
+        return pd.DataFrame({"col1": lons, "col2": lats})
+
+    @F.pandas_udf("string")
+    def geohashEncode(lo: pd.Series, la: pd.Series, prec: pd.Series) -> pd.Series:
+        from byconity_spark.functions.registry import _geohash_core
+        pr = 12
+        nz = prec.dropna()
+        if len(nz):
+            pr = int(nz.iloc[0])
+        pr = min(max(pr, 1), 12) if pr else 12
+        return pd.Series(_geohash_core(lo, la, pr))
 
     return {
+        "geohashEncode": geohashEncode,
         "geoToS2": geoToS2,
         "s2ToGeo": s2ToGeo,
         "s2CellsIntersect": s2CellsIntersect,

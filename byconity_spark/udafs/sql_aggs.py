@@ -1,0 +1,89 @@
+"""SQL-dialect aggregate kernels (grouped-agg pandas UDFs).
+
+The DISTRIBUTED operator forms live elsewhere (mann_whitney_u in
+udafs/behavioral.py shuffles once to per-value counts and never holds a
+group in memory); these kernels are the SQL-surface analogues for the
+dialect tests — per-group Arrow-batched numpy, appropriate when the SQL
+statement aggregates a whole (modest) relation the way the reference's
+own stateless tests do.  Reference: AggregateFunctionMannWhitney.h.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+
+def _ranks_with_ties(v: np.ndarray) -> tuple[np.ndarray, float]:
+    """Average ranks and the Σ(t³-t) tie term."""
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v), dtype=np.float64)
+    sv = v[order]
+    tie = 0.0
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        t = j - i + 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        tie += t**3 - t
+        i = j + 1
+    return ranks, tie
+
+
+def _mwu(values: pd.Series, labels: pd.Series, alternative: str,
+         continuity: bool) -> list:
+    v = values.to_numpy(dtype=np.float64)
+    lab = labels.to_numpy(dtype=np.float64)
+    keep = ~(np.isnan(v) | np.isnan(lab))
+    v, lab = v[keep], lab[keep]
+    n1 = int((lab == 0).sum())
+    n2 = len(lab) - n1
+    if n1 == 0 or n2 == 0:
+        return [float("nan"), float("nan")]
+    ranks, tie = _ranks_with_ties(v)
+    r1 = float(ranks[lab == 0].sum())
+    u1 = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1
+    u2 = n1 * n2 - u1
+    u = max(u1, u2)  # the reference reports the larger U
+    n = n1 + n2
+    mu = n1 * n2 / 2.0
+    sigma2 = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    if sigma2 <= 0:
+        return [u, float("nan")]
+    sigma = math.sqrt(sigma2)
+    cc = 0.5 if continuity else 0.0
+    if alternative == "two-sided":
+        z = (abs(u - mu) - cc) / sigma
+        p = math.erfc(z / math.sqrt(2.0))
+    else:
+        # greater/less are with respect to the first (label 0) sample
+        z = (u1 - mu + (cc if alternative == "less" else -cc)) / sigma
+        cdf = 0.5 * math.erfc(-z / math.sqrt(2.0))
+        p = 1.0 - cdf if alternative == "greater" else cdf
+    return [u, min(max(p, 0.0), 1.0)]
+
+
+def sql_kernels() -> dict:
+    """Grouped-agg pandas UDFs registrable with spark.udf.register.
+    Names are internal (double-underscore): the frontend's RULES /
+    PARAMETRIC entries emit them wrapped in named_struct so `.1`/`.2`
+    tuple access works."""
+    out = {}
+    for alt, altkey in (("two-sided", "ts"), ("greater", "gt"),
+                        ("less", "lt")):
+        for cont in (True, False):
+            ckey = "c" if cont else "nc"
+
+            def make(alt=alt, cont=cont):
+                @F.pandas_udf("array<double>", F.PandasUDFType.GROUPED_AGG)
+                def k(v: pd.Series, lab: pd.Series):
+                    return _mwu(v, lab, alt, cont)
+
+                return k
+
+            out[f"__mwu_{altkey}_{ckey}"] = make()
+    return out

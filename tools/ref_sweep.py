@@ -113,12 +113,20 @@ def bucket(err: str) -> str:
 
 
 def main() -> None:
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 80
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    argv = [a for a in sys.argv[1:] if a not in ("--verbose",)]
     verbose = "--verbose" in sys.argv
-
-    files = sorted(glob.glob(os.path.join(REF_DIR, "*.sql")))
-    sample = random.Random(seed).sample(files, n_files)
+    if argv and argv[0] == "--file":
+        # single-file debug mode: every matching file, always verbose
+        sample = []
+        for pat in argv[1:]:
+            sample.extend(sorted(glob.glob(os.path.join(REF_DIR, f"*{pat}*.sql"))))
+        verbose = True
+        n_files, seed = len(sample), -1
+    else:
+        n_files = int(argv[0]) if argv else 80
+        seed = int(argv[1]) if len(argv) > 1 else 42
+        files = sorted(glob.glob(os.path.join(REF_DIR, "*.sql")))
+        sample = random.Random(seed).sample(files, n_files)
 
     sys.path.insert(0, "/root/repo")
     from byconity_spark import get_spark
