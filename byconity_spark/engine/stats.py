@@ -193,13 +193,23 @@ def _compute_stats(
         if f.dataType.simpleString()
         in ("int", "bigint", "double", "float", "date", "timestamp", "string")
     ]
+    def _ref(c: str):
+        # ByConity implicit map column `__m__'k'` = key 'k' of map m
+        # (stats over it are expression stats on that key's values)
+        import re as _re
+
+        m = _re.fullmatch(r"__([A-Za-z_]\w*?)__'(.*)'", c.strip("`"))
+        if m:
+            return F.try_element_at(F.col(m.group(1)), F.lit(m.group(2)))
+        return F.col(c)
+
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.approx_count_distinct(c).alias(f"__ndv_{c}"),
-            F.min(c).alias(f"__min_{c}"),
-            F.max(c).alias(f"__max_{c}"),
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            F.approx_count_distinct(_ref(c)).alias(f"__ndv_{c}"),
+            F.min(_ref(c)).alias(f"__min_{c}"),
+            F.max(_ref(c)).alias(f"__max_{c}"),
+            F.count(F.when(_ref(c).isNull(), 1)).alias(f"__nulls_{c}"),
         ]
     row = df.agg(*aggs).collect()[0].asDict()
     stats = TableStats(table, int(row["__n"]), {}, time.time())
@@ -215,7 +225,8 @@ def _compute_stats(
     # combinable; 2*N_BUCKETS cells per column)
     num_cols = [
         c for c in cols
-        if df.schema[c].dataType.simpleString()
+        if c in df.columns  # implicit map-key pseudo-columns have no field
+        and df.schema[c].dataType.simpleString()
         in ("int", "bigint", "double", "float")
         and stats.columns[c].min is not None
         and float(stats.columns[c].max) > float(stats.columns[c].min)

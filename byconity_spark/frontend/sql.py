@@ -207,6 +207,42 @@ def _addtime_sql(a: list[str], sign: str) -> str:
     return f"({a[0]} {sign} CAST({a[1]} AS INTERVAL HOUR TO SECOND))"
 
 
+def _from_unix_milli_sql(a: list[str]) -> str:
+    """fromUnixTimestampMilli(ms[, tz]) — with adaptive_type_cast = 0
+    the reference refuses a millisecond value whose seconds exceed the
+    DateTime (UInt32) domain (error 69 ARGUMENT_OUT_OF_BOUND); string
+    arguments are ILLEGAL_TYPE_OF_ARGUMENT (43)."""
+    import re as _re
+
+    if not a or not a[0].strip():
+        raise ChSqlError(
+            "fromUnixTimestampMilli: NUMBER_OF_ARGUMENTS_DOES_NOT_MATCH "
+            "(42) — needs (milliseconds[, timezone])"
+        )
+    x = a[0].strip()
+    if _is_string_literal(x):
+        raise ChSqlError(
+            "ILLEGAL_TYPE_OF_ARGUMENT (43): fromUnixTimestampMilli "
+            "needs an integer, not a string"
+        )
+    adaptive = str(
+        _LAST_STMT_SETTINGS.get(
+            "adaptive_type_cast", _SESSION_SETTINGS.get("adaptive_type_cast", "1")
+        )
+    )
+    if adaptive in ("0", "false") and _re.fullmatch(r"-?\d+", x):
+        if not (0 <= int(x) // 1000 <= 4294967295):
+            raise ChSqlError(
+                "ARGUMENT_OUT_OF_BOUND (69): fromUnixTimestampMilli "
+                "value exceeds the DateTime domain with "
+                "adaptive_type_cast = 0"
+            )
+    base = f"timestamp_millis(CAST({x} AS BIGINT))"
+    if len(a) > 1:
+        return f"from_utc_timestamp({base}, {a[1]})"
+    return base
+
+
 def _url_hierarchy_sql(u: str) -> str:
     """URLHierarchy (URL/URLHierarchy.cpp): progressively longer URL
     prefixes cut at '/' boundaries, protocol://host first; intermediate
@@ -2207,6 +2243,65 @@ def _state_merge_rule(base: str, sufs: list[str], name: str):
     return rule
 
 
+# Parametric bases whose combinator chains resolve generically (the
+# explicit PARAMETRIC entries win when present)
+_PARAMETRIC_COMB_BASES = {"topK", "quantile", "quantiles", "sumMap"}
+_PARAM_COMB_SUFFIXES = (
+    "State", "Merge", "OrNull", "OrDefault", "Distinct", "If", "Array",
+    "ForEach", "Resample",
+)
+
+
+def _parametric_combinator_rule(name: str):
+    """Combinator chains over PARAMETRIC bases —
+    ``topKArrayState(10)([x])``, ``quantileMergeState(0.1)(st)``,
+    ``topKArrayResampleOrDefaultIfState(10,1,2,42)([x], n, cond)``
+    (reference AggregateFunctionCombinatorFactory over parametric
+    aggregates).  The SQL-dialect state representation is the collected
+    input multiset (parameters apply at finalization); -Merge over it is
+    a flatten.  Returns fn(args, params) or None."""
+    sufs: list[str] = []
+    base = name
+    while base not in _PARAMETRIC_COMB_BASES:
+        for suf in _PARAM_COMB_SUFFIXES:
+            if base.endswith(suf) and len(base) > len(suf):
+                sufs.append(suf)
+                base = base[: -len(suf)]
+                break
+        else:
+            return None
+    if not sufs:
+        return None
+    if "State" not in sufs and "Merge" not in sufs:
+        return None  # finalizing chains route through PARAMETRIC rules
+
+    def rule(args: list[str], params: list[str], base=base,
+             sufs=tuple(sufs), name=name) -> str:
+        a = list(args)
+        if "Resample" in sufs and a:
+            a = a[:-1] if len(a) > 1 else a  # drop the resample key arg
+        if "If" in sufs:
+            if len(a) < 2:
+                raise ChSqlError(f"{name} needs (args..., cond)")
+            cond = a[-1]
+            a = [
+                f"CASE WHEN CAST(({cond}) AS BOOLEAN) THEN {x} END"
+                for x in a[:-1]
+            ]
+        x = a[0] if a else "NULL"
+        if "Merge" in sufs:
+            return f"flatten(collect_list({x}))"
+        if "Array" in sufs:
+            return f"flatten(collect_list({x}))"
+        if "Distinct" in sufs:
+            return f"collect_set({x})"
+        return f"collect_list({x})"
+
+    # tokenizer calls pcombo(first_list, second_list) where the FIRST
+    # paren list holds the parameters and the SECOND the data args
+    return lambda params, args: rule(args, params)
+
+
 def _combinator_rule(name: str):
     """Generic combinator peel for names with no explicit rule:
     sumOrNull, anyIf, groupArrayIf, countDistinctIf, varPopIf — and
@@ -2947,6 +3042,62 @@ def _strip_final_and_global(sql: str) -> str:
     return sql
 
 
+def _rewrite_groups_frames(sql: str) -> str:
+    """GROUPS window frames (reference WindowTransform.cpp supports
+    them; Spark does not): a GROUPS frame over ORDER BY o equals a RANGE
+    frame over dense_rank() by o — peer rows share a rank, so rank
+    distance IS group distance.  The source is wrapped once with the
+    rank columns (same emulation as operators/windows.py, here as a text
+    rewrite).  One query level; parenthesized keys stay unsupported."""
+    import re as _re
+
+    pat = _re.compile(
+        r"(?is)OVER\s*\(\s*(?:PARTITION\s+BY\s+([\w,.`\s]+?)\s+)?"
+        r"ORDER\s+BY\s+([\w,.`\s]+?)(\s+(?:ASC|DESC))?\s+GROUPS\s+"
+        r"(BETWEEN\s+(?:UNBOUNDED|\d+)\s+PRECEDING\s+AND\s+"
+        r"(?:CURRENT\s+ROW|(?:UNBOUNDED|\d+)\s+FOLLOWING)|"
+        r"\d+\s+PRECEDING|CURRENT\s+ROW)\s*\)"
+    )
+    ranks: list[tuple[str, str, str]] = []  # (alias, partition, order)
+    out = sql
+    n_g = 0
+
+    def repl(m):
+        nonlocal n_g
+        n_g += 1
+        alias = f"__grp{n_g}"
+        part, order, direction = m.group(1), m.group(2), m.group(3) or ""
+        ranks.append((alias, part or "", f"{order}{direction}"))
+        pclause = f"PARTITION BY {part} " if part else ""
+        return f"OVER ({pclause}ORDER BY {alias} RANGE {m.group(4)})"
+
+    out = pat.sub(repl, out)
+    if not ranks:
+        return sql
+    f = _depth0_find(out, "FROM")
+    if f < 0:
+        raise ChSqlError("GROUPS frame without a FROM source")
+    k = f + 4
+    while k < len(out) and out[k] in " \t\n":
+        k += 1
+    if out[k] == "(":
+        e = _match_paren(out, k)
+        src = out[k : e + 1]
+    else:
+        m2 = _re.match(r"`[^`]+`|[\w.]+", out[k:])
+        if not m2:
+            raise ChSqlError("GROUPS frame: cannot locate the FROM source")
+        e = k + m2.end() - 1
+        src = out[k : e + 1]
+    rank_items = ", ".join(
+        f"dense_rank() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
+        f"ORDER BY {o}) AS {a}"
+        for a, p, o in ranks
+    )
+    wrapped = f"(SELECT *, {rank_items} FROM {src}) "
+    return out[:k] + wrapped + out[e + 1 :]
+
+
 def _rewrite_with_totals(sql: str) -> str:
     """``GROUP BY <keys> WITH TOTALS`` -> ``GROUP BY GROUPING SETS
     ((<keys>), ())`` (reference src/QueryPlan/TotalsHavingStep.h:29).
@@ -3618,8 +3769,45 @@ def _normalize_exotic_tokens(sql: str) -> str:
             # TIMESTAMP (same value domain at Spark's precision)
             seg = _re.sub(r"(?i)\bDATE32\s*$", "DATE ", seg)
             seg = _re.sub(r"(?i)\bDATETIME64\s*$", "TIMESTAMP ", seg)
+        # CH float literals inf / nan (Spark needs a cast)
+        seg = _re.sub(
+            r"(?<![\w.'])\b(inf)\b(?!')", "CAST('Infinity' AS DOUBLE)", seg
+        )
+        seg = _re.sub(
+            r"(?<![\w.'])\b(nan)\b(?!')", "CAST('NaN' AS DOUBLE)", seg
+        )
         parts[i] = seg
     return "'".join(parts)
+
+
+def _expand_untuple(sql: str) -> str:
+    """``untuple((a, b, c))`` / ``untuple(tuple(a, b))`` splice their
+    elements into the surrounding list (reference src/Functions/
+    untuple — the analyzer expands it during select-list resolution).
+    Literal-tuple arguments expand textually, innermost first; a
+    non-literal argument is left for the analyzer to reject."""
+    import re as _re
+
+    for _ in range(64):  # nesting bound
+        m = None
+        for cand in _re.finditer(r"(?i)\buntuple\s*\(", sql):
+            m = cand  # take the LAST (innermost-ish) and restart
+        if m is None:
+            return sql
+        op = m.end() - 1
+        close = _match_paren(sql, op)
+        g = sql[op + 1 : close].strip()
+        inner = None
+        if g.startswith("(") and _match_paren(g, 0) == len(g) - 1:
+            inner = g[1:-1]
+        else:
+            tm = _re.match(r"(?is)tuple\s*\(", g)
+            if tm and _match_paren(g, tm.end() - 1) == len(g) - 1:
+                inner = g[tm.end() : -1]
+        if inner is None:
+            return sql  # not a literal tuple — leave for the analyzer
+        sql = sql[: m.start()] + inner.strip() + sql[close + 1 :]
+    return sql
 
 
 def _rewrite_implicit_map_access(sql: str) -> str:
@@ -4060,9 +4248,21 @@ def rewrite_ch_sql(sql: str) -> str:
                 "a text rewrite; run the query through ch_sql() (which "
                 "routes strict joins) or call operators.joins.any_join"
             )
+    # ByConity implicit map columns: `__col__'key'` is the internal name
+    # of BYTE-map key storage (MergeTreeDataPartType map implicit
+    # columns) — equivalent to reading that key of the map
+    if "__" in sql:
+        import re as _re_imp
+        sql = _re_imp.sub(
+            r"`?__([A-Za-z_]\w*?)__'([^']*)'`?",
+            r"try_element_at(`\1`, '\2')",
+            sql,
+        )
     sql = _strip_settings(sql)
     sql = _strip_format(sql)
     sql = _normalize_exotic_tokens(sql)
+    if "untuple" in sql.lower():
+        sql = _expand_untuple(sql)
     if "{" in sql:
         sql = _rewrite_implicit_map_access(sql)
         sql = _rewrite_map_literals(sql)
@@ -4081,6 +4281,8 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_limit_by_recursive(sql)
     sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_distinct_on_recursive(sql)
+    if _depth0_find(sql, "GROUPS") >= 0 or " GROUPS " in sql.upper():
+        sql = _rewrite_groups_frames(sql)
     sql = _rewrite_frame_offsets(sql)
     sql = _strip_ranking_frames(sql)
     sql = _rewrite_scalar_with(sql)
@@ -4089,11 +4291,18 @@ def rewrite_ch_sql(sql: str) -> str:
     # tuple(...).N positional access -> struct field colN
     import re as _re_mod
 
-    sql = _re_mod.sub(r"\)\.(\d+)", r").col\1", sql)
-    # alias.N positional tuple access (`actual.2` where actual aliases a
-    # tuple-valued item) — identifiers cannot start with a digit, so the
-    # \w+.\d+ shape is unambiguous
-    sql = _re_mod.sub(r"\b([A-Za-z_]\w*)\.(\d+)\b(?!\s*\.)", r"\1.col\2", sql)
+    # (quote-aware: positional access must never rewrite inside literals)
+    _tpl_parts = sql.split("'")
+    for _ti in range(0, len(_tpl_parts), 2):
+        seg = _re_mod.sub(r"\)\.(\d+)", r").col\1", _tpl_parts[_ti])
+        # alias.N positional tuple access (`actual.2` where actual
+        # aliases a tuple-valued item) — identifiers cannot start with a
+        # digit, so the \w+.\d+ shape is unambiguous
+        seg = _re_mod.sub(
+            r"\b([A-Za-z_]\w*)\.(\d+)\b(?!\s*\.)", r"\1.col\2", seg
+        )
+        _tpl_parts[_ti] = seg
+    sql = "'".join(_tpl_parts)
     sql = _rewrite_array_literals(sql)
     out = []
     i = 0
@@ -4118,6 +4327,11 @@ def rewrite_ch_sql(sql: str) -> str:
                 if (name in RULES or name in PARAMETRIC)
                 else _combinator_rule(name)
             )
+            pcombo = (
+                None
+                if (name in RULES or name in PARAMETRIC or combo)
+                else _parametric_combinator_rule(name)
+            )
             if name in _INFIX_KEYWORD_FUNCS and k != j:
                 # `x and (y)` is the INFIX operator, not the and() call —
                 # only the whitespace-free call form rewrites
@@ -4126,6 +4340,7 @@ def rewrite_ch_sql(sql: str) -> str:
                 continue
             if k < n and sql[k] == "(" and (
                 name in RULES or name in PARAMETRIC or combo is not None
+                or pcombo is not None
             ):
                 close = _match_paren(sql, k)
                 args = [
@@ -4135,6 +4350,15 @@ def rewrite_ch_sql(sql: str) -> str:
                 k2 = close + 1
                 while k2 < n and sql[k2] in " \t":
                     k2 += 1
+                if pcombo is not None and k2 < n and sql[k2] == "(":
+                    close2 = _match_paren(sql, k2)
+                    args2 = [
+                        rewrite_ch_sql(a)
+                        for a in _split_args(sql[k2 + 1 : close2])
+                    ]
+                    out.append(pcombo(args, args2))
+                    i = close2 + 1
+                    continue
                 if name in PARAMETRIC and k2 < n and sql[k2] == "(":
                     close2 = _match_paren(sql, k2)
                     args2 = [
@@ -4282,6 +4506,27 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
                 i += 1
         parts.append(pat.sub(_in_tbl_repl, sql[last:]))
         sql = "".join(parts)
+
+    # remote('addr', db.table | 'db', 'table') table function (reference
+    # TableFunctionRemote.cpp): on a single node every address is the
+    # loopback, so the call resolves to the table itself — the same
+    # degenerate case the reference's own single-node tests exercise
+    if _re.search(r"(?i)\bremote(Secure)?\s*\(", sql):
+        def _remote_repl(m):
+            inner = m.group(2)
+            args = _split_args(inner)
+            if len(args) >= 2:
+                tref = args[1].strip().strip("'\"")
+                if len(args) >= 3 and _is_string_literal(args[2].strip()):
+                    tref = f"{tref}.{args[2].strip().strip(chr(39))}"
+                return tref
+            return m.group(0)
+
+        sql = _re.sub(
+            r"(?i)\bremote(Secure)?\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+            _remote_repl,
+            sql,
+        )
 
     # file('path', 'Format'[, 'schema']) table function (reference
     # src/TableFunctions/TableFunctionFile.cpp over StorageFile): each
@@ -5233,6 +5478,76 @@ def _check_duplicate_bare_tables(sql: str) -> None:
         i += 1
 
 
+_TS_EXPR_RX = None
+
+
+def _check_ts_nonconst_string_compare(sql: str) -> None:
+    """The reference compares DateTime64 with a CONST string (parsed at
+    analysis time) but rejects a NON-CONST string operand (error 43,
+    DateTime64 vs materialized String).  After the materialize() rewrite
+    a non-const string literal is exactly a PARENTHESIZED literal, so
+    `<ts-expr> = ('...')` (either side) is the reference's error case."""
+    import re as _re
+
+    ts_like = r"(?i)(to_timestamp\s*\(|from_utc_timestamp\s*\(|AS TIMESTAMP|::TIMESTAMP)"
+
+    def _left_primary(upto: int) -> str:
+        j = upto - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j >= 0 and sql[j] == ")":
+            depth = 0
+            k = j
+            while k >= 0:
+                if sql[k] == ")":
+                    depth += 1
+                elif sql[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            # include a call name before the '('
+            h = k - 1
+            while h >= 0 and sql[h] in _IDENT_CHARS:
+                h -= 1
+            return sql[h + 1 : j + 1]
+        return ""
+
+    def _right_primary(frm: int) -> str:
+        j = frm
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        m2 = _re.match(r"[\w.]+\s*\(", sql[j:])
+        if m2:
+            close = _match_paren(sql, j + m2.end() - 1)
+            return sql[j : close + 1]
+        if j < len(sql) and sql[j] == "(":
+            return sql[j : _match_paren(sql, j) + 1]
+        return ""
+
+    # ≥2 paren layers = materialize(literal) (the materialize rewrite
+    # adds one layer on top of the scalar-WITH layer); a const literal
+    # inlines with exactly one and stays comparable
+    for m in _re.finditer(r"\(\s*\(\s*'[^']*'\s*\)\s*\)", sql):
+        after = sql[m.end():].lstrip()
+        if after.startswith(("=", "!=", "<>")):
+            op_len = 2 if after[:2] in ("==", "!=", "<>") else 1
+            skip = len(sql[m.end():]) - len(after) + op_len
+            if _re.search(ts_like, _right_primary(m.end() + skip)):
+                raise ChSqlError(
+                    "ILLEGAL_TYPE_OF_ARGUMENT (43): comparison of "
+                    "DateTime64 with a non-const String is not supported"
+                )
+        before = sql[: m.start()].rstrip()
+        if before.endswith(("=", "!=", "<>")):
+            lhs_end = len(before) - (2 if before[-2:] in ("==", "!=", "<>") else 1)
+            if _re.search(ts_like, _left_primary(lhs_end)):
+                raise ChSqlError(
+                    "ILLEGAL_TYPE_OF_ARGUMENT (43): comparison of "
+                    "DateTime64 with a non-const String is not supported"
+                )
+
+
 def _check_map_access_without_key(sql: str) -> None:
     """allow_map_access_without_key = 0 (reference MergeTree setting):
     reading a BYTE-map column WHOLE (including via ``*``) raises
@@ -5288,6 +5603,7 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
 
     _check_duplicate_bare_tables(norm)
     _check_map_access_without_key(norm)
+    _check_ts_nonconst_string_compare(norm)
     cast_filters_tried = False
     cast_logical_tried = False
     ts_arith_tried = False
@@ -5432,6 +5748,17 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
                         if sub is not None and sub != norm:
                             norm = sub
                             continue
+                elif name == "dummy":
+                    # system.one's dummy IS the constant 0 — a FROM-less
+                    # scope referencing it (CH's implicit one-row
+                    # relation) folds exactly
+                    folded = _re.sub(
+                        r"(?<![\w.`])dummy\b(?!\s*[.(])", "(0)", norm
+                    )
+                    if folded != norm:
+                        norm = folded
+                        continue
+                    raise
                 else:
                     # 2) CH alias visibility: a SELECT-list alias is
                     #    referenceable from WHERE/other items; Spark is
@@ -5866,7 +6193,7 @@ RULES.update(
             f"timestamp_micros(CAST(floor(CAST({a[0]} AS DECIMAL(38,6)) / 1000) "
             f"AS BIGINT))"
         ),
-        "fromUnixTimestampMilli": lambda a: f"timestamp_millis(CAST({a[0]} AS BIGINT))",
+        "fromUnixTimestampMilli": lambda a: _from_unix_milli_sql(a),
         "parseDateTimeBestEffortUS": lambda a: (
             f"coalesce(try_to_timestamp({a[0]}, 'MM/dd/yyyy HH:mm:ss'), "
             f"try_to_timestamp({a[0]}, 'MM/dd/yyyy'), "
@@ -7714,6 +8041,118 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(name, "column_modified")], "table string, status string"
         )
 
+    # ALTER TABLE tgt INGEST PARTITION 'p' COLUMNS c.. [KEY k..] FROM src
+    # (reference MemoryEfficientIngestColumn.h / ASTAlterQuery
+    # INGEST_PARTITION): inside the partition, matched keys take the
+    # ingested columns from the source, unmatched source keys insert new
+    # rows with type defaults elsewhere.  Distributed shape: ONE key-hash
+    # shuffle for the left join + anti join — the reference's
+    # memory_efficient setting bounds ITS key hashtable; the join shuffle
+    # needs no such knob
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+INGEST\s+PARTITION\s+"
+        r"('[^']*'|\S+)\s+COLUMNS\s+(.+?)"
+        r"(?:\s+KEY\s+(.+?))?\s+FROM\s+(`[^`]+`|[\w.]+)"
+        r"(?:\s+SETTINGS\s+.+)?\s*$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        tgt_n, part_lit, cols_txt, key_txt, src_n = m.groups()
+        tgt_n, src_n = tgt_n.strip("`"), src_n.strip("`")
+        ingest_cols = [c.strip().strip("`") for c in cols_txt.split(",")]
+        tgt = spark.table(tgt_n)
+        src = spark.table(src_n)
+        keys = (
+            [k.strip().strip("`") for k in key_txt.split(",")]
+            if key_txt else
+            [c for c in tgt.columns
+             if c in src.columns and c not in ingest_cols]
+        )
+        part_expr = _SESSION_TABLE_PARTITIONS.get(tgt_n)
+        if part_expr:
+            pcond = (
+                f"CAST(({rewrite_ch_sql(part_expr)}) AS STRING) = "
+                f"CAST({part_lit} AS STRING)"
+            )
+        else:
+            pcond = "true"
+        in_part = tgt.filter(pcond)
+        out_part = tgt.filter(f"NOT ({pcond})")
+        src_p = spark.table(src_n).filter(
+            pcond if part_expr and all(
+                c in src.columns
+                for c in __import__("re").findall(r"\b\w+\b", part_expr)
+                if c in tgt.columns
+            ) else "true"
+        )
+        src_sel = src_p.select(
+            *keys, *[c for c in ingest_cols if c in src_p.columns]
+        ).dropDuplicates(keys)
+        joined = in_part.alias("t").join(
+            src_sel.alias("s"), on=keys, how="left"
+        )
+        proj = []
+        for c in tgt.columns:
+            if c in keys:
+                proj.append(f"`{c}`")
+            elif c in ingest_cols:
+                proj.append(f"coalesce(s.`{c}`, t.`{c}`) AS `{c}`")
+            else:
+                proj.append(f"t.`{c}` AS `{c}`")
+        updated = joined.selectExpr(*proj)
+        # unmatched source keys become NEW rows (defaults elsewhere)
+        new_src = src_p.dropDuplicates(keys).join(
+            in_part.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        )
+        tschema = {f.name: f.dataType.simpleString() for f in tgt.schema.fields}
+        nproj = []
+        for c in tgt.columns:
+            if c in new_src.columns:
+                nproj.append(f"CAST(`{c}` AS {tschema[c]}) AS `{c}`")
+            else:
+                dv = _type_default_sql(tschema[c])
+                nproj.append(f"CAST({dv} AS {tschema[c]}) AS `{c}`")
+        new_rows = new_src.selectExpr(*nproj)
+        result = out_part.unionByName(updated).unionByName(new_rows)
+        result.createOrReplaceTempView(tgt_n)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(tgt_n)
+        return spark.createDataFrame(
+            [(tgt_n, "ingested")], "table string, status string"
+        )
+
+    # ALTER TABLE t MODIFY CLUSTER BY [EXPRESSION] expr INTO n BUCKETS /
+    # DROP CLUSTER — re-bucket metadata (reference ASTAlterQuery
+    # MODIFY_CLUSTER_BY over the bucket table model).  Recorded: the
+    # Spark analogue is a bucketed re-write which the write path applies
+    # from _SESSION_TABLE_KEYS on the next OPTIMIZE/INSERT
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+MODIFY\s+CLUSTER\s+BY\s+"
+        r"(?:EXPRESSION\s+)?(.+?)\s+INTO\s+(\d+)\s+BUCKETS?\s*$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        spark.table(name)  # raises if missing
+        keys = _SESSION_TABLE_KEYS.setdefault(name, {})
+        keys["cluster_by"] = f"{m.group(2).strip()} INTO {m.group(3)} BUCKETS"
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "cluster_modified")], "table string, status string"
+        )
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+DROP\s+CLUSTER\s*$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        spark.table(name)
+        _SESSION_TABLE_KEYS.get(name, {}).pop("cluster_by", None)
+        return spark.createDataFrame(
+            [(name, "cluster_dropped")], "table string, status string"
+        )
+
     # ALTER TABLE t MODIFY SETTING k = v[, ...] — per-table setting knobs
     # (reference ASTAlterQuery MODIFY_SETTING over MergeTreeSettings.h):
     # accepted and recorded, same contract as the CREATE-time SETTINGS tail
@@ -7748,7 +8187,10 @@ def _try_ddl(spark: SparkSession, sql: str):
         if final and name in _TABLE_PARTS_COUNT and not (
             "*" in _MERGES_STOPPED or name in _MERGES_STOPPED
         ):
-            _TABLE_PARTS_COUNT[name] = 1  # merge compacts to one part
+            # merge compacts every partition to one part
+            _TABLE_PARTS_COUNT[name] = {
+                p: 1 for p in _TABLE_PARTS_COUNT[name]
+            } if isinstance(_TABLE_PARTS_COUNT[name], dict) else {"": 1}
         if final and ("*" in _MERGES_STOPPED or name in _MERGES_STOPPED):
             # reference: OPTIMIZE can't proceed under STOP MERGES
             # (ActionLocks::PartsMerge held)
