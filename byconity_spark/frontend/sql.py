@@ -3052,8 +3052,8 @@ def _rewrite_groups_frames(sql: str) -> str:
     import re as _re
 
     pat = _re.compile(
-        r"(?is)OVER\s*\(\s*(?:PARTITION\s+BY\s+([\w,.`\s]+?)\s+)?"
-        r"ORDER\s+BY\s+([\w,.`\s]+?)(\s+(?:ASC|DESC))?\s+GROUPS\s+"
+        r"(?is)OVER\s*\(\s*(?:PARTITION\s+BY\s+([\w,.+\-*/%`\s]+?)\s+)?"
+        r"ORDER\s+BY\s+([\w,.+\-*/%`\s]+?)(\s+(?:ASC|DESC))?\s+GROUPS\s+"
         r"(BETWEEN\s+(?:UNBOUNDED|\d+)\s+PRECEDING\s+AND\s+"
         r"(?:CURRENT\s+ROW|(?:UNBOUNDED|\d+)\s+FOLLOWING)|"
         r"\d+\s+PRECEDING|CURRENT\s+ROW)\s*\)"

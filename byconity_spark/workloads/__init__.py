@@ -183,6 +183,7 @@ def all_queries() -> dict[str, QueryDef]:
         functions_suite,
         chsql_suite,
         chsql_round8,
+        chsql_round8b,
         aggregates_suite,
         writes,
         sources_suite,
