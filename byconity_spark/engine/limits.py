@@ -110,7 +110,14 @@ class SessionLimits:
             return v
         if key in _FLOAT_KEYS:
             return float(str(value).strip().strip("'\""))
-        return int(str(value).strip().strip("'\""))
+        v = str(value).strip().strip("'\"")
+        # the reference accepts K/M/G/T-suffixed quantities ('100K')
+        mult = {"k": 10**3, "m": 10**6, "g": 10**9, "t": 10**12}.get(
+            v[-1:].lower()
+        )
+        if mult and v[:-1].isdigit():
+            return int(v[:-1]) * mult
+        return int(v)
 
     def reset(self) -> None:
         self._values = dict(_DEFAULTS)

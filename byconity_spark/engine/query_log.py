@@ -78,11 +78,19 @@ class QueryLog:
     def entries_df(self, spark: SparkSession) -> DataFrame:
         with self._lock:
             rows = list(self._entries)
-        return spark.createDataFrame(
+        df = spark.createDataFrame(
             rows,
             "event_time timestamp, query string, query_kind string, "
             "status string, duration_ms double, cache_usage string, "
             "exception string",
+        )
+        # StorageSystemQueryLog.cpp surface columns the reference's own
+        # tests filter on
+        return df.selectExpr(
+            "*",
+            "'default' AS current_database",
+            "CAST(event_time AS DATE) AS event_date",
+            "'QueryFinish' AS type",
         )
 
 

@@ -303,6 +303,166 @@ def _epoch_if_ts(arg: str) -> str:
     return arg
 
 
+def _point_xy(arg: str) -> tuple[str, str]:
+    """The (x, y) of a point argument: literal tuple items, or colN
+    struct access for expressions."""
+    t = arg.strip()
+    if t.startswith("(") and _match_paren(t, 0) == len(t) - 1:
+        parts = _split_args(t[1:-1])
+        if len(parts) == 2:
+            return parts[0], parts[1]
+    return f"({arg}).col1", f"({arg}).col2"
+
+
+def _ring_to_struct_array(arg: str) -> str:
+    """array((x1,y1), (x2,y2), ...) — convert tuple-literal elements to
+    structs so field access works."""
+    import re as _re
+
+    t = arg.strip()
+    m = _re.match(r"(?is)array\s*\(", t)
+    if m and _match_paren(t, m.end() - 1) == len(t) - 1:
+        elems = [
+            _tuple_literal_to_struct(e)
+            for e in _split_args(t[m.end() : -1])
+        ]
+        return f"array({', '.join(elems)})"
+    return arg
+
+
+def _point_in_ring_sql(x: str, y: str, ring: str) -> str:
+    """Ray casting (crossing number) over one ring — the classic
+    even-odd rule the reference's pointInPolygonWithGrid also reduces
+    to.  One aggregate fold over the ring's edges; no UDF."""
+    r = _ring_to_struct_array(ring)
+    n = f"size({r})"
+    p1 = f"try_element_at({r}, __i)"
+    p2 = f"try_element_at({r}, (__i % {n}) + 1)"
+    crossing = (
+        f"(({p1}.col2 > ({y})) != ({p2}.col2 > ({y}))) AND "
+        f"(({x}) < CAST(({p2}.col1 - {p1}.col1) AS DOUBLE) * "
+        f"(({y}) - {p1}.col2) / ({p2}.col2 - {p1}.col2) + {p1}.col1)"
+    )
+    return (
+        f"aggregate(sequence(1, {n}), false, "
+        f"(__acc, __i) -> (__acc != ({crossing})))"
+    )
+
+
+def _point_in_polygon_sql(a: list[str]) -> str:
+    """pointInPolygon((x, y), outer[, hole...]) — also the nested
+    [[ring], [hole]] form (PointInPolygon.h)."""
+    import re as _re
+
+    if len(a) < 2:
+        raise ChSqlError("pointInPolygon needs (point, polygon)")
+    x, y = _point_xy(a[0])
+    rings = [r.strip() for r in a[1:]]
+    t = rings[0]
+    m = _re.match(r"(?is)array\s*\(", t)
+    if (
+        len(rings) == 1
+        and m
+        and _match_paren(t, m.end() - 1) == len(t) - 1
+    ):
+        elems = _split_args(t[m.end() : -1])
+        if elems and _re.match(r"(?is)array\s*\(", elems[0].strip()):
+            rings = elems  # [[outer], [hole], ...]
+    expr = _point_in_ring_sql(x, y, rings[0])
+    for hole in rings[1:]:
+        expr = f"({expr}) AND NOT ({_point_in_ring_sql(x, y, hole)})"
+    return f"CAST(({expr}) AS SMALLINT)"
+
+
+def _tuple_hamming_sql(a: list[str]) -> str:
+    """tupleHammingDistance((..), (..)) — count of differing positions
+    (tupleHammingDistance.cpp).  Arity comes from the literal tuple
+    forms; arbitrary struct expressions raise (the arity is a type-level
+    property a text rewrite cannot see)."""
+    def items(t: str):
+        t = t.strip()
+        while t.startswith("(") and _match_paren(t, 0) == len(t) - 1:
+            inner = t[1:-1].strip()
+            parts = _split_args(inner)
+            if len(parts) > 1:
+                return parts
+            t = inner
+        import re as _re
+        tm = _re.match(r"(?is)(tuple|struct|named_struct)\s*\(", t)
+        if tm and _match_paren(t, tm.end() - 1) == len(t) - 1:
+            parts = _split_args(t[tm.end(): -1])
+            if tm.group(1).lower() == "named_struct":
+                return parts[1::2]
+            return [p.split(" AS ")[0] for p in parts]
+        return None
+
+    l, r = items(a[0]), items(a[1])
+    if l is None and r is None:
+        # both sides are struct expressions: arity-agnostic fallback —
+        # render to JSON, compare values positionally (type-preserving:
+        # equal values produce equal JSON renderings)
+        vals = (
+            "map_values(from_json(to_json({e}), 'map<string,string>'))"
+        )
+        lx, rx = vals.format(e=a[0]), vals.format(e=a[1])
+        return (
+            f"size(filter(zip_with({lx}, {rx}, "
+            f"(__p, __q) -> NOT (__p <=> __q)), __v -> __v))"
+        )
+    if l is None:
+        l = [f"({a[0]}).col{i + 1}" for i in range(len(r))]
+    if r is None:
+        r = [f"({a[1]}).col{i + 1}" for i in range(len(l))]
+    if len(l) != len(r):
+        raise ChSqlError("tupleHammingDistance: tuple arity mismatch")
+    terms = " + ".join(
+        f"CAST(NOT (({x}) <=> ({y})) AS INT)" for x, y in zip(l, r)
+    )
+    return f"({terms})"
+
+
+def _tuple_literal_to_struct(arg: str) -> str:
+    """A bare parenthesized tuple literal `(a, b)` used as a function
+    argument → struct(a, b) (CH tuples are structs here).  Non-tuple
+    arguments pass through."""
+    t = arg.strip()
+    if t.startswith("(") and _match_paren(t, 0) == len(t) - 1:
+        inner = t[1:-1]
+        parts = _split_args(inner)
+        if len(parts) > 1:
+            parts = [_tuple_literal_to_struct(p) for p in parts]
+            return f"struct({', '.join(parts)})"
+    return arg
+
+
+def _coalesce_sql(a: list[str]) -> str:
+    args = [x for x in a if x.strip()]
+    if not args:
+        return "NULL"
+    if len(args) == 1:
+        return f"({args[0]})"
+    return f"coalesce({', '.join(args)})"
+
+
+def _numbers_tf_sql(a: list[str]) -> str:
+    """numbers(N) / numbers(start, N) / numbers_mt(..) -> range(); CH's
+    column is `number`, Spark range()'s is `id`.  A float/scientific
+    count (numbers_mt(1e6)) truncates like the reference's UInt64 cast."""
+    def _n(x: str) -> str:
+        x = x.strip()
+        try:
+            return str(int(float(x)))
+        except ValueError:
+            return f"CAST({x} AS BIGINT)"
+
+    if len(a) == 1:
+        return f"(SELECT id AS number FROM range({_n(a[0])}))"
+    return (
+        f"(SELECT id AS number FROM range({_n(a[0])}, "
+        f"({_n(a[0])}) + ({_n(a[1])})))"
+    )
+
+
 def _raise_chsql(msg: str):
     """Expression-position raise for lambda-valued rewrite rules."""
     raise ChSqlError(msg)
@@ -424,15 +584,68 @@ def _case_chain(args: list[str]) -> str:
 
 RULES: dict[str, object] = {
     # date/time
-    "toYear": "year", "toMonth": "month", "toDayOfMonth": "day",
-    "toHour": "hour", "toMinute": "minute", "toSecond": "second",
-    "toQuarter": "quarter", "toDayOfYear": "dayofyear",
+    # (lambdas, not name maps: the optional CH timezone argument is
+    # dropped per the session-UTC contract below)
+    "toYear": lambda a: f"year({a[0]})",
+    "toMonth": lambda a: f"month({a[0]})",
+    "toDayOfMonth": lambda a: f"day({a[0]})",
+    "toHour": lambda a: f"hour({a[0]})",
+    "toMinute": lambda a: f"minute({a[0]})",
+    "toSecond": lambda a: f"second({a[0]})",
+    "toQuarter": lambda a: f"quarter({a[0]})",
+    "toDayOfYear": lambda a: f"dayofyear({a[0]})",
+    # 2-month buckets (toStartOfBiMonth — ByteDance calendar helper)
+    "toStartOfBiMonth": lambda a: (
+        f"make_date(year({a[0]}), "
+        f"CAST(floor((month({a[0]}) - 1) / 2) * 2 + 1 AS INT), 1)"
+    ),
     # optional 2nd arg is a TIMEZONE in CH (never a format): the string is
     # interpreted AND displayed in that zone, so the wall-clock digits are
     # unchanged — dropping the zone keeps the rendered value (session UTC)
-    "toDate": lambda a: f"to_date({a[0]})",
+    # toDate(N) over an integer is DAYS SINCE EPOCH in the reference
+    # (FunctionsConversion.h UInt16 -> Date path)
+    "toDate": lambda a: (
+        # <= 65535: DAYS since epoch (UInt16 Date domain); larger:
+        # unix SECONDS (FunctionsConversion.h UInt32 -> Date via
+        # DateTime); strings/columns: plain to_date
+        f"date_add(DATE '1970-01-01', {a[0].strip()})"
+        if __import__("re").fullmatch(r"\d+", a[0].strip())
+        and int(a[0].strip()) <= 65535
+        else f"CAST(timestamp_seconds({a[0].strip()}) AS DATE)"
+        if __import__("re").fullmatch(r"\d+", a[0].strip())
+        else f"to_date({a[0]})"
+    ),
     "toDateTime": lambda a: f"to_timestamp({a[0]})",
-    "toUnixTimestamp": "unix_timestamp",
+    # one random literal per CALL SITE: constant across rows, differing
+    # between sites — the reference's randConstant block-constant contract
+    "randConstant": lambda a: str(
+        __import__("random").randint(0, 4294967295)
+    ),
+    # CH date_trunc accepts a trailing timezone — dropped (session-UTC)
+    "date_trunc": lambda a: f"date_trunc({a[0]}, {a[1]})",
+    "dateTrunc": lambda a: f"date_trunc({a[0]}, {a[1]})",
+    # the optional 2nd arg is a TIMEZONE (dropped per session-UTC), NOT
+    # a parse format — unix_timestamp(s, 'Europe/Moscow') would treat it
+    # as a pattern
+    "toUnixTimestamp": lambda a: f"unix_timestamp({a[0]})",
+    # epoch-relative counters (DateTimeTransforms.h toRelative*Num) —
+    # Monday-aligned weeks; consistent bases, exact for differences
+    "toRelativeSecondNum": lambda a: f"unix_timestamp({a[0]})",
+    "toRelativeMinuteNum": lambda a: f"(unix_timestamp({a[0]}) div 60)",
+    "toRelativeHourNum": lambda a: f"(unix_timestamp({a[0]}) div 3600)",
+    "toRelativeDayNum": lambda a: (
+        f"datediff(CAST({a[0]} AS DATE), DATE '1970-01-01')"
+    ),
+    "toRelativeWeekNum": lambda a: (
+        f"((datediff(CAST({a[0]} AS DATE), DATE '1970-01-01') + 3) div 7)"
+    ),
+    "toRelativeMonthNum": lambda a: (
+        f"(year({a[0]}) * 12 + month({a[0]}))"
+    ),
+    "toRelativeQuarterNum": lambda a: (
+        f"(year({a[0]}) * 4 + quarter({a[0]}))"
+    ),
+    "toRelativeYearNum": lambda a: f"year({a[0]})",
     "toStartOfYear": lambda a: f"date_trunc('year', {a[0]})",
     "toStartOfQuarter": lambda a: f"date_trunc('quarter', {a[0]})",
     "toStartOfMonth": lambda a: f"date_trunc('month', {a[0]})",
@@ -667,6 +880,21 @@ RULES: dict[str, object] = {
     ),
     "multiIf": _case_chain,
     "ifNull": "coalesce", "assumeNotNull": lambda a: a[0],
+    # CH coalesce() with no/one argument is legal (returns NULL / the arg)
+    "coalesce": _coalesce_sql, "COALESCE": _coalesce_sql,
+    # rendered text width (src/Functions/visibleWidth.cpp).  Spark's
+    # CAST-to-STRING rendering differs from CH's in separators
+    # ("[1, 2]" vs "[1,2]") — normalize the ", " before counting
+    "visibleWidth": lambda a: (
+        f"length(replace(CAST({_tuple_literal_to_struct(a[0])} AS STRING), "
+        f"', ', ','))"
+    ),
+    # first three octets + '.xxx' (FunctionsCoding IPv4NumToStringClassC)
+    "IPv4NumToStringClassC": lambda a: (
+        f"concat(CAST(shiftright(CAST({a[0]} AS BIGINT), 24) & 255 AS STRING), '.', "
+        f"CAST(shiftright(CAST({a[0]} AS BIGINT), 16) & 255 AS STRING), '.', "
+        f"CAST(shiftright(CAST({a[0]} AS BIGINT), 8) & 255 AS STRING), '.xxx')"
+    ),
     "roundBankers": "bround",
     # bitwise (CH names -> Spark SQL operators/functions)
     "bitAnd": lambda a: f"({a[0]} & {a[1]})",
@@ -678,7 +906,13 @@ RULES: dict[str, object] = {
     "bitCount": "bit_count",
     "bitTest": lambda a: f"bit_get({a[0]}, {a[1]})",
     # arrays (CH names -> Spark SQL)
-    "arraySum": lambda a: f"aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE))",
+    # optional leading lambda (higher-order form: arraySum(lam, arr))
+    "arraySum": lambda a: (
+        f"aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE))"
+        if len(a) == 1 else
+        f"aggregate(transform({a[1]}, {a[0]}), 0.0D, "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE))"
+    ),
     "arrayProduct": lambda a: (
         f"aggregate({a[0]}, 1.0D, (acc, x) -> acc * CAST(x AS DOUBLE))"
     ),
@@ -698,8 +932,14 @@ RULES: dict[str, object] = {
     "arrayAvg": lambda a: (
         f"(aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)) / size({a[0]}))"
     ),
-    "arrayMin": "array_min",
-    "arrayMax": "array_max",
+    "arrayMin": lambda a: (
+        f"array_min({a[0]})" if len(a) == 1
+        else f"array_min(transform({a[1]}, {a[0]}))"
+    ),
+    "arrayMax": lambda a: (
+        f"array_max({a[0]})" if len(a) == 1
+        else f"array_max(transform({a[1]}, {a[0]}))"
+    ),
     "arrayLength": "size",
     "arrayReverse": "reverse",
     "arrayIntersect": "array_intersect",
@@ -734,7 +974,19 @@ RULES: dict[str, object] = {
     "toFloat64": lambda a: (
         f"CAST({_epoch_if_ts(a[0])} AS DOUBLE)"
     ),
+    # optional 2nd arg is a render timezone — dropped (session-UTC)
     "toString": lambda a: f"CAST({a[0]} AS STRING)",
+    "toStartOfFiveMinute": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) div 300) * 300)"
+    ),
+    "toStartOfFiveMinutes": lambda a: (
+        f"timestamp_seconds((unix_timestamp({a[0]}) div 300) * 300)"
+    ),
+    # position of the first lambda match, 0 when none (arrayFirstIndex.cpp)
+    "arrayFirstIndex": lambda a: (
+        f"CAST(array_position(transform({a[1]}, "
+        f"{_bool_lambda(a[0])}), true) AS INT)"
+    ),
     "toDate32": lambda a: f"CAST({a[0]} AS DATE)",
     # DateTime64 scale is display precision in CH; Spark timestamps are
     # fixed micro-precision — scale argument dropped
@@ -765,16 +1017,16 @@ RULES: dict[str, object] = {
     "arrayJoin": "explode",
     # table function: numbers(N) / numbers(start, N) -> range(); CH's
     # column is `number`, Spark range()'s is `id`
-    "numbers": lambda a: (
-        f"(SELECT id AS number FROM range({a[0]}))"
-        if len(a) == 1
-        else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
-    ),
+    "numbers": _numbers_tf_sql,
+    "numbers_mt": _numbers_tf_sql,
     "arrayDistinct": "array_distinct",
     "arraySort": lambda a: _array_sort_sql(a, desc=False),
     "arrayReverseSort": lambda a: _array_sort_sql(a, desc=True),
     "arrayConcat": "concat",
-    "arrayStringConcat": "array_join",
+    # the 1-arg form concatenates with an empty separator
+    "arrayStringConcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"
+    ),
     # arrayMap(lambda, arr[, arr2]): a bare transform() would feed a
     # TWO-ARG lambda Spark's (element, index) pair — silently computing
     # x+index instead of x+y — so the 2-array form routes through
@@ -1089,18 +1341,40 @@ def _to_start_of_interval_sql(a: list[str]) -> str:
     import re
 
     m = re.fullmatch(
-        r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?",
+        r"INTERVAL\s+(\d+)\s+"
+        r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?",
         a[1].strip(),
         re.IGNORECASE,
     )
     if not m:
         raise ChSqlError(
-            "toStartOfInterval supports INTERVAL n SECOND|MINUTE|HOUR|DAY"
+            "toStartOfInterval supports INTERVAL n "
+            "SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR"
         )
-    secs = int(m.group(1)) * {
-        "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400
-    }[m.group(2).upper()]
-    return f"timestamp_seconds((unix_timestamp({a[0]}) div {secs}) * {secs})"
+    n_, unit = int(m.group(1)), m.group(2).upper()
+    if unit in ("SECOND", "MINUTE", "HOUR", "DAY"):
+        secs = n_ * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                     "DAY": 86400}[unit]
+        return (
+            f"timestamp_seconds((unix_timestamp({a[0]}) div {secs}) "
+            f"* {secs})"
+        )
+    if unit == "WEEK":
+        days = 7 * n_
+        # Monday-aligned n-week buckets (1970-01-05 is a Monday)
+        return (
+            f"date_add(DATE '1970-01-05', CAST((datediff(CAST({a[0]} AS "
+            f"DATE), DATE '1970-01-05') div {days}) * {days} AS INT))"
+        )
+    if unit in ("MONTH", "QUARTER", "YEAR"):
+        months = n_ * {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit]
+        total = f"(year({a[0]}) * 12 + month({a[0]}) - 1)"
+        idx = f"(({total} div {months}) * {months})"
+        return (
+            f"make_date(CAST({idx} div 12 AS INT), "
+            f"CAST({idx} % 12 + 1 AS INT), 1)"
+        )
+    raise ChSqlError("toStartOfInterval: WEEK supports n = 1 only")
 
 
 def _bucket_ts(secs: int):
@@ -1205,8 +1479,10 @@ RULES.update(
         # statement that already contained `ARRAY<...>` (extra-input
         # parse error), so a typed-empty-array seed uses array_remove and
         # shifts use the shiftright() function form.
+        # optional leading lambda (arrayCumSum(lam, arr))
         "arrayCumSum": lambda a: (
-            f"aggregate({a[0]}, array_remove(array(0D), 0D), (__acc, __x) -> "
+            f"aggregate({(a[0] if len(a) == 1 else f'transform({a[1]}, {a[0]})')}, "
+            f"array_remove(array(0D), 0D), (__acc, __x) -> "
             f"concat(__acc, array(coalesce(try_element_at(__acc, -1), 0D) "
             f"+ CAST(__x AS DOUBLE))))"
         ),
@@ -1417,8 +1693,69 @@ _ARRAY_REDUCE_FOLDS = {
 
 
 def _array_reduce_sql(a: list[str]) -> str:
+    import re as _re
+
     agg = a[0].strip().strip("'\"").lower()
     arr = a[1]
+    if agg.endswith("if") and len(a) >= 3 and not agg.endswith("notif"):
+        # -If combinator: the LAST array is the per-element condition
+        # (AggregateFunctionIf over Array arguments)
+        vals, cond = a[1], a[-1]
+        if len(a) > 3:
+            vals = (
+                f"zip_with({a[1]}, {a[2]}, (__l, __r) -> struct(__l, __r))"
+            )
+        filtered = (
+            f"transform(filter(zip_with({vals}, {cond}, "
+            f"(__v, __c) -> struct(__v AS v, __c AS c)), "
+            f"__p -> CAST(__p.c AS BOOLEAN)), __p -> __p.v)"
+        )
+        return _array_reduce_sql([f"'{agg[:-2]}'", filtered])
+    if len(a) > 2:
+        # multi-array form aggregates TUPLES of elements positionally
+        arr = f"zip_with({a[1]}, {a[2]}, (__l, __r) -> struct(__l, __r))"
+    qm = _re.fullmatch(
+        r"quantiles?(?:exact)?\s*\(\s*([\d.,\s]+)\s*\)", agg
+    )
+    if qm:
+        # nearest-rank quantile over the sorted array (the reference's
+        # arrayReduce('quantile(q)') path)
+        def one(q: str) -> str:
+            return (
+                f"try_element_at(array_sort({arr}), greatest(1, "
+                f"CAST(ceil(size({arr}) * {q.strip()}) AS INT)))"
+            )
+        qs = [x for x in qm.group(1).split(",") if x.strip()]
+        if agg.startswith("quantiles"):
+            return "array(" + ", ".join(one(q) for q in qs) + ")"
+        return one(qs[0])
+    if agg.endswith("merge"):
+        # merge over an ARRAY of SQL-dialect states (_state_merge_rule
+        # representations: collect_set / value partials)
+        base = agg[: -len("merge")]
+        if base in ("uniq", "uniqexact", "groupuniqarray"):
+            u = f"array_distinct(flatten({arr}))"
+            return u if base == "groupuniqarray" else f"size({u})"
+        if base == "grouparray":
+            return f"flatten({arr})"
+        if base in ("sum", "count"):
+            return _array_reduce_sql(["'sum'", arr])
+        if base in ("min", "max", "any"):
+            return _array_reduce_sql([f"'{base}'", arr])
+        raise ChSqlError(
+            f"arrayReduce: unsupported merge aggregate {agg!r}"
+        )
+    um = _re.fullmatch(r"uniqupto\s*\(\s*(\d+)\s*\)", agg)
+    if agg in ("uniq", "uniqexact") or um:
+        u = f"size(array_distinct({arr}))"
+        if um:
+            # uniqUpTo(N): exact up to N, N+1 beyond (uniqUpTo.h)
+            return f"least({u}, {int(um.group(1)) + 1})"
+        return u
+    if agg in ("any", "anylast"):
+        return f"try_element_at({arr}, 1)"
+    if agg == "grouparray":
+        return arr
     if agg == "sum":
         return f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
     if agg == "min":
@@ -1526,6 +1863,9 @@ _CH_TYPE_MAP = {
     "Int128": "DECIMAL(38, 0)", "Int256": "DECIMAL(38, 0)",
     "UInt128": "DECIMAL(38, 0)", "UInt256": "DECIMAL(38, 0)",
     "Int": "INT", "Float": "DOUBLE",
+    # the NULL literal's type (DataTypeNothing): any Spark type carries
+    # the NULL; STRING coerces widest
+    "Nothing": "STRING",
 }
 
 
@@ -1542,38 +1882,38 @@ def _ch_type(t: str) -> str:
 
     t = t.strip()
     # wrappers that Spark doesn't distinguish
-    m = re.fullmatch(r"(?si)(?:Nullable|LowCardinality)\((.+)\)", t)
+    m = re.fullmatch(r"(?si)(?:Nullable|LowCardinality)\s*\((.+)\)", t)
     if m:
         return _ch_type(m.group(1))
     if re.fullmatch(
-        r"(?i)DateTime64(\(\s*(?:\d+\s*(?:,\s*'[^']*'\s*)?)?\))?", t
+        r"(?i)DateTime64(\s*\(\s*(?:\d+\s*(?:,\s*'[^']*'\s*)?)?\))?", t
     ):
         return "TIMESTAMP"
-    if re.fullmatch(r"(?i)DateTime\('[^']*'\)", t):
+    if re.fullmatch(r"(?i)DateTime\s*\('[^']*'\)", t):
         return "TIMESTAMP"
-    if re.fullmatch(r"(?i)DateTimeWithoutTz(\(\d+\))?", t):
+    if re.fullmatch(r"(?i)DateTimeWithoutTz(\s*\(\d+\))?", t):
         return "TIMESTAMP_NTZ"
-    if re.fullmatch(r"(?i)Time(\(\d+\))?", t):
+    if re.fullmatch(r"(?i)Time(\s*\(\d+\))?", t):
         # TIME has no Spark analogue; a time-of-day string feeds the
         # ADDTIME/SUBTIME interval-cast path
         return "STRING"
-    if re.fullmatch(r"(?i)FixedString\(\d+\)", t):
+    if re.fullmatch(r"(?i)FixedString\s*\(\d+\)", t):
         return "STRING"
-    m = re.fullmatch(r"Decimal(32|64|128|256)\((\d+)\)", t)
+    m = re.fullmatch(r"Decimal(32|64|128|256)\s*\((\d+)\)", t)
     if m:
         prec = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
         return f"DECIMAL({prec}, {m.group(2)})"
-    m = re.fullmatch(r"Decimal\((\d+)\s*,\s*(\d+)\)", t)
+    m = re.fullmatch(r"Decimal\s*\((\d+)\s*,\s*(\d+)\)", t)
     if m:
         return f"DECIMAL({min(int(m.group(1)), 38)}, {m.group(2)})"
-    m = re.fullmatch(r"(?si)Array\((.+)\)", t)
+    m = re.fullmatch(r"(?si)Array\s*\((.+)\)", t)
     if m:
         return f"ARRAY<{_ch_type(m.group(1))}>"
-    m = re.fullmatch(r"(?si)Map\((.+)\)", t)
+    m = re.fullmatch(r"(?si)Map\s*\((.+)\)", t)
     if m:
         k, v = split_top_level(m.group(1))
         return f"MAP<{_ch_type(k)}, {_ch_type(v)}>"
-    m = re.fullmatch(r"(?s)(Tuple|Nested)\((.+)\)", t)
+    m = re.fullmatch(r"(?si)(Tuple|Nested)\s*\((.+)\)", t)
     if m:
         fields = []
         for i, item in enumerate(split_top_level(m.group(2))):
@@ -1583,15 +1923,17 @@ def _ch_type(t: str) -> str:
                     f"{nm.group(1).strip('`')}: {_ch_type(nm.group(2))}"
                 )
             else:
-                fields.append(f"_{i + 1}: {_ch_type(item)}")
+                # positional names colN — matching the tuple() rule and
+                # the `.N` -> .colN accessor rewrite
+                fields.append(f"col{i + 1}: {_ch_type(item)}")
         struct = f"STRUCT<{', '.join(fields)}>"
         return f"ARRAY<{struct}>" if m.group(1) == "Nested" else struct
-    if re.fullmatch(r"Enum(?:8|16)?\(.*\)", t, re.DOTALL):
+    if re.fullmatch(r"(?i)Enum(?:8|16)?\s*\(.*\)", t, re.DOTALL):
         return "STRING"
-    m = re.fullmatch(r"(?s)SimpleAggregateFunction\((\w+)\s*,\s*(.+)\)", t)
+    m = re.fullmatch(r"(?si)SimpleAggregateFunction\s*\((\w+)\s*,\s*(.+)\)", t)
     if m:
         return _ch_type(m.group(2))
-    if re.fullmatch(r"(?s)AggregateFunction\(.*\)", t):
+    if re.fullmatch(r"(?si)AggregateFunction\s*\(.*\)", t):
         return "BINARY"  # opaque serialized state
     if t in _CH_TYPE_MAP:
         return _CH_TYPE_MAP[t]
@@ -1608,7 +1950,7 @@ def _cast_sql(a: list[str]) -> str:
 
     if len(a) == 2:
         return _emit_cast(a[0], a[1].strip().strip(chr(39)))
-    m = re.match(r"(?s)^(.*\S)\s+AS\s+([A-Za-z_][\w()',/\s]*)$", a[0])
+    m = re.match(r"(?si)^(.*\S)\s+AS\s+([A-Za-z_][\w()',/=\-\s]*)$", a[0])
     if not m:
         return f"CAST({a[0]})"
     return _emit_cast(m.group(1), m.group(2))
@@ -1617,6 +1959,22 @@ def _cast_sql(a: list[str]) -> str:
 def _emit_cast(x: str, ch_t: str) -> str:
     import re
 
+    ch_t = ch_t.replace("\\'", "'")  # CAST(x, 'Enum8(\'a\' = 1)') form
+    em = re.match(r"(?is)\s*Enum(?:8|16)?\s*\((.+)\)\s*$", ch_t)
+    if em:
+        # CAST(n AS Enum('a' = 1, ...)) maps the VALUE to its name;
+        # CAST('a' AS Enum(...)) validates membership (DataTypeEnum)
+        pairs = re.findall(r"'((?:[^']|'')*)'\s*=\s*(-?\d+)", em.group(1))
+        if pairs:
+            whens = " ".join(
+                f"WHEN {n} THEN '{nm}'" for nm, n in pairs
+            )
+            names = ", ".join(f"'{nm}'" for nm, _ in pairs)
+            return (
+                f"(CASE WHEN CAST({x} AS STRING) IN ({names}) "
+                f"THEN CAST({x} AS STRING) "
+                f"ELSE (CASE CAST({x} AS INT) {whens} END) END)"
+            )
     t = _ch_type(ch_t)
     if t.upper().startswith("TIMESTAMP") and re.fullmatch(
         r"\s*\d+(\.\d+)?\s*", x
@@ -1709,6 +2067,27 @@ def _rewrite_scalar_with(sql: str) -> str:
         body = re.sub(rf"\b{re.escape(name)}\b", f"({expr})", body)
     head = f"WITH {', '.join(ctes)} " if ctes else ""
     return head + body
+
+
+def _rewrite_float_limits(sql: str) -> str:
+    """``LIMIT 1.0`` — the reference floors fractional LIMIT/OFFSET
+    literals; Spark requires integers."""
+    import re as _re
+
+    def repl(m):
+        kw = m.group(1)
+        v = float(m.group(0).split(None, 1)[1])
+        if v != int(v):
+            # the reference rejects a non-integral LIMIT (error 440)
+            raise ChSqlError(
+                f"INVALID_LIMIT_EXPRESSION (440): {kw} {v} is not an "
+                f"integral constant"
+            )
+        return f"{kw} {int(v)}"
+
+    return _re.sub(
+        r"(?i)\b(LIMIT|OFFSET)\s+(\d+)\.\d*(e\d+)?\b", repl, sql
+    )
 
 
 def _rewrite_limit_offset_comma(sql: str) -> str:
@@ -1972,6 +2351,35 @@ RULES.update(
             f"({a[0]} RLIKE '^[0-9a-fA-F:]{{2,39}}$' AND "
             f"contains({a[0]}, ':'))"
         ),
+        # angular distance in degrees (greatCircleAngle.cpp)
+        "greatCircleAngle": lambda a: (
+            f"degrees(2.0 * asin(sqrt(pow(sin(radians({a[3]} - {a[1]}) "
+            f"/ 2), 2) + cos(radians({a[1]})) * cos(radians({a[3]})) * "
+            f"pow(sin(radians({a[2]} - {a[0]}) / 2), 2))))"
+        ),
+        "sigmoid": lambda a: f"(1.0 / (1.0 + exp(-({a[0]}))))",
+        "pointInPolygon": _point_in_polygon_sql,
+        # 1 if inside ANY of the ellipses (pointInEllipses.cpp):
+        # variadic (x, y, x0, y0, a, b [, x0, y0, a, b ...])
+        "pointInEllipses": lambda a: (
+            "CAST((" + " OR ".join(
+                f"(pow((({a[0]}) - ({a[i]})) / ({a[i + 2]}), 2) + "
+                f"pow((({a[1]}) - ({a[i + 1]})) / ({a[i + 3]}), 2) <= 1.0)"
+                for i in range(2, len(a) - 3, 4)
+            ) + ") AS SMALLINT)"
+        ),
+        "positionUTF8": lambda a: (
+            f"locate({a[1]}, {a[0]}" + (f", {a[2]}" if len(a) > 2 else "")
+            + ")"
+        ),
+        "positionCaseInsensitive": lambda a: (
+            f"locate(lower({a[1]}), lower({a[0]})"
+            + (f", {a[2]}" if len(a) > 2 else "") + ")"
+        ),
+        "positionCaseInsensitiveUTF8": lambda a: (
+            f"locate(lower({a[1]}), lower({a[0]})"
+            + (f", {a[2]}" if len(a) > 2 else "") + ")"
+        ),
         "greatCircleDistance": lambda a: (
             f"(2.0 * 6371000.0 * asin(sqrt(pow(sin(radians({a[3]} - {a[1]}) "
             f"/ 2), 2) + cos(radians({a[1]})) * cos(radians({a[3]})) * "
@@ -2150,6 +2558,61 @@ _STATE_VALUE_MERGE = {
 }
 
 
+def _array_combinator_rule(base: str, sufs: list[str], name: str):
+    """-Array combinator over the generic bases (fooArray(arr) applies
+    foo to every ELEMENT across rows — AggregateFunctionArray.h).  Each
+    emission is a per-row array fold inside the outer aggregate, so the
+    group state stays scalar."""
+    def rule(a: list[str]) -> str:
+        args = list(a)
+        cond = None
+        if "If" in sufs:
+            if len(args) < 2:
+                raise ChSqlError(f"{name} needs (args..., cond)")
+            cond = args.pop()
+        x = args[0] if args else "NULL"
+        if cond is not None:
+            x = (
+                f"(CASE WHEN CAST(({cond}) AS BOOLEAN) THEN {x} "
+                f"ELSE slice({x}, 1, 0) END)"
+            )
+        per_row_sum = (
+            f"aggregate({x}, CAST(0 AS DOUBLE), "
+            f"(__a, __e) -> __a + CAST(__e AS DOUBLE))"
+        )
+        if base == "sum":
+            emitted = f"sum({per_row_sum})"
+        elif base == "min":
+            emitted = f"min(array_min({x}))"
+        elif base == "max":
+            emitted = f"max(array_max({x}))"
+        elif base == "count":
+            emitted = f"sum(size({x}))"
+        elif base == "avg":
+            emitted = f"try_divide(sum({per_row_sum}), sum(size({x})))"
+        elif base in ("uniq", "uniqExact"):
+            emitted = f"size(array_distinct(flatten(collect_list({x}))))"
+        elif base == "groupArray":
+            emitted = f"flatten(collect_list({x}))"
+        elif base == "groupUniqArray":
+            emitted = f"array_distinct(flatten(collect_list({x})))"
+        elif base in ("any", "anyLast"):
+            emitted = f"any_value(try_element_at({x}, 1), true)"
+        else:
+            raise ChSqlError(
+                f"{name}: -Array has no SQL-dialect emission for base "
+                f"{base!r}; use the registry Column form"
+            )
+        for suf in sufs:
+            if suf == "OrDefault":
+                emitted = f"coalesce({emitted}, 0)"
+            elif suf == "OrNull" and base in ("count", "uniq", "uniqExact"):
+                emitted = f"nullif({emitted}, 0)"
+        return emitted
+
+    return rule
+
+
 def _state_merge_rule(base: str, sufs: list[str], name: str):
     has_state = "State" in sufs
     has_merge = "Merge" in sufs
@@ -2311,7 +2774,8 @@ def _combinator_rule(name: str):
     sufs: list[str] = []  # outermost first
     base = name
     while base not in _COMBINATOR_BASES:
-        for suf in ("OrNull", "OrDefault", "Distinct", "If", "State", "Merge"):
+        for suf in ("OrNull", "OrDefault", "Distinct", "If", "State",
+                    "Merge", "Array"):
             if base.endswith(suf) and len(base) > len(suf):
                 sufs.append(suf)
                 base = base[: -len(suf)]
@@ -2322,6 +2786,8 @@ def _combinator_rule(name: str):
         return None
     if "State" in sufs or "Merge" in sufs:
         return _state_merge_rule(base, sufs, name)
+    if "Array" in sufs:
+        return _array_combinator_rule(base, sufs, name)
 
     def rule(a: list[str], base=base, sufs=tuple(sufs), name=name) -> str:
         args = list(a)
@@ -2382,7 +2848,7 @@ def _transform_sql(a: list[str]) -> str:
 def _array_count_sql(a: list[str]) -> str:
     if len(a) == 1:  # no-lambda form counts non-zero elements
         return f"size(filter({a[0]}, __x -> __x != 0))"
-    return f"size(filter({a[1]}, {a[0]}))"
+    return f"size(filter({a[1]}, {_bool_lambda(a[0])}))"
 
 
 RULES.update(
@@ -2504,6 +2970,15 @@ RULES.update(
         "toIntervalHour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",
         "toIntervalMinute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",
         "toIntervalSecond": lambda a: f"make_interval(0, 0, 0, 0, 0, 0, {a[0]})",
+        "toIntervalMillisecond": lambda a: (
+            f"make_dt_interval(0, 0, 0, ({a[0]}) / 1000.0)"
+        ),
+        "toIntervalMicrosecond": lambda a: (
+            f"make_dt_interval(0, 0, 0, ({a[0]}) / 1000000.0)"
+        ),
+        "toIntervalNanosecond": lambda a: (
+            f"make_dt_interval(0, 0, 0, ({a[0]}) / 1000000000.0)"
+        ),
         "caseWithExpression": lambda a: (
             "CASE " + a[0] + " "
             + " ".join(
@@ -2949,16 +3424,34 @@ def _rewrite_sample(sql: str) -> str:
     while True:
         i = _depth0_find(sql, "SAMPLE")
         if i < 0:
-            return sql
-        m = re.match(r"SAMPLE\s+([0-9]*\.?[0-9]+)", sql[i:], re.IGNORECASE)
+            # Spark's grammar takes TABLESAMPLE before the alias:
+            # `) AS t TABLESAMPLE (..)` -> `) TABLESAMPLE (..) AS t`
+            return re.sub(
+                r"(?i)\bAS\s+(\w+)\s+TABLESAMPLE\s*(\([^)]*\))",
+                r"TABLESAMPLE \2 AS \1",
+                sql,
+            )
+        m = re.match(
+            r"SAMPLE\s+([0-9]*\.?[0-9]+)(?:\s*/\s*([0-9]*\.?[0-9]+))?",
+            sql[i:], re.IGNORECASE,
+        )
         if not m:
             raise ChSqlError("SAMPLE requires a numeric fraction, e.g. SAMPLE 0.1")
         frac = float(m.group(1))
-        if not 0.0 < frac <= 1.0:
-            raise ChSqlError(
-                "only fractional SAMPLE k (0 < k <= 1) is supported; "
-                "SAMPLE <rows> needs table statistics"
+        if m.group(2):
+            frac = frac / float(m.group(2))  # SAMPLE 1 / 2 ratio form
+        if frac > 1.0:
+            # SAMPLE <rows>: approximate row count (the reference scales
+            # by rows-per-granule statistics) — TABLESAMPLE (n ROWS) is
+            # the same approximate contract
+            sql = (
+                sql[:i]
+                + f"TABLESAMPLE ({int(frac)} ROWS)"
+                + sql[i + m.end() :]
             )
+            continue
+        if frac <= 0.0:
+            raise ChSqlError("SAMPLE fraction must be positive")
         sql = sql[:i] + f"TABLESAMPLE ({frac * 100:g} PERCENT)" + sql[i + m.end() :]
 
 
@@ -3630,6 +4123,13 @@ def _rewrite_array_literals(sql: str) -> str:
             expr_start = None
             i = j
             continue
+        if c == "`":
+            # backticked identifier: subscriptable (`Struct.Key1`[1])
+            j = _skip_string(sql, i)
+            expr_start = sum(len(x) for x in out)
+            out.append(sql[i:j])
+            i = j
+            continue
         if c.isalpha() or c == "_":
             j = i
             while j < n and sql[j] in _IDENT_CHARS:
@@ -3746,6 +4246,14 @@ def _normalize_exotic_tokens(sql: str) -> str:
     parts = sql.split("'")
     for i in range(0, len(parts), 2):
         seg = parts[i]
+        # exotic unicode whitespace between tokens (the reference's lexer
+        # accepts NBSP/BOM/em-space/...; 01280_unicode_whitespaces_lexer)
+        seg = _re.sub(
+            "[\u00a0\u0085\u000b\u000c\u2000-\u200f\u2028\u2029"
+            "\u202f\u205f\u3000\ufeff]",
+            " ",
+            seg,
+        )
         seg = _re.sub(
             r"\b0[xX]([0-9a-fA-F]+)\b",
             lambda m: str(int(m.group(1), 16)),
@@ -4288,6 +4796,7 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_colon_casts(sql)
     sql = _rewrite_limit_offset_comma(sql)
+    sql = _rewrite_float_limits(sql)
     # tuple(...).N positional access -> struct field colN
     import re as _re_mod
 
@@ -4320,7 +4829,7 @@ def rewrite_ch_sql(sql: str) -> str:
                 j += 1
             name = sql[i:j]
             k = j
-            while k < n and sql[k] in " \t":
+            while k < n and sql[k] in " \t\n\r":
                 k += 1
             combo = (
                 None
@@ -4348,7 +4857,7 @@ def rewrite_ch_sql(sql: str) -> str:
                 ]
                 # parametric second arg list?
                 k2 = close + 1
-                while k2 < n and sql[k2] in " \t":
+                while k2 < n and sql[k2] in " \t\n\r":
                     k2 += 1
                 if pcombo is not None and k2 < n and sql[k2] == "(":
                     close2 = _match_paren(sql, k2)
@@ -4919,6 +5428,73 @@ _CLAUSE_END_KWS = (
     "GROUP BY", "ORDER BY", "HAVING", "LIMIT", "WINDOW", "UNION",
     "EXCEPT", "INTERSECT", "SETTINGS", "FORMAT", "QUALIFY",
 )
+
+
+def _relax_limit_expr(m) -> str:
+    """LIMIT/OFFSET expression relaxation (retry after
+    INVALID_LIMIT_LIKE_EXPRESSION): CH accepts any integral-VALUED
+    constant — small-int casts widen to INT; float casts keep the
+    reference's runtime error for non-integral values via assert_true."""
+    import re as _re
+
+    kw, expr = m.group(1), m.group(2)
+    if _re.fullmatch(r"\d+", expr) or expr.upper() == "ALL":
+        return m.group(0)
+    if _re.search(r"(?i)AS\s+(TINYINT|SMALLINT|BIGINT)", expr):
+        return f"{kw} CAST(({expr}) AS INT)"
+    if _re.search(r"(?i)AS\s+(FLOAT|DOUBLE|DECIMAL)", expr):
+        return (
+            f"{kw} CAST(IF(({expr}) = floor({expr}), ({expr}), "
+            f"CAST(assert_true(false) AS DOUBLE)) AS INT)"
+        )
+    return m.group(0)
+
+
+def _cast_bool_agg_args(sql: str) -> str:
+    """CH sums UInt8 comparisons (`sum(x = y)` counts matches); Spark's
+    sum/avg reject BOOLEAN.  Wrap every sum/avg argument that contains a
+    top-level comparison in CAST(.. AS INT).  Retry-only."""
+    import re as _re
+
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _re.match(r"(?i)(sum|avg)\s*\(", sql[i:])
+        if m and (i == 0 or sql[i - 1] not in _IDENT_CHARS):
+            op = i + m.end() - 1
+            close = _match_paren(sql, op)
+            arg = _cast_bool_agg_args(sql[op + 1 : close])
+            # depth-0 comparison in the arg?
+            has_cmp = False
+            d = 0
+            k = 0
+            while k < len(arg):
+                ch = arg[k]
+                if ch in "'\"`":
+                    k = _skip_string(arg, k)
+                    continue
+                if ch in "([":
+                    d += 1
+                elif ch in ")]":
+                    d -= 1
+                elif d == 0 and ch in "=<>!":
+                    has_cmp = True
+                    break
+                k += 1
+            if has_cmp:
+                out.append(f"{m.group(1)}(CAST(({arg}) AS INT))")
+            else:
+                out.append(f"{m.group(1)}({arg})")
+            i = close + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _cast_filters_boolean(sql: str) -> str:
@@ -5607,6 +6183,8 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
     cast_filters_tried = False
     cast_logical_tried = False
     ts_arith_tried = False
+    bool_agg_tried = False
+    limit_cast_tried = False
     for _ in range(32):
         try:
             return spark.sql(norm)
@@ -5621,9 +6199,40 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
                     'Cannot resolve "(NOT ' in msg
                     and '"BOOLEAN" type' in msg
                 )
+                or (
+                    "BINARY_OP_DIFF_TYPES" in msg
+                    and _re.search(
+                        r'Cannot resolve "\([^"]* (AND|OR) ', msg
+                    )
+                )
             ) and not cast_logical_tried:
                 cast_logical_tried = True
                 recast = _cast_logical_operands(norm)
+                if recast != norm:
+                    norm = recast
+                    continue
+            if (
+                "INVALID_LIMIT_LIKE_EXPRESSION" in msg
+                and not limit_cast_tried
+            ):
+                # CH LIMIT takes any integral-valued expression; Spark
+                # insists on INT — wrap the LIMIT/OFFSET body in a CAST
+                limit_cast_tried = True
+                recast = _re.sub(
+                    r"(?i)\b(LIMIT|OFFSET)\s+((?:[^\s,;()]|\([^()]*\))+)",
+                    lambda m: _relax_limit_expr(m),
+                    norm,
+                )
+                if recast != norm:
+                    norm = recast
+                    continue
+            if (
+                _re.search(r'Cannot resolve "(sum|avg)\(', msg)
+                and '"BOOLEAN"' in msg
+                and not bool_agg_tried
+            ):
+                bool_agg_tried = True
+                recast = _cast_bool_agg_args(norm)
                 if recast != norm:
                     norm = recast
                     continue
@@ -5753,7 +6362,9 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
                     # scope referencing it (CH's implicit one-row
                     # relation) folds exactly
                     folded = _re.sub(
-                        r"(?<![\w.`])dummy\b(?!\s*[.(])", "(0)", norm
+                        r"(?<![\w.`])dummy\b(?!\s*[.(])",
+                        "CAST(0 AS SMALLINT)",  # not "(0)": GROUP BY (0)
+                        norm,                   # would parse as position
                     )
                     if folded != norm:
                         norm = folded
@@ -5960,8 +6571,9 @@ def _has_token_sql(a: list[str], ci: bool = False) -> str:
 
 def _apply_lam(lam: str, elem: str) -> str:
     # apply a textual CH lambda to one element without variable capture:
-    # size(filter(array(elem), lam)) = 1  ⇔  lam(elem)
-    return f"size(filter(array({elem}), {lam})) = 1"
+    # size(filter(array(elem), lam)) = 1  ⇔  lam(elem); the body casts
+    # to BOOLEAN because CH predicates may return UInt8
+    return f"size(filter(array({elem}), {_bool_lambda(lam)})) = 1"
 
 
 def _array_fill_sql(a: list[str], reverse: bool) -> str:
@@ -5969,7 +6581,8 @@ def _array_fill_sql(a: list[str], reverse: bool) -> str:
     src = f"reverse({arr})" if reverse else arr
     fold = (
         f"aggregate({src}, slice({src}, 1, 0), (acc, x) -> concat(acc, "
-        f"array(CASE WHEN ({_apply_lam(lam, 'x')}) OR size(acc) = 0 THEN x "
+        f"array(CASE WHEN CAST(({_apply_lam(lam, 'x')}) AS BOOLEAN) "
+        f"OR size(acc) = 0 THEN x "
         f"ELSE try_element_at(acc, -1) END)))"
     )
     return f"reverse({fold})" if reverse else fold
@@ -6145,10 +6758,7 @@ RULES.update(
         ),
         "vectorSum": lambda a: f"zip_with({a[0]}, {a[1]}, (p, q) -> p + q)",
         "vectorDifference": lambda a: f"zip_with({a[0]}, {a[1]}, (p, q) -> p - q)",
-        "tupleHammingDistance": lambda a: (
-            f"CAST(size(filter(zip_with({a[0]}, {a[1]}, (p, q) -> p != q), "
-            f"v -> v)) AS BIGINT)"
-        ),
+        "tupleHammingDistance": _tuple_hamming_sql,
         # token / multi-pattern search
         "hasToken": lambda a: _has_token_sql(a),
         "hasTokens": lambda a: _has_token_sql(a),
@@ -7839,7 +8449,8 @@ def _try_ddl(spark: SparkSession, sql: str):
         return spark.createDataFrame(rows, "name string, type string")
 
     m = re.match(
-        r"SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)$", s, re.IGNORECASE
+        r"SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)"
+        r"(?:\s+FORMAT\s+\w+)?$", s, re.IGNORECASE
     )
     if m:
         name = m.group(1)
@@ -8032,8 +8643,11 @@ def _try_ddl(spark: SparkSession, sql: str):
                 if len(parts_m2) == 2:
                     _validate_byte_map_types(parts_m2[0], parts_m2[1])
         from pyspark.sql import functions as F
+        # accurateCastOrNull semantics: unconvertible values become NULL
+        # (reference AlterConversions — 00665: '' -> NULL, not an error)
         df.withColumn(
-            colname, F.col(colname).cast(_ch_type(new_type.strip()))
+            colname,
+            F.expr(f"try_cast(`{colname}` AS {_ch_type(new_type.strip())})"),
         ).createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
@@ -8085,9 +8699,25 @@ def _try_ddl(spark: SparkSession, sql: str):
                 if c in tgt.columns
             ) else "true"
         )
-        src_sel = src_p.select(
-            *keys, *[c for c in ingest_cols if c in src_p.columns]
-        ).dropDuplicates(keys)
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        def _dedup(df_, ks):
+            # row_number dedup: unlike dropDuplicates (a set operation),
+            # it tolerates MAP-typed columns in the frame
+            w = _W.partitionBy(*ks).orderBy(_F.lit(1))
+            return (
+                df_.withColumn("__rn", _F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+
+        src_sel = _dedup(
+            src_p.select(
+                *keys, *[c for c in ingest_cols if c in src_p.columns]
+            ),
+            keys,
+        )
         joined = in_part.alias("t").join(
             src_sel.alias("s"), on=keys, how="left"
         )
@@ -8101,8 +8731,8 @@ def _try_ddl(spark: SparkSession, sql: str):
                 proj.append(f"t.`{c}` AS `{c}`")
         updated = joined.selectExpr(*proj)
         # unmatched source keys become NEW rows (defaults elsewhere)
-        new_src = src_p.dropDuplicates(keys).join(
-            in_part.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        new_src = _dedup(src_p, keys).join(
+            _dedup(in_part.select(*keys), keys), keys, "left_anti"
         )
         tschema = {f.name: f.dataType.simpleString() for f in tgt.schema.fields}
         nproj = []
@@ -8338,13 +8968,14 @@ def _try_ddl(spark: SparkSession, sql: str):
     # scan, so each command is O(1) driver work at any data volume.
     m = re.match(
         r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+"
-        r"(DROP|DETACH|ATTACH|REPLACE)\s+PARTITION\s+(.+?)"
+        r"(DROP|DETACH|ATTACH(?:\s+DETACHED)?|REPLACE)\s+PARTITION\s+(.+?)"
         r"(?:\s+FROM\s+([A-Za-z_]\w*))?$",
         s, re.IGNORECASE,
     )
     if m:
         name, op, lit, src = m.groups()
-        op = op.upper()
+        from_detached = "DETACHED" in op.upper()
+        op = "ATTACH" if from_detached else op.upper()
         pexpr = _SESSION_TABLE_PARTITIONS.get(name)
         if pexpr is None:
             raise ChSqlError(
@@ -8354,10 +8985,13 @@ def _try_ddl(spark: SparkSession, sql: str):
 
         def _part(table: str, match: bool):
             neg = "" if match else "NOT "
+            # compare as STRINGS: tuple partitions carry mixed types
+            # (Date vs string literal) that <=> would reject
             return spark.sql(
                 rewrite_ch_sql(
                     f"SELECT * FROM {table} WHERE {neg}"
-                    f"(({pexpr}) <=> ({lit}))"
+                    f"(CAST(({pexpr}) AS STRING) <=> "
+                    f"CAST(({lit}) AS STRING))"
                 )
             )
 
@@ -8374,11 +9008,37 @@ def _try_ddl(spark: SparkSession, sql: str):
                     f"ATTACH PARTITION: no detached partition {lit!r} for "
                     f"{name!r} (NO_SUCH_DATA_PART)"
                 )
-            spark.table(name).unionByName(part).createOrReplaceTempView(name)
+            # the table may have gained/lost columns since DETACH (ALTER
+            # ADD COLUMN): NULL-fill the drift like the reference's
+            # attach-with-default behavior
+            spark.table(name).unionByName(
+                part, allowMissingColumns=True
+            ).createOrReplaceTempView(name)
         else:  # ATTACH|REPLACE ... FROM src (reference REPLACE_PARTITION)
             if src is None:
                 raise ChSqlError("REPLACE PARTITION requires FROM <table>")
-            incoming = _part(src, match=True).toDF(*spark.table(name).columns)
+            detached = _DETACHED_PARTS.pop((src, lit.strip()), None)
+            if from_detached and detached is None:
+                raise ChSqlError(
+                    f"ATTACH DETACHED PARTITION: no detached partition "
+                    f"{lit.strip()!r} on {src!r} (NO_SUCH_DATA_PART)"
+                )
+            if detached is not None:
+                # ATTACH DETACHED PARTITION .. FROM src moves the SOURCE
+                # table's detached part; structures must MATCH
+                # (reference checkStructure — INCOMPATIBLE_COLUMNS 122)
+                if set(detached.columns) != set(spark.table(name).columns):
+                    _DETACHED_PARTS[(src, lit.strip())] = detached
+                    raise ChSqlError(
+                        f"INCOMPATIBLE_COLUMNS (122): detached partition "
+                        f"columns {sorted(detached.columns)} do not match "
+                        f"{name!r}'s {sorted(spark.table(name).columns)}"
+                    )
+                incoming = detached.toDF(*spark.table(name).columns)
+            else:
+                incoming = _part(src, match=True).toDF(
+                    *spark.table(name).columns
+                )
             base = (
                 spark.table(name) if op == "ATTACH"
                 else _part(name, match=False)
@@ -9257,19 +9917,38 @@ def _parse_inline_format(spark, fmt: str, payload: str, cols: list, target):
     else:
         if f in ("jsoneachrow", "ndjson"):
             str_rows = []
+            dec = _json.JSONDecoder()
+
+            def _objs(text):
+                # a "line" may hold SEVERAL objects ({..} {..} {..}) —
+                # JSONEachRowRowInputFormat reads object-by-object
+                k = 0
+                while k < len(text):
+                    while k < len(text) and text[k] in " \t,":
+                        k += 1
+                    if k >= len(text):
+                        break
+                    obj, k = dec.raw_decode(text, k)
+                    yield obj
+
+            import re as _re_json
             for line in payload.strip().splitlines():
                 line = line.strip()
                 if not line:
                     continue
-                d = _json.loads(line)
-                str_rows.append(
-                    tuple(
-                        None if d.get(c) is None
-                        else (str(d[c]).lower() if isinstance(d[c], bool)
-                              else str(d[c]))
-                        for c in cols
+                # CH's JSON reader accepts bare-fraction numbers (.1)
+                line = _re_json.sub(r"(:\s*)\.(\d)", r"\g<1>0.\2", line)
+                line = _re_json.sub(r"(:\s*)-\.(\d)", r"\g<1>-0.\2", line)
+                for d in _objs(line):
+                    str_rows.append(
+                        tuple(
+                            None if d.get(c) is None
+                            else (str(d[c]).lower()
+                                  if isinstance(d[c], bool)
+                                  else str(d[c]))
+                            for c in cols
+                        )
                     )
-                )
         elif f in ("csv", "csvwithnames", "tsv", "tabseparated",
                    "tsvwithnames", "tabseparatedwithnames"):
             delim = "," if f.startswith("csv") else "\t"

@@ -57,6 +57,7 @@ def split_statements(sql: str) -> list[str]:
         if c == "/" and sql[i : i + 2] == "/*":
             j = sql.find("*/", i)
             i = n if j < 0 else j + 2
+            cur.append(" ")  # a comment separates tokens (ORDER/**/BY)
             continue
         if c in ("'", "`", '"'):
             q = c
