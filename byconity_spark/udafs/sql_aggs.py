@@ -73,6 +73,24 @@ def sql_kernels() -> dict:
     PARAMETRIC entries emit them wrapped in named_struct so `.1`/`.2`
     tuple access works."""
     out = {}
+
+    @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
+    def rank_corr(x: pd.Series, y: pd.Series):
+        # Spearman: Pearson correlation of average ranks
+        xa = x.to_numpy(dtype=np.float64)
+        ya = y.to_numpy(dtype=np.float64)
+        keep = ~(np.isnan(xa) | np.isnan(ya))
+        xa, ya = xa[keep], ya[keep]
+        if len(xa) < 2:
+            return float("nan")
+        rx, _ = _ranks_with_ties(xa)
+        ry, _ = _ranks_with_ties(ya)
+        sx, sy = rx.std(), ry.std()
+        if sx == 0 or sy == 0:
+            return float("nan")
+        return float(((rx - rx.mean()) * (ry - ry.mean())).mean() / (sx * sy))
+
+    out["__rank_corr"] = rank_corr
     for alt, altkey in (("two-sided", "ts"), ("greater", "gt"),
                         ("less", "lt")):
         for cont in (True, False):
