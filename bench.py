@@ -111,7 +111,7 @@ def main() -> None:
     except Exception:
         pass
 
-    out = {
+    detail = {
         "metric": "workload_total_wall",
         "value": round(total, 4),
         "unit": "sec",
@@ -129,7 +129,41 @@ def main() -> None:
         "stream_detail": stream_detail,
     }
     if failed:
-        out["failed"] = failed
+        detail["failed"] = failed
+
+    # The driver captures only a ~2000-char TAIL of merged output, so the
+    # final JSON line must stay small: full per-query detail goes to a file
+    # (and to stdout EARLIER, where truncation doesn't matter), and the last
+    # line is a compact summary with the headline numbers plus the slowest
+    # queries (so the artifact alone still shows where time goes).
+    os.makedirs(".dev", exist_ok=True)
+    with open(".dev/bench_detail.json", "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print("[bench] full detail: .dev/bench_detail.json")
+    print("[bench-detail] " + json.dumps(detail))
+
+    top = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: -kv[1],
+        )[:8]
+    )
+    out = {
+        "metric": "workload_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": detail["n_queries"],
+        "mean_query_wall": detail["mean_query_wall"],
+        "headline_tpch7_wall": detail["headline_tpch7_wall"],
+        "headline_tpch7_warm": detail["headline_tpch7_warm"],
+        "failed_count": len(failed),
+        "queries": {q: timings.get(q) for q in R01_HEADLINE},
+        "slowest": top,
+        "detail_file": ".dev/bench_detail.json",
+    }
+    if failed:
+        out["failed"] = failed[:5]
 
     # The JSON line MUST be the absolute last thing in merged stdout+stderr:
     # the driver captures both streams and tails the output, and a Spark
@@ -152,7 +186,12 @@ def main() -> None:
     time.sleep(2.0)  # let any in-flight JVM shutdown logging hit stderr first
     sys.stdout.flush()
     sys.stderr.flush()
-    print(json.dumps(out), flush=True)
+    line = json.dumps(out)
+    if len(line) > 1900:  # driver tails 2000 chars; never exceed it
+        out.pop("slowest", None)
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line, flush=True)
     # hard-exit: sys.exit would run py4j atexit hooks whose stray logging
     # could land AFTER the JSON line and re-break the driver's parse
     os._exit(1 if failed else 0)

@@ -86,11 +86,16 @@ class QueryLog:
         )
         # StorageSystemQueryLog.cpp surface columns the reference's own
         # tests filter on
+        # type derives from status: failed statements are the reference's
+        # ExceptionBeforeStart / ExceptionWhileProcessing rows, so a
+        # `type = 'QueryFinish'` filter must exclude them (QueryLog.h
+        # QUERY_FINISH vs EXCEPTION_* event types)
         return df.selectExpr(
             "*",
             "'default' AS current_database",
             "CAST(event_time AS DATE) AS event_date",
-            "'QueryFinish' AS type",
+            "CASE WHEN status LIKE 'Exception%' THEN status "
+            "ELSE 'QueryFinish' END AS type",
         )
 
 

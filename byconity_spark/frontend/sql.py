@@ -100,6 +100,61 @@ def _split_args(argstr: str) -> list[str]:
     return out
 
 
+def _tuple_subquery_struct(arg: str) -> str:
+    """A parenthesized SELECT returning MULTIPLE columns used as a scalar
+    value becomes a one-column named_struct subquery (CH allows
+    tuple-valued scalar subqueries — 50011_parts_info tests compare two
+    of them with equals(); Spark scalar subqueries are single-column)."""
+    import re as _re
+
+    s = arg.strip()
+    if not (s.startswith("(") and _match_paren(s, 0) == len(s) - 1):
+        return arg
+    inner = s[1:-1].strip()
+    m = _re.match(r"(?is)^select\s+(distinct\s+)?", inner)
+    if not m:
+        return arg
+    rest = inner[m.end():]
+    # locate the top-level FROM (absent for `SELECT 1, 3`)
+    low = rest.lower()
+    depth = 0
+    i = 0
+    from_pos = None
+    while i < len(rest):
+        c = rest[i]
+        if c in "'\"`":
+            i = _skip_string(rest, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and low.startswith("from", i) and (
+            i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] == "_")
+        ) and (
+            i + 4 >= len(rest)
+            or not (rest[i + 4].isalnum() or rest[i + 4] == "_")
+        ):
+            from_pos = i
+            break
+        i += 1
+    select_list = rest[:from_pos] if from_pos is not None else rest
+    tail = rest[from_pos:] if from_pos is not None else ""
+    items = _split_args(select_list)
+    if len(items) < 2:
+        return arg
+    fields = []
+    for n_i, it in enumerate(items):
+        # strip a trailing top-level alias — struct fields are positional
+        am = _re.search(r"(?is)\s+AS\s+(`[^`]+`|\w+)\s*$", it)
+        expr = it[: am.start()] if am else it
+        fields.append(f"'col{n_i + 1}', {expr.strip()}")
+    distinct = "DISTINCT " if m.group(1) else ""
+    return (
+        f"(SELECT {distinct}named_struct({', '.join(fields)}) {tail})"
+    )
+
+
 def _bool_lambda(lam: str) -> str:
     """Wrap a one-arg lambda body in CAST(.. AS BOOLEAN) — CH lambda
     predicates may return UInt8 (`x -> 0`), Spark requires BOOLEAN."""
@@ -183,9 +238,13 @@ def _get_map_keys_sql(a: list[str]) -> str:
             f"BAD_ARGUMENTS (36): getMapKeys: column {col!r} of {tbl!r} "
             f"is a KV map — it has no implicit key columns"
         )
+    # collect_set over EXPLODED keys: dedup happens inside the aggregate
+    # state, so state size is bounded by the distinct-key count, not the
+    # row count (collect_list-then-dedup accumulates every row's array —
+    # unbounded single-group state at 100 TB)
     return (
-        "(SELECT sort_array(array_distinct(flatten(collect_list("
-        f"map_keys(`{col}`))))) FROM `{tbl}`)"
+        "(SELECT sort_array(collect_set(__mk)) FROM (SELECT "
+        f"explode(map_keys(`{col}`)) AS __mk FROM `{tbl}`))"
     )
 
 
@@ -395,6 +454,23 @@ def _tuple_hamming_sql(a: list[str]) -> str:
                 return parts[1::2]
             return [p.split(" AS ")[0] for p in parts]
         return None
+
+    def is_arrayish(t: str) -> bool:
+        t = t.strip()
+        if t.startswith("[") :
+            return True
+        import re as _re
+        am = _re.match(r"(?is)(array|arraySort|arrayConcat|array_sort)\s*\(", t)
+        return bool(am)
+
+    if is_arrayish(a[0]) or is_arrayish(a[1]):
+        # ARRAY arguments: zip_with the arrays directly — the r8
+        # from_json(to_json()) map path returns NULL on arrays (to_json
+        # of an array is a JSON array, not an object)
+        return (
+            f"size(filter(zip_with({a[0]}, {a[1]}, "
+            f"(__p, __q) -> NOT (__p <=> __q)), __v -> __v))"
+        )
 
     l, r = items(a[0]), items(a[1])
     if l is None and r is None:
@@ -772,7 +848,9 @@ RULES: dict[str, object] = {
         f"(CASE WHEN endswith({a[0]}, {a[1]}) OR {a[0]} = '' THEN {a[0]} "
         f"ELSE concat({a[0]}, {a[1]}) END)"
     ),
-    "equals": lambda a: f"({a[0]} = {a[1]})",
+    "equals": lambda a: (
+        f"({_tuple_subquery_struct(a[0])} = {_tuple_subquery_struct(a[1])})"
+    ),
     # variadic logical forms (reference FunctionsLogical: any arity)
     "xor": lambda a: (
         "(" + " != ".join(f"CAST(({x}) AS BOOLEAN)" for x in a) + ")"
@@ -796,7 +874,10 @@ RULES: dict[str, object] = {
         f"(CASE WHEN size({a[0]}) = 0 "
         f"THEN array(try_element_at({a[0]}, 1)) ELSE {a[0]} END)"
     ),
-    "notEquals": lambda a: f"({a[0]} != {a[1]})",
+    "notEquals": lambda a: (
+        f"({_tuple_subquery_struct(a[0])} != "
+        f"{_tuple_subquery_struct(a[1])})"
+    ),
     "less": lambda a: f"({a[0]} < {a[1]})",
     "greater": lambda a: f"({a[0]} > {a[1]})",
     "lessOrEquals": lambda a: f"({a[0]} <= {a[1]})",
@@ -2818,6 +2899,24 @@ _PARAM_COMB_SUFFIXES = (
 )
 
 
+def _quantile_from_array_sql(arr: str, p: str) -> str:
+    """Interpolated quantile of a collected multiset (the reference's
+    ReservoirSampler::quantileInterpolated — exact below the reservoir
+    cap, which the SQL-dialect state path always is)."""
+    s = (
+        f"array_sort(transform(filter({arr}, __e -> __e IS NOT NULL), "
+        f"__e -> CAST(__e AS DOUBLE)))"
+    )
+    n = f"size({s})"
+    pos = f"(({p}) * ({n} - 1))"
+    lo = f"element_at({s}, CAST(floor({pos}) AS INT) + 1)"
+    hi = f"element_at({s}, CAST(ceil({pos}) AS INT) + 1)"
+    return (
+        f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        f"{lo} + (({pos}) - floor({pos})) * ({hi} - {lo}) END)"
+    )
+
+
 def _parametric_combinator_rule(name: str):
     """Combinator chains over PARAMETRIC bases —
     ``topKArrayState(10)([x])``, ``quantileMergeState(0.1)(st)``,
@@ -2844,24 +2943,94 @@ def _parametric_combinator_rule(name: str):
     def rule(args: list[str], params: list[str], base=base,
              sufs=tuple(sufs), name=name) -> str:
         a = list(args)
-        if "Resample" in sufs and a:
-            a = a[:-1] if len(a) > 1 else a  # drop the resample key arg
-        if "If" in sufs:
+        has_state = "State" in sufs
+        has_merge = "Merge" in sufs
+        has_resample = "Resample" in sufs
+        cond = None
+        if "If" in sufs and not has_merge:
             if len(a) < 2:
                 raise ChSqlError(f"{name} needs (args..., cond)")
-            cond = a[-1]
-            a = [
-                f"CASE WHEN CAST(({cond}) AS BOOLEAN) THEN {x} END"
-                for x in a[:-1]
-            ]
+            cond = a.pop()
+        key = None
+        if has_resample and not has_merge and len(a) > 1:
+            key = a.pop()  # the resample bucketing key
         x = a[0] if a else "NULL"
-        if "Merge" in sufs:
-            return f"flatten(collect_list({x}))"
-        if "Array" in sufs:
-            return f"flatten(collect_list({x}))"
+        if cond is not None:
+            x = f"(CASE WHEN CAST(({cond}) AS BOOLEAN) THEN {x} END)"
+        if has_state:
+            # state representation = the collected input multiset
+            # (parameters apply at finalization); -MergeState merges by
+            # concatenation
+            if has_merge:
+                return f"flatten(collect_list({x}))"
+            if has_resample:
+                k = f"CAST(({key}) AS DOUBLE)" if key else "CAST(0 AS DOUBLE)"
+                return (
+                    f"collect_list(named_struct('v', {x}, 'k', {k}))"
+                )
+            if "Distinct" in sufs:
+                return f"collect_set({x})"
+            return f"collect_list({x})"
+        # ---- finalizing -Merge over the representations above
+        m = f"flatten(collect_list({x}))"
         if "Distinct" in sufs:
-            return f"collect_set({x})"
-        return f"collect_list({x})"
+            m = f"array_distinct({m})"
+        if base not in ("quantile", "topK"):
+            raise ChSqlError(
+                f"{name}: -Merge finalization has no SQL-dialect emission "
+                f"for base {base!r}; use the registry Column form"
+            )
+
+        def fin(vals: str) -> str:
+            if base == "quantile":
+                p = params[0] if params else "0.5"
+                emitted_ = _quantile_from_array_sql(vals, p)
+            else:
+                kk = params[0] if params else "10"
+                # topK: k most frequent elements of the multiset
+                emitted_ = (
+                    f"slice(transform(array_sort(transform("
+                    f"array_distinct({vals}), __d -> named_struct('n', "
+                    f"-size(filter({vals}, __q -> __q <=> __d)), 'v', "
+                    f"__d))), __s -> __s.v), 1, CAST({kk} AS INT))"
+                )
+            # -OrDefault applies at the per-value finalizer (inside any
+            # Resample/ForEach array mapping), never to the outer array
+            if "OrDefault" in sufs and base == "quantile":
+                emitted_ = f"coalesce({emitted_}, CAST(0 AS DOUBLE))"
+            return emitted_
+
+        if has_resample:
+            if len(params) < 4:
+                raise ChSqlError(f"{name}: Resample needs (.., start, end, step)")
+            start, end, step = params[1], params[2], params[3]
+            # bucket [b, min(b + step, end)) — keys at or past `end` are
+            # discarded (AggregateFunctionResample bucket clamping)
+            vals = (
+                f"transform(filter({m}, __s -> __s.k >= CAST(__b AS DOUBLE) "
+                f"AND __s.k < least(CAST(__b AS DOUBLE) + ({step}), "
+                f"CAST({end} AS DOUBLE))), __s -> __s.v)"
+            )
+            if "Array" in sufs:
+                # -If can leave whole-array NULLs; flatten(…NULL…) is NULL
+                vals = f"flatten(filter({vals}, __a -> __a IS NOT NULL))"
+            emitted = (
+                f"transform(sequence(CAST({start} AS BIGINT), "
+                f"CAST({end} AS BIGINT) - 1, CAST({step} AS BIGINT)), "
+                f"__b -> {fin(vals)})"
+            )
+        elif "ForEach" in sufs:
+            p_ = f"transform(filter({m}, __a -> size(__a) >= __i), " \
+                 f"__a -> element_at(__a, CAST(__i AS INT)))"
+            emitted = (
+                f"transform(sequence(1, coalesce(array_max(transform({m}, "
+                f"__a -> size(__a))), 0)), __i -> {fin(p_)})"
+            )
+        elif "Array" in sufs:
+            emitted = fin(f"flatten({m})")
+        else:
+            emitted = fin(m)
+        return emitted
 
     # tokenizer calls pcombo(first_list, second_list) where the FIRST
     # paren list holds the parameters and the SECOND the data args
@@ -4294,6 +4463,7 @@ _SYSTEM_TABLE_MAP = {
     "system.query_log": "system_query_log",
     "system.metrics": "system_metrics",
     "system.parts": "system_parts",
+    "system.cnch_parts_info": "system_cnch_parts_info",
     "system.cnch_parts": "system_parts",
     "system.one": "(SELECT 0 AS dummy)",
     "system.numbers": "(SELECT id AS number FROM RANGE(1000000))",
@@ -4811,6 +4981,17 @@ def _rewrite_inline_alias(sql: str) -> str:
 _INFIX_KEYWORD_FUNCS = frozenset({"or", "and", "not", "in", "IN", "In",
                                   "OR", "AND", "NOT"})
 
+# words whose tail position marks a CALL site for the infix-keyword
+# functions: after `SELECT in(...)` / `, and(...)` the paren form is the
+# ClickHouse call; after an identifier/literal/closing paren it's infix
+_CALL_POSITION_KWS = frozenset({
+    "SELECT", "WHERE", "PREWHERE", "HAVING", "WHEN", "THEN", "ELSE",
+    "CASE", "ON", "BY", "AS", "AND", "OR", "NOT", "XOR", "ALL", "ANY",
+    "DISTINCT", "UNION", "IF", "LIKE", "ILIKE", "IS", "BETWEEN", "FROM",
+    "WITH", "SET", "RETURN", "IN", "JOIN", "USING", "OVER", "PARTITION",
+    "ORDER", "GROUP", "LIMIT", "OFFSET", "INTERVAL", "EXISTS",
+})
+
 
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
@@ -4909,14 +5090,19 @@ def rewrite_ch_sql(sql: str) -> str:
     # (quote-aware: positional access must never rewrite inside literals)
     _tpl_parts = sql.split("'")
     for _ti in range(0, len(_tpl_parts), 2):
-        seg = _re_mod.sub(r"\)\.(\d+)", r").col\1", _tpl_parts[_ti])
-        # alias.N positional tuple access (`actual.2` where actual
-        # aliases a tuple-valued item) — identifiers cannot start with a
-        # digit, so the \w+.\d+ shape is unambiguous
-        seg = _re_mod.sub(
-            r"\b([A-Za-z_]\w*)\.(\d+)\b(?!\s*\.)", r"\1.col\2", seg
-        )
-        _tpl_parts[_ti] = seg
+        # backtick-quoted identifiers may legitimately contain dotted
+        # numeric segments (`a.1`) — never rewrite inside them
+        _bt_parts = _tpl_parts[_ti].split("`")
+        for _bi in range(0, len(_bt_parts), 2):
+            seg = _re_mod.sub(r"\)\.(\d+)", r").col\1", _bt_parts[_bi])
+            # alias.N positional tuple access (`actual.2` where actual
+            # aliases a tuple-valued item) — identifiers cannot start
+            # with a digit, so the \w+.\d+ shape is unambiguous
+            seg = _re_mod.sub(
+                r"\b([A-Za-z_]\w*)\.(\d+)\b(?!\s*\.)", r"\1.col\2", seg
+            )
+            _bt_parts[_bi] = seg
+        _tpl_parts[_ti] = "`".join(_bt_parts)
     sql = "'".join(_tpl_parts)
     sql = _rewrite_array_literals(sql)
     out = []
@@ -4953,6 +5139,25 @@ def rewrite_ch_sql(sql: str) -> str:
                 out.append(name)
                 i = j
                 continue
+            if name in _INFIX_KEYWORD_FUNCS and k == j:
+                # even whitespace-free `x in(1,2)` is the infix operator
+                # when the preceding depth-0 token is an expression
+                # terminator (identifier/literal/closing paren) — the
+                # call form only stands in call position (after SELECT,
+                # ',', '(', an operator, ...)
+                prev = "".join(out[-4:]).rstrip()
+                m_prev = _re_mod.search(r"([A-Za-z_0-9$]+|\)|\]|'|`)$", prev)
+                if m_prev is not None:
+                    tok = m_prev.group(1)
+                    if (
+                        tok in (")", "]", "'", "`")
+                        or tok.upper() not in _CALL_POSITION_KWS
+                        # `x NOT in(1,2)` is the NOT IN infix operator
+                        or (tok.upper() == "NOT" and name.lower() == "in")
+                    ):
+                        out.append(name)
+                        i = j
+                        continue
             if k < n and sql[k] == "(" and (
                 name in RULES or name in PARAMETRIC or combo is not None
                 or pcombo is not None
@@ -5085,6 +5290,29 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
 
     _LAST_STMT_SETTINGS.clear()
     sql = _qualify_databases(sql)
+
+    # `(*,).N` — CH tuple-of-all-columns positional access
+    # (01159_combinators_with_parameters `(*,).1`): resolve the N-th
+    # column of the (single) FROM table by schema lookup
+    if _re.search(r"\(\s*\*\s*,?\s*\)\s*\.\s*\d+", sql):
+        tm = _re.search(r"(?is)\bFROM\s+`?([A-Za-z_]\w*)`?", sql)
+        if tm:
+            try:
+                cols = spark.table(tm.group(1)).columns
+            except Exception:
+                cols = []
+            if cols:
+                def _star_tuple_sub(mo):
+                    idx = int(mo.group(1)) - 1
+                    if idx >= len(cols):
+                        raise ChSqlError(
+                            f"ARGUMENT_OUT_OF_BOUND (69): (*,).{idx + 1} "
+                            f"but the table has {len(cols)} columns"
+                        )
+                    return f"`{cols[idx]}`"
+                sql = _re.sub(
+                    r"\(\s*\*\s*,?\s*\)\s*\.\s*(\d+)", _star_tuple_sub, sql
+                )
 
     if (_TABLE_MATERIALIZED or _TABLE_ALIASES) and _re.match(
         r"(?is)^\s*(SELECT|WITH)\b", sql
@@ -5302,18 +5530,88 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if _re.search(r"\bsystem\.query_log\b", sql, _re.IGNORECASE):
         from byconity_spark.engine.query_log import query_log as _qlog
         _qlog.entries_df(spark).createOrReplaceTempView("system_query_log")
-    if _re.search(r"\bsystem\.(cnch_)?parts\b", sql, _re.IGNORECASE):
-        # CH system.parts (StorageSystemParts.cpp) — parquet files play
-        # the role of parts; rows come from footer metadata only
+    if _re.search(
+        r"\bsystem\.(cnch_)?parts(_info)?\b", sql, _re.IGNORECASE
+    ):
+        # CH system.parts / system.cnch_parts (StorageSystemParts.cpp,
+        # StorageSystemCnchParts.cpp) — parquet files play the role of
+        # parts (rows from footer metadata only); session tables
+        # contribute their INSERT-block ledger (_SESSION_PARTS).
+        # part_type follows the reference enum numerically
+        # (StorageSystemCnchParts.h: VisiblePart = 1) so `part_type <= 2`
+        # predicates work.
+        import datetime as _dt
+        import os as _os
+
         from byconity_spark.engine.catalog import _LAST_SF_DIR, parts_rows
-        rows = parts_rows(_LAST_SF_DIR[0]) if _LAST_SF_DIR else []
+        cat = list(parts_rows(_LAST_SF_DIR[0])) if _LAST_SF_DIR else []
+        epoch = _dt.datetime.fromtimestamp(0)
+
+        def _file_mtime(sfd, tname):
+            try:
+                return _dt.datetime.fromtimestamp(
+                    _os.path.getmtime(f"{sfd}/{tname}.parquet")
+                )
+            except OSError:
+                return epoch
+
+        rows = [
+            (r[0], r[1], r[2], r[3], r[4], r[5], r[6], 1,
+             _file_mtime(_LAST_SF_DIR[0], r[1]))
+            for r in cat
+        ]
+        session_tables = sorted(_SESSION_TABLE_ENGINES)
+
+        def _db_split(t):
+            return t.split("__", 1) if "__" in t else ("default", t)
+
+        for t in session_tables:
+            db, bare = _db_split(t)
+            for p in _parts_materialize(t):
+                rows.append((
+                    db, bare, _part_name(p), p["rows"], p["bytes"], 1,
+                    p["type"] == 1, p["type"], p["t"],
+                ))
         spark.createDataFrame(
             rows,
             "database string, table string, name string, rows bigint, "
-            "bytes_on_disk bigint, row_groups int, active boolean",
-        ).selectExpr(
-            "*", "'VisiblePart' AS part_type"
+            "bytes_on_disk bigint, row_groups int, active boolean, "
+            "part_type int, commit_time timestamp",
         ).createOrReplaceTempView("system_parts")
+        # system.cnch_parts_info (StorageSystemCnchPartsInfo.cpp):
+        # per-table VISIBLE-part totals — registered tables with no live
+        # parts still get a zero row; last_modification_time is the max
+        # commit_time over every catalog event incl. drops (merges append
+        # the merged part, so they track it too — same observable as the
+        # reference's metrics snapshot)
+        info: dict = {}
+        for t in session_tables:
+            db, bare = _db_split(t)
+            agg = info.setdefault((db, bare), [0, 0, 0, None])
+            for p in _parts_materialize(t):
+                if p["type"] == 1:
+                    agg[0] += 1
+                    agg[1] += p["bytes"]
+                    agg[2] += p["rows"]
+                if agg[3] is None or p["t"] > agg[3]:
+                    agg[3] = p["t"]
+        for r in cat:
+            agg = info.setdefault((r[0], r[1]), [0, 0, 0, None])
+            agg[0] += 1
+            agg[1] += r[4]
+            agg[2] += r[3]
+            mt = _file_mtime(_LAST_SF_DIR[0], r[1])
+            if agg[3] is None or mt > agg[3]:
+                agg[3] = mt
+        spark.createDataFrame(
+            [
+                (db, tb, a[0], a[1], a[2], a[3])
+                for (db, tb), a in sorted(info.items())
+            ],
+            "database string, table string, total_parts_number bigint, "
+            "total_parts_size bigint, total_rows_count bigint, "
+            "last_modification_time timestamp",
+        ).createOrReplaceTempView("system_cnch_parts_info")
     if _re.search(r"\bsystem\.metrics\b", sql, _re.IGNORECASE):
         # CH system.metrics (metric, value, description) — engine counters
         from byconity_spark.engine.query_log import query_log as _qlog
@@ -7026,11 +7324,11 @@ def _geohash_encode_sql(a: list[str]) -> str:
     prec = a[2].strip() if len(a) == 3 else "12"
     import re as _re
 
-    # a bare integer or a bare identifier (a const-folded alias) is
-    # accepted; anything parenthesized/computed — including
-    # materialize(0), which parenthesizes — is the reference's
-    # non-ColumnConst error.  The kernel reads the first batch value, so
-    # only genuinely constant precisions reach it (CH rejects the rest).
+    # a bare integer or a bare identifier (a const-folded alias OR a real
+    # column) is accepted — the kernel computes the geohash PER ROW from
+    # the precision series, so column-valued precisions are exact.
+    # Anything parenthesized/computed — including materialize(0), which
+    # parenthesizes — keeps the reference's non-ColumnConst error.
     if not _re.fullmatch(r"\d+|[A-Za-z_]\w*", prec):
         raise ChSqlError(
             "ILLEGAL_COLUMN (44): geohashEncode precision must be a "
@@ -7335,6 +7633,116 @@ def _prepare_insert_block(spark, name: str, new, provided):
 # _TABLE_PARTS_COUNT: table -> {partition literal: active part count}.
 _TABLE_PARTS_COUNT: dict = {}
 
+# Universal session-table parts ledger (reference StorageSystemCnchParts /
+# StorageSystemCnchPartsInfo over the CNCH part catalog): every INSERT
+# block is one part.  Entries hold the inserted block's LOGICAL PLAN and
+# count lazily — the row count is only materialized when a parts view is
+# actually queried (an INSERT never pays a Spark job for bookkeeping).
+# bytes_on_disk is the reference's in-memory estimate analogue
+# (rows × width × 8): deterministic, and identical between system.
+# cnch_parts and system.cnch_parts_info by construction.
+# Part types follow StorageSystemCnchParts.h: 1 = VisiblePart,
+# 2 = InvisiblePart, 3 = Tombstone (drop range), 4 = DroppedPart.
+# table -> [{"plan": df|None, "rows", "bytes", "t": datetime,
+#            "blk": (min, max, level), "type": int}]
+_SESSION_PARTS: dict = {}
+
+
+def _parts_record_insert(name: str, new) -> None:
+    import datetime as _dt
+
+    led = _SESSION_PARTS.setdefault(name, [])
+    blk = max((p["blk"][1] for p in led), default=-1) + 1
+    led.append({
+        "plan": new, "rows": None, "bytes": None,
+        "t": _dt.datetime.now(), "blk": (blk, blk, 0), "type": 1,
+    })
+
+
+def _parts_materialize(name: str) -> list:
+    """Count each pending part lazily (memoized); a block that turns out
+    empty never becomes a visible part (the reference skips empty
+    blocks).  Returns the live ledger entry list."""
+    led = _SESSION_PARTS.get(name, [])
+    for p in led:
+        if p["rows"] is None:
+            try:
+                p["rows"] = int(p["plan"].count())
+                p["bytes"] = p["rows"] * max(len(p["plan"].columns), 1) * 8
+            except Exception:
+                p["rows"], p["bytes"] = 0, 0
+            p["plan"] = None  # plan no longer needed once counted
+            if p["rows"] == 0 and p["type"] == 1:
+                p["type"] = 2  # empty block: never visible
+    return led
+
+
+def _part_name(p: dict) -> str:
+    lo, hi, lvl = p["blk"]
+    return f"all_{lo}_{hi}_{lvl}"
+
+
+def _parts_drop_range(name: str) -> None:
+    """TRUNCATE / drop range: visible parts become DroppedPart rows (the
+    CNCH catalog keeps them until GC) plus one Tombstone carrying the
+    drop's commit_time."""
+    import datetime as _dt
+
+    led = _SESSION_PARTS.get(name)
+    if led is None:
+        return
+    _parts_materialize(name)
+    for p in led:
+        if p["type"] == 1:
+            p["type"] = 4
+    blk = max((p["blk"][1] for p in led), default=-1) + 1
+    led.append({
+        "plan": None, "rows": 0, "bytes": 0,
+        "t": _dt.datetime.now(), "blk": (blk, blk, 0), "type": 3,
+    })
+
+
+def _parts_compact(spark, name: str) -> None:
+    """OPTIMIZE merge: visible parts collapse to one merged part (old
+    parts stay as DroppedPart catalog rows); a UNIQUE KEY table dedups
+    its rows by the key at merge time (the reference's unique engine
+    resolves delete bitmaps when parts merge)."""
+    import datetime as _dt
+
+    uk = _SESSION_TABLE_KEYS.get(name, {}).get("unique_key")
+    if uk and name in _SESSION_TABLE_ENGINES:
+        keys = [k.strip().strip("`") for k in uk.split(",") if k.strip()]
+        try:
+            deduped = spark.table(name).dropDuplicates(keys)
+            deduped.createOrReplaceTempView(name)
+            from byconity_spark.engine.query_cache import query_cache
+            query_cache.bump_table(name)
+        except Exception:
+            pass
+    led = _SESSION_PARTS.get(name)
+    if led is None:
+        return
+    _parts_materialize(name)
+    vis = [p for p in led if p["type"] == 1]
+    if len(vis) < 2 and not uk:
+        return  # nothing to merge
+    try:
+        t = spark.table(name)
+        n = int(t.count())
+        w = max(len(t.columns), 1)
+    except Exception:
+        n, w = 0, 1
+    lo = min(p["blk"][0] for p in vis) if vis else 0
+    hi = max(p["blk"][1] for p in vis) if vis else 0
+    lvl = max(p["blk"][2] for p in vis) + 1 if vis else 1
+    for p in vis:
+        p["type"] = 4
+    if n:
+        led.append({
+            "plan": None, "rows": n, "bytes": n * w * 8,
+            "t": _dt.datetime.now(), "blk": (lo, hi, lvl), "type": 1,
+        })
+
 
 def _check_and_count_parts(spark, name: str, new) -> None:
     settings = _SESSION_TABLE_SETTINGS.get(name, {})
@@ -7418,6 +7826,7 @@ def _apply_insert_semantics(spark, name: str, new):
     every other engine appends."""
     _check_and_count_parts(spark, name, new)
     _enforce_checks(spark, name, new)
+    _parts_record_insert(name, new)
     old = spark.table(name)
     keys = _ROCKSDB_KEYS.get(name)
     if keys:
@@ -7841,6 +8250,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     m = re.match(
         r"SYSTEM\s+(DROP\s+QUERY\s+CACHE|RELOAD\s+DICTIONARIES|"
         r"RELOAD\s+DICTIONARY\s+([A-Za-z_]\w*)|FLUSH\s+LOGS|"
+        r"RECALCULATE\s+METRICS\s+FOR\s+`?\w+`?|"
         r"(STOP|START)\s+MERGES(?:\s+`?(\w+)`?)?)$",
         s, re.IGNORECASE,
     )
@@ -7865,6 +8275,10 @@ def _try_ddl(spark: SparkSession, sql: str):
         elif cmd == "FLUSH LOGS":
             from byconity_spark.engine.query_log import query_log
             detail = f"flushed {len(query_log._entries)} entries"
+        elif cmd.startswith("RECALCULATE METRICS"):
+            # parts_info metrics recompute from the ledger on every read
+            # already — the reference's async recalculation is a no-op here
+            detail = "recalculated"
         else:  # STOP|START MERGES [table]
             stop = m.group(3).upper() == "STOP"
             target = m.group(4) or "*"
@@ -8432,6 +8846,8 @@ def _try_ddl(spark: SparkSession, sql: str):
         df = ch_sql(spark, kw + rest)
         df.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
+        _SESSION_PARTS[name] = []
+        _parts_record_insert(name, df)  # CTAS seed block = first part
         _register_rocksdb(name, engine, tailinfo.primary_key)
         _forget_table_metadata(name)
         if tailinfo.partition_by:
@@ -8610,6 +9026,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         empty = spark.createDataFrame([], ", ".join(fields))
         empty.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
+        _SESSION_PARTS[name] = []
         if engine and engine.lower().startswith("replacingmergetree"):
             ver = (eng_args or "").strip() or empty.columns[-1]
             keys = order_keys or [empty.columns[0]]
@@ -8787,6 +9204,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         spark.catalog.dropTempView(m.group(1))
         _SESSION_TABLE_ENGINES.pop(m.group(1), None)
+        _SESSION_PARTS.pop(m.group(1), None)
         _REPLACING_TABLES.pop(m.group(1), None)
         _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
         _SESSION_TABLE_TTLS.pop(m.group(1), None)
@@ -9017,6 +9435,15 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         name, final = m.group(1), bool(m.group(2))
+        if name in _SESSION_PARTS and (
+            not final
+            or not ("*" in _MERGES_STOPPED or name in _MERGES_STOPPED)
+        ):
+            # merge pass: parts compact to one; UNIQUE KEY tables dedup
+            # at merge (50011_parts_info_for_unique_table — the manual
+            # non-FINAL OPTIMIZE merges even under SYSTEM STOP MERGES;
+            # only OPTIMIZE FINAL honors the ActionLock refusal below)
+            _parts_compact(spark, name)
         if final and name in _TABLE_PARTS_COUNT and not (
             "*" in _MERGES_STOPPED or name in _MERGES_STOPPED
         ):
@@ -9472,6 +9899,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         name = m.group(1)
         spark.table(name).filter("false").createOrReplaceTempView(name)
+        _parts_drop_range(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
         return spark.createDataFrame(

@@ -994,12 +994,16 @@ def sql_kernels() -> dict:
     @F.pandas_udf("string")
     def geohashEncode(lo: pd.Series, la: pd.Series, prec: pd.Series) -> pd.Series:
         from byconity_spark.functions.registry import _geohash_core
-        pr = 12
-        nz = prec.dropna()
-        if len(nz):
-            pr = int(nz.iloc[0])
-        pr = min(max(pr, 1), 12) if pr else 12
-        return pd.Series(_geohash_core(lo, la, pr))
+        # per-ROW precision: group by distinct precision value so a
+        # column-valued precision encodes every row correctly (constant
+        # precisions take exactly one group — same cost as before)
+        pr = prec.fillna(12).astype("int64").replace(0, 12).clip(1, 12)
+        out = pd.Series([""] * len(lo), index=lo.index, dtype=object)
+        for p, idx in pr.groupby(pr).groups.items():
+            out.loc[idx] = _geohash_core(
+                lo.loc[idx].tolist(), la.loc[idx].tolist(), int(p)
+            )
+        return out
 
     return {
         "geohashEncode": geohashEncode,

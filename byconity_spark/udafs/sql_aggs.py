@@ -48,23 +48,24 @@ def _mwu(values: pd.Series, labels: pd.Series, alternative: str,
     r1 = float(ranks[lab == 0].sum())
     u1 = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1
     u2 = n1 * n2 - u1
-    u = max(u1, u2)  # the reference reports the larger U
     n = n1 + n2
-    mu = n1 * n2 / 2.0
+    # meanrank folds the continuity correction in (reference
+    # AggregateFunctionMannWhitney.h:71: n1*n2/2 + 0.5*cc); the returned
+    # statistic is u2 for EVERY alternative (getResult: `return {u2, p}`)
+    meanrank = n1 * n2 / 2.0 + (0.5 if continuity else 0.0)
     sigma2 = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
     if sigma2 <= 0:
-        return [u, float("nan")]
+        return [u2, float("nan")]
     sigma = math.sqrt(sigma2)
-    cc = 0.5 if continuity else 0.0
     if alternative == "two-sided":
-        z = (abs(u - mu) - cc) / sigma
+        z = abs(max(u1, u2) - meanrank) / sigma
         p = math.erfc(z / math.sqrt(2.0))
     else:
-        # greater/less are with respect to the first (label 0) sample
-        z = (u1 - mu + (cc if alternative == "less" else -cc)) / sigma
-        cdf = 0.5 * math.erfc(-z / math.sqrt(2.0))
-        p = 1.0 - cdf if alternative == "greater" else cdf
-    return [u, min(max(p, 0.0), 1.0)]
+        # reference: 'less' uses z from u1, 'greater' z from u2; both
+        # p = 0.5 - cdf([0,z]) = 1 - Phi(z)
+        z = ((u1 if alternative == "less" else u2) - meanrank) / sigma
+        p = 0.5 * math.erfc(z / math.sqrt(2.0))
+    return [u2, min(max(p, 0.0), 1.0)]
 
 
 def sql_kernels() -> dict:

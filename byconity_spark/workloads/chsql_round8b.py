@@ -145,8 +145,8 @@ def chsql_ingest_partition(spark: SparkSession, sf: str) -> DataFrame:
     "chsql_map_byte_ops",
     oracle="""
     SELECT * FROM (VALUES
-        (1, 'v1', NULL, ['k1', 'k3'], ['k1', 'k2', 'k3']),
-        (2, NULL, 'w2', ['k2'], ['k1', 'k2', 'k3'])
+        (1, 'v1', NULL, 'k1|k3', 'k1|k2|k3'),
+        (2, NULL, 'w2', 'k2', 'k1|k2|k3')
     ) AS t(n, k1v, k2v, ks, gk) ORDER BY n
     """,
 )
@@ -163,12 +163,14 @@ def chsql_map_byte_ops(spark: SparkSession, sf: str) -> DataFrame:
                   "(1, {'k1': 'v1', 'kz': 'vz', 'k3': 'v3'}), "
                   "(2, {'k2': 'w2'})")
     ch_sql(spark, "ALTER TABLE map8_t clear map key m('kz')")
+    # arrays serialized to '|'-joined strings: the driver hasher contract
+    # (COVERAGE.md round-4) forbids raw ARRAY output columns
     return ch_sql(
         spark,
         "select n, m{'k1'} AS k1v, m['k2'] AS k2v, "
-        "arraySort(mapKeys(m)) AS ks, "
-        "getMapKeys(currentDatabase(0), 'map8_t', 'm') AS gk "
-        "from map8_t order by n",
+        "arrayStringConcat(arraySort(mapKeys(m)), '|') AS ks, "
+        "arrayStringConcat(getMapKeys(currentDatabase(0), 'map8_t', 'm'), "
+        "'|') AS gk from map8_t order by n",
     )
 
 
@@ -189,8 +191,7 @@ def chsql_map_byte_ops(spark: SparkSession, sf: str) -> DataFrame:
                sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS n2
         FROM ranked
     )
-    SELECT greatest(n1 * n2 + n1 * (n1 + 1) / 2.0 - r1,
-                    n1 * n2 - (n1 * n2 + n1 * (n1 + 1) / 2.0 - r1)) AS u
+    SELECT r1 - n1 * (n1 + 1) / 2.0 AS u
     FROM agg
     """,
 )
@@ -216,7 +217,7 @@ def chsql_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT
         1 AS bt,
-        NULL AS rsd,
+        CAST(NULL AS DOUBLE) AS rsd,
         CAST(42.0 AS DOUBLE) AS aod,
         'ezs42' AS gh,
         CAST('2022-01-01 01:02:03' AS TIMESTAMP) AS at,

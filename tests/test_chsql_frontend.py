@@ -147,8 +147,11 @@ def test_sample_rewrite():
         rewrite_ch_sql("SELECT count() FROM lineitem SAMPLE 0.1")
         == "SELECT count(*) FROM lineitem TABLESAMPLE (10 PERCENT)"
     )
-    with pytest.raises(ChSqlError):
-        rewrite_ch_sql("SELECT 1 FROM t SAMPLE 1000")  # rows form unsupported
+    # SAMPLE n (rows form) maps to TABLESAMPLE (n ROWS) since r8
+    assert (
+        rewrite_ch_sql("SELECT 1 FROM t SAMPLE 1000")
+        == "SELECT 1 FROM t TABLESAMPLE (1000 ROWS)"
+    )
 
 
 def test_asof_join_detected():

@@ -93,6 +93,84 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
+def ch_fmt_cell(v, nested: bool = False) -> str:
+    """Render one value the way clickhouse-client's TabSeparated output
+    does (reference src/Formats + DataTypes serializeText*): NULL -> \\N,
+    integral floats without the .0, nested strings quoted, arrays/tuples
+    in bracket/paren notation, datetimes second-resolution."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v == float("inf"):
+            return "inf"
+        if v == float("-inf"):
+            return "-inf"
+        if v == int(v) and abs(v) < 1e16:
+            return str(int(v))
+        r = repr(v)
+        if "e" in r:  # CH prints 1e+20 as 1e20
+            m, e = r.split("e")
+            e = e.lstrip("+")
+            if e.startswith("-"):
+                e = "-" + e[1:].lstrip("0")
+            else:
+                e = e.lstrip("0")
+            if m.endswith(".0"):
+                m = m[:-2]
+            r = f"{m}e{e}"
+        return r
+    if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
+        return format(v.normalize(), "f")
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        if nested:
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return (
+            v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return ch_fmt_cell(v.decode("utf-8", "replace"), nested)
+    if isinstance(v, list):
+        return "[" + ",".join(ch_fmt_cell(x, True) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{ch_fmt_cell(k, True)}:{ch_fmt_cell(x, True)}"
+            for k, x in v.items()
+        ) + "}"
+    if hasattr(v, "asDict"):  # Row / struct -> CH tuple
+        vals = list(v)
+        return "(" + ",".join(ch_fmt_cell(x, True) for x in vals) + ")"
+    if isinstance(v, tuple):
+        return "(" + ",".join(ch_fmt_cell(x, True) for x in v) + ")"
+    return str(v)
+
+
+_OUTPUT_STMT = re.compile(
+    r"(?is)^\s*(SELECT|WITH|SHOW|DESCRIBE|DESC|EXISTS|CHECK)\b"
+)
+# FORMAT Null discards the result entirely (clickhouse-client prints
+# nothing for it)
+_FORMAT_NULL = re.compile(r"(?is)\bFORMAT\s+Null\s*;?\s*$")
+
+
+def golden_rows(df) -> list[str]:
+    """Format a result DataFrame as clickhouse-client TabSeparated lines."""
+    rows = df.limit(10001).collect()
+    return ["\t".join(ch_fmt_cell(v) for v in r) for r in rows]
+
+
 def bucket(err: str) -> str:
     """Collapse an error message into a coarse failure bucket."""
     e = err.lower()
@@ -114,8 +192,9 @@ def bucket(err: str) -> str:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--verbose",)]
+    argv = [a for a in sys.argv[1:] if a not in ("--verbose", "--golden")]
     verbose = "--verbose" in sys.argv
+    golden = "--golden" in sys.argv
     if argv and argv[0] == "--file":
         # single-file debug mode: every matching file, always verbose
         sample = []
@@ -138,6 +217,8 @@ def main() -> None:
     passed, failed = [], []
     buckets: Counter = Counter()
     details: dict[str, tuple[str, str, str]] = {}
+    golden_ok: list[str] = []
+    golden_diff: dict[str, str] = {}
 
     for fp in sample:
         name = os.path.basename(fp)
@@ -162,6 +243,7 @@ def main() -> None:
         if not stmts:
             continue
         err = None
+        out_lines: list[str] = []
         for st in stmts:
             expect_error = st.startswith("--EXPECT_ERROR ")
             if expect_error:
@@ -169,7 +251,11 @@ def main() -> None:
             try:
                 df = ch_sql(spark, st)
                 if df is not None and hasattr(df, "collect"):
-                    df.limit(100).collect()
+                    if (golden and _OUTPUT_STMT.match(st)
+                            and not _FORMAT_NULL.search(st)):
+                        out_lines.extend(golden_rows(df))
+                    else:
+                        df.limit(100).collect()
                 if expect_error:
                     err = (st, "EXPECTED an error (reference test marks "
                                "this statement serverError) but it ran")
@@ -181,6 +267,28 @@ def main() -> None:
                 break
         if err is None:
             passed.append(name)
+            if golden:
+                ref_fp = fp[:-4] + ".reference"
+                try:
+                    want = open(ref_fp, encoding="utf-8",
+                                errors="replace").read()
+                except OSError:
+                    want = None
+                if want is not None:
+                    w_lines = want.rstrip("\n").split("\n") if want.strip() else []
+                    if w_lines == out_lines:
+                        golden_ok.append(name)
+                    else:
+                        # first differing line for the divergence report
+                        fd = ""
+                        for li in range(max(len(w_lines), len(out_lines))):
+                            a = w_lines[li] if li < len(w_lines) else "<EOF>"
+                            b = out_lines[li] if li < len(out_lines) else "<EOF>"
+                            if a != b:
+                                fd = (f"line {li + 1}: want {a[:90]!r} "
+                                      f"got {b[:90]!r}")
+                                break
+                        golden_diff[name] = fd
         else:
             failed.append(name)
             b = bucket(err[1])
@@ -199,6 +307,14 @@ def main() -> None:
         if verbose:
             print(f"      stmt: {st}")
             print(f"      err:  {e}")
+    if golden:
+        print(f"\n=== GOLDEN: {len(golden_ok)}/{len(passed)} exec-clean "
+              f"files also OUTPUT-EXACT vs .reference ===")
+        print("\noutput-diff files:")
+        for name in sorted(golden_diff):
+            print(f"  [output-diff] {name}")
+            if verbose or True:
+                print(f"      {golden_diff[name]}")
     spark.stop()
 
 
