@@ -100,6 +100,142 @@ def _split_args(argstr: str) -> list[str]:
     return out
 
 
+# ---------------------------------------------------------------------
+# toTypeName — CH type-name rendering (reference toTypeName.cpp prints
+# ClickHouse type names; Spark's typeof() prints Spark names).  A static
+# inferrer covers the literal / conversion / combinator shapes the
+# reference tests print; everything else maps typeof() text at runtime.
+_CONV_CH_TYPES = {
+    "toString": "String", "toInt8": "Int8", "toInt16": "Int16",
+    "toInt32": "Int32", "toInt64": "Int64", "toUInt8": "UInt8",
+    "toUInt16": "UInt16", "toUInt32": "UInt32", "toUInt64": "UInt64",
+    "toFloat32": "Float32", "toFloat64": "Float64", "toDate": "Date",
+    "toDate32": "Date32", "toDateTime": "DateTime", "toUUID": "UUID",
+    "concat": "String", "substring": "String", "lower": "String",
+    "upper": "String", "trim": "String", "reverse": "String",
+}
+
+
+def _infer_ch_type(e: str) -> str | None:
+    import re as _re
+
+    s = e.strip()
+    while s.startswith("(") and _match_paren(s, 0) == len(s) - 1:
+        inner = s[1:-1].strip()
+        if len(_split_args(inner)) > 1:
+            parts = [_infer_ch_type(p) for p in _split_args(inner)]
+            if all(parts):
+                return f"Tuple({', '.join(parts)})"
+            return None
+        s = inner
+    if _re.fullmatch(r"'(?:[^'\\]|\\.)*'", s):
+        return "String"
+    if _re.fullmatch(r"-?\d+", s):
+        v = int(s)
+        if v >= 0:
+            for lim, t in ((256, "UInt8"), (65536, "UInt16"),
+                           (2**32, "UInt32"), (2**64, "UInt64")):
+                if v < lim:
+                    return t
+        else:
+            for lim, t in ((2**7, "Int8"), (2**15, "Int16"),
+                           (2**31, "Int32"), (2**63, "Int64")):
+                if -v <= lim:
+                    return t
+        return None
+    if _re.fullmatch(r"-?\d*\.\d+([eE]-?\d+)?|-?\d+[eE]-?\d+", s):
+        return "Float64"
+    if s == "number":
+        return "UInt64"  # the numbers() table function column
+    if s.startswith("[") and s.endswith("]"):
+        items = _split_args(s[1:-1])
+        if not items or not items[0]:
+            return None
+        ts = [_infer_ch_type(i) for i in items]
+        if None in ts:
+            return None
+        uniq = set(ts)
+        if len(uniq) == 1:
+            return f"Array({ts[0]})"
+        order = ["UInt8", "UInt16", "UInt32", "UInt64"]
+        if uniq <= set(order):
+            return f"Array({max(uniq, key=order.index)})"
+        return None
+    # modulo by a small literal: CH narrows to the divisor's type
+    mm = _re.fullmatch(r"(?s)(.+?)\s*%\s*(\d+)", s)
+    if mm:
+        return _infer_ch_type(mm.group(2))
+    fm = _re.match(r"([A-Za-z_]\w*)\s*\(", s)
+    if fm and _match_paren(s, fm.end() - 1) == len(s) - 1:
+        fn = fm.group(1)
+        if fn in _CONV_CH_TYPES:
+            return _CONV_CH_TYPES[fn]
+    return None
+
+
+def _spark_type_to_ch_sql(texpr: str) -> str:
+    """Runtime typeof() text -> CH type-name text (replace chain; order
+    matters: multi-char names before their substrings)."""
+    out = texpr
+    for a, b in (
+        ("array<", "Array("), ("map<", "Map("), (">", ")"),
+        ("bigint", "Int64"), ("smallint", "Int16"), ("tinyint", "Int8"),
+        ("interval", "__iv__"), ("int", "Int32"), ("__iv__", "interval"),
+        ("double", "Float64"), ("float", "Float32"),
+        ("string", "String"), ("boolean", "UInt8"), ("decimal", "Decimal"),
+        ("timestamp", "DateTime"), ("date", "Date"), ("binary", "String"),
+    ):
+        out = f"replace({out}, '{a}', '{b}')"
+    return out
+
+
+def _to_type_name_sql(arg: str) -> str:
+    import re as _re
+
+    t = _infer_ch_type(arg)
+    if t is not None:
+        return f"'{t}'"
+    # parametric -State combinator chain -> AggregateFunction(...) name
+    pm = _re.match(r"([A-Za-z_]\w*)\s*\(", arg.strip())
+    if pm:
+        name = pm.group(1)
+        close = _match_paren(arg.strip(), pm.end() - 1)
+        rest = arg.strip()[close + 1:].lstrip()
+        if name.endswith("State") and rest.startswith("("):
+            params = _split_args(arg.strip()[pm.end():close])
+            close2 = _match_paren(rest, 0)
+            args2 = _split_args(rest[1:close2])
+            display = name[: -len("State")]
+            wrap_array = False
+            if display.endswith("Merge"):
+                # fooMergeState names the ORIGINAL aggregate; its arg is
+                # a state whose Spark type is array<original>
+                display = display[: -len("Merge")]
+                wrap_array = True
+            shown = f"{display}({', '.join(p.strip() for p in params)})"
+            argts = []
+            for a2 in args2:
+                st = _infer_ch_type(a2)
+                if st is not None:
+                    argts.append(f"'{st}'")
+                else:
+                    te = f"typeof({rewrite_ch_sql(a2)})"
+                    if wrap_array:
+                        te = (
+                            f"regexp_extract({te}, '^array<(.*)>$', 1)"
+                        )
+                    argts.append(_spark_type_to_ch_sql(te))
+            # the argument was an aggregate; the name replaced it with a
+            # constant, so re-introduce aggregation (1 row per group,
+            # like the reference's implicit aggregation)
+            return (
+                f"max(concat('AggregateFunction({shown}, ', "
+                + ", ', ', ".join(argts)
+                + ", ')'))"
+            )
+    return _spark_type_to_ch_sql(f"typeof({rewrite_ch_sql(arg)})")
+
+
 def _tuple_subquery_struct(arg: str) -> str:
     """A parenthesized SELECT returning MULTIPLE columns used as a scalar
     value becomes a one-column named_struct subquery (CH allows
@@ -1138,7 +1274,7 @@ RULES: dict[str, object] = {
     # bare literal, like the reference's ColumnConst checks do
     "materialize": lambda a: f"({a[0]})",
     "toNullable": lambda a: a[0],
-    "toTypeName": lambda a: f"typeof({a[0]})",
+    "toTypeName": lambda a: _to_type_name_sql(a[0]),
     # multi-needle search (src/Functions/MultiSearchImpl.h)
     "multiSearchAny": lambda a: f"exists({a[1]}, __n -> contains({a[0]}, __n))",
     "multiSearchAllPositions": lambda a: f"transform({a[1]}, __n -> locate(__n, {a[0]}))",
@@ -5158,6 +5294,18 @@ def rewrite_ch_sql(sql: str) -> str:
                         out.append(name)
                         i = j
                         continue
+            if (
+                name in ("toTypeName", "toColumnTypeName")
+                and k < n and sql[k] == "("
+            ):
+                # type introspection needs the RAW CH argument text (the
+                # static inferrer reads CH spellings: literals, to*
+                # conversions, -State combinator chains); the runtime
+                # fallback rewrites the arg itself
+                close = _match_paren(sql, k)
+                out.append(_to_type_name_sql(sql[k + 1 : close]))
+                i = close + 1
+                continue
             if k < n and sql[k] == "(" and (
                 name in RULES or name in PARAMETRIC or combo is not None
                 or pcombo is not None

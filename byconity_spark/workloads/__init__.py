@@ -149,6 +149,23 @@ _PREVIOUSLY_CERTIFIED = {
     "beh_funnel_rep_by_times", "chsql_backup_restore", "agg_moments_suite",
     "beh_finder_funnel_by_times", "chsql_advisor_suite", "agg_parity_ext_suite",
     "beh_finder_group_funnel_by_times", "chsql_dictionary_sql",
+    # r08 greens (rotation applied at r9 start)
+    "beh_session_analysis", "chsql_rbac_suite", "agg_theta_setops",
+    "beh_path_count", "chsql_transaction_suite", "beh_sparkbar",
+    "chsql_insert_format", "beh_fast_auc", "chsql_view_exchange",
+    "beh_retention_loss", "chsql_partition_ops", "beh_slide_match_count",
+    "chsql_projection_rewrite", "beh_last_range_count", "chsql_star_modifiers",
+    "beh_debias_auc", "chsql_databases", "beh_funnel_path_split",
+    "chsql_ttl_sweep", "beh_funnel_path_split_times", "chsql_top_collate",
+    "beh_reg_auc", "chsql_mv_sql", "beh_ecpm_auc",
+    "chsql_file_function", "beh_finder_group_funnel", "chsql_rocksdb_upsert",
+    "beh_gen_array_month", "chsql_any_right_join", "beh_retention_triangle",
+    "chsql_create_grammar", "beh_user_distribution_monthly",
+    "chsql_dialect8_suite", "beh_funnel_rep2", "chsql_values_tf",
+    "beh_funnel_rep3", "chsql_set_settings", "beh_association_stats",
+    "chsql_alias_where", "beh_ema_by_type", "chsql_groups_frame",
+    "beh_path_split_r", "chsql_untuple", "beh_session_split_r2",
+    "chsql_ingest_partition", "beh_page_time", "beh_retention4",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec
@@ -163,7 +180,15 @@ _ROWS_ONLY_LAST = ["mm_decode_features", "sample_lineitem"]
 # never-sampled queries — so the next capped run certifies the fixes.
 # r06: 50/50 sampled queries hash-green (including the chsql_window_funnel
 # recertification after its round-6 sliding-anchor semantics change).
-_MUST_RECERTIFY: list[str] = []
+# r09: chsql_map_byte_ops erred in the r08 driver run (raw ARRAY output
+# columns — now '|'-serialized); chsql_mann_whitney's oracle moved to the
+# reference's u2 statistic and chsql_dialect8b_suite's rsd dtype was cast
+# — both changed this round, so the driver must re-confirm them.
+_MUST_RECERTIFY: list[str] = [
+    "chsql_map_byte_ops",
+    "chsql_mann_whitney",
+    "chsql_dialect8b_suite",
+]
 
 
 def all_queries() -> dict[str, QueryDef]:

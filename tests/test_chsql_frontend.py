@@ -667,7 +667,8 @@ def test_conversion_and_search_rules(spark):
 
     assert r.d == dt.date(2024, 3, 5)
     assert r.dec == Decimal("1.25")
-    assert r.m == 7 and r.tn == "double"
+    # toTypeName prints CH type names since r9 (reference toTypeName.cpp)
+    assert r.m == 7 and r.tn == "Float64"
     assert r.ms is True and list(r.mp) == [3, 0]
     assert r.joda == "2024-03"
 
