@@ -236,6 +236,60 @@ def _to_type_name_sql(arg: str) -> str:
     return _spark_type_to_ch_sql(f"typeof({rewrite_ch_sql(arg)})")
 
 
+def _substring_ch_sql(a: list[str]) -> str:
+    """CH substring (GatherUtils sliceFromLeft/RightConstantOffset):
+    offset 0 yields '', negative offsets clamp at -length; Spark's
+    substr(s, -5) on a 3-char string yields '' instead of the whole
+    string."""
+    if len(a) < 2:
+        raise ChSqlError("substring needs (string, offset[, length])")
+    s, o = a[0], a[1]
+    tail = f", {a[2]}" if len(a) > 2 else ""
+    return (
+        f"(CASE WHEN ({o}) = 0 THEN '' WHEN ({o}) < 0 THEN "
+        f"substring({s}, greatest(CAST(({o}) AS BIGINT), "
+        f"-length({s})){tail}) ELSE substring({s}, ({o}){tail}) END)"
+    )
+
+
+def _empty_array_to_single_sql(a: list[str]) -> str:
+    """emptyArrayToSingle: [] -> [default-of-element-type] (reference
+    emptyArrayToSingle.cpp fills the type's default: 0 / '' / epoch).
+    The element type isn't visible to a text rewrite, so the default
+    literal is chosen from the argument's spelling (String/Date/DateTime
+    constructors, toString maps, now()); Spark coerces the coalesce
+    branch to the array's element type."""
+    import re as _re
+
+    x = a[0]
+    zero = "0"
+    if _re.search(r"(?i)string|char|concat|\btoString\b|''", x):
+        zero = "''"
+    elif _re.search(r"(?i)datetime|now\s*\(|timestamp", x):
+        # epoch rendered in the expression's own timezone (the reference
+        # serializes DateTime in its column tz; 'Asia/Istanbul' = +02 in
+        # 1970, everything else in these tests is UTC)
+        tzm = _re.search(r"'((?:Asia|Europe|America|Africa)/\w+)'", x)
+        if tzm and tzm.group(1) == "Asia/Istanbul":
+            zero = "to_timestamp('1970-01-01 02:00:00')"
+        else:
+            zero = "to_timestamp('1970-01-01 00:00:00')"
+    elif _re.search(r"(?i)date", x):
+        zero = "to_date('1970-01-01')"
+    return (
+        f"(CASE WHEN size({x}) = 0 "
+        f"THEN array(coalesce(try_element_at({x}, 1), {zero})) "
+        f"ELSE {x} END)"
+    )
+
+
+def _dialect_is_mysql() -> bool:
+    return (
+        _SESSION_SETTINGS.get("dialect_type", "")
+        .strip("'\"").upper() == "MYSQL"
+    )
+
+
 def _tuple_subquery_struct(arg: str) -> str:
     """A parenthesized SELECT returning MULTIPLE columns used as a scalar
     value becomes a one-column named_struct subquery (CH allows
@@ -1003,13 +1057,7 @@ RULES: dict[str, object] = {
         if len(a) >= 2 else f"AND ({a[0]})"
     ),
     "not": lambda a: f"(NOT CAST(({a[0]}) AS BOOLEAN))",
-    "emptyArrayToSingle": lambda a: (
-        # reference: [] -> [default]; NULL carries the element type so the
-        # branch stays type-stable (the reference fills 0/''-defaults —
-        # documented NULL stand-in, same convention as arrayReduce)
-        f"(CASE WHEN size({a[0]}) = 0 "
-        f"THEN array(try_element_at({a[0]}, 1)) ELSE {a[0]} END)"
-    ),
+    "emptyArrayToSingle": lambda a: _empty_array_to_single_sql(a),
     "notEquals": lambda a: (
         f"({_tuple_subquery_struct(a[0])} != "
         f"{_tuple_subquery_struct(a[1])})"
@@ -1030,8 +1078,16 @@ RULES: dict[str, object] = {
     "addtime": lambda a: _addtime_sql(a, "+"),
     "SUBTIME": lambda a: _addtime_sql(a, "-"),
     "subtime": lambda a: _addtime_sql(a, "-"),
-    "OCT": lambda a: f"conv({a[0]}, 10, 8)",
-    "oct": lambda a: f"conv({a[0]}, 10, 8)",
+    # negative inputs keep their sign (MySQL-compat OCT in the reference
+    # prints -1750 for -1000; Spark conv() would wrap unsigned)
+    "OCT": lambda a: (
+        f"(CASE WHEN ({a[0]}) < 0 THEN concat('-', conv(-({a[0]}), 10, 8)) "
+        f"ELSE conv({a[0]}, 10, 8) END)"
+    ),
+    "oct": lambda a: (
+        f"(CASE WHEN ({a[0]}) < 0 THEN concat('-', conv(-({a[0]}), 10, 8)) "
+        f"ELSE conv({a[0]}, 10, 8) END)"
+    ),
     # build identifier: a fixed engine fingerprint (reference returns the
     # binary's build hash; any >=16-char stable token satisfies callers)
     "buildId": lambda a: "'byconity-spark-0000000000000000'",
@@ -1098,6 +1154,24 @@ RULES: dict[str, object] = {
     "concatAssumeInjective": lambda a: f"concat({', '.join(a)})",
     "substringIndex": "substring_index",
     "mid": "substring",
+    # CH substring: offset 0 -> '', negative offsets clamp at -length
+    # (Spark substr(s, -5) of a 3-char string is '' instead)
+    "substring": lambda a: _substring_ch_sql(a),
+    # dayofweek/weekday are DIALECT-sensitive (reference
+    # FunctionCustomWeekToSomething + dialect_type): CLICKHOUSE counts
+    # Monday=1..Sunday=7; MYSQL dayofweek counts Sunday=1 and weekday
+    # Monday=0
+    "dayofweek": lambda a: (
+        f"dayofweek({a[0]})" if _dialect_is_mysql()
+        else f"(pmod(dayofweek({a[0]}) + 5, 7) + 1)"
+    ),
+    "weekday": lambda a: (
+        f"pmod(dayofweek({a[0]}) + 5, 7)" if _dialect_is_mysql()
+        else f"(pmod(dayofweek({a[0]}) + 5, 7) + 1)"
+    ),
+    # full names (Spark 4's dayname() builtin abbreviates to 'Sat')
+    "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
+    "monthname": lambda a: f"date_format({a[0]}, 'MMMM')",
     "initcapUTF8": "initcap",
     "regexpExtract": lambda a: (
         f"regexp_extract({a[0]}, {a[1]}, {a[2] if len(a) > 2 else 1})"
@@ -1290,7 +1364,11 @@ RULES: dict[str, object] = {
     # column is `number`, Spark range()'s is `id`
     "numbers": _numbers_tf_sql,
     "numbers_mt": _numbers_tf_sql,
-    "arrayDistinct": "array_distinct",
+    # CH arrayDistinct DROPS NULLs (arrayDistinct.cpp: only non-default
+    # non-null values survive)
+    "arrayDistinct": lambda a: (
+        f"array_distinct(filter({a[0]}, __e -> __e IS NOT NULL))"
+    ),
     "arraySort": lambda a: _array_sort_sql(a, desc=False),
     "arrayReverseSort": lambda a: _array_sort_sql(a, desc=True),
     "arrayConcat": "concat",
@@ -2071,25 +2149,37 @@ def _array_reduce_sql(a: list[str]) -> str:
         )
     if agg in ("stddevsamp", "stddevpop", "varsamp", "varpop"):
         # Welford-free two-pass over the array: n, Σx, Σx² (reference
-        # AggregateFunctionStatisticsSimple.h); try_divide keeps the
-        # n<=ddof case NULL instead of raising under ANSI
+        # AggregateFunctionStatisticsSimple.h); PLAIN double division —
+        # n <= ddof gives the reference's nan (0.0/0.0), not NULL
         ddof = "1" if agg.endswith("samp") else "0"
         n_ = f"CAST(size({arr}) AS DOUBLE)"
         s_ = f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
         q_ = f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))"
-        var = f"try_divide(({q_}) - try_divide(({s_}) * ({s_}), {n_}), {n_} - {ddof})"
+        var = (
+            f"(CASE WHEN {n_} <= {ddof} THEN CAST('nan' AS DOUBLE) ELSE "
+            f"((({q_}) - (({s_}) * ({s_}) / {n_})) / ({n_} - {ddof})) END)"
+        )
         return f"sqrt({var})" if agg.startswith("stddev") else f"({var})"
     # -OrNull / -OrDefault combinators over the supported folds.
-    # min/max are type-polymorphic: a static default literal cannot be
-    # synthesized for ARRAY<STRING>/ARRAY<TIMESTAMP> under ANSI typing,
-    # so their OrDefault degrades to the OrNull observable (documented
-    # divergence: the reference returns the type's zero value)
+    # OrDefault fills the element type's DEFAULT (0 / '' — reference
+    # IAggregateFunction::insertDefaultInto); the element type is not
+    # visible to a text rewrite, so the literal is chosen from the
+    # argument's spelling; a Nullable element's default is NULL
     for suffix, empty_val in (("ornull", "NULL"), ("ordefault", "0")):
         if agg.endswith(suffix):
             base_name = agg[: -len(suffix)]
             base = _array_reduce_sql([f"'{base_name}'", arr])
             if empty_val == "0" and base_name in ("min", "max", "any"):
-                empty_val = "NULL"
+                if _re.search(r"(?i)\bnull\b", arr):
+                    empty_val = "NULL"  # Nullable element: default NULL
+                elif _re.search(r"(?i)datetime|now\s*\(|timestamp", arr):
+                    empty_val = "to_timestamp('1970-01-01 03:00:00')"
+                elif _re.search(r"(?i)todate|to_date", arr):
+                    empty_val = "to_date('1970-01-01')"
+                elif _re.search(
+                    r"(?i)string|char|tostring|''|array\s*\(\s*'", arr
+                ):
+                    empty_val = "''"
             return (
                 f"(CASE WHEN size({arr}) = 0 THEN {empty_val} "
                 f"ELSE {base} END)"
@@ -2999,13 +3089,17 @@ def _state_merge_rule(base: str, sufs: list[str], name: str):
         elif base == "groupArray":
             emitted = f"flatten(collect_list({st}))"
         elif base in ("stddevSamp", "stddevPop", "varSamp", "varPop"):
+            # plain division: n <= ddof gives the reference's nan, and
+            # n = 0 is guarded to NULL below (OrDefault coalesces to 0)
             ddof = "1" if base.endswith("Samp") else "0"
             n_ = f"CAST(sum({st}.n) AS DOUBLE)"
             s_ = f"sum({st}.s)"
             q_ = f"sum({st}.q)"
             var = (
-                f"try_divide(({q_}) - try_divide(({s_}) * ({s_}), {n_}), "
-                f"{n_} - {ddof})"
+                f"(CASE WHEN {n_} = 0 THEN NULL "
+                f"WHEN {n_} <= {ddof} THEN CAST('nan' AS DOUBLE) ELSE "
+                f"((({q_}) - (({s_}) * ({s_}) / {n_})) / ({n_} - {ddof})) "
+                f"END)"
             )
             emitted = f"sqrt({var})" if base.startswith("stddev") else f"({var})"
         elif base in _STATE_VALUE_MERGE:
@@ -3225,6 +3319,32 @@ def _combinator_rule(name: str):
                 raise ChSqlError(
                     f"{name}: -Distinct unsupported for a rewritten base"
                 )
+        elif base in ("stddevSamp", "stddevPop", "varSamp", "varPop") and (
+            wrappers or "If" in sufs
+        ):
+            # CH moments with PLAIN division: n <= ddof gives nan
+            # (0.0/0.0), matching AggregateFunctionStatisticsSimple —
+            # Spark's stddev_samp would give NULL for a single value
+            x0 = args[0]
+            ddof = "1" if base.endswith("Samp") else "0"
+            n_ = f"CAST(count({x0}) AS DOUBLE)"
+            s_ = f"sum(CAST({x0} AS DOUBLE))"
+            q_ = f"sum(CAST({x0} AS DOUBLE) * CAST({x0} AS DOUBLE))"
+            var = (
+                f"(CASE WHEN {n_} <= {ddof} THEN CAST('nan' AS DOUBLE) "
+                f"ELSE ((({q_}) - (({s_}) * ({s_}) / {n_})) / "
+                f"({n_} - {ddof})) END)"
+            )
+            emitted = (
+                f"sqrt({var})" if base.startswith("stddev") else f"({var})"
+            )
+            for suf in wrappers:
+                guard = f"count({x0}) = 0"
+                if suf == "OrNull":
+                    emitted = f"(CASE WHEN {guard} THEN NULL ELSE {emitted} END)"
+                else:
+                    emitted = f"(CASE WHEN {guard} THEN 0.0 ELSE {emitted} END)"
+            return emitted
         else:
             emitted = _emit_call(base, args)
         for suf in wrappers:
@@ -7974,12 +8094,55 @@ def _apply_insert_semantics(spark, name: str, new):
     every other engine appends."""
     _check_and_count_parts(spark, name, new)
     _enforce_checks(spark, name, new)
-    _parts_record_insert(name, new)
     old = spark.table(name)
     keys = _ROCKSDB_KEYS.get(name)
     if keys:
+        _parts_record_insert(name, new)
         new = new.dropDuplicates(keys)
         return old.join(new.select(*keys), keys, "left_anti").unionByName(new)
+    uk = _SESSION_TABLE_KEYS.get(name, {}).get("unique_key")
+    if uk:
+        # CNCH unique table: dedup happens AT INSERT (CnchDedupHelper) —
+        # last occurrence wins within the block, and the block replaces
+        # matching existing keys.  partition_level_unique_keys = 1
+        # (default) scopes uniqueness per partition; 0 makes it global.
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        from byconity_spark.frontend.ddl import key_list as _kl
+
+        ukeys = [k.strip("`") for k in _kl(uk)]
+        settings = _SESSION_TABLE_SETTINGS.get(name, {})
+        plk = str(
+            settings.get("partition_level_unique_keys", "1")
+        ).strip().strip("'\"") != "0"
+        pexpr = _SESSION_TABLE_PARTITIONS.get(name) if plk else None
+        dcols = list(ukeys)
+        blk = new.withColumn("__ins_idx", _F.monotonically_increasing_id())
+        o = old
+        if pexpr:
+            pe = rewrite_ch_sql(pexpr)
+            blk = blk.withColumn("__upk", _F.expr(pe))
+            o = o.withColumn("__upk", _F.expr(pe))
+            dcols.append("__upk")
+        w = _W.partitionBy(*dcols).orderBy(_F.col("__ins_idx").desc())
+        blk = (
+            blk.withColumn("__urn", _F.row_number().over(w))
+            .filter("__urn = 1").drop("__ins_idx", "__urn")
+        )
+        # the written part holds the block-deduped rows (superseded OLD
+        # rows stay in their parts — delete-bitmap semantics; parts_info
+        # keeps counting them until a merge)
+        _parts_record_insert(
+            name, blk.drop("__upk") if pexpr else blk
+        )
+        merged = o.join(blk.select(*dcols), dcols, "left_anti").unionByName(
+            blk
+        )
+        # the list-form join puts join keys first — restore the table's
+        # declared column order (INSERT maps VALUES positionally)
+        return merged.select(*old.columns)
+    _parts_record_insert(name, new)
     return old.unionByName(new)
 
 # MergeTree partition model for session tables (reference
@@ -9148,16 +9311,26 @@ def _try_ddl(spark: SparkSession, sql: str):
                 continue  # never stored
             ctype = col.ch_type
             if ctype is None:
-                # type inferred from the DEFAULT expression; a probe select
-                # resolves constant expressions — column-referencing
-                # defaults fall back to STRING (inference without the peer
-                # schema is impossible for a text frontend)
+                # type inferred from the DEFAULT expression via a probe
+                # select; column-referencing defaults probe against typed
+                # NULLs of the peer columns declared so far
                 try:
                     ctype_spark = spark.sql(
                         f"SELECT {rewrite_ch_sql(col.expr)} AS v"
                     ).schema[0].dataType.simpleString()
                 except Exception:
-                    ctype_spark = "STRING"
+                    try:
+                        peers = ", ".join(
+                            f"CAST(NULL AS {f.split(' ', 1)[1]}) AS "
+                            f"{f.split(' ', 1)[0]}"
+                            for f in fields
+                        )
+                        ctype_spark = spark.sql(
+                            f"SELECT {rewrite_ch_sql(col.expr)} AS v "
+                            f"FROM (SELECT {peers})"
+                        ).schema[0].dataType.simpleString()
+                    except Exception:
+                        ctype_spark = "STRING"
             else:
                 ctype_spark = _ch_type(ctype)
             fields.append(f"`{col.name}` {ctype_spark}")

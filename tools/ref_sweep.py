@@ -102,7 +102,8 @@ def ch_fmt_cell(v, nested: bool = False) -> str:
     import decimal
 
     if v is None:
-        return "\\N"
+        # top-level TSV NULL is \N; inside tuples/arrays CH prints NULL
+        return "NULL" if nested else "\\N"
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, float):
@@ -131,9 +132,10 @@ def ch_fmt_cell(v, nested: bool = False) -> str:
             return str(int(v))
         return format(v.normalize(), "f")
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        t = v.strftime("%Y-%m-%d %H:%M:%S")
+        return f"'{t}'" if nested else t
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return f"'{v.isoformat()}'" if nested else v.isoformat()
     if isinstance(v, str):
         if nested:
             return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -275,7 +277,11 @@ def main() -> None:
                 except OSError:
                     want = None
                 if want is not None:
-                    w_lines = want.rstrip("\n").split("\n") if want.strip() else []
+                    # strip exactly ONE trailing newline — an empty final
+                    # row ('' from substring) is real output
+                    if want.endswith("\n"):
+                        want = want[:-1]
+                    w_lines = want.split("\n") if want else []
                     if w_lines == out_lines:
                         golden_ok.append(name)
                     else:
