@@ -330,6 +330,25 @@ def try_rewrite_strict_join(
     if not equi:
         raise ChSqlError(f"{strictness} JOIN needs at least one equality condition")
 
+    mapping: dict[tuple[str, str], str] = {}
+    dup_on_keys = conj.upper() != "USING" and strictness != "ASOF"
+    if dup_on_keys:
+        # the ON form keeps BOTH key columns in the output (CH SELECT *
+        # over `t1 JOIN t2 ON t1.x = t2.x` shows t1.x AND t2.x — 00916;
+        # an unmatched outer row shows NULL for the other side's key).
+        # The merged key carries the KEPT side's value, so the copy is
+        # taken from the other side before the merge-rename below.
+        from pyspark.sql import functions as _F
+        if how == "right":
+            for lcol, _rcol in equi:
+                cpy = f"{lalias}__{lcol}__k"
+                left = left.withColumn(cpy, _F.col(lcol))
+                mapping[(lalias, lcol)] = cpy
+        else:
+            for _lcol, rcol in equi:
+                cpy = f"{ralias}__{rcol}__k"
+                right = right.withColumn(cpy, _F.col(rcol))
+                mapping[(ralias, rcol)] = cpy
     # rename right keys to the left key names so the operators' `on=` applies
     for lcol, rcol in equi:
         if rcol != lcol:
@@ -337,9 +356,8 @@ def try_rewrite_strict_join(
     keys = [lcol for lcol, _ in equi]
     rkey_of = {rcol: lcol for lcol, rcol in equi}
 
-    mapping: dict[tuple[str, str], str] = {}
     for lcol, rcol in equi:
-        mapping[(ralias, rcol)] = lcol
+        mapping.setdefault((ralias, rcol), lcol)
 
     if strictness == "ASOF":
         if time_cond is None:
@@ -391,6 +409,14 @@ def try_rewrite_strict_join(
         from byconity_spark.operators.joins import any_join
 
         joined = any_join(a_left, a_right, on=keys, how=a_how)
+        if how == "right" and dup_on_keys:
+            # SELECT * order: the left table's columns come first in CH
+            front = [
+                f"{lalias}__{lcol}__k" for lcol, _ in equi
+                if f"{lalias}__{lcol}__k" in joined.columns
+            ]
+            rest = [c for c in joined.columns if c not in front]
+            joined = joined.select(*front, *rest)
 
     view = f"{_VIEW}_{_depth}"
     joined.createOrReplaceTempView(view)

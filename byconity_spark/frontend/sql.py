@@ -283,6 +283,93 @@ def _empty_array_to_single_sql(a: list[str]) -> str:
     )
 
 
+def _array_sum_sql(a: list[str]) -> str:
+    """arraySum: double fold in general; an INTEGER-LITERAL array takes
+    the reference's Int64 WRAPPING sum (arrayAggregation.cpp sums in the
+    unsigned domain — 01659: two -9e18 wrap to 446744073709551616, which
+    a double fold cannot represent exactly)."""
+    import re as _re
+
+    if len(a) == 1 and _re.fullmatch(
+        r"array\s*\(\s*-?\d+(\s*,\s*-?\d+)*\s*\)", a[0].strip()
+    ):
+        s = (
+            f"aggregate({a[0]}, CAST(0 AS DECIMAL(38, 0)), "
+            f"(acc, x) -> acc + CAST(x AS DECIMAL(38, 0)))"
+        )
+        w = f"pmod({s}, CAST(18446744073709551616 AS DECIMAL(38, 0)))"
+        return (
+            f"CAST((CASE WHEN {w} >= CAST(9223372036854775808 AS "
+            f"DECIMAL(38, 0)) THEN {w} - CAST(18446744073709551616 AS "
+            f"DECIMAL(38, 0)) ELSE {w} END) AS DECIMAL(38, 0))"
+        )
+    if len(a) == 1:
+        return f"aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE))"
+    return (
+        f"aggregate(transform({a[1]}, {a[0]}), 0.0D, "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE))"
+    )
+
+
+def _subscript_default_literal(expr: str) -> str | None:
+    """The CH type-default literal for an out-of-range subscript, when
+    the element type is visible from the array expression's spelling
+    (string-producing URL/split functions, literal arrays)."""
+    import re as _re
+
+    e = expr.strip()
+    if _re.match(
+        r"(URLHierarchy|URLPathHierarchy|splitByChar|splitByString|"
+        r"splitByRegexp|alphaTokens|extractAll|regexp_extract_all|"
+        r"split)\s*\(",
+        e,
+    ):
+        return "''"
+    am = _re.match(r"array\s*\(\s*(['\-\d])", e)
+    if am and _re.match(r"array\s*\((?:[^()]|\([^()]*\))*\)$", e):
+        return "''" if am.group(1) == "'" else "0"
+    return None
+
+
+def _has_capture_group(pat: str) -> bool:
+    """True when a regex literal contains an unescaped capturing group
+    (extract/extractAll take group 1 then)."""
+    import re as _re
+
+    if not (pat.startswith("'") and pat.endswith("'")):
+        return False
+    body = pat[1:-1]
+    return bool(_re.search(r"(?<!\\)\((?!\?)", body))
+
+
+def _quantile_timing_sql(
+    val: str, weight: str, levels: list[str], as_array: bool
+) -> str:
+    """quantileTiming[Weighted] (reference QuantileTiming.h): the
+    smallest value whose cumulative weight EXCEEDS level × total —
+    realized as 1-based index floor(level·total)+1 into the
+    weight-expanded sorted multiset; nan on zero total weight.  The
+    Timing family caps values at ~30s in the reference, so the expanded
+    multiset stays small — this is the dialect-compat path, not the
+    production percentile operator."""
+    exp = (
+        f"array_sort(flatten(collect_list(array_repeat("
+        f"CAST({val} AS BIGINT), CAST({weight} AS INT)))))"
+    )
+    n = f"size({exp})"
+
+    def one(level: str) -> str:
+        idx = f"least(CAST(floor(({level}) * {n}) AS INT) + 1, {n})"
+        return (
+            f"(CASE WHEN {n} = 0 THEN CAST('nan' AS DOUBLE) ELSE "
+            f"CAST(element_at({exp}, {idx}) AS DOUBLE) END)"
+        )
+
+    if as_array:
+        return "array(" + ", ".join(one(l) for l in levels) + ")"
+    return one(levels[0])
+
+
 def _dialect_is_mysql() -> bool:
     return (
         _SESSION_SETTINGS.get("dialect_type", "")
@@ -525,14 +612,16 @@ def _url_hierarchy_sql(u: str) -> str:
 
 
 def _url_hash_level_sql(a: list[str]) -> str:
-    """URLHash(url, level) — hash of URLHierarchy(url)[level+1], falling
-    back to the whole URL when the level exceeds the hierarchy depth
-    (URL/URLHash.cpp); same xxhash64 stand-in as the 1-arg form."""
+    """URLHash(url, level) — hash of URLHierarchy(url)[level+1]; a level
+    past the hierarchy depth hashes '' (the subscript's String default),
+    exactly like the URLHierarchy(url)[level+1] spelling
+    (URL/URLHash.cpp + 00149); same xxhash64 stand-in as the 1-arg
+    form."""
     u, lvl = a[0], a[1]
     hier = _url_hierarchy_sql(u)
     return (
         f"xxhash64(regexp_replace(coalesce(try_element_at({hier}, "
-        f"CAST(({lvl}) + 1 AS INT)), {u}), '[/?#]$', ''))"
+        f"CAST(({lvl}) + 1 AS INT)), ''), '[/?#]$', ''))"
     )
 
 
@@ -1252,12 +1341,7 @@ RULES: dict[str, object] = {
     "bitTest": lambda a: f"bit_get({a[0]}, {a[1]})",
     # arrays (CH names -> Spark SQL)
     # optional leading lambda (higher-order form: arraySum(lam, arr))
-    "arraySum": lambda a: (
-        f"aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE))"
-        if len(a) == 1 else
-        f"aggregate(transform({a[1]}, {a[0]}), 0.0D, "
-        f"(acc, x) -> acc + CAST(x AS DOUBLE))"
-    ),
+    "arraySum": lambda a: _array_sum_sql(a),
     "arrayProduct": lambda a: (
         f"aggregate({a[0]}, 1.0D, (acc, x) -> acc * CAST(x AS DOUBLE))"
     ),
@@ -1320,7 +1404,15 @@ RULES: dict[str, object] = {
         f"CAST({_epoch_if_ts(a[0])} AS DOUBLE)"
     ),
     # optional 2nd arg is a render timezone — dropped (session-UTC)
-    "toString": lambda a: f"CAST({a[0]} AS STRING)",
+    # Decimal-to-string TRIMS trailing fraction zeros in the reference
+    # (writeText for Decimal); the typeof branch constant-folds, so
+    # non-decimal arguments keep the plain cast
+    "toString": lambda a: (
+        f"(CASE WHEN typeof({a[0]}) LIKE 'decimal%' THEN "
+        f"regexp_replace(regexp_replace(CAST({a[0]} AS STRING), "
+        f"'(\\\\.\\\\d*?)0+$', '$1'), '\\\\.$', '') "
+        f"ELSE CAST({a[0]} AS STRING) END)"
+    ),
     "toStartOfFiveMinute": lambda a: (
         f"timestamp_seconds((unix_timestamp({a[0]}) div 300) * 300)"
     ),
@@ -1520,7 +1612,11 @@ RULES: dict[str, object] = {
     "anyValue": "first",
     "count": lambda a: f"count({', '.join(a) if a and a[0] else '*'})",
     "argMin": "min_by", "argMax": "max_by",
-    "groupArray": "collect_list", "groupUniqArray": "collect_set",
+    "groupArray": "collect_list",
+    # sorted for a deterministic distributed result (the reference's
+    # hash-set order is load-order-dependent; its own tests pin the
+    # sorted rendering)
+    "groupUniqArray": lambda a: f"sort_array(collect_set({a[0]}))",
     "groupBitAnd": "bit_and", "groupBitOr": "bit_or", "groupBitXor": "bit_xor",
     "median": lambda a: f"percentile({a[0]}, 0.5)",
     "stddevPop": "stddev_pop", "stddevSamp": "stddev_samp",
@@ -2535,7 +2631,12 @@ RULES.update(
         ),
         "format": _format_ch_sql,
         "concatWithSeparator": "concat_ws",
-        "extractAll": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+        # CH extractAll extracts the FIRST capture group when the pattern
+        # has one, else the whole match (OptimizedRegularExpression)
+        "extractAll": lambda a: (
+            f"regexp_extract_all({a[0]}, {a[1]}, "
+            f"{1 if _has_capture_group(a[1]) else 0})"
+        ),
         "extractGroups": _extract_groups_sql,
         # Spark strings are validated UTF-8 already
         "toValidUTF8": lambda a: f"({a[0]})",
@@ -2692,8 +2793,10 @@ RULES.update(
             )
         ),
         "gcd": _gcd_sql,
+        # integer DIV keeps the intermediate exact — `/` is double
+        # division and rounds 19-digit results (00515 lcm)
         "lcm": lambda a: (
-            f"CAST(abs(CAST({a[0]} AS BIGINT)) / {_gcd_sql(a)} "
+            f"CAST(abs(CAST({a[0]} AS BIGINT)) DIV {_gcd_sql(a)} "
             f"* abs(CAST({a[1]} AS BIGINT)) AS BIGINT)"
         ),
         "exp2": lambda a: f"power(2.0, {a[0]})",
@@ -2915,16 +3018,17 @@ PARAMETRIC.update(
         "quantileExactIf": lambda p, a: (
             f"percentile(CASE WHEN {a[1]} THEN {a[0]} END, {p[0]})"
         ),
-        "quantileTiming": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
-        "quantileTimingWeighted": lambda p, a: (
-            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+        "quantileTiming": lambda p, a: _quantile_timing_sql(
+            a[0], "1", p[:1], False
         ),
-        "quantilesTiming": lambda p, a: (
-            f"percentile_approx({a[0]}, array({', '.join(p)}))"
+        "quantileTimingWeighted": lambda p, a: _quantile_timing_sql(
+            a[0], a[1], p[:1], False
         ),
-        "quantilesTimingWeighted": lambda p, a: (
-            f"percentile({a[0]}, array({', '.join(p)}), "
-            f"CAST({a[1]} AS BIGINT))"
+        "quantilesTiming": lambda p, a: _quantile_timing_sql(
+            a[0], "1", p, True
+        ),
+        "quantilesTimingWeighted": lambda p, a: _quantile_timing_sql(
+            a[0], a[1], p, True
         ),
         # arbitrary-prefix sample (CH's reservoir is also arrival-arbitrary)
         "groupArraySample": lambda p, a: (
@@ -3466,9 +3570,11 @@ RULES.update(
         "formatDateTime": _format_datetime_sql,
         "today": lambda a: "current_date()",
         # quantileTiming(0.5) shorthands (reference aliases)
-        "medianTiming": lambda a: f"percentile_approx({a[0]}, 0.5)",
-        "medianTimingWeighted": lambda a: (
-            f"percentile({a[0]}, 0.5, CAST({a[1]} AS BIGINT))"
+        "medianTiming": lambda a: _quantile_timing_sql(
+            a[0], "1", ["0.5"], False
+        ),
+        "medianTimingWeighted": lambda a: _quantile_timing_sql(
+            a[0], a[1], ["0.5"], False
         ),
         "yesterday": lambda a: "date_sub(current_date(), 1)",
         "toStartOfFiveMinutes": _bucket_ts(300),
@@ -3784,9 +3890,23 @@ def _strip_ranking_frames(sql: str) -> str:
                     fm = k
                     break
             k += 1
+        head = sql[i : op + 1]
         if fm is not None:
+            # reference quirk (34426): rank()/dense_rank() under an
+            # EXPLICIT ROWS frame number the frame rows — row_number
+            # semantics, ties split
+            if re.match(r"(?i)\bROWS\b", body[fm:]) and m.group(1).lower() in (
+                "rank", "dense_rank"
+            ):
+                head = (
+                    sql[i : m.start()]
+                    + re.sub(
+                        r"(?i)^(rank|dense_rank)", "row_number",
+                        sql[m.start() : op + 1],
+                    )
+                )
             body = body[:fm].rstrip()
-        out.append(sql[i : op + 1] + body)
+        out.append(head + body)
         i = close
 
 
@@ -4340,6 +4460,30 @@ def _rewrite_array_join(sql: str) -> str:
         n_aj += 1
         if len(parsed) == 1:
             expr, alias = parsed[0]
+            if left:
+                # LEFT ARRAY JOIN fills the element-type DEFAULT for an
+                # empty array (ArrayJoinAction; 00451: [] -> 0), not
+                # NULL — but only when the statement's spelling reveals
+                # the element type; otherwise explode_outer's NULL
+                # stand-in is kept (a wrong-typed literal would break
+                # analysis)
+                import re as _re_aj
+                dflt = None
+                if _re_aj.search(
+                    r"(?i)emptyArrayString|array\s*\(\s*'|\[\s*'"
+                    r"|toString", sql
+                ):
+                    dflt = "''"
+                elif _re_aj.search(
+                    r"(?i)emptyArray(U?Int|Float)\d*|array\s*\(\s*-?\d"
+                    r"|\[\s*-?\d|range\s*\(|sequence\s*\(", sql
+                ):
+                    dflt = "0"
+                if dflt is not None:
+                    expr = (
+                        f"(CASE WHEN coalesce(size({expr}), 0) = 0 "
+                        f"THEN array({dflt}) ELSE {expr} END)"
+                    )
             views = f" LATERAL VIEW{outer} explode({expr}) __aj{n_aj} AS {alias} "
         else:
             # Multi-array ARRAY JOIN zips POSITIONALLY (reference
@@ -4694,11 +4838,16 @@ def _rewrite_array_literals(sql: str) -> str:
             else:
                 text = tail()
                 expr = text[expr_start:]
-                # try_element_at: CH subscripts return the type default
+                # try_element_at: CH subscripts return the type DEFAULT
                 # for an out-of-range index / missing map key — never an
-                # error like Spark's ANSI element_at (NULL stands in for
-                # the default, the established approximation here)
-                out = [text[:expr_start], f"try_element_at({expr}, {inner})"]
+                # error like Spark's ANSI element_at.  When the element
+                # type is visible from the expression's spelling, fill
+                # the real default ('' / 0); otherwise NULL stands in.
+                dflt = _subscript_default_literal(expr)
+                acc = f"try_element_at({expr}, {inner})"
+                if dflt is not None:
+                    acc = f"coalesce({acc}, {dflt})"
+                out = [text[:expr_start], acc]
                 expr_start = len(text[:expr_start])
             i = close + 1
             continue

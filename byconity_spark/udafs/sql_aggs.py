@@ -34,6 +34,36 @@ def _ranks_with_ties(v: np.ndarray) -> tuple[np.ndarray, float]:
     return ranks, tie
 
 
+def _simpson_cdf(z: float) -> float:
+    """∫₀ᶻ φ(t)dt via the reference's own Simpson rule
+    (StatCommon.h:integrateSimpson — iterations = max(1e6,
+    1e4·|round(z)|)); bit-compatible with the reference's p-values,
+    including its last-digit integration error (01560 pins
+    0.5426959774289524, not the analytically-exact ...482)."""
+    iters = int(max(1e6, 1e4 * abs(round(z))))
+    # double-precision h + sequential (cumsum) summation reproduce the
+    # reference binary's accumulation (its `long double h` compiles to
+    # the same doubles on the shipping build — verified against the
+    # 01560 golden value); pdf evaluates in double like the Float64
+    # lambda
+    h = np.float64(z) / iters
+    c = math.sqrt(2.0 * math.pi)
+
+    def pdf(t):
+        t = np.asarray(t, dtype=np.float64)
+        return np.exp(-0.5 * t * t) / c
+
+    ts_odd = np.arange(1, iters, 2, dtype=np.float64) * h
+    ts_even = np.arange(2, iters, 2, dtype=np.float64) * h
+    sum_odds = np.cumsum(pdf(ts_odd))[-1] if len(ts_odd) else 0.0
+    sum_evens = np.cumsum(pdf(ts_even))[-1] if len(ts_even) else 0.0
+    s = np.float64(
+        pdf(np.float64(0.0)) + pdf(np.float64(z))
+        + 2.0 * sum_evens + 4.0 * sum_odds
+    )
+    return float(s * h / 3.0)
+
+
 def _mwu(values: pd.Series, labels: pd.Series, alternative: str,
          continuity: bool) -> list:
     v = values.to_numpy(dtype=np.float64)
@@ -51,20 +81,24 @@ def _mwu(values: pd.Series, labels: pd.Series, alternative: str,
     n = n1 + n2
     # meanrank folds the continuity correction in (reference
     # AggregateFunctionMannWhitney.h:71: n1*n2/2 + 0.5*cc); the returned
-    # statistic is u2 for EVERY alternative (getResult: `return {u2, p}`)
+    # statistic is u2 for EVERY alternative (getResult: `return {u2, p}`).
+    # tie_correction/sd follow the reference's exact expression ORDER
+    # (StatCommon.h:67, MannWhitney.h:72) — a mathematically-equal
+    # rearrangement rounds differently and shifts the p-value's last ulp
     meanrank = n1 * n2 / 2.0 + (0.5 if continuity else 0.0)
-    sigma2 = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    tie_correction = 1.0 - (tie / (float(n) ** 3 - n))
+    sigma2 = tie_correction * n1 * n2 * (n1 + n2 + 1) / 12.0
     if sigma2 <= 0:
         return [u2, float("nan")]
     sigma = math.sqrt(sigma2)
     if alternative == "two-sided":
         z = abs(max(u1, u2) - meanrank) / sigma
-        p = math.erfc(z / math.sqrt(2.0))
+        p = 1.0 - 2.0 * _simpson_cdf(z)
     else:
         # reference: 'less' uses z from u1, 'greater' z from u2; both
         # p = 0.5 - cdf([0,z]) = 1 - Phi(z)
         z = ((u1 if alternative == "less" else u2) - meanrank) / sigma
-        p = 0.5 * math.erfc(z / math.sqrt(2.0))
+        p = 0.5 - _simpson_cdf(z)
     return [u2, min(max(p, 0.0), 1.0)]
 
 

@@ -221,7 +221,7 @@ def chsql_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         CAST(42.0 AS DOUBLE) AS aod,
         'ezs42' AS gh,
         CAST('2022-01-01 01:02:03' AS TIMESTAMP) AS at,
-        NULL AS oor,
+        CAST(0 AS INTEGER) AS oor,
         CAST('Infinity' AS DOUBLE) AS pinf,
         -8033055131586094827 AS wrapped,
         CAST(60 AS BIGINT) AS smerge
