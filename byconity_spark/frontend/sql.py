@@ -573,10 +573,49 @@ def _from_unix_milli_sql(a: list[str]) -> str:
                 "value exceeds the DateTime domain with "
                 "adaptive_type_cast = 0"
             )
-    base = f"timestamp_millis(CAST({x} AS BIGINT))"
+    # DateTime is unsigned in the reference: pre-epoch milliseconds
+    # clamp to 1970-01-01 00:00:00 (01277 range bounds); the result
+    # renders at SECOND precision (the reference prints no fraction)
+    base = (
+        f"date_trunc('SECOND', timestamp_millis(greatest("
+        f"CAST({x} AS BIGINT), CAST(0 AS BIGINT))))"
+    )
     if len(a) > 1:
         return f"from_utc_timestamp({base}, {a[1]})"
     return base
+
+
+def _to_datetime64_sql(a: list[str]) -> str:
+    """toDateTime64(x[, scale[, tz]]): the declared scale TRUNCATES the
+    fraction at parse (scale 3 keeps milliseconds — 01277 prints .345
+    for a .345678910 input); the tz names the column's display zone,
+    which the naive-timestamp model renders as-is."""
+    ts = f"CAST({a[0]} AS TIMESTAMP)"
+    scale = a[1].strip() if len(a) > 1 else "3"
+    if scale.isdigit():
+        s = int(scale)
+        if s == 0:
+            return f"date_trunc('SECOND', {ts})"
+        if s <= 3:
+            return f"timestamp_millis(unix_millis({ts}))"
+    return ts
+    """parseDateTimeBestEffort[OrNull]: Spark's cast plus the RFC-1123 /
+    RFC-822 mail-date forms the reference's best-effort parser accepts
+    ('Thu, 18 Aug 2018 07:22:16 GMT' — 01123); year-bounded like the
+    reference's DateTime domain."""
+    x = a[0]
+    # Spark >= 3.0 cannot PARSE day-of-week letters — strip the
+    # 'Thu, ' prefix instead
+    stripped = f"regexp_replace({x}, '^[A-Za-z]{{3}},\\\\s*', '')"
+    parsed = (
+        f"coalesce(try_cast({x} AS TIMESTAMP), "
+        f"try_to_timestamp({stripped}, 'd MMM yyyy HH:mm:ss z'), "
+        f"try_to_timestamp({stripped}, 'd MMM yyyy HH:mm:ss'))"
+    )
+    return (
+        f"(CASE WHEN year({parsed}) BETWEEN 1900 AND 2299 "
+        f"THEN {parsed} END)"
+    )
 
 
 def _url_hierarchy_sql(u: str) -> str:
@@ -1427,7 +1466,7 @@ RULES: dict[str, object] = {
     "toDate32": lambda a: f"CAST({a[0]} AS DATE)",
     # DateTime64 scale is display precision in CH; Spark timestamps are
     # fixed micro-precision — scale argument dropped
-    "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "toDateTime64": lambda a: _to_datetime64_sql(a),
     "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))",
     "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1]}))",
     "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
@@ -1936,16 +1975,8 @@ RULES.update(
         # year-bounded: the reference's DateTime domain rejects parses
         # like '20100' -> year 20100 (OrNull -> NULL); the bound also
         # keeps results convertible to client datetimes
-        "parseDateTimeBestEffort": lambda a: (
-            f"(CASE WHEN year(try_cast({a[0]} AS TIMESTAMP)) "
-            f"BETWEEN 1900 AND 2299 THEN try_cast({a[0]} AS TIMESTAMP) "
-            f"END)"
-        ),
-        "parseDateTimeBestEffortOrNull": lambda a: (
-            f"(CASE WHEN year(try_cast({a[0]} AS TIMESTAMP)) "
-            f"BETWEEN 1900 AND 2299 THEN try_cast({a[0]} AS TIMESTAMP) "
-            f"END)"
-        ),
+        "parseDateTimeBestEffort": lambda a: _parse_best_effort_sql(a),
+        "parseDateTimeBestEffortOrNull": lambda a: _parse_best_effort_sql(a),
         "generateUUIDv4": lambda a: "uuid()",
         # arrays
         # NB: emitted SQL avoids BOTH the ARRAY<T> generic syntax and the
@@ -5486,6 +5517,15 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_frame_offsets(sql)
     sql = _strip_ranking_frames(sql)
     sql = _rewrite_scalar_with(sql)
+    # bare `SELECT * [WHERE ..]` with no FROM: CH reads system.one
+    # (one row, dummy = 0) — Spark's no-FROM relation has ZERO columns
+    if _re_sys.match(r"(?is)^\s*SELECT\s+\*\s*(WHERE\b|$)", sql) and (
+        _depth0_find(sql, "FROM") < 0
+    ):
+        m_bare = _re_sys.match(r"(?is)^(\s*SELECT\s+\*\s*)(.*)$", sql)
+        sql = (
+            m_bare.group(1) + "FROM (SELECT 0 AS dummy) " + m_bare.group(2)
+        )
     sql = _rewrite_colon_casts(sql)
     sql = _rewrite_limit_offset_comma(sql)
     sql = _rewrite_float_limits(sql)
@@ -5563,6 +5603,27 @@ def rewrite_ch_sql(sql: str) -> str:
                         out.append(name)
                         i = j
                         continue
+            if (
+                name in ("toUnixTimestamp64Milli", "toUnixTimestamp64Micro")
+                and k < n and sql[k] == "("
+            ):
+                # a tz-parsed DateTime64 argument holds its WALL time in
+                # our naive-timestamp model; converting to a true epoch
+                # needs the tz the RAW text still carries (01277:
+                # toDateTime64(s, 3, 'Asia/Makassar') round trip)
+                close = _match_paren(sql, k)
+                raw = sql[k + 1 : close]
+                tzm = _re_mod.search(
+                    r"(?is)toDateTime(?:64)?\s*\((?:[^()]|\([^()]*\))*"
+                    r"'(\w+/\w+)'\s*\)", raw
+                )
+                arg = rewrite_ch_sql(raw)
+                if tzm:
+                    arg = f"to_utc_timestamp({arg}, '{tzm.group(1)}')"
+                unit = "millis" if name.endswith("Milli") else "micros"
+                out.append(f"unix_{unit}(CAST({arg} AS TIMESTAMP))")
+                i = close + 1
+                continue
             if (
                 name in ("toTypeName", "toColumnTypeName")
                 and k < n and sql[k] == "("
@@ -10451,7 +10512,15 @@ def _try_ddl(spark: SparkSession, sql: str):
             "sources": set(_mv_sources(select)),
             "versions": _mv_sources(select),
         }
-        _materialize_mv(spark, name, mv, ch_sql(spark, select))
+        if to_table:
+            # the TO-table form starts EMPTY like the reference (no
+            # POPULATE): only future inserts / explicit REFRESH fill it
+            # (10054_mv_refresh_where_sync)
+            _materialize_mv(
+                spark, name, mv, ch_sql(spark, select).filter("false")
+            )
+        else:
+            _materialize_mv(spark, name, mv, ch_sql(spark, select))
         _SESSION_MVS[name] = mv
         _SESSION_TABLE_ENGINES[name] = "MaterializedView"
         from byconity_spark.engine.query_cache import query_cache
@@ -10468,7 +10537,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     m = re.match(
         r"REFRESH\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?"
         r"(?:\s+PARTITION\s+(?:'[^']*'|\S+))?"
-        r"(?:\s+WHERE\s+.+?)?(?:\s+SYNC)?\s*$",
+        r"(?:\s+WHERE\s+(.+?))?(?:\s+SYNC)?(?:\s+SETTINGS\s+.+)?\s*$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
@@ -10476,7 +10545,32 @@ def _try_ddl(spark: SparkSession, sql: str):
         mv = _SESSION_MVS.get(name)
         if mv is None:
             raise ChSqlError(f"REFRESH: unknown materialized view {name!r}")
-        _materialize_mv(spark, name, mv, ch_sql(spark, mv["select"]))
+        where_txt = (m.group(2) or "").strip()
+        if where_txt:
+            # SEMANTIC partition scope (ASTRefreshQuery WHERE +
+            # 10054_mv_refresh_where_sync): only matching source
+            # partitions are recomputed and replaced in the target —
+            # everything else keeps its current content (initially
+            # empty, so an out-of-range refresh populates NOTHING)
+            sel = mv["select"]
+            gpos = _depth0_find(sel, "GROUP BY")
+            scoped_sel = (
+                sel[:gpos] + f" WHERE {where_txt} " + sel[gpos:]
+                if gpos >= 0 else sel + f" WHERE {where_txt}"
+            )
+            scoped = ch_sql(spark, scoped_sel)
+            try:
+                cur = spark.table(name)
+                from pyspark.sql import functions as _F
+                keep = cur.filter(
+                    ~_F.expr(rewrite_ch_sql(where_txt)).cast("boolean")
+                )
+                combined = keep.unionByName(scoped)
+            except Exception:
+                combined = scoped
+            _materialize_mv(spark, name, mv, combined)
+        else:
+            _materialize_mv(spark, name, mv, ch_sql(spark, mv["select"]))
         mv["versions"] = _mv_sources(mv["select"])
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)

@@ -133,6 +133,11 @@ def ch_fmt_cell(v, nested: bool = False) -> str:
         return format(v.normalize(), "f")
     if isinstance(v, datetime.datetime):
         t = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            # DateTime64 fraction: trailing-zero-trimmed, min 3 digits
+            # (scale-3 is the common reference declaration)
+            frac = f"{v.microsecond:06d}".rstrip("0")
+            t += "." + frac.ljust(3, "0")
         return f"'{t}'" if nested else t
     if isinstance(v, datetime.date):
         return f"'{v.isoformat()}'" if nested else v.isoformat()
