@@ -599,6 +599,83 @@ def _to_datetime64_sql(a: list[str]) -> str:
         if s <= 3:
             return f"timestamp_millis(unix_millis({ts}))"
     return ts
+
+
+_OB_STOPPERS = frozenset({
+    "LIMIT", "OFFSET", "SETTINGS", "FORMAT", "INTO", "UNION", "EXCEPT",
+    "INTERSECT", "WINDOW", "ROWS", "RANGE", "GROUPS", "WITH", "HAVING",
+})
+
+
+def _order_by_nulls(sql: str) -> str:
+    """CH sorts NULLs LAST for ASC and FIRST for DESC by default
+    (42000: `ORDER BY t2.id + t2.i32` puts the NULL sum last); Spark
+    defaults the opposite way.  Append the explicit NULLS placement to
+    every ORDER BY item that doesn't set one."""
+    import re as _re
+
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        mm = _re.match(r"(?i)ORDER\s+BY\b", sql[i:])
+        if not mm or (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            out.append(c)
+            i += 1
+            continue
+        out.append(sql[i : i + mm.end()])
+        i += mm.end()
+        depth = 0
+        items: list[str] = []
+        cur: list[str] = []
+        while i < n:
+            c = sql[i]
+            if c in "'\"`":
+                j = _skip_string(sql, i)
+                cur.append(sql[i:j])
+                i = j
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                if c == ",":
+                    items.append("".join(cur))
+                    cur = []
+                    i += 1
+                    continue
+                wm = _re.match(r"(?i)([A-Za-z_]+)", sql[i:])
+                if wm and wm.group(1).upper() in _OB_STOPPERS and (
+                    not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+                ):
+                    break
+            cur.append(c)
+            i += 1
+        items.append("".join(cur))
+
+        def fix(item: str) -> str:
+            body = item.rstrip()
+            pad = item[len(body):]
+            if not body.strip():
+                return item
+            if _re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$", body):
+                return item
+            desc = bool(_re.search(r"(?i)\bDESC\s*$", body))
+            return body + (" NULLS FIRST" if desc else " NULLS LAST") + pad
+
+        out.append(",".join(fix(it) for it in items))
+    return "".join(out)
+
+
+def _parse_best_effort_sql(a: list[str]) -> str:
     """parseDateTimeBestEffort[OrNull]: Spark's cast plus the RFC-1123 /
     RFC-822 mail-date forms the reference's best-effort parser accepts
     ('Thu, 18 Aug 2018 07:22:16 GMT' — 01123); year-bounded like the
@@ -5693,7 +5770,9 @@ def rewrite_ch_sql(sql: str) -> str:
             continue
         out.append(c)
         i += 1
-    return "".join(out)
+    # CH NULLS placement differs from Spark's default — applied last,
+    # idempotent under the recursive arg rewrites
+    return _order_by_nulls("".join(out))
 
 
 def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
@@ -7482,7 +7561,25 @@ def _has_token_sql(a: list[str], ci: bool = False) -> str:
     tok = a[1].strip()
     if not (tok.startswith("'") and tok.endswith("'")):
         raise ChSqlError("hasToken: needle must be a string literal")
-    body = _re_m.escape(tok[1:-1]).replace("\\", "\\\\").replace("'", "''")
+    raw = tok[1:-1]
+    esc = raw.replace("\\", "\\\\").replace("'", "''")
+    # with the inverted index disabled the reference's hasTokens degrades
+    # to a substring scan (53014: 'Con' matches 'ByConity' only under
+    # enable_inverted_index = 0)
+    ena = str(
+        _LAST_STMT_SETTINGS.get(
+            "enable_inverted_index",
+            _SESSION_SETTINGS.get("enable_inverted_index", "1"),
+        )
+    ).strip("'\"")
+    if ena in ("0", "false"):
+        return f"CAST(locate('{esc}', {a[0]}) > 0 AS INT)"
+    if any(ord(ch) > 127 for ch in raw):
+        # the 'standard' tokenizer emits each CJK character as its own
+        # token, so a CJK needle is a consecutive-token phrase =
+        # substring match
+        return f"CAST(locate('{esc}', {a[0]}) > 0 AS INT)"
+    body = _re_m.escape(raw).replace("\\", "\\\\").replace("'", "''")
     flags = "(?i)" if ci else ""
     pat = (flags + "(?<![A-Za-z0-9\\\\x80-\\\\uffff])" + body
            + "(?![A-Za-z0-9\\\\x80-\\\\uffff])")
@@ -9796,10 +9893,34 @@ def _try_ddl(spark: SparkSession, sql: str):
                     _validate_byte_map_types(parts_m2[0], parts_m2[1])
         from pyspark.sql import functions as F
         # accurateCastOrNull semantics: unconvertible values become NULL
-        # (reference AlterConversions — 00665: '' -> NULL, not an error)
+        # (reference AlterConversions — 00665: '' -> NULL, not an error).
+        # Array values converting to String take the reference's text
+        # rendering (['v1','v2'], quoted elements — 01593), not Spark's
+        # cast text
+        from pyspark.sql.types import ArrayType as _AT
+        from pyspark.sql.types import MapType as _MT
+        cur_t = dict(zip(df.columns, [f.dataType for f in df.schema.fields]
+                         )).get(colname)
+        tgt_t = _ch_type(new_type.strip())
+        ch_arr_str = (
+            "concat('[', array_join(transform({v}, __e -> "
+            "concat(chr(39), CAST(__e AS STRING), chr(39))), ','), ']')"
+        )
+        if (
+            isinstance(cur_t, _MT)
+            and isinstance(cur_t.valueType, _AT)
+            and tgt_t.lower().replace(" ", "") == "map<string,string>"
+        ):
+            expr = (
+                f"transform_values(`{colname}`, (__k, __v) -> "
+                + ch_arr_str.format(v="__v") + ")"
+            )
+        elif isinstance(cur_t, _AT) and tgt_t.upper() == "STRING":
+            expr = ch_arr_str.format(v=f"`{colname}`")
+        else:
+            expr = f"try_cast(`{colname}` AS {tgt_t})"
         df.withColumn(
-            colname,
-            F.expr(f"try_cast(`{colname}` AS {_ch_type(new_type.strip())})"),
+            colname, F.expr(expr),
         ).createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)

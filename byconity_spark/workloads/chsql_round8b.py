@@ -217,7 +217,7 @@ def chsql_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT
         1 AS bt,
-        CAST(NULL AS DOUBLE) AS rsd,
+        CAST('nan' AS DOUBLE) AS rsd,
         CAST(42.0 AS DOUBLE) AS aod,
         'ezs42' AS gh,
         CAST('2022-01-01 01:02:03' AS TIMESTAMP) AS at,

@@ -72,12 +72,14 @@ def test_limit_by_clause_rewrite():
     out = rewrite_ch_sql(
         "SELECT k, v FROM t ORDER BY v DESC, k LIMIT 2 BY k LIMIT 10"
     )
-    assert "row_number() OVER (PARTITION BY k ORDER BY v DESC, k)" in out
+    assert "row_number() OVER (PARTITION BY k ORDER BY v DESC NULLS FIRST, k NULLS LAST)" in out
     assert "__rn <= 2" in out
     assert out.strip().endswith("LIMIT 10")
-    # no top-level LIMIT BY -> untouched
+    # no top-level LIMIT BY -> untouched (except the CH NULLS placement)
     plain = "SELECT k FROM t ORDER BY k LIMIT 5"
-    assert rewrite_ch_sql(plain) == plain
+    assert rewrite_ch_sql(plain) == (
+        "SELECT k FROM t ORDER BY k NULLS LAST LIMIT 5"
+    )
     # LIMIT BY inside a subquery is not (yet) rewritten at this level
     sub = "SELECT * FROM (SELECT 1) WHERE x IN (SELECT k FROM t)"
     assert rewrite_ch_sql(sub) == sub
@@ -163,7 +165,7 @@ def test_subquery_limit_by():
     out = rewrite_ch_sql(
         "SELECT sum(n) FROM (SELECT g, v AS n FROM t ORDER BY v DESC LIMIT 2 BY g)"
     )
-    assert "row_number() OVER (PARTITION BY g ORDER BY v DESC)" in out
+    assert "row_number() OVER (PARTITION BY g ORDER BY v DESC NULLS FIRST)" in out
     assert "__rn <= 2" in out
 
 
