@@ -585,6 +585,32 @@ def _from_unix_milli_sql(a: list[str]) -> str:
     return base
 
 
+def _next_day_sql(a: list[str]) -> str:
+    import re as _re
+
+    day = a[1]
+    if _re.fullmatch(r"\d+", day.strip()):
+        day = (
+            f"element_at(array('MO','TU','WE','TH','FR','SA','SU'), {day})"
+        )
+    base = f"next_day({a[0]}, {day})"
+    arg = a[0].strip()
+    if _re.match(r"(?i)(to_date\b|toDate\b|CAST\s*\(.*AS\s+DATE)", arg):
+        return base  # Date in, Date out
+    # timestamp inputs KEEP their time-of-day (02033 line 17: the .123
+    # DateTime64 fraction survives); Spark's next_day drops it
+    if "timestamp_millis" in arg:  # our DateTime64 emission
+        tod = f"date_format({a[0]}, 'HH:mm:ss.SSS')"
+    elif "timestamp" in arg.lower() or _re.match(r"(?i)toDateTime", arg):
+        tod = f"date_format({a[0]}, 'HH:mm:ss')"
+    else:
+        # string input parses to DateTime64(3) at midnight
+        tod = "'00:00:00.000'"
+    return (
+        f"concat(date_format({base}, 'yyyy-MM-dd'), ' ', {tod})"
+    )
+
+
 def _to_datetime64_sql(a: list[str]) -> str:
     """toDateTime64(x[, scale[, tz]]): the declared scale TRUNCATES the
     fraction at parse (scale 3 keeps milliseconds — 01277 prints .345
@@ -1302,12 +1328,10 @@ RULES: dict[str, object] = {
     # its tests only range-check it); debug scalar, not a hot-path window
     "blockSize": lambda a: "count(*) OVER ()",
     # next_day: CH/MySQL accepts 1..7 (1 = Monday) as well as day names
-    "next_day": lambda a: (
-        f"next_day({a[0]}, element_at(array('MO','TU','WE','TH','FR',"
-        f"'SA','SU'), {a[1]}))"
-        if __import__("re").fullmatch(r"\d+", a[1].strip())
-        else f"next_day({a[0]}, {a[1]})"
-    ),
+    # next_day is TYPE-PRESERVING in the reference (02033): Date -> Date,
+    # DateTime -> DateTime, and a STRING parses to DateTime64(3) —
+    # rendered at millisecond scale
+    "next_day": lambda a: _next_day_sql(a),
     # URLHash: cityHash64 with ONE trailing /?# trimmed (URLHashImpl);
     # xxhash64 stand-in like the registry (value-stable, not bit-exact —
     # strict_hash_compat owns exactness); the level form needs the URL

@@ -262,4 +262,5 @@ def test_misc_dialect_functions(spark):
                       "next_day('2019-09-09', 1) AS nd, "
                       "length(buildId()) >= 16 AS b").collect()[0]
     assert r["o"] == "14" and r["e"] is True and r["i"] is None
-    assert str(r["nd"]) == "2019-09-16" and r["b"] is True
+    # next_day renders at DateTime64(3) scale like the reference (02033)
+    assert str(r["nd"]) == "2019-09-16 00:00:00.000" and r["b"] is True

@@ -178,6 +178,114 @@ def golden_rows(df) -> list[str]:
     return ["\t".join(ch_fmt_cell(v) for v in r) for r in rows]
 
 
+_PRETTY_FMT = re.compile(
+    r"(?is)\bFORMAT\s+(Pretty\w*|Vertical)\s*;?\s*$"
+)
+
+
+def _ch_literal_name(item: str) -> str | None:
+    """CH display name of an UNALIASED string-literal select item: the
+    literal re-quoted with backslash escaping (the normalized AST
+    rendering clickhouse-client shows as the header)."""
+    t = item.strip()
+    if not (t.startswith("'") and t.endswith("'")):
+        return None
+    # parse the CH literal (backslash escapes + '' doubling)
+    val = []
+    i = 1
+    while i < len(t) - 1:
+        c = t[i]
+        if c == "\\" and i + 1 < len(t) - 1:
+            val.append(t[i + 1])
+            i += 2
+            continue
+        if c == "'" and t[i + 1 : i + 2] == "'":
+            val.append("'")
+            i += 2
+            continue
+        val.append(c)
+        i += 1
+    v = "".join(val)
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def golden_pretty(df, st: str, fmt: str) -> list[str]:
+    """Render a FORMAT Pretty*/Vertical statement like clickhouse-client
+    (engine/pretty.py owns the box layout)."""
+    from byconity_spark.engine.pretty import render
+    from pyspark.sql.types import (
+        ByteType, DecimalType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType,
+    )
+
+    numeric = (ByteType, ShortType, IntegerType, LongType, FloatType,
+               DoubleType, DecimalType)
+    aligns = [
+        "r" if isinstance(f.dataType, numeric) else "l"
+        for f in df.schema.fields
+    ]
+    names = list(df.columns)
+    # unaliased string-literal items display their normalized quoting
+    m = re.match(r"(?is)^\s*SELECT\s+(.*?)\s*FORMAT\s+\w+\s*;?\s*$", st)
+    if m and "\n" not in m.group(1):
+        items, depth, cur = [], 0, []
+        txt = m.group(1)
+        i = 0
+        while i < len(txt):
+            c = txt[i]
+            if c == "'":
+                j = i + 1
+                while j < len(txt):
+                    if txt[j] == "\\":
+                        j += 2
+                        continue
+                    if txt[j] == "'":
+                        if txt[j + 1 : j + 2] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                cur.append(txt[i : j + 1])
+                i = j + 1
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            if c == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+                i += 1
+                continue
+            cur.append(c)
+            i += 1
+        items.append("".join(cur))
+        if len(items) == len(names):
+            for k, it in enumerate(items):
+                lit = _ch_literal_name(it)
+                if lit is not None:
+                    names[k] = lit
+    if len(set(names)) < len(names):
+        # CH qualifies ambiguous SELECT-* output columns by table alias
+        # (01018: one.dummy / A.dummy / B.dummy)
+        als = []
+        for tm in re.finditer(
+            r"(?is)\b(?:FROM|JOIN)\s+([\w.]+)(?:\s+(?:AS\s+)?"
+            r"(?!ON\b|USING\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b|"
+            r"FORMAT\b|WHERE\b)(\w+))?",
+            st,
+        ):
+            als.append(tm.group(2) or tm.group(1).rsplit(".", 1)[-1])
+        if len(als) == len(names):
+            names = [f"{a}.{c}" for a, c in zip(als, names)]
+    rows = [
+        [ch_fmt_cell(v, nested=False) if not isinstance(v, str) else v
+         for v in r]
+        for r in df.limit(10001).collect()
+    ]
+    return render(fmt, names, rows, aligns)
+
+
 def bucket(err: str) -> str:
     """Collapse an error message into a coarse failure bucket."""
     e = err.lower()
@@ -258,9 +366,15 @@ def main() -> None:
             try:
                 df = ch_sql(spark, st)
                 if df is not None and hasattr(df, "collect"):
+                    pf = _PRETTY_FMT.search(st)
                     if (golden and _OUTPUT_STMT.match(st)
                             and not _FORMAT_NULL.search(st)):
-                        out_lines.extend(golden_rows(df))
+                        if pf:
+                            out_lines.extend(
+                                golden_pretty(df, st, pf.group(1))
+                            )
+                        else:
+                            out_lines.extend(golden_rows(df))
                     else:
                         df.limit(100).collect()
                 if expect_error:
