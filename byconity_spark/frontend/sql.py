@@ -8031,6 +8031,9 @@ def _validate_table_settings(settings: dict) -> None:
             )
 _SESSION_TABLE_INDEXES: dict[str, list] = {}
 _SESSION_TABLE_KEYS: dict[str, dict] = {}
+# original CH column/constraint declarations per table — the source of
+# truth for the reference-style SHOW CREATE rendering
+_TABLE_CH_DDL: dict[str, dict] = {}
 
 # Accepted-and-recorded session settings (reference Settings.h names with
 # no Spark analogue — SET stores them here; SHOW SETTINGS surfaces them)
@@ -9635,6 +9638,22 @@ def _try_ddl(spark: SparkSession, sql: str):
                 ("cluster_by", tailinfo.cluster_by),
             ) if v
         }
+        # original CH declaration, for the reference-style SHOW CREATE
+        _TABLE_CH_DDL[name] = {
+            "columns": [
+                (c.name, c.ch_type, getattr(c, "kind", None),
+                 getattr(c, "expr", None))
+                for c in body.columns
+            ],
+            "constraints": list(body.constraints),
+            "order_by": tailinfo.order_by,
+            "partition_by": tailinfo.partition_by,
+            "primary_key": tailinfo.primary_key,
+            "unique_key": tailinfo.unique_key,
+            "ttl": tailinfo.ttl,
+            "engine": engine or "CnchMergeTree",
+            "mysql_dialect": _dialect_is_mysql(),
+        }
         fields, defaults, materialized, aliases = [], {}, {}, {}
         for col in body.columns:
             if col.kind == "ALIAS":
@@ -9726,6 +9745,66 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         name = m.group(1)
+        ddl = _TABLE_CH_DDL.get(name)
+        if ddl is not None:
+            # reference-style rendering (InterpreterShowCreateQuery over
+            # the normalized AST — 48023): backticked columns with their
+            # CH types (MySQL dialect displays everything NULLable),
+            # auto-named FOREIGN KEY constraints, default SETTINGS tail
+            import re as _re_sc
+            lines = []
+            for cn, ct, kind, cexpr in ddl["columns"]:
+                t = (ct or "String").strip()
+                if ddl["mysql_dialect"]:
+                    tm_n = _re_sc.fullmatch(
+                        r"(?is)Nullable\s*\((.*)\)", t
+                    )
+                    t = (tm_n.group(1) if tm_n else t) + " NULL"
+                entry = f"    `{cn}` {t}"
+                if kind and cexpr:
+                    entry += f" {kind} {cexpr}"
+                lines.append(entry)
+            for citem in ddl["constraints"]:
+                fk = _re_sc.match(
+                    r"(?is)(?:CONSTRAINT\s+)?(?:(\w+)\s+)?FOREIGN\s+KEY"
+                    r"\s*\(\s*(\w+)[^)]*\)\s*(REFERENCES\s+.+)$",
+                    citem.strip(),
+                )
+                if fk:
+                    cname = fk.group(1) or f"{fk.group(2)}_fk"
+                    lines.append(
+                        f"    CONSTRAINT {cname} FOREIGN KEY "
+                        f"({fk.group(2)}) {fk.group(3).strip()}"
+                    )
+            db = _CURRENT_DATABASE[0]
+            stmt = (
+                f"CREATE TABLE {db}.{name} (\n"
+                + ",\n".join(lines)
+                + "\n)\nENGINE = "
+                + _re_sc.sub(r"\(\s*\)$", "", ddl["engine"]).strip()
+            )
+            if ddl.get("partition_by"):
+                stmt += f"\nPARTITION BY {ddl['partition_by']}"
+            if ddl.get("primary_key"):
+                stmt += f"\nPRIMARY KEY {ddl['primary_key']}"
+            if ddl.get("order_by"):
+                stmt += f"\nORDER BY {ddl['order_by']}"
+            if ddl.get("unique_key"):
+                stmt += f"\nUNIQUE KEY {ddl['unique_key']}"
+            if ddl.get("ttl"):
+                stmt += f"\nTTL {ddl['ttl']}"
+            setts = ["storage_policy = 'cnch_default_hdfs'"]
+            if ddl["mysql_dialect"]:
+                setts += ["allow_nullable_key = 1",
+                          "storage_dialect_type = 'MYSQL'"]
+            for k, v in _SESSION_TABLE_SETTINGS.get(name, {}).items():
+                setts.append(f"{k} = {v}")
+            if not any(s.startswith("index_granularity") for s in setts):
+                setts.append("index_granularity = 8192")
+            stmt += "\nSETTINGS " + ", ".join(setts)
+            return spark.createDataFrame(
+                [(name, stmt)], "name string, statement string"
+            )
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in spark.table(name).schema.fields
@@ -9857,6 +9936,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         spark.catalog.dropTempView(m.group(1))
         _SESSION_TABLE_ENGINES.pop(m.group(1), None)
         _SESSION_PARTS.pop(m.group(1), None)
+        _TABLE_CH_DDL.pop(m.group(1), None)
         _REPLACING_TABLES.pop(m.group(1), None)
         _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
         _SESSION_TABLE_TTLS.pop(m.group(1), None)

@@ -960,8 +960,12 @@ def test_ddl_bare_create_with_ch_types(spark):
     ch_sql(spark, "INSERT INTO bare_demo VALUES (1, 'a', 1.5)")
     row = ch_sql(spark, "SELECT * FROM bare_demo").collect()[0]
     assert (row.k, row.name, float(row.amt)) == (1, "a", 1.5)
-    stmt = ch_sql(spark, "SHOW CREATE TABLE bare_demo").collect()[0][0]
-    assert "k bigint" in stmt and "decimal(18,4)" in stmt
+    # SHOW CREATE echoes the ORIGINAL CH declaration since r9
+    # (InterpreterShowCreateQuery prints CH types, not engine types)
+    row2 = ch_sql(spark, "SHOW CREATE TABLE bare_demo").collect()[0]
+    stmt = row2["statement"]
+    assert "`k` UInt64" in stmt and "Decimal64(4)" in stmt
+    assert "ORDER BY k" in stmt
 
 
 def test_describe_prints_ch_type_names(spark):

@@ -86,7 +86,7 @@ def test_show_create_echoes_primary_key(spark):
         "CREATE TABLE kv_t (k Int64, v String) "
         "ENGINE = EmbeddedRocksDB PRIMARY KEY k",
     )
-    stmt = ch_sql(spark, "SHOW CREATE TABLE kv_t").collect()[0][0]
+    stmt = ch_sql(spark, "SHOW CREATE TABLE kv_t").collect()[0]["statement"]
     assert "ENGINE = EmbeddedRocksDB" in stmt and "PRIMARY KEY k" in stmt
 
 

@@ -145,7 +145,8 @@ def ch_fmt_cell(v, nested: bool = False) -> str:
         if nested:
             return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
         return (
-            v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+            v.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("'", "\\'")
         )
     if isinstance(v, (bytes, bytearray)):
         return ch_fmt_cell(v.decode("utf-8", "replace"), nested)
