@@ -214,7 +214,8 @@ def key_list(expr: str | None) -> list[str]:
 
 _MODIFIER_KEYWORDS = [
     "DEFAULT", "MATERIALIZED", "ALIAS", "CODEC", "TTL", "COMMENT",
-    "NOT NULL", "NULL", "KV", "BYTE",
+    "NOT NULL", "NULL", "KV", "BYTE", "BITMAPINDEX", "SEGMENTBITMAPINDEX",
+    "AUTO_INCREMENT",
 ]
 # expression TERMINATORS exclude NULL/NOT NULL — they legally appear inside
 # DEFAULT/TTL expressions (`d DEFAULT NULL`, `x IS NOT NULL`)
@@ -234,6 +235,7 @@ class ColumnDef:
     comment: str | None = None
     not_null: bool = False
     map_kind: str | None = None  # None | KV | BYTE (Map storage variant)
+    auto_increment: bool = False  # MySQL-compat fill-at-insert
 
 
 @dataclass
@@ -345,6 +347,10 @@ def _parse_column_item(item: str) -> ColumnDef:
             col.not_null = True
         elif kw == "NULL":
             pass  # nullable is the default here
+        elif kw in ("BITMAPINDEX", "SEGMENTBITMAPINDEX"):
+            pass  # bitmap skip-index layout hint (MergeTreeBitmapIndex)
+        elif kw == "AUTO_INCREMENT":
+            col.auto_increment = True  # MySQL-compat fill-at-insert
         elif kw in ("KV", "BYTE"):
             # ByteDance Map storage variants: layout hints, except that
             # KV maps reject the implicit-column surface (getMapKeys

@@ -2079,6 +2079,17 @@ RULES.update(
         "parseDateTimeBestEffort": lambda a: _parse_best_effort_sql(a),
         "parseDateTimeBestEffortOrNull": lambda a: _parse_best_effort_sql(a),
         "generateUUIDv4": lambda a: "uuid()",
+    # session timezone — the engine runs UTC (timezone.cpp serverTimezone)
+    "timezone": lambda a: "'UTC'",
+    "timeZone": lambda a: "'UTC'",
+    "serverTimezone": lambda a: "'UTC'",
+    "serverTimeZone": lambda a: "'UTC'",
+    # snowflake id: ms timestamp << 22 | sequence — monotone across
+    # inserts AND within a block (generateSnowflakeID.cpp layout)
+    "generateSnowflakeID": lambda a: (
+        "(shiftleft(unix_millis(current_timestamp()), 22) + "
+        "pmod(monotonically_increasing_id(), 4194304))"
+    ),
         # arrays
         # NB: emitted SQL avoids BOTH the ARRAY<T> generic syntax and the
         # >> operator — Spark's parser mis-lexes a later `>>` in any
@@ -2517,6 +2528,10 @@ def _ch_type(t: str) -> str:
         return "STRING"
     if re.fullmatch(r"(?i)FixedString\s*\(\d+\)", t):
         return "STRING"
+    if re.fullmatch(r"(?i)BitMap(32|64)", t):
+        # BitMap64 column storage = the member id set (the bitmap UDAF
+        # layer owns the roaring encoding; inserts use array literals)
+        return "ARRAY<BIGINT>"
     m = re.fullmatch(r"Decimal(32|64|128|256)\s*\((\d+)\)", t)
     if m:
         prec = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
@@ -4389,6 +4404,34 @@ def _rewrite_with_totals(sql: str) -> str:
     keys = sql[g + len("GROUP BY") : i].strip()
     if not keys:
         raise ChSqlError("WITH TOTALS requires at least one group key")
+    import re as _re_t
+    wm = _re_t.fullmatch(r"(?is)(.*?)\s+WITH\s+(CUBE|ROLLUP)", keys)
+    if wm:  # `GROUP BY a, b WITH CUBE WITH TOTALS` — normalize
+        keys = f"{wm.group(2)}({wm.group(1)})"
+    cm = _re_t.fullmatch(r"(?is)(CUBE|ROLLUP)\s*\((.*)\)", keys)
+    if cm:
+        # CUBE/ROLLUP(..) WITH TOTALS: expand to grouping sets PLUS a
+        # duplicate () — CH emits the totals row ON TOP of the grand
+        # total the cube already contains (10720_cube_ansi)
+        items = _split_args(cm.group(2))
+        if cm.group(1).upper() == "CUBE":
+            from itertools import combinations
+            sets = [
+                "(" + ", ".join(c) + ")"
+                for r_ in range(len(items), -1, -1)
+                for c in combinations(items, r_)
+            ]
+        else:
+            sets = [
+                "(" + ", ".join(items[:k]) + ")"
+                for k in range(len(items), -1, -1)
+            ]
+        sets.append("()")
+        return (
+            sql[:g]
+            + f"GROUP BY GROUPING SETS ({', '.join(sets)}) "
+            + sql[i + len("WITH TOTALS") :]
+        )
     return (
         sql[:g]
         + f"GROUP BY GROUPING SETS (({keys}), ()) "
@@ -5618,6 +5661,17 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_frame_offsets(sql)
     sql = _strip_ranking_frames(sql)
     sql = _rewrite_scalar_with(sql)
+    # part_type is the reference's Enum8 — it compares against BOTH the
+    # name and the number (StorageSystemCnchParts.h); the view stores the
+    # number, so name literals map to it
+    if "part_type" in sql:
+        _pt_map = {"VisiblePart": 1, "InvisiblePart": 2, "Tombstone": 3,
+                   "DroppedPart": 4}
+        sql = _re_sys.sub(
+            r"(\bpart_type\s*(?:=|==|!=|<>)\s*)'(\w+)'",
+            lambda mo: mo.group(1) + str(_pt_map.get(mo.group(2), 0)),
+            sql,
+        )
     # bare `SELECT * [WHERE ..]` with no FROM: CH reads system.one
     # (one row, dummy = 0) — Spark's no-FROM relation has ZERO columns
     if _re_sys.match(r"(?is)^\s*SELECT\s+\*\s*(WHERE\b|$)", sql) and (
@@ -5704,6 +5758,24 @@ def rewrite_ch_sql(sql: str) -> str:
                         out.append(name)
                         i = j
                         continue
+            if name == "timeZoneOffset" and k < n and sql[k] == "(":
+                # offset (seconds) of the argument's timezone at that
+                # instant — the tz only exists in the RAW text
+                # (01958_partial_hour_timezone: Monrovia's -00:44:30)
+                close = _match_paren(sql, k)
+                raw = sql[k + 1 : close]
+                tzm = _re_mod.search(r"'(\w+/[\w\-+]+)'", raw)
+                arg = rewrite_ch_sql(raw)
+                if tzm:
+                    out.append(
+                        f"CAST(unix_seconds(CAST({arg} AS TIMESTAMP)) - "
+                        f"unix_seconds(to_utc_timestamp({arg}, "
+                        f"'{tzm.group(1)}')) AS INT)"
+                    )
+                else:
+                    out.append("CAST(0 AS INT)")
+                i = close + 1
+                continue
             if (
                 name in ("toUnixTimestamp64Milli", "toUnixTimestamp64Micro")
                 and k < n and sql[k] == "("
@@ -5870,6 +5942,25 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     import re as _re
 
     _LAST_STMT_SETTINGS.clear()
+    # '#' line comments (the reference's lexer accepts the MySQL style —
+    # 600201_mysql_comment); quote-aware, Spark has no native support
+    if "#" in sql:
+        _out_h = []
+        _i_h, _n_h = 0, len(sql)
+        while _i_h < _n_h:
+            _c_h = sql[_i_h]
+            if _c_h in "'\"`":
+                _j_h = _skip_string(sql, _i_h)
+                _out_h.append(sql[_i_h:_j_h])
+                _i_h = _j_h
+                continue
+            if _c_h == "#":
+                _j_h = sql.find("\n", _i_h)
+                _i_h = _n_h if _j_h < 0 else _j_h
+                continue
+            _out_h.append(_c_h)
+            _i_h += 1
+        sql = "".join(_out_h)
     sql = _qualify_databases(sql)
 
     # `(*,).N` — CH tuple-of-all-columns positional access
@@ -6044,7 +6135,9 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         )
 
     m = _re.match(
-        r"\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?\s+(?=SELECT|WITH)",
+        r"\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?"
+        r"(?:\s+\w+\s*=\s*\w+(?:\s*,\s*\w+\s*=\s*\w+)*)?"  # opt. kv opts
+        r"\s+(?=SELECT|WITH)",
         sql,
         _re.IGNORECASE,
     )
@@ -8188,6 +8281,42 @@ def _prepare_insert_block(spark, name: str, new, provided):
     mat = _TABLE_MATERIALIZED.get(name, {})
     defaults = _TABLE_DEFAULTS.get(name, {})
     visible = [f.name for f in stored.fields if f.name not in mat]
+    if provided and "*" in provided:
+        # `INSERT INTO t (*, extra..)` expands * to the visible columns
+        # (10102_intermediate_result_cache_with_modification_time)
+        expanded: list = []
+        for c in provided:
+            if c == "*":
+                expanded.extend(visible)
+            else:
+                expanded.append(c)
+        provided = expanded
+    if provided and "_delete_flag_" in provided:
+        # unique-table delete flag (CnchDedupHelper DeleteFlagColumn):
+        # flag-1 rows DELETE their keys instead of inserting
+        flag_idx = provided.index("_delete_flag_")
+        keep_cols = [c for c in provided if c != "_delete_flag_"]
+        renamed = new.toDF(*provided)
+        from pyspark.sql import functions as _Fdf
+        deletes = renamed.filter(
+            _Fdf.col("_delete_flag_").cast("int") == 1
+        ).drop("_delete_flag_")
+        uk = _SESSION_TABLE_KEYS.get(name, {}).get("unique_key")
+        if uk is not None and deletes.limit(1).count():
+            from byconity_spark.frontend.ddl import key_list as _kl
+            ukeys = [k.strip("`") for k in _kl(uk)]
+            kept = target.join(
+                deletes.select(*ukeys).distinct(), ukeys, "left_anti"
+            ).select(*target.columns)
+            kept.createOrReplaceTempView(name)
+            target = spark.table(name)
+        new = renamed.filter(
+            _Fdf.coalesce(
+                _Fdf.col("_delete_flag_").cast("int"), _Fdf.lit(0)
+            ) != 1
+        ).drop("_delete_flag_")
+        provided = keep_cols
+        del flag_idx
     cols = provided if provided else list(new.columns)
     if not provided:
         # positional: bind to the visible prefix
@@ -8816,7 +8945,22 @@ def _qualify_databases(sql: str) -> str:
                 return f"{db}__{t}"
             return m.group(0)
 
-        return re.sub(r"\b(\w+)\.(\w+)\b", dot, seg)
+        seg = re.sub(r"\b(\w+)\.(\w+)\b", dot, seg)
+        # an UNALIASED `FROM db__T` keeps its short name visible as the
+        # relation alias (the reference lets `T.col` qualify by table
+        # name — 10026: SELECT A.A FROM db.A)
+        seg = re.sub(
+            r"(?i)\b(FROM|JOIN)\s+(\w+__\w+)\b"
+            r"(?=\s*(?:$|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|SETTINGS\b|"
+            r"HAVING\b|UNION\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|FULL\b|"
+            r"CROSS\b|ON\b|USING\b|FORMAT\b|,|\)))",
+            lambda m: (
+                f"{m.group(1)} {m.group(2)} AS "
+                f"{m.group(2).split('__', 1)[1]}"
+            ),
+            seg,
+        )
+        return seg
 
     parts = sql.split("'")
     for i in range(0, len(parts), 2):
@@ -8942,6 +9086,9 @@ def _try_ddl(spark: SparkSession, sql: str):
     if re.match(r"BEGIN(\s+TRANSACTION)?$", s, re.IGNORECASE):
         from byconity_spark.engine.transactions import transactions
         txn_id = transactions.begin()
+        # detached-parts state participates in rollback (10054: a
+        # rolled-back cross-table ATTACH puts the part back)
+        transactions._txn["detached_parts"] = dict(_DETACHED_PARTS)
         return spark.createDataFrame(
             [(txn_id, "begun")], "txn_id int, status string"
         )
@@ -8953,10 +9100,17 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
     if re.match(r"ROLLBACK$", s, re.IGNORECASE):
         from byconity_spark.engine.transactions import transactions
+        _saved_dp = (
+            transactions._txn.get("detached_parts")
+            if transactions._txn is not None else None
+        )
         txn_id, restored = transactions.rollback(
             spark, _SESSION_TABLE_ENGINES, _REPLACING_TABLES,
             extras=_txn_metadata_dicts(),
         )
+        if _saved_dp is not None:
+            _DETACHED_PARTS.clear()
+            _DETACHED_PARTS.update(_saved_dp)
         return spark.createDataFrame(
             [(txn_id, f"rolled_back_{restored}_tables")],
             "txn_id int, status string",
@@ -9201,8 +9355,9 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        r"SHOW\s+TABLES(?:\s+FROM\s+([A-Za-z_]\w*))?"
-        r"(?:\s+LIKE\s+'([^']*)')?$",
+        r"SHOW\s+(?:FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+([A-Za-z_]\w*))?"
+        r"(?:\s+(NOT\s+)?LIKE\s+'([^']*)')?"
+        r"(?:\s+WHERE\s+.+)?$",
         s, re.IGNORECASE,
     )
     if m:
@@ -9210,6 +9365,22 @@ def _try_ddl(spark: SparkSession, sql: str):
         # CH LIKE patterns use % / _ wildcards.  FROM db (or USE db)
         # lists that namespace; db-internal names never leak elsewhere.
         db = m.group(1) or _CURRENT_DATABASE[0]
+        if db == "system":
+            names = sorted(
+                d.split(".", 1)[1] for d in _SYSTEM_TABLE_MAP
+            )
+            pat = m.group(3)
+            if pat is not None:
+                keep = [
+                    n for n in names if re.fullmatch(_like_rx(pat), n)
+                ]
+                names = (
+                    [n for n in names if n not in keep]
+                    if m.group(2) else keep
+                )
+            return spark.createDataFrame(
+                [(n,) for n in names], "name string"
+            )
         if db != "default" and db not in _SESSION_DATABASES:
             raise ChSqlError(f"UNKNOWN_DATABASE: {db!r}")
         all_names = sorted(t.name for t in spark.catalog.listTables())
@@ -9223,9 +9394,15 @@ def _try_ddl(spark: SparkSession, sql: str):
                 n[len(db) + 2 :] for n in all_names
                 if n.startswith(f"{db}__")
             ]
-        pat = m.group(2)
+        pat = m.group(3)
         if pat is not None:
-            names = [n for n in names if re.fullmatch(_like_rx(pat), n)]
+            if m.group(2):  # NOT LIKE
+                names = [
+                    n for n in names
+                    if not re.fullmatch(_like_rx(pat), n)
+                ]
+            else:
+                names = [n for n in names if re.fullmatch(_like_rx(pat), n)]
         return spark.createDataFrame([(n,) for n in names], "name string")
 
     if re.match(r"SHOW\s+DATABASES$", s, re.IGNORECASE):
@@ -9261,19 +9438,35 @@ def _try_ddl(spark: SparkSession, sql: str):
     # CREATE STATS runs the real distributed collection pass and feeds
     # Catalyst CBO for path-backed engine tables.
     m = re.match(
-        r"CREATE\s+STATS\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
-        r"(?:\s*\(([^)]*)\))?(?:\s+FORMAT\s+\w+)?$",
+        r"CREATE\s+STATS\s+(?:IF\s+NOT\s+EXISTS\s+)?(\*|all|`?\w+`?)"
+        r"(?:\s*\(([^)]*)\))?(?:\s+(?:WITH\s+)?(?:FULL|SAMPLE)"
+        r"(?:\s+\w+\s+\d+\s*(?:ROWS|PERCENT)?)*)?"
+        r"(?:\s+SETTINGS\s+.+)?(?:\s+FORMAT\s+\w+)?$",
         s, re.IGNORECASE,
     )
     if m:
         from byconity_spark.engine.stats import create_stats
+        target = m.group(1).strip("`")
         cols = (
             [c.strip() for c in m.group(2).split(",") if c.strip()]
             if m.group(2) else None
         )
-        st = create_stats(spark, m.group(1), cols)
+        if target in ("*", "all"):
+            # wildcard: every session table (ParserStatsQuery `*`/ALL)
+            out_rows = []
+            for t in sorted(_SESSION_TABLE_ENGINES):
+                try:
+                    st = create_stats(spark, t, None)
+                    out_rows.append((t, int(st.row_count), "created"))
+                except Exception:
+                    continue
+            return spark.createDataFrame(
+                out_rows or [("", 0, "none")],
+                "table string, row_count bigint, status string",
+            )
+        st = create_stats(spark, target, cols)
         return spark.createDataFrame(
-            [(m.group(1), int(st.row_count), "created")],
+            [(target, int(st.row_count), "created")],
             "table string, row_count bigint, status string",
         )
 
@@ -9469,6 +9662,37 @@ def _try_ddl(spark: SparkSession, sql: str):
             column_stats_rows(m.group(1)),
             "column string, ndv bigint, null_count bigint, "
             "min_value string, max_value string",
+        )
+
+    # CREATE TABLE t AS other — schema clone, no data (ASTCreateQuery
+    # as_table; 10054_interactive_txn)
+    m = re.match(
+        r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"`?(\w+)`?\s+AS\s+`?([A-Za-z_]\w*)`?"
+        r"(?:\s+ENGINE\s*=.*)?\s*$",
+        s, re.IGNORECASE,
+    )
+    if m and m.group(2).upper() not in ("SELECT", "WITH"):
+        name, src = m.group(1), m.group(2)
+        src_df = spark.table(src)
+        src_df.filter("false").createOrReplaceTempView(name)
+        _SESSION_TABLE_ENGINES[name] = _SESSION_TABLE_ENGINES.get(
+            src, "MergeTree"
+        )
+        _SESSION_PARTS[name] = []
+        if src in _SESSION_TABLE_KEYS:
+            _SESSION_TABLE_KEYS[name] = dict(_SESSION_TABLE_KEYS[src])
+        if src in _TABLE_CH_DDL:
+            _TABLE_CH_DDL[name] = dict(_TABLE_CH_DDL[src])
+        if src in _SESSION_TABLE_PARTITIONS:
+            _SESSION_TABLE_PARTITIONS[name] = _SESSION_TABLE_PARTITIONS[src]
+        if src in _SESSION_TABLE_SETTINGS:
+            _SESSION_TABLE_SETTINGS[name] = dict(_SESSION_TABLE_SETTINGS[src])
+        _forget_table_metadata(name)
+        from byconity_spark.engine.query_cache import query_cache
+        query_cache.bump_table(name)
+        return spark.createDataFrame(
+            [(name, "created")], "table string, status string"
         )
 
     m = re.match(
@@ -9686,6 +9910,10 @@ def _try_ddl(spark: SparkSession, sql: str):
             fields.append(f"`{col.name}` {ctype_spark}")
             if col.kind == "DEFAULT":
                 defaults[col.name] = col.expr
+            elif getattr(col, "auto_increment", False):
+                # MySQL-compat: the reference maps auto_increment to
+                # DEFAULT generateSnowflakeID() (60004)
+                defaults[col.name] = "generateSnowflakeID()"
             elif col.kind == "MATERIALIZED":
                 materialized[col.name] = col.expr
         if defaults:
@@ -10400,9 +10628,12 @@ def _try_ddl(spark: SparkSession, sql: str):
         elif op == "ATTACH" and src is None:
             part = _DETACHED_PARTS.pop((name, lit.strip()), None)
             if part is None:
-                raise ChSqlError(
-                    f"ATTACH PARTITION: no detached partition {lit!r} for "
-                    f"{name!r} (NO_SUCH_DATA_PART)"
+                # nothing detached: ATTACH is a no-op like the reference
+                # (it attaches whatever sits in the detached dir — here,
+                # nothing; 10054 re-attaches after a committed move)
+                return spark.createDataFrame(
+                    [(name, lit.strip(), "attached_nothing")],
+                    "table string, partition string, status string",
                 )
             # the table may have gained/lost columns since DETACH (ALTER
             # ADD COLUMN): NULL-fill the drift like the reference's
@@ -10456,12 +10687,17 @@ def _try_ddl(spark: SparkSession, sql: str):
     # view through the frontend so CH functions work in cond/assignments;
     # path-backed parquet tables use engine/write.py's partition-scoped
     # delete_where/update_where instead.
+    # lightweight DELETE FROM (reference InterpreterDeleteQuery — on
+    # unique tables this is the delete-flag path) shares the mutation
+    # machinery with ALTER ... DELETE
     m = re.match(
-        r"ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DELETE\s+WHERE\s+(.+)$",
+        r"(?:ALTER\s+TABLE\s+(?P<a>[A-Za-z_]\w*)\s+DELETE|"
+        r"DELETE\s+FROM\s+(?P<d>[A-Za-z_]\w*))\s+WHERE\s+(?P<c>.+)$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, cond = m.group(1), m.group(2).strip()
+        name = m.group("a") or m.group("d")
+        cond = m.group("c").strip()
         kept = ch_sql(spark, f"SELECT * FROM {name} WHERE NOT ({cond})")
         kept.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
@@ -10810,12 +11046,23 @@ def _try_ddl(spark: SparkSession, sql: str):
     # re-interprets the stored AST per query).
     m = re.match(
         r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"([A-Za-z_]\w*)\s+AS\s+(SELECT|WITH)\b(.*)",
+        r"([A-Za-z_]\w*)\s*(?:\((.*?)\)\s*)?AS\s+(SELECT|WITH)\b(.*)",
         s, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, kw, rest = m.groups()
-        ch_sql(spark, kw + rest).createOrReplaceTempView(name)
+        name, collist, kw, rest = m.groups()
+        body = ch_sql(spark, kw + rest)
+        if collist and collist.strip():
+            # explicit view column list (`V UInt8`, name [type]) renames
+            # the SELECT's output positionally (ASTCreateQuery columns)
+            from byconity_spark.frontend.ddl import split_top_level
+            names = [
+                it.strip().split()[0].strip("`")
+                for it in split_top_level(collist) if it.strip()
+            ]
+            if len(names) == len(body.columns):
+                body = body.toDF(*names)
+        body.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = "View"
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)

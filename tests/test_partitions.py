@@ -59,8 +59,11 @@ def test_detach_attach_roundtrip(spark):
     assert rows == [("pt_t", "3", 5)]
     ch_sql(spark, "ALTER TABLE pt_t ATTACH PARTITION 3")
     assert _count(spark) == 25
-    with pytest.raises(ChSqlError, match="NO_SUCH_DATA_PART"):
-        ch_sql(spark, "ALTER TABLE pt_t ATTACH PARTITION 3")
+    # re-ATTACH with nothing detached is a NO-OP in the reference (it
+    # attaches whatever sits in the detached dir — nothing; 10054)
+    st = ch_sql(spark, "ALTER TABLE pt_t ATTACH PARTITION 3").collect()[0]
+    assert st["status"] == "attached_nothing"
+    assert _count(spark) == 25
 
 
 def test_attach_and_replace_from(spark):

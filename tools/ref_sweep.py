@@ -54,6 +54,11 @@ def split_statements(sql: str) -> list[str]:
                     out[-1] = "--EXPECT_ERROR " + out[-1]  # post-';'
             i = n if j < 0 else j
             continue
+        if c == "#":
+            # MySQL-style line comment (the reference lexer accepts it)
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
         if c == "/" and sql[i : i + 2] == "/*":
             j = sql.find("*/", i)
             i = n if j < 0 else j + 2
