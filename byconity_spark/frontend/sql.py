@@ -170,6 +170,20 @@ def _infer_ch_type(e: str) -> str | None:
         fn = fm.group(1)
         if fn in _CONV_CH_TYPES:
             return _CONV_CH_TYPES[fn]
+        um = _re.fullmatch(r"fromUnixTimestamp64(Milli|Micro|Nano)", fn)
+        if um:
+            # DataTypeDateTime64 with the unit's scale; the tz argument
+            # is part of the TYPE name (01277 toTypeName golden)
+            scale = {"Milli": 3, "Micro": 6, "Nano": 9}[um.group(1)]
+            args = _split_args(s[fm.end():len(s) - 1])
+            if len(args) > 1:
+                a1 = args[1].strip()
+                while (a1.startswith("(") and a1.endswith(")")
+                       and _match_paren(a1, 0) == len(a1) - 1):
+                    a1 = a1[1:-1].strip()
+                if _re.fullmatch(r"'[^']*'", a1):
+                    return f"DateTime64({scale}, '{a1[1:-1]}')"
+            return f"DateTime64({scale})"
     return None
 
 
@@ -194,7 +208,7 @@ def _to_type_name_sql(arg: str) -> str:
 
     t = _infer_ch_type(arg)
     if t is not None:
-        return f"'{t}'"
+        return "'" + t.replace("'", "\\'") + "'"
     # parametric -State combinator chain -> AggregateFunction(...) name
     pm = _re.match(r"([A-Za-z_]\w*)\s*\(", arg.strip())
     if pm:
@@ -309,6 +323,96 @@ def _array_sum_sql(a: list[str]) -> str:
         f"aggregate(transform({a[1]}, {a[0]}), 0.0D, "
         f"(acc, x) -> acc + CAST(x AS DOUBLE))"
     )
+
+
+def _ch_enum_min_name(t: str) -> str | None:
+    """Name of the minimum-valued entry of an Enum8/Enum16 declaration —
+    the CH type default (reference DataTypeEnum.h getDefault: the field
+    with the smallest numeric value, 00745 golden)."""
+    import re as _re
+
+    pairs = _re.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", t)
+    if not pairs:
+        return None
+    return min(pairs, key=lambda p: int(p[1]))[0]
+
+
+def _ch_container_default(vt: str) -> str | None:
+    """Spark-SQL literal for the CH type DEFAULT of a declared map-value
+    or array-element type (reference IDataType::getDefault, exercised by
+    00745 map subscripts): '' for String, NULs for FixedString(n), 0 for
+    numerics, epoch rendered in the declared timezone for Date/DateTime,
+    the all-zero UUID, the minimum enum name, [] for Array.  None = the
+    default is NULL (Nullable wrapper) or the type is unknown."""
+    import re as _re
+
+    t = vt.strip()
+    if _re.match(r"(?i)Nullable\s*\(", t):
+        return None  # Nullable default IS NULL — try_element_at already
+    m = _re.fullmatch(r"(?si)LowCardinality\s*\((.+)\)", t)
+    if m:
+        return _ch_container_default(m.group(1))
+    if _re.fullmatch(r"(?i)String", t):
+        return "''"
+    m = _re.fullmatch(r"(?i)FixedString\s*\((\d+)\)", t)
+    if m:
+        return f"CAST(unhex('{'00' * int(m.group(1))}') AS STRING)"
+    if _re.fullmatch(r"(?i)(U?Int\d+|Float(32|64)|Bool(ean)?)", t):
+        return "0"
+    if _re.fullmatch(r"(?si)Decimal\d*\s*\(.+\)", t):
+        return "0"
+    if _re.fullmatch(r"(?i)Date(32)?", t):
+        return "DATE'1970-01-01'"
+    m = _re.fullmatch(r"(?si)DateTime(64)?\s*(\(([^)]*)\))?", t)
+    if m:
+        s = "1970-01-01 00:00:00"
+        tzm = _re.search(r"'([^']+)'", m.group(3) or "")
+        if tzm:
+            try:
+                import datetime as _dt
+                from zoneinfo import ZoneInfo
+
+                s = _dt.datetime.fromtimestamp(
+                    0, ZoneInfo(tzm.group(1))
+                ).strftime("%Y-%m-%d %H:%M:%S")
+            except Exception:
+                pass
+        return f"TIMESTAMP'{s}'"
+    if _re.fullmatch(r"(?i)UUID", t):
+        return "'00000000-0000-0000-0000-000000000000'"
+    if _re.match(r"(?i)Enum(8|16)?\s*\(", t):
+        nm = _ch_enum_min_name(t)
+        return None if nm is None else "'" + nm.replace("'", "\\'") + "'"
+    if _re.match(r"(?si)Array\s*\(", t):
+        return "array()"
+    if _re.match(r"(?si)Map\s*\(", t):
+        return "map()"
+    return None
+
+
+def _declared_container_types(col: str):
+    """(kind, key_ch_type, value_ch_type) when `col` is declared as a
+    Map(...)/Array(...) column of a session table.  The subscript
+    rewriter has no relation context — first declaration wins, matching
+    the implicit-column surface's resolution."""
+    import re as _re
+
+    from byconity_spark.frontend.ddl import split_top_level
+
+    for ddl in _TABLE_CH_DDL.values():
+        for name, ch_type, _k, _e in ddl.get("columns", ()):
+            if name != col or not ch_type:
+                continue
+            t = ch_type.strip()
+            mm = _re.fullmatch(r"(?si)Map\s*\((.+)\)", t)
+            if mm:
+                kv = split_top_level(mm.group(1))
+                if len(kv) == 2:
+                    return ("map", kv[0].strip(), kv[1].strip())
+            am = _re.fullmatch(r"(?si)Array\s*\((.+)\)", t)
+            if am:
+                return ("array", None, am.group(1).strip())
+    return None
 
 
 def _subscript_default_literal(expr: str) -> str | None:
@@ -515,32 +619,209 @@ def _get_map_keys_sql(a: list[str]) -> str:
             f"BAD_ARGUMENTS (36): getMapKeys: column {col!r} of {tbl!r} "
             f"is a KV map — it has no implicit key columns"
         )
-    # collect_set over EXPLODED keys: dedup happens inside the aggregate
-    # state, so state size is bounded by the distinct-key count, not the
-    # row count (collect_list-then-dedup accumulates every row's array —
-    # unbounded single-group state at 100 TB)
+    # groupBy over EXPLODED keys: dedup happens in the grouped aggregate,
+    # so state is bounded by the distinct-key count, not the row count.
+    # Output order is the reference's exactly: getMapKeys runs
+    # groupUniqArrayArray (getMapKeys.cpp:1033-1042) whose HashSet
+    # iteration order chHashSetOrder reproduces (CRC32Hash buffer scan);
+    # min row-id per key carries the insertion order collisions need.
     return (
-        "(SELECT sort_array(collect_set(__mk)) FROM (SELECT "
-        f"explode(map_keys(`{col}`)) AS __mk FROM `{tbl}`))"
+        "(SELECT chHashSetOrder(collect_list(struct(__rid, __mk))) FROM "
+        "(SELECT min(__rid) AS __rid, __mk FROM (SELECT "
+        "monotonically_increasing_id() AS __rid, "
+        "CAST(__mk0 AS STRING) AS __mk FROM (SELECT "
+        f"explode(map_keys(`{col}`)) AS __mk0 FROM `{tbl}`)"
+        ") GROUP BY __mk))"
     )
 
 
+def _parse_time_literal(s: str):
+    """(ns, scale) for a TIME-ish literal — plain 'HH:MM:SS[.f]',
+    TIME 'x', or 'x'::TIME(n).  Plain strings carry DataTypeTime's
+    default scale 3; explicit TIME(n) carries n.  None if not a
+    literal.  Raises the reference's error 6 outside the time-of-day
+    domain (registerDataTypeDateTime.cpp createTime + addTime checks)."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(?is)\s*(?:TIME\s*)?'(\d+):(\d+):(\d+)(?:\.(\d+))?'"
+        r"\s*(?:::\s*(?:TIME(?:\s*\(\s*\d+\s*\))?|STRING))?\s*", s,
+    )
+    if not m:
+        return None
+    h, mi, sec = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if h > 23 or mi > 59 or sec >= 60:
+        raise ChSqlError(
+            f"CANNOT_PARSE_DATETIME (6): ADDTIME literal {s.strip()!r} "
+            f"is outside the time-of-day domain"
+        )
+    digits = m.group(4) or ""
+    frac = digits.ljust(9, "0")[:9]
+    # TIME(n) literals carry n fraction digits in their text (the colon
+    # cast normalizes to STRING before this runs); no fraction = the
+    # DataTypeTime default scale 3
+    scale = len(digits) if digits else 3
+    ns = ((h * 3600 + mi * 60 + sec) * 1_000_000_000) + int(frac or 0)
+    return ns, scale
+
+
+def _parse_datetime_literal(s: str):
+    """(kind, ns_since_epoch, scale) for DATE/DATE32/DATETIME/TIMESTAMP
+    prefixed literals and ::DATETIME64(n)/::DATE32 casts; None if not a
+    literal.  kind is 'date' or 'datetime'."""
+    import calendar
+    import datetime as _dt
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(?is)\s*(?:(DATE32|DATE|DATETIME|TIMESTAMP)\s*)?"
+        r"'(\d{4}-\d{2}-\d{2})(?:[ T](\d+):(\d+):(\d+)(?:\.(\d+))?)?'"
+        r"\s*(?:::\s*(DATE32|DATE|DATETIME64|DATETIME|"
+        r"TIMESTAMP(?:_NTZ)?)(?:\s*\(\s*(\d*)\s*\))?)?\s*", s,
+    )
+    if not m or (m.group(1) is None and m.group(7) is None):
+        return None
+    base = _dt.datetime.strptime(m.group(2), "%Y-%m-%d")
+    secs = calendar.timegm(base.timetuple())
+    if m.group(3) is not None:
+        secs += (int(m.group(3)) * 3600 + int(m.group(4)) * 60
+                 + int(m.group(5)))
+    digits = m.group(6) or ""
+    frac = digits.ljust(9, "0")[:9]
+    cast_t = (m.group(7) or "").upper()
+    if digits:
+        scale = len(digits)  # DATETIME64(n) literals carry n digits
+    elif cast_t.startswith(("DATETIME64", "TIMESTAMP")):
+        scale = 3  # DateTime64 default scale (colon cast normalizes
+        # DATETIME64 to TIMESTAMP before this runs)
+    else:
+        scale = 0  # DATE/DATETIME prefixes are second-resolution
+    kind = "date" if m.group(3) is None else "datetime"
+    return kind, secs * 1_000_000_000 + int(frac or 0), scale
+
+
+def _fmt_ns_datetime(ns: int, scale: int) -> str:
+    import datetime as _dt
+
+    secs, sub = divmod(ns, 1_000_000_000)
+    t = (_dt.datetime(1970, 1, 1)
+         + _dt.timedelta(seconds=secs)).strftime("%Y-%m-%d %H:%M:%S")
+    if scale > 0:
+        t += "." + f"{sub:09d}"[:scale]
+    return t
+
+
+def _from_unix64_fold(a: list[str], scale: int) -> str | None:
+    """Exact constant fold for fromUnixTimestamp64* on literal args
+    (01277 golden: scale-9 fractions and pre-1900 saturation are beyond
+    Spark's microsecond timestamps).  Reference
+    FunctionsUnixTimestamp64.h: the Int64 value is a count of 10^-scale
+    units since epoch; whole seconds FLOOR-divide (negative fractions
+    borrow), and the DateTime64 range clamps at 1900-01-01 00:00:00 /
+    2299-12-31 23:59:59.  Returns a rendered-string literal or None."""
+    import datetime as _dt
+    import re as _re
+
+    def unparen(s: str) -> str:
+        s = s.strip()
+        while (s.startswith("(") and s.endswith(")")
+               and _match_paren(s, 0) == len(s) - 1):
+            s = s[1:-1].strip()
+        return s
+
+    m = _re.fullmatch(
+        r"(?is)(?:CAST\s*\(\s*)?(-?\d+)"
+        r"(?:\s+AS\s+(?:Int64|BIGINT)\s*\))?", unparen(a[0]),
+    )
+    if not m:
+        return None
+    tz = "UTC"
+    if len(a) > 1:
+        tm = _re.fullmatch(r"'([^']+)'", unparen(a[1]))
+        if not tm:
+            return None
+        tz = tm.group(1)
+    v = int(m.group(1))
+    v = (v + 2**63) % 2**64 - 2**63  # Int64 wrap like the CAST
+    ns = v * 10 ** (9 - scale)
+    sec, frac = divmod(ns, 1_000_000_000)
+    sec = max(-2208988800, min(10413791999, sec))
+    try:
+        from zoneinfo import ZoneInfo
+
+        dt = _dt.datetime.fromtimestamp(sec, ZoneInfo(tz))
+    except Exception:
+        return None
+    out = dt.strftime("%Y-%m-%d %H:%M:%S") + "." + f"{frac:09d}"[:scale]
+    return f"'{out}'"
+
+
 def _addtime_sql(a: list[str], sign: str) -> str:
-    """ADDTIME/SUBTIME(datetime, 'HH:MM:SS[.f]') — the reference rejects
-    a literal outside the time-of-day domain (24:00:00 -> error)."""
+    """ADDTIME/SUBTIME (reference addTime.cpp, MySQL dialect): TIME
+    first-arg results wrap mod 24 h and render HH:MM:SS.fff; date/
+    datetime first-args return DateTime64(max(scale, arg scales)).
+    Literal×literal folds EXACTLY at rewrite time with integer
+    nanoseconds (the TIME(9) golden rows are beyond Spark's microsecond
+    timestamps); expression paths stay distributed, NTZ-typed so the
+    fixed-scale fraction renders (10081_add_time)."""
     import re as _re
 
     if len(a) != 2:
         raise ChSqlError("ADDTIME needs (datetime, time)")
-    lit = _re.fullmatch(r"\s*'(\d+):(\d+):(\d+(?:\.\d+)?)'\s*", a[1])
-    if lit:
-        h, m_, sec = int(lit.group(1)), int(lit.group(2)), float(lit.group(3))
-        if h > 23 or m_ > 59 or sec >= 60:
-            raise ChSqlError(
-                f"CANNOT_PARSE_DATETIME (41): ADDTIME literal "
-                f"{a[1].strip()!r} is outside the time-of-day domain"
+    t1 = _parse_time_literal(a[1])
+
+    # --- literal × literal: exact nanosecond fold -----------------------
+    if t1 is not None:
+        ns1, sc1 = t1
+        # a time-of-day literal has no date part — the TIME prefix is
+        # normalized away before this rewrite runs
+        t0 = _parse_time_literal(a[0])
+        if t0 is not None:
+            ns0, sc0 = t0
+            total = (ns0 + ns1 if sign == "+" else ns0 - ns1)
+            total %= 86_400 * 1_000_000_000
+            secs, sub = divmod(total, 1_000_000_000)
+            h, rem = divmod(secs, 3600)
+            mi, se = divmod(rem, 60)
+            out = f"{h:02d}:{mi:02d}:{se:02d}"
+            scale = max(sc0, sc1)
+            if scale > 0:
+                out += "." + f"{sub:09d}"[:scale]
+            return f"'{out}'"
+        d0 = _parse_datetime_literal(a[0])
+        if d0 is not None:
+            _kind, ns0, sc0 = d0
+            total = ns0 + ns1 if sign == "+" else ns0 - ns1
+            return f"'{_fmt_ns_datetime(total, max(sc0, sc1))}'"
+
+    # --- expression paths ------------------------------------------------
+    col = a[0].strip().strip("`")
+    ch_t = None
+    if _re.fullmatch(r"\w+", col):
+        for ddl in _TABLE_CH_DDL.values():
+            for name, ctype, _k, _e in ddl.get("columns", ()):
+                if name == col and ctype:
+                    ch_t = ctype
+                    break
+    if ch_t and _re.match(r"(?i)\s*Time\b", ch_t):
+        # TIME ± TIME: seconds arithmetic mod 24 h, rendered to scale 3
+        def sec(x: str) -> str:
+            return (
+                f"(CAST(element_at(split({x}, ':'), 1) AS BIGINT) * 3600"
+                f" + CAST(element_at(split({x}, ':'), 2) AS BIGINT) * 60"
+                f" + CAST(element_at(split({x}, ':'), 3) AS "
+                f"DECIMAL(18, 9)))"
             )
-    return f"({a[0]} {sign} CAST({a[1]} AS INTERVAL HOUR TO SECOND))"
+
+        s = f"pmod({sec(a[0])} {sign} {sec(a[1])}, 86400)"
+        return (
+            f"concat(date_format(timestamp_seconds(CAST({s} AS BIGINT)),"
+            f" 'HH:mm:ss'), '.000')"
+        )
+    return (
+        f"(CAST(({a[0]}) AS TIMESTAMP_NTZ) {sign} "
+        f"CAST({a[1]} AS INTERVAL HOUR TO SECOND))"
+    )
 
 
 def _from_unix_milli_sql(a: list[str]) -> str:
@@ -2608,6 +2889,20 @@ def _emit_cast(x: str, ch_t: str) -> str:
                 f"THEN CAST({x} AS STRING) "
                 f"ELSE (CASE CAST({x} AS INT) {whens} END) END)"
             )
+    tzm = re.fullmatch(
+        r"(?is)\s*DateTime(?:64)?\s*\(\s*(?:\d+\s*,\s*)?'([^']+)'\s*\)\s*",
+        ch_t,
+    )
+    if tzm and tzm.group(1) != "UTC":
+        # CAST to a timezone-qualified DateTime keeps the instant and
+        # renders in that zone (DataTypeDateTime64 tz argument, 10081
+        # Asia/Kolkata golden).  Session tz is pinned UTC, so the wall
+        # time shifts UTC → declared zone; result stays NTZ so the
+        # renderer shows the declared-zone wall clock.
+        return (
+            f"convert_timezone('UTC', '{tzm.group(1)}', "
+            f"CAST({x} AS TIMESTAMP_NTZ))"
+        )
     t = _ch_type(ch_t)
     if t.upper().startswith("TIMESTAMP") and re.fullmatch(
         r"\s*\d+(\.\d+)?\s*", x
@@ -2626,10 +2921,43 @@ def _emit_cast(x: str, ch_t: str) -> str:
     return f"CAST({x} AS {t})"
 
 
+def _pre_epoch_fraction_text(whole: str, frac: str) -> str | None:
+    """The reference's DateTime64 decompose quirk for PRE-EPOCH parses
+    (DecimalUtils whole/frac split uses C++ trunc-toward-zero division):
+    '1969-12-31 05:20:30.3' behaves as whole -67169 (one second LATER)
+    with fraction .700 — 10081 golden `+ INTERVAL 1 day` →
+    05:20:31.700.  Returns the corrected literal text, or None when the
+    quirk doesn't apply (post-epoch or whole-second)."""
+    import calendar
+    import datetime as _dt
+
+    try:
+        base = _dt.datetime.strptime(whole, "%Y-%m-%d %H:%M:%S")
+    except ValueError:
+        return None
+    epoch = calendar.timegm(base.timetuple())
+    micro = int(frac.ljust(6, "0")[:6])
+    if epoch >= 0 or micro == 0:
+        return None
+    fixed = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+        seconds=epoch + 1, microseconds=1_000_000 - micro
+    )
+    return fixed.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
 def _rewrite_colon_casts(sql: str) -> str:
     """``expr::Int64`` postfix casts: map the CH type name."""
     import re
 
+    def fix_pre_epoch(m):
+        t = _pre_epoch_fraction_text(m.group(1), m.group(2))
+        return (f"'{t}'{m.group(3)}" if t is not None else m.group(0))
+
+    sql = re.sub(
+        r"'(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})\.(\d+)'"
+        r"(\s*::\s*DateTime\w*)",
+        fix_pre_epoch, sql,
+    )
     return re.sub(
         r"::\s*([A-Za-z_]\w*(?:\(\s*(?:\d+(?:,\s*\d+)?)?\s*\))?)",
         lambda m: f"::{_ch_type(m.group(1))}",
@@ -4953,6 +5281,8 @@ def _rewrite_array_literals(sql: str) -> str:
       element_at's contract (Spark's native ``[]`` is 0-based and would
       silently shift every index).
     """
+    import re as _re_arr
+
     out: list[str] = []
     # (start index in out, ) of the current trailing postfix expression —
     # an identifier optionally followed by balanced (...) / rewritten
@@ -5019,7 +5349,27 @@ def _rewrite_array_literals(sql: str) -> str:
                 # type is visible from the expression's spelling, fill
                 # the real default ('' / 0); otherwise NULL stands in.
                 dflt = _subscript_default_literal(expr)
-                acc = f"try_element_at({expr}, {inner})"
+                key = inner
+                if dflt is None and _re_arr.fullmatch(
+                    r"`?\w+`?", expr.strip()
+                ):
+                    # declared table column: the DDL ledger knows the
+                    # value type's real default (00745 per-type BYTE-map
+                    # subscript semantics)
+                    info = _declared_container_types(
+                        expr.strip().strip("`")
+                    )
+                    if info:
+                        kind, kch, vch = info
+                        dflt = _ch_container_default(vch)
+                        if kind == "map" and kch:
+                            # fractional literals parse as DECIMAL —
+                            # cast to the declared float key type
+                            if _re_arr.fullmatch(r"(?i)Float32", kch):
+                                key = f"CAST({inner} AS FLOAT)"
+                            elif _re_arr.fullmatch(r"(?i)Float64", kch):
+                                key = f"CAST({inner} AS DOUBLE)"
+                acc = f"try_element_at({expr}, {key})"
                 if dflt is not None:
                     acc = f"coalesce({acc}, {dflt})"
                 out = [text[:expr_start], acc]
@@ -5677,9 +6027,10 @@ def rewrite_ch_sql(sql: str) -> str:
     if _re_sys.match(r"(?is)^\s*SELECT\s+\*\s*(WHERE\b|$)", sql) and (
         _depth0_find(sql, "FROM") < 0
     ):
-        m_bare = _re_sys.match(r"(?is)^(\s*SELECT\s+\*\s*)(.*)$", sql)
+        m_bare = _re_sys.match(r"(?is)^(\s*SELECT\s+\*)\s*(.*)$", sql)
         sql = (
-            m_bare.group(1) + "FROM (SELECT 0 AS dummy) " + m_bare.group(2)
+            m_bare.group(1) + " FROM (SELECT 0 AS dummy) "
+            + m_bare.group(2)
         )
     sql = _rewrite_colon_casts(sql)
     sql = _rewrite_limit_offset_comma(sql)
@@ -5806,7 +6157,40 @@ def rewrite_ch_sql(sql: str) -> str:
                 # conversions, -State combinator chains); the runtime
                 # fallback rewrites the arg itself
                 close = _match_paren(sql, k)
-                out.append(_to_type_name_sql(sql[k + 1 : close]))
+                tn_arg = sql[k + 1 : close]
+                if _re_mod.fullmatch(r"\s*\w+\s*", tn_arg):
+                    # a SELECT-alias argument: substitute the aliased
+                    # expression's raw text (01277 toTypeName(dt64)) —
+                    # walk left from `AS alias` to the depth-0 comma or
+                    # clause keyword, like the generic AS handler
+                    am = _re_mod.search(
+                        r"(?is)\s+AS\s+" + tn_arg.strip() + r"\b", sql
+                    )
+                    if am:
+                        d2, j2 = 0, am.start() - 1
+                        start2 = 0
+                        while j2 >= 0:
+                            cj = sql[j2]
+                            if cj == ")":
+                                d2 += 1
+                            elif cj == "(":
+                                if d2 == 0:
+                                    start2 = j2 + 1
+                                    break
+                                d2 -= 1
+                            elif d2 == 0 and cj == ",":
+                                start2 = j2 + 1
+                                break
+                            j2 -= 1
+                        cand = sql[start2:am.start()].strip()
+                        cm2 = _re_mod.match(
+                            r"(?is)^(?:SELECT|WITH)\b", cand
+                        )
+                        if cm2:
+                            cand = cand[cm2.end():].strip()
+                        if cand:
+                            tn_arg = cand
+                out.append(_to_type_name_sql(tn_arg))
                 i = close + 1
                 continue
             if k < n and sql[k] == "(" and (
@@ -7931,11 +8315,18 @@ RULES.update(
         "toUnixTimestamp64Nano": lambda a: (
             f"unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000"
         ),
-        "fromUnixTimestamp64Milli": lambda a: f"timestamp_millis(CAST({a[0]} AS BIGINT))",
-        "fromUnixTimestamp64Micro": lambda a: f"timestamp_micros(CAST({a[0]} AS BIGINT))",
+        "fromUnixTimestamp64Milli": lambda a: (
+            _from_unix64_fold(a, 3)
+            or f"timestamp_millis(CAST({a[0]} AS BIGINT))"
+        ),
+        "fromUnixTimestamp64Micro": lambda a: (
+            _from_unix64_fold(a, 6)
+            or f"timestamp_micros(CAST({a[0]} AS BIGINT))"
+        ),
         "fromUnixTimestamp64Nano": lambda a: (
-            f"timestamp_micros(CAST(floor(CAST({a[0]} AS DECIMAL(38,6)) / 1000) "
-            f"AS BIGINT))"
+            _from_unix64_fold(a, 9)
+            or f"timestamp_micros(CAST(floor(CAST({a[0]} AS "
+               f"DECIMAL(38,6)) / 1000) AS BIGINT))"
         ),
         "fromUnixTimestampMilli": lambda a: _from_unix_milli_sql(a),
         "parseDateTimeBestEffortUS": lambda a: (
@@ -8262,6 +8653,8 @@ def _type_default_sql(spark_type: str) -> str:
         return "DATE'1970-01-01'"
     if t == "timestamp":
         return "TIMESTAMP'1970-01-01 00:00:00'"
+    if t == "timestamp_ntz":
+        return "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
     if t.startswith("array"):
         return f"CAST(array() AS {spark_type})"
     if t.startswith("map"):
@@ -8332,11 +8725,32 @@ def _prepare_insert_block(spark, name: str, new, provided):
     new = new.toDF(*cols)
     view = f"__ins_{name}"
     new.createOrReplaceTempView(view)
+    import re as _re_ins
+
+    byte_maps = _TABLE_BYTE_MAPS.get(name, set())
+    ddl_cols = {
+        c[0]: (c[1] or "")
+        for c in _TABLE_CH_DDL.get(name, {}).get("columns", [])
+    }
     exprs = []
     for f in stored.fields:
         t = f.dataType.simpleString()
         if f.name in cols:
-            exprs.append(f"CAST(`{f.name}` AS {t}) AS `{f.name}`")
+            e = f"CAST(`{f.name}` AS {t})"
+            ch_t = ddl_cols.get(f.name, "")
+            if ch_t and not _re_ins.match(r"(?i)\s*Nullable", ch_t):
+                # input_format_null_as_default (reference default): a
+                # NULL inserted into a non-Nullable column stores the
+                # type default, never NULL (10081, 00745)
+                d = _type_default_sql(t)
+                if d != "NULL":
+                    e = f"coalesce({e}, CAST({d} AS {t}))"
+            if f.name in byte_maps:
+                # BYTE maps store one implicit column per key — reads
+                # reconstruct in key order.  Canonicalize at insert so
+                # SELECT */mapKeys/mapValues render key-sorted (00745)
+                e = f"map_from_entries(array_sort(map_entries({e})))"
+            exprs.append(f"{e} AS `{f.name}`")
         elif f.name in mat:
             exprs.append(
                 f"CAST(({rewrite_ch_sql(mat[f.name])}) AS {t}) AS `{f.name}`"
@@ -8946,25 +9360,62 @@ def _qualify_databases(sql: str) -> str:
             return m.group(0)
 
         seg = re.sub(r"\b(\w+)\.(\w+)\b", dot, seg)
-        # an UNALIASED `FROM db__T` keeps its short name visible as the
-        # relation alias (the reference lets `T.col` qualify by table
-        # name — 10026: SELECT A.A FROM db.A)
-        seg = re.sub(
-            r"(?i)\b(FROM|JOIN)\s+(\w+__\w+)\b"
-            r"(?=\s*(?:$|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|SETTINGS\b|"
-            r"HAVING\b|UNION\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|FULL\b|"
-            r"CROSS\b|ON\b|USING\b|FORMAT\b|,|\)))",
-            lambda m: (
-                f"{m.group(1)} {m.group(2)} AS "
-                f"{m.group(2).split('__', 1)[1]}"
-            ),
-            seg,
-        )
         return seg
+
+    # An UNALIASED `FROM db__T` keeps its short name visible as the
+    # relation alias (the reference lets `T.col` qualify by table name —
+    # 10026: SELECT A.A FROM db.A).  Comma-joined relations after FROM
+    # get the same alias (10724: SELECT db.t1.a FROM db.t1, db.t2), and
+    # every `db__T.` column qualifier is rewritten to the short alias so
+    # the qualified reference resolves against the aliased relation.
+    _alias_map: dict = {}
+    _terms = (
+        r"(?=\s*(?:$|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|SETTINGS\b|"
+        r"HAVING\b|UNION\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|FULL\b|"
+        r"CROSS\b|ON\b|USING\b|FORMAT\b|,|\)))"
+    )
+
+    def alias_pass(seg: str) -> str:
+        m_from = re.search(r"(?i)\bFROM\b", seg)
+        from_pos = m_from.start() if m_from else None
+        # paren depth at each position (segment-relative — quote-split
+        # pieces may start mid-paren, but the FROM-clause commas this
+        # targets sit at the segment's own depth 0 in practice)
+        depth, d = [], 0
+        for ch in seg:
+            depth.append(d)
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d = max(0, d - 1)
+
+        def add_alias(m):
+            lead, full = m.group(1), m.group(2)
+            if lead.lstrip().startswith(","):
+                # comma-join form: only at depth 0 AFTER the FROM keyword
+                # (never a function-argument or select-list comma)
+                if from_pos is None or m.start() < from_pos:
+                    return m.group(0)
+                if depth[m.start()] != 0:
+                    return m.group(0)
+            short = full.split("__", 1)[1]
+            _alias_map[full] = short
+            return f"{lead}{full} AS {short}"
+
+        return re.sub(
+            r"(?i)(\bFROM\s+|\bJOIN\s+|,\s*)(\w+__\w+)\b" + _terms,
+            add_alias, seg,
+        )
 
     parts = sql.split("'")
     for i in range(0, len(parts), 2):
-        parts[i] = outside(parts[i])
+        parts[i] = alias_pass(outside(parts[i]))
+    if _alias_map:
+        for i in range(0, len(parts), 2):
+            for full, short in _alias_map.items():
+                parts[i] = re.sub(
+                    rf"\b{full}\.(?=\w)", short + ".", parts[i]
+                )
     return "'".join(parts)
 
 
@@ -11184,6 +11635,12 @@ def ensure_sql_kernels(spark: "SparkSession") -> None:
 
     for name, udf in {**_geo_k(), **_r7_k(), **_agg_k()}.items():
         spark.udf.register(name, udf)
+    from byconity_spark.functions.hash_exact import ch_hashset_order_rows
+    # metadata-scale (one small array per getMapKeys call) — a plain
+    # Python UDF is fine here, it is never in a per-row hot path
+    spark.udf.register(
+        "chHashSetOrder", ch_hashset_order_rows, "array<string>"
+    )
     _SQL_KERNEL_SESSIONS.add(key)
 
 

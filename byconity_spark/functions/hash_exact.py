@@ -581,3 +581,122 @@ EXACT_HASHES = frozenset(
     {"cityHash64", "sipHash64", "sipHash128", "halfMD5", "intHash64",
      "intHash32", "URLHash", "hiveHash"}
 )
+
+
+# ---------------------------------------------------------------------------
+# CRC32Hash + HashSet iteration order (reference base/common/StringRef.h
+# CRC32Hash, src/Common/HashTable/HashTable.h HashTableGrower,
+# src/AggregateFunctions/AggregateFunctionGroupUniqArray.h
+# INITIAL_SIZE_DEGREE = 3).  getMapKeys builds a
+# HashSetWithSavedHash<StringRef, StringRefHash> via groupUniqArrayArray;
+# its output order is the open-addressing buffer scan, which this
+# reproduces bit-exactly: bucket = CRC32Hash(key) & mask, linear probing,
+# grow ×4 past half-fill, iterate cells ascending (00745 golden).
+# ---------------------------------------------------------------------------
+
+_CH_K2 = 0x9AE16A3B2F90404F
+_CH_K3 = 0xC949D7C7509E6557
+_CH_KMUL = 0x9DDFEA08EB382D69
+_M64 = (1 << 64) - 1
+
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def _hash128to64(u: int, v: int) -> int:
+    a = ((u ^ v) * _CH_KMUL) & _M64
+    a ^= a >> 47
+    b = ((v ^ a) * _CH_KMUL) & _M64
+    b ^= b >> 47
+    return (b * _CH_KMUL) & _M64
+
+
+def _crc32c_u64(crc: int, word: int) -> int:
+    crc &= 0xFFFFFFFF
+    for i in range(8):
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ (word >> (8 * i))) & 0xFF]
+    return crc
+
+
+def crc32_hash(b: bytes) -> int:
+    """StringRefHash on SSE4.2 builds (StringRef.h:276-307): CityHash
+    tail for <8 bytes, chained _mm_crc32_u64 over 8-byte words otherwise
+    (the final word re-reads the last 8 bytes, overlap included)."""
+    n = len(b)
+    if n == 0:
+        return 0
+    if n < 8:
+        if n >= 4:
+            a = int.from_bytes(b[:4], "little")
+            return _hash128to64(
+                (n + (a << 3)) & _M64, int.from_bytes(b[n - 4:], "little")
+            )
+        y = b[0] + (b[n >> 1] << 8)
+        z = n + (b[n - 1] << 2)
+        v = ((y * _CH_K2) & _M64) ^ ((z * _CH_K3) & _M64)
+        v ^= v >> 47
+        return (v * _CH_K2) & _M64
+    res = 0xFFFFFFFFFFFFFFFF
+    pos = 0
+    while True:
+        res = _crc32c_u64(res, int.from_bytes(b[pos:pos + 8], "little"))
+        pos += 8
+        if pos + 8 >= n:
+            break
+    return _crc32c_u64(res, int.from_bytes(b[n - 8:], "little"))
+
+
+def ch_hashset_order(keys) -> list:
+    """Order `keys` (first-seen dedup) the way the reference's
+    HashSet<StringRef, CRC32Hash> iterates them: empty string is the
+    zero-cell (first), others land at CRC32Hash & mask with linear
+    probing; grower starts at 2^3 cells and quadruples past half-fill,
+    rehashing in buffer-scan order."""
+    order, seen = [], set()
+    for k in keys:
+        if k is not None and k not in seen:
+            seen.add(k)
+            order.append(k)
+    has_zero = "" in seen
+    items = [k for k in order if k != ""]
+    degree = 3
+    buf: list = [None] * (1 << degree)
+    count = 0
+    for k in items:
+        mask = len(buf) - 1
+        pos = crc32_hash(k.encode("utf-8")) & mask
+        while buf[pos] is not None and buf[pos] != k:
+            pos = (pos + 1) & mask
+        if buf[pos] is None:
+            buf[pos] = k
+            count += 1
+            if count > (len(buf) >> 1):
+                degree += 1 if degree >= 23 else 2
+                old = [x for x in buf if x is not None]
+                buf = [None] * (1 << degree)
+                mask = len(buf) - 1
+                for kk in old:
+                    p = crc32_hash(kk.encode("utf-8")) & mask
+                    while buf[p] is not None:
+                        p = (p + 1) & mask
+                    buf[p] = kk
+    out = ([""] if has_zero else []) + [x for x in buf if x is not None]
+    return out
+
+
+def ch_hashset_order_rows(rows) -> list:
+    """chHashSetOrder SQL kernel: rows = array<struct<__rid,__mk>> —
+    insertion order is the minimum row id per key (the probe-chain
+    layout depends on it), output is the HashSet buffer scan."""
+    if not rows:
+        return []
+    pairs = sorted(
+        (r["__rid"] if hasattr(r, "__getitem__") else r.__rid, 
+         r["__mk"] if hasattr(r, "__getitem__") else r.__mk)
+        for r in rows
+    )
+    return ch_hashset_order([k for _, k in pairs])

@@ -145,7 +145,7 @@ def chsql_ingest_partition(spark: SparkSession, sf: str) -> DataFrame:
     "chsql_map_byte_ops",
     oracle="""
     SELECT * FROM (VALUES
-        (1, 'v1', NULL, 'k1|k3', 'k1|k2|k3'),
+        (1, 'v1', '', 'k1|k3', 'k1|k2|k3'),
         (2, NULL, 'w2', 'k2', 'k1|k2|k3')
     ) AS t(n, k1v, k2v, ks, gk) ORDER BY n
     """,
@@ -220,7 +220,7 @@ def chsql_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         CAST('nan' AS DOUBLE) AS rsd,
         CAST(42.0 AS DOUBLE) AS aod,
         'ezs42' AS gh,
-        CAST('2022-01-01 01:02:03' AS TIMESTAMP) AS at,
+        '2022-01-01 01:02:03.000' AS at,
         CAST(0 AS INTEGER) AS oor,
         CAST('Infinity' AS DOUBLE) AS pinf,
         -8033055131586094827 AS wrapped,

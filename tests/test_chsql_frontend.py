@@ -877,7 +877,9 @@ _BATCH5 = [
     ("SELECT toUnixTimestamp64Milli(toDateTime('2024-03-15 14:30:45')) AS v",
      1710513045000),
     ("SELECT CAST(fromUnixTimestamp64Nano(1710513045123456789) AS STRING) AS v",
-     "2024-03-15 14:30:45.123456"),
+     # literal args fold EXACTLY (nanosecond digits like the reference;
+     # 01277 golden) — non-literal args keep the microsecond Spark path
+     "2024-03-15 14:30:45.123456789"),
     ("SELECT CAST(parseDateTimeBestEffortUS('03/15/2024') AS STRING) AS v",
      "2024-03-15 00:00:00"),
     ("SELECT toDecimalString(3.14159, 2) AS v", "3.14"),

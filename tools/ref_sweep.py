@@ -98,6 +98,23 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
+class _F32(float):
+    """Marker: this float came from a FloatType (float32) column — render
+    with the shortest decimal that round-trips to float32, like the
+    reference's Float32 serializeText (00745 `1.9`, not the double
+    repr 1.899999976158142)."""
+
+
+class _NTZ:
+    """Marker: a TIMESTAMP_NTZ value (DateTime64/DateTimeWithoutTz) with
+    its declared scale — CH renders a FIXED-width fraction (10081
+    `.000000` at scale 6), never trimmed."""
+
+    def __init__(self, dt, scale: int):
+        self.dt = dt
+        self.scale = scale
+
+
 def ch_fmt_cell(v, nested: bool = False) -> str:
     """Render one value the way clickhouse-client's TabSeparated output
     does (reference src/Formats + DataTypes serializeText*): NULL -> \\N,
@@ -111,7 +128,21 @@ def ch_fmt_cell(v, nested: bool = False) -> str:
         return "NULL" if nested else "\\N"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, _NTZ):
+        t = v.dt.strftime("%Y-%m-%d %H:%M:%S")
+        if v.scale > 0:
+            frac = f"{v.dt.microsecond:06d}"
+            frac = (frac[: v.scale] if v.scale <= 6
+                    else frac + "0" * (v.scale - 6))
+            t += "." + frac
+        return f"'{t}'" if nested else t
     if isinstance(v, float):
+        if isinstance(v, _F32):
+            import numpy as np
+
+            # collapse to the float32-shortest value, then fall through
+            # to the shared float text rules
+            v = float(repr(np.float32(v)))
         if v != v:
             return "nan"
         if v == float("inf"):
@@ -148,10 +179,12 @@ def ch_fmt_cell(v, nested: bool = False) -> str:
         return f"'{v.isoformat()}'" if nested else v.isoformat()
     if isinstance(v, str):
         if nested:
-            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            return ("'" + v.replace("\\", "\\\\").replace("'", "\\'")
+                    .replace("\x00", "\\0") + "'")
         return (
             v.replace("\\", "\\\\").replace("\t", "\\t")
             .replace("\n", "\\n").replace("'", "\\'")
+            .replace("\x00", "\\0")
         )
     if isinstance(v, (bytes, bytearray)):
         return ch_fmt_cell(v.decode("utf-8", "replace"), nested)
@@ -178,10 +211,100 @@ _OUTPUT_STMT = re.compile(
 _FORMAT_NULL = re.compile(r"(?is)\bFORMAT\s+Null\s*;?\s*$")
 
 
-def golden_rows(df) -> list[str]:
+def _ntz_scale(colname: str, st: str | None) -> int:
+    """Declared DateTime64/DateTimeWithoutTz scale for an output column:
+    the session DDL ledger knows table columns; a lone scale mentioned in
+    the statement covers CAST expressions; CH default scale is 3."""
+    try:
+        from byconity_spark.frontend.sql import _TABLE_CH_DDL
+        # the statement's own FROM tables take precedence — distinct
+        # tables may declare the same column name at different scales
+        froms = re.findall(r"(?i)\bFROM\s+`?(\w+)`?", st or "")
+        ordered = [
+            _TABLE_CH_DDL[t] for t in froms if t in _TABLE_CH_DDL
+        ] + [d for n, d in _TABLE_CH_DDL.items() if n not in froms]
+        for ddl in ordered:
+            for name, ch_type, _k, _e in ddl.get("columns", ()):
+                if name != colname or not ch_type:
+                    continue
+                m = re.search(
+                    r"(?i)(?:DateTime64|DateTimeWithoutTz)\s*\(\s*(\d+)",
+                    ch_type,
+                )
+                if m:
+                    return int(m.group(1))
+                if re.match(
+                    r"(?i)\s*(?:Nullable\s*\(\s*)?"
+                    r"(?:DateTime64|DateTimeWithoutTz)\b", ch_type
+                ):
+                    return 3  # declared without scale: CH default
+    except Exception:
+        pass
+    if st:
+        ms = set(re.findall(
+            r"(?i)(?:DateTime64|DateTimeWithoutTz)\s*\(\s*(\d+)", st
+        ))
+        if len(ms) == 1:
+            return int(ms.pop())
+    return 3
+
+
+def _schema_convs(schema, st: str | None):
+    """Per-column value converters wrapping float32 leaves (_F32) and
+    timestamp-ntz leaves (_NTZ) so ch_fmt_cell renders them the CH way;
+    None = identity (zero overhead for the common case)."""
+    from pyspark.sql.types import (ArrayType, FloatType, MapType,
+                                   StructType, TimestampNTZType)
+
+    def conv(dt, scale):
+        if isinstance(dt, FloatType):
+            return lambda v: _F32(v) if isinstance(v, float) else v
+        if isinstance(dt, TimestampNTZType):
+            return lambda v: _NTZ(v, scale)
+        if isinstance(dt, ArrayType):
+            c = conv(dt.elementType, scale)
+            if c is None:
+                return None
+            return lambda v: [
+                c(x) if x is not None else None for x in v
+            ]
+        if isinstance(dt, MapType):
+            ck0 = conv(dt.keyType, scale)
+            cv0 = conv(dt.valueType, scale)
+            if ck0 is None and cv0 is None:
+                return None
+            ck = ck0 or (lambda x: x)
+            cv = cv0 or (lambda x: x)
+            return lambda v: {
+                ck(k): (cv(x) if x is not None else None)
+                for k, x in v.items()
+            }
+        if isinstance(dt, StructType):
+            cs = [conv(f.dataType, scale) for f in dt.fields]
+            if all(c is None for c in cs):
+                return None
+            return lambda v: tuple(
+                (c(x) if (c is not None and x is not None) else x)
+                for c, x in zip(cs, list(v))
+            )
+        return None
+
+    return [
+        conv(f.dataType, _ntz_scale(f.name, st)) for f in schema.fields
+    ]
+
+
+def golden_rows(df, st: str | None = None) -> list[str]:
     """Format a result DataFrame as clickhouse-client TabSeparated lines."""
+    convs = _schema_convs(df.schema, st)
     rows = df.limit(10001).collect()
-    return ["\t".join(ch_fmt_cell(v) for v in r) for r in rows]
+    return [
+        "\t".join(
+            ch_fmt_cell(c(v) if (c is not None and v is not None) else v)
+            for c, v in zip(convs, r)
+        )
+        for r in rows
+    ]
 
 
 _PRETTY_FMT = re.compile(
@@ -284,9 +407,12 @@ def golden_pretty(df, st: str, fmt: str) -> list[str]:
             als.append(tm.group(2) or tm.group(1).rsplit(".", 1)[-1])
         if len(als) == len(names):
             names = [f"{a}.{c}" for a, c in zip(als, names)]
+    convs = _schema_convs(df.schema, st)
     rows = [
-        [ch_fmt_cell(v, nested=False) if not isinstance(v, str) else v
-         for v in r]
+        [ch_fmt_cell(c(v) if (c is not None and v is not None) else v,
+                     nested=False)
+         if (not isinstance(v, str) or c is not None) else v
+         for c, v in zip(convs, r)]
         for r in df.limit(10001).collect()
     ]
     return render(fmt, names, rows, aligns)
@@ -313,9 +439,11 @@ def bucket(err: str) -> str:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--verbose", "--golden")]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--verbose", "--golden", "--dump")]
     verbose = "--verbose" in sys.argv
     golden = "--golden" in sys.argv
+    dump = "--dump" in sys.argv
     if argv and argv[0] == "--file":
         # single-file debug mode: every matching file, always verbose
         sample = []
@@ -380,7 +508,7 @@ def main() -> None:
                                 golden_pretty(df, st, pf.group(1))
                             )
                         else:
-                            out_lines.extend(golden_rows(df))
+                            out_lines.extend(golden_rows(df, st))
                     else:
                         df.limit(100).collect()
                 if expect_error:
@@ -407,6 +535,13 @@ def main() -> None:
                     if want.endswith("\n"):
                         want = want[:-1]
                     w_lines = want.split("\n") if want else []
+                    if dump:
+                        base = f"/tmp/golden_{name[:-4]}"
+                        with open(base + ".want", "w") as fh:
+                            fh.write("\n".join(w_lines))
+                        with open(base + ".got", "w") as fh:
+                            fh.write("\n".join(out_lines))
+                        print(f"  [dump] {base}.want / .got")
                     if w_lines == out_lines:
                         golden_ok.append(name)
                     else:
