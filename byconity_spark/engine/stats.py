@@ -429,3 +429,283 @@ def column_stats_rows(table: str) -> list[tuple]:
          None if cs.max is None else str(cs.max))
         for c, cs in sorted(st.columns.items())
     ]
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped stats display (InterpreterShowStatsQuery.cpp /
+# InterpreterCreateStatsQuery.cpp / Statistics/FullCollectStep.cpp):
+# CREATE STATS outputs (table_name, column_count, row_count_or_error);
+# SHOW STATS renders identifier/type/count/null_count/ndv/min/max/
+# avg_byte_size/has_histogram rows with a leading `t.*` row-count line;
+# SHOW COLUMN_STATS renders per-bucket histogram rows.  String-family
+# columns are collected through the reference's cityHash64 wrapper
+# (ParseUtils.h WrapperKind::StringToHash64) so min/max/histogram values
+# are bit-identical; avg_byte_size = trunc(sum(byteSize)/nonnull) with
+# byteSize(String) = len + 9 (+1 Nullable mask), fixed types their
+# in-memory size (45022 golden).  This registry feeds the DISPLAY
+# surface only — the CBO sidecar (_STATS_REGISTRY, raw-domain min/max)
+# is untouched.
+# ---------------------------------------------------------------------------
+
+_SHOW_STATS: dict[str, dict] = {}
+
+_CH_FIXED_SIZES = [
+    (r"(?i)U?Int8|Bool(ean)?|Enum8", 1), (r"(?i)U?Int16|Enum16", 2),
+    (r"(?i)U?Int32|Float32|Date32|DateTime(?!64)", 4),
+    (r"(?i)U?Int64|Float64|DateTime64.*", 8),
+    (r"(?i)U?Int128|UUID", 16), (r"(?i)U?Int256", 32),
+    (r"(?i)Date$", 2), (r"(?i)Decimal32.*", 4), (r"(?i)Decimal64.*", 8),
+    (r"(?i)Decimal.*", 16),
+]
+
+
+def _ch_float_text(v) -> str:
+    """Stats Float64 text (FormattedOutputData doubles print %.17g —
+    45022 shows 7.2320557878566318e+18, one digit past shortest): nan,
+    small integrals plain, %.17g otherwise."""
+    import math
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "nan"
+    f = float(v)
+    if f == int(f) and abs(f) < 1e16:
+        return str(int(f))
+    return format(f, ".17g")
+
+
+def _ch_fixed_size(ch_type: str) -> int | None:
+    import re
+
+    t = re.sub(r"(?is)^\s*(?:Nullable|LowCardinality)\s*\((.*)\)\s*$",
+               r"\1", ch_type.strip())
+    for pat, n in _CH_FIXED_SIZES:
+        if re.fullmatch(pat, t.strip()):
+            return n
+    return None
+
+
+def _is_string_family(ch_type: str) -> bool:
+    import re
+
+    t = re.sub(r"(?is)(?:Nullable|LowCardinality)\s*\(|\)", "",
+               ch_type.strip())
+    return bool(re.match(r"(?i)\s*(String|FixedString)", t))
+
+
+def collect_display_stats(
+    spark: SparkSession, table: str, columns: list[str] | None
+) -> tuple[int, int]:
+    """Run the reference's collection over `table`; returns
+    (column_count, row_count).  `columns` may contain implicit BYTE-map
+    names (__col__'key'); None collects every ordinary collectable
+    column plus implicit columns that already have stats."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from byconity_spark.frontend.sql import (
+        ChSqlError, _TABLE_BYTE_MAPS, _TABLE_CH_DDL,
+    )
+
+    df = spark.table(table)
+    spark_types = dict(df.dtypes)
+    ddl = _TABLE_CH_DDL.get(table, {})
+    ch_types = {c[0]: (c[1] or "") for c in ddl.get("columns", ())}
+
+    def ch_type_of(col: str) -> str:
+        if col in ch_types and ch_types[col]:
+            return ch_types[col]
+        st = spark_types.get(col, "")
+        return {
+            "bigint": "Int64", "int": "Int32", "smallint": "Int16",
+            "tinyint": "Int8", "double": "Float64", "float": "Float32",
+            "string": "String", "date": "Date", "timestamp": "DateTime",
+            "boolean": "UInt8",
+        }.get(st, st or "String")
+
+    def collectable(col: str) -> bool:
+        t = ch_type_of(col)
+        return not re.match(
+            r"(?is)\s*(Map|Array|Tuple|Nested|AggregateFunction)\s*\(", t
+        ) and col in spark_types
+
+    # resolve the target list: (display_name, value_sql, ch_type)
+    targets: list[tuple[str, str, str]] = []
+    if columns:
+        for raw in columns:
+            name = raw.strip().strip("`")
+            im = re.fullmatch(r"__(\w+?)__'(.*)'", name)
+            if im:
+                base, key = im.group(1), im.group(2)
+                if base not in _TABLE_BYTE_MAPS.get(table, ()):
+                    raise ChSqlError(
+                        f"BAD_ARGUMENTS (36): column {name!r} of "
+                        f"{table!r} is not a collectable implicit map "
+                        f"column"
+                    )
+                vm = re.fullmatch(
+                    r"(?is)\s*Map\s*\((.+)\)\s*", ch_types.get(base, "")
+                )
+                from byconity_spark.frontend.ddl import split_top_level
+                vt = (split_top_level(vm.group(1))[1].strip()
+                      if vm else "String")
+                if not re.match(r"(?i)\s*Nullable", vt):
+                    vt = f"Nullable({vt})"
+                targets.append(
+                    (name, f"try_element_at(`{base}`, '{key}')", vt)
+                )
+                continue
+            if not collectable(name):
+                raise ChSqlError(
+                    f"BAD_ARGUMENTS (36): column {name!r} of {table!r} "
+                    f"is not collectable"
+                )
+            targets.append((name, f"`{name}`", ch_type_of(name)))
+    else:
+        for col in spark_types:
+            if collectable(col):
+                targets.append((col, f"`{col}`", ch_type_of(col)))
+        prev = _SHOW_STATS.get(table, {}).get("cols", {})
+        for name in prev:
+            im = re.fullmatch(r"__(\w+?)__'(.*)'", name)
+            if im:
+                targets.append(
+                    (name, f"try_element_at(`{im.group(1)}`, "
+                           f"'{im.group(2)}')",
+                     prev[name]["type"])
+                )
+
+    # ONE distributed aggregation pass over every target column
+    aggs = [F.count(F.lit(1)).alias("__rc")]
+    for i, (_name, vsql, ch_t) in enumerate(targets):
+        v = F.expr(vsql)
+        aggs.append(F.count(v).alias(f"c{i}"))
+        aggs.append(F.countDistinct(v).alias(f"d{i}"))
+        if _is_string_family(ch_t):
+            from byconity_spark.functions.hash_exact import (
+                exact_hash_column,
+            )
+            hs = exact_hash_column("cityHash64", v)
+            # the reference's wrapper is UInt64 → Float64; the exact
+            # kernel returns the SIGNED 64-bit image — re-bias
+            h = (hs.cast("double")
+                 + F.when(hs < 0, F.lit(18446744073709551616.0))
+                    .otherwise(F.lit(0.0)))
+            aggs.append(F.min(h).alias(f"mn{i}"))
+            aggs.append(F.max(h).alias(f"mx{i}"))
+            # byteSize(String) = len + 9, +1 for the Nullable mask
+            pad = 10 if re.match(r"(?i)\s*Nullable", ch_t) else 9
+            aggs.append(
+                F.sum(F.length(v) + F.lit(pad)).alias(f"ln{i}")
+            )
+        else:
+            aggs.append(F.expr(
+                f"CAST(min({vsql}) AS DOUBLE)").alias(f"mn{i}"))
+            aggs.append(F.expr(
+                f"CAST(max({vsql}) AS DOUBLE)").alias(f"mx{i}"))
+            aggs.append(F.lit(None).cast("bigint").alias(f"ln{i}"))
+    row = df.agg(*aggs).collect()[0]
+    row_count = int(row["__rc"])
+
+    entry = _SHOW_STATS.setdefault(table, {"row_count": 0, "cols": {}})
+    entry["row_count"] = row_count
+    for i, (name, vsql, ch_t) in enumerate(targets):
+        nonnull = int(row[f"c{i}"] or 0)
+        ndv = int(row[f"d{i}"] or 0)
+        mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+        if _is_string_family(ch_t):
+            total_len = row[f"ln{i}"]
+            avg = (int(total_len) // nonnull
+                   if total_len and nonnull else 8)
+        else:
+            avg = _ch_fixed_size(ch_t) or 8
+        buckets: list[tuple[str, float, float]] = []
+        if 0 < ndv <= 64:
+            vexpr = F.expr(vsql)
+            if _is_string_family(ch_t):
+                from byconity_spark.functions.hash_exact import (
+                    exact_hash_column,
+                )
+                ks = exact_hash_column("cityHash64", vexpr)
+                key = (ks.cast("double")
+                       + F.when(ks < 0,
+                                F.lit(18446744073709551616.0))
+                          .otherwise(F.lit(0.0)))
+            else:
+                key = vexpr.cast("double")
+            brows = (
+                df.select(key.alias("__k"))
+                .where(F.col("__k").isNotNull())
+                .groupBy("__k").count()
+                .orderBy("__k").limit(65).collect()
+            )
+            buckets = [
+                (float(r["__k"]), float(r["__k"]), int(r["count"]))
+                for r in brows
+            ]
+        entry["cols"][name] = {
+            "type": ch_t, "count": nonnull,
+            "nulls": row_count - nonnull, "ndv": ndv,
+            "min": (float(mn) if mn is not None else None),
+            "max": (float(mx) if mx is not None else None),
+            "avg": int(avg), "buckets": buckets,
+            "has_hist": 1 if ndv > 0 else 0,
+        }
+    # keep DDL-then-implicit-sorted ordering for SHOW STATS
+    ddl_order = [c[0] for c in ddl.get("columns", ())] or list(
+        spark_types
+    )
+
+    def sort_key(n: str):
+        return (
+            (ddl_order.index(n), "") if n in ddl_order else
+            (len(ddl_order), n)
+        )
+
+    entry["cols"] = dict(
+        sorted(entry["cols"].items(), key=lambda kv: sort_key(kv[0]))
+    )
+    return len(targets), row_count
+
+
+def show_stats_rows(table: str) -> list[tuple]:
+    """SHOW STATS t — the reference's 9-column formatted block, all
+    cells pre-rendered to text ('' for absent, CH float text)."""
+    e = _SHOW_STATS.get(table)
+    if e is None:
+        return []
+    rows = [(f"{table}.*", "", str(e["row_count"]),
+             "", "", "", "", "", "")]
+    for name, c in e["cols"].items():
+        rows.append((
+            f"{table}.{name}", c["type"], str(c["count"]),
+            str(c["nulls"]), str(c["ndv"]),
+            _ch_float_text(c["min"]), _ch_float_text(c["max"]),
+            str(c["avg"]), str(c["has_hist"]),
+        ))
+    return rows
+
+
+def show_column_stats_rows(table: str) -> list[tuple]:
+    """SHOW COLUMN_STATS t — per-bucket histogram rows
+    (InterpreterShowStatsQuery::getColumnFormattedOutput)."""
+    e = _SHOW_STATS.get(table)
+    if e is None:
+        return []
+    out = []
+    for name, c in e["cols"].items():
+        cum_count = 0
+        cum_ndv = 0
+        for bid, (lo, hi, count) in enumerate(c["buckets"]):
+            cum_count += count
+            cum_ndv += 1
+            out.append((
+                f"{table}.{name}", str(bid),
+                f"[{_ch_float_text(lo)}, {_ch_float_text(hi)}]",
+                str(count), "1", str(cum_count), str(cum_ndv),
+            ))
+    return out
+
+
+def drop_display_stats(table: str) -> bool:
+    return _SHOW_STATS.pop(table, None) is not None

@@ -914,6 +914,84 @@ _OB_STOPPERS = frozenset({
 })
 
 
+def _order_by_storage_ties(sql: str) -> str:
+    """MergeTree reads parts in table-ORDER-BY order, and the sort is a
+    stable merge — ties under a query ORDER BY keep the STORAGE order
+    (60104: all-equal toYYYYMM key, output ordered by the table's
+    (event_type, event_count)).  Append the declared sort keys as
+    tiebreakers to a single-relation top-level ORDER BY."""
+    import re as _re
+
+    if _re.search(
+        r"(?i)\bUNION\b|\bJOIN\b|\bOVER\b|\bWITH\s+FILL\b|"
+        r"\bGROUP\s+BY\b|\bHAVING\b|\bDISTINCT\b|"
+        r"\b(sum|count|avg|min|max|any|uniq\w*)\s*\(|\bFROM\s*\(",
+        sql,
+    ):
+        # tiebreakers are row-level storage columns — aggregation,
+        # joins, and windows change the available columns
+        return sql
+    froms = _re.findall(r"(?i)\bFROM\s+`?(\w+)`?", sql)
+    if len(set(froms)) != 1:
+        return sql
+    keys = _SESSION_TABLE_KEYS.get(froms[0], {}).get("order_by")
+    if not keys:
+        return sql
+    from byconity_spark.frontend.ddl import key_list
+    cols = [k.strip("`") for k in key_list(keys)]
+    if not cols or not all(_re.fullmatch(r"\w+", c) for c in cols):
+        return sql
+    obs = list(_re.finditer(r"(?i)\bORDER\s+BY\b", sql))
+    if len(obs) != 1:
+        return sql
+    start = obs[0].end()
+    # depth at the ORDER BY: only a TOP-LEVEL clause qualifies
+    depth = 0
+    j = 0
+    while j < obs[0].start():
+        c = sql[j]
+        if c in "'\"`":
+            j = _skip_string(sql, j)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        j += 1
+    if depth != 0:
+        return sql
+    i, depth, n = start, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and c == ";":
+            break
+        elif depth == 0:
+            wm = _re.match(
+                r"(?i)(LIMIT|SETTINGS|FORMAT|OFFSET|INTO|UNION|WITH)\b",
+                sql[i:],
+            )
+            if wm and not (sql[i - 1].isalnum() or sql[i - 1] == "_"):
+                break
+        i += 1
+    clause = sql[start:i]
+    present = {w.lower() for w in _re.findall(r"\w+", clause)}
+    add = [c for c in cols if c.lower() not in present]
+    if not add:
+        return sql
+    ins = clause.rstrip()
+    pad = clause[len(ins):]
+    return (sql[:start] + ins + ", " + ", ".join(add) + pad + sql[i:])
+
+
 def _order_by_nulls(sql: str) -> str:
     """CH sorts NULLs LAST for ASC and FIRST for DESC by default
     (42000: `ORDER BY t2.id + t2.i32` puts the NULL sum last); Spark
@@ -6251,8 +6329,9 @@ def rewrite_ch_sql(sql: str) -> str:
         out.append(c)
         i += 1
     # CH NULLS placement differs from Spark's default — applied last,
-    # idempotent under the recursive arg rewrites
-    return _order_by_nulls("".join(out))
+    # idempotent under the recursive arg rewrites; storage-order
+    # tiebreakers first so they inherit the NULLS placement
+    return _order_by_nulls(_order_by_storage_ties("".join(out)))
 
 
 def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
@@ -8537,6 +8616,11 @@ def _forget_table_metadata(name: str) -> None:
               _SESSION_TABLE_KEYS, _TABLE_DEFAULTS, _TABLE_MATERIALIZED,
               _TABLE_ALIASES, _TABLE_PARTS_COUNT):
         d.pop(name, None)
+    try:
+        from byconity_spark.engine.stats import drop_display_stats
+        drop_display_stats(name)
+    except Exception:
+        pass
 
 
 def _expand_hidden_columns(spark, sql: str) -> str:
@@ -8728,17 +8812,19 @@ def _prepare_insert_block(spark, name: str, new, provided):
     import re as _re_ins
 
     byte_maps = _TABLE_BYTE_MAPS.get(name, set())
-    ddl_cols = {
-        c[0]: (c[1] or "")
-        for c in _TABLE_CH_DDL.get(name, {}).get("columns", [])
-    }
+    ddl = _TABLE_CH_DDL.get(name, {})
+    ddl_cols = {c[0]: (c[1] or "") for c in ddl.get("columns", [])}
+    # MySQL-dialect tables declare every column implicitly Nullable
+    # (60104: omitted DateTime stays NULL, never the epoch default)
+    mysql_nullable = bool(ddl.get("mysql_dialect"))
     exprs = []
     for f in stored.fields:
         t = f.dataType.simpleString()
         if f.name in cols:
             e = f"CAST(`{f.name}` AS {t})"
             ch_t = ddl_cols.get(f.name, "")
-            if ch_t and not _re_ins.match(r"(?i)\s*Nullable", ch_t):
+            if (ch_t and not mysql_nullable
+                    and not _re_ins.match(r"(?i)\s*Nullable", ch_t)):
                 # input_format_null_as_default (reference default): a
                 # NULL inserted into a non-Nullable column stores the
                 # type default, never NULL (10081, 00745)
@@ -8761,8 +8847,10 @@ def _prepare_insert_block(spark, name: str, new, provided):
                 f"AS `{f.name}`"
             )
         else:
+            omitted = ("NULL" if mysql_nullable
+                       else _type_default_sql(t))
             exprs.append(
-                f"CAST({_type_default_sql(t)} AS {t}) AS `{f.name}`"
+                f"CAST({omitted} AS {t}) AS `{f.name}`"
             )
     return spark.sql(f"SELECT {', '.join(exprs)} FROM {view}")
 
@@ -9896,38 +9984,58 @@ def _try_ddl(spark: SparkSession, sql: str):
         s, re.IGNORECASE,
     )
     if m:
-        from byconity_spark.engine.stats import create_stats
+        from byconity_spark.engine.stats import (
+            collect_display_stats, create_stats,
+        )
         target = m.group(1).strip("`")
         cols = (
             [c.strip() for c in m.group(2).split(",") if c.strip()]
             if m.group(2) else None
         )
+        # reference output shape (InterpreterCreateStatsQuery.cpp:79-84;
+        # elapsed_time omitted under create_stats_time_output = 0):
+        # (table_name, column_count, row_count_or_error)
         if target in ("*", "all"):
             # wildcard: every session table (ParserStatsQuery `*`/ALL)
             out_rows = []
             for t in sorted(_SESSION_TABLE_ENGINES):
                 try:
-                    st = create_stats(spark, t, None)
-                    out_rows.append((t, int(st.row_count), "created"))
+                    nc, rc = collect_display_stats(spark, t, None)
+                    create_stats(spark, t, None)
+                    out_rows.append((t, nc, str(rc)))
                 except Exception:
                     continue
             return spark.createDataFrame(
                 out_rows or [("", 0, "none")],
-                "table string, row_count bigint, status string",
+                "table_name string, column_count bigint, "
+                "row_count_or_error string",
             )
-        st = create_stats(spark, target, cols)
+        ncols, rcount = collect_display_stats(spark, target, cols)
+        try:
+            # ordinary columns also feed the Catalyst CBO sidecar
+            create_stats(
+                spark, target,
+                [c for c in cols if "__" not in c] if cols else None,
+            )
+        except Exception:
+            pass
         return spark.createDataFrame(
-            [(target, int(st.row_count), "created")],
-            "table string, row_count bigint, status string",
+            [(target, ncols, str(rcount))],
+            "table_name string, column_count bigint, "
+            "row_count_or_error string",
         )
 
     m = re.match(
         r"DROP\s+STATS\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$", s, re.IGNORECASE
     )
     if m:
-        from byconity_spark.engine.stats import drop_stats
+        from byconity_spark.engine.stats import (
+            drop_display_stats, drop_stats,
+        )
+        found = drop_stats(m.group(1))
+        found = drop_display_stats(m.group(1)) or found
         return spark.createDataFrame(
-            [(m.group(1), "dropped" if drop_stats(m.group(1)) else "not_found")],
+            [(m.group(1), "dropped" if found else "not_found")],
             "table string, status string",
         )
 
@@ -10100,19 +10208,22 @@ def _try_ddl(spark: SparkSession, sql: str):
 
     m = re.match(r"SHOW\s+STATS\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
     if m:
-        from byconity_spark.engine.stats import stats_rows
+        from byconity_spark.engine.stats import show_stats_rows
         return spark.createDataFrame(
-            stats_rows(m.group(1)),
-            "table string, row_count bigint, n_column_stats int",
+            show_stats_rows(m.group(1)),
+            "identifier string, type string, count string, "
+            "null_count string, ndv string, min string, max string, "
+            "avg_byte_size string, has_histogram string",
         )
 
     m = re.match(r"SHOW\s+COLUMN_STATS\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
     if m:
-        from byconity_spark.engine.stats import column_stats_rows
+        from byconity_spark.engine.stats import show_column_stats_rows
         return spark.createDataFrame(
-            column_stats_rows(m.group(1)),
-            "column string, ndv bigint, null_count bigint, "
-            "min_value string, max_value string",
+            show_column_stats_rows(m.group(1)),
+            "identifier string, bucket_id string, range string, "
+            "count string, ndv string, cumulative_count string, "
+            "cumulative_ndv string",
         )
 
     # CREATE TABLE t AS other — schema clone, no data (ASTCreateQuery

@@ -166,6 +166,25 @@ _PREVIOUSLY_CERTIFIED = {
     "chsql_alias_where", "beh_ema_by_type", "chsql_groups_frame",
     "beh_path_split_r", "chsql_untuple", "beh_session_split_r2",
     "chsql_ingest_partition", "beh_page_time", "beh_retention4",
+    # r09 (50/50 green; CORRECTNESS_r09.json)
+    "chsql_map_byte_ops", "chsql_mann_whitney", "chsql_dialect8b_suite",
+    "beh_attr_analysis_counts", "beh_attr_analysis_first",
+    "beh_attr_analysis_decay", "beh_window_funnel",
+    "beh_funnel_strict_order", "beh_funnel_strict_dedup", "beh_retention",
+    "beh_sequence_count", "beh_session_analysis", "beh_path_count",
+    "beh_sparkbar", "beh_fast_auc", "beh_retention_loss",
+    "beh_slide_match_count", "beh_last_range_count", "beh_debias_auc",
+    "beh_funnel_path_split", "beh_funnel_path_split_times",
+    "beh_mann_whitney", "beh_finder_funnel", "beh_funnel_rep_by_times",
+    "beh_finder_funnel_by_times", "beh_finder_group_funnel_by_times",
+    "beh_max_intersections", "beh_gen_array", "beh_count_by_granularity",
+    "beh_attr_analysis_procedure", "beh_attr_fuse", "beh_attr_correlation",
+    "beh_window_funnel_sliding", "beh_sequence_match",
+    "beh_sequence_match_gaps", "beh_auc", "beh_next_after_signup",
+    "beh_interval_length_sum", "beh_attribution_last_touch",
+    "beh_session_split", "beh_path_split", "beh_attribution_linear",
+    "beh_attribution_position", "beh_attribution_time_decay", "beh_xirr",
+    "beh_funnel_rep", "beh_user_distribution",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec
@@ -180,15 +199,43 @@ _ROWS_ONLY_LAST = ["mm_decode_features", "sample_lineitem"]
 # never-sampled queries — so the next capped run certifies the fixes.
 # r06: 50/50 sampled queries hash-green (including the chsql_window_funnel
 # recertification after its round-6 sliding-anchor semantics change).
-# r09: chsql_map_byte_ops erred in the r08 driver run (raw ARRAY output
-# columns — now '|'-serialized); chsql_mann_whitney's oracle moved to the
-# reference's u2 statistic and chsql_dialect8b_suite's rsd dtype was cast
-# — both changed this round, so the driver must re-confirm them.
+# r10: three queries changed behavior/oracle this round and must
+# re-confirm under the real driver — chsql_map_byte_ops (missing BYTE-map
+# String key now returns '' like the reference's type default, 00745),
+# chsql_dialect8b_suite (literal ADDTIME folds to the exact
+# '...01:02:03.000' string), chsql_stats_ddl (SHOW STATS moved to the
+# reference's 9-column formatted block; CREATE STATS outputs
+# (table_name, column_count, row_count_or_error)).
 _MUST_RECERTIFY: list[str] = [
     "chsql_map_byte_ops",
-    "chsql_mann_whitney",
     "chsql_dialect8b_suite",
+    "chsql_stats_ddl",
 ]
+
+# the 50 queries CORRECTNESS_r09 certified — they rotate to the BACK of
+# the certified tier this round (least-recently-certified first)
+_R09_GREEN = {
+    "chsql_map_byte_ops", "chsql_mann_whitney", "chsql_dialect8b_suite",
+    "beh_attr_analysis_counts", "beh_attr_analysis_first",
+    "beh_attr_analysis_decay", "beh_attr_analysis_procedure",
+    "beh_attr_fuse", "beh_attr_correlation", "beh_window_funnel",
+    "beh_window_funnel_sliding", "beh_funnel_strict_order",
+    "beh_funnel_strict_dedup", "beh_retention", "beh_sequence_match",
+    "beh_sequence_match_gaps", "beh_sequence_count", "beh_auc",
+    "beh_next_after_signup", "beh_interval_length_sum",
+    "beh_attribution_last_touch", "beh_session_split", "beh_path_split",
+    "beh_attribution_linear", "beh_attribution_position",
+    "beh_attribution_time_decay", "beh_xirr", "beh_funnel_rep",
+    "beh_user_distribution", "beh_max_intersections", "beh_gen_array",
+    "beh_count_by_granularity", "beh_mann_whitney", "beh_finder_funnel",
+    "beh_funnel_rep_by_times", "beh_finder_funnel_by_times",
+    "beh_finder_group_funnel_by_times", "beh_session_analysis",
+    "beh_path_count", "beh_sparkbar", "beh_fast_auc",
+    "beh_retention_loss", "beh_slide_match_count",
+    "beh_last_range_count", "beh_debias_auc", "beh_funnel_path_split",
+    "beh_funnel_path_split_times", "beh_reg_auc", "beh_ecpm_auc",
+    "beh_finder_group_funnel",
+}
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -249,5 +296,9 @@ def all_queries() -> dict[str, QueryDef]:
         n for n in _REGISTRY
         if n in _PREVIOUSLY_CERTIFIED and n not in set(recert) and n not in set(last)
     ]
+    # rotation: queries the r09 driver just certified sort LAST within
+    # the certified tier so a capped run re-confirms the LEAST-recently
+    # certified queries first
+    certified.sort(key=lambda n: n in _R09_GREEN)
     ordered = recert + round_robin(fresh) + certified + last
     return {n: _REGISTRY[n] for n in ordered}

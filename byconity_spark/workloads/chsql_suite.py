@@ -1177,15 +1177,17 @@ def chsql_stats_ddl(spark: SparkSession, sf: str) -> DataFrame:
         created = ch_sql(
             spark, "CREATE STATS orders (o_orderkey, o_custkey)"
         ).collect()
-        rows.append(("orders_row_count", str(created[0][1])))
+        # reference CREATE STATS output: (table_name, column_count,
+        # row_count_or_error); SHOW STATS: the 9-column formatted block
+        rows.append(("orders_row_count", created[0][2]))
         cstats = {
             r[0]: r for r in
-            ch_sql(spark, "SHOW COLUMN_STATS orders").collect()
+            ch_sql(spark, "SHOW STATS orders").collect()
         }
-        rows.append(("custkey_nulls", str(cstats["o_custkey"][2])))
-        rows.append(("custkey_min", cstats["o_custkey"][3]))
-        rows.append(("custkey_max", cstats["o_custkey"][4]))
-        rows.append(("orderkey_min", cstats["o_orderkey"][3]))
+        rows.append(("custkey_nulls", cstats["orders.o_custkey"][3]))
+        rows.append(("custkey_min", cstats["orders.o_custkey"][5]))
+        rows.append(("custkey_max", cstats["orders.o_custkey"][6]))
+        rows.append(("orderkey_min", cstats["orders.o_orderkey"][5]))
 
         ch_sql(spark, "DROP TABLE IF EXISTS stats_probe_t")
         ch_sql(
@@ -1195,14 +1197,18 @@ def chsql_stats_ddl(spark: SparkSession, sf: str) -> DataFrame:
         )
         ch_sql(spark, "CREATE STATS stats_probe_t")
         shown = ch_sql(spark, "SHOW STATS stats_probe_t").collect()
-        rows.append(("session_tbl_rows", str(shown[0][1])))
+        # row 0 is the `t.*` line; its count column is the row count
+        rows.append(("session_tbl_rows", shown[0][2]))
 
         ch_sql(spark, "DROP STATS stats_probe_t")
         after = ch_sql(spark, "SHOW STATS stats_probe_t").collect()
         rows.append(("after_drop_rows", str(len(after))))
     finally:
+        from byconity_spark.engine.stats import drop_display_stats
         _STATS_REGISTRY.pop("orders", None)
         _STATS_REGISTRY.pop("stats_probe_t", None)
+        drop_display_stats("orders")
+        drop_display_stats("stats_probe_t")
         ch_sql(spark, "DROP TABLE IF EXISTS stats_probe_t")
     return spark.createDataFrame(rows, "item string, value string")
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from byconity_spark.engine.catalog import register_views
-from byconity_spark.engine.stats import _STATS_REGISTRY
+from byconity_spark.engine.stats import _SHOW_STATS, _STATS_REGISTRY
 from byconity_spark.frontend import ch_sql
 from tests.conftest import SF_DIR
 
@@ -15,31 +15,40 @@ from tests.conftest import SF_DIR
 @pytest.fixture(autouse=True)
 def _clean_registry():
     _STATS_REGISTRY.clear()
+    _SHOW_STATS.clear()
     yield
     _STATS_REGISTRY.clear()
+    _SHOW_STATS.clear()
 
 
 def test_create_stats_base_table(spark):
+    """Reference output shapes (InterpreterCreateStatsQuery.cpp /
+    InterpreterShowStatsQuery.cpp, 45022 golden): CREATE STATS returns
+    (table_name, column_count, row_count_or_error); SHOW STATS the
+    9-column formatted block led by a `t.*` row-count line."""
     register_views(spark, SF_DIR)
     out = ch_sql(spark, "CREATE STATS orders (o_orderkey, o_custkey)").collect()
     true_n = spark.table("orders").count()
-    assert out[0][1] == true_n and out[0][2] == "created"
+    assert out[0][1] == 2 and out[0][2] == str(true_n)
 
-    shown = ch_sql(spark, "SHOW STATS orders").collect()
-    assert shown[0][0] == "orders"
-    assert shown[0][1] == true_n
-    assert shown[0][2] == 2  # exactly the two requested columns
-
-    cs = {r[0]: r for r in ch_sql(spark, "SHOW COLUMN_STATS orders").collect()}
-    assert set(cs) == {"o_orderkey", "o_custkey"}
+    shown = {r[0]: r for r in ch_sql(spark, "SHOW STATS orders").collect()}
+    assert shown["orders.*"][2] == str(true_n)
+    ck = shown["orders.o_custkey"]
     exact_ndv = spark.table("orders").select("o_custkey").distinct().count()
-    assert abs(cs["o_custkey"][1] - exact_ndv) / exact_ndv < 0.1  # HLL sketch
-    assert cs["o_custkey"][2] == 0  # no nulls in TPC-H custkey
+    assert ck[2] == str(true_n)      # count (non-null)
+    assert ck[3] == "0"              # null_count: TPC-H custkey
+    assert ck[4] == str(exact_ndv)   # ndv (exact collection)
     lo, hi = (
         spark.sql("SELECT min(o_custkey), max(o_custkey) FROM orders")
         .collect()[0]
     )
-    assert cs["o_custkey"][3] == str(lo) and cs["o_custkey"][4] == str(hi)
+    assert ck[5] == str(lo) and ck[6] == str(hi)
+    assert ck[8] == "1"              # has_histogram
+
+    # COLUMN_STATS = per-bucket histogram rows; wide-NDV columns (>64)
+    # skip the exact bucket listing
+    cs = ch_sql(spark, "SHOW COLUMN_STATS orders").collect()
+    assert all(r[0].startswith("orders.") for r in cs)
 
 
 def test_create_stats_feeds_cbo_catalog(spark):
@@ -58,7 +67,7 @@ def test_create_stats_session_table(spark):
     )
     out = ch_sql(spark, "CREATE STATS st_probe").collect()
     expect = spark.table("st_probe").count()
-    assert out[0][1] == expect
+    assert out[0][1] == 2 and out[0][2] == str(expect)
     ch_sql(spark, "DROP TABLE st_probe")
 
 
@@ -67,7 +76,9 @@ def test_drop_and_show_all(spark):
     ch_sql(spark, "CREATE STATS region")
     ch_sql(spark, "CREATE STATS nation")
     allrows = ch_sql(spark, "SHOW STATS nation").collect()
-    assert len(allrows) == 1  # named form: only that table
+    # named form: only that table — the `nation.*` line + its columns
+    assert allrows[0][0] == "nation.*"
+    assert all(r[0].startswith("nation.") for r in allrows)
     dropped = ch_sql(spark, "DROP STATS region").collect()
     assert dropped[0][1] == "dropped"
     assert ch_sql(spark, "SHOW STATS region").collect() == []

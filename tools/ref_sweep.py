@@ -204,7 +204,8 @@ def ch_fmt_cell(v, nested: bool = False) -> str:
 
 
 _OUTPUT_STMT = re.compile(
-    r"(?is)^\s*(SELECT|WITH|SHOW|DESCRIBE|DESC|EXISTS|CHECK)\b"
+    r"(?is)^\s*(SELECT|WITH|SHOW|DESCRIBE|DESC|EXISTS|CHECK|"
+    r"CREATE\s+STATS)\b"
 )
 # FORMAT Null discards the result entirely (clickhouse-client prints
 # nothing for it)
