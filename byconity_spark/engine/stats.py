@@ -450,13 +450,67 @@ def column_stats_rows(table: str) -> list[tuple]:
 _SHOW_STATS: dict[str, dict] = {}
 
 _CH_FIXED_SIZES = [
-    (r"(?i)U?Int8|Bool(ean)?|Enum8", 1), (r"(?i)U?Int16|Enum16", 2),
-    (r"(?i)U?Int32|Float32|Date32|DateTime(?!64)", 4),
+    (r"(?i)(U?Int8|Bool(ean)?|Enum8)(\(.*\))?", 1),
+    (r"(?i)(U?Int16|Enum16)(\(.*\))?", 2),
+    (r"(?i)U?Int32|Float32|Date32|DateTime(\([^)]*\))?", 4),
     (r"(?i)U?Int64|Float64|DateTime64.*", 8),
     (r"(?i)U?Int128|UUID", 16), (r"(?i)U?Int256", 32),
-    (r"(?i)Date$", 2), (r"(?i)Decimal32.*", 4), (r"(?i)Decimal64.*", 8),
+    (r"(?i)Date", 2), (r"(?i)Decimal32.*", 4), (r"(?i)Decimal64.*", 8),
+    (r"(?i)Decimal128.*", 16), (r"(?i)Decimal256.*", 32),
+    (r"(?i)Decimal\s*\((?:[0-8]|9)\s*,.*", 4),
+    (r"(?i)Decimal\s*\((?:1[0-8])\s*,.*", 8),
     (r"(?i)Decimal.*", 16),
 ]
+
+# the reference CI runs its server in this zone — DateTime walls parse
+# into epochs relative to it (45004 golden: '2022-01-01 00:00:01' →
+# 1640984401 = Moscow wall)
+_REF_SERVER_TZ = "Europe/Moscow"
+
+
+def _ch_display_type(t: str) -> str:
+    """SHOW STATS renders NORMALIZED CH type names: DecimalNN(S) →
+    Decimal(precision, S) (45004 golden shows Decimal(9, 5))."""
+    import re
+
+    for bits, prec in (("32", 9), ("64", 18), ("128", 38), ("256", 76)):
+        t = re.sub(
+            rf"(?i)\bDecimal{bits}\s*\(\s*(\d+)\s*\)",
+            rf"Decimal({prec}, \1)", t,
+        )
+    return t
+
+
+def _stats_wrap_sql(vsql: str, ch_t: str) -> str:
+    """The reference's collection wrapper as Spark SQL → DOUBLE
+    (ParseUtils.h getWrappedColumnName): strings hash (handled by the
+    caller), UUID → UInt128 (LOW half first — CH's UUID byte order),
+    Date/Date32 → epoch days, DateTime[64] → epoch seconds in the
+    server zone, everything else a plain double cast."""
+    import re
+
+    t = re.sub(r"(?is)^\s*(?:Nullable|LowCardinality)\s*\((.*)\)\s*$",
+               r"\1", ch_t.strip())
+    t = re.sub(r"(?is)^\s*(?:Nullable|LowCardinality)\s*\((.*)\)\s*$",
+               r"\1", t)
+    if re.fullmatch(r"(?i)UUID", t.strip()):
+        hexs = f"lower(replace({vsql}, '-', ''))"
+        return (
+            f"(CAST(conv(substr({hexs}, 17, 16), 16, 10) AS DOUBLE) * "
+            f"CAST(18446744073709551616 AS DOUBLE) + "
+            f"CAST(conv(substr({hexs}, 1, 16), 16, 10) AS DOUBLE))"
+        )
+    if re.fullmatch(r"(?i)Date(32)?", t.strip()):
+        return f"CAST(datediff({vsql}, DATE'1970-01-01') AS DOUBLE)"
+    if re.match(r"(?i)\s*DateTime64", t):
+        utc = (f"CAST(convert_timezone('{_REF_SERVER_TZ}', 'UTC', "
+               f"CAST({vsql} AS TIMESTAMP_NTZ)) AS TIMESTAMP)")
+        return f"(CAST(unix_micros({utc}) AS DOUBLE) / 1e6)"
+    if re.match(r"(?i)\s*DateTime", t):
+        utc = (f"convert_timezone('{_REF_SERVER_TZ}', 'UTC', "
+               f"CAST({vsql} AS TIMESTAMP_NTZ))")
+        return f"CAST(to_unix_timestamp({utc}) AS DOUBLE)"
+    return f"CAST({vsql} AS DOUBLE)"
 
 
 def _ch_float_text(v) -> str:
@@ -476,10 +530,17 @@ def _ch_float_text(v) -> str:
 def _ch_fixed_size(ch_type: str) -> int | None:
     import re
 
-    t = re.sub(r"(?is)^\s*(?:Nullable|LowCardinality)\s*\((.*)\)\s*$",
-               r"\1", ch_type.strip())
+    t = ch_type.strip()
+    for _ in range(2):  # LowCardinality(Nullable(T)) unwraps twice
+        t = re.sub(
+            r"(?is)^\s*(?:Nullable|LowCardinality)\s*\((.*)\)\s*$",
+            r"\1", t,
+        ).strip()
+    fm = re.fullmatch(r"(?i)FixedString\s*\(\s*(\d+)\s*\)", t)
+    if fm:
+        return int(fm.group(1))
     for pat, n in _CH_FIXED_SIZES:
-        if re.fullmatch(pat, t.strip()):
+        if re.fullmatch(pat, t):
             return n
     return None
 
@@ -594,15 +655,15 @@ def collect_display_stats(
             aggs.append(F.min(h).alias(f"mn{i}"))
             aggs.append(F.max(h).alias(f"mx{i}"))
             # byteSize(String) = len + 9, +1 for the Nullable mask
-            pad = 10 if re.match(r"(?i)\s*Nullable", ch_t) else 9
+            # (LowCardinality(Nullable(...)) wraps too)
+            pad = 10 if re.search(r"(?i)\bNullable\b", ch_t) else 9
             aggs.append(
                 F.sum(F.length(v) + F.lit(pad)).alias(f"ln{i}")
             )
         else:
-            aggs.append(F.expr(
-                f"CAST(min({vsql}) AS DOUBLE)").alias(f"mn{i}"))
-            aggs.append(F.expr(
-                f"CAST(max({vsql}) AS DOUBLE)").alias(f"mx{i}"))
+            w = _stats_wrap_sql(vsql, ch_t)
+            aggs.append(F.expr(f"min({w})").alias(f"mn{i}"))
+            aggs.append(F.expr(f"max({w})").alias(f"mx{i}"))
             aggs.append(F.lit(None).cast("bigint").alias(f"ln{i}"))
     row = df.agg(*aggs).collect()[0]
     row_count = int(row["__rc"])
@@ -613,12 +674,17 @@ def collect_display_stats(
         nonnull = int(row[f"c{i}"] or 0)
         ndv = int(row[f"d{i}"] or 0)
         mn, mx = row[f"mn{i}"], row[f"mx{i}"]
-        if _is_string_family(ch_t):
+        fixed = _ch_fixed_size(ch_t)
+        if fixed is not None:
+            # fixed-layout types (incl. FixedString(n)) always report
+            # their in-memory size, even with no data (45004)
+            avg = fixed
+        elif _is_string_family(ch_t):
             total_len = row[f"ln{i}"]
             avg = (int(total_len) // nonnull
                    if total_len and nonnull else 8)
         else:
-            avg = _ch_fixed_size(ch_t) or 8
+            avg = 8
         buckets: list[tuple[str, float, float]] = []
         if 0 < ndv <= 64:
             vexpr = F.expr(vsql)
@@ -632,7 +698,7 @@ def collect_display_stats(
                                 F.lit(18446744073709551616.0))
                           .otherwise(F.lit(0.0)))
             else:
-                key = vexpr.cast("double")
+                key = F.expr(_stats_wrap_sql(vsql, ch_t))
             brows = (
                 df.select(key.alias("__k"))
                 .where(F.col("__k").isNotNull())
@@ -678,7 +744,8 @@ def show_stats_rows(table: str) -> list[tuple]:
              "", "", "", "", "", "")]
     for name, c in e["cols"].items():
         rows.append((
-            f"{table}.{name}", c["type"], str(c["count"]),
+            f"{table}.{name}", _ch_display_type(c["type"]),
+            str(c["count"]),
             str(c["nulls"]), str(c["ndv"]),
             _ch_float_text(c["min"]), _ch_float_text(c["max"]),
             str(c["avg"]), str(c["has_hist"]),

@@ -392,7 +392,32 @@ def parse_create_body(inner: str) -> CreateBody:
         elif up.startswith("PROJECTION "):
             body.projections.append(item)
         else:
-            body.columns.append(_parse_column_item(item))
+            col = _parse_column_item(item)
+            nm = re.fullmatch(
+                r"(?is)\s*Nested\s*\((.+)\)\s*", col.ch_type or ""
+            )
+            if nm:
+                # Nested(a T1, b T2) IS sibling arrays `n.a`, `n.b` in
+                # the reference's physical model (DataTypeNested
+                # flattens to dotted Array columns) — expanding here
+                # makes INSERT binding, ALTER ADD COLUMN n.b, and
+                # per-subcolumn defaults fall out of the existing
+                # dotted-name machinery (00576)
+                for sub in split_top_level(nm.group(1)):
+                    sm = re.match(
+                        r"(`[^`]+`|\w+)\s+(\S.*)$", sub.strip(),
+                        re.DOTALL,
+                    )
+                    if not sm:
+                        raise DDLError(
+                            f"CREATE TABLE: bad Nested item {sub!r}"
+                        )
+                    body.columns.append(ColumnDef(
+                        name=f"{col.name}.{sm.group(1).strip('`')}",
+                        ch_type=f"Array({sm.group(2).strip()})",
+                    ))
+                continue
+            body.columns.append(col)
     if not body.columns:
         raise DDLError("CREATE TABLE: no columns declared")
     return body

@@ -1188,9 +1188,75 @@ def _point_in_ring_sql(x: str, y: str, ring: str) -> str:
     )
 
 
+def _ring_literal_points(ring: str):
+    """Parse a literal polygon ring `array((x, y), ...)` into float
+    pairs; None when any vertex is non-literal."""
+    import re as _re
+
+    body = ring.strip()
+    m = _re.match(r"(?is)array\s*\(", body)
+    if not m or _match_paren(body, m.end() - 1) != len(body) - 1:
+        return None
+    pts = []
+    for el in _split_args(body[m.end():-1]):
+        em = _re.fullmatch(
+            r"(?is)(?:struct\s*\(|tuple\s*\(|\()\s*(-?[\d.eE+]+)\s*,"
+            r"\s*(-?[\d.eE+]+)\s*\)", el.strip(),
+        )
+        if not em:
+            return None
+        try:
+            pts.append((float(em.group(1)), float(em.group(2))))
+        except ValueError:
+            return None
+    return pts
+
+
+def _ring_self_intersects(pts) -> bool:
+    """boost::geometry::is_valid's self-intersection core (the
+    reference's validate_polygons check, 00500): any two NON-ADJACENT
+    edges that cross or touch make the ring invalid."""
+    if pts and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    n = len(pts)
+    if n < 3:
+        return True
+
+    def orient(a, b, c):
+        return ((b[0] - a[0]) * (c[1] - a[1])
+                - (b[1] - a[1]) * (c[0] - a[0]))
+
+    def on(a, b, c):
+        return (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (j + 1) % n == i or (i + 1) % n == j:
+                continue  # adjacent edges share an endpoint
+            a, b = pts[i], pts[(i + 1) % n]
+            c, d = pts[j], pts[(j + 1) % n]
+            o1, o2 = orient(a, b, c), orient(a, b, d)
+            o3, o4 = orient(c, d, a), orient(c, d, b)
+            if ((o1 > 0) != (o2 > 0)) and ((o3 > 0) != (o4 > 0)) \
+                    and 0 not in (o1, o2, o3, o4):
+                return True
+            if o1 == 0 and on(a, b, c):
+                return True
+            if o2 == 0 and on(a, b, d):
+                return True
+            if o3 == 0 and on(c, d, a):
+                return True
+            if o4 == 0 and on(c, d, b):
+                return True
+    return False
+
+
 def _point_in_polygon_sql(a: list[str]) -> str:
     """pointInPolygon((x, y), outer[, hole...]) — also the nested
-    [[ring], [hole]] form (PointInPolygon.h)."""
+    [[ring], [hole]] form (PointInPolygon.h).  Under validate_polygons
+    (the reference default) a literal self-intersecting ring raises
+    error 36 like boost::geometry::is_valid (00500)."""
     import re as _re
 
     if len(a) < 2:
@@ -1207,6 +1273,16 @@ def _point_in_polygon_sql(a: list[str]) -> str:
         elems = _split_args(t[m.end() : -1])
         if elems and _re.match(r"(?is)array\s*\(", elems[0].strip()):
             rings = elems  # [[outer], [hole], ...]
+    if _SESSION_SETTINGS.get(
+        "validate_polygons", "1"
+    ).strip("'\"") not in ("0", "false"):
+        for ring in rings:
+            pts = _ring_literal_points(ring)
+            if pts is not None and _ring_self_intersects(pts):
+                raise ChSqlError(
+                    "BAD_ARGUMENTS (36): polygon is not valid — the "
+                    "ring self-intersects (validate_polygons = 1)"
+                )
     expr = _point_in_ring_sql(x, y, rings[0])
     for hole in rings[1:]:
         expr = f"({expr}) AND NOT ({_point_in_ring_sql(x, y, hole)})"
@@ -2201,7 +2277,220 @@ def _window_funnel_sql(p: list[str], a: list[str]) -> str:
 
 
 # ClickHouse parametric aggregates: name(params)(args)
+def _bitmap_v2_sql(
+    params: list[str], args: list[str], extract: bool, multi: bool,
+    with_date: bool,
+) -> str:
+    """bitmap[Multi]{Count,Extract}[WithDate]V2 (reference
+    AggregateFunctionBitmapExpressionCalculation.cpp V2 registrations,
+    20022): a tag algebra evaluated over per-tag BitMap64 states with
+    `_N` back-references to earlier expressions.  Compiled to pure
+    Spark aggregates: each tag term is array_distinct(flatten(
+    collect_list(CASE WHEN key = tag THEN bm END))) and operators map
+    to array_intersect/union/except — whole-stage, no UDF."""
+    import re as _re
+
+    exprs: list[str] = []
+    for p in params:
+        ps = p.strip()
+        if not (ps.startswith("'") and ps.endswith("'")):
+            raise ChSqlError(
+                "UNKNOWN_IDENTIFIER (47): bitmap expression parameters "
+                "must be constant strings"
+            )
+        exprs.append(ps[1:-1])
+    if with_date:
+        key_e = (f"concat(CAST({args[0]} AS STRING), '_', "
+                 f"CAST({args[1]} AS STRING))")
+        tag_only_e = f"CAST({args[1]} AS STRING)"
+        bm_e = args[2]
+    else:
+        key_e, bm_e = f"CAST({args[0]} AS STRING)", args[1]
+        tag_only_e = key_e
+
+    def tag_sql(tag: str) -> str:
+        import re as _re_t
+
+        lit = tag.replace("\\", "\\\\").replace("'", "\\'")
+        # WithDate: a `YYYYMMDD_tag` term keys on (date, tag); a BARE
+        # term matches the tag across ALL dates (20022 int-exprs '1')
+        key = (key_e if with_date and _re_t.match(r"\d+_", tag)
+               else tag_only_e)
+        return (
+            f"array_distinct(flatten(collect_list(CASE WHEN {key} = "
+            f"'{lit}' THEN {bm_e} END)))"
+        )
+
+    built: list[str] = []
+    for idx, expr in enumerate(exprs):
+        if not expr.strip():
+            # empty expression = empty set — KEEP an aggregate in the
+            # expression so the statement still collapses to one row
+            built.append(
+                f"array_distinct(flatten(collect_list(CASE WHEN 1 = 0 "
+                f"THEN {bm_e} END)))"
+            )
+            continue
+        toks = _re.findall(r"[&|~(),]|[^&|~(),\s]+", expr)
+        if "".join(toks) != expr.replace(" ", ""):
+            raise ChSqlError(
+                f"BAD_ARGUMENTS (36): unparseable bitmap expression "
+                f"{expr!r}"
+            )
+        # shunting-yard with the reference's single precedence level
+        out: list = []
+        ops: list[str] = []
+        for t in toks:
+            if t == "(":
+                ops.append(t)
+            elif t == ")":
+                while ops and ops[-1] != "(":
+                    out.append(ops.pop())
+                if not ops:
+                    raise ChSqlError(
+                        f"BAD_ARGUMENTS (36): unbalanced parens in "
+                        f"{expr!r}"
+                    )
+                ops.pop()
+            elif t in ("&", "|", "~", ","):
+                while ops and ops[-1] != "(":
+                    out.append(ops.pop())
+                ops.append(t)
+            else:
+                out.append(("tag", t))
+        while ops:
+            op = ops.pop()
+            if op == "(":
+                raise ChSqlError(
+                    f"BAD_ARGUMENTS (36): unbalanced parens in {expr!r}"
+                )
+            out.append(op)
+        stack: list[str] = []
+        for t in out:
+            if isinstance(t, tuple):
+                tag = t[1]
+                if tag.startswith("_"):
+                    # `_N` back-reference: must name an EARLIER
+                    # expression (1-based); any other leading-underscore
+                    # tag is the reference's error 36
+                    bm = _re.fullmatch(r"_(\d+)", tag)
+                    if not bm or not (1 <= int(bm.group(1)) <= idx):
+                        raise ChSqlError(
+                            f"BAD_ARGUMENTS (36): invalid bitmap "
+                            f"expression back-reference {tag!r}"
+                        )
+                    stack.append(built[int(bm.group(1)) - 1])
+                else:
+                    if with_date:
+                        dm = _re.match(r"(\d+)_(.*)$", tag)
+                        if dm and dm.group(2).startswith("_"):
+                            # date-prefixed key whose TAG part leads
+                            # with the back-reference keyword
+                            raise ChSqlError(
+                                f"BAD_ARGUMENTS (36): bitmap tag "
+                                f"{dm.group(2)!r} collides with the "
+                                f"back-reference keyword"
+                            )
+                    stack.append(tag_sql(tag))
+            else:
+                b = stack.pop()
+                a2 = stack.pop()
+                fn = {"&": "array_intersect", "|": "array_union",
+                      ",": "array_union", "~": "array_except"}[t]
+                stack.append(f"{fn}({a2}, {b})")
+        if len(stack) != 1:
+            raise ChSqlError(
+                f"BAD_ARGUMENTS (36): malformed bitmap expression "
+                f"{expr!r}"
+            )
+        built.append(stack[0])
+
+    def render(e: str) -> str:
+        # CH renders BitMap64 as a sorted {..} set
+        return (
+            f"concat('{{', array_join(array_sort({e}), ','), '}}')"
+        )
+
+    if multi and extract:
+        return ("concat('[', concat_ws(',', "
+                + ", ".join(render(e) for e in built) + "), ']')")
+    if multi:
+        return "array(" + ", ".join(f"size({e})" for e in built) + ")"
+    if extract:
+        return render(built[0])
+    return f"size({built[0]})"
+
+
+def _bitmap_column_diff_sql(params: list[str], args: list[str]) -> str:
+    """bitmapColumnDiff(return_type, direction, step)(date, bm)
+    (reference AggregateFunctionBitMapColumnDiff.h, 20023): group the
+    bitmaps by date, sort the distinct dates, and emit one
+    (date, [diffs...]) struct per date where each diff is
+    d \\ neighbor-at-±step (missing neighbor → empty).  'backward' =
+    vs the previous date, 'forward' = vs the next, 'bidirection' =
+    [next, prev].  return_type 0 renders counts, 1 the {..} sets."""
+    as_count = params[0].strip() == "0"
+    direction = params[1].strip().strip("'").lower()
+    step = int(params[2].strip())
+    a0, a1 = args[0], args[1]
+    L = (f"array_sort(collect_list(named_struct('d', "
+         f"CAST({a0} AS STRING), 'b', {a1})))")
+    DS = f"array_distinct(transform({L}, __x -> __x.d))"
+    # per-date union of bitmaps (dates sorted, first-seen order = sorted)
+    U = (f"transform({DS}, __dd -> array_distinct(flatten(transform("
+         f"filter({L}, __y -> __y.d = __dd), __z -> __z.b))))")
+    offs = {"forward": [step], "backward": [-step],
+            "bidirection": [step, -step]}.get(direction)
+    if offs is None:
+        raise ChSqlError(
+            f"BAD_ARGUMENTS (36): bitmapColumnDiff direction "
+            f"{direction!r} must be forward/backward/bidirection"
+        )
+
+    def diff(off: int) -> str:
+        j = f"(__i + {off})"
+        nb = (f"CASE WHEN {j} >= 1 AND {j} <= size({DS}) "
+              f"THEN array_except(element_at({U}, __i), "
+              f"element_at({U}, {j})) "
+              f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+        if as_count:
+            return f"CAST(size({nb}) AS STRING)"
+        return (f"concat('{{', array_join(array_sort({nb}), ','), "
+                f"'}}')")
+
+    elems = ", ".join(diff(o) for o in offs)
+    return (
+        f"transform(sequence(1, size({DS})), __i -> named_struct("
+        f"'col1', element_at({DS}, __i), 'col2', array({elems})))"
+    )
+
+
 PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
+    "bitmapColumnDiff": _bitmap_column_diff_sql,
+    "bitmapCountV2": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=False, multi=False, with_date=False),
+    "bitmapExtractV2": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=True, multi=False, with_date=False),
+    "bitmapMultiCountV2": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=False, multi=True, with_date=False),
+    "bitmapMultiExtractV2": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=True, multi=True, with_date=False),
+    "bitmapMultiCountWithDateV2": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=False, multi=True, with_date=True),
+    "bitmapMultiExtractWithDateV2": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=True, multi=True, with_date=True),
+    "bitmapCount": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=False, multi=False, with_date=False),
+    "bitmapExtract": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=True, multi=False, with_date=False),
+    "bitmapMultiCount": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=False, multi=True, with_date=False),
+    "bitmapMultiExtract": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=True, multi=True, with_date=False),
+    "bitmapMultiCountWithDate": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=False, multi=True, with_date=True),
+    "bitmapMultiExtractWithDate": lambda p, a: _bitmap_v2_sql(
+        p, a, extract=True, multi=True, with_date=True),
     "quantile": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
@@ -3108,24 +3397,89 @@ def _rewrite_scalar_with(sql: str) -> str:
     return head + body
 
 
+def _eval_limit_const(e: str) -> int:
+    """Evaluate a constant LIMIT/OFFSET expression with the reference's
+    rules (LimitTransform / evaluateConstantExpression, 00834): integral
+    non-negative numerics fold; fractional/negative/string/date → error
+    440; rand() → 36 (nondeterministic); column references → 47."""
+    import math
+    import re as _re
+
+    t = e.strip()
+    t = _re.sub(r"(?i)\btoU?Int\d+\s*\(\s*'(-?\d+)'\s*\)", r"\1", t)
+    t = _re.sub(
+        r"(?i)\btoFloat(?:32|64)\s*\(\s*'(-?[\d.]+)'\s*\)", r"\1", t
+    )
+    t = _re.sub(
+        r"(?i)\b(?:LENGTH|lengthUTF8)\s*\(\s*'([^']*)'\s*\)",
+        lambda m: str(len(m.group(1))), t,
+    )
+    t = _re.sub(r"(?i)\bCOS\s*\(\s*0\s*\)", "1.0", t)
+    if _re.search(r"(?i)\brand(32|64)?\s*\(\s*\)", t):
+        raise ChSqlError(
+            "BAD_ARGUMENTS (36): LIMIT must be a deterministic constant"
+            " — rand() is not"
+        )
+    # randConstant() is one fixed draw per query; any value keeps the
+    # reference's observable (count <= 1 checks) — fold to 1
+    t = _re.sub(r"(?i)\brandConstant\s*\(\s*\)", "1", t)
+    if "'" in t or _re.search(
+        r"(?i)\b(now|today|toDate\w*|toDateTime\w*)\s*\(", t
+    ):
+        raise ChSqlError(
+            "INVALID_LIMIT_EXPRESSION (440): LIMIT must be a "
+            "non-negative integral numeric constant"
+        )
+    if not _re.fullmatch(r"[\d+\-*/%.()eE\s]+", t) or not _re.search(
+        r"\d", t
+    ):
+        raise ChSqlError(
+            "UNKNOWN_IDENTIFIER (47): LIMIT expression references "
+            "an unknown column"
+        )
+    try:
+        v = eval(t, {"__builtins__": {}})  # charset-restricted arithmetic
+    except Exception:
+        raise ChSqlError(
+            "INVALID_LIMIT_EXPRESSION (440): cannot evaluate the LIMIT "
+            "expression"
+        ) from None
+    if isinstance(v, float) and (
+        math.isnan(v) or math.isinf(v) or v != int(v)
+    ):
+        raise ChSqlError(
+            f"INVALID_LIMIT_EXPRESSION (440): LIMIT {e.strip()} is not "
+            f"an integral constant"
+        )
+    v = int(v)
+    if v < 0:
+        raise ChSqlError(
+            f"INVALID_LIMIT_EXPRESSION (440): LIMIT {e.strip()} is "
+            f"negative"
+        )
+    return v
+
+
 def _rewrite_float_limits(sql: str) -> str:
-    """``LIMIT 1.0`` — the reference floors fractional LIMIT/OFFSET
-    literals; Spark requires integers."""
+    """Constant LIMIT/OFFSET expressions fold at rewrite time with the
+    reference's validation (00834: `LIMIT 0 + 1`, `LIMIT toFloat32('1')`,
+    `LIMIT 1.5` → 440, `LIMIT rand()` → 36, `LIMIT a + b` → 47)."""
     import re as _re
 
     def repl(m):
-        kw = m.group(1)
-        v = float(m.group(0).split(None, 1)[1])
-        if v != int(v):
-            # the reference rejects a non-integral LIMIT (error 440)
-            raise ChSqlError(
-                f"INVALID_LIMIT_EXPRESSION (440): {kw} {v} is not an "
-                f"integral constant"
-            )
-        return f"{kw} {int(v)}"
+        kw, expr = m.group(1), m.group(2)
+        if _re.fullmatch(r"\d+", expr.strip()):
+            return m.group(0)  # already integral — fast path
+        vals = []
+        for part in expr.split(","):
+            vals.append(str(_eval_limit_const(part)))
+        return f"{kw} {', '.join(vals)}{m.group(3)}"
 
     return _re.sub(
-        r"(?i)\b(LIMIT|OFFSET)\s+(\d+)\.\d*(e\d+)?\b", repl, sql
+        r"(?i)\b(LIMIT|OFFSET)\s+((?:[^;()'\n]|\((?:[^()']|'[^']*')*\)|"
+        r"'[^']*')+?)(\s+BY\b|\s+OFFSET\b|\s+FORMAT\b|\s+SETTINGS\b|"
+        r"\s+WITH\b|\s+UNION\b|\s*;|\s*$|\s*\))",
+        repl, sql,
     )
 
 
@@ -3299,6 +3653,35 @@ RULES.update(
             f"OR NOT (__x <=> try_element_at({a[0]}, __i)))"
         ),
         "arrayIntersect": "array_intersect",
+        # arraySetCheck(col, set[, col2, set2...]) — true when EVERY
+        # column has at least one element of its set (reference
+        # arraySetCheck.cpp:39-41; sets may be scalars or tuples)
+        "arraySetCheck": lambda a: "(" + " AND ".join(
+            f"arrays_overlap({a[i]}, "
+            + (a[i + 1].strip()
+               if a[i + 1].strip().startswith("(")
+               else f"({a[i + 1]})")
+            .replace("(", "array(", 1) + ")"
+            for i in range(0, len(a), 2)
+        ) + ")",
+        # topoFindDown(hits, levels) — reference
+        # FunctionTopoFindDown.cpp:60-130: scan for a hit, mark it and
+        # every following entry while level > hit_level, then rescan
+        "topoFindDown": lambda a: (
+            f"aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__h, __l) -> named_struct('h', __h, 'l', __l)), "
+            f"named_struct('o', CAST(array() AS ARRAY<INT>), "
+            f"'tk', false, 'hl', CAST(0 AS INT)), "
+            f"(__s, __e) -> CASE "
+            f"WHEN __s.tk AND __e.l > __s.hl THEN named_struct("
+            f"'o', concat(__s.o, array(1)), 'tk', true, 'hl', __s.hl) "
+            f"WHEN __e.h = 1 THEN named_struct("
+            f"'o', concat(__s.o, array(1)), 'tk', true, "
+            f"'hl', CAST(__e.l AS INT)) "
+            f"ELSE named_struct('o', concat(__s.o, array(0)), "
+            f"'tk', false, 'hl', __s.hl) END, "
+            f"__s -> __s.o)"
+        ),
         "arrayRotateLeft": lambda a: (
             f"concat(slice({a[0]}, pmod({a[1]}, greatest(size({a[0]}), 1)) + 1, "
             f"size({a[0]})), slice({a[0]}, 1, "
@@ -4231,7 +4614,7 @@ def _rewrite_limit_by(sql: str) -> str:
     import re
 
     i_order = _depth0_find(sql, "ORDER BY")
-    i_limit = -1 if i_order < 0 else _depth0_find(sql, "LIMIT", i_order)
+    i_limit = _depth0_find(sql, "LIMIT", max(i_order, 0))
     if i_limit < 0:
         return sql
     # LIMIT n BY cols | LIMIT off, n BY cols | LIMIT n OFFSET off BY cols
@@ -4257,8 +4640,15 @@ def _rewrite_limit_by(sql: str) -> str:
     else:
         cols = sql[cols_start:].strip()
         tail = ""
-    core = sql[:i_order].strip()
-    order = sql[i_order + len("ORDER BY") : i_limit].strip()
+    if i_order >= 0:
+        core = sql[:i_order].strip()
+        order = sql[i_order + len("ORDER BY"):i_limit].strip()
+    else:
+        # LIMIT BY without ORDER BY: the reference keeps first-seen rows
+        # per group in storage order — the BY columns themselves give a
+        # deterministic stand-in (00834 `LIMIT 1 BY number`)
+        core = sql[:i_limit].strip()
+        order = cols
     return (
         f"SELECT * EXCEPT(__rn) FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {cols} ORDER BY {order}) AS __rn "
@@ -5621,7 +6011,9 @@ def _rewrite_implicit_map_access(sql: str) -> str:
             prev = "".join(out[-96:])
             import re as _re
 
-            m = _re.search(r"(?<![\w.])([A-Za-z_]\w*)\s*$", prev)
+            m = _re.search(
+                r"(?<![\w.])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*$", prev
+            )
             if m and m.group(1).upper() not in _SQL_KEYWORDS_UP:
                 # find the matching }
                 depth, k = 0, i
@@ -6001,8 +6393,58 @@ _CALL_POSITION_KWS = frozenset({
 })
 
 
+def _backtick_dotted_columns(sql: str) -> str:
+    """Nested subcolumns are FLAT columns with dotted names (`n.a`
+    Array) — bare `n.a` references must backtick-quote so Spark doesn't
+    parse them as struct access (00576)."""
+    import re as _re
+
+    dotted = {
+        c[0] for ddl in _TABLE_CH_DDL.values()
+        for c in ddl.get("columns", ()) if "." in c[0]
+    }
+    if not dotted:
+        return sql
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        bt = parts[i].split("`")
+        for j in range(0, len(bt), 2):
+            for name in dotted:
+                bt[j] = _re.sub(
+                    rf"(?<![\w.`]){_re.escape(name)}(?![\w.])",
+                    f"`{name}`", bt[j],
+                )
+        parts[i] = "`".join(bt)
+    return "'".join(parts)
+
+
+def _rewrite_json_subcolumns(sql: str) -> str:
+    """Dynamic subcolumn access on JSON-typed columns (reference
+    DataTypeObject, 01825): ``json.index`` reads the path from the
+    stored document — get_json_object keeps it one JVM-side expression."""
+    import re as _re
+
+    json_cols = {
+        c[0] for ddl in _TABLE_CH_DDL.values()
+        for c in ddl.get("columns", ())
+        if (c[1] or "").strip().upper() == "JSON"
+    }
+    if not json_cols:
+        return sql
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        for col in json_cols:
+            parts[i] = _re.sub(
+                rf"(?<![\w.`]){_re.escape(col)}\.(\w+)\b",
+                rf"get_json_object(`{col}`, '$.\1')", parts[i],
+            )
+    return "'".join(parts)
+
+
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
+    sql = _backtick_dotted_columns(sql)
+    sql = _rewrite_json_subcolumns(sql)
     sql = _rewrite_system_numbers(sql)
     import re as _re_sys
     for dotted, target in _SYSTEM_TABLE_MAP.items():
@@ -6081,6 +6523,9 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql)
     sql = _rewrite_with_fill_recursive(sql)
+    # constant LIMIT expressions fold BEFORE the LIMIT BY rewrite so
+    # `LIMIT 0 + 1 BY number` reaches it as `LIMIT 1 BY number` (00834)
+    sql = _rewrite_float_limits(sql)
     sql = _rewrite_limit_by_recursive(sql)
     sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_distinct_on_recursive(sql)
@@ -6605,6 +7050,15 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         _re.IGNORECASE,
     )
     if m:
+        if (m.group(1) or "").upper() == "SYNTAX":
+            # EXPLAIN SYNTAX prints the FORMATTED query text (reference
+            # InterpreterExplainQuery ast_kind Syntax; 01881 — the
+            # formatter is identity on already-normalized statements)
+            body = sql[m.end():].strip().rstrip(";").strip()
+            return spark.createDataFrame(
+                [(line,) for line in body.splitlines()],
+                "explain string",
+            )
         from byconity_spark.plans.explain import explain_ch
 
         inner = ch_sql(spark, sql[m.end() :])
@@ -8847,8 +9301,13 @@ def _prepare_insert_block(spark, name: str, new, provided):
                 f"AS `{f.name}`"
             )
         else:
-            omitted = ("NULL" if mysql_nullable
-                       else _type_default_sql(t))
+            ch_t = ddl_cols.get(f.name, "")
+            omitted = (
+                "NULL" if mysql_nullable
+                or _re_ins.match(r"(?i)\s*(Nullable|LowCardinality\s*"
+                                 r"\(\s*Nullable)", ch_t)
+                else _type_default_sql(t)
+            )
             exprs.append(
                 f"CAST({omitted} AS {t}) AS `{f.name}`"
             )
@@ -9977,7 +10436,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     # CREATE STATS runs the real distributed collection pass and feeds
     # Catalyst CBO for path-backed engine tables.
     m = re.match(
-        r"CREATE\s+STATS\s+(?:IF\s+NOT\s+EXISTS\s+)?(\*|all|`?\w+`?)"
+        r"CREATE\s+STATS\s+(IF\s+NOT\s+EXISTS\s+)?(\*|all|`?\w+`?)"
         r"(?:\s*\(([^)]*)\))?(?:\s+(?:WITH\s+)?(?:FULL|SAMPLE)"
         r"(?:\s+\w+\s+\d+\s*(?:ROWS|PERCENT)?)*)?"
         r"(?:\s+SETTINGS\s+.+)?(?:\s+FORMAT\s+\w+)?$",
@@ -9985,20 +10444,24 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         from byconity_spark.engine.stats import (
-            collect_display_stats, create_stats,
+            _SHOW_STATS, collect_display_stats, create_stats,
         )
-        target = m.group(1).strip("`")
+        if_not_exists = bool(m.group(1))
+        target = m.group(2).strip("`")
         cols = (
-            [c.strip() for c in m.group(2).split(",") if c.strip()]
-            if m.group(2) else None
+            [c.strip() for c in m.group(3).split(",") if c.strip()]
+            if m.group(3) else None
         )
         # reference output shape (InterpreterCreateStatsQuery.cpp:79-84;
         # elapsed_time omitted under create_stats_time_output = 0):
         # (table_name, column_count, row_count_or_error)
         if target in ("*", "all"):
-            # wildcard: every session table (ParserStatsQuery `*`/ALL)
+            # wildcard: every session table (ParserStatsQuery `*`/ALL);
+            # IF NOT EXISTS skips tables that already have stats (45004)
             out_rows = []
             for t in sorted(_SESSION_TABLE_ENGINES):
+                if if_not_exists and t in _SHOW_STATS:
+                    continue
                 try:
                     nc, rc = collect_display_stats(spark, t, None)
                     create_stats(spark, t, None)
@@ -10009,6 +10472,11 @@ def _try_ddl(spark: SparkSession, sql: str):
                 out_rows or [("", 0, "none")],
                 "table_name string, column_count bigint, "
                 "row_count_or_error string",
+            )
+        if if_not_exists and target in _SHOW_STATS:
+            return spark.createDataFrame(
+                [], "table_name string, column_count bigint, "
+                    "row_count_or_error string",
             )
         ncols, rcount = collect_display_stats(spark, target, cols)
         try:
@@ -10026,16 +10494,25 @@ def _try_ddl(spark: SparkSession, sql: str):
         )
 
     m = re.match(
-        r"DROP\s+STATS\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)$", s, re.IGNORECASE
+        r"DROP\s+STATS\s+(?:IF\s+EXISTS\s+)?(\*|[A-Za-z_]\w*)$",
+        s, re.IGNORECASE,
     )
     if m:
         from byconity_spark.engine.stats import (
-            drop_display_stats, drop_stats,
+            _SHOW_STATS, drop_display_stats, drop_stats,
         )
-        found = drop_stats(m.group(1))
-        found = drop_display_stats(m.group(1)) or found
+        name = m.group(1)
+        if name.lower() in ("*", "all"):
+            for t in list(_SHOW_STATS):
+                drop_stats(t)
+                drop_display_stats(t)
+            return spark.createDataFrame(
+                [("all", "dropped")], "table string, status string"
+            )
+        found = drop_stats(name)
+        found = drop_display_stats(name) or found
         return spark.createDataFrame(
-            [(m.group(1), "dropped" if found else "not_found")],
+            [(name, "dropped" if found else "not_found")],
             "table string, status string",
         )
 
@@ -10206,21 +10683,35 @@ def _try_ddl(spark: SparkSession, sql: str):
             [(m.group(1), "set")], "user string, status string"
         )
 
-    m = re.match(r"SHOW\s+STATS\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
+    m = re.match(
+        r"SHOW\s+STATS\s+(\*|[A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
     if m:
-        from byconity_spark.engine.stats import show_stats_rows
+        from byconity_spark.engine.stats import (
+            _SHOW_STATS, show_stats_rows,
+        )
+        names = (sorted(_SHOW_STATS)
+                 if m.group(1).lower() in ("*", "all") else [m.group(1)])
+        rows = [r for n in names for r in show_stats_rows(n)]
         return spark.createDataFrame(
-            show_stats_rows(m.group(1)),
+            rows,
             "identifier string, type string, count string, "
             "null_count string, ndv string, min string, max string, "
             "avg_byte_size string, has_histogram string",
         )
 
-    m = re.match(r"SHOW\s+COLUMN_STATS\s+([A-Za-z_]\w*)$", s, re.IGNORECASE)
+    m = re.match(
+        r"SHOW\s+COLUMN_STATS\s+(\*|[A-Za-z_]\w*)$", s, re.IGNORECASE
+    )
     if m:
-        from byconity_spark.engine.stats import show_column_stats_rows
+        from byconity_spark.engine.stats import (
+            _SHOW_STATS, show_column_stats_rows,
+        )
+        names = (sorted(_SHOW_STATS)
+                 if m.group(1).lower() in ("*", "all") else [m.group(1)])
+        rows = [r for n in names for r in show_column_stats_rows(n)]
         return spark.createDataFrame(
-            show_column_stats_rows(m.group(1)),
+            rows,
             "identifier string, bucket_id string, range string, "
             "count string, ndv string, cumulative_count string, "
             "cumulative_ndv string",
@@ -11331,8 +11822,13 @@ def _try_ddl(spark: SparkSession, sql: str):
                 )
             if col not in t.columns:
                 raise ChSqlError(f"CLEAR MAP KEY: no column {col!r}")
+            # compare in STRING space: a bare 1.11 literal parses as
+            # DECIMAL and never equals the Float32 key value (00745
+            # clear map key float_map(1.11)); float→string is the
+            # shortest round-trip on both sides
             exprs[col] = (
-                f"map_filter(`{col}`, (__k, __v) -> __k != {key})"
+                f"map_filter(`{col}`, (__k, __v) -> "
+                f"NOT (CAST(__k AS STRING) <=> CAST({key} AS STRING)))"
                 f" AS `{col}`"
             )
         proj = [exprs.get(c, f"`{c}`") for c in t.columns]
@@ -11351,7 +11847,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     # the frontend).
     m = re.match(
         r"ALTER\s+TABLE\s+(`[^`]+`|[\w.]+)\s+ADD\s+COLUMN\s+"
-        r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_]\w*)\s+(.+?)"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_][\w.]*)\s+(.+?)"
         r"(?:\s+DEFAULT\s+(.+))?$",
         s, re.IGNORECASE | re.DOTALL,
     )
@@ -11376,6 +11872,19 @@ def _try_ddl(spark: SparkSession, sql: str):
                     "array()" if sl.startswith("ARRAY") else
                     "''" if "string" in low or "fixedstring" in low
                     else "NULL" if "nullable" in low else "0")
+            if "." in col and sl.startswith("ARRAY"):
+                # a Nested subcolumn: its default array SIZES to the
+                # sibling subcolumns' per-row length (00576 n.b fills
+                # [0,...] matching n.a)
+                prefix = col.split(".", 1)[0] + "."
+                sib = next(
+                    (c for c in t.columns
+                     if c.startswith(prefix) and c != col), None,
+                )
+                if sib is not None:
+                    elem = ("''" if "string" in low.split("(", 1)[-1]
+                            else "0")
+                    expr = f"array_repeat({elem}, size(`{sib}`))"
         t.selectExpr("*", f"CAST(({expr}) AS {spark_type}) AS `{col}`"
                      ).createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache

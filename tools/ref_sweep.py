@@ -34,13 +34,17 @@ from collections import Counter
 REF_DIR = "/root/reference/tests/queries/4_cnch_stateless"
 
 
-def split_statements(sql: str) -> list[str]:
+def split_statements(sql: str, with_raw: bool = False):
     """Split on top-level ';' — quote- and comment-aware.  A
     clickhouse-test error annotation (``-- { serverError N }`` /
     ``{ clientError N }``) attaches to the statement it follows: the
     reference's own harness EXPECTS that statement to raise, so the sweep
-    marks it with a leading ``--EXPECT_ERROR `` sentinel."""
+    marks it with a leading ``--EXPECT_ERROR `` sentinel.  with_raw also
+    returns each statement's RAW source segment (comments and blank
+    lines included) for clickhouse-test echo mode."""
     out, cur = [], []
+    raws: list[str] = []
+    seg_start = 0
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
@@ -87,6 +91,8 @@ def split_statements(sql: str) -> list[str]:
             st = "".join(cur).strip()
             if st:
                 out.append(st)
+                raws.append(sql[seg_start:i + 1])
+            seg_start = i + 1
             cur = []
             i += 1
             continue
@@ -95,6 +101,9 @@ def split_statements(sql: str) -> list[str]:
     st = "".join(cur).strip()
     if st:
         out.append(st)
+        raws.append(sql[seg_start:])
+    if with_raw:
+        return list(zip(out, raws))
     return out
 
 
@@ -204,7 +213,7 @@ def ch_fmt_cell(v, nested: bool = False) -> str:
 
 
 _OUTPUT_STMT = re.compile(
-    r"(?is)^\s*(SELECT|WITH|SHOW|DESCRIBE|DESC|EXISTS|CHECK|"
+    r"(?is)^\s*(SELECT|WITH|SHOW|DESCRIBE|DESC|EXISTS|CHECK|EXPLAIN|"
     r"CREATE\s+STATS)\b"
 )
 # FORMAT Null discards the result entirely (clickhouse-client prints
@@ -244,6 +253,8 @@ def _ntz_scale(colname: str, st: str | None) -> int:
     if st:
         ms = set(re.findall(
             r"(?i)(?:DateTime64|DateTimeWithoutTz)\s*\(\s*(\d+)", st
+        ) + re.findall(
+            r"(?i)toDateTime64\s*\([^,()]*,\s*(\d+)", st
         ))
         if len(ms) == 1:
             return int(ms.pop())
@@ -255,13 +266,31 @@ def _schema_convs(schema, st: str | None):
     timestamp-ntz leaves (_NTZ) so ch_fmt_cell renders them the CH way;
     None = identity (zero overhead for the common case)."""
     from pyspark.sql.types import (ArrayType, FloatType, MapType,
-                                   StructType, TimestampNTZType)
+                                   StructType, TimestampNTZType,
+                                   TimestampType)
+
+    # a DateTime64/toDateTime64 scale declared in the statement also
+    # fixes the fraction width of tz'd TIMESTAMP results (01802
+    # toDateTime64(..., 6, tz) renders .000000; scale 0 renders none)
+    stmt_scale = None
+    if st and re.search(
+        r"(?i)toDateTime64\s*\(|DateTime64\s*\(\s*\d", st
+    ):
+        ms = set(re.findall(
+            r"(?i)(?:DateTime64|DateTimeWithoutTz)\s*\(\s*(\d+)", st
+        ) + re.findall(
+            r"(?i)toDateTime64\s*\([^,()]*,\s*(\d+)", st
+        ))
+        if len(ms) == 1:
+            stmt_scale = int(ms.pop())
 
     def conv(dt, scale):
         if isinstance(dt, FloatType):
             return lambda v: _F32(v) if isinstance(v, float) else v
         if isinstance(dt, TimestampNTZType):
             return lambda v: _NTZ(v, scale)
+        if isinstance(dt, TimestampType) and stmt_scale is not None:
+            return lambda v: _NTZ(v, stmt_scale)
         if isinstance(dt, ArrayType):
             c = conv(dt.elementType, scale)
             if c is None:
@@ -290,9 +319,26 @@ def _schema_convs(schema, st: str | None):
             )
         return None
 
-    return [
-        conv(f.dataType, _ntz_scale(f.name, st)) for f in schema.fields
-    ]
+    def is_byte_map(col: str) -> bool:
+        try:
+            from byconity_spark.frontend.sql import _TABLE_BYTE_MAPS
+            return any(col in c for c in _TABLE_BYTE_MAPS.values())
+        except Exception:
+            return False
+
+    out = []
+    for f in schema.fields:
+        c = conv(f.dataType, _ntz_scale(f.name, st))
+        if isinstance(f.dataType, MapType) and is_byte_map(f.name):
+            # BYTE maps store one implicit column per key and
+            # reconstruct key-sorted; the Arrow collect conversion
+            # scrambles primitive-key map entry order, so re-sort here
+            base = c or (lambda v: v)
+            c = (lambda b: lambda v: dict(
+                sorted(b(v).items(), key=lambda kv: kv[0])
+            ))(base)
+        out.append(c)
+    return out
 
 
 def golden_rows(df, st: str | None = None) -> list[str]:
@@ -489,12 +535,23 @@ def main() -> None:
             text = open(fp, encoding="utf-8", errors="replace").read()
         except OSError:
             continue
-        stmts = split_statements(text)
+        stmts = split_statements(text, with_raw=True)
         if not stmts:
             continue
         err = None
         out_lines: list[str] = []
-        for st in stmts:
+        echo_on = False
+        for st, raw in stmts:
+            # clickhouse-test echo mode: from the statement whose raw
+            # text carries `-- { echo }` / `{ echoOn }` on, every
+            # statement's raw text (internal comments kept, outer
+            # whitespace stripped) prints before its output
+            if re.search(r"\{\s*echo\s*\}|\{\s*echoOn\s*\}", raw):
+                echo_on = True
+            elif re.search(r"\{\s*echoOff\s*\}", raw):
+                echo_on = False
+            if echo_on and golden:
+                out_lines.extend(raw.strip().splitlines())
             expect_error = st.startswith("--EXPECT_ERROR ")
             if expect_error:
                 st = st[len("--EXPECT_ERROR "):].strip()
