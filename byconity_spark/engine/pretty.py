@@ -140,3 +140,85 @@ def render(
     if f == "vertical":
         return render_vertical(names, rows)
     return render_pretty(names, rows, aligns)
+
+
+def render_xml(
+    names: list, ch_types: list, rows: list, extremes: bool,
+) -> list[str]:
+    """FORMAT XML (reference src/Processors/Formats/Impl/
+    XMLRowOutputFormat.cpp, 00307): meta with CH type names, one
+    element per column (invalid XML tag names fall back to <field>),
+    &/< escaped, arrays as <array><elem>, tuples as <tuple><elem>,
+    min/max blocks under SETTINGS extremes = 1, trailing row count."""
+    import datetime
+    import re
+
+    def esc(s: str) -> str:
+        return str(s).replace("&", "&amp;").replace("<", "&lt;")
+
+    def tag(name: str) -> str:
+        return (name if re.fullmatch(r"[A-Za-z_][\w.:-]*", name)
+                else "field")
+
+    def val(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, list):
+            return ("<array>" + "".join(
+                f"<elem>{val(x)}</elem>" for x in v) + "</array>")
+        if isinstance(v, tuple) or hasattr(v, "asDict"):
+            return ("<tuple>" + "".join(
+                f"<elem>{val(x)}</elem>" for x in list(v)) + "</tuple>")
+        return esc(v)
+
+    out = ["<?xml version='1.0' encoding='UTF-8' ?>", "<result>",
+           "\t<meta>", "\t\t<columns>"]
+    for nm, t in zip(names, ch_types):
+        out += ["\t\t\t<column>",
+                f"\t\t\t\t<name>{esc(nm)}</name>",
+                f"\t\t\t\t<type>{esc(t)}</type>",
+                "\t\t\t</column>"]
+    out += ["\t\t</columns>", "\t</meta>", "\t<data>"]
+
+    def block(rvals, indent):
+        lines = []
+        for nm, v in zip(names, rvals):
+            t = tag(nm)
+            cell = val(v)
+            # embedded newlines stay REAL newlines inside the element
+            lines.extend(
+                f"{indent}<{t}>{cell}</{t}>".split("\n")
+                if "\n" not in cell
+                else (f"{indent}<{t}>{cell}</{t}>").split("\n")
+            )
+        return lines
+
+    for r in rows:
+        out.append("\t\t<row>")
+        out.extend(block(list(r), "\t\t\t"))
+        out.append("\t\t</row>")
+    out.append("\t</data>")
+    if extremes and rows:
+        def agg(fn):
+            cols = list(zip(*[list(r) for r in rows]))
+            picked = []
+            for c in cols:
+                try:
+                    picked.append(fn(c))
+                except TypeError:
+                    picked.append(c[0])
+            return picked
+
+        out.append("\t<extremes>")
+        for label, fn in (("min", min), ("max", max)):
+            out.append(f"\t\t<{label}>")
+            out.extend(block(agg(fn), "\t\t\t"))
+            out.append(f"\t\t</{label}>")
+        out.append("\t</extremes>")
+    out.append(f"\t<rows>{len(rows)}</rows>")
+    out.append("</result>")
+    return out

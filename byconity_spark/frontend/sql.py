@@ -170,6 +170,27 @@ def _infer_ch_type(e: str) -> str | None:
         fn = fm.group(1)
         if fn in _CONV_CH_TYPES:
             return _CONV_CH_TYPES[fn]
+        fsm = _re.fullmatch(r"toFixedString", fn)
+        if fsm:
+            args = _split_args(s[fm.end():len(s) - 1])
+            if len(args) == 2 and _re.fullmatch(
+                r"\s*\d+\s*", args[1]
+            ):
+                return f"FixedString({args[1].strip()})"
+        if fn in ("if", "multiIf"):
+            # branch supertype: equal branch types keep the type;
+            # mixed FixedString widths widen to String (01355)
+            args = _split_args(s[fm.end():len(s) - 1])
+            branches = args[1:] if fn == "if" else [
+                a2 for idx, a2 in enumerate(args) if idx % 2 == 1
+            ] + ([args[-1]] if len(args) % 2 == 1 else [])
+            ts = [_infer_ch_type(b) for b in branches]
+            if ts and all(t is not None for t in ts):
+                if len(set(ts)) == 1:
+                    return ts[0]
+                if all(str(t).startswith("FixedString") for t in ts):
+                    return "String"
+            return None
         um = _re.fullmatch(r"fromUnixTimestamp64(Milli|Micro|Nano)", fn)
         if um:
             # DataTypeDateTime64 with the unit's scale; the tz argument
@@ -415,6 +436,20 @@ def _declared_container_types(col: str):
     return None
 
 
+def _array_elem_default(expr: str) -> str:
+    """Element-type DEFAULT literal for an array expression's spelling:
+    '' when it reads string-ish, else 0 (arrayFirst/arrayLast no-match
+    semantics, 00182)."""
+    import re as _re
+
+    lit = _subscript_default_literal(expr)
+    if lit is not None:
+        return lit
+    if _re.search(r"(?i)string|char|tostring|'[^']", expr):
+        return "''"
+    return "0"
+
+
 def _subscript_default_literal(expr: str) -> str | None:
     """The CH type-default literal for an out-of-range subscript, when
     the element type is visible from the array expression's spelling
@@ -432,6 +467,19 @@ def _subscript_default_literal(expr: str) -> str | None:
     am = _re.match(r"array\s*\(\s*(['\-\d])", e)
     if am and _re.match(r"array\s*\((?:[^()]|\([^()]*\))*\)$", e):
         return "''" if am.group(1) == "'" else "0"
+    # map LITERAL spelling: the value type default comes from the
+    # second argument (02014 const maps — m[missing] = 0, never NULL)
+    while e.startswith("(") and _match_paren(e, 0) == len(e) - 1:
+        e = e[1:-1].strip()
+    mm = _re.match(r"(?is)map\s*\(", e)
+    if mm and _match_paren(e, mm.end() - 1) == len(e) - 1:
+        args = _split_args(e[mm.end():-1])
+        if len(args) >= 2:
+            v = args[1].strip()
+            if _re.match(r"^-?[\d.]", v):
+                return "0"
+            if v.startswith("'"):
+                return "''"
     return None
 
 
@@ -990,6 +1038,50 @@ def _order_by_storage_ties(sql: str) -> str:
     ins = clause.rstrip()
     pad = clause[len(ins):]
     return (sql[:start] + ins + ", " + ", ".join(add) + pad + sql[i:])
+
+
+def _order_by_enum_values(sql: str) -> str:
+    """Enum columns sort by their NUMERIC values, not the name strings
+    (DataTypeEnum comparison; 01521 `ORDER BY e DESC` puts 'PS' = 3
+    before 'WS' = 2) — swap the sort key for the value CASE map on
+    single-relation statements."""
+    import re as _re
+
+    if _re.search(r"(?i)\bUNION\b|\bJOIN\b|\bOVER\b|\bFROM\s*\(", sql):
+        return sql
+    froms = _re.findall(r"(?i)\bFROM\s+`?(\w+)`?", sql)
+    if len(set(froms)) != 1:
+        return sql
+    ddl = _TABLE_CH_DDL.get(froms[0])
+    if not ddl:
+        return sql
+    enums = {}
+    for cn, ct, _k, _e in ddl.get("columns", ()):
+        if ct and _re.match(r"(?i)\s*Enum(8|16)?\s*\(", ct):
+            pairs = _re.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", ct)
+            if pairs:
+                enums[cn] = pairs
+    if not enums:
+        return sql
+    obm = _re.search(r"(?i)\bORDER\s+BY\b", sql)
+    if not obm:
+        return sql
+
+    def swap(m):
+        col = m.group(1)
+        pairs = enums[col]
+        whens = " ".join(f"WHEN '{n}' THEN {v}" for n, v in pairs)
+        return f"(CASE `{col}` {whens} END){m.group(2) or ''}"
+
+    head, tail = sql[:obm.end()], sql[obm.end():]
+    for col in enums:
+        tail = _re.sub(
+            rf"(?i)(?<![\w.`])({_re.escape(col)})"
+            rf"(\s+(?:ASC|DESC))?(?=\s*(?:,|$|LIMIT\b|SETTINGS\b|"
+            rf"FORMAT\b|OFFSET\b|;))",
+            swap, tail,
+        )
+    return head + tail
 
 
 def _order_by_nulls(sql: str) -> str:
@@ -1555,9 +1647,53 @@ def _sql_char_ngrams(s: str, n: int = 4) -> str:
     )
 
 
+def _decimal_plain_sql(c: str) -> str:
+    """Decimal → CH number text: PLAIN notation (BigDecimal's toString
+    goes scientific below 1e-6 — expand it) with trailing zeros and a
+    bare trailing dot trimmed (00700 JSON/CSV decimal formats)."""
+    s = f"CAST({c} AS STRING)"
+    exp = f"CAST(regexp_extract({s}, 'E(-?\\\\d+)$', 1) AS INT)"
+    sign = f"(CASE WHEN {c} < 0 THEN '-' ELSE '' END)"
+    digits = (
+        f"replace(replace(regexp_extract({s}, '^-?([\\\\d.]+)', 1), "
+        f"'.', ''), '-', '')"
+    )
+    expanded = (
+        f"(CASE WHEN {s} RLIKE 'E-' THEN concat({sign}, '0.', "
+        f"repeat('0', -({exp}) - 1), {digits}) ELSE {s} END)"
+    )
+    trimmed = (
+        f"regexp_replace(regexp_replace({expanded}, "
+        f"'(\\\\.\\\\d*?)0+$', '$1'), '\\\\.$', '')"
+    )
+    return trimmed
+
+
 def _case_chain(args: list[str]) -> str:
     if len(args) < 3 or len(args) % 2 == 0:
         raise ChSqlError("multiIf expects cond1, val1, ..., default")
+    # multiIf with MIXED-width FixedString branches converts through
+    # String WITHOUT keeping the NUL padding (01355 — unlike if(),
+    # which keeps the padded bytes): strip the pads
+    import re as _re_mi
+
+    vals = [args[i] for i in range(1, len(args), 2)] + [args[-1]]
+    widths = {
+        m.group(1)
+        for v in vals
+        for m in [_re_mi.search(
+            r"(?is)rpad\s*\(.*,\s*(\d+)\s*,\s*chr\(0\)\s*\)\s*$",
+            v.strip(),
+        )] if m
+    }
+    if len(widths) > 1:
+        args = [
+            (_re_mi.sub(
+                r"(?is)^rpad\s*\(\s*(.*),\s*\d+\s*,\s*chr\(0\)\s*\)$",
+                r"\1", a.strip(),
+            ) if i % 2 == 1 or i == len(args) - 1 else a)
+            for i, a in enumerate(args)
+        ]
     # CH conditions may be UInt8 (multiIf(0, 'a', 1, 'b', 'c') in the
     # reference's own tests) — CAST coerces nonzero→true, NULL→else branch,
     # matching the reference; a boolean condition casts as a no-op
@@ -1647,9 +1783,16 @@ RULES: dict[str, object] = {
     "lengthUTF8": "char_length",
     "lowerUTF8": "lower", "upperUTF8": "upper",
     # position(haystack, needle[, start]) — CH arg order; Spark's locate
-    # is (needle, haystack, start)
+    # is (needle, haystack, start).  EMPTY needle with a start: found AT
+    # start when start <= len+1 (start 0 counts as 1), else 0
+    # (PositionImpl, 00233 MySQL family)
     "position": lambda a: (
-        f"locate({a[1]}, {a[0]}, {a[2]})" if len(a) > 2
+        (
+            f"(CASE WHEN length({a[1]}) = 0 THEN "
+            f"(CASE WHEN greatest({a[2]}, 1) <= length({a[0]}) + 1 "
+            f"THEN greatest({a[2]}, 1) ELSE 0 END) "
+            f"ELSE locate({a[1]}, {a[0]}, greatest({a[2]}, 1)) END)"
+        ) if len(a) > 2
         else f"instr({a[0]}, {a[1]})"
     ),
     "match": lambda a: f"({a[0]} RLIKE {a[1]})",
@@ -2728,15 +2871,18 @@ RULES.update(
         "parseDateTimeBestEffortOrNull": lambda a: _parse_best_effort_sql(a),
         "generateUUIDv4": lambda a: "uuid()",
     # session timezone — the engine runs UTC (timezone.cpp serverTimezone)
-    "timezone": lambda a: "'UTC'",
+    "timezone": lambda a: f"'{_session_tz() or 'UTC'}'",
     "timeZone": lambda a: "'UTC'",
     "serverTimezone": lambda a: "'UTC'",
     "serverTimeZone": lambda a: "'UTC'",
     # snowflake id: ms timestamp << 22 | sequence — monotone across
-    # inserts AND within a block (generateSnowflakeID.cpp layout)
+    # inserts AND within a block (generateSnowflakeID.cpp layout).  The
+    # per-rewrite counter folds in as the sequence HIGH bits so two
+    # statements in the SAME millisecond still order (60004)
     "generateSnowflakeID": lambda a: (
-        "(shiftleft(unix_millis(current_timestamp()), 22) + "
-        "pmod(monotonically_increasing_id(), 4194304))"
+        f"(shiftleft(unix_millis(current_timestamp()), 22) + "
+        f"{next(_SNOWFLAKE_SEQ) % 1024} * 4096 + "
+        f"pmod(monotonically_increasing_id(), 4096))"
     ),
         # arrays
         # NB: emitted SQL avoids BOTH the ARRAY<T> generic syntax and the
@@ -2980,20 +3126,42 @@ def _array_reduce_sql(a: list[str]) -> str:
         # multi-array form aggregates TUPLES of elements positionally
         arr = f"zip_with({a[1]}, {a[2]}, (__l, __r) -> struct(__l, __r))"
     qm = _re.fullmatch(
-        r"quantiles?(?:exact)?\s*\(\s*([\d.,\s]+)\s*\)", agg
+        r"quantiles?(exact)?\s*\(\s*([\d.,\s]+)\s*\)", agg
     )
     if qm:
-        # nearest-rank quantile over the sorted array (the reference's
-        # arrayReduce('quantile(q)') path)
+        exact = bool(qm.group(1))
+        srt = f"array_sort(transform({arr}, __x -> CAST(__x AS DOUBLE)))"
+        n_sz = f"size({arr})"
+
         def one(q: str) -> str:
+            if exact:
+                # quantileExact: nearest-rank over the sorted array
+                return (
+                    f"try_element_at(array_sort({arr}), greatest(1, "
+                    f"CAST(ceil(size({arr}) * {q.strip()}) AS INT)))"
+                )
+            # plain quantile INTERPOLATES between the bracketing ranks
+            # (QuantileReservoirSampler::quantileInterpolated; 00291
+            # quantiles(0.5, 0.9) over [0,1] = [0.5, 0.9]); empty → nan
+            h = f"(({n_sz} - 1) * CAST({q.strip()} AS DOUBLE))"
+            lo = f"CAST(floor({h}) AS INT)"
             return (
-                f"try_element_at(array_sort({arr}), greatest(1, "
-                f"CAST(ceil(size({arr}) * {q.strip()}) AS INT)))"
+                f"(CASE WHEN {n_sz} = 0 THEN CAST('nan' AS DOUBLE) "
+                f"ELSE try_element_at({srt}, {lo} + 1) * "
+                f"(1 - ({h} - {lo})) + coalesce(try_element_at({srt}, "
+                f"{lo} + 2), try_element_at({srt}, {lo} + 1)) * "
+                f"({h} - {lo}) END)"
             )
-        qs = [x for x in qm.group(1).split(",") if x.strip()]
+        qs = [x for x in qm.group(2).split(",") if x.strip()]
         if agg.startswith("quantiles"):
             return "array(" + ", ".join(one(q) for q in qs) + ")"
         return one(qs[0])
+    if agg in ("uniqif", "uniqexactif") and "zip_with" in arr:
+        # -If over the zipped (value, cond) pairs
+        return (
+            f"size(array_distinct(transform(filter({arr}, "
+            f"__t -> CAST(__t.__r AS BOOLEAN)), __t -> __t.__l)))"
+        )
     if agg.endswith("merge"):
         # merge over an ARRAY of SQL-dialect states (_state_merge_rule
         # representations: collect_set / value partials)
@@ -3325,6 +3493,15 @@ def _rewrite_colon_casts(sql: str) -> str:
         r"(\s*::\s*DateTime\w*)",
         fix_pre_epoch, sql,
     )
+    # FixedString(n) casts NUL-pad to exactly n bytes (02014:
+    # 'aaa'::FixedString(4) is 4 bytes and misses the 3-byte map key)
+    sql = re.sub(
+        r"('(?:[^'\\]|\\.)*'|`[^`]+`|\w+)\s*::\s*"
+        r"FixedString\s*\(\s*(\d+)\s*\)",
+        lambda m: (f"rpad({m.group(1)}, {m.group(2)}, "
+                   f"CAST(unhex('00') AS STRING))"),
+        sql,
+    )
     return re.sub(
         r"::\s*([A-Za-z_]\w*(?:\(\s*(?:\d+(?:,\s*\d+)?)?\s*\))?)",
         lambda m: f"::{_ch_type(m.group(1))}",
@@ -3388,11 +3565,20 @@ def _rewrite_scalar_with(sql: str) -> str:
     resolved: list = []
     for name, expr in scalars:
         for pname, pexpr in resolved:
-            expr = re.sub(rf"\b{re.escape(pname)}\b", f"({pexpr})", expr)
+            # replacement via lambda: the expression text is NOT a
+            # regex template — backslashes in string literals ('\\1'
+            # backrefs, 00997) must survive verbatim
+            expr = re.sub(
+                rf"\b{re.escape(pname)}\b",
+                lambda _m, _t=f"({pexpr})": _t, expr,
+            )
         resolved.append((name, expr))
     body = sql[sel_at:]
     for name, expr in resolved:
-        body = re.sub(rf"\b{re.escape(name)}\b", f"({expr})", body)
+        body = re.sub(
+            rf"\b{re.escape(name)}\b",
+            lambda _m, _t=f"({expr})": _t, body,
+        )
     head = f"WITH {', '.join(ctes)} " if ctes else ""
     return head + body
 
@@ -3780,16 +3966,28 @@ RULES.update(
             f"({a[0]} RLIKE '^[0-9a-fA-F:]{{2,39}}$' AND "
             f"contains({a[0]}, ':'))"
         ),
-        # angular distance in degrees (greatCircleAngle.cpp)
+        # angular distance in degrees — the reference's float32
+        # LUT-interpolated fast geodist, bit-exact (geo_fastdist.py;
+        # greatCircleDistance.cpp:168-233)
         "greatCircleAngle": lambda a: (
-            f"degrees(2.0 * asin(sqrt(pow(sin(radians({a[3]} - {a[1]}) "
-            f"/ 2), 2) + cos(radians({a[1]})) * cos(radians({a[3]})) * "
-            f"pow(sin(radians({a[2]} - {a[0]}) / 2), 2))))"
+            f"chGreatCircleAngle({a[0]}, {a[1]}, {a[2]}, {a[3]})"
+        ),
+        "geoDistance": lambda a: (
+            f"chGeoDistance({a[0]}, {a[1]}, {a[2]}, {a[3]})"
         ),
         "sigmoid": lambda a: f"(1.0 / (1.0 + exp(-({a[0]}))))",
         # UInt64-range uniform (rand64.cpp); DOUBLE is the comparison
         # domain the reference tests use it in
         "rand64": lambda a: "(rand() * 1.8446744073709552e19)",
+        # rand([seed]) — UInt32-range.  The SEEDED form must be
+        # row-CONSISTENT across scalar-WITH inlined copies (00997: s,
+        # trimLeft(s), ... all read the SAME s), so it hashes the
+        # numbers() row id instead of drawing independently per copy
+        "rand": lambda a: (
+            f"pmod(xxhash64(number, {a[0]}), 4294967296)"
+            if a and a[0].strip()
+            else "CAST(floor(rand() * 4294967296) AS BIGINT)"
+        ),
         "isConstant": lambda a: _is_constant_sql(a),
         "in": lambda a: (
             f"(({a[0]}) IN ({a[1]}))" if len(a) == 2
@@ -3829,10 +4027,11 @@ RULES.update(
             f"locate(lower({a[1]}), lower({a[0]})"
             + (f", {a[2]}" if len(a) > 2 else "") + ")"
         ),
+        # the reference's sphinx-derived fast geodist (tangent-plane
+        # under 13 deg of longitude, LUT haversine beyond) — bit-exact
+        # float32 kernel (00362 golden 343407, not haversine's 343320)
         "greatCircleDistance": lambda a: (
-            f"(2.0 * 6371000.0 * asin(sqrt(pow(sin(radians({a[3]} - {a[1]}) "
-            f"/ 2), 2) + cos(radians({a[1]})) * cos(radians({a[3]})) * "
-            f"pow(sin(radians({a[2]} - {a[0]}) / 2), 2))))"
+            f"chGreatCircleDistance({a[0]}, {a[1]}, {a[2]}, {a[3]})"
         ),
         # ---- misc tail
         # the session CH database, not Spark's catalog namespace
@@ -3844,9 +4043,19 @@ RULES.update(
         "ignore": lambda a: "0",
         "identity": lambda a: f"({a[0]})",
         # full-block bar chart (CH draws eighth-blocks for the remainder)
+        # UnicodeBar::render (bar.cpp): full blocks plus ONE fractional
+        # eighth-block character (01044 `████▏`)
         "bar": lambda a: (
-            f"repeat('█', CAST(round(({a[0]} - {a[1]}) / ({a[2]} - {a[1]}) "
-            f"* {a[3]}) AS INT))"
+            lambda w: (
+                f"concat(repeat('█', CAST(floor({w}) AS INT)), "
+                f"try_element_at(array('', '▏', '▎', '▍', '▌', "
+                f"'▋', '▊', '▉'), CAST(floor(({w} - floor({w})) "
+                f"* 8) AS INT) + 1))"
+            )
+        )(
+            f"greatest(CAST(0 AS DOUBLE), least(CAST({a[3]} AS "
+            f"DOUBLE), ({a[0]} - {a[1]}) / ({a[2]} - {a[1]}) "
+            f"* {a[3]}))"
         ),
         "runningDifference": lambda a: (
             f"coalesce({a[0]} - lag({a[0]}) OVER "
@@ -4453,7 +4662,13 @@ RULES.update(
         ),
         "transform": _transform_sql,
         # CH higher-order forms put the LAMBDA first
-        "arrayFirst": lambda a: f"try_element_at(filter({a[1]}, {_bool_lambda(a[0])}), 1)",
+        # no match → the element type's DEFAULT, never NULL
+        # (arrayFirst.cpp createResultColumn->insertDefault; 00182):
+        # string-spelled arrays default '', numeric 0
+        "arrayFirst": lambda a: (
+            f"coalesce(try_element_at(filter({a[1]}, "
+            f"{_bool_lambda(a[0])}), 1), {_array_elem_default(a[1])})"
+        ),
         "arrayCount": _array_count_sql,
         "arrayAll": lambda a: (
             f"CAST(forall({a[1]}, {_bool_lambda(a[0])}) AS INT)"
@@ -4994,6 +5209,23 @@ def _rewrite_sample(sql: str) -> str:
     supported (``SAMPLE n`` approximate-rows needs table statistics;
     raise rather than silently mis-sample)."""
     import re
+
+    if _SESSION_SETTINGS.get(
+        "enable_final_sample", "0"
+    ).strip("'\"") in ("1", "true"):
+        # FINAL sample (00949): `SAMPLE n` trims the RESULT rows, not
+        # the input — aggregates and LIMITed selects pass through
+        # unchanged when they produce <= n rows
+        fm = re.search(
+            r"(?is)\bSAMPLE\s+(\d+)\b(?!\s*\.)", sql,
+        )
+        if fm and "." not in fm.group(1):
+            n_rows = int(fm.group(1))
+            stripped = re.sub(
+                r"(?is)\bSAMPLE\s+\d+\b(?!\s*\.)", " ", sql, count=1
+            )
+            return (f"SELECT * FROM ({stripped.strip()}) "
+                    f"__final_sample LIMIT {n_rows}")
 
     # keyed form first: FROM|JOIN <registered-table> [alias] SAMPLE k [OFFSET m]
     def keyed_repl(m: re.Match) -> str:
@@ -6393,6 +6625,48 @@ _CALL_POSITION_KWS = frozenset({
 })
 
 
+def _session_tz() -> str | None:
+    """The session timezone when EXPLICITLY set (02738): '' restores
+    the SERVER zone (the reference CI runs Europe/Moscow).  None = the
+    setting was never touched — every existing UTC-pinned path stays
+    byte-identical."""
+    if "session_timezone" not in _SESSION_SETTINGS:
+        return None
+    v = _SESSION_SETTINGS["session_timezone"].strip("'\"")
+    return v or "Europe/Moscow"
+
+
+def _shift_datetime_literals(sql: str) -> str:
+    """Under an explicit session_timezone, datetime string literals are
+    WALL CLOCKS in that zone (insert parsing, filters, toDateTime) —
+    shift them to the engine's UTC storage domain at rewrite time; the
+    renderer shifts back on output (02738)."""
+    tz = _session_tz()
+    if not tz or tz == "UTC":
+        return sql
+    import datetime as _dt
+    import re as _re
+
+    try:
+        from zoneinfo import ZoneInfo
+        z = ZoneInfo(tz)
+    except Exception:
+        return sql
+
+    def sh(m):
+        try:
+            d = _dt.datetime.strptime(m.group(1), "%Y-%m-%d %H:%M:%S")
+        except ValueError:
+            return m.group(0)
+        u = d.replace(tzinfo=z).astimezone(_dt.timezone.utc)
+        return ("'" + u.strftime("%Y-%m-%d %H:%M:%S")
+                + (m.group(2) or "") + "'")
+
+    return _re.sub(
+        r"'(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})(\.\d+)?'", sh, sql
+    )
+
+
 def _backtick_dotted_columns(sql: str) -> str:
     """Nested subcolumns are FLAT columns with dotted names (`n.a`
     Array) — bare `n.a` references must backtick-quote so Spark doesn't
@@ -6672,6 +6946,57 @@ def rewrite_ch_sql(sql: str) -> str:
                 i = close + 1
                 continue
             if (
+                name in ("formatRow", "formatRowNoNewline")
+                and k < n and sql[k] == "("
+            ):
+                # row-output serialization (registerFormats + 01420):
+                # JSON keys are the RAW CH argument spellings, so this
+                # runs on the unrewritten text like toTypeName
+                close = _match_paren(sql, k)
+                raw_args = _split_args(sql[k + 1 : close])
+                fr_fmt = raw_args[0].strip().strip("'")
+                if fr_fmt not in ("CSV", "TSV", "TabSeparated",
+                                  "JSONEachRow"):
+                    raise ChSqlError(
+                        f"UNKNOWN_FORMAT (73): formatRow format "
+                        f"{fr_fmt!r}"
+                    )
+                nl = "" if name == "formatRowNoNewline" else "\\n"
+                vals = [v.strip() for v in raw_args[1:]]
+                if fr_fmt == "JSONEachRow":
+                    if vals == ["*"]:
+                        inner_j = "struct(*)"
+                    else:
+                        kv = []
+                        for v in vals:
+                            jn = ("NULL" if v.upper() == "NULL"
+                                  else v).replace("'", "\\'")
+                            kv.append(f"'{jn}', {rewrite_ch_sql(v)}")
+                        inner_j = f"named_struct({', '.join(kv)})"
+                    out.append(
+                        f"concat(to_json({inner_j}, "
+                        f"map('ignoreNullFields', 'false')), '{nl}')"
+                    )
+                else:
+                    sep = "," if fr_fmt == "CSV" else "\\t"
+                    cells = []
+                    for v in vals:
+                        rv = rewrite_ch_sql(v)
+                        if fr_fmt == "CSV" and v.startswith("'"):
+                            # CSV quotes string values, doubling quotes
+                            cells.append(
+                                f"concat('\"', replace(CAST({rv} AS "
+                                f"STRING), '\"', '\"\"'), '\"')"
+                            )
+                        else:
+                            cells.append(f"CAST({rv} AS STRING)")
+                    out.append(
+                        f"concat(concat_ws('{sep}', "
+                        f"{', '.join(cells)}), '{nl}')"
+                    )
+                i = close + 1
+                continue
+            if (
                 name in ("toTypeName", "toColumnTypeName")
                 and k < n and sql[k] == "("
             ):
@@ -6775,8 +7100,11 @@ def rewrite_ch_sql(sql: str) -> str:
         i += 1
     # CH NULLS placement differs from Spark's default — applied last,
     # idempotent under the recursive arg rewrites; storage-order
-    # tiebreakers first so they inherit the NULLS placement
-    return _order_by_nulls(_order_by_storage_ties("".join(out)))
+    # tiebreakers + enum value ordering first so they inherit the
+    # NULLS placement
+    return _order_by_nulls(
+        _order_by_storage_ties(_order_by_enum_values("".join(out)))
+    )
 
 
 def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
@@ -6796,6 +7124,10 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
 
     depth = getattr(_QUERY_LOG_TLS, "depth", 0)
     _QUERY_LOG_TLS.depth = depth + 1
+    if depth == 0:
+        # once per TOP-LEVEL statement (rewrite_ch_sql recurses —
+        # shifting there would double-apply; 02738)
+        sql = _shift_datetime_literals(sql)
     t0 = _time.perf_counter()
     status, exc_name = "QueryFinish", ""
     qid = None
@@ -7080,14 +7412,50 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         )
         if fm:
             from pyspark.sql import functions as _F
+            from pyspark.sql.types import DecimalType
 
             inner = ch_sql(spark, sql[: fm.start()])
             f = fm.group(1).lower()
+            dec_cols = {
+                fld.name for fld in inner.schema.fields
+                if isinstance(fld.dataType, DecimalType)
+            }
             if f in ("jsoneachrow", "ndjson"):
+                if dec_cols:
+                    # CH JSON prints decimals as PLAIN trimmed numbers
+                    # (0.1, -0.000000005 — never 0.100 / -5E-9; 00700).
+                    # Build the object manually so the number text stays
+                    # unquoted
+                    parts = []
+                    for fld in inner.schema.fields:
+                        cname = fld.name.replace("'", "\\'")
+                        if fld.name in dec_cols:
+                            ve = _decimal_plain_sql(f"`{fld.name}`")
+                        else:
+                            # reuse to_json for one field; strip the
+                            # fixed `{"v":` prefix and `}` suffix
+                            j = f"to_json(named_struct('v', `{fld.name}`))"
+                            ve = (f"substring({j}, 6, "
+                                  f"length({j}) - 6)")
+                        parts.append(f"'\"{cname}\":', {ve}")
+                    body = ", ',', ".join(parts)
+                    return inner.selectExpr(
+                        f"concat('{{', {body}, '}}') AS line"
+                    )
                 return inner.select(
                     _F.to_json(_F.struct(*inner.columns)).alias("line")
                 )
             sep = "," if f == "csv" else "\t"
+            if dec_cols:
+                cells = [
+                    (_decimal_plain_sql(f"`{fld.name}`")
+                     if fld.name in dec_cols else
+                     f"CAST(`{fld.name}` AS STRING)")
+                    for fld in inner.schema.fields
+                ]
+                return inner.selectExpr(
+                    f"concat_ws('{sep}', {', '.join(cells)}) AS line"
+                )
             return inner.select(
                 _F.to_csv(_F.struct(*inner.columns), {"sep": sep}).alias(
                     "line"
@@ -9857,6 +10225,11 @@ def _txn_metadata_dicts() -> dict:
 _SESSION_DATABASES: set = {"default", "test"}
 _CURRENT_DATABASE: list = ["default"]
 
+# per-rewrite sequence for generateSnowflakeID statement ordering
+import itertools as _itertools
+
+_SNOWFLAKE_SEQ = _itertools.count()
+
 
 def _qualify_databases(sql: str) -> str:
     """Rewrite ``db.table`` → ``db__table`` for registered session
@@ -10362,7 +10735,27 @@ def _try_ddl(spark: SparkSession, sql: str):
         # InterpreterShowTablesQuery — engine views + session tables;
         # CH LIKE patterns use % / _ wildcards.  FROM db (or USE db)
         # lists that namespace; db-internal names never leak elsewhere.
+        full = bool(re.match(r"(?i)SHOW\s+FULL\b", s))
         db = m.group(1) or _CURRENT_DATABASE[0]
+
+        def emit(names):
+            if full:
+                # SHOW FULL TABLES adds the MySQL table_type column
+                # (InterpreterShowTablesQuery; 10026)
+                rows = [
+                    (n, "VIEW" if _SESSION_TABLE_ENGINES.get(
+                        f"{db}__{n}" if db not in ("default", "system")
+                        else n
+                    ) in ("View", "MaterializedView") else "BASE TABLE")
+                    for n in names
+                ]
+                return spark.createDataFrame(
+                    rows, "name string, table_type string"
+                )
+            return spark.createDataFrame(
+                [(n,) for n in names], "name string"
+            )
+
         if db == "system":
             names = sorted(
                 d.split(".", 1)[1] for d in _SYSTEM_TABLE_MAP
@@ -10376,21 +10769,28 @@ def _try_ddl(spark: SparkSession, sql: str):
                     [n for n in names if n not in keep]
                     if m.group(2) else keep
                 )
-            return spark.createDataFrame(
-                [(n,) for n in names], "name string"
-            )
+            return emit(names)
         if db != "default" and db not in _SESSION_DATABASES:
             raise ChSqlError(f"UNKNOWN_DATABASE: {db!r}")
-        all_names = sorted(t.name for t in spark.catalog.listTables())
+        # the Spark catalog lowercases view names — restore the declared
+        # case from the session registry (10026 SHOW TABLES → 'A')
+        canon = {k.lower(): k for k in _SESSION_TABLE_ENGINES}
+        all_names = sorted(
+            canon.get(t.name, t.name) for t in spark.catalog.listTables()
+        )
         prefixes = tuple(
             f"{d}__" for d in _SESSION_DATABASES if d != "default"
         )
+        lower_prefixes = tuple(p.lower() for p in prefixes)
         if db == "default":
-            names = [n for n in all_names if not n.startswith(prefixes)]
+            names = [
+                n for n in all_names
+                if not n.lower().startswith(lower_prefixes)
+            ]
         else:
             names = [
                 n[len(db) + 2 :] for n in all_names
-                if n.startswith(f"{db}__")
+                if n.lower().startswith(f"{db.lower()}__")
             ]
         pat = m.group(3)
         if pat is not None:
@@ -10401,7 +10801,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 ]
             else:
                 names = [n for n in names if re.fullmatch(_like_rx(pat), n)]
-        return spark.createDataFrame([(n,) for n in names], "name string")
+        return emit(names)
 
     if re.match(r"SHOW\s+DATABASES$", s, re.IGNORECASE):
         return spark.createDataFrame(
@@ -10918,8 +11318,12 @@ def _try_ddl(spark: SparkSession, sql: str):
         # original CH declaration, for the reference-style SHOW CREATE
         _TABLE_CH_DDL[name] = {
             "columns": [
-                (c.name, c.ch_type, getattr(c, "kind", None),
-                 getattr(c, "expr", None))
+                (c.name, c.ch_type,
+                 ("DEFAULT" if getattr(c, "auto_increment", False)
+                  else getattr(c, "kind", None)),
+                 ("generateSnowflakeID()"
+                  if getattr(c, "auto_increment", False)
+                  else getattr(c, "expr", None)))
                 for c in body.columns
             ],
             "constraints": list(body.constraints),
@@ -11058,8 +11462,15 @@ def _try_ddl(spark: SparkSession, sql: str):
                         f"({fk.group(2)}) {fk.group(3).strip()}"
                     )
             db = _CURRENT_DATABASE[0]
+            # the session-internal db__table name displays as its SHORT
+            # name; non-plain identifiers backtick (60004: test.`60004_t1`)
+            short = name
+            if db != "default" and name.startswith(f"{db}__"):
+                short = name[len(db) + 2:]
+            disp = (short if _re_sc.fullmatch(r"[A-Za-z_]\w*", short)
+                    else f"`{short}`")
             stmt = (
-                f"CREATE TABLE {db}.{name} (\n"
+                f"CREATE TABLE {db}.{disp} (\n"
                 + ",\n".join(lines)
                 + "\n)\nENGINE = "
                 + _re_sc.sub(r"\(\s*\)$", "", ddl["engine"]).strip()
@@ -11068,13 +11479,26 @@ def _try_ddl(spark: SparkSession, sql: str):
                 stmt += f"\nPARTITION BY {ddl['partition_by']}"
             if ddl.get("primary_key"):
                 stmt += f"\nPRIMARY KEY {ddl['primary_key']}"
+            # a MySQL-dialect table with NO declared keys synthesizes
+            # the unique-key CnchMergeTree shape (60004); explicit
+            # ORDER BY keeps the plain shape (48023)
+            mysql_synth = (ddl["mysql_dialect"]
+                           and not ddl.get("order_by")
+                           and not ddl.get("unique_key"))
             if ddl.get("order_by"):
                 stmt += f"\nORDER BY {ddl['order_by']}"
+            elif mysql_synth:
+                stmt += "\nORDER BY tuple()"
             if ddl.get("unique_key"):
                 stmt += f"\nUNIQUE KEY {ddl['unique_key']}"
+            elif mysql_synth:
+                stmt += "\nUNIQUE KEY tuple()"
             if ddl.get("ttl"):
                 stmt += f"\nTTL {ddl['ttl']}"
-            setts = ["storage_policy = 'cnch_default_hdfs'"]
+            setts = []
+            if mysql_synth:
+                setts.append("partition_level_unique_keys = 0")
+            setts.append("storage_policy = 'cnch_default_hdfs'")
             if ddl["mysql_dialect"]:
                 setts += ["allow_nullable_key = 1",
                           "storage_dialect_type = 'MYSQL'"]
@@ -11084,7 +11508,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 setts.append("index_granularity = 8192")
             stmt += "\nSETTINGS " + ", ".join(setts)
             return spark.createDataFrame(
-                [(name, stmt)], "name string, statement string"
+                [(short, stmt)], "name string, statement string"
             )
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
@@ -12254,6 +12678,11 @@ def ensure_sql_kernels(spark: "SparkSession") -> None:
     from byconity_spark.udafs.sql_aggs import sql_kernels as _agg_k
 
     for name, udf in {**_geo_k(), **_r7_k(), **_agg_k()}.items():
+        spark.udf.register(name, udf)
+    from byconity_spark.functions.geo_fastdist import (
+        sql_kernels as _geo_fast_k,
+    )
+    for name, udf in _geo_fast_k().items():
         spark.udf.register(name, udf)
     from byconity_spark.functions.hash_exact import ch_hashset_order_rows
     # metadata-scale (one small array per getMapKeys call) — a plain

@@ -284,11 +284,33 @@ def _schema_convs(schema, st: str | None):
         if len(ms) == 1:
             stmt_scale = int(ms.pop())
 
+    # explicit session_timezone: stored UTC walls render as the
+    # session zone's wall clock (02738)
+    sess_tz = None
+    try:
+        from byconity_spark.frontend.sql import _session_tz
+        tzname = _session_tz()
+        if tzname and tzname != "UTC":
+            from zoneinfo import ZoneInfo
+            sess_tz = ZoneInfo(tzname)
+    except Exception:
+        pass
+
+    def _tz_shift(v):
+        import datetime as _dtm
+        return v.replace(tzinfo=_dtm.timezone.utc).astimezone(
+            sess_tz
+        ).replace(tzinfo=None)
+
     def conv(dt, scale):
         if isinstance(dt, FloatType):
             return lambda v: _F32(v) if isinstance(v, float) else v
         if isinstance(dt, TimestampNTZType):
             return lambda v: _NTZ(v, scale)
+        if isinstance(dt, TimestampType) and sess_tz is not None:
+            if stmt_scale is not None:
+                return lambda v: _NTZ(_tz_shift(v), stmt_scale)
+            return _tz_shift
         if isinstance(dt, TimestampType) and stmt_scale is not None:
             return lambda v: _NTZ(v, stmt_scale)
         if isinstance(dt, ArrayType):
@@ -383,6 +405,96 @@ def _ch_literal_name(item: str) -> str | None:
         i += 1
     v = "".join(val)
     return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _spark_to_ch_type(dt) -> str:
+    from pyspark.sql.types import (ArrayType, BooleanType, ByteType,
+                                   DateType, DoubleType, FloatType,
+                                   IntegerType, LongType, MapType,
+                                   ShortType, StringType, StructType,
+                                   TimestampNTZType, TimestampType)
+
+    if isinstance(dt, ArrayType):
+        return f"Array({_spark_to_ch_type(dt.elementType)})"
+    if isinstance(dt, MapType):
+        return (f"Map({_spark_to_ch_type(dt.keyType)}, "
+                f"{_spark_to_ch_type(dt.valueType)})")
+    if isinstance(dt, StructType):
+        return ("Tuple(" + ", ".join(
+            _spark_to_ch_type(f.dataType) for f in dt.fields) + ")")
+    return {
+        StringType: "String", TimestampType: "DateTime",
+        TimestampNTZType: "DateTime", DateType: "Date",
+        LongType: "Int64", IntegerType: "Int32", ShortType: "Int16",
+        ByteType: "Int8", DoubleType: "Float64", FloatType: "Float32",
+        BooleanType: "UInt8",
+    }.get(type(dt), dt.simpleString())
+
+
+def golden_xml(df, st: str) -> list[str]:
+    """FORMAT XML output (00307): raw select-item spellings name the
+    columns, CH type names fill the meta."""
+    from byconity_spark.engine.pretty import render_xml
+    try:
+        from byconity_spark.frontend.sql import _infer_ch_type
+    except Exception:
+        _infer_ch_type = lambda _e: None  # noqa: E731
+
+    names = list(df.columns)
+    m = re.match(r"(?is)^\s*SELECT\s+(.*)$", st)
+    if m:
+        txt = m.group(1)
+        items, depth, cur, i = [], 0, [], 0
+        end = len(txt)
+        while i < end:
+            c = txt[i]
+            if c == "'":
+                j = i + 1
+                while j < end:
+                    if txt[j] == "\\":
+                        j += 2
+                        continue
+                    if txt[j] == "'":
+                        break
+                    j += 1
+                cur.append(txt[i:j + 1])
+                i = j + 1
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0:
+                km = re.match(
+                    r"(?i)(FROM|SETTINGS|FORMAT|WHERE|GROUP|ORDER|"
+                    r"LIMIT)\b", txt[i:],
+                )
+                if km and (i == 0 or not txt[i - 1].isalnum()):
+                    break
+                if c == ",":
+                    items.append("".join(cur).strip())
+                    cur = []
+                    i += 1
+                    continue
+            cur.append(c)
+            i += 1
+        if "".join(cur).strip():
+            items.append("".join(cur).strip())
+        if len(items) == len(names):
+            out_names = []
+            for it, fallback in zip(items, names):
+                am = re.search(r"(?is)\s+AS\s+(`[^`]+`|\w+)\s*$", it)
+                out_names.append(
+                    am.group(1).strip("`") if am else it
+                )
+            names = out_names
+    types = []
+    for it_name, fld in zip(names, df.schema.fields):
+        t = _infer_ch_type(it_name)
+        types.append(t or _spark_to_ch_type(fld.dataType))
+    extremes = bool(re.search(r"(?i)\bextremes\s*=\s*1\b", st))
+    rows = [list(r) for r in df.limit(10001).collect()]
+    return render_xml(names, types, rows, extremes)
 
 
 def golden_pretty(df, st: str, fmt: str) -> list[str]:
@@ -561,12 +673,34 @@ def main() -> None:
                     pf = _PRETTY_FMT.search(st)
                     if (golden and _OUTPUT_STMT.match(st)
                             and not _FORMAT_NULL.search(st)):
+                        rowfmt = re.search(
+                            r"(?is)\bFORMAT\s+(TSV|TabSeparated|CSV|"
+                            r"JSONEachRow|NDJSON)\s*;?\s*$", st,
+                        )
                         if pf:
                             out_lines.extend(
                                 golden_pretty(df, st, pf.group(1))
                             )
+                        elif re.search(
+                            r"(?is)\bFORMAT\s+XML\s*;?\s*$", st
+                        ):
+                            out_lines.extend(golden_xml(df, st))
+                        elif rowfmt and df.columns == ["line"]:
+                            # pre-serialized row-output lines print RAW
+                            # (real tabs/quotes — 00700 FORMAT TSV)
+                            out_lines.extend(
+                                str(r[0])
+                                for r in df.limit(10001).collect()
+                            )
                         else:
-                            out_lines.extend(golden_rows(df, st))
+                            lines = golden_rows(df, st)
+                            if lines and re.search(
+                                r"(?i)\bWITH\s+TOTALS\b", st
+                            ):
+                                # clickhouse-client separates the totals
+                                # row with a blank line (10720)
+                                lines = lines[:-1] + [""] + lines[-1:]
+                            out_lines.extend(lines)
                     else:
                         df.limit(100).collect()
                 if expect_error:
