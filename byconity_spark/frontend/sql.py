@@ -1040,6 +1040,42 @@ def _order_by_storage_ties(sql: str) -> str:
     return (sql[:start] + ins + ", " + ", ".join(add) + pad + sql[i:])
 
 
+import re as _re_probe_mod
+
+# cheap probe: the infix-MOD pass only runs when a bare MOD word exists
+_re_sys_probe = _re_probe_mod.compile(r"(?i)\bMOD\b")
+
+
+def _rewrite_infix_mod(sql: str) -> str:
+    """Bare infix ``X MOD Y`` (the MySQL-style operator, 01638) →
+    ``X % Y`` with the reference's auto column name modulo(X, Y).
+    Backticked `MOD` identifiers and `AS MOD` aliases never match —
+    only a bare MOD between two operands is the operator."""
+    import re as _re
+
+    kw = {"AS", "SELECT", "WHERE", "BY", "ON", "AND", "OR", "WHEN",
+          "THEN", "ELSE", "FROM", "JOIN", "LIMIT", "IN", "NOT",
+          "BETWEEN", "LIKE", "IS", "CASE", "END"}
+
+    def repl(m):
+        left, right, tail = m.group(1), m.group(2), m.group(3)
+        if left.upper() in kw or right.upper() in kw:
+            return m.group(0)
+        expr = f"({left} % {right})"
+        if _re.match(r"(?is)\s*(,|FROM\b|$|;)", tail or ""):
+            return (f"{expr} AS `modulo({left}, {right})`"
+                    + (tail or ""))
+        return expr + (tail or "")
+
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        parts[i] = _re.sub(
+            r"(?i)(?<![\w`.])(\w+)\s+MOD\s+(\w+)(\s*(?:,|FROM\b|;|$))?",
+            repl, parts[i],
+        )
+    return "'".join(parts)
+
+
 def _order_by_enum_values(sql: str) -> str:
     """Enum columns sort by their NUMERIC values, not the name strings
     (DataTypeEnum comparison; 01521 `ORDER BY e DESC` puts 'PS' = 3
@@ -7101,9 +7137,13 @@ def rewrite_ch_sql(sql: str) -> str:
     # CH NULLS placement differs from Spark's default — applied last,
     # idempotent under the recursive arg rewrites; storage-order
     # tiebreakers + enum value ordering first so they inherit the
-    # NULLS placement
+    # NULLS placement.  Infix MOD resolves here too — its generated
+    # `modulo(...)` alias must never re-enter the function traversal
+    final = "".join(out)
+    if _re_sys_probe.search(final):
+        final = _rewrite_infix_mod(final)
     return _order_by_nulls(
-        _order_by_storage_ties(_order_by_enum_values("".join(out)))
+        _order_by_storage_ties(_order_by_enum_values(final))
     )
 
 

@@ -644,6 +644,22 @@ def main() -> None:
         except Exception:
             pass
         try:
+            # clickhouse-test runs every file in its own DATABASE —
+            # session tables from earlier files must not leak into
+            # wildcard statements (45004 `create stats *`)
+            from byconity_spark.frontend.sql import (
+                _SESSION_TABLE_ENGINES,
+            )
+            for leftover in list(_SESSION_TABLE_ENGINES):
+                try:
+                    ch_sql(
+                        spark, f"DROP TABLE IF EXISTS `{leftover}`"
+                    )
+                except Exception:
+                    pass
+        except Exception:
+            pass
+        try:
             text = open(fp, encoding="utf-8", errors="replace").read()
         except OSError:
             continue
@@ -685,6 +701,12 @@ def main() -> None:
                             r"(?is)\bFORMAT\s+XML\s*;?\s*$", st
                         ):
                             out_lines.extend(golden_xml(df, st))
+                        elif re.search(
+                            r"(?is)\bFORMAT\s+(TSV|TabSeparated)"
+                            r"WithNames\s*;?\s*$", st,
+                        ):
+                            out_lines.append("\t".join(df.columns))
+                            out_lines.extend(golden_rows(df, st))
                         elif rowfmt and df.columns == ["line"]:
                             # pre-serialized row-output lines print RAW
                             # (real tabs/quotes — 00700 FORMAT TSV)
