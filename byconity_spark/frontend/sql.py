@@ -1032,7 +1032,12 @@ def _order_by_storage_ties(sql: str) -> str:
         i += 1
     clause = sql[start:i]
     present = {w.lower() for w in _re.findall(r"\w+", clause)}
-    add = [c for c in cols if c.lower() not in present]
+    # a SELECT alias shadowing a storage key would make the appended
+    # tiebreaker bind to the alias, silently reordering unrelated
+    # queries (r10 ADVICE) — never inject a shadowed key
+    aliases = _select_list_aliases(sql)
+    add = [c for c in cols
+           if c.lower() not in present and c.lower() not in aliases]
     if not add:
         return sql
     ins = clause.rstrip()
@@ -1050,30 +1055,109 @@ def _rewrite_infix_mod(sql: str) -> str:
     """Bare infix ``X MOD Y`` (the MySQL-style operator, 01638) →
     ``X % Y`` with the reference's auto column name modulo(X, Y).
     Backticked `MOD` identifiers and `AS MOD` aliases never match —
-    only a bare MOD between two operands is the operator."""
+    only a bare MOD between two operands is the operator.
+
+    The reference auto-name appears ONLY when the expression sits
+    unaliased in the SELECT list (clause detected via a quote-masked
+    scan); in WHERE/GROUP BY/HAVING/ON — or when the user wrote their
+    own alias — the bare ``(X % Y)`` is emitted, since an ``AS`` there
+    is a ParseException.  ``a DIV b MOD c`` folds left-to-right
+    (MySQL/CH associativity → ``(a DIV b) % c``); chained MODs resolve
+    via a fixpoint loop whose left operand admits one paren level."""
     import re as _re
 
     kw = {"AS", "SELECT", "WHERE", "BY", "ON", "AND", "OR", "WHEN",
           "THEN", "ELSE", "FROM", "JOIN", "LIMIT", "IN", "NOT",
           "BETWEEN", "LIKE", "IS", "CASE", "END"}
 
-    def repl(m):
-        left, right, tail = m.group(1), m.group(2), m.group(3)
-        if left.upper() in kw or right.upper() in kw:
-            return m.group(0)
-        expr = f"({left} % {right})"
-        if _re.match(r"(?is)\s*(,|FROM\b|$|;)", tail or ""):
-            return (f"{expr} AS `modulo({left}, {right})`"
-                    + (tail or ""))
-        return expr + (tail or "")
+    # the call-form operand must not swallow `KEYWORD (...)` — e.g.
+    # `SELECT (20 % 7) MOD 4` is a paren operand after the keyword,
+    # not a call named SELECT
+    _kw_head = (r"(?!(?:SELECT|WHERE|PREWHERE|HAVING|FROM|JOIN|AND|OR|"
+                r"WHEN|THEN|ELSE|ON|BY|AS|IN|NOT|CASE|END|LIKE|IS|"
+                r"BETWEEN|LIMIT|UNION|VALUES|USING|SET)\s*\()")
+    _operand = (r"(?:" + _kw_head + r"\w+\s*\((?:[^()']|\([^()']*\))*\)"
+                r"|\w+|`[^`]+`|\((?:[^()']|\([^()']*\))*\))")
+    _pat = _re.compile(
+        r"(?i)(?<![\w`.])("
+        + _operand + r"(?:\s+DIV\s+" + _operand + r")*"
+        + r")\s+MOD\s+(" + _operand + r")(\s*(?:,|FROM\b|;|$))?"
+    )
+    _clause = _re.compile(
+        r"(?i)\b(SELECT|WHERE|PREWHERE|HAVING|BY|ON|WHEN|THEN|ELSE|"
+        r"LIMIT|SET|USING|FROM|JOIN|AND|OR|WHEN|END)\b"
+    )
 
     parts = sql.split("'")
-    for i in range(0, len(parts), 2):
-        parts[i] = _re.sub(
-            r"(?i)(?<![\w`.])(\w+)\s+MOD\s+(\w+)(\s*(?:,|FROM\b|;|$))?",
-            repl, parts[i],
+    masked = "'".join(
+        p if i % 2 == 0 else " " * len(p) for i, p in enumerate(parts)
+    )
+
+    def _in_select_list(pos: int) -> bool:
+        # depth-0 only: an `AS` inside a call argument list is a
+        # ParseException, so `f(a MOD 2, b)` stays bare
+        head = masked[:pos]
+        if head.count("(") != head.count(")"):
+            return False
+        last = None
+        for cm in _clause.finditer(head):
+            last = cm.group(1).upper()
+        return last == "SELECT"
+
+    for _ in range(5):
+        changed = False
+        out, offset = [], 0
+        for i, p in enumerate(parts):
+            if i % 2 == 1:
+                out.append(p)
+                offset += len(p) + 1
+                continue
+            base = offset
+
+            def repl(m):
+                nonlocal changed
+                left, right, tail = m.group(1), m.group(2), m.group(3)
+                # every operand's head word must be a non-keyword:
+                # `SELECT DIV AS MOD FROM (...)` must not parse as a
+                # DIV-chain with keyword operands (01638 aliases)
+                toks = _re.split(r"(?i)\s+DIV\s+", left) + [right]
+                for t in toks:
+                    w = _re.match(r"\w+", t)
+                    if w and w.group(0).upper() in kw:
+                        return m.group(0)
+                changed = True
+                expr = f"({left} % {right})"
+                if tail is not None and _in_select_list(base + m.start()):
+                    return (f"{expr} AS `modulo({left}, {right})`"
+                            + tail)
+                return expr + (tail or "")
+
+            out.append(_pat.sub(repl, p))
+            offset += len(p) + 1
+        parts = "'".join(out).split("'")
+        if not changed:
+            break
+        masked = "'".join(
+            p if i % 2 == 0 else " " * len(p)
+            for i, p in enumerate(parts)
         )
     return "'".join(parts)
+
+
+def _select_list_aliases(sql: str) -> set:
+    """Lower-cased ``AS alias`` / backtick-alias names declared in the
+    select list (text before the first top-level FROM) — used to keep
+    the ORDER-BY storage-tie/enum rewrites from binding to an alias
+    that shadows a storage column."""
+    import re as _re
+
+    fm = _re.search(r"(?i)\bFROM\b", sql)
+    sel = sql[: fm.start()] if fm else sql
+    out = {a.lower() for a in _re.findall(r"(?i)\bAS\s+`?(\w+)`?", sel)}
+    # bare backtick alias: expr `name`  (not part of a dotted ref)
+    out |= {a.lower()
+            for a in _re.findall(r"(?<![\w.`])`(\w+)`\s*(?=,|$)", sel)}
+    return out
 
 
 def _order_by_enum_values(sql: str) -> str:
@@ -1110,7 +1194,12 @@ def _order_by_enum_values(sql: str) -> str:
         return f"(CASE `{col}` {whens} END){m.group(2) or ''}"
 
     head, tail = sql[:obm.end()], sql[obm.end():]
+    aliases = _select_list_aliases(sql)
     for col in enums:
+        if col.lower() in aliases:
+            # a SELECT alias shadows the enum column — the ORDER BY
+            # word binds to the alias, not storage (r10 ADVICE)
+            continue
         tail = _re.sub(
             rf"(?i)(?<![\w.`])({_re.escape(col)})"
             rf"(\s+(?:ASC|DESC))?(?=\s*(?:,|$|LIMIT\b|SETTINGS\b|"
@@ -3619,6 +3708,41 @@ def _rewrite_scalar_with(sql: str) -> str:
     return head + body
 
 
+def _safe_limit_arith(t: str):
+    """AST-whitelisted constant arithmetic for LIMIT/OFFSET folding:
+    + - * / % and unary sign over numeric literals only.  No ``**``
+    (the charset check alone admits `9**9**9`, which would bignum-hang
+    before eval errors) and |operand| is capped at 2^63."""
+    import ast
+    import operator as _op
+
+    ops = {ast.Add: _op.add, ast.Sub: _op.sub, ast.Mult: _op.mul,
+           ast.Div: _op.truediv, ast.Mod: _op.mod}
+    uops = {ast.USub: _op.neg, ast.UAdd: _op.pos}
+    cap = 1 << 63
+
+    def ev(n):
+        if isinstance(n, ast.Expression):
+            return ev(n.body)
+        if isinstance(n, ast.Constant) and isinstance(
+            n.value, (int, float)
+        ):
+            return n.value
+        if isinstance(n, ast.BinOp) and type(n.op) in ops:
+            a, b = ev(n.left), ev(n.right)
+            if any(isinstance(x, int) and abs(x) > cap for x in (a, b)):
+                raise ValueError("operand too large")
+            return ops[type(n.op)](a, b)
+        if isinstance(n, ast.UnaryOp) and type(n.op) in uops:
+            return uops[type(n.op)](ev(n.operand))
+        raise ValueError("unsupported constant expression")
+
+    v = ev(ast.parse(t, mode="eval"))
+    if isinstance(v, int) and abs(v) > cap:
+        raise ValueError("result too large")
+    return v
+
+
 def _eval_limit_const(e: str) -> int:
     """Evaluate a constant LIMIT/OFFSET expression with the reference's
     rules (LimitTransform / evaluateConstantExpression, 00834): integral
@@ -3660,7 +3784,7 @@ def _eval_limit_const(e: str) -> int:
             "an unknown column"
         )
     try:
-        v = eval(t, {"__builtins__": {}})  # charset-restricted arithmetic
+        v = _safe_limit_arith(t)
     except Exception:
         raise ChSqlError(
             "INVALID_LIMIT_EXPRESSION (440): cannot evaluate the LIMIT "
@@ -3736,6 +3860,32 @@ def _default_value_of_type_sql(a: list[str]) -> str:
 
 
 _ISO_DOW = "(((dayofweek({x}) + 5) % 7) + 1)"
+
+
+def _format_rtd_sql(a: list) -> str:
+    """formatReadableTimeDelta(value[, max_unit]) → the exact-text
+    pandas kernel.  Constant bad units fail at rewrite time with the
+    reference's BAD_ARGUMENTS 36."""
+    import re as _re
+
+    if not a or len(a) > 2:
+        _raise_ch(
+            "formatReadableTimeDelta needs 1 or 2 arguments "
+            "(NUMBER_OF_ARGUMENTS_DOES_NOT_MATCH, 42)"
+        )
+    unit = a[1].strip() if len(a) == 2 else "'years'"
+    lit = _re.fullmatch(r"'([^']*)'", unit)
+    if lit and lit.group(1) not in (
+        "years", "months", "days", "hours", "minutes", "seconds"
+    ):
+        _raise_ch(
+            f"BAD_ARGUMENTS (36): Unexpected value of maximum unit "
+            f"argument ({lit.group(1)}) for function "
+            f"formatReadableTimeDelta, the only allowed values are: "
+            f"'seconds', 'minutes', 'hours', 'days', 'months', 'years'."
+        )
+    return (f"chFormatReadableTimeDelta(CAST({a[0]} AS DOUBLE), "
+            f"{unit})")
 
 
 def _iso_year_sql(x: str) -> str:
@@ -3984,6 +4134,10 @@ RULES.update(
         ),
         "formatReadableSize": _readable_size_sql,
         "formatReadableQuantity": _readable_quantity_sql,
+        # formatReadableTimeDelta.cpp — kernel-backed exact text; a bad
+        # CONSTANT unit is a rewrite-time error 36 like the reference's
+        # const-arg check (01521_format_readable_time_delta2)
+        "formatReadableTimeDelta": lambda a: _format_rtd_sql(a),
         "parseTimeDelta": _parse_time_delta_sql,
         # ---- UUID / IP tail
         "toUUID": lambda a: f"lower({a[0]})",
@@ -4018,9 +4172,12 @@ RULES.update(
         # rand([seed]) — UInt32-range.  The SEEDED form must be
         # row-CONSISTENT across scalar-WITH inlined copies (00997: s,
         # trimLeft(s), ... all read the SAME s), so it hashes the
-        # numbers() row id instead of drawing independently per copy
+        # numbers() row id instead of drawing independently per copy.
+        # Emitted as a sentinel: only rewrite_ch_sql sees the FROM
+        # clause, and hashing `number` on a relation without that
+        # column is an unresolved-column error (r10 ADVICE)
         "rand": lambda a: (
-            f"pmod(xxhash64(number, {a[0]}), 4294967296)"
+            f"__ch_seeded_rand__({a[0]})"
             if a and a[0].strip()
             else "CAST(floor(rand() * 4294967296) AS BIGINT)"
         ),
@@ -6709,8 +6866,20 @@ def _backtick_dotted_columns(sql: str) -> str:
     parse them as struct access (00576)."""
     import re as _re
 
+    # only tables the statement actually references contribute dotted
+    # names — a session table `t(a.b)` must not hijack `a.b` where `a`
+    # is a legitimate table alias in an unrelated query (r10 ADVICE)
+    words = {w.lower() for w in _re.findall(
+        r"\w+",
+        "".join(p for k, p in enumerate(sql.split("'")) if k % 2 == 0),
+    )}
+    # expression fragments (ALTER ... DEFAULT exprs) carry no FROM —
+    # without a relation there is no table alias to collide with, so
+    # the global set stays safe there
+    scoped = bool(_re.search(r"(?i)\b(FROM|JOIN|TABLE)\b", sql))
     dotted = {
-        c[0] for ddl in _TABLE_CH_DDL.values()
+        c[0] for tname, ddl in _TABLE_CH_DDL.items()
+        if not scoped or tname.split(".")[-1].lower() in words
         for c in ddl.get("columns", ()) if "." in c[0]
     }
     if not dotted:
@@ -6808,10 +6977,21 @@ def rewrite_ch_sql(sql: str) -> str:
     # columns) — equivalent to reading that key of the map
     if "__" in sql:
         import re as _re_imp
+
+        # only declared BYTE-map columns own the implicit namespace —
+        # an arbitrary `_____''` token must survive untouched (fuzz
+        # identity; the reference errors on unknown implicit names)
+        known_maps = {
+            c for cols in _TABLE_BYTE_MAPS.values() for c in cols
+        }
+
+        def _imp(m):
+            if m.group(1) in known_maps:
+                return f"try_element_at(`{m.group(1)}`, '{m.group(2)}')"
+            return m.group(0)
+
         sql = _re_imp.sub(
-            r"`?__([A-Za-z_]\w*?)__'([^']*)'`?",
-            r"try_element_at(`\1`, '\2')",
-            sql,
+            r"`?__([A-Za-z_]\w*?)__'([^']*)'`?", _imp, sql,
         )
     sql = _strip_settings(sql)
     sql = _strip_format(sql)
@@ -7140,6 +7320,26 @@ def rewrite_ch_sql(sql: str) -> str:
     # NULLS placement.  Infix MOD resolves here too — its generated
     # `modulo(...)` alias must never re-enter the function traversal
     final = "".join(out)
+    if "__ch_seeded_rand__" in final:
+        # seeded rand hashes the numbers() row id for row-consistency
+        # (00997) — but only when a `number` column is actually in
+        # scope; elsewhere fall back to an unseeded draw (the
+        # reference returns a value for rand(seed) everywhere)
+        # numbers() has already been rewritten to `range(n) AS number`
+        # at this point — detect the `number` identifier itself,
+        # quote-masked so string literals don't count
+        has_number = any(
+            _re_probe_mod.search(r"(?i)\bnumber\b", part)
+            for i, part in enumerate(final.split("'"))
+            if i % 2 == 0
+        )
+        final = _re_probe_mod.sub(
+            r"__ch_seeded_rand__\(([^)]*)\)",
+            (lambda m: f"pmod(xxhash64(number, {m.group(1)}), "
+                       f"4294967296)") if has_number
+            else "CAST(floor(rand() * 4294967296) AS BIGINT)",
+            final,
+        )
     if _re_sys_probe.search(final):
         final = _rewrite_infix_mod(final)
     return _order_by_nulls(
@@ -12724,6 +12924,9 @@ def ensure_sql_kernels(spark: "SparkSession") -> None:
     )
     for name, udf in _geo_fast_k().items():
         spark.udf.register(name, udf)
+    from byconity_spark.functions.registry_ext import rtd_sql_kernel
+
+    spark.udf.register("chFormatReadableTimeDelta", rtd_sql_kernel())
     from byconity_spark.functions.hash_exact import ch_hashset_order_rows
     # metadata-scale (one small array per getMapKeys call) — a plain
     # Python UDF is fine here, it is never in a per-row hot path

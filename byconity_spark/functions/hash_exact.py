@@ -666,6 +666,23 @@ def ch_hashset_order(keys) -> list:
     degree = 3
     buf: list = [None] * (1 << degree)
     count = 0
+
+    def _reinsert(i: int) -> None:
+        # HashTable.h:711-733 — findCell from the new home; if the
+        # found cell is non-empty the element found ITSELF along the
+        # (partially-moved) chain and stays put; else move + zero
+        mask = len(buf) - 1
+        k = buf[i]
+        p = crc32_hash(k.encode("utf-8")) & mask
+        if p == i:
+            return
+        while buf[p] is not None and buf[p] != k:
+            p = (p + 1) & mask
+        if buf[p] is not None:
+            return
+        buf[p] = k
+        buf[i] = None
+
     for k in items:
         mask = len(buf) - 1
         pos = crc32_hash(k.encode("utf-8")) & mask
@@ -675,15 +692,21 @@ def ch_hashset_order(keys) -> list:
             buf[pos] = k
             count += 1
             if count > (len(buf) >> 1):
+                # IN-PLACE resize (HashTable.h:548-636): extend the
+                # buffer, reinsert each old cell in scan order, then
+                # the wrap-around tail past old_size — an element may
+                # stay put or move left; a fresh-buffer rebuild
+                # iterates ~3% of key sets differently (r10 ADVICE)
+                old_size = len(buf)
                 degree += 1 if degree >= 23 else 2
-                old = [x for x in buf if x is not None]
-                buf = [None] * (1 << degree)
-                mask = len(buf) - 1
-                for kk in old:
-                    p = crc32_hash(kk.encode("utf-8")) & mask
-                    while buf[p] is not None:
-                        p = (p + 1) & mask
-                    buf[p] = kk
+                buf.extend([None] * ((1 << degree) - old_size))
+                for i in range(old_size):
+                    if buf[i] is not None:
+                        _reinsert(i)
+                i = old_size
+                while i < len(buf) and buf[i] is not None:
+                    _reinsert(i)
+                    i += 1
     out = ([""] if has_zero else []) + [x for x in buf if x is not None]
     return out
 

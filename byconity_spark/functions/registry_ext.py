@@ -2059,28 +2059,98 @@ def _extract_all_groups(c, pat: str) -> "Column":
     ])
 
 
-def _format_readable_time_delta(sec, max_unit: str = "years") -> "Column":
-    """formatReadableTimeDelta (formatReadableTimeDelta.cpp):
-    '1 hour, 22 minutes, 3 seconds' style decomposition down from
-    ``max_unit`` (years by default)."""
-    units = [("year", 31536000), ("month", 2592000), ("day", 86400),
-             ("hour", 3600), ("minute", 60), ("second", 1)]
-    start = {"years": 0, "months": 1, "days": 2, "hours": 3,
-             "minutes": 4, "seconds": 5}[str(max_unit)]
-    total = F.abs(_as_long(sec))
-    parts = []
-    rem = total
-    for name, span in units[start:]:
-        q = (rem / span).cast("long")
-        rem = rem - q * span
-        parts.append(
-            F.when(q > 0, F.concat(q.cast("string"), F.lit(" " + name),
-                                   F.when(q > 1, F.lit("s")).otherwise(F.lit(""))))
+_RTD_ORDER = ["years", "months", "days", "hours", "minutes", "seconds"]
+_RTD_SIZES = {"years": 31536000, "months": 2635200, "days": 86400,
+              "hours": 3600, "minutes": 60, "seconds": 1}
+
+
+def _rtd_double_str(v: float) -> str:
+    """double-conversion ToShortest as the reference's writeFloatText
+    prints it: fixed notation for integral values below 1e21, shortest
+    exponent form with NO '+' sign otherwise, inf/-inf/nan spelled."""
+    import math
+
+    v = float(v)  # math.floor returns an exact bignum int in py3
+    if math.isnan(v):
+        return "nan"
+    if math.isinf(v):
+        return "-inf" if v < 0 else "inf"
+    if v == int(v) and abs(v) < 1e21:
+        return str(int(v))
+    return repr(v).replace("e+", "e")
+
+
+def rtd_format(value: float, max_unit: str = "years") -> str:
+    """Reference-exact formatReadableTimeDelta
+    (formatReadableTimeDelta.cpp:135-222): per-unit Duff-device
+    decomposition with ', '/' and ' separators, the huge-double
+    short-circuit (value + 1.0 == value), 30.5-day months, and
+    writeFloatText for non-finite input."""
+    import math
+
+    if max_unit not in _RTD_ORDER:
+        raise ValueError(
+            "BAD_ARGUMENTS (36): Unexpected value of maximum unit "
+            f"argument ({max_unit}) for function "
+            "formatReadableTimeDelta, the only allowed values are: "
+            "'seconds', 'minutes', 'hours', 'days', 'months', 'years'."
         )
-    body = F.array_join(F.filter(F.array(*parts), lambda x: x.isNotNull()), ", ")
-    return F.when(total == 0, F.lit("0 seconds")).otherwise(
-        F.concat(F.when(_as_long(sec) < 0, F.lit("-")).otherwise(F.lit("")), body)
-    )
+    value = float(value)
+    if math.isnan(value) or math.isinf(value):
+        return _rtd_double_str(value)
+    out = []
+    if value < 0:
+        out.append("-")
+        value = -value
+    has = False
+    for u in _RTD_ORDER[_RTD_ORDER.index(max_unit):]:
+        us = _RTD_SIZES[u]
+        if value + 1.0 == value:
+            # too large for exact smaller units — floor-print and stop
+            out.append(_rtd_double_str(math.floor(value / us)))
+            out.append(" " + u[:-1] + "s")
+            has = True
+            value = 0.0
+            continue
+        num = int(value / us)
+        if num == 0 and (us > 1 or has):
+            continue
+        value -= num * us
+        if has:
+            out.append(" and " if value < 1 else ", ")
+        out.append(str(num) + " " + u[:-1] + ("s" if num != 1 else ""))
+        has = True
+    return "".join(out)
+
+
+def rtd_sql_kernel():
+    """pandas-UDF kernel for the SQL name chFormatReadableTimeDelta.
+    NULL input arrives as NaN after the double cast and prints 'nan'
+    exactly like the reference's Float64 path (01679)."""
+    @F.pandas_udf("string")
+    def k(v: pd.Series, u: pd.Series) -> pd.Series:
+        return pd.Series([
+            rtd_format(x, "years" if mu is None else mu)
+            for x, mu in zip(v.astype("float64"), u)
+        ])
+
+    return k
+
+
+def _format_readable_time_delta(sec, max_unit="years") -> "Column":
+    """formatReadableTimeDelta (formatReadableTimeDelta.cpp) — exact
+    reference text via the vectorized rtd_format kernel."""
+    unit_col = (_lit(max_unit) if not isinstance(max_unit, str)
+                else F.lit(str(max_unit)))
+
+    @F.pandas_udf("string")
+    def k(v: pd.Series, u: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if x is None else rtd_format(x, mu)
+            for x, mu in zip(v.astype("float64"), u)
+        ])
+
+    return k(_lit(sec).cast("double"), unit_col)
 
 
 def _point_in_ellipses(x, y, *params) -> "Column":

@@ -185,6 +185,29 @@ _PREVIOUSLY_CERTIFIED = {
     "beh_session_split", "beh_path_split", "beh_attribution_linear",
     "beh_attribution_position", "beh_attribution_time_decay", "beh_xirr",
     "beh_funnel_rep", "beh_user_distribution",
+    # --- r10 green ---
+    "chsql_map_byte_ops", "chsql_dialect8b_suite", "chsql_stats_ddl",
+    "beh_gen_array_month", "beh_retention_triangle",
+    "beh_user_distribution_monthly",
+    "beh_funnel_rep2", "beh_funnel_rep3", "beh_association_stats",
+    "beh_ema_by_type", "beh_path_split_r", "beh_session_split_r2",
+    "beh_page_time", "ml_fast_auc2_tiers", "ml_regression_auc2",
+    "ml_linear_gd", "ml_logistic_gd", "ml_eval_method_scores",
+    "beh_retention4", "bitmap_cardinality_by_type",
+    "bitmap_audience_overlap",
+    "bitmap_union_reach", "bitmap_state_merge_uniq",
+    "bitmap_expression_count",
+    "bitmap_max_level", "bitmap_join_slot_overlap",
+    "bitmap_column_diff_daily",
+    "bitmap_column_logic", "llm_exact_dedup", "llm_minhash_dedup",
+    "llm_ngram_jaccard", "llm_dedup_keep_list", "llm_simhash_pairs",
+    "llm_text_quality", "llm_language_guess", "llm_doc_fingerprint",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_label_centroids",
+    "ann_ivf_topk", "llm_ngram_lang_id", "llm_quality_classifier",
+    "llm_embedding_neardup", "llm_embedding_keep_list",
+    "ann_variance_matrix",
+    "mm_frame_sample", "llm_token_count", "mm_audio_energy",
+    "mm_keyframes", "mm_resize_thumbnail",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec
@@ -199,21 +222,41 @@ _ROWS_ONLY_LAST = ["mm_decode_features", "sample_lineitem"]
 # never-sampled queries — so the next capped run certifies the fixes.
 # r06: 50/50 sampled queries hash-green (including the chsql_window_funnel
 # recertification after its round-6 sliding-anchor semantics change).
-# r10: three queries changed behavior/oracle this round and must
-# re-confirm under the real driver — chsql_map_byte_ops (missing BYTE-map
-# String key now returns '' like the reference's type default, 00745),
-# chsql_dialect8b_suite (literal ADDTIME folds to the exact
-# '...01:02:03.000' string), chsql_stats_ddl (SHOW STATS moved to the
-# reference's 9-column formatted block; CREATE STATS outputs
-# (table_name, column_count, row_count_or_error)).
-_MUST_RECERTIFY: list[str] = [
-    "chsql_map_byte_ops",
-    "chsql_dialect8b_suite",
-    "chsql_stats_ddl",
-]
+# r10: all three changed-behavior queries (chsql_map_byte_ops,
+# chsql_dialect8b_suite, chsql_stats_ddl) were driver-certified green in
+# CORRECTNESS_r10 — nothing is pending re-confirmation.  The r11 infix-MOD
+# fix registers as a NEW query (chsql_infix_mod, fresh tier → first).
+_MUST_RECERTIFY: list[str] = []
 
-# the 50 queries CORRECTNESS_r09 certified — they rotate to the BACK of
+# the 50 queries CORRECTNESS_r10 certified — they rotate to the BACK of
 # the certified tier this round (least-recently-certified first)
+_R10_GREEN = {
+    "chsql_map_byte_ops", "chsql_dialect8b_suite", "chsql_stats_ddl",
+    "beh_gen_array_month", "beh_retention_triangle",
+    "beh_user_distribution_monthly",
+    "beh_funnel_rep2", "beh_funnel_rep3", "beh_association_stats",
+    "beh_ema_by_type", "beh_path_split_r", "beh_session_split_r2",
+    "beh_page_time", "ml_fast_auc2_tiers", "ml_regression_auc2",
+    "ml_linear_gd", "ml_logistic_gd", "ml_eval_method_scores",
+    "beh_retention4", "bitmap_cardinality_by_type",
+    "bitmap_audience_overlap",
+    "bitmap_union_reach", "bitmap_state_merge_uniq",
+    "bitmap_expression_count",
+    "bitmap_max_level", "bitmap_join_slot_overlap",
+    "bitmap_column_diff_daily",
+    "bitmap_column_logic", "llm_exact_dedup", "llm_minhash_dedup",
+    "llm_ngram_jaccard", "llm_dedup_keep_list", "llm_simhash_pairs",
+    "llm_text_quality", "llm_language_guess", "llm_doc_fingerprint",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_label_centroids",
+    "ann_ivf_topk", "llm_ngram_lang_id", "llm_quality_classifier",
+    "llm_embedding_neardup", "llm_embedding_keep_list",
+    "ann_variance_matrix",
+    "mm_frame_sample", "llm_token_count", "mm_audio_energy",
+    "mm_keyframes", "mm_resize_thumbnail",
+}
+
+# r09 greens (kept for the two-round recency ladder: r10 greens sort
+# last, r09 next-to-last, everything older re-confirms first)
 _R09_GREEN = {
     "chsql_map_byte_ops", "chsql_mann_whitney", "chsql_dialect8b_suite",
     "beh_attr_analysis_counts", "beh_attr_analysis_first",
@@ -256,6 +299,7 @@ def all_queries() -> dict[str, QueryDef]:
         chsql_suite,
         chsql_round8,
         chsql_round8b,
+        chsql_round11,
         aggregates_suite,
         writes,
         sources_suite,
@@ -299,6 +343,9 @@ def all_queries() -> dict[str, QueryDef]:
     # rotation: queries the r09 driver just certified sort LAST within
     # the certified tier so a capped run re-confirms the LEAST-recently
     # certified queries first
-    certified.sort(key=lambda n: n in _R09_GREEN)
+    certified.sort(
+        key=lambda n: (2 if n in _R10_GREEN else
+                       1 if n in _R09_GREEN else 0)
+    )
     ordered = recert + round_robin(fresh) + certified + last
     return {n: _REGISTRY[n] for n in ordered}

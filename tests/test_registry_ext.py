@@ -470,9 +470,13 @@ def test_batch8_scalars(spark):
     got = one(ch("extractAllGroups", F.lit("a1 b2 c3"), r"([a-z])(\d)")
               .cast("string"))
     assert got == "[[a, b, c], [1, 2, 3]]"
+    # reference separator rules: last printed unit joins with " and "
+    # (formatReadableTimeDelta.cpp processUnit; 01511 golden)
     assert one(ch("formatReadableTimeDelta", F.lit(3723))) == \
-        "1 hour, 2 minutes, 3 seconds"
+        "1 hour, 2 minutes and 3 seconds"
     assert one(ch("formatReadableTimeDelta", F.lit(0))) == "0 seconds"
+    assert one(ch("formatReadableTimeDelta", F.lit(14256000.0))) == \
+        "5 months, 12 days and 12 hours"
     assert one(ch("pointInEllipses", F.lit(0.5), F.lit(0.0),
                   0.0, 0.0, 1.0, 1.0)) == 1
     assert one(ch("pointInEllipses", F.lit(2.0), F.lit(0.0),

@@ -261,6 +261,103 @@ def _ntz_scale(colname: str, st: str | None) -> int:
     return 3
 
 
+def _select_items(st: str) -> list:
+    """Top-level select-list item texts of the statement's outermost
+    SELECT (after WITH), split on depth-0 commas — used for per-column
+    fraction-scale resolution."""
+    depth, i, n = 0, 0, len(st)
+    sel_end = None
+    while i < n:
+        c = st[i]
+        if c == "'":
+            j = i + 1
+            while j < n and st[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and st[i:i + 6].upper() == "SELECT" and (
+            i == 0 or not (st[i - 1].isalnum() or st[i - 1] == "_")
+        ) and (i + 6 >= n or not (st[i + 6].isalnum()
+                                  or st[i + 6] == "_")):
+            sel_end = i + 6
+        i += 1
+    if sel_end is None:
+        return []
+    items, cur, depth, i = [], [], 0, sel_end
+    while i < n:
+        c = st[i]
+        if c == "'":
+            j = i + 1
+            while j < n and st[j] != "'":
+                j += 1
+            cur.append(st[i:j + 1])
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if depth == 0:
+            if c == ",":
+                items.append("".join(cur))
+                cur = []
+                i += 1
+                continue
+            m = re.match(
+                r"(?i)(FROM|FORMAT|SETTINGS|ORDER|LIMIT|GROUP|HAVING|"
+                r"WHERE|UNION|INTO)\b", st[i:],
+            )
+            if m and cur and not (st[i - 1].isalnum() or st[i - 1] == "_"):
+                break
+        cur.append(c)
+        i += 1
+    if cur and "".join(cur).strip():
+        items.append("".join(cur))
+    return [x.strip() for x in items]
+
+
+_SECOND_PRECISION_HEADS = re.compile(
+    r"(?i)\b(fromUnixTimestampMilli|fromUnixTimestamp|toDateTime|"
+    r"now|toStartOf\w+|timeSlot)\s*\("
+)
+
+
+def _item_scale(item: str, st: str) -> "int | None":
+    """Fraction scale of ONE select item: explicit DateTime64(N) /
+    toDateTime64(..., N) wins; second-precision DateTime producers
+    (fromUnixTimestampMilli, toDateTime, ...) are scale 0; bare alias
+    identifiers resolve through their `expr AS name` definition.  None →
+    caller falls back to the statement-level heuristic.  This keeps a
+    statement that MIXES DateTime64 and DateTime outputs exact (01277:
+    `dt64, fromUnixTimestampMilli(...)` renders `.345` then none)."""
+    e = item.strip()
+    # strip a trailing user alias
+    e = re.sub(r"(?is)\s+AS\s+`?\w+`?\s*$", "", e)
+    if re.fullmatch(r"\w+", e):
+        m = re.search(
+            rf"(?is)(\w+\s*\((?:[^()]|\([^()]*\))*\))\s+AS\s+{e}\b", st
+        )
+        if not m:
+            return None
+        e = m.group(1)
+    m = re.search(
+        r"(?i)(?:DateTime64|DateTimeWithoutTz)\s*\(\s*(\d+)", e
+    ) or re.search(r"(?i)toDateTime64\s*\([^,()]*,\s*(\d+)", e)
+    if m:
+        return int(m.group(1))
+    if re.search(r"(?i)\btoDateTime64\s*\(", e):
+        return None
+    if _SECOND_PRECISION_HEADS.search(
+        re.sub(r"(?i)\btoUnixTimestamp\w*\s*\(", "(", e)
+    ):
+        return 0
+    return None
+
+
 def _schema_convs(schema, st: str | None):
     """Per-column value converters wrapping float32 leaves (_F32) and
     timestamp-ntz leaves (_NTZ) so ch_fmt_cell renders them the CH way;
@@ -302,17 +399,23 @@ def _schema_convs(schema, st: str | None):
             sess_tz
         ).replace(tzinfo=None)
 
-    def conv(dt, scale):
+    def conv(dt, scale, iscale=None):
+        # iscale: this column's own select-item scale (01277 mixes
+        # DateTime64(3) and second-precision DateTime in one SELECT —
+        # the per-item resolution overrides the statement heuristic)
+        ts_scale = iscale if iscale is not None else stmt_scale
         if isinstance(dt, FloatType):
             return lambda v: _F32(v) if isinstance(v, float) else v
         if isinstance(dt, TimestampNTZType):
-            return lambda v: _NTZ(v, scale)
+            return lambda v: _NTZ(v, scale if iscale is None else iscale)
         if isinstance(dt, TimestampType) and sess_tz is not None:
-            if stmt_scale is not None:
-                return lambda v: _NTZ(_tz_shift(v), stmt_scale)
+            if ts_scale is not None and ts_scale > 0:
+                return lambda v: _NTZ(_tz_shift(v), ts_scale)
             return _tz_shift
-        if isinstance(dt, TimestampType) and stmt_scale is not None:
-            return lambda v: _NTZ(v, stmt_scale)
+        if isinstance(dt, TimestampType) and ts_scale is not None:
+            if ts_scale == 0:
+                return None
+            return lambda v: _NTZ(v, ts_scale)
         if isinstance(dt, ArrayType):
             c = conv(dt.elementType, scale)
             if c is None:
@@ -348,9 +451,12 @@ def _schema_convs(schema, st: str | None):
         except Exception:
             return False
 
+    items = _select_items(st) if st else []
     out = []
-    for f in schema.fields:
-        c = conv(f.dataType, _ntz_scale(f.name, st))
+    for idx, f in enumerate(schema.fields):
+        iscale = (_item_scale(items[idx], st)
+                  if st and len(items) == len(schema.fields) else None)
+        c = conv(f.dataType, _ntz_scale(f.name, st), iscale)
         if isinstance(f.dataType, MapType) and is_byte_map(f.name):
             # BYTE maps store one implicit column per key and
             # reconstruct key-sorted; the Arrow collect conversion
