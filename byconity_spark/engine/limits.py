@@ -54,6 +54,7 @@ class ReadonlyError(ValueError):
 
 _INT_KEYS = frozenset({
     "max_result_rows", "max_rows_to_read", "readonly",
+    "max_execution_speed",
 })
 _FLOAT_KEYS = frozenset({"max_execution_time"})
 _MODE_KEYS = frozenset({
@@ -64,6 +65,7 @@ LIMIT_KEYS = _INT_KEYS | _FLOAT_KEYS | _MODE_KEYS
 _DEFAULTS = {
     "max_result_rows": 0,
     "max_rows_to_read": 0,
+    "max_execution_speed": 0,
     "max_execution_time": 0.0,
     "readonly": 0,
     "result_overflow_mode": "throw",
@@ -137,6 +139,44 @@ class SessionLimits:
             raise ReadonlyError(
                 f"Cannot execute {statement_kind} in readonly mode "
                 f"(READONLY, readonly = {self._values['readonly']})"
+            )
+
+    @staticmethod
+    def check_execution_speed(eff: dict, sql: str) -> None:
+        """ExecutionSpeedLimits.h: with max_execution_speed rows/s AND a
+        max_execution_time, the PRE-execution estimate
+        rows / speed > timeout raises 159 (00976: speed 1 over the 1M
+        numbers relation)."""
+        speed = eff.get("max_execution_speed") or 0
+        secs = eff.get("max_execution_time") or 0.0
+        if not speed or not secs:
+            return
+        import re
+
+        est = 0
+        for m in re.finditer(r"(?i)\bRANGE\s*\(\s*(\d+)", sql):
+            est = max(est, int(m.group(1)))
+        from byconity_spark.engine.catalog import _LAST_SF_DIR, parts_rows
+
+        if _LAST_SF_DIR:
+            text = re.sub(r"'(?:[^'\\]|\\.|'')*'", "''", sql)
+            referenced = {
+                m.group(1).lower()
+                for m in re.finditer(
+                    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)", text,
+                    re.IGNORECASE,
+                )
+                if m.group(1).upper() != "SELECT"
+            }
+            est += sum(
+                r[3] for r in parts_rows(_LAST_SF_DIR[0])
+                if r[1].lower() in referenced
+            )
+        if est and est / speed > secs:
+            raise LimitExceeded(
+                f"TIMEOUT_EXCEEDED (159): Estimated query execution time"
+                f" ({est / speed:.1f} seconds) is too long. Maximum: "
+                f"{secs}. Estimated rows to process: {est}"
             )
 
     @staticmethod

@@ -84,17 +84,20 @@ def render_pretty_compact(
 
 
 def render_pretty_space(
-    names: list[str], rows: list[list[str]], aligns: list[str]
+    names: list[str], rows: list[list[str]], aligns: list[str],
+    escapes: bool = True,
 ) -> list[str]:
-    """FORMAT PrettySpace: no borders; one blank line after the header;
-    only the name itself bold (padding outside the escapes)."""
+    """FORMAT PrettySpace[NoEscapes]: no borders; one blank line after
+    the header; only the name itself bold (padding outside the escapes;
+    the NoEscapes variant drops the ANSI codes, keeping the layout)."""
     w = _widths(names, rows)
+    bold, reset = (BOLD, RESET) if escapes else ("", "")
 
     def head_cell(n: str, x: int, a: str) -> str:
         pad = " " * (x - len(n))
         if a == "r":
-            return " " + pad + BOLD + n + RESET + " "
-        return " " + BOLD + n + RESET + pad + " "
+            return " " + pad + bold + n + reset + " "
+        return " " + bold + n + reset + pad + " "
 
     head = " ".join(
         head_cell(n, x, a) for n, x, a in zip(names, w, aligns)
@@ -136,7 +139,9 @@ def render(
              "prettycompactnoescapes"):
         return render_pretty_compact(names, rows, aligns)
     if f in ("prettyspace", "prettyspacenoescapes"):
-        return render_pretty_space(names, rows, aligns)
+        return render_pretty_space(
+            names, rows, aligns, escapes=(f == "prettyspace")
+        )
     if f == "vertical":
         return render_vertical(names, rows)
     return render_pretty(names, rows, aligns)

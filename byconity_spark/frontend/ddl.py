@@ -215,7 +215,7 @@ def key_list(expr: str | None) -> list[str]:
 _MODIFIER_KEYWORDS = [
     "DEFAULT", "MATERIALIZED", "ALIAS", "CODEC", "TTL", "COMMENT",
     "NOT NULL", "NULL", "KV", "BYTE", "BITMAPINDEX", "SEGMENTBITMAPINDEX",
-    "AUTO_INCREMENT",
+    "BLOOM", "AUTO_INCREMENT",
 ]
 # expression TERMINATORS exclude NULL/NOT NULL — they legally appear inside
 # DEFAULT/TTL expressions (`d DEFAULT NULL`, `x IS NOT NULL`)
@@ -347,8 +347,9 @@ def _parse_column_item(item: str) -> ColumnDef:
             col.not_null = True
         elif kw == "NULL":
             pass  # nullable is the default here
-        elif kw in ("BITMAPINDEX", "SEGMENTBITMAPINDEX"):
-            pass  # bitmap skip-index layout hint (MergeTreeBitmapIndex)
+        elif kw in ("BITMAPINDEX", "SEGMENTBITMAPINDEX", "BLOOM"):
+            pass  # skip-index layout hints (MergeTreeBitmapIndex /
+            # bloom filter column annotation, 00943_..._mutate)
         elif kw == "AUTO_INCREMENT":
             col.auto_increment = True  # MySQL-compat fill-at-insert
         elif kw in ("KV", "BYTE"):
@@ -372,7 +373,8 @@ def parse_create_body(inner: str) -> CreateBody:
         up = item.upper()
         if up.startswith("INDEX "):
             m = re.match(
-                r"INDEX\s+([A-Za-z_]\w*)\s+(.+?)\s+TYPE\s+(\w+(?:\([^)]*\))?)"
+                r"INDEX\s+(`[^`]+`|[A-Za-z_]\w*)\s+(.+?)"
+                r"\s+TYPE\s+(\w+(?:\([^)]*\))?)"
                 r"(?:\s+GRANULARITY\s+(\d+))?\s*$",
                 item, re.IGNORECASE | re.DOTALL,
             )

@@ -65,6 +65,31 @@ _COND_RE = re.compile(
 _TAIL_KEYWORDS = ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT", "SETTINGS")
 
 
+def _split_depth0_eq(cond: str):
+    """Split one conjunct at its single top-level ``=`` (expression
+    join keys); None when there isn't exactly one."""
+    depth, pos = 0, []
+    i, n = 0, len(cond)
+    while i < n:
+        c = cond[i]
+        if c == "'":
+            i += 1
+            while i < n and cond[i] != "'":
+                i += 1
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c == "=" and cond[i - 1:i] not in (
+            "<", ">", "!"
+        ) and cond[i + 1:i + 2] != "=":
+            pos.append(i)
+        i += 1
+    if len(pos) != 1:
+        return None
+    return cond[:pos[0]].strip(), cond[pos[0] + 1:].strip()
+
+
 def _split_depth0_and(cond: str) -> list[str]:
     parts, depth, cur, i = [], 0, [], 0
     up = cond.upper()
@@ -302,10 +327,40 @@ def try_rewrite_strict_join(
             time_cond = (t, ">=", t)
         else:
             equi = [(c, c) for c in using_cols]
-    else:
+    synthetic_keys: list[str] = []
+    if conj.upper() != "USING":
         for cond in _split_depth0_and(cond_text):
             cm = _COND_RE.match(cond)
             if not cm:
+                # expression equality (00703 `tab1.b1 + 3 = tab1_copy.b1
+                # + 2`): evaluate each side on its own relation as a
+                # synthetic key column, then equi-join on those
+                eq = _split_depth0_eq(cond)
+                if eq is not None and strictness == "ANY":
+                    e1, e2 = eq
+                    q1s = {q.lower() for q in
+                           re.findall(r"([A-Za-z_]\w*)\.\w+", e1)}
+                    q2s = {q.lower() for q in
+                           re.findall(r"([A-Za-z_]\w*)\.\w+", e2)}
+                    if q1s == {lalias} and q2s == {ralias}:
+                        le, re_ = e1, e2
+                    elif q1s == {ralias} and q2s == {lalias}:
+                        le, re_ = e2, e1
+                    else:
+                        raise ChSqlError(
+                            f"condition does not reference both sides: "
+                            f"{cond!r}"
+                        )
+                    syn = f"__je{len(equi)}"
+                    strip_l = re.sub(
+                        rf"(?i)\b{re.escape(lalias)}\.", "", le)
+                    strip_r = re.sub(
+                        rf"(?i)\b{re.escape(ralias)}\.", "", re_)
+                    left = left.withColumn(syn, F.expr(strip_l))
+                    right = right.withColumn(syn, F.expr(strip_r))
+                    equi.append((syn, syn))
+                    synthetic_keys.append(syn)
+                    continue
                 raise ChSqlError(f"unsupported {strictness} JOIN condition: {cond!r}")
             q1, c1, op, q2, c2 = cm.groups()
             l_ok = (
@@ -341,11 +396,15 @@ def try_rewrite_strict_join(
         from pyspark.sql import functions as _F
         if how == "right":
             for lcol, _rcol in equi:
+                if lcol in synthetic_keys:
+                    continue  # expression keys are internal, not output
                 cpy = f"{lalias}__{lcol}__k"
                 left = left.withColumn(cpy, _F.col(lcol))
                 mapping[(lalias, lcol)] = cpy
         else:
             for _lcol, rcol in equi:
+                if rcol in synthetic_keys:
+                    continue
                 cpy = f"{ralias}__{rcol}__k"
                 right = right.withColumn(cpy, _F.col(rcol))
                 mapping[(ralias, rcol)] = cpy
@@ -418,6 +477,8 @@ def try_rewrite_strict_join(
             rest = [c for c in joined.columns if c not in front]
             joined = joined.select(*front, *rest)
 
+    if synthetic_keys:
+        joined = joined.drop(*synthetic_keys)
     view = f"{_VIEW}_{_depth}"
     joined.createOrReplaceTempView(view)
     aliases = {lalias, ralias, ltable.lower(), rtable.lower()} | left_aliases

@@ -1160,6 +1160,63 @@ def _select_list_aliases(sql: str) -> set:
     return out
 
 
+def _order_by_groupby_ties(sql: str) -> str:
+    """After a hash GROUP BY, ties under the query ORDER BY come out in
+    the reference's deterministic grouped order — observably the
+    remaining group keys ascending (02006 `group by x3, x2 order by x3`
+    → (200,1) before (200,10)).  Append the unordered plain-column
+    group keys as tiebreakers on single-relation statements."""
+    import re as _re
+
+    if _re.search(
+        r"(?i)\bUNION\b|\bJOIN\b|\bOVER\b|\bHAVING\b|\bWITH\s+FILL\b"
+        r"|\bFROM\s*\(|\bLIMIT\s+\d+\s+BY\b", sql,
+    ):
+        return sql
+    gm = _re.search(r"(?i)\bGROUP\s+BY\s+([\w`,\s]+?)(?=\bORDER\b|$)",
+                    sql)
+    obm = _re.search(r"(?i)\bORDER\s+BY\b", sql)
+    if not gm or not obm or gm.start() > obm.start():
+        return sql
+    gkeys = [k.strip().strip("`")
+             for k in gm.group(1).split(",") if k.strip()]
+    if not all(_re.fullmatch(r"\w+", k) for k in gkeys):
+        return sql
+    if any(k.isdigit() for k in gkeys):
+        # positional group keys (enable_positional_arguments) resolve
+        # through the select list (02006 `group by 1, 2`)
+        sm = _re.search(r"(?is)\bSELECT\s+(.*?)\s+FROM\b", sql)
+        if not sm:
+            return sql
+        items = [it.strip() for it in sm.group(1).split(",")]
+        if not all(_re.fullmatch(r"`?\w+`?", it) for it in items):
+            return sql
+        try:
+            gkeys = [
+                items[int(k) - 1].strip("`") if k.isdigit() else k
+                for k in gkeys
+            ]
+        except IndexError:
+            return sql
+    tail_start = obm.end()
+    end = len(sql)
+    for kw in ("LIMIT", "SETTINGS", "FORMAT", "OFFSET", "INTO"):
+        p = _depth0_find(sql, kw, tail_start)
+        if 0 <= p < end:
+            end = p
+    clause = sql[tail_start:end]
+    if "(" in clause or ")" in clause:
+        return sql
+    present = {w.lower() for w in _re.findall(r"\w+", clause)}
+    add = [k for k in gkeys if k.lower() not in present]
+    if not add or len(add) == len(gkeys):
+        return sql
+    ins = clause.rstrip()
+    pad = clause[len(ins):]
+    return (sql[:tail_start] + ins + ", " + ", ".join(add) + pad
+            + sql[end:])
+
+
 def _order_by_enum_values(sql: str) -> str:
     """Enum columns sort by their NUMERIC values, not the name strings
     (DataTypeEnum comparison; 01521 `ORDER BY e DESC` puts 'PS' = 3
@@ -1277,24 +1334,55 @@ def _order_by_nulls(sql: str) -> str:
     return "".join(out)
 
 
-def _parse_best_effort_sql(a: list[str]) -> str:
-    """parseDateTimeBestEffort[OrNull]: Spark's cast plus the RFC-1123 /
-    RFC-822 mail-date forms the reference's best-effort parser accepts
-    ('Thu, 18 Aug 2018 07:22:16 GMT' — 01123); year-bounded like the
-    reference's DateTime domain."""
+_BE_MONTHS = [
+    ("january", "1"), ("february", "2"), ("march", "3"), ("april", "4"),
+    ("may", "5"), ("june", "6"), ("july", "7"), ("august", "8"),
+    ("september", "9"), ("october", "10"), ("november", "11"),
+    ("december", "12"), ("jan", "1"), ("feb", "2"), ("mar", "3"),
+    ("apr", "4"), ("jun", "6"), ("jul", "7"), ("aug", "8"),
+    ("sep", "9"), ("oct", "10"), ("nov", "11"), ("dec", "12"),
+]
+
+_BE_PATTERNS = [
+    "'d.M.yyyy'", "'d-M-yyyy'", "'d/M/yyyy'", "'d.M.yy'", "'d-M-yy'",
+    "'d/M/yy'", "'d.M.yy HHmmss'", "'d.M.yy HH:mm:ss'",
+    '"d.M.yy\'t\'HH:mm:ss.SSSZ"', "'d-M-yyyy HH:mm'",
+    "'d-M-yyyy HH:mm:ss'",
+]
+
+
+def _parse_best_effort_sql(a: list[str], zero: bool = False) -> str:
+    """parseDateTimeBestEffort[OrNull|OrZero](s[, tz]): Spark's cast
+    plus the RFC-1123 mail-date form ('Thu, 18 Aug 2018 07:22:16 GMT' —
+    01123) and the dotted/dashed/slashed day-first and month-name forms
+    (00813: 24.12.18, 24-Dec-18, 24/DEC/2018, 24.DEC.18T01:02:03.000
+    +0300, 01-September-2018 11:22) — month names fold to numbers so the
+    numeric day-first patterns cover every case-variant; year-bounded
+    like the reference's DateTime domain.  OrZero yields the epoch."""
     x = a[0]
     # Spark >= 3.0 cannot PARSE day-of-week letters — strip the
     # 'Thu, ' prefix instead
     stripped = f"regexp_replace({x}, '^[A-Za-z]{{3}},\\\\s*', '')"
+    norm = f"lower({x})"
+    for name, num in _BE_MONTHS:
+        norm = f"regexp_replace({norm}, '{name}', '{num}')"
+    chain = ", ".join(
+        f"try_to_timestamp({norm}, {p})" for p in _BE_PATTERNS
+    )
     parsed = (
         f"coalesce(try_cast({x} AS TIMESTAMP), "
         f"try_to_timestamp({stripped}, 'd MMM yyyy HH:mm:ss z'), "
-        f"try_to_timestamp({stripped}, 'd MMM yyyy HH:mm:ss'))"
+        f"try_to_timestamp({stripped}, 'd MMM yyyy HH:mm:ss'), "
+        f"{chain})"
     )
-    return (
+    ok = (
         f"(CASE WHEN year({parsed}) BETWEEN 1900 AND 2299 "
         f"THEN {parsed} END)"
     )
+    if zero:
+        return (f"coalesce({ok}, "
+                f"CAST('1970-01-01 00:00:00' AS TIMESTAMP))")
+    return ok
 
 
 def _url_hierarchy_sql(u: str) -> str:
@@ -2053,8 +2141,11 @@ RULES: dict[str, object] = {
     "startsWith": "startswith", "endsWith": "endswith",
     "trimBoth": "trim", "trimLeft": "ltrim", "trimRight": "rtrim",
     "leftPad": "lpad", "rightPad": "rpad",
-    "empty": lambda a: f"(length({a[0]}) = 0)",
-    "notEmpty": lambda a: f"(length({a[0]}) > 0)",
+    "empty": lambda a: f"({_ch_length_sql(a[0])} = 0)",
+    "notEmpty": lambda a: f"({_ch_length_sql(a[0])} > 0)",
+    # CH length() is polymorphic over String AND Array/Map
+    # (src/Functions/array/length.cpp) — route array-ish args to size()
+    "length": lambda a: _ch_length_sql(a[0]),
     "concatWs": "concat_ws",
     # math / conditional
     # truncation-toward-zero integer division, NULL-safe (mirrors the
@@ -2201,15 +2292,23 @@ RULES: dict[str, object] = {
         f"__acc + CAST(__x AS DOUBLE))) / sum(size({a[0]})))"
     ),
     "countArray": lambda a: f"CAST(sum(size({a[0]})) AS BIGINT)",
+    # empty arrays average to 0 like the reference's default-value
+    # result, not a divide-by-zero (01602 arrayAvg([]) = 0)
     "arrayAvg": lambda a: (
-        f"(aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)) / size({a[0]}))"
+        f"(CASE WHEN size({a[0]}) = 0 THEN 0.0D ELSE "
+        f"aggregate({a[0]}, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE)) "
+        f"/ size({a[0]}) END)"
     ),
+    # empty numeric arrays yield the TYPE DEFAULT 0, not NULL
+    # (reference arrayAggregation.cpp; 01602 arrayMin([]) = 0) — only
+    # when the column is DDL-declared numeric, so string/date arrays
+    # keep Spark's NULL
     "arrayMin": lambda a: (
-        f"array_min({a[0]})" if len(a) == 1
+        _array_minmax_sql("array_min", a[0]) if len(a) == 1
         else f"array_min(transform({a[1]}, {a[0]}))"
     ),
     "arrayMax": lambda a: (
-        f"array_max({a[0]})" if len(a) == 1
+        _array_minmax_sql("array_max", a[0]) if len(a) == 1
         else f"array_max(transform({a[1]}, {a[0]}))"
     ),
     "arrayLength": "size",
@@ -2338,9 +2437,19 @@ RULES: dict[str, object] = {
         f"transform({a[0]}, (__e, __i) -> size(filter(slice({a[0]}, 1, "
         f"__i + 1), __p -> __p = __e)))"
     ),
+    # DateTime arrays difference in SECONDS (reference arrayDifference
+    # over DataTypeDateTime → Int; 01602 Array(DateTime) case)
     "arrayDifference": lambda a: (
-        f"transform({a[0]}, (__e, __i) -> CASE WHEN __i = 0 THEN 0 "
-        f"ELSE __e - element_at({a[0]}, __i) END)"
+        (f"transform({a[0]}, (__e, __i) -> CASE WHEN __i = 0 "
+         f"THEN 0.0D ELSE (unix_micros(__e) - "
+         f"unix_micros(element_at({a[0]}, __i))) / 1000000.0D END)")
+        if __import__("re").search(r"(?i)TIMESTAMP|DateTime\b", a[0])
+        else (f"transform({a[0]}, (__e, __i) -> CASE WHEN __i = 0 "
+              f"THEN 0 ELSE datediff(__e, element_at({a[0]}, __i)) "
+              f"END)")
+        if __import__("re").search(r"DATE>|Array\(Date\b", a[0])
+        else (f"transform({a[0]}, (__e, __i) -> CASE WHEN __i = 0 THEN 0 "
+              f"ELSE __e - element_at({a[0]}, __i) END)")
     ),
     # named colN fields so tupleElement/.N access works for column args
     # too (bare struct(id) would name the field "id", not "col1")
@@ -2994,6 +3103,15 @@ RULES.update(
         # keeps results convertible to client datetimes
         "parseDateTimeBestEffort": lambda a: _parse_best_effort_sql(a),
         "parseDateTimeBestEffortOrNull": lambda a: _parse_best_effort_sql(a),
+        "parseDateTimeBestEffortOrZero": lambda a: (
+            _parse_best_effort_sql(a, zero=True)
+        ),
+        "parseDateTime32BestEffortOrNull": lambda a: (
+            _parse_best_effort_sql(a)
+        ),
+        "parseDateTime32BestEffortOrZero": lambda a: (
+            _parse_best_effort_sql(a, zero=True)
+        ),
         "generateUUIDv4": lambda a: "uuid()",
     # session timezone — the engine runs UTC (timezone.cpp serverTimezone)
     "timezone": lambda a: f"'{_session_tz() or 'UTC'}'",
@@ -3517,6 +3635,62 @@ def _ch_type(t: str) -> str:
 _CH_TYPE_MAP_CI = {k.lower(): v for k, v in _CH_TYPE_MAP.items()}
 
 
+_ARRAYISH_HEAD_RE = None
+
+
+def _array_minmax_sql(fn: str, arg: str) -> str:
+    """array_min/array_max with the reference's empty-array → 0 default
+    for DDL-declared NUMERIC array columns (01602)."""
+    import re
+
+    e = arg.strip()
+    if re.fullmatch(r"`?\w+`?", e):
+        col = e.strip("`")
+        for ddl in _TABLE_CH_DDL.values():
+            for name, ch_type, _k, _e in ddl.get("columns", ()):
+                if name == col and ch_type and re.match(
+                    r"(?i)\s*Array\s*\(\s*(U?Int\d*|Float\d*|Decimal)",
+                    ch_type,
+                ):
+                    return f"coalesce({fn}({e}), 0)"
+    return f"{fn}({e})"
+
+
+def _ch_length_sql(arg: str) -> str:
+    """CH ``length`` works on String and Array/Map alike
+    (src/Functions/array/length.cpp).  Spark splits this into length()
+    vs size() — route by static type evidence: array-producing function
+    heads (pre- or post-rewrite names), array literals, or a column the
+    session DDL declares as Array/Map.  Strings (the common case) keep
+    Spark length()."""
+    import re
+
+    global _ARRAYISH_HEAD_RE
+    if _ARRAYISH_HEAD_RE is None:
+        _ARRAYISH_HEAD_RE = re.compile(
+            r"(?is)^\s*(\[|array\s*\(|array_\w+\s*\(|arrayDistinct|"
+            r"arrayMap|arrayFilter|arrayConcat|arraySlice|arraySort|"
+            r"split\s*\(|splitByChar|splitByString|sequence\s*\(|"
+            r"slice\s*\(|sort_array\s*\(|collect_list\s*\(|"
+            r"collect_set\s*\(|transform\s*\(|filter\s*\(|"
+            r"flatten\s*\(|map_keys\s*\(|map_values\s*\(|"
+            r"groupArray|groupUniqArray|range\s*\(|from_json\s*\(|"
+            r"transform\s*\()"
+        )
+    e = arg.strip()
+    if _ARRAYISH_HEAD_RE.match(e):
+        return f"size({e})"
+    if re.fullmatch(r"`?\w+`?", e):
+        col = e.strip("`")
+        for ddl in _TABLE_CH_DDL.values():
+            for name, ch_type, _k, _e in ddl.get("columns", ()):
+                if name == col and ch_type and re.match(
+                    r"(?i)\s*(Array|Map)\s*\(", ch_type
+                ):
+                    return f"size({e})"
+    return f"length({e})"
+
+
 def _cast_sql(a: list[str]) -> str:
     """CAST(x AS Int64), CAST(x, 'Int64') and accurateCast forms with CH
     type names mapped to Spark's."""
@@ -3530,10 +3704,83 @@ def _cast_sql(a: list[str]) -> str:
     return _emit_cast(m.group(1), m.group(2))
 
 
+def _stringy_expr(x: str) -> bool:
+    """True when the expression is statically known to be String-typed:
+    a string literal or a string-producing function head.  Used to route
+    CAST(string AS Array/Tuple) through the reference's TEXT PARSE
+    semantics (FunctionsConversion.h ConvertImplGenericFromString,
+    00358) instead of an illegal Spark cast."""
+    import re
+
+    return bool(
+        re.match(r"(?is)\s*'(?:[^']|'')*'\s*$", x)
+        or re.match(
+            r"(?is)\s*(toString|concat|substring|substr|lower|upper|"
+            r"trim|repeat|reverse|format|replaceAll|replace)\s*\(", x
+        )
+        # the toString RULE's own emission (args rewrite inside-out)
+        or re.match(r"(?is)\s*\(\s*CASE\s+WHEN\s+typeof\s*\(", x)
+    )
+
+
+def _wrap_int_sql(el: str, ch_inner: str) -> str:
+    """Element cast with the reference's MODULAR overflow for small
+    unsigned targets (text parse wraps: '333' AS UInt8 → 77)."""
+    import re
+
+    t = ch_inner.strip()
+    if re.fullmatch(r"(?i)UInt8", t):
+        return f"CAST(pmod(CAST({el} AS BIGINT), 256) AS SMALLINT)"
+    if re.fullmatch(r"(?i)UInt16", t):
+        return f"CAST(pmod(CAST({el} AS BIGINT), 65536) AS INT)"
+    if re.fullmatch(r"(?i)UInt32", t):
+        return (f"CAST(pmod(CAST({el} AS BIGINT), 4294967296) "
+                f"AS BIGINT)")
+    return f"CAST({el} AS {_ch_type(t)})"
+
+
+def _split_top_commas(s: str) -> list:
+    out, cur, depth = [], [], 0
+    for c in s:
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return [x.strip() for x in out]
+
+
 def _emit_cast(x: str, ch_t: str) -> str:
     import re
 
     ch_t = ch_t.replace("\\'", "'")  # CAST(x, 'Enum8(\'a\' = 1)') form
+    am = re.match(r"(?is)\s*Array\s*\((.+)\)\s*$", ch_t)
+    if am and _stringy_expr(x):
+        # '[1, 2, 3]' text-parses into the array (00358); the CH text
+        # form for numeric arrays is valid JSON
+        inner = am.group(1).strip()
+        if re.fullmatch(r"(?i)UInt(8|16|32)", inner):
+            return (f"transform(from_json({x}, 'array<bigint>'), "
+                    f"__e -> {_wrap_int_sql('__e', inner)})")
+        return f"from_json({x}, 'array<{_ch_type(inner).lower()}>')"
+    tm = re.match(r"(?is)\s*Tuple\s*\((.+)\)\s*$", ch_t)
+    if tm and _stringy_expr(x):
+        # '(3,333)' → strip parens, JSON-parse as strings, cast each
+        # element with modular overflow (00358 Tuple(UInt64, UInt8))
+        types = _split_top_commas(tm.group(1))
+        arr = (f"from_json(concat('[', substring({x}, 2, "
+               f"length({x}) - 2), ']'), 'array<string>')")
+        fields = ", ".join(
+            f"'_{i + 1}', {_wrap_int_sql(f'element_at({arr}, {i + 1})', t)}"
+            for i, t in enumerate(types)
+        )
+        return f"named_struct({fields})"
     em = re.match(r"(?is)\s*Enum(?:8|16)?\s*\((.+)\)\s*$", ch_t)
     if em:
         # CAST(n AS Enum('a' = 1, ...)) maps the VALUE to its name;
@@ -3628,10 +3875,38 @@ def _rewrite_colon_casts(sql: str) -> str:
         sql,
     )
     return re.sub(
-        r"::\s*([A-Za-z_]\w*(?:\(\s*(?:\d+(?:,\s*\d+)?)?\s*\))?)",
+        r"::\s*([A-Za-z_]\w*"
+        r"(?:\(\s*[\w\s',]*(?:\([\w\s',]*\))?[\w\s',]*\))?)",
         lambda m: f"::{_ch_type(m.group(1))}",
         sql,
     )
+
+
+def _rewrite_scalar_with_all(sql: str) -> str:
+    """Scalar-WITH inlining at EVERY nesting level: the reference allows
+    ``FROM ( WITH toDateTime(..) AS val SELECT ... )`` (01561) — apply
+    the top-level rewrite, then recurse into ``( WITH ...`` groups."""
+    import re
+
+    sql = _rewrite_scalar_with(sql)
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "(" and re.match(r"\(\s*WITH\b", sql[i:], re.IGNORECASE):
+            close = _match_paren(sql, i)
+            out.append("(" + _rewrite_scalar_with_all(sql[i + 1:close])
+                       + ")")
+            i = close + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_scalar_with(sql: str) -> str:
@@ -3655,9 +3930,9 @@ def _rewrite_scalar_with(sql: str) -> str:
         if c in "'\"":
             i = _skip_string(sql, i)
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif depth == 0 and c == "," :
             items.append(sql[start:i])
@@ -3862,6 +4137,389 @@ def _default_value_of_type_sql(a: list[str]) -> str:
 _ISO_DOW = "(((dayofweek({x}) + 5) % 7) + 1)"
 
 
+def _state_ser_hex(kind: str, e: str) -> str:
+    """Hex of the reference's SERIALIZED aggregate state
+    (AggregateFunctionSum/Avg serialize: value little-endian, counts as
+    VarUInt; 01926 hex(avgState(number)) = 2D000000000000000A)."""
+    h = f"lpad(hex(CAST(sum({e}) AS BIGINT)), 16, '0')"
+    le_sum = (f"array_join(transform(sequence(8, 1, -1), "
+              f"__b -> substring({h}, __b * 2 - 1, 2)), '')")
+    if kind == "sumState":
+        return le_sum
+    c = f"count({e})"
+    varint = (
+        f"(CASE WHEN {c} < 128 THEN lpad(hex({c}), 2, '0') "
+        f"ELSE concat(lpad(hex(({c} % 128) + 128), 2, '0'), "
+        f"lpad(hex({c} DIV 128), 2, '0')) END)"
+    )
+    return f"concat({le_sum}, {varint})"
+
+
+def _rewrite_state_dumps(sql: str) -> str:
+    """hex()/bin()/toString() over a -State aggregate dump the
+    reference's serialized state bytes (01926) — resolved BEFORE the
+    -State → finalized rewrite erases the state shape."""
+    import re as _re
+
+    def hex_repl(m):
+        return f"upper({_state_ser_hex(m.group(2), m.group(3))})"
+
+    def tostr_repl(m):
+        return (f"CAST(unhex({_state_ser_hex(m.group(1), m.group(2))})"
+                f" AS STRING)")
+
+    def bin_repl(m):
+        # conv(hex-pair, 16, 2): this emission re-enters the traversal,
+        # so it must not use names the RULES intercept (bin itself)
+        h = _state_ser_hex(m.group(2), m.group(3))
+        return (
+            f"array_join(transform(sequence(1, length({h}) DIV 2), "
+            f"__i -> lpad(conv(substring({h}, __i * 2 - 1, 2), 16, "
+            f"2), 8, '0')), '')"
+        )
+
+    sql = _re.sub(
+        r"(?i)\b(hex)\(\s*(sumState|avgState)\(([^()]*)\)\s*\)",
+        hex_repl, sql,
+    )
+    sql = _re.sub(
+        r"(?i)\btoString\(\s*(sumState|avgState)\(([^()]*)\)\s*\)",
+        tostr_repl, sql,
+    )
+    sql = _re.sub(
+        r"(?i)\b(bin)\(\s*(sumState|avgState)\(([^()]*)\)\s*\)",
+        bin_repl, sql,
+    )
+    return sql
+
+
+def _fold_hour24_literals(sql: str) -> str:
+    """The reference's DateTime text parse accepts hour 24 as midnight
+    of the NEXT day (readDateTimeText LUT arithmetic; 00902 inserts
+    toDateTime('2016-06-15 24:00:00')) — fold those literals inside
+    toDateTime[64]/CAST calls at rewrite time."""
+    import datetime as _dt
+    import re as _re
+
+    def fix(m):
+        d = _dt.date(int(m.group(2)), int(m.group(3)),
+                     int(m.group(4))) + _dt.timedelta(days=1)
+        return f"{m.group(1)}'{d.isoformat()} 00:{m.group(5)}"
+
+    return _re.sub(
+        r"(?i)(toDateTime(?:64)?\s*\(\s*)"
+        r"'(\d{4})-(\d{2})-(\d{2})[ T]24:(\d{2}:\d{2})",
+        fix, sql,
+    )
+
+
+def _bin_const_bytes(e: str):
+    """The BYTES bin()/hex() would dump for a constant expression
+    (FunctionsCoding hexImpl: integers big-endian at their smallest CH
+    type width, floats/decimals little-endian memory order, strings
+    verbatim UTF-8).  Returns bytes or None when not constant.  Args
+    arrive POST-rewrite: toFloat32(x) is CAST(x AS FLOAT) etc."""
+    import re
+    import struct
+    from decimal import Decimal
+
+    t = e.strip()
+    while True:
+        m = re.match(r"(?s)^\(\s*(.*\S)\s*\)$", t)
+        if m and _balanced_parens(m.group(1)):
+            t = m.group(1).strip()
+        else:
+            break
+    lm = re.match(r"(?s)^'((?:[^']|'')*)'$", t)
+    if lm:
+        return lm.group(1).replace("''", "'").encode("utf-8")
+    if re.match(r"^\d+$", t):
+        v = int(t)
+        for w in (1, 2, 4, 8):
+            if v < (1 << (8 * w)):
+                return v.to_bytes(w, "big")
+        return (v % (1 << 64)).to_bytes(8, "big")
+    cm = re.match(
+        r"(?is)^CAST\s*\(\s*(-?[\d.]+)\s+AS\s+(FLOAT|DOUBLE)\s*\)$", t
+    )
+    if cm:
+        return struct.pack(
+            "<f" if cm.group(2).upper() == "FLOAT" else "<d",
+            float(cm.group(1)),
+        )
+    dm = re.match(
+        r"(?is)^CAST\s*\(\s*(-?[\d.]+)\s+AS\s+DECIMAL\s*\(\s*(\d+)\s*,"
+        r"\s*(\d+)\s*\)\s*\)$", t,
+    )
+    if dm:
+        prec = int(dm.group(2))
+        width = 4 if prec <= 9 else 8 if prec <= 18 else 16
+        scaled = int(
+            (Decimal(dm.group(1)) * (10 ** int(dm.group(3))))
+            .to_integral_value()
+        )
+        return scaled.to_bytes(width, "little", signed=True)
+    fx = re.match(
+        r"(?is)^rpad\s*\(\s*'([^']*)'\s*,\s*(\d+)\s*,\s*chr\(0\)\s*\)$",
+        t,
+    )
+    if fx:
+        b = fx.group(1).encode("utf-8")
+        return b + b"\x00" * (int(fx.group(2)) - len(b))
+    return None
+
+
+def _bin_sql(a: list) -> str:
+    """bin() (FunctionsCoding; 01926): constant args fold in Python;
+    runtime strings dump per-byte via the hex() bridge."""
+    b = _bin_const_bytes(a[0])
+    if b is not None:
+        return "'" + "".join(f"{x:08b}" for x in b) + "'"
+    h = f"hex({a[0]})"
+    return (
+        f"array_join(transform(sequence(1, length({h}) DIV 2), "
+        f"__i -> lpad(bin(conv(substring({h}, __i * 2 - 1, 2), 16, "
+        f"10)), 8, '0')), '')"
+    )
+
+
+def _unbin_sql(a: list) -> str:
+    """unbin() (01926): left-pad to whole bytes, decode big-endian."""
+    import re
+
+    e = a[0].strip()
+    while True:
+        m = re.match(r"(?s)^\(\s*(.*\S)\s*\)$", e)
+        if m and _balanced_parens(m.group(1)):
+            e = m.group(1).strip()
+        else:
+            break
+    lm = re.match(r"^'([01]*)'$", e)
+    if lm:
+        s = lm.group(1)
+        if not s:
+            return "''"
+        nb = (len(s) + 7) // 8
+        by = int(s, 2).to_bytes(nb, "big")
+        return f"CAST(unhex('{by.hex()}') AS STRING)"
+    return (
+        f"CAST(unhex(lpad(conv({a[0]}, 2, 16), "
+        f"CAST(ceil(length({a[0]}) / 8.0) * 2 AS INT), '0')) AS STRING)"
+    )
+
+
+def _ipv6_fold(expr: str):
+    """Constant-fold an IPv6 bit-op tree — bitAnd/bitOr/bitXor/bitNot
+    over IPv6StringToNum('literal') (materialize() transparent) — to an
+    ``ipaddress.IPv6Address`` int, or None when not constant.  Backs
+    IPv6NumToString over FixedString(16) bit algebra (01079): Spark has
+    no binary bitwise ops, but the reference test surface is
+    constant-only."""
+    import ipaddress
+    import re as _re
+
+    e = expr.strip()
+    m = _re.match(r"(?is)^\(\s*(.*\S)\s*\)$", e)
+    while m and _balanced_parens(m.group(1)):
+        e = m.group(1)
+        m = _re.match(r"(?is)^\(\s*(.*\S)\s*\)$", e)
+    # the bit-op RULES rewrite inside-out first: `(A & B)` / `(A | B)` /
+    # `(A ^ B)` / `(-1 ^ CAST(A AS BIGINT))` are the post-rewrite forms
+    for sym, op in (("&", "bitand"), ("|", "bitor"), ("^", "bitxor")):
+        parts = _split_top_on(e, sym)
+        if parts is not None:
+            la, lb = parts
+            nm = _re.match(
+                r"(?is)^\s*-1\s*$", la
+            )
+            if op == "bitxor" and nm:
+                bm = _re.match(
+                    r"(?is)^\s*CAST\s*\((.*)\s+AS\s+BIGINT\s*\)\s*$", lb
+                )
+                v = _ipv6_fold(bm.group(1)) if bm else _ipv6_fold(lb)
+                return None if v is None else (~v) & ((1 << 128) - 1)
+            va, vb = _ipv6_fold(la), _ipv6_fold(lb)
+            if va is None or vb is None:
+                return None
+            return (va & vb if op == "bitand"
+                    else va | vb if op == "bitor" else va ^ vb)
+    cm = _re.match(r"(?is)^(\w+)\s*\((.*)\)$", e)
+    if not cm:
+        return None
+    head, inner = cm.group(1), cm.group(2)
+    hl = head.lower()
+    if hl == "materialize":
+        return _ipv6_fold(inner)
+    if hl in ("ipv6stringtonum", "toipv6"):
+        lm = _re.match(r"(?is)^\s*'([^']*)'\s*$", inner)
+        if not lm:
+            return None
+        try:
+            return int(ipaddress.IPv6Address(lm.group(1)))
+        except ValueError:
+            return None
+    if hl == "bitnot":
+        v = _ipv6_fold(inner)
+        return None if v is None else (~v) & ((1 << 128) - 1)
+    if hl in ("bitand", "bitor", "bitxor"):
+        args = _split_top_commas(inner)
+        if len(args) != 2:
+            return None
+        va, vb = _ipv6_fold(args[0]), _ipv6_fold(args[1])
+        if va is None or vb is None:
+            return None
+        return (va & vb if hl == "bitand"
+                else va | vb if hl == "bitor" else va ^ vb)
+    return None
+
+
+def _split_top_on(s: str, sym: str):
+    """Split s at a single top-level occurrence of the operator `sym`
+    (paren/quote aware); None when absent or repeated."""
+    depth, pos = 0, []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c == sym:
+            pos.append(i)
+        i += 1
+    if len(pos) != 1:
+        return None
+    return s[:pos[0]].strip(), s[pos[0] + 1:].strip()
+
+
+def _balanced_parens(s: str) -> bool:
+    d = 0
+    for c in s:
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        if d < 0:
+            return False
+    return d == 0
+
+
+def _ipv6_num_to_string_sql(a: list) -> str:
+    """IPv6NumToString: constant bit-algebra trees fold at rewrite time
+    to the RFC 5952 compressed literal (01079); non-constant input is
+    unsupported in the SQL dialect (operator API covers columns)."""
+    import ipaddress
+
+    v = _ipv6_fold(a[0])
+    if v is not None:
+        return f"'{ipaddress.IPv6Address(v)}'"
+    _raise_ch(
+        "IPv6NumToString over non-constant FixedString(16) is not "
+        "supported in the SQL dialect — use the operator API "
+        "(NOT_IMPLEMENTED)"
+    )
+
+
+def _sleep_sql(a: list) -> str:
+    """sleep()/sleepEachRow(): no-op returning 0, but constants above
+    the reference's 3-second cap raise error 160 (FunctionSleep.h
+    TOO_SLOW check happens before any sleeping)."""
+    import re as _re
+
+    if a and _re.fullmatch(r"\s*\d+(?:\.\d+)?\s*", a[0]) and float(
+        a[0]
+    ) > 3.0:
+        _raise_ch(
+            f"TOO_SLOW (160): The maximum sleep time is 3 seconds. "
+            f"Requested: {a[0].strip()}"
+        )
+    return "0"
+
+
+def _format_ch_syntax(body: str):
+    """formatAST layout for simple single-table SELECTs (02006 EXPLAIN
+    SYNTAX goldens): clause-per-line, 4-space-indented select items,
+    ORDER BY ordinals resolved through the select list with explicit
+    ASC.  None → caller echoes the raw text (01881 FROM-less forms)."""
+    import re as _re
+
+    m = _re.match(
+        r"(?is)^SELECT\s+(.*?)(?:\s+FROM\s+(`?\w+`?))?"
+        r"(?:\s+GROUP\s+BY\s+(.*?))?"
+        r"(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+SETTINGS\s+(.*?))?\s*$",
+        body,
+    )
+    if not m or (m.group(2) and "(" in m.group(2)) or not (
+        m.group(2) or m.group(3) or m.group(4) or m.group(5)
+    ):
+        # bare FROM-less SELECT echoes verbatim (01881)
+        return None
+    grp, orderby, setts = m.group(3), m.group(4), m.group(5)
+    items = [it.strip() for it in _split_top_commas(m.group(1))]
+    if not items:
+        return None
+    # formatAST prints arithmetic in OPERATOR form (plus(a, b) → a + b)
+    # and keywords uppercased
+    items = [_re.sub(r"(?i)\s+as\s+", " AS ", it) for it in items]
+    _ops = {"plus": "+", "minus": "-", "multiply": "*", "divide": "/"}
+    items = [
+        _re.sub(
+            r"\b(plus|minus|multiply|divide)\(\s*(\w+)\s*,\s*(\w+)\s*\)",
+            lambda am: f"{am.group(2)} {_ops[am.group(1)]} {am.group(3)}",
+            it,
+        )
+        for it in items
+    ]
+    lines = []
+    if len(items) == 1:
+        lines.append(f"SELECT {items[0]}")
+    else:
+        lines.append("SELECT")
+        lines.extend(f"    {it}," for it in items[:-1])
+        lines.append(f"    {items[-1]}")
+    if m.group(2):
+        lines.append(f"FROM {m.group(2)}")
+
+    def _keys(text: str, with_dir: bool) -> list:
+        out = []
+        for k in _split_top_commas(text):
+            k = k.strip()
+            dm = _re.fullmatch(r"(\d+)(\s+(?:ASC|DESC))?", k,
+                               _re.IGNORECASE)
+            if dm and 1 <= int(dm.group(1)) <= len(items):
+                item = _re.sub(r"(?is)\s+AS\s+`?\w+`?\s*$", "",
+                               items[int(dm.group(1)) - 1])
+                k = item + (dm.group(2) or "")
+            if with_dir and not _re.search(r"(?i)\b(ASC|DESC)\s*$", k):
+                k += " ASC"
+            out.append(k)
+        return out
+
+    def _clause(kw: str, keys: list) -> None:
+        if len(keys) == 1:
+            lines.append(f"{kw} {keys[0]}")
+        else:
+            lines.append(kw)
+            lines.extend(f"    {k}," for k in keys[:-1])
+            lines.append(f"    {keys[-1]}")
+
+    if grp:
+        _clause("GROUP BY", _keys(grp, with_dir=False))
+    if orderby:
+        _clause("ORDER BY", _keys(orderby, with_dir=True))
+    if setts:
+        s = ", ".join(
+            _re.sub(r"\s*=\s*", " = ", it.strip())
+            for it in _split_top_commas(setts)
+        )
+        lines.append(f"SETTINGS {s}")
+    return lines
+
+
 def _format_rtd_sql(a: list) -> str:
     """formatReadableTimeDelta(value[, max_unit]) → the exact-text
     pandas kernel.  Constant bad units fail at rewrite time with the
@@ -4031,9 +4689,11 @@ RULES.update(
         "arraySetCheck": lambda a: "(" + " AND ".join(
             f"arrays_overlap({a[i]}, "
             + (a[i + 1].strip()
-               if a[i + 1].strip().startswith("(")
-               else f"({a[i + 1]})")
-            .replace("(", "array(", 1) + ")"
+               if a[i + 1].strip().startswith("array(")
+               else (a[i + 1].strip()
+                     if a[i + 1].strip().startswith("(")
+                     else f"({a[i + 1]})").replace("(", "array(", 1))
+            + ")"
             for i in range(0, len(a), 2)
         ) + ")",
         # topoFindDown(hits, levels) — reference
@@ -4140,7 +4800,22 @@ RULES.update(
         "formatReadableTimeDelta": lambda a: _format_rtd_sql(a),
         "parseTimeDelta": _parse_time_delta_sql,
         # ---- UUID / IP tail
-        "toUUID": lambda a: f"lower({a[0]})",
+        "bin": lambda a: _bin_sql(a),
+        "unbin": lambda a: _unbin_sql(a),
+        # the SQL dialect rewrites -State aggregates to their finalized
+        # values (scalar subqueries collapse), so finalizeAggregation is
+        # the identity there — state×const arithmetic distributes (00920)
+        "finalizeAggregation": lambda a: f"({a[0]})",
+        # numbers are not convertible to UUID (FunctionsConversion
+        # toUUID only accepts strings; 01634 toUUID(-1.1) errors)
+        "toUUID": lambda a: (
+            _raise_ch(
+                "ILLEGAL_TYPE_OF_ARGUMENT (43): Conversion from "
+                "numeric types to UUID is not supported"
+            )
+            if __import__("re").fullmatch(r"\s*-?[\d.]+\s*", a[0])
+            else f"lower({a[0]})"
+        ),
         "UUIDStringToNum": lambda a: f"unhex(replace({a[0]}, '-', ''))",
         "IPv4StringToNum": lambda a: (
             f"aggregate(split({a[0]}, '\\\\.'), CAST(0 AS BIGINT), "
@@ -4231,8 +4906,42 @@ RULES.update(
         # the reference tolerates a dummy argument (currentDatabase(0)
         # appears throughout its own tests)
         "currentDatabase": lambda a: f"'{_CURRENT_DATABASE[0]}'",
-        "sleep": lambda a: "0",  # no per-block sleep; returns CH's 0
-        "sleepEachRow": lambda a: "0",
+        # no per-block sleep; returns CH's 0 — but the reference
+        # VALIDATES the constant first (FunctionSleep: > 3 s is error
+        # 160 TOO_SLOW, 00833 sleep(4295.967296) overflow)
+        "sleep": lambda a: _sleep_sql(a),
+        "sleepEachRow": lambda a: _sleep_sql(a),
+        "IPv6NumToString": lambda a: _ipv6_num_to_string_sql(a),
+        # random printable ASCII (32..126) of length n
+        # (randomPrintableASCII.cpp) — JVM-side rand chain, no UDF
+        "randomPrintableASCII": lambda a: (
+            f"array_join(transform(sequence(1, CAST({a[0]} AS INT)), "
+            f"__i -> char(32 + CAST(floor(rand() * 95) AS INT))), '')"
+        ),
+        # Spark strings are UTF-16 internally and re-encode to valid
+        # UTF-8; binary garbage surfaces as U+FFFD after the cast
+        # (isValidUtf8.cpp; 01278)
+        "isValidUTF8": lambda a: (
+            f"(CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS INT) ELSE "
+            f"CAST(NOT contains(CAST({a[0]} AS STRING), '\\uFFFD') "
+            f"AS INT) END)"
+        ),
+        # n random code points (randomStringUTF8.cpp); the observable
+        # contract is lengthUTF8 = n ∧ isValidUTF8 — drawn from the
+        # printable BMP subset (Spark char() is byte-range only)
+        "randomStringUTF8": lambda a: (
+            _raise_ch(
+                "randomStringUTF8: argument must be numeric "
+                "(ILLEGAL_TYPE_OF_ARGUMENT, 43)"
+            )
+            if a and a[0].strip().startswith("'")
+            else (
+                f"CASE WHEN CAST({a[0]} AS INT) <= 0 THEN '' ELSE "
+                f"array_join(transform(sequence(1, CAST({a[0]} AS INT)), "
+                f"__i -> char(32 + CAST(floor(rand() * 95) AS INT))), "
+                f"'') END"
+            )
+        ),
         "ignore": lambda a: "0",
         "identity": lambda a: f"({a[0]})",
         # full-block bar chart (CH draws eighth-blocks for the remainder)
@@ -4805,6 +5514,11 @@ def _combinator_rule(name: str):
 def _transform_sql(a: list[str]) -> str:
     # transform(x, from_arr, to_arr, default) — CH value remap
     # (src/Functions/transform.cpp), mirroring registry."transform"
+    if len(a) == 2 and "->" in a[1]:
+        # Spark's lambda transform emitted by an earlier statement-level
+        # rewrite (WITH FILL spine) re-entering the traversal — pass it
+        # through unchanged
+        return f"transform({a[0]}, {a[1]})"
     if len(a) != 4:
         raise ChSqlError("transform expects (x, from, to, default)")
     x, frm, to, dflt = a
@@ -5057,6 +5771,29 @@ def _rewrite_limit_by(sql: str) -> str:
         # deterministic stand-in (00834 `LIMIT 1 BY number`)
         core = sql[:i_limit].strip()
         order = cols
+    # positional keys (enable_positional_arguments; 02006 `order by 3
+    # limit 1 by 3`): a bare ordinal inside the WINDOW would bind as a
+    # literal — resolve through the select list
+    def _resolve_pos(keys: str) -> str:
+        sm = re.search(r"(?is)\bSELECT\s+(.*?)\s+FROM\b", core)
+        if not sm:
+            return keys
+        items = [it.strip() for it in sm.group(1).split(",")]
+        out = []
+        for k in [x.strip() for x in keys.split(",")]:
+            km = re.fullmatch(r"(\d+)(\s+(?:ASC|DESC))?", k,
+                              re.IGNORECASE)
+            if km and 1 <= int(km.group(1)) <= len(items):
+                item = items[int(km.group(1)) - 1]
+                item = re.sub(r"(?is)\s+AS\s+`?\w+`?\s*$", "", item)
+                out.append(item + (km.group(2) or ""))
+            else:
+                out.append(k)
+        return ", ".join(out)
+
+    if re.search(r"\b\d+\b", cols) or re.search(r"\b\d+\b", order):
+        cols = _resolve_pos(cols)
+        order = _resolve_pos(order)
     return (
         f"SELECT * EXCEPT(__rn) FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {cols} ORDER BY {order}) AS __rn "
@@ -5485,10 +6222,22 @@ def _rewrite_prewhere(sql: str) -> str:
     (reference src/Storages/MergeTree* PREWHERE pipeline); Catalyst's
     predicate pushdown makes every WHERE a prewhere, so the rewrite is
     semantics-preserving and loses nothing."""
+    import re as _re_pw
+
+    start_at = 0
     while True:
-        i = _depth0_find(sql, "PREWHERE")
+        i = _depth0_find(sql, "PREWHERE", start_at)
         if i < 0:
             return sql
+        # a TABLE named `prewhere` (01115) sits in relation position —
+        # keyword only when NOT directly preceded by FROM/JOIN/comma
+        prev = _re_pw.search(
+            r"(?is)(\bFROM|\bJOIN|\bINTO|\bTABLE|\bEXISTS|,)\s*$",
+            sql[:i],
+        )
+        if prev:
+            start_at = i + len("PREWHERE")
+            continue
         end = len(sql)
         nxt = None
         for kw in _CLAUSE_STOPPERS:
@@ -6036,6 +6785,24 @@ def _rewrite_with_fill(sql: str) -> str:
     gk = [k for k, _ in group_keys]
     gk_sel = (", ".join(gk) + ", ") if gk else ""
 
+    def _fill_seq(start: str, stop: str, step: str, desc: bool) -> str:
+        # Spark sequence() rejects FLOAT bounds (01614 toFloat32 fill
+        # key) — numeric steps use a counted transform instead, which
+        # is type-generic; INTERVAL steps keep native sequence
+        import re
+
+        if re.search(r"(?i)\bINTERVAL\b", step):
+            return (f"sequence({start}, {stop}, -({step}))" if desc
+                    else f"sequence({start}, {stop}, {step})")
+        diff = (f"({start}) - ({stop})" if desc
+                else f"({stop}) - ({start})")
+        sign = "-" if desc else "+"
+        return (
+            f"transform(sequence(0, greatest(CAST(floor(({diff}) / "
+            f"({step})) AS INT), 0)), __k -> ({start}) {sign} __k * "
+            f"({step}))"
+        )
+
     # ---- spine of the first (possibly bounds-from-data) fill key
     key0, desc0, frm0, to0, step0 = fills[0]
     if frm0 is not None and to0 is not None:
@@ -6044,8 +6811,8 @@ def _rewrite_with_fill(sql: str) -> str:
             f"(SELECT DISTINCT {', '.join(gk)} FROM ({core}))" if gk else "(SELECT 1)"
         )
         seq = (
-            f"sequence({frm0}, {to0}, -({step0}))" if desc0
-            else f"sequence({frm0}, {to0}, {step0})"
+            _fill_seq(frm0, to0, step0, True) if desc0
+            else _fill_seq(frm0, to0, step0, False)
         )
     else:
         bounds_src = (
@@ -6057,9 +6824,9 @@ def _rewrite_with_fill(sql: str) -> str:
         if desc0:
             hi_start = frm0 or "__hi"
             lo_end = to0 or "__lo"
-            seq = f"sequence({hi_start}, {lo_end}, -({step0}))"
+            seq = _fill_seq(hi_start, lo_end, step0, True)
         else:
-            seq = f"sequence({lo}, {hi}, {step0})"
+            seq = _fill_seq(lo, hi, step0, False)
     guards = []
     if to0 is not None:
         guards.append(f"{key0} > {to0}" if desc0 else f"{key0} < {to0}")
@@ -6070,8 +6837,8 @@ def _rewrite_with_fill(sql: str) -> str:
     # ---- cross-product spines for further fill keys (explicit bounds)
     for key, desc, frm, to, step in fills[1:]:
         seq_n = (
-            f"sequence({frm}, {to}, -({step}))" if desc
-            else f"sequence({frm}, {to}, {step})"
+            _fill_seq(frm, to, step, True) if desc
+            else _fill_seq(frm, to, step, False)
         )
         spine = (
             f"SELECT *, explode({seq_n}) AS {key} FROM ({spine})"
@@ -6089,6 +6856,36 @@ def _rewrite_with_fill(sql: str) -> str:
         f"SELECT {', '.join(using)} FROM ({spine}){guard_sql}"
         f") LEFT JOIN ({core}) USING ({', '.join(using)})"
     )
+    # filled rows carry TYPE DEFAULTS in the non-fill columns, not NULL
+    # (FillingTransform default-constructs the column; 01614 `source`
+    # shows '') — resolvable at rewrite time when every select item of
+    # the core is aliased/bare and its default is textually evident
+    import re
+
+    fm_core = re.search(r"(?is)^\s*SELECT\s+(.*?)\s+FROM\b", core)
+    if fm_core:
+        parseable = True
+        proj_items = []
+        for item in _split_depth0_commas(fm_core.group(1)):
+            mm = re.match(r"(?is)^(.*\S)\s+AS\s+`?(\w+)`?\s*$", item)
+            if mm:
+                expr_t, nm = mm.group(1), mm.group(2)
+            elif re.fullmatch(r"\s*`?\w+`?\s*", item):
+                expr_t = nm = item.strip().strip("`")
+            else:
+                parseable = False
+                break
+            if nm in using:
+                proj_items.append(nm)
+                continue
+            if _stringy_expr(expr_t):
+                proj_items.append(f"coalesce({nm}, '') AS {nm}")
+            elif re.fullmatch(r"\s*-?\d+(\.\d+)?\s*", expr_t):
+                proj_items.append(f"coalesce({nm}, 0) AS {nm}")
+            else:
+                proj_items.append(nm)
+        if parseable and any("coalesce" in p for p in proj_items):
+            joined = f"SELECT {', '.join(proj_items)} FROM ({joined})"
     if interp_cols:
         part = f"PARTITION BY {', '.join(gk)} " if gk else ""
         win_order = ", ".join(
@@ -6996,6 +7793,87 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _strip_settings(sql)
     sql = _strip_format(sql)
     sql = _normalize_exotic_tokens(sql)
+    if " 24:" in sql or "T24:" in sql:
+        sql = _fold_hour24_literals(sql)
+    if "State(" in sql and ("hex(" in sql or "bin(" in sql
+                            or "toString(" in sql):
+        sql = _rewrite_state_dumps(sql)
+    if "toTypeName" in sql:
+        # DateTime64 scale/tz survive only in the TEXT (Spark folds to
+        # plain TIMESTAMP) — resolve toTypeName over an alias whose
+        # definition is a toDateTime64 call (01561 dt64_typename)
+        import re as _re_ttn
+
+        def _ttn(m):
+            ident = m.group(1)
+            dm = _re_ttn.search(
+                rf"(?is)toDateTime64\s*\((?:[^()]|\([^()]*\))*?,"
+                rf"\s*(\d+)\s*(?:,\s*'([^']+)')?\s*\)\s+AS\s+"
+                rf"{_re_ttn.escape(ident)}\b", sql,
+            )
+            if dm:
+                tz = f", \\'{dm.group(2)}\\'" if dm.group(2) else ""
+                return f"'DateTime64({dm.group(1)}{tz})'"
+            return m.group(0)
+
+        sql = _re_ttn.sub(r"(?i)\btoTypeName\s*\(\s*(\w+)\s*\)",
+                          _ttn, sql)
+
+        # constant type algebra for array aggregations over typed
+        # literals (01602: arraySum([toUInt8(0)]) is UInt64 — the
+        # unsigned lineage only exists in the text)
+        _DEC_BITS = {"32": "9", "64": "18", "128": "38", "256": "76"}
+
+        def _ttn_agg(m):
+            fn, t, dec_scale = (m.group(1).lower(), m.group(2),
+                                m.group(4))
+            if t.startswith("Decimal"):
+                bits = _DEC_BITS.get(t[7:], "38")
+                base = f"Decimal({bits}, {dec_scale or '0'})"
+            else:
+                base = t
+            if fn in ("arraymin", "arraymax"):
+                out = base
+            elif fn == "arraysum":
+                if t.startswith("Decimal"):
+                    out = f"Decimal(38, {dec_scale or '0'})"
+                elif t.startswith("Float"):
+                    out = "Float64"
+                elif t in ("Int128", "Int256", "UInt256", "UInt128"):
+                    out = t
+                elif t.startswith("UInt"):
+                    out = "UInt64"
+                else:
+                    out = "Int64"
+            else:  # arrayAvg
+                out = "Float64"
+            return f"'{out}'"
+
+        sql = _re_ttn.sub(
+            r"(?i)\btoTypeName\s*\(\s*(arrayMin|arrayMax|arraySum|"
+            r"arrayAvg)\s*\(\s*\[\s*to(U?Int\d+|Float\d+|Decimal\d+)"
+            r"\s*\(\s*[\d.]+\s*(,\s*(\d+)\s*)?\)\s*\]\s*\)\s*\)",
+            _ttn_agg, sql,
+        )
+    if "(*)" in sql.replace(" ", ""):
+        # CH expands f(*) to the relation's columns (ExpressionAnalyzer
+        # asterisk expansion; 00646 `sum(length(*))` on a one-column
+        # table) — resolve single-column tables here so the length()
+        # array/string routing sees the real column name
+        import re as _re_star
+
+        froms = _re_star.findall(r"(?i)\bFROM\s+`?(\w+)`?", sql)
+        if len(set(froms)) == 1:
+            base = froms[0].lower()
+            for key, ddl in _TABLE_CH_DDL.items():
+                if (key.split(".")[-1].lower() == base
+                        and len(ddl.get("columns", ())) == 1):
+                    col = ddl["columns"][0][0]
+                    sql = _re_star.sub(
+                        r"(?i)\b(length|empty|notEmpty)\s*\(\s*\*\s*\)",
+                        lambda m: f"{m.group(1)}(`{col}`)", sql,
+                    )
+                    break
     if "untuple" in sql.lower():
         sql = _expand_untuple(sql)
     if "{" in sql:
@@ -7023,7 +7901,7 @@ def rewrite_ch_sql(sql: str) -> str:
         sql = _rewrite_groups_frames(sql)
     sql = _rewrite_frame_offsets(sql)
     sql = _strip_ranking_frames(sql)
-    sql = _rewrite_scalar_with(sql)
+    sql = _rewrite_scalar_with_all(sql)
     # part_type is the reference's Enum8 — it compares against BOTH the
     # name and the number (StorageSystemCnchParts.h); the view stores the
     # number, so name literals map to it
@@ -7343,7 +8221,9 @@ def rewrite_ch_sql(sql: str) -> str:
     if _re_sys_probe.search(final):
         final = _rewrite_infix_mod(final)
     return _order_by_nulls(
-        _order_by_storage_ties(_order_by_enum_values(final))
+        _order_by_storage_ties(
+            _order_by_groupby_ties(_order_by_enum_values(final))
+        )
     )
 
 
@@ -7624,11 +8504,15 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if m:
         if (m.group(1) or "").upper() == "SYNTAX":
             # EXPLAIN SYNTAX prints the FORMATTED query text (reference
-            # InterpreterExplainQuery ast_kind Syntax; 01881 — the
-            # formatter is identity on already-normalized statements)
+            # InterpreterExplainQuery ast_kind Syntax; 01881 identity on
+            # already-normalized FROM-less statements, 02006 clause-per-
+            # line layout with positional arguments resolved)
             body = sql[m.end():].strip().rstrip(";").strip()
+            fmt_lines = _format_ch_syntax(body)
+            if fmt_lines is None:
+                fmt_lines = body.splitlines()
             return spark.createDataFrame(
-                [(line,) for line in body.splitlines()],
+                [(line,) for line in fmt_lines],
                 "explain string",
             )
         from byconity_spark.plans.explain import explain_ch
@@ -7991,6 +8875,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
 
     norm = rewrite_ch_sql(sql)
     session_limits.check_rows_to_read(eff, norm)
+    session_limits.check_execution_speed(eff, norm)
     # RBAC + row policies (reference ContextAccess / RowPolicyCache): may
     # raise ACCESS_DENIED, and may swap referenced views for policy-filtered
     # or column-projected ones for the duration of statement ANALYSIS (the
@@ -8543,7 +9428,23 @@ def _substitute_select_alias(sql: str, name: str, dotted: bool = False):
                 and (dotted or k >= n or sql[k : k + 1] != ".")
                 and sql[max(0, i - 4) : i].upper().strip() != "AS"
             ):
-                out.append(f"({expr})")
+                rep = f"({expr})"
+                # a BOOLEAN-yielding alias re-compared or used in
+                # arithmetic follows CH's UInt8 semantics (01115
+                # `cond != 0` where cond is itself a comparison) —
+                # Spark needs the explicit INT cast
+                nxt = sql[k:].lstrip()[:2]
+                prv = sql[:i].rstrip()[-1:]
+                if (
+                    _re.search(
+                        r"(?i)!=|<>|(?<![<>=!])=|<|>|\bNOT\b|\bAND\b"
+                        r"|\bOR\b|\bLIKE\b|\bIS\b", expr
+                    )
+                    and (nxt[:1] in "=!<>+-*/%" or nxt == "<>"
+                         or prv in "=<>+-*/%")
+                ):
+                    rep = f"CAST({rep} AS INT)"
+                out.append(rep)
                 changed = True
             else:
                 out.append(word)
@@ -11489,6 +12390,20 @@ def _try_ddl(spark: SparkSession, sql: str):
                 if len(parts_m) == 2:
                     _validate_byte_map_types(parts_m[0], parts_m[1])
         engine, eng_args = tailinfo.engine, tailinfo.engine_args
+        if engine and engine.upper() == "HDFS":
+            # registerStorageHDFS: 1-3 args (uri[, format[,
+            # compression]]), uri non-empty with a scheme — 01030 both
+            # HDFS('') and HDFS('','','','') are error 42
+            from byconity_spark.frontend.ddl import split_top_level
+            h_args = split_top_level(eng_args or "")
+            uri = (h_args[0].strip().strip("'")
+                   if h_args else "")
+            if not (1 <= len(h_args) <= 3) or not uri or "://" not in uri:
+                raise ChSqlError(
+                    "NUMBER_OF_ARGUMENTS_DOESNT_MATCH (42): Storage "
+                    "HDFS requires 1 to 3 arguments: "
+                    "url, name of used format and compression method."
+                )
         order_keys = key_list(tailinfo.order_by)
         pk = tailinfo.primary_key or tailinfo.unique_key or (
             ", ".join(order_keys) if order_keys else None
@@ -11841,10 +12756,19 @@ def _try_ddl(spark: SparkSession, sql: str):
                 wrapped = []
                 for row in split_top_level(rows):
                     inner = row.strip()[1:-1].strip()  # drop row parens
+                    tm = re.match(r"(?is)^tuple\s*\((.*)\)$", inner)
                     if inner.startswith("(") and inner.endswith(")"):
                         # named_struct, not struct(): Spark expands a bare
                         # struct() VALUES row into N columns
                         elems = split_top_level(inner[1:-1])
+                        inner = "named_struct(" + ", ".join(
+                            f"'{fn}', {e}" for fn, e in zip(fields, elems)
+                        ) + ")"
+                    elif tm:
+                        # explicit tuple(...) literal (02541): build the
+                        # struct with the DECLARED field names so the
+                        # insert cast lines up
+                        elems = split_top_level(tm.group(1))
                         inner = "named_struct(" + ", ".join(
                             f"'{fn}', {e}" for fn, e in zip(fields, elems)
                         ) + ")"

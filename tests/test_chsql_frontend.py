@@ -174,13 +174,15 @@ def test_with_fill_rewrite():
         "SELECT h, n FROM (SELECT k AS h, count() AS n FROM t GROUP BY k) "
         "ORDER BY h WITH FILL STEP 2"
     )
-    assert "explode(sequence(__lo, __hi, 2))" in out
+    # r11: the spine is type-generic (floats can be fill keys, 01614)
+    assert "explode(transform(sequence(0, " in out
+    assert "__k * (2)" in out
     assert "LEFT JOIN" in out and "USING (h)" in out
     out2 = rewrite_ch_sql("SELECT k, v FROM t ORDER BY k WITH FILL FROM 0 TO 10")
-    assert "sequence(0, 10, 1)" in out2 and "WHERE k < 10" in out2
+    assert "transform(sequence(0, " in out2 and "WHERE k < 10" in out2
     # DESC and grouped multi-key fills are supported since round 3
     out3 = rewrite_ch_sql("SELECT k FROM t ORDER BY k DESC WITH FILL")
-    assert "sequence(__hi, __lo, -(1))" in out3
+    assert "(__hi) - __k * (1)" in out3
     out4 = rewrite_ch_sql("SELECT a, b FROM t ORDER BY a, b WITH FILL")
     assert "GROUP BY a" in out4 and "USING (a, b)" in out4
 

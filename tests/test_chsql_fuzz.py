@@ -101,7 +101,9 @@ def test_with_fill_inside_subquery_rewrites():
     sql = "SELECT * FROM (SELECT k FROM t ORDER BY k WITH FILL) sub"
     out = rewrite_ch_sql(sql)
     assert "WITH FILL" not in out.upper()
-    assert "explode(sequence(__lo, __hi, 1))" in out
+    # r11: type-generic counted spine (01614 float fill keys)
+    assert "explode(transform(sequence(0, " in out
+    assert "__k * (1)" in out
 
 
 def test_interpolate_after_fill_with_limit():

@@ -51,7 +51,11 @@ def split_statements(sql: str, with_raw: bool = False):
         if c == "-" and sql[i : i + 2] == "--":
             j = sql.find("\n", i)
             comment = sql[i : n if j < 0 else j]
-            if re.search(r"\{\s*(serverError|clientError)", comment):
+            # the annotation must LEAD the comment: a commented-OUT
+            # statement line `-- CREATE ...; -- { serverError N }` is
+            # dead text, not an expectation on the previous statement
+            # (01004_resource_manager_ddl)
+            if re.match(r"--\s*\{\s*(serverError|clientError)", comment):
                 if "".join(cur).strip():
                     cur.insert(0, "--EXPECT_ERROR ")  # pre-';' placement
                 elif out and not out[-1].startswith("--EXPECT_ERROR "):
@@ -60,6 +64,12 @@ def split_statements(sql: str, with_raw: bool = False):
             continue
         if c == "#":
             # MySQL-style line comment (the reference lexer accepts it)
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if c == "/" and sql[i : i + 2] == "//":
+            # C++-style line comment (00943_test_bitmap_with_non_filter
+            # uses them; quotes are handled below so URLs are safe)
             j = sql.find("\n", i)
             i = n if j < 0 else j
             continue
@@ -89,10 +99,17 @@ def split_statements(sql: str, with_raw: bool = False):
             continue
         if c == ";":
             st = "".join(cur).strip()
+            seg_end = i + 1
             if st:
+                # echo mode prints trailing same-line comments too
+                # (02006 `...; -- { serverError 43 }`)
+                k = sql.find("\n", i + 1)
+                line_rest = sql[i + 1:(n if k < 0 else k)]
+                if re.match(r"\s*--", line_rest):
+                    seg_end = n if k < 0 else k
                 out.append(st)
-                raws.append(sql[seg_start:i + 1])
-            seg_start = i + 1
+                raws.append(sql[seg_start:seg_end])
+            seg_start = seg_end
             cur = []
             i += 1
             continue
@@ -608,12 +625,15 @@ def golden_pretty(df, st: str, fmt: str) -> list[str]:
     (engine/pretty.py owns the box layout)."""
     from byconity_spark.engine.pretty import render
     from pyspark.sql.types import (
-        ByteType, DecimalType, DoubleType, FloatType, IntegerType,
-        LongType, ShortType,
+        ByteType, DateType, DecimalType, DoubleType, FloatType,
+        IntegerType, LongType, ShortType, TimestampNTZType,
+        TimestampType,
     )
 
+    # shouldAlignRightInPrettyFormats: numbers AND dates/datetimes
     numeric = (ByteType, ShortType, IntegerType, LongType, FloatType,
-               DoubleType, DecimalType)
+               DoubleType, DecimalType, DateType, TimestampType,
+               TimestampNTZType)
     aligns = [
         "r" if isinstance(f.dataType, numeric) else "l"
         for f in df.schema.fields
