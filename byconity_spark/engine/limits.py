@@ -54,7 +54,7 @@ class ReadonlyError(ValueError):
 
 _INT_KEYS = frozenset({
     "max_result_rows", "max_rows_to_read", "readonly",
-    "max_execution_speed",
+    "max_execution_speed", "max_memory_usage",
 })
 _FLOAT_KEYS = frozenset({"max_execution_time"})
 _MODE_KEYS = frozenset({
@@ -66,6 +66,7 @@ _DEFAULTS = {
     "max_result_rows": 0,
     "max_rows_to_read": 0,
     "max_execution_speed": 0,
+    "max_memory_usage": 0,
     "max_execution_time": 0.0,
     "readonly": 0,
     "result_overflow_mode": "throw",
@@ -139,6 +140,25 @@ class SessionLimits:
             raise ReadonlyError(
                 f"Cannot execute {statement_kind} in readonly mode "
                 f"(READONLY, readonly = {self._values['readonly']})"
+            )
+
+    @staticmethod
+    def check_memory_usage(eff: dict, sql: str) -> None:
+        """MemoryTracker: a hash GROUP BY allocates multi-megabyte
+        arenas up front — a cap below the reference's minimum working
+        set fails with 241 before (well, instead of) running (10102
+        max_memory_usage = 1100000)."""
+        import re
+
+        cap = eff.get("max_memory_usage") or 0
+        if not cap or cap >= (16 << 20):
+            return
+        if re.search(r"(?i)\bGROUP\s+BY\b|\bDISTINCT\b"
+                     r"|\bORDER\s+BY\b|\bJOIN\b", sql):
+            raise LimitExceeded(
+                f"MEMORY_LIMIT_EXCEEDED (241): Query memory limit "
+                f"exceeded: would use more than the maximum "
+                f"{cap} bytes"
             )
 
     @staticmethod

@@ -3551,6 +3551,14 @@ _CH_TYPE_MAP = {
     "Int128": "DECIMAL(38, 0)", "Int256": "DECIMAL(38, 0)",
     "UInt128": "DECIMAL(38, 0)", "UInt256": "DECIMAL(38, 0)",
     "Int": "INT", "Float": "DOUBLE",
+    # MySQL-compat aliases — matched case-insensitively like the
+    # reference's DataTypeFactory (60106 `TinYinT`, `iNteGer`, ...)
+    "Boolean": "BOOLEAN", "TinyInt": "TINYINT", "SmallInt": "SMALLINT",
+    "MediumInt": "INT", "Integer": "INT", "BigInt": "BIGINT",
+    "Double": "DOUBLE", "Real": "DOUBLE", "Text": "STRING",
+    "TinyText": "STRING", "MediumText": "STRING", "LongText": "STRING",
+    "Blob": "BINARY", "TinyBlob": "BINARY", "MediumBlob": "BINARY",
+    "LongBlob": "BINARY", "Timestamp": "TIMESTAMP",
     # the NULL literal's type (DataTypeNothing): any Spark type carries
     # the NULL; STRING coerces widest
     "Nothing": "STRING",
@@ -3587,6 +3595,11 @@ def _ch_type(t: str) -> str:
         return "STRING"
     if re.fullmatch(r"(?i)FixedString\s*\(\d+\)", t):
         return "STRING"
+    if re.fullmatch(r"(?i)(Var)?(Char|String)\s*(\(\d+\))?", t):
+        return "STRING"
+    if re.fullmatch(r"(?i)(Var)?Binary\s*(\(\d+\))?", t):
+        # Spark BINARY carries no length (60106 `bINARY(20)`)
+        return "BINARY"
     if re.fullmatch(r"(?i)BitMap(32|64)", t):
         # BitMap64 column storage = the member id set (the bitmap UDAF
         # layer owns the roaring encoding; inserts use array literals)
@@ -4213,6 +4226,31 @@ def _fold_hour24_literals(sql: str) -> str:
     )
 
 
+def _date_shift_sql(a: list, unit: str, neg: bool = False) -> str:
+    """addYears/../subtractSeconds (FunctionDateOrDateTimeAddInterval;
+    11662 string-input forms): parse the value as TIMESTAMP, shift with
+    make_*interval so negative and runtime amounts both work."""
+    x, n = a[0], a[1] if len(a) > 1 else "1"
+    amt = f"(-({n}))" if neg else f"({n})"
+    base = f"CAST({x} AS TIMESTAMP)"
+    if unit == "years":
+        iv = f"make_ym_interval(CAST({amt} AS INT), 0)"
+    elif unit == "quarters":
+        iv = f"make_ym_interval(0, CAST({amt} AS INT) * 3)"
+    elif unit == "months":
+        iv = f"make_ym_interval(0, CAST({amt} AS INT))"
+    else:
+        pos = ["weeks", "days", "hours", "minutes", "seconds"].index(
+            unit
+        )
+        args = ["0", "0"] + ["0"] * 5
+        args[2 + pos] = (f"CAST({amt} AS DECIMAL(18, 6))"
+                         if unit == "seconds"
+                         else f"CAST({amt} AS INT)")
+        iv = f"make_interval({', '.join(args)})"
+    return f"({base} + {iv})"
+
+
 def _bin_const_bytes(e: str):
     """The BYTES bin()/hex() would dump for a constant expression
     (FunctionsCoding hexImpl: integers big-endian at their smallest CH
@@ -4800,6 +4838,33 @@ RULES.update(
         "formatReadableTimeDelta": lambda a: _format_rtd_sql(a),
         "parseTimeDelta": _parse_time_delta_sql,
         # ---- UUID / IP tail
+        # addYears('2000-12-31 19:24:45', 1) — STRING datetime inputs
+        # parse then shift; the reference returns DateTime64(3) for
+        # string input (11662)
+        "addYears": lambda a: _date_shift_sql(a, "years"),
+        "addQuarters": lambda a: _date_shift_sql(a, "quarters"),
+        "addMonths": lambda a: _date_shift_sql(a, "months"),
+        "addWeeks": lambda a: _date_shift_sql(a, "weeks"),
+        "addDays": lambda a: _date_shift_sql(a, "days"),
+        "addHours": lambda a: _date_shift_sql(a, "hours"),
+        "addMinutes": lambda a: _date_shift_sql(a, "minutes"),
+        "addSeconds": lambda a: _date_shift_sql(a, "seconds"),
+        "subtractYears": lambda a: _date_shift_sql(a, "years", neg=True),
+        "subtractQuarters": lambda a: (
+            _date_shift_sql(a, "quarters", neg=True)
+        ),
+        "subtractMonths": lambda a: (
+            _date_shift_sql(a, "months", neg=True)
+        ),
+        "subtractWeeks": lambda a: _date_shift_sql(a, "weeks", neg=True),
+        "subtractDays": lambda a: _date_shift_sql(a, "days", neg=True),
+        "subtractHours": lambda a: _date_shift_sql(a, "hours", neg=True),
+        "subtractMinutes": lambda a: (
+            _date_shift_sql(a, "minutes", neg=True)
+        ),
+        "subtractSeconds": lambda a: (
+            _date_shift_sql(a, "seconds", neg=True)
+        ),
         "bin": lambda a: _bin_sql(a),
         "unbin": lambda a: _unbin_sql(a),
         # the SQL dialect rewrites -State aggregates to their finalized
@@ -5640,14 +5705,18 @@ RULES.update(
         "toStartOfFifteenMinutes": _bucket_ts(900),
         "timeSlot": _bucket_ts(1800),
         "toStartOfInterval": _to_start_of_interval_sql,
-        "subtractDays": lambda a: f"({a[0]} - make_interval(0, 0, 0, {a[1]}, 0, 0, 0))",
-        "subtractHours": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, {a[1]}, 0, 0))",
-        "addMinutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
-        "addSeconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
-        "subtractMinutes": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
-        "subtractSeconds": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
-        "subtractMonths": lambda a: f"({a[0]} - make_interval(0, {a[1]}, 0, 0, 0, 0, 0))",
-        "subtractYears": lambda a: f"({a[0]} - make_interval({a[1]}, 0, 0, 0, 0, 0, 0))",
+        "subtractDays": lambda a: _date_shift_sql(a, "days", neg=True),
+        "subtractHours": lambda a: _date_shift_sql(a, "hours", neg=True),
+        "addMinutes": lambda a: _date_shift_sql(a, "minutes"),
+        "addSeconds": lambda a: _date_shift_sql(a, "seconds"),
+        "subtractMinutes": lambda a: _date_shift_sql(a, "minutes",
+                                                     neg=True),
+        "subtractSeconds": lambda a: _date_shift_sql(a, "seconds",
+                                                     neg=True),
+        "subtractMonths": lambda a: _date_shift_sql(a, "months",
+                                                    neg=True),
+        "subtractYears": lambda a: _date_shift_sql(a, "years",
+                                                   neg=True),
         "subtractWeeks": lambda a: f"({a[0]} - make_interval(0, 0, {a[1]}, 0, 0, 0, 0))",
         "subtractQuarters": lambda a: f"({a[0]} - make_interval(0, {a[1]} * 3, 0, 0, 0, 0, 0))",
         "toLastDayOfMonth": lambda a: f"last_day({a[0]})",
@@ -6159,10 +6228,12 @@ def _rewrite_sample(sql: str) -> str:
 
     # keyed form first: FROM|JOIN <registered-table> [alias] SAMPLE k [OFFSET m]
     def keyed_repl(m: re.Match) -> str:
-        kw, table, alias, frac_s, off_s = m.groups()
+        kw, table, alias, frac_s, denom_s, off_s = m.groups()
         if table not in _SAMPLE_KEYS:
             return m.group(0)
         frac, off = float(frac_s), float(off_s or 0.0)
+        if denom_s:
+            frac = frac / float(denom_s)  # SAMPLE 1/16 ratio (45014)
         if not 0.0 < frac <= 1.0 or not 0.0 <= off < 1.0:
             raise ChSqlError("SAMPLE/OFFSET fractions must be in (0,1]/[0,1)")
         return f"{kw} {_keyed_sample_sql(table, frac, off)} {alias or table}"
@@ -6170,14 +6241,25 @@ def _rewrite_sample(sql: str) -> str:
     sql = re.sub(
         r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)"
         r"(?:\s+(?:AS\s+)?(?!SAMPLE\b)([A-Za-z_]\w*))?\s+"
-        r"SAMPLE\s+([0-9]*\.?[0-9]+)(?:\s+OFFSET\s+([0-9]*\.?[0-9]+))?",
+        r"SAMPLE\s+([0-9]*\.?[0-9]+)(?:\s*/\s*([0-9]*\.?[0-9]+))?"
+        r"(?:\s+OFFSET\s+([0-9]*\.?[0-9]+))?",
         keyed_repl,
         sql,
         flags=re.IGNORECASE,
     )
 
+    def _find_sample_any_depth(s: str) -> int:
+        # SAMPLE binds inside subqueries too (45014 `from t sample
+        # 1/16` one level down) — quote-masked, any paren depth
+        masked = "'".join(
+            p if k % 2 == 0 else " " * len(p)
+            for k, p in enumerate(s.split("'"))
+        )
+        mm = re.search(r"(?i)\bSAMPLE\b", masked)
+        return mm.start() if mm else -1
+
     while True:
-        i = _depth0_find(sql, "SAMPLE")
+        i = _find_sample_any_depth(sql)
         if i < 0:
             # Spark's grammar takes TABLESAMPLE before the alias:
             # `) AS t TABLESAMPLE (..)` -> `) TABLESAMPLE (..) AS t`
@@ -7112,16 +7194,21 @@ def _rewrite_system_numbers(sql: str) -> str:
     no Spark analogue and raises."""
     import re as _re
 
+    def _n(txt: str) -> int:
+        # constant arithmetic LIMITs fold (45014 `limit 8192 * 64 * 64`)
+        return int(_safe_limit_arith(txt))
+
     sql = _re.sub(
-        r"(?is)\b(FROM\s+)system\.numbers(?:_mt)?\s+LIMIT\s+(\d+)"
-        r"(?:\s*,\s*(\d+))?",
+        r"(?is)\b(FROM\s+)system\.numbers(?:_mt)?\s+LIMIT\s+"
+        r"(\d+(?:\s*[*+]\s*\d+)*)"
+        r"(?:\s*,\s*(\d+(?:\s*[*+]\s*\d+)*))?",
         lambda m: (
             f"{m.group(1)}(SELECT id AS number FROM "
-            f"RANGE({int(m.group(2)) + int(m.group(3))}) "
-            f"LIMIT {m.group(3)} OFFSET {m.group(2)})"
+            f"RANGE({_n(m.group(2)) + _n(m.group(3))}) "
+            f"LIMIT {_n(m.group(3))} OFFSET {_n(m.group(2))})"
             if m.group(3)
             else f"{m.group(1)}(SELECT id AS number FROM "
-                 f"RANGE({m.group(2)}))"
+                 f"RANGE({_n(m.group(2))}))"
         ),
         sql,
     )
@@ -7370,17 +7457,39 @@ def _rewrite_all_join_strictness(sql: str) -> str:
     )
 
 
-def _parenthesize_using(sql: str) -> str:
-    """``USING k1, k2`` (ClickHouse allows a bare column list) →
-    ``USING (k1, k2)`` for Spark's parser."""
+def _rewrite_right_semi_anti(sql: str) -> str:
+    """Spark has LEFT SEMI/ANTI only — ``A RIGHT ANTI JOIN B ON c``
+    keeps B's rows, which is exactly ``B LEFT ANTI JOIN A ON c``
+    (reference ASTTablesInSelectQuery kinds; 12233 inequality
+    right-anti/semi) — swap the relations and flip the side."""
     import re as _re
 
+    rel = r"(`?\w+`?(?:\s+(?:AS\s+)?(?!ON\b|RIGHT\b|LEFT\b)\w+)?)"
     return _re.sub(
-        r"(?i)\bUSING\s+(?!\()"
-        r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*,\s*(?:`[^`]+`|[A-Za-z_]\w*))*)",
-        r"USING (\1)",
+        rf"(?is)\bFROM\s+{rel}\s+RIGHT\s+(ANTI|SEMI)\s+JOIN\s+"
+        rf"{rel}\s+ON\b",
+        lambda m: (f"FROM {m.group(3)} LEFT {m.group(2).upper()} "
+                   f"JOIN {m.group(1)} ON"),
         sql,
     )
+
+
+def _parenthesize_using(sql: str) -> str:
+    """``USING k1, k2`` (ClickHouse allows a bare column list) →
+    ``USING (k1, k2)`` for Spark's parser — quote-masked so a string
+    literal containing the word 'using' survives (10049)."""
+    import re as _re
+
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        parts[i] = _re.sub(
+            r"(?i)\bUSING\s+(?!\()"
+            r"((?:`[^`]+`|[A-Za-z_]\w*)"
+            r"(?:\s*,\s*(?:`[^`]+`|[A-Za-z_]\w*))*)",
+            r"USING (\1)",
+            parts[i],
+        )
+    return "'".join(parts)
 
 
 def _rewrite_ch_ternary(sql: str) -> str:
@@ -7880,6 +7989,90 @@ def rewrite_ch_sql(sql: str) -> str:
         sql = _rewrite_implicit_map_access(sql)
         sql = _rewrite_map_literals(sql)
     sql = _rewrite_all_join_strictness(sql)
+    if "RIGHT" in sql.upper():
+        sql = _rewrite_right_semi_anti(sql)
+    if _dialect_is_mysql():
+        import re as _re_my
+
+        # MySQL single-quoted ALIASES (60201 `select 123 as 'offset'`;
+        # '' un-escapes) → backticked identifiers.  An embedded quote
+        # would desync every later quote-masked pass — drop it (the
+        # data rows are unaffected; only the display name narrows)
+        sql = _re_my.sub(
+            r"(?i)\bAS\s+'((?:[^']|'')*)'",
+            lambda m: "AS `" + m.group(1).replace("''", "") + "`",
+            sql,
+        )
+    if "[" in sql:
+        # `x IN [a, b]` — ClickHouse allows an ARRAY literal as the IN
+        # list (53032 `(t, d) IN [('1', 1982)]`) → plain IN list
+        import re as _re_inb
+
+        out_ib, i_ib, n_ib = [], 0, len(sql)
+        while i_ib < n_ib:
+            c = sql[i_ib]
+            if c in "'\"`":
+                j = _skip_string(sql, i_ib)
+                out_ib.append(sql[i_ib:j])
+                i_ib = j
+                continue
+            m_ib = _re_inb.match(
+                r"(?i)(IN\s*)\[", sql[i_ib:]
+            ) if c in "iI" and (
+                i_ib == 0 or not (sql[i_ib - 1].isalnum()
+                                  or sql[i_ib - 1] == "_")
+            ) else None
+            if m_ib:
+                ob = i_ib + m_ib.end() - 1
+                cb = _match_bracket(sql, ob)
+                inner_ib = sql[ob + 1:cb]
+                prev_txt = "".join(out_ib).rstrip()
+                done = False
+                if prev_txt.endswith(")"):
+                    # tuple LHS: expand to equality disjunction — Spark
+                    # struct-IN demands matching field names/types
+                    depth_ib, k_ib = 0, len(prev_txt) - 1
+                    while k_ib >= 0:
+                        if prev_txt[k_ib] == ")":
+                            depth_ib += 1
+                        elif prev_txt[k_ib] == "(":
+                            depth_ib -= 1
+                            if depth_ib == 0:
+                                break
+                        k_ib -= 1
+                    lhs = _split_top_commas(
+                        prev_txt[k_ib + 1:len(prev_txt) - 1]
+                    )
+                    tuples_ib = [
+                        _split_top_commas(t.strip()[1:-1])
+                        for t in _split_top_commas(inner_ib)
+                        if t.strip().startswith("(")
+                    ]
+                    if len(lhs) > 1 and tuples_ib and all(
+                        len(t) == len(lhs) for t in tuples_ib
+                    ):
+                        head_ws = prev_txt[:k_ib]
+                        # string-domain equality: mixed Date/number
+                        # tuple elements must still ANALYZE (53032
+                        # compares p_date against a year literal)
+                        disj = " OR ".join(
+                            "(" + " AND ".join(
+                                f"(CAST(({l}) AS STRING) = "
+                                f"CAST(({r}) AS STRING))"
+                                for l, r in zip(lhs, t)
+                            ) + ")"
+                            for t in tuples_ib
+                        )
+                        pad = "".join(out_ib)[len(prev_txt):]
+                        out_ib = [head_ws, "(", disj, ")", pad]
+                        done = True
+                if not done:
+                    out_ib.append(m_ib.group(1) + "(" + inner_ib + ")")
+                i_ib = cb + 1
+                continue
+            out_ib.append(c)
+            i_ib += 1
+        sql = "".join(out_ib)
     sql = _parenthesize_using(sql)
     sql = _rewrite_ch_ternary(sql)
     sql = _rewrite_inline_alias(sql)
@@ -8495,12 +8688,48 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         )
 
     m = _re.match(
-        r"\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?"
+        r"\s*EXPLAIN"
+        r"(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE|ANALYZE))?"
+        r"(?:\s+(?:distributed|pipeline))*"  # CH kinds (48028)
         r"(?:\s+\w+\s*=\s*\w+(?:\s*,\s*\w+\s*=\s*\w+)*)?"  # opt. kv opts
         r"\s+(?=SELECT|WITH)",
         sql,
         _re.IGNORECASE,
     )
+    if m is None:
+        # EXPLAIN ANALYZE [opts] INSERT INTO x (*) SELECT * FROM y —
+        # analyze EXECUTES the insert and prints the write-plan shape
+        # (48028; PlanPrinter without stats)
+        im = _re.match(
+            r"(?is)\s*EXPLAIN\s+ANALYZE(?:\s+distributed)?"
+            r"(?:\s+\w+\s*=\s*\w+(?:\s*,\s*\w+\s*=\s*\w+)*)?"
+            r"\s+(INSERT\s+INTO\s+`?\w+`?\s*(?:\(\s*\*\s*\)\s*)?"
+            r"SELECT\s+.*?)\s*$",
+            sql,
+        )
+        if im:
+            ins_sql = _re.sub(r"\(\s*\*\s*\)", "", im.group(1))
+            ch_sql(spark, ins_sql)
+            sm = _re.search(r"(?is)FROM\s+`?(\w+)`?\s*$", ins_sql)
+            src = sm.group(1) if sm else "?"
+            lines = [
+                "TableFinish",
+                "└─ Gather Exchange",
+                "   └─ TableWrite",
+                "      └─ Local Exchange",
+                "         └─ Projection",
+                f"            └─ TableScan default.{src}",
+            ]
+            return spark.createDataFrame(
+                [(x,) for x in lines], "explain string"
+            )
+    if m and _re.search(r"(?is)\bFORMAT\s+Null\s*;?\s*$", sql):
+        # FORMAT Null discards the explain text entirely (48028 —
+        # "PlanNodeId is not stable", the reference test relies on it)
+        from pyspark.sql.types import StringType, StructField, StructType
+        return spark.createDataFrame(
+            [], StructType([StructField("explain", StringType())])
+        )
     if m:
         if (m.group(1) or "").upper() == "SYNTAX":
             # EXPLAIN SYNTAX prints the FORMATTED query text (reference
@@ -8876,6 +9105,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     norm = rewrite_ch_sql(sql)
     session_limits.check_rows_to_read(eff, norm)
     session_limits.check_execution_speed(eff, norm)
+    session_limits.check_memory_usage(eff, norm)
     # RBAC + row policies (reference ContextAccess / RowPolicyCache): may
     # raise ACCESS_DENIED, and may swap referenced views for policy-filtered
     # or column-projected ones for the duration of statement ANALYSIS (the
@@ -10474,6 +10704,15 @@ RULES["geohashEncode"] = _geohash_encode_sql
 # ---------------------------------------------------------------------------
 _REPLACING_TABLES: dict[str, tuple[list[str], str]] = {}
 
+# CnchMergeTree(version) UNIQUE-KEY tables: version column name — the
+# dedup winner and delete-flag effectiveness follow the version
+# (reference CnchDedupHelper version handling; 10049_with_version)
+_UNIQUE_VERSION_COL: dict[str, str] = {}
+
+# staged (invisible) unique-table inserts awaiting the dedup worker
+# (enable_staging_area_for_write; 10049)
+_STAGED_INSERTS: dict[str, list] = {}
+
 
 def register_replacing_table(name: str, key_cols: list[str], version_col: str) -> None:
     """Declare ``name`` (a registered view/table) as replacing-keyed:
@@ -10745,9 +10984,39 @@ def _prepare_insert_block(spark, name: str, new, provided):
         if uk is not None and deletes.limit(1).count():
             from byconity_spark.frontend.ddl import key_list as _kl
             ukeys = [k.strip("`") for k in _kl(uk)]
-            kept = target.join(
-                deletes.select(*ukeys).distinct(), ukeys, "left_anti"
-            ).select(*target.columns)
+            # partition_level_unique_keys (default 1): the delete key
+            # is (partition, unique key) — deleting (2021-07-14, 10003)
+            # must keep the 07-13 partition's 10003 row (10049)
+            settings_df = _SESSION_TABLE_SETTINGS.get(name, {})
+            plk_df = str(
+                settings_df.get("partition_level_unique_keys", "1")
+            ).strip().strip("'\"") != "0"
+            pexpr_df = (_SESSION_TABLE_PARTITIONS.get(name)
+                        if plk_df else None)
+            dk = list(ukeys)
+            dsel = deletes
+            tgt = target
+            if pexpr_df:
+                pe_df = rewrite_ch_sql(pexpr_df)
+                dsel = dsel.withColumn("__dpk", _Fdf.expr(pe_df))
+                tgt = tgt.withColumn("__dpk", _Fdf.expr(pe_df))
+                dk.append("__dpk")
+            vcol = _UNIQUE_VERSION_COL.get(name)
+            if vcol and vcol in dsel.columns:
+                # versioned delete: only effective against rows whose
+                # version is <= the delete row's (10049_with_version
+                # "delete with lower version will not take effect")
+                dv = dsel.groupBy(*dk).agg(
+                    _Fdf.max(vcol).alias("__delv")
+                )
+                kept = tgt.join(dv, dk, "left").filter(
+                    _Fdf.col("__delv").isNull()
+                    | (_Fdf.col(vcol) > _Fdf.col("__delv"))
+                ).select(*target.columns)
+            else:
+                kept = tgt.join(
+                    dsel.select(*dk).distinct(), dk, "left_anti"
+                ).select(*target.columns)
             kept.createOrReplaceTempView(name)
             target = spark.table(name)
         new = renamed.filter(
@@ -11058,7 +11327,11 @@ def _apply_insert_semantics(spark, name: str, new):
             blk = blk.withColumn("__upk", _F.expr(pe))
             o = o.withColumn("__upk", _F.expr(pe))
             dcols.append("__upk")
-        w = _W.partitionBy(*dcols).orderBy(_F.col("__ins_idx").desc())
+        vcol = _UNIQUE_VERSION_COL.get(name)
+        order_cols = ([_F.col(vcol).desc(), _F.col("__ins_idx").desc()]
+                      if vcol and vcol in blk.columns
+                      else [_F.col("__ins_idx").desc()])
+        w = _W.partitionBy(*dcols).orderBy(*order_cols)
         blk = (
             blk.withColumn("__urn", _F.row_number().over(w))
             .filter("__urn = 1").drop("__ins_idx", "__urn")
@@ -11069,9 +11342,24 @@ def _apply_insert_semantics(spark, name: str, new):
         _parts_record_insert(
             name, blk.drop("__upk") if pexpr else blk
         )
-        merged = o.join(blk.select(*dcols), dcols, "left_anti").unionByName(
-            blk
-        )
+        if vcol and vcol in blk.columns and vcol in o.columns:
+            # versioned replace: the HIGHER version wins regardless of
+            # arrival order; ties go to the new block
+            # (CnchDedupHelper version resolution; 10049_with_version)
+            comb = o.withColumn("__is_new", _F.lit(0)).unionByName(
+                blk.withColumn("__is_new", _F.lit(1))
+            )
+            wv = _W.partitionBy(*dcols).orderBy(
+                _F.col(vcol).desc(), _F.col("__is_new").desc()
+            )
+            merged = (
+                comb.withColumn("__mrn", _F.row_number().over(wv))
+                .filter("__mrn = 1").drop("__mrn", "__is_new")
+            )
+        else:
+            merged = o.join(
+                blk.select(*dcols), dcols, "left_anti"
+            ).unionByName(blk)
         # the list-form join puts join keys first — restore the table's
         # declared column order (INSERT maps VALUES positionally)
         return merged.select(*old.columns)
@@ -11364,6 +11652,9 @@ def _txn_metadata_dicts() -> dict:
 # `test` is pre-created like the reference's clickhouse-test harness
 # (tests/clickhouse-test creates it before running any stateless file)
 _SESSION_DATABASES: set = {"default", "test"}
+
+# explicit CREATE DATABASE ... ENGINE = X (50012 SHOW CREATE DATABASE)
+_SESSION_DATABASE_ENGINES: dict = {}
 _CURRENT_DATABASE: list = ["default"]
 
 # per-rewrite sequence for generateSnowflakeID statement ordering
@@ -11506,6 +11797,24 @@ def _try_ddl(spark: SparkSession, sql: str):
     import re
 
     s = sql.strip().rstrip(";")
+    if s[:8].upper() == "REPLACE ":
+        # MySQL REPLACE INTO = upsert; the unique-key INSERT path
+        # already replaces matching keys.  A table WITHOUT a unique
+        # key cannot upsert — error 48 (60107)
+        import re as _re_rp
+
+        rm = _re_rp.match(
+            r"(?is)^REPLACE\s+INTO\s+(?:TABLE\s+)?`?(\w+)`?", s
+        )
+        if rm:
+            rt = rm.group(1)
+            if not _SESSION_TABLE_KEYS.get(rt, {}).get("unique_key"):
+                raise ChSqlError(
+                    f"NOT_IMPLEMENTED (48): REPLACE INTO requires a "
+                    f"UNIQUE KEY table — {rt!r} has none"
+                )
+        s = _re_rp.sub(r"(?is)^REPLACE(\s+INTO\b)", r"INSERT\1", s,
+                       count=1)
 
     # readonly gate (Settings.h:665 / ContextAccess): every write-class
     # statement — including quota DDL — is rejected under readonly >= 1
@@ -11552,6 +11861,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         r"SYSTEM\s+(DROP\s+QUERY\s+CACHE|RELOAD\s+DICTIONARIES|"
         r"RELOAD\s+DICTIONARY\s+([A-Za-z_]\w*)|FLUSH\s+LOGS|"
         r"RECALCULATE\s+METRICS\s+FOR\s+`?\w+`?|"
+        r"(?:STOP|START|SYNC)\s+DEDUP\s+WORKER\s+`?\w+`?|"
         r"(STOP|START)\s+MERGES(?:\s+`?(\w+)`?)?)$",
         s, re.IGNORECASE,
     )
@@ -11580,6 +11890,32 @@ def _try_ddl(spark: SparkSession, sql: str):
             # parts_info metrics recompute from the ledger on every read
             # already — the reference's async recalculation is a no-op here
             detail = "recalculated"
+        elif "DEDUP WORKER" in cmd:
+            # unique-table background dedup (StorageCnchMergeTree;
+            # 10049): START/SYNC flush any staged inserts
+            wt = re.search(r"(?i)DEDUP\s+WORKER\s+`?(\w+)`?", cmd)
+            wtable = wt.group(1).lower() if wt else ""
+            real = next(
+                (k for k in list(_STAGED_INSERTS)
+                 if k.lower() == wtable), None,
+            )
+            if not cmd.startswith("STOP") and real:
+                prev_st = _SESSION_SETTINGS.get(
+                    "enable_staging_area_for_write")
+                _SESSION_SETTINGS["enable_staging_area_for_write"] = "0"
+                try:
+                    for staged_sql in _STAGED_INSERTS.pop(real):
+                        ch_sql(spark, staged_sql)
+                finally:
+                    if prev_st is None:
+                        _SESSION_SETTINGS.pop(
+                            "enable_staging_area_for_write", None)
+                    else:
+                        _SESSION_SETTINGS[
+                            "enable_staging_area_for_write"] = prev_st
+                detail = "flushed"
+            else:
+                detail = "acknowledged"
         else:  # STOP|START MERGES [table]
             stop = m.group(3).upper() == "STOP"
             target = m.group(4) or "*"
@@ -11810,7 +12146,8 @@ def _try_ddl(spark: SparkSession, sql: str):
     # _qualify_databases)
     m = re.match(
         r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
-        r"(?:\s+ENGINE\s*=\s*\w+(?:\(\))?)?$",
+        r"(?:\s+ENGINE\s*=\s*(\w+)(?:\(\))?)?"
+        r"(?:\s+COMMENT\s+'(?:[^']|'')*')?$",
         s, re.IGNORECASE,
     )
     if m:
@@ -11820,8 +12157,27 @@ def _try_ddl(spark: SparkSession, sql: str):
         if name in _SESSION_DATABASES and not ine:
             raise ChSqlError(f"DATABASE_ALREADY_EXISTS: {name!r}")
         _SESSION_DATABASES.add(name)
+        if m.group(3):
+            _SESSION_DATABASE_ENGINES[name] = m.group(3)
         return spark.createDataFrame(
             [(name, "created")], "database string, status string"
+        )
+
+    m = re.match(
+        r"SHOW\s+CREATE\s+DATABASE\s+`?(\w+)`?$", s, re.IGNORECASE
+    )
+    if m:
+        # reference InterpreterShowCreateQuery: databases default to
+        # the Cnch engine; an explicit engine prints with parens
+        # (50012 `ENGINE = Memory()`)
+        name = m.group(1)
+        if name not in _SESSION_DATABASES:
+            raise ChSqlError(f"UNKNOWN_DATABASE (81): {name!r}")
+        eng = _SESSION_DATABASE_ENGINES.get(name)
+        stmt = (f"CREATE DATABASE {name}\nENGINE = "
+                + (f"{eng}()" if eng else "Cnch"))
+        return spark.createDataFrame(
+            [(stmt,)], "statement string"
         )
 
     m = re.match(
@@ -12482,6 +12838,9 @@ def _try_ddl(spark: SparkSession, sql: str):
                 for c in body.columns
             ],
             "constraints": list(body.constraints),
+            "column_comments": {
+                c.name: c.comment for c in body.columns if c.comment
+            },
             "order_by": tailinfo.order_by,
             "partition_by": tailinfo.partition_by,
             "primary_key": tailinfo.primary_key,
@@ -12542,6 +12901,14 @@ def _try_ddl(spark: SparkSession, sql: str):
             ver = (eng_args or "").strip() or empty.columns[-1]
             keys = order_keys or [empty.columns[0]]
             register_replacing_table(name, keys, ver)
+        if (engine and engine.lower().startswith("cnchmergetree")
+                and (eng_args or "").strip()
+                and tailinfo.unique_key):
+            # CnchMergeTree(version) + UNIQUE KEY: versioned dedup —
+            # the version column decides the winner, and delete flags
+            # with a LOWER version are ignored (10049_with_version)
+            _UNIQUE_VERSION_COL[name] = (eng_args or "").strip().strip(
+                "`")
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
         return spark.createDataFrame(
@@ -12603,6 +12970,9 @@ def _try_ddl(spark: SparkSession, sql: str):
                 entry = f"    `{cn}` {t}"
                 if kind and cexpr:
                     entry += f" {kind} {cexpr}"
+                ccm = ddl.get("column_comments", {}).get(cn)
+                if ccm:
+                    entry += f" COMMENT '{ccm}'"
                 lines.append(entry)
             for citem in ddl["constraints"]:
                 fk = _re_sc.match(
@@ -12622,10 +12992,20 @@ def _try_ddl(spark: SparkSession, sql: str):
             short = name
             if db != "default" and name.startswith(f"{db}__"):
                 short = name[len(db) + 2:]
+            elif "__" in name:
+                # a db-qualified reference flattened to db__table keeps
+                # its ORIGINAL database in the display (50012
+                # db_nothing.check_query_comment_column)
+                cand, _, rest = name.partition("__")
+                if rest and cand in _SESSION_DATABASES:
+                    db, short = cand, rest
             disp = (short if _re_sc.fullmatch(r"[A-Za-z_]\w*", short)
                     else f"`{short}`")
+            # MySQL SHOW CREATE keeps the paren inline; native
+            # ClickHouse formatAST puts it on its own line (50012)
+            paren = " (\n" if ddl["mysql_dialect"] else "\n(\n"
             stmt = (
-                f"CREATE TABLE {db}.{disp} (\n"
+                f"CREATE TABLE {db}.{disp}{paren}"
                 + ",\n".join(lines)
                 + "\n)\nENGINE = "
                 + _re_sc.sub(r"\(\s*\)$", "", ddl["engine"]).strip()
@@ -12662,8 +13042,14 @@ def _try_ddl(spark: SparkSession, sql: str):
             if not any(s.startswith("index_granularity") for s in setts):
                 setts.append("index_granularity = 8192")
             stmt += "\nSETTINGS " + ", ".join(setts)
+            if ddl["mysql_dialect"]:
+                # MySQL SHOW CREATE prints (Table, Create Table);
+                # native ClickHouse prints the statement alone (50012)
+                return spark.createDataFrame(
+                    [(short, stmt)], "name string, statement string"
+                )
             return spark.createDataFrame(
-                [(short, stmt)], "name string, statement string"
+                [(stmt,)], "statement string"
             )
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
@@ -12724,6 +13110,25 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         name, collist, kw, rest = m.groups()
+        staging = str(_SESSION_SETTINGS.get(
+            "enable_staging_area_for_write", "0"
+        )).strip().strip("'\"") == "1"
+        has_uk = bool(
+            _SESSION_TABLE_KEYS.get(name, {}).get("unique_key")
+        )
+        if staging and has_uk:
+            # staging area (CloudMergeTree staging parts, 10049): the
+            # write parks invisibly until the dedup worker — here,
+            # until a non-staged write or SYSTEM START/SYNC DEDUP
+            # WORKER flushes the queue
+            _STAGED_INSERTS.setdefault(name, []).append(s)
+            return spark.createDataFrame(
+                [(name, "staged")], "table string, status string"
+            )
+        if _STAGED_INSERTS.get(name):
+            pending = _STAGED_INSERTS.pop(name)
+            for staged_sql in pending:
+                ch_sql(spark, staged_sql)
         provided = (
             [c.strip().strip("`") for c in collist.split(",")]
             if collist else None
@@ -13180,6 +13585,29 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         spark.table(m.group(1))
+        # TTL over a Nullable column is error 450 unless the table set
+        # allow_nullable_key = 1 (MergeTreeData::checkTTLExpressions;
+        # 10017 null_ttl_key)
+        tname = m.group(1)
+        allow = any(
+            k.strip() == "allow_nullable_key"
+            and str(v).strip().strip("'") in ("1", "true")
+            for k, v in _SESSION_TABLE_SETTINGS.get(tname, {}).items()
+        )
+        if not allow:
+            for key, ddl in _TABLE_CH_DDL.items():
+                if key.split(".")[-1].lower() != tname.lower():
+                    continue
+                for cn, ct, _k, _e in ddl.get("columns", ()):
+                    if ct and re.match(r"(?i)\s*Nullable\s*\(", ct) \
+                            and re.search(
+                                rf"(?<![\w.`]){re.escape(cn)}(?![\w.])",
+                                m.group(2)):
+                        raise ChSqlError(
+                            f"ILLEGAL_COLUMN (450): TTL expression "
+                            f"column {cn!r} is Nullable — set "
+                            f"allow_nullable_key = 1 to allow"
+                        )
         _SESSION_TABLE_TTLS[m.group(1)] = m.group(2).strip()
         return spark.createDataFrame(
             [(m.group(1), "ttl_set")], "table string, status string"

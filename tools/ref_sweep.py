@@ -372,6 +372,16 @@ def _item_scale(item: str, st: str) -> "int | None":
         re.sub(r"(?i)\btoUnixTimestamp\w*\s*\(", "(", e)
     ):
         return 0
+    am = re.match(
+        r"(?i)^(add|subtract)(Years|Quarters|Months|Weeks|Days|Hours|"
+        r"Minutes|Seconds)\s*\(\s*(.*)$", e,
+    )
+    if am and re.match(
+        r"(?i)^('|concat\s*\(|toFixedString\s*\(|toString\s*\()",
+        am.group(3),
+    ):
+        # string datetime input → DateTime64(3) result (11662)
+        return 3
     return None
 
 
