@@ -4227,12 +4227,25 @@ def _fold_hour24_literals(sql: str) -> str:
 
 
 def _date_shift_sql(a: list, unit: str, neg: bool = False) -> str:
-    """addYears/../subtractSeconds (FunctionDateOrDateTimeAddInterval;
-    11662 string-input forms): parse the value as TIMESTAMP, shift with
-    make_*interval so negative and runtime amounts both work."""
+    """addYears/../subtractSeconds (FunctionDateOrDateTimeAddInterval.h:
+    Date in -> Date out for year/quarter/month/week/day units, DateTime
+    out for hour/minute/second units; string inputs — the 11662 forms —
+    parse as DateTime).  Date/DateTime args keep their type because
+    Spark's DATE +- ym/day intervals return DATE; only string-looking
+    args and time units force the TIMESTAMP cast."""
+    import re as _re
+
     x, n = a[0], a[1] if len(a) > 1 else "1"
-    amt = f"(-({n}))" if neg else f"({n})"
-    base = f"CAST({x} AS TIMESTAMP)"
+    amt = f"({n})"
+    s = x.strip()
+    stringish = bool(_re.match(
+        r"(?i)^('|concat\s*\(|toString\s*\(|toFixedString\s*\(|"
+        r"rpad\s*\(|lpad\s*\(|substring\s*\(|trim\s*\(|upper\s*\(|"
+        r"lower\s*\(|CAST\s*\(.*\bAS\s+(STRING|CHAR|VARCHAR))", s))
+    time_unit = unit in ("hours", "minutes", "seconds")
+    base = (f"CAST({x} AS TIMESTAMP)"
+            if (stringish or time_unit) else f"({x})")
+    op = "-" if neg else "+"
     if unit == "years":
         iv = f"make_ym_interval(CAST({amt} AS INT), 0)"
     elif unit == "quarters":
@@ -4248,7 +4261,36 @@ def _date_shift_sql(a: list, unit: str, neg: bool = False) -> str:
                          if unit == "seconds"
                          else f"CAST({amt} AS INT)")
         iv = f"make_interval({', '.join(args)})"
-    return f"({base} + {iv})"
+    return f"({base} {op} {iv})"
+
+
+def _int_div_or_zero_sql(a: list) -> str:
+    """intDivOrZero (src/Functions/intDivOrZero.cpp): 0 on divisor=0
+    AND on division overflow — CH stores -128 as Int8, so
+    intDivOrZero(-128, -1) overflows Int8 and returns 0 (golden
+    00081 line 2).  Integer literals fold at rewrite time with the
+    smallest-width overflow rule; runtime expressions keep the
+    divisor=0 guard plus the Int64-minimum overflow case."""
+    import re as _re
+
+    def _lit(t):
+        t = t.strip()
+        m = _re.match(r"^\(\s*(-?\d+)\s*\)$", t) or _re.match(
+            r"^(-?\d+)$", t)
+        return int(m.group(1)) if m else None
+
+    xv, yv = _lit(a[0]), _lit(a[1])
+    if xv is not None and yv is not None:
+        if yv == 0:
+            return "0"
+        if yv == -1 and xv in (-128, -32768, -2147483648, -(1 << 63)):
+            return "0"
+        q = abs(xv) // abs(yv)
+        return str(-q if (xv < 0) != (yv < 0) else q)
+    return (
+        f"(CASE WHEN {a[1]} = 0 OR ({a[1]} = -1 AND {a[0]} = "
+        f"-9223372036854775808L) THEN 0 ELSE {a[0]} div {a[1]} END)"
+    )
 
 
 def _bin_const_bytes(e: str):
@@ -5749,9 +5791,7 @@ RULES.update(
             )
             + f" ELSE {a[-1]} END"
         ),
-        "intDivOrZero": lambda a: (
-            f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} div {a[1]} END)"
-        ),
+        "intDivOrZero": _int_div_or_zero_sql,
         "ifNotFinite": lambda a: (
             f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = double('Infinity') "
             f"THEN {a[1]} ELSE {a[0]} END)"
@@ -8077,6 +8117,7 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _rewrite_ch_ternary(sql)
     sql = _rewrite_inline_alias(sql)
     sql = _rewrite_final_replacing(sql)
+    sql = _rewrite_ttl_prune(sql)
     sql = _strip_final_and_global(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join(sql)
@@ -10753,6 +10794,78 @@ def _rewrite_final_replacing(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+
+
+_TTL_KEYWORDS = {
+    "interval", "day", "week", "month", "year", "hour", "minute",
+    "second", "quarter", "and", "or", "not", "case", "when", "then",
+    "else", "end", "null", "to", "as",
+}
+
+
+def _ttl_prunable(name: str):
+    """Partition-level TTL pruning (01947_partition_prunning_ttl_bug,
+    10109_uniquekey_alter_ttl; reference MergeTreeDataSelectExecutor
+    TTL-aware part pruning): when the PARTITION BY key is a bare
+    column (or tuple of columns) and the TTL expression references
+    only those columns, the part's TTL is decidable from the
+    partition value and expired partitions drop at read.  A
+    transformed partition key (PARTITION BY toYYYYMMDD(d)) defeats
+    the pruning — rows stay visible until a merge.  Returns the TTL
+    expression or None."""
+    import re
+
+    ttl = _SESSION_TABLE_TTLS.get(name)
+    pb = _SESSION_TABLE_PARTITIONS.get(name)
+    if not ttl or not pb:
+        return None
+    cols = [c.strip().strip("`") for c in pb.strip("() ").split(",")]
+    if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+        return None
+    refs = {
+        m.group(1).lower()
+        for m in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*\()", ttl)
+    } - _TTL_KEYWORDS
+    low = {c.lower() for c in cols}
+    if refs and refs <= low:
+        return ttl
+    return None
+
+
+def _rewrite_ttl_prune(sql: str) -> str:
+    """Inject the read-time TTL filter for tables whose TTL is
+    partition-computable (see _ttl_prunable)."""
+    import re
+
+    if not _SESSION_TABLE_TTLS:
+        return sql
+
+    kw_stop = (
+        r"WHERE|GROUP|ORDER|LIMIT|SETTINGS|FINAL|ON|USING|LEFT|RIGHT|"
+        r"INNER|FULL|CROSS|JOIN|UNION|HAVING|PREWHERE|ASOF|ANY|ALL|"
+        r"GLOBAL|SEMI|ANTI|ARRAY|SAMPLE|WITH|FORMAT|INTO|EXCEPT|"
+        r"INTERSECT|AS|VALUES|SELECT"
+    )
+
+    def repl(m: re.Match) -> str:
+        kw, table, alias = m.group(1), m.group(2), m.group(3)
+        ttl = _ttl_prunable(table)
+        if ttl is None:
+            return m.group(0)
+        now = (f"toDateTime('{_TTL_NOW[0]}')" if _TTL_NOW[0]
+               else "now()")
+        sub = f"(SELECT * FROM {table} WHERE NOT (({ttl}) <= {now}))"
+        return f"{kw} {sub} {alias or table}"
+
+    pat = re.compile(
+        r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\b"
+        rf"(?:\s+(?:AS\s+)?((?!(?:{kw_stop})\b)[A-Za-z_]\w*))?",
+        re.IGNORECASE,
+    )
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):
+        parts[i] = pat.sub(repl, parts[i])
+    return "'".join(parts)
 
 
 # ---------------------------------------------------------------------------

@@ -350,10 +350,12 @@ SCALAR: dict[str, Callable[..., Column]] = {
     "intDiv": lambda a, b: F.try_divide(
         a.cast("long") - F.try_mod(a.cast("long"), b), b
     ).cast("long"),
-    "intDivOrZero": lambda a, b: F.coalesce(
+    "intDivOrZero": lambda a, b: F.when(
+        (b == -1) & (a.cast("long") == -(1 << 63)), F.lit(0)
+    ).otherwise(F.coalesce(
         F.try_divide(a.cast("long") - F.try_mod(a.cast("long"), b), b).cast("long"),
         F.lit(0),
-    ),
+    )),
     "modulo": lambda a, b: a % b,
     "moduloOrZero": lambda a, b: F.coalesce(F.try_mod(a, b), F.lit(0)),
     "negate": lambda a: -a,

@@ -385,6 +385,29 @@ def _item_scale(item: str, st: str) -> "int | None":
     return None
 
 
+def _ddl_scale(colname: str, st: "str | None") -> "int | None":
+    """A column declared DateTime64(S) in a session table's CH DDL
+    fixes the fraction width of its TIMESTAMP result even when the
+    statement text never mentions DateTime64 (01947 SELECT *)."""
+    if not st:
+        return None
+    try:
+        from byconity_spark.frontend.sql import _TABLE_CH_DDL
+    except Exception:
+        return None
+    words = set(re.findall(r"[A-Za-z_]\w*", st.lower()))
+    for key, ddl in _TABLE_CH_DDL.items():
+        if key.split(".")[-1].lower() not in words:
+            continue
+        for row in ddl.get("columns", ()):
+            cn, ct = row[0], row[1]
+            if cn == colname and ct:
+                m = re.match(r"(?i)\s*DateTime64\s*\(\s*(\d+)", ct)
+                if m:
+                    return int(m.group(1))
+    return None
+
+
 def _schema_convs(schema, st: str | None):
     """Per-column value converters wrapping float32 leaves (_F32) and
     timestamp-ntz leaves (_NTZ) so ch_fmt_cell renders them the CH way;
@@ -483,6 +506,10 @@ def _schema_convs(schema, st: str | None):
     for idx, f in enumerate(schema.fields):
         iscale = (_item_scale(items[idx], st)
                   if st and len(items) == len(schema.fields) else None)
+        if iscale is None and isinstance(
+            f.dataType, (TimestampType, TimestampNTZType)
+        ):
+            iscale = _ddl_scale(f.name, st)
         c = conv(f.dataType, _ntz_scale(f.name, st), iscale)
         if isinstance(f.dataType, MapType) and is_byte_map(f.name):
             # BYTE maps store one implicit column per key and
