@@ -144,21 +144,49 @@ class SessionLimits:
 
     @staticmethod
     def check_memory_usage(eff: dict, sql: str) -> None:
-        """MemoryTracker: a hash GROUP BY allocates multi-megabyte
-        arenas up front — a cap below the reference's minimum working
-        set fails with 241 before (well, instead of) running (10102
-        max_memory_usage = 1100000)."""
+        """MemoryTracker: a hash GROUP BY/sort/join allocates a
+        multi-megabyte arena up front plus per-row state — a cap below
+        that estimated working set fails with 241 before running
+        (10102 max_memory_usage = 1100000).  Keywords match
+        quote-masked (a literal containing 'group by' is data, not a
+        plan) and the estimate scales with the referenced tables' row
+        counts instead of a fixed threshold (r11 ADVICE #2)."""
         import re
 
         cap = eff.get("max_memory_usage") or 0
-        if not cap or cap >= (16 << 20):
+        if not cap:
             return
-        if re.search(r"(?i)\bGROUP\s+BY\b|\bDISTINCT\b"
-                     r"|\bORDER\s+BY\b|\bJOIN\b", sql):
+        masked = "".join(
+            p for k, p in enumerate(sql.split("'")) if k % 2 == 0
+        )
+        if not re.search(r"(?i)\bGROUP\s+BY\b|\bDISTINCT\b"
+                         r"|\bORDER\s+BY\b|\bJOIN\b", masked):
+            return
+        rows = 0
+        for m in re.finditer(r"(?i)\bRANGE\s*\(\s*(\d+)", masked):
+            rows = max(rows, int(m.group(1)))
+        from byconity_spark.engine.catalog import (_LAST_SF_DIR,
+                                                   parts_rows)
+        if _LAST_SF_DIR:
+            referenced = {
+                m.group(1).lower()
+                for m in re.finditer(
+                    r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)", masked,
+                    re.IGNORECASE,
+                )
+                if m.group(1).upper() != "SELECT"
+            }
+            rows += sum(
+                r[3] for r in parts_rows(_LAST_SF_DIR[0])
+                if r[1].lower() in referenced
+            )
+        # hash-table arena floor + per-row aggregation state
+        est_ws = (4 << 20) + rows * 64
+        if cap < est_ws:
             raise LimitExceeded(
                 f"MEMORY_LIMIT_EXCEEDED (241): Query memory limit "
-                f"exceeded: would use more than the maximum "
-                f"{cap} bytes"
+                f"exceeded: estimated working set {est_ws} bytes "
+                f"is more than the maximum {cap} bytes"
             )
 
     @staticmethod

@@ -605,6 +605,31 @@ def _bool_lambda(lam: str) -> str:
     return lam
 
 
+# Statement scope for DDL lookups: [nesting depth, word-set of the
+# depth-0 statement or None when unscoped].  Rules that consult
+# _TABLE_CH_DDL for a bare column's declared type must restrict the
+# scan to tables the CURRENT statement references — a column named `v`
+# declared Array in an unrelated session table must not flip
+# length(v) on another table's String column (r11 ADVICE #1).
+_STMT_SCOPE: list = [0, None]
+
+
+def _scoped_ddl_types(col: str) -> list:
+    """CH types declared for a column named ``col``, restricted to
+    tables referenced by the current depth-0 statement (see
+    _STMT_SCOPE).  Statements with no FROM/JOIN/TABLE keep the global
+    scan — expression fragments carry no relation to collide with."""
+    words = _STMT_SCOPE[1]
+    out = []
+    for tname, ddl in _TABLE_CH_DDL.items():
+        if words is not None and tname.split(".")[-1].lower() not in words:
+            continue
+        for c in ddl.get("columns", ()):
+            if c[0] == col and c[1]:
+                out.append(c[1])
+    return out
+
+
 # Map columns declared with the KV storage variant — they reject the
 # implicit-column surface (reference src/Functions/getMapKeys.cpp checks
 # the serialization kind and raises BAD_ARGUMENTS for KV maps)
@@ -1051,6 +1076,35 @@ import re as _re_probe_mod
 _re_sys_probe = _re_probe_mod.compile(r"(?i)\bMOD\b")
 
 
+def _strip_esw_wrap(t: str) -> str:
+    """Strip the empty-set aggregate wrap (coalesce(sum(x), 0) /
+    coalesce(avg(x), CAST('nan' AS DOUBLE))) for DISPLAY text — the
+    reference's auto column name shows the user's expression
+    (`modulo(sum(a), 5)`), not the engine's rewrite."""
+    import re as _re
+
+    pat = _re.compile(r"(?is)coalesce\(\s*((?:sum|avg)\s*\()")
+    pos = 0
+    while True:
+        m = pat.search(t, pos)
+        if not m:
+            return t
+        inner_close = _match_paren(t, m.end() - 1)
+        if inner_close < 0:
+            return t
+        rest = t[inner_close + 1:]
+        m2 = _re.match(
+            r"\s*,\s*(?:0|CAST\('nan' AS DOUBLE\))\s*\)", rest,
+            _re.IGNORECASE,
+        )
+        if not m2:
+            pos = m.end()
+            continue
+        t = (t[:m.start()] + t[m.start(1):inner_close + 1]
+             + rest[m2.end():])
+        pos = m.start()
+
+
 def _rewrite_infix_mod(sql: str) -> str:
     """Bare infix ``X MOD Y`` (the MySQL-style operator, 01638) →
     ``X % Y`` with the reference's auto column name modulo(X, Y).
@@ -1128,7 +1182,8 @@ def _rewrite_infix_mod(sql: str) -> str:
                 changed = True
                 expr = f"({left} % {right})"
                 if tail is not None and _in_select_list(base + m.start()):
-                    return (f"{expr} AS `modulo({left}, {right})`"
+                    dl, dr = _strip_esw_wrap(left), _strip_esw_wrap(right)
+                    return (f"{expr} AS `modulo({dl}, {dr})`"
                             + tail)
                 return expr + (tail or "")
 
@@ -1850,6 +1905,153 @@ def _raise_ch(msg: str) -> str:
     raise ChSqlError(msg)
 
 
+def _aes_sql(a: list, mysql: bool, decrypt: bool, fname: str,
+             tolerant: bool = False) -> str:
+    """encrypt/decrypt/aes_*_mysql family (FunctionsAES.h; 01318):
+    literal-argument errors surface at rewrite time with the
+    reference's codes (42 args / 43 types / 36 values); live data
+    routes through the chAesApply kernel (functions/aes_impl.py)."""
+    import re
+
+    hi = 4 if mysql else 5
+    if len(a) < 3 or len(a) > hi:
+        raise ChSqlError(
+            f"NUMBER_OF_ARGUMENTS_DOESNT_MATCH (42): {fname} takes "
+            f"3 to {hi} arguments"
+        )
+
+    def lit(x):
+        m = re.fullmatch(r"(?s)'((?:[^']|'')*)'", x.strip())
+        return m.group(1).replace("''", "'") if m else None
+
+    def numlit(x):
+        return re.fullmatch(r"-?\d+(\.\d+)?", x.strip()) is not None
+
+    names = ["mode", "input", "key", "iv", "aad"]
+    for idx in range(min(len(a), 5)):
+        if numlit(a[idx]):
+            raise ChSqlError(
+                f"ILLEGAL_TYPE_OF_ARGUMENT (43): {fname} argument "
+                f"{names[idx]} must be a string, got a number"
+            )
+    mode_l = lit(a[0])
+    if mode_l is not None:
+        from byconity_spark.functions.aes_impl import (_MODES,
+                                                       _MYSQL_OK)
+        mm = _MODES.get(mode_l.lower())
+        if mm is None:
+            raise ChSqlError(
+                f"BAD_ARGUMENTS (36): invalid mode {mode_l!r}"
+            )
+        if mysql and mm[2] not in _MYSQL_OK:
+            raise ChSqlError(
+                f"BAD_ARGUMENTS (36): mode {mode_l!r} is not "
+                f"supported by the MySQL-compatible functions"
+            )
+        if not mysql and len(a) == 5 and mm[2] != "gcm":
+            raise ChSqlError(
+                "NUMBER_OF_ARGUMENTS_DOESNT_MATCH (42): AAD can only "
+                "be used with GCM-mode ciphers"
+            )
+        key_l, iv_l = (lit(a[2]) if len(a) > 2 else None,
+                       lit(a[3]) if len(a) > 3 else None)
+        if key_l is not None and (len(a) < 4 or iv_l is not None):
+            from byconity_spark.functions.aes_impl import (AesError,
+                                                           aes_apply)
+            try:
+                aes_apply(
+                    mode_l, b"", key_l.encode("utf-8", "surrogateescape"),
+                    iv_l.encode("utf-8", "surrogateescape")
+                    if iv_l is not None else None,
+                    None, mysql=mysql,
+                )
+            except AesError as exc:
+                raise ChSqlError(f"BAD_ARGUMENTS {exc}") from exc
+
+    def b(x):
+        return f"CAST({x} AS BINARY)"
+
+    iv_e = b(a[3]) if len(a) > 3 else "CAST(NULL AS BINARY)"
+    aad_e = b(a[4]) if len(a) > 4 else "CAST(NULL AS BINARY)"
+    return (
+        f"chAesApply({a[0]}, {b(a[1])}, {b(a[2])}, {iv_e}, {aad_e}, "
+        f"{'true' if mysql else 'false'}, "
+        f"{'true' if decrypt else 'false'}, "
+        f"{'true' if tolerant else 'false'})"
+    )
+
+
+def _json_extract_typed_sql(a: list) -> str:
+    """Generic typed ``JSONExtract(json[, keys...], 'Type')``
+    (FunctionsJSON.cpp JSONExtract): the last argument is a CH type
+    literal.  Scalars map to get_json_object + CAST; Tuple(named
+    fields) extracts each field as its raw-ish text into a
+    named_struct (01915: numbers and arrays serialize to their raw
+    JSON text when asked for String)."""
+    import re
+
+    t = a[-1].strip()
+    m = re.fullmatch(r"(?s)'(.+)'", t)
+    if not m:
+        raise ChSqlError("JSONExtract needs a literal type argument")
+    ch_t = m.group(1).strip()
+    col = a[0]
+    keys = a[1:-1]
+    parts = []
+    for k in keys:
+        if _is_string_literal(k):
+            parts.append(f".{_literal_value(k)}")
+        elif k.isdigit():
+            parts.append(f"[{int(k) - 1}]")
+        else:
+            raise ChSqlError(f"unsupported JSON path key: {k!r}")
+    base_path = "$" + "".join(parts)
+
+    nm = re.fullmatch(r"(?i)Nullable\s*\((.*)\)", ch_t)
+    if nm:
+        ch_t = nm.group(1).strip()
+
+    def scalar(path: str, typ: str) -> str:
+        g = f"get_json_object({col}, '{path}')"
+        if re.fullmatch(r"(?i)U?Int\d*", typ):
+            return f"CAST({g} AS BIGINT)"
+        if re.fullmatch(r"(?i)Float\d*", typ):
+            return f"CAST({g} AS DOUBLE)"
+        if re.fullmatch(r"(?i)Bool(ean)?", typ):
+            return f"CAST({g} AS BOOLEAN)"
+        if re.fullmatch(r"(?i)(String|FixedString\s*\(\s*\d+\s*\))", typ):
+            return g
+        if re.fullmatch(r"(?i)Array\s*\(\s*String\s*\)", typ):
+            return (f"from_json(get_json_object({col}, '{path}'), "
+                    f"'array<string>')")
+        am = re.fullmatch(r"(?i)Array\s*\(\s*(U?Int\d*|Float\d*)\s*\)",
+                          typ)
+        if am:
+            st = ("double" if am.group(1).lower().startswith("float")
+                  else "bigint")
+            return (f"from_json(get_json_object({col}, '{path}'), "
+                    f"'array<{st}>')")
+        raise ChSqlError(f"JSONExtract: unsupported type {typ!r}")
+
+    tm = re.fullmatch(r"(?i)Tuple\s*\((.*)\)", ch_t, re.S)
+    if tm:
+        fields = []
+        for f in _split_top_commas(tm.group(1)):
+            fm = re.fullmatch(
+                r"(?s)\s*`?([A-Za-z_]\w*)`?\s+(.+?)\s*", f
+            )
+            if not fm:
+                raise ChSqlError(
+                    f"JSONExtract Tuple: unsupported element {f!r}"
+                )
+            fname, ftyp = fm.group(1), fm.group(2)
+            fields.append(
+                f"'{fname}', {scalar(base_path + '.' + fname, ftyp)}"
+            )
+        return f"named_struct({', '.join(fields)})"
+    return scalar(base_path, ch_t)
+
+
 def _sql_char_ngrams(s: str, n: int = 4) -> str:
     """SQL mirror of registry._char_ngrams (distinct char n-grams,
     whole-string fallback under length n)."""
@@ -1950,7 +2152,30 @@ RULES: dict[str, object] = {
         if __import__("re").fullmatch(r"\d+", a[0].strip())
         else f"to_date({a[0]})"
     ),
-    "toDateTime": lambda a: f"to_timestamp({a[0]})",
+    # integer-epoch input + explicit zone: the reference renders the
+    # epoch AT that zone's wall clock (40037 toDateTime(server_time,
+    # 'Europe/Moscow')); string inputs keep their digits, so the zone
+    # drops per the session-UTC contract
+    "toDateTime": lambda a: (
+        f"from_utc_timestamp(to_timestamp({a[0]}), "
+        f"{a[1]})"
+        if len(a) >= 2 and _is_string_literal(a[1].strip())
+        and _literal_value(a[1].strip()) not in ("UTC",)
+        and (
+            __import__("re").fullmatch(r"\d+(\.\d+)?", a[0].strip())
+            or (
+                __import__("re").fullmatch(r"`?\w+`?", a[0].strip())
+                and any(
+                    __import__("re").match(
+                        r"(?i)\s*(U?Int|Float|Decimal)",
+                        t,
+                    )
+                    for t in _scoped_ddl_types(a[0].strip().strip("`"))
+                )
+            )
+        )
+        else f"to_timestamp({a[0]})"
+    ),
     # one random literal per CALL SITE: constant across rows, differing
     # between sites — the reference's randConstant block-constant contract
     "randConstant": lambda a: str(
@@ -2478,14 +2703,34 @@ RULES: dict[str, object] = {
     "arrayExists": lambda a: (
         f"CAST(exists({a[1]}, {_bool_lambda(a[0])}) AS INT)"
     ),
-    "arrayElement": "try_element_at",
+    # index cast: element_at needs INT, CH indexOf/array_position
+    # arithmetic yields BIGINT (40042 arrayElement(a, indexOf(..) - 1));
+    # string keys (map access) pass through untouched
+    "arrayElement": lambda a: (
+        f"try_element_at({a[0]}, CAST({a[1]} AS INT))"
+        if len(a) == 2 and not _is_string_literal(a[1].strip()) else
+        "try_element_at(" + ", ".join(a) + ")"
+    ),
     "arraySlice": "slice",
     "arrayFlatten": "flatten",
     # JSON
+    # AES family (FunctionsAES.h; aes_impl.py clean-room kernel)
+    "aes_encrypt_mysql": lambda a: _aes_sql(
+        a, True, False, "aes_encrypt_mysql"),
+    "aes_decrypt_mysql": lambda a: _aes_sql(
+        a, True, True, "aes_decrypt_mysql"),
+    "encrypt": lambda a: _aes_sql(a, False, False, "encrypt"),
+    "decrypt": lambda a: _aes_sql(a, False, True, "decrypt"),
+    "tryDecrypt": lambda a: _aes_sql(
+        a, False, True, "tryDecrypt", tolerant=True),
+    "JSONExtract": _json_extract_typed_sql,
     "JSONExtractString": _json_path("get_json_object({col}, {path})"),
     "JSONExtractInt": _json_path("CAST(get_json_object({col}, {path}) AS BIGINT)"),
     "JSONExtractFloat": _json_path("CAST(get_json_object({col}, {path}) AS DOUBLE)"),
-    "JSONExtractBool": _json_path("CAST(get_json_object({col}, {path}) AS BOOLEAN)"),
+    # UInt8 result like the reference (renders 1/0, compares to ints)
+    "JSONExtractBool": _json_path(
+        "CAST(CAST(get_json_object({col}, {path}) AS BOOLEAN) AS INT)"
+    ),
     "JSONExtractRaw": _json_path("get_json_object({col}, {path})"),
     "JSONExtractArrayRaw": _json_path(
         "from_json(get_json_object({col}, {path}), 'array<string>')"
@@ -3659,13 +3904,12 @@ def _array_minmax_sql(fn: str, arg: str) -> str:
     e = arg.strip()
     if re.fullmatch(r"`?\w+`?", e):
         col = e.strip("`")
-        for ddl in _TABLE_CH_DDL.values():
-            for name, ch_type, _k, _e in ddl.get("columns", ()):
-                if name == col and ch_type and re.match(
-                    r"(?i)\s*Array\s*\(\s*(U?Int\d*|Float\d*|Decimal)",
-                    ch_type,
-                ):
-                    return f"coalesce({fn}({e}), 0)"
+        for ch_type in _scoped_ddl_types(col):
+            if re.match(
+                r"(?i)\s*Array\s*\(\s*(U?Int\d*|Float\d*|Decimal)",
+                ch_type,
+            ):
+                return f"coalesce({fn}({e}), 0)"
     return f"{fn}({e})"
 
 
@@ -3691,16 +3935,24 @@ def _ch_length_sql(arg: str) -> str:
             r"transform\s*\()"
         )
     e = arg.strip()
-    if _ARRAYISH_HEAD_RE.match(e):
+    probe = e
+    while True:
+        m0 = re.match(r"(?s)^\(\s*(.*\S)\s*\)$", probe)
+        if m0 and _balanced_parens(m0.group(1)):
+            probe = m0.group(1).strip()
+        else:
+            break
+    if _ARRAYISH_HEAD_RE.match(probe):
+        return f"size({e})"
+    if re.match(r"(?i)^__ajagg\d+$", probe):
+        # synthetic hoisted-aggregate alias (arrayJoin-over-aggregate
+        # restructure) — groupArray-family results are arrays
         return f"size({e})"
     if re.fullmatch(r"`?\w+`?", e):
         col = e.strip("`")
-        for ddl in _TABLE_CH_DDL.values():
-            for name, ch_type, _k, _e in ddl.get("columns", ()):
-                if name == col and ch_type and re.match(
-                    r"(?i)\s*(Array|Map)\s*\(", ch_type
-                ):
-                    return f"size({e})"
+        for ch_type in _scoped_ddl_types(col):
+            if re.match(r"(?i)\s*(Array|Map)\s*\(", ch_type):
+                return f"size({e})"
     return f"length({e})"
 
 
@@ -3974,24 +4226,129 @@ def _rewrite_scalar_with(sql: str) -> str:
     if not scalars:
         return sql
     # later scalar items may reference earlier aliases
-    # (WITH 'x' AS s, f(s) AS y SELECT ...)
+    # (WITH 'x' AS s, f(s) AS y SELECT ...).  Substitution is
+    # quote-masked: an alias name occurring INSIDE a string literal
+    # ('business_status' as a JSON path key, 40042) must survive.
+    def _sub_masked(name: str, repl: str, text: str) -> str:
+        # replacement via lambda: the expression text is NOT a regex
+        # template — backslashes in string literals ('\\1' backrefs,
+        # 00997) must survive verbatim
+        parts = text.split("'")
+        for j in range(0, len(parts), 2):
+            parts[j] = re.sub(
+                rf"\b{re.escape(name)}\b",
+                lambda _m, _t=repl: _t, parts[j],
+            )
+        return "'".join(parts)
+
+    def _sub_scoped(name: str, repl: str, text: str) -> str:
+        # scope-aware body substitution: a nested `( WITH ... )` that
+        # REDEFINES the alias shadows the outer one (40042 — its own
+        # recursion pass owns those references); an `AS name`
+        # definition site is never a reference
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        out: list = []
+        tail = ""
+        i, n = 0, len(text)
+
+        def push(s: str):
+            nonlocal tail
+            out.append(s)
+            tail = (tail + s)[-8:]
+
+        while i < n:
+            c = text[i]
+            if c in "'\"`":
+                j = _skip_string(text, i)
+                push(text[i:j])
+                i = j
+                continue
+            if c == "(" and re.match(
+                r"\(\s*WITH\b", text[i:], re.IGNORECASE
+            ):
+                close = _match_paren(text, i)
+                inner = text[i + 1:close]
+                if re.search(
+                    rf"(?i)\bAS\s+`?{re.escape(name)}`?\b", inner
+                ):
+                    push(text[i:close + 1])
+                else:
+                    push("(" + _sub_scoped(name, repl, inner) + ")")
+                i = close + 1
+                continue
+            m = pat.match(text, i)
+            if m and not re.search(r"(?i)\bAS\s*$", tail):
+                push(repl)
+                i = m.end()
+                continue
+            push(c)
+            i += 1
+        return "".join(out)
+
+    def _alias_bare_items(text: str, names: set) -> str:
+        # a bare select ITEM equal to a scalar alias keeps that name
+        # as its output column in the reference (`SELECT ...,
+        # param_session_id, ...` — 40042); add `AS name` before the
+        # expression substitution erases the identifier
+        out2: list = []
+        i2, n2 = 0, len(text)
+        while i2 < n2:
+            c2 = text[i2]
+            if c2 in "'\"`":
+                j2 = _skip_string(text, i2)
+                out2.append(text[i2:j2])
+                i2 = j2
+                continue
+            if re.match(r"(?i)SELECT\b", text[i2:]) and (
+                i2 == 0 or not (text[i2 - 1].isalnum()
+                                or text[i2 - 1] == "_")
+            ):
+                j2 = i2 + 6
+                depth2 = 0
+                while j2 < n2:
+                    ch2 = text[j2]
+                    if ch2 in "'\"`":
+                        j2 = _skip_string(text, j2)
+                        continue
+                    if ch2 in "([":
+                        depth2 += 1
+                    elif ch2 in ")]":
+                        if depth2 == 0:
+                            break
+                        depth2 -= 1
+                    elif depth2 == 0 and text[j2:j2 + 4].upper() == \
+                            "FROM" and not (
+                        text[j2 - 1].isalnum() or text[j2 - 1] == "_"
+                    ) and (j2 + 4 >= n2 or not (
+                        text[j2 + 4].isalnum() or text[j2 + 4] == "_"
+                    )):
+                        break
+                    j2 += 1
+                seg = _alias_bare_items(text[i2 + 6:j2], names)
+                items2 = _split_args(seg)
+                new2 = []
+                for it2 in items2:
+                    t2 = it2.strip()
+                    if t2.strip("`") in names:
+                        new2.append(f"{t2} AS {t2.strip('`')}")
+                    else:
+                        new2.append(t2)
+                out2.append(text[i2:i2 + 6] + " " + ", ".join(new2) + " ")
+                i2 = j2
+                continue
+            out2.append(c2)
+            i2 += 1
+        return "".join(out2)
+
     resolved: list = []
     for name, expr in scalars:
         for pname, pexpr in resolved:
-            # replacement via lambda: the expression text is NOT a
-            # regex template — backslashes in string literals ('\\1'
-            # backrefs, 00997) must survive verbatim
-            expr = re.sub(
-                rf"\b{re.escape(pname)}\b",
-                lambda _m, _t=f"({pexpr})": _t, expr,
-            )
+            expr = _sub_masked(pname, f"({pexpr})", expr)
         resolved.append((name, expr))
     body = sql[sel_at:]
+    body = _alias_bare_items(body, {n for n, _ in resolved})
     for name, expr in resolved:
-        body = re.sub(
-            rf"\b{re.escape(name)}\b",
-            lambda _m, _t=f"({expr})": _t, body,
-        )
+        body = _sub_scoped(name, f"({expr})", body)
     head = f"WITH {', '.join(ctes)} " if ctes else ""
     return head + body
 
@@ -4160,12 +4517,52 @@ def _state_ser_hex(kind: str, e: str) -> str:
     if kind == "sumState":
         return le_sum
     c = f"count({e})"
+
+    def byte(i, cont):
+        v = f"(({c} DIV {128 ** i}) % 128)"
+        return (f"lpad(hex({v} + 128), 2, '0')" if cont
+                else f"lpad(hex({c} DIV {128 ** i}), 2, '0')")
+
+    # full VarUInt chain (ReadHelpers readVarUInt): one continuation
+    # byte per 7 bits — counts >= 16384 need a third byte (r11 ADVICE)
     varint = (
         f"(CASE WHEN {c} < 128 THEN lpad(hex({c}), 2, '0') "
-        f"ELSE concat(lpad(hex(({c} % 128) + 128), 2, '0'), "
-        f"lpad(hex({c} DIV 128), 2, '0')) END)"
+        f"WHEN {c} < 16384 THEN concat({byte(0, True)}, {byte(1, False)}) "
+        f"WHEN {c} < 2097152 THEN concat({byte(0, True)}, "
+        f"{byte(1, True)}, {byte(2, False)}) "
+        f"WHEN {c} < 268435456 THEN concat({byte(0, True)}, "
+        f"{byte(1, True)}, {byte(2, True)}, {byte(3, False)}) "
+        f"ELSE concat({byte(0, True)}, {byte(1, True)}, "
+        f"{byte(2, True)}, {byte(3, True)}, {byte(4, False)}) END)"
     )
     return f"concat({le_sum}, {varint})"
+
+
+def _state_dump_int_arg(arg: str) -> bool:
+    """The serialized-state text dump only holds for INTEGER-summed
+    states — Float/Decimal sums serialize little-endian IEEE754/scaled
+    ints, a different byte pattern (r11 ADVICE #3).  Known-non-integer
+    arguments fall through to the finalized-state path."""
+    import re
+
+    t = _infer_ch_type(arg.strip())
+    if t is not None:
+        return bool(re.match(r"(?i)U?Int", t))
+    m = re.fullmatch(r"`?(\w+)`?", arg.strip())
+    if m:
+        for ct in _scoped_ddl_types(m.group(1)):
+            base = ct
+            while True:
+                mm = re.match(
+                    r"(?i)\s*(Nullable|LowCardinality)\s*\((.*)\)\s*$",
+                    base,
+                )
+                if not mm:
+                    break
+                base = mm.group(2)
+            if re.match(r"(?i)\s*(Float|Decimal|String|Date)", base):
+                return False
+    return True
 
 
 def _rewrite_state_dumps(sql: str) -> str:
@@ -4175,15 +4572,21 @@ def _rewrite_state_dumps(sql: str) -> str:
     import re as _re
 
     def hex_repl(m):
+        if not _state_dump_int_arg(m.group(3)):
+            return m.group(0)
         return f"upper({_state_ser_hex(m.group(2), m.group(3))})"
 
     def tostr_repl(m):
+        if not _state_dump_int_arg(m.group(2)):
+            return m.group(0)
         return (f"CAST(unhex({_state_ser_hex(m.group(1), m.group(2))})"
                 f" AS STRING)")
 
     def bin_repl(m):
         # conv(hex-pair, 16, 2): this emission re-enters the traversal,
         # so it must not use names the RULES intercept (bin itself)
+        if not _state_dump_int_arg(m.group(3)):
+            return m.group(0)
         h = _state_ser_hex(m.group(2), m.group(3))
         return (
             f"array_join(transform(sequence(1, length({h}) DIV 2), "
@@ -4224,6 +4627,209 @@ def _fold_hour24_literals(sql: str) -> str:
         r"'(\d{4})-(\d{2})-(\d{2})[ T]24:(\d{2}:\d{2})",
         fix, sql,
     )
+
+
+def _render_dt64_ch(ticks: int, scale: int, tzname: str) -> str:
+    """Render a DateTime64 tick count the reference's way
+    (WriteHelpers.h writeDateTimeText + DateLUTImpl::findIndex /
+    toDateTimeComponents): negative values borrow one whole second so
+    the fraction prints positive; out-of-LUT seconds clamp to the
+    1900-01-01 / 2299-12-31 LOCAL day with hour capped at 23 and
+    minute/second from seconds-past-local-midnight (01702 clamping)."""
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+
+    mult = 10 ** scale
+    q = abs(ticks) // mult * (-1 if ticks < 0 else 1)  # trunc to zero
+    frac = abs(ticks) % mult
+    whole = q
+    if ticks < 0 and frac:
+        frac = mult - frac
+        whole -= 1
+    tz = ZoneInfo(tzname)
+    idx = whole // 86400 + 25567  # DAYNUM_OFFSET_EPOCH
+    if idx < 0 or idx >= 0x23AB1:  # DATE_LUT_SIZE
+        y, mo, d = (1900, 1, 1) if idx < 0 else (2299, 12, 31)
+        date0 = int(_dt.datetime(y, mo, d, tzinfo=tz).timestamp())
+        time = whole - date0
+        if time < 0:
+            h = mi = s = 0
+        else:
+            h = min(time // 3600, 23)
+            mi = time // 60 % 60
+            s = time % 60
+        txt = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    else:
+        lt = _dt.datetime.fromtimestamp(whole, tz)
+        txt = lt.strftime("%Y-%m-%d %H:%M:%S")
+    if scale > 0:
+        txt += "." + str(frac).zfill(scale)
+    return txt
+
+
+def _datefam_super(ts: list) -> str | None:
+    """Date-family supertype (getLeastSupertype: Date < DateTime <
+    DateTime64(max scale), timezone carried from any zoned member —
+    01926 supertype golden)."""
+    import re
+
+    best_scale = None
+    tz = None
+    has_dt = False
+    for t in ts:
+        if t is None:
+            return None
+        m64 = re.fullmatch(
+            r"DateTime64\((\d+)(?:,\s*'([^']*)')?\)", t)
+        mdt = re.fullmatch(r"DateTime(?:\('([^']*)'\))?", t)
+        if m64:
+            best_scale = max(best_scale or 0, int(m64.group(1)))
+            tz = tz or m64.group(2)
+            has_dt = True
+        elif mdt:
+            has_dt = True
+            tz = tz or mdt.group(1)
+        elif t != "Date":
+            return None
+    if not has_dt:
+        return "Date" if ts else None
+    if best_scale is not None:
+        return (f"DateTime64({best_scale}, '{tz}')" if tz
+                else f"DateTime64({best_scale})")
+    return f"DateTime('{tz}')" if tz else "DateTime"
+
+
+def _datefam_type(e: str, sql: str, depth: int = 0) -> str | None:
+    """CH type of a date-family expression from its RAW text — needed
+    because the Spark rewrite erases timezone and scale (toDateTime
+    with a string input drops the zone argument).  Resolves bare
+    identifiers through `<expr> AS ident` sites in the statement."""
+    import re
+
+    if depth > 6:
+        return None
+    e = e.strip()
+    while e.startswith("(") and _match_paren(e, 0) == len(e) - 1:
+        e = e[1:-1].strip()
+    if e.startswith("[") and e.endswith("]"):
+        ts = [_datefam_type(x, sql, depth + 1)
+              for x in _split_args(e[1:-1])]
+        sup = _datefam_super(ts)
+        return f"Array({sup})" if sup else None
+    fm = re.match(r"(?is)^(toDateTime64|toDateTime|toDate32|toDate|"
+                  r"if|multiIf)\s*\(", e)
+    if fm and _match_paren(e, fm.end() - 1) == len(e) - 1:
+        fn = fm.group(1)
+        args = _split_args(e[fm.end():-1])
+        if fn == "toDate":
+            return "Date"
+        if fn == "toDate32":
+            return "Date32"
+        if fn == "toDateTime":
+            tzm = (re.fullmatch(r"\s*'([^']*)'\s*", args[-1])
+                   if len(args) > 1 else None)
+            return f"DateTime('{tzm.group(1)}')" if tzm else "DateTime"
+        if fn == "toDateTime64":
+            if len(args) < 2 or not re.fullmatch(
+                    r"\s*\d+\s*", args[1]):
+                return None
+            s = args[1].strip()
+            tzm = (re.fullmatch(r"\s*'([^']*)'\s*", args[2])
+                   if len(args) > 2 else None)
+            return (f"DateTime64({s}, '{tzm.group(1)}')" if tzm
+                    else f"DateTime64({s})")
+        branches = (args[1:] if fn == "if" else [
+            a for i, a in enumerate(args) if i % 2 == 1
+        ] + ([args[-1]] if len(args) % 2 == 1 else []))
+        return _datefam_super([
+            _datefam_type(b, sql, depth + 1) for b in branches
+        ])
+    if re.fullmatch(r"[A-Za-z_]\w*", e):
+        dm = re.search(
+            rf"(?is)((?:toDateTime64|toDateTime|toDate32|toDate|if|"
+            rf"multiIf)\s*\((?:[^()]|\([^()]*\))*\))\s+as\s+"
+            rf"{re.escape(e)}\b", sql,
+        )
+        if dm:
+            return _datefam_type(dm.group(1), sql, depth + 1)
+    return None
+
+
+def _fold_typename_datefam(sql: str) -> str:
+    """Constant-fold toTypeName(<date-family expr>) from the raw CH
+    text (01926 supertype golden) — after the Spark rewrite the zone
+    and scale no longer exist anywhere."""
+    import re
+
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = re.match(r"(?i)toTypeName\s*\(", sql[i:]) if c in "tT" \
+            else None
+        if m and (i == 0 or not (sql[i - 1].isalnum()
+                                 or sql[i - 1] == "_")):
+            op = i + m.end() - 1
+            cl = _match_paren(sql, op)
+            if cl > 0:
+                t = _datefam_type(sql[op + 1:cl], sql)
+                if t is not None:
+                    out.append("'" + t.replace("'", "\\'") + "'")
+                    i = cl + 1
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _fold_todatetime_extreme(sql: str) -> str:
+    """Constant-fold toDateTime('<numeric string>', scale, tz) and
+    toDateTime64(CAST('<num>' AS DecimalN(p)), scale, tz) — the 01702
+    clamping forms — into their reference-rendered text.  The numeric
+    parse mirrors readDateTime64Text's quirk: the fraction is ADDED
+    even for a negative whole part ('-922337203.68…' lands .6 higher,
+    not lower)."""
+    import re as _re
+    from decimal import Decimal
+
+    def _num(m):
+        num, scale, tzname = m.group(1), int(m.group(2)), m.group(3)
+        mm = _re.fullmatch(r"(-?\d+)(?:\.(\d+))?", num)
+        if not mm:
+            return m.group(0)
+        whole = int(mm.group(1))
+        fd = (mm.group(2) or "")[:scale].ljust(scale, "0")
+        ticks = whole * (10 ** scale) + (int(fd) if fd else 0)
+        try:
+            return "'" + _render_dt64_ch(ticks, scale, tzname) + "'"
+        except Exception:
+            return m.group(0)
+
+    def _dec(m):
+        num, scale, tzname = m.group(1), int(m.group(2)), m.group(3)
+        try:
+            ticks = int(Decimal(num).scaleb(scale).to_integral_value())
+            return "'" + _render_dt64_ch(ticks, scale, tzname) + "'"
+        except Exception:
+            return m.group(0)
+
+    sql = _re.sub(
+        r"(?i)toDateTime(?:64)?\s*\(\s*'(-?\d+(?:\.\d+)?)'\s*,\s*"
+        r"(\d+)\s*,\s*'([\w/+\-]+)'\s*\)",
+        _num, sql,
+    )
+    sql = _re.sub(
+        r"(?i)toDateTime64\s*\(\s*CAST\s*\(\s*'(-?\d+(?:\.\d+)?)'\s+"
+        r"AS\s+Decimal\d*\s*\(\s*\d+\s*\)\s*\)\s*,\s*(\d+)\s*,\s*"
+        r"'([\w/+\-]+)'\s*\)",
+        _dec, sql,
+    )
+    return sql
 
 
 def _date_shift_sql(a: list, unit: str, neg: bool = False) -> str:
@@ -6480,13 +7086,105 @@ def _rewrite_groups_frames(sql: str) -> str:
     return out[:k] + wrapped + out[e + 1 :]
 
 
+def _ch_key_default(col: str) -> str:
+    """CH type-default literal for a rolled-up group key column, from
+    the statement-scoped DDL: String-family -> '', Date -> 1970-01-01,
+    numeric -> 0.  None when the column's type is unknown (leave NULL
+    — no evidence to render a default)."""
+    import re
+
+    for t in _scoped_ddl_types(col):
+        b = t.strip()
+        while True:
+            m = re.match(r"(?i)\s*(LowCardinality|Nullable)\s*\((.*)\)\s*$", b)
+            if not m:
+                break
+            b = m.group(2)
+        if re.match(r"(?i)\s*(String|FixedString|UUID|Enum|IPv)", b):
+            return "''"
+        if re.match(r"(?i)\s*Date\b", b):
+            return "toDate('1970-01-01')"
+        if re.match(r"(?i)\s*(U?Int|Float|Decimal|Bool)", b):
+            return "0"
+    return None
+
+
+def _rewrite_rollup_defaults(sql: str) -> str:
+    """ClickHouse-dialect ROLLUP/CUBE/WITH TOTALS render rolled-up
+    group keys as the column type's DEFAULT value, not NULL ('' / 0 —
+    00701_rollup; src/Interpreters/InterpreterSelectQuery rollup
+    transform).  ANSI dialect (10720) and group_by_use_nulls keep
+    NULL.  Wrap bare-key select items in coalesce(key, default) AS
+    key — ORDER BY then sorts the defaults like the reference."""
+    import re
+
+    if _STMT_SCOPE[0] > 1:
+        return sql
+    if str(_SESSION_SETTINGS.get("dialect_type", "")).strip(
+        "' "
+    ).upper() == "ANSI":
+        return sql
+    if str(_SESSION_SETTINGS.get("group_by_use_nulls", "0")).strip(
+        "' "
+    ) in ("1", "true"):
+        return sql
+    g = _depth0_find(sql, "GROUP BY")
+    if g < 0:
+        return sql
+    gend = len(sql)
+    for kw in ("HAVING", "ORDER", "LIMIT", "SETTINGS", "FORMAT",
+               "INTO", "UNION"):
+        p = _depth0_find(sql, kw, g)
+        if 0 <= p < gend:
+            gend = p
+    clause = sql[g + len("GROUP BY"):gend].strip()
+    keys = None
+    m = re.fullmatch(
+        r"(?is)(?:(.*?)\s+WITH\s+(?:CUBE|ROLLUP)|"
+        r"(?:CUBE|ROLLUP)\s*\((.*)\))\s*(?:WITH\s+TOTALS)?\s*", clause
+    )
+    if m:
+        keys = _split_args(m.group(1) or m.group(2))
+    elif re.search(r"(?is)\bWITH\s+TOTALS\s*$", clause):
+        keys = _split_args(
+            re.sub(r"(?is)\s*WITH\s+TOTALS\s*$", "", clause)
+        )
+    if not keys:
+        return sql
+    sel = _depth0_find(sql, "SELECT")
+    frm = _depth0_find(sql, "FROM")
+    if sel < 0 or frm < sel:
+        return sql
+    items = _split_args(sql[sel + len("SELECT"):frm])
+    bare = {k.strip().strip("`") for k in keys
+            if re.fullmatch(r"\s*`?[A-Za-z_]\w*`?\s*", k)}
+    changed = False
+    out_items = []
+    for it in items:
+        t = it.strip()
+        name = t.strip("`")
+        if name in bare:
+            d = _ch_key_default(name)
+            if d is not None:
+                out_items.append(f"coalesce({t}, {d}) AS {name}")
+                changed = True
+                continue
+        out_items.append(t)
+    if not changed:
+        return sql
+    return (
+        sql[:sel] + "SELECT " + ", ".join(out_items) + " " + sql[frm:]
+    )
+
+
 def _rewrite_with_totals(sql: str) -> str:
-    """``GROUP BY <keys> WITH TOTALS`` -> ``GROUP BY GROUPING SETS
-    ((<keys>), ())`` (reference src/QueryPlan/TotalsHavingStep.h:29).
-    The totals row carries NULL group keys (Spark grouping-sets
-    convention) where ClickHouse renders type defaults — wrap keys in
-    coalesce() if the CH rendering is needed.  WITH CUBE / WITH ROLLUP
-    pass through untouched: Spark SQL supports both natively."""
+    """``GROUP BY <keys> WITH TOTALS`` (reference
+    src/QueryPlan/TotalsHavingStep.h:29): the main aggregation result
+    plus ONE totals row that always renders LAST regardless of ORDER
+    BY.  Emitted as a UNION ALL of the main grouping and a grand-total
+    branch with a __tot sort marker — the duplicate-() grouping-set
+    form can't order the totals row after the rollup's own grand
+    total (00701: rollup defaults sort FIRST, totals still last)."""
     i = _depth0_find(sql, "WITH TOTALS")
     if i < 0:
         return sql
@@ -6502,9 +7200,6 @@ def _rewrite_with_totals(sql: str) -> str:
         keys = f"{wm.group(2)}({wm.group(1)})"
     cm = _re_t.fullmatch(r"(?is)(CUBE|ROLLUP)\s*\((.*)\)", keys)
     if cm:
-        # CUBE/ROLLUP(..) WITH TOTALS: expand to grouping sets PLUS a
-        # duplicate () — CH emits the totals row ON TOP of the grand
-        # total the cube already contains (10720_cube_ansi)
         items = _split_args(cm.group(2))
         if cm.group(1).upper() == "CUBE":
             from itertools import combinations
@@ -6518,16 +7213,68 @@ def _rewrite_with_totals(sql: str) -> str:
                 "(" + ", ".join(items[:k]) + ")"
                 for k in range(len(items), -1, -1)
             ]
-        sets.append("()")
-        return (
-            sql[:g]
-            + f"GROUP BY GROUPING SETS ({', '.join(sets)}) "
-            + sql[i + len("WITH TOTALS") :]
+        main_group = f"GROUP BY GROUPING SETS ({', '.join(sets)})"
+    else:
+        main_group = f"GROUP BY {keys}"
+    head = sql[:g]
+    tail = sql[i + len("WITH TOTALS"):]
+    # split tail into HAVING / ORDER BY / remainder at depth 0
+    th = _depth0_find(tail, "HAVING")
+    to = _depth0_find(tail, "ORDER BY")
+    cut = len(tail)
+    for kw in ("LIMIT", "SETTINGS", "FORMAT", "INTO"):
+        p = _depth0_find(tail, kw)
+        if 0 <= p < cut:
+            cut = p
+    having = ""
+    order = ""
+    if th >= 0:
+        hend = to if to > th else cut
+        having = " " + tail[th:hend].strip()
+    if to >= 0:
+        order = tail[to + len("ORDER BY"):cut].strip()
+    rest = tail[cut:]
+    pre = tail[: th if th >= 0 else (to if to >= 0 else cut)]
+    b1 = f"{head}{main_group}{having}"
+    # totals branch aggregates ALL rows with no group keys — bare key
+    # items in its select list become their default/NULL literal
+    # (Spark rejects a non-grouped bare column; CH renders the type
+    # default in the totals row, NULL under ANSI)
+    key_names = {
+        k.strip().strip("`")
+        for k in _split_args(
+            cm.group(2) if cm else (wm.group(1) if wm else keys)
         )
+        if _re_t.fullmatch(r"\s*`?[A-Za-z_]\w*`?\s*", k)
+    }
+    t_head = head
+    sel_p = _depth0_find(head, "SELECT")
+    frm_p = _depth0_find(head, "FROM")
+    if sel_p >= 0 and frm_p > sel_p:
+        t_items = []
+        for it in _split_args(head[sel_p + len("SELECT"):frm_p]):
+            t = it.strip()
+            mker = _re_t.fullmatch(
+                r"(?is)coalesce\s*\(\s*`?([A-Za-z_]\w*)`?\s*,\s*(.+?)\)"
+                r"\s+AS\s+`?([A-Za-z_]\w*)`?", t,
+            )
+            if mker and mker.group(1) in key_names \
+                    and mker.group(1) == mker.group(3):
+                t_items.append(f"{mker.group(2)} AS {mker.group(3)}")
+                continue
+            if t.strip("`") in key_names:
+                t_items.append(f"NULL AS {t.strip('`')}")
+                continue
+            t_items.append(t)
+        t_head = (head[:sel_p] + "SELECT " + ", ".join(t_items)
+                  + " " + head[frm_p:])
+    b2 = f"{t_head}GROUP BY GROUPING SETS (()){having}"
+    ob = f" ORDER BY __tot, {order}" if order else " ORDER BY __tot"
     return (
-        sql[:g]
-        + f"GROUP BY GROUPING SETS (({keys}), ()) "
-        + sql[i + len("WITH TOTALS") :]
+        f"SELECT * EXCEPT (__tot) FROM ("
+        f"SELECT *, 0 AS __tot FROM ({b1}) UNION ALL "
+        f"SELECT *, 1 AS __tot FROM ({b2})"
+        f"){ob} {pre.strip()} {rest}"
     )
 
 
@@ -7223,6 +7970,7 @@ _SYSTEM_TABLE_MAP = {
     "system.roles": "system_roles",
     "system.grants": "system_grants",
     "system.row_policies": "system_row_policies",
+    "system.cnch_dedup_workers": "system_cnch_dedup_workers",
 }
 
 
@@ -7530,6 +8278,238 @@ def _parenthesize_using(sql: str) -> str:
             parts[i],
         )
     return "'".join(parts)
+
+
+_AJ_AGG_HEADS = (
+    "groupUniqArray|groupArray|collect_set|collect_list|sumIf|sum|"
+    "countIf|count|minIf|min|maxIf|max|avgIf|avg|anyLast|any|"
+    "uniqExact|uniq"
+)
+
+
+def _rewrite_arrayjoin_aggregates(sql: str) -> str:
+    """``SELECT keys, arrayJoin(groupUniqArray(...)) ... GROUP BY
+    keys`` — arrayJoin over an AGGREGATE result (40042): the reference
+    aggregates first, then multiplies the aggregated rows.  Spark
+    can't explode an aggregate in the same block, so hoist the
+    aggregation into a subquery (keys + every aggregate call aliased)
+    and leave the outer block scalar — the normal arrayJoin lateral
+    view then applies to a plain column."""
+    import re
+
+    # recurse into parenthesized subqueries first
+    out: list = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "(" and re.match(
+            r"\(\s*(SELECT|WITH)\b", sql[i:], re.IGNORECASE
+        ):
+            cl = _match_paren(sql, i)
+            out.append(
+                "(" + _rewrite_arrayjoin_aggregates(sql[i + 1:cl]) + ")"
+            )
+            i = cl + 1
+            continue
+        out.append(c)
+        i += 1
+    sql = "".join(out)
+
+    sel = _depth0_find(sql, "SELECT")
+    frm = _depth0_find(sql, "FROM")
+    gb = _depth0_find(sql, "GROUP BY")
+    if sel < 0 or frm < sel or gb < frm:
+        return sql
+    items = _split_args(sql[sel + len("SELECT"):frm])
+    has_aj_agg = any(
+        re.search(r"(?i)\barrayJoin\s*\(", it)
+        and re.search(rf"(?i)\b({_AJ_AGG_HEADS})\s*\(", it)
+        for it in items
+    )
+    if not has_aj_agg:
+        return sql
+    gend = len(sql)
+    for kw in ("HAVING", "ORDER", "LIMIT", "SETTINGS", "FORMAT",
+               "UNION", "INTO"):
+        p = _depth0_find(sql, kw, gb)
+        if 0 <= p < gend:
+            gend = p
+    gkeys = [k.strip() for k in _split_args(sql[gb + len("GROUP BY"):gend])]
+    if not all(re.fullmatch(r"`?[A-Za-z_]\w*`?", k) for k in gkeys):
+        return sql  # expression keys — can't re-reference by name
+    # synthetic key aliases: later passes (scalar-WITH inlining) may
+    # rewrite a bare key into an expression over inner-only columns —
+    # the outer block must reference a stable name
+    gk_alias = {k.strip("`"): f"__gk{i}" for i, k in enumerate(gkeys)}
+
+    # collect unique aggregate call texts across all items
+    agg_calls: dict = {}
+
+    def find_aggs(text: str):
+        pat = re.compile(rf"(?i)\b({_AJ_AGG_HEADS})\s*\(")
+        i2 = 0
+        while True:
+            m = pat.search(text, i2)
+            if not m:
+                return
+            op = m.end() - 1
+            cl = _match_paren(text, op)
+            if cl < 0:
+                return
+            call = text[m.start():cl + 1]
+            if call not in agg_calls:
+                agg_calls[call] = f"__ajagg{len(agg_calls)}"
+            i2 = cl + 1
+
+    for it in items:
+        find_aggs(it)
+    if not agg_calls:
+        return sql
+    def _sub_key(nm: str, repl: str, text: str) -> str:
+        parts = text.split("'")
+        for j in range(0, len(parts), 2):
+            parts[j] = re.sub(
+                rf"(?<![\w.`]){re.escape(nm)}(?![\w.(])",
+                lambda _m, _t=repl: _t, parts[j],
+            )
+        return "'".join(parts)
+
+    new_items = []
+    for it in items:
+        t = it
+        for call, alias in agg_calls.items():
+            t = t.replace(call, alias)
+        t = t.strip()
+        bare = t.strip("`")
+        if bare in gk_alias:
+            t = f"{gk_alias[bare]} AS {bare}"
+        else:
+            for k, ga in gk_alias.items():
+                t = _sub_key(k, ga, t)
+        new_items.append(t)
+
+    # inline select-item aliases into later items: Spark's lateral
+    # column alias resolution doesn't reach through the LATERAL VIEW
+    # this block is about to gain (`indexOf(...) pos, if(pos > 1, ...)`)
+    def _sub_alias(nm: str, ex: str, text: str) -> str:
+        parts = text.split("'")
+        for j in range(0, len(parts), 2):
+            parts[j] = re.sub(
+                rf"(?<![\w.`]){re.escape(nm)}(?![\w.(])",
+                lambda _m, _t=f"({ex})": _t, parts[j],
+            )
+        return "'".join(parts)
+
+    op_end = re.compile(
+        r"(?i)([+\-*/%,(<>=]|\bAND|\bOR|\bNOT|\bWHEN|\bTHEN|\bELSE|"
+        r"\bCASE|\bAS|\bIN|\bLIKE|\bBETWEEN|\bDISTINCT)\s*$"
+    )
+    defs: list = []
+    inlined = []
+    for it in new_items:
+        t = it
+        for nm, ex in defs:
+            t = _sub_alias(nm, ex, t)
+        m_as = re.fullmatch(r"(?is)(.*\S)\s+AS\s+`?([A-Za-z_]\w*)`?", t)
+        if not m_as:
+            m2 = re.fullmatch(r"(?is)(.*\S)\s+`?([A-Za-z_]\w*)`?", t)
+            if m2 and "*" not in m2.group(2) \
+                    and not op_end.search(m2.group(1)):
+                m_as = m2
+        if m_as:
+            defs.append((m_as.group(2), m_as.group(1)))
+            inlined.append(f"{m_as.group(1)} AS {m_as.group(2)}")
+        else:
+            inlined.append(t)
+    new_items = inlined
+    inner = (
+        "SELECT "
+        + ", ".join(f"{k} AS {gk_alias[k.strip('`')]}" for k in gkeys)
+        + ", "
+        + ", ".join(f"{c} AS {a}" for c, a in agg_calls.items())
+        + " " + sql[frm:gb]
+        + " GROUP BY " + ", ".join(gkeys)
+    )
+    tail = sql[gend:]
+    for call, alias in agg_calls.items():
+        tail = tail.replace(call, alias)
+    for nm, ex in defs:
+        tail = _sub_alias(nm, ex, tail)
+    for k, ga in gk_alias.items():
+        tail = _sub_key(k, ga, tail)
+    if re.match(r"(?is)\s*HAVING\b", tail):
+        tail = re.sub(r"(?is)^\s*HAVING\b", " WHERE", tail, count=1)
+    return (
+        sql[:sel] + "SELECT " + ", ".join(new_items)
+        + " FROM (" + inner + ") __ajsrc " + tail
+    )
+
+
+def _rewrite_multiway_using(sql: str) -> str:
+    """In a 3+-relation join chain, a USING join followed by MORE
+    joins keeps BOTH copies of the USING column in ``SELECT *`` — the
+    reference's JoinToSubqueryTransform materializes the pair
+    (01852_multiple_joins_with_union_join prints 4 columns).  Spark's
+    native USING dedups, so rewrite those USING clauses to explicit
+    ON equalities qualified by the leftmost relation's alias."""
+    import re
+
+    if _depth0_find(sql, "USING") < 0:
+        return sql
+    joins = []
+    p = 0
+    while True:
+        p = _depth0_find(sql, "JOIN", p)
+        if p < 0:
+            break
+        joins.append(p)
+        p += 4
+    if len(joins) < 2:
+        return sql
+    fm_pos = _depth0_find(sql, "FROM")
+    if fm_pos < 0:
+        return sql
+    fm = re.match(
+        r"(?is)FROM\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?:AS\s+)?(?!JOIN\b|LEFT\b|RIGHT\b|INNER\b|FULL\b|"
+        r"CROSS\b|GLOBAL\b|ANY\b|ASOF\b|SEMI\b|ANTI\b|ALL\b|WHERE\b|"
+        r"GROUP\b|ORDER\b|ON\b|USING\b|FINAL\b)([A-Za-z_]\w*))?",
+        sql[fm_pos:],
+    )
+    if not fm:
+        return sql
+    left_alias = fm.group(2) or fm.group(1)
+    out = sql
+    for jpos in reversed(joins[:-1]):
+        m = re.match(
+            r"(?is)JOIN\s+([A-Za-z_]\w*)"
+            r"(?:\s+(?:AS\s+)?(?!USING\b|ON\b)([A-Za-z_]\w*))?"
+            r"\s+USING\s*\(([^()]*)\)",
+            out[jpos:],
+        )
+        if not m:
+            continue
+        pre = out[:jpos].rstrip().upper()
+        if pre.endswith("ASOF") or pre.endswith("ANY"):
+            continue
+        ralias = m.group(2) or m.group(1)
+        cols = [c.strip().strip("`")
+                for c in m.group(3).split(",") if c.strip()]
+        if not cols:
+            continue
+        on = " AND ".join(
+            f"{left_alias}.{c} = {ralias}.{c}" for c in cols
+        )
+        rel = f"JOIN {m.group(1)}"
+        if m.group(2):
+            rel += f" AS {m.group(2)}"
+        out = out[:jpos] + rel + f" ON {on}" + out[jpos + m.end():]
+    return out
 
 
 def _rewrite_ch_ternary(sql: str) -> str:
@@ -7868,10 +8848,41 @@ def _rewrite_json_subcolumns(sql: str) -> str:
 
 def rewrite_ch_sql(sql: str) -> str:
     """Rewrite every known ClickHouse function call site to Spark SQL."""
+    import re as _re_scope
+
+    _STMT_SCOPE[0] += 1
+    if _STMT_SCOPE[0] == 1:
+        if _re_scope.search(r"(?i)\b(FROM|JOIN|TABLE)\b", sql):
+            _STMT_SCOPE[1] = {
+                w.lower() for w in _re_scope.findall(
+                    r"\w+",
+                    "".join(p for k, p in enumerate(sql.split("'"))
+                            if k % 2 == 0),
+                )
+            }
+        else:
+            _STMT_SCOPE[1] = None
+    try:
+        return _rewrite_ch_sql_body(sql)
+    finally:
+        _STMT_SCOPE[0] -= 1
+        if _STMT_SCOPE[0] == 0:
+            _STMT_SCOPE[1] = None
+
+
+def _rewrite_ch_sql_body(sql: str) -> str:
     sql = _backtick_dotted_columns(sql)
     sql = _rewrite_json_subcolumns(sql)
     sql = _rewrite_system_numbers(sql)
     import re as _re_sys
+    # cnch('server'|server|vw, system.X) table function (reference
+    # TableFunctionCnch.cpp: run the read on a chosen server/vw) —
+    # single-process engine, the component argument drops away
+    sql = _re_sys.sub(
+        r"(?i)\bcnch\s*\(\s*(?:'[^']*'|server|worker|vw\w*)\s*,\s*"
+        r"(system\.\w+|\w+(?:\.\w+)?)\s*\)",
+        r"\1", sql,
+    )
     for dotted, target in _SYSTEM_TABLE_MAP.items():
         pat = _re_sys.compile(r"\b" + dotted.replace(".", r"\.") + r"\b")
         if target.startswith("(") and "." in dotted and pat.search(sql):
@@ -7944,6 +8955,8 @@ def rewrite_ch_sql(sql: str) -> str:
     sql = _normalize_exotic_tokens(sql)
     if " 24:" in sql or "T24:" in sql:
         sql = _fold_hour24_literals(sql)
+    if "toDateTime" in sql:
+        sql = _fold_todatetime_extreme(sql)
     if "State(" in sql and ("hex(" in sql or "bin(" in sql
                             or "toString(" in sql):
         sql = _rewrite_state_dumps(sql)
@@ -7952,6 +8965,8 @@ def rewrite_ch_sql(sql: str) -> str:
         # plain TIMESTAMP) — resolve toTypeName over an alias whose
         # definition is a toDateTime64 call (01561 dt64_typename)
         import re as _re_ttn
+
+        sql = _fold_typename_datefam(sql)
 
         def _ttn(m):
             ident = m.group(1)
@@ -7963,8 +8978,27 @@ def rewrite_ch_sql(sql: str) -> str:
             if dm:
                 tz = f", \\'{dm.group(2)}\\'" if dm.group(2) else ""
                 return f"'DateTime64({dm.group(1)}{tz})'"
+            # Nullable/LowCardinality survive only in the CAST text
+            # (Spark strips both) — resolve over a CAST alias (01318
+            # `CAST(NULL as Nullable(String)) as input`)
+            nm = _re_ttn.search(
+                rf"(?is)CAST\s*\((?:[^()]|\([^()]*\))*?\s+as\s+"
+                rf"((?:Nullable|LowCardinality)\s*\([^()]*\))\s*\)"
+                rf"\s+as\s+{_re_ttn.escape(ident)}\b", sql,
+            )
+            if nm:
+                t = _re_ttn.sub(r"\s+", "", nm.group(1))
+                t = t.replace("(", "(").replace(",", ", ")
+                return "'" + t + "'"
             return m.group(0)
 
+        sql = _re_ttn.sub(
+            r"(?is)\btoTypeName\s*\(\s*CAST\s*\((?:[^()]|\([^()]*\))*?"
+            r"\s+as\s+((?:Nullable|LowCardinality)\s*\([^()]*\))\s*\)"
+            r"\s*\)",
+            lambda m: "'" + _re_ttn.sub(r"\s+", "", m.group(1)) + "'",
+            sql,
+        )
         sql = _re_ttn.sub(r"(?i)\btoTypeName\s*\(\s*(\w+)\s*\)",
                           _ttn, sql)
 
@@ -8092,13 +9126,42 @@ def rewrite_ch_sql(sql: str) -> str:
                         len(t) == len(lhs) for t in tuples_ib
                     ):
                         head_ws = prev_txt[:k_ib]
-                        # string-domain equality: mixed Date/number
-                        # tuple elements must still ANALYZE (53032
-                        # compares p_date against a year literal)
+
+                        # native equality by default (1 = 1.0 must
+                        # match — r11 ADVICE #4); the string domain
+                        # only bridges mixed Date/number pairs that
+                        # would fail analysis (53032 compares p_date
+                        # against a year literal)
+                        def _elem_fam(x):
+                            import re as _re_f
+                            t = _infer_ch_type(x.strip())
+                            if t is None:
+                                mb = _re_f.fullmatch(
+                                    r"`?(\w+)`?", x.strip())
+                                if mb:
+                                    for ct in _scoped_ddl_types(
+                                            mb.group(1)):
+                                        t = ct
+                                        break
+                            if t is None:
+                                return None
+                            if _re_f.match(r"(?i)\s*(U?Int|Float|"
+                                           r"Decimal|Bool)", t):
+                                return "num"
+                            if _re_f.match(r"(?i)\s*Date", t):
+                                return "date"
+                            return "other"
+
+                        def _pair_eq(l, r):
+                            lf, rf = _elem_fam(l), _elem_fam(r)
+                            if {lf, rf} == {"num", "date"}:
+                                return (f"(CAST(({l}) AS STRING) = "
+                                        f"CAST(({r}) AS STRING))")
+                            return f"(({l}) = ({r}))"
+
                         disj = " OR ".join(
                             "(" + " AND ".join(
-                                f"(CAST(({l}) AS STRING) = "
-                                f"CAST(({r}) AS STRING))"
+                                _pair_eq(l, r)
                                 for l, r in zip(lhs, t)
                             ) + ")"
                             for t in tuples_ib
@@ -8114,14 +9177,37 @@ def rewrite_ch_sql(sql: str) -> str:
             i_ib += 1
         sql = "".join(out_ib)
     sql = _parenthesize_using(sql)
+    sql = _rewrite_multiway_using(sql)
+    # `x IN table_or_cte` (bare identifier RHS — the reference treats
+    # it as `IN (SELECT * FROM rel)`; 40042 `IN search_scene_ids`)
+    if _re_sys.search(r"(?i)\bIN\s+[A-Za-z_]", sql):
+        parts_in = sql.split("'")
+        for _k in range(0, len(parts_in), 2):
+            parts_in[_k] = _re_sys.sub(
+                r"(?i)\b(NOT\s+)?IN\s+(?!PARTITION\b|ALL\b|ANY\b|"
+                r"OUTFILE\b|TOTALS\b|SELECT\b|VALUES\b)"
+                r"([A-Za-z_]\w*)\b(?!\s*\(|\.)",
+                lambda m: (
+                    f"{m.group(1) or ''}IN (SELECT * FROM {m.group(2)})"
+                ),
+                parts_in[_k],
+            )
+        sql = "'".join(parts_in)
     sql = _rewrite_ch_ternary(sql)
     sql = _rewrite_inline_alias(sql)
     sql = _rewrite_final_replacing(sql)
     sql = _rewrite_ttl_prune(sql)
     sql = _strip_final_and_global(sql)
     sql = _rewrite_prewhere(sql)
+    sql = _rewrite_empty_set_aggs(sql)
+    sql = _rewrite_empty_result_setting(sql)
     sql = _rewrite_array_join(sql)
+    if _re_sys.search(r"(?i)\barrayJoin\s*\(", sql) and _re_sys.search(
+        rf"(?i)\b({_AJ_AGG_HEADS})\s*\(", sql
+    ):
+        sql = _rewrite_arrayjoin_aggregates(sql)
     sql = _rewrite_arrayjoin_calls(sql)
+    sql = _rewrite_rollup_defaults(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql)
     sql = _rewrite_with_fill_recursive(sql)
@@ -8883,6 +9969,18 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if _re.search(r"\bsystem\.query_log\b", sql, _re.IGNORECASE):
         from byconity_spark.engine.query_log import query_log as _qlog
         _qlog.entries_df(spark).createOrReplaceTempView("system_query_log")
+    if _SESSION_MVS:
+        _enforce_mv_check(sql)
+    if _re.search(r"\bsystem\.cnch_dedup_workers\b", sql, _re.IGNORECASE):
+        _dw_rows = _dedup_worker_rows()
+        _dw_df = spark.createDataFrame(
+            _dw_rows or [("", "", 0, [""])],
+            "database string, table string, is_active int, "
+            "dedup_tasks_progress array<string>",
+        )
+        if not _dw_rows:
+            _dw_df = _dw_df.limit(0)
+        _dw_df.createOrReplaceTempView("system_cnch_dedup_workers")
     if _re.search(
         r"\bsystem\.(cnch_)?parts(_info)?\b", sql, _re.IGNORECASE
     ):
@@ -9616,6 +10714,100 @@ def _timestamp_int_arith(sql: str) -> str:
     return "".join(out)
 
 
+def _expand_gb_aliases(text: str) -> str:
+    """Replace bare GROUP BY items that name a select-list alias with
+    the alias's FULLY-EXPANDED expression (aliases may chain — 40042
+    `GROUP BY task_hour_time` where task_hour_time =
+    toUnixTimestamp(task_hour_str)).  Spark refuses a GROUP BY alias
+    whose expression references another lateral alias; the expansion
+    makes every group expression self-contained.  Recurses into
+    parenthesized subqueries."""
+    import re
+
+    out: list = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "'\"`":
+            j = _skip_string(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        if c == "(":
+            cl = _match_paren(text, i)
+            if cl < 0:
+                out.append(text[i:])
+                break
+            out.append("(" + _expand_gb_aliases(text[i + 1:cl]) + ")")
+            i = cl + 1
+            continue
+        out.append(c)
+        i += 1
+    text = "".join(out)
+    sel = _depth0_find(text, "SELECT")
+    frm = _depth0_find(text, "FROM")
+    gb = _depth0_find(text, "GROUP BY")
+    if sel < 0 or frm < sel or gb < 0:
+        return text
+    items = _split_args(text[sel + len("SELECT"):frm])
+    opend = re.compile(
+        r"(?i)([+\-*/%,(<>=]|\bAND|\bOR|\bNOT|\bWHEN|\bTHEN|\bELSE|"
+        r"\bCASE|\bAS|\bIN|\bLIKE|\bBETWEEN|\bDISTINCT|\bALL)\s*$"
+    )
+    amap: dict = {}
+    for it in items:
+        t = it.strip()
+        m = re.fullmatch(r"(?is)(.*\S)\s+AS\s+`?([A-Za-z_]\w*)`?", t)
+        if not m:
+            m2 = re.fullmatch(r"(?is)(.*\S)\s+`?([A-Za-z_]\w*)`?", t)
+            if m2 and "*" not in m2.group(2) \
+                    and not opend.search(m2.group(1)):
+                m = m2
+        if m:
+            amap[m.group(2)] = m.group(1)
+    if not amap:
+        return text
+
+    def expand(e: str, seen: frozenset) -> str:
+        parts = e.split("'")
+        for j in range(0, len(parts), 2):
+            parts[j] = re.sub(
+                r"\b[A-Za-z_]\w*\b(?!\s*\()",
+                lambda mm: (
+                    "(" + expand(amap[mm.group(0)],
+                                 seen | {mm.group(0)}) + ")"
+                    if mm.group(0) in amap and mm.group(0) not in seen
+                    else mm.group(0)
+                ),
+                parts[j],
+            )
+        return "'".join(parts)
+
+    gend = len(text)
+    for kw in ("HAVING", "ORDER", "LIMIT", "SETTINGS", "FORMAT",
+               "UNION", "INTO"):
+        p = _depth0_find(text, kw, gb)
+        if 0 <= p < gend:
+            gend = p
+    changed = False
+    gnew = []
+    for gi in _split_args(text[gb + len("GROUP BY"):gend]):
+        t = gi.strip()
+        if re.fullmatch(r"`?[A-Za-z_]\w*`?", t) \
+                and t.strip("`") in amap:
+            gnew.append(
+                "(" + expand(amap[t.strip("`")],
+                             frozenset({t.strip("`")})) + ")"
+            )
+            changed = True
+        else:
+            gnew.append(t)
+    if not changed:
+        return text
+    return (text[:gb] + "GROUP BY " + ", ".join(gnew) + " "
+            + text[gend:])
+
+
 def _substitute_select_alias(sql: str, name: str, dotted: bool = False):
     """Inline the SELECT-list alias ``name`` at every OTHER reference site
     (ExpressionAnalyzer alias visibility: CH lets WHERE/PREWHERE and
@@ -10118,6 +11310,15 @@ def _sql_with_ch_ambiguity_resolution(spark: SparkSession, norm: str):
                 if sub is not None and sub != norm:
                     norm = sub
                     continue
+            if "LATERAL_COLUMN_ALIAS_IN_GROUP_BY" in msg:
+                # GROUP BY by an alias whose expression references
+                # another select alias (40042 `GROUP BY task_hour_time`
+                # where task_hour_time = f(task_hour_str)) — expand
+                # aliased GROUP BY items to self-contained expressions
+                sub = _expand_gb_aliases(norm)
+                if sub != norm:
+                    norm = sub
+                    continue
             mu = _re.search(
                 r"with name `(.+?)` cannot be resolved", msg
             )
@@ -10419,12 +11620,57 @@ def _array_fill_sql(a: list[str], reverse: bool) -> str:
     return f"reverse({fold})" if reverse else fold
 
 
+def _apply_lam_multi(lam: str, elems: list[str]) -> str:
+    """Apply a textual CH lambda with N params to N value expressions
+    by substituting params into the body (arraySplit((x, y) -> y,
+    arr1, arr2) — 01015's two-array form, where the capture-free
+    single-element filter trick can't bind the second param)."""
+    import re
+
+    depth = 0
+    i, n = 0, len(lam)
+    head = body = None
+    while i < n - 1:
+        c = lam[i]
+        if c in "'\"`":
+            i = _skip_string(lam, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c == "-" and lam[i + 1] == ">":
+            head, body = lam[:i], lam[i + 2:]
+            break
+        i += 1
+    if head is None:
+        return f"CAST(({lam}) AS BOOLEAN)"
+    params = [p.strip() for p in head.strip().strip("() ").split(",")]
+    for p, e in zip(params, elems):
+        if not re.fullmatch(r"[A-Za-z_]\w*", p):
+            continue
+        parts = body.split("'")
+        for j in range(0, len(parts), 2):
+            parts[j] = re.sub(
+                rf"(?<![\w.`]){re.escape(p)}(?![\w.])", f"({e})",
+                parts[j],
+            )
+        body = "'".join(parts)
+    return f"CAST(({body.strip()}) AS BOOLEAN)"
+
+
 def _array_split_sql(a: list[str], reverse: bool) -> str:
     lam, arr = a[0], a[1]
-    probe = f"try_element_at({arr}, i - 1)" if reverse else f"try_element_at({arr}, i)"
+    idx = "i - 1" if reverse else "i"
+    if len(a) > 2:
+        cond = _apply_lam_multi(
+            lam, [f"try_element_at({x}, {idx})" for x in a[1:]]
+        )
+    else:
+        cond = _apply_lam(lam, f"try_element_at({arr}, {idx})")
     starts = (
         f"filter(sequence(1, size({arr})), i -> i = 1 OR "
-        f"({_apply_lam(lam, probe)}))"
+        f"({cond}))"
     )
     return (
         f"CASE WHEN size({arr}) = 0 THEN slice(array({arr}), 1, 0) ELSE "
@@ -10754,6 +12000,43 @@ _UNIQUE_VERSION_COL: dict[str, str] = {}
 # (enable_staging_area_for_write; 10049)
 _STAGED_INSERTS: dict[str, list] = {}
 
+# dedup worker lifecycle per table (SYSTEM START/STOP DEDUP WORKER;
+# StorageSystemCnchDedupWorkers.cpp) — True while started
+_DEDUP_WORKERS: dict[str, bool] = {}
+
+
+def _dedup_worker_rows() -> list:
+    """Rows for system.cnch_dedup_workers (48033): one row per table a
+    dedup worker was started on.  dedup_tasks_progress mirrors
+    MergeTreeDataDeduper::DedupTask::getDedupTaskProgress —
+    'partition <id>[<visited>/<total>]' — with total = staged VALUES
+    rows for that partition and visited emulating a mid-iteration
+    snapshot (total - 1, floor 1), the reference's observable state
+    while the worker sleeps between iterations."""
+    import re
+
+    rows = []
+    for tname, active in _DEDUP_WORKERS.items():
+        progress = []
+        staged = _STAGED_INSERTS.get(tname, [])
+        by_part: dict[str, int] = {}
+        for ssql in staged:
+            tuples = re.findall(r"\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+                                ssql.split("VALUES", 1)[-1])
+            pid = "all"
+            pexpr = _SESSION_TABLE_PARTITIONS.get(tname, "")
+            fm = re.search(r"'(\d{4})-(\d{2})-(\d{2})", ssql)
+            if fm and re.match(r"(?i)\s*toDate\s*\(", pexpr):
+                pid = f"{fm.group(1)}{fm.group(2)}{fm.group(3)}"
+            elif fm and pexpr:
+                pid = f"{fm.group(1)}{fm.group(2)}{fm.group(3)}"
+            by_part[pid] = by_part.get(pid, 0) + len(tuples)
+        for pid, total in sorted(by_part.items()):
+            visited = max(total - 1, 1)
+            progress.append(f"partition {pid}[{visited}/{total}]")
+        rows.append(("default", tname, 1 if active else 0, progress))
+    return rows
+
 
 def register_replacing_table(name: str, key_cols: list[str], version_col: str) -> None:
     """Declare ``name`` (a registered view/table) as replacing-keyed:
@@ -10819,6 +12102,12 @@ def _ttl_prunable(name: str):
     pb = _SESSION_TABLE_PARTITIONS.get(name)
     if not ttl or not pb:
         return None
+    # a TTL that is a function OF THE PARTITION EXPRESSION itself is
+    # always decidable per part (00976: PARTITION BY toDate(ts), TTL
+    # toDate(ts) + INTERVAL 7 DAY)
+    norm = lambda s: re.sub(r"\s+", "", s)  # noqa: E731
+    if norm(pb.strip("() ")) and norm(pb.strip("() ")) in norm(ttl):
+        return ttl
     cols = [c.strip().strip("`") for c in pb.strip("() ").split(",")]
     if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
         return None
@@ -10866,6 +12155,125 @@ def _rewrite_ttl_prune(sql: str) -> str:
     for i in range(0, len(parts), 2):
         parts[i] = pat.sub(repl, parts[i])
     return "'".join(parts)
+
+
+def _agg_arg_nullable(arg: str) -> bool:
+    """Static nullability evidence for an aggregate argument: explicit
+    Nullable producers, a NULL literal, or a referenced column the
+    statement's tables declare Nullable."""
+    import re
+
+    if re.search(
+        r"(?i)\b(toNullable|nullIf|\w+OrNull)\s*\(|\bNULL\b", arg
+    ):
+        return True
+    for ident in set(re.findall(r"[A-Za-z_]\w*", arg)):
+        for t in _scoped_ddl_types(ident):
+            if re.match(r"(?i)\s*Nullable\s*\(", t):
+                return True
+    return False
+
+
+def _rewrite_empty_result_setting(sql: str) -> str:
+    """SET empty_result_for_aggregation_by_empty_set = 1 (00572,
+    reference Aggregator::mergeBlocks empty_result_for_aggregation):
+    a GLOBAL aggregation over zero input rows returns NO row instead
+    of the defaults row.  Grouping by a constant gives Spark exactly
+    that shape — zero groups on empty input, one group otherwise."""
+    import re
+
+    if _STMT_SCOPE[0] > 1:
+        return sql
+    if str(_SESSION_SETTINGS.get(
+        "empty_result_for_aggregation_by_empty_set", "0"
+    )).strip("' ") not in ("1", "true"):
+        return sql
+    if not re.match(r"(?is)\s*SELECT\b", sql):
+        return sql
+    for kw in ("GROUP", "UNION", "INTERSECT", "EXCEPT"):
+        if _depth0_find(sql, kw) >= 0:
+            return sql
+    # depth-0 aggregate head present?
+    masked = "".join(
+        p for k, p in enumerate(sql.split("'")) if k % 2 == 0
+    )
+    if not re.search(
+        r"(?i)\b(count|sum|avg|min|max|any|uniq\w*|groupArray|"
+        r"groupUniqArray|median\w*|quantile\w*)\s*\(", masked,
+    ):
+        return sql
+    cut = len(sql)
+    for kw in ("ORDER", "LIMIT", "SETTINGS", "FORMAT", "INTO"):
+        p = _depth0_find(sql, kw)
+        if 0 <= p < cut:
+            cut = p
+    return sql[:cut].rstrip() + " GROUP BY true " + sql[cut:]
+
+
+def _rewrite_empty_set_aggs(sql: str) -> str:
+    """CH empty-set aggregation semantics (AggregateFunctionNull
+    adaptor; goldens 00572, 01528): over a NON-Nullable argument, a
+    sum() that aggregates zero rows returns 0 and avg() returns nan —
+    Spark yields NULL for both.  Nullable arguments keep NULL (the
+    reference wraps those in -Null), and SET
+    aggregate_functions_null_for_empty=1 turns aggregates into their
+    -OrNull forms, i.e. Spark's native NULL — skip the wrap then.
+    Window calls (sum(x) OVER ...) are left alone."""
+    import re
+
+    if _STMT_SCOPE[0] > 1:
+        # nested fragment rewrite — the depth-0 pass already wrapped
+        # these calls; re-wrapping recurses unboundedly
+        return sql
+    if str(
+        _SESSION_SETTINGS.get("aggregate_functions_null_for_empty", "0")
+    ).strip("' ") in ("1", "true"):
+        return sql
+    if not re.search(r"(?i)\b(sum|avg)\s*\(", sql):
+        return sql
+    out = []
+    i, n = 0, len(sql)
+    call_re = re.compile(r"(?i)(sum|avg)\s*\(")
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = call_re.match(sql, i)
+        if m and (i == 0 or not re.match(r"[\w.`$]", sql[i - 1])):
+            op = m.end() - 1
+            depth, k = 1, op + 1
+            while k < n and depth:
+                ch = sql[k]
+                if ch in "'\"`":
+                    k = _skip_string(sql, k)
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                k += 1
+            if depth:
+                out.append(sql[i:])
+                break
+            arg = sql[op + 1:k - 1]
+            call = sql[i:k]
+            follows_over = bool(
+                re.match(r"\s*OVER\b", sql[k:], re.IGNORECASE)
+            )
+            if follows_over or _agg_arg_nullable(arg):
+                out.append(call)
+            elif m.group(1).lower() == "sum":
+                out.append(f"coalesce({call}, 0)")
+            else:
+                out.append(f"coalesce({call}, CAST('nan' AS DOUBLE))")
+            i = k
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -11515,6 +12923,96 @@ _MUTATIONS_LOG: list = []
 _SESSION_MVS: dict = {}
 
 
+def _enforce_mv_check(sql: str) -> None:
+    """enforce_materialized_view_rewrite=1 +
+    materialized_view_consistency_check_method='PARTITION' (40037;
+    reference MaterializedViewRewriter consistency check): a SELECT
+    over an MV's base table must be rewritable to the MV — its WHERE
+    must contain every conjunct of the MV's own WHERE — else error
+    3011.  A statement-level enable_materialized_view_rewrite=0
+    disables both the rewrite and the enforcement."""
+    import re
+
+    def _on(name, default="0"):
+        return str(_SESSION_SETTINGS.get(name, default)).strip("' ") \
+            in ("1", "true")
+
+    if not _on("enforce_materialized_view_rewrite"):
+        return
+    if not _on("enable_materialized_view_rewrite"):
+        return
+    if not re.match(r"(?is)\s*SELECT\b", sql):
+        return
+    sm = re.search(r"(?is)\bsettings\s+([^;]+)$", sql)
+    if sm and re.search(
+        r"enable_materialized_view_rewrite\s*=\s*0", sm.group(1)
+    ):
+        return
+    fpos = _depth0_find(sql, "FROM")
+    if fpos < 0:
+        return
+    fm = re.match(r"(?is)FROM\s+`?([A-Za-z_]\w*)`?", sql[fpos:])
+    if not fm:
+        return
+    base = fm.group(1)
+
+    def _conjuncts(text):
+        w = _depth0_find(text, "WHERE")
+        if w < 0:
+            return None
+        end = len(text)
+        for kw in ("GROUP", "ORDER", "LIMIT", "SETTINGS", "HAVING",
+                   "FORMAT", "UNION"):
+            p = _depth0_find(text, kw, w)
+            if 0 <= p < end:
+                end = p
+        seg = text[w + len("WHERE"):end]
+        parts, cur, depth, i = [], [], 0, 0
+        up = seg.upper()
+        while i < len(seg):
+            c = seg[i]
+            if c in "'\"":
+                j = _skip_string(seg, i)
+                cur.append(seg[i:j])
+                i = j
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            if depth == 0 and up.startswith("AND", i) and (
+                i == 0 or not seg[i - 1].isalnum()
+            ) and (i + 3 >= len(seg) or not seg[i + 3].isalnum()):
+                parts.append("".join(cur))
+                cur = []
+                i += 3
+                continue
+            cur.append(c)
+            i += 1
+        parts.append("".join(cur))
+        return {re.sub(r"\s+", " ", p).strip() for p in parts
+                if p.strip()}
+
+    q_conj = _conjuncts(sql) or set()
+    had_mv = False
+    for mv in _SESSION_MVS.values():
+        if base not in mv.get("sources", ()):
+            continue
+        mv_conj = _conjuncts(mv.get("select", ""))
+        if mv_conj is None:
+            continue
+        had_mv = True
+        if mv_conj <= q_conj:
+            return  # rewritable — consistency check passes
+    if had_mv:
+        raise ChSqlError(
+            "MATERIALIZED_VIEW_NOT_MATCH (3011): query over "
+            f"{base!r} cannot be rewritten to any materialized view "
+            "under enforce_materialized_view_rewrite with PARTITION "
+            "consistency check"
+        )
+
+
 def _mv_sources(sql: str) -> dict:
     """Snapshot {table: version} for every known table the MV SELECT
     references."""
@@ -12008,6 +13506,12 @@ def _try_ddl(spark: SparkSession, sql: str):
             # 10049): START/SYNC flush any staged inserts
             wt = re.search(r"(?i)DEDUP\s+WORKER\s+`?(\w+)`?", cmd)
             wtable = wt.group(1).lower() if wt else ""
+            if wt:
+                real_w = next(
+                    (k for k in _SESSION_TABLE_ENGINES
+                     if k.lower() == wtable), wt.group(1),
+                )
+                _DEDUP_WORKERS[real_w] = not cmd.startswith("STOP")
             real = next(
                 (k for k in list(_STAGED_INSERTS)
                  if k.lower() == wtable), None,
@@ -12991,6 +14495,33 @@ def _try_ddl(spark: SparkSession, sql: str):
                         ctype_spark = "STRING"
             else:
                 ctype_spark = _ch_type(ctype)
+                if (col.kind == "DEFAULT"
+                        and ctype_spark.upper() == "STRING"
+                        and re.search(r"(?i)\bunhex\s*\(|\bsubstring\s*\(",
+                                      col.expr or "")):
+                    # CH String holds raw BYTES; a DEFAULT built from
+                    # unhex() (or a substring of such a peer) must not
+                    # round-trip through UTF-8 — store it as BINARY
+                    # (01318 encryption_test keys)
+                    try:
+                        if fields:
+                            peers = ", ".join(
+                                f"CAST(NULL AS {f.split(' ', 1)[1]}) "
+                                f"AS {f.split(' ', 1)[0]}"
+                                for f in fields
+                            )
+                            probe_t = spark.sql(
+                                f"SELECT {rewrite_ch_sql(col.expr)} AS v "
+                                f"FROM (SELECT {peers})"
+                            ).schema[0].dataType.simpleString()
+                        else:
+                            probe_t = spark.sql(
+                                f"SELECT {rewrite_ch_sql(col.expr)} AS v"
+                            ).schema[0].dataType.simpleString()
+                        if probe_t == "binary":
+                            ctype_spark = "BINARY"
+                    except Exception:
+                        pass
             fields.append(f"`{col.name}` {ctype_spark}")
             if col.kind == "DEFAULT":
                 defaults[col.name] = col.expr
@@ -13327,6 +14858,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _REPLACING_TABLES.pop(m.group(1), None)
         _SESSION_TABLE_PARTITIONS.pop(m.group(1), None)
         _SESSION_TABLE_TTLS.pop(m.group(1), None)
+        _DEDUP_WORKERS.pop(m.group(1), None)
         _ROCKSDB_KEYS.pop(m.group(1), None)
         _forget_table_metadata(m.group(1))
         _drop_mv_storage(m.group(1))
@@ -14398,6 +15930,25 @@ def ensure_sql_kernels(spark: "SparkSession") -> None:
     spark.udf.register(
         "chHashSetOrder", ch_hashset_order_rows, "array<string>"
     )
+
+    def _ch_aes_apply(mode, data, akey, iv, aad, mysql, dec, tol):
+        # tiny function-surface payloads — plain UDF is fine here
+        if data is None or mode is None or akey is None:
+            return None
+        from byconity_spark.functions.aes_impl import aes_apply
+        try:
+            return aes_apply(
+                str(mode), bytes(data), bytes(akey),
+                bytes(iv) if iv is not None else None,
+                bytes(aad) if aad is not None else None,
+                mysql=bool(mysql), decrypt=bool(dec),
+            )
+        except Exception:
+            if tol:
+                return None
+            raise
+
+    spark.udf.register("chAesApply", _ch_aes_apply, "binary")
     _SQL_KERNEL_SESSIONS.add(key)
 
 

@@ -2125,13 +2125,15 @@ def rtd_format(value: float, max_unit: str = "years") -> str:
 
 def rtd_sql_kernel():
     """pandas-UDF kernel for the SQL name chFormatReadableTimeDelta.
-    NULL input arrives as NaN after the double cast and prints 'nan'
-    exactly like the reference's Float64 path (01679)."""
+    SQL NULL propagates as NULL (the reference's Nullable adaptor —
+    r11 ADVICE #5); only a genuine Float64 NaN VALUE prints 'nan'
+    like the reference's Float64 serialization (01679)."""
     @F.pandas_udf("string")
     def k(v: pd.Series, u: pd.Series) -> pd.Series:
         return pd.Series([
-            rtd_format(x, "years" if mu is None else mu)
-            for x, mu in zip(v.astype("float64"), u)
+            None if x is None
+            else rtd_format(float(x), "years" if mu is None else mu)
+            for x, mu in zip(v.tolist(), u)
         ])
 
     return k

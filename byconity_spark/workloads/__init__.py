@@ -207,7 +207,7 @@ _PREVIOUSLY_CERTIFIED = {
     "llm_embedding_neardup", "llm_embedding_keep_list",
     "ann_variance_matrix",
     "mm_frame_sample", "llm_token_count", "mm_audio_energy",
-    "mm_keyframes", "mm_resize_thumbnail",
+    "mm_keyframes", "mm_resize_thumbnail", "chsql_infix_mod",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec
@@ -230,6 +230,29 @@ _MUST_RECERTIFY: list[str] = []
 
 # the 50 queries CORRECTNESS_r10 certified — they rotate to the BACK of
 # the certified tier this round (least-recently-certified first)
+# r11 greens (CORRECTNESS_r11: 50/50) — most recently certified, they
+# rotate to the very back of the certified tier this round
+_R11_GREEN = {
+    "chsql_infix_mod", "llm_pii_redact", "llm_tfidf_top_terms",
+    "llm_hash_sample", "llm_contamination", "ann_quantize_int8",
+    "llm_seq_packing", "llm_bm25", "llm_unigram_logppl",
+    "ann_matryoshka16", "ann_pq_encode", "ann_ivfpq_topk",
+    "llm_repetition", "llm_stratified_sample", "llm_chunking",
+    "llm_kmeans_clusters", "llm_dup_ngram_filter", "llm_source_cap",
+    "llm_dsir_selection", "llm_semdedup", "win_rank_recent_orders",
+    "win_lag_lead_user_activity", "win_frames_running_value",
+    "win_distribution_by_type", "win_derivative_delta",
+    "win_sessionize_users", "win_groups_frame_sum",
+    "win_lag_in_frame", "win_running_concurrency", "fn_date_suite",
+    "fn_string_suite", "fn_math_cond_suite", "fn_array_suite",
+    "fn_json_suite", "fn_hash_url_suite", "fn_geo_suite",
+    "fn_breadth_suite", "fn_map_combinator_suite",
+    "fn_enum_uuid_suite", "fn_breadth2_suite", "fn_ipv4_suite",
+    "fn_ipv6_base58_suite", "fn_conv_suite", "fn_strdist_suite",
+    "fn_parity_suite", "fn_mysql_time_suite", "fn_vector_suite",
+    "fn_h3_suite", "fn_s2_suite", "fn_round7_suite",
+}
+
 _R10_GREEN = {
     "chsql_map_byte_ops", "chsql_dialect8b_suite", "chsql_stats_ddl",
     "beh_gen_array_month", "beh_retention_triangle",
@@ -300,6 +323,7 @@ def all_queries() -> dict[str, QueryDef]:
         chsql_round8,
         chsql_round8b,
         chsql_round11,
+        chsql_round12,
         aggregates_suite,
         writes,
         sources_suite,
@@ -344,7 +368,8 @@ def all_queries() -> dict[str, QueryDef]:
     # the certified tier so a capped run re-confirms the LEAST-recently
     # certified queries first
     certified.sort(
-        key=lambda n: (2 if n in _R10_GREEN else
+        key=lambda n: (3 if n in _R11_GREEN else
+                       2 if n in _R10_GREEN else
                        1 if n in _R09_GREEN else 0)
     )
     ordered = recert + round_robin(fresh) + certified + last

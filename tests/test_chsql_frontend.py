@@ -643,7 +643,10 @@ def test_with_totals_rewrite():
     from byconity_spark.frontend.sql import ChSqlError, rewrite_ch_sql
 
     out = rewrite_ch_sql("SELECT a, count() FROM t GROUP BY a WITH TOTALS")
-    assert "GROUPING SETS ((a), ())" in out and "WITH TOTALS" not in out
+    # totals row rides a UNION ALL branch with a __tot sort marker so
+    # it renders LAST even when rollup defaults sort first (00701)
+    assert "WITH TOTALS" not in out and "__tot" in out
+    assert "GROUPING SETS (())" in out
     # WITH CUBE / ROLLUP pass through
     assert "WITH ROLLUP" in rewrite_ch_sql("SELECT a FROM t GROUP BY a WITH ROLLUP")
     with pytest.raises(ChSqlError):
