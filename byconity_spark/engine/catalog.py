@@ -211,14 +211,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+    """All engine tables as DataFrames, memoized per (session, sf_dir).
+
+    Building the 10 readers costs ~0.2 s of driver-side py4j round trips
+    (reader construction + schema binding), and nearly every workload
+    builder starts here — at 342 queries/bench that overhead dominated
+    the sub-second tail (guide §1.2: remove work the job repeats for no
+    reason).  The DataFrame plan objects are immutable, so reuse across
+    queries within one session is safe; the cache keys on the session
+    object itself (an attribute) and the sf_dir, so a different session
+    or scale factor rebuilds."""
+    cache = getattr(spark, "_bspark_table_cache", None)
+    if cache is not None and cache[0] == sf_dir:
+        return dict(cache[1])
+    dfs = {name: load_table(spark, sf_dir, name) for name in TABLES}
+    try:
+        spark._bspark_table_cache = (sf_dir, dict(dfs))
+    except Exception:
+        pass
+    return dfs
 
 
 _LAST_SF_DIR: list[str] = []  # last register_views target, for system.parts
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every engine table as a temp view (for the SQL surface)."""
+    """Register every engine table as a temp view (for the SQL surface).
+
+    The temp views are ALWAYS (re)pointed at the engine tables — even on
+    a cache hit — so a builder that shadowed or dropped a view name can
+    never leak into the next query; only the reader construction is
+    memoized (load_tables)."""
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)

@@ -26,6 +26,8 @@ materialize eagerly, which is the documented cost of opting in.
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 import threading
 import time
 from typing import Optional
@@ -325,7 +327,7 @@ class SessionLimits:
                 # break: return an empty frame with the same schema (the
                 # reference stops the pipeline and returns what it has; a
                 # lazy engine has nothing yet)
-                return spark.createDataFrame([], df.schema)
+                return _local_df(spark, [], df.schema)
             raise LimitExceeded(
                 f"Timeout exceeded: maximum: {secs} sec (TIMEOUT_EXCEEDED)"
             )

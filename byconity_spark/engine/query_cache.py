@@ -33,6 +33,8 @@ served by ``entries_df()`` through the SQL frontend.
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 import hashlib
 import re
 import threading
@@ -217,7 +219,7 @@ class QueryCache:
                 )
                 for key, e in self._entries.items()
             ]
-        return spark.createDataFrame(
+        return _local_df(spark, 
             rows,
             "query string, key_hash string, hits bigint, stale boolean, "
             "expires_in double",

@@ -14,6 +14,8 @@ CTAS/INSERT inner SELECTs) matches the reference's is_initial_query=1 rows.
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 import datetime
 import re
 import threading
@@ -78,7 +80,7 @@ class QueryLog:
     def entries_df(self, spark: SparkSession) -> DataFrame:
         with self._lock:
             rows = list(self._entries)
-        df = spark.createDataFrame(
+        df = _local_df(spark, 
             rows,
             "event_time timestamp, query string, query_kind string, "
             "status string, duration_ms double, cache_usage string, "

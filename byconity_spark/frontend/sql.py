@@ -27,6 +27,8 @@ ClickHouse.
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -9810,7 +9812,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             pdf.to_parquet(path, index=False)
         else:
             raise ChSqlError(f"INTO OUTFILE: unsupported format {fmt!r}")
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(path, len(pdf))], "outfile string, rows bigint"
         )
 
@@ -9847,14 +9849,14 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
                 "         └─ Projection",
                 f"            └─ TableScan default.{src}",
             ]
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [(x,) for x in lines], "explain string"
             )
     if m and _re.search(r"(?is)\bFORMAT\s+Null\s*;?\s*$", sql):
         # FORMAT Null discards the explain text entirely (48028 —
         # "PlanNodeId is not stable", the reference test relies on it)
         from pyspark.sql.types import StringType, StructField, StructType
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [], StructType([StructField("explain", StringType())])
         )
     if m:
@@ -9867,7 +9869,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             fmt_lines = _format_ch_syntax(body)
             if fmt_lines is None:
                 fmt_lines = body.splitlines()
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [(line,) for line in fmt_lines],
                 "explain string",
             )
@@ -9875,7 +9877,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
 
         inner = ch_sql(spark, sql[m.end() :])
         text = explain_ch(inner, (m.group(1) or "PLAN").upper())
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(line,) for line in text.splitlines()], "explain string"
         )
 
@@ -9973,7 +9975,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         _enforce_mv_check(sql)
     if _re.search(r"\bsystem\.cnch_dedup_workers\b", sql, _re.IGNORECASE):
         _dw_rows = _dedup_worker_rows()
-        _dw_df = spark.createDataFrame(
+        _dw_df = _local_df(spark, 
             _dw_rows or [("", "", 0, [""])],
             "database string, table string, is_active int, "
             "dedup_tasks_progress array<string>",
@@ -10023,7 +10025,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
                     db, bare, _part_name(p), p["rows"], p["bytes"], 1,
                     p["type"] == 1, p["type"], p["t"],
                 ))
-        spark.createDataFrame(
+        _local_df(spark, 
             rows,
             "database string, table string, name string, rows bigint, "
             "bytes_on_disk bigint, row_groups int, active boolean, "
@@ -10054,7 +10056,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             mt = _file_mtime(_LAST_SF_DIR[0], r[1])
             if agg[3] is None or mt > agg[3]:
                 agg[3] = mt
-        spark.createDataFrame(
+        _local_df(spark, 
             [
                 (db, tb, a[0], a[1], a[2], a[3])
                 for (db, tb), a in sorted(info.items())
@@ -10091,26 +10093,26 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
              else 0.0,
              "spark.sql.adaptive.enabled"),
         ]
-        spark.createDataFrame(
+        _local_df(spark, 
             rows, "metric string, value double, description string"
         ).createOrReplaceTempView("system_metrics")
     if _re.search(r"\bsystem\.processes\b", sql, _re.IGNORECASE):
         # reference ProcessList.h / StorageSystemProcesses.cpp — live
         # frontend statements (includes this one: registered on entry)
         from byconity_spark.engine.limits import process_list
-        spark.createDataFrame(
+        _local_df(spark, 
             process_list.rows(),
             "query_id string, query string, elapsed double",
         ).createOrReplaceTempView("system_processes")
     if _re.search(r"\bsystem\.quotas\b", sql, _re.IGNORECASE):
         from byconity_spark.engine.limits import quotas as _q
-        spark.createDataFrame(
+        _local_df(spark, 
             _q.quota_rows(),
             "name string, interval_seconds double, keys string",
         ).createOrReplaceTempView("system_quotas")
     if _re.search(r"\bsystem\.dictionaries\b", sql, _re.IGNORECASE):
         # reference StorageSystemDictionaries.cpp column subset
-        spark.createDataFrame(
+        _local_df(spark, 
             [
                 (n, d["source"], d["key"], d["layout"], int(d["lifetime"]))
                 for n, d in sorted(_SESSION_DICTIONARIES.items())
@@ -10120,14 +10122,14 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         ).createOrReplaceTempView("system_dictionaries")
     if _re.search(r"\bsystem\.mutations\b", sql, _re.IGNORECASE):
         # reference StorageSystemMutations.cpp column subset
-        spark.createDataFrame(
+        _local_df(spark, 
             list(_MUTATIONS_LOG),
             "table string, mutation_id string, command string, is_done int",
         ).createOrReplaceTempView("system_mutations")
     if _re.search(r"\bsystem\.projections\b", sql, _re.IGNORECASE):
         # reference StorageSystemProjectionParts.cpp metadata subset
         from byconity_spark.engine.projections import projections as _pr
-        spark.createDataFrame(
+        _local_df(spark, 
             _pr.rows(),
             "table string, name string, dims string, n_measures int, "
             "source_version int",
@@ -10136,7 +10138,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         # reference StorageSystemDetachedParts.cpp (table, partition_id,
         # rows) — counting a detached plan is a distributed count, same as
         # the footer-metadata model of system.parts
-        spark.createDataFrame(
+        _local_df(spark, 
             [
                 (t, p, int(df_.count()))
                 for (t, p), df_ in sorted(_DETACHED_PARTS.items())
@@ -10159,7 +10161,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
             )
             for n, (_surface, ptr) in inventory().items()
         )
-        spark.createDataFrame(
+        _local_df(spark, 
             _rows,
             "name string, is_aggregate int, case_insensitive int, "
             "alias_to string",
@@ -10169,16 +10171,16 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     ):
         # reference StorageSystemUsers/Roles/Grants/RowPolicies.cpp subsets
         from byconity_spark.engine.access import access_control as _ac
-        spark.createDataFrame(
+        _local_df(spark, 
             _ac.users_rows(), "name string, granted_roles string"
         ).createOrReplaceTempView("system_users")
-        spark.createDataFrame(
+        _local_df(spark, 
             _ac.roles_rows(), "name string"
         ).createOrReplaceTempView("system_roles")
-        spark.createDataFrame(
+        _local_df(spark, 
             _ac.grants_rows(), "principal string, table string, columns string"
         ).createOrReplaceTempView("system_grants")
-        spark.createDataFrame(
+        _local_df(spark, 
             _ac.row_policies_rows(),
             "name string, table string, kind string, condition string, "
             "apply_to string",
@@ -10186,7 +10188,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if _re.search(r"\bsystem\.backups\b", sql, _re.IGNORECASE):
         # reference StorageSystemBackups / BackupStatus.h
         from byconity_spark.engine.backups import backups_rows
-        spark.createDataFrame(
+        _local_df(spark, 
             backups_rows(),
             "id string, name string, status string, num_entries bigint, "
             "start_time double",
@@ -10194,7 +10196,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
     if _re.search(r"\bsystem\.resource_groups\b", sql, _re.IGNORECASE):
         # StorageSystemResourceGroups.cpp column subset
         from byconity_spark.engine.resource_groups import resource_groups
-        spark.createDataFrame(
+        _local_df(spark, 
             resource_groups.rows(),
             "name string, parent_resource_group string, can_run_more int, "
             "can_queue_more int, priority int, max_concurrent_queries int, "
@@ -10204,7 +10206,7 @@ def _ch_sql_impl(spark: SparkSession, sql: str) -> DataFrame:
         ).createOrReplaceTempView("system_resource_groups")
     if _re.search(r"\bsystem\.quota_usage\b", sql, _re.IGNORECASE):
         from byconity_spark.engine.limits import quotas as _q
-        spark.createDataFrame(
+        _local_df(spark, 
             _q.usage_rows(),
             "quota_name string, metric string, used bigint, max_value bigint",
         ).createOrReplaceTempView("system_quota_usage")
@@ -13541,7 +13543,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             else:
                 _MERGES_STOPPED.discard(target)
             detail = ("stopped" if stop else "started") + f" for {target}"
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(cmd, detail)], "command string, status string"
         )
 
@@ -13554,13 +13556,13 @@ def _try_ddl(spark: SparkSession, sql: str):
         # detached-parts state participates in rollback (10054: a
         # rolled-back cross-table ATTACH puts the part back)
         transactions._txn["detached_parts"] = dict(_DETACHED_PARTS)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(txn_id, "begun")], "txn_id int, status string"
         )
     if re.match(r"COMMIT$", s, re.IGNORECASE):
         from byconity_spark.engine.transactions import transactions
         txn_id = transactions.commit()
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(txn_id, "committed")], "txn_id int, status string"
         )
     if re.match(r"ROLLBACK$", s, re.IGNORECASE):
@@ -13576,14 +13578,14 @@ def _try_ddl(spark: SparkSession, sql: str):
         if _saved_dp is not None:
             _DETACHED_PARTS.clear()
             _DETACHED_PARTS.update(_saved_dp)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(txn_id, f"rolled_back_{restored}_tables")],
             "txn_id int, status string",
         )
     if re.match(r"SHOW\s+STATEMENTS$", s, re.IGNORECASE):
         from byconity_spark.engine.transactions import transactions
         rows = [(i + 1, st) for i, st in enumerate(transactions.statements())]
-        return spark.createDataFrame(rows, "seq int, statement string")
+        return _local_df(spark, rows, "seq int, statement string")
 
     # SET k = v[, k2 = v2, ...] — session-scoped.  Enforced settings
     # (limits block) keep their semantics; every OTHER name declared by
@@ -13626,7 +13628,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                     f"Settings.h name; enforced keys: {sorted(LIMIT_KEYS)})"
                 )
             applied.append(key)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(k, "set") for k in applied], "setting string, status string"
         )
 
@@ -13654,7 +13656,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 )
             limits[k] = int(v.strip())
         quotas.create(name, secs, limits)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "quota string, status string"
         )
 
@@ -13664,7 +13666,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         from byconity_spark.engine.limits import quotas
         dropped = quotas.drop(m.group(1))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), "dropped" if dropped else "not_found")],
             "quota string, status string",
         )
@@ -13677,7 +13679,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         from byconity_spark.engine.limits import process_list
         code = process_list.kill(spark, m.group(1))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), code)], "query_id string, status string"
         )
 
@@ -13703,7 +13705,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             max_queued_waiting_ms=int(mqw) if mqw else 5000,
             priority=int(prio) if prio else 0,
         )
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "resource_group string, status string"
         )
 
@@ -13714,7 +13716,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         from byconity_spark.engine.resource_groups import resource_groups
         ok = resource_groups.drop(m.group(1))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), "dropped" if ok else "not_found")],
             "resource_group string, status string",
         )
@@ -13732,7 +13734,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         from byconity_spark.engine.backups import backup_table
         table, as_name, disk, path = m.groups()
         n = backup_table(spark, table, disk, path, as_name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(table, int(n), "backup_created")],
             "table string, rows bigint, status string",
         )
@@ -13746,14 +13748,14 @@ def _try_ddl(spark: SparkSession, sql: str):
         from byconity_spark.engine.backups import restore_table
         name, as_name, disk, path = m.groups()
         target, n, mode = restore_table(spark, name, disk, path, as_name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(target, int(n), mode)],
             "table string, rows bigint, status string",
         )
 
     if re.match(r"SHOW\s+PROCESSLIST$", s, re.IGNORECASE):
         from byconity_spark.engine.limits import process_list
-        return spark.createDataFrame(
+        return _local_df(spark, 
             process_list.rows(),
             "query_id string, query string, elapsed double",
         )
@@ -13776,7 +13778,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _SESSION_DATABASES.add(name)
         if m.group(3):
             _SESSION_DATABASE_ENGINES[name] = m.group(3)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "database string, status string"
         )
 
@@ -13793,7 +13795,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         eng = _SESSION_DATABASE_ENGINES.get(name)
         stmt = (f"CREATE DATABASE {name}\nENGINE = "
                 + (f"{eng}()" if eng else "Cnch"))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(stmt,)], "statement string"
         )
 
@@ -13807,7 +13809,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             raise ChSqlError("DROP DATABASE: cannot drop 'default'")
         if name not in _SESSION_DATABASES:
             if ie:
-                return spark.createDataFrame(
+                return _local_df(spark, 
                     [(name, "not_found")], "database string, status string"
                 )
             raise ChSqlError(f"UNKNOWN_DATABASE: {name!r}")
@@ -13821,7 +13823,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _SESSION_DATABASES.discard(name)
         if _CURRENT_DATABASE[0] == name:
             _CURRENT_DATABASE[0] = "default"
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "dropped")], "database string, status string"
         )
 
@@ -13835,7 +13837,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         if name not in _SESSION_DATABASES:
             raise ChSqlError(f"UNKNOWN_DATABASE: {name!r}")
         _CURRENT_DATABASE[0] = name
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "using")], "database string, status string"
         )
 
@@ -13863,10 +13865,10 @@ def _try_ddl(spark: SparkSession, sql: str):
                     ) in ("View", "MaterializedView") else "BASE TABLE")
                     for n in names
                 ]
-                return spark.createDataFrame(
+                return _local_df(spark, 
                     rows, "name string, table_type string"
                 )
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [(n,) for n in names], "name string"
             )
 
@@ -13918,7 +13920,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         return emit(names)
 
     if re.match(r"SHOW\s+DATABASES$", s, re.IGNORECASE):
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(n,) for n in sorted(_SESSION_DATABASES | {"system"})],
             "name string",
         )
@@ -13940,7 +13942,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             for k, v in sorted(_SESSION_SETTINGS.items())
             if re.fullmatch(rx, k)
         ]
-        return spark.createDataFrame(
+        return _local_df(spark, 
             rows, "name string, value string, changed int"
         )
 
@@ -13982,13 +13984,13 @@ def _try_ddl(spark: SparkSession, sql: str):
                     out_rows.append((t, nc, str(rc)))
                 except Exception:
                     continue
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 out_rows or [("", 0, "none")],
                 "table_name string, column_count bigint, "
                 "row_count_or_error string",
             )
         if if_not_exists and target in _SHOW_STATS:
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [], "table_name string, column_count bigint, "
                     "row_count_or_error string",
             )
@@ -14001,7 +14003,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             )
         except Exception:
             pass
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(target, ncols, str(rcount))],
             "table_name string, column_count bigint, "
             "row_count_or_error string",
@@ -14020,12 +14022,12 @@ def _try_ddl(spark: SparkSession, sql: str):
             for t in list(_SHOW_STATS):
                 drop_stats(t)
                 drop_display_stats(t)
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [("all", "dropped")], "table string, status string"
             )
         found = drop_stats(name)
         found = drop_display_stats(name) or found
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "dropped" if found else "not_found")],
             "table string, status string",
         )
@@ -14051,7 +14053,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             "layout": (layout or "HASHED").upper(),
             "lifetime": int(lifetime) if lifetime else 0,
         }
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "dictionary string, status string"
         )
 
@@ -14061,7 +14063,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         ok = _SESSION_DICTIONARIES.pop(m.group(1), None) is not None
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), "dropped" if ok else "not_found")],
             "dictionary string, status string",
         )
@@ -14079,7 +14081,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             access_control.create_user(name, if_not_exists=bool(ine))
         else:
             access_control.create_role(name, if_not_exists=bool(ine))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], f"{kind.lower()} string, status string"
         )
 
@@ -14094,7 +14096,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             ok = access_control.drop_user(name, if_exists=bool(ie))
         else:
             ok = access_control.drop_role(name, if_exists=bool(ie))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "dropped" if ok else "not_found")],
             f"{kind.lower()} string, status string",
         )
@@ -14112,7 +14114,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             table, principal,
             [c.strip() for c in cols.split(",")] if cols else None,
         )
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(principal, table, "granted")],
             "principal string, table string, status string",
         )
@@ -14124,7 +14126,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         from byconity_spark.engine.access import access_control
         ok = access_control.revoke_select(m.group(1), m.group(2))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(2), m.group(1), "revoked" if ok else "not_found")],
             "principal string, table string, status string",
         )
@@ -14136,7 +14138,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         from byconity_spark.engine.access import access_control
         access_control.grant_role(m.group(1), m.group(2))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(2), m.group(1), "granted")],
             "user string, role string, status string",
         )
@@ -14166,7 +14168,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 if to and to.upper() != "ALL" else ()
             ),
         )
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, table, "created")],
             "policy string, table string, status string",
         )
@@ -14179,7 +14181,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         from byconity_spark.engine.access import access_control
         ok = access_control.drop_row_policy(m.group(1), m.group(2))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), m.group(2), "dropped" if ok else "not_found")],
             "policy string, table string, status string",
         )
@@ -14193,7 +14195,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     if m:
         from byconity_spark.engine.access import access_control
         access_control.set_user(m.group(1))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), "set")], "user string, status string"
         )
 
@@ -14207,7 +14209,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         names = (sorted(_SHOW_STATS)
                  if m.group(1).lower() in ("*", "all") else [m.group(1)])
         rows = [r for n in names for r in show_stats_rows(n)]
-        return spark.createDataFrame(
+        return _local_df(spark, 
             rows,
             "identifier string, type string, count string, "
             "null_count string, ndv string, min string, max string, "
@@ -14224,7 +14226,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         names = (sorted(_SHOW_STATS)
                  if m.group(1).lower() in ("*", "all") else [m.group(1)])
         rows = [r for n in names for r in show_column_stats_rows(n)]
-        return spark.createDataFrame(
+        return _local_df(spark, 
             rows,
             "identifier string, bucket_id string, range string, "
             "count string, ndv string, cumulative_count string, "
@@ -14258,7 +14260,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _forget_table_metadata(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "table string, status string"
         )
 
@@ -14299,7 +14301,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             ver = (eng_args or "").strip() or df.columns[-1]
             keys = order_keys or [df.columns[0]]
             register_replacing_table(name, keys, ver)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "table string, status string"
         )
 
@@ -14537,7 +14539,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             _TABLE_MATERIALIZED[name] = materialized
         if aliases:
             _TABLE_ALIASES[name] = aliases
-        empty = spark.createDataFrame([], ", ".join(fields))
+        empty = _local_df(spark, [], ", ".join(fields))
         empty.createOrReplaceTempView(name)
         _SESSION_TABLE_ENGINES[name] = (engine or "MergeTree")
         _SESSION_PARTS[name] = []
@@ -14555,7 +14557,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 "`")
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "table string, status string"
         )
 
@@ -14588,7 +14590,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             (f.name, ch_name(f.dataType.simpleString()))
             for f in spark.table(m.group(1)).schema.fields
         ]
-        return spark.createDataFrame(rows, "name string, type string")
+        return _local_df(spark, rows, "name string, type string")
 
     m = re.match(
         r"SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)"
@@ -14689,10 +14691,10 @@ def _try_ddl(spark: SparkSession, sql: str):
             if ddl["mysql_dialect"]:
                 # MySQL SHOW CREATE prints (Table, Create Table);
                 # native ClickHouse prints the statement alone (50012)
-                return spark.createDataFrame(
+                return _local_df(spark, 
                     [(short, stmt)], "name string, statement string"
                 )
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [(stmt,)], "statement string"
             )
         cols = ", ".join(
@@ -14709,7 +14711,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             stmt += f" PARTITION BY {_SESSION_TABLE_PARTITIONS[name]}"
         if name in _SESSION_TABLE_TTLS:
             stmt += f" TTL {_SESSION_TABLE_TTLS[name]}"
-        return spark.createDataFrame([(stmt,)], "statement string")
+        return _local_df(spark, [(stmt,)], "statement string")
 
     # INSERT INTO t [(cols)] FORMAT <fmt>\n<inline rows>  (reference
     # block alignment shared with the VALUES/SELECT forms below
@@ -14743,7 +14745,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         query_cache.bump_table(name)
         if name not in _ROCKSDB_KEYS:  # an upsert is not an append-delta
             _log_mv_delta(name, new)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "inserted")], "table string, status string"
         )
 
@@ -14766,7 +14768,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             # until a non-staged write or SYSTEM START/SYNC DEDUP
             # WORKER flushes the queue
             _STAGED_INSERTS.setdefault(name, []).append(s)
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [(name, "staged")], "table string, status string"
             )
         if _STAGED_INSERTS.get(name):
@@ -14833,7 +14835,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         new = _prepare_insert_block(spark, name, new, provided)
         if (_SESSION_TABLE_ENGINES.get(name, "").lower() == "null"):
             # StorageNull: INSERT discards, SELECT stays empty
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [(name, "inserted")], "table string, status string"
             )
         merged = _apply_insert_semantics(spark, name, new)
@@ -14842,7 +14844,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         query_cache.bump_table(name)  # cached readers of this table go stale
         if name not in _ROCKSDB_KEYS:  # an upsert is not an append-delta
             _log_mv_delta(name, new)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "inserted")], "table string, status string"
         )
 
@@ -14869,7 +14871,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             _pr.drop(m.group(1), pname)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(m.group(1))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), "dropped")], "table string, status string"
         )
 
@@ -14947,7 +14949,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         ).createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "column_modified")], "table string, status string"
         )
 
@@ -15043,7 +15045,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         result.createOrReplaceTempView(tgt_n)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(tgt_n)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(tgt_n, "ingested")], "table string, status string"
         )
 
@@ -15064,7 +15066,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         keys["cluster_by"] = f"{m.group(2).strip()} INTO {m.group(3)} BUCKETS"
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "cluster_modified")], "table string, status string"
         )
     m = re.match(
@@ -15075,7 +15077,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         name = m.group(1).strip("`")
         spark.table(name)
         _SESSION_TABLE_KEYS.get(name, {}).pop("cluster_by", None)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "cluster_dropped")], "table string, status string"
         )
 
@@ -15100,7 +15102,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             staged[k.strip()] = v.strip().strip("'\"")
         _validate_table_settings(staged)
         tbl.update(staged)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "setting_modified")], "table string, status string"
         )
 
@@ -15129,7 +15131,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         if final and ("*" in _MERGES_STOPPED or name in _MERGES_STOPPED):
             # reference: OPTIMIZE can't proceed under STOP MERGES
             # (ActionLocks::PartsMerge held)
-            return spark.createDataFrame(
+            return _local_df(spark, 
                 [(name, "merges_stopped")], "table string, status string"
             )
         status = "noop"  # parquet views carry no pending merges
@@ -15159,7 +15161,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 "optimized_final_ttl" if status == "optimized_final"
                 else "optimized_ttl"
             )
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, status)], "table string, status string"
         )
 
@@ -15183,7 +15185,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             projections.add(name, pname, s[open_paren + 1 : close])
         except ValueError as e:
             raise ChSqlError(str(e)) from e
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, pname, "added")],
             "table string, projection string, status string",
         )
@@ -15218,7 +15220,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 )
             projections._ensure_fresh(spark, proj)
             status = "materialized"
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, pname, status)],
             "table string, projection string, status string",
         )
@@ -15254,7 +15256,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                             f"allow_nullable_key = 1 to allow"
                         )
         _SESSION_TABLE_TTLS[m.group(1)] = m.group(2).strip()
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), "ttl_set")], "table string, status string"
         )
 
@@ -15263,7 +15265,7 @@ def _try_ddl(spark: SparkSession, sql: str):
     )
     if m:
         ok = _SESSION_TABLE_TTLS.pop(m.group(1), None) is not None
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(m.group(1), "ttl_removed" if ok else "no_ttl")],
             "table string, status string",
         )
@@ -15282,7 +15284,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         spark.catalog.dropTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "detached")], "table string, status string"
         )
     m = re.match(r"ATTACH\s+TABLE\s+`?(\w+)`?\s*$", s, re.IGNORECASE)
@@ -15294,7 +15296,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         df.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "attached")], "table string, status string"
         )
 
@@ -15345,7 +15347,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 # nothing detached: ATTACH is a no-op like the reference
                 # (it attaches whatever sits in the detached dir — here,
                 # nothing; 10054 re-attaches after a committed move)
-                return spark.createDataFrame(
+                return _local_df(spark, 
                     [(name, lit.strip(), "attached_nothing")],
                     "table string, partition string, status string",
                 )
@@ -15390,7 +15392,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             "DROP": "dropped", "DETACH": "detached",
             "ATTACH": "attached", "REPLACE": "replaced",
         }[op]
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, lit.strip(), status)],
             "table string, partition string, status string",
         )
@@ -15420,7 +15422,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             (name, f"mutation_{len(_MUTATIONS_LOG) + 1}",
              f"DELETE WHERE {cond}", 1)
         )
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "mutated_delete")], "table string, status string"
         )
 
@@ -15454,7 +15456,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             (name, f"mutation_{len(_MUTATIONS_LOG) + 1}",
              f"UPDATE {assigns_txt} WHERE {cond.strip()}", 1)
         )
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "mutated_update")], "table string, status string"
         )
 
@@ -15498,7 +15500,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         query_cache.bump_table(name)
         _MUTATIONS_LOG.append((name, f"mut_{len(_MUTATIONS_LOG) + 1}",
                                "CLEAR MAP KEY", 1))
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "cleared_map_key")], "table string, status string"
         )
 
@@ -15550,7 +15552,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                      ).createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "added_column")], "table string, status string"
         )
 
@@ -15566,7 +15568,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             t.drop(col).createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "dropped_column")], "table string, status string"
         )
 
@@ -15586,7 +15588,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         ).createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "modified_column")], "table string, status string"
         )
 
@@ -15612,7 +15614,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         df.createOrReplaceTempView(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "renamed_column")], "table string, status string"
         )
 
@@ -15626,7 +15628,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _parts_drop_range(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "truncated")], "table string, status string"
         )
 
@@ -15645,7 +15647,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(old)
         query_cache.bump_table(new)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(new, "renamed")], "table string, status string"
         )
 
@@ -15677,7 +15679,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(a)
         query_cache.bump_table(b)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(a, b, "exchanged")], "table string, table2 string, status string"
         )
 
@@ -15718,7 +15720,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _SESSION_TABLE_ENGINES[name] = "MaterializedView"
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "materialized_view string, status string"
         )
 
@@ -15767,7 +15769,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         mv["versions"] = _mv_sources(mv["select"])
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "refreshed")], "materialized_view string, status string"
         )
 
@@ -15798,7 +15800,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _SESSION_TABLE_ENGINES[name] = "View"
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "created")], "view string, status string"
         )
 
@@ -15811,7 +15813,7 @@ def _try_ddl(spark: SparkSession, sql: str):
             "View", "MaterializedView"
         ):
             if if_exists:
-                return spark.createDataFrame(
+                return _local_df(spark, 
                     [(name, "not_found")], "view string, status string"
                 )
             raise ChSqlError(
@@ -15823,7 +15825,7 @@ def _try_ddl(spark: SparkSession, sql: str):
         _drop_mv_storage(name)
         from byconity_spark.engine.query_cache import query_cache
         query_cache.bump_table(name)
-        return spark.createDataFrame(
+        return _local_df(spark, 
             [(name, "dropped")], "view string, status string"
         )
 
@@ -16412,7 +16414,7 @@ def _parse_inline_format(spark, fmt: str, payload: str, cols: list, target):
                 "JSONEachRow, CSV[WithNames], TSV/TabSeparated[WithNames], "
                 "Values)"
             )
-        inner = spark.createDataFrame(
+        inner = _local_df(spark, 
             str_rows, ", ".join(f"`{c}` string" for c in cols)
         )
     by_name = {fld.name: fld.dataType for fld in target.schema.fields}

@@ -268,18 +268,21 @@ def chsql_json_extract_typed(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "chsql_array_split_multi",
     oracle="""
-    SELECT [[1, 2, 3], [4, 5]] AS s, [[1], [2, 3, 4], [5]] AS r
+    SELECT '[[1,2,3],[4,5]]' AS s, '[[1],[2,3,4],[5]]' AS r
     """,
 )
 def chsql_array_split_multi(spark: SparkSession, sf: str) -> DataFrame:
     """Two-array arraySplit/arrayReverseSplit — the lambda binds one
-    parameter per array (array/arraySplit.cpp; 01015 golden)."""
+    parameter per array (array/arraySplit.cpp; 01015 golden).  The
+    nested arrays serialize via toString: the driver's hasher cannot
+    hash list cells (output contract)."""
     register_views(spark, sf)
     return ch_sql(
         spark,
-        "SELECT arraySplit((x, y) -> y, [1,2,3,4,5], [1,0,0,1,0]) "
-        "AS s, arrayReverseSplit((x, y) -> y, [1,2,3,4,5], "
-        "[1,0,0,1,0]) AS r",
+        "SELECT replaceAll(toString(arraySplit((x, y) -> y, "
+        "[1,2,3,4,5], [1,0,0,1,0])), ', ', ',') AS s, "
+        "replaceAll(toString(arrayReverseSplit((x, y) -> y, "
+        "[1,2,3,4,5], [1,0,0,1,0])), ', ', ',') AS r",
     )
 
 

@@ -128,12 +128,30 @@ def chsql_values_tf(spark: SparkSession, sf: str) -> DataFrame:
 def chsql_set_settings(spark: SparkSession, sf: str) -> DataFrame:
     """SET of reference Settings.h names is accepted and recorded
     (BaseSettings::set contract — unknown names still error), surfaced
-    via SHOW SETTINGS."""
+    via SHOW SETTINGS.  The settings are restored afterwards so a
+    lingering dialect_type=ANSI cannot flip ClickHouse-dialect
+    semantics (rollup/totals key defaults) for queries that happen to
+    run later in the same session."""
+    from byconity_spark.frontend.sql import _SESSION_SETTINGS
+
     register_views(spark, sf)
-    ch_sql(spark, "SET dialect_type = 'ANSI', enable_optimizer = 0")
-    df = ch_sql(spark, "SHOW SETTINGS LIKE '%optimizer%'").unionByName(
-        ch_sql(spark, "SHOW SETTINGS LIKE 'dialect%'")
-    )
-    return df.orderBy("name").selectExpr(
-        "name", "value", "CAST(changed AS INT) AS changed"
-    )
+    saved = {
+        k: _SESSION_SETTINGS.get(k)
+        for k in ("dialect_type", "enable_optimizer")
+    }
+    try:
+        ch_sql(spark, "SET dialect_type = 'ANSI', enable_optimizer = 0")
+        df = ch_sql(spark, "SHOW SETTINGS LIKE '%optimizer%'").unionByName(
+            ch_sql(spark, "SHOW SETTINGS LIKE 'dialect%'")
+        )
+        # SHOW SETTINGS materializes from the registry eagerly, so the
+        # restore below cannot change the returned rows
+        return df.orderBy("name").selectExpr(
+            "name", "value", "CAST(changed AS INT) AS changed"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                _SESSION_SETTINGS.pop(k, None)
+            else:
+                _SESSION_SETTINGS[k] = v

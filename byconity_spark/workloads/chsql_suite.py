@@ -4,6 +4,8 @@ registered engine views — the end-to-end compat surface."""
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 from pyspark.sql import DataFrame, SparkSession
 
 from byconity_spark.engine.catalog import register_views
@@ -1085,7 +1087,7 @@ def chsql_limits_suite(spark: SparkSession, sf: str) -> DataFrame:
         rows.append(("timeout_ok_count", int(tok[0][0])))
     finally:
         session_limits.reset()
-    return spark.createDataFrame(rows, "probe string, value bigint")
+    return _local_df(spark, rows, "probe string, value bigint")
 
 
 @register(
@@ -1138,7 +1140,7 @@ def chsql_quota_process_suite(spark: SparkSession, sf: str) -> DataFrame:
         quotas.drop("wl_q")
     k = ch_sql(spark, "KILL QUERY WHERE query_id = 'no_such_query'").collect()
     rows.append(("kill_not_found", 1 if k[0][1] == "NotFound" else 0))
-    return spark.createDataFrame(rows, "probe string, value bigint")
+    return _local_df(spark, rows, "probe string, value bigint")
 
 
 @register(
@@ -1210,7 +1212,7 @@ def chsql_stats_ddl(spark: SparkSession, sf: str) -> DataFrame:
         drop_display_stats("orders")
         drop_display_stats("stats_probe_t")
         ch_sql(spark, "DROP TABLE IF EXISTS stats_probe_t")
-    return spark.createDataFrame(rows, "item string, value string")
+    return _local_df(spark, rows, "item string, value string")
 
 
 @register(
@@ -1324,7 +1326,7 @@ def chsql_resource_group_suite(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         resource_groups.set_current(None)
         resource_groups.clear()
-    return spark.createDataFrame(rows, "probe string, value bigint")
+    return _local_df(spark, rows, "probe string, value bigint")
 
 
 @register(
@@ -1399,7 +1401,7 @@ def chsql_backup_restore(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         ch_sql(spark, "DROP TABLE IF EXISTS bkwl_src")
         ch_sql(spark, "DROP TABLE IF EXISTS bkwl_other")
-    return spark.createDataFrame(rows, "probe string, value bigint")
+    return _local_df(spark, rows, "probe string, value bigint")
 
 
 @register(
@@ -1475,7 +1477,7 @@ def chsql_advisor_suite(spark: SparkSession, sf: str) -> DataFrame:
                 rows.append((a.advisor, a.table, str(int(a.benefit))))
     finally:
         _STATS_REGISTRY.pop("orders", None)
-    return spark.createDataFrame(rows, "advisor string, subject string, value string")
+    return _local_df(spark, rows, "advisor string, subject string, value string")
 
 
 @register(
@@ -1581,7 +1583,7 @@ def chsql_rbac_suite(spark: SparkSession, sf: str) -> DataFrame:
         ]
     finally:
         access_control.reset()
-    return spark.createDataFrame(rows, "stage string, n bigint")
+    return _local_df(spark, rows, "stage string, n bigint")
 
 
 @register(
@@ -1643,7 +1645,7 @@ def chsql_transaction_suite(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         transactions.reset()
         ch_sql(spark, "DROP TABLE IF EXISTS wl_txn_t")
-    return spark.createDataFrame(rows, "stage string, n bigint")
+    return _local_df(spark, rows, "stage string, n bigint")
 
 
 @register(
@@ -1680,7 +1682,7 @@ def chsql_insert_format(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the view is dropped (the view swap chain
         # underneath is lazy plans over inline literals — tiny)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _local_df(spark, rows, out.schema)
     finally:
         ch_sql(spark, "DROP TABLE IF EXISTS wl_fmt_t")
 
@@ -1737,7 +1739,7 @@ def chsql_view_exchange(spark: SparkSession, sf: str) -> DataFrame:
         for t in ("wl_ex_a", "wl_ex_b"):
             ch_sql(spark, f"DROP TABLE IF EXISTS {t}")
         ch_sql(spark, "DROP VIEW IF EXISTS wl_ex_v")
-    return spark.createDataFrame(rows, "stage string, n bigint")
+    return _local_df(spark, rows, "stage string, n bigint")
 
 
 @register(
@@ -1810,7 +1812,7 @@ def chsql_partition_ops(spark: SparkSession, sf: str) -> DataFrame:
         for t in ("wl_pt", "wl_pt_src"):
             ch_sql(spark, f"DROP TABLE IF EXISTS {t}")
         _DETACHED_PARTS.clear()
-    return spark.createDataFrame(rows, "stage string, n bigint")
+    return _local_df(spark, rows, "stage string, n bigint")
 
 
 @register(
@@ -1859,7 +1861,7 @@ def chsql_projection_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         assert projections.try_rewrite(spark, q) is not None
         out = ch_sql(spark, q)  # answered from the projection
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _local_df(spark, rows, out.schema)
     finally:
         projections.clear()
         ch_sql(spark, "DROP TABLE IF EXISTS wl_pj")
@@ -1926,7 +1928,7 @@ def chsql_databases(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         _CURRENT_DATABASE[0] = "default"
         ch_sql(spark, "DROP DATABASE IF EXISTS wl_db")
-    return spark.createDataFrame(rows, "stage string, n bigint")
+    return _local_df(spark, rows, "stage string, n bigint")
 
 
 @register(
@@ -1967,7 +1969,7 @@ def chsql_ttl_sweep(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         _TTL_NOW[0] = None
         ch_sql(spark, "DROP TABLE IF EXISTS wl_ttl")
-    return spark.createDataFrame(rows, "stage string, n bigint")
+    return _local_df(spark, rows, "stage string, n bigint")
 
 
 @register(
@@ -2027,7 +2029,7 @@ def chsql_mv_sql(spark: SparkSession, sf: str) -> DataFrame:
         _SESSION_MVS.pop("wl_mv", None)
         spark.catalog.dropTempView("wl_mv")
         ch_sql(spark, "DROP TABLE IF EXISTS wl_mv_src")
-    return spark.createDataFrame(rows, "stage string, n bigint")
+    return _local_df(spark, rows, "stage string, n bigint")
 
 
 @register(
@@ -2064,7 +2066,7 @@ def chsql_file_function(spark: SparkSession, sf: str) -> DataFrame:
         )
         # materialize before the temp file goes away (the read is lazy)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2102,7 +2104,7 @@ def chsql_rocksdb_upsert(spark: SparkSession, sf: str) -> DataFrame:
     out = ch_sql(spark, "SELECT k, v FROM kv_upsert_wl ORDER BY k")
     rows = out.collect()
     ch_sql(spark, "DROP TABLE IF EXISTS kv_upsert_wl")
-    return spark.createDataFrame(rows, out.schema)
+    return _local_df(spark, rows, out.schema)
 
 
 @register(

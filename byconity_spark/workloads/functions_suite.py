@@ -14,6 +14,8 @@ src/Functions/URL/ (hash/URL).
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
@@ -1588,7 +1590,7 @@ def fn_blake3_vectors(spark: SparkSession, sf: str) -> DataFrame:
     plus the published empty-input digest — never this repo's output fed
     back to itself.  Multi-block/multi-chunk tree shapes are exercised
     spec-faithfully in tests/test_registry_ext7b.py."""
-    rows = spark.createDataFrame(
+    rows = _local_df(spark, 
         [("test_1",), ("test_2",), ("test_3",), ("",)], "input string"
     )
     return rows.select("input", ch("BLAKE3", F.col("input")).alias("digest")).orderBy(
@@ -1736,7 +1738,7 @@ def fn_hash_exact_vectors(spark: SparkSession, sf: str) -> DataFrame:
     sipHash64, intHash64/intHash32, halfMD5 and hiveHash."""
     from byconity_spark.functions.registry import set_strict_hash_compat
 
-    row = spark.createDataFrame(
+    row = _local_df(spark, 
         [("", "abc", 123456, 0x01020304)], "s string, t string, v int, ip int"
     )
     set_strict_hash_compat(True)

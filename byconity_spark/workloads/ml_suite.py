@@ -9,6 +9,8 @@ AggregateFunctionRetention4.h.
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -135,7 +137,7 @@ def ml_linear_gd(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_extendedprice") / 100000.0).alias("y"),
     )
     w, b = gd_train(li, ["x1", "x2"], "y", lr=0.5, iterations=3)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(round(w[0], 6), round(w[1], 6), round(b, 6))], "w1 double, w2 double, b double"
     )
 
@@ -163,7 +165,7 @@ def ml_logistic_gd(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
     )
     w, b = gd_train(li, ["x1", "x2"], "y", lr=0.5, iterations=3, logistic=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(round(w[0], 6), round(w[1], 6), round(b, 6))], "w1 double, w2 double, b double"
     )
 

@@ -11,6 +11,8 @@ JoinUsingToJoinOn.h, OptimizeTrivialCount.h, FinalSampleStep.h:29.
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,7 +181,7 @@ def explode_outer_long_tokens(spark: SparkSession, sf: str) -> DataFrame:
 )
 def values_inline_join(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
-    v = o.sparkSession.createDataFrame(
+    v = _local_df(o.sparkSession, 
         [("F", "finished"), ("O", "open"), ("P", "pending")], "code string, label string"
     )
     return (

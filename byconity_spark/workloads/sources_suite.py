@@ -16,6 +16,8 @@ sub-millisecond precision); ORC carries native types.
 
 from __future__ import annotations
 
+from byconity_spark.engine.localdf import local_df as _local_df
+
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,7 +149,7 @@ def source_jdbc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dict_get_order_status(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
-    dictionary = spark.createDataFrame(
+    dictionary = _local_df(spark, 
         [("F", "finished", 1), ("O", "open", 2)],
         "o_orderstatus string, status_label string, status_rank int",
     )
@@ -293,7 +295,7 @@ def source_join_get(spark: SparkSession, sf: str) -> DataFrame:
     from byconity_spark.engine.tables import join_get
 
     o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 300)
-    jt = spark.createDataFrame(
+    jt = _local_df(spark, 
         [("F", "finished"), ("O", "open")], "code string, label string"
     )
     out = join_get(
@@ -643,7 +645,7 @@ def idx_token_pruned_search(spark: SparkSession, sf: str) -> DataFrame:
         rows = df.select("doc_id").collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id bigint")
+    return _local_df(spark, rows, "doc_id bigint")
 
 
 # ------------------------------------------- Hudi COW snapshot read
