@@ -203,6 +203,13 @@ def _compute_stats(
             return F.try_element_at(F.col(m.group(1)), F.lit(m.group(2)))
         return F.col(c)
 
+    # numeric columns that can carry NdvBuckets/NdvBucketsExtend
+    num_candidates = [
+        c for c in cols
+        if c in df.columns  # implicit map-key pseudo-columns have no field
+        and df.schema[c].dataType.simpleString()
+        in ("int", "bigint", "double", "float")
+    ]
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
@@ -211,6 +218,15 @@ def _compute_stats(
             F.max(_ref(c)).alias(f"__max_{c}"),
             F.count(F.when(_ref(c).isNull(), 1)).alias(f"__nulls_{c}"),
         ]
+    # NdvBucketsExtend equi-height bounds need no min/max, so the
+    # approx-quantile cells ride the FIRST pass (guide §1.2: one fewer
+    # full scan-aggregate job than computing them in a separate pass)
+    aggs += [
+        F.percentile_approx(
+            c, [float(i + 1) / N_BUCKETS for i in range(N_BUCKETS)], 2500
+        ).alias(f"__q_{c}")
+        for c in num_candidates
+    ]
     row = df.agg(*aggs).collect()[0].asDict()
     stats = TableStats(table, int(row["__n"]), {}, time.time())
     for c in cols:
@@ -220,20 +236,19 @@ def _compute_stats(
             max=_jsonable(row[f"__max_{c}"]),
             null_count=int(row[f"__nulls_{c}"]),
         )
-    # NdvBuckets pass: per-bucket (count, ndv) for numeric columns, all
-    # columns folded into ONE conditional-masked aggregate (map-side
-    # combinable; 2*N_BUCKETS cells per column)
     num_cols = [
-        c for c in cols
-        if c in df.columns  # implicit map-key pseudo-columns have no field
-        and df.schema[c].dataType.simpleString()
-        in ("int", "bigint", "double", "float")
-        and stats.columns[c].min is not None
+        c for c in num_candidates
+        if stats.columns[c].min is not None
         and float(stats.columns[c].max) > float(stats.columns[c].min)
     ]
+    # NdvBuckets pass: per-bucket (count, ndv) for numeric columns.  All
+    # columns fold into ONE small explode -> groupBy(col, bucket) job —
+    # bounded at n_cols * N_BUCKETS groups, absorbed by map-side partial
+    # aggregation — instead of 2*N_BUCKETS*n_cols conditional-masked agg
+    # cells whose whole-stage codegen dominated the cold run.
     if num_cols:
-        baggs = []
-        for c in num_cols:
+        structs = []
+        for ci, c in enumerate(num_cols):
             lo = float(stats.columns[c].min)
             hi = float(stats.columns[c].max)
             width = (hi - lo) / N_BUCKETS
@@ -241,32 +256,26 @@ def _compute_stats(
                 F.lit(N_BUCKETS - 1),
                 F.floor((F.col(c) - F.lit(lo)) / F.lit(width)).cast("int"),
             )
-            for i in range(N_BUCKETS):
-                baggs.append(
-                    F.count(F.when(b == i, 1)).alias(f"__bc_{c}_{i}")
-                )
-                baggs.append(
-                    F.approx_count_distinct(
-                        F.when(b == i, F.col(c))
-                    ).alias(f"__bn_{c}_{i}")
-                )
-        brow = df.agg(*baggs).collect()[0].asDict()
-        for c in num_cols:
+            structs.append(F.struct(
+                F.lit(ci).alias("__ci"), b.alias("__b"),
+                F.col(c).cast("double").alias("__v"),
+            ))
+        brows = (
+            df.select(F.explode(F.array(*structs)).alias("__p"))
+            .select("__p.__ci", "__p.__b", "__p.__v")
+            .where(F.col("__b").isNotNull())
+            .groupBy("__ci", "__b")
+            .agg(F.count(F.lit(1)).alias("__c"),
+                 F.approx_count_distinct("__v").alias("__n"))
+            .collect()
+        )
+        cells = {(int(r["__ci"]), int(r["__b"])): (int(r["__c"]), int(r["__n"]))
+                 for r in brows}
+        for ci, c in enumerate(num_cols):
             stats.columns[c].buckets = [
-                [int(brow[f"__bc_{c}_{i}"]), int(brow[f"__bn_{c}_{i}"])]
-                for i in range(N_BUCKETS)
+                list(cells.get((ci, i), (0, 0))) for i in range(N_BUCKETS)
             ]
-        # NdvBucketsExtend pass: equi-HEIGHT bounds via approx quantiles
-        # (one more aggregate); robust range selectivity under skew
-        qaggs = [
-            F.percentile_approx(
-                c, [float(i + 1) / N_BUCKETS for i in range(N_BUCKETS)], 2500
-            ).alias(f"__q_{c}")
-            for c in num_cols
-        ]
-        qrow = df.agg(*qaggs).collect()[0].asDict()
-        for c in num_cols:
-            qs = qrow[f"__q_{c}"]
+            qs = row[f"__q_{c}"]
             if qs is not None:
                 stats.columns[c].bounds = [float(x) for x in qs]
     return stats
@@ -668,6 +677,50 @@ def collect_display_stats(
     row = df.agg(*aggs).collect()[0]
     row_count = int(row["__rc"])
 
+    def _hist_key(vsql: str, ch_t: str):
+        vexpr = F.expr(vsql)
+        if _is_string_family(ch_t):
+            from byconity_spark.functions.hash_exact import (
+                exact_hash_column,
+            )
+            ks = exact_hash_column("cityHash64", vexpr)
+            return (ks.cast("double")
+                    + F.when(ks < 0,
+                             F.lit(18446744073709551616.0))
+                       .otherwise(F.lit(0.0)))
+        return F.expr(_stats_wrap_sql(vsql, ch_t))
+
+    # Histogram pass: every column whose measured ndv is in (0, 64]
+    # gets per-value buckets.  All such columns fold into ONE stacked
+    # groupBy job — explode (col_idx, key) pairs then group by both —
+    # instead of one groupBy+collect job per column (guide §1.2: at
+    # most 64*n_cols tiny groups, the job count was the cost).
+    hist_idx = [
+        i for i, (_n, _v, _t) in enumerate(targets)
+        if 0 < int(row[f"d{i}"] or 0) <= 64
+    ]
+    hist_buckets: dict[int, list] = {i: [] for i in hist_idx}
+    if hist_idx:
+        pairs = F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("__i"),
+                _hist_key(targets[i][1], targets[i][2]).alias("__k"),
+            )
+            for i in hist_idx
+        ])).alias("__p")
+        brows = (
+            df.select(pairs)
+            .select(F.col("__p.__i").alias("__i"),
+                    F.col("__p.__k").alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .groupBy("__i", "__k").count()
+            .collect()
+        )
+        for r in sorted(brows, key=lambda r: (r["__i"], r["__k"])):
+            hist_buckets[int(r["__i"])].append(
+                (float(r["__k"]), float(r["__k"]), int(r["count"]))
+            )
+
     entry = _SHOW_STATS.setdefault(table, {"row_count": 0, "cols": {}})
     entry["row_count"] = row_count
     for i, (name, vsql, ch_t) in enumerate(targets):
@@ -685,30 +738,7 @@ def collect_display_stats(
                    if total_len and nonnull else 8)
         else:
             avg = 8
-        buckets: list[tuple[str, float, float]] = []
-        if 0 < ndv <= 64:
-            vexpr = F.expr(vsql)
-            if _is_string_family(ch_t):
-                from byconity_spark.functions.hash_exact import (
-                    exact_hash_column,
-                )
-                ks = exact_hash_column("cityHash64", vexpr)
-                key = (ks.cast("double")
-                       + F.when(ks < 0,
-                                F.lit(18446744073709551616.0))
-                          .otherwise(F.lit(0.0)))
-            else:
-                key = F.expr(_stats_wrap_sql(vsql, ch_t))
-            brows = (
-                df.select(key.alias("__k"))
-                .where(F.col("__k").isNotNull())
-                .groupBy("__k").count()
-                .orderBy("__k").limit(65).collect()
-            )
-            buckets = [
-                (float(r["__k"]), float(r["__k"]), int(r["count"]))
-                for r in brows
-            ]
+        buckets = hist_buckets.get(i, [])[:65]
         entry["cols"][name] = {
             "type": ch_t, "count": nonnull,
             "nulls": row_count - nonnull, "ndv": ndv,

@@ -141,11 +141,19 @@ def delete_where(
     tables fall back to a full rewrite (same as a CH table with one part).
     Returns the number of rows deleted."""
     df = spark.read.parquet(path)
-    n_del = df.filter(cond).count()
-    if n_del == 0:
-        return 0
     if partition_by:
-        hit = _partition_values(spark, path, cond, partition_by)
+        # ONE pass computes the deleted-row count AND the blast radius
+        # (per-partition conditional counts) — previously a full-scan
+        # count plus a second full-scan distinct (guide §1.2)
+        per = (
+            df.groupBy(*partition_by)
+            .agg(F.count(F.when(F.expr(cond), 1)).alias("__hits"))
+            .collect()
+        )
+        n_del = int(sum(r["__hits"] for r in per))
+        if n_del == 0:
+            return 0
+        hit = [r for r in per if r["__hits"] > 0]
         hit_filter = F.lit(False)
         for row in hit:
             m = F.lit(True)
@@ -155,6 +163,9 @@ def delete_where(
         kept = df.filter(hit_filter).filter(f"NOT ({cond})")
         _overwrite_partitions(kept, path, partition_by)
     else:
+        n_del = df.filter(cond).count()
+        if n_del == 0:
+            return 0
         # full rewrite: stage then swap (parquet can't overwrite its own
         # input; the staging write completes before the source is removed)
         kept = df.filter(f"NOT ({cond})")
@@ -187,11 +198,17 @@ def update_where(
             )
         return d
 
-    n_hit = df.filter(cond).count()
-    if n_hit == 0:
-        return 0
     if partition_by:
-        hit = _partition_values(spark, path, cond, partition_by)
+        # same fused count+blast-radius pass as delete_where
+        per = (
+            df.groupBy(*partition_by)
+            .agg(F.count(F.when(F.expr(cond), 1)).alias("__hits"))
+            .collect()
+        )
+        n_hit = int(sum(r["__hits"] for r in per))
+        if n_hit == 0:
+            return 0
+        hit = [r for r in per if r["__hits"] > 0]
         hit_filter = F.lit(False)
         for row in hit:
             m = F.lit(True)
@@ -200,6 +217,9 @@ def update_where(
             hit_filter = hit_filter | m
         _overwrite_partitions(apply_updates(df.filter(hit_filter)), path, partition_by)
     else:
+        n_hit = df.filter(cond).count()
+        if n_hit == 0:
+            return 0
         apply_updates(df).write.mode("overwrite").parquet(path + ".__mutating")
         shutil.rmtree(path)
         os.rename(path + ".__mutating", path)

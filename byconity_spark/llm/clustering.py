@@ -89,6 +89,48 @@ def elementwise_mean(
     )
 
 
+def _assign_partials(
+    df: DataFrame, vec_col: str, centroids: np.ndarray
+) -> list:
+    """One Lloyd iteration's sufficient statistics: nearest-centroid
+    assignment fused with per-partition (cluster, count, sum) partials in
+    a single mapInPandas pass.  Output is k rows of metadata per input
+    partition — the only bytes that leave the executors."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)
+    k, dim = cents.shape
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            near = np.argmin(c_sq[None, :] - 2.0 * (x @ cents.T), axis=1)
+            for r in range(k):
+                m = near == r
+                if m.any():
+                    counts[r] += int(m.sum())
+                    sums[r] += x[m].sum(axis=0)
+        out = [
+            (pid, r, int(counts[r]), sums[r].tolist())
+            for r in range(k)
+            if counts[r] > 0
+        ]
+        yield pd.DataFrame(out, columns=["pid", "row", "cnt", "s"])
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(gen, "pid int, row int, cnt long, s array<double>")
+        .collect()
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -112,21 +154,33 @@ def kmeans_fit(
     )
     cids = np.arange(len(cents))
     for _ in range(iters):
-        assigned = assign_clusters(df, vec_col, cents, out="__near")
-        # map the dense argmin index back to the surviving centroid ids
-        assigned = assigned.withColumn(
-            "cid",
-            F.element_at(
-                F.array(*[F.lit(int(c)) for c in cids]), F.col("__near") + 1
-            ),
-        ).drop("__near")
-        upd = (
-            elementwise_mean(assigned, "cid", vec_col, round_decimals)
-            .orderBy("cid")
-            .collect()
-        )
-        cids = np.array([r["cid"] for r in upd])
-        cents = np.array([r["centroid"] for r in upd], dtype=np.float64)
+        # Fused assign + update: ONE narrow mapInPandas pass emits
+        # per-partition (cluster, count, sum-vector) partials — k rows of
+        # metadata per partition, no posexplode shuffle (the old path was
+        # assignment UDF -> explode to n*dim rows -> groupBy exchange per
+        # iteration; guide §2.4/§2.3: the decision needs only partial
+        # sums, so shuffle those, not the vectors).  Partials combine on
+        # the driver in deterministic (cluster, partition) order; the
+        # per-element mean rounds to round_decimals exactly like the
+        # elementwise_mean path, so the centroid walk is unchanged.
+        parts = _assign_partials(df, vec_col, cents)
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for rec in sorted(parts, key=lambda r: (r["row"], r["pid"])):
+            cnt0, s0 = agg.get(
+                rec["row"], (0, np.zeros(cents.shape[1], dtype=np.float64))
+            )
+            agg[rec["row"]] = (
+                cnt0 + int(rec["cnt"]),
+                s0 + np.asarray(rec["s"], dtype=np.float64),
+            )
+        new_cids = []
+        new_cents = []
+        for rrow in sorted(agg):
+            cnt, s = agg[rrow]
+            new_cids.append(int(cids[rrow]))
+            new_cents.append(np.round(s / cnt, round_decimals))
+        cids = np.array(new_cids)
+        cents = np.array(new_cents, dtype=np.float64)
     final = assign_clusters(df, vec_col, cents, out="__near").withColumn(
         "cid",
         F.element_at(

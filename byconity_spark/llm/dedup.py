@@ -263,13 +263,19 @@ def connected_components(
     driver — one job instead of a multi-round join loop.  This is the
     AQE-style runtime decision: the DISTRIBUTED loop remains the 100-TB
     path (edge sets above the threshold never collect)."""
+    # persist the PAIR frame (not just the doubled edge view): the size
+    # guard's count(), the union-find collect and the distributed loop all
+    # consume it, and without the persist the count and the collect each
+    # replayed the full upstream LSH + verify-join chain (guide §1.2 —
+    # the same bytes were computed twice before any real work started)
+    pairs = pairs.select(id_a, id_b).persist()
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    )
 
     DRIVER_UF_MAX_EDGES = 2_000_000
-    n_edges = edges.count()
+    n_edges = 2 * pairs.count()
     if n_edges <= DRIVER_UF_MAX_EDGES:
         spark = pairs.sparkSession
         parent: dict[int, int] = {}
@@ -280,7 +286,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in pairs.select(id_a, id_b).collect():
+        for r in pairs.collect():
             a, b = int(r[0]), int(r[1])
             parent.setdefault(a, a)
             parent.setdefault(b, b)

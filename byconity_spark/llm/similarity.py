@@ -200,13 +200,15 @@ def ann_lsh_topk(
     weights = 1 << np.arange(n_bits, dtype=np.int64)
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
-        # bucketize + posexplode fused in ONE mapInPandas pass: a generator
-        # over a python-UDF column makes Catalyst stack two ArrowEvalPython
-        # nodes per side (the same UDF evaluated twice); fusing halves the
-        # Arrow transfer and keeps one kernel per batch
+        # bucketize + posexplode fused in ONE mapInPandas pass, emitting
+        # ONLY (id, table, bucket) — the guide-§8 proxy shape: the old
+        # form repeated each dim-length vector n_tables times through
+        # Arrow and the bucket-join exchange (a n_tables-fold inflation
+        # of the corpus bytes); the decision of WHICH pairs meet needs
+        # just three scalars per row, and the vectors re-attach exactly
+        # once for scoring
         id_t = df.schema[idc].dataType.simpleString()
-        vec_t = df.schema[vec_col].dataType.simpleString()
-        out_schema = f"{idc} {id_t}, {vec_col} {vec_t}, table int, bucket long"
+        out_schema = f"{idc} {id_t}, table int, bucket long"
 
         def gen(batches):
             for pdf in batches:
@@ -216,7 +218,7 @@ def ann_lsh_topk(
                 mat = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
                 bits = (mat @ planes.T) >= 0
                 buckets = (bits.reshape(n, n_tables, n_bits) * weights).sum(axis=2)
-                out = pdf.loc[pdf.index.repeat(n_tables), [idc, vec_col]].reset_index(
+                out = pdf.loc[pdf.index.repeat(n_tables), [idc]].reset_index(
                     drop=True
                 )
                 out["table"] = np.tile(np.arange(n_tables, dtype=np.int32), n)
@@ -228,20 +230,28 @@ def ann_lsh_topk(
     cand_b = with_buckets(embeddings, id_col)
     query_b = with_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
-    ).withColumnRenamed(vec_col, "__qvec")
+    )
 
-    # score BEFORE deduplicating: a pair met in d tables is scored d times
-    # (d <= n_tables, cheap vectorized arithmetic) but the dedup shuffle
-    # then moves 3 scalars per pair instead of two dim-length arrays —
-    # at cluster scale the exchange, not the FLOPs, is the bottleneck
-    scored = (
+    # dedup the candidate PAIRS (two ids each) before any vector moves,
+    # then attach the query vectors (bounded — broadcast) and the corpus
+    # vectors (one equi-join, each vector crosses the network once);
+    # scoring itself is unchanged, so cosines are bit-identical
+    pairs = (
         query_b.join(cand_b, on=["table", "bucket"])
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        pairs.join(F.broadcast(qv), query_id_col)
+        .join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
         .select(
             query_id_col,
             id_col,
             cosine_similarity(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
         )
-        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
     return (
