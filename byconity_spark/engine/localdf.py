@@ -31,6 +31,22 @@ _SIMPLE_TYPES = {
 }
 
 
+def _type_ok(tl: str) -> bool:
+    """Scalar, decimal, or ONE level of array/map over scalars."""
+    if tl in _SIMPLE_TYPES or (tl.startswith("decimal") and "(" in tl):
+        return True
+    if tl.startswith("array<") and tl.endswith(">"):
+        return tl[6:-1].strip() in _SIMPLE_TYPES
+    if tl.startswith("map<") and tl.endswith(">"):
+        inner = tl[4:-1].split(",")
+        return (
+            len(inner) == 2
+            and inner[0].strip() in _SIMPLE_TYPES
+            and inner[1].strip() in _SIMPLE_TYPES
+        )
+    return False
+
+
 def _split_ddl(schema: str) -> list[tuple[str, str]] | None:
     """Parse 'name type, name type' (depth-0 commas); None if unsupported."""
     fields: list[tuple[str, str]] = []
@@ -53,10 +69,8 @@ def _split_ddl(schema: str) -> list[tuple[str, str]] | None:
         if len(parts) != 2:
             return None
         name, typ = parts[0].strip().strip("`"), parts[1].strip()
-        tl = typ.lower()
-        if tl not in _SIMPLE_TYPES and not (
-            tl.startswith("decimal") and "(" in tl
-        ):
+        tl = typ.lower().replace(" ", "")
+        if not _type_ok(tl):
             return None
         if not tl.startswith("decimal"):
             typ = tl
@@ -70,8 +84,8 @@ def _schema_to_fields(schema) -> list[tuple[str, str]] | None:
     try:  # StructType
         fields = []
         for f in schema.fields:
-            t = f.dataType.simpleString()
-            if t not in _SIMPLE_TYPES and not t.startswith("decimal("):
+            t = f.dataType.simpleString().replace(" ", "")
+            if not _type_ok(t):
                 return None
             fields.append((f.name, t))
         return fields
@@ -79,7 +93,7 @@ def _schema_to_fields(schema) -> list[tuple[str, str]] | None:
         return None
 
 
-def _lit(v) -> str | None:
+def _lit(v, t: str | None = None) -> str | None:
     """SQL literal for one cell; None = cannot render faithfully."""
     if v is None:
         return "NULL"
@@ -109,6 +123,27 @@ def _lit(v) -> str | None:
         return "DATE '" + v.isoformat() + "'"
     if isinstance(v, decimal.Decimal):
         return "'" + str(v) + "'"
+    if isinstance(v, (list, tuple)):
+        elems = [_lit(x) for x in v]
+        if any(e is None for e in elems) or any(
+            isinstance(x, (list, tuple, dict)) for x in v
+        ):
+            return None
+        arr = "array(" + ", ".join(elems) + ")"
+        # per-cell CAST so inline-table column types unify even when some
+        # rows hold empty arrays (array() alone is ARRAY<VOID>)
+        return f"CAST({arr} AS {t})" if t else arr
+    if isinstance(v, dict):
+        kvs = []
+        for key, val in v.items():  # insertion order, like createDataFrame
+            lk, lv = _lit(key), _lit(val)
+            if lk is None or lv is None or isinstance(
+                val, (list, tuple, dict)
+            ):
+                return None
+            kvs.extend((lk, lv))
+        mp = "map(" + ", ".join(kvs) + ")"
+        return f"CAST({mp} AS {t})" if t else mp
     return None
 
 
@@ -144,7 +179,7 @@ def local_df(spark: SparkSession, data, schema) -> DataFrame:
             if len(cells) != ncol:
                 ok = False
                 break
-            lits = [_lit(c) for c in cells]
+            lits = [_lit(c, fields[j][1]) for j, c in enumerate(cells)]
             if any(l is None for l in lits):
                 ok = False
                 break

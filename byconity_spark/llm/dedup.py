@@ -470,6 +470,9 @@ def simhash_near_pairs(
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
 
+    # both sides of the band self-join read this frame — persist so the
+    # simhash kernel (an Arrow pass over every document) runs once
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -552,6 +555,10 @@ def dup_ngram_ratio(
             ).alias("ngram"),
         )
         .distinct()
+        # CTE materialization: the distinct (doc, ngram) frame feeds BOTH
+        # the per-ngram doc count and the join-back — without persist the
+        # tokenize+explode+distinct chain runs twice (guide §1.2)
+        .persist()
     )
     ngram_docs = grams.groupBy("ngram").agg(
         F.count("*").alias("__ndocs")

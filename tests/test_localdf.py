@@ -43,10 +43,27 @@ def test_local_df_matches_create_dataframe(spark):
 
 
 def test_local_df_falls_back_on_complex(spark):
-    # array cell → fast path must bail to createDataFrame, not mangle
-    rows = [([1, 2],)]
-    df = local_df(spark, rows, "a array<int>")
-    assert df.collect()[0][0] == [1, 2]
+    # nested complex cell → fast path must bail to createDataFrame
+    rows = [([[1], [2]],)]
+    df = local_df(spark, rows, "a array<array<int>>")
+    assert df.collect()[0][0] == [[1], [2]]
+
+
+def test_local_df_array_and_map(spark):
+    cases = [
+        ([([1, 2],), ([],), (None,)], "a array<int>"),
+        ([(["x", None],)], "a array<string>"),
+        (
+            [({"k1": "v1", "k2": "v2"},), ({},)],
+            "m map<string,string>",
+        ),
+        ([({"k": 1.5},)], "m map<string,double>"),
+    ]
+    for rows, ddl in cases:
+        a = spark.createDataFrame(rows, ddl)
+        b = local_df(spark, rows, ddl)
+        assert a.schema == b.schema, (ddl, a.schema, b.schema)
+        assert a.collect() == b.collect(), (ddl,)
 
 
 def test_local_df_structtype_schema(spark):
