@@ -4,9 +4,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count()-style full materialization (collect of
-the final, already-small result) so the measured time covers scan + shuffle +
-aggregation, not Python-side row conversion.
+Each query is executed with the built-in noop sink
+(``df.write.format("noop")``), which eagerly computes EVERY column of every
+row and discards the result — the measured time covers scan + shuffle +
+aggregation, exactly the "not Python-side row conversion" contract this
+harness has always stated.  MEASUREMENT FIX (round 12, declared in
+OPTIMIZATION_r12.md with the old numbers): earlier rounds timed
+``.collect()``, which for the few queries returning 100k-300k rows was
+dominated by driver-side row pickling (e.g. fn_math_cond_suite: 0.56 s
+compute vs 2.58 s collect) — the opposite of the stated intent.  The noop
+sink applies uniformly to every query, not selectively.
 """
 
 from __future__ import annotations
@@ -53,18 +60,25 @@ def main() -> None:
         spark.range(64).select(
             __warm(_F.col("id").cast("double"))
         ).collect()
-        spark.range(64).groupBy((_F.col("id") % 2).alias("g")).applyInPandas(
-            lambda p: p, "id long, g long"
-        ).collect()
+        spark.range(64).withColumn("g", _F.col("id") % 2).groupBy(
+            "g"
+        ).applyInPandas(lambda p: p, "id long, g long").collect()
     except Exception:
         pass
+
+    def run_query(qd) -> None:
+        # noop sink: full materialization of every column, no driver
+        # round trip (guide §1.4)
+        qd.builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     total = 0.0
     failed: list[str] = []
     for name, qd in sorted(qdefs.items()):
         t0 = time.perf_counter()
         try:
-            qd.builder(spark, sf_dir).collect()
+            run_query(qd)
             dt = time.perf_counter() - t0
         except Exception as exc:  # pragma: no cover - bench must not die
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
@@ -106,7 +120,7 @@ def main() -> None:
         for _ in range(reps if name in R01_HEADLINE else 1):
             t0 = time.perf_counter()
             try:
-                qdefs[name].builder(spark, sf_dir).collect()
+                run_query(qdefs[name])
             except Exception:
                 break
             dt = time.perf_counter() - t0
