@@ -458,6 +458,135 @@ def _to_signed64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+# ---------------------------------------------------------------------------
+# Vectorized CityHash64 batch kernel (numpy uint64 wraps mod 2^64 natively,
+# matching the scalar implementation bit for bit — enforced by
+# tests/test_hash_exact.py::test_city64_np_matches_scalar fuzz).  The scalar
+# per-value Python walk was ~1.1 s per 150k strings and taxed every
+# CREATE STATS display collection over a string column plus the exact-hash
+# golden paths (guide §4.2: hand whole batches to vectorized native code).
+# Strings longer than 64 bytes take the scalar loop path (rare in the hot
+# callers); everything else is branch-bucketed and fully vectorized.
+# ---------------------------------------------------------------------------
+
+def _city64_np_batch(bvals: list) -> list:
+    """CityHash64 for a batch of bytes-or-None; returns signed-int64 list."""
+    import numpy as np
+
+    n_rows = len(bvals)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    lens = np.array([-1 if b is None else len(b) for b in bvals],
+                    dtype=np.int64)
+    u64 = np.uint64
+    K0, K1, K2, K3 = u64(_K0), u64(_K1), u64(_K2), u64(_K3)
+    KMUL = u64(0x9DDFEA08EB382D69)
+
+    def rot(v, s):
+        # s: scalar int in [1,63] or uint64 array with values in [1,63]
+        s = np.asarray(s, dtype=np.uint64)
+        return (v >> s) | (v << (u64(64) - s))
+
+    def shift_mix(v):
+        return v ^ (v >> u64(47))
+
+    def h128to64(lo, hi):
+        a = (lo ^ hi) * KMUL
+        a ^= a >> u64(47)
+        b = (hi ^ a) * KMUL
+        b ^= b >> u64(47)
+        return b * KMUL
+
+    # flatten all <=64-byte strings into one buffer with absolute offsets
+    sel_idx = np.flatnonzero((lens >= 0) & (lens <= 64))
+    if sel_idx.size:
+        joined = b"".join(bvals[i] for i in sel_idx)
+        flat = np.frombuffer(joined, dtype=np.uint8)
+        sel_lens = lens[sel_idx]
+        starts = np.concatenate(([0], np.cumsum(sel_lens)[:-1]))
+
+        def fetch(rows_mask, rel_off, nbytes):
+            # rel_off: scalar or per-row array of offsets INTO each string
+            st = starts[rows_mask] + rel_off
+            idx = st[:, None] + np.arange(nbytes)
+            b = flat[idx].astype(np.uint64)
+            sh = np.arange(nbytes, dtype=np.uint64) * u64(8)
+            return (b << sh).sum(axis=1, dtype=np.uint64)
+
+        res = np.zeros(sel_idx.size, dtype=np.uint64)
+        ns = sel_lens
+        nu = ns.astype(np.uint64)
+
+        m0 = ns == 0
+        if m0.any():
+            res[m0] = K2
+        m1 = (ns >= 1) & (ns <= 3)
+        if m1.any():
+            st = starts[m1]
+            nn = ns[m1]
+            a = flat[st].astype(np.uint64)
+            b = flat[st + (nn >> 1)].astype(np.uint64)
+            c = flat[st + nn - 1].astype(np.uint64)
+            y = a + (b << u64(8))
+            z = nn.astype(np.uint64) + (c << u64(2))
+            res[m1] = shift_mix((y * K2) ^ (z * K3)) * K2
+        m2 = (ns >= 4) & (ns <= 8)
+        if m2.any():
+            a = fetch(m2, 0, 4)
+            b = fetch(m2, ns[m2] - 4, 4)
+            res[m2] = h128to64(nu[m2] + (a << u64(3)), b)
+        m3 = (ns > 8) & (ns <= 16)
+        if m3.any():
+            a = fetch(m3, 0, 8)
+            b = fetch(m3, ns[m3] - 8, 8)
+            r = nu[m3] & u64(63)  # n in 9..16 -> r == n, never 0
+            res[m3] = h128to64(a, rot(b + nu[m3], r)) ^ b
+        m4 = (ns >= 17) & (ns <= 32)
+        if m4.any():
+            nn = nu[m4]
+            a = fetch(m4, 0, 8) * K1
+            b = fetch(m4, 8, 8)
+            c = fetch(m4, ns[m4] - 8, 8) * K2
+            d = fetch(m4, ns[m4] - 16, 8) * K0
+            res[m4] = h128to64(
+                rot(a - b, 43) + rot(c, 30) + d,
+                a + rot(b ^ K3, 20) - c + nn,
+            )
+        m5 = (ns >= 33) & (ns <= 64)
+        if m5.any():
+            nn = nu[m5]
+            nsl = ns[m5]
+            z = fetch(m5, 24, 8)
+            a = fetch(m5, 0, 8) + (nn + fetch(m5, nsl - 16, 8)) * K0
+            b = rot(a + z, 52)
+            c = rot(a, 37)
+            a = a + fetch(m5, 8, 8)
+            c = c + rot(a, 7)
+            a = a + fetch(m5, 16, 8)
+            vf = a + z
+            vs = b + rot(a, 31) + c
+            a = fetch(m5, 16, 8) + fetch(m5, nsl - 32, 8)
+            z = fetch(m5, nsl - 8, 8)
+            b = rot(a + z, 52)
+            c = rot(a, 37)
+            a = a + fetch(m5, nsl - 24, 8)
+            c = c + rot(a, 7)
+            a = a + fetch(m5, nsl - 16, 8)
+            wf = a + z
+            ws = b + rot(a, 31) + c
+            r = shift_mix((vf + ws) * K2 + (wf + vs) * K0)
+            res[m5] = shift_mix(r * K0 + vs) * K2
+        out[sel_idx] = res
+
+    # scalar fallback: > 64 bytes (the block-loop path)
+    for i in np.flatnonzero(lens > 64):
+        out[i] = city_hash_64(bvals[i])
+
+    signed = out.astype(np.int64)
+    return [
+        None if bvals[i] is None else int(signed[i]) for i in range(n_rows)
+    ]
+
+
 def _make_multiarg_udf(scalar_fn):
     """Multi-arg hash: each arg hashed per its declared type, then combined.
 
@@ -472,6 +601,19 @@ def _make_multiarg_udf(scalar_fn):
         sizes = [_pa_itemsize(a.type) for a in arrays]
         types = [a.type for a in arrays]
         cols = [a.to_pylist() for a in arrays]
+        # single string/binary arg of cityHash64: vectorized numpy kernel
+        # (bit-identical; fuzz-enforced) instead of the per-value walk
+        if (
+            scalar_fn is city64_values
+            and len(arrays) == 1
+            and sizes[0] == 0
+        ):
+            bvals = [
+                None if v is None
+                else (v.encode("utf-8") if isinstance(v, str) else bytes(v))
+                for v in cols[0]
+            ]
+            return pa.array(_city64_np_batch(bvals), type=pa.int64())
         n = len(cols[0])
         out = []
         for i in range(n):

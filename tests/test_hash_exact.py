@@ -223,3 +223,27 @@ def test_siphash128_vectors(spark, strict):
     df = spark.createDataFrame([(0x01020304,)], "ip int")
     got = df.select(ch("sipHash128", F.col("ip")).alias("h")).collect()[0]["h"]
     assert got == "dbb6a76b92b59789efb42185dc32311d"
+
+
+def test_city64_np_matches_scalar():
+    """The vectorized CityHash64 batch kernel must be bit-identical to the
+    scalar reference walk for every length class (0, 1-3, 4-8, 9-16,
+    17-32, 33-64, >64 fallback) and for None cells."""
+    import random
+
+    from byconity_spark.functions.hash_exact import (
+        _city64_np_batch, _to_signed64, city_hash_64,
+    )
+
+    rng = random.Random(99)
+    batch = [None]
+    for n in list(range(0, 70)) + [100, 255, 1024]:
+        for _ in range(8):
+            batch.append(bytes(rng.randrange(256) for _ in range(n)))
+    batch.append(None)
+    got = _city64_np_batch(batch)
+    for b, g in zip(batch, got):
+        if b is None:
+            assert g is None
+        else:
+            assert g == _to_signed64(city_hash_64(b)), (len(b), b[:16])
