@@ -291,19 +291,22 @@ def register_system_tables(spark: SparkSession) -> None:
     Dots aren't legal in temp-view names, so they register as
     ``system_tables`` / ``system_columns``; the SQL frontend maps the
     dotted reference spelling (frontend/sql.py _SYSTEM_TABLE_MAP)."""
+    from byconity_spark.engine.localdf import local_df
+
     tables_rows = [
         ("default", name, "MergeTree", len(schema.fields))
         for name, schema in TABLES.items()
     ]
-    spark.createDataFrame(
-        tables_rows, "database string, name string, engine string, n_columns int"
+    local_df(
+        spark, tables_rows,
+        "database string, name string, engine string, n_columns int",
     ).createOrReplaceTempView("system_tables")
     col_rows = [
         ("default", tname, f.name, f.dataType.simpleString(), i + 1)
         for tname, schema in TABLES.items()
         for i, f in enumerate(schema.fields)
     ]
-    spark.createDataFrame(
-        col_rows,
+    local_df(
+        spark, col_rows,
         "database string, table string, name string, type string, position int",
     ).createOrReplaceTempView("system_columns")

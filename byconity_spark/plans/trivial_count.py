@@ -17,8 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 def trivial_count(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.dataset as ds
 
+    from byconity_spark.engine.localdf import local_df
+
     n = ds.dataset(path, format="parquet").count_rows()
-    return spark.createDataFrame([(n,)], "n_rows bigint")
+    return local_df(spark, [(n,)], "n_rows bigint")
 
 
 def table_row_count(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
