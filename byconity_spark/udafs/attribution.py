@@ -121,8 +121,11 @@ def attribution_analysis_partials(
 
     # Bucket users so ONE kernel invocation processes many users — the
     # per-group Arrow/pandas overhead of user-sized groups dominates
-    # otherwise (15k tiny groups vs ~256 bucket groups).
-    n_buckets = 256
+    # otherwise (15k tiny groups vs a handful of bucket groups).  The
+    # count is input-size-adaptive, same policy as the funnel kernels.
+    from byconity_spark.udafs.behavioral import _adaptive_buckets
+
+    n_buckets = _adaptive_buckets(sel)
     sel = sel.withColumn("__b", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

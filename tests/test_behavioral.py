@@ -510,3 +510,37 @@ def test_funnel_path_split_by_times_multi_anchor(spark):
         1: ["signup", "click", "view"],
         2: ["signup", "purchase"],
     }
+
+
+def test_adaptive_buckets_scale_with_input_size(spark):
+    """Bucket count derives from the optimizer's size estimate (guide §2:
+    scale-adaptive partitioning): floored at 8 for tiny inputs, ~8 MB of
+    input per bucket as the estimate grows, capped for sanity — and the
+    bucketed result set is identical at any count."""
+    from byconity_spark.engine.catalog import load_table
+    from byconity_spark.udafs.behavioral import (
+        _BUCKET_TARGET_BYTES,
+        _adaptive_buckets,
+        window_funnel,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    nb = _adaptive_buckets(ev)
+    est = int(ev._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert nb == max(8, min(1 << 20, est // _BUCKET_TARGET_BYTES))
+    assert nb == 8  # sf0.01/sf0.001 events are far below 8 buckets' worth
+
+    day = 86_400_000_000
+    adaptive = sorted(
+        map(tuple, window_funnel(
+            ev, window_us=7 * day, steps=["signup", "click", "purchase"]
+        ).collect())
+    )
+    fixed64 = sorted(
+        map(tuple, window_funnel(
+            ev, window_us=7 * day, steps=["signup", "click", "purchase"],
+            n_buckets=64,
+        ).collect())
+    )
+    assert adaptive == fixed64

@@ -197,8 +197,8 @@ def test_mann_whitney_no_raw_row_global_window(spark):
 
 
 def test_attribution_kernel_is_bucketed(spark):
-    """The attribution partials kernel must group by the 256-way user
-    bucket, not per-user (15k tiny Arrow groups are overhead-bound)."""
+    """The attribution partials kernel must group by the size-adaptive
+    user bucket, not per-user (15k tiny Arrow groups are overhead-bound)."""
     from byconity_spark.udafs.attribution import attribution_analysis_partials
 
     ev = load_table(spark, SF_DIR, "events")
