@@ -121,12 +121,16 @@ def attribution_analysis_partials(
 
     # Bucket users so ONE kernel invocation processes many users — the
     # per-group Arrow/pandas overhead of user-sized groups dominates
-    # otherwise (15k tiny groups vs a handful of bucket groups).  The
-    # count is input-size-adaptive, same policy as the funnel kernels.
-    from byconity_spark.udafs.behavioral import _adaptive_buckets
+    # otherwise (15k tiny groups vs a handful of bucket groups).  Bucket
+    # and partition counts are input-size-adaptive, same policy as the
+    # funnel kernels; the explicit repartition pins the kernel stage's
+    # parallelism (AQE's byte-based coalescing would serialize it).
+    from byconity_spark.udafs.behavioral import _kernel_layout
 
-    n_buckets = _adaptive_buckets(sel)
-    sel = sel.withColumn("__b", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
+    n_buckets, n_parts = _kernel_layout(sel)
+    sel = sel.withColumn(
+        "__b", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    ).repartition(n_parts, "__b")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(

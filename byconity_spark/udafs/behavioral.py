@@ -7,11 +7,13 @@ Reference kernels (C++):
   * sessionSplit  — src/AggregateFunctions/AggregateFunctionSessionSplit.cpp
 
 Spark-first design: the kernels run as Arrow-batched ``applyInPandas``
-group transforms over HASH BUCKETS of users (count adaptive to input size,
-~8 MB/bucket — see ``_adaptive_buckets``), not one group per user —
-per-group scheduling overhead amortizes across many users per call while
-the inside stays vectorized (each bucket kernel processes all its users
-with numpy/pandas C paths).  ``retention`` needs no
+group transforms over HASH BUCKETS of users (bucket and partition counts
+adaptive to input size — see ``_kernel_layout``; the kernel stage is
+explicitly repartitioned so AQE's byte-based coalescing cannot serialize
+CPU-heavy kernels), not one group per user — per-group scheduling
+overhead amortizes across many users per call while the inside stays
+vectorized (each bucket kernel processes all its users with
+numpy/pandas C paths).  ``retention`` needs no
 kernel at all (it is a conjunction of boolean aggregates, expressed as
 JVM-side ``max(when(...))``).
 
@@ -289,31 +291,72 @@ def subsequence_matched_gaps(
 
 
 _BUCKET_TARGET_BYTES = 8 << 20  # ~8 MB of plan-estimated input per kernel bucket
+_BUCKETS_PER_TASK = 4  # >=4 distinct bucket values per partition (guide §2.5)
+_MIN_KERNEL_TASKS = 8  # parallelism floor for tiny inputs (A/B matrix, see below)
+_UNKNOWN_SIZE_SENTINEL = 1 << 50  # >=1 PiB estimate == "optimizer has no idea"
 
 
-def _adaptive_buckets(df: DataFrame) -> int:
-    """Scale-adaptive bucket count for the hash-bucketed applyInPandas
-    scaffold: derive the count from the optimizer's input-size estimate
-    (file-size-based, no job, ~15 ms) instead of a constant.  Targets
-    ~8 MB of input per bucket so per-task kernel state stays bounded at
-    any data scale; floor 8 because below ~1 MB/bucket the per-group
-    Arrow batch overhead (~10 ms/group) dominates the kernel itself
-    (measured: 64 fixed buckets cost +0.5 s per query over 8 at sf0.1);
-    cap 2**20 as a sanity bound (at that size the 8 MB target is already
-    ~8 TB of input)."""
+def _kernel_layout(df: DataFrame, n_buckets: int | None = None) -> tuple[int, int]:
+    """(bucket count, partition count) for the hash-bucketed applyInPandas
+    scaffold, both scale-adaptive.
+
+    Partition count P: AQE's byte-based partition coalescing collapses
+    these tiny (<few MB at bench scale) kernel shuffles to ONE task, so a
+    CPU-heavy Python kernel runs every bucket serially (measured: the
+    xirr kernel's 1.5 s of per-bucket CPU showed up 1:1 in wall time; an
+    explicit repartition cut the query 2.9 -> 0.9 s warm).  Bytes are the
+    wrong coalescing currency for Python kernels — 2 MB of cashflows is
+    1.5 s of root-finding.  An explicit ``repartition(P, __b)`` pins the
+    stage's parallelism: AQE never changes a user-specified partition
+    count, and ``groupBy(__b)`` reuses the partitioning (no second
+    exchange).  P = max(8, estimated-input / 32 MB), capped at 2**18
+    tasks: size-proportional, with a floor of 8 tasks so a CPU-heavy
+    kernel over a small input still spreads.  The floor is a measured
+    optimum, not a core-count constant: an interleaved warm A/B matrix
+    over all eight kernel entry points at sf0.1 (serial / P=8 / P=16 /
+    P=32, `.dev/ab_parallel2.py`) gave totals 6.65 / 4.68 / 4.92 /
+    5.35 s — P=8 already captures the heavy kernels' win (xirr 1.98 ->
+    0.66 s) while each extra 4x of tasks costs light kernels ~0.05 s of
+    scheduling overhead at this scale; past ~256 MB of input the size
+    term takes over regardless of the floor.
+
+    Bucket count B = 4·P distinct values, so the bucket hash spreads over
+    the P partitions without collision gaps (guide §2.5: use several
+    distinct key values per partition), each bucket targeting ~8 MB of
+    input so per-task kernel state stays bounded at any scale.
+    """
+    try:
+        par = int(df.sparkSession.sparkContext.defaultParallelism)
+    except Exception:
+        par = 32
+    if n_buckets is not None:
+        return n_buckets, max(1, min(par, n_buckets // _BUCKETS_PER_TASK or 1))
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
-        return 64
-    return int(max(8, min(1 << 20, size // _BUCKET_TARGET_BYTES)))
+        size = -1
+    if size < 0 or size >= _UNKNOWN_SIZE_SENTINEL:
+        # the optimizer reports ~Long.MaxValue when it cannot estimate a
+        # subtree (spark.sql.defaultSizeInBytes) — never turn that into a
+        # partition count, fall back to one task per core
+        return _BUCKETS_PER_TASK * par, par
+    ptasks = int(
+        max(
+            _MIN_KERNEL_TASKS,
+            min(1 << 18, size // (_BUCKETS_PER_TASK * _BUCKET_TARGET_BYTES)),
+        )
+    )
+    return _BUCKETS_PER_TASK * ptasks, ptasks
 
 
 def _bucketed(
     events: DataFrame, user_col: str, cols: list[str], n_buckets: int | None
 ) -> DataFrame:
-    nb = _adaptive_buckets(events) if n_buckets is None else n_buckets
-    return events.select(user_col, *cols).withColumn(
-        "__b", F.pmod(F.hash(F.col(user_col)), F.lit(nb))
+    nb, nparts = _kernel_layout(events, n_buckets)
+    return (
+        events.select(user_col, *cols)
+        .withColumn("__b", F.pmod(F.hash(F.col(user_col)), F.lit(nb)))
+        .repartition(nparts, "__b")
     )
 
 
@@ -386,11 +429,16 @@ def sequence_match(
     time-ordered subsequence.  With ``max_gaps_us`` (length k-1) the
     pattern carries per-step time bounds — CH ``(?t<=N)`` — solved with
     the feasible-frontier core (greedy is not exact under gap bounds)."""
-    tagged = events.select(
-        user_col,
-        ts_col,
-        *[c.cast("boolean").alias(f"__m{i}") for i, c in enumerate(conds)],
-    ).withColumn("__b", F.pmod(F.hash(F.col(user_col)), F.lit(_adaptive_buckets(events))))
+    nb, nparts = _kernel_layout(events)
+    tagged = (
+        events.select(
+            user_col,
+            ts_col,
+            *[c.cast("boolean").alias(f"__m{i}") for i, c in enumerate(conds)],
+        )
+        .withColumn("__b", F.pmod(F.hash(F.col(user_col)), F.lit(nb)))
+        .repartition(nparts, "__b")
+    )
     k = len(conds)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -513,23 +513,33 @@ def test_funnel_path_split_by_times_multi_anchor(spark):
 
 
 def test_adaptive_buckets_scale_with_input_size(spark):
-    """Bucket count derives from the optimizer's size estimate (guide §2:
-    scale-adaptive partitioning): floored at 8 for tiny inputs, ~8 MB of
-    input per bucket as the estimate grows, capped for sanity — and the
-    bucketed result set is identical at any count."""
+    """Bucket/partition counts derive from the optimizer's size estimate
+    (guide §2: scale-adaptive partitioning): partitions floored at 8 (a
+    tiny kernel shuffle must not serialize a CPU-heavy Python kernel),
+    growing with input past ~32 MB/task; buckets = 4x partitions so the
+    bucket hash spreads — and the bucketed result set is identical at
+    any count."""
     from byconity_spark.engine.catalog import load_table
     from byconity_spark.udafs.behavioral import (
         _BUCKET_TARGET_BYTES,
-        _adaptive_buckets,
+        _BUCKETS_PER_TASK,
+        _MIN_KERNEL_TASKS,
+        _kernel_layout,
         window_funnel,
     )
     from tests.conftest import SF_DIR
 
     ev = load_table(spark, SF_DIR, "events")
-    nb = _adaptive_buckets(ev)
+    nb, nparts = _kernel_layout(ev)
     est = int(ev._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    assert nb == max(8, min(1 << 20, est // _BUCKET_TARGET_BYTES))
-    assert nb == 8  # sf0.01/sf0.001 events are far below 8 buckets' worth
+    want_parts = max(
+        _MIN_KERNEL_TASKS,
+        min(1 << 18, est // (_BUCKETS_PER_TASK * _BUCKET_TARGET_BYTES)),
+    )
+    assert nparts == want_parts
+    assert nb == _BUCKETS_PER_TASK * nparts
+    # tiny test inputs sit on the task floor
+    assert nparts == _MIN_KERNEL_TASKS
 
     day = 86_400_000_000
     adaptive = sorted(
@@ -544,3 +554,39 @@ def test_adaptive_buckets_scale_with_input_size(spark):
         ).collect())
     )
     assert adaptive == fixed64
+
+
+def test_kernel_layout_unknown_estimate_falls_back_to_parallelism(spark):
+    """An RDD-backed frame (LogicalRDD) reports spark.sql.defaultSizeInBytes
+    (~Long.MaxValue) as its size estimate — the layout must treat that as
+    'unknown' and fall back to the parallelism floor, never turn it into
+    a quarter-million-task shuffle."""
+    from byconity_spark.udafs.behavioral import _BUCKETS_PER_TASK, _kernel_layout
+
+    df = spark.createDataFrame(
+        [(1, 100)], "event_id long, user_id long"
+    )
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est >= (1 << 50)  # precondition: the estimate really is bogus
+    nb, nparts = _kernel_layout(df)
+    par = spark.sparkContext.defaultParallelism
+    assert (nb, nparts) == (_BUCKETS_PER_TASK * par, par)
+
+
+def test_bucketed_kernel_single_exchange_pinned_parallelism(spark):
+    """The bucketed kernel scaffold must shuffle exactly once: the explicit
+    repartition(P, __b) both pins the kernel stage's parallelism (AQE's
+    byte-based coalescing would run CPU-heavy Python kernels in ONE task)
+    and satisfies groupBy(__b)'s clustering, so no second exchange."""
+    from byconity_spark.engine.catalog import load_table
+    from byconity_spark.udafs.behavioral import _kernel_layout, window_funnel
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    day = 86_400_000_000
+    df = window_funnel(ev, window_us=7 * day, steps=["signup", "click"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    _, nparts = _kernel_layout(ev)
+    assert f"hashpartitioning(__b#" in plan and f", {nparts})" in plan
