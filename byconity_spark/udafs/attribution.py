@@ -325,6 +325,29 @@ def _dist10(occ: DataFrame, key_cols: list, val_col: str) -> DataFrame:
     )
 
 
+def _dist10_pair(partials: DataFrame, keys: list) -> DataFrame:
+    """Both 10-bucket distributions (times -> t_dist, steps -> s_dist) in
+    ONE tagged _dist10 pass: the two occurrence frames union with a tag
+    column and the tag rides the grouping key, so min/max, slot counts and
+    slot assembly run as one aggregate chain instead of two (same
+    per-(key, tag) bucket math — results identical, half the exchanges).
+    Output: one row per key present in either array, columns t_dist/s_dist
+    (NULL when that key has no occurrences for the tag, exactly like the
+    unfused left joins)."""
+    occ = partials.select(
+        *keys, F.lit("t").alias("__tag"), F.explode("times").alias("v")
+    ).unionByName(
+        partials.select(
+            *keys, F.lit("s").alias("__tag"), F.explode("steps").alias("v")
+        )
+    )
+    d = _dist10(occ, keys + ["__tag"], "v")
+    return d.groupBy(*keys).agg(
+        F.max(F.when(F.col("__tag") == "t", F.col("v_dist"))).alias("t_dist"),
+        F.max(F.when(F.col("__tag") == "s", F.col("v_dist"))).alias("s_dist"),
+    )
+
+
 def attribution_analysis_fuse(
     partials: DataFrame, top_n: int = 0, need_others: bool = False
 ) -> DataFrame:
@@ -348,8 +371,6 @@ def attribution_analysis_fuse(
         F.sum("value").alias("value"),
     )
     keys = ["touch_event", "touch_attr"]
-    occ_t = partials.select(*keys, F.explode("times").alias("t"))
-    occ_s = partials.select(*keys, F.explode("steps").alias("s"))
     total = agg.agg(F.sum("value").alias("total_value"))
     out = (
         agg.crossJoin(F.broadcast(total))
@@ -367,8 +388,7 @@ def attribution_analysis_fuse(
             ).otherwise(F.lit(0.0)),
         )
         .drop("total_value")
-        .join(_dist10(occ_t, keys, "t"), keys, "left")
-        .join(_dist10(occ_s, keys, "s"), keys, "left")
+        .join(_dist10_pair(partials, keys), keys, "left")
         .withColumn("time_dist", F.coalesce("t_dist", F.lit("0")))
         .withColumn("step_dist", F.coalesce("s_dist", F.lit("0")))
         .drop("t_dist", "s_dist")
@@ -453,8 +473,6 @@ def attribution_correlation(partials: DataFrame) -> DataFrame:
         )
         .alias("correlation"),
     )
-    occ_t = partials.select(*keys, F.explode("times").alias("t"))
-    occ_s = partials.select(*keys, F.explode("steps").alias("s"))
     return (
         agg.join(corr, keys, "left")
         .withColumn("correlation", F.coalesce("correlation", F.lit(0.0)))
@@ -465,8 +483,7 @@ def attribution_correlation(partials: DataFrame) -> DataFrame:
                 F.col("valid_transform_cnt") / F.col("click_cnt"),
             ).otherwise(F.lit(0.0)),
         )
-        .join(_dist10(occ_t, keys, "t"), keys, "left")
-        .join(_dist10(occ_s, keys, "s"), keys, "left")
+        .join(_dist10_pair(partials, keys), keys, "left")
         .withColumn("time_dist", F.coalesce("t_dist", F.lit("0")))
         .withColumn("step_dist", F.coalesce("s_dist", F.lit("0")))
         .drop("t_dist", "s_dist")

@@ -279,3 +279,45 @@ def test_procedure_attr_match(spark):
     )
     # only user 2's click validates (user 1's 'step' attr mismatches)
     assert out["click"] == (2, 1, 30.0)
+
+
+def test_dist10_pair_matches_unfused(spark):
+    """The fused tagged-pass _dist10_pair must reproduce the old
+    two-_dist10-join results exactly: same bucket math per (key, tag)
+    group, NULL for a tag with no occurrences (callers coalesce)."""
+    from pyspark.sql import functions as F
+
+    from byconity_spark.udafs.attribution import _dist10, _dist10_pair
+
+    partials = spark.createDataFrame(
+        [
+            # key a: times span 0..25 (gap 3), steps all zero/positive mix
+            (1, "a", "", 2, 2, 1.0, [1, 11, 25], [1, 2]),
+            (2, "a", "", 1, 1, 1.0, [0, 3], [0]),
+            # key b: empty arrays -> absent from both dists (NULL after join)
+            (3, "b", "", 1, 0, 0.0, [], []),
+            # key c: only-zero values -> stats row exists, no slots -> "0|0|..."
+            (4, "c", "", 1, 1, 1.0, [0], [0]),
+        ],
+        "user_id long, touch_event string, touch_attr string, "
+        "click_cnt long, valid_cnt long, value double, "
+        "times array<long>, steps array<long>",
+    )
+    keys = ["touch_event", "touch_attr"]
+    occ_t = partials.select(*keys, F.explode("times").alias("t"))
+    occ_s = partials.select(*keys, F.explode("steps").alias("s"))
+    old = (
+        partials.select(*keys).distinct()
+        .join(_dist10(occ_t, keys, "t"), keys, "left")
+        .join(_dist10(occ_s, keys, "s"), keys, "left")
+    )
+    new = partials.select(*keys).distinct().join(
+        _dist10_pair(partials, keys), keys, "left"
+    )
+    old_rows = {tuple(r[:2]): tuple(r[2:]) for r in old.collect()}
+    new_rows = {tuple(r[:2]): tuple(r[2:]) for r in new.collect()}
+    assert old_rows == new_rows
+    assert new_rows[("b", "")] == (None, None)
+    assert new_rows[("c", "")] == (
+        "0|0|0|0|0|0|0|0|0|0", "0|0|0|0|0|0|0|0|0|0"
+    )
