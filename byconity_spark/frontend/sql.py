@@ -13962,6 +13962,33 @@ def _try_ddl(spark: SparkSession, sql: str):
         from byconity_spark.engine.stats import (
             _SHOW_STATS, collect_display_stats, create_stats,
         )
+
+        def _collect_and_create(t: str, c: list | None) -> tuple[int, int]:
+            # The display collection and the CBO-sidecar collection are
+            # two INDEPENDENT scan-aggregates over the same table; Spark
+            # happily runs concurrent jobs, so overlap them from a second
+            # thread (guide §2.6) instead of paying both walls in
+            # sequence.  They touch disjoint state (_SHOW_STATS vs
+            # _STATS_REGISTRY/sidecar/catalog); create_stats failures
+            # stay swallowed exactly as the sequential code did.
+            import threading
+
+            def _sidecar():
+                try:
+                    create_stats(
+                        spark, t,
+                        [x for x in c if "__" not in x] if c else None,
+                    )
+                except Exception:
+                    pass
+
+            th = threading.Thread(target=_sidecar, daemon=True)
+            th.start()
+            try:
+                return collect_display_stats(spark, t, c)
+            finally:
+                th.join()
+
         if_not_exists = bool(m.group(1))
         target = m.group(2).strip("`")
         cols = (
@@ -13979,8 +14006,7 @@ def _try_ddl(spark: SparkSession, sql: str):
                 if if_not_exists and t in _SHOW_STATS:
                     continue
                 try:
-                    nc, rc = collect_display_stats(spark, t, None)
-                    create_stats(spark, t, None)
+                    nc, rc = _collect_and_create(t, None)
                     out_rows.append((t, nc, str(rc)))
                 except Exception:
                     continue
@@ -13994,16 +14020,8 @@ def _try_ddl(spark: SparkSession, sql: str):
                 [], "table_name string, column_count bigint, "
                     "row_count_or_error string",
             )
-        ncols, rcount = collect_display_stats(spark, target, cols)
-        try:
-            # ordinary columns also feed the Catalyst CBO sidecar
-            create_stats(
-                spark, target,
-                [c for c in cols if "__" not in c] if cols else None,
-            )
-        except Exception:
-            pass
-        return _local_df(spark, 
+        ncols, rcount = _collect_and_create(target, cols)
+        return _local_df(spark,
             [(target, ncols, str(rcount))],
             "table_name string, column_count bigint, "
             "row_count_or_error string",
