@@ -117,9 +117,13 @@ def ann_ivf_topk(
     clustered labels nprobe=6/10 reaches ~0.8 — for tighter corpora (or a
     real k-means quantizer) lower nprobe suffices.  The guaranteed-recall
     scale path remains ann_lsh_topk."""
+    # persist: the centroid table feeds BOTH assign() broadcasts (corpus
+    # inverted lists + query probes); without it each broadcast exchange
+    # re-runs the full posexplode+avg pass over the corpus (guide §5 —
+    # the subtree is data-proportional, the result is k x dim metadata)
     cents = elementwise_centroids(embeddings, group_col, vec_col).select(
         F.col(group_col).alias("cid"), F.col("centroid")
-    )
+    ).persist()
 
     def assign(df: DataFrame, idc: str, vec: str, n_keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(

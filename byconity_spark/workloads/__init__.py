@@ -208,6 +208,11 @@ _PREVIOUSLY_CERTIFIED = {
     "ann_variance_matrix",
     "mm_frame_sample", "llm_token_count", "mm_audio_energy",
     "mm_keyframes", "mm_resize_thumbnail", "chsql_infix_mod",
+    # --- r12 green (CORRECTNESS_r12: 50/50) ---
+    "chsql_date_shift", "chsql_int_div_zero", "chsql_empty_set_aggs",
+    "chsql_rollup_defaults", "chsql_totals_last", "chsql_ttl_prune_read",
+    "chsql_encrypt_vectors", "chsql_json_extract_typed", "chsql_array_split_multi",
+    "chsql_todatetime_tz",
 }
 
 # Queries whose builders are rows-only BY DESIGN (randomness, honest codec
@@ -230,8 +235,28 @@ _MUST_RECERTIFY: list[str] = []
 
 # the 50 queries CORRECTNESS_r10 certified — they rotate to the BACK of
 # the certified tier this round (least-recently-certified first)
-# r11 greens (CORRECTNESS_r11: 50/50) — most recently certified, they
+# r12 greens (CORRECTNESS_r12: 50/50) — most recently certified, they
 # rotate to the very back of the certified tier this round
+_R12_GREEN = {
+    "chsql_date_shift", "chsql_int_div_zero", "chsql_empty_set_aggs",
+    "chsql_rollup_defaults", "chsql_totals_last", "chsql_ttl_prune_read",
+    "chsql_encrypt_vectors", "chsql_json_extract_typed", "chsql_array_split_multi",
+    "chsql_todatetime_tz", "agg_round7_suite", "fn_round7b_suite",
+    "fn_textsearch_suite", "fn_bayes_ab", "fn_blake3_vectors",
+    "fn_lbs_filter_suite", "fn_hash_exact_vectors", "chsql_hourly_activity",
+    "chsql_order_buckets", "chsql_limit_by", "chsql_with_fill",
+    "chsql_json_match", "chsql_array_join_words", "chsql_numbers_squares",
+    "chsql_totals_by_status", "chsql_asof", "chsql_any_join",
+    "chsql_fill_interpolate", "chsql_any_multi_join", "chsql_window_funnel",
+    "chsql_multi_array_join", "chsql_compat_suite", "chsql_round6_agg_suite",
+    "chsql_distinct_on_ties", "chsql_sequence_match_count", "chsql_batch5_suite",
+    "chsql_final_replacing", "chsql_system_tables", "chsql_ddl_roundtrip",
+    "chsql_geo_suite", "chsql_lbs_circle", "chsql_mutation_ddl",
+    "chsql_system_parts", "chsql_limits_suite", "chsql_quota_process_suite",
+    "chsql_resource_group_suite", "chsql_backup_restore", "chsql_advisor_suite",
+    "chsql_dictionary_sql", "chsql_rbac_suite",
+}
+
 _R11_GREEN = {
     "chsql_infix_mod", "llm_pii_redact", "llm_tfidf_top_terms",
     "llm_hash_sample", "llm_contamination", "ann_quantize_int8",
@@ -368,7 +393,8 @@ def all_queries() -> dict[str, QueryDef]:
     # the certified tier so a capped run re-confirms the LEAST-recently
     # certified queries first
     certified.sort(
-        key=lambda n: (3 if n in _R11_GREEN else
+        key=lambda n: (4 if n in _R12_GREEN else
+                       3 if n in _R11_GREEN else
                        2 if n in _R10_GREEN else
                        1 if n in _R09_GREEN else 0)
     )
